@@ -1,13 +1,187 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator/capability from SURVEY.md §2; the
+  * matching `oracleSql` is ANSI SQL DuckDB runs over the same parquet
+  * tables. Column names and types are aligned on both sides (the driver
+  * sorts columns by name and hash-compares values; DuckDB's wider default
+  * types — BIGINT row_number, HUGEINT sum(int) — are cast down to Spark's
+  * in the SQL).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> Relational.q1Agg,
+    "q2_filter_project" -> Relational.q2FilterProject,
+    "q3_join_agg" -> Relational.q3JoinAgg,
+    "q4_semi_join" -> Relational.q4SemiJoin,
+    "q5_anti_join" -> Relational.q5AntiJoin,
+    "q6_selective_agg" -> Relational.q6SelectiveAgg,
+    "q7_topk_per_group" -> Relational.q7TopKPerGroup,
+    "q8_window_analytic" -> Relational.q8WindowAnalytic,
+    "q9_top_n" -> Relational.q9TopN,
+    "q10_set_ops" -> Relational.q10SetOps,
+    "q11_distinct_agg" -> Relational.q11DistinctAgg,
+    "q12_rollup" -> Relational.q12Rollup,
+    "q13_cube" -> Relational.q13Cube,
+    "q14_scalar_funcs" -> Relational.q14ScalarFuncs,
+    "q15_having" -> Relational.q15Having,
+    "q16_conditional_agg" -> Relational.q16ConditionalAgg,
+    "q17_avg_compare_join" -> Relational.q17AvgCompareJoin,
+    "q18_star_join" -> Relational.q18StarJoin,
+    "q19_union_all" -> Relational.q19UnionAll,
+    "q20_grouping_sets" -> Relational.q20GroupingSets,
+  )
+
+  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
+  private val sumDiscPrice =
+    "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS DOUBLE)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+         |  $sumDiscPrice AS sum_disc_price,
+         |  $sumQty/COUNT(l_quantity) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_quantity >= 0
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      s"""SELECT l_orderkey, o_orderdate, $sumDiscPrice AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q6_selective_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
+    "q7_topk_per_group" ->
+      """SELECT l_suppkey, CAST(rk AS INTEGER) AS rk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |      FROM lineitem) ranked
+        |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+    "q8_window_analytic" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+        |  LAG(l_extendedprice, 1) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price,
+        |  CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rn
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q9_top_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q10_set_ops" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q12_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, $sumQty AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q14_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  UPPER(o_orderpriority) AS pri_upper,
+        |  CAST(LENGTH(o_orderpriority) AS INTEGER) AS pri_len,
+        |  SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+        |  CONCAT_WS('#', o_orderstatus, o_orderpriority) AS status_tag,
+        |  CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(MONTH(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(DAY(o_orderdate) AS INTEGER) AS o_day,
+        |  DATE_TRUNC('month', o_orderdate) AS month_start,
+        |  ROUND(o_totalprice / 1000, 2) AS price_k,
+        |  CAST(o_totalprice > 150000 AS INTEGER) AS is_big
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+    "q15_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q16_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q17_avg_compare_join" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_small
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS pk,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) pa
+        |  ON l_partkey = pk
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q18_star_join" ->
+      s"""SELECT r_name, $sumDiscPrice AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q19_union_all" ->
+      """SELECT bucket, COUNT(*) AS n FROM (
+        |  SELECT o_orderkey, 'cheap' AS bucket FROM orders WHERE o_totalprice < 50000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'pricey' AS bucket FROM orders WHERE o_totalprice >= 150000) u
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q20_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, $sumQty AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+  )
 }

@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers for the graft engine.
+  *
+  * The engine is DataFrame-first: schemas are read-derived from Parquet
+  * footers exactly as the reference derives Avro schemas from footers
+  * (reference: ParquetArangoLoader.java:139), so the dynamic `DataFrame`
+  * model — not `Dataset[T]` — is the core abstraction.
+  */
+object Graft {
+
+  /** Opinionated session for local[32] testing; on a real cluster the same
+    * configs apply (AQE, skew-join handling) with shuffle partitions sized
+    * by the cluster manager instead.
+    */
+  def session(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Read one of the driver test tables: `$dir/$name.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Deterministic floating-point aggregates.
+  *
+  * Plain `sum(double)` is order-dependent (FP addition is not associative),
+  * so a distributed Spark sum and a single-threaded DuckDB oracle sum can
+  * differ in the last ulp and fail a hash compare. Summing through a wide
+  * decimal is exact and therefore order-independent; the final cast back to
+  * double is a single well-defined rounding. Both engines implement the
+  * identical semantics, so results are bit-equal.
+  *
+  * At 100 TB this costs one decimal accumulation per row — still map-side
+  * partial-aggregated by Catalyst (HashAggregate partial/final), no extra
+  * shuffle.
+  */
+object Exact {
+
+  /** Exact sum of a double column via DECIMAL(38, scale). */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum, then one double division. */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+
+  /** Matching DuckDB/ANSI SQL fragment for [[dsum]]. */
+  def dsumSql(col: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  /** Matching DuckDB/ANSI SQL fragment for [[davg]]. */
+  def davgSql(col: String, scale: Int = 4): String =
+    s"${dsumSql(col, scale)} / COUNT($col)"
+}

@@ -1,0 +1,312 @@
+package graft.queries
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Exact._
+
+/** Relational query corpus over the driver's TPC-H-ish tables.
+  *
+  * Every method takes (spark, sfDir) and returns a DataFrame whose column
+  * names match the DuckDB oracle SQL registered in [[graft.SparkEntry]].
+  * Each query is the Spark-native expression of a capability the reference
+  * system deferred to ArangoDB/AQL post-load (SURVEY.md §2.2): the
+  * reference itself has no query operators (ParquetArangoLoader.java has
+  * scan→encode→sink only), so these define the engine's native surface.
+  *
+  * Scale notes are inline per query; the common ones:
+  *  - filters/projections reach the Parquet scan (PushedFilters);
+  *  - dimension joins are broadcast;
+  *  - aggregations are partial (map-side) + final — one shuffle on the
+  *    group keys, no row explosion;
+  *  - every ORDER BY is on a bounded result (post-aggregation) — a full
+  *    sort of a 100 TB fact table never appears.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  /** q1: pricing-summary aggregation (TPC-H Q1 shape).
+    * One shuffle on (returnflag, linestatus) — 6 groups; partial agg does
+    * nearly all the work map-side, so this scales linearly in input.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q2: filter + projection; both are pushed into the Parquet scan
+    * (PushedFilters + ReadSchema pruning), so at 100 TB only the matching
+    * row groups and the 4 projected columns are read.
+    */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 5)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q6: selective scan + scalar aggregate (TPC-H Q6 shape) — fully
+    * map-side; the "shuffle" is a single-row final agg.
+    */
+  def q6SelectiveAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount"), 8).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** q3: customer ⋈ orders ⋈ lineitem with group-by + top-k (TPC-H Q3
+    * shape). customer is ~1/40 of lineitem — at 100 TB orders⋈lineitem is
+    * the big shuffle join (AQE handles skew); the final top-10 is a
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q4: semi-join — orders having at least one high-quantity lineitem,
+    * counted per priority (TPC-H Q4 shape). left_semi avoids materializing
+    * the join product entirely.
+    */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    t(s, dir, "orders")
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q5: anti-join — customers with no urgent orders, per market segment.
+    * left_anti is the scalable NOT EXISTS: one shuffle, no product.
+    */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+
+  /** q7: per-supplier top-3 lineitems by price — windowed top-k. The
+    * window shuffles once on l_suppkey; rank+filter keeps memory bounded
+    * per partition (no global sort, no collect).
+    */
+  def q7TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rk"))
+  }
+
+  /** q8: analytic window functions — running revenue + lag per supplier
+    * over ship date.
+    */
+  def q8WindowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val byShip = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        sum(col("l_extendedprice").cast("decimal(38,4)"))
+          .over(byShip.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_rev"),
+        lag(col("l_extendedprice"), 1).over(byShip).as("prev_price"),
+        row_number().over(byShip).as("rn"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** q9: sort + limit (global top-n orders by price). Spark plans this as
+    * TakeOrderedAndProject: per-partition heap + driver merge of n rows —
+    * O(n) driver memory at any scale.
+    */
+  def q9TopN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(25)
+
+  /** q10: set operations on derived key sets (EXCEPT / INTERSECT). Spark
+    * plans these as aggregate/join — one shuffle each on the key.
+    */
+  def q10SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    big.intersect(urgent)
+      .withColumnRenamed("o_custkey", "custkey")
+      .orderBy(col("custkey"))
+  }
+
+  /** q11: distinct aggregates per nation over customer. countDistinct
+    * expands to a two-phase aggregate; approx_count_distinct (HLL) is the
+    * 100 TB-scale variant and is also exposed (see qx in extensions).
+    */
+  def q11DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_nationkey"))
+
+  /** q12: ROLLUP hierarchy aggregation (returnflag → linestatus). */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** q13: CUBE over orderstatus × orderpriority. */
+  def q13Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** q14: scalar functions — string/date/math over orders (the category
+    * the reference's A5/A6 hooks only hinted at; here codegen'd built-ins).
+    */
+  def q14ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        length(col("o_orderpriority")).as("pri_len"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority"))
+          .as("status_tag"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        round(col("o_totalprice") / 1000, 2).as("price_k"),
+        (col("o_totalprice") > 150000).cast("int").as("is_big"))
+      .orderBy(col("o_orderkey"))
+
+  /** q15: HAVING — group filter after aggregation. */
+  def q15Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+
+  /** q16: conditional aggregation (TPC-H Q12 shape) — CASE inside SUM. */
+  def q16ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("low_line_count"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q17: correlated-aggregate join (TPC-H Q17 shape): lineitems below
+    * 20% of their part's average quantity. The per-part average is a
+    * partial-agg'd subplan re-joined on partkey — at scale AQE turns the
+    * small aggregated side into a broadcast.
+    */
+  def q17AvgCompareJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice"), 8).as("sum_price"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** q18: star join through broadcast dimensions (supplier→nation→region):
+    * revenue per region. nation/region are tiny → explicit broadcast; the
+    * only real shuffle is lineitem's groupBy.
+    */
+  def q18StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** q19: UNION ALL of two derived sets + aggregate — set-op plumbing
+    * with no dedup shuffle (unionAll is a no-shuffle concat).
+    */
+  def q19UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cheap = o.filter(col("o_totalprice") < 50000)
+      .select(col("o_orderkey"), lit("cheap").as("bucket"))
+    val pricey = o.filter(col("o_totalprice") >= 150000)
+      .select(col("o_orderkey"), lit("pricey").as("bucket"))
+    cheap.unionAll(pricey)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q20: GROUPING SETS via SQL — the general form of rollup/cube. */
+  def q20GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+}
