@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Events, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,15 @@ object SparkEntry {
     "q18_star_join" -> Relational.q18StarJoin,
     "q19_union_all" -> Relational.q19UnionAll,
     "q20_grouping_sets" -> Relational.q20GroupingSets,
+    "q21_asof_join" -> Events.q21AsOfJoin,
+    "q22_range_join" -> Events.q22RangeJoin,
+    "q23_hourly_agg" -> Events.q23HourlyAgg,
+    "q24_json_extract" -> Events.q24JsonExtract,
+    "q25_sessionize" -> Events.q25Sessionize,
+    "q26_scalar_subquery" -> Relational.q26ScalarSubquery,
+    "q27_string_agg" -> Relational.q27StringAgg,
+    "q28_pivot" -> Relational.q28Pivot,
+    "q29_explode_tokens" -> Relational.q29ExplodeTokens,
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
@@ -183,5 +192,80 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus, $sumQty AS sum_qty, COUNT(*) AS n_rows
          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q21_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |       v.event_id AS view_id, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY click_id""".stripMargin,
+    "q22_range_join" ->
+      """SELECT band, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN (VALUES ('b0_50',0.0,50.0),('b50_100',50.0,100.0),
+        |             ('b100_150',100.0,150.0),('b150_200',150.0,200.0),
+        |             ('b200_inf',200.0,1e18)) bands(band,lo,hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q23_hourly_agg" ->
+      """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q24_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m),
+        |per AS (
+        |  SELECT user_id, session_id, COUNT(*) AS session_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(session_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(session_events) AS BIGINT) AS longest_session
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q26_scalar_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_above
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(o_totalprice)
+        |  FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q27_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  COUNT(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q28_pivot" ->
+      """SELECT c_nationkey,
+        |  CAST(SUM(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+        |  CAST(SUM(CASE WHEN c_mktsegment='BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+        |  CAST(SUM(CASE WHEN c_mktsegment='FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+        |  CAST(SUM(CASE WHEN c_mktsegment='HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+        |  CAST(SUM(CASE WHEN c_mktsegment='MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q29_explode_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents) u
+        |WHERE LENGTH(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
   )
 }

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Session + table helpers for the graft engine.
   *
@@ -26,11 +28,26 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet TIMESTAMP(NANOS) (the events table) is not a native Spark
+      // type; read as long and convert in [[table]].
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
 
-  /** Read one of the driver test tables: `$dir/$name.parquet`. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one of the driver test tables: `$dir/$name.parquet`.
+    *
+    * Nanosecond-timestamp columns (read as long via
+    * `spark.sql.legacy.parquet.nanosAsLong`) are truncated to microsecond
+    * TimestampType — the same truncation DuckDB applies when reading the
+    * same file, so oracle comparisons line up. `div` keeps the arithmetic
+    * in exact integer space (a double division would lose precision above
+    * 2^53 ns ≈ 1970+104 days).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

@@ -297,6 +297,60 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** q26: scalar subquery — orders above the global average price. The
+    * 1-row aggregate is cross-joined (broadcast) against the fact table;
+    * Catalyst plans it as a BroadcastNestedLoopJoin over a single row.
+    */
+  def q26ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val avgPrice = o.agg(davg(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above"),
+        dsum(col("o_totalprice")).as("sum_above"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q27: ordered string aggregation — sorted distinct segment list per
+    * nation. collect_set is unordered; sort_array makes it deterministic.
+    */
+  def q27StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+        .as("segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** q28: pivot — customer counts per nation × market segment. The value
+    * list is fixed, so the plan is a single aggregate with one output
+    * column per segment (no second shuffle).
+    */
+  def q28Pivot(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .na.fill(0, segs)
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q29: generator/explode — token frequencies over documents (UDTF
+    * category: explode of split; all codegen'd, no UDF). Top-20 with
+    * deterministic tiebreak.
+    */
+  def q29ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
   /** q20: GROUPING SETS via SQL — the general form of rollup/cube. */
   def q20GroupingSets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
