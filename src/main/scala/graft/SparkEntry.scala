@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Events, Relational}
+import graft.queries.{Events, Extensions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,19 @@ object SparkEntry {
     "q27_string_agg" -> Relational.q27StringAgg,
     "q28_pivot" -> Relational.q28Pivot,
     "q29_explode_tokens" -> Relational.q29ExplodeTokens,
+    "x1_dedup_exact" -> Extensions.x1DedupExact,
+    "x2_dedup_fingerprint" -> Extensions.x2DedupFingerprint,
+    "x3_jaccard_pairs" -> Extensions.x3JaccardPairs,
+    "x4_minhash_pairs" -> Extensions.x4MinHashPairs,
+    "x5_simhash_pairs" -> Extensions.x5SimHashPairs,
+    "x6_embedding_neardup" -> Extensions.x6EmbeddingNearDup,
+    "x7_knn_bruteforce" -> Extensions.x7KnnBruteForce,
+    "x8_knn_lsh" -> Extensions.x8KnnLsh,
+    "x9_text_stats" -> Extensions.x9TextStats,
+    "x10_langid" -> Extensions.x10LangId,
+    "x11_quality" -> Extensions.x11Quality,
+    "x12_fingerprint" -> Extensions.x12Fingerprint,
+    "x13_multimodal" -> Extensions.x13Multimodal,
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
@@ -267,5 +280,129 @@ object SparkEntry {
         |  FROM documents) u
         |WHERE LENGTH(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "x1_dedup_exact" ->
+      """SELECT doc_id, fingerprint FROM (
+        |  SELECT doc_id, md5(text) AS fingerprint,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "x2_dedup_fingerprint" ->
+      """SELECT doc_id, fingerprint FROM (
+        |  SELECT doc_id,
+        |    md5(substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 200)) AS fingerprint,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 200))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "x3_jaccard_pairs" -> jaccardPairsSql,
+    "x4_minhash_pairs" -> jaccardPairsSql,
+    "x6_embedding_neardup" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  ROUND(CASE WHEN sqrt(a.nsq)*sqrt(b.nsq) = 0 THEN 0
+         |    ELSE ${dotSql("a.embedding", "b.embedding")}/(sqrt(a.nsq)*sqrt(b.nsq)) END, 6) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ROUND(CASE WHEN sqrt(a.nsq)*sqrt(b.nsq) = 0 THEN 0
+         |    ELSE ${dotSql("a.embedding", "b.embedding")}/(sqrt(a.nsq)*sqrt(b.nsq)) END, 6) >= 0.95
+         |ORDER BY id1, id2""".stripMargin,
+    "x7_knn_bruteforce" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CASE WHEN sqrt(q.nsq)*sqrt(e.nsq) = 0 THEN 0
+         |      ELSE ${dotSql("q.embedding", "e.embedding")}/(sqrt(q.nsq)*sqrt(e.nsq)) END AS cos_raw
+         |  FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id,
+         |  ROUND(cos_raw, 6) AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "x9_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(LENGTH(text) AS INTEGER) AS n_chars,
+         |  CAST(len($tokSql) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct($tokSql)) AS INTEGER) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x10_langid" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($tokSql) AS dtk FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_intersect(dtk, ['the','a','and','of','to','in','is','it','that','for'])) AS s_en,
+         |  len(list_intersect(dtk, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+         |  len(list_intersect(dtk, ['le','la','les','et','un','une','est','que','pour','dans'])) AS s_fr,
+         |  len(list_intersect(dtk, ['el','los','y','de','un','una','es','por','con','para'])) AS s_es
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_id
+         |  FROM s)
+         |SELECT lang_id, COUNT(*) AS n_docs FROM l GROUP BY lang_id
+         |ORDER BY lang_id""".stripMargin,
+    "x11_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSql AS tk FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(tk) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_cnt,
+         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) AS sum_len
+         |  FROM t)
+         |SELECT doc_id, ROUND(
+         |  LEAST(n_tok/50, 1.0)*0.25 +
+         |  (1.0 - CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0 END)*0.25 +
+         |  LEAST(CASE WHEN n_tok > 0 THEN stop_cnt/n_tok ELSE 0 END*5, 1.0)*0.25 +
+         |  LEAST(CASE WHEN n_tok > 0 THEN sum_len/n_tok ELSE 0 END/8, 1.0)*0.25, 6) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "x12_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x13_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(encode(text)) AS sha,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Whitespace tokens in DuckDB, matching TextFunctions.tokens. */
+  private val tokSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def normSqSql(c: String): String =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** Exact word-3-gram Jaccard pairs at >= 0.6 — oracle for both the
+    * brute-force x3 and (recall 1.0 on this corpus, asserted in specs)
+    * the MinHash-LSH x4.
+    */
+  private val jaccardPairsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE [] END)) AS s
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, ROUND(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
+       |FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       |WHERE ROUND(c*1.0/(s1.n + s2.n - c), 6) >= 0.6
+       |ORDER BY id1, id2""".stripMargin
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenizing,
+  * shingling, language ID, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (split/filter/transform/
+  * aggregate/regexp) — no UDFs — so each function is a pure map over the
+  * documents table: zero shuffles, scales linearly to 100 TB, and has an
+  * exactly-equivalent ANSI SQL form the DuckDB oracle runs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word k-shingles (space-joined); empty array when fewer than k tokens. */
+  def shingles(tk: Column, k: Int): Column =
+    when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => array_join(slice(tk, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Canonical text normalization: lowercase, non-alphanumerics collapsed
+    * to single spaces, trimmed.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Identical content
+    * modulo case/punctuation/whitespace collides on purpose.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Prefix fingerprint for near-front-dup bucketing at scale. */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    md5(substring(normalize(text), 1, n))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Stopword inventories for the n-gram-free language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "los", "y", "de", "un", "una", "es", "por", "con", "para"),
+  )
+
+  /** Distinct-token overlap with each language's stopword set. */
+  def langScores(tk: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(array_distinct(tk),
+        array(words.map(lit): _*)))
+    }
+
+  /** Language-ID heuristic: argmax of stopword overlap with a fixed
+    * priority order on ties (en > de > fr > es), "und" (undetermined)
+    * when no stopword matches at all. The decision tree is replicated
+    * verbatim in the oracle SQL.
+    */
+  def langId(text: Column): Column = {
+    val tk = tokens(text)
+    val s = langScores(tk).toMap
+    val (en, de, fr, es) = (s("en"), s("de"), s("fr"), s("es"))
+    when(greatest(en, de, fr, es) === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * 0.25·min(tokens/50,1) + 0.25·(1−punctRatio) + 0.25·stopRatio·5 capped
+    * + 0.25·meanTokenLen/8 capped. Deterministic double arithmetic,
+    * rounded to 6 decimals.
+    */
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    val nTok = size(tk).cast("double")
+    val nChars = length(text).cast("double")
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+      .cast("double")
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(0.0)
+    val enStops = array(stopwords.head._2.map(lit): _*)
+    val stopCnt = size(filter(tk, t => array_contains(enStops, t)))
+      .cast("double")
+    val stopRatio = when(nTok > 0, stopCnt / nTok).otherwise(0.0)
+    val sumLen = aggregate(tk, lit(0), (acc, t) => acc + length(t))
+      .cast("double")
+    val meanLen = when(nTok > 0, sumLen / nTok).otherwise(0.0)
+    round(
+      least(nTok / 50, lit(1.0)) * 0.25 +
+        (lit(1.0) - punctRatio) * 0.25 +
+        least(stopRatio * 5, lit(1.0)) * 0.25 +
+        least(meanLen / 8, lit(1.0)) * 0.25,
+      6)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.core.Graft
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline extension corpus over `documents` / `embeddings`:
+  * dedup (exact, fingerprint, n-gram Jaccard, MinHash-LSH, SimHash),
+  * similarity search (brute-force + LSH ANN), text analysis, multimodal.
+  */
+object Extensions {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "embeddings")
+
+  /** x1: exact dedup — keep min doc_id per md5(text). */
+  def x1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** x2: fingerprint dedup on normalized 200-char prefix (collapses the
+    * seeded near-front-duplicates).
+    */
+  def x2DedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.byPrefixFingerprint(docs(s, dir), "doc_id", "text", 200)
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** x3: exact word-3-gram Jaccard near-dup pairs at ≥ 0.6. */
+  def x3JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text", k = 3,
+        threshold = 0.6)
+      .orderBy(col("id1"), col("id2"))
+
+  /** x4: MinHash-LSH near-dup pairs (64 hashes, 16 bands), verified with
+    * exact Jaccard — the sub-quadratic 100 TB path. With the seeded dup
+    * clusters all at J ≥ 0.8, LSH recall is 1.0 here and output equals x3
+    * (checked in the spec suite).
+    */
+  def x4MinHashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(docs(s, dir), "doc_id", "text", k = 3,
+        numHashes = 64, bands = 16, threshold = 0.6)
+      .orderBy(col("id1"), col("id2"))
+
+  /** x5: SimHash near-dup pairs at Hamming ≤ 3 (4-block pigeonhole). */
+  def x5SimHashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+      .orderBy(col("id1"), col("id2"))
+
+  /** x6: embedding-cosine near-dup pairs at ≥ 0.95. */
+  def x6EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.95)
+      .orderBy(col("id1"), col("id2"))
+
+  /** x7: brute-force cosine top-5 for the first 10 vectors as queries. */
+  def x7KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilaritySearch.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** x8: LSH ANN top-5 (12-bit hyperplane buckets, 1-bit multiprobe) —
+    * recall vs x7 asserted in the spec suite, not the oracle.
+    */
+  def x8KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilaritySearch.lshTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nBits = 12, dim = 64)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** x9: per-document text statistics. */
+  def x9TextStats(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_distinct_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x10: language-ID heuristic (stopword overlap argmax). */
+  def x10LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_id"))
+      .groupBy(col("lang_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_id"))
+
+  /** x11: quality score per document. */
+  def x11Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** x12: document fingerprints (normalized md5). */
+  def x12Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text"))
+        .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** x13: multimodal payload + batched (stub) decode — the Spark-side
+    * plumbing is real: binary column, metadata, per-partition batch
+    * execution. The decoded dims are a deterministic function of byte
+    * length, which the oracle reproduces.
+    */
+  def x13Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Multimodal.attachPayload(docs(s, dir), "text")
+    Multimodal.decodePayloads(withPayload, "payload")
+      .select(col("doc_id"), col("n_bytes"), col("sha"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.channels").as("channels"))
+      .orderBy(col("doc_id"))
+  }
+}
