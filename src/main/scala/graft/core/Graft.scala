@@ -23,6 +23,7 @@ object Graft {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(graft.expressions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,76 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-API wrappers + SQL registration for graft's native expressions.
+  *
+  * Two entry paths:
+  *  - Scala: `GraftFunctions.vecDot(a, b)` → `Column` (via ColumnBridge)
+  *  - SQL:   `SELECT graft_vec_dot(a, b)` after
+  *    [[GraftFunctions.register]] is injected through
+  *    `SparkSession.builder.withExtensions` (see
+  *    [[graft.core.Graft.session]]).
+  */
+object GraftFunctions {
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def vecNormSq(a: Column): Column = c(VecNormSq(e(a)))
+  def vecL2Sq(a: Column, b: Column): Column = c(VecL2Sq(e(a), e(b)))
+  def hyperplaneBucket(a: Column, nBits: Int): Column =
+    c(HyperplaneBucket(e(a), nBits))
+  def hyperplaneBands(a: Column, bands: Int, bitsPerBand: Int): Column =
+    c(HyperplaneBands(e(a), bands, bitsPerBand))
+  def wordShingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    c(MinHashSignature(e(shingles), numHashes))
+  def simHash64(text: Column): Column = c(SimHash64(e(text)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    c(SortedArrayIntersectCount(e(a), e(b)))
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")
+
+  private def lit(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal, got $other")
+  }
+
+  /** SQL-surface registration (used with
+    * `SparkSession.builder.withExtensions(GraftFunctions.register)`).
+    */
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot", "dot product of two float vectors"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_normsq"),
+      info("graft_vec_normsq", "squared L2 norm of a float vector"),
+      (args: Seq[Expression]) => VecNormSq(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_l2sq"),
+      info("graft_vec_l2sq", "squared L2 distance of two float vectors"),
+      (args: Seq[Expression]) => VecL2Sq(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_bucket"),
+      info("graft_hyperplane_bucket", "sign-bit LSH bucket of a float vector"),
+      (args: Seq[Expression]) => HyperplaneBucket(args(0), lit(args(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles", "distinct word-k-shingles of a text"),
+      (args: Seq[Expression]) => WordShingles(args(0), lit(args(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "MinHash signature of a string set"),
+      (args: Seq[Expression]) => MinHashSignature(args(0), lit(args(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit SimHash of a text"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count",
+        "|A∩B| of two sorted distinct string arrays"),
+      (args: Seq[Expression]) => SortedArrayIntersectCount(args(0), args(1))))
+  }
+}

@@ -1,0 +1,206 @@
+package graft.expressions
+
+import java.util.regex.Pattern
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text/hash kernels for the dedup operators.
+  *
+  * The composed higher-order-function forms (`transform(sequence(...),
+  * i -> array_join(slice(tokens, i, k)))` etc.) re-evaluate the token
+  * subexpression per produced element and run interpreted — measured
+  * ~400 s just to shingle 5000 docs at sf0.1. Each expression here is
+  * one compiled pass over the row.
+  *
+  * Hashing uses Spark's own XXH64 with seed 42 — identical to the SQL
+  * `xxhash64()` function, so results are deterministic and stable across
+  * partitionings, executors, and re-runs.
+  */
+private[expressions] object Tok {
+  val ws: Pattern = Pattern.compile("\\s+")
+
+  /** Whitespace tokens of lowercase(text), empties dropped — exactly
+    * `filter(split(lower(text), "\\s+"), t -> length(t) > 0)` and the
+    * oracle's `list_filter(string_split_regex(lower(text),'\s+'), ...)`.
+    */
+  def tokens(text: UTF8String): Array[String] =
+    ws.split(text.toLowerCase.toString).filter(_.nonEmpty)
+}
+
+/** Distinct word-k-shingles (space-joined) of a text column; empty array
+  * when fewer than k tokens. Output is SORTED in UTF8String binary order
+  * — [[SortedArrayIntersectCount]] relies on that contract for its
+  * linear merge.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val toks = Tok.tokens(t.asInstanceOf[UTF8String])
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.HashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen += sb.toString
+      i += 1
+    }
+    val arr = seen.iterator.map(UTF8String.fromString).toArray
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(arr.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** |A ∩ B| of two binary-sorted distinct string arrays via a two-pointer
+  * merge — O(|A|+|B|) UTF8String compares, no per-row hash-set build.
+  * Replaces `size(array_intersect(a, b))` on the pair-verification hot
+  * path (~100× faster there). Inputs MUST be sorted ascending in
+  * UTF8String binary order with no duplicates (the [[WordShingles]]
+  * contract).
+  */
+case class SortedArrayIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val cmp = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedArrayIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over a string-array column: element i is
+  * min over the set of `pmod(aᵢ·xxhash64(x) + bᵢ, 2⁶¹−1)` with fixed
+  * affine constants — the classic universal-hash MinHash family.
+  * Empty input → all-`Long.MaxValue` signature (never collides with a
+  * non-empty one on any band).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val as = MinHashSignature.as(numHashes)
+    val bs = MinHashSignature.bs(numHashes)
+    var e = 0
+    while (e < n) {
+      val base = XXH64.hashUTF8String(arr.getUTF8String(e), 42L)
+      var i = 0
+      while (i < numHashes) {
+        // Long arithmetic wraps like SQL non-ANSI mul/add; pmod keeps
+        // the result in [0, P).
+        val m = (as(i) * base + bs(i)) % MinHashSignature.P
+        val h = if (m < 0) m + MinHashSignature.P else m
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(out.map(Long.box).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Large prime 2^61 − 1 for the affine family. */
+  val P = 2305843009213693951L
+
+  private def mix(z0: Long): Long = {
+    var z = z0 * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def consts(n: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(n, _ => (
+      Array.tabulate(n)(i => (mix(2L * i + 1).abs % (P - 1)) + 1),
+      Array.tabulate(n)(i => mix(2L * i + 2).abs % P)))
+  def as(n: Int): Array[Long] = consts(n)._1
+  def bs(n: Int): Array[Long] = consts(n)._2
+}
+
+/** 64-bit SimHash of a text column over whitespace tokens (every
+  * occurrence votes, not just distinct tokens): bit j of the result is
+  * set iff Σ_tokens (2·bitⱼ(xxhash64(token)) − 1) > 0.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val toks = Tok.tokens(t.asInstanceOf[UTF8String])
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

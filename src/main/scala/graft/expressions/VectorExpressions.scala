@@ -1,0 +1,220 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dense-vector kernels over `ArrayType(FloatType)`.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) are evaluated
+  * interpreted — per-element lambda dispatch with boxing — which makes
+  * them ~1000× slower than a compiled loop on the similarity-join hot
+  * path (a 2k×2k cosine self-join took 27 min interpreted; these
+  * expressions bring it under seconds). Both `eval` and `doGenCode` are
+  * tight primitive loops; accumulation is left-to-right in double
+  * (float→double widening is exact), bit-identical to the
+  * `list_sum(list_transform(...))` fold the DuckDB oracle runs — the
+  * correctness gate relies on that.
+  *
+  * The reference has no vector ops at all (its only kernels are the
+  * JSON transcode, GenericRecordJsonEncoder.java:42-138); these back the
+  * similarity-search extension operators.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs(i).toDouble * ys(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |float[] xs = $a.toFloatArray();
+         |float[] ys = $b.toFloatArray();
+         |int n = Math.min(xs.length, ys.length);
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) { acc += (double) xs[i] * (double) ys[i]; }
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ xᵢ² over a float vector, double accumulation, left-to-right. */
+case class VecNormSq(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_normsq"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    var acc = 0.0
+    var i = 0
+    while (i < xs.length) { acc += xs(i).toDouble * xs(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |float[] xs = $a.toFloatArray();
+         |double acc = 0.0;
+         |for (int i = 0; i < xs.length; i++) { acc += (double) xs[i] * (double) xs[i]; }
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormSq =
+    copy(child = newChild)
+}
+
+/** Squared L2 distance, double accumulation, left-to-right. */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = xs(i).toDouble - ys(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |float[] xs = $a.toFloatArray();
+         |float[] ys = $b.toFloatArray();
+         |int n = Math.min(xs.length, ys.length);
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double d = (double) xs[i] - (double) ys[i];
+         |  acc += d * d;
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane sign-bit LSH bucket packed into a long.
+  *
+  * Hyperplane coefficients are a deterministic splitmix-style hash of
+  * (bit, dim) — no broadcast state, reproducible across executors (same
+  * scheme the interpreted version used; see
+  * [[graft.functions.VectorFunctions.hyperplaneBucket]]'s scaladoc
+  * history). Single compiled pass per row instead of nBits×dim
+  * interpreted column ops.
+  */
+case class HyperplaneBucket(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBits >= 1 && nBits <= 64,
+    s"nBits must be in [1, 64] (bits are packed into one long), got $nBits")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var proj = 0.0
+      var j = 0
+      while (j < xs.length) {
+        proj += xs(j).toDouble * HyperplaneBucket.coef(b, j)
+        j += 1
+      }
+      if (proj >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** Per-band random-hyperplane LSH buckets: `bands` longs, each packing
+  * `bitsPerBand` sign bits (hyperplane index = band·bitsPerBand + bit, so
+  * the total signature can exceed 64 bits — unlike [[HyperplaneBucket]],
+  * which packs everything into one long). Used by the banded near-dup
+  * join: vectors sharing any (band, bucket) become candidates.
+  */
+case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
+    s"need bands >= 1 and 1 <= bitsPerBand <= 64, got ($bands, $bitsPerBand)")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val out = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < bitsPerBand) {
+        val plane = band * bitsPerBand + bit
+        var proj = 0.0
+        var j = 0
+        while (j < xs.length) {
+          proj += xs(j).toDouble * HyperplaneBucket.coef(plane, j)
+          j += 1
+        }
+        if (proj >= 0) bucket |= (1L << bit)
+        bit += 1
+      }
+      out(band) = bucket
+      band += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(Long.box).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  /** Deterministic pseudo-random coefficient in [-1, 1). */
+  def coef(bit: Int, j: Int): Double = {
+    var z = (bit.toLong * 0x9E3779B97F4A7C15L) + (j.toLong * 0xBF58476D1CE4E5B9L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+}

@@ -1,30 +1,29 @@
 package graft.functions
 
+import graft.expressions.GraftFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector math over `ArrayType(FloatType)` embedding columns.
   *
-  * All kernels are built from codegen'd higher-order functions
-  * (`zip_with`/`aggregate`/`transform`) — no Scala UDFs, so the hot path
-  * stays inside whole-stage codegen and the fold order is deterministic
-  * left-to-right (bit-reproducible across partitionings, which the
-  * correctness oracle relies on).
+  * All kernels are native codegen'd Catalyst expressions
+  * ([[graft.expressions.VecDot]] and friends) — a compiled primitive
+  * loop per row. The earlier `zip_with`/`aggregate` higher-order-function
+  * forms evaluated interpreted (per-element lambda dispatch + boxing) and
+  * were ~1000× slower on similarity-join hot paths.
   *
-  * Elements are cast float→double before any arithmetic: float×float
-  * would accumulate single-precision error, and the cast is exact.
+  * Accumulation is float→double (exact widening), left-to-right — the
+  * same fold order as DuckDB's `list_sum(list_transform(...))`, so
+  * results are bit-reproducible against the correctness oracle across
+  * partitionings.
   */
 object VectorFunctions {
 
-  private def d(c: Column): Column = c.cast("double")
-
   /** Σ aᵢ·bᵢ, left-to-right fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = GraftFunctions.vecDot(a, b)
 
   /** Σ aᵢ², left-to-right fold. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + d(x) * d(x))
+  def normSq(a: Column): Column = GraftFunctions.vecNormSq(a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
@@ -34,31 +33,26 @@ object VectorFunctions {
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
   }
 
+  /** Cosine from a precomputed dot and the two squared norms — lets
+    * callers hoist the per-row norms out of a pair join so the O(pairs)
+    * work is one dot product. Arithmetic shape (dot / (√n1·√n2)) matches
+    * [[cosine]] and the oracle SQL exactly.
+    */
+  def cosineFromParts(dotCol: Column, nsq1: Column, nsq2: Column): Column = {
+    val denom = sqrt(nsq1) * sqrt(nsq2)
+    when(denom === 0.0, 0.0).otherwise(dotCol / denom)
+  }
+
   /** Squared L2 distance. */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), _ + _)
+  def l2Sq(a: Column, b: Column): Column = GraftFunctions.vecL2Sq(a, b)
 
   /** Sign-bit LSH bucket: `nBits` random-hyperplane sign bits packed into
     * a long. The hyperplanes are a deterministic pseudo-random matrix
     * derived from (bit index, dimension index) via a splitmix-style hash,
     * so executors need no broadcast state and results are reproducible.
+    * (`dim` is retained for API compatibility; the kernel reads the
+    * vector's own length.)
     */
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
-    def coef(bit: Int, j: Int): Double = {
-      var z = (bit.toLong * 0x9E3779B97F4A7C15L) + (j.toLong * 0xBF58476D1CE4E5B9L)
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      // map to [-1, 1)
-      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
-    val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim)
-        .map(j => d(element_at(vec, j + 1)) * lit(coef(b, j)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int = -1): Column =
+    GraftFunctions.hyperplaneBucket(vec, nBits)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.GraftFunctions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -10,13 +11,18 @@ import org.apache.spark.sql.functions._
   * Four families, in increasing fuzziness:
   *  - exact (full-content hash)
   *  - fingerprint (normalized / prefix hash)
-  *  - n-gram Jaccard (exact set similarity — quadratic candidate space,
-  *    use for verification or small corpora)
-  *  - MinHash-LSH and SimHash (sub-quadratic candidate generation — the
-  *    100 TB path; candidates are then verified with the exact measure)
+  *  - n-gram Jaccard — EXACT set-similarity self-join via prefix
+  *    filtering (AllPairs/PPJoin-style): provably complete candidate
+  *    generation that prunes the quadratic shingle join to rare-shingle
+  *    collisions only
+  *  - MinHash-LSH and SimHash (probabilistic sub-quadratic candidate
+  *    generation; candidates verified with the exact measure)
   *
-  * All hash families are deterministic (xxhash64 + fixed affine
+  * All hash families are deterministic (xxhash64 seed 42 + fixed affine
   * constants), so results are reproducible across runs and partitionings.
+  * Shingling/hashing kernels are native compiled expressions
+  * ([[graft.expressions.WordShingles]] etc.) — the interpreted
+  * higher-order-function forms were the round-1 bench bottleneck.
   */
 object Dedup {
 
@@ -46,71 +52,104 @@ object Dedup {
       df.withColumn("fingerprint", prefixFingerprint(col(textCol), prefixLen)),
       idCol, "fingerprint")
 
-  /** (id, distinct word-k-shingle) rows — the posting list both exact
-    * Jaccard and MinHash verification build on.
+  /** (id, shingle-set array, set size) — one compiled pass per doc.
+    * Shared by the exact and MinHash paths; callers cache it.
     */
-  private def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(tokens(col(textCol)), k))).as("s"))
+        GraftFunctions.wordShingles(col(textCol), k).as("sh"))
+      .withColumn("n", size(col("sh")))
 
-  /** Exact n-gram Jaccard near-dup pairs: id1 < id2, J(S₁,S₂) ≥ threshold.
-    *
-    * Physical shape: explode distinct shingles, self-join on the shingle
-    * (shuffle on shingle value), count intersections, join the two set
-    * sizes back. Cost is Σ_s df(s)² — quadratic in document frequency, so
-    * this is the *verification* measure; at corpus scale run
-    * [[minHashPairs]] which generates candidates sub-quadratically.
+  /** Prefix length for J ≥ t against a set of size n: the required
+    * overlap is c ≥ ⌈t·n⌉, so the first n − ⌈t·n⌉ + 1 rarest shingles
+    * must contain a common one. The tiny epsilon guards FP noise in t·n
+    * the safe direction (a slightly longer prefix only adds candidates;
+    * the verify step keeps the result exact).
     */
-  def jaccardShinglePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    val post = shinglePostings(df, idCol, textCol, k).cache()
-    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = post.as("a")
-      .join(post.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"),
-        "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"),
-        "id2")
+  private def prefixLenCol(n: org.apache.spark.sql.Column, t: Double) =
+    n - ceil(n * t - 1e-9) + 1
+
+  /** Rows under which the shingle-set side of the verification join is
+    * broadcast. Above it (corpus scale) the join falls back to a
+    * shuffle join on the candidate ids.
+    */
+  val VerifyBroadcastMaxRows = 1000000L
+
+  /** Verify candidate pairs with the exact shingle-set Jaccard: join the
+    * full sets back, merge-count the sorted arrays per pair
+    * ([[graft.expressions.SortedArrayIntersectCount]] — O(n₁+n₂), no
+    * per-row hash set), keep J ≥ threshold. Linear in the candidate
+    * count. `sets` is cached by the caller; its (already materialized)
+    * count picks broadcast vs shuffle for the two id joins.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (sets.count() <= VerifyBroadcastMaxRows) broadcast(_) else identity
+    cand
+      .join(hint(sets.select(col("id").as("id1"), col("sh").as("sh1"),
+        col("n").as("n1"))), "id1")
+      .join(hint(sets.select(col("id").as("id2"), col("sh").as("sh2"),
+        col("n").as("n2"))), "id2")
+      .withColumn("c",
+        GraftFunctions.sortedIntersectCount(col("sh1"), col("sh2")))
       .withColumn("jaccard",
         round(col("c") / (col("n1") + col("n2") - col("c")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** Large prime < 2^61 for the affine MinHash family. */
-  private val P = 2305843009213693951L // 2^61 - 1
-
-  /** Deterministic affine constants for hash function i. */
-  private def affine(i: Int): (Long, Long) = {
-    def mix(z0: Long): Long = {
-      var z = z0 * 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    ((mix(2L * i + 1).abs % (P - 1)) + 1, mix(2L * i + 2).abs % P)
+  /** Exact n-gram Jaccard near-dup pairs: id1 < id2, J(S₁,S₂) ≥ threshold.
+    *
+    * Physical shape (AllPairs/PPJoin prefix filtering — exact, not
+    * approximate):
+    *  1. shingle each doc once (compiled kernel), cache;
+    *  2. global document frequency per shingle (one groupBy);
+    *  3. order each doc's shingles rarest-first (window over the posting
+    *     join) and keep only the first n − ⌈t·n⌉ + 1 — the *prefix*. Any
+    *     pair with J ≥ t provably shares its order-smallest common
+    *     shingle inside both prefixes, so joining prefixes loses nothing;
+    *  4. equi-join prefixes on the shingle (+ size-ratio filter
+    *     t·n₂ ≤ n₁ ≤ n₂/t), distinct;
+    *  5. verify candidates with the exact Jaccard.
+    *
+    * The join degree of a shingle is its *prefix* document frequency —
+    * frequent shingles sit at the end of every doc's ordering and drop
+    * out, which is what kills the Σ df² blowup of the naive postings
+    * self-join. Every step is linear shuffles except the prefix join,
+    * which is pruned to rare-shingle collisions.
+    */
+  def jaccardShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, k).cache()
+    val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = post
+      .join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= prefixLenCol(col("n"), threshold))
+      .select(col("id"), col("n"), col("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.n") >= col("b.n") * threshold - 1e-9 &&
+          col("b.n") >= col("a.n") * threshold - 1e-9)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** MinHash signature column: array of `numHashes` minima of
     * hᵢ(x) = (aᵢ·xxhash64(x) + bᵢ) mod (2⁶¹−1) over the shingle set.
-    * Computed entirely map-side with array `transform`s — no explode, no
-    * shuffle; signature construction is embarrassingly parallel.
+    * One compiled pass per row — no explode, no shuffle.
     */
   def withMinHashSignature(df: DataFrame, textCol: String, k: Int,
-      numHashes: Int): DataFrame = {
-    val sh = array_distinct(shingles(tokens(col(textCol)), k))
-    val sig = array((0 until numHashes).map { i =>
-      val (a, b) = affine(i)
-      array_min(transform(sh,
-        x => pmod(lit(a) * xxhash64(x) + lit(b), lit(P))))
-    }: _*)
-    df.withColumn("minhash_sig", sig)
-  }
+      numHashes: Int): DataFrame =
+    df.withColumn("minhash_sig",
+      GraftFunctions.minHashSignature(
+        GraftFunctions.wordShingles(col(textCol), k), numHashes))
 
   /** LSH candidate pairs: the signature is cut into `bands` bands of
     * `numHashes/bands` rows; documents sharing any band hash become a
@@ -140,45 +179,24 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, verified: candidates from
     * [[lshCandidatePairs]], then exact shingle-Jaccard on just those
-    * pairs (a semi-join against the posting lists, linear in candidate
-    * count). Output matches [[jaccardShinglePairs]] up to LSH recall.
+    * pairs. Output matches [[jaccardShinglePairs]] up to LSH recall
+    * (per-pair detection probability 1−(1−J^r)^bands — asserted against
+    * the exact pairs in the spec suite, not the SQL oracle).
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sig = withMinHashSignature(df, textCol, k, numHashes)
-    val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
-    val post = shinglePostings(df, idCol, textCol, k)
-    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(post.as("pa"), col("id1") === col("pa.id"))
-      .join(post.as("pb"),
-        col("id2") === col("pb.id") && col("pa.s") === col("pb.s"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"),
-        "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"),
-        "id2")
-      .withColumn("jaccard",
-        round(col("c") / (col("n1") + col("n2") - col("c")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    val sets = shingleSets(df, idCol, textCol, k).cache()
+    val sig = sets.withColumn("minhash_sig",
+      GraftFunctions.minHashSignature(col("sh"), numHashes))
+    val cand = lshCandidatePairs(sig, "id", numHashes, bands)
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens (weight = occurrence count).
-    * Pure map-side: 64 left-to-right folds over the token array.
+    * One compiled pass per row.
     */
-  def withSimHash(df: DataFrame, textCol: String): DataFrame = {
-    val tk = tokens(col(textCol))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(tk, lit(0L),
-        (acc, t) => acc +
-          (shiftright(xxhash64(t), j).bitwiseAND(1) * 2 - 1))
-      when(vote > 0, lit(1L).cast("long") * lit(1L << j)).otherwise(0L)
-    }
-    df.withColumn("simhash", bits.reduce(_ + _))
-  }
+  def withSimHash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", GraftFunctions.simHash64(col(textCol)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
     * block-blocking: 64 bits → `blocks` chunks; by pigeonhole any pair
@@ -191,7 +209,7 @@ object Dedup {
     val w = 64 / blocks
     val mask = (1L << w) - 1
     val sim = withSimHash(df, textCol).select(col(idCol).as("id"),
-      col("simhash"))
+      col("simhash")).cache()
     val blocked = sim.select(col("id"), col("simhash"),
       posexplode(array((0 until blocks).map(b =>
         shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)))

@@ -8,15 +8,24 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`ArrayType(FloatType)`).
   *
-  * Two paths:
+  * All scoring runs through the native codegen'd kernels in
+  * [[graft.expressions]] (VecDot/VecNormSq) — a compiled loop per pair.
+  * Squared norms are computed once per vector map-side and carried into
+  * the pair join, so the O(pairs) hot path is exactly one dot product
+  * plus two multiplies.
+  *
+  * Paths:
   *  - [[bruteForceTopK]] — exact cosine top-k. Queries are broadcast; the
-  *    corpus streams map-side, so cost is |corpus|·|queries| FLOPs with NO
-  *    corpus shuffle. The right baseline, and the verifier for the ANN
-  *    path.
+  *    corpus streams map-side, so cost is |corpus|·|queries| dot products
+  *    with NO corpus shuffle. The right baseline, and the verifier for
+  *    the ANN path.
   *  - [[lshTopK]] — random-hyperplane LSH bucketing: corpus vectors are
   *    assigned sign-bit buckets map-side; only bucket-colliding
   *    (multiprobe-expanded) candidates get exact scoring. Sub-linear
   *    per-query cost; recall is tested against brute force in the specs.
+  *  - [[cosineNearDupPairs]] — exact all-pairs threshold join (the
+  *    verification-scale tool); [[cosineNearDupPairsLSH]] — the
+  *    sub-quadratic banded variant for corpus scale.
   */
 object SimilaritySearch {
 
@@ -26,12 +35,15 @@ object SimilaritySearch {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      normSq(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
         else lit(true))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -44,22 +56,24 @@ object SimilaritySearch {
   /** ANN top-k via random-hyperplane LSH with 1-bit multiprobe.
     *
     * Corpus bucketing is map-side (deterministic hyperplanes — see
-    * [[graft.functions.VectorFunctions.hyperplaneBucket]]); each query
-    * probes its own bucket plus all single-bit flips, so candidates =
-    * corpus rows in (nBits+1) buckets. The exact cosine then ranks only
-    * candidates. At 100 TB: corpus bucket assignment is a one-off map,
-    * bucket ids are uniformly distributed, and the candidate join is a
-    * plain shuffle join on the bucket id.
+    * [[graft.expressions.HyperplaneBucket]]); each query probes its own
+    * bucket plus all single-bit flips, so candidates = corpus rows in
+    * (nBits+1) buckets. The exact cosine then ranks only candidates. At
+    * 100 TB: corpus bucket assignment is a one-off map, bucket ids are
+    * uniformly distributed, and the candidate join is a plain shuffle
+    * join on the bucket id.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nBits: Int, dim: Int,
+      vecCol: String, k: Int, nBits: Int, dim: Int = -1,
       excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneBucket(col(vecCol), nBits, dim).as("bucket"))
+      normSq(col(vecCol)).as("cn"),
+      hyperplaneBucket(col(vecCol), nBits).as("bucket"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      hyperplaneBucket(col(vecCol), nBits, dim).as("qbucket"))
+      normSq(col(vecCol)).as("qn"),
+      hyperplaneBucket(col(vecCol), nBits).as("qbucket"))
     // multiprobe: own bucket + every 1-bit flip
-    val probes = q0.select(col("query_id"), col("qv"),
+    val probes = q0.select(col("query_id"), col("qv"), col("qn"),
       explode(array(col("qbucket") +:
         (0 until nBits).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*))
         .as("bucket"))
@@ -68,23 +82,65 @@ object SimilaritySearch {
     c.join(broadcast(probes), Seq("bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
         else lit(true))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ threshold).
-    * Brute-force self-join for verification scale; the LSH-bucketed
-    * variant prunes to same-bucket pairs first.
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ threshold),
+    * EXACT via all-pairs self-join. Squared norms are hoisted map-side;
+    * the per-pair cost is one compiled dot product. Right for
+    * verification scale (n ≲ 10⁵ → ≲ 10¹⁰ flops spread over tasks); at
+    * corpus scale use [[cosineNearDupPairsLSH]].
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      normSq(col(vecCol)).as("n1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      normSq(col(vecCol)).as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .withColumn("cos", round(
+        cosineFromParts(dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Sub-quadratic near-dup pairs: random-hyperplane signatures are cut
+    * into `bands` bands of `bitsPerBand` sign bits; vectors sharing any
+    * exact band become candidates (equi-join per band), then candidates
+    * are scored with the exact cosine. For cos ≥ 0.95 and 8-bit bands,
+    * per-band collision ≈ (1 − θ/π)⁸ ≈ 0.43, so 16 bands give ≈ 99.99 %
+    * per-pair recall — measured against [[cosineNearDupPairs]] in the
+    * spec suite. This is the 100 TB path: linear explode + hash-
+    * partitioned equi-join, no n² pair enumeration.
+    */
+  def cosineNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normSq(col(vecCol)).as("nsq"),
+      graft.expressions.GraftFunctions.hyperplaneBands(col(vecCol), bands,
+        bitsPerBand).as("sig")).cache()
+    val hint: DataFrame => DataFrame =
+      if (v.count() <= 1000000L) broadcast(_) else identity
+    val banded = v.select(col("id"), posexplode(col("sig")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(hint(v.select(col("id").as("id1"), col("v").as("v1"),
+        col("nsq").as("n1"))), "id1")
+      .join(hint(v.select(col("id").as("id2"), col("v").as("v2"),
+        col("nsq").as("n2"))), "id2")
+      .withColumn("cos", round(
+        cosineFromParts(dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }

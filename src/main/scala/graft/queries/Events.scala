@@ -25,8 +25,17 @@ object Events {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
+    // Pre-dedupe the right side to one row per (user_id, ts), keeping the
+    // max event_id: SQL ASOF JOIN picks an arbitrary row among equal
+    // rightTimes, so both sides must agree on the representative before
+    // the join for a deterministic oracle compare.
+    val viewTie = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
     val views = e.filter(col("event_type") === "view")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("__vrn", row_number().over(viewTie))
+      .filter(col("__vrn") === 1)
+      .drop("__vrn")
     AsOfJoin.join(clicks, views,
         key = "user_id", leftTime = "click_ts", rightTime = "ts",
         rightPayload = Seq("event_id", "value"), rightTieBreak = "event_id")

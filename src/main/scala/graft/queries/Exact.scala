@@ -19,7 +19,18 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Exact {
 
-  /** Exact sum of a double column via DECIMAL(38, scale). */
+  /** Order-independent sum of a double column via DECIMAL(38, scale).
+    *
+    * NOTE the semantics: each input is first QUANTIZED to `scale` decimal
+    * places (half-up), then summed exactly in decimal, then the total is
+    * rounded once back to double. This is not "the exact sum of the
+    * doubles" — inputs with more than `scale` fractional digits are
+    * rounded before summing. The default scale=4 fits the TPC-H-style
+    * money/quantity columns here (at most 2–4 fractional digits, so
+    * quantization is the identity); callers aggregating higher-precision
+    * columns must pick a scale that covers their precision, at the cost
+    * of fewer integral digits (38 − scale).
+    */
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
