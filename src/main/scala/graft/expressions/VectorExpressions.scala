@@ -39,13 +39,18 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |float[] xs = $a.toFloatArray();
-         |float[] ys = $b.toFloatArray();
-         |int n = Math.min(xs.length, ys.length);
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) { acc += (double) xs[i] * (double) ys[i]; }
-         |${ev.value} = acc;
+         |float[] $xs = $a.toFloatArray();
+         |float[] $ys = $b.toFloatArray();
+         |int $n = Math.min($xs.length, $ys.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += (double) $xs[$i] * (double) $ys[$i]; }
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -71,11 +76,14 @@ case class VecNormSq(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val xs = ctx.freshName("xs")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |float[] xs = $a.toFloatArray();
-         |double acc = 0.0;
-         |for (int i = 0; i < xs.length; i++) { acc += (double) xs[i] * (double) xs[i]; }
-         |${ev.value} = acc;
+         |float[] $xs = $a.toFloatArray();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $xs.length; $i++) { $acc += (double) $xs[$i] * (double) $xs[$i]; }
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -106,16 +114,22 @@ case class VecL2Sq(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
       s"""
-         |float[] xs = $a.toFloatArray();
-         |float[] ys = $b.toFloatArray();
-         |int n = Math.min(xs.length, ys.length);
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double d = (double) xs[i] - (double) ys[i];
-         |  acc += d * d;
+         |float[] $xs = $a.toFloatArray();
+         |float[] $ys = $b.toFloatArray();
+         |int $n = Math.min($xs.length, $ys.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $xs[$i] - (double) $ys[$i];
+         |  $acc += $d * $d;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

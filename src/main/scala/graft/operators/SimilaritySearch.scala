@@ -53,29 +53,38 @@ object SimilaritySearch {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** ANN top-k via random-hyperplane LSH with 1-bit multiprobe.
+  /** ANN top-k via random-hyperplane LSH with hamming-radius multiprobe.
     *
     * Corpus bucketing is map-side (deterministic hyperplanes — see
-    * [[graft.expressions.HyperplaneBucket]]); each query probes its own
-    * bucket plus all single-bit flips, so candidates = corpus rows in
-    * (nBits+1) buckets. The exact cosine then ranks only candidates. At
-    * 100 TB: corpus bucket assignment is a one-off map, bucket ids are
-    * uniformly distributed, and the candidate join is a plain shuffle
-    * join on the bucket id.
+    * [[graft.expressions.HyperplaneBucket]]); each query probes every
+    * bucket within `probeRadius` bit flips of its own — radius 2 gives
+    * 1 + n + n(n−1)/2 probes, which keeps recall high while still
+    * touching only ~(probes/2^nBits) of the corpus. The exact cosine
+    * then ranks only candidates. Tune nBits so that corpus/2^nBits ≈
+    * the per-bucket candidate budget; at 100 TB: corpus bucket
+    * assignment is a one-off map, bucket ids are uniformly distributed,
+    * and the candidate join is a plain shuffle join on the bucket id.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int, dim: Int = -1,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, probeRadius: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       normSq(col(vecCol)).as("cn"),
       hyperplaneBucket(col(vecCol), nBits).as("bucket"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"),
       hyperplaneBucket(col(vecCol), nBits).as("qbucket"))
-    // multiprobe: own bucket + every 1-bit flip
+    val flips: Seq[Long] = {
+      val r1 = (0 until nBits).map(b => 1L << b)
+      val r2 = for {
+        b1 <- 0 until nBits; b2 <- (b1 + 1) until nBits
+      } yield (1L << b1) | (1L << b2)
+      0L +: (if (probeRadius >= 2) r1 ++ r2
+             else if (probeRadius == 1) r1
+             else Seq.empty)
+    }
     val probes = q0.select(col("query_id"), col("qv"), col("qn"),
-      explode(array(col("qbucket") +:
-        (0 until nBits).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*))
+      explode(array(flips.map(m => col("qbucket").bitwiseXOR(lit(m))): _*))
         .as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.Graft
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operators vs a local brute-force reference over the sf0.001
+  * documents table (500 docs — small enough to cross all pairs on the
+  * driver, exactly what the distributed operators must reproduce).
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Graft.table(spark, sfDir, "documents").cache()
+
+  /** Driver-side exact word-3-gram Jaccard pairs at >= threshold. */
+  private lazy val bruteJaccard: Map[(Long, Long), Double] = {
+    val sets = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val sh = if (toks.length < 3) Set.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      r.getLong(0) -> sh
+    }.sortBy(_._1)
+    (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (id1, s1) = sets(i)
+      (id2, s2) = sets(j)
+      c = (s1 & s2).size
+      u = s1.size + s2.size - c
+      jac = if (u == 0) 0.0 else c.toDouble / u
+      rounded = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      if rounded >= 0.6
+    } yield (id1, id2) -> rounded).toMap
+  }
+
+  test("jaccardShinglePairs (prefix-filtered) is exactly the brute-force answer") {
+    val got = Dedup.jaccardShinglePairs(docs, "doc_id", "text", 3, 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bruteJaccard.nonEmpty, "test corpus should contain near-dups")
+    assert(got == bruteJaccard)
+  }
+
+  test("minHashPairs is a subset of the exact pairs with identical jaccard values") {
+    val exact = bruteJaccard
+    val lsh = Dedup.minHashPairs(docs, "doc_id", "text", 3,
+        numHashes = 64, bands = 16, threshold = 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(exact(pair) == j, s"jaccard mismatch at $pair")
+    }
+    // recall on strong pairs: P(miss | J>=0.8) < 1e-3 per pair with
+    // 16 bands x 4 rows; the hash family is fixed so this is
+    // deterministic on this corpus.
+    val strong = exact.filter(_._2 >= 0.8).keySet
+    val found = strong.intersect(lsh.keySet)
+    assert(strong.nonEmpty)
+    assert(found == strong,
+      s"LSH missed strong pairs: ${strong -- found}")
+  }
+
+  test("simHashPairs: every reported pair truly has hamming <= maxDist; " +
+      "recall 1.0 vs brute force (pigeonhole guarantee)") {
+    val sim = Dedup.withSimHash(docs.select(col("doc_id"), col("text")),
+      "text").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val brute = (for {
+      (i, hi) <- sim.iterator
+      (j, hj) <- sim.iterator
+      if i < j && java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "test corpus should contain simhash near-dups")
+  }
+
+  test("exact dedup keeps one representative per identical text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val n = out.count()
+    val distinctTexts = docs.select(col("text")).distinct().count()
+    assert(n == distinctTexts)
+    // representative is the min doc_id of its group
+    val firstDup = docs.groupBy(col("text")).agg(min(col("doc_id")).as("m"),
+        count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("m")).collect().map(_.getLong(0)).toSet
+    val kept = out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(firstDup.subsetOf(kept))
+  }
+
+  test("byPrefixFingerprint collapses at least as much as exact dedup") {
+    val nExact = Dedup.exact(docs, "doc_id", "text").count()
+    val nPrefix = Dedup.byPrefixFingerprint(docs, "doc_id", "text", 200).count()
+    assert(nPrefix <= nExact)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.expressions.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native expression kernels vs independent reference implementations —
+  * both plain Scala re-computations and the (slow but trusted) Spark
+  * higher-order-function forms they replaced.
+  */
+class ExpressionSpec extends SparkSpec {
+
+  private lazy val emb =
+    graft.core.Graft.table(spark, sfDir, "embeddings").limit(64).cache()
+
+  test("VecDot / VecNormSq / VecL2Sq match a plain Scala computation") {
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+    val vecs = rows.map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+    val got = emb.as("a").crossJoin(emb.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        GraftFunctions.vecDot(col("a.embedding"), col("b.embedding")).as("d"),
+        GraftFunctions.vecNormSq(col("a.embedding")).as("n"),
+        GraftFunctions.vecL2Sq(col("a.embedding"), col("b.embedding")).as("l"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (x, y) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      val dot = x.zip(y).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + a.toDouble * b.toDouble }
+      val nsq = x.foldLeft(0.0)((acc, a) => acc + a.toDouble * a.toDouble)
+      val l2 = x.zip(y).foldLeft(0.0) { case (acc, (a, b)) =>
+        val d = a.toDouble - b.toDouble; acc + d * d }
+      assert(r.getDouble(2) == dot, s"dot ${r.getLong(0)},${r.getLong(1)}")
+      assert(r.getDouble(3) == nsq, "normsq")
+      assert(r.getDouble(4) == l2, "l2sq")
+    }
+  }
+
+  test("VecDot matches the interpreted zip_with/aggregate fold bit-for-bit") {
+    val hof = emb.select(
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+        .as("h"),
+      GraftFunctions.vecDot(col("embedding"), col("embedding")).as("n"))
+      .collect()
+    hof.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("WordShingles = array_sort(array_distinct(HOF shingles)) and is sorted") {
+    import graft.functions.TextFunctions
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val rows = docs.select(
+      GraftFunctions.wordShingles(col("text"), 3).as("fast"),
+      array_sort(array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)))
+        .as("slow"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("SortedArrayIntersectCount equals size(array_intersect) on shingle sets") {
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(40)
+    val sets = docs.select(col("doc_id").as("id"),
+      GraftFunctions.wordShingles(col("text"), 3).as("sh"))
+    val rows = sets.as("a").crossJoin(sets.as("b"))
+      .select(
+        GraftFunctions.sortedIntersectCount(col("a.sh"), col("b.sh")).as("m"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("s"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("MinHashSignature: deterministic, right length, dominated by singletons") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq("a b c", "b c d", "c d e")),
+        Row(Seq("a b c")),
+        Row(Seq.empty[String]))),
+      StructType(Seq(StructField("sh", ArrayType(StringType)))))
+    val sigs = df.select(GraftFunctions.minHashSignature(col("sh"), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 16))
+    // signature of a set is the element-wise min of its singletons
+    val bySingleton = Seq("a b c", "b c d", "c d e").map { s =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(Seq(s)))),
+        StructType(Seq(StructField("sh", ArrayType(StringType)))))
+        .select(GraftFunctions.minHashSignature(col("sh"), 16))
+        .collect().head.getSeq[Long](0)
+    }
+    val expected = bySingleton.transpose.map(_.min)
+    assert(sigs(0) == expected)
+    // empty set → all MaxValue sentinel
+    assert(sigs(2).forall(_ == Long.MaxValue))
+  }
+
+  test("SimHash64: identical texts collide, token-order invariant on votes") {
+    val df = spark.createDataFrame(Seq(
+      (1, "the quick brown fox"),
+      (2, "the quick brown fox"),
+      (3, "fox brown quick the"),
+      (4, "completely different words entirely")))
+      .toDF("id", "t")
+    val h = df.select(col("id"), GraftFunctions.simHash64(col("t")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h(1) == h(2))
+    assert(h(1) == h(3)) // bag-of-words: order does not matter
+    assert(h(1) != h(4))
+  }
+
+  test("expressions are reachable from SQL via SparkSessionExtensions") {
+    val r = spark.sql(
+      """SELECT graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                     array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       graft_simhash64('hello world') AS s,
+        |       size(graft_word_shingles('a b c d', 2)) AS n
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(2) == 3)
+  }
+}

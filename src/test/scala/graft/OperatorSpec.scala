@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** Handcrafted-input specs for the join operators (exact expected
+  * outputs, including tie-break and no-match edges).
+  */
+class OperatorSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("AsOfJoin: greatest rightTime <= leftTime per key, ties by max tiebreak") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts(100)),
+      (2L, "u1", ts(50)),
+      (3L, "u2", ts(10)),   // before any right row → null match
+      (4L, "u3", ts(100))   // key with no right rows at all
+    ).toDF("click_id", "user_id", "click_ts")
+    val right = Seq(
+      (10L, "u1", ts(50), 1.0),   // exactly at left ts(50) → inclusive
+      (11L, "u1", ts(50), 2.0),   // same ts — larger event_id wins
+      (12L, "u1", ts(99), 3.0),
+      (13L, "u2", ts(20), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+
+    val out = AsOfJoin.join(left, right, key = "user_id",
+        leftTime = "click_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "value"), rightTieBreak = "event_id")
+      .select(col("click_id"), col("__match.event_id").as("view_id"),
+        col("__match.value").as("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+
+    assert(out(1L).contains((12L, 3.0))) // latest prior view
+    assert(out(2L).contains((11L, 2.0))) // equal ts inclusive, tiebreak max id
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+    assert(out.size == 4) // every left row exactly once
+  }
+
+  test("RangeJoin.bandJoin assigns [lo, hi) membership; bucketed variant agrees") {
+    import spark.implicits._
+    val fact = Seq((1, 0.0), (2, 49.999), (3, 50.0), (4, 199.0), (5, 250.0))
+      .toDF("id", "value")
+    val dim = Seq(("a", 0.0, 50.0), ("b", 50.0, 200.0), ("c", 200.0, 300.0))
+      .toDF("band", "lo", "hi")
+    val expected = Map(1 -> "a", 2 -> "a", 3 -> "b", 4 -> "b", 5 -> "c")
+    val broad = RangeJoin.bandJoin(fact, dim, "value", "lo", "hi")
+      .select(col("id"), col("band")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(broad == expected)
+    // bucketed variant requires intervals not spanning buckets: width 50
+    // splits band b into [50,100),[100,150),[150,200) rows first
+    val dimSplit = Seq(
+      ("a", 0.0, 50.0), ("b", 50.0, 100.0), ("b", 100.0, 150.0),
+      ("b", 150.0, 200.0), ("c", 200.0, 250.0), ("c", 250.0, 300.0))
+      .toDF("band", "lo", "hi")
+    val bucketed = RangeJoin.bucketedBandJoin(fact, dimSplit, "value",
+        "lo", "hi", width = 50.0)
+      .select(col("id"), col("band")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(bucketed == expected)
+  }
+
+  test("Multimodal: payload schema, deterministic stub dims, batch shape") {
+    import graft.multimodal.Multimodal
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(300)
+    val withPayload = Multimodal.attachPayload(docs, "text")
+    assert(withPayload.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val decoded = Multimodal.decodePayloads(withPayload, "payload")
+    val rows = decoded.select(col("doc_id"), col("n_bytes"),
+      col("decoded.width"), col("decoded.height"), col("decoded.channels"),
+      col("decoded.ok")).collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val n = r.getInt(1)
+      assert(r.getInt(2) == 64 + n % 512)
+      assert(r.getInt(3) == 64 + (n * 7) % 512)
+      assert(r.getInt(4) == 3)
+      assert(r.getBoolean(5) == (n > 0))
+    }
+  }
+
+  test("multimodal sha/bytes match Spark's own sha2 over utf-8 bytes") {
+    import graft.multimodal.Multimodal
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(50)
+    val bad = Multimodal.attachPayload(docs, "text")
+      .filter(col("sha") =!= sha2(encode(col("text"), "UTF-8"), 256) ||
+        col("n_bytes") =!= octet_length(encode(col("text"), "UTF-8")))
+      .count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.core.Graft
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators vs a driver-side brute-force reference on
+  * the sf0.001 embeddings table (500 × 64-dim float vectors).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Graft.table(spark, sfDir, "embeddings").cache()
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cos(x: Array[Float], y: Array[Float]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < x.length) {
+      dot += x(i).toDouble * y(i).toDouble
+      nx += x(i).toDouble * x(i).toDouble
+      ny += y(i).toDouble * y(i).toDouble
+      i += 1
+    }
+    val d = math.sqrt(nx) * math.sqrt(ny)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bruteForceTopK matches a driver-side exact top-k") {
+    val k = 5
+    val got = SimilaritySearch.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    for (q <- 0L until 10L) {
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k)
+      expected.zipWithIndex.foreach { case ((id, c), i) =>
+        val (gid, gcos) = got((q, i + 1))
+        assert(gid == id, s"query $q rank ${i + 1}")
+        assert(gcos == round6(c), s"query $q rank ${i + 1} cos")
+      }
+    }
+  }
+
+  test("lshTopK achieves high recall vs brute force on this corpus") {
+    val k = 5
+    val brute = SimilaritySearch.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimilaritySearch.lshTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k,
+        nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // deterministic hyperplanes → this is a fixed number for the corpus;
+    // 6-bit buckets + radius-2 multiprobe (22/64 buckets probed).
+    assert(recall >= 0.45, s"LSH recall collapsed: $recall")
+  }
+
+  test("cosineNearDupPairs matches driver-side brute force at threshold 0.4") {
+    val t = 0.4
+    val expected = (for {
+      i <- vecs.keys
+      j <- vecs.keys
+      if i < j
+      c = round6(cos(vecs(i), vecs(j)))
+      if c >= t
+    } yield (i, j) -> c).toMap
+    val got = SimilaritySearch.cosineNearDupPairs(emb, "vec_id",
+        "embedding", t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expected.nonEmpty, "corpus should have some cos >= 0.4 pairs")
+    assert(got == expected)
+  }
+
+  test("cosineNearDupPairsLSH: subset of exact with identical values") {
+    val t = 0.4
+    val exact = SimilaritySearch.cosineNearDupPairs(emb, "vec_id",
+        "embedding", t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SimilaritySearch.cosineNearDupPairsLSH(emb, "vec_id",
+        "embedding", t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(exact(pair) == c, s"cos mismatch at $pair")
+    }
+    // this corpus is random noise (max pair cos ≈ 0.48), far below the
+    // 0.95 design point, so banded recall here is genuinely partial —
+    // assert it finds a nonzero share, and (above) that everything found
+    // is exact. The design-point recall (≈ 1 at cos ≥ 0.95) is a
+    // property of the band math, not reachable on this data.
+    assert(lsh.nonEmpty, "banded LSH found nothing at all")
+  }
+}

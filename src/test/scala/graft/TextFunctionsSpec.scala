@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives on handcrafted strings. */
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one[T](colExpr: org.apache.spark.sql.Column, text: String): T = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(colExpr).collect().head.get(0)
+      .asInstanceOf[T]
+  }
+
+  private def oneList(colExpr: org.apache.spark.sql.Column,
+      text: String): List[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(colExpr).collect().head
+      .getSeq[String](0).toList
+  }
+
+  test("tokens: lowercased, whitespace-split, empties dropped") {
+    val t = oneList(TextFunctions.tokens(col("text")),
+      "  Hello   WORLD\tfoo\nbar  ")
+    assert(t == List("hello", "world", "foo", "bar"))
+    assert(oneList(TextFunctions.tokens(col("text")), "") == Nil)
+  }
+
+  test("shingles: consecutive k-grams, short input → empty") {
+    val s = oneList(
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3),
+      "a b c d")
+    assert(s == List("a b c", "b c d"))
+    assert(oneList(
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3),
+      "a b") == Nil)
+  }
+
+  test("normalize + fingerprint collapse case/punctuation variants") {
+    val f1 = one[String](TextFunctions.fingerprint(col("text")),
+      "Hello, World!")
+    val f2 = one[String](TextFunctions.fingerprint(col("text")),
+      "hello world")
+    assert(f1 == f2)
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, single marks") {
+    assert(one[Int](TextFunctions.bpeTokenCount(col("text")),
+      "abc123 def!?") == 5) // abc, 123, def, !, ?
+  }
+
+  test("langId picks the dominant stopword language, 'und' when none") {
+    assert(one[String](TextFunctions.langId(col("text")),
+      "the cat is in the house and it is warm") == "en")
+    assert(one[String](TextFunctions.langId(col("text")),
+      "der Hund ist nicht mit der Katze") == "de")
+    assert(one[String](TextFunctions.langId(col("text")),
+      "le chat est dans la maison pour un moment") == "fr")
+    assert(one[String](TextFunctions.langId(col("text")),
+      "el perro es por una casa con los gatos") == "es")
+    assert(one[String](TextFunctions.langId(col("text")),
+      "zzz qqq xxx") == "und")
+  }
+
+  test("qualityScore stays in [0,1] and rewards longer clean text") {
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val outOfRange = docs.select(
+      TextFunctions.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1).count()
+    assert(outOfRange == 0)
+    val qLong = one[Double](TextFunctions.qualityScore(col("text")),
+      ("the quick brown fox jumps over the lazy dog and keeps " * 10))
+    val qJunk = one[Double](TextFunctions.qualityScore(col("text")),
+      "#@! $% ^&*")
+    assert(qLong > qJunk)
+  }
+}
