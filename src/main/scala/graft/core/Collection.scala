@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A managed Parquet-backed document collection — the engine-native
+  * replacement for the reference's ArangoDB collection
+  * (create-if-absent / overwrite=drop+recreate / append semantics,
+  * reference ParquetArangoLoader.java:129-135; count as the test oracle,
+  * ParquetArangoLoaderTest.java:114).
+  *
+  * A collection is a directory of Parquet files under a database base
+  * path. All filesystem access goes through the Hadoop FileSystem API,
+  * so the same code addresses local disk, HDFS, or an object store; at
+  * 100 TB a collection is just a partitioned Parquet layout and every
+  * read benefits from vectorization, pushdown, and partition pruning.
+  */
+final class Collection private[core] (
+    val spark: SparkSession,
+    val name: String,
+    val path: String) {
+
+  private def fs = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(): Boolean = fs.exists(new Path(path))
+
+  /** Create the (empty) collection directory if absent. */
+  def create(): Unit = { fs.mkdirs(new Path(path)); () }
+
+  /** Drop the collection and all its data. */
+  def drop(): Unit = { fs.delete(new Path(path), true); () }
+
+  private def hasData: Boolean = exists() &&
+    fs.listStatus(new Path(path)).exists(f =>
+      f.getPath.getName.endsWith(".parquet"))
+
+  /** Read the collection as a DataFrame (schema from Parquet footers,
+    * exactly as the reference derives Avro schemas from footers).
+    * An existing-but-empty collection reads as an empty 0-column frame.
+    */
+  def read(): DataFrame =
+    if (hasData) spark.read.parquet(path)
+    else spark.emptyDataFrame
+
+  /** Append or overwrite rows. */
+  def write(df: DataFrame, mode: SaveMode,
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Document count — the reference test suite's only oracle. */
+  def count(): Long = if (hasData) read().count() else 0L
+}
+
+/** A "database" of collections rooted at a base path. */
+final class CollectionManager(spark: SparkSession, baseDir: String) {
+  def collection(name: String): Collection = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+      s"invalid collection name: $name")
+    new Collection(spark, name, s"$baseDir/$name")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.core.CollectionManager
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms vs their batch twins (the invariant that makes
+  * the engine's batch and streaming surfaces interchangeable).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Long) = new Timestamp(min * 60000)
+
+  test("windowedAgg on a MemoryStream equals the batch window aggregation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = Streaming.windowedAgg(
+      input.toDF.toDF("ts", "etype", "value"),
+      "ts", "etype", "value", "10 minutes")
+    val q = stream.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      val data = Seq(
+        (ts(0), "a", 1.0), (ts(5), "a", 2.0), (ts(9), "b", 3.0),
+        (ts(12), "a", 4.0), (ts(25), "b", 5.0))
+      input.addData(data)
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(col("window_start"), col("etype"), col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val batch = data.toDF("ts", "etype", "value")
+        .groupBy(window(col("ts"), "10 minutes"), col("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .select(col("window.start"), col("etype"), col("n"), col("s"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionWindowAgg closes gap-separated sessions like the batch rule") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val stream = Streaming.sessionWindowAgg(
+      input.toDF.toDF("ts", "user_id"), "ts", "user_id", "30 minutes",
+      watermark = "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("sess_agg")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,10 (one session), 60 (second session);
+      // user 2: single event
+      input.addData(Seq((ts(0), 1L), (ts(10), 1L), (ts(60), 1L), (ts(5), 2L)))
+      q.processAllAvailable()
+      // push the watermark far ahead so all sessions finalize
+      input.addData(Seq((ts(10000), 99L)))
+      q.processAllAvailable()
+      val got = spark.table("sess_agg")
+        .filter(col("user_id") < 99)
+        .select(col("user_id"), col("session_events")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      assert(got == Map(1L -> List(1L, 2L), 2L -> List(1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStateful (flatMapGroupsWithState) matches the gap rule") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streaming.Event]
+    val stream = Streaming.sessionizeStateful(input.toDS(), gapMinutes = 30,
+      watermark = "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("sess_state")
+      .outputMode("append").start()
+    try {
+      // keep every event strictly after epoch: a row whose event time
+      // equals the initial watermark (0) is filtered as late
+      input.addData(Seq(
+        Streaming.Event(1L, 1L, ts(1)), Streaming.Event(1L, 2L, ts(10)),
+        Streaming.Event(1L, 3L, ts(60)), Streaming.Event(2L, 4L, ts(5))))
+      q.processAllAvailable()
+      input.addData(Seq(Streaming.Event(99L, 5L, ts(10000))))
+      q.processAllAvailable()
+      // a second far-future batch lets the event-time timeout fire for
+      // sessions that were still open at the previous watermark
+      input.addData(Seq(Streaming.Event(99L, 6L, ts(20000))))
+      q.processAllAvailable()
+      val got = spark.table("sess_state")
+        .filter(col("user_id") < 99)
+        .select(col("user_id"), col("session_events")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      assert(got == Map(1L -> List(1L, 2L), 2L -> List(1L)))
+    } finally q.stop()
+  }
+
+  test("continuousLoad ingests files exactly once into a collection") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val db = new CollectionManager(spark,
+      Files.createTempDirectory("graft-stream-db").toString)
+    val c = db.collection("events_ingest")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    val events = graft.core.Graft.table(spark, sfDir, "events")
+    events.limit(100).write.mode("append").parquet(src)
+    val q1 = Streaming.continuousLoad(spark, src, c, ckpt)
+    q1.awaitTermination(120000)
+    assert(c.count() == 100)
+
+    // new file arrives → only the delta is ingested on the next drain
+    events.limit(150).write.mode("append").parquet(src)
+    val q2 = Streaming.continuousLoad(spark, src, c, ckpt)
+    q2.awaitTermination(120000)
+    assert(c.count() == 250)
+  }
+}
