@@ -50,6 +50,15 @@ object SparkEntry {
     "q27_string_agg" -> Relational.q27StringAgg,
     "q28_pivot" -> Relational.q28Pivot,
     "q29_explode_tokens" -> Relational.q29ExplodeTokens,
+    "q30_left_outer" -> Relational.q30LeftOuter,
+    "q31_in_subquery" -> Relational.q31InSubquery,
+    "q32_percentiles" -> Relational.q32Percentiles,
+    "q33_cross_join" -> Relational.q33CrossJoin,
+    "q34_full_outer" -> Relational.q34FullOuter,
+    "q35_except_all" -> Relational.q35ExceptAll,
+    "q36_date_arith" -> Relational.q36DateArith,
+    "q37_regexp" -> Relational.q37Regexp,
+    "q38_range_frame" -> Relational.q38RangeFrame,
     "x1_dedup_exact" -> Extensions.x1DedupExact,
     "x2_dedup_fingerprint" -> Extensions.x2DedupFingerprint,
     "x3_jaccard_pairs" -> Extensions.x3JaccardPairs,
@@ -64,6 +73,7 @@ object SparkEntry {
     "x12_fingerprint" -> Extensions.x12Fingerprint,
     "x13_multimodal" -> Extensions.x13Multimodal,
     "x14_neardup_lsh" -> Extensions.x14NearDupLsh,
+    "x15_approx_distinct" -> Extensions.x15ApproxDistinct,
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
@@ -304,10 +314,65 @@ object SparkEntry {
         |      ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    // x4_minhash_pairs / x5_simhash_pairs / x8_knn_lsh / x14_neardup_lsh
-    // are probabilistic-recall operators: no SQL oracle (the driver
-    // records a rows-only check); their recall against the exact
-    // counterparts (x3 / x6 / x7) is asserted in the spec suite.
+    "q30_left_outer" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey) per_cust
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+    "q31_in_subquery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q32_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+        |  ROUND(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q33_cross_join" ->
+      """SELECT r1.r_name AS name1, r2.r_name AS name2
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY name1, name2""".stripMargin,
+    "q34_full_outer" ->
+      """SELECT COALESCE(ck, sk) AS nationkey, n_cust, n_supp
+        |FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+        |           FROM supplier GROUP BY s_nationkey) s ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
+    "q35_except_all" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT') d
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "q36_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS INTEGER) AS days_since,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  DATE_TRUNC('week', o_orderdate) AS week_start
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin,
+    "q37_regexp" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+        |  SUBSTRING(regexp_replace(lower(text), '[aeiou]', '', 'g'), 1, 30)
+        |    AS devoweled_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_range_frame" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  COUNT(*) OVER (ORDER BY o_totalprice
+        |                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |    AS n_within_1k
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    // x4_minhash_pairs / x5_simhash_pairs / x8_knn_lsh / x14_neardup_lsh /
+    // x15_approx_distinct are probabilistic operators: no SQL oracle (the
+    // driver records a rows-only check); recall/accuracy against the
+    // exact counterparts (x3 / x6 / x7 / countDistinct) is asserted in
+    // the spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     "x6_embedding_neardup" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings)

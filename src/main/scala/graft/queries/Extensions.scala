@@ -89,6 +89,19 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** x15: HLL approximate distinct counting — the 100 TB substitute for
+    * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
+    * sketch per group merges map-side). Relative error vs the exact
+    * count is asserted in the spec suite; no SQL oracle (sketches are
+    * engine-specific).
+    */
+  def x15ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** x9: per-document text statistics. */
   def x9TextStats(s: SparkSession, dir: String): DataFrame = {
     val tk = TextFunctions.tokens(col("text"))

@@ -363,4 +363,119 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         |""".stripMargin)
   }
+
+  /** q30: left outer join + null-skipping COUNT — distribution of order
+    * counts per customer, including zero-order customers (the rows an
+    * inner join would lose). Shuffle join on custkey; the second
+    * aggregation is over a tiny domain.
+    */
+  def q30LeftOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  /** q31: IN-subquery (uncorrelated) → left-semi join against the
+    * filtered, broadcast-small customer side.
+    */
+  def q31InSubquery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        broadcast(t(s, dir, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q32: exact interpolated percentiles per group (Spark `percentile` =
+    * DuckDB `quantile_cont`, both linear interpolation at rank
+    * (n−1)·p). At 100 TB exact percentiles need a full sort per group —
+    * swap in approx_percentile (t-digest) where error tolerance allows;
+    * the exact form is the oracle-checkable one.
+    */
+  def q32Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"),
+        round(expr("percentile(l_discount, 0.25)"), 6).as("p25_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** q33: cross join (tiny × tiny — the only sane cardinality for one). */
+  def q33CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").select(col("r_name"))
+    r.select(col("r_name").as("name1"))
+      .crossJoin(r.select(col("r_name").as("name2")))
+      .orderBy(col("name1"), col("name2"))
+  }
+
+  /** q34: full outer join of two aggregates (customers and suppliers per
+    * nation) — both sides shrink to ≤ nation-count rows before the join.
+    */
+  def q34FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q35: EXCEPT ALL — multiset difference keeps multiplicity. */
+  def q35ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+      .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("custkey"))
+  }
+
+  /** q36: date/time arithmetic — datediff vs an epoch, interval add,
+    * truncation; all codegen'd scalar ops, map-only.
+    */
+  def q36DateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+          .cast("int").as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        date_trunc("week", col("o_orderdate")).as("week_start"))
+      .orderBy(col("o_orderkey"))
+
+  /** q37: regexp extraction/replacement over documents — map-only. */
+  def q37Regexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_numbers"),
+        substring(regexp_replace(lower(col("text")), "[aeiou]", ""), 1, 30)
+          .as("devoweled_prefix"))
+      .orderBy(col("doc_id"))
+
+  /** q38: RANGE window frame (value-based, not row-based): for each
+    * order, how many orders fall within 1000 of its price. One shuffle
+    * + sort on the frame ordering.
+    */
+  def q38RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+      .createOrReplaceTempView("orders_rf")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  COUNT(*) OVER (ORDER BY o_totalprice
+        |                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |    AS n_within_1k
+        |FROM orders_rf ORDER BY o_orderkey
+        |""".stripMargin)
+  }
 }
