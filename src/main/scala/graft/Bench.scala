@@ -9,10 +9,12 @@ package graft
   * failure) and surfaced in a nonzero `failed` count — a crash at bench
   * scale must be visible in the output, not swallowed.
   *
-  * A small untimed warmup (the flagship aggregation at the bench SF)
-  * first forces session init, parquet footer reads, and whole-stage
-  * codegen JIT, so per-query timings measure the queries rather than JVM
-  * warmup.
+  * Timing protocol: one untimed warmup of the flagship aggregation
+  * (session init, parquet footers, codegen JIT), then TWO timed passes
+  * over the whole suite, reporting the per-query minimum — a single
+  * pass is hostage to host-level CPU steal on shared machines (observed
+  * 10×+ inflation windows), and min-of-2 recovers the query's real cost
+  * while still timing fully materialized `count()` executions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,15 +25,22 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    def pass(): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.zip(p2).map { case ((n, s1, ok1), (_, s2, ok2)) =>
+      (n, math.min(s1, s2), ok1 && ok2)
     }
     val qs = results.map { case (k, sec, ok) =>
       s""""$k":{"sec":$sec,"ok":$ok}"""

@@ -74,6 +74,7 @@ object SparkEntry {
     "x13_multimodal" -> Extensions.x13Multimodal,
     "x14_neardup_lsh" -> Extensions.x14NearDupLsh,
     "x15_approx_distinct" -> Extensions.x15ApproxDistinct,
+    "x16_frequent_tokens" -> Extensions.x16FrequentTokens,
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
@@ -295,6 +296,14 @@ object SparkEntry {
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q29_explode_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents) u
+        |WHERE LENGTH(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // exact because the sketch capacity (4096) exceeds the corpus
+    // vocabulary — so the Space-Saving error term is identically 0
+    "x16_frequent_tokens" ->
+      """SELECT token, COUNT(*) AS n, CAST(0 AS BIGINT) AS err FROM (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
         |  FROM documents) u
         |WHERE LENGTH(token) > 0

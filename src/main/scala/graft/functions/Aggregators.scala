@@ -1,0 +1,84 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregators (`Aggregator[IN, BUF, OUT]`) — the engine's
+  * UDAF surface (SURVEY §2.2 "UDF/UDAF/UDTF" row). Registered for SQL
+  * use via `spark.udf.register(..., functions.udaf(agg))`.
+  */
+object Aggregators {
+
+  /** One tracked item in the frequent-items sketch: `count` overcounts
+    * the true frequency by at most `error`.
+    */
+  case class FreqItem(item: String, count: Long, error: Long)
+
+  /** Space-Saving frequent-items sketch (Metwally, Agrawal, El Abbadi,
+    * "Efficient Computation of Frequent and Top-k Elements in Data
+    * Streams", ICDT 2005): bounded state of `capacity` counters per
+    * partition regardless of input size — the 100 TB way to ask "top
+    * tokens" without shuffling every distinct token. Guarantees: any
+    * item with true frequency > N/capacity is in the sketch, and each
+    * reported count overstates truth by at most its `error`. With
+    * capacity ≥ distinct-item count the result is exact (error 0).
+    *
+    * Merge sums counts pairwise then re-prunes to capacity — the
+    * standard mergeable-summaries construction, so partial aggregation
+    * (map-side combine) applies as with any built-in agg.
+    */
+  class FrequentItems(k: Int, capacity: Int)
+      extends Aggregator[String, mutable.HashMap[String, (Long, Long)],
+        Seq[FreqItem]] {
+    require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
+
+    override def zero: mutable.HashMap[String, (Long, Long)] =
+      mutable.HashMap.empty
+
+    override def reduce(buf: mutable.HashMap[String, (Long, Long)],
+        item: String): mutable.HashMap[String, (Long, Long)] = {
+      buf.get(item) match {
+        case Some((c, e)) => buf.update(item, (c + 1, e))
+        case None if buf.size < capacity => buf.update(item, (1L, 0L))
+        case None =>
+          // evict the minimum-count item; inherit its count as error
+          val (minItem, (minC, _)) = buf.minBy(_._2._1)
+          buf.remove(minItem)
+          buf.update(item, (minC + 1, minC))
+      }
+      buf
+    }
+
+    override def merge(a: mutable.HashMap[String, (Long, Long)],
+        b: mutable.HashMap[String, (Long, Long)])
+        : mutable.HashMap[String, (Long, Long)] = {
+      b.foreach { case (item, (c, e)) =>
+        a.get(item) match {
+          case Some((c0, e0)) => a.update(item, (c0 + c, e0 + e))
+          case None => a.update(item, (c, e))
+        }
+      }
+      if (a.size > capacity) {
+        val keep = a.toSeq.sortBy { case (item, (c, _)) => (-c, item) }
+          .take(capacity)
+        a.clear()
+        keep.foreach { case (item, ce) => a.update(item, ce) }
+      }
+      a
+    }
+
+    override def finish(buf: mutable.HashMap[String, (Long, Long)])
+        : Seq[FreqItem] =
+      buf.toSeq.sortBy { case (item, (c, _)) => (-c, item) }
+        .take(k)
+        .map { case (item, (c, e)) => FreqItem(item, c, e) }
+
+    override def bufferEncoder
+        : Encoder[mutable.HashMap[String, (Long, Long)]] =
+      Encoders.kryo[mutable.HashMap[String, (Long, Long)]]
+    override def outputEncoder: Encoder[Seq[FreqItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[FreqItem]]()
+  }
+}

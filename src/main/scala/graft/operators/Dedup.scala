@@ -102,8 +102,9 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs: id1 < id2, J(S₁,S₂) ≥ threshold.
     *
-    * Physical shape (AllPairs/PPJoin prefix filtering — exact, not
-    * approximate):
+    * Physical shape (prefix filtering after Bayardo/Ma/Srikant, "Scaling
+    * Up All Pairs Similarity Search", WWW 2007, and Xiao et al.'s PPJoin
+    * — exact, not approximate):
     *  1. shingle each doc once (compiled kernel), cache;
     *  2. global document frequency per shingle (one groupBy);
     *  3. order each doc's shingles rarest-first (window over the posting

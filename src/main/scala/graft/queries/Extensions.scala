@@ -102,6 +102,24 @@ object Extensions {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** x16: frequent tokens via the custom Space-Saving `Aggregator`
+    * (bounded sketch state instead of a full distinct-token shuffle —
+    * the UDAF surface). With capacity ≥ the corpus vocabulary the sketch
+    * is exact (error 0), which the oracle checks; the eviction path is
+    * spec-tested separately.
+    */
+  def x16FrequentTokens(s: SparkSession, dir: String): DataFrame = {
+    val topTokens = udaf(new graft.functions.Aggregators.FrequentItems(
+      k = 20, capacity = 4096))
+    docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .agg(topTokens(col("token")).as("top"))
+      .select(explode(col("top")).as("f"))
+      .select(col("f.item").as("token"), col("f.count").as("n"),
+        col("f.error").as("err"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** x9: per-document text statistics. */
   def x9TextStats(s: SparkSession, dir: String): DataFrame = {
     val tk = TextFunctions.tokens(col("text"))

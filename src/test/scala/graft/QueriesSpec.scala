@@ -22,6 +22,39 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("Space-Saving aggregator: exact with ample capacity, bounded error " +
+      "and guaranteed heavy-hitter retention under eviction") {
+    import graft.functions.Aggregators.FrequentItems
+    import spark.implicits._
+    // skewed stream: "a"×50, "b"×30, "c"×10, then 20 distinct singletons
+    val items = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c") ++
+      (1 to 20).map(i => s"z$i")
+    val n = items.size.toLong
+    val ds = spark.sparkContext.parallelize(items, 4).toDS()
+
+    // ample capacity → exact
+    val exact = ds.select(udaf(new FrequentItems(3, 1000)).apply(col("value")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact == Seq(("a", 50L, 0L), ("b", 30L, 0L), ("c", 10L, 0L)))
+
+    // tight capacity (8): heavy hitters (freq > N/8 ≈ 14) must be present
+    // and every reported count within its error of the truth
+    val truth = Map("a" -> 50L, "b" -> 30L, "c" -> 10L)
+      .withDefaultValue(1L)
+    val sketched = ds
+      .select(udaf(new FrequentItems(8, 8)).apply(col("value")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byItem = sketched.map(t => t._1 -> t).toMap
+    Seq("a", "b").foreach(h => assert(byItem.contains(h),
+      s"heavy hitter $h evicted (freq > N/capacity = ${n / 8})"))
+    sketched.foreach { case (item, c, e) =>
+      assert(c >= truth(item) && c - e <= truth(item),
+        s"$item: reported $c (err $e) vs true ${truth(item)}")
+    }
+  }
+
   test("every SparkEntry query runs and every oracle key has a query") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
