@@ -32,8 +32,12 @@ final class Collection private[core] (
   def drop(): Unit = { fs.delete(new Path(path), true); () }
 
   private def hasData: Boolean = exists() &&
-    fs.listStatus(new Path(path)).exists(f =>
-      f.getPath.getName.endsWith(".parquet"))
+    fs.listStatus(new Path(path)).exists { f =>
+      val n = f.getPath.getName
+      // data files at the root, or partition subdirectories (k=v)
+      n.endsWith(".parquet") || (f.isDirectory && !n.startsWith("_") &&
+        !n.startsWith("."))
+    }
 
   /** Read the collection as a DataFrame (schema from Parquet footers,
     * exactly as the reference derives Avro schemas from footers).
@@ -43,13 +47,20 @@ final class Collection private[core] (
     if (hasData) spark.read.parquet(path)
     else spark.emptyDataFrame
 
-  /** Append or overwrite rows. */
+  /** Append or overwrite rows. `partitionBy` lays the collection out as
+    * a Hive-style partitioned directory tree — at scale the primary
+    * lever for partition pruning on reads (only matching subdirectories
+    * are scanned when a filter hits a partition column).
+    */
   def write(df: DataFrame, mode: SaveMode,
-      maxRecordsPerFile: Long = 0L): Unit =
-    df.write
+      maxRecordsPerFile: Long = 0L,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
+  }
 
   /** Document count — the reference test suite's only oracle. */
   def count(): Long = if (hasData) read().count() else 0L
