@@ -106,6 +106,34 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each left event joins right events of
+    * the same key whose time falls in [leftTime − within, leftTime].
+    * Both sides carry watermarks so the join state store evicts rows
+    * once they can no longer match — without the time bound a
+    * stream-stream join would buffer both streams forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, within: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark).as("l")
+    val r = right.withWatermark(rightTime, watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTime") >= col(s"l.$leftTime") - expr(s"INTERVAL $within") &&
+        col(s"r.$rightTime") <= col(s"l.$leftTime"))
+  }
+
+  /** Watermarked streaming deduplication: the first arrival of each
+    * `idCol` wins; state for ids older than the watermark is dropped, so
+    * memory is bounded by the watermark horizon — exactly-once event
+    * processing over an at-least-once transport.
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(idCol, tsCol)
+
   /** Continuous Parquet→collection ingest: every file that appears under
     * `location` is loaded exactly once (checkpointed file log) into the
     * collection. `Trigger.AvailableNow` drains what exists and stops —

@@ -103,6 +103,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs events within the time bound, drops the rest") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF.toDF("cts", "user_id", "click_id"),
+      views.toDF.toDF("vts", "user_id", "view_id"),
+      "user_id", "cts", "vts", within = "10 minutes")
+      .select(col("click_id"), col("view_id"))
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      views.addData(Seq((ts(5), 1L, 100L), (ts(30), 1L, 101L),
+        (ts(5), 2L, 200L)))
+      clicks.addData(Seq((ts(12), 1L, 1L), (ts(35), 1L, 2L), (ts(50), 2L, 3L)))
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // click 1 @12 pairs view 100 @5 (within 10m); click 2 @35 pairs
+      // view 101 @30; click 3 @50 pairs nothing (view 200 @5 too old)
+      assert(got == Set((1L, 100L), (2L, 101L)))
+    } finally q.stop()
+  }
+
+  test("dedupStream keeps one row per event id across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = Streaming.dedupStream(input.toDF.toDF("ts", "event_id"),
+      "event_id", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((ts(1), 10L), (ts(1), 10L), (ts(2), 11L)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(1), 10L), (ts(3), 12L))) // replay of id 10
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("continuousLoad ingests files exactly once into a collection") {
     val src = Files.createTempDirectory("graft-stream-src").toString
     val db = new CollectionManager(spark,
