@@ -125,9 +125,14 @@ object Dedup {
       k: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, k).cache()
     val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df")).cache()
+    // the df table has one row per DISTINCT shingle — usually small
+    // enough to broadcast, which turns the rank join into a map-side
+    // lookup (no shuffle of the postings)
+    val dfHint: DataFrame => DataFrame =
+      if (dfreq.count() <= VerifyBroadcastMaxRows) broadcast(_) else identity
     val prefix = post
-      .join(dfreq, "s")
+      .join(dfHint(dfreq), "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= prefixLenCol(col("n"), threshold))
