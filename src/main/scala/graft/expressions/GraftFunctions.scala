@@ -72,5 +72,7 @@ object GraftFunctions {
       info("graft_sorted_intersect_count",
         "|A∩B| of two sorted distinct string arrays"),
       (args: Seq[Expression]) => SortedArrayIntersectCount(args(0), args(1))))
+    // optimizer rule: HOF dot-product pattern → compiled VecDot kernel
+    ext.injectOptimizerRule(_ => VecKernelRewrite)
   }
 }

@@ -138,6 +138,41 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Drop-in compiled replacement for the higher-order-function dot
+  * product `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0,
+  * _+_)`, reproducing its null semantics exactly: NULL result when the
+  * lengths differ (zip_with pads with nulls) or any element is null;
+  * otherwise the left-to-right double fold. Used by
+  * [[VecKernelRewrite]], which may substitute it anywhere, any
+  * nullability.
+  */
+case class VecDotHofCompat(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vec_dot_hof"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotHofCompat =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane sign-bit LSH bucket packed into a long.
   *
   * Hyperplane coefficients are a deterministic splitmix-style hash of
