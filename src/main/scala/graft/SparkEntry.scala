@@ -75,6 +75,7 @@ object SparkEntry {
     "x14_neardup_lsh" -> Extensions.x14NearDupLsh,
     "x15_approx_distinct" -> Extensions.x15ApproxDistinct,
     "x16_frequent_tokens" -> Extensions.x16FrequentTokens,
+    "x17_knn_ivf" -> Extensions.x17KnnIvf,
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"

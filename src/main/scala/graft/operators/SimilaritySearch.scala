@@ -99,6 +99,80 @@ object SimilaritySearch {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN top-k: a coarse k-means quantizer splits the
+    * corpus into `nCells` cells; each query scores only vectors in its
+    * `nProbe` nearest cells. Everything is DataFrame-native with the
+    * compiled kernels — centroid training is Lloyd's algorithm expressed
+    * as (broadcast-argmin assign → posexplode → per-(cell,dim) mean →
+    * re-assemble), so it runs distributed at any corpus size.
+    *
+    * At 100 TB: train on a sample, broadcast the (tiny) centroid table,
+    * assign map-side in one pass, and the probe join is an equi-join on
+    * the cell id. Per-query work drops from |corpus| to
+    * ~|corpus|·nProbe/nCells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      normSq(col(vecCol)).as("cn")).cache()
+
+    // deterministic init: first nCells vectors in id order
+    var centroids = c.orderBy(col("neighbor_id")).limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("neighbor_id"))) - 1).cast("int"))
+      .select(col("cell"), col("cv").as("cvec"))
+
+    def assign(df: DataFrame, vc: String): DataFrame = {
+      val w = Window.partitionBy(col("__rid")).orderBy(col("__d"), col("cell"))
+      df.withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(broadcast(centroids))
+        .withColumn("__d", l2Sq(col(vc), col("cvec")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .drop("__d", "__rk", "__rid", "cvec")
+    }
+
+    for (_ <- 0 until kmeansIters) {
+      val assigned = assign(c, "cv")
+      centroids = assigned
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("dims"))
+        .select(col("cell"),
+          transform(col("dims"), d => d.getField("m").cast("float"))
+            .as("cvec"))
+      centroids = broadcast(centroids).cache()
+      centroids.count()
+    }
+
+    val cells = assign(c, "cv")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2Sq(col("qv"), col("cvec")))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .withColumn("cos",
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ threshold),
     * EXACT via all-pairs self-join. Squared norms are hoisted map-side;
     * the per-pair cost is one compiled dot product. Right for

@@ -89,6 +89,17 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** x17: IVF ANN top-5 — coarse k-means quantizer (DataFrame-native
+    * Lloyd iterations), queries probe their 4 nearest of 16 cells.
+    * Recall vs x7 asserted in the spec suite; no SQL oracle.
+    */
+  def x17KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilaritySearch.ivfTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

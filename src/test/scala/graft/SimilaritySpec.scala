@@ -66,6 +66,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.45, s"LSH recall collapsed: $recall")
   }
 
+  test("ivfTopK: exact cosines for returned neighbors, reasonable recall") {
+    val k = 5
+    val brute = SimilaritySearch.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilaritySearch.ivfTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k)
+      .collect()
+    // every returned cosine is the true cosine of that pair
+    ivf.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(c == round6(cos(vecs(q), vecs(n))), s"cos mismatch $q,$n")
+    }
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // 4 of 16 cells probed on near-random data — deterministic for the
+    // fixed init/iteration count
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+    assert(ivf.length == 50) // 10 queries × k
+  }
+
   test("cosineNearDupPairs matches driver-side brute force at threshold 0.4") {
     val t = 0.4
     val expected = (for {
