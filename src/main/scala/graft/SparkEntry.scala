@@ -76,6 +76,7 @@ object SparkEntry {
     "x15_approx_distinct" -> Extensions.x15ApproxDistinct,
     "x16_frequent_tokens" -> Extensions.x16FrequentTokens,
     "x17_knn_ivf" -> Extensions.x17KnnIvf,
+    "x18_winnow_pairs" -> Extensions.x18WinnowPairs,
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"

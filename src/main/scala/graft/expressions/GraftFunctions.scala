@@ -32,6 +32,8 @@ object GraftFunctions {
   def simHash64(text: Column): Column = c(SimHash64(e(text)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    c(WinnowFingerprints(e(text), k, w))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")

@@ -113,6 +113,29 @@ class ExpressionSpec extends SparkSpec {
     assert(h(1) != h(4))
   }
 
+  test("WinnowFingerprints: identity, shared-substring guarantee, density") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val shared = "a long enough shared substring to guarantee a fingerprint"
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, s"prefix one $shared suffix alpha"),
+      (4L, s"other start $shared different tail omega"),
+      (5L, "zzzz completely unrelated material qqqq")).toDF("id", "t")
+    val fps = df.select(col("id"),
+      GraftFunctions.winnowFingerprints(col("t"), 8, 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // identical texts → identical fingerprint sets
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    // shared substring of length >= w + k - 1 = 23 → >= 1 shared print
+    assert(shared.length >= 23)
+    assert((fps(3L) & fps(4L)).nonEmpty)
+    // expected density ≈ 2/(w+1): selected ≤ positions, and far fewer
+    assert(fps(1L).size < base.length - 8 + 1)
+    // unrelated doc shares nothing with the base text
+    assert((fps(1L) & fps(5L)).isEmpty)
+  }
+
   test("expressions are reachable from SQL via SparkSessionExtensions") {
     val r = spark.sql(
       """SELECT graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
