@@ -76,28 +76,72 @@ object Dedup {
     */
   val VerifyBroadcastMaxRows = 1000000L
 
-  /** Verify candidate pairs with the exact shingle-set Jaccard: join the
-    * full sets back, merge-count the sorted arrays per pair
-    * ([[graft.expressions.SortedArrayIntersectCount]] — O(n₁+n₂), no
-    * per-row hash set), keep J ≥ threshold. Linear in the candidate
-    * count. `sets` is cached by the caller; its (already materialized)
-    * count picks broadcast vs shuffle for the two id joins.
+  /** Verify candidate pairs with the exact set Jaccard: join the full
+    * sets back, intersect per pair (merge-count via
+    * [[graft.expressions.SortedArrayIntersectCount]] for sorted string
+    * sets — O(n₁+n₂), no per-row hash set — `array_intersect` for other
+    * element types), keep J ≥ threshold. Linear in the candidate count.
+    * `sets` is cached by the caller; its (already materialized) count
+    * picks broadcast vs shuffle for the two id joins.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (sets.count() <= VerifyBroadcastMaxRows) broadcast(_) else identity
+    val isString = sets.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    val interCount =
+      if (isString) GraftFunctions.sortedIntersectCount(col("sh1"), col("sh2"))
+      else size(array_intersect(col("sh1"), col("sh2")))
     cand
       .join(hint(sets.select(col("id").as("id1"), col("sh").as("sh1"),
         col("n").as("n1"))), "id1")
       .join(hint(sets.select(col("id").as("id2"), col("sh").as("sh2"),
         col("n").as("n2"))), "id2")
-      .withColumn("c",
-        GraftFunctions.sortedIntersectCount(col("sh1"), col("sh2")))
+      .withColumn("c", interCount)
       .withColumn("jaccard",
         round(col("c") / (col("n1") + col("n2") - col("c")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exact Jaccard ≥ threshold pairs over ARBITRARY per-id element sets
+    * (`setsIn`: one row per id with the set as an array column) via the
+    * same prefix-filter pipeline as [[jaccardShinglePairs]]. Used for
+    * fingerprint sets (longs) and any other tokenization a caller
+    * brings.
+    */
+  def jaccardSetPairs(setsIn: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    val sets = setsIn.select(col(idCol).as("id"), col(setCol).as("sh"))
+      .withColumn("n", size(col("sh"))).filter(col("n") > 0).cache()
+    prefixFilteredPairs(sets, threshold)
+  }
+
+  /** Shared prefix-filter pipeline over a cached (id, sh, n) set table. */
+  private def prefixFilteredPairs(sets: DataFrame, threshold: Double)
+      : DataFrame = {
+    val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df")).cache()
+    val dfHint: DataFrame => DataFrame =
+      if (dfreq.count() <= VerifyBroadcastMaxRows) broadcast(_) else identity
+    val prefix = post
+      .join(dfHint(dfreq), "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= prefixLenCol(col("n"), threshold))
+      .select(col("id"), col("n"), col("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.n") >= col("b.n") * threshold - 1e-9 &&
+          col("b.n") >= col("a.n") * threshold - 1e-9)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: id1 < id2, J(S₁,S₂) ≥ threshold.
@@ -124,27 +168,7 @@ object Dedup {
   def jaccardShinglePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, k).cache()
-    val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df")).cache()
-    // the df table has one row per DISTINCT shingle — usually small
-    // enough to broadcast, which turns the rank join into a map-side
-    // lookup (no shuffle of the postings)
-    val dfHint: DataFrame => DataFrame =
-      if (dfreq.count() <= VerifyBroadcastMaxRows) broadcast(_) else identity
-    val prefix = post
-      .join(dfHint(dfreq), "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= prefixLenCol(col("n"), threshold))
-      .select(col("id"), col("n"), col("s"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("a.n") >= col("b.n") * threshold - 1e-9 &&
-          col("b.n") >= col("a.n") * threshold - 1e-9)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    verifyJaccard(cand, sets, threshold)
+    prefixFilteredPairs(sets, threshold)
   }
 
   /** MinHash signature column: array of `numHashes` minima of

@@ -100,34 +100,21 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** x18: winnowing rolling-hash fingerprints (k=8-gram Rabin-Karp,
-    * window 16): per-doc fingerprint count + near-dup pairs sharing ≥ 60%
-    * of the smaller doc's fingerprints — the plagiarism-detection shape.
-    * Hash family is engine-side (wraparound polynomial), so no SQL
-    * oracle; guarantees are spec-tested.
+  /** x18: near-dup pairs by winnowing rolling-hash fingerprints (k=20
+    * char-gram Rabin-Karp, window 16 — k spans several tokens of this
+    * low-entropy corpus: at k=8 only 838 distinct prints survive
+    * winnowing (max df 3751, 8·10⁷ join pairs) vs 131k prints / max df
+    * 53 at k=20) at fingerprint-set Jaccard ≥ 0.5, through the
+    * same exact prefix-filter pipeline as x3 — a naive fingerprint
+    * postings self-join explodes on this corpus's tiny vocabulary (common
+    * 8-grams appear in most docs). Hash family is engine-side (wraparound
+    * polynomial), so no SQL oracle; guarantees are spec-tested.
     */
   def x18WinnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = docs(s, dir).select(col("doc_id").as("id"),
+    val fp = docs(s, dir).select(col("doc_id"),
       graft.expressions.GraftFunctions
-        .winnowFingerprints(col("text"), 8, 16).as("fp"))
-      .withColumn("n", size(col("fp")))
-      .cache()
-    val post = fp.select(col("id"), explode(col("fp")).as("h"))
-    val cand = post.as("a")
-      .join(post.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    cand
-      .join(broadcast(fp.select(col("id").as("id1"), col("fp").as("fp1"),
-        col("n").as("n1"))), "id1")
-      .join(broadcast(fp.select(col("id").as("id2"), col("fp").as("fp2"),
-        col("n").as("n2"))), "id2")
-      .withColumn("shared", size(array_intersect(col("fp1"), col("fp2"))))
-      .withColumn("overlap",
-        round(col("shared") / least(col("n1"), col("n2")), 6))
-      .filter(col("overlap") >= 0.6)
-      .select(col("id1"), col("id2"), col("shared"), col("overlap"))
+        .winnowFingerprints(col("text"), 20, 16).as("fp"))
+    Dedup.jaccardSetPairs(fp, "doc_id", "fp", threshold = 0.5)
       .orderBy(col("id1"), col("id2"))
   }
 
