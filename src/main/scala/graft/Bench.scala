@@ -38,6 +38,11 @@ object Bench {
       }
 
     val p1 = pass()
+    // operators cache intermediate sets and never unpersist (lazy results
+    // depend on them); clearing between passes bounds block-manager
+    // growth at one pass's worth and keeps pass-2 timings honest (JIT
+    // warm, data cold)
+    spark.catalog.clearCache()
     val p2 = pass()
     val results = p1.zip(p2).map { case ((n, s1, ok1), (_, s2, ok2)) =>
       (n, math.min(s1, s2), ok1 && ok2)

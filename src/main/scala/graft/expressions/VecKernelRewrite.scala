@@ -63,8 +63,4 @@ object VecKernelRewrite extends Rule[LogicalPlan] {
         Seq(arg: NamedLambdaVariable), _) => body.exprId == arg.exprId
     case _ => false
   }
-
-  def install(spark: SparkSession): Unit =
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ this
 }

@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * JSON transcode, GenericRecordJsonEncoder.java:42-138); these back the
   * similarity-search extension operators.
   */
+/** Length-mismatch semantics (deliberate): the loops run over
+  * min(|a|,|b|) — the same value DuckDB's
+  * `list_sum(list_transform(list_zip(a,b), …))` oracle produces, because
+  * list_zip pads with NULL and list_sum SKIPS nulls. The stricter
+  * NULL-on-mismatch behavior of Spark's own `aggregate(zip_with(…))`
+  * lives in [[VecDotHofCompat]], which the optimizer rule substitutes
+  * for that pattern.
+  */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -51,22 +51,35 @@ object Aggregators {
       buf
     }
 
+    /** Mergeable-summaries combine (Agarwal et al., "Mergeable
+      * Summaries", PODS 2012): an item absent from one sketch may still
+      * have occurred up to that sketch's minimum count there (that is
+      * exactly the Space-Saving absence bound, and it is 0 unless the
+      * sketch is full), so the merged estimate adds the other side's
+      * min-count as count AND error. Truncating back to capacity then
+      * drops only the smallest estimates, preserving the invariant
+      * truth ≤ count ≤ truth + error for every retained item.
+      */
     override def merge(a: mutable.HashMap[String, (Long, Long)],
         b: mutable.HashMap[String, (Long, Long)])
         : mutable.HashMap[String, (Long, Long)] = {
-      b.foreach { case (item, (c, e)) =>
-        a.get(item) match {
-          case Some((c0, e0)) => a.update(item, (c0 + c, e0 + e))
-          case None => a.update(item, (c, e))
+      val minA = if (a.size >= capacity) a.valuesIterator.map(_._1).min else 0L
+      val minB = if (b.size >= capacity) b.valuesIterator.map(_._1).min else 0L
+      val merged = mutable.HashMap.empty[String, (Long, Long)]
+      (a.keysIterator ++ b.keysIterator).foreach { item =>
+        if (!merged.contains(item)) {
+          val (ca, ea) = a.getOrElse(item, (minA, minA))
+          val (cb, eb) = b.getOrElse(item, (minB, minB))
+          merged.update(item, (ca + cb, ea + eb))
         }
       }
-      if (a.size > capacity) {
-        val keep = a.toSeq.sortBy { case (item, (c, _)) => (-c, item) }
+      if (merged.size > capacity) {
+        val keep = merged.toSeq.sortBy { case (item, (c, _)) => (-c, item) }
           .take(capacity)
-        a.clear()
-        keep.foreach { case (item, ce) => a.update(item, ce) }
+        merged.clear()
+        keep.foreach { case (item, ce) => merged.update(item, ce) }
       }
-      a
+      merged
     }
 
     override def finish(buf: mutable.HashMap[String, (Long, Long)])

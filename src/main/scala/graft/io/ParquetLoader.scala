@@ -7,6 +7,7 @@ import scala.concurrent.{ExecutionContext, Future}
 import graft.core.Collection
 import graft.serde.JsonDocEncoder
 import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.sql.types.DataType
 
 /** API-parity facade over the reference loader
@@ -62,10 +63,14 @@ final class ParquetLoader(spark: SparkSession) {
 
     val df = JsonDocEncoder.applyConverters(
       spark.read.parquet(location), converters)
-    collection.write(df,
+    // observe() piggybacks the row count on the write job itself — a
+    // trailing df.count() would re-scan (and re-convert) the whole
+    // source a second time
+    val obs = org.apache.spark.sql.Observation()
+    collection.write(df.observe(obs, count(lit(1)).as("rows")),
       if (overwriteCollection) SaveMode.Overwrite else SaveMode.Append,
       maxRecordsPerFile = batchSize.toLong)
-    df.count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Pipelined variant of [[load]] (reference A8). Spark already overlaps

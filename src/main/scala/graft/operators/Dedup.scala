@@ -112,11 +112,14 @@ object Dedup {
     * (`setsIn`: one row per id with the set as an array column) via the
     * same prefix-filter pipeline as [[jaccardShinglePairs]]. Used for
     * fingerprint sets (longs) and any other tokenization a caller
-    * brings.
+    * brings. Input arrays are normalized to sorted distinct form here —
+    * the verification kernel's sorted-merge contract and the set sizes
+    * both require it, and caller arrays make no such promise.
     */
   def jaccardSetPairs(setsIn: DataFrame, idCol: String, setCol: String,
       threshold: Double): DataFrame = {
-    val sets = setsIn.select(col(idCol).as("id"), col(setCol).as("sh"))
+    val sets = setsIn.select(col(idCol).as("id"),
+        array_sort(array_distinct(col(setCol))).as("sh"))
       .withColumn("n", size(col("sh"))).filter(col("n") > 0).cache()
     prefixFilteredPairs(sets, threshold)
   }

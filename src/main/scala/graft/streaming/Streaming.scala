@@ -87,8 +87,16 @@ object Streaming {
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000
               cur match {
-                case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = us, n = s.n + 1))
+                // membership spans the whole open session: any event in
+                // [start − gap, lastUs + gap] joins (this absorbs
+                // late-but-in-watermark arrivals from a later batch, even
+                // ones that land inside the session's interior); lastUs
+                // only moves forward and start only backward, or an
+                // out-of-order event would rewind the gap anchor and
+                // corrupt both the split decision and the reported bounds.
+                case Some(s) if us >= s.start - gapUs && us <= s.lastUs + gapUs =>
+                  cur = Some(s.copy(start = math.min(s.start, us),
+                    lastUs = math.max(s.lastUs, us), n = s.n + 1))
                 case Some(s) =>
                   out += Session(userId, new Timestamp(s.start / 1000),
                     new Timestamp(s.lastUs / 1000), s.n)
@@ -124,15 +132,17 @@ object Streaming {
   }
 
   /** Watermarked streaming deduplication: the first arrival of each
-    * `idCol` wins; state for ids older than the watermark is dropped, so
-    * memory is bounded by the watermark horizon — exactly-once event
-    * processing over an at-least-once transport.
+    * `idCol` wins — including redeliveries that carry a DIFFERENT
+    * timestamp (at-least-once transports often restamp), which is why
+    * this keys on the id alone via dropDuplicatesWithinWatermark rather
+    * than on (id, ts). State for ids older than the watermark horizon is
+    * dropped, bounding memory.
     */
   def dedupStream(events: DataFrame, idCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(idCol, tsCol)
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Continuous Parquet→collection ingest: every file that appears under
     * `location` is loaded exactly once (checkpointed file log) into the
