@@ -55,6 +55,28 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("Space-Saving merge never loses tracked mass (absence bound applied)") {
+    import graft.functions.Aggregators.FrequentItems
+    val agg = new FrequentItems(k = 2, capacity = 2)
+    def sketch(items: String*) =
+      items.foldLeft(agg.zero)((b, i) => agg.reduce(b, i))
+    // partition A: x tracked with count 3 (and y with 2 — sketch full);
+    // partition B: z,w fill the sketch, x absent (evicted there or never
+    // seen). Before the fix, merging could drop x's mass silently; now x
+    // inherits B's min-count as error and the invariant
+    // truth <= count <= truth + error holds for whatever is retained.
+    val a = sketch("x", "x", "x", "y", "y")
+    val b = sketch("z", "z", "z", "z", "w", "w", "w")
+    val merged = agg.merge(a, b)
+    val finished = agg.finish(merged)
+    finished.foreach { f =>
+      val truth = Map("x" -> 3L, "y" -> 2L, "z" -> 4L, "w" -> 3L)(f.item)
+      assert(f.count >= truth, s"${f.item}: undercount ${f.count} < $truth")
+      assert(f.count - f.error <= truth,
+        s"${f.item}: error bound broken (${f.count} - ${f.error} > $truth)")
+    }
+  }
+
   test("every SparkEntry query runs and every oracle key has a query") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
