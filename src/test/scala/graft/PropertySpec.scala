@@ -1,0 +1,134 @@
+package graft
+
+import graft.expressions._
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property tests for the native expression kernels, driven
+  * through direct Catalyst `eval` (no Spark jobs — thousands of cases in
+  * milliseconds, hitting the edge shapes unit fixtures miss: empty
+  * strings, exotic whitespace, single-token docs, duplicate elements).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(300)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val token: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar))
+  private val ws: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \r ")
+  private val textGen: Gen[String] = for {
+    toks <- Gen.listOf(token)
+    seps <- Gen.listOfN(toks.size + 1, ws)
+  } yield seps.zipAll(toks, " ", "").map { case (s, t) => s + t }.mkString
+
+  private def evalShingles(text: String, k: Int): Seq[String] =
+    WordShingles(Literal(UTF8String.fromString(text), StringType), k)
+      .eval(null).asInstanceOf[ArrayData].toArray[UTF8String](StringType)
+      .map(_.toString).toSeq
+
+  test("WordShingles = sorted distinct sliding k-grams of the token stream") {
+    check("shingles", Prop.forAll(textGen, Gen.chooseNum(1, 4)) { (t, k) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val expected =
+        if (toks.length < k) Seq.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct.sorted
+      evalShingles(t, k) == expected
+    })
+  }
+
+  private def strArray(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(s => UTF8String.fromString(s)).toArray[Any])
+
+  test("SortedArrayIntersectCount = |A ∩ B| for sorted distinct arrays") {
+    val setGen = Gen.listOf(token).map(_.distinct.sorted)
+    check("intersect", Prop.forAll(setGen, setGen) { (a, b) =>
+      val expr = SortedArrayIntersectCount(
+        Literal(strArray(a), ArrayType(StringType)),
+        Literal(strArray(b), ArrayType(StringType)))
+      expr.eval(null) == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("MinHashSignature(A ∪ B) = elementwise min of signatures") {
+    val setGen = Gen.nonEmptyListOf(token).map(_.distinct)
+    check("minhash", Prop.forAll(setGen, setGen) { (a, b) =>
+      def sig(xs: Seq[String]) =
+        MinHashSignature(Literal(strArray(xs), ArrayType(StringType)), 32)
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val u = sig((a ++ b).distinct)
+      u == sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+    })
+  }
+
+  test("SimHash64 is invariant under token permutation (bag-of-words)") {
+    check("simhash", Prop.forAll(Gen.nonEmptyListOf(token),
+        Gen.chooseNum(0L, Long.MaxValue)) { (toks, seed) =>
+      def h(ts: Seq[String]) =
+        SimHash64(Literal(UTF8String.fromString(ts.mkString(" ")), StringType))
+          .eval(null)
+      h(toks) == h(new scala.util.Random(seed).shuffle(toks))
+    })
+  }
+
+  test("WinnowFingerprints: shared substring of length >= w+k-1 shares a print") {
+    val k = 5
+    val w = 4
+    check("winnow", Prop.forAll(textGen, textGen, textGen) { (pre, mid, post) =>
+      val shared = if (mid.length < k + w - 1)
+        mid.padTo(k + w - 1, 'q').mkString else mid
+      def prints(s: String): Set[Long] =
+        WinnowFingerprints(Literal(UTF8String.fromString(s), StringType), k, w)
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSet
+      val d1 = prints(pre + shared)
+      val d2 = prints(shared + post)
+      (d1 & d2).nonEmpty
+    })
+  }
+
+  test("VecDot/VecNormSq equal the plain fold for random float vectors") {
+    val vec = Gen.listOf(Gen.chooseNum(-100, 100).map(_ / 7.0f))
+    check("vecdot", Prop.forAll(vec, vec) { (a, b) =>
+      val at = ArrayType(FloatType, containsNull = false)
+      val la = Literal(new GenericArrayData(a.map(Float.box).toArray[Any]), at)
+      val lb = Literal(new GenericArrayData(b.map(Float.box).toArray[Any]), at)
+      val dot = VecDot(la, lb).eval(null).asInstanceOf[Double]
+      val nsq = VecNormSq(la).eval(null).asInstanceOf[Double]
+      val expDot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble }
+      val expN = a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      dot == expDot && nsq == expN
+    })
+  }
+
+  test("FrequentItems invariants on random streams and partitionings") {
+    import graft.functions.Aggregators.FrequentItems
+    val stream = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    check("spacesaving", Prop.forAll(stream, Gen.chooseNum(2, 6),
+        Gen.chooseNum(1, 4)) { (items, cap, nParts) =>
+      val agg = new FrequentItems(cap, cap)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val parts = items.grouped(math.max(1, (items.size + nParts - 1) / nParts))
+        .map(p => p.foldLeft(agg.zero)((buf, i) => agg.reduce(buf, i)))
+        .toList
+      val merged = parts match {
+        case Nil => agg.zero
+        case h :: t => t.foldLeft(h)(agg.merge)
+      }
+      agg.finish(merged).forall { f =>
+        f.count >= truth(f.item) && f.count - f.error <= truth(f.item)
+      }
+    })
+  }
+}
