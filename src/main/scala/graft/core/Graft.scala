@@ -19,9 +19,12 @@ object Graft {
     */
   def session(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MASTER overrides for a real cluster (yarn, k8s, ...);
+    // shuffle partitions then come from cluster config, not `cpus`
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     SparkSession
       .builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName(appName)
       .withExtensions(graft.expressions.GraftFunctions.register)
       .config("spark.sql.shuffle.partitions", cpus)
