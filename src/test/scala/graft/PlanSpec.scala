@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.{Extensions, Relational}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape regressions: the properties that make the corpus
+  * scale (scan pushdown, broadcast dimension joins, compiled kernels in
+  * the hot path, no accidental cartesian products) asserted directly on
+  * the executed plans, so a future change that silently loses one fails
+  * here instead of at the 100 TB bench.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2: filters and projection are pushed into the parquet scan") {
+    val p = plan(Relational.q2FilterProject(spark, sfDir))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,5.0)"))
+    // pruned read schema: exactly the 4 projected columns reach the scan
+    assert(p.contains(
+      "struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_discount:double>"))
+  }
+
+  test("q3/q18: every dimension join is a broadcast hash join") {
+    val p3 = plan(Relational.q3JoinAgg(spark, sfDir))
+    assert(p3.split("BroadcastHashJoin").length - 1 >= 2, p3)
+    assert(!p3.contains("SortMergeJoin"))
+    val p18 = plan(Relational.q18StarJoin(spark, sfDir))
+    assert(p18.split("BroadcastHashJoin").length - 1 >= 3, p18)
+    assert(!p18.contains("CartesianProduct"))
+  }
+
+  test("x6: pair scoring runs on the compiled dot-product kernel") {
+    val p = plan(Extensions.x6EmbeddingNearDup(spark, sfDir))
+    assert(p.contains("graft_vec_dot"), p)
+    // norms are hoisted map-side: normsq is computed on the scan side,
+    // never per pair
+    assert(p.contains("graft_vec_normsq"))
+  }
+
+  test("x3: prefix-filter pipeline has no cartesian product and uses the " +
+      "merge-count verifier") {
+    val p = plan(Extensions.x3JaccardPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_sorted_intersect_count"))
+    assert(p.contains("graft_word_shingles"))
+  }
+
+  test("q1: aggregation is partial (map-side) before the single exchange") {
+    val p = plan(Relational.q1Agg(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    // one shuffle for the agg + one for the bounded sort
+    assert(p.split("Exchange").length - 1 <= 4)
+  }
+}
