@@ -64,6 +64,13 @@ final class Collection private[core] (
 
   /** Document count — the reference test suite's only oracle. */
   def count(): Long = if (hasData) read().count() else 0L
+
+  /** Register the collection as a temp view so the full Spark SQL
+    * surface queries it by name — the post-load query layer the
+    * reference delegated to its database (SURVEY §2.2).
+    */
+  def createView(viewName: String = name): Unit =
+    read().createOrReplaceTempView(viewName)
 }
 
 /** A "database" of collections rooted at a base path. */

@@ -83,6 +83,29 @@ class ParitySpec extends SparkSpec {
     assert(c.exists() && c.count() == 0)
   }
 
+  test("end-to-end user journey: load parquet → collection → SQL query") {
+    val db = freshDb()
+    val loader = new ParquetLoader(spark)
+    loader.load(s"$sfDir/lineitem.parquet", db.collection("li"))
+    loader.load(s"$sfDir/orders.parquet", db.collection("ord"))
+    db.collection("li").createView("li")
+    db.collection("ord").createView("ord")
+    val fromCollections = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM li JOIN ord ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 30
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_quantity") > 30)
+      .groupBy(col("o_orderpriority")).count()
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(fromCollections == direct && direct.nonEmpty)
+  }
+
   test("partitioned collection write prunes partitions on filtered reads") {
     import org.apache.spark.sql.SaveMode
     val c = freshDb().collection("cust_part")
