@@ -20,14 +20,17 @@ object Graft {
   def session(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_MASTER overrides for a real cluster (yarn, k8s, ...);
-    // shuffle partitions then come from cluster config, not `cpus`
+    // shuffle partitions then come from cluster config, not `cpus` —
+    // only a local master pins them to the core count
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    SparkSession
+    val builder = SparkSession
       .builder()
       .master(master)
       .appName(appName)
       .withExtensions(graft.expressions.GraftFunctions.register)
-      .config("spark.sql.shuffle.partitions", cpus)
+    (if (master.startsWith("local"))
+       builder.config("spark.sql.shuffle.partitions", cpus)
+     else builder)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -54,4 +57,14 @@ object Graft {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Plan-estimated size in bytes — for a cached-and-materialized plan
+    * this is the measured in-memory size, otherwise the optimizer's
+    * estimate. Used to gate explicit `broadcast()` hints on BYTES rather
+    * than row count: a row count says nothing about wide array/embedding
+    * payloads, which is exactly what the dedup/similarity verify joins
+    * carry.
+    */
+  def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
 }

@@ -22,8 +22,10 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecNormSq(a: Column): Column = c(VecNormSq(e(a)))
   def vecL2Sq(a: Column, b: Column): Column = c(VecL2Sq(e(a), e(b)))
-  def hyperplaneBucket(a: Column, nBits: Int): Column =
-    c(HyperplaneBucket(e(a), nBits))
+  def hyperplaneBucket(a: Column, nBits: Int, dim: Int = -1): Column =
+    c(HyperplaneBucket(e(a), nBits, dim))
+  def nearestCells(a: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column =
+    c(NearestCells(e(a), centroids, nProbe))
   def hyperplaneBands(a: Column, bands: Int, bitsPerBand: Int): Column =
     c(HyperplaneBands(e(a), bands, bitsPerBand))
   def wordShingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))

@@ -80,8 +80,7 @@ case class WordShingles(child: Expression, k: Int)
   * contract).
   */
 case class SortedArrayIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_sorted_intersect_count"
@@ -102,6 +101,38 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
     }
     c
   }
+
+  // Same two-pointer merge as eval, emitted into the enclosing
+  // whole-stage-codegen'd method — this is the per-candidate hot path of
+  // the dedup verifiers, and CodegenFallback here used to break codegen
+  // for the entire verify stage. All locals go through ctx.freshName so
+  // two instances can share one generated method.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedArrayIntersectCount =

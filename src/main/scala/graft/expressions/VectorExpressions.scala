@@ -2,8 +2,34 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Shared float-array extraction for the vector kernels, callable from
+  * both `eval` and generated code.
+  *
+  * `ArrayData.toFloatArray` has representation-dependent null behavior:
+  * the Unsafe path silently reads null slots as 0.0f while the generic
+  * path throws. [[floats]] pins ONE semantic — null elements read as
+  * 0.0f — for every physical representation, which for dot/norm sums is
+  * exactly DuckDB's `list_sum` null-skipping that the oracle uses.
+  */
+object VecKernels {
+  def floats(ad: ArrayData): Array[Float] = ad match {
+    // bulk primitive copy; the unsafe format already reads null slots as 0.0f
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      u.toFloatArray()
+    case _ =>
+      val n = ad.numElements()
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        if (!ad.isNullAt(i)) out(i) = ad.getFloat(i)
+        i += 1
+      }
+      out
+  }
+}
 
 /** Native codegen'd dense-vector kernels over `ArrayType(FloatType)`.
   *
@@ -36,8 +62,8 @@ case class VecDot(left: Expression, right: Expression)
   override def prettyName: String = "graft_vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
+    val ys = VecKernels.floats(b.asInstanceOf[ArrayData])
     val n = math.min(xs.length, ys.length)
     var acc = 0.0
     var i = 0
@@ -53,8 +79,8 @@ case class VecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |float[] $xs = $a.toFloatArray();
-         |float[] $ys = $b.toFloatArray();
+         |float[] $xs = graft.expressions.VecKernels.floats($a);
+         |float[] $ys = graft.expressions.VecKernels.floats($b);
          |int $n = Math.min($xs.length, $ys.length);
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) { $acc += (double) $xs[$i] * (double) $ys[$i]; }
@@ -75,7 +101,7 @@ case class VecNormSq(child: Expression)
   override def prettyName: String = "graft_vec_normsq"
 
   override protected def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
     var acc = 0.0
     var i = 0
     while (i < xs.length) { acc += xs(i).toDouble * xs(i).toDouble; i += 1 }
@@ -88,7 +114,7 @@ case class VecNormSq(child: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |float[] $xs = $a.toFloatArray();
+         |float[] $xs = graft.expressions.VecKernels.floats($a);
          |double $acc = 0.0;
          |for (int $i = 0; $i < $xs.length; $i++) { $acc += (double) $xs[$i] * (double) $xs[$i]; }
          |${ev.value} = $acc;
@@ -107,8 +133,8 @@ case class VecL2Sq(left: Expression, right: Expression)
   override def prettyName: String = "graft_vec_l2sq"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
+    val ys = VecKernels.floats(b.asInstanceOf[ArrayData])
     val n = math.min(xs.length, ys.length)
     var acc = 0.0
     var i = 0
@@ -129,8 +155,8 @@ case class VecL2Sq(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
-         |float[] $xs = $a.toFloatArray();
-         |float[] $ys = $b.toFloatArray();
+         |float[] $xs = graft.expressions.VecKernels.floats($a);
+         |float[] $ys = graft.expressions.VecKernels.floats($b);
          |int $n = Math.min($xs.length, $ys.length);
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -190,23 +216,29 @@ case class VecDotHofCompat(left: Expression, right: Expression)
   * history). Single compiled pass per row instead of nBits×dim
   * interpreted column ops.
   */
-case class HyperplaneBucket(child: Expression, nBits: Int)
+case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int = -1)
     extends UnaryExpression with CodegenFallback {
 
   require(nBits >= 1 && nBits <= 64,
     s"nBits must be in [1, 64] (bits are packed into one long), got $nBits")
+  require(dim == -1 || dim >= 1,
+    s"dim must be -1 (use the vector's own length) or >= 1, got $dim")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_hyperplane_bucket"
 
   override protected def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
+    // dim > 0 projects over only the first dim dimensions (a caller that
+    // passed dim pre-round-2 got exactly this; honor it rather than
+    // silently ignoring the parameter)
+    val lim = if (dim > 0) math.min(dim, xs.length) else xs.length
     var bucket = 0L
     var b = 0
     while (b < nBits) {
       var proj = 0.0
       var j = 0
-      while (j < xs.length) {
+      while (j < lim) {
         proj += xs(j).toDouble * HyperplaneBucket.coef(b, j)
         j += 1
       }
@@ -237,7 +269,7 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
   override def prettyName: String = "graft_hyperplane_bands"
 
   override protected def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
     val out = new Array[Long](bands)
     var band = 0
     while (band < bands) {
@@ -274,4 +306,85 @@ object HyperplaneBucket {
     z = z ^ (z >>> 31)
     (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
   }
+}
+
+/** The `nProbe` nearest centroid indices (squared-L2, ties → lower
+  * index) for a float vector — the IVF assign/probe step as ONE map-side
+  * compiled pass, no exchange.
+  *
+  * The centroid table rides inside the expression (it is bounded by
+  * nCells — tens to a few thousand vectors — the same thing a broadcast
+  * would ship, without the cross-join + per-row window the broadcast
+  * formulation needed: that window shuffled corpus×nCells rows on a
+  * unique per-row key, 16× the corpus through an exchange at any scale).
+  * Participates in whole-stage codegen via a reference-object call, so
+  * the enclosing stage stays compiled.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
+    nProbe: Int) extends UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val k: Int = math.min(nProbe, centroids.length)
+
+  /** Distances to all centroids, then k rounds of selection (k = nProbe
+    * is small — 1 for assignment, single digits for probing — so k·nCells
+    * beats a heap). Public: called from generated code.
+    */
+  def kernel(a: ArrayData): ArrayData = {
+    val xs = VecKernels.floats(a)
+    val nc = cents.length
+    val d2 = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cv = cents(c)
+      val n = math.min(xs.length, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = xs(i).toDouble - cv(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      d2(c) = acc
+      c += 1
+    }
+    val out = new Array[Any](k)
+    val taken = new Array[Boolean](nc)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < nc) {
+        // strict < keeps the lowest index on ties
+        if (!taken(j) && d2(j) < bestD) { best = j; bestD = d2(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
 }

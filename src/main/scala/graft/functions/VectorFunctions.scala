@@ -50,9 +50,21 @@ object VectorFunctions {
     * a long. The hyperplanes are a deterministic pseudo-random matrix
     * derived from (bit index, dimension index) via a splitmix-style hash,
     * so executors need no broadcast state and results are reproducible.
-    * (`dim` is retained for API compatibility; the kernel reads the
-    * vector's own length.)
+    * `dim = -1` (default) projects over the vector's own length; a
+    * positive `dim` caps the projection at the first `dim` dimensions,
+    * matching the pre-kernel behavior for callers that passed it.
     */
   def hyperplaneBucket(vec: Column, nBits: Int, dim: Int = -1): Column =
-    GraftFunctions.hyperplaneBucket(vec, nBits)
+    GraftFunctions.hyperplaneBucket(vec, nBits, dim)
+
+  /** The `nProbe` nearest centroids (squared L2, ties → lower index) as
+    * an int-array column — one compiled map-side pass, no exchange. The
+    * IVF assign (`nProbe = 1`) and probe steps.
+    */
+  def nearestCells(vec: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column =
+    GraftFunctions.nearestCells(vec, centroids, nProbe)
+
+  /** Single nearest-centroid index (the IVF assign step). */
+  def nearestCell(vec: Column, centroids: Seq[Seq[Float]]): Column =
+    nearestCells(vec, centroids, 1).getItem(0)
 }

@@ -51,22 +51,23 @@ object Multimodal {
   /** Batched per-partition decode: groups each partition's rows into
     * [[DecodeBatchSize]] chunks, runs the (stub) kernel once per chunk,
     * and emits the input row + decoded struct. Executed via
-    * `mapPartitions` on the internal row iterator — constant memory
-    * (one batch in flight per task), no shuffle, scales with partition
-    * count.
+    * `Dataset.mapPartitions` with an explicit row encoder — constant
+    * memory (one batch in flight per task), no shuffle, scales with
+    * partition count, and — unlike the earlier `df.rdd` +
+    * `createDataFrame` round trip — stays a single plan node, so
+    * whole-stage codegen resumes immediately downstream of the decode.
     */
   def decodePayloads(df: DataFrame, payloadCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("decoded", decodedSchema, nullable = false))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    df.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
         val decoded = decodeBatchStub(batch.map(_.getAs[Array[Byte]](payloadIdx)))
         batch.lazyZip(decoded).map { case (row, (w, h, c, ok)) =>
           Row.fromSeq(row.toSeq :+ Row(w, h, c, ok))
         }
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

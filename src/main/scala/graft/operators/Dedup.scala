@@ -70,24 +70,38 @@ object Dedup {
   private def prefixLenCol(n: org.apache.spark.sql.Column, t: Double) =
     n - ceil(n * t - 1e-9) + 1
 
-  /** Rows under which the shingle-set side of the verification join is
-    * broadcast. Above it (corpus scale) the join falls back to a
-    * shuffle join on the candidate ids.
+  /** Estimated BYTES under which a verification-join side is broadcast;
+    * above it (corpus scale) the join falls back to a shuffle join on
+    * the candidate ids. A byte gate, not a row gate: the broadcast side
+    * carries full shingle arrays / embeddings, so a million narrow rows
+    * and a thousand wide ones are not the same thing. Sized well under
+    * typical driver/executor memory.
     */
-  val VerifyBroadcastMaxRows = 1000000L
+  val VerifyBroadcastMaxBytes: Long = 128L << 20
+
+  /** Broadcast hint iff the (cached, materialized) frame's measured size
+    * fits [[VerifyBroadcastMaxBytes]]. Callers pass the CACHED base
+    * frame; the returned hint is applied to its projections.
+    */
+  private[graft] def sizedBroadcastHint(df: DataFrame)
+      : DataFrame => DataFrame = {
+    df.count() // materialize the cache so the size is measured, not guessed
+    if (graft.core.Graft.estimatedBytes(df) <= VerifyBroadcastMaxBytes)
+      broadcast(_)
+    else identity
+  }
 
   /** Verify candidate pairs with the exact set Jaccard: join the full
     * sets back, intersect per pair (merge-count via
     * [[graft.expressions.SortedArrayIntersectCount]] for sorted string
     * sets — O(n₁+n₂), no per-row hash set — `array_intersect` for other
     * element types), keep J ≥ threshold. Linear in the candidate count.
-    * `sets` is cached by the caller; its (already materialized) count
-    * picks broadcast vs shuffle for the two id joins.
+    * `sets` is cached by the caller; its measured in-memory size picks
+    * broadcast vs shuffle for the two id joins.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
-    val hint: DataFrame => DataFrame =
-      if (sets.count() <= VerifyBroadcastMaxRows) broadcast(_) else identity
+    val hint = sizedBroadcastHint(sets)
     val isString = sets.schema("sh").dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType, _) => true
@@ -129,8 +143,7 @@ object Dedup {
       : DataFrame = {
     val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
     val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df")).cache()
-    val dfHint: DataFrame => DataFrame =
-      if (dfreq.count() <= VerifyBroadcastMaxRows) broadcast(_) else identity
+    val dfHint = sizedBroadcastHint(dfreq)
     val prefix = post
       .join(dfHint(dfreq), "s")
       .withColumn("rn", row_number().over(

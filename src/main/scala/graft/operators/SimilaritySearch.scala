@@ -70,10 +70,10 @@ object SimilaritySearch {
       excludeSelf: Boolean = true, probeRadius: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       normSq(col(vecCol)).as("cn"),
-      hyperplaneBucket(col(vecCol), nBits).as("bucket"))
+      hyperplaneBucket(col(vecCol), nBits, dim).as("bucket"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"),
-      hyperplaneBucket(col(vecCol), nBits).as("qbucket"))
+      hyperplaneBucket(col(vecCol), nBits, dim).as("qbucket"))
     val flips: Seq[Long] = {
       val r1 = (0 until nBits).map(b => 1L << b)
       val r2 = for {
@@ -99,17 +99,32 @@ object SimilaritySearch {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Map-side IVF cell assignment: appends an int `cell` column — the
+    * nearest-centroid index (squared L2, ties → lower index) — computed
+    * by the compiled [[graft.expressions.NearestCells]] kernel. ZERO
+    * exchanges (PlanSpec-asserted): at any corpus size this is a pure
+    * map over the scan.
+    */
+  def assignCells(df: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Float]]): DataFrame =
+    df.withColumn("cell", nearestCell(col(vecCol), centroids))
+
   /** IVF (inverted-file) ANN top-k: a coarse k-means quantizer splits the
     * corpus into `nCells` cells; each query scores only vectors in its
-    * `nProbe` nearest cells. Everything is DataFrame-native with the
-    * compiled kernels — centroid training is Lloyd's algorithm expressed
-    * as (broadcast-argmin assign → posexplode → per-(cell,dim) mean →
-    * re-assemble), so it runs distributed at any corpus size.
+    * `nProbe` nearest cells.
     *
-    * At 100 TB: train on a sample, broadcast the (tiny) centroid table,
-    * assign map-side in one pass, and the probe join is an equi-join on
-    * the cell id. Per-query work drops from |corpus| to
-    * ~|corpus|·nProbe/nCells.
+    * The centroid table is bounded by nCells (tiny by construction), so
+    * Lloyd's algorithm keeps it driver-side and the assign step is ONE
+    * map-side compiled pass per row ([[assignCells]] /
+    * [[graft.expressions.NearestCells]]) — no exchange at all. The
+    * earlier formulation (broadcast cross-join + row_number window over a
+    * per-row unique id) shuffled corpus×nCells rows per iteration; the
+    * per-(cell,dim) mean is now the only shuffle, and it reduces to
+    * nCells·dim rows.
+    *
+    * At 100 TB: train on a sample, assign map-side in one pass, and the
+    * probe join is an equi-join on the cell id. Per-query work drops from
+    * |corpus| to ~|corpus|·nProbe/nCells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
@@ -118,46 +133,37 @@ object SimilaritySearch {
       normSq(col(vecCol)).as("cn")).cache()
 
     // deterministic init: first nCells vectors in id order
-    var centroids = c.orderBy(col("neighbor_id")).limit(nCells)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(col("neighbor_id"))) - 1).cast("int"))
-      .select(col("cell"), col("cv").as("cvec"))
-
-    def assign(df: DataFrame, vc: String): DataFrame = {
-      val w = Window.partitionBy(col("__rid")).orderBy(col("__d"), col("cell"))
-      df.withColumn("__rid", monotonically_increasing_id())
-        .crossJoin(broadcast(centroids))
-        .withColumn("__d", l2Sq(col(vc), col("cvec")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .drop("__d", "__rk", "__rid", "cvec")
-    }
+    var cents: Seq[Seq[Float]] = c.orderBy(col("neighbor_id")).limit(nCells)
+      .select(col("neighbor_id"), col("cv")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1)).toSeq
 
     for (_ <- 0 until kmeansIters) {
-      val assigned = assign(c, "cv")
-      centroids = assigned
+      // map-side assign, then one agg shuffle that reduces to
+      // nCells×dim rows — collected because the result IS the (tiny)
+      // centroid table
+      val means = assignCells(c, "cv", cents)
         .select(col("cell"), posexplode(col("cv")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("dims"))
-        .select(col("cell"),
-          transform(col("dims"), d => d.getField("m").cast("float"))
-            .as("cvec"))
-      centroids = broadcast(centroids).cache()
-      centroids.count()
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val v = new Array[Float](rows.map(_.getInt(1)).max + 1)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            v.toSeq
+          case None => old // a cell that lost all members keeps its centroid
+        }
+      }
     }
 
-    val cells = assign(c, "cv")
+    val cells = assignCells(c, "cv", cents)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("__d"), col("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2Sq(col("qv"), col("cvec")))
-      .withColumn("__rk", row_number().over(probeW))
-      .filter(col("__rk") <= nProbe)
+    val probes = q.withColumn("cell",
+        explode(nearestCells(col("qv"), cents, nProbe)))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
 
     val rankW = Window.partitionBy(col("query_id"))
@@ -207,8 +213,7 @@ object SimilaritySearch {
       normSq(col(vecCol)).as("nsq"),
       graft.expressions.GraftFunctions.hyperplaneBands(col(vecCol), bands,
         bitsPerBand).as("sig")).cache()
-    val hint: DataFrame => DataFrame =
-      if (v.count() <= 1000000L) broadcast(_) else identity
+    val hint = Dedup.sizedBroadcastHint(v)
     val banded = v.select(col("id"), posexplode(col("sig")))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val cand = banded.as("a")

@@ -56,4 +56,19 @@ class PlanSpec extends SparkSpec {
     // one shuffle for the agg + one for the bounded sort
     assert(p.split("Exchange").length - 1 <= 4)
   }
+
+  test("IVF cell assignment is map-only: zero exchanges scan→cell") {
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val cents = Seq(Seq(0.1f, 0.2f, -0.3f), Seq(0.9f, -0.3f, 0.0f))
+    val p = plan(
+      graft.operators.SimilaritySearch.assignCells(emb, "embedding", cents))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("graft_nearest_cells"), p)
+  }
+
+  test("x13: multimodal decode is one MapPartitions node, no RDD round-trip") {
+    val p = plan(Extensions.x13Multimodal(spark, sfDir))
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("MapPartitions"), p)
+  }
 }
