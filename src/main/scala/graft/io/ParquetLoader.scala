@@ -41,6 +41,17 @@ final class ParquetLoader(spark: SparkSession) {
 
   /** Register a per-type value transform applied before documents are
     * materialized (the reference's logical-type converter registry).
+    *
+    * Key granularity (deliberate, pinned by ParitySpec): the reference
+    * keys converters by Avro `LogicalType`
+    * (ParquetArangoLoader.java:74-76), so e.g. `timestamp-millis` and
+    * `timestamp-micros` columns could in principle get different
+    * converters. Spark normalizes both precisions to one microsecond
+    * timestamp type AT READ TIME — the millis/micros distinction does
+    * not exist in a DataFrame — so this registry keys by Spark
+    * `DataType`, the finest granularity the engine's data model carries.
+    * Distinctions Spark does keep (TimestampType vs TimestampNTZType,
+    * DateType, each DecimalType(p,s)) address distinct converters.
     */
   def addTypeConverter(dt: DataType, fn: Column => Column): this.type = {
     converters = converters + (dt -> fn)
