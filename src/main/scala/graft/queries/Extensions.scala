@@ -54,7 +54,13 @@ object Extensions {
     Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
       .orderBy(col("id1"), col("id2"))
 
-  /** x6: embedding-cosine near-dup pairs at ≥ 0.95. */
+  /** x6: embedding-cosine near-dup pairs at ≥ 0.95 — EXACT n² all-pairs
+    * form. VERIFICATION-ONLY: it exists to oracle-check and to measure
+    * the recall of [[x14NearDupLsh]], which is the production near-dup
+    * entry point (linear banding + equi-join; recall ≈ 1 at the 0.95
+    * design point, asserted on planted near-duplicates in the spec
+    * suite). Do not run x6 at corpus scale.
+    */
   def x6EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.95)

@@ -121,8 +121,54 @@ class SimilaritySpec extends SparkSpec {
     // this corpus is random noise (max pair cos ≈ 0.48), far below the
     // 0.95 design point, so banded recall here is genuinely partial —
     // assert it finds a nonzero share, and (above) that everything found
-    // is exact. The design-point recall (≈ 1 at cos ≥ 0.95) is a
-    // property of the band math, not reachable on this data.
+    // is exact. The design-point recall (≈ 1 at cos ≥ 0.95) is measured
+    // on planted near-duplicates in the next test.
     assert(lsh.nonEmpty, "banded LSH found nothing at all")
+  }
+
+  test("cosineNearDupPairsLSH: recall ≈ 1 on PLANTED near-dups at the " +
+      "cos ≥ 0.95 design point (x14 is the production path, x6 the verifier)") {
+    import graft.expressions.HyperplaneBucket
+    // plant 50 near-duplicates: deterministic small perturbations of the
+    // first 50 corpus vectors (additive noise ~1% of the vector norm →
+    // cos(v, v') ≈ 0.9999, comfortably above the threshold)
+    val base = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).take(50)
+    val planted = base.map { case (id, v) =>
+      val v2 = v.clone()
+      var i = 0
+      while (i < v2.length) {
+        // reuse the splitmix coefficient family as a seeded jitter source
+        v2(i) = v2(i) + 0.02f * HyperplaneBucket.coef(id.toInt, i).toFloat
+        i += 1
+      }
+      (id + 100000L, v2)
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding",
+        ArrayType(FloatType, containsNull = false), nullable = false)))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (base ++ planted).toSeq.map { case (id, v) => Row(id, v.toSeq) }, 8),
+      schema)
+    val exact = SimilaritySearch.cosineNearDupPairs(all, "vec_id",
+        "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // each planted twin forms exactly one strong pair with its original
+    assert(exact.size == 50, s"expected 50 planted pairs, got ${exact.size}")
+    val lsh = SimilaritySearch.cosineNearDupPairsLSH(all, "vec_id",
+        "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, c) =>
+      assert(exact.contains(pair) && exact(pair) == c, s"false positive $pair")
+    }
+    val recall = lsh.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    // 16 bands × 8 bits at cos ≈ 0.9999: per-band hit ≈ (1 − θ/π)⁸ ≈ 0.97,
+    // miss-all-bands probability ≈ 10⁻²⁴ — recall must be exactly 1 here
+    assert(recall == 1.0, s"banded recall at design point: $recall")
   }
 }
