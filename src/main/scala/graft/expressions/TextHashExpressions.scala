@@ -5,7 +5,6 @@ import java.util.regex.Pattern
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,14 +38,14 @@ private[expressions] object Tok {
   * linear merge.
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
-  override protected def nullSafeEval(t: Any): Any = {
+  override def kernel(t: Any): Any = {
     val toks = Tok.tokens(t.asInstanceOf[UTF8String])
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new mutable.HashSet[String]
@@ -146,14 +145,14 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
   * non-empty one on any band).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  override protected def nullSafeEval(v: Any): Any = {
+  override def kernel(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = Array.fill(numHashes)(Long.MaxValue)
@@ -205,12 +204,12 @@ object MinHashSignature {
   * set iff Σ_tokens (2·bitⱼ(xxhash64(token)) − 1) > 0.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
-  override protected def nullSafeEval(t: Any): Any = {
+  override def kernel(t: Any): Any = {
     val toks = Tok.tokens(t.asInstanceOf[UTF8String])
     val votes = new Array[Int](64)
     var i = 0

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
@@ -181,13 +181,12 @@ case class VecL2Sq(left: Expression, right: Expression)
   * nullability.
   */
 case class VecDotHofCompat(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegenNullable {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
   override def prettyName: String = "graft_vec_dot_hof"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def kernel(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
@@ -217,7 +216,7 @@ case class VecDotHofCompat(left: Expression, right: Expression)
   * interpreted column ops.
   */
 case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int = -1)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(nBits >= 1 && nBits <= 64,
     s"nBits must be in [1, 64] (bits are packed into one long), got $nBits")
@@ -227,7 +226,7 @@ case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int = -1)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_hyperplane_bucket"
 
-  override protected def nullSafeEval(a: Any): Any = {
+  override def kernel(a: Any): Any = {
     val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
     // dim > 0 projects over only the first dim dimensions (a caller that
     // passed dim pre-round-2 got exactly this; honor it rather than
@@ -259,7 +258,7 @@ case class HyperplaneBucket(child: Expression, nBits: Int, dim: Int = -1)
   * join: vectors sharing any (band, bucket) become candidates.
   */
 case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
     s"need bands >= 1 and 1 <= bitsPerBand <= 64, got ($bands, $bitsPerBand)")
@@ -268,7 +267,7 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int)
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_bands"
 
-  override protected def nullSafeEval(a: Any): Any = {
+  override def kernel(a: Any): Any = {
     val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
     val out = new Array[Long](bands)
     var band = 0
@@ -321,7 +320,7 @@ object HyperplaneBucket {
   * the enclosing stage stays compiled.
   */
 case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
-    nProbe: Int) extends UnaryExpression {
+    nProbe: Int) extends UnaryExpression with UnaryKernelCodegen {
 
   require(centroids.nonEmpty, "need at least one centroid")
   require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
@@ -335,10 +334,10 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
 
   /** Distances to all centroids, then k rounds of selection (k = nProbe
     * is small — 1 for assignment, single digits for probing — so k·nCells
-    * beats a heap). Public: called from generated code.
+    * beats a heap).
     */
-  def kernel(a: ArrayData): ArrayData = {
-    val xs = VecKernels.floats(a)
+  override def kernel(a: Any): Any = {
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
     val nc = cents.length
     val d2 = new Array[Double](nc)
     var c = 0
@@ -372,17 +371,6 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
       r += 1
     }
     new GenericArrayData(out)
-  }
-
-  override protected def nullSafeEval(a: Any): Any =
-    kernel(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("nearestCells", this,
-      classOf[NearestCells].getName)
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
-        s"$ref.kernel($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =

@@ -1,7 +1,6 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got ($k, $w)")
 
@@ -39,7 +38,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     p
   }
 
-  override protected def nullSafeEval(t: Any): Any = {
+  override def kernel(t: Any): Any = {
     val s = t.asInstanceOf[UTF8String].toString
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Any])

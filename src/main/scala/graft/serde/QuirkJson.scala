@@ -2,7 +2,6 @@ package graft.serde
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,14 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * counterpart: rows are trees by construction.
   */
 case class QuirkJson(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with graft.expressions.UnaryKernelCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_quirk_json"
 
   private lazy val schema = child.dataType.asInstanceOf[StructType]
 
-  override protected def nullSafeEval(v: Any): Any = {
+  override def kernel(v: Any): Any = {
     val sb = new java.lang.StringBuilder(256)
     QuirkJson.writeStruct(v.asInstanceOf[InternalRow], schema, sb)
     UTF8String.fromString(sb.toString)
