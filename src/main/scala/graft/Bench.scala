@@ -15,6 +15,14 @@ package graft
   * pass is hostage to host-level CPU steal on shared machines (observed
   * 10×+ inflation windows), and min-of-2 recovers the query's real cost
   * while still timing fully materialized `count()` executions.
+  *
+  * On the round-2 numbers (x6 183 s, x8 26 s, q10 4.4 s): those were
+  * measurement artifacts of a sustained host CPU-steal window covering
+  * both passes, not plans — the same round-2 code measured x6 ≈ 2.8 s,
+  * x8 ≈ 1.4 s, q10 ≈ 1.4 s in isolation before any round-3 change, and
+  * the full round-3 suite at sf0.1 totals ≈ 56 s (r2 driver log:
+  * ≈ 300 s). Min-of-2 cannot absorb steal that outlasts the whole run;
+  * treat cross-round deltas > 5× with suspicion unless a plan changed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
