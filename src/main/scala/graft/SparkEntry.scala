@@ -77,6 +77,7 @@ object SparkEntry {
     "x16_frequent_tokens" -> Extensions.x16FrequentTokens,
     "x17_knn_ivf" -> Extensions.x17KnnIvf,
     "x18_winnow_pairs" -> Extensions.x18WinnowPairs,
+    "x19_pipeline_stats" -> Extensions.x19PipelineStats,
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
@@ -452,6 +453,45 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x19_pipeline_stats" ->
+      s"""WITH dedup AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) d WHERE rn = 1),
+         |t AS (SELECT doc_id, text, $tokSql AS tk FROM dedup),
+         |c AS (SELECT doc_id, text, tk,
+         |  CAST(len(tk) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_cnt,
+         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) AS sum_len
+         |  FROM t),
+         |q AS (SELECT doc_id, text, tk, ROUND(
+         |  LEAST(n_tok/50, 1.0)*0.25 +
+         |  (1.0 - CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0 END)*0.25 +
+         |  LEAST(CASE WHEN n_tok > 0 THEN stop_cnt/n_tok ELSE 0 END*5, 1.0)*0.25 +
+         |  LEAST(CASE WHEN n_tok > 0 THEN sum_len/n_tok ELSE 0 END/8, 1.0)*0.25, 6) AS quality
+         |  FROM c),
+         |f AS (SELECT * FROM q WHERE quality >= 0.5),
+         |s AS (SELECT doc_id, text, quality,
+         |  len(list_intersect(list_distinct(tk), ['the','a','and','of','to','in','is','it','that','for'])) AS s_en,
+         |  len(list_intersect(list_distinct(tk), ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+         |  len(list_intersect(list_distinct(tk), ['le','la','les','et','un','une','est','que','pour','dans'])) AS s_fr,
+         |  len(list_intersect(list_distinct(tk), ['el','los','y','de','un','una','es','por','con','para'])) AS s_es
+         |  FROM f),
+         |l AS (SELECT doc_id, quality,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_id,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+         |  FROM s)
+         |SELECT lang_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+         |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_quality
+         |FROM l GROUP BY lang_id ORDER BY lang_id""".stripMargin,
     "x13_multimodal" ->
       // DuckDB's sha256 only accepts VARCHAR and hashes its UTF-8 bytes —
       // equal to Spark's sha2(encode(text,'UTF-8'), 256).

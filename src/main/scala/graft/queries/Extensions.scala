@@ -124,6 +124,31 @@ object Extensions {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** x19: composite curation pipeline — exact dedup → quality gate →
+    * language ID → per-language corpus budget (doc count, BPE token
+    * total, mean quality). The point is COMPOSITION: the dedup and text
+    * operators chain into one declarative plan — a single dedup shuffle,
+    * purely map-side scoring/filtering/tagging, and one final partial+
+    * final aggregation — exactly the shape a 100 TB training-data
+    * curation pass wants (no intermediate materialization, no
+    * driver-side loop). Mean quality goes through an exact decimal sum
+    * so the oracle compare is bit-stable across partitionings.
+    */
+  def x19PipelineStats(s: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.exact(docs(s, dir), "doc_id", "text")
+    val scored = deduped
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("lang_id", TextFunctions.langId(col("text")))
+      .withColumn("n_bpe", TextFunctions.bpeTokenCount(col("text")))
+    scored.groupBy(col("lang_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("total_bpe_tokens"),
+        (sum(col("quality").cast("decimal(38,6)")).cast("double") /
+          count(lit(1))).as("avg_quality"))
+      .orderBy(col("lang_id"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

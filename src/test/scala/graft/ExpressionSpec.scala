@@ -170,6 +170,21 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("hyperplaneBucket honors dim: capped projection = bucket of the " +
+      "truncated vector") {
+    val d = 16
+    val rows = emb.select(
+        GraftFunctions.hyperplaneBucket(col("embedding"), 12, d).as("capped"),
+        GraftFunctions.hyperplaneBucket(
+          slice(col("embedding"), 1, d), 12).as("truncated"),
+        GraftFunctions.hyperplaneBucket(col("embedding"), 12).as("full"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and it genuinely projects fewer dimensions than the default
+    assert(rows.exists(r => r.getLong(0) != r.getLong(2)))
+  }
+
   test("NearestCells matches a driver-side argmin, codegen and interpreted") {
     val cents: Seq[Seq[Float]] =
       emb.limit(8).collect().map(_.getSeq[Float](1)).toSeq

@@ -71,4 +71,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan ExistingRDD"), p)
     assert(p.contains("MapPartitions"), p)
   }
+
+  test("x14: banded near-dup plan has no cartesian/BNLJ pair enumeration") {
+    val p = plan(Extensions.x14NearDupLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_hyperplane_bands"), p)
+  }
+
+  test("x19: composite pipeline is one dedup shuffle + map-side scoring + " +
+      "one partial agg") {
+    val p = plan(Extensions.x19PipelineStats(spark, sfDir))
+    assert(p.contains("partial_"), p) // map-side combine before the agg
+    assert(!p.contains("CartesianProduct"))
+    // dedup window + final agg + bounded sort — nothing else shuffles
+    assert(p.split("Exchange").length - 1 <= 6, p)
+  }
 }
