@@ -38,7 +38,8 @@ object GraftFunctions {
     c(WinnowFingerprints(e(text), k, w))
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[VecDot].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def lit(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -76,6 +77,16 @@ object GraftFunctions {
       info("graft_sorted_intersect_count",
         "|A∩B| of two sorted distinct string arrays"),
       (args: Seq[Expression]) => SortedArrayIntersectCount(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_bands"),
+      info("graft_hyperplane_bands",
+        "per-band sign-bit LSH buckets of a float vector"),
+      (args: Seq[Expression]) =>
+        HyperplaneBands(args(0), lit(args(1)), lit(args(2)))))
+    ext.injectFunction((FunctionIdentifier("graft_winnow_fingerprints"),
+      info("graft_winnow_fingerprints",
+        "winnowed rolling-hash fingerprints of a text"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprints(args(0), lit(args(1)), lit(args(2)))))
     // optimizer rule: HOF dot-product pattern → compiled VecDot kernel
     ext.injectOptimizerRule(_ => VecKernelRewrite)
   }

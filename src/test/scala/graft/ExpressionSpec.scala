@@ -141,10 +141,16 @@ class ExpressionSpec extends SparkSpec {
       """SELECT graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |                     array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |       graft_simhash64('hello world') AS s,
-        |       size(graft_word_shingles('a b c d', 2)) AS n
+        |       size(graft_word_shingles('a b c d', 2)) AS n,
+        |       size(graft_hyperplane_bands(
+        |         array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 4, 8)) AS b,
+        |       size(graft_winnow_fingerprints(
+        |         'the quick brown fox jumps over the lazy dog', 8, 4)) AS w
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 4)
+    assert(r.getInt(4) > 0)
   }
 
   test("two SortedArrayIntersectCount instances compile in ONE codegen stage") {
