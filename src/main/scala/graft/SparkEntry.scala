@@ -80,9 +80,9 @@ object SparkEntry {
     "x19_pipeline_stats" -> Extensions.x19PipelineStats,
   )
 
-  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
+  private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
   private val sumDiscPrice =
-    "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -90,11 +90,11 @@ object SparkEntry {
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $sumQty AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
          |  $sumDiscPrice AS sum_disc_price,
          |  $sumQty/COUNT(l_quantity) AS avg_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
-         |  CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+         |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_quantity >= 0
          |GROUP BY l_returnflag, l_linestatus
@@ -120,14 +120,14 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_acctbal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q6_selective_agg" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
     "q7_topk_per_group" ->
@@ -139,9 +139,9 @@ object SparkEntry {
         |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
     "q8_window_analytic" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) OVER
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) OVER
         |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_rev,
         |  LAG(l_extendedprice, 1) OVER
         |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price,
         |  CAST(ROW_NUMBER() OVER
@@ -159,7 +159,7 @@ object SparkEntry {
     "q11_distinct_agg" ->
       """SELECT c_nationkey, COUNT(*) AS n_customers,
         |  COUNT(DISTINCT c_mktsegment) AS n_segments,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q12_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, $sumQty AS sum_qty, COUNT(*) AS n_rows
@@ -167,7 +167,7 @@ object SparkEntry {
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q13_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -186,7 +186,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
     "q15_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_spent
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_spent
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
     "q16_conditional_agg" ->
@@ -195,11 +195,11 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q17_avg_compare_join" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sum_price,
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_small
         |FROM lineitem
         |JOIN (SELECT l_partkey AS pk,
-        |        CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/COUNT(l_quantity) AS avg_qty
         |      FROM lineitem GROUP BY l_partkey) pa
         |  ON l_partkey = pk
         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
@@ -237,7 +237,7 @@ object SparkEntry {
         |ORDER BY click_id""".stripMargin,
     "q22_range_join" ->
       """SELECT band, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |JOIN (VALUES ('b0_50',0.0,50.0),('b50_100',50.0,100.0),
         |             ('b100_150',100.0,150.0),('b150_200',150.0,200.0),
@@ -247,12 +247,12 @@ object SparkEntry {
     "q23_hourly_agg" ->
       """SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q24_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_sessionize" ->
       """WITH g AS (
@@ -278,10 +278,10 @@ object SparkEntry {
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q26_scalar_subquery" ->
       """SELECT o_orderstatus, COUNT(*) AS n_above,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_above
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_above
         |FROM orders
         |WHERE o_totalprice > (
-        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(o_totalprice)
+        |  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)/COUNT(o_totalprice)
         |  FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q27_string_agg" ->
@@ -490,7 +490,7 @@ object SparkEntry {
          |  FROM s)
          |SELECT lang_id, COUNT(*) AS n_docs,
          |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
-         |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_quality
+         |  CAST(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_quality
          |FROM l GROUP BY lang_id ORDER BY lang_id""".stripMargin,
     "x13_multimodal" ->
       // DuckDB's sha256 only accepts VARCHAR and hashes its UTF-8 bytes —

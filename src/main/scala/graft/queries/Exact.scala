@@ -38,9 +38,18 @@ object Exact {
   def davg(c: Column, scale: Int = 4): Column =
     dsum(c, scale) / count(c)
 
-  /** Matching DuckDB/ANSI SQL fragment for [[dsum]]. */
+  /** Matching DuckDB/ANSI SQL fragment for [[dsum]].
+    *
+    * The final decimal→double cast goes through VARCHAR: DuckDB's direct
+    * `DECIMAL(38,s) → DOUBLE` cast divides two separately-rounded doubles
+    * (int128 numerator, 10^s) and is therefore not always correctly
+    * rounded, while Spark's `Decimal.toDouble` (BigDecimal.doubleValue)
+    * is. The string round-trip forces DuckDB through its correctly-
+    * rounded strtod, making both engines produce the identical last ulp
+    * (observed: q1/q18 at sf0.1 differ by exactly one ulp without this).
+    */
   def dsumSql(col: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($col AS DECIMAL(38,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($col AS DECIMAL(38,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** Matching DuckDB/ANSI SQL fragment for [[davg]]. */
   def davgSql(col: String, scale: Int = 4): String =
