@@ -78,6 +78,7 @@ object SparkEntry {
     "x17_knn_ivf" -> Extensions.x17KnnIvf,
     "x18_winnow_pairs" -> Extensions.x18WinnowPairs,
     "x19_pipeline_stats" -> Extensions.x19PipelineStats,
+    "x20_dedup_clusters" -> Extensions.x20DedupClusters,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -386,6 +387,7 @@ object SparkEntry {
     // exact counterparts (x3 / x6 / x7 / countDistinct) is asserted in
     // the spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
+    "x20_dedup_clusters" -> dedupClustersSql,
     "x6_embedding_neardup" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings)
          |SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -518,8 +520,11 @@ object SparkEntry {
     * brute-force x3 and (recall 1.0 on this corpus, asserted in specs)
     * the MinHash-LSH x4.
     */
-  private val jaccardPairsSql =
-    s"""WITH toks AS (
+  /** Shared CTE chain computing the exact 3-gram Jaccard pairs (x3); the
+    * x20 oracle extends it with a recursive reachability closure.
+    */
+  private val jaccardPairsCtes =
+    s"""toks AS (
        |  SELECT doc_id, $tokSql AS tk FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
@@ -530,9 +535,30 @@ object SparkEntry {
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id1, id2, ROUND(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
-       |FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
-       |WHERE ROUND(c*1.0/(s1.n + s2.n - c), 6) >= 0.6
-       |ORDER BY id1, id2""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id1, id2, ROUND(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
+       |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       |  WHERE ROUND(c*1.0/(s1.n + s2.n - c), 6) >= 0.6)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH $jaccardPairsCtes
+       |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin
+
+  /** x20: transitive closure over the pair graph (recursive CTE), then
+    * cluster id = min reachable node — semantically identical to the
+    * engine's min-label-propagation fixpoint.
+    */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION
+       |  SELECT id2 AS a, id1 AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 }

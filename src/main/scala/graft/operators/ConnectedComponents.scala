@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair list — the dedup
+  * CLUSTERING step: near-dup PAIRS (x3/x4/x14 output) → duplicate
+  * CLUSTERS, so a curation pipeline can keep exactly one representative
+  * per cluster instead of dropping only one side of each pair.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id and repeatedly adopts the minimum label in
+  * its closed neighborhood until no label changes. Each round is two
+  * hash-partitioned shuffles (edge-label join + groupBy min) over the
+  * EDGE list only — nothing is collected to the driver, no per-row
+  * windows — and the loop runs O(component diameter) rounds. Near-dup
+  * components are small and dense (duplicates of one document all link
+  * to each other), so 2–4 rounds close the fixpoint in practice. At
+  * extreme diameters swap the edge rewrite for large-star/small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC 2014) — the driver loop and convergence check are
+  * identical.
+  *
+  * The reference has no graph/clustering surface at all; this extends
+  * the dedup family (SURVEY §2.2) with the operator that makes pair
+  * output actionable.
+  *
+  * Output: one row per node appearing in `pairs` — (id, cluster) with
+  * cluster = minimum reachable node id, a deterministic canonical
+  * representative (partitioning-independent).
+  */
+object ConnectedComponents {
+
+  def clusters(pairs: DataFrame, id1: String, id2: String): DataFrame = {
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .cache()
+      // one action per round: materializes `next` and counts label moves
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+}

@@ -149,6 +149,21 @@ object Extensions {
       .orderBy(col("lang_id"))
   }
 
+  /** x20: duplicate CLUSTERS from the exact Jaccard pairs — connected
+    * components via distributed min-label propagation
+    * ([[graft.operators.ConnectedComponents]]). Pairs say "these two are
+    * dups"; clusters say "keep ONE representative of this whole group",
+    * which is what a dedup pass actually deletes by. cluster_id = min
+    * doc_id of the component (deterministic canonical representative).
+    */
+  def x20DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+      k = 3, threshold = 0.6)
+    graft.operators.ConnectedComponents.clusters(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

@@ -97,4 +97,38 @@ class OperatorSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("ConnectedComponents: known graph fixpoint + union-find agreement " +
+      "on the real x3 pairs") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // path 1-2-3, pair 5-6, triangle 10-11-12 (+ chord), singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val got = ConnectedComponents.clusters(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // real pair graph: agree with a driver-side union-find
+    val real = graft.operators.Dedup.jaccardShinglePairs(
+      graft.core.Graft.table(spark, sfDir, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.6)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(real.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    real.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val gotReal = graft.queries.Extensions.x20DedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal == expected)
+  }
 }
