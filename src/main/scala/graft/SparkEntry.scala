@@ -79,6 +79,7 @@ object SparkEntry {
     "x18_winnow_pairs" -> Extensions.x18WinnowPairs,
     "x19_pipeline_stats" -> Extensions.x19PipelineStats,
     "x20_dedup_clusters" -> Extensions.x20DedupClusters,
+    "x21_hash_split" -> Extensions.x21HashSplit,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -388,6 +389,14 @@ object SparkEntry {
     // the spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     "x20_dedup_clusters" -> dedupClustersSql,
+    "x21_hash_split" ->
+      """SELECT lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' THEN 'test'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '1' THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "x6_embedding_neardup" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings)
          |SELECT a.vec_id AS id1, b.vec_id AS id2,

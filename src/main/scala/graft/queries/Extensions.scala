@@ -164,6 +164,24 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x21: deterministic hash split — train/val/test assignment by the
+    * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
+    * sampling pattern for training pipelines: the split is a pure
+    * function of the row key, so it is stable across runs, engines,
+    * partitionings, and incremental re-ingests (a re-processed document
+    * always lands in the same split — no RNG state to version). Map-only
+    * except the final stats aggregation.
+    */
+  def x21HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs(s, dir)
+      .withColumn("split",
+        when(h === "0", "test").when(h === "1", "val").otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact
