@@ -80,6 +80,7 @@ object SparkEntry {
     "x19_pipeline_stats" -> Extensions.x19PipelineStats,
     "x20_dedup_clusters" -> Extensions.x20DedupClusters,
     "x21_hash_split" -> Extensions.x21HashSplit,
+    "x22_shard_assign" -> Extensions.x22ShardAssign,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -397,6 +398,16 @@ object SparkEntry {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "x22_shard_assign" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+        |      AS prior_chars
+        |  FROM documents)
+        |SELECT lang, CAST(FLOOR(prior_chars / 65536) AS INTEGER) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+        |FROM r GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "x6_embedding_neardup" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings)
          |SELECT a.vec_id AS id1, b.vec_id AS id2,

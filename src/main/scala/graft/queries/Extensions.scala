@@ -182,6 +182,30 @@ object Extensions {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** x22: training-shard assignment — pack documents into ~64 KB-of-text
+    * shards per language by a running character total in deterministic
+    * doc_id order (shard = floor(cumulative_chars / target)). This is
+    * the "write the dataset as fixed-size shards" step of a training
+    * pipeline, expressed as a PARTITIONED window (one shuffle per
+    * language partition, each language's packing independent) — the
+    * scalable form, unlike a global ordered window; per-language skew at
+    * extreme scale is handled by sub-partitioning the same construction
+    * on (lang, hash-bucket).
+    */
+  def x22ShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .withColumn("shard",
+        floor((sum(col("n_chars")).over(w) - col("n_chars")) / 65536L)
+          .cast("int"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact
