@@ -32,8 +32,14 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   def clusters(pairs: DataFrame, id1: String, id2: String): DataFrame = {
-    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+    // symmetrize with ONE evaluation of `pairs` (an explode, not a
+    // union: union's two branches would each re-run the upstream plan —
+    // for pair generators like the Jaccard pipeline that doubles the
+    // dominant cost)
+    val edges = pairs.select(explode(array(
+        struct(col(id1).as("src"), col(id2).as("dst")),
+        struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
