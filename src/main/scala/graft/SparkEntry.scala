@@ -81,6 +81,7 @@ object SparkEntry {
     "x20_dedup_clusters" -> Extensions.x20DedupClusters,
     "x21_hash_split" -> Extensions.x21HashSplit,
     "x22_shard_assign" -> Extensions.x22ShardAssign,
+    "x23_label_centroids" -> Extensions.x23LabelCentroids,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -408,6 +409,17 @@ object SparkEntry {
         |SELECT lang, CAST(FLOOR(prior_chars / 65536) AS INTEGER) AS shard,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars
         |FROM r GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    // parallel unnest zips the two lists pairwise in DuckDB; range(n) is
+    // 0-based like Spark's posexplode pos
+    "x23_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding) AS val
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 100000000) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 100000000.0) AS m
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x6_embedding_neardup" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings)
          |SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -206,6 +206,26 @@ object Extensions {
       .orderBy(col("lang"), col("shard"))
   }
 
+  /** x23: per-label embedding centroids (class prototypes) — mean vector
+    * per label as (label, pos, m) rows. The embedding-aggregation
+    * pattern behind IVF training, prototype classifiers, and cluster
+    * summaries: posexplode → per-(label,dim) partial+final agg — one
+    * shuffle of |labels|·dim rows regardless of corpus size.
+    *
+    * Determinism: float components are quantized to 1e-8 by
+    * floor(x·10⁸) and summed as exact longs, so the mean is independent
+    * of partitioning AND engine — summing raw doubles is
+    * order-dependent, and double→DECIMAL quantization rounds differently
+    * in Spark (shortest-string) vs DuckDB (binary). floor of the same
+    * IEEE product is bit-identical everywhere.
+    */
+  def x23LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("col").cast("double") * 1e8).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1e8))).as("m"))
+      .orderBy(col("label"), col("pos"))
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact
