@@ -79,6 +79,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_hyperplane_bands"), p)
   }
 
+  test("x22/x23: shard window is lang-partitioned; centroid agg is partial") {
+    val p22 = plan(Extensions.x22ShardAssign(spark, sfDir))
+    // the packing window partitions by lang — never a global ordered window
+    assert(p22.contains("partial_"), p22)
+    val p23 = plan(Extensions.x23LabelCentroids(spark, sfDir))
+    assert(p23.contains("partial_"), p23) // map-side combine on (label,pos)
+    assert(!p23.contains("CartesianProduct"))
+  }
+
   test("x19: composite pipeline is one dedup shuffle + map-side scoring + " +
       "one partial agg") {
     val p = plan(Extensions.x19PipelineStats(spark, sfDir))
