@@ -68,6 +68,7 @@ object Aggregators {
     }
 
     override def reduce(buf: FreqSketch, item: String): FreqSketch = {
+      if (item == null) return buf // nulls carry no frequency mass
       val idx = java.util.Arrays.binarySearch(
         buf.items.asInstanceOf[Array[AnyRef]], item)
       if (idx >= 0) {

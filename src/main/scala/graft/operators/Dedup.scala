@@ -85,7 +85,14 @@ object Dedup {
     */
   private[graft] def sizedBroadcastHint(df: DataFrame)
       : DataFrame => DataFrame = {
-    df.count() // materialize the cache so the size is measured, not guessed
+    // materialize the cache so the size is measured, not guessed — but
+    // only if a prior action hasn't already loaded the column buffers
+    // (saves one redundant cached job per verify join)
+    val alreadyLoaded = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder.isCachedColumnBuffersLoaded
+    }.getOrElse(false)
+    if (!alreadyLoaded) df.count()
     if (graft.core.Graft.estimatedBytes(df) <= VerifyBroadcastMaxBytes)
       broadcast(_)
     else identity

@@ -132,11 +132,27 @@ object SimilaritySearch {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       normSq(col(vecCol)).as("cn")).cache()
 
-    // deterministic init: first nCells vectors in id order
+    // deterministic init: first nCells vectors in id order. collect() on
+    // a sorted limit preserves the sort, so this works for ANY orderable
+    // id type (long, int, string) — no driver-side re-sort needed.
     var cents: Seq[Seq[Float]] = c.orderBy(col("neighbor_id")).limit(nCells)
-      .select(col("neighbor_id"), col("cv")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1)).toSeq
+      .select(col("cv")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+
+    if (cents.isEmpty)
+      // empty corpus: nothing to index; return an empty result with the
+      // output schema instead of tripping NearestCells' nonEmpty require
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            queries.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType))))
 
     for (_ <- 0 until kmeansIters) {
       // map-side assign, then one agg shuffle that reduces to

@@ -55,6 +55,15 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("Space-Saving reduce ignores null inputs instead of NPEing") {
+    import graft.functions.Aggregators.FrequentItems
+    val agg = new FrequentItems(k = 2, capacity = 4)
+    val buf = Seq("a", null, "a", null, "b")
+      .foldLeft(agg.zero)((b, i) => agg.reduce(b, i))
+    val out = agg.finish(buf).map(f => (f.item, f.count))
+    assert(out == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("Space-Saving merge never loses tracked mass (absence bound applied)") {
     import graft.functions.Aggregators.FrequentItems
     val agg = new FrequentItems(k = 2, capacity = 2)

@@ -87,6 +87,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.length == 50) // 10 queries × k
   }
 
+  test("ivfTopK works with non-Long id columns (string ids)") {
+    val sEmb = emb.select(concat(lit("doc-"), format_string("%04d",
+      col("vec_id"))).as("vec_id"), col("embedding"))
+    val got = SimilaritySearch.ivfTopK(sEmb,
+        sEmb.filter(col("vec_id") < "doc-0005"), "vec_id", "embedding", 3)
+      .collect()
+    assert(got.length == 15) // 5 queries × k=3
+    got.foreach { r =>
+      val (q, n) = (r.getString(0), r.getString(2))
+      val c = cos(vecs(q.stripPrefix("doc-").toLong),
+        vecs(n.stripPrefix("doc-").toLong))
+      assert(r.getDouble(3) == round6(c), s"cos mismatch $q,$n")
+    }
+  }
+
+  test("ivfTopK on an empty corpus returns an empty frame, not an error") {
+    val none = emb.filter(lit(false))
+    val got = SimilaritySearch.ivfTopK(none,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("query_id", "rk", "neighbor_id", "cos"))
+  }
+
   test("cosineNearDupPairs matches driver-side brute force at threshold 0.4") {
     val t = 0.4
     val expected = (for {
