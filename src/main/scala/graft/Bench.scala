@@ -16,19 +16,28 @@ package graft
   * 10×+ inflation windows), and min-of-2 recovers the query's real cost
   * while still timing fully materialized `count()` executions.
   *
-  * On the round-2 numbers (x6 183 s, x8 26 s, q10 4.4 s): those were
-  * measurement artifacts of a sustained host CPU-steal window covering
-  * both passes, not plans — the same round-2 code measured x6 ≈ 2.8 s,
-  * x8 ≈ 1.4 s, q10 ≈ 1.4 s in isolation before any round-3 change, and
-  * the full round-3 suite at sf0.1 totals ≈ 56 s (r2 driver log:
-  * ≈ 300 s). Min-of-2 cannot absorb steal that outlasts the whole run;
-  * treat cross-round deltas > 5× with suspicion unless a plan changed.
+  * On the round-2 numbers (x6 183 s, x8 26 s, q10 4.4 s) and round-3's
+  * x3 112 s: measurement artifacts of sustained host CPU-steal windows
+  * covering every timed pass, not plans — the same code measured
+  * x6 ≈ 2.8 s (r2) and x3 ≈ 7 s (r3) in isolation with no code change.
+  * Min-of-N cannot absorb steal that outlasts the whole run, so each
+  * pass now also records the JVM's measured process-CPU seconds: a pass
+  * whose wall time balloons while its CPU seconds stay flat was starved
+  * by the host, not slowed by the plan. Treat cross-round deltas > 5×
+  * with suspicion unless `pass_cpu` moved too.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Graft.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
 
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
@@ -45,22 +54,34 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
 
-    val p1 = pass()
     // operators cache intermediate sets and never unpersist (lazy results
     // depend on them); clearing between passes bounds block-manager
-    // growth at one pass's worth and keeps pass-2 timings honest (JIT
-    // warm, data cold)
-    spark.catalog.clearCache()
-    val p2 = pass()
-    val results = p1.zip(p2).map { case ((n, s1, ok1), (_, s2, ok2)) =>
-      (n, math.min(s1, s2), ok1 && ok2)
+    // growth at one pass's worth and keeps later-pass timings honest
+    // (JIT warm, data cold)
+    val nPasses = 3
+    val passes = Seq.newBuilder[Seq[(String, Double, Boolean)]]
+    val wall = Seq.newBuilder[Double]
+    val cpu = Seq.newBuilder[Double]
+    for (_ <- 0 until nPasses) {
+      val (w0, c0) = (System.nanoTime(), processCpuSec)
+      passes += pass()
+      wall += (System.nanoTime() - w0) / 1e9
+      cpu += processCpuSec - c0
+      spark.catalog.clearCache()
+    }
+    val all = passes.result()
+    val results = all.head.indices.map { i =>
+      val rows = all.map(_(i))
+      (rows.head._1, rows.map(_._2).min, rows.forall(_._3))
     }
     val qs = results.map { case (k, sec, ok) =>
       s""""$k":{"sec":$sec,"ok":$ok}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    def arr(xs: Seq[Double]) =
+      xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
