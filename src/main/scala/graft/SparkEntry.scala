@@ -82,6 +82,12 @@ object SparkEntry {
     "x21_hash_split" -> Extensions.x21HashSplit,
     "x22_shard_assign" -> Extensions.x22ShardAssign,
     "x23_label_centroids" -> Extensions.x23LabelCentroids,
+    "x24_tfidf" -> Extensions.x24TfIdf,
+    "x25_bm25" -> Extensions.x25Bm25,
+    "x26_stratified_sample" -> Extensions.x26StratifiedSample,
+    "x27_inverted_index" -> Extensions.x27InvertedIndex,
+    "x28_length_histogram" -> Extensions.x28LengthHistogram,
+    "x29_contamination" -> Extensions.x29Contamination,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -526,6 +532,116 @@ object SparkEntry {
          |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
          |  CAST(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_quality
          |FROM l GROUP BY lang_id ORDER BY lang_id""".stripMargin,
+    // x24/x25: IDF-bearing scores quantized to 1e-8 longs before any
+    // ranking/summing — ln() may differ by an ulp across engines, but a
+    // 1-ulp idf error lands on a floor() boundary with probability
+    // ~1e-8 per distinct (N, df[, tf, dl]) combination; rankings and
+    // sums are then exact integer arithmetic.
+    "x24_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf,
+        |    CAST(tf * CAST(FLOOR(ln((CAST(n_total AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 100000000) AS BIGINT) AS BIGINT) AS score_q
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, score_q,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, token, tf,
+        |  CAST(score_q AS DOUBLE) / 100000000 AS score
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, token""".stripMargin,
+    "x25_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS dl
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n_total, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        |       WHERE token IN ('dup', 'join', 'fast') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(FLOOR(
+        |      ln(1.0 + (CAST(n_total AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * 2.2) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_total AS DOUBLE))))))
+        |      * 100000000) AS BIGINT) AS contrib_q
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, COUNT(*) AS n_hit,
+        |  CAST(SUM(contrib_q) AS DOUBLE) / 100000000 AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY SUM(contrib_q) DESC, doc_id LIMIT 20""".stripMargin,
+    "x26_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars FROM r
+        |WHERE rn <= (cnt * 1 + 9) // 10
+        |ORDER BY lang, doc_id""".stripMargin,
+    "x27_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT doc_id, token, tf,
+        |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM tf)
+        |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END,
+        |             ',' ORDER BY doc_id) AS postings
+        |FROM ranked GROUP BY token ORDER BY token""".stripMargin,
+    "x28_length_histogram" ->
+      """WITH b AS (
+        |  SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |  FROM documents)
+        |SELECT CAST(LENGTH(bin(CAST(n_bpe AS BIGINT))) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n_bpe) AS INTEGER) AS min_tokens,
+        |  CAST(MAX(n_bpe) AS INTEGER) AS max_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "x29_contamination" ->
+      """WITH split AS (
+        |  SELECT doc_id, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents),
+        |tetoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        |  FROM split WHERE h = '0'),
+        |tesh0 AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END) AS shl
+        |  FROM tetoks),
+        |ten AS (SELECT doc_id, len(shl) AS n FROM tesh0),
+        |tesh AS (SELECT doc_id, unnest(shl) AS s FROM tesh0),
+        |trtoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        |  FROM split WHERE h <> '0' AND h <> '1'),
+        |trsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END)) AS s
+        |  FROM trtoks),
+        |shared AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM tesh JOIN trsh USING (s) GROUP BY 1)
+        |SELECT ten.doc_id, CAST(n AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(n_shared, 0) * 5 >= n * 4 AND n > 0 AS INTEGER) AS contaminated
+        |FROM ten LEFT JOIN shared USING (doc_id) ORDER BY doc_id""".stripMargin,
     "x13_multimodal" ->
       // DuckDB's sha256 only accepts VARCHAR and hashes its UTF-8 bytes —
       // equal to Spark's sha2(encode(text,'UTF-8'), 256).

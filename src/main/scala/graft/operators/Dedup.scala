@@ -245,6 +245,40 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** Train/test contamination report — the decontamination primitive of
+    * an evaluation pipeline: for every test document, how much of its
+    * k-shingle set also appears ANYWHERE in the training corpus.
+    * Output: (id, n_shingles, n_shared, contaminated) where
+    * `contaminated` ⇔ n_shared/n_shingles ≥ num/den, compared in exact
+    * integer space (n_shared·den ≥ n_shingles·num) so the flag is
+    * engine- and partitioning-independent. Documents too short to form a
+    * shingle report (0, 0, false).
+    *
+    * Scale shape: the training side collapses to its DISTINCT shingle
+    * set first (linear shuffle keyed by shingle — at 100 TB this is the
+    * small side: shingle vocabulary grows sublinearly in corpus size),
+    * then one equi-join against the exploded test shingles and one
+    * per-doc count. No pairwise doc×doc work anywhere — membership in
+    * the train set is all that matters, which is what makes this form
+    * scale where a doc-pair overlap join would not.
+    */
+  def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, k: Int, num: Int = 4, den: Int = 5): DataFrame = {
+    val trainShingles = shingleSets(train, idCol, textCol, k)
+      .select(explode(col("sh")).as("s")).distinct()
+    val testSets = shingleSets(test, idCol, textCol, k)
+    val shared = testSets.select(col("id"), explode(col("sh")).as("s"))
+      .join(trainShingles, "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+    testSets.select(col("id"), col("n").cast("long").as("n_shingles"))
+      .join(shared, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated",
+        col("n_shared") * den >= col("n_shingles") * num &&
+          col("n_shingles") > 0)
+  }
+
   /** 64-bit SimHash over whitespace tokens (weight = occurrence count).
     * One compiled pass per row.
     */

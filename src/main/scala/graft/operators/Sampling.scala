@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Randomness comes from a cryptographic hash of the row key, never an
+  * RNG: the sample is a pure function of the data, so it is identical
+  * across runs, engines, partitionings, and incremental re-ingests —
+  * the property that makes dataset splits and ablation samples
+  * reproducible (same rationale as the x21 hash split).
+  */
+object Sampling {
+
+  /** Exact-rate stratified sample: EXACTLY ⌈n_g · num/den⌉ rows from
+    * each group, chosen by md5-hash order of the id (uniform within the
+    * group, deterministic). All rank arithmetic is integer, so the
+    * selection is engine-exact.
+    *
+    * Scale shape: one shuffle keyed by the group column; each group is
+    * ranked independently (partitioned window, no global sort). For
+    * groups big enough that a per-group sort hurts, the approximate-rate
+    * alternative is a pure map-side hash-threshold filter
+    * (md5(id) < rate·2¹²⁸) — this operator is the exact-count form.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      rateNum: Int, rateDen: Int): DataFrame = {
+    require(rateNum >= 0 && rateDen > 0, "rate must be a valid fraction")
+    val h = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    val cw = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      // keep rn <= ceil(cnt·num/den), computed as (cnt·num + den−1) div den
+      .filter(col("__rn") <=
+        expr(s"(__cnt * $rateNum + ${rateDen - 1}) div $rateDen"))
+      .drop("__rn", "__cnt")
+  }
+}

@@ -226,6 +226,87 @@ object Extensions {
           .cast("double") / (count(lit(1)) * lit(1e8))).as("m"))
       .orderBy(col("label"), col("pos"))
 
+  /** x24: TF-IDF top-3 terms per document — rare-term surfacing over the
+    * corpus ([[graft.operators.Retrieval.tfIdfTopTerms]]). The planted
+    * 'dup' marker token (df ≈ 5 % of docs) dominates its documents'
+    * rankings, which is exactly what the operator is for. Ranking
+    * happens on 1e-8-quantized integer scores → engine-exact.
+    */
+  def x24TfIdf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.tfIdfTopTerms(docs(s, dir), "doc_id", "text",
+        topK = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("score").desc, col("token"))
+
+  /** x25: BM25 top-20 documents for a fixed query-term bag
+    * ([[graft.operators.Retrieval.bm25TopDocs]]). Per-term contributions
+    * quantize to integer 1e-8 units before the per-doc sum, so scores
+    * and ranking are independent of partitioning and engine.
+    */
+  def x25Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopDocs(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("dup", "join", "fast"), topK = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** x26: exact-rate stratified sample — ⌈10 %⌉ of each language,
+    * selected by md5-hash order ([[graft.operators.Sampling]]); the
+    * reproducible ablation-sample pattern (pure function of the keys,
+    * no RNG state).
+    */
+  def x26StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(docs(s, dir), "lang",
+        "doc_id", rateNum = 1, rateDen = 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** x27: inverted index over the corpus — per-term document frequency,
+    * corpus frequency, and a capped ascending postings preview
+    * ([[graft.operators.Retrieval.invertedIndex]]).
+    */
+  def x27InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.invertedIndex(docs(s, dir), "doc_id", "text",
+        postingsCap = 8)
+      .orderBy(col("token"))
+
+  /** x28: sequence-length histogram — documents bucketed by
+    * ⌊log₂(BPE-token count)⌋ (computed exactly as the bit length of the
+    * integer count, no floating log). The "what sequence lengths will
+    * training see" distribution over the corpus; map-side bucket +
+    * one tiny aggregation.
+    */
+  def x28LengthHistogram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+      .withColumn("bucket", length(bin(col("n_bpe").cast("long"))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("total_tokens"),
+        min(col("n_bpe")).as("min_tokens"),
+        max(col("n_bpe")).as("max_tokens"))
+      .orderBy(col("bucket"))
+
+  /** x29: train/test contamination report
+    * ([[graft.operators.Dedup.contaminationReport]]) — the
+    * decontamination step of an eval pipeline, run over the x21 hash
+    * split (test = md5 first hex digit '0', train = the '2'..'f'
+    * buckets; the 'val' bucket is excluded from both sides). A test doc
+    * is contaminated when ≥ 80 % of its word-3-shingles appear anywhere
+    * in train — on this corpus that is every seeded near-duplicate
+    * whose twin landed in train, plus vocabulary-driven short docs.
+    */
+  def x29Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val train = d.filter(h =!= "0" && h =!= "1")
+    val test = d.filter(h === "0")
+    Dedup.contaminationReport(train, test, "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      // int, not boolean: keeps the oracle compare type-exact in DuckDB
+      .withColumn("contaminated", col("contaminated").cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

@@ -88,6 +88,27 @@ class PlanSpec extends SparkSpec {
     assert(!p23.contains("CartesianProduct"))
   }
 
+  test("x24/x25: retrieval scoring joins are broadcast, corpus scalars " +
+      "ride as one-row broadcasts, no cartesian blowup") {
+    val p24 = plan(Extensions.x24TfIdf(spark, sfDir))
+    // the only nested-loop join allowed is the 1-row corpus-size scalar
+    // (a broadcast); the dictionary join must never be a cartesian
+    assert(!p24.contains("CartesianProduct"), p24)
+    assert(p24.contains("partial_"), p24) // map-side combine on (id, token)
+    val p25 = plan(Extensions.x25Bm25(spark, sfDir))
+    assert(!p25.contains("CartesianProduct"), p25)
+    // top-k is a bounded TakeOrdered, not a global sort
+    assert(p25.contains("TakeOrderedAndProject"), p25)
+  }
+
+  test("x29: contamination is membership against the DISTINCT train-" +
+      "shingle set — equi-joins only, no doc-pair enumeration") {
+    val p = plan(Extensions.x29Contamination(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_word_shingles"), p)
+  }
+
   test("x19: composite pipeline is one dedup shuffle + map-side scoring + " +
       "one partial agg") {
     val p = plan(Extensions.x19PipelineStats(spark, sfDir))

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Dedup, Retrieval, Sampling}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Operator-level properties for the retrieval / sampling /
+  * decontamination operators — hand-computed fixtures and invariants the
+  * SQL oracles can't express (stability across partitionings, exact
+  * per-group sample counts, planted contamination).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("tfIdfTopTerms: hand-computed fixture, integer-exact ranking") {
+    // 4 docs; 'rare' appears in 1, 'common' in all
+    val df = docsDf(
+      1L -> "common rare common",
+      2L -> "common common",
+      3L -> "common x",
+      4L -> "common y")
+    val got = Retrieval.tfIdfTopTerms(df, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1)
+    // doc 1: 'rare' idf = ln(5/2) > 'common' idf = ln(5/5)=0 even at tf 2
+    val d1 = got(1L).sortBy(-_._4)
+    assert(d1.head._2 == "rare")
+    assert(d1.head._4 == math.floor(math.log(5.0 / 2.0) * 1e8) / 1e8)
+    // 'common' everywhere has idf ln(1)=0 → score exactly 0
+    got.values.flatten.filter(_._2 == "common").foreach(t =>
+      assert(t._4 == 0.0, s"common should score 0, got $t"))
+  }
+
+  test("bm25TopDocs: matching docs ranked above non-matching, fixture score") {
+    val df = docsDf(
+      1L -> "alpha beta gamma",
+      2L -> "alpha alpha beta",
+      3L -> "delta epsilon zeta")
+    val got = Retrieval.bm25TopDocs(df, "doc_id", "text",
+        Seq("alpha"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only docs 1 and 2 match; doc 2 has higher tf → higher score
+    assert(got.map(_._1).toSeq == Seq(2L, 1L))
+    // fixture check of doc 1: N=3, df=2, dl=3, avgdl=3, tf=1
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val contrib = idf * ((1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (3.0 / 3.0))))
+    assert(got.find(_._1 == 1L).get._3 == math.floor(contrib * 1e8) / 1e8)
+  }
+
+  test("invertedIndex: postings capped but df/cf aggregate everything") {
+    val df = docsDf((1L to 12L).map(i => i -> "tok tok"): _*)
+    val got = Retrieval.invertedIndex(df, "doc_id", "text", postingsCap = 8)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("token") == "tok")
+    assert(r.getAs[Long]("df") == 12L)   // all 12 docs counted
+    assert(r.getAs[Long]("cf") == 24L)   // tf 2 each
+    assert(r.getAs[String]("postings") == (1L to 8L).mkString(","))
+  }
+
+  test("stratifiedSample: exactly ceil(n_g·rate) per group, stable " +
+      "across partitionings, sample is a subset of the input") {
+    val df = (1L to 95L).map(i => (if (i % 3 == 0) "a" else "b", i))
+      .toDF("grp", "id")
+    def runOn(parts: Int): Map[String, Seq[Long]] =
+      Sampling.stratifiedSample(df.repartition(parts), "grp", "id", 1, 10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val s4 = runOn(4)
+    // group a: 31 rows → ceil(3.1) = 4; group b: 64 → ceil(6.4) = 7
+    assert(s4("a").length == 4, s"a: ${s4("a")}")
+    assert(s4("b").length == 7, s"b: ${s4("b")}")
+    assert(runOn(1) == s4 && runOn(13) == s4,
+      "sample must not depend on partitioning")
+  }
+
+  test("contaminationReport: planted overlap flagged, disjoint and " +
+      "too-short docs not") {
+    val train = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs")
+    val test = docsDf(
+      10L -> "the quick brown fox jumps over the lazy dog", // full copy
+      11L -> "waltz bad nymph for quick jigs vex",           // disjoint
+      12L -> "two words")                                    // no shingles
+    val got = Dedup.contaminationReport(train, test, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(10L)._3, "full copy must be contaminated")
+    assert(got(10L)._1 == got(10L)._2, "every shingle of the copy is shared")
+    assert(!got(11L)._3 && got(11L)._2 == 0L, "disjoint doc clean")
+    assert(got(12L) == ((0L, 0L, false)), "sub-shingle doc reports zeros")
+  }
+}
