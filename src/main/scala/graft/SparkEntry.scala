@@ -88,6 +88,7 @@ object SparkEntry {
     "x27_inverted_index" -> Extensions.x27InvertedIndex,
     "x28_length_histogram" -> Extensions.x28LengthHistogram,
     "x29_contamination" -> Extensions.x29Contamination,
+    "x30_topk_agg" -> Extensions.x30TopKAgg,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -141,6 +142,15 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
     "q7_topk_per_group" ->
+      """SELECT l_suppkey, CAST(rk AS INTEGER) AS rk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |      FROM lineitem) ranked
+        |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+    // x30 computes q7's exact semantics through the bounded-state TopK
+    // aggregator — same oracle, different (scale-safe) physical plan
+    "x30_topk_agg" ->
       """SELECT l_suppkey, CAST(rk AS INTEGER) AS rk, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |        ROW_NUMBER() OVER (PARTITION BY l_suppkey

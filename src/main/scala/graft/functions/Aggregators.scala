@@ -178,4 +178,97 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[FreqItem]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[FreqItem]]()
   }
+
+  /** One retained row in the top-k buffer: ranked by score DESC, then
+    * key1 ASC, then key2 ASC (deterministic total order — key1/key2 are
+    * the caller's unique tiebreakers).
+    */
+  case class ScoredRow(score: Double, key1: Long, key2: Long)
+
+  /** Top-k buffer as parallel arrays in rank order, capped at k — a flat
+    * product the Tungsten struct encoder serializes directly.
+    */
+  case class TopKBuf(scores: Array[Double], key1s: Array[Long],
+      key2s: Array[Long]) {
+    def size: Int = scores.length
+  }
+
+  /** Per-group top-k with BOUNDED state: each partition keeps at most k
+    * (score, key1, key2) rows per group and partial-merges them — the
+    * 100 TB alternative to a ranking window, which must SORT every
+    * group's full contents under one exchange. Here the exchange carries
+    * at most k rows per (group, partition) and the merge is an O(k)
+    * two-pointer pass; no per-group sort ever happens. Results are
+    * identical to `row_number() <= k` over (score DESC, key1, key2) —
+    * asserted against q7's window form in the spec suite and by the x30
+    * oracle.
+    */
+  class TopKRows(k: Int) extends Aggregator[ScoredRow, TopKBuf,
+      Seq[ScoredRow]] {
+    require(k >= 1, "need k >= 1")
+
+    override def zero: TopKBuf =
+      TopKBuf(Array.empty, Array.empty, Array.empty)
+
+    // rank order: score DESC, key1 ASC, key2 ASC
+    private def ranksBefore(s1: Double, a1: Long, b1: Long,
+        s2: Double, a2: Long, b2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && (a1 < a2 || (a1 == a2 && b1 < b2)))
+
+    override def reduce(buf: TopKBuf, in: ScoredRow): TopKBuf = {
+      val n = buf.size
+      if (n == k && !ranksBefore(in.score, in.key1, in.key2,
+          buf.scores(n - 1), buf.key1s(n - 1), buf.key2s(n - 1)))
+        return buf // worse than the current k-th: O(1) reject hot path
+      var ins = 0
+      while (ins < n && ranksBefore(buf.scores(ins), buf.key1s(ins),
+          buf.key2s(ins), in.score, in.key1, in.key2)) ins += 1
+      val m = math.min(n + 1, k)
+      val scores = new Array[Double](m)
+      val key1s = new Array[Long](m)
+      val key2s = new Array[Long](m)
+      System.arraycopy(buf.scores, 0, scores, 0, ins)
+      System.arraycopy(buf.key1s, 0, key1s, 0, ins)
+      System.arraycopy(buf.key2s, 0, key2s, 0, ins)
+      scores(ins) = in.score; key1s(ins) = in.key1; key2s(ins) = in.key2
+      val tail = m - ins - 1 // rows kept after the insertion point
+      System.arraycopy(buf.scores, ins, scores, ins + 1, tail)
+      System.arraycopy(buf.key1s, ins, key1s, ins + 1, tail)
+      System.arraycopy(buf.key2s, ins, key2s, ins + 1, tail)
+      TopKBuf(scores, key1s, key2s)
+    }
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      if (a.size == 0) return b
+      if (b.size == 0) return a
+      val m = math.min(a.size + b.size, k)
+      val scores = new Array[Double](m)
+      val key1s = new Array[Long](m)
+      val key2s = new Array[Long](m)
+      var i = 0; var j = 0; var d = 0
+      while (d < m) {
+        val takeA = j >= b.size || (i < a.size &&
+          ranksBefore(a.scores(i), a.key1s(i), a.key2s(i),
+            b.scores(j), b.key1s(j), b.key2s(j)))
+        if (takeA) {
+          scores(d) = a.scores(i); key1s(d) = a.key1s(i); key2s(d) = a.key2s(i)
+          i += 1
+        } else {
+          scores(d) = b.scores(j); key1s(d) = b.key1s(j); key2s(d) = b.key2s(j)
+          j += 1
+        }
+        d += 1
+      }
+      TopKBuf(scores, key1s, key2s)
+    }
+
+    override def finish(buf: TopKBuf): Seq[ScoredRow] =
+      buf.scores.indices.map(ix =>
+        ScoredRow(buf.scores(ix), buf.key1s(ix), buf.key2s(ix)))
+
+    override def bufferEncoder: Encoder[TopKBuf] =
+      Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[ScoredRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredRow]]()
+  }
 }

@@ -307,6 +307,27 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x30: top-k per group via the bounded-state [[graft.functions
+    * .Aggregators.TopKRows]] aggregator — identical results to q7's
+    * ranking window (same oracle SQL), but the exchange carries at most
+    * k rows per (group, partition) instead of every row, and no
+    * per-group sort happens anywhere. THE form for top-k-per-key at
+    * 100 TB when groups are large.
+    */
+  def x30TopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopKRows(3))
+    Graft.table(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber").cast("long")).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.key1").as("l_orderkey"),
+        col("col.key2").cast("int").as("l_linenumber"),
+        col("col.score").as("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rk"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

@@ -109,6 +109,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_word_shingles"), p)
   }
 
+  test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
+    val p = plan(Extensions.x30TopKAgg(spark, sfDir))
+    assert(!p.contains("Window"), p) // the whole point: no per-group sort
+    assert(p.contains("partial_topkrows"), p) // map-side combine of buffers
+  }
+
   test("x19: composite pipeline is one dedup shuffle + map-side scoring + " +
       "one partial agg") {
     val p = plan(Extensions.x19PipelineStats(spark, sfDir))

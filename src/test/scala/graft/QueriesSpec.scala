@@ -55,6 +55,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("TopKRows equals the ranking-window top-k on every partitioning, " +
+      "and its buffer never exceeds k rows") {
+    import graft.functions.Aggregators.{ScoredRow, TopKRows}
+    val agg = new TopKRows(3)
+    // driver-side property check over a skewed stream with score ties
+    val rows = (1L to 200L).map(i =>
+      ScoredRow((i % 7).toDouble, i % 13, i))
+    val expected = rows.sortBy(r => (-r.score, r.key1, r.key2)).take(3)
+    // any split into partial buffers then merged must agree
+    for (chunks <- Seq(1, 3, 7, 200)) {
+      val bufs = rows.grouped(math.max(1, rows.size / chunks)).map(part =>
+        part.foldLeft(agg.zero)(agg.reduce)).toSeq
+      bufs.foreach(b => assert(b.size <= 3, "bounded state violated"))
+      val merged = bufs.reduce(agg.merge)
+      assert(agg.finish(merged) == expected, s"chunks=$chunks")
+    }
+    // distributed: x30 equals q7 row-for-row (same oracle semantics)
+    val q7 = graft.queries.Relational.q7TopKPerGroup(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val x30 = graft.queries.Extensions.x30TopKAgg(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(x30 == q7)
+  }
+
   test("Space-Saving reduce ignores null inputs instead of NPEing") {
     import graft.functions.Aggregators.FrequentItems
     val agg = new FrequentItems(k = 2, capacity = 4)
