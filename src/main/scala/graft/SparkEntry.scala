@@ -89,6 +89,8 @@ object SparkEntry {
     "x28_length_histogram" -> Extensions.x28LengthHistogram,
     "x29_contamination" -> Extensions.x29Contamination,
     "x30_topk_agg" -> Extensions.x30TopKAgg,
+    "x31_approx_percentiles" -> Extensions.x31ApproxPercentiles,
+    "x32_token_entropy" -> Extensions.x32TokenEntropy,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -652,6 +654,23 @@ object SparkEntry {
         |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
         |  CAST(COALESCE(n_shared, 0) * 5 >= n * 4 AND n > 0 AS INTEGER) AS contaminated
         |FROM ten LEFT JOIN shared USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // x31_approx_percentiles: GK sketch is engine-specific → no SQL
+    // oracle; relative error vs exact q32 is asserted in the spec suite.
+    "x32_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |qq AS (
+        |  SELECT tf.lang, n,
+        |    CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 10000000000) AS BIGINT) AS q
+        |  FROM tf JOIN n USING (lang))
+        |SELECT lang, n AS n_tokens, COUNT(*) AS vocab,
+        |  CAST(SUM(q) AS DOUBLE) / 10000000000 AS entropy
+        |FROM qq GROUP BY lang, n ORDER BY lang""".stripMargin,
     "x13_multimodal" ->
       // DuckDB's sha256 only accepts VARCHAR and hashes its UTF-8 bytes —
       // equal to Spark's sha2(encode(text,'UTF-8'), 256).

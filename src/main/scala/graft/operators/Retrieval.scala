@@ -110,21 +110,27 @@ object Retrieval {
   /** Inverted index: one row per term with document frequency, corpus
     * frequency, and the first `postingsCap` doc ids (ascending) as a
     * comma-joined postings preview. df/cf aggregate over ALL postings;
-    * only the preview string is capped (`log`ged nowhere — the cap is
-    * part of the output contract, not silent truncation). Built from
-    * the same (id, term, tf) frame as TF-IDF: explode → per-term
-    * aggregation, one shuffle keyed by term.
+    * only the preview string is capped (the cap is part of the output
+    * contract, not silent truncation).
+    *
+    * ONE aggregation keyed by term, and the postings cap runs through
+    * the bounded-state [[graft.functions.Aggregators.TopKRows]] buffer
+    * (score = −id ⇒ rank order = ascending id) — NOT a per-term ranking
+    * window: stopword-class terms have corpus-sized posting lists, and
+    * a window would sort each of them in full under the exchange, while
+    * the top-k buffer carries at most `postingsCap` rows per (term,
+    * partition) and merges in O(cap).
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       postingsCap: Int): DataFrame = {
     val tf = termFrequencies(df, idCol, textCol)
-    val w = Window.partitionBy(col("token")).orderBy(col("id"))
-    tf.withColumn("rn", row_number().over(w))
-      .groupBy(col("token"))
+    val firstIds = udaf(new graft.functions.Aggregators.TopKRows(postingsCap))
+    tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).as("cf"),
-        array_join(transform(
-          array_sort(collect_list(when(col("rn") <= postingsCap, col("id")))),
-          _.cast("string")), ",").as("postings"))
+        firstIds(-col("id").cast("double"), col("id"), lit(0L)).as("top"))
+      .withColumn("postings",
+        array_join(transform(col("top.key1"), _.cast("string")), ","))
+      .drop("top")
   }
 }

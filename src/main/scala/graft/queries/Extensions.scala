@@ -328,6 +328,52 @@ object Extensions {
       .orderBy(col("l_suppkey"), col("rk"))
   }
 
+  /** x31: approximate percentiles via the Greenwald-Khanna sketch
+    * (`percentile_approx`) — the 100 TB path for q32's exact
+    * interpolated percentiles: bounded sketch state, mergeable
+    * partials, no full sort of the column. Engine-specific sketch → no
+    * SQL oracle; relative error vs the exact q32 values is asserted in
+    * the spec suite.
+    */
+  def x31ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("median_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+          .as("p95_price"),
+        percentile_approx(col("l_discount"), lit(0.25), lit(1000))
+          .as("p25_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** x32: per-language token Shannon entropy + vocabulary stats — the
+    * corpus-profiling diagnostic of a data-quality pipeline (collapsed
+    * entropy flags templated/duplicated corpora before training sees
+    * them). Per-token contributions −p·ln p are quantized to 1e-10
+    * longs before the sum (same engine-exactness construction as
+    * x23/x24: the sum is exact integer arithmetic, ln's last-ulp
+    * wobble can only flip a floor with probability ~1e-10 per distinct
+    * (c, N) pair).
+    */
+  def x32TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val n = tf.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    tf.join(n, "lang")
+      .withColumn("q", floor(-p * log(p) * lit(1e10)).cast("long"))
+      .groupBy(col("lang"), col("n"))
+      .agg(count(lit(1)).as("vocab"),
+        (sum(col("q")).cast("double") / lit(1e10)).as("entropy"))
+      .select(col("lang"), col("n").cast("long").as("n_tokens"),
+        col("vocab"), col("entropy"))
+      .orderBy(col("lang"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

@@ -115,6 +115,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topkrows"), p) // map-side combine of buffers
   }
 
+  test("x27: inverted index is window-free — postings cap via the " +
+      "bounded top-k buffer, one term-keyed aggregation") {
+    val p = plan(Extensions.x27InvertedIndex(spark, sfDir))
+    assert(!p.contains("Window"), p) // no per-term full-postings sort
+    assert(p.contains("partial_topkrows"), p)
+  }
+
   test("x19: composite pipeline is one dedup shuffle + map-side scoring + " +
       "one partial agg") {
     val p = plan(Extensions.x19PipelineStats(spark, sfDir))

@@ -79,6 +79,20 @@ class QueriesSpec extends SparkSpec {
     assert(x30 == q7)
   }
 
+  test("x31 approx percentiles track the exact q32 values within 5%") {
+    val exact = graft.queries.Relational.q32Percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.queries.Extensions.x31ApproxPercentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, es) <- exact; (e, a) <- es.zip(approx(flag))) {
+      val err = if (e == 0.0) math.abs(a) else math.abs(a - e) / math.abs(e)
+      assert(err <= 0.05, s"$flag: approx $a vs exact $e")
+    }
+  }
+
   test("Space-Saving reduce ignores null inputs instead of NPEing") {
     import graft.functions.Aggregators.FrequentItems
     val agg = new FrequentItems(k = 2, capacity = 4)

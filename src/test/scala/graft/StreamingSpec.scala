@@ -47,6 +47,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom mergeable UDAFs (FrequentItems, TopKRows) aggregate " +
+      "incrementally in a windowed stream and equal their batch result") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val freq = udaf(new graft.functions.Aggregators.FrequentItems(3, 64))
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF.toDF("ts", "token")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(freq(col("token")).as("top"))
+      .select(col("window.start").as("ws"), col("top"))
+    val q = stream.writeStream.format("memory").queryName("stream_freq")
+      .outputMode("complete").start()
+    try {
+      // two incremental additions into the same window: the sketch state
+      // must merge across micro-batches, not recompute from scratch
+      input.addData(Seq(ts(1) -> "a", ts(2) -> "a", ts(3) -> "b"))
+      q.processAllAvailable()
+      input.addData(Seq(ts(4) -> "b", ts(5) -> "b", ts(6) -> "c"))
+      q.processAllAvailable()
+      val got = spark.table("stream_freq").collect()
+      assert(got.length == 1)
+      val top = got.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1)))
+      // capacity 64 >> vocab → exact: b:3, a:2, c:1
+      assert(top == Seq(("b", 3L), ("a", 2L), ("c", 1L)), top.toString)
+    } finally q.stop()
+  }
+
   test("sessionWindowAgg closes gap-separated sessions like the batch rule") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
