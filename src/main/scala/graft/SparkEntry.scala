@@ -91,6 +91,8 @@ object SparkEntry {
     "x30_topk_agg" -> Extensions.x30TopKAgg,
     "x31_approx_percentiles" -> Extensions.x31ApproxPercentiles,
     "x32_token_entropy" -> Extensions.x32TokenEntropy,
+    "x33_quantization_error" -> Extensions.x33QuantizationError,
+    "x34_knn_rerank" -> Extensions.x34KnnRerank,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -671,6 +673,22 @@ object SparkEntry {
         |SELECT lang, n AS n_tokens, COUNT(*) AS vocab,
         |  CAST(SUM(q) AS DOUBLE) / 10000000000 AS entropy
         |FROM qq GROUP BY lang, n ORDER BY lang""".stripMargin,
+    // x34_knn_rerank: engine-side prefix-dot coarse ranking → no SQL
+    // oracle; recall vs x7 asserted in the spec suite.
+    "x33_quantization_error" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS val FROM embeddings),
+        |m AS (SELECT vec_id, MAX(ABS(CAST(val AS DOUBLE))) AS maxabs
+        |      FROM e GROUP BY 1),
+        |qq AS (
+        |  SELECT e.vec_id,
+        |    CAST(FLOOR(CAST(val AS DOUBLE) / (maxabs / 127.0) + 0.5) AS BIGINT) AS q,
+        |    CAST(val AS DOUBLE) - CAST(FLOOR(CAST(val AS DOUBLE) / (maxabs / 127.0) + 0.5) AS BIGINT) * (maxabs / 127.0) AS d
+        |  FROM e JOIN m USING (vec_id) WHERE maxabs > 0)
+        |SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS dim,
+        |  MAX(q) AS max_q, MIN(q) AS min_q,
+        |  CAST(SUM(CAST(FLOOR(d * d * 1000000000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000000000 / COUNT(*) AS mse
+        |FROM qq GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "x13_multimodal" ->
       // DuckDB's sha256 only accepts VARCHAR and hashes its UTF-8 bytes —
       // equal to Spark's sha2(encode(text,'UTF-8'), 256).

@@ -195,6 +195,49 @@ object SimilaritySearch {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Two-stage ANN: a cheap coarse pass scores only the first `dPrefix`
+    * dimensions (a prefix slice — the pattern behind truncation-robust
+    * "matryoshka"-style embeddings and PCA-front-loaded codebooks), keeps
+    * the top k·`overfetch` per query, then reranks ONLY those survivors
+    * with the exact full-dimension cosine. Per-candidate coarse cost
+    * drops by dim/dPrefix; the exact kernel touches k·overfetch rows per
+    * query instead of the corpus. Recall vs brute force is asserted in
+    * the spec suite (it depends on how much variance the prefix carries —
+    * on random-noise embeddings this is the worst case).
+    *
+    * At 100 TB: the coarse pass composes with [[lshTopK]]/[[ivfTopK]]
+    * bucketing (slice before scoring); the rerank join stays k·overfetch
+    * per query regardless of corpus size.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dPrefix: Int, overfetch: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      slice(col(vecCol), 1, dPrefix).as("cvp"),
+      normSq(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      slice(col(vecCol), 1, dPrefix).as("qvp"),
+      normSq(col(vecCol)).as("qn"))
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val survivors = c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      // coarse score: prefix dot only — no sqrt, no full-dim work
+      .withColumn("coarse", dot(col("qvp"), col("cvp")))
+      .withColumn("crk", row_number().over(coarseW))
+      .filter(col("crk") <= k * overfetch)
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    survivors
+      .withColumn("cos",
+        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ threshold),
     * EXACT via all-pairs self-join. Squared norms are hoisted map-side;
     * the per-pair cost is one compiled dot product. Right for

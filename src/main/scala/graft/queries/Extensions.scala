@@ -374,6 +374,51 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  /** x33: int8 embedding quantization error audit — per-vector max-abs
+    * scale (the symmetric int8 scheme), quantize/dequantize, and the
+    * reconstruction MSE. The storage-compression sanity check of an
+    * embedding pipeline (4× smaller vectors; is the error acceptable?).
+    * Per-dim squared errors are quantized to 1e-12 longs before the sum
+    * (engine-exact, same construction as x23); the quantized values
+    * themselves are integer floor(x/scale + 0.5) — deterministic in both
+    * engines. Expressed as posexplode + two vec_id-keyed aggs to mirror
+    * the oracle exactly; at corpus scale the same arithmetic runs as a
+    * map-side compiled kernel per row (no explode) — the explode form is
+    * the oracle-checkable twin.
+    */
+  def x33QuantizationError(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), explode(col("embedding")).as("val"))
+      .withColumn("x", col("val").cast("double"))
+    val m = e.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("maxabs"))
+    e.join(m, "vec_id").filter(col("maxabs") > 0)
+      .withColumn("scale", col("maxabs") / lit(127.0))
+      .withColumn("q", floor(col("x") / col("scale") + lit(0.5)).cast("long"))
+      .withColumn("d", col("x") - col("q").cast("double") * col("scale"))
+      .withColumn("e_q", floor(col("d") * col("d") * lit(1e12)).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("int").as("dim"),
+        max(col("q")).as("max_q"),
+        min(col("q")).as("min_q"),
+        (sum(col("e_q")).cast("double") / lit(1e12) / count(lit(1)))
+          .as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** x34: two-stage rerank ANN — coarse top-(k·4) on the first 16 of 64
+    * dims, exact cosine rerank of survivors
+    * ([[graft.operators.SimilaritySearch.rerankTopK]]). Engine-side
+    * ranking on prefix dots → no SQL oracle; recall vs x7 brute force is
+    * asserted in the spec suite (random-noise embeddings are the
+    * worst case for a prefix coarse pass, so the spec floor is honest).
+    */
+  def x34KnnRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilaritySearch.rerankTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dPrefix = 16, overfetch = 8)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

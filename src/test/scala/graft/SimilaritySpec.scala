@@ -87,6 +87,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.length == 50) // 10 queries × k
   }
 
+  test("rerankTopK: returned cosines exact, recall above floor, and " +
+      "full-prefix rerank equals brute force") {
+    val k = 5
+    val brute = SimilaritySearch.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2),
+        r.getDouble(3)))
+    val rer = SimilaritySearch.rerankTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k,
+        dPrefix = 16, overfetch = 8)
+      .collect()
+    // every returned cosine is the true full-dim cosine
+    rer.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(c == round6(cos(vecs(q), vecs(n))), s"cos mismatch $q,$n")
+    }
+    val bruteSet = brute.map(t => (t._1._1, t._2)).toSet
+    val rerSet = rer.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bruteSet & rerSet).size.toDouble / bruteSet.size
+    // random-noise corpus: a 16-of-64-dim prefix is the worst case for a
+    // coarse pass; deterministic value for this corpus, floor below it
+    assert(recall >= 0.3, s"rerank recall collapsed: $recall")
+    // when the coarse pass keeps >= the whole corpus, the rerank IS the
+    // exact brute force (coarse ordering can't drop anything)
+    val full = SimilaritySearch.rerankTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k,
+        dPrefix = 16, overfetch = 100)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2),
+        r.getDouble(3)))
+    assert(full.toSeq == brute.toSeq,
+      "rerank with corpus-sized overfetch must equal brute force")
+  }
+
   test("ivfTopK works with non-Long id columns (string ids)") {
     val sEmb = emb.select(concat(lit("doc-"), format_string("%04d",
       col("vec_id"))).as("vec_id"), col("embedding"))
