@@ -70,4 +70,71 @@ object Multimodal {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /** STUB resize kernel: a real one hands the batch to an image library
+    * and gets targetW×targetH×3 pixel buffers back; the stub emits a
+    * deterministic buffer of exactly that size (bytes cycled from the
+    * input), preserving the two properties downstream code depends on:
+    * fixed output size and pure function of (payload, target).
+    */
+  private def resizeBatchStub(batch: Seq[Array[Byte]], targetW: Int,
+      targetH: Int): Seq[Array[Byte]] =
+    batch.map { bytes =>
+      if (bytes.isEmpty) Array.emptyByteArray
+      else Array.tabulate(targetW * targetH * 3)(i => bytes(i % bytes.length))
+    }
+
+  /** Batched binary→binary transform (resize / re-encode): same
+    * per-partition batch execution shape as [[decodePayloads]], output is
+    * a new fixed-size binary column — the 1-row→1-row media transform.
+    * Constant memory: one batch of decoded buffers in flight per task.
+    */
+  def resizePayloads(df: DataFrame, payloadCol: String, targetW: Int,
+      targetH: Int): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType, nullable = false),
+      StructField("resized_bytes", IntegerType, nullable = false)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        val out = resizeBatchStub(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)), targetW, targetH)
+        batch.lazyZip(out).map { case (row, buf) =>
+          Row.fromSeq(row.toSeq ++ Seq(buf, buf.length))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Batched 1-row→N-row frame sampling (the video verb): the payload is
+    * cut into fixed-size "frames" (a real codec seeks keyframes; the
+    * stub slices `frameBytes` chunks) and every `everyNth` frame is
+    * emitted as its own row with (frame_idx, frame_ms, frame payload).
+    * This is the row-exploding media transform — the shape that turns a
+    * video corpus into a frame corpus for captioning/embedding. Output
+    * rows carry all input columns, so downstream operators (dedup,
+    * similarity, quality) compose directly on frames.
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int,
+      everyNth: Int, frameMs: Int = 40): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0, "need positive frame params")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ms", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val bytes = row.getAs[Array[Byte]](payloadIdx)
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by everyNth).iterator.map { f =>
+            val frame = java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+              math.min((f + 1) * frameBytes, bytes.length))
+            Row.fromSeq(row.toSeq ++ Seq(f, f * frameMs, frame))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -98,6 +98,62 @@ class OperatorSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("Multimodal resize: fixed-size output buffers, pure function of " +
+      "(payload, target), single MapPartitions plan node") {
+    import graft.multimodal.Multimodal
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(100)
+    val resized = Multimodal.resizePayloads(
+      Multimodal.attachPayload(docs, "text"), "payload", 32, 24)
+    val p = resized.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Scan ExistingRDD"), p)
+    val rows = resized.select(col("n_bytes"), col("resized"),
+      col("resized_bytes")).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val expected = if (r.getInt(0) == 0) 0 else 32 * 24 * 3
+      assert(r.getInt(2) == expected)
+      assert(r.getAs[Array[Byte]](1).length == expected)
+    }
+    // determinism: same input → byte-identical output
+    val again = Multimodal.resizePayloads(
+        Multimodal.attachPayload(docs, "text"), "payload", 32, 24)
+      .select(col("doc_id"), md5(col("resized"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = resized.select(col("doc_id"), md5(col("resized"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+
+  test("Multimodal sampleFrames: every-nth fixed-size frames with correct " +
+      "indices, timestamps, and byte content; composes with attachPayload") {
+    import graft.multimodal.Multimodal
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(40)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.attachPayload(docs, "text"), "payload",
+      frameBytes = 64, everyNth = 2)
+    val byDoc = frames.select(col("doc_id"), col("n_bytes"),
+        col("frame_idx"), col("frame_ms"), col("frame")).collect()
+      .groupBy(_.getLong(0))
+    val payloads = Multimodal.attachPayload(docs, "text")
+      .select(col("doc_id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (docId, rows) =>
+      val bytes = payloads(docId)
+      val nFrames = (bytes.length + 63) / 64
+      val expectedIdx = (0 until nFrames by 2).toSeq
+      assert(rows.map(_.getInt(2)).toSeq.sorted == expectedIdx, s"doc $docId")
+      rows.foreach { r =>
+        val f = r.getInt(2)
+        assert(r.getInt(3) == f * 40) // frame_ms
+        val expected = bytes.slice(f * 64, math.min((f + 1) * 64, bytes.length))
+        assert(r.getAs[Array[Byte]](4).sameElements(expected),
+          s"doc $docId frame $f bytes")
+      }
+    }
+  }
+
   test("ConnectedComponents: known graph fixpoint + union-find agreement " +
       "on the real x3 pairs") {
     import spark.implicits._
