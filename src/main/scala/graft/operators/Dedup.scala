@@ -211,17 +211,30 @@ object Dedup {
     * skew; at 100 TB add `spark.sql.adaptive.skewJoin` for pathological
     * clusters of true duplicates.
     */
-  def lshCandidatePairs(sigDf: DataFrame, idCol: String, numHashes: Int,
-      bands: Int): DataFrame = {
+  /** (id, band, bucket[, passthrough...]) rows from a MinHash signature
+    * frame — the banding step shared by the batch pair join and the
+    * streaming dedup-on-ingest path. Map-only (one explode, bands× row
+    * growth); `passthrough` columns (e.g. an event-time column for the
+    * streaming state timeout) ride along unchanged.
+    */
+  private[graft] def bandedBuckets(sigDf: DataFrame, idCol: String,
+      numHashes: Int, bands: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val banded = sigDf.select(col(idCol).as("id"),
+    sigDf.select(col(idCol).as("id") +: passthrough.map(col) :+
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws("_", lit(b),
           array_join(transform(slice(col("minhash_sig"), b * r + 1, r),
             _.cast("string")), ",")))
-      }: _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      }: _*)): _*)
+      .select(col("id") +: passthrough.map(col) :+
+        col("pos").as("band") :+ col("col").as("bucket"): _*)
+  }
+
+  def lshCandidatePairs(sigDf: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val banded = bandedBuckets(sigDf, idCol, numHashes, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

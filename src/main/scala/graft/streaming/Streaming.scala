@@ -144,6 +144,73 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  case class BandedDoc(doc_id: Long, band: Int, bucket: Long, ts: Timestamp)
+  case class BucketDocs(ids: Array[Long], lastMs: Long)
+  case class CandPair(id1: Long, id2: Long)
+
+  /** Streaming dedup-on-ingest: MinHash-LSH candidate pairs emitted
+    * INCREMENTALLY as documents arrive — the streaming twin of the batch
+    * [[graft.operators.Dedup.lshCandidatePairs]] (identical map-side
+    * signature + banding kernels), with the bucket self-join replaced by
+    * per-bucket state: each (band, bucket) group remembers the doc ids
+    * seen there, and a new arrival emits one candidate pair per
+    * already-known id. Over the same input, the DISTINCT set of emitted
+    * pairs equals the batch candidates exactly (asserted in the spec
+    * suite) — a pair may be emitted once per colliding band, bounded
+    * multiplicity ≤ bands, deduped by the downstream verify join.
+    *
+    * Scale/state bounds: event-time timeout drops buckets idle past the
+    * watermark horizon, and `maxBucketSize` caps per-bucket state — an
+    * overflowing bucket (a mega-cluster of near-identical docs) stops
+    * accumulating and is the signal to route that bucket through batch
+    * reconciliation instead; the cap makes state O(buckets·cap), never
+    * O(corpus).
+    *
+    * Requires a Long id column (stateful streaming needs a concrete
+    * encoder; Long is the engine's document-id contract).
+    */
+  def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int, numHashes: Int, bands: Int,
+      watermark: String = "1 hour", horizonMs: Long = 3600000L,
+      maxBucketSize: Int = 4096): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.operators.Dedup.withMinHashSignature(docs, textCol, k,
+      numHashes)
+    val banded = graft.operators.Dedup
+      .bandedBuckets(sig, idCol, numHashes, bands, passthrough = Seq(tsCol))
+      .select(col("id").as("doc_id"), col("band").cast("int"), col("bucket"),
+        col(tsCol).as("ts"))
+      .as[BandedDoc]
+    banded
+      .withWatermark("ts", watermark)
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[BucketDocs, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = it.toSeq.sortBy(_.doc_id)
+            var known = state.getOption.map(_.ids)
+              .getOrElse(Array.emptyLongArray)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            val out = Seq.newBuilder[CandPair]
+            arrivals.foreach { a =>
+              if (!known.contains(a.doc_id)) {
+                known.foreach(e => out += CandPair(math.min(e, a.doc_id),
+                  math.max(e, a.doc_id)))
+                if (known.length < maxBucketSize) known = known :+ a.doc_id
+              }
+              lastMs = math.max(lastMs, a.ts.getTime)
+            }
+            state.update(BucketDocs(known, lastMs))
+            state.setTimeoutTimestamp(lastMs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Continuous Parquet→collection ingest: every file that appears under
     * `location` is loaded exactly once (checkpointed file log) into the
     * collection. `Trigger.AvailableNow` drains what exists and stops —

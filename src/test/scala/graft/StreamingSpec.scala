@@ -76,6 +76,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshCandidateStream: distinct streamed candidate pairs across " +
+      "micro-batches equal the batch LSH candidates on the same docs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // real corpus slice (contains seeded near-duplicates → nonempty)
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (k, numHashes, bands) = (3, 64, 16)
+
+    val batchCand = graft.operators.Dedup.lshCandidatePairs(
+        graft.operators.Dedup.withMinHashSignature(
+          docs.toSeq.toDF("doc_id", "text"), "text", k, numHashes),
+        "doc_id", numHashes, bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = graft.streaming.Streaming.lshCandidateStream(
+      input.toDF.toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", k, numHashes, bands)
+    val q = stream.writeStream.format("memory").queryName("lsh_cand")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: pairs must span batch boundaries via state
+      val parts = docs.grouped(math.max(1, docs.length / 3)).toSeq
+      parts.zipWithIndex.foreach { case (part, i) =>
+        // keep event times well above epoch 0: the initial watermark is
+        // exactly 0 and rows at/below it are discarded as late
+        input.addData(part.toSeq.map { case (id, t) => (id, t, ts(120 + i * 5)) })
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("lsh_cand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchCand,
+        s"streamed ${streamed.size} vs batch ${batchCand.size}")
+      assert(batchCand.nonEmpty, "corpus slice should produce candidates")
+    } finally q.stop()
+  }
+
   test("sessionWindowAgg closes gap-separated sessions like the batch rule") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
