@@ -80,6 +80,28 @@ class RetrievalSpec extends SparkSpec {
       "sample must not depend on partitioning")
   }
 
+  test("operators degrade to empty/zero results on empty inputs, " +
+      "never errors") {
+    val empty = docsDf()
+    val some = docsDf(1L -> "alpha beta gamma delta")
+    assert(Retrieval.tfIdfTopTerms(empty, "doc_id", "text", 3).count() == 0)
+    assert(Retrieval.bm25TopDocs(empty, "doc_id", "text", Seq("alpha"), 5)
+      .count() == 0)
+    assert(Retrieval.invertedIndex(empty, "doc_id", "text", 8).count() == 0)
+    assert(Sampling.stratifiedSample(empty.withColumn("g", lit("x")),
+      "g", "doc_id", 1, 10).count() == 0)
+    assert(Dedup.exact(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.jaccardShinglePairs(empty, "doc_id", "text", 3, 0.6)
+      .count() == 0)
+    // empty train: nothing can be contaminated, but every test doc reports
+    val r1 = Dedup.contaminationReport(empty, some, "doc_id", "text", 3)
+      .collect()
+    assert(r1.length == 1 && !r1.head.getBoolean(3) && r1.head.getLong(2) == 0)
+    // empty test: empty report
+    assert(Dedup.contaminationReport(some, empty, "doc_id", "text", 3)
+      .count() == 0)
+  }
+
   test("contaminationReport: planted overlap flagged, disjoint and " +
       "too-short docs not") {
     val train = docsDf(
