@@ -36,6 +36,7 @@ object GraftFunctions {
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(e(text), k, w))
+  def int8QuantStats(a: Column): Column = c(Int8QuantStats(e(a)))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[VecDot].getName, null, name, usage,
@@ -87,6 +88,10 @@ object GraftFunctions {
         "winnowed rolling-hash fingerprints of a text"),
       (args: Seq[Expression]) =>
         WinnowFingerprints(args(0), lit(args(1)), lit(args(2)))))
+    ext.injectFunction((FunctionIdentifier("graft_int8_quant_stats"),
+      info("graft_int8_quant_stats",
+        "int8 max-abs quantization audit struct(dim,max_q,min_q,mse)"),
+      (args: Seq[Expression]) => Int8QuantStats(args(0))))
     // optimizer rule: HOF dot-product pattern → compiled VecDot kernel
     ext.injectOptimizerRule(_ => VecKernelRewrite)
   }

@@ -376,3 +376,66 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
 }
+
+/** Symmetric int8 quantization audit for one float vector, as ONE
+  * map-side compiled pass: struct(dim, max_q, min_q, mse) where the
+  * per-dim squared reconstruction errors are quantized to 1e-12 longs
+  * before the (exact, order-independent) sum — arithmetic identical to
+  * the posexplode/aggregate form in x33 (asserted in the spec suite),
+  * which exists only because it is the DuckDB-oracle-checkable twin.
+  * This expression is the corpus-scale path: no explode, no shuffle, no
+  * per-vector row blowup. An all-zero (or empty) vector has no scale;
+  * it reports (dim, 0, 0, 0.0) and is for the caller to filter, exactly
+  * like the explode form's `maxabs > 0` gate.
+  */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim", IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("max_q",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_q",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mse", DoubleType,
+        nullable = false)))
+  override def prettyName: String = "graft_int8_quant_stats"
+
+  override def kernel(a: Any): Any = {
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
+    val n = xs.length
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(xs(i).toDouble)
+      if (v > maxabs) maxabs = v
+      i += 1
+    }
+    if (maxabs == 0.0)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, 0L, 0L, 0.0))
+    else {
+      val scale = maxabs / 127.0
+      var maxQ = Long.MinValue
+      var minQ = Long.MaxValue
+      var sumEq = 0L
+      i = 0
+      while (i < n) {
+        val x = xs(i).toDouble
+        val q = math.floor(x / scale + 0.5).toLong
+        val d = x - q.toDouble * scale
+        sumEq += math.floor(d * d * 1e12).toLong
+        if (q > maxQ) maxQ = q
+        if (q < minQ) minQ = q
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, maxQ, minQ, sumEq.toDouble / 1e12 / n))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}

@@ -382,9 +382,11 @@ object Extensions {
     * (engine-exact, same construction as x23); the quantized values
     * themselves are integer floor(x/scale + 0.5) — deterministic in both
     * engines. Expressed as posexplode + two vec_id-keyed aggs to mirror
-    * the oracle exactly; at corpus scale the same arithmetic runs as a
-    * map-side compiled kernel per row (no explode) — the explode form is
-    * the oracle-checkable twin.
+    * the oracle exactly; the corpus-scale path is the compiled map-side
+    * kernel [[graft.expressions.Int8QuantStats]] (one pass per row, no
+    * explode, zero exchanges), proven arithmetic-identical to this
+    * explode form in ExpressionSpec — this form exists because it is
+    * the DuckDB-oracle-checkable twin.
     */
   def x33QuantizationError(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

@@ -153,6 +153,36 @@ class ExpressionSpec extends SparkSpec {
     assert(r.getInt(4) > 0)
   }
 
+  test("Int8QuantStats kernel equals the x33 explode/aggregate twin on " +
+      "every vector, with a map-only (exchange-free) plan") {
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val kernelDf = emb.select(col("vec_id"),
+      graft.expressions.GraftFunctions.int8QuantStats(col("embedding"))
+        .as("s"))
+      .select(col("vec_id"), col("s.dim"), col("s.max_q"), col("s.min_q"),
+        col("s.mse"))
+    val p = kernelDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p) // one compiled pass over the scan
+    val viaKernel = kernelDf.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val viaExplode = graft.queries.Extensions
+      .x33QuantizationError(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // x33 filters maxabs > 0; on this corpus that is every vector
+    assert(viaExplode.nonEmpty && viaKernel.size == viaExplode.size)
+    assert(viaKernel == viaExplode)
+    // SQL surface
+    val sqlRow = spark.sql(
+      """SELECT graft_int8_quant_stats(
+        |  array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))).max_q AS mq
+        |""".stripMargin).collect().head
+    assert(sqlRow.getLong(0) == 127L)
+  }
+
   test("two SortedArrayIntersectCount instances compile in ONE codegen stage") {
     // the round-1 freshName lesson: two instances sharing a
     // WholeStageCodegen method must not collide on generated local names.
