@@ -106,6 +106,68 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** STUB feature-extraction kernel: a real one runs a vision/audio
+    * encoder over the batch and returns one embedding per payload; the
+    * stub derives a deterministic unit-norm vector from a 64-bit hash of
+    * the bytes — byte-identical payloads get identical embeddings
+    * (cosine exactly 1), which preserves the property the composition
+    * tests rely on: duplicate media are near-dups in embedding space.
+    */
+  private def embedBatchStub(batch: Seq[Array[Byte]], dim: Int)
+      : Seq[Array[Float]] =
+    batch.map { bytes =>
+      // FNV-1a over the payload seeds a splitmix stream — pure function
+      // of the bytes, no RNG state
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= bytes(i) & 0xffL
+        h *= 0x100000001b3L
+        i += 1
+      }
+      val v = new Array[Float](dim)
+      var norm = 0.0
+      var j = 0
+      while (j < dim) {
+        var z = h + (j + 1).toLong * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        val x = (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+        v(j) = x.toFloat
+        norm += x * x
+        j += 1
+      }
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      j = 0
+      while (j < dim) { v(j) = (v(j) * inv).toFloat; j += 1 }
+      v
+    }
+
+  /** Batched feature extraction (the embed verb): binary payload →
+    * `ArrayType(FloatType)` embedding column, same per-partition batch
+    * shape as [[decodePayloads]]. The output column is exactly what the
+    * similarity/dedup operators consume, so media dedup composes as
+    * sampleFrames → extractFeatures → cosineNearDupPairsLSH (asserted
+    * end-to-end in the spec suite).
+    */
+  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int)
+      : DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        val embs = embedBatchStub(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)), dim)
+        batch.lazyZip(embs).map { case (row, v) =>
+          Row.fromSeq(row.toSeq :+ v.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Batched 1-row→N-row frame sampling (the video verb): the payload is
     * cut into fixed-size "frames" (a real codec seeks keyframes; the
     * stub slices `frameBytes` chunks) and every `everyNth` frame is

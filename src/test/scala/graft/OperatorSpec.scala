@@ -154,6 +154,40 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frame-dedup pipeline: sampleFrames → extractFeatures " +
+      "→ banded LSH finds exactly the byte-identical frames") {
+    import graft.multimodal.Multimodal
+    import graft.operators.SimilaritySearch
+    // duplicate documents (the seeded near-front-dups share full text on
+    // some rows) guarantee byte-identical frames across doc boundaries;
+    // identical frames embed identically → cosine exactly 1
+    val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(120)
+    val frames = Multimodal.sampleFrames(
+        Multimodal.attachPayload(docs, "text"), "payload",
+        frameBytes = 48, everyNth = 1)
+      .withColumn("frame_id",
+        col("doc_id") * 1000 + col("frame_idx"))
+    val embedded = Multimodal.extractFeatures(frames, "frame", dim = 32)
+    // ground truth: frames with identical bytes (md5-grouped)
+    val dupPairs = frames.select(col("frame_id"), md5(col("frame")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    assert(dupPairs.nonEmpty, "corpus slice should contain duplicate frames")
+    val found = SimilaritySearch.cosineNearDupPairsLSH(embedded,
+        "frame_id", "embedding", threshold = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical bytes → identical embeddings → every band collides →
+    // recall is exactly 1 at threshold ~1; and the stub's hash spreads
+    // non-identical frames far from cos 1, so no false positives
+    assert(found == dupPairs,
+      s"found ${found.size} vs truth ${dupPairs.size}")
+  }
+
   test("ConnectedComponents: known graph fixpoint + union-find agreement " +
       "on the real x3 pairs") {
     import spark.implicits._
