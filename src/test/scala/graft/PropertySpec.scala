@@ -112,6 +112,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKRows equals sort-take-k for random streams, k, and " +
+      "partitionings (with score ties)") {
+    import graft.functions.Aggregators.{ScoredRow, TopKRows}
+    val rows = Gen.listOf(for {
+      s <- Gen.chooseNum(-5, 5) // narrow score range → many ties
+      a <- Gen.chooseNum(0L, 9L)
+      b <- Gen.chooseNum(0L, 999L)
+    } yield ScoredRow(s.toDouble, a, b))
+    check("topk", Prop.forAll(rows, Gen.chooseNum(1, 5),
+        Gen.chooseNum(1, 4)) { (items, k, nParts) =>
+      val agg = new TopKRows(k)
+      val expected = items.distinct
+        .sortBy(r => (-r.score, r.key1, r.key2)).take(k)
+      // duplicates of the SAME (score,key1,key2) may appear in a random
+      // stream; the buffer treats rows as ranked values, so compare on
+      // the deduped stream (callers feed unique-keyed rows)
+      val uniq = items.distinct
+      val parts = uniq.grouped(math.max(1, (uniq.size + nParts - 1) / nParts))
+        .map(p => p.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = parts match {
+        case Nil => agg.zero
+        case h :: t => t.foldLeft(h)(agg.merge)
+      }
+      agg.finish(merged) == expected
+    })
+  }
+
   test("FrequentItems invariants on random streams and partitionings") {
     import graft.functions.Aggregators.FrequentItems
     val stream = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
