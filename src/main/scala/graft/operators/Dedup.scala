@@ -275,10 +275,18 @@ object Dedup {
     * the train set is all that matters, which is what makes this form
     * scale where a doc-pair overlap join would not.
     */
+  /** The DISTINCT shingle set of a corpus as a one-column frame (s) —
+    * the static membership side of contamination checks (batch and the
+    * streaming [[graft.streaming.Streaming.contaminationStream]]).
+    */
+  def distinctShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    shingleSets(df, idCol, textCol, k)
+      .select(explode(col("sh")).as("s")).distinct()
+
   def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, k: Int, num: Int = 4, den: Int = 5): DataFrame = {
-    val trainShingles = shingleSets(train, idCol, textCol, k)
-      .select(explode(col("sh")).as("s")).distinct()
+    val trainShingles = distinctShingles(train, idCol, textCol, k)
     val testSets = shingleSets(test, idCol, textCol, k)
     val shared = testSets.select(col("id"), explode(col("sh")).as("s"))
       .join(trainShingles, "s")

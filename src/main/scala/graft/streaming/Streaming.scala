@@ -211,6 +211,45 @@ object Streaming {
       }
   }
 
+  /** Streaming contamination screen: incoming (test/eval) documents are
+    * checked against a STATIC training-corpus shingle set as they
+    * arrive — the stream-static join surface. The static side is the
+    * distinct train-shingle frame (built once by
+    * [[graft.operators.Dedup.contaminationReport]]'s batch machinery);
+    * each streamed doc explodes to its shingles map-side, equi-joins the
+    * static set (no state store needed for a stream-static join), and
+    * re-aggregates per doc inside the micro-batch. Semantics per doc are
+    * identical to the batch report (asserted in the spec suite).
+    *
+    * The aggregation keys on (doc, arrival window) with a watermark, so
+    * per-doc state is dropped once the watermark passes — ingest-rate
+    * bounded state, not corpus-bounded.
+    */
+  def contaminationStream(docs: DataFrame, trainShingles: DataFrame,
+      idCol: String, textCol: String, tsCol: String, k: Int,
+      num: Int = 4, den: Int = 5, watermark: String = "1 hour",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), col(tsCol).as("ts"),
+      graft.expressions.GraftFunctions.wordShingles(col(textCol), k)
+        .as("sh"))
+    val exploded = sh.select(col("id"), col("ts"), size(col("sh")).as("n"),
+      explode(concat(col("sh"), array(lit(null.asInstanceOf[String]))))
+        .as("s"))
+    // the sentinel null shingle keeps sub-shingle docs (empty sets) in
+    // the output with n_shared = 0: explode of the bare set would drop
+    // them, and a streaming side can't left-join its own aggregate
+    exploded
+      .withWatermark("ts", watermark)
+      .join(broadcast(trainShingles.select(col("s"), lit(1).as("hit"))),
+        Seq("s"), "left")
+      .groupBy(window(col("ts"), windowDur), col("id"), col("n"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_shared"))
+      .select(col("id"), col("n").cast("long").as("n_shingles"),
+        col("n_shared"),
+        (col("n_shared") * den >= col("n") * num && col("n") > 0)
+          .as("contaminated"))
+  }
+
   /** Continuous Parquet→collection ingest: every file that appears under
     * `location` is loaded exactly once (checkpointed file log) into the
     * collection. `Trigger.AvailableNow` drains what exists and stops —

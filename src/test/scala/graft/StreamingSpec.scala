@@ -116,6 +116,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationStream (stream-static join) equals the batch " +
+      "contamination report per document") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = graft.core.Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 150)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val train = d.filter(h =!= "0" && h =!= "1")
+    val test = d.filter(h === "0")
+    val batch = graft.operators.Dedup
+      .contaminationReport(train, test, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(batch.nonEmpty)
+
+    val trainShingles = graft.operators.Dedup
+      .distinctShingles(train, "doc_id", "text", 3).cache()
+    val testRows = test.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = graft.streaming.Streaming.contaminationStream(
+      input.toDF.toDF("doc_id", "text", "ts"), trainShingles,
+      "doc_id", "text", "ts", k = 3)
+    val q = stream.writeStream.format("memory").queryName("contam")
+      .outputMode("update").start()
+    try {
+      // two micro-batches, same event-time window
+      val (a, b) = testRows.splitAt(testRows.length / 2)
+      input.addData(a.toSeq.map { case (id, t) => (id, t, ts(120)) })
+      q.processAllAvailable()
+      input.addData(b.toSeq.map { case (id, t) => (id, t, ts(121)) })
+      q.processAllAvailable()
+      val streamed = spark.table("contam").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("sessionWindowAgg closes gap-separated sessions like the batch rule") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
