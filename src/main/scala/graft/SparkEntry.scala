@@ -93,6 +93,7 @@ object SparkEntry {
     "x32_token_entropy" -> Extensions.x32TokenEntropy,
     "x33_quantization_error" -> Extensions.x33QuantizationError,
     "x34_knn_rerank" -> Extensions.x34KnnRerank,
+    "x35_unigram_surprisal" -> Extensions.x35UnigramSurprisal,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -673,6 +674,20 @@ object SparkEntry {
         |SELECT lang, n AS n_tokens, COUNT(*) AS vocab,
         |  CAST(SUM(q) AS DOUBLE) / 10000000000 AS entropy
         |FROM qq GROUP BY lang, n ORDER BY lang""".stripMargin,
+    "x35_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+        |total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM counts),
+        |qq AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(-ln(CAST(c AS DOUBLE) / CAST(n_corpus AS DOUBLE))
+        |      * 10000000000) AS BIGINT) AS q
+        |  FROM toks JOIN counts USING (token) CROSS JOIN total)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(q) AS DOUBLE) / 10000000000 / COUNT(*) AS avg_surprisal
+        |FROM qq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // x34_knn_rerank: engine-side prefix-dot coarse ranking → no SQL
     // oracle; recall vs x7 asserted in the spec suite.
     "x33_quantization_error" ->

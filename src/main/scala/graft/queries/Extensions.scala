@@ -421,6 +421,34 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** x35: unigram-LM surprisal per document — the language-model
+    * quality-filter primitive (a doc whose tokens are improbable under
+    * the corpus unigram distribution reads as noise/garble; one whose
+    * surprisal is near zero is templated boilerplate). Surprisal of a
+    * token is −ln(c/N) under the corpus-wide counts; per-token values
+    * quantize to 1e-10 longs before the per-doc sum (the standard
+    * engine-exactness construction), and the mean divides in the same
+    * order on both engines. Shape: one tokenize-explode, a vocabulary
+    * aggregation, a dictionary join (AQE-broadcast), one per-doc
+    * aggregation — all linear, corpus never collected.
+    */
+  def x35UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+        .as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = broadcast(counts.agg(sum(col("c")).as("n_corpus")))
+    toks.join(counts, "token")
+      .crossJoin(total)
+      .withColumn("q", floor(-log(col("c").cast("double") /
+        col("n_corpus").cast("double")) * lit(1e10)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("q")).cast("double") / lit(1e10) / count(lit(1)))
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

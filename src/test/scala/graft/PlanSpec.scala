@@ -109,6 +109,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_word_shingles"), p)
   }
 
+  test("x21/x26/x32/x35: splits map-only, sampling partitioned, " +
+      "profiling partial-agged — no cartesians anywhere") {
+    val p21 = plan(Extensions.x21HashSplit(spark, sfDir))
+    assert(p21.contains("partial_"), p21) // split tag is pure map + one agg
+    val p26 = plan(Extensions.x26StratifiedSample(spark, sfDir))
+    assert(!p26.contains("CartesianProduct"), p26)
+    val p32 = plan(Extensions.x32TokenEntropy(spark, sfDir))
+    assert(p32.contains("partial_"), p32)
+    assert(!p32.contains("CartesianProduct"), p32)
+    val p35 = plan(Extensions.x35UnigramSurprisal(spark, sfDir))
+    assert(!p35.contains("CartesianProduct"), p35)
+    assert(p35.contains("partial_"), p35)
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
