@@ -80,7 +80,10 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.count(!_._3)
     def arr(xs: Seq[Double]) =
-      xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+      // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
+      // decimal separator would corrupt the JSON line
+      xs.map(x => String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(x))).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())},"sf":"$sfDir"}""")
     spark.stop()
   }

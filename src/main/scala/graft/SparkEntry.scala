@@ -695,15 +695,15 @@ object SparkEntry {
         |m AS (SELECT vec_id, MAX(ABS(CAST(val AS DOUBLE))) AS maxabs
         |      FROM e GROUP BY 1),
         |qq AS (
-        |  SELECT e.vec_id,
+        |  SELECT e.vec_id, maxabs / 127.0 AS scale,
         |    CAST(FLOOR(CAST(val AS DOUBLE) / (maxabs / 127.0) + 0.5) AS BIGINT) AS q,
-        |    CAST(val AS DOUBLE) - CAST(FLOOR(CAST(val AS DOUBLE) / (maxabs / 127.0) + 0.5) AS BIGINT) * (maxabs / 127.0) AS d
+        |    CAST(val AS DOUBLE) / (maxabs / 127.0) - CAST(FLOOR(CAST(val AS DOUBLE) / (maxabs / 127.0) + 0.5) AS BIGINT) AS r
         |  FROM e JOIN m USING (vec_id) WHERE maxabs > 0)
         |SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS dim,
         |  MAX(q) AS max_q, MIN(q) AS min_q,
-        |  CAST(SUM(CAST(FLOOR(d * d * 1000000000000) AS BIGINT)) AS DOUBLE)
-        |    / 1000000000000 / COUNT(*) AS mse
-        |FROM qq GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |  CAST(SUM(CAST(FLOOR(r * r * 1000000000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000000000 / COUNT(*) * (scale * scale) AS mse
+        |FROM qq GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
     "x13_multimodal" ->
       // DuckDB's sha256 only accepts VARCHAR and hashes its UTF-8 bytes —
       // equal to Spark's sha2(encode(text,'UTF-8'), 256).

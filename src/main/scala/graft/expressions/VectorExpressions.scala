@@ -387,6 +387,13 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
   * per-vector row blowup. An all-zero (or empty) vector has no scale;
   * it reports (dim, 0, 0, 0.0) and is for the caller to filter, exactly
   * like the explode form's `maxabs > 0` gate.
+  *
+  * Overflow-safe for ANY input magnitude: the quantized unit is the
+  * DIMENSIONLESS error (d/scale)² — bounded by 0.25 per dim, so the
+  * 1e-12 fixed-point sum stays ≤ dim·2.5e11 (no long overflow below
+  * ~3.7e7 dims); the mse scales back by scale² at the end. Quantizing
+  * the absolute d² instead would wrap negative for |x| ≳ 1e4 at
+  * embedding-like dims.
   */
 case class Int8QuantStats(child: Expression)
     extends UnaryExpression with UnaryKernelCodegen {
@@ -425,14 +432,15 @@ case class Int8QuantStats(child: Expression)
       while (i < n) {
         val x = xs(i).toDouble
         val q = math.floor(x / scale + 0.5).toLong
-        val d = x - q.toDouble * scale
-        sumEq += math.floor(d * d * 1e12).toLong
+        val r = x / scale - q.toDouble // dimensionless error, |r| <= 0.5
+        sumEq += math.floor(r * r * 1e12).toLong
         if (q > maxQ) maxQ = q
         if (q < minQ) minQ = q
         i += 1
       }
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](n, maxQ, minQ, sumEq.toDouble / 1e12 / n))
+        Array[Any](n, maxQ, minQ,
+          sumEq.toDouble / 1e12 / n * (scale * scale)))
     }
   }
 

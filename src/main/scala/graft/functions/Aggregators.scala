@@ -210,10 +210,18 @@ object Aggregators {
     override def zero: TopKBuf =
       TopKBuf(Array.empty, Array.empty, Array.empty)
 
-    // rank order: score DESC, key1 ASC, key2 ASC
+    // rank order: score DESC, key1 ASC, key2 ASC — scores compare under
+    // IEEE-754 TOTAL order (java.lang.Double.compare), the same order
+    // Spark's sort uses: NaN ranks above +Inf, so results stay
+    // partition-order-independent and identical to the row_number()
+    // window even on NaN scores (primitive >/== would make NaN rows
+    // arrival-order-dependent and could break the sorted-buffer
+    // invariant merge() relies on)
     private def ranksBefore(s1: Double, a1: Long, b1: Long,
-        s2: Double, a2: Long, b2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && (a1 < a2 || (a1 == a2 && b1 < b2)))
+        s2: Double, a2: Long, b2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && (a1 < a2 || (a1 == a2 && b1 < b2)))
+    }
 
     override def reduce(buf: TopKBuf, in: ScoredRow): TopKBuf = {
       val n = buf.size

@@ -185,16 +185,17 @@ object Multimodal {
       StructField("frame_ms", IntegerType, nullable = false),
       StructField("frame", BinaryType, nullable = false)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
+    // per-row streaming (no grouped() batching): frame slicing needs no
+    // batch kernel, and batching would only pin DecodeBatchSize full
+    // payloads (potentially large media blobs) in memory per chunk
     df.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.iterator.flatMap { row =>
-          val bytes = row.getAs[Array[Byte]](payloadIdx)
-          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-          (0 until nFrames by everyNth).iterator.map { f =>
-            val frame = java.util.Arrays.copyOfRange(bytes, f * frameBytes,
-              math.min((f + 1) * frameBytes, bytes.length))
-            Row.fromSeq(row.toSeq ++ Seq(f, f * frameMs, frame))
-          }
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyNth).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+            math.min((f + 1) * frameBytes, bytes.length))
+          Row.fromSeq(row.toSeq ++ Seq(f, f * frameMs, frame))
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -287,7 +287,10 @@ object Dedup {
   def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, k: Int, num: Int = 4, den: Int = 5): DataFrame = {
     val trainShingles = distinctShingles(train, idCol, textCol, k)
-    val testSets = shingleSets(test, idCol, textCol, k)
+    // cached: referenced twice below (explode side + the id/n base), and
+    // without the cache the shingle kernel would run over every test doc
+    // twice per action
+    val testSets = shingleSets(test, idCol, textCol, k).cache()
     val shared = testSets.select(col("id"), explode(col("sh")).as("s"))
       .join(trainShingles, "s")
       .groupBy(col("id"))

@@ -80,12 +80,19 @@ object Retrieval {
   def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val docLen = df.select(col(idCol).as("id"),
-      size(TextFunctions.tokens(col(textCol))).as("dl"))
+    // ONE tokenization pass feeds both the per-term frequencies and the
+    // doc lengths (dl = Σ tf per doc; token-less docs rejoin with dl = 0
+    // so N and avgdl still count the whole corpus) — tokenizing is the
+    // expensive kernel, and a separate size(tokens) projection would
+    // run it a second time over every document
+    val tfAll = termFrequencies(df, idCol, textCol).cache()
+    val docLen = df.select(col(idCol).as("id"))
+      .join(tfAll.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+        Seq("id"), "left")
+      .withColumn("dl", coalesce(col("dl"), lit(0L)))
     val stats = broadcast(docLen.agg(count(lit(1)).as("n_total"),
       sum(col("dl")).as("sum_dl")))
-    val tf = termFrequencies(df, idCol, textCol)
-      .filter(col("token").isin(queryTerms: _*))
+    val tf = tfAll.filter(col("token").isin(queryTerms: _*))
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_total").cast("double")
     // Robertson idf: ln(1 + (N − df + 0.5)/(df + 0.5))

@@ -207,7 +207,14 @@ object SimilaritySearch {
     *
     * At 100 TB: the coarse pass composes with [[lshTopK]]/[[ivfTopK]]
     * bucketing (slice before scoring); the rerank join stays k·overfetch
-    * per query regardless of corpus size.
+    * per query regardless of corpus size. The coarse top-(k·overfetch)
+    * runs through the bounded-state [[graft.functions.Aggregators
+    * .TopKRows]] buffer — ≤ k·overfetch rows per (query, partition)
+    * cross the exchange and nothing sorts the full per-query score list
+    * (a ranking window here would put |corpus| rows per query under one
+    * sort — the exact shape this operator exists to avoid). The final
+    * rerank window runs over ≤ k·overfetch candidates per query.
+    * Requires Long ids (the bounded buffer carries them as longs).
     */
   def rerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dPrefix: Int, overfetch: Int = 4,
@@ -218,18 +225,24 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       slice(col(vecCol), 1, dPrefix).as("qvp"),
       normSq(col(vecCol)).as("qn"))
-    val coarseW = Window.partitionBy(col("query_id"))
-      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val coarseTopK =
+      udaf(new graft.functions.Aggregators.TopKRows(k * overfetch))
+    // coarse score: prefix dot only — no sqrt, no full-dim work; the
+    // per-query top-(k·overfetch) is a partial-merge aggregation with
+    // bounded buffers, not a corpus-wide window sort
     val survivors = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
         else lit(true))
-      // coarse score: prefix dot only — no sqrt, no full-dim work
       .withColumn("coarse", dot(col("qvp"), col("cvp")))
-      .withColumn("crk", row_number().over(coarseW))
-      .filter(col("crk") <= k * overfetch)
+      .groupBy(col("query_id"))
+      .agg(coarseTopK(col("coarse"), col("neighbor_id"), lit(0L)).as("top"))
+      .select(col("query_id"), explode(col("top.key1")).as("neighbor_id"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     survivors
+      .join(c.select(col("neighbor_id"), col("cv"), col("cn")), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        "query_id")
       .withColumn("cos",
         cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rk", row_number().over(rankW))

@@ -396,14 +396,19 @@ object Extensions {
     e.join(m, "vec_id").filter(col("maxabs") > 0)
       .withColumn("scale", col("maxabs") / lit(127.0))
       .withColumn("q", floor(col("x") / col("scale") + lit(0.5)).cast("long"))
-      .withColumn("d", col("x") - col("q").cast("double") * col("scale"))
-      .withColumn("e_q", floor(col("d") * col("d") * lit(1e12)).cast("long"))
-      .groupBy(col("vec_id"))
+      // dimensionless error |r| <= 0.5: quantizing r² (not the absolute
+      // d²) keeps the 1e-12 fixed-point sum overflow-free at any input
+      // magnitude; mse scales back by scale² at the end
+      .withColumn("r", col("x") / col("scale") - col("q").cast("double"))
+      .withColumn("e_q", floor(col("r") * col("r") * lit(1e12)).cast("long"))
+      .groupBy(col("vec_id"), col("scale"))
       .agg(count(lit(1)).cast("int").as("dim"),
         max(col("q")).as("max_q"),
         min(col("q")).as("min_q"),
-        (sum(col("e_q")).cast("double") / lit(1e12) / count(lit(1)))
-          .as("mse"))
+        (sum(col("e_q")).cast("double") / lit(1e12) / count(lit(1)) *
+          (col("scale") * col("scale"))).as("mse"))
+      .select(col("vec_id"), col("dim"), col("max_q"), col("min_q"),
+        col("mse"))
       .orderBy(col("vec_id"))
   }
 

@@ -160,11 +160,15 @@ object Streaming {
     * multiplicity ≤ bands, deduped by the downstream verify join.
     *
     * Scale/state bounds: event-time timeout drops buckets idle past the
-    * watermark horizon, and `maxBucketSize` caps per-bucket state — an
-    * overflowing bucket (a mega-cluster of near-identical docs) stops
-    * accumulating and is the signal to route that bucket through batch
-    * reconciliation instead; the cap makes state O(buckets·cap), never
-    * O(corpus).
+    * watermark horizon, and `maxBucketSize` caps per-bucket state. The
+    * cap is a LOUD boundary, not silent truncation: a doc arriving at a
+    * full bucket emits the sentinel pair (id1 = −1, id2 = doc id) —
+    * "this doc needs batch reconciliation" — instead of pairs (its true
+    * pair set can no longer be guaranteed in-stream, and emitting
+    * partial pairs would be re-emitted unboundedly on at-least-once
+    * redelivery since overflow docs never join the member set). Every
+    * doc is therefore either fully paired in-stream or explicitly
+    * flagged; the cap makes state O(buckets·cap), never O(corpus).
     *
     * Requires a Long id column (stateful streaming needs a concrete
     * encoder; Long is the engine's document-id contract).
@@ -198,9 +202,14 @@ object Streaming {
             val out = Seq.newBuilder[CandPair]
             arrivals.foreach { a =>
               if (!known.contains(a.doc_id)) {
-                known.foreach(e => out += CandPair(math.min(e, a.doc_id),
-                  math.max(e, a.doc_id)))
-                if (known.length < maxBucketSize) known = known :+ a.doc_id
+                if (known.length < maxBucketSize) {
+                  known.foreach(e => out += CandPair(math.min(e, a.doc_id),
+                    math.max(e, a.doc_id)))
+                  known = known :+ a.doc_id
+                } else
+                  // full bucket: flag the doc for batch reconciliation
+                  // (one sentinel row, idempotent-ish under redelivery)
+                  out += CandPair(-1L, a.doc_id)
               }
               lastMs = math.max(lastMs, a.ts.getTime)
             }

@@ -93,6 +93,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("TopKRows ranks NaN scores like Spark's DESC sort (NaN greatest) " +
+      "independent of arrival order") {
+    import graft.functions.Aggregators.{ScoredRow, TopKRows}
+    val agg = new TopKRows(2)
+    val rows = Seq(ScoredRow(Double.NaN, 1, 1), ScoredRow(5.0, 2, 2),
+      ScoredRow(7.0, 3, 3))
+    // every arrival order and split must agree: NaN first, then 7.0
+    val expected = Seq(ScoredRow(Double.NaN, 1, 1), ScoredRow(7.0, 3, 3))
+    for (perm <- rows.permutations) {
+      assert(agg.finish(perm.foldLeft(agg.zero)(agg.reduce)).map(r =>
+        (r.score.isNaN, if (r.score.isNaN) 0.0 else r.score, r.key1)) ==
+        expected.map(r =>
+          (r.score.isNaN, if (r.score.isNaN) 0.0 else r.score, r.key1)),
+        s"order $perm")
+      val (a, b) = perm.splitAt(1)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged).map(_.key1) == Seq(1L, 3L), s"split $perm")
+    }
+  }
+
   test("Space-Saving reduce ignores null inputs instead of NPEing") {
     import graft.functions.Aggregators.FrequentItems
     val agg = new FrequentItems(k = 2, capacity = 4)

@@ -116,6 +116,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshCandidateStream flags docs hitting a full bucket with the " +
+      "(-1, id) sentinel instead of emitting unbounded partial pairs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // identical texts → identical signatures → all bands collide
+    val text = "alpha beta gamma delta epsilon zeta"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = graft.streaming.Streaming.lshCandidateStream(
+      input.toDF.toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", k = 3, numHashes = 64, bands = 16,
+      maxBucketSize = 2)
+    val q = stream.writeStream.format("memory").queryName("lsh_overflow")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, text, ts(120)), (2L, text, ts(120)),
+        (3L, text, ts(121))))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_overflow").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L)), "in-capacity pair emitted")
+      assert(rows.contains((-1L, 3L)), "overflow doc flagged")
+      assert(!rows.exists(p => p._1 > 0 && (p._1 == 3L || p._2 == 3L)),
+        "no partial pairs for the overflow doc")
+    } finally q.stop()
+  }
+
   test("contaminationStream (stream-static join) equals the batch " +
       "contamination report per document") {
     import spark.implicits._
