@@ -123,6 +123,16 @@ class PlanSpec extends SparkSpec {
     assert(p35.contains("partial_"), p35)
   }
 
+  test("x34: rerank coarse stage is a bounded partial-merge agg; the " +
+      "only window ranks the <= k*overfetch candidate set") {
+    val p = plan(Extensions.x34KnnRerank(spark, sfDir))
+    assert(p.contains("partial_topkrows"), p) // coarse pass never sorts corpus
+    // exactly one Window NODE (the bounded candidate rank) — matching
+    // "- Window (" so WindowGroupLimit (the rank-pushdown helper) and the
+    // per-node detail section don't inflate the count
+    assert("- Window \\(".r.findAllIn(p).length <= 1, p)
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
