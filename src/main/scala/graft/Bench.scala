@@ -10,11 +10,12 @@ package graft
   * scale must be visible in the output, not swallowed.
   *
   * Timing protocol: one untimed warmup of the flagship aggregation
-  * (session init, parquet footers, codegen JIT), then TWO timed passes
-  * over the whole suite, reporting the per-query minimum — a single
-  * pass is hostage to host-level CPU steal on shared machines (observed
-  * 10×+ inflation windows), and min-of-2 recovers the query's real cost
-  * while still timing fully materialized `count()` executions.
+  * (session init, parquet footers, codegen JIT), then THREE timed
+  * passes over the whole suite, reporting the per-query minimum — a
+  * single pass is hostage to host-level CPU steal on shared machines
+  * (observed 10×+ inflation windows), and min-of-3 recovers the query's
+  * real cost while still timing fully materialized `count()`
+  * executions.
   *
   * On the round-2 numbers (x6 183 s, x8 26 s, q10 4.4 s) and round-3's
   * x3 112 s: measurement artifacts of sustained host CPU-steal windows

@@ -210,16 +210,15 @@ object Aggregators {
     override def zero: TopKBuf =
       TopKBuf(Array.empty, Array.empty, Array.empty)
 
-    // rank order: score DESC, key1 ASC, key2 ASC — scores compare under
-    // IEEE-754 TOTAL order (java.lang.Double.compare), the same order
-    // Spark's sort uses: NaN ranks above +Inf, so results stay
-    // partition-order-independent and identical to the row_number()
-    // window even on NaN scores (primitive >/== would make NaN rows
-    // arrival-order-dependent and could break the sorted-buffer
-    // invariant merge() relies on)
+    // rank order: score DESC, key1 ASC, key2 ASC — scores compare the
+    // way Spark SQL sorts doubles (SQLOrderingUtil semantics): NaN ranks
+    // above +Inf (total order, so NaN rows stay partition-order-
+    // independent), but -0.0 == +0.0 (primitive equality first — raw
+    // Double.compare would order -0.0 < +0.0 and diverge from the
+    // row_number() window this aggregator is documented to match)
     private def ranksBefore(s1: Double, a1: Long, b1: Long,
         s2: Double, a2: Long, b2: Long): Boolean = {
-      val c = java.lang.Double.compare(s1, s2)
+      val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
       c > 0 || (c == 0 && (a1 < a2 || (a1 == a2 && b1 < b2)))
     }
 

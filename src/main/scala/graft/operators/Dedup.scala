@@ -258,6 +258,15 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** The DISTINCT shingle set of a corpus as a one-column frame (s) —
+    * the static membership side of contamination checks (batch and the
+    * streaming [[graft.streaming.Streaming.contaminationStream]]).
+    */
+  def distinctShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    shingleSets(df, idCol, textCol, k)
+      .select(explode(col("sh")).as("s")).distinct()
+
   /** Train/test contamination report — the decontamination primitive of
     * an evaluation pipeline: for every test document, how much of its
     * k-shingle set also appears ANYWHERE in the training corpus.
@@ -274,16 +283,12 @@ object Dedup {
     * per-doc count. No pairwise doc×doc work anywhere — membership in
     * the train set is all that matters, which is what makes this form
     * scale where a doc-pair overlap join would not.
+    *
+    * Caching: the test shingle frame is cached (it feeds two branches)
+    * and, like the other operator caches here, is released by
+    * `spark.catalog.clearCache()` or session end — long-lived services
+    * scoring many distinct corpora should clear between corpora.
     */
-  /** The DISTINCT shingle set of a corpus as a one-column frame (s) —
-    * the static membership side of contamination checks (batch and the
-    * streaming [[graft.streaming.Streaming.contaminationStream]]).
-    */
-  def distinctShingles(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    shingleSets(df, idCol, textCol, k)
-      .select(explode(col("sh")).as("s")).distinct()
-
   def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, k: Int, num: Int = 4, den: Int = 5): DataFrame = {
     val trainShingles = distinctShingles(train, idCol, textCol, k)

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * engine (the same construction as the x23 centroids; a raw double
   * `sum` is order-dependent, and cross-engine `ln` may differ in the
   * last ulp — quantization absorbs both).
+  *
+  * Caching: operators cache frames that feed multiple branches (e.g.
+  * the BM25 term frequencies) and never unpersist them — the returned
+  * frames are lazy and depend on the cache. Long-lived sessions scoring
+  * many distinct corpora should `spark.catalog.clearCache()` between
+  * corpora (the same contract as the dedup/similarity operators).
   */
 object Retrieval {
 

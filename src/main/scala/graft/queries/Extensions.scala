@@ -438,9 +438,13 @@ object Extensions {
     * aggregation — all linear, corpus never collected.
     */
   def x35UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    // cached: feeds both the vocabulary aggregation and the join's left
+    // side — without it the tokenizer kernel (the dominant cost) runs
+    // over the corpus twice per action
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
         .as("token"))
+      .cache()
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = broadcast(counts.agg(sum(col("c")).as("n_corpus")))
     toks.join(counts, "token")

@@ -242,11 +242,16 @@ object Streaming {
       graft.expressions.GraftFunctions.wordShingles(col(textCol), k)
         .as("sh"))
     val exploded = sh.select(col("id"), col("ts"), size(col("sh")).as("n"),
-      explode(concat(col("sh"), array(lit(null.asInstanceOf[String]))))
-        .as("s"))
+      explode(concat(
+        coalesce(col("sh"), array().cast("array<string>")),
+        array(lit(null.asInstanceOf[String])))).as("s"))
     // the sentinel null shingle keeps sub-shingle docs (empty sets) in
     // the output with n_shared = 0: explode of the bare set would drop
-    // them, and a streaming side can't left-join its own aggregate
+    // them, and a streaming side can't left-join its own aggregate.
+    // coalesce keeps null-text docs too (sh = null would null the whole
+    // concat and silently drop the doc) — they report n = size(null)
+    // = -1, n_shared = 0, contaminated false, exactly like the batch
+    // report's left-join path
     exploded
       .withWatermark("ts", watermark)
       .join(broadcast(trainShingles.select(col("s"), lit(1).as("hit"))),

@@ -114,6 +114,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("TopKRows treats -0.0 and +0.0 as equal scores (key tiebreak), " +
+      "matching Spark's sort semantics") {
+    import graft.functions.Aggregators.{ScoredRow, TopKRows}
+    val agg = new TopKRows(2)
+    val rows = Seq(ScoredRow(0.0, 5, 5), ScoredRow(-0.0, 1, 1),
+      ScoredRow(-0.0, 3, 3))
+    // signed zeros tie → key1 ASC decides: (1), (3) — NOT +0.0 first
+    for (perm <- rows.permutations) {
+      val got = agg.finish(perm.foldLeft(agg.zero)(agg.reduce)).map(_.key1)
+      assert(got == Seq(1L, 3L), s"order $perm → $got")
+    }
+  }
+
   test("Space-Saving reduce ignores null inputs instead of NPEing") {
     import graft.functions.Aggregators.FrequentItems
     val agg = new FrequentItems(k = 2, capacity = 4)
