@@ -94,6 +94,7 @@ object SparkEntry {
     "x33_quantization_error" -> Extensions.x33QuantizationError,
     "x34_knn_rerank" -> Extensions.x34KnnRerank,
     "x35_unigram_surprisal" -> Extensions.x35UnigramSurprisal,
+    "x36_asof_forward" -> Events.x36AsOfForward,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -259,6 +260,21 @@ object SparkEntry {
         |    FROM events WHERE event_type = 'view') t
         |  WHERE vrn = 1) v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY click_id""".stripMargin,
+    // forward as-of with tolerance: ASOF on c.ts <= v.ts gives the next
+    // view; the 30-minute attribution window nulls out farther matches
+    "x36_asof_forward" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  CASE WHEN v.ts <= c.ts + INTERVAL 30 MINUTE THEN v.event_id END AS view_id,
+        |  CASE WHEN v.ts <= c.ts + INTERVAL 30 MINUTE THEN v.value END AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) AS vrn
+        |    FROM events WHERE event_type = 'view') t
+        |  WHERE vrn = 1) v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
         |ORDER BY click_id""".stripMargin,
     "q22_range_join" ->
       """SELECT band, COUNT(*) AS n_events,

@@ -29,6 +29,15 @@ object AsOfJoin {
     * @param rightPayload  right columns carried to output (null if no match)
     * @param rightTieBreak right column breaking ties on equal rightTime
     *                      (max wins); must be castable to long
+    * @param direction     "backward" (greatest rightTime <= leftTime —
+    *                      the default, SQL ASOF ON l.t >= r.t) or
+    *                      "forward" (smallest rightTime >= leftTime)
+    * @param tolerance     optional SQL interval string (e.g.
+    *                      "30 MINUTES"): a match farther than this from
+    *                      leftTime is nulled out — the merge_asof
+    *                      tolerance semantics. Applied as a map-side
+    *                      post-filter, so the physical shape (one
+    *                      |L|+|R| shuffle) is unchanged.
     * @return left columns + one struct column `__match` of rightPayload
     */
   def join(
@@ -38,7 +47,11 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      direction: String = "backward",
+      tolerance: Option[String] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val payloadType = StructType(rightPayload.map(n => right.schema(n)))
 
@@ -58,16 +71,36 @@ object AsOfJoin {
     val unioned = l.select((leftCols ++ ordered).map(col): _*)
       .unionByName(r.select((leftCols ++ ordered).map(col): _*))
 
-    // Right rows sort before left rows at equal time (__side 0 < 1), so a
-    // right row at exactly leftTime is visible — inclusive <= semantics,
-    // matching SQL ASOF JOIN ON l.t >= r.t.
+    // Backward: ascending time; right rows sort before left rows at equal
+    // time (__side 0 < 1), so a right row at exactly leftTime is visible —
+    // inclusive <= semantics, matching SQL ASOF JOIN ON l.t >= r.t.
+    // Forward: DESCENDING time traversal turns "smallest rightTime >=
+    // leftTime" into the same running-last problem; __side/__tie stay
+    // ascending so at equal times rights are traversed first and the
+    // max-tiebreak right is traversed last (last() wins).
+    val timeOrder =
+      if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .orderBy(timeOrder, col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    unioned
+    val matched = unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      // matched right event time, from the same last non-null row as
+      // __match (right rows always carry both non-null)
+      .withColumn("__mt", last(when(col("__side") === 0, col("__t")),
+        ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) :+ col("__match"): _*)
+    val withTol = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val ok =
+          if (direction == "backward")
+            col("__mt") >= col(leftTime) - expr(s"INTERVAL $tol")
+          else
+            col("__mt") <= col(leftTime) + expr(s"INTERVAL $tol")
+        matched.withColumn("__match", when(ok, col("__match")))
+    }
+    withTol.select(leftCols.map(col) :+ col("__match"): _*)
   }
 }

@@ -45,6 +45,35 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** x36: FORWARD as-of join with a tolerance bound — each click picks
+    * up the NEXT view by the same user within 30 minutes (merge_asof
+    * direction="forward", tolerance semantics): the attribution-window
+    * form of point-in-time joins. Same one-shuffle union-window physical
+    * shape as q21, traversed in descending time; the tolerance is a
+    * map-side post-filter.
+    */
+  def x36AsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val viewTie = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("__vrn", row_number().over(viewTie))
+      .filter(col("__vrn") === 1)
+      .drop("__vrn")
+    AsOfJoin.join(clicks, views,
+        key = "user_id", leftTime = "click_ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "value"), rightTieBreak = "event_id",
+        direction = "forward", tolerance = Some("30 MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("__match.event_id").as("view_id"),
+        col("__match.value").as("view_value"))
+      .orderBy(col("click_id"))
+  }
+
   /** q22: range join — events bucketed into static value bands via a
     * broadcast interval table (map-only at scale).
     */

@@ -44,6 +44,40 @@ class OperatorSpec extends SparkSpec {
     assert(out.size == 4) // every left row exactly once
   }
 
+  test("AsOfJoin forward direction takes the NEXT right row; tolerance " +
+      "nulls matches beyond the window; ties break by max tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 100L, 12L))
+      .toDF("k", "lt", "lid")
+    val right = Seq(
+      (1L, 150L, 20L, "a"), (1L, 150L, 21L, "b"), // tie at 150 → max id 21
+      (1L, 400L, 22L, "c"),
+      (2L, 90L, 23L, "d")) // before the left row — never a forward match
+      .toDF("k", "rt", "rid", "pay")
+    def run(tol: Option[String]) =
+      graft.operators.AsOfJoin.join(left, right, "k", "lt", "rt",
+          Seq("rid", "pay"), "rid", direction = "forward", tolerance = tol)
+        .select(col("lid"), col("__match.rid"), col("__match.pay"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+        .toMap
+    val noTol = run(None)
+    assert(noTol(10L) == ((Some(21L), Some("b"))), "next row, tie → max rid")
+    assert(noTol(11L) == ((Some(22L), Some("c"))), "skips earlier rows")
+    assert(noTol(12L) == ((None, None)), "no right at-or-after")
+    // timestamps are longs in ms here? No — lt/rt are longs; tolerance
+    // needs real timestamps, so re-run with timestamp columns
+    val tl = left.withColumn("lt", timestamp_millis(col("lt") * 60000))
+    val tr = right.withColumn("rt", timestamp_millis(col("rt") * 60000))
+    val withTol = graft.operators.AsOfJoin.join(tl, tr, "k", "lt", "rt",
+        Seq("rid", "pay"), "rid", direction = "forward",
+        tolerance = Some("60 MINUTES"))
+      .select(col("lid"), col("__match.rid")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(withTol(10L) == Some(21L), "150 within 100+60")
+    assert(withTol(11L) == None, "400 beyond 250+60 → nulled")
+  }
+
   test("RangeJoin.bandJoin assigns [lo, hi) membership; bucketed variant agrees") {
     import spark.implicits._
     val fact = Seq((1, 0.0), (2, 49.999), (3, 50.0), (4, 199.0), (5, 250.0))
