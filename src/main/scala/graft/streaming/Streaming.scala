@@ -264,6 +264,46 @@ object Streaming {
           .as("contaminated"))
   }
 
+  /** Exactly-once streaming writes into a [[Collection]] via
+    * foreachBatch with a committed-batch-id log: Structured Streaming
+    * re-runs a micro-batch after failure (at-least-once delivery into
+    * the sink function), so each batch id is recorded under
+    * `checkpointDir/graft-commits/` AFTER its append and re-runs of a
+    * committed id are skipped — append-idempotence without requiring
+    * the sink format to be transactional. This generalizes the
+    * reference's batched async insert (the A7/A8 surface) to continuous
+    * sources with exactly-once results.
+    *
+    * The commit marker uses the same Hadoop FileSystem abstraction as
+    * the collection itself, so checkpoint and data can live on local
+    * disk, HDFS, or an object store alike.
+    */
+  def sinkStream(df: DataFrame, collection: Collection,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    if (!collection.exists()) collection.create()
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val commitDir = new org.apache.hadoop.fs.Path(
+          checkpointDir, "graft-commits")
+        val fs = commitDir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+        if (!fs.exists(marker)) {
+          collection.write(batch.toDF(),
+            org.apache.spark.sql.SaveMode.Append)
+          fs.mkdirs(commitDir)
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Continuous Parquet→collection ingest: every file that appears under
     * `location` is loaded exactly once (checkpointed file log) into the
     * collection. `Trigger.AvailableNow` drains what exists and stops —
