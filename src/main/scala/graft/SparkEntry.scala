@@ -95,6 +95,7 @@ object SparkEntry {
     "x34_knn_rerank" -> Extensions.x34KnnRerank,
     "x35_unigram_surprisal" -> Extensions.x35UnigramSurprisal,
     "x36_asof_forward" -> Events.x36AsOfForward,
+    "x37_hash_sample" -> Extensions.x37HashSample,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -622,6 +623,12 @@ object SparkEntry {
         |SELECT lang, doc_id, n_chars FROM r
         |WHERE rn <= (cnt * 1 + 9) // 10
         |ORDER BY lang, doc_id""".stripMargin,
+    // 16^8 / 10 = 429496729 = 0x19999999: the same lexicographic hex
+    // prefix compare as the engine's map-only filter
+    "x37_hash_sample" ->
+      """SELECT lang, doc_id, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+        |ORDER BY doc_id""".stripMargin,
     "x27_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token

@@ -38,4 +38,29 @@ object Sampling {
         expr(s"(__cnt * $rateNum + ${rateDen - 1}) div $rateDen"))
       .drop("__rn", "__cnt")
   }
+
+  /** Approximate-rate hash-threshold sample: keep a row iff the first 8
+    * hex digits of md5(id) fall below rate·16⁸ — a PURE MAP-SIDE filter
+    * (no shuffle, no window, no per-group state), the sampling form that
+    * actually runs at 100 TB. The kept count is binomial around
+    * rate·n rather than exact (use [[stratifiedSample]] when the exact
+    * per-group count matters); selection is still a pure function of the
+    * id — reproducible across runs, engines, and partitionings, and
+    * NESTED for monotone rates under a common denominator: the p₁-sample
+    * is a subset of the p₂-sample whenever p₁ ≤ p₂ (the property that
+    * makes growing ablation subsets consistent).
+    *
+    * The threshold compare is lexicographic on the lowercase hex prefix
+    * (equal-length hex strings order identically to their numeric
+    * values), so the oracle is the same one-line predicate in any
+    * engine with md5().
+    */
+  def hashSample(df: DataFrame, idCol: String, rateNum: Int,
+      rateDen: Int): DataFrame = {
+    require(rateNum >= 0 && rateDen > 0, "rate must be a valid fraction")
+    val threshold = (BigInt(16).pow(8) * rateNum / rateDen).toLong
+    val thresholdHex = f"$threshold%08x"
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 8)
+      < lit(thresholdHex))
+  }
 }

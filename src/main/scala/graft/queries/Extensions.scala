@@ -260,6 +260,18 @@ object Extensions {
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("doc_id"))
 
+  /** x37: map-only hash-threshold sample at ~10 % — the sampling form
+    * with NO shuffle at all ([[graft.operators.Sampling.hashSample]]):
+    * a pure filter over the scan, binomial count, deterministic
+    * membership, nested across rates. The scale path; x26 is the
+    * exact-count sibling.
+    */
+  def x37HashSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSample(docs(s, dir), "doc_id",
+        rateNum = 1, rateDen = 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

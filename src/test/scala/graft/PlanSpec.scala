@@ -133,6 +133,14 @@ class PlanSpec extends SparkSpec {
     assert("- Window \\(".r.findAllIn(p).length <= 1, p)
   }
 
+  test("x37: hash sample is a pure map-side filter — the only exchange " +
+      "is the output sort") {
+    val p = plan(Extensions.x37HashSample(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"), p)
+    assert(p.split("Exchange").length - 1 <= 2, p) // sort exchange only
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort

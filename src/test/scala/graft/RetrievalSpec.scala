@@ -80,6 +80,26 @@ class RetrievalSpec extends SparkSpec {
       "sample must not depend on partitioning")
   }
 
+  test("hashSample: deterministic, rate-monotone nesting, near-rate " +
+      "count, and agrees with a driver-side md5 filter") {
+    val df = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def ids(num: Int) = Sampling.hashSample(df, "doc_id", num, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(1); val s2 = ids(2); val s5 = ids(5)
+    assert(s1.subsetOf(s2) && s2.subsetOf(s5), "nesting across rates")
+    // binomial around 200: generous 4-sigma band (~±36)
+    assert(s1.size > 140 && s1.size < 260, s"rate off: ${s1.size}")
+    // exact membership agrees with a driver-side md5 computation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (1L to 2000L).filter { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      hex < "19999999"
+    }.toSet
+    assert(s1 == expected)
+    assert(ids(1) == s1, "re-run identical")
+  }
+
   test("operators degrade to empty/zero results on empty inputs, " +
       "never errors") {
     val empty = docsDf()
