@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_date_arith" -> Relational.q36DateArith,
     "q37_regexp" -> Relational.q37Regexp,
     "q38_range_frame" -> Relational.q38RangeFrame,
+    "q39_lateral" -> Relational.q39Lateral,
     "x1_dedup_exact" -> Extensions.x1DedupExact,
     "x2_dedup_fingerprint" -> Extensions.x2DedupFingerprint,
     "x3_jaccard_pairs" -> Extensions.x3JaccardPairs,
@@ -680,6 +681,13 @@ object SparkEntry {
         |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
         |  CAST(COALESCE(n_shared, 0) * 5 >= n * 4 AND n > 0 AS INTEGER) AS contaminated
         |FROM ten LEFT JOIN shared USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q39_lateral" ->
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
     // x31_approx_percentiles: GK sketch is engine-specific → no SQL
     // oracle; relative error vs exact q32 is asserted in the spec suite.
     "x32_token_entropy" ->

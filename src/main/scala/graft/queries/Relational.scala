@@ -478,4 +478,22 @@ object Relational {
         |FROM orders_rf ORDER BY o_orderkey
         |""".stripMargin)
   }
+
+  /** q39: correlated LATERAL subquery — per-nation top-2 customers by
+    * balance, expressed as a lateral derived table rather than a window
+    * (the SQL-standard form; Catalyst decorrelates it into a ranked
+    * join, so the physical cost matches the window formulation).
+    */
+  def q39Lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_lat")
+    t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    s.sql(
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation_lat,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey
+        |""".stripMargin)
+  }
 }
