@@ -133,6 +133,14 @@ class PlanSpec extends SparkSpec {
     assert("- Window \\(".r.findAllIn(p).length <= 1, p)
   }
 
+  test("q39: LATERAL decorrelates to a ranked join — no per-row " +
+      "re-execution, no cartesian") {
+    val p = plan(Relational.q39Lateral(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // Catalyst rewrites the correlated LIMIT into a ranked window join
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"), p)
+  }
+
   test("x37: hash sample is a pure map-side filter — the only exchange " +
       "is the output sort") {
     val p = plan(Extensions.x37HashSample(spark, sfDir))
