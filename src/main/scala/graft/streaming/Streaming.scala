@@ -265,18 +265,23 @@ object Streaming {
   }
 
   /** Exactly-once streaming writes into a [[Collection]] via
-    * foreachBatch with a committed-batch-id log: Structured Streaming
-    * re-runs a micro-batch after failure (at-least-once delivery into
-    * the sink function), so each batch id is recorded under
-    * `checkpointDir/graft-commits/` AFTER its append and re-runs of a
-    * committed id are skipped — append-idempotence without requiring
-    * the sink format to be transactional. This generalizes the
-    * reference's batched async insert (the A7/A8 surface) to continuous
-    * sources with exactly-once results.
+    * foreachBatch with batchId-scoped IDEMPOTENT writes: each
+    * micro-batch lands in its own Hive-style partition directory
+    * `graft_batch=<batchId>` in Overwrite mode, so a replayed batch (Spark
+    * re-runs micro-batches after failure — at-least-once delivery into
+    * the sink function) REWRITES the same directory instead of
+    * appending a second copy. There is no append-then-mark window to
+    * crash inside — the overwrite itself is the idempotence mechanism,
+    * which is what "exactly-once into a non-transactional file sink"
+    * actually requires. This generalizes the reference's batched async
+    * insert (the A7/A8 surface) to continuous sources.
     *
-    * The commit marker uses the same Hadoop FileSystem abstraction as
-    * the collection itself, so checkpoint and data can live on local
-    * disk, HDFS, or an object store alike.
+    * Reads see a `graft_batch` int column (ingest lineage) via standard
+    * partition discovery; the name deliberately avoids a leading
+    * underscore, which Spark's file index (and [[Collection.read]])
+    * treat as hidden. A collection fed by sinkStream should be fed
+    * ONLY by it — mixing flat `Collection.write` files and partition
+    * directories under one path breaks partition discovery.
     */
   def sinkStream(df: DataFrame, collection: Collection,
       checkpointDir: String,
@@ -287,18 +292,9 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val commitDir = new org.apache.hadoop.fs.Path(
-          checkpointDir, "graft-commits")
-        val fs = commitDir.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
-        if (!fs.exists(marker)) {
-          collection.write(batch.toDF(),
-            org.apache.spark.sql.SaveMode.Append)
-          fs.mkdirs(commitDir)
-          fs.create(marker, true).close()
-        }
+        batch.toDF().write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"${collection.path}/graft_batch=$batchId")
         ()
       }
       .start()

@@ -116,8 +116,8 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sinkStream appends each micro-batch into a collection exactly " +
-      "once, and a re-run of a committed batch id is a no-op") {
+  test("sinkStream lands each micro-batch into a collection exactly " +
+      "once, and a replayed batch id overwrites instead of duplicating") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val base = Files.createTempDirectory("graft_sink_stream").toString
@@ -134,12 +134,18 @@ class StreamingSpec extends SparkSpec {
       input.addData(Seq(3L -> "c"))
       q.processAllAvailable()
       assert(coll.count() == 3)
+      // the lineage partition column is visible (and not underscore-hidden)
+      assert(coll.read().columns.contains("graft_batch"))
     } finally q.stop()
-    // simulate a failure re-run of an already-committed batch: calling
-    // the same sink path with a committed marker present must not
-    // duplicate rows — drive it by restarting the stream on the same
-    // checkpoint with no new data (Spark replays nothing; the committed
-    // markers guard the foreachBatch body if it ever did)
+    // simulate a failure re-run of an already-delivered batch: Spark
+    // re-invokes foreachBatch with the SAME batchId after a crash, so
+    // re-writing batch 0's directory in Overwrite mode (exactly what the
+    // sink body does) must leave the row count unchanged
+    spark.createDataFrame(Seq(1L -> "a", 2L -> "b")).toDF("id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${coll.path}/graft_batch=0")
+    assert(coll.count() == 3, "replayed batch must not duplicate")
+    // a restart on the same checkpoint with no new data replays nothing
     val q2 = graft.streaming.Streaming.sinkStream(
       input.toDF.toDF("id", "text"), coll, ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
