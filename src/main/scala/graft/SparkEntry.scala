@@ -97,6 +97,7 @@ object SparkEntry {
     "x35_unigram_surprisal" -> Extensions.x35UnigramSurprisal,
     "x36_asof_forward" -> Events.x36AsOfForward,
     "x37_hash_sample" -> Extensions.x37HashSample,
+    "x38_repetition" -> Extensions.x38RepetitionStats,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -630,6 +631,38 @@ object SparkEntry {
       """SELECT lang, doc_id, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         |ORDER BY doc_id""".stripMargin,
+    // integer cross-multiplication thresholds (top·5 > n ⇔ >20%,
+    // dup·10 > n·3 ⇔ >30%) — the flag is engine-exact, no float division
+    "x38_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        |td AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |         COUNT(*) AS n_distinct_tokens,
+        |         CAST(MAX(n) AS BIGINT) AS top_token_n FROM tc GROUP BY 1),
+        |g0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE [] END) AS g FROM g0),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS n FROM g1 GROUP BY 1, 2),
+        |gd AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_2grams,
+        |         COUNT(*) AS n_distinct_2grams,
+        |         CAST(MAX(n) AS BIGINT) AS top_2gram_n FROM gc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  COALESCE(top_token_n, 0) AS top_token_n,
+        |  COALESCE(n_2grams, 0) AS n_2grams,
+        |  COALESCE(n_distinct_2grams, 0) AS n_distinct_2grams,
+        |  COALESCE(top_2gram_n, 0) AS top_2gram_n,
+        |  CAST(COALESCE(top_token_n, 0) * 5 > COALESCE(n_tokens, 0)
+        |    OR (COALESCE(n_2grams, 0) - COALESCE(n_distinct_2grams, 0)) * 10
+        |       > COALESCE(n_2grams, 0) * 3 AS INTEGER) AS repetitious
+        |FROM documents d
+        |LEFT JOIN td USING (doc_id) LEFT JOIN gd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "x27_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token

@@ -272,6 +272,20 @@ object Extensions {
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** x38: Gopher-style repetition quality signals
+    * ([[graft.operators.Repetition.repetitionStats]]) — per-document
+    * token / 2-gram occurrence, distinct, and top-value counts, with the
+    * repetition flag decided entirely in integer space (top token > 20 %
+    * of tokens, or duplicate 2-gram occurrences > 30 %). Two linear
+    * word-count-shaped passes; no windows.
+    */
+  def x38RepetitionStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Repetition.repetitionStats(docs(s, dir), "doc_id",
+        "text")
+      // int, not boolean: keeps the oracle compare type-exact in DuckDB
+      .withColumn("repetitious", col("repetitious").cast("int"))
+      .orderBy(col("doc_id"))
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

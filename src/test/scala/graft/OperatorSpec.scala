@@ -255,4 +255,36 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotReal == expected)
   }
+
+  test("Repetition stats: planted repetitive docs flagged, diverse doc " +
+      "not, empty doc all-zero and unflagged") {
+    import spark.implicits._
+    import graft.operators.Repetition
+    val docsDf = Seq(
+      // top token "spam" is 5/8 > 20% → flagged via the token rule
+      (1L, "spam spam spam spam spam one two three"),
+      // all tokens distinct, all 2-grams distinct → clean
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // repeated 6-word phrase: top token 2/12 ≈ 16.7% ≤ 20% (token rule
+      // silent) but the repeat duplicates every phrase-internal 2-gram →
+      // only the 2-gram rule fires
+      (3L, "one two three four five six one two three four five six"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Repetition.repetitionStats(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L).getBoolean(7), "token-dominated doc must be flagged")
+    assert(!got(2L).getBoolean(7), "all-distinct doc must be clean")
+    // doc 3: 12 tokens, top token n=2 (2*5=10 ≤ 12 → token rule silent);
+    // 11 2-grams, 6 distinct ("six one" once, the 5 phrase-internal
+    // 2-grams twice) → dup = 5, 5*10 > 11*3 → flagged by the 2-gram rule
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 12L && r3.getLong(3) == 2L)
+    assert(r3.getLong(4) == 11L && r3.getLong(5) == 6L)
+    assert(r3.getBoolean(7), "phrase-repeated doc must be flagged")
+    // empty doc: all-zero counts, not flagged
+    val r4 = got(4L)
+    (1 to 6).foreach(i => assert(r4.getLong(i) == 0L, s"col $i zero"))
+    assert(!r4.getBoolean(7))
+  }
 }
