@@ -98,6 +98,7 @@ object SparkEntry {
     "x36_asof_forward" -> Events.x36AsOfForward,
     "x37_hash_sample" -> Extensions.x37HashSample,
     "x38_repetition" -> Extensions.x38RepetitionStats,
+    "x39_pack_sequences" -> Extensions.x39PackSequences,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -631,6 +632,27 @@ object SparkEntry {
       """SELECT lang, doc_id, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         |ORDER BY doc_id""".stripMargin,
+    // per-language prefix sums + integer division — offsets and sequence
+    // ids are exact in both engines
+    "x39_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |  FROM documents),
+        |o AS (
+        |  SELECT lang, doc_id, n_bpe,
+        |    CAST(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_offset
+        |  FROM t)
+        |SELECT lang, doc_id, n_bpe,
+        |  end_offset - n_bpe AS begin_offset,
+        |  (end_offset - n_bpe) // 512 AS seq_id,
+        |  CASE WHEN n_bpe > 0 THEN (end_offset - 1) // 512
+        |       ELSE (end_offset - n_bpe) // 512 END AS seq_last,
+        |  CAST((CASE WHEN n_bpe > 0 THEN (end_offset - 1) // 512
+        |             ELSE (end_offset - n_bpe) // 512 END)
+        |    <> (end_offset - n_bpe) // 512 AS INTEGER) AS straddles
+        |FROM o ORDER BY lang, doc_id""".stripMargin,
     // integer cross-multiplication thresholds (top·5 > n ⇔ >20%,
     // dup·10 > n·3 ⇔ >30%) — the flag is engine-exact, no float division
     "x38_repetition" ->

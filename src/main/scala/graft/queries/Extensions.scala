@@ -286,6 +286,19 @@ object Extensions {
       .withColumn("repetitious", col("repetitious").cast("int"))
       .orderBy(col("doc_id"))
 
+  /** x39: sequence packing ([[graft.operators.Packing.packSequences]])
+    * — per-language concatenate-and-chunk at a 512-token budget: each
+    * document's token interval in the packed stream, its first/last
+    * training-sequence ids, and whether it straddles a cut. All-integer
+    * running sums; one shuffle keyed by the stratum.
+    */
+  def x39PackSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(docs(s, dir), "doc_id", "text",
+        "lang", seqLen = 512)
+      // int, not boolean: keeps the oracle compare type-exact in DuckDB
+      .withColumn("straddles", col("straddles").cast("int"))
+      .orderBy(col("lang"), col("doc_id"))
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

@@ -287,4 +287,41 @@ class OperatorSpec extends SparkSpec {
     (1 to 6).foreach(i => assert(r4.getLong(i) == 0L, s"col $i zero"))
     assert(!r4.getBoolean(7))
   }
+
+  test("Packing: contiguous per-stratum offsets and correct cut straddling") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val fixture = Seq(
+      ("s1", 1L, "one two three"), //  3 tokens → [0,3)
+      ("s1", 2L, "four five six seven"), // 4 → [3,7), crosses the 5-cut
+      ("s1", 3L, ""), //                    0 → sits at offset 7, seq 1
+      ("s1", 4L, "eight nine"), //          2 → [7,9)
+      ("s2", 9L, "a b c d e f") //          fresh stratum, [0,6) crosses
+    ).toDF("lang", "doc_id", "text")
+    val got = Packing.packSequences(fixture, "doc_id", "text", "lang",
+        seqLen = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))
+      .toMap
+    assert(got(("s1", 1L)) == ((3L, 0L, 0L, 0L, false)))
+    assert(got(("s1", 2L)) == ((4L, 3L, 0L, 1L, true)))
+    assert(got(("s1", 3L)) == ((0L, 7L, 1L, 1L, false)))
+    assert(got(("s1", 4L)) == ((2L, 7L, 1L, 1L, false)))
+    assert(got(("s2", 9L)) == ((6L, 0L, 0L, 1L, true)))
+
+    // real corpus: within each language the packed stream has no gaps —
+    // every begin_offset equals the previous document's end
+    val real = graft.queries.Extensions.x39PackSequences(spark, sfDir)
+      .collect().groupBy(_.getString(0))
+    assert(real.nonEmpty)
+    real.foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).foldLeft(0L) { (expectBegin, r) =>
+        assert(r.getLong(3) == expectBegin,
+          s"gap at doc ${r.getLong(1)}: ${r.getLong(3)} != $expectBegin")
+        expectBegin + r.getLong(2)
+      }
+    }
+  }
 }
