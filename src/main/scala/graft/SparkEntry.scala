@@ -99,6 +99,7 @@ object SparkEntry {
     "x37_hash_sample" -> Extensions.x37HashSample,
     "x38_repetition" -> Extensions.x38RepetitionStats,
     "x39_pack_sequences" -> Extensions.x39PackSequences,
+    "x40_pii_redact" -> Extensions.x40PiiRedact,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -632,6 +633,25 @@ object SparkEntry {
       """SELECT lang, doc_id, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         |ORDER BY doc_id""".stripMargin,
+    // same RE2-compatible pattern strings as the engine; DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all semantics
+    "x40_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or call +1-555-' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 4, '0') AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(synth,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(synth,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(synth,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
     // per-language prefix sums + integer division — offsets and sequence
     // ids are exact in both engines
     "x39_pack_sequences" ->

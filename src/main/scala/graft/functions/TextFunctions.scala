@@ -104,4 +104,28 @@ object TextFunctions {
         least(meanLen / 8, lit(1.0)) * 0.25,
       6)
   }
+
+  /** PII scrub patterns. Deliberately RE2-compatible (no lookaround, no
+    * backreferences), so the SAME pattern strings run under Java regex
+    * (Spark) and RE2-family engines — the property that lets one pattern
+    * inventory serve the whole pipeline and its oracles.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Replace every email / phone occurrence with a typed placeholder —
+    * the pre-training PII scrub. A pure codegen'd map (two
+    * regexp_replace passes, emails first so the phone pass never sees
+    * an address); zero shuffles at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Occurrence counts of each PII class (for audit/reporting). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
 }

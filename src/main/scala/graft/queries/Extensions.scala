@@ -299,6 +299,25 @@ object Extensions {
       .withColumn("straddles", col("straddles").cast("int"))
       .orderBy(col("lang"), col("doc_id"))
 
+  /** x40: PII redaction audit ([[TextFunctions.redactPii]]) — scrub
+    * emails/phones and count occurrences per document. The corpus has no
+    * organic PII (closed 31-token vocab), so deterministic synthetic PII
+    * is appended per doc — the REDACTION itself (regex inventory,
+    * placeholder typing, pass ordering) is the operator under test.
+    * Pure map, zero shuffles.
+    */
+  def x40PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or call +1-555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"))
+    docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.redactPii(synth).as("redacted"),
+        TextFunctions.emailCount(synth).as("n_emails"),
+        TextFunctions.phoneCount(synth).as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

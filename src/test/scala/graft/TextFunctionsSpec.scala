@@ -74,4 +74,20 @@ class TextFunctionsSpec extends SparkSpec {
       "#@! $% ^&*")
     assert(qLong > qJunk)
   }
+
+  test("redactPii scrubs every email and phone, leaves clean text alone") {
+    val dirty = "mail a.b-c_1%x@sub.example.co.uk then +1-555-0042 and " +
+      "second@ex.io; call +44-123-9999 done"
+    val got = one[String](TextFunctions.redactPii(col("text")), dirty)
+    assert(got == "mail <EMAIL> then <PHONE> and <EMAIL>; call <PHONE> done")
+    // nothing matchable survives the scrub
+    assert(one[Int](TextFunctions.emailCount(col("text")), got) == 0)
+    assert(one[Int](TextFunctions.phoneCount(col("text")), got) == 0)
+    assert(one[Int](TextFunctions.emailCount(col("text")), dirty) == 2)
+    assert(one[Int](TextFunctions.phoneCount(col("text")), dirty) == 2)
+    // clean text is untouched (idempotence on redacted output included)
+    val clean = "no personal data here, just words and 123 numbers"
+    assert(one[String](TextFunctions.redactPii(col("text")), clean) == clean)
+    assert(one[String](TextFunctions.redactPii(col("text")), got) == got)
+  }
 }
