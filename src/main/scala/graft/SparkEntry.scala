@@ -100,6 +100,9 @@ object SparkEntry {
     "x38_repetition" -> Extensions.x38RepetitionStats,
     "x39_pack_sequences" -> Extensions.x39PackSequences,
     "x40_pii_redact" -> Extensions.x40PiiRedact,
+    "x41_source_mix" -> Extensions.x41SourceMix,
+    "x42_chunk_windows" -> Extensions.x42ChunkWindows,
+    "x43_segment_dedup" -> Extensions.x43SegmentDedup,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -633,6 +636,64 @@ object SparkEntry {
       """SELECT lang, doc_id, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         |ORDER BY doc_id""".stripMargin,
+    // integer-exact per-stratum thresholds: thr = (16^8·cap) div n_g,
+    // clamped; rate-1 strata bypass the hex compare (thr = 16^8 is nine
+    // hex digits and would compare low lexicographically)
+    "x41_source_mix" ->
+      """WITH c AS (
+        |  SELECT lang, LEAST(4294967296, (4294967296 * 100) // COUNT(*)) AS thr
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, doc_id, n_chars
+        |FROM documents d JOIN c USING (lang)
+        |WHERE thr = 4294967296
+        |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < printf('%08x', CAST(thr AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
+    // range(0, (n-1)//48 + 1) = the window starts strictly inside the
+    // token list; list_slice's inclusive end mirrors Spark slice(width)
+    "x42_chunk_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |w AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, (len(tk)-1)//48 + 1)) AS i
+         |  FROM t WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  CAST(len(list_slice(tk, i*48+1, LEAST(i*48+64, len(tk)))) AS INTEGER)
+         |    AS chunk_tokens,
+         |  array_to_string(list_slice(tk, i*48+1, LEAST(i*48+64, len(tk))), ' ')
+         |    AS chunk_text
+         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
+    // first corpus-wide occurrence per distinct 16-token segment, then
+    // documents rebuilt from survivors in segment order
+    "x43_segment_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |segs AS (
+         |  SELECT doc_id, tk, unnest(range(0, (len(tk)-1)//16 + 1)) AS seg_idx
+         |  FROM t WHERE len(tk) > 0),
+         |st AS (
+         |  SELECT doc_id, seg_idx,
+         |    array_to_string(list_slice(tk, seg_idx*16+1,
+         |      LEAST(seg_idx*16+16, len(tk))), ' ') AS seg_text
+         |  FROM segs),
+         |rn AS (
+         |  SELECT doc_id, seg_idx, seg_text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(seg_text)
+         |      ORDER BY doc_id, seg_idx) AS r
+         |  FROM st),
+         |per AS (
+         |  SELECT doc_id, COUNT(*) AS n_segments,
+         |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    COALESCE(string_agg(CASE WHEN r = 1 THEN seg_text END,
+         |      ' ' ORDER BY seg_idx), '') AS kept_text
+         |  FROM rn GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_segments, 0) AS n_segments,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(kept_text, '') AS kept_text
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // same RE2-compatible pattern strings as the engine; DuckDB needs the
     // explicit 'g' flag to match Spark's replace-all semantics
     "x40_pii_redact" ->

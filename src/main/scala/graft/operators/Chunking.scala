@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Token-window chunking and segment-level deduplication.
+  *
+  * Chunking splits each document into overlapping fixed-size token
+  * windows — the retrieval/embedding preprocessing step (every RAG
+  * indexer and long-context packer needs it). Segment dedup is the
+  * CCNet-style pass (Wenzek et al. 2020 dedup paragraphs by hash;
+  * here the segmenter is a fixed token window, the right granularity
+  * for single-line web text): drop every repeated segment except its
+  * first occurrence corpus-wide, then rebuild documents from the
+  * surviving segments.
+  *
+  * Both are built from the same primitive: a map-only
+  * `sequence → transform → posexplode` over the token array — no joins,
+  * no windows, no state. Chunking stays entirely map-side (a scan at
+  * 100 TB). Segment dedup adds the one shuffle the semantics require
+  * (first-occurrence choice is global, keyed by segment hash) plus a
+  * per-doc rebuild agg; segment-hash groups are tiny (duplicate
+  * counts), so the window inside each hash group never sorts more than
+  * a handful of rows.
+  */
+object Chunking {
+
+  /** Overlapping token windows: window `i` covers tokens
+    * `[i·stride, i·stride + width)`, for every start strictly inside
+    * the document; the last window may be short. Documents with no
+    * tokens yield no rows.
+    *
+    * Output: idCol, `chunk_idx`, `chunk_tokens` (count), `chunk_text`
+    * (space-joined window).
+    */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val starts = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      // last window index: greatest start i with i·stride < n
+      .withColumn("__idx",
+        sequence(lit(0), expr(s"(__n - 1) div $stride")))
+    starts
+      .select(col(idCol), col("__tk"),
+        posexplode(col("__idx")).as(Seq("chunk_idx", "__i")))
+      .withColumn("__w", slice(col("__tk"),
+        col("__i") * stride + 1, lit(width)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__w")).as("chunk_tokens"),
+        array_join(col("__w"), " ").as("chunk_text"))
+  }
+
+  /** Corpus-wide segment dedup: cut each document into NON-overlapping
+    * `width`-token segments, keep only the first occurrence of each
+    * distinct segment text (ordered by (idCol, segment index)), and
+    * rebuild each document from its surviving segments in order.
+    *
+    * Output: one row per input document — idCol, `n_segments`,
+    * `n_kept`, `kept_text` (surviving segments re-joined; empty string
+    * when every segment was a duplicate). Documents with no tokens
+    * report 0/0 and an empty text.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    val segs = tokenWindows(df, idCol, textCol, width, width)
+      .withColumnRenamed("chunk_idx", "seg_idx")
+    // global first occurrence per distinct segment text: one shuffle on
+    // the segment hash; each hash group holds only that segment's
+    // duplicates, so the in-group sort is tiny
+    val w = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("seg_idx"))
+    val kept = segs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__keep", col("__rn") === 1)
+    val perDoc = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        // sort_array on (seg_idx, text) structs: deterministic rebuild
+        // order without a second window
+        array_join(expr(
+          "transform(" +
+            "sort_array(collect_list(CASE WHEN __keep THEN " +
+            "struct(seg_idx, chunk_text) END))," +
+            "s -> s.chunk_text)"), " ").as("kept_text"))
+    // left join back so token-free documents still report 0/0/""
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+}

@@ -49,21 +49,23 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels
+      // prev label rides along in the same join that computes the new
+      // one, so the convergence count needs no second labels join
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
         .cache()
-      // one action per round: materializes `next` and counts label moves
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .count()
+      // one action per round: materializes and counts label moves
+      changed = stepped.filter(col("label") =!= col("__prev")).count()
       labels.unpersist()
-      labels = next
+      // keep the CACHED frame as the loop variable (a select on top
+      // would make the next round's unpersist a no-op and leak cache);
+      // downstream joins project (id, label) explicitly
+      labels = stepped
     }
     edges.unpersist()
-    labels
+    labels.select(col("id"), col("label"))
   }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mixture balancing for training corpora — downsample over-represented
+  * strata (language, source domain, crawl snapshot) so no stratum
+  * dominates the training mix. This is the corpus-balancing step that
+  * multilingual/multi-source pipelines run between filtering and
+  * sharding (the deterministic-cap form of temperature sampling: a
+  * stratum with n_g documents keeps ~min(n_g, cap) of them).
+  *
+  * Selection is a pure function of the row id, like the other sampling
+  * operators ([[Sampling]]): a row survives iff the first 8 hex digits
+  * of md5(id) fall below the stratum's threshold
+  * `floor(16^8 · min(1, cap/n_g))`, computed entirely in INTEGER
+  * arithmetic (`(16^8 · cap) div n_g`, clamped) so the kept set is
+  * engine-exact and reproducible across runs, partitionings, and
+  * engines. Per-stratum kept counts are binomial around min(n_g, cap)
+  * — the price of a map-only filter; [[Sampling.stratifiedSample]] is
+  * the exact-count alternative when a per-group sort is affordable.
+  *
+  * Scale shape: one tiny groupBy to count each stratum (output is
+  * |strata| rows — broadcast by AQE), then the threshold join and hash
+  * compare are map-side over the corpus scan. Nothing corpus-sized
+  * shuffles: THE form that survives 100 TB.
+  */
+object Mixing {
+
+  /** Deterministically downsample each stratum to ≈`cap` rows.
+    *
+    * `16^8 · cap` must fit a long ⇒ cap < 2^31 — plenty: caps are
+    * human-chosen budgets, not data-sized.
+    */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      cap: Long): DataFrame = {
+    require(cap >= 0 && cap < (1L << 31), s"cap out of range: $cap")
+    val full = BigInt(16).pow(8).toLong
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      // integer threshold: full·cap div n, clamped to full (rate 1);
+      // `div` (not `/`): Spark's / on longs is double division
+      .withColumn("__thr",
+        least(lit(full), expr(s"(${full}L * ${cap}L) div __n")))
+      .withColumn("__thr_hex", format_string("%08x", col("__thr")))
+      .select(col(stratumCol), col("__thr"), col("__thr_hex"))
+    df.join(counts, stratumCol)
+      // rate-1 strata keep everything outright: their threshold 16^8 is
+      // nine hex digits and would compare LOW lexicographically
+      .filter(col("__thr") === lit(full) ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr_hex"))
+      .drop("__thr", "__thr_hex")
+  }
+}

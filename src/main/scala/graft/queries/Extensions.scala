@@ -318,6 +318,40 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x41: mixture balancing ([[graft.operators.Mixing.capPerStratum]])
+    * — deterministically downsample over-represented languages to a
+    * ≈100-document cap via integer-exact per-stratum hash thresholds.
+    * The corpus-mix rebalancing step of a multilingual pipeline; one
+    * |strata|-row agg broadcast back, the filter itself map-side.
+    */
+  def x41SourceMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixing.capPerStratum(docs(s, dir), "lang", "doc_id",
+        cap = 100L)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** x42: overlapping token-window chunking
+    * ([[graft.operators.Chunking.tokenWindows]]) — 64-token windows at
+    * stride 48, the RAG/embedding preprocessing split. Pure map-side
+    * explode, zero shuffles.
+    */
+  def x42ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.tokenWindows(docs(s, dir), "doc_id", "text",
+        width = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** x43: corpus-wide segment-level dedup
+    * ([[graft.operators.Chunking.dedupSegments]]) — CCNet-style
+    * paragraph dedup with a 16-token segmenter: repeated segments keep
+    * only their first corpus-wide occurrence, documents are rebuilt
+    * from the survivors. One shuffle keyed by segment hash + per-doc
+    * rebuild agg.
+    */
+  def x43SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.dedupSegments(docs(s, dir), "doc_id", "text",
+        width = 16)
+      .orderBy(col("doc_id"))
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

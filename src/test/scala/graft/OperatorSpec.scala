@@ -324,4 +324,89 @@ class OperatorSpec extends SparkSpec {
       }
     }
   }
+
+  test("Mixing.capPerStratum: rate-1 strata untouched, capped strata " +
+      "near the cap, selection partitioning-independent and nested") {
+    import spark.implicits._
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1001 to 1050).map(i => (i.toLong, "small")))
+      .toDF("id", "grp")
+
+    val out = graft.operators.Mixing.capPerStratum(df, "grp", "id", 200L)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // below-cap stratum keeps every row
+    assert(byGrp("small") == 50L)
+    // capped stratum: binomial around 200 at rate 0.2 over 1000 rows
+    assert(byGrp("big") > 120L && byGrp("big") < 280L, byGrp)
+
+    // pure function of the data: repartitioning changes nothing
+    val re = graft.operators.Mixing
+      .capPerStratum(df.repartition(7, col("id")), "grp", "id", 200L)
+      .select("id").as[Long].collect().sorted
+    assert(re.toSeq == out.select("id").as[Long].collect().sorted.toSeq)
+
+    // nested: the cap-100 sample is a subset of the cap-200 sample
+    val small = graft.operators.Mixing.capPerStratum(df, "grp", "id", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(out.select("id").as[Long].collect().toSet))
+
+    // empty-cap edge: cap 0 keeps nothing
+    assert(graft.operators.Mixing.capPerStratum(df, "grp", "id", 0L)
+      .isEmpty)
+  }
+
+  test("Chunking.tokenWindows: full coverage, overlap = width - stride, " +
+      "short tail window, token-free docs dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "  ")                                      // no tokens
+    ).toDF("doc_id", "text")
+
+    val out = graft.operators.Chunking
+      .tokenWindows(df, "doc_id", "text", width = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4 and a 1-token tail
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 4, 1))
+    assert(d1(0)._4 == "t1 t2 t3 t4")
+    assert(d1(1)._4 == "t4 t5 t6 t7") // 1-token overlap at stride 3
+    assert(d1(3)._4 == "t10")
+    // every token of doc 1 appears in at least one window
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+
+    // doc 2 fits one window; doc 3 yields nothing
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("only three tokens"))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("Chunking.dedupSegments: repeated segments keep first occurrence " +
+      "only, docs rebuilt in order, token-free docs report empty") {
+    import spark.implicits._
+    val seg = (1 to 4).map(i => s"s$i").mkString(" ") // one 4-token segment
+    val df = Seq(
+      (1L, s"$seg a b c d"),   // segment + unique tail segment
+      (2L, s"$seg x y z w"),   // same first segment (dup), unique tail
+      (3L, seg),               // entire doc is a dup of segment 1
+      (4L, "")                 // token-free
+    ).toDF("doc_id", "text")
+
+    val out = graft.operators.Chunking
+      .dedupSegments(df, "doc_id", "text", width = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    assert(out(1L) == ((2L, 2L, s"$seg a b c d"))) // first occurrence: intact
+    assert(out(2L) == ((2L, 1L, "x y z w")))       // shared segment dropped
+    assert(out(3L) == ((1L, 0L, "")))              // fully deduplicated
+    assert(out(4L) == ((0L, 0L, "")))              // no tokens at all
+  }
 }

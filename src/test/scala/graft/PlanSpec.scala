@@ -149,6 +149,19 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 2, p) // sort exchange only
   }
 
+  test("x41/x42: mixture cap joins a strata-sized agg (no corpus window); " +
+      "chunking is a pure map-side explode") {
+    val p41 = plan(Extensions.x41SourceMix(spark, sfDir))
+    assert(!p41.contains("Window"), p41) // cap filter, not a ranked sample
+    assert(!p41.contains("CartesianProduct"), p41)
+    assert(p41.contains("partial_"), p41) // strata counts partial-agg first
+    val p42 = plan(Extensions.x42ChunkWindows(spark, sfDir))
+    assert(!p42.contains("Window"), p42)
+    assert(!p42.contains("HashAggregate") && !p42.contains("Join"), p42)
+    assert(p42.split("Exchange").length - 1 <= 2, p42) // output sort only
+    assert(p42.contains("Generate"), p42) // the posexplode
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
