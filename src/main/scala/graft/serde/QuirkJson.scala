@@ -50,7 +50,7 @@ case class QuirkJson(child: Expression)
 
 object QuirkJson {
 
-  private[serde] def writeStruct(row: InternalRow, st: StructType,
+  private[graft] def writeStruct(row: InternalRow, st: StructType,
       sb: java.lang.StringBuilder): Unit = {
     sb.append('{')
     var i = 0

@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 sink for JSON document collections — the reference's
+  * load path (parquet rows → JSON transcode → batched collection
+  * inserts, ParquetArangoLoader.java:129-156) expressed through Spark's
+  * official connector API instead of a hand-rolled foreach:
+  *
+  * {{{
+  *   df.write.format("graft-docs")
+  *     .option("path", "/data/db/mycollection")
+  *     .option("batchSize", "1000")
+  *     .mode("append")            // or "overwrite" (drop + recreate)
+  *     .save()
+  * }}}
+  *
+  * Each task renders its rows with the same quirk-compatible transcoder
+  * as the batch loader ([[graft.serde.QuirkJson]] — A4 in SURVEY §2.1)
+  * and streams them to a temp file in `batchSize` flushes. Commit is
+  * the standard V2 two-phase protocol, which is what makes the sink
+  * safe under retries and speculative execution at cluster scale:
+  *
+  *  - task commit: the temp file (named by partition AND task attempt,
+  *    so concurrent attempts never collide) is fsync'd and its path
+  *    returned as the commit message — only one attempt per partition
+  *    wins Spark's output-commit coordination;
+  *  - job commit (driver): every committed temp file is renamed into
+  *    the collection directory — rename, not copy, so publication is
+  *    atomic per file; in truncate mode the previous document files
+  *    are removed first;
+  *  - abort: the temp directory is deleted, leaving the collection
+  *    exactly as before — a failed job never publishes partial data.
+  *
+  * The table accepts any schema (the collection's schema IS the
+  * document shape, as in the reference where ArangoDB is schemaless).
+  */
+class DocumentCollectionSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-docs"
+
+  // write-only source: there is no data-derived schema to infer, and
+  // ACCEPT_ANY_SCHEMA skips compatibility checks against this
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-docs requires a 'path' option (the collection directory)")
+    val batchSize = opts.getInt("batchSize", 1000)
+    if (batchSize < 1)
+      throw new IllegalArgumentException(
+        s"Invalid batch size $batchSize, must be >= 1")
+    new DocumentCollectionTable(path, batchSize)
+  }
+}
+
+private[sources] class DocumentCollectionTable(path: String, batchSize: Int)
+    extends Table with SupportsWrite {
+
+  override def name(): String = s"graft-docs:$path"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DocumentWriteBuilder(path, batchSize, info.schema(),
+      truncate = false)
+}
+
+private class DocumentWriteBuilder(path: String, batchSize: Int,
+    schema: StructType, truncate: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new DocumentWriteBuilder(path, batchSize, schema, truncate = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new DocumentBatchWrite(path, batchSize, schema, truncate)
+  }
+}
+
+private case class DocumentCommitMessage(tempFile: String, rows: Long)
+    extends WriterCommitMessage
+
+private class DocumentBatchWrite(path: String, batchSize: Int,
+    schema: StructType, truncate: Boolean) extends BatchWrite {
+
+  private val writeId = UUID.randomUUID().toString
+  private def tmpDir = s"$path/_tmp-$writeId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new DocumentWriterFactory(tmpDir, batchSize, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val dest = new Path(path)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    if (truncate)
+      fs.listStatus(dest)
+        .filter(_.getPath.getName.endsWith(".jsonl"))
+        .foreach(f => fs.delete(f.getPath, false))
+    messages.foreach { case DocumentCommitMessage(tempFile, _) =>
+      val src = new Path(tempFile)
+      // rename is the atomic publish; a name collision is impossible
+      // (file names carry partition + task id + this write's UUID dir)
+      if (!fs.rename(src, new Path(dest, src.getName)))
+        throw new IllegalStateException(s"could not publish $src")
+    }
+    fs.delete(new Path(tmpDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(tmpDir), true)
+  }
+}
+
+private class DocumentWriterFactory(tmpDir: String, batchSize: Int,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new DocumentWriter(tmpDir, batchSize, schema, partitionId, taskId)
+}
+
+/** Per-task writer: rows render through the quirk transcoder into an
+  * in-memory batch of `batchSize` lines, each batch flushed with one
+  * stream write — the reference's accumulate→insert→clear loop with a
+  * file stream standing in for the database client.
+  */
+private class DocumentWriter(tmpDir: String, batchSize: Int,
+    schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file =
+    new Path(tmpDir, f"part-$partitionId%05d-$taskId.jsonl")
+  private val fs = file.getFileSystem(new Configuration())
+  private lazy val out = fs.create(file, true)
+  private val batch = new java.lang.StringBuilder(64 * 1024)
+  private var inBatch = 0
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    graft.serde.QuirkJson.writeStruct(row, schema, batch)
+    batch.append('\n')
+    inBatch += 1
+    rows += 1
+    if (inBatch >= batchSize) flush()
+  }
+
+  private def flush(): Unit = if (inBatch > 0) {
+    out.write(batch.toString.getBytes("UTF-8"))
+    batch.setLength(0)
+    inBatch = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    out.close()
+    DocumentCommitMessage(file.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    try fs.delete(file, false) catch { case _: Throwable => () }
+    ()
+  }
+
+  override def close(): Unit = ()
+}

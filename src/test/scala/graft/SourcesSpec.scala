@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 collection sink: publish-on-commit semantics, append /
+  * truncate modes, batch rendering through the quirk transcoder, and
+  * no-partial-data on job failure.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def lines(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+
+  test("graft-docs sink: append publishes every row once, overwrite " +
+      "truncates, temp dir never survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2sink").toString + "/coll"
+    val df = (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+
+    df.write.format("graft-docs").option("path", dir)
+      .option("batchSize", "7").mode("append").save()
+    assert(lines(dir).size == 100)
+
+    df.write.format("graft-docs").option("path", dir)
+      .mode("append").save()
+    assert(lines(dir).size == 200) // append keeps the first write
+
+    df.filter($"id" <= 10).write.format("graft-docs").option("path", dir)
+      .mode("overwrite").save()
+    assert(lines(dir).size == 10) // truncate dropped prior documents
+
+    // no leftover temp dirs after any of the three commits
+    val leftovers = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_tmp")).toSeq
+    assert(leftovers.isEmpty, leftovers)
+
+    // the published documents are the quirk-compat transcode: same
+    // golden form as the batch loader (field order, ", " separators)
+    val doc1 = lines(dir).find(_.contains("\"doc 1\"")).get
+    assert(doc1 == """{"id": 1, "text": "doc 1"}""", doc1)
+  }
+
+  test("graft-docs sink: a failing job publishes nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2fail").toString + "/coll"
+    (1 to 5).map(i => (i.toLong, s"ok $i")).toDF("id", "text")
+      .write.format("graft-docs").option("path", dir).mode("append").save()
+    assert(lines(dir).size == 5)
+
+    val boom = udf((i: Long) => {
+      if (i == 42L) throw new RuntimeException("boom"); i
+    })
+    val bad = spark.range(0, 100, 1, 8)
+      .select(boom(col("id")).as("id"))
+    intercept[Exception] {
+      bad.write.format("graft-docs").option("path", dir)
+        .mode("append").save()
+    }
+    // collection is exactly as before the failed job: 5 docs, no temp
+    assert(lines(dir).size == 5)
+    val leftovers = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_tmp")).toSeq
+    assert(leftovers.isEmpty, leftovers)
+  }
+
+  test("graft-docs sink: batchSize validation mirrors the loader's") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2val").toString + "/c"
+    val ex = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "text")
+        .write.format("graft-docs").option("path", dir)
+        .option("batchSize", "0").mode("append").save()
+    }
+    assert(ex.getMessage.contains("Invalid batch size") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("Invalid batch size"), ex.getMessage)
+  }
+}
