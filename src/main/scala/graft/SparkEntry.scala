@@ -103,6 +103,8 @@ object SparkEntry {
     "x41_source_mix" -> Extensions.x41SourceMix,
     "x42_chunk_windows" -> Extensions.x42ChunkWindows,
     "x43_segment_dedup" -> Extensions.x43SegmentDedup,
+    "x44_bigram_surprisal" -> Extensions.x44BigramSurprisal,
+    "x45_lang_kl_drift" -> Extensions.x45LangKlDrift,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -841,6 +843,47 @@ object SparkEntry {
         |SELECT lang, n AS n_tokens, COUNT(*) AS vocab,
         |  CAST(SUM(q) AS DOUBLE) / 10000000000 AS entropy
         |FROM qq GROUP BY lang, n ORDER BY lang""".stripMargin,
+    // bigram conditional surprisal: contexts counted over BIGRAM
+    // occurrences (last token of a doc is never a context)
+    "x44_bigram_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM t WHERE len(tk) >= 2),
+        |w AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bi),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM w GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM w GROUP BY 1),
+        |qq AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * 10000000000) AS BIGINT) AS q
+        |  FROM w JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(q) AS DOUBLE) / 10000000000 / COUNT(*) AS avg_surprisal
+        |FROM qq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-term KL contributions may be negative; FLOOR on negatives is
+    // still deterministic and the sum stays in exact integer space
+    "x45_lang_kl_drift" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT lang, token, COUNT(*) AS cl FROM toks GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(SUM(cl) AS BIGINT) AS nl FROM tf GROUP BY 1),
+        |cf AS (SELECT token, CAST(SUM(cl) AS BIGINT) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM cf),
+        |qq AS (
+        |  SELECT tf.lang,
+        |    CAST(FLOOR((CAST(cl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |      * ln((CAST(cl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |           / (CAST(c AS DOUBLE) / CAST(n_corpus AS DOUBLE)))
+        |      * 10000000000) AS BIGINT) AS q
+        |  FROM tf JOIN nl USING (lang) JOIN cf USING (token) CROSS JOIN tot)
+        |SELECT lang, COUNT(*) AS vocab,
+        |  CAST(SUM(q) AS DOUBLE) / 10000000000 AS kl
+        |FROM qq GROUP BY lang ORDER BY lang""".stripMargin,
     "x35_unigram_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token

@@ -550,6 +550,63 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x44: bigram-LM surprisal — per-doc average −ln c(w₁w₂)/c(w₁·)
+    * under corpus bigram counts (c(w₁·) = occurrences of w₁ as a bigram
+    * context), the next step up from x35's unigram filter: it penalizes
+    * improbable word ORDER, not just rare words. Same engine-exactness
+    * construction: per-bigram surprisal quantized to 1e-10 longs before
+    * the per-doc sum. Two token-keyed linear aggs + two
+    * dictionary-sized joins (AQE-broadcast); docs with <2 tokens drop
+    * out with the explode, like every *-gram query here.
+    */
+  def x44BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bi = docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1)," +
+          " (x, i) -> concat(x, ' ', tk[i + 1]))")).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .cache()
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, "bg").join(c1, "w1")
+      .withColumn("q", floor(-log(col("c2").cast("double") /
+        col("c1").cast("double")) * lit(1e10)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("q")).cast("double") / lit(1e10) / count(lit(1)))
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x45: per-language KL divergence from the corpus token distribution
+    * — Σ_w p_l(w)·ln(p_l(w)/p(w)), the distribution-shift profile of a
+    * mixture ("how far is each stratum's token mix from the blend").
+    * Per-term contributions (which may be negative) are quantized to
+    * 1e-10 longs → the sum is exact integer arithmetic. Linear
+    * word-count aggs; the corpus dictionary join is vocabulary-sized.
+    */
+  def x45LangKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cl"))
+      .cache()
+    val nl = tf.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("cl")).as("c"))
+    val total = broadcast(cf.agg(sum(col("c")).as("n_corpus")))
+    val pl = col("cl").cast("double") / col("nl").cast("double")
+    val p = col("c").cast("double") / col("n_corpus").cast("double")
+    tf.join(nl, "lang").join(cf, "token").crossJoin(total)
+      .withColumn("q", floor(pl * log(pl / p) * lit(1e10)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        (sum(col("q")).cast("double") / lit(1e10)).as("kl"))
+      .orderBy(col("lang"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact
