@@ -78,6 +78,7 @@ private[sources] class DocumentCollectionTable(path: String, batchSize: Int)
   override def schema(): StructType = new StructType()
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -95,6 +96,8 @@ private class DocumentWriteBuilder(path: String, batchSize: Int,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DocumentBatchWrite(path, batchSize, schema, truncate)
+    override def toStreaming: streaming.StreamingWrite =
+      new DocumentStreamingWrite(path, batchSize, schema)
   }
 }
 
@@ -139,7 +142,64 @@ private class DocumentWriterFactory(tmpDir: String, batchSize: Int,
     schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new DocumentWriter(tmpDir, batchSize, schema, partitionId, taskId)
+    new DocumentWriter(tmpDir, batchSize, schema,
+      fileName = f"part-$partitionId%05d-$taskId.jsonl")
+}
+
+/** Streaming flavor of the sink: each epoch publishes its files under
+  * names that EMBED the epoch id, and epoch commit replaces any file
+  * already published under that name — so a replayed micro-batch (the
+  * failure mode of checkpoint recovery) overwrites its own previous
+  * output instead of duplicating it. Same idempotent-overwrite
+  * semantics as [[graft.streaming.Streaming]]'s batchId-partitioned
+  * foreachBatch sink, expressed on the connector API.
+  */
+private[sources] class DocumentStreamingWrite(path: String, batchSize: Int,
+    schema: StructType) extends streaming.StreamingWrite {
+
+  private val writeId = UUID.randomUUID().toString
+  private def tmpDir(epochId: Long) = s"$path/_tmp-$writeId-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    new DocumentStreamingWriterFactory(path, writeId, batchSize, schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val dest = new Path(path)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    messages.foreach { case DocumentCommitMessage(tempFile, _) =>
+      val src = new Path(tempFile)
+      // final name drops the attempt marker: a replay of this epoch
+      // regenerates the same names, and the delete+rename below
+      // REPLACES the previous run's file — idempotent overwrite
+      val fin = new Path(dest,
+        src.getName.replaceAll("-a-?\\d+\\.jsonl$", ".jsonl"))
+      if (fs.exists(fin)) fs.delete(fin, false)
+      if (!fs.rename(src, fin))
+        throw new IllegalStateException(s"could not publish $src")
+    }
+    fs.delete(new Path(tmpDir(epochId)), true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(tmpDir(epochId)), true)
+  }
+}
+
+private class DocumentStreamingWriterFactory(path: String, writeId: String,
+    batchSize: Int, schema: StructType)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    // temp name stays attempt-unique (concurrent speculative attempts
+    // must never share a file); the attempt marker is stripped at
+    // commit so the PUBLISHED name is the epoch-stable one
+    new DocumentWriter(s"$path/_tmp-$writeId-e$epochId", batchSize, schema,
+      fileName = f"epoch-$epochId-part-$partitionId%05d-a$taskId.jsonl")
 }
 
 /** Per-task writer: rows render through the quirk transcoder into an
@@ -148,11 +208,10 @@ private class DocumentWriterFactory(tmpDir: String, batchSize: Int,
   * file stream standing in for the database client.
   */
 private class DocumentWriter(tmpDir: String, batchSize: Int,
-    schema: StructType, partitionId: Int, taskId: Long)
+    schema: StructType, fileName: String)
     extends DataWriter[InternalRow] {
 
-  private val file =
-    new Path(tmpDir, f"part-$partitionId%05d-$taskId.jsonl")
+  private val file = new Path(tmpDir, fileName)
   private val fs = file.getFileSystem(new Configuration())
   private lazy val out = fs.create(file, true)
   private val batch = new java.lang.StringBuilder(64 * 1024)

@@ -69,6 +69,69 @@ class SourcesSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers)
   }
 
+  test("graft-docs streaming sink: per-epoch publish, epoch-stable names, " +
+      "replayed epoch overwrites instead of duplicating") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_v2stream").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_v2stream_ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("id", "text")
+      .writeStream.format("graft-docs")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(lines(dir).size == 3)
+    // published names carry the epoch, not the task attempt
+    val names = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSeq
+    assert(names.forall(_.matches("epoch-\\d+-part-\\d+\\.jsonl")), names)
+    assert(names.exists(_.startsWith("epoch-0-")), names)
+    assert(names.exists(_.startsWith("epoch-1-")), names)
+
+    // replay epoch 1 through the connector directly (what checkpoint
+    // recovery does): the re-published file REPLACES the original —
+    // same doc count, no duplicates
+    val before = lines(dir).size
+    val table = new graft.sources.DocumentCollectionSource()
+      .getTable(new org.apache.spark.sql.types.StructType(), Array.empty,
+        new java.util.HashMap[String, String] {
+          put("path", dir)
+        })
+    val sw = table.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "replay"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+        override def options():
+            org.apache.spark.sql.util.CaseInsensitiveStringMap =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }).build().toStreaming
+    val factory = sw.createStreamingWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      })
+    val writer = factory.createWriter(0, 99L, 1L) // epoch 1 again
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](3L, org.apache.spark.unsafe.types.UTF8String.fromString("c")))
+    writer.write(row)
+    sw.commit(1L, Array(writer.commit()))
+    assert(lines(dir).size == before) // replaced, not appended
+  }
+
   test("graft-docs sink: batchSize validation mirrors the loader's") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_v2val").toString + "/c"
