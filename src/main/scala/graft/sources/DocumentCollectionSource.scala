@@ -52,8 +52,11 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-docs"
 
-  // write-only source: there is no data-derived schema to infer, and
-  // ACCEPT_ANY_SCHEMA skips compatibility checks against this
+  // reads take the document shape from the caller
+  // (spark.read.schema(...)): collections are schemaless like the
+  // reference's, so there is no data-derived schema to infer
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     new StructType()
 
@@ -67,23 +70,33 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
     if (batchSize < 1)
       throw new IllegalArgumentException(
         s"Invalid batch size $batchSize, must be >= 1")
-    new DocumentCollectionTable(path, batchSize)
+    new DocumentCollectionTable(path, batchSize, schema)
   }
 }
 
-private[sources] class DocumentCollectionTable(path: String, batchSize: Int)
-    extends Table with SupportsWrite {
+private[sources] class DocumentCollectionTable(path: String, batchSize: Int,
+    tableSchema: StructType)
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = s"graft-docs:$path"
-  override def schema(): StructType = new StructType()
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocumentWriteBuilder(path, batchSize, info.schema(),
       truncate = false)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(tableSchema.nonEmpty,
+      "graft-docs reads need a schema: spark.read.schema(...)" +
+        ".format(\"graft-docs\")")
+    new DocumentScanBuilder(path, tableSchema)
+  }
 }
 
 private class DocumentWriteBuilder(path: String, batchSize: Int,
@@ -245,4 +258,88 @@ private class DocumentWriter(tmpDir: String, batchSize: Int,
   }
 
   override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------
+// Read path: one input partition per document file; lines parse through
+// Catalyst's Jackson parser AGAINST THE PRUNED SCHEMA, so column
+// pruning happens at the tokenizer (unprojected fields are skipped,
+// never materialized) — the V2 contract's SupportsPushDownRequiredColumns
+// doing real work, not decoration.
+// ---------------------------------------------------------------------
+
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+
+private class DocumentScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve the document field order; an empty requirement (e.g.
+    // count(*)) still parses zero fields per line
+    required = StructType(
+      full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  }
+
+  override def build(): Scan = new DocumentScan(path, required)
+}
+
+private class DocumentScan(path: String, required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-docs $path ReadSchema: ${required.simpleString}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".jsonl"))
+      .sortBy(_.getPath.getName)
+      .map(f => DocumentFilePartition(f.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocumentReaderFactory(required)
+}
+
+private case class DocumentFilePartition(file: String) extends InputPartition
+
+private class DocumentReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new DocumentFileReader(
+      partition.asInstanceOf[DocumentFilePartition].file, required)
+}
+
+private class DocumentFileReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val parser =
+    new org.apache.spark.sql.graftbridge.JsonLineParser(required)
+  private val in = {
+    val p = new Path(file)
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(new Configuration()).open(p), "UTF-8"))
+  }
+  private var pending: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (!pending.hasNext) {
+      val line = in.readLine()
+      if (line == null) return false
+      pending = parser.parse(line).iterator
+    }
+    current = pending.next()
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
 }

@@ -132,6 +132,35 @@ class SourcesSpec extends SparkSpec {
     assert(lines(dir).size == before) // replaced, not appended
   }
 
+  test("graft-docs read path: round-trips the sink's documents and prunes " +
+      "columns at the parser") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2read").toString + "/coll"
+    val df = (1 to 50).map(i => (i.toLong, s"doc $i", i * 1.5))
+      .toDF("id", "text", "score")
+    df.write.format("graft-docs").option("path", dir).mode("append").save()
+
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType), StructField("score", DoubleType)))
+    val back = spark.read.schema(schema).format("graft-docs").load(dir)
+    assert(back.count() == 50)
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      (1 to 50).map(i => (i.toLong, s"doc $i", i * 1.5)))
+
+    // projection reaches the scan: the V2 pruned read schema drops the
+    // unprojected columns
+    val pruned = back.select("id")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("ReadSchema: struct<id:bigint>"), planStr)
+
+    // a read without a schema fails loudly, not silently empty
+    val ex = intercept[Exception] {
+      spark.read.format("graft-docs").load(dir).collect()
+    }
+    assert(ex.getMessage.contains("schema"), ex.getMessage)
+  }
+
   test("graft-docs sink: batchSize validation mirrors the loader's") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_v2val").toString + "/c"
