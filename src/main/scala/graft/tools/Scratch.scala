@@ -31,13 +31,15 @@ object Scratch {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * 0.6 - 1e-9) + 1)
-      .select(col("id"), col("n"), col("s")).cache()
+      .select(col("id"), col("n"), col("s"), col("rn")).cache()
     t("prefix")(println("  prefix rows=" + prefix.count()))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.n") >= col("b.n") * 0.6 - 1e-9 &&
-          col("b.n") >= col("a.n") * 0.6 - 1e-9)
+          col("b.n") >= col("a.n") * 0.6 - 1e-9 &&
+          least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1
+            >= ceil((col("a.n") + col("b.n")) * (0.6 / 1.6) - 1e-9))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
     t("cand-raw")(println("  raw candidates=" + cand.count()))
     val dis = cand.distinct().cache()
