@@ -105,6 +105,7 @@ object SparkEntry {
     "x43_segment_dedup" -> Extensions.x43SegmentDedup,
     "x44_bigram_surprisal" -> Extensions.x44BigramSurprisal,
     "x45_lang_kl_drift" -> Extensions.x45LangKlDrift,
+    "x46_dedup_representatives" -> Extensions.x46DedupRepresentatives,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -438,6 +439,7 @@ object SparkEntry {
     // the spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     "x20_dedup_clusters" -> dedupClustersSql,
+    "x46_dedup_representatives" -> dedupRepresentativesSql,
     "x21_hash_split" ->
       """SELECT lang,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' THEN 'test'
@@ -981,4 +983,27 @@ object SparkEntry {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** x46: clusters collapsed to their min-id representative with the
+    * cluster size and char mass as weights; unpaired docs are singleton
+    * clusters of themselves.
+    */
+  private val dedupRepresentativesSql =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION
+       |  SELECT id2 AS a, id1 AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cid
+       |  FROM reach GROUP BY a)
+       |SELECT COALESCE(cid, d.doc_id) AS doc_id,
+       |  COUNT(*) AS cluster_size,
+       |  CAST(SUM(n_chars) AS BIGINT) AS cluster_chars
+       |FROM documents d LEFT JOIN lab USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

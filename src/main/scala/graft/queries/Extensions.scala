@@ -164,6 +164,31 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x46: canonical dedup output — one REPRESENTATIVE per near-dup
+    * cluster (min doc_id; docs in no pair are their own singleton
+    * cluster), carrying the cluster size as a weight. This is the frame
+    * a curation pipeline actually trains from: duplicates dropped, the
+    * survivor weighted by how many copies it stood for (loss weighting /
+    * repeat-factor correction). One left join of the corpus against the
+    * x20 labels + a cluster-keyed agg — nothing beyond x20's own cost.
+    */
+  def x46DedupRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+      k = 3, threshold = 0.6)
+    val labels = graft.operators.ConnectedComponents
+      .clusters(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("label").as("cid"))
+    docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("n_chars")).cast("long").as("cluster_chars"))
+      .select(col("cluster_id").as("doc_id"), col("cluster_size"),
+        col("cluster_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure
