@@ -8,6 +8,12 @@ package graft
   *  "other_count":k,"other_sec":s,"failed":k,"sf":dir}
   * where `queries` holds the slowest entries by full name under a fixed
   * character budget and `other_*` aggregates the remaining fast ones.
+  * Both lines also carry a loader-throughput microbench
+  * (`load_parquet_rows_per_sec`, `load_jsonl_docs_per_sec`) — the
+  * reference's actual workload (parquet → transcode → batched
+  * collection insert), timed through ParquetLoader and the graft-docs
+  * V2 sink, for the single-node-throughput comparison BASELINE.md
+  * frames.
   *
   * Failures are recorded per query (ok=false, the elapsed time until the
   * failure) and surfaced in a nonzero `failed` count — a crash at bench
@@ -74,6 +80,37 @@ object Bench {
       cpu += processCpuSec - c0
       spark.catalog.clearCache()
     }
+    // loader-throughput microbench — the reference's actual workload
+    // (parquet → transcode → batched collection insert; its implicit
+    // operating point is a 1-thread loader at 2000-row fixture scale,
+    // BASELINE.md). Timed once after the query passes: lineitem rows
+    // through ParquetLoader into a parquet collection, and documents
+    // through the V2 JSONL sink (full quirk transcode per row).
+    def rate(x: Double) = String.format(java.util.Locale.ROOT, "%.0f",
+      Double.box(x))
+    val loadStats =
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_benchload")
+        val mgr = new graft.core.CollectionManager(spark, tmp.toString)
+        val t0 = System.nanoTime()
+        val nRows = new graft.io.ParquetLoader(spark)
+          .load(s"$sfDir/lineitem.parquet", mgr.collection("li"),
+            overwriteCollection = true)
+        val parquetSec = (System.nanoTime() - t0) / 1e9
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val nDocs = docs.count()
+        val t1 = System.nanoTime()
+        docs.write.format("graft-docs")
+          .option("path", s"$tmp/docs").mode("append").save()
+        val jsonlSec = (System.nanoTime() - t1) / 1e9
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        s""","load_parquet_rows_per_sec":${rate(nRows / parquetSec)}""" +
+          s""","load_jsonl_docs_per_sec":${rate(nDocs / jsonlSec)}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] loader microbench FAILED: ${e.getMessage}")
+        ""
+      }
+
     val all = passes.result()
     val results = all.head.indices.map { i =>
       val rows = all.map(_(i))
@@ -98,7 +135,7 @@ object Bench {
       s""""$k":{"sec":${num(sec, 3)},"ok":$ok}"""
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$detail,"failed":$failed,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$detail,"failed":$failed,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())}$loadStats,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, (detailLine + "\n").getBytes("UTF-8"))
@@ -119,7 +156,7 @@ object Bench {
     val failedNames =
       results.filter(!_._3).map(r => s""""${r._1}"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$namedJson,"other_count":${rest.size},"other_sec":${num(rest.map(_._2).sum, 2)},"failed":$failed,"failed_names":$failedNames,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$namedJson,"other_count":${rest.size},"other_sec":${num(rest.map(_._2).sum, 2)},"failed":$failed,"failed_names":$failedNames,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())}$loadStats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
