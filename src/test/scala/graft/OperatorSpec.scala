@@ -387,6 +387,48 @@ class OperatorSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("Chunking invariants on random docs: non-overlapping windows " +
+      "partition the tokens exactly; overlapping windows cover every " +
+      "position with the right token") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 60).map { i =>
+      val n = rnd.nextInt(40) // includes 0-token docs
+      (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val tokens = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+
+    // stride == width: windows partition the token stream
+    val part = graft.operators.Chunking
+      .tokenWindows(df, "doc_id", "text", width = 7, stride = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1)
+    tokens.foreach { case (id, tk) =>
+      val rebuilt = part.getOrElse(id, Array.empty).sortBy(_._2)
+        .flatMap(_._3.split(" ")).toSeq
+      assert(rebuilt == tk, s"doc $id")
+    }
+
+    // stride < width: every position is covered by some window, and the
+    // token found there is the original one
+    val ov = graft.operators.Chunking
+      .tokenWindows(df, "doc_id", "text", width = 7, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    val covered = ov.flatMap { case (id, idx, text) =>
+      text.split(" ").zipWithIndex.map { case (w, o) => (id, idx * 5 + o, w) }
+    }
+    covered.foreach { case (id, pos, w) =>
+      assert(tokens(id)(pos) == w, s"doc $id pos $pos")
+    }
+    tokens.filter(_._2.nonEmpty).foreach { case (id, tk) =>
+      val pos = covered.filter(_._1 == id).map(_._2).toSet
+      assert(pos == tk.indices.toSet, s"doc $id coverage")
+    }
+  }
+
   test("Chunking.dedupSegments: repeated segments keep first occurrence " +
       "only, docs rebuilt in order, token-free docs report empty") {
     import spark.implicits._

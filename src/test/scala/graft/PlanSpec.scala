@@ -121,6 +121,13 @@ class PlanSpec extends SparkSpec {
     val p35 = plan(Extensions.x35UnigramSurprisal(spark, sfDir))
     assert(!p35.contains("CartesianProduct"), p35)
     assert(p35.contains("partial_"), p35)
+    // the LM-scoring family shares the shape: linear aggs, no cartesian
+    val p44 = plan(Extensions.x44BigramSurprisal(spark, sfDir))
+    assert(!p44.contains("CartesianProduct"), p44)
+    assert(p44.contains("partial_"), p44)
+    val p45 = plan(Extensions.x45LangKlDrift(spark, sfDir))
+    assert(!p45.contains("CartesianProduct"), p45)
+    assert(p45.contains("partial_"), p45)
   }
 
   test("x34: rerank coarse stage is a bounded partial-merge agg; the " +
