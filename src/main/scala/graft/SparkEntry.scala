@@ -106,6 +106,8 @@ object SparkEntry {
     "x44_bigram_surprisal" -> Extensions.x44BigramSurprisal,
     "x45_lang_kl_drift" -> Extensions.x45LangKlDrift,
     "x46_dedup_representatives" -> Extensions.x46DedupRepresentatives,
+    "x47_mask_tokens" -> Extensions.x47MaskTokens,
+    "x48_quality_budget" -> Extensions.x48QualityBudget,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -845,6 +847,50 @@ object SparkEntry {
         |SELECT lang, n AS n_tokens, COUNT(*) AS vocab,
         |  CAST(SUM(q) AS DOUBLE) / 10000000000 AS entropy
         |FROM qq GROUP BY lang, n ORDER BY lang""".stripMargin,
+    // mask gate: md5(doc_id:i) hex prefix < floor(16^8 · 0.15) = 0x26666666,
+    // i 0-based in both engines (DuckDB's range index is shifted by -1)
+    "x47_mask_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |m AS (
+         |  SELECT doc_id, tk,
+         |    list_transform(range(1, len(tk)+1),
+         |      i -> substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |             CAST(i-1 AS VARCHAR)), 1, 8) < '26666666') AS msk
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_masked,
+         |  array_to_string(list_transform(range(1, len(tk)+1),
+         |    i -> CASE WHEN msk[i] THEN '<MASK>' ELSE tk[i] END), ' ')
+         |    AS masked_text
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // the x11 quality chain + BPE counts, then a per-language
+    // quality-ordered running token total with an 8192 budget
+    "x48_quality_budget" ->
+      s"""WITH t AS (SELECT lang, doc_id, text, $tokSql AS tk FROM documents),
+         |c AS (SELECT lang, doc_id, text, tk,
+         |  CAST(len(tk) AS DOUBLE) AS n_tok,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(tk, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS DOUBLE) AS stop_cnt,
+         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) AS sum_len
+         |  FROM t),
+         |q AS (SELECT lang, doc_id, ROUND(
+         |  LEAST(n_tok/50, 1.0)*0.25 +
+         |  (1.0 - CASE WHEN n_chars > 0 THEN punct/n_chars ELSE 0 END)*0.25 +
+         |  LEAST(CASE WHEN n_tok > 0 THEN stop_cnt/n_tok ELSE 0 END*5, 1.0)*0.25 +
+         |  LEAST(CASE WHEN n_tok > 0 THEN sum_len/n_tok ELSE 0 END/8, 1.0)*0.25, 6) AS quality,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+         |  FROM c),
+         |r AS (SELECT lang, doc_id, quality, n_bpe,
+         |  CAST(SUM(n_bpe) OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS running
+         |  FROM q)
+         |SELECT lang, doc_id, quality, n_bpe
+         |FROM r WHERE running - n_bpe < 8192
+         |ORDER BY lang, doc_id""".stripMargin,
     // bigram conditional surprisal: contexts counted over BIGRAM
     // occurrences (last token of a doc is never a context)
     "x44_bigram_surprisal" ->

@@ -632,6 +632,43 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  /** x47: deterministic token masking
+    * ([[graft.operators.Masking.maskTokens]]) — MLM-style corruption at
+    * a 15% rate where each mask decision is a pure function of
+    * (doc_id, position): reproducible across runs, shards, engines.
+    * Pure map, zero shuffles.
+    */
+  def x47MaskTokens(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Masking.maskTokens(docs(s, dir), "doc_id", "text",
+        rateNum = 3, rateDen = 20)
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("masked_text"))
+      .orderBy(col("doc_id"))
+
+  /** x48: quality-budget selection — per language, keep the
+    * highest-quality documents until an 8192-BPE-token budget fills
+    * (quality desc, doc_id tiebreak; a document is kept iff it STARTS
+    * within budget). The curation step between scoring and packing:
+    * "best N tokens per stratum", not "first N docs". One partitioned
+    * window per language — same scale shape as x22/x39; the quality
+    * score itself is map-side.
+    */
+  def x48QualityBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .withColumn("running", sum(col("n_bpe")).over(w))
+      .filter(col("running") - col("n_bpe") < 8192L)
+      .select(col("lang"), col("doc_id"), col("quality"), col("n_bpe"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** x15: HLL approximate distinct counting — the 100 TB substitute for
     * exact COUNT(DISTINCT) (no shuffle of distinct values; a fixed-size
     * sketch per group merges map-side). Relative error vs the exact

@@ -325,6 +325,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Masking.maskTokens: pure function of (id, position), rate near " +
+      "nominal, masked_text consistent with n_masked") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, (1 to 50).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Masking
+      .maskTokens(df, "doc_id", "text", rateNum = 3, rateDen = 20)
+      .select("doc_id", "n_tokens", "n_masked", "masked_text")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    // every doc has 50 tokens; the masked count matches the text
+    rows.foreach { case (_, n, m, text) =>
+      assert(n == 50L)
+      assert(text.split(" ").count(_ == "<MASK>") == m)
+      assert(text.split(" ").length == 50)
+    }
+    // 10k Bernoulli(0.15) trials: overall rate within ±0.02
+    val rate = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(rate > 0.13 && rate < 0.17, rate)
+
+    // repartitioning changes nothing (mask is a function of the data)
+    val re = graft.operators.Masking
+      .maskTokens(df.repartition(13, col("doc_id")), "doc_id", "text",
+        rateNum = 3, rateDen = 20)
+      .select("doc_id", "masked_text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, _, text) => assert(re(id) == text) }
+
+    // token position matters: the same token string at different
+    // positions can differ in mask outcome (not a vocabulary mask)
+    val uni = graft.operators.Masking
+      .maskTokens(Seq((7L, Seq.fill(60)("same").mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, 20)
+      .select("masked_text").as[String].head()
+    val kinds = uni.split(" ").distinct.sorted.toSeq
+    assert(kinds == Seq("<MASK>", "same"), kinds)
+  }
+
   test("Mixing.capPerStratum: rate-1 strata untouched, capped strata " +
       "near the cap, selection partitioning-independent and nested") {
     import spark.implicits._
