@@ -169,4 +169,57 @@ class QueriesSpec extends SparkSpec {
       assert(n >= 0, name)
     }
   }
+
+  test("curation pipeline composes in ONE declarative plan: mix -> " +
+      "segment-dedup -> quality budget -> mask -> pack, with row " +
+      "conservation at every stage") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val total = docs.count()
+
+    // 1. rebalance languages to a cap
+    val mixed = graft.operators.Mixing
+      .capPerStratum(docs, "lang", "doc_id", cap = 200L)
+    val nMixed = mixed.count()
+    assert(nMixed > 0 && nMixed <= total)
+
+    // 2. corpus-wide segment dedup, keep docs that retained content
+    val deduped = graft.operators.Chunking
+      .dedupSegments(mixed, "doc_id", "text", width = 16)
+      .filter(col("n_kept") > 0)
+      .join(mixed.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("kept_text").as("text"))
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= nMixed)
+
+    // 3. best tokens per language under a budget
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val selected = deduped
+      .withColumn("quality",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+      .withColumn("n_bpe",
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long"))
+      .withColumn("running", sum(col("n_bpe")).over(w))
+      .filter(col("running") - col("n_bpe") < 4096L)
+    val nSelected = selected.count()
+    assert(nSelected > 0 && nSelected <= nDeduped)
+
+    // 4. mask + 5. pack the survivors into training sequences
+    val masked = graft.operators.Masking
+      .maskTokens(selected.select("doc_id", "lang", "text"),
+        "doc_id", "text", rateNum = 3, rateDen = 20)
+    val packed = graft.operators.Packing.packSequences(
+      masked.select(col("doc_id"), col("lang"),
+        col("masked_text").as("text")),
+      idCol = "doc_id", textCol = "text", strataCol = "lang",
+      seqLen = 512)
+    assert(packed.count() == nSelected) // packing keeps every row
+
+    // the whole chain is ONE lazily-composed DataFrame plan — no
+    // intermediate materialization was required to express it
+    assert(packed.queryExecution.optimizedPlan != null)
+  }
 }

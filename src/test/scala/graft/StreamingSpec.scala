@@ -341,4 +341,46 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(c.count() == 250)
   }
+
+  test("stateless pipeline ops (masking, chunking, quality) run on a " +
+      "stream unchanged and match their batch output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = (1 to 30).map(i =>
+      (i.toLong, (1 to 20).map(j => s"w${(i * j) % 7}").mkString(" ")))
+    val batchDf = rows.toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    // the SAME operator calls, applied to the streaming frame: these
+    // are map-only transforms, so Structured Streaming accepts them
+    // with no watermark/outputMode ceremony — one definition serves
+    // batch and streaming, which is the point of building on DataFrames
+    val streamed = graft.operators.Chunking.tokenWindows(
+      graft.operators.Masking.maskTokens(
+        input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", rateNum = 3, rateDen = 20)
+        .select(col("doc_id"), col("masked_text").as("text")),
+      "doc_id", "text", width = 8, stride = 8)
+    val q = streamed.writeStream.format("memory")
+      .queryName("stateless_ops").start()
+    try {
+      input.addData(rows.take(15): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = graft.operators.Chunking.tokenWindows(
+      graft.operators.Masking.maskTokens(batchDf, "doc_id", "text", 3, 20)
+        .select(col("doc_id"), col("masked_text").as("text")),
+      "doc_id", "text", width = 8, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val got = spark.table("stateless_ops")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expected)
+  }
 }
