@@ -161,6 +161,32 @@ class SourcesSpec extends SparkSpec {
     assert(ex.getMessage.contains("schema"), ex.getMessage)
   }
 
+  test("graft-docs: empty writes publish no rows; unicode and JSON " +
+      "metacharacters survive the write→read round trip") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2edge").toString + "/coll"
+
+    Seq.empty[(Long, String)].toDF("id", "text")
+      .write.format("graft-docs").option("path", dir).mode("append").save()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    assert(spark.read.schema(schema).format("graft-docs").load(dir)
+      .count() == 0)
+
+    val tricky = Seq(
+      (1L, """quote " backslash \ slash /"""),
+      (2L, "newline\nand\ttab"),
+      (3L, "em—dash and line sep"), // U+2000-20FF hex-escape range
+      (4L, "accents éü and cjk 中文"),
+      (5L, ""))
+    tricky.toDF("id", "text")
+      .write.format("graft-docs").option("path", dir).mode("overwrite").save()
+    val got = spark.read.schema(schema).format("graft-docs").load(dir)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == tricky)
+  }
+
   test("graft-docs sink: batchSize validation mirrors the loader's") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_v2val").toString + "/c"
