@@ -169,6 +169,18 @@ class PlanSpec extends SparkSpec {
     assert(p42.contains("Generate"), p42) // the posexplode
   }
 
+  test("x47/x48: masking is a pure map (no agg, no join, no window); " +
+      "quality budget is one partitioned window, no cartesian") {
+    val p47 = plan(Extensions.x47MaskTokens(spark, sfDir))
+    assert(!p47.contains("Window"), p47)
+    assert(!p47.contains("Join"), p47)
+    assert(!p47.contains("HashAggregate"), p47)
+    assert(p47.split("Exchange").length - 1 <= 2, p47) // output sort only
+    val p48 = plan(Extensions.x48QualityBudget(spark, sfDir))
+    assert(!p48.contains("CartesianProduct"), p48)
+    assert("- Window \\(".r.findAllIn(p48).length == 1, p48)
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
