@@ -153,8 +153,11 @@ object Bench {
     val namedJson = named
       .map { case (k, sec, _) => s""""$k":${num(sec, 2)}""" }
       .mkString("{", ",", "}")
+    // capped: a mass-failure run (e.g. bad SF dir) must not push the
+    // final line past the log-tail budget; `failed` has the full count
     val failedNames =
-      results.filter(!_._3).map(r => s""""${r._1}"""").mkString("[", ",", "]")
+      results.filter(!_._3).map(r => s""""${r._1}"""").take(10)
+        .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$namedJson,"other_count":${rest.size},"other_sec":${num(rest.map(_._2).sum, 2)},"failed":$failed,"failed_names":$failedNames,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())}$loadStats,"sf":"$sfDir"}""")
     spark.stop()

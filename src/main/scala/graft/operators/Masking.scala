@@ -30,17 +30,24 @@ object Masking {
     require(rateNum >= 0 && rateDen > 0, "rate must be a valid fraction")
     val threshold = (BigInt(16).pow(8) * rateNum / rateDen).toLong
     val thresholdHex = f"$threshold%08x"
+    // rate >= 1 masks unconditionally: the full threshold 16^8 is NINE
+    // hex digits and would compare LOW against 8-char prefixes (same
+    // pitfall Mixing.capPerStratum guards at its rate-1 clamp)
     def masked(i: Column): Column =
-      substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      if (rateNum >= rateDen) lit(true)
+      else substring(md5(concat(col(idCol).cast("string"), lit(":"),
         i.cast("string"))), 1, 8) < lit(thresholdHex)
+    // the mask array is defined once and feeds both the count and the
+    // rewrite (a single logical md5 per token; post-collapse physical
+    // duplication, if any, is a bounded map-side constant)
     df.withColumn("__tk", TextFunctions.tokens(col(textCol)))
+      .withColumn("__msk", transform(col("__tk"), (_, i) => masked(i)))
       .withColumn("n_tokens", size(col("__tk")).cast("long"))
       .withColumn("n_masked",
-        size(filter(transform(col("__tk"), (_, i) => masked(i)),
-          c => c)).cast("long"))
+        size(filter(col("__msk"), c => c)).cast("long"))
       .withColumn("masked_text", array_join(
-        transform(col("__tk"),
-          (x, i) => when(masked(i), lit(maskToken)).otherwise(x)), " "))
-      .drop("__tk")
+        zip_with(col("__tk"), col("__msk"),
+          (x, m) => when(m, lit(maskToken)).otherwise(x)), " "))
+      .drop("__tk", "__msk")
   }
 }

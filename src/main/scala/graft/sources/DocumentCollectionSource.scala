@@ -5,8 +5,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -117,18 +116,35 @@ private class DocumentWriteBuilder(path: String, batchSize: Int,
 private case class DocumentCommitMessage(tempFile: String, rows: Long)
     extends WriterCommitMessage
 
+/** The SESSION's Hadoop configuration, captured on the driver and
+  * serializable to tasks — `new Configuration()` would drop every
+  * `spark.hadoop.*` setting (object-store credentials, default FS) and
+  * resolve paths against the wrong filesystem on a real cluster.
+  */
+private object SessionConf {
+  def capture(): org.apache.spark.sql.graftbridge.SerializableHadoopConf =
+    new org.apache.spark.sql.graftbridge.SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .hadoopConfiguration)
+}
+
 private class DocumentBatchWrite(path: String, batchSize: Int,
     schema: StructType, truncate: Boolean) extends BatchWrite {
 
   private val writeId = UUID.randomUUID().toString
   private def tmpDir = s"$path/_tmp-$writeId"
+  private val conf = SessionConf.capture()
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new DocumentWriterFactory(tmpDir, batchSize, schema)
+    new DocumentWriterFactory(tmpDir, batchSize, schema,
+      // published names carry this write's id: two append jobs (even
+      // from different applications, whose task ids both start at 0)
+      // can never collide on a final file name
+      fileSuffix = s"-${writeId.take(8)}.jsonl", conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     val dest = new Path(path)
     if (!fs.exists(dest)) fs.mkdirs(dest)
     if (truncate)
@@ -137,8 +153,6 @@ private class DocumentBatchWrite(path: String, batchSize: Int,
         .foreach(f => fs.delete(f.getPath, false))
     messages.foreach { case DocumentCommitMessage(tempFile, _) =>
       val src = new Path(tempFile)
-      // rename is the atomic publish; a name collision is impossible
-      // (file names carry partition + task id + this write's UUID dir)
       if (!fs.rename(src, new Path(dest, src.getName)))
         throw new IllegalStateException(s"could not publish $src")
     }
@@ -146,17 +160,19 @@ private class DocumentBatchWrite(path: String, batchSize: Int,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     fs.delete(new Path(tmpDir), true)
   }
 }
 
 private class DocumentWriterFactory(tmpDir: String, batchSize: Int,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType, fileSuffix: String,
+    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new DocumentWriter(tmpDir, batchSize, schema,
-      fileName = f"part-$partitionId%05d-$taskId.jsonl")
+      fileName = f"part-$partitionId%05d-$taskId$fileSuffix", conf)
 }
 
 /** Streaming flavor of the sink: each epoch publishes its files under
@@ -171,40 +187,51 @@ private[sources] class DocumentStreamingWrite(path: String, batchSize: Int,
     schema: StructType) extends streaming.StreamingWrite {
 
   private val writeId = UUID.randomUUID().toString
-  private def tmpDir(epochId: Long) = s"$path/_tmp-$writeId-e$epochId"
+  private val conf = SessionConf.capture()
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
-    new DocumentStreamingWriterFactory(path, writeId, batchSize, schema)
+    new DocumentStreamingWriterFactory(path, writeId, batchSize, schema,
+      conf)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     val dest = new Path(path)
     if (!fs.exists(dest)) fs.mkdirs(dest)
+    // a replayed epoch must REPLACE the failed run's entire output, not
+    // just same-named files: the replay may run with a different
+    // partition count, so first drop EVERY published file of this epoch
+    fs.listStatus(dest)
+      .filter(_.getPath.getName.matches(s"epoch-$epochId-part-\\d+\\.jsonl"))
+      .foreach(f => fs.delete(f.getPath, false))
     messages.foreach { case DocumentCommitMessage(tempFile, _) =>
       val src = new Path(tempFile)
-      // final name drops the attempt marker: a replay of this epoch
-      // regenerates the same names, and the delete+rename below
-      // REPLACES the previous run's file — idempotent overwrite
+      // final name drops the attempt marker — epoch-stable publish
       val fin = new Path(dest,
         src.getName.replaceAll("-a-?\\d+\\.jsonl$", ".jsonl"))
-      if (fs.exists(fin)) fs.delete(fin, false)
       if (!fs.rename(src, fin))
         throw new IllegalStateException(s"could not publish $src")
     }
-    fs.delete(new Path(tmpDir(epochId)), true)
+    // clean this epoch's temp dirs from EVERY write attempt: a crashed
+    // run's _tmp-<otherId>-e<epochId> leftovers are finalized (dead)
+    // the moment this epoch commits
+    fs.listStatus(dest)
+      .filter(f => f.isDirectory &&
+        f.getPath.getName.matches(s"_tmp-.*-e$epochId"))
+      .foreach(f => fs.delete(f.getPath, true))
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
-    fs.delete(new Path(tmpDir(epochId)), true)
+    val fs = new Path(path).getFileSystem(conf.value)
+    fs.delete(new Path(s"$path/_tmp-$writeId-e$epochId"), true)
   }
 }
 
 private class DocumentStreamingWriterFactory(path: String, writeId: String,
-    batchSize: Int, schema: StructType)
+    batchSize: Int, schema: StructType,
+    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
@@ -212,7 +239,8 @@ private class DocumentStreamingWriterFactory(path: String, writeId: String,
     // must never share a file); the attempt marker is stripped at
     // commit so the PUBLISHED name is the epoch-stable one
     new DocumentWriter(s"$path/_tmp-$writeId-e$epochId", batchSize, schema,
-      fileName = f"epoch-$epochId-part-$partitionId%05d-a$taskId.jsonl")
+      fileName = f"epoch-$epochId-part-$partitionId%05d-a$taskId.jsonl",
+      conf)
 }
 
 /** Per-task writer: rows render through the quirk transcoder into an
@@ -221,11 +249,12 @@ private class DocumentStreamingWriterFactory(path: String, writeId: String,
   * file stream standing in for the database client.
   */
 private class DocumentWriter(tmpDir: String, batchSize: Int,
-    schema: StructType, fileName: String)
+    schema: StructType, fileName: String,
+    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   private val file = new Path(tmpDir, fileName)
-  private val fs = file.getFileSystem(new Configuration())
+  private val fs = file.getFileSystem(conf.value)
   private lazy val out = fs.create(file, true)
   private val batch = new java.lang.StringBuilder(64 * 1024)
   private var inBatch = 0
@@ -288,13 +317,15 @@ private class DocumentScanBuilder(path: String, full: StructType)
 private class DocumentScan(path: String, required: StructType)
     extends Scan with Batch {
 
+  private val conf = SessionConf.capture()
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-docs $path ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     val dir = new Path(path)
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir)
@@ -304,20 +335,22 @@ private class DocumentScan(path: String, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocumentReaderFactory(required)
+    new DocumentReaderFactory(required, conf)
 }
 
 private case class DocumentFilePartition(file: String) extends InputPartition
 
-private class DocumentReaderFactory(required: StructType)
+private class DocumentReaderFactory(required: StructType,
+    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new DocumentFileReader(
-      partition.asInstanceOf[DocumentFilePartition].file, required)
+      partition.asInstanceOf[DocumentFilePartition].file, required, conf)
 }
 
-private class DocumentFileReader(file: String, required: StructType)
+private class DocumentFileReader(file: String, required: StructType,
+    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val parser =
@@ -325,7 +358,7 @@ private class DocumentFileReader(file: String, required: StructType)
   private val in = {
     val p = new Path(file)
     new java.io.BufferedReader(new java.io.InputStreamReader(
-      p.getFileSystem(new Configuration()).open(p), "UTF-8"))
+      p.getFileSystem(conf.value).open(p), "UTF-8"))
   }
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _

@@ -19,9 +19,22 @@ class JsonLineParser(schema: StructType) extends Serializable {
       new JSONOptions(Map.empty[String, String], "UTC"),
       allowArrayAsStructs = false)
 
-  /** Rows parsed from one JSON document line (empty on blank lines). */
+  /** Rows parsed from one JSON document line (empty on blank lines).
+    * Malformed lines yield one all-null row — PERMISSIVE semantics,
+    * matching what the constructed JSONOptions default claims (Spark's
+    * own json source gets this from FailureSafeParser; without the
+    * catch, the internal BadRecordException would fail the whole scan
+    * job over one truncated line).
+    */
   def parse(line: String): Seq[InternalRow] =
     if (line.trim.isEmpty) Nil
-    else parser.parse(line, CreateJacksonParser.string,
-      UTF8String.fromString).toSeq
+    else
+      try parser.parse(line, CreateJacksonParser.string,
+        UTF8String.fromString).toSeq
+      catch {
+        case _: org.apache.spark.sql.catalyst.util.BadRecordException |
+            _: RuntimeException =>
+          Seq(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(schema.length))
+      }
 }

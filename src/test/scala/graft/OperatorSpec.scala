@@ -362,6 +362,14 @@ class OperatorSpec extends SparkSpec {
       .select("masked_text").as[String].head()
     val kinds = uni.split(" ").distinct.sorted.toSeq
     assert(kinds == Seq("<MASK>", "same"), kinds)
+
+    // rate 1 masks EVERYTHING (the 16^8 threshold is nine hex digits —
+    // the naive prefix compare would mask only ~6%)
+    val all = graft.operators.Masking
+      .maskTokens(df.limit(5), "doc_id", "text", rateNum = 1, rateDen = 1)
+      .select("n_tokens", "n_masked")
+      .collect()
+    all.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
 
   test("Mixing.capPerStratum: rate-1 strata untouched, capped strata " +

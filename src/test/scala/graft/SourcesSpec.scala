@@ -187,6 +187,77 @@ class SourcesSpec extends SparkSpec {
     assert(got == tricky)
   }
 
+  test("graft-docs read: a malformed line yields a null row (PERMISSIVE), " +
+      "not a failed job") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_v2bad").toString + "/coll"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "part-corrupt.jsonl"),
+      "{\"id\": 1, \"text\": \"ok\"}\n{\"id\": 2, \"tex".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val rows = spark.read.schema(schema).format("graft-docs").load(dir)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(rows.length == 2, rows.toSeq)
+    assert(rows.contains((Some(1L), Some("ok"))))
+    assert(rows.contains((None, None))) // truncated line → all-null row
+  }
+
+  test("graft-docs streaming: replaying an epoch with FEWER partitions " +
+      "removes the stale higher-numbered epoch files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2fewer").toString + "/coll"
+
+    def streamingWrite() = {
+      val table = new graft.sources.DocumentCollectionSource()
+        .getTable(new org.apache.spark.sql.types.StructType(), Array.empty,
+          new java.util.HashMap[String, String] { put("path", dir) })
+      table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(
+          new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+            override def queryId(): String = "replay-fewer"
+            override def schema(): org.apache.spark.sql.types.StructType =
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType)))
+            override def options():
+                org.apache.spark.sql.util.CaseInsensitiveStringMap =
+              org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+          }).build().toStreaming
+    }
+    def row(i: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i))
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 4
+    }
+
+    // original epoch-5 attempt: 4 partitions, one row each
+    val w1 = streamingWrite()
+    val f1 = w1.createStreamingWriterFactory(info)
+    val msgs1 = (0 until 4).map { p =>
+      val w = f1.createWriter(p, p.toLong, 5L); w.write(row(p.toLong))
+      w.commit()
+    }
+    w1.commit(5L, msgs1.toArray)
+    assert(lines(dir).size == 4)
+
+    // replay of epoch 5 with TWO partitions (recovery re-plans)
+    val w2 = streamingWrite()
+    val f2 = w2.createStreamingWriterFactory(info)
+    val msgs2 = (0 until 2).map { p =>
+      val w = f2.createWriter(p, 90L + p, 5L); w.write(row(p.toLong))
+      w.commit()
+    }
+    w2.commit(5L, msgs2.toArray)
+    // parts 2 and 3 from the failed run are gone, not duplicated
+    assert(lines(dir).size == 2, lines(dir))
+    val names = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSeq.sorted
+    assert(names == Seq("epoch-5-part-00000.jsonl", "epoch-5-part-00001.jsonl"),
+      names)
+  }
+
   test("graft-docs sink: batchSize validation mirrors the loader's") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_v2val").toString + "/c"
