@@ -83,6 +83,7 @@ private[sources] class DocumentCollectionTable(path: String, batchSize: Int,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -298,6 +299,7 @@ private class DocumentWriter(tmpDir: String, batchSize: Int,
 // ---------------------------------------------------------------------
 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{streaming => streamingread}
 
 private class DocumentScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
@@ -336,6 +338,67 @@ private class DocumentScan(path: String, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocumentReaderFactory(required, conf)
+
+  /** Streaming read: micro-batches are the set difference of document
+    * files between two offsets, where an OFFSET IS the sorted list of
+    * file names already consumed. Name-set offsets (rather than a
+    * count or mtime watermark) make progress independent of arrival
+    * order — batch appends carry random write-id suffixes and epoch
+    * files interleave, so no total order on names exists. The offset
+    * grows with the file count; at collection scale, compact to a log
+    * like Spark's own FileStreamSource (same recovery contract).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : streamingread.MicroBatchStream =
+    new DocumentMicroBatchStream(path, required, conf)
+}
+
+private case class DocumentFilesOffset(files: Seq[String])
+    extends streamingread.Offset {
+  // stable JSON: names are sorted, and names cannot contain quotes
+  // (the writers generate them)
+  override def json(): String =
+    files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+}
+
+private class DocumentMicroBatchStream(path: String, required: StructType,
+    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
+    extends streamingread.MicroBatchStream {
+
+  private def listFiles(): Seq[String] = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".jsonl"))
+      .map(_.getPath.toString).toSeq.sorted
+  }
+
+  override def initialOffset(): streamingread.Offset =
+    DocumentFilesOffset(Nil)
+
+  override def latestOffset(): streamingread.Offset =
+    DocumentFilesOffset(listFiles())
+
+  override def deserializeOffset(json: String): streamingread.Offset =
+    DocumentFilesOffset(
+      if (json == "[]") Nil
+      else json.stripPrefix("[").stripSuffix("]")
+        .split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
+
+  override def planInputPartitions(start: streamingread.Offset,
+      end: streamingread.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[DocumentFilesOffset].files.toSet
+    end.asInstanceOf[DocumentFilesOffset].files
+      .filterNot(seen)
+      .map(f => DocumentFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocumentReaderFactory(required, conf)
+
+  override def commit(end: streamingread.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class DocumentFilePartition(file: String) extends InputPartition

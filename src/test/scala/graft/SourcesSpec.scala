@@ -187,6 +187,34 @@ class SourcesSpec extends SparkSpec {
     assert(got == tricky)
   }
 
+  test("graft-docs streaming read: each drain picks up exactly the NEW " +
+      "document files, offsets survive name interleaving") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2sread").toString + "/coll"
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+        .write.format("graft-docs").option("path", dir).mode("append").save()
+
+    writeBatch(1 to 40)
+    val q = spark.readStream.schema(schema).format("graft-docs").load(dir)
+      .writeStream.format("memory").queryName("docs_in").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("docs_in").count() == 40)
+
+      // new files land with random write-id suffixes that interleave
+      // lexicographically with the consumed ones — only the DELTA is read
+      writeBatch(41 to 55)
+      q.processAllAvailable()
+      val ids = spark.table("docs_in").select("id").as[Long].collect().sorted
+      assert(ids.toSeq == (1L to 55L))
+    } finally q.stop()
+  }
+
   test("graft-docs read: a malformed line yields a null row (PERMISSIVE), " +
       "not a failed job") {
     import org.apache.spark.sql.types._
