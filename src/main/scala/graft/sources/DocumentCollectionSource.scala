@@ -95,7 +95,8 @@ private[sources] class DocumentCollectionTable(path: String, batchSize: Int,
     require(tableSchema.nonEmpty,
       "graft-docs reads need a schema: spark.read.schema(...)" +
         ".format(\"graft-docs\")")
-    new DocumentScanBuilder(path, tableSchema)
+    new DocumentScanBuilder(path, tableSchema,
+      options.getInt("maxFilesPerTrigger", 1000))
   }
 }
 
@@ -177,12 +178,24 @@ private class DocumentWriterFactory(tmpDir: String, batchSize: Int,
 }
 
 /** Streaming flavor of the sink: each epoch publishes its files under
-  * names that EMBED the epoch id, and epoch commit replaces any file
-  * already published under that name — so a replayed micro-batch (the
-  * failure mode of checkpoint recovery) overwrites its own previous
-  * output instead of duplicating it. Same idempotent-overwrite
-  * semantics as [[graft.streaming.Streaming]]'s batchId-partitioned
-  * foreachBatch sink, expressed on the connector API.
+  * names that EMBED the epoch id, and epoch commit replaces the
+  * epoch's ENTIRE previously-published output (a replay may run with a
+  * different partition count) — so a replayed micro-batch (the failure
+  * mode of checkpoint recovery) overwrites its own previous output
+  * instead of duplicating it. Same idempotent-overwrite semantics as
+  * [[graft.streaming.Streaming]]'s batchId-partitioned foreachBatch
+  * sink, expressed on the connector API.
+  *
+  * Contract: ONE streaming writer per collection at a time (epoch-
+  * stable names make concurrent streaming writers overwrite each
+  * other, exactly like two file-sink queries sharing an output dir) —
+  * which is also what makes the commit-time cleanup of same-epoch temp
+  * dirs from OTHER write attempts safe: under a single live writer,
+  * any such directory belongs to a crashed predecessor. Readers that
+  * consume a collection WHILE its writer is crash-recovering may see a
+  * replayed epoch's redistribution of rows across files; exactly-once
+  * reading during active replay needs a manifest log (FileStreamSink's
+  * approach), out of scope here.
   */
 private[sources] class DocumentStreamingWrite(path: String, batchSize: Int,
     schema: StructType) extends streaming.StreamingWrite {
@@ -200,10 +213,13 @@ private[sources] class DocumentStreamingWrite(path: String, batchSize: Int,
     val fs = new Path(path).getFileSystem(conf.value)
     val dest = new Path(path)
     if (!fs.exists(dest)) fs.mkdirs(dest)
+    // ONE listing serves both cleanups (commit cost must not grow to
+    // two full directory scans per micro-batch on an object store)
+    val entries = fs.listStatus(dest)
     // a replayed epoch must REPLACE the failed run's entire output, not
     // just same-named files: the replay may run with a different
     // partition count, so first drop EVERY published file of this epoch
-    fs.listStatus(dest)
+    entries
       .filter(_.getPath.getName.matches(s"epoch-$epochId-part-\\d+\\.jsonl"))
       .foreach(f => fs.delete(f.getPath, false))
     messages.foreach { case DocumentCommitMessage(tempFile, _) =>
@@ -214,10 +230,10 @@ private[sources] class DocumentStreamingWrite(path: String, batchSize: Int,
       if (!fs.rename(src, fin))
         throw new IllegalStateException(s"could not publish $src")
     }
-    // clean this epoch's temp dirs from EVERY write attempt: a crashed
-    // run's _tmp-<otherId>-e<epochId> leftovers are finalized (dead)
-    // the moment this epoch commits
-    fs.listStatus(dest)
+    // clean this epoch's temp dirs from every write attempt: under the
+    // single-streaming-writer contract (class doc) any other attempt's
+    // _tmp-*-e<epochId> belongs to a crashed predecessor
+    entries
       .filter(f => f.isDirectory &&
         f.getPath.getName.matches(s"_tmp-.*-e$epochId"))
       .foreach(f => fs.delete(f.getPath, true))
@@ -301,7 +317,23 @@ private class DocumentWriter(tmpDir: String, batchSize: Int,
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.{streaming => streamingread}
 
-private class DocumentScanBuilder(path: String, full: StructType)
+/** The one definition of "which files are a collection's documents" —
+  * batch scan planning and streaming offsets must never disagree.
+  */
+private object DocumentFiles {
+  def listNames(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val fs = new Path(path).getFileSystem(conf)
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".jsonl"))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+}
+
+private class DocumentScanBuilder(path: String, full: StructType,
+    maxFilesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -313,10 +345,12 @@ private class DocumentScanBuilder(path: String, full: StructType)
       full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   }
 
-  override def build(): Scan = new DocumentScan(path, required)
+  override def build(): Scan =
+    new DocumentScan(path, required, maxFilesPerTrigger)
 }
 
-private class DocumentScan(path: String, required: StructType)
+private class DocumentScan(path: String, required: StructType,
+    maxFilesPerTrigger: Int)
     extends Scan with Batch {
 
   private val conf = SessionConf.capture()
@@ -326,59 +360,72 @@ private class DocumentScan(path: String, required: StructType)
     s"graft-docs $path ReadSchema: ${required.simpleString}"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new Path(path).getFileSystem(conf.value)
-    val dir = new Path(path)
-    if (!fs.exists(dir)) Array.empty
-    else fs.listStatus(dir)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".jsonl"))
-      .sortBy(_.getPath.getName)
-      .map(f => DocumentFilePartition(f.getPath.toString): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    DocumentFiles.listNames(path, conf.value)
+      .map(n => DocumentFilePartition(s"$path/$n"): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocumentReaderFactory(required, conf)
 
   /** Streaming read: micro-batches are the set difference of document
     * files between two offsets, where an OFFSET IS the sorted list of
-    * file names already consumed. Name-set offsets (rather than a
-    * count or mtime watermark) make progress independent of arrival
-    * order — batch appends carry random write-id suffixes and epoch
-    * files interleave, so no total order on names exists. The offset
-    * grows with the file count; at collection scale, compact to a log
-    * like Spark's own FileStreamSource (same recovery contract).
+    * file NAMES already consumed (names, not URIs: writers generate
+    * them from a fixed alphabet, so the offset JSON never has to quote
+    * a user-supplied path). Name-set offsets (rather than a count or
+    * mtime watermark) make progress independent of arrival order —
+    * batch appends carry random write-id suffixes and epoch files
+    * interleave, so no total order on names exists. The offset grows
+    * with the file count; at collection scale, compact to a log like
+    * Spark's own FileStreamSource (same recovery contract). Admission
+    * control caps each micro-batch at `maxFilesPerTrigger` files
+    * (default 1000) so the first trigger over a large existing
+    * collection does not plan the whole history as one batch.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : streamingread.MicroBatchStream =
-    new DocumentMicroBatchStream(path, required, conf)
+    new DocumentMicroBatchStream(path, required, conf, maxFilesPerTrigger)
 }
 
-private case class DocumentFilesOffset(files: Seq[String])
+private case class DocumentFilesOffset(names: Seq[String])
     extends streamingread.Offset {
-  // stable JSON: names are sorted, and names cannot contain quotes
-  // (the writers generate them)
+  // stable JSON: names are sorted and come from the writers' fixed
+  // alphabet (no quotes, commas, or escapes possible)
   override def json(): String =
-    files.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    names.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
 }
 
 private class DocumentMicroBatchStream(path: String, required: StructType,
-    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
-    extends streamingread.MicroBatchStream {
+    conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf,
+    maxFilesPerTrigger: Int)
+    extends streamingread.MicroBatchStream
+    with streamingread.SupportsAdmissionControl {
 
-  private def listFiles(): Seq[String] = {
-    val fs = new Path(path).getFileSystem(conf.value)
-    val dir = new Path(path)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".jsonl"))
-      .map(_.getPath.toString).toSeq.sorted
-  }
+  private def listNames(): Seq[String] =
+    DocumentFiles.listNames(path, conf.value)
 
   override def initialOffset(): streamingread.Offset =
     DocumentFilesOffset(Nil)
 
+  // without admission control Spark falls back to this: everything
   override def latestOffset(): streamingread.Offset =
-    DocumentFilesOffset(listFiles())
+    DocumentFilesOffset(listNames())
+
+  override def getDefaultReadLimit: streamingread.ReadLimit =
+    streamingread.ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  override def latestOffset(start: streamingread.Offset,
+      limit: streamingread.ReadLimit): streamingread.Offset = {
+    val seen = start.asInstanceOf[DocumentFilesOffset].names.toSet
+    val cap = limit match {
+      case m: streamingread.ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val admitted = listNames().filterNot(seen).sorted.take(cap)
+    DocumentFilesOffset((seen ++ admitted).toSeq)
+  }
+
+  override def reportLatestOffset(): streamingread.Offset =
+    DocumentFilesOffset(listNames())
 
   override def deserializeOffset(json: String): streamingread.Offset =
     DocumentFilesOffset(
@@ -388,10 +435,10 @@ private class DocumentMicroBatchStream(path: String, required: StructType,
 
   override def planInputPartitions(start: streamingread.Offset,
       end: streamingread.Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[DocumentFilesOffset].files.toSet
-    end.asInstanceOf[DocumentFilesOffset].files
+    val seen = start.asInstanceOf[DocumentFilesOffset].names.toSet
+    end.asInstanceOf[DocumentFilesOffset].names
       .filterNot(seen)
-      .map(f => DocumentFilePartition(f): InputPartition).toArray
+      .map(n => DocumentFilePartition(s"$path/$n"): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

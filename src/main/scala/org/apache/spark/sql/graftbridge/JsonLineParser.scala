@@ -20,11 +20,12 @@ class JsonLineParser(schema: StructType) extends Serializable {
       allowArrayAsStructs = false)
 
   /** Rows parsed from one JSON document line (empty on blank lines).
-    * Malformed lines yield one all-null row — PERMISSIVE semantics,
-    * matching what the constructed JSONOptions default claims (Spark's
-    * own json source gets this from FailureSafeParser; without the
-    * catch, the internal BadRecordException would fail the whole scan
-    * job over one truncated line).
+    * Malformed lines yield the parser's partial result (fields that
+    * parsed before the failure; all-null when nothing did) —
+    * PERMISSIVE semantics, the same contract Spark's own json source
+    * gets from FailureSafeParser. ONLY BadRecordException (the
+    * malformed-input signal) is mapped; any other exception is a real
+    * defect and still fails the scan loudly.
     */
   def parse(line: String): Seq[InternalRow] =
     if (line.trim.isEmpty) Nil
@@ -32,9 +33,10 @@ class JsonLineParser(schema: StructType) extends Serializable {
       try parser.parse(line, CreateJacksonParser.string,
         UTF8String.fromString).toSeq
       catch {
-        case _: org.apache.spark.sql.catalyst.util.BadRecordException |
-            _: RuntimeException =>
-          Seq(new org.apache.spark.sql.catalyst.expressions
+        case e: org.apache.spark.sql.catalyst.util.BadRecordException =>
+          val partial = e.partialResults()
+          if (partial.nonEmpty) partial.toSeq
+          else Seq(new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(schema.length))
       }
 }

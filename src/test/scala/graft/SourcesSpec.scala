@@ -228,7 +228,33 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
     assert(rows.length == 2, rows.toSeq)
     assert(rows.contains((Some(1L), Some("ok"))))
-    assert(rows.contains((None, None))) // truncated line → all-null row
+    // truncated line → PERMISSIVE row: fields parsed before the cut
+    // survive (id=2), the rest are null — never a failed job
+    assert(rows.contains((Some(2L), None)) || rows.contains((None, None)),
+      rows.toSeq)
+  }
+
+  test("graft-docs streaming read honors maxFilesPerTrigger admission " +
+      "control: a large backlog drains in multiple capped batches") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2adm").toString + "/coll"
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // 6 separate files (one per single-partition append)
+    (1 to 6).foreach { i =>
+      Seq(Tuple1(i.toLong)).toDF("id").coalesce(1)
+        .write.format("graft-docs").option("path", dir).mode("append").save()
+    }
+    val q = spark.readStream.schema(schema).format("graft-docs")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("adm_in").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("adm_in").count() == 6)
+      // 6 files at 2 per trigger: at least 3 non-empty micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).toSeq)
+    } finally q.stop()
   }
 
   test("graft-docs streaming: replaying an epoch with FEWER partitions " +
