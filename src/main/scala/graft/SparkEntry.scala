@@ -108,6 +108,7 @@ object SparkEntry {
     "x46_dedup_representatives" -> Extensions.x46DedupRepresentatives,
     "x47_mask_tokens" -> Extensions.x47MaskTokens,
     "x48_quality_budget" -> Extensions.x48QualityBudget,
+    "x49_cdc_dedup" -> Extensions.x49CdcDedup,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -847,6 +848,44 @@ object SparkEntry {
         |SELECT lang, n AS n_tokens, COUNT(*) AS vocab,
         |  CAST(SUM(q) AS DOUBLE) / 10000000000 AS entropy
         |FROM qq GROUP BY lang, n ORDER BY lang""".stripMargin,
+    // content-defined boundaries: md5 of the last ≤4 tokens under
+    // floor(16^8 / 12) = 0x15555555, forced boundary at the end; then
+    // the same first-occurrence dedup + rebuild as x43
+    "x49_cdc_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bt AS (
+         |  SELECT doc_id, tk,
+         |    list_filter(range(1, len(tk)+1), i ->
+         |      i = len(tk) OR
+         |      substring(md5(array_to_string(
+         |        list_slice(tk, greatest(1, i-3), i), ' ')), 1, 8)
+         |        < '15555555') AS b
+         |  FROM t WHERE len(tk) > 0),
+         |sj AS (
+         |  SELECT doc_id, tk, b, unnest(range(1, len(b)+1)) AS j FROM bt),
+         |st AS (
+         |  SELECT doc_id, CAST(j - 1 AS INTEGER) AS seg_idx,
+         |    array_to_string(list_slice(tk,
+         |      CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END, b[j]), ' ')
+         |      AS seg_text
+         |  FROM sj),
+         |rn AS (
+         |  SELECT doc_id, seg_idx, seg_text,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(seg_text)
+         |      ORDER BY doc_id, seg_idx) AS r
+         |  FROM st),
+         |per AS (
+         |  SELECT doc_id, COUNT(*) AS n_segments,
+         |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    COALESCE(string_agg(CASE WHEN r = 1 THEN seg_text END,
+         |      ' ' ORDER BY seg_idx), '') AS kept_text
+         |  FROM rn GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_segments, 0) AS n_segments,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(kept_text, '') AS kept_text
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // mask gate: md5(doc_id:i) hex prefix < floor(16^8 · 0.15) = 0x26666666,
     // i 0-based in both engines (DuckDB's range index is shifted by -1)
     "x47_mask_tokens" ->

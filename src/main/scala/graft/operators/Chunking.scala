@@ -70,6 +70,15 @@ object Chunking {
       width: Int): DataFrame = {
     val segs = tokenWindows(df, idCol, textCol, width, width)
       .withColumnRenamed("chunk_idx", "seg_idx")
+    dedupSegmentFrame(df, segs, idCol)
+  }
+
+  /** Global first-occurrence dedup + per-doc rebuild over any
+    * (idCol, seg_idx, chunk_text) segmentation — shared by the
+    * fixed-window and content-defined segmenters.
+    */
+  private def dedupSegmentFrame(df: DataFrame, segs: DataFrame,
+      idCol: String): DataFrame = {
     // global first occurrence per distinct segment text: one shuffle on
     // the segment hash; each hash group holds only that segment's
     // duplicates, so the in-group sort is tiny
@@ -96,4 +105,57 @@ object Chunking {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Content-defined segmentation (the FastCDC idea over tokens): a
+    * boundary falls AFTER position i when the md5 of the last
+    * `window` tokens lands under `16^8 / avgLen` (plus a forced
+    * boundary at the end), giving segments of expected length
+    * `avgLen`. Because the boundary rule looks only at a LOCAL window,
+    * an insertion near the front shifts segmentation for at most a few
+    * positions and the rest of the document re-aligns — so
+    * byte-shifted duplicates still share segments, which fixed-width
+    * windows structurally cannot ([[dedupSegments]]'s limitation).
+    * Same map-only shape as [[tokenWindows]].
+    *
+    * Output: idCol, `seg_idx`, `chunk_tokens`, `chunk_text`.
+    */
+  def contentDefinedSegments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, avgLen: Int): DataFrame = {
+    require(window > 0 && avgLen > 0, "window and avgLen must be positive")
+    val thresholdHex =
+      f"${(BigInt(16).pow(8) / avgLen).toLong}%08x"
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      // boundary positions (1-based, always including n)
+      .withColumn("__b", expr(
+        s"""filter(sequence(1, __n), i ->
+           |  i = __n OR
+           |  substring(md5(array_join(
+           |    slice(__tk, greatest(1, i - ${window - 1}),
+           |          least(i, $window)), ' ')), 1, 8)
+           |    < '$thresholdHex')""".stripMargin))
+      // segment j spans (prev boundary, boundary j]
+      .withColumn("__seg", expr(
+        """transform(sequence(1, size(__b)), j ->
+          |  slice(__tk,
+          |    (CASE WHEN j = 1 THEN 0 ELSE element_at(__b, j - 1) END) + 1,
+          |    element_at(__b, j) -
+          |      CASE WHEN j = 1 THEN 0 ELSE element_at(__b, j - 1) END))
+          |""".stripMargin))
+      .select(col(idCol),
+        posexplode(col("__seg")).as(Seq("seg_idx", "__w")))
+      .select(col(idCol), col("seg_idx"),
+        size(col("__w")).as("chunk_tokens"),
+        array_join(col("__w"), " ").as("chunk_text"))
+  }
+
+  /** Corpus-wide dedup over content-defined segments — shift-robust
+    * segment dedup (see [[contentDefinedSegments]]); same output shape
+    * as [[dedupSegments]].
+    */
+  def dedupSegmentsCdc(df: DataFrame, idCol: String, textCol: String,
+      window: Int, avgLen: Int): DataFrame =
+    dedupSegmentFrame(df,
+      contentDefinedSegments(df, idCol, textCol, window, avgLen), idCol)
 }

@@ -377,6 +377,18 @@ object Extensions {
         width = 16)
       .orderBy(col("doc_id"))
 
+  /** x49: shift-robust segment dedup
+    * ([[graft.operators.Chunking.dedupSegmentsCdc]]) — content-defined
+    * boundaries (FastCDC over tokens: md5 of the last 4 tokens under
+    * 16^8/12) instead of fixed windows, so inserted/removed tokens
+    * only perturb segmentation locally and shifted duplicates still
+    * collapse. Same one-shuffle shape as x43.
+    */
+  def x49CdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.dedupSegmentsCdc(docs(s, dir), "doc_id",
+        "text", window = 4, avgLen = 12)
+      .orderBy(col("doc_id"))
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

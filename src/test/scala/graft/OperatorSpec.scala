@@ -325,6 +325,54 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Chunking CDC segments: boundaries are content-local, so a " +
+      "shifted duplicate still collapses where fixed windows cannot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(400)(s"tk${rnd.nextInt(50)}").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, "inserted " + base) // one-token shift of the whole doc
+    ).toDF("doc_id", "text")
+
+    // fixed windows: the shift misaligns EVERY segment — nothing dedups
+    val fixed = graft.operators.Chunking
+      .dedupSegments(df, "doc_id", "text", width = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fixedSegs2 = graft.operators.Chunking
+      .tokenWindows(df.filter($"doc_id" === 2), "doc_id", "text", 12, 12)
+      .count()
+    assert(fixed(2L) == fixedSegs2) // doc 2 keeps all its segments
+
+    // content-defined: boundaries re-align after the insertion — the
+    // overwhelming majority of doc 2's segments are exact duplicates
+    val cdc = graft.operators.Chunking
+      .dedupSegmentsCdc(df, "doc_id", "text", window = 4, avgLen = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val (n2, kept2) = cdc(2L)
+    assert(n2 > 10, s"expected many segments, got $n2")
+    // the insertion perturbs segmentation only near the front: all but
+    // a handful of segments re-align and dedup (fixed windows kept ALL)
+    assert(kept2 <= 4 && kept2 * 4 < n2,
+      s"shifted dup should collapse, kept $kept2 of $n2")
+    // doc 1 (first occurrence) keeps everything
+    assert(cdc(1L)._1 == cdc(1L)._2)
+
+    // reconstruction invariant: concatenated segments == the token
+    // stream, for every doc
+    val segs = graft.operators.Chunking
+      .contentDefinedSegments(df, "doc_id", "text", 4, 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1)
+    df.collect().foreach { row =>
+      val id = row.getLong(0)
+      val toks = row.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+      val rebuilt = segs(id).sortBy(_._2).flatMap(_._3.split(" ")).toSeq
+      assert(rebuilt == toks, s"doc $id")
+    }
+  }
+
   test("Masking.maskTokens: pure function of (id, position), rate near " +
       "nominal, masked_text consistent with n_masked") {
     import spark.implicits._
