@@ -109,6 +109,7 @@ object SparkEntry {
     "x47_mask_tokens" -> Extensions.x47MaskTokens,
     "x48_quality_budget" -> Extensions.x48QualityBudget,
     "x49_cdc_dedup" -> Extensions.x49CdcDedup,
+    "x50_bloom_semi_join" -> Extensions.x50BloomSemiJoin,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -144,6 +145,14 @@ object SparkEntry {
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // x50 computes q4's exact semantics through the Bloom-pruned join —
+    // same oracle, different (shuffle-reducing) physical plan
+    "x50_bloom_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -37,6 +37,8 @@ object GraftFunctions {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(e(text), k, w))
   def int8QuantStats(a: Column): Column = c(Int8QuantStats(e(a)))
+  def bloomContains(bits: Column, hash: Column, numHashes: Int): Column =
+    c(BloomContains(e(bits), e(hash), numHashes))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[VecDot].getName, null, name, usage,
@@ -92,6 +94,11 @@ object GraftFunctions {
       info("graft_int8_quant_stats",
         "int8 max-abs quantization audit struct(dim,max_q,min_q,mse)"),
       (args: Seq[Expression]) => Int8QuantStats(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "membership probe against a BloomBuild bitset"),
+      (args: Seq[Expression]) =>
+        BloomContains(args(0), args(1), lit(args(2)))))
     // optimizer rule: HOF dot-product pattern → compiled VecDot kernel
     ext.injectOptimizerRule(_ => VecKernelRewrite)
   }

@@ -278,4 +278,48 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[ScoredRow]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredRow]]()
   }
+
+  /** Bloom-filter builder over 64-bit key hashes — the build side of
+    * the Bloom-pruned join ([[graft.operators.BloomJoin]]): a
+    * FIXED-SIZE mergeable bitset (numBits/8 bytes per partition,
+    * partials merge by OR), exactly the shape that crosses an exchange
+    * cheaply at any key count. Probe arithmetic is shared with the
+    * membership kernel ([[graft.expressions.BloomProbe]]) — builder
+    * and prober can never drift.
+    *
+    * Input hashes must be non-null (callers hash with xxhash64 over
+    * non-null join keys; null keys never match a join anyway).
+    */
+  class BloomBuild(numBits: Int, numHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+    override def zero: Array[Long] = new Array[Long](numBits / 64)
+
+    override def reduce(buf: Array[Long], h1: Long): Array[Long] = {
+      val hh2 = graft.expressions.BloomProbe.h2(h1)
+      var i = 0
+      while (i < numHashes) {
+        val p = graft.expressions.BloomProbe.pos(h1, hh2, i, numBits.toLong)
+        buf((p >>> 6).toInt) |= (1L << (p & 63L))
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

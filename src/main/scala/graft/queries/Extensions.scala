@@ -389,6 +389,24 @@ object Extensions {
         "text", window = 4, avgLen = 12)
       .orderBy(col("doc_id"))
 
+  /** x50: Bloom-pruned semi-join ([[graft.operators.BloomJoin]]) —
+    * q4's exact semantics (orders with a >45-quantity lineitem) where
+    * the fact side is prefiltered map-side by a broadcast Bloom bitset
+    * BEFORE the join shuffle. Same oracle as q4; the different (scale-
+    * shaped) physical plan is the point, like x30 vs q7.
+    */
+  def x50BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Graft.table(s, dir, "orders")
+    val bigItems = Graft.table(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    graft.operators.BloomJoin
+      .bloomSemiJoin(orders, "o_orderkey", bigItems, "l_orderkey",
+        log2Bits = 20)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

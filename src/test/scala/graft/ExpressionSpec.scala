@@ -257,4 +257,45 @@ class ExpressionSpec extends SparkSpec {
       .toIntArray().toSeq
     assert(direct == got.head.getSeq[Int](1))
   }
+
+  test("BloomContains: zero false negatives, codegen agrees with eval, " +
+      "false-positive rate sane at the design load") {
+    import spark.implicits._
+    // build over 1000 keys into 2^17 bits with 5 hashes (m/n = 131)
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BloomBuild(1 << 17, 5),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val keys = spark.range(0, 1000).select(col("id"))
+    val bloom = keys
+      .agg(bloomAgg(xxhash64(col("id"))).as("bits"))
+
+    // codegen path: the probe runs inside a projection over a range —
+    // every inserted key MUST be contained (no false negatives, the
+    // property the exactness of BloomJoin rests on)
+    val probeAll = spark.range(0, 5000).crossJoin(broadcast(bloom))
+      .select(col("id"),
+        GraftFunctions.bloomContains(col("bits"), xxhash64(col("id")), 5)
+          .as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 1000L).foreach(k => assert(probeAll(k), s"false negative $k"))
+    // false positives among the 4000 non-members stay low at this load
+    val fp = (1000L until 5000L).count(probeAll)
+    assert(fp < 40, s"$fp false positives of 4000") // expect ~0 at m/n=131
+
+    // interpreted eval agrees with the codegen'd outcomes
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val bits = bloom.collect().head.getSeq[Long](0)
+    val bitsLit = Literal(new GenericArrayData(bits.map(Long.box).toArray[Any]),
+      ArrayType(LongType, containsNull = false))
+    def evalContains(h: Long): Boolean =
+      graft.expressions.BloomContains(bitsLit, Literal(h, LongType), 5)
+        .eval(null).asInstanceOf[Boolean]
+    val hashed = spark.range(0, 5000)
+      .select(col("id"), xxhash64(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5000L).foreach { k =>
+      assert(evalContains(hashed(k)) == probeAll(k), s"eval/codegen $k")
+    }
+  }
 }

@@ -60,4 +60,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
     assert(plain((1L, "hot")) == 10000L)
   }
+
+  test("BloomJoin.bloomSemiJoin equals the plain semi join; the compiled " +
+      "probe prefilters the big side before the join") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Graft.table(spark, sfDir, "orders")
+    val keys = graft.core.Graft.table(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+
+    val bloomed = graft.operators.BloomJoin
+      .bloomSemiJoin(orders, "o_orderkey", keys, "l_orderkey")
+    val plain = orders.join(keys.withColumnRenamed("l_orderkey",
+        "o_orderkey"), Seq("o_orderkey"), "left_semi")
+
+    val a = bloomed.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val b = plain.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+
+    // the Bloom probe sits in the plan (map-side, pre-join), and the
+    // exact semi join still runs after it
+    val p = bloomed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_bloom_contains"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }
