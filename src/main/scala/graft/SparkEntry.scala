@@ -110,6 +110,7 @@ object SparkEntry {
     "x48_quality_budget" -> Extensions.x48QualityBudget,
     "x49_cdc_dedup" -> Extensions.x49CdcDedup,
     "x50_bloom_semi_join" -> Extensions.x50BloomSemiJoin,
+    "x51_contamination_bloom" -> Extensions.x51ContaminationBloom,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"

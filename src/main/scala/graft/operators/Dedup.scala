@@ -321,6 +321,46 @@ object Dedup {
           col("n_shingles") > 0)
   }
 
+  /** Bloom-filter decontamination — [[contaminationReport]]'s semantics
+    * with the train-shingle SET replaced by a fixed-size Bloom bitset:
+    * the train side never shuffles its shingles at all (no distinct, no
+    * membership join — shingles stream into partial bitsets map-side
+    * and OR-merge into ONE row), and each test shingle probes the
+    * broadcast bitset with the compiled [[graft.expressions
+    * .BloomContains]] kernel. THE 100 TB decontamination shape: train
+    * cost is a scan, test cost is a scan + per-doc count.
+    *
+    * One-sided error, the safe direction for decontamination: no false
+    * negatives (a shared shingle ALWAYS probes true), so every
+    * contaminated doc under the exact report is flagged here too;
+    * Bloom false positives can only inflate `n_shared` and over-flag.
+    * Size `log2Bits` ≥ log2(distinct train shingles) + 7 for a
+    * sub-1% FP rate.
+    */
+  def contaminationReportBloom(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, k: Int, num: Int = 4, den: Int = 5,
+      log2Bits: Int = 24, numHashes: Int = 5): DataFrame = {
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BloomBuild(1 << log2Bits, numHashes),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bloom = train
+      .select(explode(GraftFunctions.wordShingles(col(textCol), k)).as("s"))
+      .agg(bloomAgg(xxhash64(col("s"))).as("__bloom"))
+    val testSets = shingleSets(test, idCol, textCol, k)
+    testSets
+      .crossJoin(broadcast(bloom))
+      .select(col("id"), col("n").cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("s"), col("__bloom"))
+      .withColumn("__hit",
+        when(col("s").isNotNull && GraftFunctions.bloomContains(
+          col("__bloom"), xxhash64(col("s")), numHashes), 1L).otherwise(0L))
+      .groupBy(col("id"), col("n_shingles"))
+      .agg(sum(col("__hit")).as("n_shared"))
+      .withColumn("contaminated",
+        col("n_shared") * den >= col("n_shingles") * num &&
+          col("n_shingles") > 0)
+  }
+
   /** 64-bit SimHash over whitespace tokens (weight = occurrence count).
     * One compiled pass per row.
     */

@@ -454,6 +454,25 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x51: Bloom decontamination
+    * ([[graft.operators.Dedup.contaminationReportBloom]]) — x29's
+    * screen with the train-shingle set as a broadcast Bloom bitset:
+    * train side never shuffles, test shingles probe map-side. At 2^24
+    * bits over this corpus's ~30k distinct shingles the FP rate is
+    * ~0 and the report matches x29 exactly (asserted in spec); no SQL
+    * oracle (the bitset is engine-specific), like the other sketch ops.
+    */
+  def x51ContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val train = d.filter(h =!= "0" && h =!= "1")
+    val test = d.filter(h === "0")
+    Dedup.contaminationReportBloom(train, test, "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("contaminated", col("contaminated").cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x30: top-k per group via the bounded-state [[graft.functions
     * .Aggregators.TopKRows]] aggregator — identical results to q7's
     * ranking window (same oracle SQL), but the exchange carries at most

@@ -95,4 +95,33 @@ class DedupSpec extends SparkSpec {
     val nPrefix = Dedup.byPrefixFingerprint(docs, "doc_id", "text", 200).count()
     assert(nPrefix <= nExact)
   }
+
+  test("contaminationReportBloom: never misses what the exact report " +
+      "flags, and matches it exactly at a generous bitset") {
+    import org.apache.spark.sql.functions._
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val train = docs.filter(h =!= "0" && h =!= "1")
+    val test = docs.filter(h === "0")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val exact = key(Dedup.contaminationReport(train, test,
+      "doc_id", "text", k = 3)
+      .select("id", "n_shingles", "n_shared", "contaminated"))
+    val bloom = key(Dedup.contaminationReportBloom(train, test,
+      "doc_id", "text", k = 3, log2Bits = 24)
+      .select("id", "n_shingles", "n_shared", "contaminated"))
+
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (n, shared, flag)) =>
+      val (bn, bshared, bflag) = bloom(id)
+      assert(bn == n, s"doc $id shingle count")
+      // one-sided error: bloom shared >= exact shared, flag never lost
+      assert(bshared >= shared, s"doc $id lost shared shingles")
+      if (flag) assert(bflag, s"doc $id: exact flagged, bloom missed")
+    }
+    // at 2^24 bits over ~30k shingles the FP rate is ~0: reports match
+    assert(bloom == exact)
+  }
 }
