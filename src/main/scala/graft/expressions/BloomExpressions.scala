@@ -65,12 +65,16 @@ case class BloomContains(left: Expression, right: Expression,
       val h2v = ctx.freshName("h2")
       val i = ctx.freshName("i")
       val p = ctx.freshName("p")
+      // probe arithmetic via BloomProbe's static forwarders — the SAME
+      // bytecode the builder and interpreted eval run, so the three
+      // paths cannot drift (JIT inlines the tiny static calls)
+      val probe = "graft.expressions.BloomProbe"
       s"""
          |long $m = (long) $bits.numElements() * 64L;
-         |long $h2v = (Long.rotateLeft($h, 31) * -7046029254386353131L) | 1L;
+         |long $h2v = $probe.h2($h);
          |${ev.value} = true;
          |for (int $i = 0; $i < $numHashes; $i++) {
-         |  long $p = ($h + (long) $i * $h2v) & ($m - 1L);
+         |  long $p = $probe.pos($h, $h2v, $i, $m);
          |  if (($bits.getLong((int) ($p >>> 6)) & (1L << ($p & 63L))) == 0L) {
          |    ${ev.value} = false;
          |    break;

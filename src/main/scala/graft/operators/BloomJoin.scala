@@ -32,12 +32,23 @@ object BloomJoin {
       smallKey: String, log2Bits: Int = 23, numHashes: Int = 5)
       : DataFrame = {
     require(log2Bits >= 6 && log2Bits <= 30, s"log2Bits: $log2Bits")
-    val spark = big.sparkSession
+    // xxhash64 is TYPE-sensitive (xxhash64(5: int) != xxhash64(5L)),
+    // while a plain semi join would implicitly cast — mismatched key
+    // types would silently prune every true match, so refuse them
+    require(big.schema(bigKey).dataType == small.schema(smallKey).dataType,
+      s"key types must match: $bigKey is ${big.schema(bigKey).dataType}, " +
+        s"$smallKey is ${small.schema(smallKey).dataType} — cast one side")
     val bloomAgg = udaf(
       new graft.functions.Aggregators.BloomBuild(1 << log2Bits, numHashes),
       Encoders.scalaLong)
-    val bloom = small
+    // cached: feeds both the bitset build and the verification join —
+    // without it the small side's lineage runs twice per action
+    // (released by clearCache()/session end, same contract as the
+    // dedup operator caches)
+    val smallKeys = small
       .filter(col(smallKey).isNotNull)
+      .select(col(smallKey)).cache()
+    val bloom = smallKeys
       .agg(bloomAgg(xxhash64(col(smallKey))).as("__bloom"))
     val pruned = big
       .filter(col(bigKey).isNotNull)
@@ -47,7 +58,7 @@ object BloomJoin {
       .drop("__bloom")
     // exact verification: the semi join removes Bloom false positives
     pruned.join(
-      small.select(col(smallKey).as(bigKey)),
+      smallKeys.select(col(smallKey).as(bigKey)),
       Seq(bigKey), "left_semi")
   }
 }

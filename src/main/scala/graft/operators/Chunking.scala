@@ -36,13 +36,20 @@ object Chunking {
     * Output: idCol, `chunk_idx`, `chunk_tokens` (count), `chunk_text`
     * (space-joined window).
     */
+  /** Shared tokenize prologue: (idCol, __tk, __n) for docs with at
+    * least one token — the fixed-window and content-defined segmenters
+    * must agree on tokenization and the empty-doc rule.
+    */
+  private def tokenized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+
   def tokenWindows(df: DataFrame, idCol: String, textCol: String,
       width: Int, stride: Int): DataFrame = {
     require(width > 0 && stride > 0, "width and stride must be positive")
-    val starts = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
-      .withColumn("__n", size(col("__tk")))
-      .filter(col("__n") > 0)
+    val starts = tokenized(df, idCol, textCol)
       // last window index: greatest start i with i·stride < n
       .withColumn("__idx",
         sequence(lit(0), expr(s"(__n - 1) div $stride")))
@@ -121,12 +128,14 @@ object Chunking {
     */
   def contentDefinedSegments(df: DataFrame, idCol: String, textCol: String,
       window: Int, avgLen: Int): DataFrame = {
-    require(window > 0 && avgLen > 0, "window and avgLen must be positive")
+    require(window > 0, "window must be positive")
+    // avgLen 1 would make the threshold 16^8 — NINE hex digits, which
+    // compares LOW lexicographically (the Mixing/Masking rate-1
+    // pitfall); "every position a boundary" is tokenWindows(width=1)
+    require(avgLen >= 2, "avgLen must be >= 2")
     val thresholdHex =
       f"${(BigInt(16).pow(8) / avgLen).toLong}%08x"
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
-      .withColumn("__n", size(col("__tk")))
-      .filter(col("__n") > 0)
+    tokenized(df, idCol, textCol)
       // boundary positions (1-based, always including n)
       .withColumn("__b", expr(
         s"""filter(sequence(1, __n), i ->

@@ -340,6 +340,9 @@ object Dedup {
   def contaminationReportBloom(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, k: Int, num: Int = 4, den: Int = 5,
       log2Bits: Int = 24, numHashes: Int = 5): DataFrame = {
+    // guard BEFORE the shift: `1 << 38` wraps to 64 bits and would
+    // silently saturate into an everything-is-contaminated report
+    require(log2Bits >= 6 && log2Bits <= 30, s"log2Bits: $log2Bits")
     val bloomAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.Aggregators.BloomBuild(1 << log2Bits, numHashes),
       org.apache.spark.sql.Encoders.scalaLong)
