@@ -158,4 +158,27 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("Bloom build/probe: zero false negatives under arbitrary " +
+      "partitioned builds and merge orders") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val hashes = Gen.listOf(Gen.long)
+    val parts = Gen.chooseNum(1, 5)
+    check("bloom", Prop.forAll(hashes, parts) { (hs, np) =>
+      val agg = new graft.functions.Aggregators.BloomBuild(1 << 12, 5)
+      // build across np partitions, merge in partition order
+      val groups = hs.grouped(math.max(1, (hs.size + np - 1) / np)).toList
+      val bufs = groups.map(_.foldLeft(agg.zero)(agg.reduce))
+      val bits = bufs match {
+        case Nil => agg.zero
+        case h :: t => t.foldLeft(h)(agg.merge)
+      }
+      val arr = new GenericArrayData(bits.map(Long.box).toArray[Any])
+      hs.forall { h =>
+        graft.expressions.BloomContains(
+          Literal(arr, ArrayType(LongType, containsNull = false)),
+          Literal(h, LongType), 5).eval(null).asInstanceOf[Boolean]
+      }
+    })
+  }
 }
