@@ -111,6 +111,7 @@ object SparkEntry {
     "x49_cdc_dedup" -> Extensions.x49CdcDedup,
     "x50_bloom_semi_join" -> Extensions.x50BloomSemiJoin,
     "x51_contamination_bloom" -> Extensions.x51ContaminationBloom,
+    "x52_weighted_sample" -> Extensions.x52WeightedSample,
   )
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
@@ -647,6 +648,24 @@ object SparkEntry {
         |SELECT lang, doc_id, n_chars FROM r
         |WHERE rn <= (cnt * 1 + 9) // 10
         |ORDER BY lang, doc_id""".stripMargin,
+    // Efraimidis-Spirakis keys: u from the first 12 md5 hex digits
+    // (digit-wise — exact in doubles below 2^53), e = -ln(u)/w
+    // quantized to 1e-12 longs before ranking (the x24/x32 pattern)
+    "x52_weighted_sample" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(FLOOR(
+        |      -ln((list_sum(list_transform(range(1, 13), i ->
+        |            (strpos('0123456789abcdef',
+        |               substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |              * (16.0 ** (12 - i)))) + 1)
+        |          / 281474976710657.0)
+        |      / CAST(n_chars AS DOUBLE) * 1000000000000) AS BIGINT) AS wkey
+        |  FROM documents WHERE n_chars > 0),
+        |top AS (
+        |  SELECT doc_id, lang, n_chars FROM scored
+        |  ORDER BY wkey, doc_id LIMIT 100)
+        |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin,
     // 16^8 / 10 = 429496729 = 0x19999999: the same lexicographic hex
     // prefix compare as the engine's map-only filter
     "x37_hash_sample" ->

@@ -63,4 +63,38 @@ object Sampling {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 8)
       < lit(thresholdHex))
   }
+
+  /** Deterministic weighted sample of exactly `k` rows WITHOUT
+    * replacement, inclusion probability ∝ `weightCol` — Efraimidis &
+    * Spirakis ("Weighted random sampling with a reservoir", IPL 2006)
+    * with the uniform draw derived from md5(id) instead of an RNG:
+    * each row gets the exponential key e = −ln(u)/w (u from the first
+    * 12 hex digits of md5, shifted into (0,1]) and the k smallest keys
+    * win. Like every sampler here, the result is a pure function of
+    * the data — identical across runs, engines, and partitionings.
+    *
+    * Keys are quantized to 1e-12 longs before ranking (the x24/x32
+    * fixed-point pattern: ln may differ cross-engine in the last ulp;
+    * a flip at a floor boundary has probability ~1e-12 per row).
+    * Rows with null or non-positive weight never qualify (zero weight
+    * = zero inclusion probability; the reference paper's domain).
+    *
+    * Scale shape: map-only scoring + bounded global top-k
+    * (TakeOrderedAndProject) — no full sort, nothing corpus-sized on
+    * the driver but the k winners.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m = BigInt(16).pow(12).toLong
+    val v = expr(
+      s"CAST(conv(substring(md5(CAST(`$idCol` AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+    val u = (v + lit(1L)).cast("double") / lit((m + 1).toDouble)
+    val e = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", floor(e * lit(1e12)).cast("long"))
+      .orderBy(col("__wkey"), col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
 }

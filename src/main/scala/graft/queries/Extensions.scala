@@ -297,6 +297,19 @@ object Extensions {
       .select(col("lang"), col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** x52: deterministic weighted sampling
+    * ([[graft.operators.Sampling.weightedSample]]) — 100 documents
+    * drawn ∝ n_chars (longer docs proportionally likelier), Efraimidis-
+    * Spirakis keys from hash-derived uniforms. The length/quality-
+    * biased subsampling step of corpus curation, reproducible across
+    * runs and engines. Map-only scoring + bounded top-k.
+    */
+  def x52WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(docs(s, dir), "doc_id",
+        "n_chars", k = 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** x38: Gopher-style repetition quality signals
     * ([[graft.operators.Repetition.repetitionStats]]) — per-document
     * token / 2-gram occurrence, distinct, and top-value counts, with the

@@ -373,6 +373,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Sampling.weightedSample: partitioning-independent, length-biased, " +
+      "weight-zero rows excluded, exactly k winners") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map { i =>
+      // weights span two orders of magnitude; a few zero-weight rows
+      val w = if (i % 97 == 0) 0L else (1 + rnd.nextInt(100)).toLong
+      (i.toLong, w)
+    }.toDF("id", "w")
+
+    val out = graft.operators.Sampling.weightedSample(df, "id", "w", 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 200)
+    assert(out.forall(_._2 > 0)) // zero-weight rows never win
+
+    // pure function of the data
+    val re = graft.operators.Sampling
+      .weightedSample(df.repartition(17, col("id")), "id", "w", 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(re == out.map(_._1).toSet)
+
+    // inclusion ∝ weight: the sample's mean weight must sit clearly
+    // above the population's (2000 draws, weights 1..100)
+    val popMean = df.filter($"w" > 0).agg(avg($"w")).head().getDouble(0)
+    val sampleMean = out.map(_._2).sum.toDouble / out.length
+    assert(sampleMean > popMean * 1.15, s"$sampleMean vs $popMean")
+  }
+
   test("Masking.maskTokens: pure function of (id, position), rate near " +
       "nominal, masked_text consistent with n_masked") {
     import spark.implicits._
