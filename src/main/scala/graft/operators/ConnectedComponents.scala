@@ -41,8 +41,12 @@ object ConnectedComponents {
         struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+    // seed with what the first propagation round would compute from
+    // self-labels anyway — min(id, min direct neighbor) — saving one
+    // full iteration (three shuffles); size-2 components (most near-dup
+    // clusters) then converge in a single convergence-check round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("label")).cache()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
