@@ -181,6 +181,19 @@ class PlanSpec extends SparkSpec {
     assert("- Window \\(".r.findAllIn(p48).length == 1, p48)
   }
 
+  test("x51/x52: bloom decontamination joins nothing shingle-sized; " +
+      "weighted sample is a bounded top-k, not a full sort") {
+    val p51 = plan(Extensions.x51ContaminationBloom(spark, sfDir))
+    // the whole point vs x29: no distinct-shingle membership JOIN —
+    // the only join is the 1-row bitset broadcast
+    assert(!p51.contains("SortMergeJoin"), p51)
+    assert(!p51.contains("Window"), p51)
+    assert(p51.contains("partial_"), p51) // bitset partials merge map-side
+    val p52 = plan(Extensions.x52WeightedSample(spark, sfDir))
+    assert(p52.contains("TakeOrderedAndProject"), p52) // bounded k, no sort
+    assert(!p52.contains("Window"), p52)
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
