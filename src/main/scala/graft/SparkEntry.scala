@@ -649,10 +649,15 @@ object SparkEntry {
         |WHERE rn <= (cnt * 1 + 9) // 10
         |ORDER BY lang, doc_id""".stripMargin,
     // Efraimidis-Spirakis keys: u from the first 12 md5 hex digits
-    // (digit-wise — exact in doubles below 2^53), e = -ln(u)/w
-    // quantized to 1e-12 longs before ranking (the x24/x32 pattern)
+    // (digit-wise — exact in doubles below 2^53), e = -ln(u)·wmax/w
+    // (scale-free relative weights) quantized to 1e-9 longs before
+    // ranking (the x24/x32 pattern); same left-assoc double arithmetic
+    // as the Spark side
     "x52_weighted_sample" ->
-      """WITH scored AS (
+      """WITH wm AS (
+        |  SELECT MAX(CAST(n_chars AS DOUBLE)) AS wmax
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0),
+        |scored AS (
         |  SELECT doc_id, lang, n_chars,
         |    CAST(FLOOR(
         |      -ln((list_sum(list_transform(range(1, 13), i ->
@@ -660,8 +665,9 @@ object SparkEntry {
         |               substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
         |              * (16.0 ** (12 - i)))) + 1)
         |          / 281474976710657.0)
-        |      / CAST(n_chars AS DOUBLE) * 1000000000000) AS BIGINT) AS wkey
-        |  FROM documents WHERE n_chars > 0),
+        |      * wmax / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS wkey
+        |  FROM documents CROSS JOIN wm
+        |  WHERE doc_id IS NOT NULL AND n_chars > 0),
         |top AS (
         |  SELECT doc_id, lang, n_chars FROM scored
         |  ORDER BY wkey, doc_id LIMIT 100)

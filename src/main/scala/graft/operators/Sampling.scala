@@ -73,15 +73,20 @@ object Sampling {
     * win. Like every sampler here, the result is a pure function of
     * the data — identical across runs, engines, and partitionings.
     *
-    * Keys are quantized to 1e-12 longs before ranking (the x24/x32
-    * fixed-point pattern: ln may differ cross-engine in the last ulp;
-    * a flip at a floor boundary has probability ~1e-12 per row).
-    * Rows with null or non-positive weight never qualify (zero weight
-    * = zero inclusion probability; the reference paper's domain).
+    * Inclusion probability is SCALE-FREE in the weights (P ∝ w is
+    * invariant under multiplying every weight by a constant), so keys
+    * are computed against the RELATIVE weight w/max(w): e stays in
+    * [0, 33.3·max(w)/w] regardless of the weights' absolute scale, and
+    * the 1e-9 fixed-point quantization (the x24/x32 pattern — ln may
+    * differ cross-engine in the last ulp, a floor-boundary flip has
+    * probability ~1e-9 per row) never overflows a long while the
+    * heaviest-to-lightest weight ratio stays under ~2·10⁸. Rows with a
+    * null id or null/non-positive weight never qualify (no identity →
+    * no deterministic draw; zero weight = zero inclusion probability).
     *
-    * Scale shape: map-only scoring + bounded global top-k
-    * (TakeOrderedAndProject) — no full sort, nothing corpus-sized on
-    * the driver but the k winners.
+    * Scale shape: one max(w) scalar broadcast, then map-only scoring +
+    * bounded global top-k (TakeOrderedAndProject) — no full sort,
+    * nothing corpus-sized on the driver but the k winners.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
@@ -90,11 +95,15 @@ object Sampling {
     val v = expr(
       s"CAST(conv(substring(md5(CAST(`$idCol` AS STRING)), 1, 12), 16, 10) AS BIGINT)")
     val u = (v + lit(1L)).cast("double") / lit((m + 1).toDouble)
-    val e = -log(u) / col(weightCol).cast("double")
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("__wkey", floor(e * lit(1e12)).cast("long"))
+    val eligible = df.filter(col(idCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) > 0)
+    val wmax = broadcast(eligible
+      .agg(max(col(weightCol).cast("double")).as("__wmax")))
+    val e = -log(u) * col("__wmax") / col(weightCol).cast("double")
+    eligible.crossJoin(wmax)
+      .withColumn("__wkey", floor(e * lit(1e9)).cast("long"))
       .orderBy(col("__wkey"), col(idCol))
       .limit(k)
-      .drop("__wkey")
+      .drop("__wkey", "__wmax")
   }
 }

@@ -24,6 +24,21 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, s"$name: $r")
   }
 
+  /** Simulate a distributed aggregation: split the stream into nParts
+    * partitions, reduce each independently, merge in partition order —
+    * the shape every mergeable-aggregator property here must survive.
+    */
+  private def partitionedBuild[I, B](items: List[I], nParts: Int,
+      zero: => B)(reduce: (B, I) => B)(merge: (B, B) => B): B = {
+    val parts = items
+      .grouped(math.max(1, (items.size + nParts - 1) / nParts))
+      .map(_.foldLeft(zero)(reduce)).toList
+    parts match {
+      case Nil => zero
+      case h :: t => t.foldLeft(h)(merge)
+    }
+  }
+
   private val token: Gen[String] =
     Gen.chooseNum(1, 6).flatMap(n =>
       Gen.stringOfN(n, Gen.alphaNumChar))
@@ -129,12 +144,8 @@ class PropertySpec extends AnyFunSuite {
       // stream; the buffer treats rows as ranked values, so compare on
       // the deduped stream (callers feed unique-keyed rows)
       val uniq = items.distinct
-      val parts = uniq.grouped(math.max(1, (uniq.size + nParts - 1) / nParts))
-        .map(p => p.foldLeft(agg.zero)(agg.reduce)).toList
-      val merged = parts match {
-        case Nil => agg.zero
-        case h :: t => t.foldLeft(h)(agg.merge)
-      }
+      val merged = partitionedBuild(uniq, nParts, agg.zero)(
+        agg.reduce)(agg.merge)
       agg.finish(merged) == expected
     })
   }
@@ -146,13 +157,8 @@ class PropertySpec extends AnyFunSuite {
         Gen.chooseNum(1, 4)) { (items, cap, nParts) =>
       val agg = new FrequentItems(cap, cap)
       val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
-      val parts = items.grouped(math.max(1, (items.size + nParts - 1) / nParts))
-        .map(p => p.foldLeft(agg.zero)((buf, i) => agg.reduce(buf, i)))
-        .toList
-      val merged = parts match {
-        case Nil => agg.zero
-        case h :: t => t.foldLeft(h)(agg.merge)
-      }
+      val merged = partitionedBuild(items, nParts, agg.zero)(
+        agg.reduce)(agg.merge)
       agg.finish(merged).forall { f =>
         f.count >= truth(f.item) && f.count - f.error <= truth(f.item)
       }
@@ -161,18 +167,11 @@ class PropertySpec extends AnyFunSuite {
 
   test("Bloom build/probe: zero false negatives under arbitrary " +
       "partitioned builds and merge orders") {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
     val hashes = Gen.listOf(Gen.long)
     val parts = Gen.chooseNum(1, 5)
     check("bloom", Prop.forAll(hashes, parts) { (hs, np) =>
       val agg = new graft.functions.Aggregators.BloomBuild(1 << 12, 5)
-      // build across np partitions, merge in partition order
-      val groups = hs.grouped(math.max(1, (hs.size + np - 1) / np)).toList
-      val bufs = groups.map(_.foldLeft(agg.zero)(agg.reduce))
-      val bits = bufs match {
-        case Nil => agg.zero
-        case h :: t => t.foldLeft(h)(agg.merge)
-      }
+      val bits = partitionedBuild(hs, np, agg.zero)(agg.reduce)(agg.merge)
       val arr = new GenericArrayData(bits.map(Long.box).toArray[Any])
       hs.forall { h =>
         graft.expressions.BloomContains(
