@@ -65,6 +65,43 @@ final class Collection private[core] (
   /** Document count — the reference test suite's only oracle. */
   def count(): Long = if (hasData) read().count() else 0L
 
+  /** Rewrite the collection into ≈`targetRecordsPerFile`-row files —
+    * the small-files maintenance pass every batched loader eventually
+    * needs (a `batchSize=1000` load of a billion rows leaves a million
+    * tiny files; footer-open cost then dominates every scan). The
+    * compacted copy is written to a sibling staging directory first
+    * and swapped in with two renames, so a crash mid-compact leaves
+    * either the old or the new data, never a mix; like any destructive
+    * maintenance op this assumes no concurrent writer, and in-flight
+    * readers of the old directory should be drained first.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(targetRecordsPerFile: Long = 1 << 20): (Int, Int) = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
+    def dataFiles(p: Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(new Path(path))
+    if (!hasData) return (before, before)
+    val df = read()
+    val n = df.count()
+    val files = math.max(1L,
+      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val staging = new Path(path + s".compact-${java.util.UUID.randomUUID()}")
+    df.repartition(files).write.parquet(staging.toString)
+    val retired = new Path(path + s".old-${java.util.UUID.randomUUID()}")
+    if (!fs.rename(new Path(path), retired))
+      throw new IllegalStateException(s"could not retire $path")
+    if (!fs.rename(staging, new Path(path))) {
+      // restore the original before failing — never leave no data
+      fs.rename(retired, new Path(path))
+      throw new IllegalStateException(s"could not publish $staging")
+    }
+    fs.delete(retired, true)
+    (before, dataFiles(new Path(path)))
+  }
+
   /** Register the collection as a temp view so the full Spark SQL
     * surface queries it by name — the post-load query layer the
     * reference delegated to its database (SURVEY §2.2).

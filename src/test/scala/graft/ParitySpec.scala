@@ -284,4 +284,32 @@ class ParitySpec extends SparkSpec {
     assert(docs(2L) ==
       "{\"c\": \"c\", \"floatVal\": 16.666666666666668, \"numeric\": 2}")
   }
+
+  test("Collection.compact: rewrites many small files into few, " +
+      "preserving every row; empty collection is a no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val mgr = new graft.core.CollectionManager(spark, base)
+    val c = mgr.collection("docs")
+    // tiny batch size → many small files, the loader's failure mode
+    c.write((1 to 5000).map(i => (i.toLong, s"d$i")).toDF("id", "t"),
+      org.apache.spark.sql.SaveMode.Overwrite, maxRecordsPerFile = 100)
+    val beforeRows = c.read().collect().map(_.getLong(0)).sorted.toSeq
+
+    val (before, after) = c.compact(targetRecordsPerFile = 2500)
+    assert(before >= 32, s"expected many small files, got $before")
+    assert(after <= 4, s"expected few compacted files, got $after")
+    assert(c.count() == 5000)
+    assert(c.read().collect().map(_.getLong(0)).sorted.toSeq == beforeRows)
+    // no staging/retired leftovers beside the collection
+    val leftovers = new java.io.File(base).listFiles()
+      .map(_.getName).filter(n => n.contains(".compact-") ||
+        n.contains(".old-"))
+    assert(leftovers.isEmpty, leftovers.toSeq)
+
+    val empty = mgr.collection("empty")
+    empty.create()
+    assert(empty.compact() == ((0, 0)))
+  }
 }
