@@ -245,16 +245,78 @@ object Dedup {
         col("pos").as("band") :+ col("col").as("bucket"): _*)
   }
 
-  def lshCandidatePairs(sigDf: DataFrame, idCol: String, numHashes: Int,
-      bands: Int): DataFrame = {
-    val banded = bandedBuckets(sigDf, idCol, numHashes, bands)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+  /** Default per-(band, bucket) membership cap for the batch LSH paths —
+    * the batch twin of [[graft.streaming.Streaming.lshCandidateStream]]'s
+    * `maxBucketSize`.
+    */
+  val DefaultBucketCap: Int = 4096
+
+  /** Candidate pairs from banded bucket rows, with BOUNDED per-bucket
+    * output: the `cap` smallest ids per bucket (bounded-state
+    * [[graft.functions.Aggregators.TopKRows]], score = −id ⇒ ascending
+    * id; at most cap rows per (bucket, partition) cross the exchange)
+    * pair fully among themselves, and every OVERFLOW member beyond the
+    * cap pairs with the bucket's minimum id only — the bucket
+    * representative. Per-bucket output is therefore C(cap,2) + (n−cap),
+    * never C(n,2): a corpus with 10⁵ copies of one boilerplate doc emits
+    * ~10⁵ candidate rows per band instead of 10¹⁰.
+    *
+    * Semantics of the cap: pairs among the capped members are exactly
+    * the uncapped pairs (buckets under the cap are untouched); an
+    * overflow member's candidacy is representative-only, so a
+    * pathological mega-bucket still CLUSTERS completely (every member
+    * connects to the representative — connected components merges the
+    * whole bucket), while pairwise output stays linear. All emitted
+    * pairs go through the caller's exact verification, so the cap can
+    * only trade pair-level recall inside oversize buckets, never
+    * precision. Audit oversize buckets with [[lshBucketOverflow]] —
+    * the loud form of the boundary.
+    *
+    * Requires long-castable ids (the bounded buffer carries longs —
+    * the engine's document-id contract, as in the streaming path).
+    */
+  private[graft] def cappedBucketPairs(banded: DataFrame,
+      keys: Seq[String], cap: Int): DataFrame = {
+    require(cap >= 2, s"bucketCap must be >= 2, got $cap")
+    val keep = udaf(new graft.functions.Aggregators.TopKRows(cap))
+    val keyCols = keys.map(col)
+    val members = banded.groupBy(keyCols: _*)
+      .agg(keep(-col("id").cast("double"), col("id").cast("long"), lit(0L))
+        .as("__top"))
+      .select(keyCols :+ col("__top.key1").as("__members"): _*)
+    banded.select(keyCols :+ col("id").cast("long").as("__id"): _*)
+      .join(members, keys)
+      .select(explode(
+        when(array_contains(col("__members"), col("__id")),
+          // member: pair with every smaller member — each member pair
+          // is produced exactly once, by its larger end
+          transform(filter(col("__members"), m => m < col("__id")),
+            m => struct(m.as("id1"), col("__id").as("id2"))))
+        .otherwise(
+          // overflow: one link to the bucket representative (min id;
+          // strictly smaller than any overflow id by construction)
+          array(struct(element_at(col("__members"), 1).as("id1"),
+            col("__id").as("id2"))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
   }
+
+  /** Bucket-size audit for the capped LSH candidate paths: one row
+    * (band, bucket, size) per bucket whose membership exceeds `cap` —
+    * run/alert on this to know where [[cappedBucketPairs]]'s
+    * representative-only regime applied. One linear agg, no joins.
+    */
+  def lshBucketOverflow(sigDf: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, cap: Int = DefaultBucketCap): DataFrame =
+    bandedBuckets(sigDf, idCol, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > cap)
+
+  def lshCandidatePairs(sigDf: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, bucketCap: Int = DefaultBucketCap): DataFrame =
+    cappedBucketPairs(bandedBuckets(sigDf, idCol, numHashes, bands),
+      Seq("band", "bucket"), bucketCap)
 
   /** MinHash-LSH near-dup pairs, verified: candidates from
     * [[lshCandidatePairs]], then exact shingle-Jaccard on just those
@@ -263,11 +325,12 @@ object Dedup {
     * the exact pairs in the spec suite, not the SQL oracle).
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, k).cache()
     val sig = sets.withColumn("minhash_sig",
       GraftFunctions.minHashSignature(col("sh"), numHashes))
-    val cand = lshCandidatePairs(sig, "id", numHashes, bands)
+    val cand = lshCandidatePairs(sig, "id", numHashes, bands, bucketCap)
     verifyJaccard(cand, sets, threshold)
   }
 
@@ -373,28 +436,32 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found by
     * block-blocking: 64 bits → `blocks` chunks; by pigeonhole any pair
     * within maxDist ≤ blocks−1 shares at least one exact block. Shuffle
-    * on (block idx, block value) only.
+    * on (block idx, block value) only, with per-bucket membership capped
+    * by [[cappedBucketPairs]] (a block value shared by 10⁵ boilerplate
+    * docs otherwise emits 10¹⁰ join rows); the Hamming filter is the
+    * exact verification every candidate — including representative-only
+    * overflow links — still passes through.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, blocks: Int = 4): DataFrame = {
+      maxDist: Int, blocks: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(maxDist < blocks, "need maxDist < blocks for pigeonhole recall")
     val w = 64 / blocks
     val mask = (1L << w) - 1
     val sim = withSimHash(df, textCol).select(col(idCol).as("id"),
       col("simhash")).cache()
-    val blocked = sim.select(col("id"), col("simhash"),
+    val hint = sizedBroadcastHint(sim)
+    val blocked = sim.select(col("id"),
       posexplode(array((0 until blocks).map(b =>
         shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)))
-      .select(col("id"), col("simhash"), col("pos").as("blk"),
-        col("col").as("blkval"))
-    blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .as("hamming"))
-      .distinct()
+      .select(col("id"), col("pos").as("blk"), col("col").as("blkval"))
+    cappedBucketPairs(blocked, Seq("blk", "blkval"), bucketCap)
+      .join(hint(sim.select(col("id").cast("long").as("id1"),
+        col("simhash").as("__h1"))), "id1")
+      .join(hint(sim.select(col("id").cast("long").as("id2"),
+        col("simhash").as("__h2"))), "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 }

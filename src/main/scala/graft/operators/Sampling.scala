@@ -58,10 +58,15 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rateNum: Int,
       rateDen: Int): DataFrame = {
     require(rateNum >= 0 && rateDen > 0, "rate must be a valid fraction")
-    val threshold = (BigInt(16).pow(8) * rateNum / rateDen).toLong
-    val thresholdHex = f"$threshold%08x"
-    df.filter(substring(md5(col(idCol).cast("string")), 1, 8)
-      < lit(thresholdHex))
+    if (rateNum >= rateDen) df // rate ≥ 1 keeps everything; the 16⁸
+    // threshold would need 9 hex digits and the 8-char lexicographic
+    // compare would silently keep only the '0'-prefixed ~1/16 of rows
+    else {
+      val threshold = (BigInt(16).pow(8) * rateNum / rateDen).toLong
+      val thresholdHex = f"$threshold%08x"
+      df.filter(substring(md5(col(idCol).cast("string")), 1, 8)
+        < lit(thresholdHex))
+    }
   }
 
   /** Deterministic weighted sample of exactly `k` rows WITHOUT

@@ -277,10 +277,15 @@ object SimilaritySearch {
     * per-band collision ≈ (1 − θ/π)⁸ ≈ 0.43, so 16 bands give ≈ 99.99 %
     * per-pair recall — measured against [[cosineNearDupPairs]] in the
     * spec suite. This is the 100 TB path: linear explode + hash-
-    * partitioned equi-join, no n² pair enumeration.
+    * partitioned equi-join, no n² pair enumeration, and per-bucket
+    * membership capped by [[Dedup.cappedBucketPairs]] (a bucket holding
+    * 10⁵ embeddings of one boilerplate doc pairs its overflow members
+    * with the bucket representative instead of emitting 10¹⁰ rows);
+    * every candidate still passes the exact cosine verification.
     */
   def cosineNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+      threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       normSq(col(vecCol)).as("nsq"),
       graft.expressions.GraftFunctions.hyperplaneBands(col(vecCol), bands,
@@ -288,12 +293,8 @@ object SimilaritySearch {
     val hint = Dedup.sizedBroadcastHint(v)
     val banded = v.select(col("id"), posexplode(col("sig")))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    val cand = Dedup.cappedBucketPairs(banded, Seq("band", "bucket"),
+      bucketCap)
     cand
       .join(hint(v.select(col("id").as("id1"), col("v").as("v1"),
         col("nsq").as("n1"))), "id1")

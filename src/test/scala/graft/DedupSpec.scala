@@ -77,6 +77,47 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "test corpus should contain simhash near-dups")
   }
 
+  test("batch LSH bucket cap: a planted mega-cluster emits linear (not " +
+      "quadratic) pairs, normal pairs keep full recall, every cluster " +
+      "member stays connected, and the overflow audit is loud") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog " +
+      "again and again and again"
+    val mega = (1L to 400L).map(i => (i, boiler))
+    // 10 planted normal near-dup pairs, token-disjoint across pairs:
+    // J = 10/11 ≈ 0.909 — strong enough that 16×4 LSH recall is certain
+    val normals = (0 until 10).flatMap { i =>
+      val base = (1 to 12).map(t => s"tok${i}_$t").mkString(" ")
+      Seq((500L + i, base), (600L + i, base + s" tail$i"))
+    }
+    val corpus = (mega ++ normals).toDF("doc_id", "text")
+    val got = Dedup.minHashPairs(corpus, "doc_id", "text", 3,
+        numHashes = 64, bands = 16, threshold = 0.6, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly C(8,2) member pairs + 392 representative links + the 10
+    // planted pairs — not C(400,2) = 79 800 (every mega pair has J = 1,
+    // so ALL of them would survive verification uncapped; the output
+    // count is direct evidence the candidate stage was bounded)
+    assert(got.size == 28 + 392 + 10, s"got ${got.size} pairs")
+    (0 until 10).foreach { i =>
+      assert(got.contains((500L + i, 600L + i)), s"missed normal pair $i")
+    }
+    // cluster-level recall: every mega member appears in >= 1 pair, so
+    // connected components still merges the whole cluster
+    val touched = got.flatMap(p => Seq(p._1, p._2))
+    assert((1L to 400L).forall(touched.contains),
+      "a mega-cluster member was dropped entirely")
+    // the boundary is loud: the audit reports the oversize bucket in
+    // every band
+    val sig = Dedup.withMinHashSignature(
+      corpus.select(col("doc_id"), col("text")), "text", 3, 64)
+      .select(col("doc_id"), col("minhash_sig"))
+    val over = Dedup.lshBucketOverflow(sig, "doc_id", 64, 16, cap = 8)
+      .collect()
+    assert(over.length == 16, s"audit rows: ${over.length}")
+    assert(over.forall(_.getLong(2) >= 400L))
+  }
+
   test("exact dedup keeps one representative per identical text") {
     val out = Dedup.exact(docs, "doc_id", "text")
     val n = out.count()

@@ -100,6 +100,18 @@ class RetrievalSpec extends SparkSpec {
     assert(ids(1) == s1, "re-run identical")
   }
 
+  test("hashSample boundary: rate >= 1 keeps every row (no 9-hex-digit " +
+      "threshold truncation), rate just below 1 keeps nearly all") {
+    val df = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    assert(Sampling.hashSample(df, "doc_id", 1, 1).count() == 2000L)
+    assert(Sampling.hashSample(df, "doc_id", 10, 10).count() == 2000L)
+    assert(Sampling.hashSample(df, "doc_id", 7, 3).count() == 2000L,
+      "rate > 1 must also keep everything")
+    val near = Sampling.hashSample(df, "doc_id", 99, 100).count()
+    assert(near > 1900L && near <= 2000L, s"rate 0.99 kept $near")
+    assert(Sampling.hashSample(df, "doc_id", 0, 1).count() == 0L)
+  }
+
   test("operators degrade to empty/zero results on empty inputs, " +
       "never errors") {
     val empty = docsDf()
