@@ -104,8 +104,15 @@ object Bench {
           .option("path", s"$tmp/docs").mode("append").save()
         val jsonlSec = (System.nanoTime() - t1) / 1e9
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        s""","load_parquet_rows_per_sec":${rate(nRows / parquetSec)}""" +
-          s""","load_jsonl_docs_per_sec":${rate(nDocs / jsonlSec)}"""
+        // a zero-duration section or zero-row fixture would put
+        // Infinity/NaN into the JSON line and make it unparseable —
+        // omit non-finite rates exactly like the catch branch omits all
+        val pq = nRows / parquetSec
+        val js = nDocs / jsonlSec
+        (if (java.lang.Double.isFinite(pq))
+          s""","load_parquet_rows_per_sec":${rate(pq)}""" else "") +
+        (if (java.lang.Double.isFinite(js))
+          s""","load_jsonl_docs_per_sec":${rate(js)}""" else "")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] loader microbench FAILED: ${e.getMessage}")
         ""

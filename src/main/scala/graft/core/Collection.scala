@@ -25,19 +25,72 @@ final class Collection private[core] (
 
   def exists(): Boolean = fs.exists(new Path(path))
 
-  /** Create the (empty) collection directory if absent. */
-  def create(): Unit = { fs.mkdirs(new Path(path)); () }
+  /** Create the (empty) collection directory if absent. Runs compact
+    * crash recovery first: creating a fresh directory on top of a
+    * stranded swap would make the retired data look like cleanup-able
+    * garbage.
+    */
+  def create(): Unit = { recoverCompact(); fs.mkdirs(new Path(path)); () }
 
-  /** Drop the collection and all its data. */
-  def drop(): Unit = { fs.delete(new Path(path), true); () }
+  /** Drop the collection and all its data (including any stranded
+    * compact siblings — recovery first makes the delete total).
+    */
+  def drop(): Unit = {
+    recoverCompact(); fs.delete(new Path(path), true); ()
+  }
 
-  private def hasData: Boolean = exists() &&
+  private def hasData: Boolean = {
+    recoverCompact()
+    exists() &&
     fs.listStatus(new Path(path)).exists { f =>
       val n = f.getPath.getName
       // data files at the root, or partition subdirectories (k=v)
       n.endsWith(".parquet") || (f.isDirectory && !n.startsWith("_") &&
         !n.startsWith("."))
     }
+  }
+
+  /** Crash recovery for [[compact]]'s two-rename swap, run before every
+    * data access: a process that died between rename(path → retired)
+    * and rename(staging → path) leaves the collection directory absent
+    * and the data stranded in a `.old-<uuid>` sibling — without this,
+    * hasData turns false and count() silently reads 0. Recovery
+    * restores the retired directory (the original data — always safe;
+    * the interrupted compaction simply re-runs) and deletes stale
+    * `.compact-*` staging dirs; a crash AFTER publish but before
+    * cleanup instead leaves the published directory in place, and the
+    * retired copy is deleted as garbage. Like compact itself, this
+    * assumes no compact is running concurrently in another process
+    * (recovery would mistake its live staging dir for a stale one).
+    */
+  private def recoverCompact(): Unit = {
+    val olds = Option(fs.globStatus(new Path(path + ".old-*")))
+      .getOrElse(Array.empty)
+    val stagings = Option(fs.globStatus(new Path(path + ".compact-*")))
+      .getOrElse(Array.empty)
+    if (olds.isEmpty && stagings.isEmpty) return
+    if (!fs.exists(new Path(path))) {
+      // died between the two renames: the original data is in the
+      // retired dir; two retired dirs would be ambiguous — fail loudly
+      if (olds.length > 1)
+        throw new IllegalStateException(
+          s"multiple retired copies of $path: " +
+            olds.map(_.getPath.getName).mkString(", ") +
+            " — manual recovery required")
+      olds.foreach { o =>
+        if (!fs.rename(o.getPath, new Path(path)))
+          throw new IllegalStateException(
+            s"could not restore ${o.getPath} to $path")
+      }
+    } else {
+      // died after publish, before cleanup: the collection is intact
+      // and the retired copy is garbage
+      olds.foreach(o => fs.delete(o.getPath, true))
+    }
+    // staging is stale in every recovered state (old data restored, or
+    // new data already published)
+    stagings.foreach(s => fs.delete(s.getPath, true))
+  }
 
   /** Read the collection as a DataFrame (schema from Parquet footers,
     * exactly as the reference derives Avro schemas from footers).
@@ -55,6 +108,7 @@ final class Collection private[core] (
   def write(df: DataFrame, mode: SaveMode,
       maxRecordsPerFile: Long = 0L,
       partitionBy: Seq[String] = Nil): Unit = {
+    recoverCompact() // never write beside a stranded swap
     val w = df.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -70,15 +124,19 @@ final class Collection private[core] (
     * needs (a `batchSize=1000` load of a billion rows leaves a million
     * tiny files; footer-open cost then dominates every scan). The
     * compacted copy is written to a sibling staging directory first
-    * and swapped in with two renames, so a crash mid-compact leaves
-    * either the old or the new data, never a mix; like any destructive
-    * maintenance op this assumes no concurrent writer, and in-flight
-    * readers of the old directory should be drained first.
+    * and swapped in with two renames; a crash mid-compact leaves
+    * either the old or the new data, never a mix — a crash BETWEEN the
+    * two renames strands the data in the retired sibling, and
+    * [[recoverCompact]] restores it automatically on the next data
+    * access. Like any destructive maintenance op this assumes no
+    * concurrent writer (or concurrent compact), and in-flight readers
+    * of the old directory should be drained first.
     *
     * Returns (filesBefore, filesAfter).
     */
   def compact(targetRecordsPerFile: Long = 1 << 20): (Int, Int) = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
+    recoverCompact()
     def dataFiles(p: Path): Int =
       if (!fs.exists(p)) 0
       else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))

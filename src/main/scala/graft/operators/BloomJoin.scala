@@ -45,9 +45,9 @@ object BloomJoin {
     // without it the small side's lineage runs twice per action
     // (released by clearCache()/session end, same contract as the
     // dedup operator caches)
-    val smallKeys = small
+    val smallKeys = graft.core.CacheScope.cached(small
       .filter(col(smallKey).isNotNull)
-      .select(col(smallKey)).cache()
+      .select(col(smallKey)))
     val bloom = smallKeys
       .agg(bloomAgg(xxhash64(col(smallKey))).as("__bloom"))
     val pruned = big

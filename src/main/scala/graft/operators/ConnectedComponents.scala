@@ -36,20 +36,22 @@ object ConnectedComponents {
     // union: union's two branches would each re-run the upstream plan —
     // for pair generators like the Jaccard pipeline that doubles the
     // dominant cost)
-    val edges = pairs.select(explode(array(
+    val edges0 = pairs.select(explode(array(
         struct(col(id1).as("src"), col(id2).as("dst")),
         struct(col(id2).as("src"), col(id1).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().cache()
+      .distinct()
+    val edgesC = graft.core.CacheScope.cached(edges0)
     // seed with what the first propagation round would compute from
     // self-labels anyway — min(id, min direct neighbor) — saving one
     // full iteration (three shuffles); size-2 components (most near-dup
     // clusters) then converge in a single convergence-check round
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(col("id"), min(col("dst"))).as("label")).cache()
+    var labels = graft.core.CacheScope.cached(
+      edgesC.groupBy(col("src").as("id"))
+        .agg(least(col("id"), min(col("dst"))).as("label")))
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges
+      val neighborMin = edgesC
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nmin"))
@@ -60,16 +62,16 @@ object ConnectedComponents {
         .select(col("id"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .cache()
+      val steppedC = graft.core.CacheScope.cached(stepped)
       // one action per round: materializes and counts label moves
-      changed = stepped.filter(col("label") =!= col("__prev")).count()
+      changed = steppedC.filter(col("label") =!= col("__prev")).count()
       labels.unpersist()
       // keep the CACHED frame as the loop variable (a select on top
       // would make the next round's unpersist a no-op and leak cache);
       // downstream joins project (id, label) explicitly
-      labels = stepped
+      labels = steppedC
     }
-    edges.unpersist()
+    edgesC.unpersist()
     labels.select(col("id"), col("label"))
   }
 }

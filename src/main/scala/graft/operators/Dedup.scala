@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.CacheScope
 import graft.expressions.GraftFunctions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
@@ -141,15 +142,16 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sets = setsIn.select(col(idCol).as("id"),
         array_sort(array_distinct(col(setCol))).as("sh"))
-      .withColumn("n", size(col("sh"))).filter(col("n") > 0).cache()
-    prefixFilteredPairs(sets, threshold)
+      .withColumn("n", size(col("sh"))).filter(col("n") > 0)
+    prefixFilteredPairs(CacheScope.cached(sets), threshold)
   }
 
   /** Shared prefix-filter pipeline over a cached (id, sh, n) set table. */
   private def prefixFilteredPairs(sets: DataFrame, threshold: Double)
       : DataFrame = {
     val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val dfreq = post.groupBy(col("s")).agg(count(lit(1)).as("df")).cache()
+    val dfreq = CacheScope.cached(
+      post.groupBy(col("s")).agg(count(lit(1)).as("df")))
     val dfHint = sizedBroadcastHint(dfreq)
     val prefix = post
       .join(dfHint(dfreq), "s")
@@ -203,7 +205,7 @@ object Dedup {
     */
   def jaccardShinglePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, k).cache()
+    val sets = CacheScope.cached(shingleSets(df, idCol, textCol, k))
     prefixFilteredPairs(sets, threshold)
   }
 
@@ -327,7 +329,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int, bands: Int, threshold: Double,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, k).cache()
+    val sets = CacheScope.cached(shingleSets(df, idCol, textCol, k))
     val sig = sets.withColumn("minhash_sig",
       GraftFunctions.minHashSignature(col("sh"), numHashes))
     val cand = lshCandidatePairs(sig, "id", numHashes, bands, bucketCap)
@@ -371,7 +373,7 @@ object Dedup {
     // cached: referenced twice below (explode side + the id/n base), and
     // without the cache the shingle kernel would run over every test doc
     // twice per action
-    val testSets = shingleSets(test, idCol, textCol, k).cache()
+    val testSets = CacheScope.cached(shingleSets(test, idCol, textCol, k))
     val shared = testSets.select(col("id"), explode(col("sh")).as("s"))
       .join(trainShingles, "s")
       .groupBy(col("id"))
@@ -448,8 +450,8 @@ object Dedup {
     require(maxDist < blocks, "need maxDist < blocks for pigeonhole recall")
     val w = 64 / blocks
     val mask = (1L << w) - 1
-    val sim = withSimHash(df, textCol).select(col(idCol).as("id"),
-      col("simhash")).cache()
+    val sim = CacheScope.cached(withSimHash(df, textCol)
+      .select(col(idCol).as("id"), col("simhash")))
     val hint = sizedBroadcastHint(sim)
     val blocked = sim.select(col("id"),
       posexplode(array((0 until blocks).map(b =>

@@ -91,7 +91,8 @@ object Retrieval {
     // so N and avgdl still count the whole corpus) — tokenizing is the
     // expensive kernel, and a separate size(tokens) projection would
     // run it a second time over every document
-    val tfAll = termFrequencies(df, idCol, textCol).cache()
+    val tfAll = graft.core.CacheScope.cached(
+      termFrequencies(df, idCol, textCol))
     val docLen = df.select(col(idCol).as("id"))
       .join(tfAll.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
         Seq("id"), "left")

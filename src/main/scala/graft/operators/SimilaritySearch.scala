@@ -129,8 +129,9 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 2, excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      normSq(col(vecCol)).as("cn")).cache()
+    val c = graft.core.CacheScope.cached(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")))
 
     // deterministic init: first nCells vectors in id order. collect() on
     // a sorted limit preserves the sort, so this works for ANY orderable
@@ -286,10 +287,11 @@ object SimilaritySearch {
   def cosineNearDupPairsLSH(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
       bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      normSq(col(vecCol)).as("nsq"),
-      graft.expressions.GraftFunctions.hyperplaneBands(col(vecCol), bands,
-        bitsPerBand).as("sig")).cache()
+    val v = graft.core.CacheScope.cached(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        normSq(col(vecCol)).as("nsq"),
+        graft.expressions.GraftFunctions.hyperplaneBands(col(vecCol), bands,
+          bitsPerBand).as("sig")))
     val hint = Dedup.sizedBroadcastHint(v)
     val banded = v.select(col("id"), posexplode(col("sig")))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))

@@ -620,10 +620,9 @@ object Extensions {
     // cached: feeds both the vocabulary aggregation and the join's left
     // side — without it the tokenizer kernel (the dominant cost) runs
     // over the corpus twice per action
-    val toks = docs(s, dir)
+    val toks = graft.core.CacheScope.cached(docs(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
-        .as("token"))
-      .cache()
+        .as("token")))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = broadcast(counts.agg(sum(col("c")).as("n_corpus")))
     toks.join(counts, "token")
@@ -654,10 +653,10 @@ object Extensions {
         "transform(slice(tk, 1, size(tk) - 1)," +
           " (x, i) -> concat(x, ' ', tk[i + 1]))")).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .cache()
-    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bi.join(c2, "bg").join(c1, "w1")
+    val biC = graft.core.CacheScope.cached(bi)
+    val c2 = biC.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = biC.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    biC.join(c2, "bg").join(c1, "w1")
       .withColumn("q", floor(-log(col("c2").cast("double") /
         col("c1").cast("double")) * lit(1e10)).cast("long"))
       .groupBy(col("doc_id"))
@@ -680,13 +679,13 @@ object Extensions {
         .as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("cl"))
-      .cache()
-    val nl = tf.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
-    val cf = tf.groupBy(col("token")).agg(sum(col("cl")).as("c"))
+    val tfC = graft.core.CacheScope.cached(tf)
+    val nl = tfC.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
+    val cf = tfC.groupBy(col("token")).agg(sum(col("cl")).as("c"))
     val total = broadcast(cf.agg(sum(col("c")).as("n_corpus")))
     val pl = col("cl").cast("double") / col("nl").cast("double")
     val p = col("c").cast("double") / col("n_corpus").cast("double")
-    tf.join(nl, "lang").join(cf, "token").crossJoin(total)
+    tfC.join(nl, "lang").join(cf, "token").crossJoin(total)
       .withColumn("q", floor(pl * log(pl / p) * lit(1e10)).cast("long"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("vocab"),

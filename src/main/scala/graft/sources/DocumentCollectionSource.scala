@@ -51,13 +51,43 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-docs"
 
-  // reads take the document shape from the caller
-  // (spark.read.schema(...)): collections are schemaless like the
-  // reference's, so there is no data-derived schema to infer
+  // an explicit spark.read.schema(...) overrides inference entirely —
+  // Spark then skips inferSchema and hands the user schema to getTable
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+  /** Schema inference for schemaless collections: Spark's JSON
+    * inference over a BOUNDED sample — the first `inferSampleLines`
+    * (default 1000) lines of the collection's first document file —
+    * parity with how the reference derives the document shape from the
+    * parquet footer (ParquetArangoLoader.java:139), re-expressed for a
+    * JSON store. The inferred types are the JSON-level ones the quirk
+    * transcoder wrote (timestamps render as strings, integral floats
+    * may widen); reads that need exact Spark types pass
+    * `.schema(...)`, which always wins. An empty/missing collection
+    * infers an empty struct, and the scan builder's schema requirement
+    * then fails with its usual message.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    if (path == null || path.isEmpty) return new StructType()
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val names = DocumentFiles.listNames(path, conf)
+    if (names.isEmpty) return new StructType()
+    val sampleLines = options.getInt("inferSampleLines", 1000)
+    val first = new Path(s"$path/${names.head}")
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      first.getFileSystem(conf).open(first), "UTF-8"))
+    val lines =
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .take(sampleLines).toSeq
+      finally in.close()
+    if (lines.isEmpty) new StructType()
+    else {
+      import spark.implicits._
+      spark.read.json(spark.createDataset(lines)).schema
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -110,8 +140,17 @@ private class DocumentWriteBuilder(path: String, batchSize: Int,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DocumentBatchWrite(path, batchSize, schema, truncate)
-    override def toStreaming: streaming.StreamingWrite =
+    override def toStreaming: streaming.StreamingWrite = {
+      // fail loudly rather than silently appending: the streaming sink
+      // only implements per-epoch idempotent append (Complete-mode
+      // truncate would have to clear OTHER epochs' output on every
+      // commit, which the epoch-stable publish protocol does not do)
+      if (truncate)
+        throw new UnsupportedOperationException(
+          "graft-docs streaming writes do not support truncate/Complete " +
+            "mode; use Append or Update output mode")
       new DocumentStreamingWrite(path, batchSize, schema)
+    }
   }
 }
 
@@ -388,10 +427,19 @@ private class DocumentScan(path: String, required: StructType,
 
 private case class DocumentFilesOffset(names: Seq[String])
     extends streamingread.Offset {
-  // stable JSON: names are sorted and come from the writers' fixed
-  // alphabet (no quotes, commas, or escapes possible)
+  // real JSON serialization (Jackson, already on Spark's classpath):
+  // listNames admits ANY *.jsonl file in the directory, so a
+  // hand-placed name containing a quote/comma/backslash must round-trip
+  // through checkpoint recovery instead of corrupting the offset
   override def json(): String =
-    names.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    DocumentFilesOffset.mapper.writeValueAsString(names.sorted.toArray)
+}
+
+private object DocumentFilesOffset {
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def fromJson(json: String): DocumentFilesOffset =
+    DocumentFilesOffset(
+      mapper.readValue(json, classOf[Array[String]]).toSeq)
 }
 
 private class DocumentMicroBatchStream(path: String, required: StructType,
@@ -428,10 +476,7 @@ private class DocumentMicroBatchStream(path: String, required: StructType,
     DocumentFilesOffset(listNames())
 
   override def deserializeOffset(json: String): streamingread.Offset =
-    DocumentFilesOffset(
-      if (json == "[]") Nil
-      else json.stripPrefix("[").stripSuffix("]")
-        .split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
+    DocumentFilesOffset.fromJson(json)
 
   override def planInputPartitions(start: streamingread.Offset,
       end: streamingread.Offset): Array[InputPartition] = {

@@ -312,4 +312,47 @@ class ParitySpec extends SparkSpec {
     empty.create()
     assert(empty.compact() == ((0, 0)))
   }
+
+  test("Collection.compact crash recovery: a process death between the " +
+      "two swap renames is healed on the next access — count never " +
+      "silently reads 0") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_crash").toString
+    val mgr = new graft.core.CollectionManager(spark, base)
+    val c = mgr.collection("docs")
+    c.write((1 to 100).map(i => (i.toLong, s"d$i")).toDF("id", "t"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    assert(c.count() == 100)
+
+    // simulate the crash window: path renamed to .old-*, the staged
+    // compacted copy left beside it, the publish rename never ran
+    val dir = new java.io.File(s"$base/docs")
+    val retired = new java.io.File(s"$base/docs.old-deadbeef")
+    val staging = new java.io.File(s"$base/docs.compact-cafebabe")
+    assert(dir.renameTo(retired))
+    java.nio.file.Files.createDirectory(staging.toPath)
+    assert(!dir.exists())
+
+    // next access auto-restores the retired data and clears staging
+    assert(c.count() == 100, "stranded swap must restore, not read 0")
+    assert(dir.exists() && !retired.exists() && !staging.exists())
+    assert(c.read().select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 100L))
+
+    // crash AFTER publish, before cleanup: collection intact, retired
+    // copy is garbage — recovery deletes it without touching the data
+    val retired2 = new java.io.File(s"$base/docs.old-feedface")
+    java.nio.file.Files.createDirectory(retired2.toPath)
+    assert(c.count() == 100)
+    assert(!retired2.exists())
+
+    // two retired copies is ambiguous: fail loudly, never guess
+    val o1 = new java.io.File(s"$base/docs.old-aaaa")
+    val o2 = new java.io.File(s"$base/docs.old-bbbb")
+    assert(dir.renameTo(o1))
+    java.nio.file.Files.createDirectory(o2.toPath)
+    val ex = intercept[IllegalStateException] { c.count() }
+    assert(ex.getMessage.contains("manual recovery"), ex.getMessage)
+  }
 }

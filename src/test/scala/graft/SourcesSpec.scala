@@ -154,11 +154,118 @@ class SourcesSpec extends SparkSpec {
     val planStr = pruned.queryExecution.executedPlan.toString
     assert(planStr.contains("ReadSchema: struct<id:bigint>"), planStr)
 
-    // a read without a schema fails loudly, not silently empty
+  }
+
+  test("graft-docs schema inference: a schemaless read infers the " +
+      "document shape from a bounded sample; explicit schema overrides; " +
+      "empty collections still fail loudly") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2infer").toString + "/coll"
+    (1 to 50).map(i => (i.toLong, s"doc $i", i * 1.5))
+      .toDF("id", "text", "score")
+      .write.format("graft-docs").option("path", dir).mode("append").save()
+
+    val inferred = spark.read.format("graft-docs").load(dir)
+    assert(inferred.schema("id").dataType == LongType)
+    assert(inferred.schema("text").dataType == StringType)
+    assert(inferred.schema("score").dataType == DoubleType)
+    assert(inferred.count() == 50)
+    assert(inferred.select("id", "text", "score")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      (1 to 50).map(i => (i.toLong, s"doc $i", i * 1.5)))
+
+    // pruning still reaches the parser on an inferred read
+    val planStr = inferred.select("id").queryExecution.executedPlan.toString
+    assert(planStr.contains("ReadSchema: struct<id:bigint>"), planStr)
+
+    // a bounded sample is honored (1 line is plenty for this shape)
+    assert(spark.read.format("graft-docs")
+      .option("inferSampleLines", "1").load(dir).schema("id").dataType ==
+      LongType)
+
+    // an explicit schema always wins over inference
+    val narrow = StructType(Seq(StructField("id", LongType)))
+    val explicitRead = spark.read.schema(narrow).format("graft-docs")
+      .load(dir)
+    assert(explicitRead.schema == narrow)
+    assert(explicitRead.count() == 50)
+
+    // nothing to infer from → the loud no-schema error, never a silent
+    // empty result
+    val empty = Files.createTempDirectory("graft_v2infer_e").toString
     val ex = intercept[Exception] {
-      spark.read.format("graft-docs").load(dir).collect()
+      spark.read.format("graft-docs").load(empty).collect()
     }
     assert(ex.getMessage.contains("schema"), ex.getMessage)
+  }
+
+  test("graft-docs streaming write in truncate/Complete mode fails " +
+      "loudly instead of silently appending") {
+    val dir = Files.createTempDirectory("graft_v2trunc").toString + "/coll"
+    val table = new graft.sources.DocumentCollectionSource()
+      .getTable(new org.apache.spark.sql.types.StructType(), Array.empty,
+        new java.util.HashMap[String, String] { put("path", dir) })
+    val wb = table.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "trunc"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType)))
+        override def options():
+            org.apache.spark.sql.util.CaseInsensitiveStringMap =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      })
+    val truncated = wb.asInstanceOf[
+        org.apache.spark.sql.connector.write.SupportsTruncate].truncate()
+    // batch truncate is the supported overwrite path
+    truncated.build().toBatch
+    // streaming truncate must refuse, not silently append
+    val ex = intercept[UnsupportedOperationException] {
+      truncated.build().toStreaming
+    }
+    assert(ex.getMessage.contains("truncate"), ex.getMessage)
+  }
+
+  test("graft-docs streaming read: offsets round-trip hand-placed file " +
+      "names with JSON metacharacters across checkpoint recovery") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2hostile").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_v2hostile_ckpt").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    Seq(Tuple1(1L)).toDF("id")
+      .write.format("graft-docs").option("path", dir).mode("append").save()
+    // a hand-placed document file whose name would corrupt a
+    // string-concatenation offset encoding
+    Files.write(Paths.get(dir, "weird\"na,me\\x.jsonl"),
+      "{\"id\": 2}\n".getBytes("UTF-8"))
+
+    val outDir = Files.createTempDirectory("graft_v2hostile_out")
+      .toString + "/out"
+    def drain(): Unit = {
+      // graft-docs output sink: supports checkpoint recovery (memory
+      // sink does not), so the restart exercises deserializeOffset
+      val q = spark.readStream.schema(schema).format("graft-docs").load(dir)
+        .writeStream.format("graft-docs").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def outIds: Seq[Long] = spark.read.schema(schema)
+      .format("graft-docs").load(outDir)
+      .select("id").as[Long].collect().sorted.toSeq
+    drain()
+    assert(outIds == Seq(1L, 2L))
+    // restart from the checkpoint (deserializes the offset containing
+    // the hostile name), add one more file — only the delta is read,
+    // nothing is re-emitted
+    Seq(Tuple1(3L)).toDF("id")
+      .write.format("graft-docs").option("path", dir).mode("append").save()
+    drain()
+    assert(outIds == Seq(1L, 2L, 3L),
+      "restart must resume past consumed files, hostile name included")
   }
 
   test("graft-docs: empty writes publish no rows; unicode and JSON " +
