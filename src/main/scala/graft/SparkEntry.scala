@@ -112,7 +112,25 @@ object SparkEntry {
     "x50_bloom_semi_join" -> Extensions.x50BloomSemiJoin,
     "x51_contamination_bloom" -> Extensions.x51ContaminationBloom,
     "x52_weighted_sample" -> Extensions.x52WeightedSample,
+    "x53_skew_salted" -> Extensions.x53SkewSalted,
+    "x54_skew_aqe" -> Extensions.x54SkewAqe,
   )
+
+  // the planted-hot-key join aggregated to 10 buckets — all integer
+  // arithmetic, so the oracle is engine-exact
+  private val skewJoinOracle =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+      |              ELSE l_orderkey % 997 END AS k,
+      |         CAST(l_linenumber AS BIGINT) AS v
+      |  FROM lineitem),
+      |sup AS (
+      |  SELECT s_suppkey % 997 AS k, CAST(s_nationkey AS BIGINT) AS w
+      |  FROM supplier)
+      |SELECT li.k % 10 AS kb, COUNT(*) AS cnt,
+      |       CAST(SUM(v + w) AS BIGINT) AS sv
+      |FROM li JOIN sup ON li.k = sup.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
   private val sumDiscPrice =
@@ -672,6 +690,10 @@ object SparkEntry {
         |  SELECT doc_id, lang, n_chars FROM scored
         |  ORDER BY wkey, doc_id LIMIT 100)
         |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin,
+    // x53 (salted) and x54 (plain + AQE) share one oracle: salting is
+    // semantically transparent — only the physical distribution differs
+    "x53_skew_salted" -> skewJoinOracle,
+    "x54_skew_aqe" -> skewJoinOracle,
     // 16^8 / 10 = 429496729 = 0x19999999: the same lexicographic hex
     // prefix compare as the engine's map-only filter
     "x37_hash_sample" ->

@@ -122,23 +122,46 @@ object SimilaritySearch {
     * per-(cell,dim) mean is now the only shuffle, and it reduces to
     * nCells·dim rows.
     *
-    * At 100 TB: train on a sample, assign map-side in one pass, and the
-    * probe join is an equi-join on the cell id. Per-query work drops from
+    * At 100 TB: train on a sample (`trainFraction` < 1 routes the Lloyd
+    * iterations through the map-only deterministic
+    * [[Sampling.hashSample]] — centroid quality needs only a
+    * representative sample, not the corpus, and the training scans
+    * shrink by 1/fraction), assign map-side in one pass, and the probe
+    * join is an equi-join on the cell id. Per-query work drops from
     * |corpus| to ~|corpus|·nProbe/nCells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-      kmeansIters: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+      kmeansIters: Int = 2, excludeSelf: Boolean = true,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val c = graft.core.CacheScope.cached(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         normSq(col(vecCol)).as("cn")))
 
+    // training set: the whole (cached) corpus, or a deterministic
+    // hash sample of it — sampling is a pure map-side filter, so the
+    // sample is stable across runs/partitionings and costs no shuffle.
+    // A sample too small to seed any centroid falls back to the corpus.
+    val train0 =
+      if (trainFraction >= 1.0) c
+      else Sampling.hashSample(c, "neighbor_id",
+        math.max(1, math.round(trainFraction * 1000000).toInt), 1000000)
+
     // deterministic init: first nCells vectors in id order. collect() on
     // a sorted limit preserves the sort, so this works for ANY orderable
     // id type (long, int, string) — no driver-side re-sort needed.
-    var cents: Seq[Seq[Float]] = c.orderBy(col("neighbor_id")).limit(nCells)
-      .select(col("cv")).collect()
-      .map(_.getSeq[Float](0)).toSeq
+    def initCents(from: DataFrame): Seq[Seq[Float]] =
+      from.orderBy(col("neighbor_id")).limit(nCells)
+        .select(col("cv")).collect()
+        .map(_.getSeq[Float](0)).toSeq
+    val (train, cents0) = {
+      val fromSample = initCents(train0)
+      if (fromSample.nonEmpty || trainFraction >= 1.0) (train0, fromSample)
+      else (c, initCents(c))
+    }
+    var cents: Seq[Seq[Float]] = cents0
 
     if (cents.isEmpty)
       // empty corpus: nothing to index; return an empty result with the
@@ -159,7 +182,7 @@ object SimilaritySearch {
       // map-side assign, then one agg shuffle that reduces to
       // nCells×dim rows — collected because the result IS the (tiny)
       // centroid table
-      val means = assignCells(c, "cv", cents)
+      val means = assignCells(train, "cv", cents)
         .select(col("cell"), posexplode(col("cv")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -252,14 +275,35 @@ object SimilaritySearch {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Row bound above which [[cosineNearDupPairs]] refuses to run
+    * without `force = true`: n rows mean n²/2 pair evaluations, and
+    * 10⁵ rows ≈ 5·10⁹ dot products is already hours of cluster time —
+    * beyond it, accidental corpus-scale use is a mistake, not a choice.
+    * The gate is on ROWS, not bytes: the all-pairs blowup scales with
+    * the row count squared regardless of vector width.
+    */
+  val ExactPairsMaxRows: Long = 100000L
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ threshold),
     * EXACT via all-pairs self-join. Squared norms are hoisted map-side;
     * the per-pair cost is one compiled dot product. Right for
     * verification scale (n ≲ 10⁵ → ≲ 10¹⁰ flops spread over tasks); at
-    * corpus scale use [[cosineNearDupPairsLSH]].
+    * corpus scale use [[cosineNearDupPairsLSH]] — a MEASURED size gate
+    * ([[ExactPairsMaxRows]]) makes accidental corpus-scale use fail
+    * loudly unless `force = true`, mirroring the x51/x52 plan guards.
+    * [[nearDupPairs]] is the façade that picks the right variant
+    * automatically.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, force: Boolean = false): DataFrame = {
+    if (!force) {
+      val n = df.count()
+      require(n <= ExactPairsMaxRows,
+        s"cosineNearDupPairs on $n rows means ~${n / 1000}k² /2 exact " +
+          s"pair evaluations (bound: $ExactPairsMaxRows rows) — use " +
+          "cosineNearDupPairsLSH / nearDupPairs at corpus scale, or " +
+          "pass force = true if the quadratic cost is intended")
+    }
     val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       normSq(col(vecCol)).as("n1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"),
@@ -307,4 +351,23 @@ object SimilaritySearch {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** THE near-dup entry point users can't hold wrong: one measured
+    * row count picks exact all-pairs ([[cosineNearDupPairs]] — complete
+    * by construction, right at verification scale) under
+    * `maxExactRows`, banded LSH ([[cosineNearDupPairsLSH]] — the
+    * sub-quadratic 100 TB path, recall spec'd ≈ 1 at near-dup
+    * thresholds) above it. Same output columns either way
+    * (id1 < id2, cos ≥ threshold); both variants stay public for
+    * callers that need to force a side.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxExactRows: Long = ExactPairsMaxRows,
+      bands: Int = 16, bitsPerBand: Int = 8,
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
+    if (df.count() <= maxExactRows)
+      cosineNearDupPairs(df, idCol, vecCol, threshold, force = true)
+    else
+      cosineNearDupPairsLSH(df, idCol, vecCol, threshold, bands,
+        bitsPerBand, bucketCap)
 }

@@ -10,13 +10,35 @@ import org.apache.spark.sql.functions._
   * row set on one task. Salting splits each left key into `salt`
   * sub-keys at random and replicates every right row `salt` times, so
   * the hot key's work spreads across `salt` tasks at the cost of
-  * salt× duplication of the (smaller) right side. AQE's skew-join
-  * handles moderate skew adaptively; explicit salting is the tool when
-  * one key dominates so hard that even a split partition is one task's
-  * whole runtime.
+  * salt× duplication of the (smaller) right side.
+  *
+  * WHEN TO SALT vs trust the built-ins — the decision rule, measured by
+  * the x53 (salted) / x54 (plain) bench pair on a planted 25 %-hot key:
+  *  1. If the dim side fits the broadcast threshold, neither applies:
+  *     a broadcast join has no shuffle, so there is nothing to skew —
+  *     the bench pair pins both sides with `hint("merge")` precisely
+  *     because at small SF Spark would broadcast the dim and hide the
+  *     question.
+  *  2. In a shuffle join, AQE's skew split
+  *     (`spark.sql.adaptive.skewJoin`) kicks in when a post-shuffle
+  *     partition exceeds `skewedPartitionThresholdInBytes` (256 MB
+  *     default) AND the median-ratio test; it splits the hot
+  *     PARTITION into chunks that each rescan the matching right
+  *     partition. That handles moderate skew with zero user code and
+  *     no replication cost — below those thresholds (as at bench SF,
+  *     where x54 ≈ x53 minus the salt overhead) salting is pure waste.
+  *  3. Explicit salting is the tool PAST AQE's reach: one key so hot
+  *     that even split chunks bottleneck (AQE splits along map-output
+  *     boundaries, so a single mapper's output for the key is its
+  *     atom), a sort-merge whose sort itself is the problem, or an
+  *     aggregation-after-join where the salt also pre-spreads the
+  *     groupBy. The salt count trades hot-task runtime (÷salt) for dim
+  *     shuffle volume (×salt) — size it to the ratio of the hot key's
+  *     share to a task's fair share.
   *
   * Semantics: exactly an inner equi-join on `key` (each left row joins
-  * the single replica of the right side bearing its salt).
+  * the single replica of the right side bearing its salt) — x53/x54
+  * share one SQL oracle for this reason.
   */
 object SkewJoin {
 

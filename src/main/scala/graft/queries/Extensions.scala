@@ -420,6 +420,58 @@ object Extensions {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Shared shape of the x53/x54 skew-join pair: lineitem keyed by a
+    * PLANTED hot key (every 4th orderkey collapses onto k = 0, so one
+    * key carries ~25 % of the fact side), joined to a supplier-derived
+    * dim on the same key space, aggregated to 10 buckets. Both variants
+    * `hint("merge")` the dim so the join is the sort-merge shuffle join
+    * it would be at 100 TB (at bench SF the dim is broadcast-small and
+    * Spark would otherwise broadcast it, hiding the skew entirely —
+    * which is itself the first line of defense against skew and worth
+    * knowing).
+    */
+  private def skewJoinSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val li = Graft.table(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 4 === 0, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(997)).cast("long")).as("k"),
+      col("l_linenumber").cast("long").as("v"))
+    val sup = Graft.table(s, dir, "supplier").select(
+      pmod(col("s_suppkey"), lit(997)).cast("long").as("k"),
+      col("s_nationkey").cast("long").as("w")).hint("merge")
+    (li, sup)
+  }
+
+  /** x53: salted skew join ([[graft.operators.SkewJoin]]) on the
+    * planted-hot-key shape — the hot key's rows spread over 8 salt
+    * sub-keys at the cost of an 8× dim replication. Identical semantics
+    * to x54's plain join (same SQL oracle); bench_detail carries the
+    * timing comparison that shows when AQE alone suffices vs when the
+    * explicit salt earns its replication cost (see the
+    * [[graft.operators.SkewJoin]] scaladoc for the decision rule).
+    */
+  def x53SkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val (li, sup) = skewJoinSides(s, dir)
+    graft.operators.SkewJoin.saltedInnerJoin(li, sup, "k", salt = 8)
+      .groupBy(pmod(col("k"), lit(10)).as("kb"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v") + col("w")).as("sv"))
+      .orderBy(col("kb"))
+  }
+
+  /** x54: the same planted-hot-key join WITHOUT salting — what Spark's
+    * own machinery (AQE skew-join splitting, when partition sizes cross
+    * `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`)
+    * does with the skew. The x53/x54 bench_detail delta is the measured
+    * answer to "do I need to salt here".
+    */
+  def x54SkewAqe(s: SparkSession, dir: String): DataFrame = {
+    val (li, sup) = skewJoinSides(s, dir)
+    li.join(sup, "k")
+      .groupBy(pmod(col("k"), lit(10)).as("kb"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v") + col("w")).as("sv"))
+      .orderBy(col("kb"))
+  }
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

@@ -226,5 +226,64 @@ class SimilaritySpec extends SparkSpec {
     // 16 bands × 8 bits at cos ≈ 0.9999: per-band hit ≈ (1 − θ/π)⁸ ≈ 0.97,
     // miss-all-bands probability ≈ 10⁻²⁴ — recall must be exactly 1 here
     assert(recall == 1.0, s"banded recall at design point: $recall")
+
+    // the façade: under the bound it IS the exact result; over a
+    // (forced-low) bound it switches to the banded plan — the LSH
+    // signature explode shows up as a Generate node, which the exact
+    // all-pairs plan never has
+    val viaFacade = SimilaritySearch.nearDupPairs(all, "vec_id",
+        "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaFacade == exact)
+    val large = SimilaritySearch.nearDupPairs(all, "vec_id", "embedding",
+      0.95, maxExactRows = 10)
+    assert(large.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.nonEmpty, "over the bound the façade must take the banded path")
+    assert(large.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap == lsh)
+  }
+
+  test("cosineNearDupPairs refuses accidental corpus-scale use unless " +
+      "forced") {
+    import spark.implicits._
+    val big = spark.range(SimilaritySearch.ExactPairsMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.5f)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      SimilaritySearch.cosineNearDupPairs(big, "vec_id", "embedding", 0.9)
+    }
+    assert(ex.getMessage.contains("force"), ex.getMessage)
+    // force = true runs (don't execute the n² plan here — just confirm
+    // construction succeeds past the gate)
+    SimilaritySearch.cosineNearDupPairs(big, "vec_id", "embedding", 0.9,
+      force = true)
+    ()
+  }
+
+  test("ivfTopK trainFraction: centroids trained on a 25% hash sample " +
+      "keep recall, and results stay deterministic") {
+    val k = 5
+    val brute = SimilaritySearch.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def run() = SimilaritySearch.ivfTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k,
+        trainFraction = 0.25)
+      .collect()
+    val ivf = run()
+    ivf.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(c == round6(cos(vecs(q), vecs(n))), s"cos mismatch $q,$n")
+    }
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // same floor as full-corpus training: centroid quality needs a
+    // representative sample, not the corpus
+    assert(recall >= 0.3, s"sampled-training recall collapsed: $recall")
+    assert(ivf.length == 50)
+    assert(run().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq == ivf.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq, "hash-sampled training must be run-deterministic")
   }
 }
