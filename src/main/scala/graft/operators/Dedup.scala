@@ -278,29 +278,51 @@ object Dedup {
     * the engine's document-id contract, as in the streaming path).
     */
   private[graft] def cappedBucketPairs(banded: DataFrame,
-      keys: Seq[String], cap: Int): DataFrame = {
+      keys: Seq[String], cap: Int,
+      payload: Option[String] = None): DataFrame = {
     require(cap >= 2, s"bucketCap must be >= 2, got $cap")
     val keep = udaf(new graft.functions.Aggregators.TopKRows(cap))
     val keyCols = keys.map(col)
+    val payloadCol = payload.map(col).getOrElse(lit(0L)).cast("long")
+    // ONE shuffle of the banded rows (the same count the uncapped
+    // self-join paid): per-bucket bounded member list + exact size.
+    // The TopKRows buffer's spare key2 slot carries an optional long
+    // `payload` per member (e.g. the simhash), so payload-consuming
+    // callers never join back to fetch it.
     val members = banded.groupBy(keyCols: _*)
-      .agg(keep(-col("id").cast("double"), col("id").cast("long"), lit(0L))
-        .as("__top"))
-      .select(keyCols :+ col("__top.key1").as("__members"): _*)
-    banded.select(keyCols :+ col("id").cast("long").as("__id"): _*)
-      .join(members, keys)
-      .select(explode(
-        when(array_contains(col("__members"), col("__id")),
-          // member: pair with every smaller member — each member pair
-          // is produced exactly once, by its larger end
-          transform(filter(col("__members"), m => m < col("__id")),
-            m => struct(m.as("id1"), col("__id").as("id2"))))
-        .otherwise(
-          // overflow: one link to the bucket representative (min id;
-          // strictly smaller than any overflow id by construction)
-          array(struct(element_at(col("__members"), 1).as("id1"),
-            col("__id").as("id2"))))).as("p"))
-      .select(col("p.id1"), col("p.id2"))
-      .distinct()
+      .agg(keep(-col("id").cast("double"), col("id").cast("long"),
+        payloadCol).as("__top"), count(lit(1)).as("__n"))
+      .select(keyCols :+ col("__top.key1").as("__ids") :+
+        col("__top.key2").as("__pls") :+ col("__n"): _*)
+    // pairs among members come straight off the aggregation output —
+    // no join back. Two-level generator (posexplode, then a sliced
+    // explode) so a full bucket streams C(cap,2) pairs row-by-row
+    // instead of materializing them as one giant array; each pair is
+    // produced exactly once, by its smaller end (arrays are ascending).
+    val zipped = members.select(
+      arrays_zip(col("__ids"), col("__pls")).as("__z"))
+    val memberPairs = zipped
+      .select(col("__z"), posexplode(col("__z")))
+      .select(col("col.__ids").as("id1"), col("col.__pls").as("pl1"),
+        explode(slice(col("__z"), col("pos") + lit(2), lit(cap))).as("o"))
+      .select(col("id1"), col("o.__ids").as("id2"),
+        col("pl1"), col("o.__pls").as("pl2"))
+    // overflow members (id beyond the bucket's cap smallest — i.e.
+    // greater than the last kept member) link to the bucket's min id.
+    // The oversize-bucket table is tiny by construction (≤ |banded|/cap
+    // buckets can overflow), so AQE turns this into a broadcast join:
+    // the banded side is NOT shuffled a second time.
+    val oversize = members.filter(col("__n") > cap)
+      .select(keyCols :+ element_at(col("__ids"), 1).as("__rep") :+
+        element_at(col("__pls"), 1).as("__reppl") :+
+        element_at(col("__ids"), cap).as("__maxm"): _*)
+    val overflowPairs = banded
+      .join(oversize, keys)
+      .filter(col("id").cast("long") > col("__maxm"))
+      .select(col("__rep").as("id1"), col("id").cast("long").as("id2"),
+        col("__reppl").as("pl1"), payloadCol.as("pl2"))
+    val all = memberPairs.unionByName(overflowPairs).distinct()
+    if (payload.isDefined) all else all.select(col("id1"), col("id2"))
   }
 
   /** Bucket-size audit for the capped LSH candidate paths: one row
@@ -450,20 +472,21 @@ object Dedup {
     require(maxDist < blocks, "need maxDist < blocks for pigeonhole recall")
     val w = 64 / blocks
     val mask = (1L << w) - 1
-    val sim = CacheScope.cached(withSimHash(df, textCol)
-      .select(col(idCol).as("id"), col("simhash")))
-    val hint = sizedBroadcastHint(sim)
-    val blocked = sim.select(col("id"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)))
-      .select(col("id"), col("pos").as("blk"), col("col").as("blkval"))
-    cappedBucketPairs(blocked, Seq("blk", "blkval"), bucketCap)
-      .join(hint(sim.select(col("id").cast("long").as("id1"),
-        col("simhash").as("__h1"))), "id1")
-      .join(hint(sim.select(col("id").cast("long").as("id2"),
-        col("simhash").as("__h2"))), "id2")
+    // the simhash rides through the bounded bucket agg as the pair
+    // payload, so verification needs no join back to the signatures —
+    // the whole operator is one map-side pass + one bucket-keyed
+    // shuffle + the pair distinct
+    val blocked = withSimHash(df, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until blocks).map(b =>
+          shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)))
+      .select(col("id"), col("simhash"), col("pos").as("blk"),
+        col("col").as("blkval"))
+    cappedBucketPairs(blocked, Seq("blk", "blkval"), bucketCap,
+        payload = Some("simhash"))
       .select(col("id1"), col("id2"),
-        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
+        bit_count(col("pl1").bitwiseXOR(col("pl2"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 }
