@@ -194,6 +194,36 @@ class PlanSpec extends SparkSpec {
     assert(!p52.contains("Window"), p52)
   }
 
+  test("x53/x54: the skew pair really runs shuffle joins — a silent " +
+      "broadcast would hide the skew and void the salt-vs-AQE " +
+      "comparison; x53 additionally carries the salt explode") {
+    val p54 = plan(Extensions.x54SkewAqe(spark, sfDir))
+    assert(p54.contains("SortMergeJoin"), p54)
+    assert(!p54.contains("BroadcastHashJoin"), p54)
+    val p53 = plan(Extensions.x53SkewSalted(spark, sfDir))
+    assert(p53.contains("SortMergeJoin"), p53)
+    assert(!p53.contains("BroadcastHashJoin"), p53)
+    assert(p53.contains("Generate"), p53) // the salt-replication explode
+  }
+
+  test("x4: capped LSH shuffles the banded rows once — candidates come " +
+      "off the bounded aggregation, not a second banded exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    val sig = graft.operators.Dedup.withMinHashSignature(
+      docs.select(col("doc_id"), col("text")), "text", 3, 64)
+    val cand = graft.operators.Dedup
+      .lshCandidatePairs(sig, "doc_id", 64, 16)
+    val p = plan(cand)
+    // the banded lineage (wordShingles → minhash → posexplode) must
+    // appear under exactly TWO scans: the aggregation input and the
+    // overflow probe — and the overflow probe side must not feed a
+    // full exchange of its own beyond the oversize (aggregated) side
+    assert(p.contains("graft_minhash"), p)
+    val objAggs = p.split("ObjectHashAggregate").length - 1
+    assert(objAggs >= 2, s"expected partial+final bounded agg:\n$p")
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
