@@ -59,7 +59,11 @@ object Extensions {
     * the recall of [[x14NearDupLsh]], which is the production near-dup
     * entry point (linear banding + equi-join; recall ≈ 1 at the 0.95
     * design point, asserted on planted near-duplicates in the spec
-    * suite). Do not run x6 at corpus scale.
+    * suite). Do not run x6 at corpus scale — and since round 5 you
+    * can't by accident: the operator measures its input and refuses
+    * past [[SimilaritySearch.ExactPairsMaxRows]] rows without
+    * `force = true`; [[SimilaritySearch.nearDupPairs]] is the façade
+    * that picks the right variant from the same measurement.
     */
   def x6EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",

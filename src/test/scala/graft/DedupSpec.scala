@@ -118,6 +118,49 @@ class DedupSpec extends SparkSpec {
     assert(over.forall(_.getLong(2) >= 400L))
   }
 
+  test("cappedBucketPairs randomized (seeded): a non-binding cap equals " +
+      "brute-force bucket pairs; a binding cap is bounded, complete on " +
+      "members, a subset of brute force, and keeps every id connected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      // each id lands in 3 bands with a random bucket per band — the
+      // exact shape bandedBuckets produces
+      val n = 60 + rnd.nextInt(60)
+      val rows = for {
+        id <- (1 to n).map(_.toLong); band <- 0 until 3
+      } yield (id, band, rnd.nextInt(5).toLong)
+      val banded = rows.toDF("id", "band", "bucket")
+      val brute = (for {
+        a <- rows; b <- rows
+        if a._2 == b._2 && a._3 == b._3 && a._1 < b._1
+      } yield (a._1, b._1)).toSet
+      val unbound = Dedup.cappedBucketPairs(banded, Seq("band", "bucket"),
+          cap = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(unbound == brute, "non-binding cap must be exact")
+      val cap = 4
+      val capped = Dedup.cappedBucketPairs(banded, Seq("band", "bucket"),
+          cap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.subsetOf(brute), "cap must never invent pairs")
+      val groups = rows.groupBy(t => (t._2, t._3)).values.toSeq
+      val bound = groups.map { g =>
+        val m = math.min(g.size, cap); m * (m - 1) / 2 + (g.size - m)
+      }.sum
+      assert(capped.size <= bound, s"${capped.size} > bound $bound")
+      groups.foreach { g =>
+        val ms = g.map(_._1).distinct.sorted.take(cap)
+        for (x <- ms; y <- ms if x < y)
+          assert(capped.contains((x, y)), s"member pair ($x,$y) missing")
+      }
+      groups.filter(_.size >= 2).flatten.foreach { t =>
+        assert(capped.exists(p => p._1 == t._1 || p._2 == t._1),
+          s"id ${t._1} dropped entirely")
+      }
+    }
+  }
+
   test("exact dedup keeps one representative per identical text") {
     val out = Dedup.exact(docs, "doc_id", "text")
     val n = out.count()
