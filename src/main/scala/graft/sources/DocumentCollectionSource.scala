@@ -126,7 +126,8 @@ private[sources] class DocumentCollectionTable(path: String, batchSize: Int,
       "graft-docs reads need a schema: spark.read.schema(...)" +
         ".format(\"graft-docs\")")
     new DocumentScanBuilder(path, tableSchema,
-      options.getInt("maxFilesPerTrigger", 1000))
+      options.getInt("maxFilesPerTrigger", 1000),
+      options.getInt("offsetCompactThreshold", 1000))
   }
 }
 
@@ -372,7 +373,7 @@ private object DocumentFiles {
 }
 
 private class DocumentScanBuilder(path: String, full: StructType,
-    maxFilesPerTrigger: Int)
+    maxFilesPerTrigger: Int, offsetCompactThreshold: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -385,11 +386,12 @@ private class DocumentScanBuilder(path: String, full: StructType,
   }
 
   override def build(): Scan =
-    new DocumentScan(path, required, maxFilesPerTrigger)
+    new DocumentScan(path, required, maxFilesPerTrigger,
+      offsetCompactThreshold)
 }
 
 private class DocumentScan(path: String, required: StructType,
-    maxFilesPerTrigger: Int)
+    maxFilesPerTrigger: Int, offsetCompactThreshold: Int)
     extends Scan with Batch {
 
   private val conf = SessionConf.capture()
@@ -407,82 +409,177 @@ private class DocumentScan(path: String, required: StructType,
     new DocumentReaderFactory(required, conf)
 
   /** Streaming read: micro-batches are the set difference of document
-    * files between two offsets, where an OFFSET IS the sorted list of
-    * file NAMES already consumed (names, not URIs: writers generate
-    * them from a fixed alphabet, so the offset JSON never has to quote
-    * a user-supplied path). Name-set offsets (rather than a count or
+    * files between two offsets, where an offset DENOTES the set of file
+    * NAMES already consumed. Name-set offsets (rather than a count or
     * mtime watermark) make progress independent of arrival order —
     * batch appends carry random write-id suffixes and epoch files
-    * interleave, so no total order on names exists. The offset grows
-    * with the file count; at collection scale, compact to a log like
-    * Spark's own FileStreamSource (same recovery contract). Admission
-    * control caps each micro-batch at `maxFilesPerTrigger` files
-    * (default 1000) so the first trigger over a large existing
-    * collection does not plan the whole history as one batch.
+    * interleave, so no total order on names exists.
+    *
+    * The set is stored COMPACTED (the FileStreamSource approach): an
+    * offset is `{gen, delta}` — a reference to an immutable compact
+    * file (`<checkpoint>/graft-offset-compact/compact-<gen>`, the full
+    * name set as of generation `gen`) plus the names consumed since.
+    * When the delta outgrows `offsetCompactThreshold` (default 1000
+    * names) the stream writes the next compact file (temp + atomic
+    * rename, BEFORE the offset referencing it is returned — so any
+    * logged offset's compact file exists even across crashes; an
+    * orphan from a pre-log crash is simply overwritten) and the offset
+    * resets to an empty delta. Offset size is therefore bounded by the
+    * threshold, not the collection's file count. Admission control
+    * caps each micro-batch at `maxFilesPerTrigger` files (default
+    * 1000) so the first trigger over a large existing collection does
+    * not plan the whole history as one batch.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : streamingread.MicroBatchStream =
-    new DocumentMicroBatchStream(path, required, conf, maxFilesPerTrigger)
+    new DocumentMicroBatchStream(path, required, conf, maxFilesPerTrigger,
+      checkpointLocation, offsetCompactThreshold)
 }
 
-private case class DocumentFilesOffset(names: Seq[String])
+/** A consumed-file-set offset in compacted form: the full set is
+  * `compact-file(gen) ∪ delta`. `gen` 0 is the empty base. Serialized
+  * with real JSON (Jackson, already on Spark's classpath): listNames
+  * admits ANY *.jsonl file in the directory, so a hand-placed name
+  * containing a quote/comma/backslash must round-trip through
+  * checkpoint recovery instead of corrupting the offset.
+  */
+private case class DocumentFilesOffset(gen: Int, delta: Seq[String])
     extends streamingread.Offset {
-  // real JSON serialization (Jackson, already on Spark's classpath):
-  // listNames admits ANY *.jsonl file in the directory, so a
-  // hand-placed name containing a quote/comma/backslash must round-trip
-  // through checkpoint recovery instead of corrupting the offset
-  override def json(): String =
-    DocumentFilesOffset.mapper.writeValueAsString(names.sorted.toArray)
+  override def json(): String = {
+    val node = DocumentFilesOffset.mapper.createObjectNode()
+    node.put("gen", gen)
+    val arr = node.putArray("delta")
+    delta.sorted.foreach(arr.add)
+    DocumentFilesOffset.mapper.writeValueAsString(node)
+  }
 }
 
 private object DocumentFilesOffset {
   val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  def fromJson(json: String): DocumentFilesOffset =
-    DocumentFilesOffset(
-      mapper.readValue(json, classOf[Array[String]]).toSeq)
+  def fromJson(json: String): DocumentFilesOffset = {
+    val t = json.trim
+    if (t.startsWith("["))
+      // legacy pre-compaction offsets: a bare full-name-set array
+      DocumentFilesOffset(0,
+        mapper.readValue(t, classOf[Array[String]]).toSeq)
+    else {
+      val node = mapper.readTree(t)
+      val delta = node.get("delta").elements().asScala
+        .map(_.asText()).toSeq
+      DocumentFilesOffset(node.get("gen").asInt(), delta)
+    }
+  }
 }
 
 private class DocumentMicroBatchStream(path: String, required: StructType,
     conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf,
-    maxFilesPerTrigger: Int)
+    maxFilesPerTrigger: Int, checkpointLocation: String,
+    compactThreshold: Int)
     extends streamingread.MicroBatchStream
     with streamingread.SupportsAdmissionControl {
 
   private def listNames(): Seq[String] =
     DocumentFiles.listNames(path, conf.value)
 
-  override def initialOffset(): streamingread.Offset =
-    DocumentFilesOffset(Nil)
+  // ---- compacted consumed-set storage ------------------------------
+  private val compactDir = new Path(checkpointLocation,
+    "graft-offset-compact")
+  private def fs = compactDir.getFileSystem(conf.value)
+  private def compactFile(gen: Int) =
+    new Path(compactDir, f"compact-$gen%09d.json")
 
-  // without admission control Spark falls back to this: everything
+  private def readCompact(gen: Int): Set[String] =
+    if (gen <= 0) Set.empty
+    else {
+      val in = fs.open(compactFile(gen))
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      DocumentFilesOffset.mapper
+        .readValue(bytes, classOf[Array[String]]).toSet
+    }
+
+  /** Write the generation's full name set: temp file + atomic rename,
+    * BEFORE the offset referencing it is returned — so every logged
+    * offset's compact file exists, crash or not. An existing file with
+    * this generation is an orphan from a crash after compaction but
+    * before the offset was logged (no logged offset references it, or
+    * it holds identical content from this same (start, files) state) —
+    * overwrite it.
+    */
+  private def writeCompact(gen: Int, names: Iterable[String]): Unit = {
+    fs.mkdirs(compactDir)
+    val tmp = new Path(compactDir, s"compact-$gen.tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(DocumentFilesOffset.mapper
+      .writeValueAsBytes(names.toArray.sorted))
+    finally out.close()
+    val dst = compactFile(gen)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"could not publish compact $dst")
+    // prune here rather than in commit(): the engine's source-commit
+    // callback lags the last batch (and never fires before stop()), so
+    // checkpoint-dir boundedness must not depend on it. Offsets that
+    // can still be replayed after a crash reference at worst the start
+    // generation of the in-flight batch (gen − 1) — Spark re-executes
+    // only the last uncommitted micro-batch — so generations ≤ gen − 2
+    // are dead. Keep gen − 1 and gen.
+    fs.listStatus(compactDir)
+      .filter { f =>
+        val n = f.getPath.getName
+        n.startsWith("compact-") && n.endsWith(".json") &&
+          n.stripPrefix("compact-").stripSuffix(".json")
+            .toIntOption.exists(_ <= gen - 2)
+      }
+      .foreach(f => fs.delete(f.getPath, false))
+  }
+
+  private def resolve(o: streamingread.Offset): Set[String] = {
+    val d = o.asInstanceOf[DocumentFilesOffset]
+    readCompact(d.gen) ++ d.delta
+  }
+
+  override def initialOffset(): streamingread.Offset =
+    DocumentFilesOffset(0, Nil)
+
+  // without admission control Spark falls back to this: everything,
+  // expressed against the empty base generation
   override def latestOffset(): streamingread.Offset =
-    DocumentFilesOffset(listNames())
+    DocumentFilesOffset(0, listNames())
 
   override def getDefaultReadLimit: streamingread.ReadLimit =
     streamingread.ReadLimit.maxFiles(maxFilesPerTrigger)
 
   override def latestOffset(start: streamingread.Offset,
       limit: streamingread.ReadLimit): streamingread.Offset = {
-    val seen = start.asInstanceOf[DocumentFilesOffset].names.toSet
+    val startOff = start.asInstanceOf[DocumentFilesOffset]
+    val seen = resolve(startOff)
     val cap = limit match {
       case m: streamingread.ReadMaxFiles => m.maxFiles()
       case _ => Int.MaxValue
     }
     val admitted = listNames().filterNot(seen).sorted.take(cap)
-    DocumentFilesOffset((seen ++ admitted).toSeq)
+    if (admitted.isEmpty) startOff // unchanged representation → no batch
+    else {
+      val delta = startOff.delta ++ admitted
+      if (delta.size >= compactThreshold) {
+        writeCompact(startOff.gen + 1, seen ++ admitted)
+        DocumentFilesOffset(startOff.gen + 1, Nil)
+      } else DocumentFilesOffset(startOff.gen, delta)
+    }
   }
 
   override def reportLatestOffset(): streamingread.Offset =
-    DocumentFilesOffset(listNames())
+    DocumentFilesOffset(0, listNames())
 
   override def deserializeOffset(json: String): streamingread.Offset =
     DocumentFilesOffset.fromJson(json)
 
   override def planInputPartitions(start: streamingread.Offset,
       end: streamingread.Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[DocumentFilesOffset].names.toSet
-    end.asInstanceOf[DocumentFilesOffset].names
-      .filterNot(seen)
+    val seen = resolve(start)
+    resolve(end).toSeq.filterNot(seen).sorted
       .map(n => DocumentFilePartition(s"$path/$n"): InputPartition).toArray
   }
 

@@ -341,6 +341,62 @@ class SourcesSpec extends SparkSpec {
       rows.toSeq)
   }
 
+  test("graft-docs streaming read: offset compaction keeps the logged " +
+      "offsets bounded, survives restarts, and never re-reads or drops " +
+      "a file") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_v2compact").toString + "/coll"
+    val ckpt = Files.createTempDirectory("graft_v2compact_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_v2compact_out")
+      .toString + "/out"
+    val schema = StructType(Seq(StructField("id", LongType)))
+
+    def addFile(i: Long): Unit =
+      Seq(Tuple1(i)).toDF("id").coalesce(1)
+        .write.format("graft-docs").option("path", dir).mode("append").save()
+    def drain(): Unit = {
+      // threshold 3: compaction triggers every few files; one file per
+      // micro-batch so restarts cross generation boundaries
+      val q = spark.readStream.schema(schema).format("graft-docs")
+        .option("offsetCompactThreshold", "3")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.format("graft-docs").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def outIds: Seq[Long] = spark.read.schema(schema)
+      .format("graft-docs").load(outDir)
+      .select("id").as[Long].collect().sorted.toSeq
+
+    (1L to 5L).foreach(addFile)
+    drain()
+    assert(outIds == (1L to 5L))
+    (6L to 9L).foreach(addFile)
+    drain() // restart across a compacted generation
+    assert(outIds == (1L to 9L), "no re-reads, no drops across restart")
+
+    // compaction actually happened, and the checkpoint dir is pruned
+    val compacts = Files.list(Paths.get(ckpt, "sources", "0",
+        "graft-offset-compact")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("compact-")).toSeq
+    assert(compacts.nonEmpty, "expected compact generations")
+    assert(compacts.size <= 2, s"stale generations not pruned: $compacts")
+
+    // every offset in Spark's offset log is bounded by the threshold,
+    // not by the total file count
+    val offsetsDir = Paths.get(ckpt, "offsets")
+    val offsetLines = Files.list(offsetsDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.forall(_.isDigit)) // skip .crc etc.
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.contains("\"delta\""))
+    assert(offsetLines.nonEmpty)
+    offsetLines.foreach { l =>
+      val delta = l.substring(l.indexOf("\"delta\""))
+      assert(delta.count(_ == ',') <= 3, s"unbounded offset: $l")
+    }
+  }
+
   test("graft-docs streaming read honors maxFilesPerTrigger admission " +
       "control: a large backlog drains in multiple capped batches") {
     import org.apache.spark.sql.types._
