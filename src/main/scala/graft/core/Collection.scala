@@ -64,10 +64,24 @@ final class Collection private[core] (
     * (recovery would mistake its live staging dir for a stale one).
     */
   private def recoverCompact(): Unit = {
-    val olds = Option(fs.globStatus(new Path(path + ".old-*")))
-      .getOrElse(Array.empty)
-    val stagings = Option(fs.globStatus(new Path(path + ".compact-*")))
-      .getOrElse(Array.empty)
+    // match ONLY compact()'s own siblings — the exact `.old-<uuid>` /
+    // `.compact-<uuid>` names it generates, via listStatus + regex. A
+    // glob on `path + ".old-*"` would be wrong twice over: a LEGAL
+    // collection named e.g. "docs.old-backup" would match and be
+    // deleted as garbage, and glob metacharacters in the collection
+    // name would match unrelated directories.
+    val uuid = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    val dirName = new Path(path).getName
+    val parent = new Path(path).getParent
+    val siblings =
+      if (parent == null || !fs.exists(parent)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(parent)
+    val olds = siblings.filter(
+      _.getPath.getName.matches(java.util.regex.Pattern.quote(dirName) +
+        "\\.old-" + uuid))
+    val stagings = siblings.filter(
+      _.getPath.getName.matches(java.util.regex.Pattern.quote(dirName) +
+        "\\.compact-" + uuid))
     if (olds.isEmpty && stagings.isEmpty) return
     if (!fs.exists(new Path(path))) {
       // died between the two renames: the original data is in the
@@ -116,8 +130,14 @@ final class Collection private[core] (
       .parquet(path)
   }
 
-  /** Document count — the reference test suite's only oracle. */
-  def count(): Long = if (hasData) read().count() else 0L
+  /** Document count — the reference test suite's only oracle. Reads
+    * the parquet directly after the hasData probe (which already ran
+    * crash recovery) instead of through read(), so each count pays ONE
+    * recovery scan, not two — on an object store every recovery probe
+    * is a LIST round trip.
+    */
+  def count(): Long =
+    if (hasData) spark.read.parquet(path).count() else 0L
 
   /** Rewrite the collection into ≈`targetRecordsPerFile`-row files —
     * the small-files maintenance pass every batched loader eventually

@@ -281,15 +281,36 @@ object Dedup {
       keys: Seq[String], cap: Int,
       payload: Option[String] = None): DataFrame = {
     require(cap >= 2, s"bucketCap must be >= 2, got $cap")
+    // loud precondition, not a mid-job encoder crash: the bounded
+    // buffer carries ids as longs (the engine's document-id contract —
+    // rerankTopK and the streaming paths share it). A string id would
+    // cast to null and either kill the udaf encoder or silently drop
+    // every overflow link.
+    val idOk = banded.schema("id").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(idOk,
+      s"capped LSH candidate generation needs an integral (long-" +
+        s"castable) id column, got ${banded.schema("id").dataType}; " +
+        "map string ids to longs (e.g. xxhash64) upstream")
     val keep = udaf(new graft.functions.Aggregators.TopKRows(cap))
     val keyCols = keys.map(col)
     val payloadCol = payload.map(col).getOrElse(lit(0L)).cast("long")
+    // the banded rows feed two consumers (the bounded agg and the
+    // overflow probe) — cache the narrow (keys, id[, payload]) frame so
+    // the upstream kernels (shingling, signatures, simhash) run once
+    // per action, not twice
+    val bandedC = CacheScope.cached(banded)
     // ONE shuffle of the banded rows (the same count the uncapped
     // self-join paid): per-bucket bounded member list + exact size.
     // The TopKRows buffer's spare key2 slot carries an optional long
     // `payload` per member (e.g. the simhash), so payload-consuming
     // callers never join back to fetch it.
-    val members = banded.groupBy(keyCols: _*)
+    val members = bandedC.groupBy(keyCols: _*)
       .agg(keep(-col("id").cast("double"), col("id").cast("long"),
         payloadCol).as("__top"), count(lit(1)).as("__n"))
       .select(keyCols :+ col("__top.key1").as("__ids") :+
@@ -307,6 +328,10 @@ object Dedup {
         explode(slice(col("__z"), col("pos") + lit(2), lit(cap))).as("o"))
       .select(col("id1"), col("o.__ids").as("id2"),
         col("pl1"), col("o.__pls").as("pl2"))
+      // duplicate input ids occupy adjacent member slots and would pair
+      // with themselves; the uncapped self-join's strict < excluded
+      // those by construction — preserve the id1 < id2 contract
+      .filter(col("id1") < col("id2"))
     // overflow members (id beyond the bucket's cap smallest — i.e.
     // greater than the last kept member) link to the bucket's min id.
     // The oversize-bucket table is tiny by construction (≤ |banded|/cap
@@ -316,7 +341,7 @@ object Dedup {
       .select(keyCols :+ element_at(col("__ids"), 1).as("__rep") :+
         element_at(col("__pls"), 1).as("__reppl") :+
         element_at(col("__ids"), cap).as("__maxm"): _*)
-    val overflowPairs = banded
+    val overflowPairs = bandedC
       .join(oversize, keys)
       .filter(col("id").cast("long") > col("__maxm"))
       .select(col("__rep").as("id1"), col("id").cast("long").as("id2"),
@@ -474,8 +499,9 @@ object Dedup {
     val mask = (1L << w) - 1
     // the simhash rides through the bounded bucket agg as the pair
     // payload, so verification needs no join back to the signatures —
-    // the whole operator is one map-side pass + one bucket-keyed
-    // shuffle + the pair distinct
+    // the whole operator is one simhash pass (cappedBucketPairs caches
+    // the banded rows, so the kernel never re-runs for the overflow
+    // probe) + one bucket-keyed shuffle + the pair distinct
     val blocked = withSimHash(df, textCol)
       .select(col(idCol).as("id"), col("simhash"))
       .select(col("id"), col("simhash"),

@@ -56,16 +56,23 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   /** Schema inference for schemaless collections: Spark's JSON
-    * inference over a BOUNDED sample — the first `inferSampleLines`
-    * (default 1000) lines of the collection's first document file —
-    * parity with how the reference derives the document shape from the
-    * parquet footer (ParquetArangoLoader.java:139), re-expressed for a
-    * JSON store. The inferred types are the JSON-level ones the quirk
-    * transcoder wrote (timestamps render as strings, integral floats
-    * may widen); reads that need exact Spark types pass
-    * `.schema(...)`, which always wins. An empty/missing collection
-    * infers an empty struct, and the scan builder's schema requirement
-    * then fails with its usual message.
+    * inference over a BOUNDED sample — up to `inferSampleLines`
+    * (default 1000) lines spread over up to 100 document files chosen
+    * by a deterministic stride across the sorted listing, so a
+    * collection whose appends carry different document shapes
+    * contributes fields from across its history, not just whichever
+    * file sorts first — parity with how the reference derives the
+    * document shape from the parquet footer
+    * (ParquetArangoLoader.java:139), re-expressed for a JSON store
+    * (where Spark's own json source also samples across files). The
+    * inferred types are the JSON-level ones the quirk transcoder wrote
+    * (timestamps render as strings, integral floats may widen); reads
+    * that need exact Spark types pass `.schema(...)`, which always
+    * wins. A sample remains a sample: a field present ONLY in unvisited
+    * files of a very large collection can still be missed — pass an
+    * explicit schema when the shape must be total. An empty/missing
+    * collection infers an empty struct, and the scan builder's schema
+    * requirement then fails with its usual message.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
@@ -75,13 +82,18 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
     val names = DocumentFiles.listNames(path, conf)
     if (names.isEmpty) return new StructType()
     val sampleLines = options.getInt("inferSampleLines", 1000)
-    val first = new Path(s"$path/${names.head}")
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      first.getFileSystem(conf).open(first), "UTF-8"))
-    val lines =
+    val maxFiles = math.min(names.size, 100)
+    val stride = math.max(1, names.size / maxFiles)
+    val sampled = names.indices.by(stride).take(maxFiles).map(names)
+    val perFile = math.max(1, sampleLines / sampled.size)
+    val lines = sampled.iterator.flatMap { name =>
+      val f = new Path(s"$path/$name")
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        f.getFileSystem(conf).open(f), "UTF-8"))
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .take(sampleLines).toSeq
+        .take(perFile).toSeq
       finally in.close()
+    }.take(sampleLines).toSeq
     if (lines.isEmpty) new StructType()
     else {
       import spark.implicits._
@@ -488,15 +500,24 @@ private class DocumentMicroBatchStream(path: String, required: StructType,
   private def compactFile(gen: Int) =
     new Path(compactDir, f"compact-$gen%09d.json")
 
+  /** The newest generation this instance has read or written, memoized
+    * so the reporting paths can express offsets as a bounded delta
+    * against it instead of the full listing.
+    */
+  @volatile private var lastKnown: (Int, Set[String]) = (0, Set.empty)
+
   private def readCompact(gen: Int): Set[String] =
     if (gen <= 0) Set.empty
+    else if (lastKnown._1 == gen) lastKnown._2
     else {
       val in = fs.open(compactFile(gen))
       val bytes =
         try org.apache.commons.io.IOUtils.toByteArray(in)
         finally in.close()
-      DocumentFilesOffset.mapper
+      val set = DocumentFilesOffset.mapper
         .readValue(bytes, classOf[Array[String]]).toSet
+      if (gen > lastKnown._1) lastKnown = (gen, set)
+      set
     }
 
   /** Write the generation's full name set: temp file + atomic rename,
@@ -544,9 +565,13 @@ private class DocumentMicroBatchStream(path: String, required: StructType,
     DocumentFilesOffset(0, Nil)
 
   // without admission control Spark falls back to this: everything,
-  // expressed against the empty base generation
-  override def latestOffset(): streamingread.Offset =
-    DocumentFilesOffset(0, listNames())
+  // expressed as a delta against the newest known generation so the
+  // serialized offset stays bounded (names already compacted away are
+  // not repeated)
+  override def latestOffset(): streamingread.Offset = {
+    val (gen, base) = lastKnown
+    DocumentFilesOffset(gen, listNames().filterNot(base))
+  }
 
   override def getDefaultReadLimit: streamingread.ReadLimit =
     streamingread.ReadLimit.maxFiles(maxFilesPerTrigger)
@@ -564,14 +589,21 @@ private class DocumentMicroBatchStream(path: String, required: StructType,
     else {
       val delta = startOff.delta ++ admitted
       if (delta.size >= compactThreshold) {
-        writeCompact(startOff.gen + 1, seen ++ admitted)
+        val full = seen ++ admitted
+        writeCompact(startOff.gen + 1, full)
+        lastKnown = (startOff.gen + 1, full)
         DocumentFilesOffset(startOff.gen + 1, Nil)
       } else DocumentFilesOffset(startOff.gen, delta)
     }
   }
 
-  override def reportLatestOffset(): streamingread.Offset =
-    DocumentFilesOffset(0, listNames())
+  // progress-event reporting: every trigger embeds this offset's json
+  // in StreamingQueryProgress, so it must stay bounded — express the
+  // listing against the newest known generation, never as the full set
+  override def reportLatestOffset(): streamingread.Offset = {
+    val (gen, base) = lastKnown
+    DocumentFilesOffset(gen, listNames().filterNot(base))
+  }
 
   override def deserializeOffset(json: String): streamingread.Offset =
     DocumentFilesOffset.fromJson(json)

@@ -161,6 +161,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("capped LSH edge cases: duplicate input ids never emit self-" +
+      "pairs, and non-integral id columns fail loudly at construction") {
+    import spark.implicits._
+    val dup = Seq((7L, "alpha beta gamma delta"),
+      (7L, "alpha beta gamma delta"), (9L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(dup, "doc_id", "text", 3,
+        numHashes = 64, bands = 16, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall(p => p._1 < p._2), s"self-pair leaked: ${pairs.toSeq}")
+    assert(pairs.toSet == Set((7L, 9L)))
+    val strIds = Seq(("a", "x y z w"), ("b", "x y z w"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(strIds, "doc_id", "text", maxDist = 3)
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
+  }
+
   test("exact dedup keeps one representative per identical text") {
     val out = Dedup.exact(docs, "doc_id", "text")
     val n = out.count()

@@ -325,11 +325,19 @@ class ParitySpec extends SparkSpec {
       org.apache.spark.sql.SaveMode.Overwrite)
     assert(c.count() == 100)
 
-    // simulate the crash window: path renamed to .old-*, the staged
-    // compacted copy left beside it, the publish rename never ran
+    // a LEGALLY-NAMED sibling collection that merely looks like a
+    // retired copy must never be touched by recovery (names are
+    // matched against compact()'s exact .old-<uuid> shape)
+    val lookalike = mgr.collection("docs.old-backup")
+    lookalike.write((1 to 7).map(i => (i.toLong, "x")).toDF("id", "t"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+    def freshUuid() = java.util.UUID.randomUUID().toString
+    // simulate the crash window: path renamed to .old-<uuid>, the
+    // staged compacted copy left beside it, the publish rename never ran
     val dir = new java.io.File(s"$base/docs")
-    val retired = new java.io.File(s"$base/docs.old-deadbeef")
-    val staging = new java.io.File(s"$base/docs.compact-cafebabe")
+    val retired = new java.io.File(s"$base/docs.old-${freshUuid()}")
+    val staging = new java.io.File(s"$base/docs.compact-${freshUuid()}")
     assert(dir.renameTo(retired))
     java.nio.file.Files.createDirectory(staging.toPath)
     assert(!dir.exists())
@@ -342,14 +350,18 @@ class ParitySpec extends SparkSpec {
 
     // crash AFTER publish, before cleanup: collection intact, retired
     // copy is garbage — recovery deletes it without touching the data
-    val retired2 = new java.io.File(s"$base/docs.old-feedface")
+    val retired2 = new java.io.File(s"$base/docs.old-${freshUuid()}")
     java.nio.file.Files.createDirectory(retired2.toPath)
     assert(c.count() == 100)
     assert(!retired2.exists())
 
+    // the look-alike collection survived every recovery pass intact
+    assert(lookalike.count() == 7,
+      "recovery must never touch a legally-named sibling collection")
+
     // two retired copies is ambiguous: fail loudly, never guess
-    val o1 = new java.io.File(s"$base/docs.old-aaaa")
-    val o2 = new java.io.File(s"$base/docs.old-bbbb")
+    val o1 = new java.io.File(s"$base/docs.old-${freshUuid()}")
+    val o2 = new java.io.File(s"$base/docs.old-${freshUuid()}")
     assert(dir.renameTo(o1))
     java.nio.file.Files.createDirectory(o2.toPath)
     val ex = intercept[IllegalStateException] { c.count() }
