@@ -117,13 +117,28 @@ final class Collection private[core] (
   /** Append or overwrite rows. `partitionBy` lays the collection out as
     * a Hive-style partitioned directory tree — at scale the primary
     * lever for partition pruning on reads (only matching subdirectories
-    * are scanned when a filter hits a partition column).
+    * are scanned when a filter hits a partition column). `clusterBy`
+    * RANGE-CLUSTERS the data instead: rows are range-partitioned and
+    * sorted within partitions on the given columns before writing, so
+    * each parquet file (and each row group inside it) covers a narrow,
+    * near-disjoint min/max range — the layout that lets parquet
+    * predicate pushdown skip whole files/row groups on range filters
+    * (the second pruning lever at 100 TB, for high-cardinality columns
+    * where Hive partitioning would explode the directory count).
+    * Complementary: partitionBy for low-cardinality dimensions,
+    * clusterBy for ranges within them.
     */
   def write(df: DataFrame, mode: SaveMode,
       maxRecordsPerFile: Long = 0L,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Unit = {
     recoverCompact() // never write beside a stranded swap
-    val w = df.write
+    import org.apache.spark.sql.functions.col
+    val src =
+      if (clusterBy.isEmpty) df
+      else df.repartitionByRange(clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val w = src.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -152,9 +167,15 @@ final class Collection private[core] (
     * concurrent writer (or concurrent compact), and in-flight readers
     * of the old directory should be drained first.
     *
+    * `clusterBy` re-clusters while compacting (range partition + sort
+    * within partitions — see [[write]]): the natural point to impose or
+    * repair the range layout, since compaction rewrites everything
+    * anyway.
+    *
     * Returns (filesBefore, filesAfter).
     */
-  def compact(targetRecordsPerFile: Long = 1 << 20): (Int, Int) = {
+  def compact(targetRecordsPerFile: Long = 1 << 20,
+      clusterBy: Seq[String] = Nil): (Int, Int) = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
     recoverCompact()
     def dataFiles(p: Path): Int =
@@ -167,7 +188,12 @@ final class Collection private[core] (
     val files = math.max(1L,
       (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val staging = new Path(path + s".compact-${java.util.UUID.randomUUID()}")
-    df.repartition(files).write.parquet(staging.toString)
+    import org.apache.spark.sql.functions.col
+    val laid =
+      if (clusterBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    laid.write.parquet(staging.toString)
     val retired = new Path(path + s".old-${java.util.UUID.randomUUID()}")
     if (!fs.rename(new Path(path), retired))
       throw new IllegalStateException(s"could not retire $path")

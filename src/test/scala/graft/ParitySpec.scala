@@ -313,6 +313,54 @@ class ParitySpec extends SparkSpec {
     assert(empty.compact() == ((0, 0)))
   }
 
+  test("Collection clusterBy: range-clustered writes give near-disjoint " +
+      "per-file min/max ranges (the layout parquet skipping needs), " +
+      "preserved through a clustered compact") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cluster").toString
+    val mgr = new graft.core.CollectionManager(spark, base)
+    val c = mgr.collection("docs")
+    // shuffled insert order: without clustering every file would span
+    // nearly the full id range
+    val rows = new scala.util.Random(7).shuffle((1 to 20000).toList)
+      .map(i => (i.toLong, s"d$i")).toDF("id", "t")
+    c.write(rows, org.apache.spark.sql.SaveMode.Overwrite,
+      maxRecordsPerFile = 2500, clusterBy = Seq("id"))
+
+    def fileRanges(): Seq[(Long, Long)] = {
+      val files = new java.io.File(s"$base/docs").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      assert(files.size >= 4, s"expected several files, got ${files.size}")
+      files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col("id")), max(col("id")))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    def assertDisjoint(ranges: Seq[(Long, Long)]): Unit = {
+      val sorted = ranges.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"overlapping file ranges: $sorted")
+        case _ => ()
+      }
+    }
+    assertDisjoint(fileRanges())
+    assert(c.read().select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 20000L), "clustering must not lose or duplicate rows")
+
+    // a clustered compact re-imposes the layout on a fragmented
+    // collection
+    c.write(rows, org.apache.spark.sql.SaveMode.Overwrite,
+      maxRecordsPerFile = 500) // unclustered, fragmented
+    val (before, after) = c.compact(targetRecordsPerFile = 4000,
+      clusterBy = Seq("id"))
+    assert(before >= 32 && after <= 6, s"($before, $after)")
+    assertDisjoint(fileRanges())
+    assert(c.count() == 20000)
+  }
+
   test("Collection.compact crash recovery: a process death between the " +
       "two swap renames is healed on the next access — count never " +
       "silently reads 0") {
