@@ -106,6 +106,28 @@ final class Collection private[core] (
     stagings.foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** Partition key columns of the collection's Hive-style layout, in
+    * directory-nesting order — empty for flat collections. Discovered
+    * by walking the first `k=v` directory chain (every chain of a
+    * Spark-written partitioned layout carries the same keys in the
+    * same order).
+    */
+  private def partitionKeys: Seq[String] = {
+    val keys = Seq.newBuilder[String]
+    var dir = new Path(path)
+    var continue = fs.exists(dir)
+    while (continue) {
+      fs.listStatus(dir).find(f => f.isDirectory &&
+          f.getPath.getName.matches("[^=]+=.*")) match {
+        case Some(d) =>
+          keys += d.getPath.getName.takeWhile(_ != '=')
+          dir = d.getPath
+        case None => continue = false
+      }
+    }
+    keys.result()
+  }
+
   /** Read the collection as a DataFrame (schema from Parquet footers,
     * exactly as the reference derives Avro schemas from footers).
     * An existing-but-empty collection reads as an empty 0-column frame.
@@ -128,16 +150,28 @@ final class Collection private[core] (
     * Complementary: partitionBy for low-cardinality dimensions,
     * clusterBy for ranges within them.
     */
+  /** The one definition of the range-cluster layout, shared by write()
+    * and compact() so the two paths can never silently diverge.
+    */
+  private def rangeClustered(df: DataFrame, cols: Seq[String],
+      numFiles: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cs = cols.map(col)
+    val rp = numFiles match {
+      case Some(n) => df.repartitionByRange(n, cs: _*)
+      case None => df.repartitionByRange(cs: _*)
+    }
+    rp.sortWithinPartitions(cs: _*)
+  }
+
   def write(df: DataFrame, mode: SaveMode,
       maxRecordsPerFile: Long = 0L,
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil): Unit = {
     recoverCompact() // never write beside a stranded swap
-    import org.apache.spark.sql.functions.col
     val src =
       if (clusterBy.isEmpty) df
-      else df.repartitionByRange(clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      else rangeClustered(df, clusterBy, None)
     val w = src.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -167,22 +201,34 @@ final class Collection private[core] (
     * concurrent writer (or concurrent compact), and in-flight readers
     * of the old directory should be drained first.
     *
-    * `clusterBy` re-clusters while compacting (range partition + sort
-    * within partitions — see [[write]]): the natural point to impose or
-    * repair the range layout, since compaction rewrites everything
-    * anyway.
+    * A Hive-partitioned collection keeps its partition layout: the
+    * partition keys are rediscovered from the directory tree and
+    * re-applied on the staging write (rows co-located per key by a
+    * hash repartition, so each partition value lands in few files);
+    * `clusterBy` then sorts within the written files. Flat collections
+    * with `clusterBy` get the full range-cluster layout (see
+    * [[write]]) — the natural point to impose or repair it, since
+    * compaction rewrites everything anyway.
     *
-    * Returns (filesBefore, filesAfter).
+    * Returns (filesBefore, filesAfter) — counted recursively, so
+    * partitioned layouts report real file counts.
     */
   def compact(targetRecordsPerFile: Long = 1 << 20,
       clusterBy: Seq[String] = Nil): (Int, Int) = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
     recoverCompact()
-    def dataFiles(p: Path): Int =
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    def dataFiles(p: Path): Int = {
+      if (!fs.exists(p)) return 0
+      var n = 0
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
     val before = dataFiles(new Path(path))
     if (!hasData) return (before, before)
+    val parts = partitionKeys
     val df = read()
     val n = df.count()
     val files = math.max(1L,
@@ -190,10 +236,17 @@ final class Collection private[core] (
     val staging = new Path(path + s".compact-${java.util.UUID.randomUUID()}")
     import org.apache.spark.sql.functions.col
     val laid =
-      if (clusterBy.isEmpty) df.repartition(files)
-      else df.repartitionByRange(files, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-    laid.write.parquet(staging.toString)
+      if (parts.nonEmpty) {
+        val co = df.repartition(files, parts.map(col): _*)
+        if (clusterBy.nonEmpty)
+          co.sortWithinPartitions((parts ++ clusterBy).map(col): _*)
+        else co
+      }
+      else if (clusterBy.isEmpty) df.repartition(files)
+      else rangeClustered(df, clusterBy, Some(files))
+    val w = laid.write
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(staging.toString)
     val retired = new Path(path + s".old-${java.util.UUID.randomUUID()}")
     if (!fs.rename(new Path(path), retired))
       throw new IllegalStateException(s"could not retire $path")

@@ -276,6 +276,12 @@ object Dedup {
     *
     * Requires long-castable ids (the bounded buffer carries longs —
     * the engine's document-id contract, as in the streaming path).
+    *
+    * Caching: the narrow banded frame is cached (it feeds the bounded
+    * agg AND the overflow probe) under the standard operator-cache
+    * contract — released by an enclosing [[graft.core.CacheScope]]
+    * bracket, `clearCache()`, or session end; long-lived services
+    * should bracket their calls.
     */
   private[graft] def cappedBucketPairs(banded: DataFrame,
       keys: Seq[String], cap: Int,

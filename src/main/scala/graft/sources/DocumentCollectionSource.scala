@@ -83,17 +83,27 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
     if (names.isEmpty) return new StructType()
     val sampleLines = options.getInt("inferSampleLines", 1000)
     val maxFiles = math.min(names.size, 100)
-    val stride = math.max(1, names.size / maxFiles)
-    val sampled = names.indices.by(stride).take(maxFiles).map(names)
+    // CEILING stride: floor would leave the tail of the listing (the
+    // newest appends, which sort late) permanently unsampled whenever
+    // size isn't a multiple of maxFiles
+    val stride = (names.size + maxFiles - 1) / maxFiles
+    val sampled = names.indices.by(stride).map(names)
     val perFile = math.max(1, sampleLines / sampled.size)
-    val lines = sampled.iterator.flatMap { name =>
-      val f = new Path(s"$path/$name")
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        f.getFileSystem(conf).open(f), "UTF-8"))
-      try Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .take(perFile).toSeq
-      finally in.close()
-    }.take(sampleLines).toSeq
+    // the per-file opens are independent metadata round trips — on an
+    // object store each is ~100 ms, so run them concurrently instead of
+    // serially on the driver
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val lines = Await.result(
+      Future.traverse(sampled.toList) { name => Future {
+        val f = new Path(s"$path/$name")
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          f.getFileSystem(conf).open(f), "UTF-8"))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .take(perFile).toList
+        finally in.close()
+      }}, Duration.Inf).flatten.take(sampleLines)
     if (lines.isEmpty) new StructType()
     else {
       import spark.implicits._

@@ -361,6 +361,34 @@ class ParitySpec extends SparkSpec {
     assert(c.count() == 20000)
   }
 
+  test("Collection.compact preserves a Hive-partitioned layout: " +
+      "partition dirs survive, pruning still works, rows intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_pcompact").toString
+    val mgr = new graft.core.CollectionManager(spark, base)
+    val c = mgr.collection("docs")
+    val rows = (1 to 6000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("id", "lang")
+    c.write(rows, org.apache.spark.sql.SaveMode.Overwrite,
+      maxRecordsPerFile = 100, partitionBy = Seq("lang"))
+    val (before, after) = c.compact(targetRecordsPerFile = 2000,
+      clusterBy = Seq("id"))
+    assert(before >= 30, s"expected fragmentation, got $before")
+    assert(after < before, s"($before, $after)")
+    // the partition tree survived — not a flattened directory
+    val dirs = new java.io.File(s"$base/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("lang=de", "lang=en", "lang=fr"), dirs)
+    assert(c.count() == 6000)
+    // pruning still works: a lang filter scans only that partition
+    val pruned = c.read().filter(col("lang") === "en")
+    assert(pruned.count() == 2000)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("lang=de"), "partition pruning lost")
+  }
+
   test("Collection.compact crash recovery: a process death between the " +
       "two swap renames is healed on the next access — count never " +
       "silently reads 0") {
