@@ -114,6 +114,7 @@ object SparkEntry {
     "x52_weighted_sample" -> Extensions.x52WeightedSample,
     "x53_skew_salted" -> Extensions.x53SkewSalted,
     "x54_skew_aqe" -> Extensions.x54SkewAqe,
+    "x55_semantic_dedup" -> Extensions.x55SemanticDedup,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -465,10 +466,10 @@ object SparkEntry {
         |    AS n_within_1k
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
     // x4_minhash_pairs / x5_simhash_pairs / x8_knn_lsh / x14_neardup_lsh /
-    // x15_approx_distinct are probabilistic operators: no SQL oracle (the
-    // driver records a rows-only check); recall/accuracy against the
-    // exact counterparts (x3 / x6 / x7 / countDistinct) is asserted in
-    // the spec suite.
+    // x15_approx_distinct / x55_semantic_dedup are probabilistic /
+    // engine-hash operators: no SQL oracle (the driver records a
+    // rows-only check); recall/accuracy against the exact counterparts
+    // (x3 / x6 / x7 / countDistinct) is asserted in the spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     "x20_dedup_clusters" -> dedupClustersSql,
     "x46_dedup_representatives" -> dedupRepresentativesSql,

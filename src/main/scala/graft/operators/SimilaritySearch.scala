@@ -130,38 +130,72 @@ object SimilaritySearch {
     * join is an equi-join on the cell id. Per-query work drops from
     * |corpus| to ~|corpus|·nProbe/nCells.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-      kmeansIters: Int = 2, excludeSelf: Boolean = true,
-      trainFraction: Double = 1.0): DataFrame = {
+  /** Coarse k-means training shared by [[ivfTopK]] and [[semDedupPairs]]:
+    * deterministic id-order init, `iters` Lloyd rounds over the corpus or
+    * a deterministic hash sample of it ([[Sampling.hashSample]] — a pure
+    * map-side filter, so the training set is stable across runs and
+    * partitionings and costs no shuffle). Each round is one map-side
+    * compiled assign ([[assignCells]]) plus one aggregation that reduces
+    * to nCells×dim rows, collected because the result IS the (tiny)
+    * centroid table. A sample too small to seed any centroid falls back
+    * to the full corpus; an empty corpus returns an empty Seq.
+    */
+  private[graft] def trainCentroids(full: DataFrame, idC: String,
+      vecC: String, nCells: Int, iters: Int,
+      trainFraction: Double): Seq[Seq[Float]] = {
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
-    val c = graft.core.CacheScope.cached(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        normSq(col(vecCol)).as("cn")))
-
-    // training set: the whole (cached) corpus, or a deterministic
-    // hash sample of it — sampling is a pure map-side filter, so the
-    // sample is stable across runs/partitionings and costs no shuffle.
-    // A sample too small to seed any centroid falls back to the corpus.
     val train0 =
-      if (trainFraction >= 1.0) c
-      else Sampling.hashSample(c, "neighbor_id",
+      if (trainFraction >= 1.0) full
+      else Sampling.hashSample(full, idC,
         math.max(1, math.round(trainFraction * 1000000).toInt), 1000000)
 
     // deterministic init: first nCells vectors in id order. collect() on
     // a sorted limit preserves the sort, so this works for ANY orderable
     // id type (long, int, string) — no driver-side re-sort needed.
     def initCents(from: DataFrame): Seq[Seq[Float]] =
-      from.orderBy(col("neighbor_id")).limit(nCells)
-        .select(col("cv")).collect()
+      from.orderBy(col(idC)).limit(nCells)
+        .select(col(vecC)).collect()
         .map(_.getSeq[Float](0)).toSeq
     val (train, cents0) = {
       val fromSample = initCents(train0)
       if (fromSample.nonEmpty || trainFraction >= 1.0) (train0, fromSample)
-      else (c, initCents(c))
+      else (full, initCents(full))
     }
     var cents: Seq[Seq[Float]] = cents0
+    if (cents.isEmpty) return cents
+
+    for (_ <- 0 until iters) {
+      // map-side assign, then one agg shuffle that reduces to
+      // nCells×dim rows
+      val means = assignCells(train, vecC, cents)
+        .select(col("cell"), posexplode(col(vecC)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val v = new Array[Float](rows.map(_.getInt(1)).max + 1)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            v.toSeq
+          case None => old // a cell that lost all members keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2, excludeSelf: Boolean = true,
+      trainFraction: Double = 1.0): DataFrame = {
+    val c = graft.core.CacheScope.cached(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")))
+    val cents = trainCentroids(c, "neighbor_id", "cv", nCells,
+      kmeansIters, trainFraction)
 
     if (cents.isEmpty)
       // empty corpus: nothing to index; return an empty result with the
@@ -177,27 +211,6 @@ object SimilaritySearch {
             corpus.schema(idCol).dataType),
           org.apache.spark.sql.types.StructField("cos",
             org.apache.spark.sql.types.DoubleType))))
-
-    for (_ <- 0 until kmeansIters) {
-      // map-side assign, then one agg shuffle that reduces to
-      // nCells×dim rows — collected because the result IS the (tiny)
-      // centroid table
-      val means = assignCells(train, "cv", cents)
-        .select(col("cell"), posexplode(col("cv")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCell = means.groupBy(_.getInt(0))
-      cents = cents.zipWithIndex.map { case (old, cell) =>
-        byCell.get(cell) match {
-          case Some(rows) =>
-            val v = new Array[Float](rows.map(_.getInt(1)).max + 1)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
-            v.toSeq
-          case None => old // a cell that lost all members keeps its centroid
-        }
-      }
-    }
 
     val cells = assignCells(c, "cv", cents)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -370,4 +383,96 @@ object SimilaritySearch {
     else
       cosineNearDupPairsLSH(df, idCol, vecCol, threshold, bands,
         bitsPerBand, bucketCap)
+
+  /** SemDeDup-style semantic near-dup pairs (id1 < id2, cos ≥ threshold):
+    * a coarse k-means quantizer (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540 — cluster the embeddings, compare ONLY within a
+    * cluster) splits the corpus into `nCells` cells; candidate pairs are
+    * generated per cell through the same bounded generator the LSH paths
+    * use ([[Dedup.cappedBucketPairs]] — a cell holding 10⁵ copies of one
+    * boilerplate doc pairs its overflow members with the cell
+    * representative instead of emitting 10¹⁰ rows), and every candidate
+    * passes the exact compiled cosine.
+    *
+    * vs [[cosineNearDupPairsLSH]]: the banded-LSH path is tuned for
+    * NEAR-IDENTICAL vectors (per-pair collision falls off steeply below
+    * cos ≈ 0.9); the k-means partition keeps its pair budget at ANY
+    * threshold — SemDeDup's design point is the looser "semantic
+    * duplicate" regime (cos 0.7-0.9 on real embedding geometry) where
+    * banding would need impractically many bands. The trade is cell-
+    * boundary misses: a pair straddling two cells is never compared
+    * (recall vs the exact form on planted duplicate clusters is
+    * spec-asserted; identical vectors co-assign by construction since
+    * the compiled argmin is deterministic).
+    *
+    * At 100 TB: training touches a hash sample (`trainFraction`), cell
+    * assignment is ONE map-side compiled pass ([[assignCells]] /
+    * [[graft.expressions.NearestCells]] — zero exchanges), and pair work
+    * drops from n² to Σ_c n_c² ≈ n²/nCells for balanced cells, with the
+    * per-cell cap bounding the worst case. One cell-keyed shuffle of
+    * (id, cell) rows; the two verify joins ride measured-bytes broadcast
+    * hints. Requires long-castable ids (the bounded buffer's contract).
+    *
+    * Caching: the (id, v, nsq) projection is cached (it feeds training,
+    * assignment, and both verify joins) under the standard operator-
+    * cache contract — release via [[graft.core.CacheScope.scoped]].
+    */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, kmeansIters: Int = 2,
+      trainFraction: Double = 1.0,
+      cellCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val spark = df.sparkSession
+    val v = graft.core.CacheScope.cached(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        normSq(col(vecCol)).as("nsq")))
+    val cents = trainCentroids(v, "id", "v", nCells, kmeansIters,
+      trainFraction)
+    if (cents.isEmpty)
+      // empty corpus: no cells to assign; empty pair frame, same schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id1",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id2",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType))))
+    val cells = assignCells(v, "v", cents).select(col("id"), col("cell"))
+    val cand = Dedup.cappedBucketPairs(cells, Seq("cell"), cellCap)
+    val hint = Dedup.sizedBroadcastHint(v)
+    cand
+      .join(hint(v.select(col("id").as("id1"), col("v").as("v1"),
+        col("nsq").as("n1"))), "id1")
+      .join(hint(v.select(col("id").as("id2"), col("v").as("v2"),
+        col("nsq").as("n2"))), "id2")
+      .withColumn("cos", round(
+        cosineFromParts(dot(col("v1"), col("v2")), col("n1"), col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Semantic dedup SURVIVORS — the frame a curation pipeline trains
+    * from: [[semDedupPairs]] composed with connected-components
+    * clustering, keeping the minimum id per semantic-duplicate cluster
+    * with the cluster size as a repeat-factor weight (docs in no pair
+    * survive as weight-1 singletons). Same composition as the x46
+    * shingle-dedup representatives, over the semantic pair generator.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, kmeansIters: Int = 2,
+      trainFraction: Double = 1.0,
+      cellCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, threshold, nCells,
+      kmeansIters, trainFraction, cellCap)
+    val labels = ConnectedComponents.clusters(pairs, "id1", "id2")
+      .select(col("id").as(idCol), col("label").as("__cid"))
+    df.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("__cid"), col(idCol)))
+      .groupBy(col("__cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("__cluster").as(idCol), col("cluster_size"))
+  }
 }

@@ -80,6 +80,20 @@ object Extensions {
         "embedding", threshold = 0.95)
       .orderBy(col("id1"), col("id2"))
 
+  /** x55: SemDeDup semantic dedup — coarse k-means cells (map-side
+    * compiled assign), within-cell bounded candidate pairs, exact cosine
+    * verify, connected components collapsed to min-id representatives
+    * carrying cluster size as a repeat-factor weight. The published
+    * scale recipe for embedding dedup BELOW the near-identical regime
+    * x14's banding is tuned for (Abbas et al., arXiv:2303.09540).
+    * K-means is engine-side → no SQL oracle; nCells=1 ≡ exact pairs,
+    * planted-cluster recall, and the cell cap are spec-asserted.
+    */
+  def x55SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.semanticDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.8, nCells = 8)
+      .orderBy(col("vec_id"))
+
   /** x7: brute-force cosine top-5 for the first 10 vectors as queries. */
   def x7KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

@@ -224,6 +224,21 @@ class PlanSpec extends SparkSpec {
     assert(objAggs >= 2, s"expected partial+final bounded agg:\n$p")
   }
 
+  test("x55: semantic dedup pairs never enumerate the corpus — compiled " +
+      "cell assign, bounded per-cell candidates, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val p = plan(graft.operators.SimilaritySearch.semDedupPairs(
+      emb, "vec_id", "embedding", threshold = 0.8, nCells = 4))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_nearest_cells"), p) // map-side compiled assign
+    // per-cell candidates come off the bounded partial+final agg, the
+    // same shape as the capped LSH paths
+    val objAggs = p.split("ObjectHashAggregate").length - 1
+    assert(objAggs >= 2, s"expected partial+final bounded agg:\n$p")
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort

@@ -261,6 +261,155 @@ class SimilaritySpec extends SparkSpec {
     ()
   }
 
+  // ---- SemDeDup (x55): k-means cells + within-cell bounded pairs ----
+
+  /** base-50 corpus + 50 planted near-twins (cos ≈ 0.9999), as in the
+    * x14 design-point test — the planted ground truth for semantic dedup.
+    */
+  private def plantedCorpus() = {
+    import graft.expressions.HyperplaneBucket
+    val base = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).take(50)
+    val planted = base.map { case (id, v) =>
+      val v2 = v.clone()
+      var i = 0
+      while (i < v2.length) {
+        v2(i) = v2(i) + 0.02f * HyperplaneBucket.coef(id.toInt, i).toFloat
+        i += 1
+      }
+      (id + 100000L, v2)
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding",
+        ArrayType(FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (base ++ planted).toSeq.map { case (id, v) => Row(id, v.toSeq) }, 8),
+      schema)
+  }
+
+  test("semDedupPairs with nCells=1 equals the exact all-pairs form") {
+    val t = 0.4
+    val exact = SimilaritySearch.cosineNearDupPairs(emb, "vec_id",
+        "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = SimilaritySearch.semDedupPairs(emb, "vec_id", "embedding", t,
+        nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    assert(sem == exact,
+      "a single cell must reproduce the exact pair set verbatim")
+  }
+
+  test("semDedupPairs: subset of exact with identical cosines at a loose " +
+      "threshold, full recall on planted near-twins across cells") {
+    val t = 0.4
+    val exact = SimilaritySearch.cosineNearDupPairs(emb, "vec_id",
+        "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = SimilaritySearch.semDedupPairs(emb, "vec_id", "embedding", t,
+        nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sem.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(exact(pair) == c, s"cos mismatch at $pair")
+    }
+    assert(sem.nonEmpty, "semantic partition found nothing at all")
+
+    // planted near-twins (cos ≈ 0.9999) must co-assign — the compiled
+    // argmin is deterministic and the twins are ~identical vectors —
+    // so SemDeDup recall on true semantic duplicates is exactly 1
+    val all = plantedCorpus()
+    val exactPlanted = SimilaritySearch.cosineNearDupPairs(all, "vec_id",
+        "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPlanted.size == 50)
+    val semPlanted = SimilaritySearch.semDedupPairs(all, "vec_id",
+        "embedding", 0.95, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semPlanted == exactPlanted,
+      "planted twins must all be found (and nothing else)")
+  }
+
+  test("semDedupPairs: a mega-cluster cell emits bounded pairs and stays " +
+      "fully connected through the representative") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding",
+        ArrayType(FloatType, containsNull = false), nullable = false)))
+    // 400 copies of one boilerplate vector + 40 scattered distinct ones
+    val copyVec = Seq.fill(8)(1.0f)
+    val copies = (0L until 400L).map(i => Row(i, copyVec))
+    val others = (1000L until 1040L).map { i =>
+      Row(i, (0 until 8).map(d =>
+        math.sin(i * 8 + d).toFloat * 10f).toSeq)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(copies ++ others, 8), schema)
+    val cap = 20
+    val pairs = SimilaritySearch.semDedupPairs(df, "vec_id", "embedding",
+        threshold = 0.999, nCells = 4, cellCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded: C(cap,2) full pairs + (400−cap) representative links for
+    // the copy cell, NOT C(400,2) = 79 800 — the copies all land in one
+    // cell (the scattered vectors cluster separately and may genuinely
+    // pair among themselves, so the bound counts copy-copy pairs only)
+    val copyPairs = pairs.filter { case (a, b) => a < 400 && b < 400 }
+    assert(copyPairs.length <= cap * (cap - 1) / 2 + (400 - cap),
+      s"cap leaked: ${copyPairs.length} copy pairs")
+    // connected: every copy reaches id 0 through the pair graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (0L until 400L).map(find).toSet
+    assert(roots.size == 1, s"mega-cluster split into ${roots.size} parts")
+  }
+
+  test("semanticDedup survivors equal driver-side union-find over the " +
+      "pair set, with repeat weights") {
+    val all = plantedCorpus()
+    val pairs = SimilaritySearch.semDedupPairs(all, "vec_id", "embedding",
+        0.95, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = all.select(col("vec_id")).collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.groupBy(find).map { case (_, members) =>
+      members.min -> members.length.toLong
+    }
+    val got = SimilaritySearch.semanticDedup(all, "vec_id", "embedding",
+        0.95, nCells = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // on this corpus that means 50 surviving representatives (the base
+    // ids), each standing for its twin: weight 2
+    assert(got.size == 50 && got.values.forall(_ == 2L))
+  }
+
+  test("semDedupPairs on an empty corpus returns an empty pair frame") {
+    val none = emb.filter(lit(false))
+    val got = SimilaritySearch.semDedupPairs(none, "vec_id", "embedding",
+      0.9)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("id1", "id2", "cos"))
+  }
+
   test("ivfTopK trainFraction: centroids trained on a 25% hash sample " +
       "keep recall, and results stay deterministic") {
     val k = 5
