@@ -115,6 +115,7 @@ object SparkEntry {
     "x53_skew_salted" -> Extensions.x53SkewSalted,
     "x54_skew_aqe" -> Extensions.x54SkewAqe,
     "x55_semantic_dedup" -> Extensions.x55SemanticDedup,
+    "x56_dedup_clusters_star" -> Extensions.x56DedupClustersStar,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -472,6 +473,9 @@ object SparkEntry {
     // (x3 / x6 / x7 / countDistinct) is asserted in the spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     "x20_dedup_clusters" -> dedupClustersSql,
+    // same output contract, different engine path (star contraction) —
+    // one oracle checks both
+    "x56_dedup_clusters_star" -> dedupClustersSql,
     "x46_dedup_representatives" -> dedupRepresentativesSql,
     "x21_hash_split" ->
       """SELECT lang,

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * windows — and the loop runs O(component diameter) rounds. Near-dup
   * components are small and dense (duplicates of one document all link
   * to each other), so 2–4 rounds close the fixpoint in practice. At
-  * extreme diameters swap the edge rewrite for large-star/small-star
-  * contraction (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC 2014) — the driver loop and convergence check are
-  * identical.
+  * extreme diameters use [[clustersStarContraction]] — the
+  * large-star/small-star edge rewrite (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014) whose round count is
+  * logarithmic in component size instead of linear in diameter.
   *
   * The reference has no graph/clustering surface at all; this extends
   * the dedup family (SURVEY §2.2) with the operator that makes pair
@@ -73,5 +73,116 @@ object ConnectedComponents {
     }
     edgesC.unpersist()
     labels.select(col("id"), col("label"))
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the high-diameter escalation of [[clusters]]: min-label propagation
+    * needs O(diameter) rounds, so a 10⁶-node chain (reference-graph
+    * dedup, citation paths, CDC segment adjacency) needs 10⁶ rounds;
+    * star contraction converges in O(log n) alternations on such graphs
+    * because each round rewires nodes directly to their neighborhood
+    * minimum, halving star depth.
+    *
+    * Each alternation is two edge-rewrite steps over the CANONICAL
+    * (hi→lo) edge list, each one aggregation plus one co-partitioned
+    * join — the same two-linear-shuffle budget per round as [[clusters]]
+    * spends, just spent on edges instead of labels:
+    *
+    *  - large-star: for every node `a`, every LARGER neighbor is rewired
+    *    to `min(N(a) ∪ {a})` — connectivity-preserving because old edge
+    *    (a,b) and new edge (b,m) share the path through a's minimum;
+    *  - small-star: every canonical edge group (u → its smaller
+    *    neighbors) collapses onto the group minimum.
+    *
+    * Fixpoint ⇔ the edge set is unchanged by a full alternation, at
+    * which point every component is a star: each non-min node holds
+    * exactly one edge to the component minimum. Output matches
+    * [[clusters]] exactly: (id, label = component min) for every node
+    * appearing in `pairs`, deterministic and partitioning-independent.
+    * Like [[clusters]], each round materializes one cached frame and
+    * unpersists the previous — nothing driver-side beyond the per-round
+    * convergence counts.
+    *
+    * Unlike [[clusters]] (whose 2–4 rounds tolerate a growing logical
+    * plan), a logarithmic loop still runs 10–20 rounds on deep graphs —
+    * enough nested join/distinct/except layers to overflow Catalyst's
+    * analysis recursion. Each round therefore TRUNCATES LINEAGE by
+    * checkpointing the new edge set: `localCheckpoint` (executor-local,
+    * no configuration) by default, or a reliable `checkpoint` when
+    * `reliable = true` (requires `sparkContext.setCheckpointDir`; the
+    * right choice on a large cluster, where losing an executor must not
+    * strand 20 rounds of contraction history).
+    *
+    * Prefer [[clusters]] for the dense few-hop components near-dup
+    * pipelines produce (its seeded init often closes them in one
+    * convergence check); prefer this form when component diameter is
+    * unknown or unbounded. `maxRounds` is a safety rail — O(log n)
+    * convergence means 64 alternations cover any graph that fits in
+    * storage (2⁶⁴ nodes); hitting it indicates a non-converging edge
+    * generator upstream, and throwing beats looping forever.
+    */
+  def clustersStarContraction(pairs: DataFrame, id1: String, id2: String,
+      maxRounds: Int = 64, reliable: Boolean = false): DataFrame = {
+    import graft.core.CacheScope
+    def truncated(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var edges = truncated(
+      pairs.select(greatest(col(id1), col(id2)).as("u"),
+          least(col(id1), col(id2)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var round = 0
+    while (!converged) {
+      require(round < maxRounds,
+        s"star contraction did not converge in $maxRounds rounds")
+      // large-star over the symmetrized adjacency: one explode (NOT a
+      // union — union would re-run the upstream pair generator per
+      // branch), one groupBy for the per-node closed-neighborhood min,
+      // one co-partitioned join back
+      val sym = edges.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val large = sym
+        .join(sym.groupBy(col("a"))
+          .agg(least(col("a"), min(col("b"))).as("m")), "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val largeC = CacheScope.cached(large)
+      // small-star directly on the canonical direction: every group
+      // (u, its smaller neighbors) collapses onto the group min — the
+      // min rides the same join, then one explode emits both the u→m
+      // edge and each displaced neighbor's v→m edge
+      val small = largeC
+        .join(largeC.groupBy(col("u")).agg(min(col("v")).as("m")), "u")
+        .select(explode(array(
+          struct(col("u").as("s"), col("m").as("t")),
+          struct(col("v").as("s"), col("m").as("t")))).as("e"))
+        .select(col("e.s").as("u"), col("e.t").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // checkpoint (not just cache): truncates the logical plan so 20
+      // rounds don't stack 20 rounds of Catalyst lineage
+      val smallC = truncated(small)
+      val n2 = smallC.count()
+      // both sides are distinct canonical sets: equal counts + empty
+      // one-way difference ⇒ set equality ⇒ fixpoint
+      converged = n2 == nEdges && smallC.except(edges).count() == 0L
+      largeC.unpersist()
+      edges.unpersist(blocking = false)
+      edges = smallC
+      nEdges = n2
+      round += 1
+    }
+    // fixpoint stars: children are (u → component min); the roots only
+    // appear on the dst side, so emit their self-label from there
+    val out = edges.select(explode(array(
+        struct(col("u").as("id"), col("v").as("label")),
+        struct(col("v").as("id"), col("v").as("label")))).as("e"))
+      .select(col("e.id").as("id"), col("e.label").as("label"))
+      .distinct()
+    out
   }
 }

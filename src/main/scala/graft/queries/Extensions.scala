@@ -207,6 +207,24 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x56: the x20 duplicate clusters computed by ALTERNATING STAR
+    * CONTRACTION ([[graft.operators.ConnectedComponents
+    * .clustersStarContraction]], Kiveris et al. SoCC'14) instead of
+    * min-label propagation — the escalation path for graphs whose
+    * component diameter is unbounded (min-label needs O(diameter)
+    * rounds; star contraction needs O(log n) alternations). The output
+    * contract is identical — (doc_id, cluster_id = component min) — so
+    * the same recursive-CTE oracle checks both engine paths.
+    */
+  def x56DedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+      k = 3, threshold = 0.6)
+    graft.operators.ConnectedComponents
+      .clustersStarContraction(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

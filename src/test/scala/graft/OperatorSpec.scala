@@ -256,6 +256,49 @@ class OperatorSpec extends SparkSpec {
     assert(gotReal == expected)
   }
 
+  test("star contraction equals min-label clusters on the known graph " +
+      "and the real x3 pairs") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val got = ConnectedComponents.clustersStarContraction(pairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // the two engine paths must agree row-for-row on a real pair graph
+    val real = graft.operators.Dedup.jaccardShinglePairs(
+      graft.core.Graft.table(spark, sfDir, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.6)
+    val viaLabels = ConnectedComponents.clusters(real, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = ConnectedComponents
+      .clustersStarContraction(real, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars.nonEmpty && viaStars == viaLabels)
+
+    // empty pair list: empty labels, no iteration
+    val none = pairs.filter(lit(false))
+    assert(ConnectedComponents.clustersStarContraction(none, "id1", "id2")
+      .count() == 0L)
+  }
+
+  test("star contraction closes a diameter-600 path within its " +
+      "logarithmic round budget") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // a 601-node chain: min-label propagation would need ~600 rounds
+    // (it moves the min one hop per round); alternating star contraction
+    // must close it in O(log n) — the budget below is the assertion
+    val path = (0L until 600L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = ConnectedComponents
+      .clustersStarContraction(path, "id1", "id2", maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 601)
+    assert(labels.forall(_._2 == 0L), "every node must label to the chain min")
+  }
+
   test("Repetition stats: planted repetitive docs flagged, diverse doc " +
       "not, empty doc all-zero and unflagged") {
     import spark.implicits._
