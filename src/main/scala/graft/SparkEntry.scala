@@ -116,6 +116,7 @@ object SparkEntry {
     "x54_skew_aqe" -> Extensions.x54SkewAqe,
     "x55_semantic_dedup" -> Extensions.x55SemanticDedup,
     "x56_dedup_clusters_star" -> Extensions.x56DedupClustersStar,
+    "x57_dup_ngram_coverage" -> Extensions.x57DupNgramCoverage,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -476,6 +477,7 @@ object SparkEntry {
     // same output contract, different engine path (star contraction) —
     // one oracle checks both
     "x56_dedup_clusters_star" -> dedupClustersSql,
+    "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x46_dedup_representatives" -> dedupRepresentativesSql,
     "x21_hash_split" ->
       """SELECT lang,
@@ -1078,6 +1080,30 @@ object SparkEntry {
   /** Whitespace tokens in DuckDB, matching TextFunctions.tokens. */
   private val tokSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+
+  /** x57: positional 3-gram coverage — occurrence-level duplicated
+    * n-gram fraction per doc, all exact integer counts; `//` is DuckDB
+    * integer division, matching the engine's `div`.
+    */
+  private val dupNgramCoverageSql =
+    s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3),
+       |f AS (
+       |  SELECT s FROM (
+       |    SELECT s, COUNT(DISTINCT doc_id) AS dfreq FROM p GROUP BY s)
+       |  WHERE dfreq >= 2),
+       |n AS (SELECT doc_id, COUNT(*) AS n_shingles FROM p GROUP BY doc_id),
+       |d AS (SELECT p.doc_id, COUNT(*) AS n_dup FROM p JOIN f USING (s)
+       |      GROUP BY p.doc_id)
+       |SELECT n.doc_id,
+       |  CAST(n.n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST((COALESCE(d.n_dup, 0) * 10000) // n.n_shingles AS BIGINT)
+       |    AS dup_bp
+       |FROM n LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"

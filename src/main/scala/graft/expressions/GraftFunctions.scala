@@ -29,6 +29,8 @@ object GraftFunctions {
   def hyperplaneBands(a: Column, bands: Int, bitsPerBand: Int): Column =
     c(HyperplaneBands(e(a), bands, bitsPerBand))
   def wordShingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
+  def wordShinglesSeq(text: Column, k: Int): Column =
+    c(WordShinglesSeq(e(text), k))
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignature(e(shingles), numHashes))
   def simHash64(text: Column): Column = c(SimHash64(e(text)))

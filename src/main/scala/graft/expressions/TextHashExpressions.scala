@@ -71,6 +71,43 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** ALL word-k-shingles in POSITIONAL order, duplicates preserved — the
+  * occurrence-level twin of [[WordShingles]] (which collapses to the
+  * distinct sorted set) for coverage-style signals where each position
+  * counts once: output length is max(0, n_tokens − k + 1).
+  */
+case class WordShinglesSeq(child: Expression, k: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles_seq"
+
+  override def kernel(t: Any): Any = {
+    val toks = Tok.tokens(t.asInstanceOf[UTF8String])
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesSeq =
+    copy(child = newChild)
+}
+
 /** |A ∩ B| of two binary-sorted distinct string arrays via a two-pointer
   * merge — O(|A|+|B|) UTF8String compares, no per-row hash-set build.
   * Replaces `size(array_intersect(a, b))` on the pair-verification hot

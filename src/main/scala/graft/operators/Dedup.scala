@@ -521,4 +521,48 @@ object Dedup {
         bit_count(col("pl1").bitwiseXOR(col("pl2"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Per-document DUPLICATED N-GRAM COVERAGE — the measurement side of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022: text repeated VERBATIM
+    * across a corpus is the highest-leverage material to remove): for
+    * each document, the position-level fraction of its word-k-shingles
+    * whose shingle also occurs in at least `minDocs` documents
+    * (including this one — so with the default 2, "appears in some
+    * OTHER doc too"). Within-doc repetition alone does not count; that
+    * is [[graft.operators.Repetition]]'s signal.
+    *
+    * Output: (id, n_shingles, n_dup, dup_bp) — occurrence counts plus
+    * basis points `n_dup·10⁴ div n_shingles` in exact integer space, so
+    * the score is engine- and partitioning-independent. Documents with
+    * fewer than k tokens have no positions to measure and produce no
+    * row.
+    *
+    * Scale shape: one compiled positional-shingle pass
+    * ([[graft.expressions.WordShinglesSeq]]) + explode; document
+    * frequency over the DISTINCT (doc, shingle) projection (one
+    * shingle-keyed linear shuffle — vocabulary-sized, sublinear in
+    * corpus); one shingle-keyed join back and two per-doc aggregations.
+    * No doc×doc work anywhere, which is what lets the signal run where
+    * the pairwise dedup forms cannot. The exploded positional frame is
+    * cached (it feeds the frequency, coverage, and total branches) under
+    * the standard operator-cache contract
+    * ([[graft.core.CacheScope.scoped]]).
+    */
+  def duplicatedNgramCoverage(df: DataFrame, idCol: String,
+      textCol: String, k: Int, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val pos = CacheScope.cached(df.select(col(idCol).as("id"),
+      explode(GraftFunctions.wordShinglesSeq(col(textCol), k)).as("s")))
+    val dupShingles = pos.select(col("id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= minDocs)
+      .select(col("s"))
+    val nd = pos.join(dupShingles, "s")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    pos.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      .join(nd, Seq("id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("dup_bp", expr("n_dup * 10000L div n_shingles"))
+  }
 }

@@ -225,6 +225,19 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x57: duplicated n-gram coverage — per doc, how much of it is
+    * 3-gram material that also appears verbatim in other documents
+    * ([[graft.operators.Dedup.duplicatedNgramCoverage]], the
+    * measurement side of Lee-et-al exact-substring dedup). Exact
+    * integer occurrence counts + basis points, so the DuckDB oracle
+    * reproduces it bit-for-bit.
+    */
+  def x57DupNgramCoverage(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedNgramCoverage(docs(s, dir), "doc_id", "text", k = 3)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_dup"),
+        col("dup_bp"))
+      .orderBy(col("doc_id"))
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

@@ -199,6 +199,44 @@ class DedupSpec extends SparkSpec {
     assert(nPrefix <= nExact)
   }
 
+  test("duplicatedNgramCoverage: toy corpus by hand + driver recompute " +
+      "on the real one") {
+    import spark.implicits._
+    // d1/d2 share "the quick brown" (1 of each doc's 2 positions);
+    // d3 is too short for any 3-gram (no row); d4/d5 are verbatim copies
+    // whose within-doc repeat ALSO appears in the other doc (full
+    // coverage); d6's repetition is within-doc only (zero coverage)
+    val toy = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown dog"),
+      (3L, "too short"), (4L, "a a a a"), (5L, "a a a a"),
+      (6L, "b b b b")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedNgramCoverage(toy, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 5000L)), 2L -> ((2L, 1L, 5000L)),
+      4L -> ((2L, 2L, 10000L)), 5L -> ((2L, 2L, 10000L)),
+      6L -> ((2L, 0L, 0L))))
+
+    // real corpus: exact agreement with a driver-side recompute
+    val perDoc = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> (if (toks.length < 3) Array.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toArray)
+    }
+    val docFreq = perDoc.flatMap { case (id, sh) => sh.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val expected = perDoc.collect { case (id, sh) if sh.nonEmpty =>
+      val nd = sh.count(docFreq(_) >= 2).toLong
+      id -> ((sh.length.toLong, nd, nd * 10000L / sh.length))
+    }.toMap
+    val gotReal = Dedup
+      .duplicatedNgramCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotReal == expected)
+  }
+
   test("contaminationReportBloom: never misses what the exact report " +
       "flags, and matches it exactly at a generous bitset") {
     import org.apache.spark.sql.functions._

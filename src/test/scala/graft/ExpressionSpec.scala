@@ -63,6 +63,33 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("WordShinglesSeq is positional with duplicates; distinct-sorted " +
+      "it equals WordShingles; short text yields empty") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val toy = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("The quick  brown fox"), Row("a a a a"), Row("too short"),
+        Row("")), 2), schema)
+    val got = toy.select(
+        GraftFunctions.wordShinglesSeq(col("text"), 3).as("seq"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("the quick brown", "quick brown fox"))
+    assert(got(1) == Seq("a a a", "a a a")) // duplicates preserved
+    assert(got(2) == Seq.empty && got(3) == Seq.empty)
+
+    // on the real corpus: distinct+sort of the positional form IS the
+    // set form — one contract, two access patterns
+    val docs = graft.core.Graft.table(spark, sfDir, "documents")
+    docs.select(
+        array_sort(array_distinct(
+          GraftFunctions.wordShinglesSeq(col("text"), 3))).as("a"),
+        GraftFunctions.wordShingles(col("text"), 3).as("b"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("SortedArrayIntersectCount equals size(array_intersect) on shingle sets") {
     val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(40)
     val sets = docs.select(col("doc_id").as("id"),

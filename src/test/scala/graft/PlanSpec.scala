@@ -239,6 +239,15 @@ class PlanSpec extends SparkSpec {
     assert(objAggs >= 2, s"expected partial+final bounded agg:\n$p")
   }
 
+  test("x57: dup-ngram coverage is explode + linear shingle-keyed aggs — " +
+      "compiled kernel, no doc-pair work, no window") {
+    val p = plan(Extensions.x57DupNgramCoverage(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("graft_word_shingles_seq"), p) // one compiled pass
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
