@@ -117,6 +117,7 @@ object SparkEntry {
     "x55_semantic_dedup" -> Extensions.x55SemanticDedup,
     "x56_dedup_clusters_star" -> Extensions.x56DedupClustersStar,
     "x57_dup_ngram_coverage" -> Extensions.x57DupNgramCoverage,
+    "x58_remove_dup_ngrams" -> Extensions.x58RemoveDupNgrams,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -478,6 +479,7 @@ object SparkEntry {
     // one oracle checks both
     "x56_dedup_clusters_star" -> dedupClustersSql,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
+    "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x46_dedup_representatives" -> dedupRepresentativesSql,
     "x21_hash_split" ->
       """SELECT lang,
@@ -1080,6 +1082,37 @@ object SparkEntry {
   /** Whitespace tokens in DuckDB, matching TextFunctions.tokens. */
   private val tokSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+
+  /** x58: dup-ngram removal — 1-based token j survives iff no
+    * duplicated 3-gram start i covers it (i ≤ j ≤ i+2), mirroring the
+    * engine's 0-based boolean mask exactly.
+    */
+  private val removeDupNgramsSql =
+    s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, i, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)
+       |  WHERE len(tk) >= 3),
+       |f AS (
+       |  SELECT s FROM (
+       |    SELECT s, COUNT(DISTINCT doc_id) AS dfreq FROM p GROUP BY s)
+       |  WHERE dfreq >= 2),
+       |d AS (SELECT doc_id, list(i) AS starts FROM p JOIN f USING (s)
+       |      GROUP BY doc_id),
+       |r AS (SELECT t.doc_id, tk, COALESCE(d.starts, []) AS st
+       |      FROM t LEFT JOIN d USING (doc_id)),
+       |kept AS (SELECT doc_id, tk,
+       |  list_transform(list_filter(range(1, len(tk) + 1),
+       |    j -> len(list_filter(st, i -> i <= j AND j <= i + 2)) = 0),
+       |    j -> tk[j]) AS kt
+       |  FROM r)
+       |SELECT doc_id,
+       |  -- array_to_string([]) is NULL in DuckDB; the engine rebuilds
+       |  -- a fully-covered doc as the empty string
+       |  COALESCE(array_to_string(kt, ' '), '') AS clean_text,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(kt) AS BIGINT) AS n_kept
+       |FROM kept ORDER BY doc_id""".stripMargin
 
   /** x57: positional 3-gram coverage — occurrence-level duplicated
     * n-gram fraction per doc, all exact integer counts; `//` is DuckDB

@@ -31,6 +31,8 @@ object GraftFunctions {
   def wordShingles(text: Column, k: Int): Column = c(WordShingles(e(text), k))
   def wordShinglesSeq(text: Column, k: Int): Column =
     c(WordShinglesSeq(e(text), k))
+  def removeCoveredTokens(text: Column, starts: Column, k: Int): Column =
+    c(RemoveCoveredTokens(e(text), e(starts), k))
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignature(e(shingles), numHashes))
   def simHash64(text: Column): Column = c(SimHash64(e(text)))

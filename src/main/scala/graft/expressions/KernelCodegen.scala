@@ -35,6 +35,25 @@ trait UnaryKernelCodegen extends UnaryExpression {
   }
 }
 
+/** Binary twin of [[UnaryKernelCodegen]]: kernel must never return
+  * null (null inputs short-circuit via nullSafeCodeGen as usual).
+  */
+trait BinaryKernelCodegen extends BinaryExpression {
+
+  /** Exactly the expression's null-safe evaluation; public because the
+    * generated code calls it. Must NEVER return null.
+    */
+  def kernel(a: Any, b: Any): Any
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (${CodeGenerator.boxedType(dataType)}) $ref.kernel($a, $b);")
+  }
+}
+
 /** Binary variant whose kernel MAY return null (SQL NULL result from
   * non-null inputs); the expression must override `nullable = true`.
   */

@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -106,6 +106,52 @@ case class WordShinglesSeq(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesSeq =
     copy(child = newChild)
+}
+
+/** Rebuild a document in normalized token space (lowercased,
+  * single-spaced — [[Tok.tokens]]) with every token COVERED by a
+  * flagged k-gram start removed: start position p (0-based, matching
+  * `posexplode` over [[WordShinglesSeq]]) covers tokens p .. p+k−1.
+  * One compiled pass; start order and duplicates in `starts` are
+  * irrelevant (coverage is a boolean mask). Out-of-range starts are
+  * clamped defensively.
+  */
+case class RemoveCoveredTokens(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with BinaryKernelCodegen {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_remove_covered_tokens"
+
+  override def kernel(t: Any, st: Any): Any = {
+    val toks = Tok.tokens(t.asInstanceOf[UTF8String])
+    val starts = st.asInstanceOf[ArrayData]
+    val covered = new Array[Boolean](toks.length)
+    var i = 0
+    while (i < starts.numElements()) {
+      var j = math.max(0, starts.getInt(i))
+      val end = math.min(j + k, toks.length)
+      while (j < end) { covered(j) = true; j += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var first = true
+    var j = 0
+    while (j < toks.length) {
+      if (!covered(j)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(j))
+        first = false
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RemoveCoveredTokens =
+    copy(left = newLeft, right = newRight)
 }
 
 /** |A ∩ B| of two binary-sorted distinct string arrays via a two-pointer

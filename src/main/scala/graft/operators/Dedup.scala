@@ -565,4 +565,49 @@ object Dedup {
       .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
       .withColumn("dup_bp", expr("n_dup * 10000L div n_shingles"))
   }
+
+  /** Duplicated n-gram REMOVAL — the acting side of
+    * [[duplicatedNgramCoverage]] (Lee et al. ACL 2022): every token
+    * covered by a word-k-gram that also occurs in ≥ `minDocs` documents
+    * is dropped, and each document is rebuilt from its surviving tokens
+    * in NORMALIZED TOKEN SPACE (lowercased, single-spaced — the
+    * representation a curation pipeline tokenizes anyway; byte-exact
+    * original spans are not preserved). Documents with fewer than k
+    * tokens pass through untouched (normalized), fully-duplicated
+    * documents collapse to the empty string.
+    *
+    * Output: (id, clean_text, n_tokens, n_kept) — the rebuilt text plus
+    * exact before/after token counts.
+    *
+    * Scale shape: identical to the coverage signal — one compiled
+    * positional-shingle pass + explode, the vocabulary-sized document-
+    * frequency shuffle, one join back — plus one per-doc `collect_list`
+    * of duplicated START POSITIONS (bounded by the doc's own token
+    * count, never corpus-sized) and a final compiled rebuild pass
+    * ([[graft.expressions.RemoveCoveredTokens]], order-insensitive so
+    * collect_list's nondeterministic ordering cannot leak into the
+    * output). No doc×doc work anywhere.
+    */
+  def removeDuplicatedNgrams(df: DataFrame, idCol: String,
+      textCol: String, k: Int, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val pos = CacheScope.cached(df.select(col(idCol).as("id"),
+      posexplode(GraftFunctions.wordShinglesSeq(col(textCol), k))
+        .as(Seq("pos", "s"))))
+    val dupShingles = pos.select(col("id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= minDocs)
+      .select(col("s"))
+    val dupStarts = pos.join(dupShingles, "s")
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("starts"))
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(dupStarts, Seq("id"), "left")
+      .select(col("id"),
+        GraftFunctions.removeCoveredTokens(col("__t"),
+          coalesce(col("starts"), lit(Array.empty[Int])), k)
+          .as("clean_text"),
+        size(tokens(col("__t"))).cast("long").as("n_tokens"))
+      .withColumn("n_kept",
+        size(tokens(col("clean_text"))).cast("long"))
+  }
 }

@@ -238,6 +238,18 @@ object Extensions {
         col("dup_bp"))
       .orderBy(col("doc_id"))
 
+  /** x58: duplicated n-gram REMOVAL — the acting side of x57
+    * ([[graft.operators.Dedup.removeDuplicatedNgrams]]): tokens covered
+    * by cross-document 3-grams dropped, docs rebuilt in normalized
+    * token space with exact before/after counts. String rebuild +
+    * integer counts → bit-for-bit DuckDB oracle.
+    */
+  def x58RemoveDupNgrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedNgrams(docs(s, dir), "doc_id", "text", k = 3)
+      .select(col("id").as("doc_id"), col("clean_text"), col("n_tokens"),
+        col("n_kept"))
+      .orderBy(col("doc_id"))
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

@@ -237,6 +237,50 @@ class DedupSpec extends SparkSpec {
     assert(gotReal == expected)
   }
 
+  test("removeDuplicatedNgrams: toy corpus by hand + driver recompute " +
+      "on the real one") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "The quick brown fox"), (2L, "the quick brown dog"),
+      (3L, "Too Short"), (4L, "a a a a"), (5L, "a a a a"),
+      (6L, "b b b b")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedNgrams(toy, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("fox", 4L, 1L)), 2L -> (("dog", 4L, 1L)),
+      3L -> (("too short", 2L, 2L)), // under k tokens: normalized pass-through
+      4L -> (("", 4L, 0L)), 5L -> (("", 4L, 0L)), // verbatim copies vanish
+      6L -> (("b b b b", 4L, 4L)))) // within-doc repeats alone don't count
+
+    // real corpus: exact agreement with a driver-side recompute
+    val perDoc = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+    }
+    val docFreq = perDoc.flatMap { case (id, tk) =>
+      (if (tk.length < 3) Array.empty[String]
+       else tk.sliding(3).map(_.mkString(" ")).toArray).distinct.map(_ -> id)
+    }.groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val expected = perDoc.map { case (id, tk) =>
+      val covered = new Array[Boolean](tk.length)
+      for (i <- 0 to tk.length - 3)
+        if (docFreq(tk.slice(i, i + 3).mkString(" ")) >= 2)
+          (i until i + 3).foreach(covered(_) = true)
+      val kept = tk.indices.filterNot(i => covered(i)).map(i => tk(i))
+      id -> ((kept.mkString(" "), tk.length.toLong, kept.length.toLong))
+    }.toMap
+    val gotReal = Dedup
+      .removeDuplicatedNgrams(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotReal == expected)
+    // the template-heavy corpus exercises the empty-rebuild path, and
+    // removal is never total across the board
+    assert(gotReal.values.exists(_._3 == 0L), "no fully-covered doc?")
+    assert(gotReal.values.exists(_._3 > 0L), "everything fully covered?")
+  }
+
   test("contaminationReportBloom: never misses what the exact report " +
       "flags, and matches it exactly at a generous bitset") {
     import org.apache.spark.sql.functions._

@@ -248,6 +248,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_word_shingles_seq"), p) // one compiled pass
   }
 
+  test("x58: dup-ngram removal adds only a per-doc start collection and " +
+      "a compiled rebuild pass on top of the x57 shape") {
+    val p = plan(Extensions.x58RemoveDupNgrams(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("graft_word_shingles_seq"), p)
+    assert(p.contains("graft_remove_covered_tokens"), p)
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort
