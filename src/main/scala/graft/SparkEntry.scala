@@ -118,6 +118,7 @@ object SparkEntry {
     "x56_dedup_clusters_star" -> Extensions.x56DedupClustersStar,
     "x57_dup_ngram_coverage" -> Extensions.x57DupNgramCoverage,
     "x58_remove_dup_ngrams" -> Extensions.x58RemoveDupNgrams,
+    "x59_incremental_jaccard" -> Extensions.x59IncrementalJaccard,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -480,6 +481,7 @@ object SparkEntry {
     "x56_dedup_clusters_star" -> dedupClustersSql,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
+    "x59_incremental_jaccard" -> incrementalJaccardSql,
     "x46_dedup_representatives" -> dedupRepresentativesSql,
     "x21_hash_split" ->
       """SELECT lang,
@@ -1151,6 +1153,14 @@ object SparkEntry {
   /** Shared CTE chain computing the exact 3-gram Jaccard pairs (x3); the
     * x20 oracle extends it with a recursive reachability closure.
     */
+  /** x59: the incremental answer the quadratic way — all pairs, then
+    * keep the delta-touching ones (delta = doc_id multiples of 7).
+    */
+  private def incrementalJaccardSql =
+    s"""WITH $jaccardPairsCtes
+       |SELECT id1, id2, jaccard FROM pairs
+       |WHERE id1 % 7 = 0 OR id2 % 7 = 0 ORDER BY id1, id2""".stripMargin
+
   private val jaccardPairsCtes =
     s"""toks AS (
        |  SELECT doc_id, $tokSql AS tk FROM documents),

@@ -209,6 +209,73 @@ object Dedup {
     prefixFilteredPairs(sets, threshold)
   }
 
+  /** INCREMENTAL exact Jaccard near-dup pairs — the daily-increment
+    * pattern: a curated `corpus` already deduplicated internally, a new
+    * `delta` batch arriving, and the question "which new docs duplicate
+    * anything we already have (or each other)?". Emits every pair
+    * (id1 < id2, J(S₁,S₂) ≥ threshold) TOUCHING the delta — delta×delta
+    * and delta×corpus — and by construction performs NO corpus×corpus
+    * candidate work: the prefix join's build side carries only delta
+    * prefixes, so corpus postings meet delta postings but never each
+    * other. Identical semantics to filtering [[jaccardShinglePairs]]
+    * over the union down to delta-touching pairs (spec-asserted), at
+    * candidate cost ∝ |delta| collisions instead of |union|².
+    *
+    * Same exact prefix-filter + PPJoin positional-filter machinery as
+    * the self-join form (document frequencies computed over the UNION —
+    * both sides of a pair must order shingles identically for the
+    * prefix guarantee to hold). Corpus docs still pay one linear
+    * shingle+df+prefix scan per call; a service running daily
+    * increments would persist the corpus prefix table and feed it back
+    * here unchanged. Ids must be unique ACROSS the two frames (delta
+    * rows are new documents, not updates).
+    *
+    * At 100 TB: the delta prefix side is typically small enough for the
+    * byte-gated broadcast in the candidate join to kick in via AQE, and
+    * nothing corpus-sized is ever paired against itself — the whole
+    * point of running incrementally.
+    */
+  def jaccardShinglePairsAgainst(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      threshold: Double): DataFrame = {
+    val sets = CacheScope.cached(
+      shingleSets(corpus, idCol, textCol, k)
+        .withColumn("isNew", lit(false))
+        .unionByName(shingleSets(delta, idCol, textCol, k)
+          .withColumn("isNew", lit(true))))
+    val post = sets.select(col("id"), col("n"), col("isNew"),
+      explode(col("sh")).as("s"))
+    val dfreq = CacheScope.cached(
+      post.groupBy(col("s")).agg(count(lit(1)).as("df")))
+    val dfHint = sizedBroadcastHint(dfreq)
+    val prefix = post
+      .join(dfHint(dfreq), "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= prefixLenCol(col("n"), threshold))
+      .select(col("id"), col("n"), col("s"), col("rn"), col("isNew"))
+    val prefixC = CacheScope.cached(prefix)
+    val deltaPrefix = prefixC.filter(col("isNew"))
+    val maxOverlap = least(col("a.n") - col("a.rn"),
+      col("b.n") - col("b.rn")) + 1
+    val minOverlap = ceil((col("a.n") + col("b.n"))
+      * (threshold / (1 + threshold)) - 1e-9)
+    val cand = prefixC.as("a")
+      .join(deltaPrefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id") &&
+          col("a.n") >= col("b.n") * threshold - 1e-9 &&
+          col("b.n") >= col("a.n") * threshold - 1e-9 &&
+          maxOverlap >= minOverlap &&
+          // delta×delta pairs arrive from both directions — keep one;
+          // corpus×delta pairs only ever arrive with `a` on the corpus
+          // side, so they pass unconditionally
+          (!col("a.isNew") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
+  }
+
   /** MinHash signature column: array of `numHashes` minima of
     * hᵢ(x) = (aᵢ·xxhash64(x) + bᵢ) mod (2⁶¹−1) over the shingle set.
     * One compiled pass per row — no explode, no shuffle.

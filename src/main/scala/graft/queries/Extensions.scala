@@ -250,6 +250,22 @@ object Extensions {
         col("n_kept"))
       .orderBy(col("doc_id"))
 
+  /** x59: incremental dedup — the daily-increment pattern. Docs with
+    * doc_id ≡ 0 (mod 7) play the arriving delta batch, the rest the
+    * existing corpus; [[graft.operators.Dedup.jaccardShinglePairsAgainst]]
+    * emits exactly the delta-touching Jaccard pairs with NO
+    * corpus×corpus candidate work. The oracle computes ALL pairs and
+    * filters to delta-touching — same answer, the full quadratic way.
+    */
+  def x59IncrementalJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.jaccardShinglePairsAgainst(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", k = 3, threshold = 0.6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

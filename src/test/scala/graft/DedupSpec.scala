@@ -237,6 +237,45 @@ class DedupSpec extends SparkSpec {
     assert(gotReal == expected)
   }
 
+  test("jaccardShinglePairsAgainst: equals the full pair set filtered to " +
+      "delta-touching pairs; corpus-internal dups stay silent") {
+    import spark.implicits._
+    // real corpus, delta = doc_id multiples of 7: incremental answer
+    // must equal the brute-force all-pairs answer filtered to pairs
+    // touching the delta
+    val expected = bruteJaccard.filter { case ((a, b), _) =>
+      a % 7 == 0 || b % 7 == 0 }
+    val got = Dedup.jaccardShinglePairsAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", k = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "delta found no duplicates at all?")
+
+    // planted: two identical corpus docs and an unrelated delta doc —
+    // the corpus-internal duplicate pair must NOT be emitted
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val delta = Seq((10L, "six seven eight nine ten")).toDF("doc_id", "text")
+    val planted = Dedup.jaccardShinglePairsAgainst(corpus, delta,
+        "doc_id", "text", k = 3, threshold = 0.6)
+      .collect()
+    assert(planted.isEmpty,
+      s"corpus-internal pair leaked: ${planted.mkString(",")}")
+
+    // and the same delta WITH a true match emits exactly that match
+    val delta2 = Seq((10L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.jaccardShinglePairsAgainst(corpus, delta2,
+        "doc_id", "text", k = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("removeDuplicatedNgrams: toy corpus by hand + driver recompute " +
       "on the real one") {
     import spark.implicits._

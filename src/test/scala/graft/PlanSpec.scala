@@ -50,6 +50,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_word_shingles"))
   }
 
+  test("x59: incremental pairs keep the prefix-filter shape — no " +
+      "cartesian, compiled shingle + merge-count verifier") {
+    val p = plan(Extensions.x59IncrementalJaccard(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_sorted_intersect_count"))
+    assert(p.contains("graft_word_shingles"))
+    // the candidate join's build side is the isNew-filtered prefix —
+    // the corpus side never self-joins
+    assert(p.contains("isNew"), p)
+  }
+
   test("q1: aggregation is partial (map-side) before the single exchange") {
     val p = plan(Relational.q1Agg(spark, sfDir))
     assert(p.contains("partial_"), p)
