@@ -456,6 +456,55 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** INCREMENTAL MinHash-LSH near-dup pairs — [[jaccardShinglePairsAgainst]]
+    * at LSH scale, THE daily-increment shape for a 100 TB corpus: band
+    * the union once (map-only), then generate candidates ONLY in buckets
+    * where at least one delta document landed — every pure-corpus bucket
+    * (the overwhelming majority when |delta| ≪ |corpus|) is pruned by
+    * one linear aggregation + one equi-join before any pair work. Capped
+    * bucket generation and verification are shared verbatim with the
+    * batch path ([[cappedBucketPairs]] / [[verifyJaccard]]), so the
+    * hot-bucket bound and the exactness of reported Jaccard values carry
+    * over; capped pairs that are corpus×corpus (possible inside a
+    * touched bucket) are dropped before verification is paid.
+    *
+    * Same recall regime as [[minHashPairs]] (per-pair detection
+    * 1−(1−J^r)^bands; identical docs collide in every band), asserted in
+    * the spec suite against the exact incremental form — not a SQL
+    * oracle. Ids must be unique across the two frames and long-castable
+    * (the bounded buffer's contract).
+    */
+  def minHashPairsAgainst(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int, numHashes: Int, bands: Int,
+      threshold: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val sets = CacheScope.cached(
+      shingleSets(corpus, idCol, textCol, k)
+        .withColumn("isNew", lit(false))
+        .unionByName(shingleSets(delta, idCol, textCol, k)
+          .withColumn("isNew", lit(true))))
+    val sig = sets.withColumn("minhash_sig",
+      GraftFunctions.minHashSignature(col("sh"), numHashes))
+    val banded = CacheScope.cached(
+      bandedBuckets(sig, "id", numHashes, bands,
+        passthrough = Seq("isNew")))
+    // the incremental pruning step: buckets nobody new landed in
+    // generate nothing
+    val touched = banded.filter(col("isNew"))
+      .select(col("band"), col("bucket")).distinct()
+    val hot = banded.join(touched, Seq("band", "bucket"))
+      .select(col("id"), col("band"), col("bucket"))
+    val cand = cappedBucketPairs(hot, Seq("band", "bucket"), bucketCap)
+    val flags = sets.select(col("id").cast("long").as("id"), col("isNew"))
+    val candDelta = cand
+      .join(flags.select(col("id").as("id1"), col("isNew").as("__n1")),
+        "id1")
+      .join(flags.select(col("id").as("id2"), col("isNew").as("__n2")),
+        "id2")
+      .filter(col("__n1") || col("__n2"))
+      .select(col("id1"), col("id2"))
+    verifyJaccard(candDelta, sets, threshold)
+  }
+
   /** The DISTINCT shingle set of a corpus as a one-column frame (s) —
     * the static membership side of contamination checks (batch and the
     * streaming [[graft.streaming.Streaming.contaminationStream]]).

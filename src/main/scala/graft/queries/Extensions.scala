@@ -266,6 +266,23 @@ object Extensions {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** x60: incremental MinHash-LSH dedup — x59's daily-increment pattern
+    * at LSH scale ([[graft.operators.Dedup.minHashPairsAgainst]]): only
+    * buckets a delta doc landed in generate candidates, so pure-corpus
+    * buckets are pruned before any pair work. Probabilistic (banded
+    * recall) → no SQL oracle; subset-of-exact-incremental and planted
+    * recall are spec-asserted.
+    */
+  def x60IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.minHashPairsAgainst(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+        threshold = 0.6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

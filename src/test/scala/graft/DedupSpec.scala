@@ -276,6 +276,52 @@ class DedupSpec extends SparkSpec {
     assert(hits == Set((1L, 10L), (2L, 10L)))
   }
 
+  test("minHashPairsAgainst: subset of the exact incremental with " +
+      "identical jaccard, full recall on planted copies, silent on a " +
+      "corpus-only mega-cluster") {
+    import spark.implicits._
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Dedup.jaccardShinglePairsAgainst(old, delta, "doc_id",
+        "text", k = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val lsh = Dedup.minHashPairsAgainst(old, delta, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    lsh.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"false positive $pair")
+      assert(exact(pair) == j, s"jaccard mismatch at $pair")
+    }
+    assert(lsh.nonEmpty, "LSH incremental found nothing")
+
+    // planted: delta docs are verbatim copies of corpus docs —
+    // identical shingle sets mean identical signatures, every band
+    // collides, recall is exactly 1
+    val base = docs.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(20)
+    val copies = base.select((col("doc_id") + 500000L).as("doc_id"),
+      col("text"))
+    val planted = Dedup.minHashPairsAgainst(base, copies, "doc_id",
+        "text", k = 3, numHashes = 64, bands = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseIds = base.select(col("doc_id")).collect().map(_.getLong(0))
+    assert(baseIds.map(i => (i, i + 500000L)).toSet.subsetOf(planted),
+      "a verbatim delta copy was missed")
+
+    // corpus-only duplication: 100 copies in the corpus, an unrelated
+    // delta — every one of the copies' buckets is untouched by the
+    // delta, so nothing is generated at all
+    val mega = (0L until 100L).map(i => (i, "alpha beta gamma delta " +
+      "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val other = Seq((1000L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashPairsAgainst(mega, other, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.6).collect()
+      .isEmpty)
+  }
+
   test("removeDuplicatedNgrams: toy corpus by hand + driver recompute " +
       "on the real one") {
     import spark.implicits._

@@ -61,6 +61,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("isNew"), p)
   }
 
+  test("x60: incremental LSH rides the bounded bucket generator — " +
+      "no cartesian, partial+final bounded agg, touched-bucket join") {
+    val p = plan(Extensions.x60IncrementalLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val objAggs = p.split("ObjectHashAggregate").length - 1
+    assert(objAggs >= 2, s"expected partial+final bounded agg:\n$p")
+    assert(p.contains("isNew"), p) // the delta-touched bucket pruning
+  }
+
   test("q1: aggregation is partial (map-side) before the single exchange") {
     val p = plan(Relational.q1Agg(spark, sfDir))
     assert(p.contains("partial_"), p)
