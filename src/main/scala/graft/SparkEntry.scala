@@ -120,6 +120,7 @@ object SparkEntry {
     "x58_remove_dup_ngrams" -> Extensions.x58RemoveDupNgrams,
     "x59_incremental_jaccard" -> Extensions.x59IncrementalJaccard,
     "x60_incremental_lsh" -> Extensions.x60IncrementalLsh,
+    "x61_knn_pq" -> Extensions.x61KnnPq,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -471,11 +472,11 @@ object SparkEntry {
         |    AS n_within_1k
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
     // x4_minhash_pairs / x5_simhash_pairs / x8_knn_lsh / x14_neardup_lsh /
-    // x15_approx_distinct / x55_semantic_dedup / x60_incremental_lsh are
-    // probabilistic / engine-hash operators: no SQL oracle (the driver
-    // records a rows-only check); recall/accuracy against the exact
-    // counterparts (x3 / x6 / x7 / x59 / countDistinct) is asserted in
-    // the spec suite.
+    // x15_approx_distinct / x55_semantic_dedup / x60_incremental_lsh /
+    // x61_knn_pq are probabilistic / engine-hash operators: no SQL
+    // oracle (the driver records a rows-only check); recall/accuracy
+    // against the exact counterparts (x3 / x6 / x7 / x59 /
+    // countDistinct) is asserted in the spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     "x20_dedup_clusters" -> dedupClustersSql,
     // same output contract, different engine path (star contraction) —

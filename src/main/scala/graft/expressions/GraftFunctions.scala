@@ -33,6 +33,8 @@ object GraftFunctions {
     c(WordShinglesSeq(e(text), k))
   def removeCoveredTokens(text: Column, starts: Column, k: Int): Column =
     c(RemoveCoveredTokens(e(text), e(starts), k))
+  def pqAdcDot(codes: Column, table: Column, nCentroids: Int): Column =
+    c(PqAdcDot(e(codes), e(table), nCentroids))
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignature(e(shingles), numHashes))
   def simHash64(text: Column): Column = c(SimHash64(e(text)))

@@ -206,6 +206,42 @@ case class VecDotHofCompat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) dot product for product quantization
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011): `codes` holds one centroid index per subspace for a
+  * corpus vector; `table` is the query's flattened per-subspace dot
+  * table — `table[s·nCentroids + c] = ⟨q_s, codebook_s[c]⟩`. The
+  * approximate dot is Σ_s table[s·K + codes[s]] — `numSubspaces` lookups
+  * instead of `dim` multiplies per (query, corpus) pair, which is the
+  * whole PQ speedup. One compiled pass, no nulls expected (codes and
+  * tables are both engine-built).
+  */
+case class PqAdcDot(left: Expression, right: Expression, nCentroids: Int)
+    extends BinaryExpression with BinaryKernelCodegen {
+
+  require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_dot"
+
+  override def kernel(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var s = 0
+    val m = codes.numElements()
+    while (s < m) {
+      acc += table.getDouble(s * nCentroids + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane sign-bit LSH bucket packed into a long.
   *
   * Hyperplane coefficients are a deterministic splitmix-style hash of

@@ -384,6 +384,137 @@ object SimilaritySearch {
       cosineNearDupPairsLSH(df, idCol, vecCol, threshold, bands,
         bitsPerBand, bucketCap)
 
+  /** Product-quantization ANN top-k (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the memory-compressed
+    * ANN family: the vector space is split into `numSubspaces` slices,
+    * each slice gets its own `nCentroids`-entry codebook (sample-trained
+    * Lloyd via the shared [[trainCentroids]]), and every corpus vector
+    * is ENCODED as one small centroid index per slice — at the defaults
+    * (8 subspaces × 16 centroids) a 64-dim float vector becomes 8
+    * 4-bit codes: a 64× memory reduction, which is what makes a 100 TB
+    * embedding corpus scannable from RAM.
+    *
+    * Scoring is asymmetric (ADC): the query stays EXACT — per query one
+    * tiny `numSubspaces × nCentroids` table of subspace dots is computed
+    * driver-side, and each corpus row costs `numSubspaces` table lookups
+    * ([[graft.expressions.PqAdcDot]], compiled) instead of `dim`
+    * multiplies. Ranking normalizes by the TRUE corpus norm (carried
+    * alongside the codes), so the score is the exact cosine of the
+    * quantized corpus vector against the exact query.
+    *
+    * Scale shape: codebook training touches a hash sample
+    * (`trainFraction`); encoding is ONE map-side compiled pass (a
+    * [[graft.expressions.NearestCells]] argmin per subspace — zero
+    * exchanges, PlanSpec-asserted); scoring is a broadcast loop join of
+    * the tiny query-table frame against the encoded corpus; the only
+    * shuffle is the final per-query top-k. The QUERY SET is the bounded
+    * side by contract (it is collected to the driver to build the ADC
+    * tables — same boundedness assumption as the broadcast in
+    * [[bruteForceTopK]], made explicit).
+    *
+    * Exactness gradient: with `nCentroids` ≥ distinct corpus vectors the
+    * codebooks converge to the vectors themselves and pqTopK equals
+    * [[bruteForceTopK]] verbatim (spec-asserted); at lossy settings the
+    * recall floor vs exact is spec-asserted on the real corpus. Two-
+    * stage exact reranking composes via [[rerankTopK]]'s pattern when
+    * needed.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numSubspaces: Int = 8, nCentroids: Int = 16,
+      kmeansIters: Int = 2, trainFraction: Double = 1.0,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = graft.core.CacheScope.cached(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")))
+    val head = c.select(size(col("cv"))).limit(1).collect()
+    def emptyResult = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("rk",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType))))
+    if (head.isEmpty) return emptyResult
+    val dim = head(0).getInt(0)
+    require(dim % numSubspaces == 0,
+      s"numSubspaces ($numSubspaces) must divide the vector dim ($dim)")
+    val sub = dim / numSubspaces
+
+    // per-subspace codebooks off the SLICED corpus — same deterministic
+    // sample-trained Lloyd as IVF; each codebook is tiny by construction
+    val codebooks: IndexedSeq[Seq[Seq[Float]]] =
+      (0 until numSubspaces).map { s =>
+        trainCentroids(
+          c.select(col("neighbor_id"),
+            slice(col("cv"), s * sub + 1, sub).as("sv")),
+          "neighbor_id", "sv", nCentroids, kmeansIters, trainFraction)
+      }
+    if (codebooks.exists(_.isEmpty)) return emptyResult
+
+    // encode: one compiled argmin per subspace, all in ONE map pass
+    val codeCols = (0 until numSubspaces).map { s =>
+      nearestCell(slice(col("cv"), s * sub + 1, sub), codebooks(s)) }
+    val codes = c.select(col("neighbor_id"), col("cn"),
+      array(codeCols: _*).as("codes"))
+
+    // driver-side ADC tables — the query set is the small side by
+    // contract (bruteForceTopK already broadcasts it; here that
+    // assumption is explicit)
+    val qRows = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), normSq(col(vecCol)).as("qn")).collect()
+    if (qRows.isEmpty) return emptyResult
+    val qTab = qRows.map { r =>
+      val qv = r.getSeq[Float](1)
+      val table = new Array[Double](numSubspaces * nCentroids)
+      var s = 0
+      while (s < numSubspaces) {
+        var ci = 0
+        while (ci < codebooks(s).length) {
+          val cent = codebooks(s)(ci)
+          var d = 0.0
+          var j = 0
+          while (j < sub) {
+            d += qv(s * sub + j).toDouble * cent(j).toDouble
+            j += 1
+          }
+          table(s * nCentroids + ci) = d
+          ci += 1
+        }
+        s += 1
+      }
+      org.apache.spark.sql.Row(r.get(0), table.toSeq, r.getDouble(2))
+    }
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qTab.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("adc",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("qn",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+
+    val scored = codes.crossJoin(broadcast(qdf))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+        else lit(true))
+      .withColumn("cos", cosineFromParts(
+        graft.expressions.GraftFunctions.pqAdcDot(col("codes"), col("adc"),
+          nCentroids), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (id1 < id2, cos ≥ threshold):
     * a coarse k-means quantizer (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication",

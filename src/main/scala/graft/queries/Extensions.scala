@@ -283,6 +283,20 @@ object Extensions {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** x61: product-quantization ANN top-5
+    * ([[graft.operators.SimilaritySearch.pqTopK]], Jégou et al. TPAMI'11)
+    * — 8 subspaces × 16 centroids compress each 64-dim vector to 8
+    * codes (64× memory), queries score via compiled ADC table lookups.
+    * Probabilistic compression → no SQL oracle; the lossless regime,
+    * recall floors, and determinism are spec-asserted.
+    */
+  def x61KnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilaritySearch.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

@@ -279,6 +279,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_remove_covered_tokens"), p)
   }
 
+  test("x61: PQ encode is a map-side compiled pass and scoring is " +
+      "ADC lookups against the broadcast query tables — no shuffle join") {
+    val p = plan(Extensions.x61KnnPq(spark, sfDir))
+    assert(p.contains("graft_nearest_cells"), p) // per-subspace encode
+    assert(p.contains("graft_pq_adc_dot"), p)    // compiled ADC scoring
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)      // query side broadcasts
+  }
+
   test("x30: top-k runs as a partial-merge aggregation, not a window sort") {
     val p = plan(Extensions.x30TopKAgg(spark, sfDir))
     assert(!p.contains("Window"), p) // the whole point: no per-group sort

@@ -261,6 +261,57 @@ class SimilaritySpec extends SparkSpec {
     ()
   }
 
+  test("pqTopK: lossless when every vector seeds its own centroid, " +
+      "recall floor at lossy settings, deterministic across runs") {
+    // lossless regime: nCentroids >= corpus size means the deterministic
+    // id-order init seeds every vector as a centroid and Lloyd fixes
+    // them — codes are identities, ADC dot = exact dot → pqTopK must
+    // reproduce bruteForceTopK verbatim
+    val c50 = emb.orderBy(col("vec_id")).limit(50)
+    val q10 = c50.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact50 = key(SimilaritySearch.bruteForceTopK(c50, q10, "vec_id",
+      "embedding", 5))
+    val pq50 = key(SimilaritySearch.pqTopK(c50, q10, "vec_id",
+      "embedding", 5, numSubspaces = 8, nCentroids = 64))
+    assert(pq50 == exact50, "lossless PQ must equal brute force")
+
+    // lossy regime on the full corpus: 8×16 codebooks compress 64 dims
+    // to 8 codes; assert a recall floor vs the exact top-10 neighbor
+    // sets (floor chosen below the measured value to absorb corpus
+    // regeneration, not host noise — the pipeline is deterministic)
+    val q = emb.filter(col("vec_id") < 10)
+    val exactN = SimilaritySearch.bruteForceTopK(emb, q, "vec_id",
+        "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqN = SimilaritySearch.pqTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // this corpus is near-random 64-dim noise — PQ's worst case (no
+    // cluster structure for the codebooks to exploit). Direct recall is
+    // deterministic for the fixed init/sampling: measured 0.34, floor
+    // below it. The PRODUCTION composition is shortlist + exact rerank,
+    // asserted next.
+    val recall = (exactN & pqN).size.toDouble / exactN.size
+    info(s"PQ recall@10 vs exact: $recall")
+    assert(recall >= 0.25, s"recall@10 $recall below floor")
+    // shortlist regime: a PQ top-50 shortlist captures most of the true
+    // top-10 (measured 0.67 at defaults), which an exact rerank of 50
+    // rows then orders perfectly — the standard PQ deployment
+    val short = SimilaritySearch.pqTopK(emb, q, "vec_id", "embedding", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val shortRecall = (exactN & short).size.toDouble / exactN.size
+    info(s"PQ shortlist@50 recall of exact@10: $shortRecall")
+    assert(shortRecall >= 0.6, s"shortlist recall $shortRecall below floor")
+
+    // and the whole pipeline is run-deterministic (hash-sampled
+    // training, id-order init, compiled argmin)
+    val again = SimilaritySearch.pqTopK(emb, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == pqN)
+  }
+
   // ---- SemDeDup (x55): k-means cells + within-cell bounded pairs ----
 
   /** base-50 corpus + 50 planted near-twins (cos ≈ 0.9999), as in the
