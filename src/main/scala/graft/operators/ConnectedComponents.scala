@@ -100,9 +100,12 @@ object ConnectedComponents {
     * exactly one edge to the component minimum. Output matches
     * [[clusters]] exactly: (id, label = component min) for every node
     * appearing in `pairs`, deterministic and partitioning-independent.
-    * Like [[clusters]], each round materializes one cached frame and
-    * unpersists the previous — nothing driver-side beyond the per-round
-    * convergence counts.
+    * Each round materializes one checkpointed edge set and releases the
+    * previous round's blocks through its underlying RDD (a plain
+    * `Dataset.unpersist` is a no-op on checkpointed frames); the FINAL
+    * edge set backs the returned frame and is reclaimed by the context
+    * cleaner once the result is dereferenced. Nothing driver-side
+    * beyond the per-round convergence counts.
     *
     * Unlike [[clusters]] (whose 2–4 rounds tolerate a growing logical
     * plan), a logarithmic loop still runs 10–20 rounds on deep graphs —
@@ -127,6 +130,17 @@ object ConnectedComponents {
     import graft.core.CacheScope
     def truncated(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Dataset.unpersist is a no-op on a checkpointed frame (its plan is
+    // a LogicalRDD, not a cache-manager entry) — release the previous
+    // round's materialized blocks through the underlying RDD instead.
+    // Reliable checkpoint FILES are governed by the cluster's checkpoint
+    // dir lifecycle (spark.cleaner.referenceTracking.cleanCheckpoints /
+    // context stop), not by this loop.
+    def releaseTruncated(df: DataFrame): Unit =
+      if (!reliable)
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
     var edges = truncated(
       pairs.select(greatest(col(id1), col(id2)).as("u"),
           least(col(id1), col(id2)).as("v"))
@@ -171,7 +185,7 @@ object ConnectedComponents {
       // one-way difference ⇒ set equality ⇒ fixpoint
       converged = n2 == nEdges && smallC.except(edges).count() == 0L
       largeC.unpersist()
-      edges.unpersist(blocking = false)
+      releaseTruncated(edges)
       edges = smallC
       nEdges = n2
       round += 1

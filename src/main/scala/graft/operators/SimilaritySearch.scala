@@ -109,6 +109,24 @@ object SimilaritySearch {
       centroids: Seq[Seq[Float]]): DataFrame =
     df.withColumn("cell", nearestCell(col(vecCol), centroids))
 
+  /** Empty (query_id, rk, neighbor_id, cos) frame in the ANN output
+    * schema — the empty-corpus/empty-query result shared by [[ivfTopK]]
+    * and [[pqTopK]] so the schema lives in exactly one place.
+    */
+  private def emptyTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String): DataFrame =
+    corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("rk",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          corpus.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType))))
+
   /** IVF (inverted-file) ANN top-k: a coarse k-means quantizer splits the
     * corpus into `nCells` cells; each query scores only vectors in its
     * `nProbe` nearest cells.
@@ -141,8 +159,8 @@ object SimilaritySearch {
     * to the full corpus; an empty corpus returns an empty Seq.
     */
   private[graft] def trainCentroids(full: DataFrame, idC: String,
-      vecC: String, nCells: Int, iters: Int,
-      trainFraction: Double): Seq[Seq[Float]] = {
+      vecC: String, nCells: Int, iters: Int, trainFraction: Double,
+      initFrom: Option[Seq[Seq[Float]]] = None): Seq[Seq[Float]] = {
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
     val train0 =
@@ -153,14 +171,20 @@ object SimilaritySearch {
     // deterministic init: first nCells vectors in id order. collect() on
     // a sorted limit preserves the sort, so this works for ANY orderable
     // id type (long, int, string) — no driver-side re-sort needed.
+    // Callers training many related codebooks (PQ's per-subspace loop)
+    // pass `initFrom` to collect the init rows once and slice driver-
+    // side instead of paying one TakeOrdered job per codebook.
     def initCents(from: DataFrame): Seq[Seq[Float]] =
       from.orderBy(col(idC)).limit(nCells)
         .select(col(vecC)).collect()
         .map(_.getSeq[Float](0)).toSeq
-    val (train, cents0) = {
-      val fromSample = initCents(train0)
-      if (fromSample.nonEmpty || trainFraction >= 1.0) (train0, fromSample)
-      else (full, initCents(full))
+    val (train, cents0) = initFrom match {
+      case Some(init) => (train0, init.take(nCells))
+      case None =>
+        val fromSample = initCents(train0)
+        if (fromSample.nonEmpty || trainFraction >= 1.0)
+          (train0, fromSample)
+        else (full, initCents(full))
     }
     var cents: Seq[Seq[Float]] = cents0
     if (cents.isEmpty) return cents
@@ -200,17 +224,7 @@ object SimilaritySearch {
     if (cents.isEmpty)
       // empty corpus: nothing to index; return an empty result with the
       // output schema instead of tripping NearestCells' nonEmpty require
-      return corpus.sparkSession.createDataFrame(
-        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id",
-            queries.schema(idCol).dataType),
-          org.apache.spark.sql.types.StructField("rk",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("neighbor_id",
-            corpus.schema(idCol).dataType),
-          org.apache.spark.sql.types.StructField("cos",
-            org.apache.spark.sql.types.DoubleType))))
+      return emptyTopK(corpus, queries, idCol)
 
     val cells = assignCells(c, "cv", cents)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -398,9 +412,14 @@ object SimilaritySearch {
     * tiny `numSubspaces × nCentroids` table of subspace dots is computed
     * driver-side, and each corpus row costs `numSubspaces` table lookups
     * ([[graft.expressions.PqAdcDot]], compiled) instead of `dim`
-    * multiplies. Ranking normalizes by the TRUE corpus norm (carried
-    * alongside the codes), so the score is the exact cosine of the
-    * quantized corpus vector against the exact query.
+    * multiplies. The score is `⟨q, quantize(c)⟩ / (|q|·|c|)` with the
+    * TRUE corpus norm carried alongside the codes: an approximate-dot
+    * cosine, NOT the cosine of either pair exactly (that would need
+    * |quantize(c)| in the denominator). The bias is one-sided in the
+    * useful direction — vectors with large quantization error score
+    * LOW rather than being renormalized up — which is why the shortlist
+    * + exact-rerank composition ([[rerankTopK]]'s pattern) recovers
+    * ranking quality.
     *
     * Scale shape: codebook training touches a hash sample
     * (`trainFraction`); encoding is ONE map-side compiled pass (a
@@ -428,33 +447,29 @@ object SimilaritySearch {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         normSq(col(vecCol)).as("cn")))
     val head = c.select(size(col("cv"))).limit(1).collect()
-    def emptyResult = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          queries.schema(idCol).dataType),
-        org.apache.spark.sql.types.StructField("rk",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("neighbor_id",
-          corpus.schema(idCol).dataType),
-        org.apache.spark.sql.types.StructField("cos",
-          org.apache.spark.sql.types.DoubleType))))
-    if (head.isEmpty) return emptyResult
+    if (head.isEmpty) return emptyTopK(corpus, queries, idCol)
     val dim = head(0).getInt(0)
     require(dim % numSubspaces == 0,
       s"numSubspaces ($numSubspaces) must divide the vector dim ($dim)")
     val sub = dim / numSubspaces
 
     // per-subspace codebooks off the SLICED corpus — same deterministic
-    // sample-trained Lloyd as IVF; each codebook is tiny by construction
+    // sample-trained Lloyd as IVF. The id-order init rows are collected
+    // ONCE as full vectors and sliced driver-side (`initFrom`), instead
+    // of one TakeOrdered job per subspace for identical rows.
+    val initFull = c.orderBy(col("neighbor_id")).limit(nCentroids)
+      .select(col("cv")).collect().map(_.getSeq[Float](0)).toSeq
+    if (initFull.isEmpty) return emptyTopK(corpus, queries, idCol)
     val codebooks: IndexedSeq[Seq[Seq[Float]]] =
       (0 until numSubspaces).map { s =>
         trainCentroids(
           c.select(col("neighbor_id"),
             slice(col("cv"), s * sub + 1, sub).as("sv")),
-          "neighbor_id", "sv", nCentroids, kmeansIters, trainFraction)
+          "neighbor_id", "sv", nCentroids, kmeansIters, trainFraction,
+          initFrom = Some(initFull.map(_.slice(s * sub, s * sub + sub))))
       }
-    if (codebooks.exists(_.isEmpty)) return emptyResult
+    if (codebooks.exists(_.isEmpty)) return emptyTopK(corpus, queries,
+      idCol)
 
     // encode: one compiled argmin per subspace, all in ONE map pass
     val codeCols = (0 until numSubspaces).map { s =>
@@ -467,7 +482,7 @@ object SimilaritySearch {
     // assumption is explicit)
     val qRows = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), normSq(col(vecCol)).as("qn")).collect()
-    if (qRows.isEmpty) return emptyResult
+    if (qRows.isEmpty) return emptyTopK(corpus, queries, idCol)
     val qTab = qRows.map { r =>
       val qv = r.getSeq[Float](1)
       val table = new Array[Double](numSubspaces * nCentroids)

@@ -292,11 +292,20 @@ class OperatorSpec extends SparkSpec {
     // (it moves the min one hop per round); alternating star contraction
     // must close it in O(log n) — the budget below is the assertion
     val path = (0L until 600L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val labels = ConnectedComponents
       .clustersStarContraction(path, "id1", "id2", maxRounds = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == 601)
     assert(labels.forall(_._2 == 0L), "every node must label to the chain min")
+    // each round's edge snapshot must be RELEASED, not accumulated —
+    // Dataset.unpersist is a no-op on checkpointed frames, so the loop
+    // unpersists the underlying RDDs; only the final edge set (backing
+    // the returned frame) may remain
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter <= persistedBefore + 2,
+      s"checkpointed edge snapshots leaked: $persistedBefore -> " +
+        s"$persistedAfter persistent RDDs")
   }
 
   test("Repetition stats: planted repetitive docs flagged, diverse doc " +
