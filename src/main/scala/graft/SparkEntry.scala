@@ -522,7 +522,7 @@ object SparkEntry {
          |    ELSE ${dotSql("a.embedding", "b.embedding")}/(sqrt(a.nsq)*sqrt(b.nsq)) END, 6) AS cos
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ROUND(CASE WHEN sqrt(a.nsq)*sqrt(b.nsq) = 0 THEN 0
-         |    ELSE ${dotSql("a.embedding", "b.embedding")}/(sqrt(a.nsq)*sqrt(b.nsq)) END, 6) >= 0.95
+         |    ELSE ${dotSql("a.embedding", "b.embedding")}/(sqrt(a.nsq)*sqrt(b.nsq)) END, 6) >= 0.45
          |ORDER BY id1, id2""".stripMargin,
     "x7_knn_bruteforce" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings),

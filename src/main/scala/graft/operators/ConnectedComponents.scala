@@ -115,7 +115,19 @@ object ConnectedComponents {
     * no configuration) by default, or a reliable `checkpoint` when
     * `reliable = true` (requires `sparkContext.setCheckpointDir`; the
     * right choice on a large cluster, where losing an executor must not
-    * strand 20 rounds of contraction history).
+    * strand 20 rounds of contraction history). Reliable rounds persist
+    * the edge set before the checkpoint write (the write runs as its
+    * own job and would otherwise recompute the whole round) and release
+    * the cache after. CAVEAT: each reliable round leaves one checkpoint
+    * directory on the checkpoint filesystem for the lifetime of the
+    * run — enable `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * (or clean the checkpoint dir between runs) so a long contraction
+    * does not accumulate O(rounds) retired edge-set files.
+    *
+    * Self-pairs (id1 = id2) carry no connectivity but DO declare their
+    * node: ids appearing only in self-pairs surface in the output with
+    * their own label, matching [[clusters]] exactly for every node
+    * appearing in `pairs`.
     *
     * Prefer [[clusters]] for the dense few-hop components near-dup
     * pipelines produce (its seeded init often closes them in one
@@ -129,7 +141,14 @@ object ConnectedComponents {
       maxRounds: Int = 64, reliable: Boolean = false): DataFrame = {
     import graft.core.CacheScope
     def truncated(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) {
+        // reliable checkpoint writes its files in a SEPARATE job after
+        // the eager count — without a cache that job recomputes the
+        // whole round's edge rewrite. Persist → checkpoint → release.
+        val p = df.persist()
+        try p.checkpoint()
+        finally p.unpersist(blocking = false)
+      } else df.localCheckpoint()
     // Dataset.unpersist is a no-op on a checkpointed frame (its plan is
     // a LogicalRDD, not a cache-manager entry) — release the previous
     // round's materialized blocks through the underlying RDD instead.
@@ -141,10 +160,22 @@ object ConnectedComponents {
         df.queryExecution.analyzed.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
         }.foreach(_.unpersist(blocking = false))
-    var edges = truncated(
+    // ONE materialization of the (possibly expensive) pair generator:
+    // canonical distinct pairs, checkpointed, then split into real
+    // edges and the self-pair-only node labels — ids appearing ONLY in
+    // self-pairs carry no edge but still belong in the output with
+    // their own label, exactly as [[clusters]] reports them
+    val canon = truncated(
       pairs.select(greatest(col(id1), col(id2)).as("u"),
-          least(col(id1), col(id2)).as("v"))
-        .filter(col("u") =!= col("v")).distinct())
+          least(col(id1), col(id2)).as("v")).distinct())
+    var edges = truncated(canon.filter(col("u") =!= col("v")))
+    val selfLab = truncated(
+      canon.filter(col("u") === col("v")).select(col("u").as("id"))
+        .join(canon.filter(col("u") =!= col("v"))
+            .select(explode(array(col("u"), col("v"))).as("id")).distinct(),
+          Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
+    releaseTruncated(canon)
     var nEdges = edges.count()
     var converged = nEdges == 0L
     var round = 0
@@ -197,6 +228,6 @@ object ConnectedComponents {
         struct(col("v").as("id"), col("v").as("label")))).as("e"))
       .select(col("e.id").as("id"), col("e.label").as("label"))
       .distinct()
-    out
+    out.unionByName(selfLab)
   }
 }

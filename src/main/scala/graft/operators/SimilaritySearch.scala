@@ -178,8 +178,14 @@ object SimilaritySearch {
       from.orderBy(col(idC)).limit(nCells)
         .select(col(vecC)).collect()
         .map(_.getSeq[Float](0)).toSeq
+    // the empty-sample fallback applies on BOTH init paths: with
+    // initFrom provided (the PQ per-subspace loop) a tiny trainFraction
+    // whose hash sample is empty would otherwise skip every Lloyd
+    // round silently and leave the codebook at its id-order init
     val (train, cents0) = initFrom match {
-      case Some(init) => (train0, init.take(nCells))
+      case Some(init) =>
+        val t = if (trainFraction >= 1.0 || !train0.isEmpty) train0 else full
+        (t, init.take(nCells))
       case None =>
         val fromSample = initCents(train0)
         if (fromSample.nonEmpty || trainFraction >= 1.0)
