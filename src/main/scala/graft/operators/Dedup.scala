@@ -56,7 +56,7 @@ object Dedup {
   /** (id, shingle-set array, set size) — one compiled pass per doc.
     * Shared by the exact and MinHash paths; callers cache it.
     */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("id"),
         GraftFunctions.wordShingles(col(textCol), k).as("sh"))
@@ -68,7 +68,7 @@ object Dedup {
     * the safe direction (a slightly longer prefix only adds candidates;
     * the verify step keeps the result exact).
     */
-  private def prefixLenCol(n: org.apache.spark.sql.Column, t: Double) =
+  private[operators] def prefixLenCol(n: org.apache.spark.sql.Column, t: Double) =
     n - ceil(n * t - 1e-9) + 1
 
   /** Estimated BYTES under which a verification-join side is broadcast;
@@ -107,7 +107,7 @@ object Dedup {
     * `sets` is cached by the caller; its measured in-memory size picks
     * broadcast vs shuffle for the two id joins.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+  private[operators] def verifyJaccard(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val hint = sizedBroadcastHint(sets)
     val isString = sets.schema("sh").dataType match {
@@ -226,9 +226,10 @@ object Dedup {
     * both sides of a pair must order shingles identically for the
     * prefix guarantee to hold). Corpus docs still pay one linear
     * shingle+df+prefix scan per call; a service running daily
-    * increments would persist the corpus prefix table and feed it back
-    * here unchanged. Ids must be unique ACROSS the two frames (delta
-    * rows are new documents, not updates).
+    * increments should build the corpus-side state ONCE with
+    * [[DedupIndex.build]] and run [[DedupIndex.jaccardPairsAgainst]]
+    * instead — identical output, no corpus rescan. Ids must be unique
+    * ACROSS the two frames (delta rows are new documents, not updates).
     *
     * At 100 TB: the delta prefix side is typically small enough for the
     * byte-gated broadcast in the candidate join to kick in via AQE, and
@@ -254,13 +255,31 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= prefixLenCol(col("n"), threshold))
       .select(col("id"), col("n"), col("s"), col("rn"), col("isNew"))
+    verifyJaccard(incrementalPrefixCands(prefix, threshold), sets,
+      threshold)
+  }
+
+  /** Candidate pairs for the incremental exact-Jaccard forms over a
+    * combined prefix table (id, n, s, rn, isNew): corpus and delta
+    * prefixes on the probe side, delta prefixes only on the build side,
+    * with the PPJoin positional filter — so corpus postings meet delta
+    * postings but never each other. Requires BOTH sides' `rn` computed
+    * under the same global shingle order (any consistent total order
+    * preserves the prefix-filter completeness proof; which order only
+    * affects candidate count). Shared by the recompute form
+    * ([[jaccardShinglePairsAgainst]], ordering = union df) and the
+    * persisted-index form ([[DedupIndex.jaccardPairsAgainst]], ordering
+    * = stored corpus df).
+    */
+  private[operators] def incrementalPrefixCands(prefix: DataFrame,
+      threshold: Double): DataFrame = {
     val prefixC = CacheScope.cached(prefix)
     val deltaPrefix = prefixC.filter(col("isNew"))
     val maxOverlap = least(col("a.n") - col("a.rn"),
       col("b.n") - col("b.rn")) + 1
     val minOverlap = ceil((col("a.n") + col("b.n"))
       * (threshold / (1 + threshold)) - 1e-9)
-    val cand = prefixC.as("a")
+    prefixC.as("a")
       .join(deltaPrefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") =!= col("b.id") &&
           col("a.n") >= col("b.n") * threshold - 1e-9 &&
@@ -273,7 +292,6 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id1"),
         greatest(col("a.id"), col("b.id")).as("id2"))
       .distinct()
-    verifyJaccard(cand, sets, threshold)
   }
 
   /** MinHash signature column: array of `numHashes` minima of
@@ -461,12 +479,16 @@ object Dedup {
     * the union once (map-only), then generate candidates ONLY in buckets
     * where at least one delta document landed — every pure-corpus bucket
     * (the overwhelming majority when |delta| ≪ |corpus|) is pruned by
-    * one linear aggregation + one equi-join before any pair work. Capped
-    * bucket generation and verification are shared verbatim with the
-    * batch path ([[cappedBucketPairs]] / [[verifyJaccard]]), so the
-    * hot-bucket bound and the exactness of reported Jaccard values carry
-    * over; capped pairs that are corpus×corpus (possible inside a
-    * touched bucket) are dropped before verification is paid.
+    * one linear aggregation + one equi-join before any pair work. Delta
+    * and corpus members are capped SEPARATELY inside a touched bucket:
+    * delta×delta pairs ride [[cappedBucketPairs]] over delta members
+    * only, delta×corpus pairs cross each delta member with the bucket's
+    * `bucketCap` smallest corpus ids (corpus members past the cap link
+    * to the bucket's minimum delta id, keeping mega-bucket clusters
+    * connected) — so a bucket dominated by corpus docs can never demote
+    * delta docs to overflow, and no corpus×corpus pair work is ever
+    * generated. Verification is shared verbatim with the batch path
+    * ([[verifyJaccard]]), so reported Jaccard values stay exact.
     *
     * Same recall regime as [[minHashPairs]] (per-pair detection
     * 1−(1−J^r)^bands; identical docs collide in every band), asserted in
@@ -487,22 +509,76 @@ object Dedup {
     val banded = CacheScope.cached(
       bandedBuckets(sig, "id", numHashes, bands,
         passthrough = Seq("isNew")))
-    // the incremental pruning step: buckets nobody new landed in
-    // generate nothing
-    val touched = banded.filter(col("isNew"))
-      .select(col("band"), col("bucket")).distinct()
-    val hot = banded.join(touched, Seq("band", "bucket"))
-      .select(col("id"), col("band"), col("bucket"))
-    val cand = cappedBucketPairs(hot, Seq("band", "bucket"), bucketCap)
-    val flags = sets.select(col("id").cast("long").as("id"), col("isNew"))
-    val candDelta = cand
-      .join(flags.select(col("id").as("id1"), col("isNew").as("__n1")),
-        "id1")
-      .join(flags.select(col("id").as("id2"), col("isNew").as("__n2")),
-        "id2")
-      .filter(col("__n1") || col("__n2"))
-      .select(col("id1"), col("id2"))
-    verifyJaccard(candDelta, sets, threshold)
+    verifyJaccard(
+      incrementalCappedPairs(
+        banded.filter(col("isNew")).select(col("id"), col("band"),
+          col("bucket")),
+        banded.filter(!col("isNew")).select(col("id"), col("band"),
+          col("bucket")),
+        bucketCap),
+      sets, threshold)
+  }
+
+  /** Candidate pairs for the incremental LSH forms: `deltaBanded` and
+    * `corpusBanded` are (id, band, bucket) frames for the two sides —
+    * the corpus side is first pruned to TOUCHED buckets (those where at
+    * least one delta doc landed; every pure-corpus bucket generates
+    * nothing), then delta and corpus members are capped SEPARATELY:
+    *
+    *  - delta×delta pairs ride [[cappedBucketPairs]] over delta members
+    *    only — a touched bucket dominated by corpus docs can never fill
+    *    the cap's smallest-id slots with corpus members and demote
+    *    delta docs (typically the larger/new ids) to
+    *    representative-only overflow;
+    *  - delta×corpus pairs cross each delta member with the bucket's
+    *    `bucketCap` smallest corpus ids (the same bounded-state
+    *    TopKRows buffer) — per-bucket output ≤ nDelta·cap, never
+    *    nDelta·nCorpus; corpus members past the cap link to the
+    *    bucket's minimum DELTA id, so the overflow edge stays
+    *    delta-touching and a mega-bucket still CLUSTERS completely
+    *    after the delta filter.
+    *
+    * No corpus×corpus pair is ever generated. Shared by the recompute
+    * form ([[minHashPairsAgainst]]) and the persisted-index form
+    * ([[DedupIndex.minHashPairsAgainst]]). Ids must be long-castable
+    * and unique across the two sides.
+    */
+  private[operators] def incrementalCappedPairs(deltaBanded: DataFrame,
+      corpusBanded: DataFrame, bucketCap: Int): DataFrame = {
+    val dB = CacheScope.cached(deltaBanded)
+    val touched = dB.select(col("band"), col("bucket")).distinct()
+    val corpusHot = CacheScope.cached(
+      corpusBanded.join(touched, Seq("band", "bucket"))
+        .select(col("id"), col("band"), col("bucket")))
+    val dd = cappedBucketPairs(dB, Seq("band", "bucket"), bucketCap)
+    val keep = udaf(new graft.functions.Aggregators.TopKRows(bucketCap))
+    val corpusM = corpusHot
+      .groupBy(col("band"), col("bucket"))
+      .agg(keep(-col("id").cast("double"), col("id").cast("long"),
+        lit(0L)).as("__top"), count(lit(1)).as("__n"))
+      .select(col("band"), col("bucket"),
+        col("__top.key1").as("__ids"), col("__n"))
+    val dc = dB
+      .join(corpusM, Seq("band", "bucket"))
+      .select(col("id").cast("long").as("did"),
+        explode(col("__ids")).as("cid"))
+    val deltaMin = dB.groupBy(col("band"), col("bucket"))
+      .agg(min(col("id").cast("long")).as("dmin"))
+    val oversize = corpusM.filter(col("__n") > bucketCap)
+      .select(col("band"), col("bucket"),
+        element_at(col("__ids"), bucketCap).as("__maxm"))
+    val overflow = corpusHot
+      .join(oversize, Seq("band", "bucket"))
+      .filter(col("id").cast("long") > col("__maxm"))
+      .join(deltaMin, Seq("band", "bucket"))
+      .select(col("dmin").as("did"), col("id").cast("long").as("cid"))
+    // ids are unique ACROSS the two sides, so did ≠ cid always; the
+    // canonicalization + distinct collapses cross-band repeats
+    val dcPairs = dc.unionByName(overflow)
+      .select(least(col("did"), col("cid")).as("id1"),
+        greatest(col("did"), col("cid")).as("id2"))
+      .distinct()
+    dd.unionByName(dcPairs).distinct()
   }
 
   /** The DISTINCT shingle set of a corpus as a one-column frame (s) —

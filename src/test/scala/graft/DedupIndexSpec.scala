@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup index: the index-fed incremental forms must equal
+  * the recompute forms verbatim, a second delta batch must reuse the
+  * stored state WITHOUT scanning the corpus source, and build must
+  * release its caches.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_dedupidx").toString
+
+  // the x59/x60 corpus shape: real documents, delta = doc_id % 7 == 0
+  private def corpusDocs: DataFrame =
+    graft.core.Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+  private def deltaDocs: DataFrame =
+    graft.core.Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("index-fed jaccardPairsAgainst equals the recompute form " +
+      "verbatim on the x59 corpora") {
+    val idx = DedupIndex.build(corpusDocs, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    val recompute = pairSet(Dedup.jaccardShinglePairsAgainst(
+      corpusDocs, deltaDocs, "doc_id", "text", k = 3, threshold = 0.6))
+    val indexed = pairSet(
+      idx.jaccardPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+    assert(indexed == recompute)
+    assert(indexed.nonEmpty, "vacuous corpus: no delta-touching pairs")
+  }
+
+  test("index-fed minHashPairsAgainst equals the recompute form " +
+      "verbatim on the x60 corpora") {
+    val idx = DedupIndex.build(corpusDocs, "doc_id", "text", k = 3,
+      threshold = 0.6, numHashes = 64, bands = 16, path = tmpDir())
+    val recompute = pairSet(Dedup.minHashPairsAgainst(
+      corpusDocs, deltaDocs, "doc_id", "text", k = 3, numHashes = 64,
+      bands = 16, threshold = 0.6))
+    val indexed = pairSet(
+      idx.minHashPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+    assert(indexed == recompute)
+    assert(indexed.nonEmpty, "vacuous corpus: no delta-touching pairs")
+  }
+
+  test("a second delta batch reuses the index: NO corpus-source scan " +
+      "in either query's plan; load() round-trips the meta") {
+    val path = tmpDir()
+    DedupIndex.build(corpusDocs, "doc_id", "text", k = 3,
+      threshold = 0.6, path = path)
+    val idx = DedupIndex.load(spark, path)
+    assert(idx.k == 3 && idx.threshold == 0.6 &&
+      idx.numHashes == 64 && idx.bands == 16)
+    // the second day's delta arrives as its own frame — NOT derived
+    // from the corpus source, exactly like a service would receive it
+    val delta2 = Seq(
+      (100001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (100002L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    for (q <- Seq(
+        idx.jaccardPairsAgainst(delta2, "doc_id", "text", 0.6),
+        idx.minHashPairsAgainst(delta2, "doc_id", "text", 0.6))) {
+      q.count() // force planning + execution end-to-end
+      val scans = q.queryExecution.executedPlan.toString()
+      assert(!scans.contains("documents.parquet"),
+        "index-fed query scanned the corpus source:\n" + scans)
+      assert(scans.contains(path),
+        "index-fed query did not read the stored index")
+    }
+    // the recompute form, for contrast, DOES scan the corpus source
+    val recompute = Dedup.jaccardShinglePairsAgainst(
+      corpusDocs, delta2, "doc_id", "text", k = 3, threshold = 0.6)
+    recompute.count()
+    assert(recompute.queryExecution.executedPlan.toString()
+      .contains("documents.parquet"))
+  }
+
+  test("delta-only and cross-side pairs both surface through the index " +
+      "(frozen corpus-df order, unseen shingles rank first)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus material nothing shared here"))
+      .toDF("doc_id", "text")
+    val idx = DedupIndex.build(corpus, "doc_id", "text", k = 3,
+      threshold = 0.5, path = tmpDir())
+    val delta = Seq(
+      // near-copy of corpus doc 1 -> cross-side pair
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      // two near-identical NEW docs whose shingles the corpus has
+      // never seen -> delta×delta pair under df-0-first ranking
+      (11L, "zebra yak xylophone walrus vulture toucan seal raven"),
+      (12L, "zebra yak xylophone walrus vulture toucan seal rhea"))
+      .toDF("doc_id", "text")
+    val got = idx.jaccardPairsAgainst(delta, "doc_id", "text", 0.5)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.jaccardShinglePairsAgainst(corpus, delta,
+      "doc_id", "text", k = 3, threshold = 0.5)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.contains((1L, 10L)), "cross-side pair missing")
+    assert(got.contains((11L, 12L)), "delta-only pair missing")
+  }
+
+  test("querying below the build threshold fails loudly") {
+    val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val idx = DedupIndex.build(corpus, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    val e = intercept[IllegalArgumentException] {
+      idx.jaccardPairsAgainst(corpus, "doc_id", "text", 0.4)
+    }
+    assert(e.getMessage.contains("rebuild the index"))
+  }
+
+  test("build releases every cache it created") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    DedupIndex.build(corpusDocs, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "build leaked operator caches")
+  }
+}
