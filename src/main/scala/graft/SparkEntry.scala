@@ -121,6 +121,8 @@ object SparkEntry {
     "x59_incremental_jaccard" -> Extensions.x59IncrementalJaccard,
     "x60_incremental_lsh" -> Extensions.x60IncrementalLsh,
     "x61_knn_pq" -> Extensions.x61KnnPq,
+    "x62_indexed_incremental" -> Extensions.x62IndexedIncremental,
+    "x63_knn_pq_indexed" -> Extensions.x63KnnPqIndexed,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -473,10 +475,11 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
     // x4_minhash_pairs / x5_simhash_pairs / x8_knn_lsh / x14_neardup_lsh /
     // x15_approx_distinct / x55_semantic_dedup / x60_incremental_lsh /
-    // x61_knn_pq are probabilistic / engine-hash operators: no SQL
-    // oracle (the driver records a rows-only check); recall/accuracy
-    // against the exact counterparts (x3 / x6 / x7 / x59 /
-    // countDistinct) is asserted in the spec suite.
+    // x61_knn_pq / x63_knn_pq_indexed are probabilistic / engine-hash
+    // operators: no SQL oracle (the driver records a rows-only check);
+    // recall/accuracy against the exact counterparts (x3 / x6 / x7 /
+    // x59 / countDistinct / the x61 inline path) is asserted in the
+    // spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     "x20_dedup_clusters" -> dedupClustersSql,
     // same output contract, different engine path (star contraction) —
@@ -485,6 +488,9 @@ object SparkEntry {
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,
+    // x62 answers the same question as x59 through the persisted index,
+    // so the quadratic-way oracle applies verbatim
+    "x62_indexed_incremental" -> incrementalJaccardSql,
     "x46_dedup_representatives" -> dedupRepresentativesSql,
     "x21_hash_split" ->
       """SELECT lang,

@@ -115,15 +115,21 @@ object SimilaritySearch {
     */
   private def emptyTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String): DataFrame =
-    corpus.sparkSession.createDataFrame(
-      corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    emptyTopKOf(corpus.sparkSession, queries.schema(idCol).dataType,
+      corpus.schema(idCol).dataType)
+
+  private[operators] def emptyTopKOf(
+      spark: org.apache.spark.sql.SparkSession,
+      queryIdType: org.apache.spark.sql.types.DataType,
+      neighborIdType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("query_id", queryIdType),
         org.apache.spark.sql.types.StructField("rk",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("neighbor_id",
-          corpus.schema(idCol).dataType),
+          neighborIdType),
         org.apache.spark.sql.types.StructField("cos",
           org.apache.spark.sql.types.DoubleType))))
 
@@ -232,7 +238,17 @@ object SimilaritySearch {
       // output schema instead of tripping NearestCells' nonEmpty require
       return emptyTopK(corpus, queries, idCol)
 
-    val cells = assignCells(c, "cv", cents)
+    ivfScore(assignCells(c, "cv", cents), cents, nProbe, queries, idCol,
+      vecCol, k, excludeSelf)
+  }
+
+  /** Probe + exact-cosine scoring over an assigned (neighbor_id, cv,
+    * cn, cell) frame — shared by [[ivfTopK]] and [[IvfIndex.topK]].
+    */
+  private[operators] def ivfScore(cells: DataFrame,
+      cents: Seq[Seq[Float]], nProbe: Int, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, excludeSelf: Boolean)
+      : DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
     val probes = q.withColumn("cell",
@@ -448,12 +464,28 @@ object SimilaritySearch {
       vecCol: String, k: Int, numSubspaces: Int = 8, nCentroids: Int = 16,
       kmeansIters: Int = 2, trainFraction: Double = 1.0,
       excludeSelf: Boolean = true): DataFrame = {
-    val spark = corpus.sparkSession
     val c = graft.core.CacheScope.cached(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         normSq(col(vecCol)).as("cn")))
+    pqTrainEncode(c, numSubspaces, nCentroids, kmeansIters,
+        trainFraction) match {
+      case None => emptyTopK(corpus, queries, idCol)
+      case Some((dim, codebooks, codes)) =>
+        pqScore(codes, codebooks, numSubspaces, nCentroids,
+          dim / numSubspaces, queries, idCol, vecCol, k, excludeSelf)
+    }
+  }
+
+  /** Codebook training + one-map-pass encoding shared by [[pqTopK]] and
+    * [[PqIndex.build]]: `c` is the cached (neighbor_id, cv, cn)
+    * projection. Returns None for an empty corpus; otherwise (dim,
+    * per-subspace codebooks, (neighbor_id, cn, codes) frame).
+    */
+  private[operators] def pqTrainEncode(c: DataFrame, numSubspaces: Int,
+      nCentroids: Int, kmeansIters: Int, trainFraction: Double)
+      : Option[(Int, IndexedSeq[Seq[Seq[Float]]], DataFrame)] = {
     val head = c.select(size(col("cv"))).limit(1).collect()
-    if (head.isEmpty) return emptyTopK(corpus, queries, idCol)
+    if (head.isEmpty) return None
     val dim = head(0).getInt(0)
     require(dim % numSubspaces == 0,
       s"numSubspaces ($numSubspaces) must divide the vector dim ($dim)")
@@ -465,7 +497,7 @@ object SimilaritySearch {
     // of one TakeOrdered job per subspace for identical rows.
     val initFull = c.orderBy(col("neighbor_id")).limit(nCentroids)
       .select(col("cv")).collect().map(_.getSeq[Float](0)).toSeq
-    if (initFull.isEmpty) return emptyTopK(corpus, queries, idCol)
+    if (initFull.isEmpty) return None
     val codebooks: IndexedSeq[Seq[Seq[Float]]] =
       (0 until numSubspaces).map { s =>
         trainCentroids(
@@ -474,21 +506,31 @@ object SimilaritySearch {
           "neighbor_id", "sv", nCentroids, kmeansIters, trainFraction,
           initFrom = Some(initFull.map(_.slice(s * sub, s * sub + sub))))
       }
-    if (codebooks.exists(_.isEmpty)) return emptyTopK(corpus, queries,
-      idCol)
+    if (codebooks.exists(_.isEmpty)) return None
 
     // encode: one compiled argmin per subspace, all in ONE map pass
     val codeCols = (0 until numSubspaces).map { s =>
       nearestCell(slice(col("cv"), s * sub + 1, sub), codebooks(s)) }
-    val codes = c.select(col("neighbor_id"), col("cn"),
-      array(codeCols: _*).as("codes"))
+    Some((dim, codebooks, c.select(col("neighbor_id"), col("cn"),
+      array(codeCols: _*).as("codes"))))
+  }
 
-    // driver-side ADC tables — the query set is the small side by
-    // contract (bruteForceTopK already broadcasts it; here that
-    // assumption is explicit)
+  /** ADC scoring shared by [[pqTopK]] and [[PqIndex.topK]]: driver-side
+    * per-query dot tables against the codebooks, compiled lookup
+    * scoring over the (neighbor_id, cn, codes) frame, per-query top-k.
+    * The query set is the bounded side by contract (it is collected to
+    * build the ADC tables — same boundedness assumption as the
+    * broadcast in [[bruteForceTopK]], made explicit).
+    */
+  private[operators] def pqScore(codes: DataFrame,
+      codebooks: IndexedSeq[Seq[Seq[Float]]], numSubspaces: Int,
+      nCentroids: Int, sub: Int, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean): DataFrame = {
+    val spark = codes.sparkSession
     val qRows = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), normSq(col(vecCol)).as("qn")).collect()
-    if (qRows.isEmpty) return emptyTopK(corpus, queries, idCol)
+    if (qRows.isEmpty) return emptyTopKOf(spark,
+      queries.schema(idCol).dataType, codes.schema("neighbor_id").dataType)
     val qTab = qRows.map { r =>
       val qv = r.getSeq[Float](1)
       val table = new Array[Double](numSubspaces * nCentroids)

@@ -308,6 +308,48 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** x62: the x59 daily-increment answer served from a PERSISTED dedup
+    * index ([[graft.operators.DedupIndex]]): the corpus-side state
+    * (shingle sets, document frequencies, prefix rows, LSH buckets) is
+    * built once into a collection-backed index — the build cost is
+    * timed as part of this query; a real service amortizes it across
+    * every future delta batch — and the delta batch is then answered
+    * WITHOUT rescanning the corpus source (plan-asserted in the spec
+    * suite). Output is identical to x59, so it shares x59's oracle:
+    * the frozen corpus-df prefix order changes candidate generation,
+    * never the exact-verified pairs.
+    */
+  def x62IndexedIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_x62_idx").toString
+    val idx = graft.operators.DedupIndex.build(
+      d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", k = 3,
+      threshold = 0.6, path = idxPath)
+    idx.jaccardPairsAgainst(d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", 0.6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** x63: PQ ANN served from a PERSISTED index
+    * ([[graft.operators.PqIndex]]): codebooks + encoded corpus built
+    * once into a collection-backed index (build timed as part of this
+    * query; a service amortizes it), then queries score through the
+    * loaded codebooks with NO training or encode job on the query path
+    * (plan-asserted). Same parameters as x61 → byte-equal results
+    * (spec-asserted); engine-side k-means → no SQL oracle, like x61.
+    */
+  def x63KnnPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_x63_idx").toString
+    val idx = graft.operators.PqIndex.build(e, "vec_id", "embedding",
+      trainFraction = 0.5, path = idxPath)
+      .getOrElse(sys.error("empty embeddings table"))
+    idx.topK(e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

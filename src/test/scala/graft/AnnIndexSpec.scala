@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{IvfIndex, PqIndex, SimilaritySearch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes: loaded-index results must byte-equal the
+  * inline paths, the query path must run no training/encode jobs (no
+  * corpus-source scan), and IVF probes must prune to the probed cell
+  * partitions at the parquet-scan level.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString
+
+  private def emb: DataFrame =
+    graft.core.Graft.table(spark, sfDir, "embeddings")
+  private def queries: DataFrame = emb.filter(col("vec_id") < 10)
+
+  private def rows(df: DataFrame): Seq[(Any, Int, Any, Double)] =
+    df.orderBy(col("query_id"), col("rk")).collect()
+      .map(r => (r.get(0), r.getInt(1), r.get(2), r.getDouble(3))).toSeq
+
+  test("PqIndex: loaded-index topK byte-equals the inline pqTopK " +
+      "(same params, sampled training included)") {
+    val path = tmpDir()
+    PqIndex.build(emb, "vec_id", "embedding", trainFraction = 0.5,
+      path = path)
+    val idx = PqIndex.load(spark, path)
+    val inline = rows(SimilaritySearch.pqTopK(emb, queries, "vec_id",
+      "embedding", k = 5, trainFraction = 0.5))
+    val loaded = rows(idx.topK(queries, "vec_id", "embedding", k = 5))
+    assert(loaded == inline)
+    assert(loaded.nonEmpty)
+  }
+
+  test("PqIndex: the query path scans only the index — no corpus-source " +
+      "scan, no training job") {
+    val path = tmpDir()
+    val idx = PqIndex.build(emb, "vec_id", "embedding", path = path).get
+    val q = idx.topK(queries, "vec_id", "embedding", k = 5)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains(path), "query did not read the stored codes")
+    // the corpus side of the scoring plan must be the codes collection,
+    // not the embeddings source (queries legitimately come from it)
+    val codesScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet"))
+      .filter(l => l.contains("cv") || l.contains("codes")).toSeq
+    assert(codesScans.isEmpty,
+      "corpus vectors were re-read on the query path:\n" + plan)
+  }
+
+  test("IvfIndex: loaded-index topK byte-equals the inline ivfTopK and " +
+      "prunes the scan to probed cell partitions") {
+    val path = tmpDir()
+    IvfIndex.build(emb, "vec_id", "embedding", nCells = 16, path = path)
+    val idx = IvfIndex.load(spark, path)
+    assert(idx.nCells == 16)
+    val inline = rows(SimilaritySearch.ivfTopK(emb, queries, "vec_id",
+      "embedding", k = 5, nCells = 16, nProbe = 4))
+    val q = idx.topK(queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(rows(q) == inline)
+    // partition pruning: the cells scan must carry the cell isin filter
+    // as a partition filter (cell is a Hive partition column)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      "probe set was not pushed as a partition filter:\n" + plan)
+  }
+
+  test("empty corpus: build returns None instead of writing a broken " +
+      "index") {
+    val empty = emb.filter(col("vec_id") < -1)
+    assert(PqIndex.build(empty, "vec_id", "embedding",
+      path = tmpDir()).isEmpty)
+    assert(IvfIndex.build(empty, "vec_id", "embedding",
+      path = tmpDir()).isEmpty)
+  }
+
+  test("build releases every cache it created") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    PqIndex.build(emb, "vec_id", "embedding", path = tmpDir())
+    IvfIndex.build(emb, "vec_id", "embedding", path = tmpDir())
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "index build leaked operator caches")
+  }
+
+  test("x63 equals x61: the indexed query entry byte-matches the inline " +
+      "entry") {
+    val a = rows(graft.queries.Extensions.x61KnnPq(spark, sfDir))
+    val b = rows(graft.queries.Extensions.x63KnnPqIndexed(spark, sfDir))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
