@@ -7,13 +7,20 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with batch decode/feature-extraction executed per-partition.
   *
-  * The image/audio codec libraries are not present in this environment,
-  * so the decode kernel itself is a clearly-marked deterministic STUB —
-  * but every Spark-side piece is real and tested: the schema contract
-  * (binary payload + metadata struct), the per-partition batched
-  * execution shape (the exact shape a JNI/FFI codec wants: amortize
-  * library setup per batch, not per row), partitioning, and the column
-  * plumbing to downstream operators.
+  * Decode and resize are REAL for image payloads: `javax.imageio`
+  * (public JDK API, no added dependency) parses PNG/JPEG/GIF/BMP bytes
+  * to true dimensions/channel counts, and resize renders through a
+  * `Graphics2D` bilinear scale into a fixed `targetW×targetH×3` BGR
+  * buffer. Payloads that are NOT a decodable image (the synthetic text
+  * corpus, unknown codecs) fall back to a clearly-marked deterministic
+  * synthesis — a pure function of the byte length — so pipelines stay
+  * total and reproducible over mixed corpora; the `ok` flag in the
+  * decoded struct does not distinguish the two (it is the
+  * non-empty-payload flag), but real images always take the real path
+  * (image magic bytes never collide with the fallback's inputs). The
+  * feature-extraction kernel remains an honest documented stub (no
+  * vision encoder ships with the JDK); its batched execution shape,
+  * schema contract, and determinism are real and tested.
   */
 object Multimodal {
 
@@ -36,20 +43,45 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("payload")))
       .withColumn("sha", sha2(col("payload"), 256))
 
-  /** STUB decode kernel: deterministic fake "image header parse" from the
-    * byte length. A real implementation would hand `batch` to an image
-    * library (e.g. via JNI) and return real dimensions — the signature
-    * and batch shape would not change.
+  /** Parse `bytes` as an image via javax.imageio. None when the bytes
+    * are not a decodable image (no registered reader claims them, or
+    * the reader fails mid-stream). The in-memory stream keeps ImageIO
+    * off its disk cache (`setUseCache(false)` once per JVM).
     */
-  private def decodeBatchStub(batch: Seq[Array[Byte]])
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def readImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    imageIoInit
+    if (bytes.length < 8) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+  }
+
+  /** Batch decode kernel: REAL image header/pixel parse via
+    * javax.imageio for decodable payloads (true width/height/channel
+    * count); non-image payloads synthesize deterministic dimensions
+    * from the byte length (pure function — reproducible across runs,
+    * partitions, engines) so mixed corpora decode totally.
+    */
+  private def decodeBatch(batch: Seq[Array[Byte]])
       : Seq[(Int, Int, Int, Boolean)] =
     batch.map { bytes =>
-      val n = bytes.length
-      (64 + n % 512, 64 + (n * 7) % 512, 3, n > 0)
+      readImage(bytes) match {
+        case Some(img) =>
+          (img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, true)
+        case None =>
+          val n = bytes.length
+          (64 + n % 512, 64 + (n * 7) % 512, 3, n > 0)
+      }
     }
 
   /** Batched per-partition decode: groups each partition's rows into
-    * [[DecodeBatchSize]] chunks, runs the (stub) kernel once per chunk,
+    * [[DecodeBatchSize]] chunks, runs the decode kernel once per chunk,
     * and emits the input row + decoded struct. Executed via
     * `Dataset.mapPartitions` with an explicit row encoder — constant
     * memory (one batch in flight per task), no shuffle, scales with
@@ -63,7 +95,7 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        val decoded = decodeBatchStub(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        val decoded = decodeBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
         batch.lazyZip(decoded).map { case (row, (w, h, c, ok)) =>
           Row.fromSeq(row.toSeq :+ Row(w, h, c, ok))
         }
@@ -71,17 +103,36 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** STUB resize kernel: a real one hands the batch to an image library
-    * and gets targetW×targetH×3 pixel buffers back; the stub emits a
-    * deterministic buffer of exactly that size (bytes cycled from the
-    * input), preserving the two properties downstream code depends on:
-    * fixed output size and pure function of (payload, target).
+  /** Batch resize kernel: REAL bilinear scale for decodable image
+    * payloads — render into a `targetW×targetH` TYPE_3BYTE_BGR buffer
+    * via Graphics2D and return its raster bytes (fixed size
+    * targetW·targetH·3, deterministic for identical input bytes).
+    * Non-image payloads emit a deterministic buffer of exactly that
+    * size (bytes cycled from the input), so downstream code sees the
+    * same two properties on every row: fixed output size and pure
+    * function of (payload, target). Empty payloads stay empty.
     */
-  private def resizeBatchStub(batch: Seq[Array[Byte]], targetW: Int,
+  private def resizeBatch(batch: Seq[Array[Byte]], targetW: Int,
       targetH: Int): Seq[Array[Byte]] =
     batch.map { bytes =>
-      if (bytes.isEmpty) Array.emptyByteArray
-      else Array.tabulate(targetW * targetH * 3)(i => bytes(i % bytes.length))
+      readImage(bytes) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          out.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData.clone()
+        case None =>
+          if (bytes.isEmpty) Array.emptyByteArray
+          else Array.tabulate(targetW * targetH * 3)(
+            i => bytes(i % bytes.length))
+      }
     }
 
   /** Batched binary→binary transform (resize / re-encode): same
@@ -97,7 +148,7 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        val out = resizeBatchStub(
+        val out = resizeBatch(
           batch.map(_.getAs[Array[Byte]](payloadIdx)), targetW, targetH)
         batch.lazyZip(out).map { case (row, buf) =>
           Row.fromSeq(row.toSeq ++ Seq(buf, buf.length))

@@ -102,7 +102,8 @@ class OperatorSpec extends SparkSpec {
     assert(bucketed == expected)
   }
 
-  test("Multimodal: payload schema, deterministic stub dims, batch shape") {
+  test("Multimodal: payload schema, deterministic non-image fallback " +
+      "dims, batch shape") {
     import graft.multimodal.Multimodal
     val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(300)
     val withPayload = Multimodal.attachPayload(docs, "text")
@@ -120,6 +121,55 @@ class OperatorSpec extends SparkSpec {
       assert(r.getInt(4) == 3)
       assert(r.getBoolean(5) == (n > 0))
     }
+  }
+
+  test("Multimodal: REAL javax.imageio decode — a PNG fixture reports " +
+      "its true dimensions and channels; resize renders real pixels") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // a real 37x21 RGB PNG, generated in-memory with the same public
+    // JDK API a user's image corpus would have been encoded with
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17 + seed) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(37, 21, 5)),
+      (2L, png(8, 8, 99)),
+      (3L, "definitely not an image payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodePayloads(df, "payload")
+      .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
+        col("decoded.channels"), col("decoded.ok"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(decoded(1L) == ((37, 21, 3, true)))
+    assert(decoded(2L) == ((8, 8, 3, true)))
+    // the non-image row takes the deterministic fallback
+    val n3 = "definitely not an image payload".getBytes("UTF-8").length
+    assert(decoded(3L) == ((64 + n3 % 512, 64 + (n3 * 7) % 512, 3, true)))
+    // real resize: a solid-color image stays solid through the bilinear
+    // scale — every output pixel carries the source color's BGR bytes
+    val solid = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g0 = solid.createGraphics()
+    g0.setColor(new java.awt.Color(10, 200, 30)); g0.fillRect(0, 0, 16, 16)
+    g0.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(solid, "png", bos)
+    val resized = Multimodal.resizePayloads(
+        Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"),
+        "payload", 4, 3)
+      .select(col("resized")).collect()(0).getAs[Array[Byte]](0)
+    assert(resized.length == 4 * 3 * 3)
+    assert(resized.grouped(3).forall(p =>
+      (p(0) & 0xff) == 30 && (p(1) & 0xff) == 200 && (p(2) & 0xff) == 10),
+      "bilinear scale of a solid image must stay solid in BGR order")
   }
 
   test("multimodal sha/bytes match Spark's own sha2 over utf-8 bytes") {
