@@ -21,10 +21,17 @@ import org.apache.spark.sql.DataFrame
   * Contract: every action on data derived from the operator must run
   * inside the bracket — at exit the caches unpersist, and later actions
   * would silently recompute the (possibly expensive) lineage. Scopes
-  * nest; each releases only its own registrations. Tracking is
-  * per-thread (a ThreadLocal), matching how a driver program composes
-  * operators sequentially; caches registered by OTHER threads are
-  * untouched.
+  * nest; each releases only its own registrations.
+  *
+  * Thread scoping: the plain bracket tracks registrations per-thread
+  * (a ThreadLocal), matching how a driver program composes operators
+  * sequentially. When operator calls happen on OTHER threads —
+  * `foreachBatch` micro-batch threads, a parallel-collection driver —
+  * use [[scopedWith]], whose [[Scope]] handle is passable: a child
+  * thread wraps its operator calls in `handle.attached { ... }` and its
+  * caches release with the owning bracket (thread-safe registration;
+  * spec-asserted from a real child thread). Without that, cross-thread
+  * registrations silently fall back to the session-wide contract.
   *
   * Operators register through [[CacheScope.cached]]; with no enclosing
   * scope it is exactly `df.cache()` — the session-wide contract
@@ -32,11 +39,36 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
 
-  private val current =
-    new ThreadLocal[List[scala.collection.mutable.Buffer[DataFrame]]] {
-      override def initialValue: List[
-        scala.collection.mutable.Buffer[DataFrame]] = Nil
+  /** A passable scope handle — see [[scopedWith]]. Registration is
+    * thread-safe; release happens exactly once, when the owning
+    * bracket exits.
+    */
+  final class Scope private[CacheScope] () {
+    private[CacheScope] val frames =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+    /** Run `body` on the CURRENT thread with operator-cache
+      * registrations routed to this scope — the child-thread side of
+      * [[scopedWith]]. Nests like the plain bracket (innermost wins).
+      */
+    def attached[A](body: => A): A = {
+      current.set(this :: current.get())
+      try body
+      finally current.set(current.get().tail)
     }
+
+    private[CacheScope] def release(): Unit = {
+      var df = frames.poll()
+      while (df != null) {
+        df.unpersist(blocking = false)
+        df = frames.poll()
+      }
+    }
+  }
+
+  private val current = new ThreadLocal[List[Scope]] {
+    override def initialValue: List[Scope] = Nil
+  }
 
   /** `df.cache()`, registered with the innermost enclosing scope (if
     * any) for release at bracket exit.
@@ -44,22 +76,39 @@ object CacheScope {
   private[graft] def cached(df: DataFrame): DataFrame = {
     val c = df.cache()
     current.get() match {
-      case buf :: _ => buf += c
+      case s :: _ => s.frames.add(c); ()
       case Nil => ()
     }
     c
   }
 
-  /** Run `body`; at exit, unpersist every operator cache it created
-    * (non-blocking — block-manager cleanup proceeds asynchronously).
+  /** Run `body`; at exit, unpersist every operator cache it created on
+    * THIS thread (non-blocking — block-manager cleanup proceeds
+    * asynchronously).
     */
-  def scoped[A](body: => A): A = {
-    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
-    current.set(buf :: current.get())
-    try body
+  def scoped[A](body: => A): A = scopedWith(_ => body)
+
+  /** The cross-thread form: like [[scoped]], but `body` receives the
+    * [[Scope]] handle so work dispatched to other threads can attach
+    * to the same bracket:
+    *
+    * {{{
+    *   CacheScope.scopedWith { scope =>
+    *     stream.writeStream.foreachBatch { (batch, _) =>
+    *       scope.attached {            // runs on a micro-batch thread
+    *         Dedup.exact(batch, "id", "text").write.(...)
+    *       }
+    *     }.start(); ...
+    *   } // every cache from every attached thread releases here
+    * }}}
+    */
+  def scopedWith[A](body: Scope => A): A = {
+    val s = new Scope
+    current.set(s :: current.get())
+    try body(s)
     finally {
       current.set(current.get().tail)
-      buf.foreach(_.unpersist(blocking = false))
+      s.release()
     }
   }
 }

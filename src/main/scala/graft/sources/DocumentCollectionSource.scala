@@ -91,19 +91,38 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
     val perFile = math.max(1, sampleLines / sampled.size)
     // the per-file opens are independent metadata round trips — on an
     // object store each is ~100 ms, so run them concurrently instead of
-    // serially on the driver
+    // serially on the driver. The wait is BOUNDED (`inferTimeoutSec`,
+    // default 60 s): a hung object-store open must fail planning loudly
+    // with the stuck file's name, not wedge the driver forever.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val lines = Await.result(
-      Future.traverse(sampled.toList) { name => Future {
+    import scala.concurrent.duration._
+    val timeoutSec = options.getInt("inferTimeoutSec", 60)
+    require(timeoutSec > 0, s"inferTimeoutSec must be > 0: $timeoutSec")
+    val futures = sampled.toList.map { name =>
+      name -> Future {
         val f = new Path(s"$path/$name")
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
           f.getFileSystem(conf).open(f), "UTF-8"))
         try Iterator.continually(in.readLine()).takeWhile(_ != null)
           .take(perFile).toList
         finally in.close()
-      }}, Duration.Inf).flatten.take(sampleLines)
+      }
+    }
+    val lines =
+      try Await.result(Future.sequence(futures.map(_._2)),
+        timeoutSec.seconds).flatten.take(sampleLines)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          val stuck = futures.filter(!_._2.isCompleted).map(_._1)
+          throw new IllegalStateException(
+            s"graft-docs schema inference timed out after $timeoutSec s " +
+              s"still waiting on ${stuck.size} file(s): " +
+              stuck.take(5).mkString(", ") +
+              (if (stuck.size > 5) ", ..." else "") +
+              " — pass an explicit spark.read.schema(...) or raise the " +
+              "inferTimeoutSec option")
+      }
     if (lines.isEmpty) new StructType()
     else {
       import spark.implicits._

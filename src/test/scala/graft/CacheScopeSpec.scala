@@ -37,6 +37,31 @@ class CacheScopeSpec extends SparkSpec {
       s"scoped run leaked caches: $cachedRddCount vs $before")
   }
 
+  test("scopedWith: caches registered from a CHILD thread release with " +
+      "the owning bracket (the foreachBatch composition)") {
+    spark.catalog.clearCache()
+    val before = cachedRddCount
+    var childResult = -1L
+    var childError: Throwable = null
+    CacheScope.scopedWith { scope =>
+      val t = new Thread(() => {
+        try scope.attached {
+          childResult = Dedup
+            .jaccardShinglePairs(docsDf, "doc_id", "text", 3, 0.6).count()
+        } catch { case e: Throwable => childError = e }
+      })
+      t.start()
+      t.join()
+      if (childError != null) throw childError
+      assert(cachedRddCount > before,
+        "child-thread operator run should have registered caches")
+    }
+    assert(childResult >= 0)
+    assert(cachedRddCount == before,
+      s"cross-thread caches leaked past the owning bracket: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name))
+  }
+
   test("scoped covers the similarity, bloom-join, and clustering " +
       "pipelines too") {
     spark.catalog.clearCache()

@@ -200,6 +200,28 @@ class SourcesSpec extends SparkSpec {
     assert(ex.getMessage.contains("schema"), ex.getMessage)
   }
 
+  test("graft-docs schema inference: a hung file open fails after the " +
+      "bounded wait naming the stuck file, not a wedged driver") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.hangfs.impl", classOf[HangingOpenFileSystem].getName)
+    // a real local collection, addressed through the hanging scheme so
+    // listStatus succeeds but every document open blocks forever
+    val dir = Files.createTempDirectory("graft_v2hang").toString + "/coll"
+    Seq((1L, "doc")).toDF("id", "text")
+      .write.format("graft-docs").option("path", dir).mode("append").save()
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map("path" -> s"hangfs:$dir", "inferTimeoutSec" -> "2").asJava)
+    val t0 = System.nanoTime()
+    val ex = intercept[IllegalStateException] {
+      new graft.sources.DocumentCollectionSource().inferSchema(opts)
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    assert(ex.getMessage.contains("timed out"), ex.getMessage)
+    assert(ex.getMessage.contains(".jsonl"), ex.getMessage)
+    assert(waited < 30, s"waited ${waited}s — the bound did not apply")
+  }
+
   test("graft-docs streaming write in truncate/Complete mode fails " +
       "loudly instead of silently appending") {
     val dir = Files.createTempDirectory("graft_v2trunc").toString + "/coll"
@@ -486,5 +508,19 @@ class SourcesSpec extends SparkSpec {
     assert(ex.getMessage.contains("Invalid batch size") ||
       ex.getCause != null &&
         ex.getCause.getMessage.contains("Invalid batch size"), ex.getMessage)
+  }
+}
+
+/** Test-only FileSystem whose open() never returns — simulates a hung
+  * object-store read for the bounded-inference-wait spec. Listing and
+  * writing delegate to the local filesystem, so a real collection can
+  * be addressed through the `hangfs:` scheme.
+  */
+class HangingOpenFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("hangfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    Thread.sleep(3600L * 1000)
+    throw new java.io.IOException("unreachable")
   }
 }
