@@ -123,6 +123,8 @@ object SparkEntry {
     "x61_knn_pq" -> Extensions.x61KnnPq,
     "x62_indexed_incremental" -> Extensions.x62IndexedIncremental,
     "x63_knn_pq_indexed" -> Extensions.x63KnnPqIndexed,
+    "x64_skew_heavy_salted" -> Extensions.x64SkewHeavySalted,
+    "x65_skew_heavy_aqe" -> Extensions.x65SkewHeavyAqe,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -138,6 +140,28 @@ object SparkEntry {
       |  FROM supplier)
       |SELECT li.k % 10 AS kb, COUNT(*) AS cnt,
       |       CAST(SUM(v + w) AS BIGINT) AS sv
+      |FROM li JOIN sup ON li.k = sup.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // the x64/x65 heavy pair: 99 % of the 16×-replicated fact side on one
+  // key, md5-derived flag summed per bucket — md5 hex is engine-identical
+  // and everything else is integer arithmetic, so one exact oracle
+  // checks both physical variants
+  private val heavySkewOracle =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 100 <> 7 THEN 0
+      |              ELSE l_orderkey % 997 END AS k,
+      |         CAST(l_linenumber + r.rep AS BIGINT) AS v
+      |  FROM lineitem CROSS JOIN (SELECT unnest(range(16)) AS rep) r),
+      |sup AS (
+      |  SELECT s_suppkey % 997 AS k, CAST(s_nationkey AS BIGINT) AS w
+      |  FROM supplier)
+      |SELECT li.k % 10 AS kb, COUNT(*) AS cnt,
+      |       CAST(SUM(v + w) AS BIGINT) AS sv,
+      |       CAST(SUM(CASE WHEN substr(md5(
+      |         CAST(li.k AS VARCHAR) || '-' || CAST(v AS VARCHAR) ||
+      |         '-' || CAST(w AS VARCHAR)), 1, 1) = 'a'
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS na
       |FROM li JOIN sup ON li.k = sup.k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -714,6 +738,8 @@ object SparkEntry {
     // semantically transparent — only the physical distribution differs
     "x53_skew_salted" -> skewJoinOracle,
     "x54_skew_aqe" -> skewJoinOracle,
+    "x64_skew_heavy_salted" -> heavySkewOracle,
+    "x65_skew_heavy_aqe" -> heavySkewOracle,
     // 16^8 / 10 = 429496729 = 0x19999999: the same lexicographic hex
     // prefix compare as the engine's map-only filter
     "x37_hash_sample" ->

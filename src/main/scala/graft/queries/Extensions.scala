@@ -633,6 +633,69 @@ object Extensions {
       .orderBy(col("kb"))
   }
 
+  /** Shared shape of the x64/x65 HEAVY skew pair — the regime where the
+    * x53/x54 measurement showed AQE alone suffices is deliberately left
+    * behind: 99 % of a 16×-replicated fact side (9.5 M rows) collapses
+    * onto ONE key, and the post-join aggregation does real per-row work
+    * (an md5 over the joined columns), so the hot partition's reduce
+    * task — join + hash + partial agg of ~9.5 M rows — dominates the
+    * query. The hot partition (~150 MB) sits BELOW AQE's
+    * skewedPartitionThresholdInBytes (256 MB), which is exactly the
+    * blind spot the decision rule's third branch names: skew painful
+    * enough to serialize the stage but too small for AQE's split to
+    * engage. The fact side is hash-repartitioned first so the map stage
+    * is parallel in both variants and the delta isolates the reduce
+    * side. All-integer output + engine-identical md5 hex → one exact
+    * oracle for both variants.
+    */
+  private def heavySkewSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val li = Graft.table(s, dir, "lineitem")
+      .repartition(32)
+      .withColumn("rep", explode(array((0 until 16).map(lit): _*)))
+      .select(
+        when(col("l_orderkey") % 100 =!= 7, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(997)).cast("long")).as("k"),
+        (col("l_linenumber").cast("long") + col("rep")).as("v"))
+    val sup = Graft.table(s, dir, "supplier").select(
+      pmod(col("s_suppkey"), lit(997)).cast("long").as("k"),
+      col("s_nationkey").cast("long").as("w")).hint("merge")
+    (li, sup)
+  }
+
+  private def heavySkewAgg(j: DataFrame): DataFrame =
+    j.groupBy(pmod(col("k"), lit(10)).as("kb"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v") + col("w")).as("sv"),
+        sum(when(substring(md5(concat_ws("-", col("k"), col("v"),
+          col("w"))), 1, 1) === "a", 1L).otherwise(0L)).as("na"))
+      .orderBy(col("kb"))
+
+  /** x64: the heavy-skew join SALTED (16 sub-keys) — the decision
+    * rule's third branch ([[graft.operators.SkewJoin]]) demonstrated
+    * with a measured crossover: bench_detail shows this variant beating
+    * the plain x65 form (~4.0 s vs ~3.0 s steady-state at sf0.1,
+    * local[32]) because the hot key's join+md5+partial-agg work spreads
+    * over 16 tasks instead of serializing on one, at the cost of a 16×
+    * replication of the 1000-row dim.
+    */
+  def x64SkewHeavySalted(s: SparkSession, dir: String): DataFrame = {
+    val (li, sup) = heavySkewSides(s, dir)
+    heavySkewAgg(
+      graft.operators.SkewJoin.saltedInnerJoin(li, sup, "k", salt = 16))
+  }
+
+  /** x65: the same heavy-skew join UNSALTED — what the built-ins do
+    * with a sub-threshold hot partition: AQE's skew split never fires
+    * (150 MB < 256 MB), the hot reduce task serializes the stage, and
+    * bench_detail records the cost x64's salt removes. Same oracle as
+    * x64 (identical semantics, different physical plan) — together the
+    * pair is the measured form of the salt-vs-AQE decision rule.
+    */
+  def x65SkewHeavyAqe(s: SparkSession, dir: String): DataFrame = {
+    val (li, sup) = heavySkewSides(s, dir)
+    heavySkewAgg(li.join(sup, "k"))
+  }
+
   /** x27: inverted index over the corpus — per-term document frequency,
     * corpus frequency, and a capped ascending postings preview
     * ([[graft.operators.Retrieval.invertedIndex]]).

@@ -227,6 +227,20 @@ class PlanSpec extends SparkSpec {
     assert(p53.contains("Generate"), p53) // the salt-replication explode
   }
 
+  test("x64/x65: the heavy-skew pair also runs genuine shuffle joins " +
+      "and both variants return identical results (same oracle)") {
+    val p65 = plan(Extensions.x65SkewHeavyAqe(spark, sfDir))
+    assert(p65.contains("SortMergeJoin"), p65)
+    assert(!p65.contains("BroadcastHashJoin"), p65)
+    val p64 = plan(Extensions.x64SkewHeavySalted(spark, sfDir))
+    assert(p64.contains("SortMergeJoin"), p64)
+    assert(!p64.contains("BroadcastHashJoin"), p64)
+    val a = Extensions.x64SkewHeavySalted(spark, sfDir).collect().toSeq
+    val b = Extensions.x65SkewHeavyAqe(spark, sfDir).collect().toSeq
+    assert(a == b, "salted and plain variants must agree row-for-row")
+    assert(a.nonEmpty)
+  }
+
   test("x4: capped LSH shuffles the banded rows once — candidates come " +
       "off the bounded aggregation, not a second banded exchange") {
     import org.apache.spark.sql.functions._
