@@ -123,6 +123,51 @@ final class DedupIndex private (
     Dedup.verifyJaccard(cand, vSets, queryThreshold)
   }
 
+  /** APPEND a delta batch's state to the index — the merge step of the
+    * service loop (delta arrives → query index → extend index), making
+    * those documents part of the corpus for every FUTURE delta without
+    * recomputing anything corpus-sized: one map-only pass over the
+    * delta appends its shingle sets, its prefix rows, and its banded
+    * bucket rows to the stored collections.
+    *
+    * The stored document frequencies are NOT updated — they define the
+    * FROZEN global order every stored prefix row was ranked under, and
+    * the appended rows rank under that same order (unseen shingles
+    * coalesce to df 0), so prefix-filter completeness keeps holding
+    * across original, extended, and future-delta documents alike.
+    * The cost of freezing is drift: as the corpus grows, the stored
+    * order tracks rarity less well, which inflates CANDIDATE counts
+    * only — verified pairs stay exact (spec-asserted: an extended
+    * index answers the next delta identically to a recompute over the
+    * merged corpus). Rebuild on a maintenance cadence (say, when the
+    * extended fraction passes ~20 %) to restore the rarest-first
+    * prefix economy. Ids must stay unique across the original corpus
+    * and every extension.
+    */
+  def extend(delta: DataFrame, idCol: String, textCol: String): Unit =
+    CacheScope.scoped {
+      val dSets = CacheScope.cached(
+        Dedup.shingleSets(delta, idCol, textCol, k))
+      mgr.collection(DedupIndex.SetsName).write(dSets, SaveMode.Append)
+      val dPost = dSets.select(col("id"), col("n"),
+        explode(col("sh")).as("s"))
+      val dfreqC = CacheScope.cached(dfreq)
+      val dfHint = Dedup.sizedBroadcastHint(dfreqC)
+      val dPrefix = dPost
+        .join(dfHint(dfreqC), Seq("s"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+        .filter(col("rn") <= Dedup.prefixLenCol(col("n"), threshold))
+        .select(col("id"), col("n"), col("s"), col("rn"))
+      mgr.collection(DedupIndex.PrefixName).write(dPrefix, SaveMode.Append)
+      val dSig = dSets.withColumn("minhash_sig",
+        GraftFunctions.minHashSignature(col("sh"), numHashes))
+      mgr.collection(DedupIndex.BandedName).write(
+        Dedup.bandedBuckets(dSig, "id", numHashes, bands),
+        SaveMode.Append)
+    }
+
   /** Incremental MinHash-LSH pairs against the stored corpus —
     * [[Dedup.minHashPairsAgainst]]'s output with the corpus banding
     * served from the index: delta docs are shingled/signed/banded

@@ -112,6 +112,37 @@ class DedupIndexSpec extends SparkSpec {
     assert(got.contains((11L, 12L)), "delta-only pair missing")
   }
 
+  test("extend: an appended delta becomes corpus for the NEXT delta — " +
+      "both query forms equal a recompute over the merged corpus") {
+    import spark.implicits._
+    val d = graft.core.Graft.table(spark, sfDir, "documents")
+    val corpusA = d.filter(col("doc_id") % 7 =!= 0 &&
+      col("doc_id") % 7 =!= 1)
+    val deltaB = d.filter(col("doc_id") % 7 === 1)
+    val deltaC = d.filter(col("doc_id") % 7 === 0)
+    val idx = DedupIndex.build(corpusA, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    idx.extend(deltaB, "doc_id", "text")
+    val merged = corpusA.unionByName(deltaB)
+    assert(pairSet(idx.jaccardPairsAgainst(deltaC, "doc_id", "text", 0.6))
+      == pairSet(Dedup.jaccardShinglePairsAgainst(merged, deltaC,
+        "doc_id", "text", k = 3, threshold = 0.6)))
+    assert(pairSet(idx.minHashPairsAgainst(deltaC, "doc_id", "text", 0.6))
+      == pairSet(Dedup.minHashPairsAgainst(merged, deltaC,
+        "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+        threshold = 0.6)))
+    // the extension really participates: a near-copy of an extended doc
+    // must pair with it through the index
+    val extended = deltaB.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(1).collect()(0)
+    val probe = Seq((900000L, extended.getString(1)))
+      .toDF("doc_id", "text")
+    val hits = idx.jaccardPairsAgainst(probe, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((extended.getLong(0), 900000L)),
+      s"extended doc ${extended.getLong(0)} did not pair with its copy")
+  }
+
   test("querying below the build threshold fails loudly") {
     val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val idx = DedupIndex.build(corpus, "doc_id", "text", k = 3,
