@@ -46,6 +46,7 @@ object CacheScope {
   final class Scope private[CacheScope] () {
     private[CacheScope] val frames =
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+    @volatile private[CacheScope] var released = false
 
     /** Run `body` on the CURRENT thread with operator-cache
       * registrations routed to this scope — the child-thread side of
@@ -57,7 +58,18 @@ object CacheScope {
       finally current.set(current.get().tail)
     }
 
+    private[CacheScope] def register(df: DataFrame): Unit = {
+      frames.add(df)
+      // close the exit race: a registration that lands AFTER the owning
+      // bracket released (a micro-batch still in flight at exit) would
+      // otherwise sit in a queue nobody drains again — leak on every
+      // later batch. The drain is idempotent (poll-based), so draining
+      // here is safe against concurrent registrars.
+      if (released) release()
+    }
+
     private[CacheScope] def release(): Unit = {
+      released = true
       var df = frames.poll()
       while (df != null) {
         df.unpersist(blocking = false)
@@ -76,7 +88,7 @@ object CacheScope {
   private[graft] def cached(df: DataFrame): DataFrame = {
     val c = df.cache()
     current.get() match {
-      case s :: _ => s.frames.add(c); ()
+      case s :: _ => s.register(c)
       case Nil => ()
     }
     c

@@ -61,22 +61,61 @@ object Multimodal {
       catch { case _: Exception => None }
   }
 
-  /** Batch decode kernel: REAL image header/pixel parse via
-    * javax.imageio for decodable payloads (true width/height/channel
-    * count); non-image payloads synthesize deterministic dimensions
-    * from the byte length (pure function — reproducible across runs,
-    * partitions, engines) so mixed corpora decode totally.
+  /** HEADER-ONLY image metadata parse: an ImageReader claims the bytes
+    * and reports width/height/channels WITHOUT decoding the pixel
+    * raster — for a corpus of multi-megapixel media the full decode
+    * would dominate the pass while only three ints are kept. Falls
+    * back to a full read if a reader can't report a header-level image
+    * type (rare), and to None when no registered reader claims the
+    * bytes at all.
+    */
+  private def readImageHeader(bytes: Array[Byte])
+      : Option[(Int, Int, Int)] = {
+    imageIoInit
+    if (bytes.length < 8) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis, true, true)
+        val (w, h) = (r.getWidth(0), r.getHeight(0))
+        val channels = {
+          val raw = r.getRawImageType(0)
+          if (raw != null) raw.getColorModel.getNumComponents
+          else {
+            val types = r.getImageTypes(0)
+            if (types.hasNext) types.next().getColorModel.getNumComponents
+            else return readImage(bytes).map(img =>
+              (img.getWidth, img.getHeight,
+                img.getColorModel.getNumComponents))
+          }
+        }
+        Some((w, h, channels))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Batch decode kernel: REAL image header parse via javax.imageio
+    * for decodable payloads (true width/height/channel count, pixels
+    * never materialized); non-image payloads synthesize deterministic
+    * dimensions from the byte length (pure function — reproducible
+    * across runs, partitions, engines) so mixed corpora decode
+    * totally.
     */
   private def decodeBatch(batch: Seq[Array[Byte]])
       : Seq[(Int, Int, Int, Boolean)] =
     batch.map { bytes =>
-      readImage(bytes) match {
-        case Some(img) =>
-          (img.getWidth, img.getHeight,
-            img.getColorModel.getNumComponents, true)
+      readImageHeader(bytes) match {
+        case Some((w, h, c)) => (w, h, c, true)
         case None =>
           val n = bytes.length
-          (64 + n % 512, 64 + (n * 7) % 512, 3, n > 0)
+          // long arithmetic: n*7 overflows Int past ~306 MB payloads
+          // and would synthesize a negative height
+          (64 + n % 512, 64 + (n.toLong * 7 % 512).toInt, 3, n > 0)
       }
     }
 

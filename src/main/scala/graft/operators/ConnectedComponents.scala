@@ -169,12 +169,21 @@ object ConnectedComponents {
       pairs.select(greatest(col(id1), col(id2)).as("u"),
           least(col(id1), col(id2)).as("v")).distinct())
     var edges = truncated(canon.filter(col("u") =!= col("v")))
-    val selfLab = truncated(
-      canon.filter(col("u") === col("v")).select(col("u").as("id"))
-        .join(canon.filter(col("u") =!= col("v"))
-            .select(explode(array(col("u"), col("v"))).as("id")).distinct(),
-          Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("label")))
+    // self-pair handling costs nothing in the common case: near-dup
+    // pair generators emit id1 < id2 only, so one cheap probe of the
+    // (already materialized) canonical frame usually skips the
+    // anti-join + checkpoint entirely
+    val selfIds = canon.filter(col("u") === col("v"))
+      .select(col("u").as("id"))
+    val selfLab =
+      if (selfIds.isEmpty) None
+      else Some(truncated(
+        selfIds
+          .join(canon.filter(col("u") =!= col("v"))
+              .select(explode(array(col("u"), col("v"))).as("id"))
+              .distinct(),
+            Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("label"))))
     releaseTruncated(canon)
     var nEdges = edges.count()
     var converged = nEdges == 0L
@@ -228,6 +237,6 @@ object ConnectedComponents {
         struct(col("v").as("id"), col("v").as("label")))).as("e"))
       .select(col("e.id").as("id"), col("e.label").as("label"))
       .distinct()
-    out.unionByName(selfLab)
+    selfLab.fold(out)(out.unionByName)
   }
 }

@@ -71,6 +71,32 @@ final class DedupIndex private (
 
   private def mgr = new CollectionManager(spark, path)
 
+  private def fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** [[extend]] appends to THREE collections; a crash between appends
+    * would leave them mutually inconsistent — documents present for
+    * verification but absent from candidate generation, i.e. silently
+    * missed duplicates forever. Every extend therefore brackets its
+    * appends with a marker file, and every query/extend/load refuses a
+    * marked index LOUDLY instead of returning silently-incomplete
+    * answers.
+    */
+  private[operators] def checkPending(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    val stuck = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(DedupIndex.PendingPrefix))
+    require(stuck.isEmpty,
+      s"dedup index at $path has ${stuck.length} incomplete " +
+        "extension(s) — a crash interrupted extend() between its " +
+        "collection appends, so the stored state is mutually " +
+        "inconsistent (silently missing pairs). Rebuild with " +
+        "DedupIndex.build (or re-run the failed extend on a restored " +
+        "copy), then remove: " +
+        stuck.map(_.getPath.getName).mkString(", "))
+  }
+
   /** (id, sh, n) corpus shingle sets — the verification side. */
   def sets: DataFrame = mgr.collection(DedupIndex.SetsName).read()
 
@@ -94,6 +120,7 @@ final class DedupIndex private (
     */
   def jaccardPairsAgainst(delta: DataFrame, idCol: String, textCol: String,
       queryThreshold: Double): DataFrame = {
+    checkPending()
     require(queryThreshold >= threshold - 1e-12,
       s"index was built for threshold >= $threshold; a query at " +
         s"$queryThreshold needs prefix rows the build truncated away — " +
@@ -143,9 +170,20 @@ final class DedupIndex private (
     * extended fraction passes ~20 %) to restore the rarest-first
     * prefix economy. Ids must stay unique across the original corpus
     * and every extension.
+    *
+    * Durability: the three appends are not one atomic operation, so
+    * each extend writes a `.extend-pending-*` marker first and removes
+    * it only after all three succeed — a crash mid-extend leaves the
+    * marker, and every later query/extend/load REFUSES the index
+    * loudly (see [[DedupIndex.checkPending]]) instead of silently
+    * missing the half-appended documents' pairs.
     */
   def extend(delta: DataFrame, idCol: String, textCol: String): Unit =
     CacheScope.scoped {
+      checkPending()
+      val marker = new org.apache.hadoop.fs.Path(path,
+        DedupIndex.PendingPrefix + java.util.UUID.randomUUID())
+      fs.create(marker).close()
       val dSets = CacheScope.cached(
         Dedup.shingleSets(delta, idCol, textCol, k))
       mgr.collection(DedupIndex.SetsName).write(dSets, SaveMode.Append)
@@ -166,6 +204,8 @@ final class DedupIndex private (
       mgr.collection(DedupIndex.BandedName).write(
         Dedup.bandedBuckets(dSig, "id", numHashes, bands),
         SaveMode.Append)
+      fs.delete(marker, false)
+      ()
     }
 
   /** Incremental MinHash-LSH pairs against the stored corpus —
@@ -179,6 +219,7 @@ final class DedupIndex private (
   def minHashPairsAgainst(delta: DataFrame, idCol: String, textCol: String,
       queryThreshold: Double,
       bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    checkPending()
     val dSets = CacheScope.cached(
       Dedup.shingleSets(delta, idCol, textCol, k))
     val dSig = dSets.withColumn("minhash_sig",
@@ -197,6 +238,7 @@ object DedupIndex {
   private[operators] val PrefixName = "prefix"
   private[operators] val BandedName = "banded"
   private[operators] val MetaName = "meta"
+  private[operators] val PendingPrefix = ".extend-pending-"
 
   /** Compute and persist the corpus-side dedup state under `path`
     * (overwriting any previous index there). One shingle pass over the
@@ -244,14 +286,18 @@ object DedupIndex {
     new DedupIndex(spark, path, k, threshold, numHashes, bands)
   }
 
-  /** Open an index previously written by [[build]]. */
+  /** Open an index previously written by [[build]]. Refuses an index
+    * with an interrupted extension (see [[DedupIndex.checkPending]]).
+    */
   def load(spark: SparkSession, path: String): DedupIndex = {
     val rows = new CollectionManager(spark, path)
       .collection(MetaName).read().collect()
     require(rows.length == 1, s"not a dedup index (no meta row): $path")
     val r = rows(0)
-    new DedupIndex(spark, path,
+    val idx = new DedupIndex(spark, path,
       r.getAs[Int]("k"), r.getAs[Double]("threshold"),
       r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
+    idx.checkPending()
+    idx
   }
 }

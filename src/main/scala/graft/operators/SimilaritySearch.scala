@@ -166,7 +166,8 @@ object SimilaritySearch {
     */
   private[graft] def trainCentroids(full: DataFrame, idC: String,
       vecC: String, nCells: Int, iters: Int, trainFraction: Double,
-      initFrom: Option[Seq[Seq[Float]]] = None): Seq[Seq[Float]] = {
+      initFrom: Option[Seq[Seq[Float]]] = None,
+      sampleEmptyHint: Option[Boolean] = None): Seq[Seq[Float]] = {
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
     val train0 =
@@ -190,8 +191,13 @@ object SimilaritySearch {
     // round silently and leave the codebook at its id-order init
     val (train, cents0) = initFrom match {
       case Some(init) =>
-        val t = if (trainFraction >= 1.0 || !train0.isEmpty) train0 else full
-        (t, init.take(nCells))
+        // the hash sample filters on the id column only, so emptiness
+        // is identical across PQ's per-subspace calls — callers probe
+        // once and pass the verdict (`sampleEmptyHint`) instead of
+        // paying one limit-1 job per subspace
+        val empty = trainFraction < 1.0 &&
+          sampleEmptyHint.getOrElse(train0.isEmpty)
+        (if (empty) full else train0, init.take(nCells))
       case None =>
         val fromSample = initCents(train0)
         if (fromSample.nonEmpty || trainFraction >= 1.0)
@@ -498,13 +504,21 @@ object SimilaritySearch {
     val initFull = c.orderBy(col("neighbor_id")).limit(nCentroids)
       .select(col("cv")).collect().map(_.getSeq[Float](0)).toSeq
     if (initFull.isEmpty) return None
+    // one emptiness probe of the hash sample serves every subspace (the
+    // sample filters on the id column, identical across slices)
+    val sampleEmpty =
+      if (trainFraction >= 1.0) Some(false)
+      else Some(Sampling.hashSample(c, "neighbor_id",
+        math.max(1, math.round(trainFraction * 1000000).toInt), 1000000)
+        .isEmpty)
     val codebooks: IndexedSeq[Seq[Seq[Float]]] =
       (0 until numSubspaces).map { s =>
         trainCentroids(
           c.select(col("neighbor_id"),
             slice(col("cv"), s * sub + 1, sub).as("sv")),
           "neighbor_id", "sv", nCentroids, kmeansIters, trainFraction,
-          initFrom = Some(initFull.map(_.slice(s * sub, s * sub + sub))))
+          initFrom = Some(initFull.map(_.slice(s * sub, s * sub + sub))),
+          sampleEmptyHint = sampleEmpty)
       }
     if (codebooks.exists(_.isEmpty)) return None
 

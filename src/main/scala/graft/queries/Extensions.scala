@@ -319,13 +319,19 @@ object Extensions {
     * the frozen corpus-df prefix order changes candidate generation,
     * never the exact-verified pairs.
     */
+  /** One stable scratch path per (query, sf dir): repeated invocations
+    * (bench warmup + 3 passes, Verify) OVERWRITE the same index instead
+    * of leaking one corpus-sized temp copy per call.
+    */
+  private def scratchIndexPath(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      Integer.toHexString(dir.hashCode)
+
   def x62IndexedIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val idxPath = java.nio.file.Files
-      .createTempDirectory("graft_x62_idx").toString
     val idx = graft.operators.DedupIndex.build(
       d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", k = 3,
-      threshold = 0.6, path = idxPath)
+      threshold = 0.6, path = scratchIndexPath("x62_idx", dir))
     idx.jaccardPairsAgainst(d.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", 0.6)
       .orderBy(col("id1"), col("id2"))
@@ -341,10 +347,8 @@ object Extensions {
     */
   def x63KnnPqIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val idxPath = java.nio.file.Files
-      .createTempDirectory("graft_x63_idx").toString
     val idx = graft.operators.PqIndex.build(e, "vec_id", "embedding",
-      trainFraction = 0.5, path = idxPath)
+      trainFraction = 0.5, path = scratchIndexPath("x63_idx", dir))
       .getOrElse(sys.error("empty embeddings table"))
     idx.topK(e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rk"))

@@ -100,14 +100,17 @@ class DocumentCollectionSource extends TableProvider with DataSourceRegister {
     val timeoutSec = options.getInt("inferTimeoutSec", 60)
     require(timeoutSec > 0, s"inferTimeoutSec must be > 0: $timeoutSec")
     val futures = sampled.toList.map { name =>
-      name -> Future {
+      // blocking{}: the global pool grows past its core count for
+      // blocked sections, so readers stranded by a later timeout don't
+      // wedge the shared ExecutionContext for retries / other users
+      name -> Future(scala.concurrent.blocking {
         val f = new Path(s"$path/$name")
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
           f.getFileSystem(conf).open(f), "UTF-8"))
         try Iterator.continually(in.readLine()).takeWhile(_ != null)
           .take(perFile).toList
         finally in.close()
-      }
+      })
     }
     val lines =
       try Await.result(Future.sequence(futures.map(_._2)),

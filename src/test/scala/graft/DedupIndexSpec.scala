@@ -143,6 +143,38 @@ class DedupIndexSpec extends SparkSpec {
       s"extended doc ${extended.getLong(0)} did not pair with its copy")
   }
 
+  test("an interrupted extend is refused loudly by query, extend, and " +
+      "load — never silently-incomplete answers") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val path = tmpDir()
+    val idx = DedupIndex.build(corpus, "doc_id", "text", k = 3,
+      threshold = 0.6, path = path)
+    // simulate a crash between extend's collection appends
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path,
+      ".extend-pending-deadbeef"))
+    val delta = Seq((2L, "a b c d e f h")).toDF("doc_id", "text")
+    for (op <- Seq(
+        () => idx.jaccardPairsAgainst(delta, "doc_id", "text", 0.6),
+        () => idx.minHashPairsAgainst(delta, "doc_id", "text", 0.6),
+        () => idx.extend(delta, "doc_id", "text"),
+        () => DedupIndex.load(spark, path))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("incomplete extension"), e.getMessage)
+    }
+    // recovery: remove the marker -> the index serves again, and a
+    // completed extend leaves no marker behind
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path,
+      ".extend-pending-deadbeef"))
+    idx.extend(delta, "doc_id", "text")
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .anyMatch(p =>
+        p.getFileName.toString.startsWith(".extend-pending-")))
+    assert(idx.jaccardPairsAgainst(
+      Seq((3L, "a b c d e f h")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6).count() >= 1)
+  }
+
   test("querying below the build threshold fails loudly") {
     val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val idx = DedupIndex.build(corpus, "doc_id", "text", k = 3,
