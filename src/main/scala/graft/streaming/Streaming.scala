@@ -220,6 +220,67 @@ object Streaming {
       }
   }
 
+  /** Streaming dedup-on-ingest against a PERSISTED corpus index
+    * ([[graft.operators.DedupIndex]]) — the continuous form of
+    * [[graft.operators.DedupIndex.minHashPairsAgainst]]: every arriving
+    * document is shingled, MinHash-signed, and banded MAP-SIDE (the
+    * index's own parameters), candidate corpus partners come from a
+    * stream-STATIC equi-join against the stored bucket assignments,
+    * and candidates verify with the exact shingle Jaccard against the
+    * stored sets — emitting (doc_id, dup_of, jaccard) rows for every
+    * arriving doc that duplicates a corpus document at `threshold`.
+    *
+    * Scale shape: the two corpus-sized joins are stream-static, so NO
+    * state store holds anything corpus-sized — the only stateful
+    * operator is the final per-(window, pair) dedup aggregation (band
+    * collisions produce the same pair up to `bands` times), whose
+    * state is ingest-rate bounded and dropped by the watermark.
+    * Recall per pair is the usual banded 1−(1−J^r)^bands. In-stream
+    * arrivals are NOT paired with each other here (that is
+    * [[lshCandidateStream]]'s stateful job); this operator screens
+    * arrivals against the CORPUS — the "have we already got this
+    * document" gate of a continuous ingest pipeline, with the corpus
+    * living entirely in index parquet that the daily
+    * [[graft.operators.DedupIndex.extend]] keeps current. Consider
+    * caching `index.banded`/`index.sets` (or a `CacheScope` bracket
+    * around the stream's lifetime) so micro-batches don't re-read the
+    * static side from parquet every trigger.
+    *
+    * Semantics per arriving doc are identical to the batch index query
+    * restricted to cross pairs (asserted in the spec suite).
+    */
+  def indexDedupStream(docs: DataFrame,
+      index: graft.operators.DedupIndex, idCol: String, textCol: String,
+      threshold: Double, tsCol: String, watermark: String = "1 hour",
+      windowDur: String = "10 minutes"): DataFrame = {
+    import graft.expressions.GraftFunctions
+    val k = index.k
+    val sig = graft.operators.Dedup.withMinHashSignature(
+        docs.select(col(idCol), col(textCol), col(tsCol))
+          .withWatermark(tsCol, watermark),
+        textCol, k, index.numHashes)
+      .withColumn("__sh", GraftFunctions.wordShingles(col(textCol), k))
+      .withColumn("__n", size(col("__sh")))
+    val banded = graft.operators.Dedup.bandedBuckets(sig, idCol,
+      index.numHashes, index.bands,
+      passthrough = Seq(tsCol, "__sh", "__n"))
+    val cand = banded.join(
+      index.banded.select(col("band"), col("bucket"),
+        col("id").as("dup_of")),
+      Seq("band", "bucket"))
+    cand
+      .join(index.sets.select(col("id").as("dup_of"),
+        col("sh").as("__csh"), col("n").as("__cn")), Seq("dup_of"))
+      .withColumn("__c",
+        GraftFunctions.sortedIntersectCount(col("__sh"), col("__csh")))
+      .withColumn("jaccard", round(
+        col("__c") / (col("__n") + col("__cn") - col("__c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(window(col(tsCol), windowDur), col("id"), col("dup_of"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select(col("id").as("doc_id"), col("dup_of"), col("jaccard"))
+  }
+
   /** Streaming contamination screen: incoming (test/eval) documents are
     * checked against a STATIC training-corpus shingle set as they
     * arrive — the stream-static join surface. The static side is the

@@ -116,6 +116,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexDedupStream: arriving docs screen against the PERSISTED " +
+      "corpus index — streamed pairs equal the batch index query's " +
+      "cross pairs across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = graft.core.Graft.table(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val deltaRows = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val idx = graft.operators.DedupIndex.build(corpus, "doc_id", "text",
+      k = 3, threshold = 0.6, path = idxPath)
+    val corpusIds = corpus.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+
+    // batch truth: the index query's CROSS pairs only (the stream form
+    // deliberately does not pair in-stream arrivals with each other)
+    val batchCross = idx.minHashPairsAgainst(
+        deltaRows.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => corpusIds.contains(p._1) != corpusIds.contains(p._2))
+      .map { case (a, b, j) =>
+        if (corpusIds.contains(a)) (b, a, j) else (a, b, j) }
+      .toSet
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = graft.streaming.Streaming.indexDedupStream(
+      input.toDF.toDF("doc_id", "text", "ts"), idx,
+      "doc_id", "text", threshold = 0.6, tsCol = "ts")
+    val q = stream.writeStream.format("memory").queryName("idx_dedup")
+      .outputMode("append").start()
+    try {
+      val parts = deltaRows.grouped(
+        math.max(1, deltaRows.length / 2)).toSeq
+      parts.zipWithIndex.foreach { case (part, i) =>
+        input.addData(part.toSeq.map { case (id, t) =>
+          (id, t, ts(120 + i * 5)) })
+        q.processAllAvailable()
+      }
+      // append mode emits windowed aggs only after the watermark passes
+      // them — push it forward with a late sentinel doc
+      input.addData(Seq((999999L, "watermark pusher", ts(10000))))
+      q.processAllAvailable()
+      val streamed = spark.table("idx_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batchCross,
+        s"streamed ${streamed.size} vs batch ${batchCross.size}")
+      assert(batchCross.nonEmpty, "corpus should contain delta twins")
+    } finally q.stop()
+  }
+
   test("sinkStream lands each micro-batch into a collection exactly " +
       "once, and a replayed batch id overwrites instead of duplicating") {
     import spark.implicits._
