@@ -75,6 +75,29 @@ final class PqIndex private (
     SimilaritySearch.pqScore(codes, codebooks, numSubspaces, nCentroids,
       sub, queries, idCol, vecCol, k, excludeSelf)
   }
+
+  /** APPEND new vectors under the FROZEN codebooks — the index
+    * maintenance step: one map-side compiled encode of the delta (the
+    * same per-subspace argmin the build used), appended to the codes
+    * collection. No retraining: codebooks stay fixed, so pre-extend
+    * codes remain valid and the append is a single-collection,
+    * delta-sized write. The trade is quantization drift — vectors from
+    * a distribution the codebooks never saw carry larger quantization
+    * error (they score LOW, the bias's safe direction) — so rebuild on
+    * a maintenance cadence, as with [[DedupIndex.extend]]. Ids must
+    * stay unique across the original corpus and every extension.
+    */
+  def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    val sub = codebooks.head.head.length
+    val c = delta.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), normSq(col(vecCol)).as("cn"))
+    val codeCols = (0 until numSubspaces).map { s =>
+      nearestCell(slice(col("cv"), s * sub + 1, sub), codebooks(s)) }
+    mgr.collection(AnnIndex.CodesName).write(
+      c.select(col("neighbor_id"), col("cn"),
+        array(codeCols: _*).as("codes")),
+      SaveMode.Append)
+  }
 }
 
 object PqIndex {
@@ -176,6 +199,23 @@ final class IvfIndex private (
       cells.filter(col("cell").isin(probed.toIndexedSeq: _*)),
       centroids, nProbe, queries, idCol, vecCol, k, excludeSelf)
   }
+
+  /** APPEND new vectors under the FROZEN centroids: one map-side
+    * compiled cell assign of the delta, appended into the Hive cell
+    * partitions (Spark appends per-partition-directory, so existing
+    * cells gain files and new arrivals stay prunable). No retraining —
+    * centroid drift means off-distribution vectors land in the nearest
+    * EXISTING cell; scoring stays exact (IVF stores full vectors), only
+    * probe recall drifts. Rebuild on a maintenance cadence. Ids must
+    * stay unique across the original corpus and every extension.
+    */
+  def extend(delta: DataFrame, idCol: String, vecCol: String): Unit =
+    mgr.collection(AnnIndex.CellsName).write(
+      SimilaritySearch.assignCells(
+        delta.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          normSq(col(vecCol)).as("cn")),
+        "cv", centroids),
+      SaveMode.Append, partitionBy = Seq("cell"))
 }
 
 object IvfIndex {

@@ -71,6 +71,47 @@ class AnnIndexSpec extends SparkSpec {
       "probe set was not pushed as a partition filter:\n" + plan)
   }
 
+  test("extend: appended vectors are found under the frozen quantizers " +
+      "— an identical query returns its planted twin; pre-extend " +
+      "results stay reachable") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    // PQ: delta encodes under the stored codebooks; an exact copy of a
+    // delta vector must surface it (identical codes -> identical ADC
+    // score; excludeSelf filters the query id itself, ids differ)
+    val pqPath = tmpDir()
+    val pq = PqIndex.build(corpus, "vec_id", "embedding",
+      path = pqPath).get
+    val preRows = pq.codes.count()
+    pq.extend(delta, "vec_id", "embedding")
+    assert(pq.codes.count() == preRows + 50)
+    val probe = delta.limit(1)
+      .select(lit(777777L).as("vec_id"), col("embedding"))
+    val plantedId = delta.orderBy(col("vec_id")).limit(1)
+      .collect()(0).getLong(0)
+    val pqTop = pq.topK(probe, "vec_id", "embedding", k = 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(pqTop.contains(plantedId),
+      s"PQ extend lost the planted twin $plantedId: $pqTop")
+    // IVF: identical vector assigns to the same cell deterministically
+    // and scoring is exact, so the twin is the cos-1.0 top hit; the
+    // appended rows land inside the Hive cell partitions
+    val ivfPath = tmpDir()
+    val ivf = IvfIndex.build(corpus, "vec_id", "embedding",
+      nCells = 16, path = ivfPath).get
+    ivf.extend(delta, "vec_id", "embedding")
+    assert(ivf.cells.count() == 450)
+    val ivfTop = ivf.topK(probe, "vec_id", "embedding", k = 1)
+      .collect()(0)
+    assert(ivfTop.getLong(2) == plantedId && ivfTop.getDouble(3) == 1.0,
+      s"IVF extend: expected ($plantedId, 1.0), got $ivfTop")
+    // reloading sees the extension too (state is all on disk)
+    assert(IvfIndex.load(spark, ivfPath).cells.count() == 450)
+    assert(PqIndex.load(spark, pqPath).codes.count() == preRows + 50)
+  }
+
   test("empty corpus: build returns None instead of writing a broken " +
       "index") {
     val empty = emb.filter(col("vec_id") < -1)
