@@ -185,6 +185,41 @@ class DedupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild the index"))
   }
 
+  test("edge shapes: empty corpus, empty delta, and sub-k-token docs " +
+      "all answer cleanly instead of crashing") {
+    import spark.implicits._
+    val some = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val none = some.filter(col("doc_id") < 0)
+    val short = Seq((9L, "just two")).toDF("doc_id", "text")
+
+    // empty corpus: nothing indexed, a delta finds only its own pairs
+    val emptyIdx = DedupIndex.build(none, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    assert(pairSet(emptyIdx.jaccardPairsAgainst(some, "doc_id", "text",
+      0.6)) == pairSet(Dedup.jaccardShinglePairsAgainst(none, some,
+      "doc_id", "text", k = 3, threshold = 0.6)))
+    assert(emptyIdx.minHashPairsAgainst(some, "doc_id", "text", 0.6)
+      .count() == Dedup.minHashPairsAgainst(none, some, "doc_id",
+      "text", k = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      .count())
+
+    // empty delta: zero pairs, no crash
+    val idx = DedupIndex.build(some, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    assert(idx.jaccardPairsAgainst(none, "doc_id", "text", 0.6)
+      .count() == 0)
+    assert(idx.minHashPairsAgainst(none, "doc_id", "text", 0.6)
+      .count() == 0)
+
+    // docs too short to form a 3-shingle produce no pairs either way
+    assert(idx.jaccardPairsAgainst(short, "doc_id", "text", 0.6)
+      .count() == 0)
+    assert(idx.minHashPairsAgainst(short, "doc_id", "text", 0.6)
+      .count() == 0)
+  }
+
   test("build releases every cache it created") {
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.size
