@@ -36,6 +36,24 @@ object AnnIndex {
       Seq((kind, a, b)).toDF("kind", "p1", "p2"), SaveMode.Overwrite)
   }
 
+  /** Loud dimension guard for the extend paths: the encode/assign
+    * kernels tolerate dimension mismatches silently (trailing
+    * subspaces compare zero elements), so a delta from a DIFFERENT
+    * embedding model would append garbage codes that poison every
+    * future query. One limit-1 probe of the delta; an empty delta
+    * passes (the append is a no-op anyway).
+    */
+  private[operators] def requireDim(delta: DataFrame, vecCol: String,
+      expected: Int): Unit = {
+    val head = delta.select(size(col(vecCol))).limit(1).collect()
+    head.foreach { r =>
+      require(r.getInt(0) == expected,
+        s"index expects $expected-dim vectors, delta carries " +
+          s"${r.getInt(0)}-dim — a different embedding model? Appending " +
+          "would silently poison the index; rebuild instead")
+    }
+  }
+
   private[operators] def readMeta(mgr: CollectionManager, path: String,
       kind: String): (Int, Int) = {
     val rows = mgr.collection(MetaName).read().collect()
@@ -89,6 +107,7 @@ final class PqIndex private (
     */
   def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
     val sub = codebooks.head.head.length
+    AnnIndex.requireDim(delta, vecCol, numSubspaces * sub)
     val c = delta.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), normSq(col(vecCol)).as("cn"))
     val codeCols = (0 until numSubspaces).map { s =>
@@ -209,13 +228,15 @@ final class IvfIndex private (
     * probe recall drifts. Rebuild on a maintenance cadence. Ids must
     * stay unique across the original corpus and every extension.
     */
-  def extend(delta: DataFrame, idCol: String, vecCol: String): Unit =
+  def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    AnnIndex.requireDim(delta, vecCol, centroids.head.length)
     mgr.collection(AnnIndex.CellsName).write(
       SimilaritySearch.assignCells(
         delta.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           normSq(col(vecCol)).as("cn")),
         "cv", centroids),
       SaveMode.Append, partitionBy = Seq("cell"))
+  }
 }
 
 object IvfIndex {

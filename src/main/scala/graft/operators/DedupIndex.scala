@@ -82,7 +82,7 @@ final class DedupIndex private (
     * marked index LOUDLY instead of returning silently-incomplete
     * answers.
     */
-  private[operators] def checkPending(): Unit = {
+  private[graft] def checkPending(): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return
     val stuck = fs.listStatus(root)

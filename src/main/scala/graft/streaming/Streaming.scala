@@ -241,19 +241,35 @@ object Streaming {
     * arrivals against the CORPUS — the "have we already got this
     * document" gate of a continuous ingest pipeline, with the corpus
     * living entirely in index parquet that the daily
-    * [[graft.operators.DedupIndex.extend]] keeps current. Consider
-    * caching `index.banded`/`index.sets` (or a `CacheScope` bracket
-    * around the stream's lifetime) so micro-batches don't re-read the
-    * static side from parquet every trigger.
+    * [[graft.operators.DedupIndex.extend]] keeps current.
     *
-    * Semantics per arriving doc are identical to the batch index query
-    * restricted to cross pairs (asserted in the spec suite).
+    * Join fan-out is BOUNDED like the batch twin's: the corpus side
+    * keeps only the `bucketCap` smallest ids per (band, bucket), so one
+    * arriving doc meets at most bands·cap corpus rows — without the
+    * cap, a mega-bucket (10⁵ boilerplate twins, or every sub-k-token
+    * doc: empty shingle sets share one constant signature) would
+    * cross-join each arrival against all of it every micro-batch.
+    * Semantics per arriving doc therefore equal the batch index query's
+    * cross pairs (spec-asserted) when no bucket exceeds the cap;
+    * oversize buckets screen against their cap smallest members only
+    * (audit with [[graft.operators.Dedup.lshBucketOverflow]]).
+    *
+    * The capped corpus side and the stored sets are cached here (they
+    * are re-read EVERY micro-batch otherwise); release them via an
+    * enclosing [[graft.core.CacheScope]] bracket or `clearCache()`
+    * when the stream stops. The index's crash-consistency marker is
+    * checked at stream CONSTRUCTION (a marker appearing mid-stream —
+    * an extend crashing while this stream runs — is only caught on the
+    * next (re)start; run extends and restarts on the same maintenance
+    * cadence).
     */
   def indexDedupStream(docs: DataFrame,
       index: graft.operators.DedupIndex, idCol: String, textCol: String,
       threshold: Double, tsCol: String, watermark: String = "1 hour",
-      windowDur: String = "10 minutes"): DataFrame = {
+      windowDur: String = "10 minutes",
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame = {
     import graft.expressions.GraftFunctions
+    index.checkPending()
     val k = index.k
     val sig = graft.operators.Dedup.withMinHashSignature(
         docs.select(col(idCol), col(textCol), col(tsCol))
@@ -264,13 +280,19 @@ object Streaming {
     val banded = graft.operators.Dedup.bandedBuckets(sig, idCol,
       index.numHashes, index.bands,
       passthrough = Seq(tsCol, "__sh", "__n"))
-    val cand = banded.join(
-      index.banded.select(col("band"), col("bucket"),
-        col("id").as("dup_of")),
-      Seq("band", "bucket"))
+    val cappedCorpus = graft.core.CacheScope.cached(
+      index.banded
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+        .filter(col("__rn") <= bucketCap)
+        .select(col("band"), col("bucket"), col("id").as("dup_of")))
+    val corpusSets = graft.core.CacheScope.cached(
+      index.sets.select(col("id").as("dup_of"),
+        col("sh").as("__csh"), col("n").as("__cn")))
+    val cand = banded.join(cappedCorpus, Seq("band", "bucket"))
     cand
-      .join(index.sets.select(col("id").as("dup_of"),
-        col("sh").as("__csh"), col("n").as("__cn")), Seq("dup_of"))
+      .join(corpusSets, Seq("dup_of"))
       .withColumn("__c",
         GraftFunctions.sortedIntersectCount(col("__sh"), col("__csh")))
       .withColumn("jaccard", round(

@@ -87,10 +87,13 @@ class AnnIndexSpec extends SparkSpec {
     val preRows = pq.codes.count()
     pq.extend(delta, "vec_id", "embedding")
     assert(pq.codes.count() == preRows + 50)
-    val probe = delta.limit(1)
-      .select(lit(777777L).as("vec_id"), col("embedding"))
-    val plantedId = delta.orderBy(col("vec_id")).limit(1)
-      .collect()(0).getLong(0)
+    // probe and expected id must come from the SAME row — an unordered
+    // limit(1) is free to pick any row and would make this flaky
+    val planted = delta.orderBy(col("vec_id")).limit(1).collect()(0)
+    val plantedId = planted.getLong(0)
+    val probe = Seq(Tuple1(777777L)).toDF("vec_id")
+      .withColumn("embedding",
+        typedLit(planted.getSeq[Float](1)).cast("array<float>"))
     val pqTop = pq.topK(probe, "vec_id", "embedding", k = 3)
       .collect().map(_.getLong(2)).toSet
     assert(pqTop.contains(plantedId),
@@ -110,6 +113,15 @@ class AnnIndexSpec extends SparkSpec {
     // reloading sees the extension too (state is all on disk)
     assert(IvfIndex.load(spark, ivfPath).cells.count() == 450)
     assert(PqIndex.load(spark, pqPath).codes.count() == preRows + 50)
+    // a delta from a different embedding model (wrong dim) is refused
+    // loudly instead of silently poisoning the stored codes/cells
+    val wrongDim = delta.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    for (op <- Seq(() => pq.extend(wrongDim, "vec_id", "embedding"),
+        () => ivf.extend(wrongDim, "vec_id", "embedding"))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("dim"), e.getMessage)
+    }
   }
 
   test("empty corpus: build returns None instead of writing a broken " +
