@@ -54,15 +54,34 @@ object Streaming {
 
   case class Event(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionState(start: Long, lastUs: Long, n: Long)
+  case class SessionsState(sessions: List[SessionState])
   case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, session_events: Long)
 
   /** Custom stateful sessionization via flatMapGroupsWithState with an
-    * event-time timeout: state per user is O(1) (start, last-seen,
-    * count); a session emits when the gap elapses past the watermark or
-    * a later event arrives beyond the gap. This is the fully-custom
-    * state path for session semantics `session_window` can't express
-    * (e.g. emitting per-session payloads).
+    * event-time timeout. This is the fully-custom state path for session
+    * semantics `session_window` can't express (e.g. emitting per-session
+    * payloads).
+    *
+    * State per user is the list of OPEN sessions, not a single one:
+    * events may arrive out of order across micro-batches (anything
+    * newer than the watermark is in-contract), so an arrival can open a
+    * session BEFORE the current one, extend any open session, or bridge
+    * two open sessions into one — a single-session state would have to
+    * close a live session early to make room, splitting true sessions
+    * (exactly what `session_window`'s own state store keeps a window
+    * LIST to avoid). Each event is inserted as a unit session and the
+    * list re-coalesced under the gap rule (sort by start, fold-merge
+    * neighbors within `gap`), so bridging falls out of the merge.
+    *
+    * A session emits ONLY when the event-time timeout fires past its
+    * close (watermark > last event + gap) — emitting earlier (e.g. when
+    * a later-by-more-than-gap event arrives, as a naive implementation
+    * does) is wrong in append mode, because a late-but-in-watermark
+    * event in a later batch may still extend the emitted session. State
+    * stays bounded: sessions older than the horizon are flushed by the
+    * timeout, so the list holds at most ~(watermark delay / gap) + 1
+    * entries per key.
     */
   def sessionizeStateful(events: Dataset[Event], gapMinutes: Int,
       watermark: String = "1 hour"): Dataset[Session] = {
@@ -72,44 +91,41 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionsState]) =>
+          def emit(s: SessionState) = Session(userId,
+            new Timestamp(s.start / 1000), new Timestamp(s.lastUs / 1000), s.n)
+          // the timeout must land strictly past the current watermark or
+          // GroupState rejects it; the clamp only engages in the rare
+          // race where the earliest close is already at the horizon
+          def arm(live: List[SessionState]): Unit = {
+            state.update(SessionsState(live))
+            state.setTimeoutTimestamp(math.max(
+              live.map(_.lastUs + gapUs).min / 1000,
+              state.getCurrentWatermarkMs() + 1))
+          }
           if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId,
-              new Timestamp(s.start / 1000), new Timestamp(s.lastUs / 1000), s.n))
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val (closed, live) =
+              state.get.sessions.partition(_.lastUs + gapUs <= wmUs)
+            if (live.isEmpty) state.remove() else arm(live)
+            closed.sortBy(_.start).iterator.map(emit)
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val out = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
-              cur match {
-                // membership spans the whole open session: any event in
-                // [start − gap, lastUs + gap] joins (this absorbs
-                // late-but-in-watermark arrivals from a later batch, even
-                // ones that land inside the session's interior); lastUs
-                // only moves forward and start only backward, or an
-                // out-of-order event would rewind the gap anchor and
-                // corrupt both the split decision and the reported bounds.
-                case Some(s) if us >= s.start - gapUs && us <= s.lastUs + gapUs =>
-                  cur = Some(s.copy(start = math.min(s.start, us),
-                    lastUs = math.max(s.lastUs, us), n = s.n + 1))
-                case Some(s) =>
-                  out += Session(userId, new Timestamp(s.start / 1000),
-                    new Timestamp(s.lastUs / 1000), s.n)
-                  cur = Some(SessionState(us, us, 1))
-                case None =>
-                  cur = Some(SessionState(us, us, 1))
+            val merged = (state.getOption.map(_.sessions).getOrElse(Nil) ++
+              it.map { e =>
+                val us = e.ts.getTime * 1000
+                SessionState(us, us, 1)
+              })
+              .sortBy(s => (s.start, s.lastUs))
+              .foldLeft(List.empty[SessionState]) {
+                case (h :: t, s) if s.start <= h.lastUs + gapUs =>
+                  h.copy(lastUs = math.max(h.lastUs, s.lastUs),
+                    n = h.n + s.n) :: t
+                case (acc, s) => s :: acc
               }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)
-            }
-            out.result().iterator
+            if (merged.nonEmpty) arm(merged.reverse)
+            Iterator.empty
           }
       }
   }
@@ -271,11 +287,15 @@ object Streaming {
     import graft.expressions.GraftFunctions
     index.checkPending()
     val k = index.k
-    val sig = graft.operators.Dedup.withMinHashSignature(
-        docs.select(col(idCol), col(textCol), col(tsCol))
-          .withWatermark(tsCol, watermark),
-        textCol, k, index.numHashes)
+    // shingle ONCE per arriving doc and derive the signature from the
+    // shared column — the shingle kernel is the dominant per-doc cost
+    // on this hot path, and Catalyst does not CSE the two independent
+    // wordShingles calls a withMinHashSignature + __sh pair would emit
+    val sig = docs.select(col(idCol), col(textCol), col(tsCol))
+      .withWatermark(tsCol, watermark)
       .withColumn("__sh", GraftFunctions.wordShingles(col(textCol), k))
+      .withColumn("minhash_sig",
+        GraftFunctions.minHashSignature(col("__sh"), index.numHashes))
       .withColumn("__n", size(col("__sh")))
     val banded = graft.operators.Dedup.bandedBuckets(sig, idCol,
       index.numHashes, index.bands,
@@ -335,9 +355,16 @@ object Streaming {
     // concat and silently drop the doc) — they report n = size(null)
     // = -1, n_shared = 0, contaminated false, exactly like the batch
     // report's left-join path
+    // the static side rides the measured-bytes broadcast gate shared
+    // with the batch verify joins — an unconditional broadcast() would
+    // OOM on a training vocabulary of many GB, exactly the corpus size
+    // this screen targets; past the gate the stream-static join stays
+    // stateless either way (shuffled per micro-batch, no state store)
+    val static = graft.core.CacheScope.cached(
+      trainShingles.select(col("s"), lit(1).as("hit")))
     exploded
       .withWatermark("ts", watermark)
-      .join(broadcast(trainShingles.select(col("s"), lit(1).as("hit"))),
+      .join(graft.operators.Dedup.sizedBroadcastHint(static)(static),
         Seq("s"), "left")
       .groupBy(window(col("ts"), windowDur), col("id"), col("n"))
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_shared"))
@@ -388,14 +415,21 @@ object Streaming {
     * collection. `Trigger.AvailableNow` drains what exists and stops —
     * the batch-parity mode the specs use; pass a processing-time trigger
     * for true continuous tailing.
+    *
+    * `schema` defaults to inferring from the files already present, so
+    * the default requires at least one file at construction; a tailing
+    * deployment pointed at a landing directory that is EMPTY at boot —
+    * the normal state for continuous ingest — must pass the schema
+    * explicitly or the service crash-loops on the eager inference read.
     */
   def continuousLoad(spark: SparkSession, location: String,
       collection: Collection, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
     if (!collection.exists()) collection.create()
-    val schema = spark.read.parquet(location).schema
     spark.readStream
-      .schema(schema)
+      .schema(schema.getOrElse(spark.read.parquet(location).schema))
       .parquet(location)
       .writeStream
       .format("parquet")

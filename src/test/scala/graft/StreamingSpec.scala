@@ -332,6 +332,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful: late-but-in-watermark events extend, precede, " +
+      "or bridge open sessions instead of splitting them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Streaming.Event]
+    val stream = Streaming.sessionizeStateful(input.toDS(), gapMinutes = 30,
+      watermark = "3 hours")
+    val q = stream.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      // batch 1 — user 1 opens [100,110]; user 2 opens [100] and [160]
+      // (60 min apart: two sessions under the 30-min gap)
+      input.addData(Seq(
+        Streaming.Event(1L, 1L, ts(100)), Streaming.Event(1L, 2L, ts(110)),
+        Streaming.Event(2L, 3L, ts(100)), Streaming.Event(2L, 4L, ts(160))))
+      q.processAllAvailable()
+      // batch 2, all within the 3 h watermark — user 1: t=10 PRECEDES the
+      // open session by more than the gap (its own earlier session) and
+      // t=130 EXTENDS it (a single-session state would have closed
+      // [100,110] to make room for t=10 and then split); user 2: t=130
+      // BRIDGES [100] and [160] into one session
+      input.addData(Seq(
+        Streaming.Event(1L, 5L, ts(10)), Streaming.Event(1L, 6L, ts(130)),
+        Streaming.Event(2L, 7L, ts(130))))
+      q.processAllAvailable()
+      // two far-future batches: the first advances the watermark, the
+      // second lets the event-time timeout fire and flush every session
+      input.addData(Seq(Streaming.Event(99L, 8L, ts(10000))))
+      q.processAllAvailable()
+      input.addData(Seq(Streaming.Event(99L, 9L, ts(20000))))
+      q.processAllAvailable()
+      val got = spark.table("sess_late")
+        .filter(col("user_id") < 99)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("session_events")).collect()
+        .map(r => (r.getLong(0),
+          (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+      assert(got(1L) == List((ts(10), ts(10), 1L), (ts(100), ts(130), 3L)))
+      assert(got(2L) == List((ts(100), ts(160), 3L)))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs events within the time bound, drops the rest") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -394,6 +437,30 @@ class StreamingSpec extends SparkSpec {
     val q2 = Streaming.continuousLoad(spark, src, c, ckpt)
     q2.awaitTermination(120000)
     assert(c.count() == 250)
+  }
+
+  test("continuousLoad with an explicit schema starts on an EMPTY landing " +
+      "directory and drains files that appear later") {
+    val src = Files.createTempDirectory("graft-stream-empty").toString
+    val db = new CollectionManager(spark,
+      Files.createTempDirectory("graft-stream-db2").toString)
+    val c = db.collection("events_ingest_empty")
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+
+    val events = graft.core.Graft.table(spark, sfDir, "events")
+    // the landing dir is empty at construction — the normal boot state
+    // for a tailing deployment; the explicit schema skips the eager
+    // inference read that would otherwise throw before the stream starts
+    val q1 = Streaming.continuousLoad(spark, src, c, ckpt,
+      schema = Some(events.schema))
+    q1.awaitTermination(120000)
+    assert(c.count() == 0)
+
+    events.limit(80).write.mode("append").parquet(src)
+    val q2 = Streaming.continuousLoad(spark, src, c, ckpt,
+      schema = Some(events.schema))
+    q2.awaitTermination(120000)
+    assert(c.count() == 80)
   }
 
   test("stateless pipeline ops (masking, chunking, quality) run on a " +
