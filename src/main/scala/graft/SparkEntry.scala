@@ -125,6 +125,7 @@ object SparkEntry {
     "x63_knn_pq_indexed" -> Extensions.x63KnnPqIndexed,
     "x64_skew_heavy_salted" -> Extensions.x64SkewHeavySalted,
     "x65_skew_heavy_aqe" -> Extensions.x65SkewHeavyAqe,
+    "x66_image_hash_pairs" -> Extensions.x66ImageHashPairs,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -740,6 +741,19 @@ object SparkEntry {
     "x54_skew_aqe" -> skewJoinOracle,
     "x64_skew_heavy_salted" -> heavySkewOracle,
     "x65_skew_heavy_aqe" -> heavySkewOracle,
+    // the dHash fallback is a pure 64-bit function of the payload
+    // bytes, so pairs ≡ "same normalized 200-char prefix" (the x2
+    // fingerprint relation) at Hamming exactly 0 — which DuckDB can
+    // state as a self-join on the prefix expression
+    "x66_image_hash_pairs" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON substring(trim(regexp_replace(lower(a.text), '[^a-z0-9]+', ' ', 'g')), 1, 200)
+        |   = substring(trim(regexp_replace(lower(b.text), '[^a-z0-9]+', ' ', 'g')), 1, 200)
+        | AND a.doc_id < b.doc_id
+        |WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+        |ORDER BY 1, 2""".stripMargin,
     // 16^8 / 10 = 429496729 = 0x19999999: the same lexicographic hex
     // prefix compare as the engine's map-only filter
     "x37_hash_sample" ->

@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
   * total and reproducible over mixed corpora; the `ok` flag in the
   * decoded struct does not distinguish the two (it is the
   * non-empty-payload flag), but real images always take the real path
-  * (image magic bytes never collide with the fallback's inputs). The
-  * feature-extraction kernel remains an honest documented stub (no
-  * vision encoder ships with the JDK); its batched execution shape,
-  * schema contract, and determinism are real and tested.
+  * (image magic bytes never collide with the fallback's inputs).
+  * Feature extraction and the dHash perceptual fingerprint run on REAL
+  * decoded pixels for image payloads (pooled mean-centered luminance /
+  * 9×8 neighbor-brightness bits — brightness-invariant, so re-exposed
+  * or re-scaled copies stay near in embedding and Hamming space); a
+  * production deployment swaps the pooled-luminance embed for a vision
+  * encoder under the same batched contract. Non-image payloads take a
+  * deterministic hash fallback for both, keeping mixed corpora total.
   */
 object Multimodal {
 
@@ -42,6 +46,19 @@ object Multimodal {
     df.withColumn("payload", encode(col(textCol), "UTF-8"))
       .withColumn("n_bytes", octet_length(col("payload")))
       .withColumn("sha", sha2(col("payload"), 256))
+
+  /** Payload extraction shared by every batched kernel: a NULL payload
+    * (what [[attachPayload]] yields for a null text, and what any real
+    * media table carries for rows whose blob is absent) normalizes to
+    * the empty byte array, so null-bearing corpora flow through the
+    * same deterministic empty-payload path as the rest of the engine
+    * treats null text — instead of an NPE killing the task.
+    */
+  private def payloadBytes(row: org.apache.spark.sql.Row,
+      idx: Int): Array[Byte] = {
+    val b = row.getAs[Array[Byte]](idx)
+    if (b == null) Array.emptyByteArray else b
+  }
 
   /** Parse `bytes` as an image via javax.imageio. None when the bytes
     * are not a decodable image (no registered reader claims them, or
@@ -134,7 +151,7 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        val decoded = decodeBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        val decoded = decodeBatch(batch.map(payloadBytes(_, payloadIdx)))
         batch.lazyZip(decoded).map { case (row, (w, h, c, ok)) =>
           Row.fromSeq(row.toSeq :+ Row(w, h, c, ok))
         }
@@ -188,7 +205,7 @@ object Multimodal {
     df.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
         val out = resizeBatch(
-          batch.map(_.getAs[Array[Byte]](payloadIdx)), targetW, targetH)
+          batch.map(payloadBytes(_, payloadIdx)), targetW, targetH)
         batch.lazyZip(out).map { case (row, buf) =>
           Row.fromSeq(row.toSeq ++ Seq(buf, buf.length))
         }
@@ -196,50 +213,116 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** STUB feature-extraction kernel: a real one runs a vision/audio
-    * encoder over the batch and returns one embedding per payload; the
-    * stub derives a deterministic unit-norm vector from a 64-bit hash of
-    * the bytes — byte-identical payloads get identical embeddings
-    * (cosine exactly 1), which preserves the property the composition
-    * tests rely on: duplicate media are near-dups in embedding space.
+  /** FNV-1a(bytes) → splitmix stream → unit vector: the deterministic
+    * fallback embedding for payloads no image reader claims. Pure
+    * function of the bytes — byte-identical payloads get identical
+    * embeddings (cosine exactly 1), which preserves the property the
+    * composition tests rely on: duplicate media are near-dups in
+    * embedding space.
     */
-  private def embedBatchStub(batch: Seq[Array[Byte]], dim: Int)
+  private def hashEmbed(bytes: Array[Byte], dim: Int): Array[Float] = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    val v = new Array[Float](dim)
+    var norm = 0.0
+    var j = 0
+    while (j < dim) {
+      var z = h + (j + 1).toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      val x = (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+      v(j) = x.toFloat
+      norm += x * x
+      j += 1
+    }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    j = 0
+    while (j < dim) { v(j) = (v(j) * inv).toFloat; j += 1 }
+    v
+  }
+
+  /** Render `img` onto a `w×h` grayscale grid (bilinear) and return the
+    * raster as doubles in [0,255]. The shared pixel reduction under the
+    * real embed and dHash kernels.
+    */
+  private def grayGrid(img: java.awt.image.BufferedImage, w: Int, h: Int)
+      : Array[Double] = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val raw = out.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    Array.tabulate(w * h)(i => (raw(i) & 0xff).toDouble)
+  }
+
+  /** REAL feature-extraction kernel for decodable images: bilinear-pool
+    * the luminance onto a grid covering `dim` cells, mean-center (the
+    * classic normalized-patch trick — embeddings become invariant to
+    * global brightness shifts, so a re-exposed copy of an image stays
+    * cosine ≈ 1 to the original), and L2-normalize. A constant image
+    * centers to the zero vector, which normalizes to the uniform unit
+    * vector instead — keeping "identical payloads ⇒ cosine exactly 1"
+    * total. Payloads no reader claims (text, audio stubs, truncated
+    * files) fall back to [[hashEmbed]] — also deterministic, so mixed
+    * corpora embed totally and reproducibly. A real deployment swaps
+    * this kernel for a vision encoder; every property downstream
+    * operators rely on (fixed dim, unit norm, purity in the bytes) is
+    * the same contract.
+    */
+  private def embedBatch(batch: Seq[Array[Byte]], dim: Int)
       : Seq[Array[Float]] =
     batch.map { bytes =>
-      // FNV-1a over the payload seeds a splitmix stream — pure function
-      // of the bytes, no RNG state
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) {
-        h ^= bytes(i) & 0xffL
-        h *= 0x100000001b3L
-        i += 1
+      readImage(bytes) match {
+        case Some(img) =>
+          val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+          val gh = (dim + gw - 1) / gw
+          val px = grayGrid(img, gw, gh)
+          val mean = {
+            var s = 0.0; var i = 0
+            while (i < dim) { s += px(i); i += 1 }
+            s / dim
+          }
+          val v = new Array[Float](dim)
+          var norm = 0.0
+          var i = 0
+          while (i < dim) {
+            val x = px(i) - mean
+            v(i) = x.toFloat
+            norm += x * x
+            i += 1
+          }
+          if (norm == 0.0) {
+            val u = (1.0 / math.sqrt(dim.toDouble)).toFloat
+            java.util.Arrays.fill(v, u)
+          } else {
+            val inv = 1.0 / math.sqrt(norm)
+            i = 0
+            while (i < dim) { v(i) = (v(i) * inv).toFloat; i += 1 }
+          }
+          v
+        case None => hashEmbed(bytes, dim)
       }
-      val v = new Array[Float](dim)
-      var norm = 0.0
-      var j = 0
-      while (j < dim) {
-        var z = h + (j + 1).toLong * 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
-        val x = (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
-        v(j) = x.toFloat
-        norm += x * x
-        j += 1
-      }
-      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
-      j = 0
-      while (j < dim) { v(j) = (v(j) * inv).toFloat; j += 1 }
-      v
     }
 
   /** Batched feature extraction (the embed verb): binary payload →
     * `ArrayType(FloatType)` embedding column, same per-partition batch
-    * shape as [[decodePayloads]]. The output column is exactly what the
-    * similarity/dedup operators consume, so media dedup composes as
-    * sampleFrames → extractFeatures → cosineNearDupPairsLSH (asserted
-    * end-to-end in the spec suite).
+    * shape as [[decodePayloads]]. Decodable images embed from REAL
+    * pixels (pooled mean-centered luminance — see [[embedBatch]]);
+    * everything else gets the deterministic hash fallback. The output
+    * column is exactly what the similarity/dedup operators consume, so
+    * media dedup composes as sampleFrames → extractFeatures →
+    * cosineNearDupPairsLSH (asserted end-to-end in the spec suite).
     */
   def extractFeatures(df: DataFrame, payloadCol: String, dim: Int)
       : DataFrame = {
@@ -249,8 +332,8 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        val embs = embedBatchStub(
-          batch.map(_.getAs[Array[Byte]](payloadIdx)), dim)
+        val embs = embedBatch(
+          batch.map(payloadBytes(_, payloadIdx)), dim)
         batch.lazyZip(embs).map { case (row, v) =>
           Row.fromSeq(row.toSeq :+ v.toSeq)
         }
@@ -280,7 +363,7 @@ object Multimodal {
     // payloads (potentially large media blobs) in memory per chunk
     df.mapPartitions { it =>
       it.flatMap { row =>
-        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val bytes = payloadBytes(row, payloadIdx)
         val nFrames = (bytes.length + frameBytes - 1) / frameBytes
         (0 until nFrames by everyNth).iterator.map { f =>
           val frame = java.util.Arrays.copyOfRange(bytes, f * frameBytes,
@@ -290,4 +373,78 @@ object Multimodal {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /** Difference-hash kernel: decodable images reduce to a 9×8 grayscale
+    * grid and emit 64 bits of "left pixel brighter than its right
+    * neighbor" — the classic dHash perceptual fingerprint: invariant to
+    * scale and (because only the ORDER of neighboring intensities
+    * matters) to global brightness/contrast shifts, while any visible
+    * re-composition flips many bits. Payloads no reader claims hash
+    * with FNV-1a over the raw bytes — still a pure 64-bit function of
+    * the payload, so exact byte duplicates collide at Hamming 0 and a
+    * mixed corpus fingerprints totally.
+    */
+  private def dHash(bytes: Array[Byte]): Long =
+    readImage(bytes) match {
+      case Some(img) =>
+        val px = grayGrid(img, 9, 8)
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (px(y * 9 + x) > px(y * 9 + x + 1))
+              h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        h
+      case None =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < bytes.length) {
+          h ^= bytes(i) & 0xffL
+          h *= 0x100000001b3L
+          i += 1
+        }
+        h
+    }
+
+  /** Perceptual-fingerprint verb: binary payload → 64-bit `dhash` long
+    * column, same per-partition batch shape as [[decodePayloads]]. The
+    * output feeds [[graft.operators.Dedup.hammingPairs]] directly —
+    * see [[imageNearDupPairs]] for the composed operator.
+    */
+  def withImageDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("dhash", LongType, nullable = false))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { row =>
+          Row.fromSeq(row.toSeq :+ dHash(payloadBytes(row, payloadIdx)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** MEDIA NEAR-DUP PAIRS: one dHash pass over the payloads, then the
+    * shared pigeonhole block-blocking generator
+    * ([[graft.operators.Dedup.hammingPairs]]) — so image dedup has
+    * exactly the same scale shape as text SimHash dedup: no decode
+    * rerun, one bucket-keyed shuffle with per-bucket caps, exact
+    * Hamming verification of every candidate. Output (id1, id2,
+    * hamming) with id1 < id2.
+    *
+    * At 100 TB this is THE image-dedup entry point: the quadratic
+    * pixel-compare never exists; re-encoded / resized / brightness-
+    * shifted copies land within a few bits of each other and surface
+    * here, while [[extractFeatures]] + cosine LSH covers the softer
+    * "same scene" regime.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3, blocks: Int = 4): DataFrame =
+    graft.operators.Dedup.hammingPairs(
+      withImageDHash(df, payloadCol), idCol, "dhash", maxDist, blocks)
 }

@@ -691,24 +691,42 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, blocks: Int = 4,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    hammingPairs(withSimHash(df, textCol), idCol, "simhash", maxDist,
+      blocks, bucketCap)
+
+  /** Near-dup pairs over ANY 64-bit signature column at Hamming
+    * distance ≤ maxDist — the pigeonhole block-blocking core of
+    * [[simHashPairs]], generalized so every 64-bit fingerprint family
+    * (SimHash over tokens, image perceptual hashes from
+    * [[graft.multimodal.Multimodal.withImageDHash]], audio chroma
+    * prints, …) shares one scale-shaped pair generator instead of each
+    * re-deriving its own.
+    *
+    * Scale shape: the signature rides through the bounded bucket agg as
+    * the pair payload, so verification needs no join back to the
+    * signatures — the whole operator is the (already computed)
+    * signature column + one bucket-keyed shuffle with per-bucket
+    * membership capped by [[cappedBucketPairs]] + the pair distinct;
+    * the exact `bit_count(xor)` filter verifies every candidate,
+    * including representative-only overflow links.
+    */
+  def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int, blocks: Int = 4,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(maxDist < blocks, "need maxDist < blocks for pigeonhole recall")
+    require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
     val w = 64 / blocks
     val mask = (1L << w) - 1
-    // the simhash rides through the bounded bucket agg as the pair
-    // payload, so verification needs no join back to the signatures —
-    // the whole operator is one simhash pass (cappedBucketPairs caches
-    // the banded rows, so the kernel never re-runs for the overflow
-    // probe) + one bucket-keyed shuffle + the pair distinct
-    val blocked = withSimHash(df, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
-      .select(col("id"), col("simhash"),
+    val blocked = df
+      .select(col(idCol).as("id"), col(sigCol).as("__sig"))
+      .select(col("id"), col("__sig"),
         posexplode(array((0 until blocks).map(b =>
-          shiftright(col("simhash"), b * w).bitwiseAND(mask)): _*)))
-      .select(col("id"), col("simhash"), col("pos").as("blk"),
+          shiftright(col("__sig"), b * w).bitwiseAND(mask)): _*)))
+      .select(col("id"), col("__sig"), col("pos").as("blk"),
         col("col").as("blkval"))
     cappedBucketPairs(blocked, Seq("blk", "blkval"), bucketCap,
-        payload = Some("simhash"))
+        payload = Some("__sig"))
       .select(col("id1"), col("id2"),
         bit_count(col("pl1").bitwiseXOR(col("pl2"))).as("hamming"))
       .filter(col("hamming") <= maxDist)

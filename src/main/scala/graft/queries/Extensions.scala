@@ -1089,4 +1089,26 @@ object Extensions {
         col("decoded.channels").as("channels"))
       .orderBy(col("doc_id"))
   }
+
+  /** x66: perceptual-hash media near-dup pairs — the dHash → pigeonhole
+    * Hamming pipeline ([[Multimodal.imageNearDupPairs]]) run end-to-end
+    * over binary payloads. The payload here is the utf-8 bytes of the
+    * x2 normalized 200-char prefix, so the fingerprint collisions are
+    * exactly the near-front-duplicate groups the corpus plants (17
+    * pairs at sf0.01 — non-vacuous) and the oracle can reproduce the
+    * pair set relationally: byte-identical payloads collide at Hamming
+    * 0 (the dHash fallback is a pure 64-bit function of the bytes),
+    * distinct payloads land Hamming-far with overwhelming probability.
+    * On a real image corpus the same operator fingerprints decoded
+    * pixels instead — asserted in the spec suite with real PNGs.
+    */
+  def x66ImageHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("payload", encode(
+        substring(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")), 1, 200), "UTF-8"))
+    Multimodal.imageNearDupPairs(base, "doc_id", "payload", maxDist = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
 }

@@ -172,6 +172,135 @@ class OperatorSpec extends SparkSpec {
       "bilinear scale of a solid image must stay solid in BGR order")
   }
 
+  test("Multimodal: a NULL payload flows through every batched verb as " +
+      "the empty payload instead of NPE-ing the task") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // null text -> attachPayload's encode() yields a NULL payload; a
+    // real media table carries the same shape for rows whose blob is
+    // absent — in-domain everywhere else in the engine (contamination
+    // preserves null-text docs), so the multimodal path must not crash
+    val df = Multimodal.attachPayload(
+      Seq((1L, "hello"), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "text")
+    assert(df.filter(col("doc_id") === 2L && col("payload").isNull)
+      .count() == 1)
+    val dec = Multimodal.decodePayloads(df, "payload")
+      .filter(col("doc_id") === 2L)
+      .select(col("decoded.width"), col("decoded.height"),
+        col("decoded.ok")).collect()(0)
+    assert((dec.getInt(0), dec.getInt(1), dec.getBoolean(2)) ==
+      ((64, 64, false)))
+    val res = Multimodal.resizePayloads(df, "payload", 4, 4)
+      .filter(col("doc_id") === 2L)
+      .select(col("resized_bytes")).collect()(0).getInt(0)
+    assert(res == 0)
+    val emb = Multimodal.extractFeatures(df, "payload", dim = 8)
+      .filter(col("doc_id") === 2L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    assert(emb.length == 8)
+    // zero bytes -> zero frames, like an empty payload
+    assert(Multimodal.sampleFrames(df, "payload", frameBytes = 4,
+      everyNth = 1).filter(col("doc_id") === 2L).count() == 0)
+  }
+
+  /** 9×8 grid of flat gray cells scaled `cell` px each — adjacent-in-x
+    * cells ALWAYS differ (53 ≢ 0 mod 7), so the pooled 9×8 grid under
+    * dHash/embed is rounding-proof, and the same logical pattern at two
+    * pixel scales pools to the same grid.
+    */
+  private def cellPng(a: Int, b: Int, cell: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9 * cell, 8 * cell,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9 * cell; y <- 0 until 8 * cell) {
+      val v = ((x / cell * a + y / cell * b) % 7) * 36 + 18
+      img.setRGB(x, y, v * 0x010101)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("Multimodal: REAL pixel embeddings — a rescaled / brightness-" +
+      "shifted copy stays cosine ≈ 1, a different image does not") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // same logical scene at two pixel scales, a +20-brightness copy
+    // (no clipping: cell grays span 18..234), a different pattern, and
+    // a text payload (hash-fallback path)
+    val shifted = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(cellPng(53, 97, 8)))
+      for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+        img.setRGB(x, y, img.getRGB(x, y) + 20 * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, cellPng(53, 97, 8)), (2L, cellPng(53, 97, 16)), (3L, shifted),
+      (4L, cellPng(29, 41, 8)),
+      (5L, "text payload".getBytes("UTF-8")),
+      (6L, "text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val embs = Multimodal.extractFeatures(df, "payload", dim = 64)
+      .select(col("doc_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.lazyZip(b).map((x, y) => x.toDouble * y.toDouble).sum
+    embs.values.foreach(v => assert(math.abs(cos(v, v) - 1.0) < 1e-5,
+      "every embedding is unit-norm"))
+    assert(cos(embs(1L), embs(2L)) > 0.98, "rescaled copy embeds nearby")
+    assert(cos(embs(1L), embs(3L)) > 0.98,
+      "mean-centering cancels the global brightness shift")
+    assert(cos(embs(1L), embs(4L)) < 0.8, "different image embeds far")
+    assert(embs(5L) == embs(6L),
+      "byte-identical non-image payloads embed identically")
+  }
+
+  test("Dedup.hammingPairs over an arbitrary 64-bit signature column " +
+      "matches brute-force Hamming — full-range longs included") {
+    import spark.implicits._
+    val sigs = Seq(
+      1L -> 0x0123456789abcdefL, 2L -> 0x0123456789abcdecL, // dist 2
+      3L -> 0xfedcba9876543210L, 4L -> 0xfedcba9876543217L, // dist 3
+      5L -> -1L, 6L -> 0x7fffffffffffffffL, // dist 1 across the sign bit
+      7L -> 0L)
+    val got = graft.operators.Dedup.hammingPairs(
+        sigs.toDF("id", "sig"), "id", "sig", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      d = java.lang.Long.bitCount(si ^ sj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got == want)
+  }
+
+  test("Multimodal: dHash — a rescaled copy lands within Hamming 3; " +
+      "imageNearDupPairs finds exactly the planted image pair and the " +
+      "byte-identical text pair") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val df = Seq(
+      (1L, cellPng(53, 97, 8)), (2L, cellPng(53, 97, 16)),
+      (3L, cellPng(29, 41, 8)),
+      (4L, "same text".getBytes("UTF-8")),
+      (5L, "same text".getBytes("UTF-8")),
+      (6L, "other text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "payload",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)),
+      "the rescaled image pair and the exact text dup — nothing else")
+    val h = Multimodal.withImageDHash(df, "payload")
+      .select(col("doc_id"), col("dhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 3,
+      "different patterns fingerprint far apart")
+    assert(h(4L) == h(5L) && h(4L) != h(6L))
+  }
+
   test("multimodal sha/bytes match Spark's own sha2 over utf-8 bytes") {
     import graft.multimodal.Multimodal
     val docs = graft.core.Graft.table(spark, sfDir, "documents").limit(50)
