@@ -323,4 +323,23 @@ class PlanSpec extends SparkSpec {
     // dedup window + final agg + bounded sort — nothing else shuffles
     assert(p.split("Exchange").length - 1 <= 6, p)
   }
+
+  test("x66: perceptual-hash pairs ride the same capped bounded-agg " +
+      "shape as text SimHash — no cartesian, no pixel-pair work") {
+    val p = plan(Extensions.x66ImageHashPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates come off the bounded per-bucket aggregation
+    // (partial+final), exactly like x4/x5 — never a self-join of the
+    // fingerprinted rows
+    val objAggs = p.split("ObjectHashAggregate").length - 1
+    assert(objAggs >= 2, s"expected partial+final bounded agg:\n$p")
+    // one dHash pass: the fingerprint MapPartitions is cached and the
+    // three consumers (bucket agg, overflow reps, overflow members)
+    // read the InMemoryRelation instead of re-decoding payloads
+    assert(p.contains("InMemoryTableScan"), p)
+    // five exchange nodes total (each printed twice by the formatted
+    // dump): bucket agg, overflow-probe agg, broadcast of overflow
+    // reps, pair distinct, result sort — nothing else shuffles
+    assert(p.split("Exchange").length - 1 <= 10, p)
+  }
 }
