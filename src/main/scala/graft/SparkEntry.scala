@@ -60,6 +60,8 @@ object SparkEntry {
     "q37_regexp" -> Relational.q37Regexp,
     "q38_range_frame" -> Relational.q38RangeFrame,
     "q39_lateral" -> Relational.q39Lateral,
+    "q40_recursive_spine" -> Relational.q40RecursiveSpine,
+    "q41_recursive_tree" -> Relational.q41RecursiveTree,
     "x1_dedup_exact" -> Extensions.x1DedupExact,
     "x2_dedup_fingerprint" -> Extensions.x2DedupFingerprint,
     "x3_jaccard_pairs" -> Extensions.x3JaccardPairs,
@@ -948,6 +950,45 @@ object SparkEntry {
         |         WHERE c_nationkey = n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+    // q40/q41: DuckDB runs the same recursive shape; date arithmetic and
+    // string casts spelled in its dialect (date_trunc→DATE, VARCHAR).
+    "q40_recursive_spine" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+        |         date_trunc('month', MAX(o_orderdate)) AS hi
+        |  FROM orders),
+        |spine(month_start) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT month_start + INTERVAL 1 MONTH FROM spine
+        |  WHERE month_start < (SELECT hi FROM bounds)),
+        |monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month_start,
+        |         COUNT(*) AS n_orders,
+        |         COUNT(DISTINCT o_custkey) AS n_customers
+        |  FROM orders GROUP BY 1)
+        |SELECT s.month_start,
+        |  COALESCE(m.n_orders, 0) AS n_orders,
+        |  COALESCE(m.n_customers, 0) AS n_customers
+        |FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+        |ORDER BY s.month_start""".stripMargin,
+    "q41_recursive_tree" ->
+      """WITH RECURSIVE tree(n_nationkey, n_name, depth, path) AS (
+        |  SELECT n_nationkey, n_name, 0, CAST(n_nationkey AS VARCHAR)
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT c.n_nationkey, c.n_name, t.depth + 1,
+        |         CONCAT(t.path, '/', CAST(c.n_nationkey AS VARCHAR))
+        |  FROM nation c JOIN tree t
+        |    ON CAST(FLOOR((c.n_nationkey - 1) / 2) AS INTEGER) = t.n_nationkey
+        |   AND c.n_nationkey > 0),
+        |cust AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_cust
+        |  FROM customer GROUP BY 1)
+        |SELECT t.n_nationkey, t.n_name, t.depth, t.path,
+        |  COALESCE(c.n_cust, 0) AS n_customers
+        |FROM tree t LEFT JOIN cust c ON c.c_nationkey = t.n_nationkey
+        |ORDER BY t.n_nationkey""".stripMargin,
     // x31_approx_percentiles: GK sketch is engine-specific → no SQL
     // oracle; relative error vs exact q32 is asserted in the spec suite.
     "x32_token_entropy" ->

@@ -496,4 +496,78 @@ object Relational {
         |ORDER BY n_name, c_acctbal DESC, c_custkey
         |""".stripMargin)
   }
+
+  /** q40: recursive CTE calendar spine — gap-filled monthly order counts.
+    * The classic "report every month, including the empty ones" pattern,
+    * run NATIVELY through Spark 4.x `WITH RECURSIVE` (executed as a
+    * `UnionLoop`: each iteration is a tiny driver-coordinated job).
+    *
+    * Scale shape: the recursion only ever materializes the month spine
+    * (one row per month between min and max order date — dozens of rows
+    * regardless of fact-table size), while the 100 TB side is a single
+    * partial+final aggregation of `orders`; the spine then joins the
+    * month-sized aggregate via broadcast. The fact table never
+    * participates in the recursion.
+    */
+  def q40RecursiveSpine(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+    s.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('MONTH', MIN(o_orderdate)) AS lo,
+        |         date_trunc('MONTH', MAX(o_orderdate)) AS hi
+        |  FROM orders_rec),
+        |spine(month_start) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT month_start + INTERVAL '1' MONTH FROM spine
+        |  WHERE month_start < (SELECT hi FROM bounds)),
+        |monthly AS (
+        |  SELECT date_trunc('MONTH', o_orderdate) AS month_start,
+        |         COUNT(*) AS n_orders,
+        |         COUNT(DISTINCT o_custkey) AS n_customers
+        |  FROM orders_rec GROUP BY 1)
+        |SELECT s.month_start,
+        |       COALESCE(m.n_orders, 0) AS n_orders,
+        |       COALESCE(m.n_customers, 0) AS n_customers
+        |FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+        |ORDER BY s.month_start
+        |""".stripMargin)
+  }
+
+  /** q41: recursive hierarchy traversal — depth, root path, and a
+    * fact-side measure for every node of a dimension tree (org charts,
+    * category taxonomies, BOM explosions). The tree here is the synthetic
+    * binary heap-order hierarchy parent(n) = ⌊(n−1)/2⌋ over `nation`, so
+    * both engines derive identical edges from the shared data.
+    *
+    * Scale shape: recursion depth = tree depth (log of the dimension
+    * size), and each iteration joins the frontier against the
+    * dimension table only — hierarchy traversal is dimension-sized work.
+    * Fact-side customer counts aggregate once and join after the
+    * closure, exactly how a 100 TB fact table should meet a recursive
+    * dimension.
+    */
+  def q41RecursiveTree(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_rec")
+    t(s, dir, "customer").createOrReplaceTempView("customer_rec")
+    s.sql(
+      """WITH RECURSIVE tree(n_nationkey, n_name, depth, path) AS (
+        |  SELECT n_nationkey, n_name, 0,
+        |         CAST(n_nationkey AS STRING)
+        |  FROM nation_rec WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT c.n_nationkey, c.n_name, t.depth + 1,
+        |         CONCAT(t.path, '/', CAST(c.n_nationkey AS STRING))
+        |  FROM nation_rec c JOIN tree t
+        |    ON CAST(FLOOR((c.n_nationkey - 1) / 2) AS INT) = t.n_nationkey
+        |   AND c.n_nationkey > 0),
+        |cust AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_cust
+        |  FROM customer_rec GROUP BY 1)
+        |SELECT t.n_nationkey, t.n_name, t.depth, t.path,
+        |       COALESCE(c.n_cust, 0) AS n_customers
+        |FROM tree t LEFT JOIN cust c ON c.c_nationkey = t.n_nationkey
+        |ORDER BY t.n_nationkey
+        |""".stripMargin)
+  }
 }
