@@ -342,4 +342,19 @@ class PlanSpec extends SparkSpec {
     // reps, pair distinct, result sort — nothing else shuffles
     assert(p.split("Exchange").length - 1 <= 10, p)
   }
+
+  test("q40: recursion materializes only the month spine — fact table " +
+      "aggregates once outside the UnionLoop and joins via broadcast") {
+    val df = Relational.q40RecursiveSpine(spark, sfDir)
+    val p = plan(df)
+    // the recursive CTE executes as Spark's native iterative operator
+    assert(p.contains("UnionLoop"), p)
+    // the monthly aggregate (month-sized however big the fact table is)
+    // meets the spine through a broadcast join — never a shuffle of the
+    // spine against a fact-sized side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the orders scan reads exactly the two columns the query needs
+    assert(p.contains("struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"), p)
+  }
 }
