@@ -128,6 +128,7 @@ object SparkEntry {
     "x64_skew_heavy_salted" -> Extensions.x64SkewHeavySalted,
     "x65_skew_heavy_aqe" -> Extensions.x65SkewHeavyAqe,
     "x66_image_hash_pairs" -> Extensions.x66ImageHashPairs,
+    "x67_seed_distance" -> Extensions.x67SeedDistance,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -518,6 +519,7 @@ object SparkEntry {
     // x62 answers the same question as x59 through the persisted index,
     // so the quadratic-way oracle applies verbatim
     "x62_indexed_incremental" -> incrementalJaccardSql,
+    "x67_seed_distance" -> seedDistanceSql,
     "x46_dedup_representatives" -> dedupRepresentativesSql,
     "x21_hash_split" ->
       """SELECT lang,
@@ -1289,6 +1291,25 @@ object SparkEntry {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** x67: bounded recursive walk from the seed set over the pair graph,
+    * MIN(dist) per node — shortest walk = shortest path, and the
+    * dist < maxHops bound keeps the recursion finite on cycles, exactly
+    * mirroring the engine's maxHops BFS horizon.
+    */
+  private val seedDistanceSql =
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION
+       |  SELECT id2 AS a, id1 AS b FROM pairs),
+       |walk(id, dist) AS (
+       |  SELECT doc_id, 0 FROM documents WHERE doc_id < 100
+       |  UNION
+       |  SELECT e.b, w.dist + 1 FROM walk w JOIN edges e ON e.a = w.id
+       |  WHERE w.dist < 8)
+       |SELECT id AS doc_id, MIN(dist) AS dist
+       |FROM walk GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** x46: clusters collapsed to their min-id representative with the
     * cluster size and char mass as weights; unpaired docs are singleton

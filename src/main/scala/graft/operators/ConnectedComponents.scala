@@ -137,29 +137,51 @@ object ConnectedComponents {
     * storage (2⁶⁴ nodes); hitting it indicates a non-converging edge
     * generator upstream, and throwing beats looping forever.
     */
+  /** Eagerly materialize `df` with TRUNCATED lineage — the per-round
+    * step of the iterative algorithms here, whose nested
+    * join/distinct/union layers would otherwise overflow Catalyst's
+    * analysis recursion after 10–20 rounds. `localCheckpoint`
+    * (executor-local, no configuration) by default; a reliable
+    * `checkpoint` when `reliable` (requires
+    * `sparkContext.setCheckpointDir` — the right choice on a large
+    * cluster, where losing an executor must not strand many rounds of
+    * iteration history). Reliable rounds persist the frame before the
+    * checkpoint write (the write runs as its own job and would
+    * otherwise recompute the whole round) and release the cache after.
+    * CAVEAT: each reliable round leaves one checkpoint directory on the
+    * checkpoint filesystem for the lifetime of the run — enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` (or clean the
+    * checkpoint dir between runs) so a long loop does not accumulate
+    * O(rounds) retired files.
+    */
+  private def truncated(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      val p = df.persist()
+      try p.checkpoint()
+      finally p.unpersist(blocking = false)
+    } else df.localCheckpoint()
+
+  /** Release a [[truncated]] frame's materialized blocks.
+    * Dataset.unpersist is a no-op on a checkpointed frame (its plan is
+    * a LogicalRDD, not a cache-manager entry) — release through the
+    * underlying RDD instead; idempotent. Reliable checkpoint FILES are
+    * governed by the cluster's checkpoint dir lifecycle
+    * (spark.cleaner.referenceTracking.cleanCheckpoints / context stop),
+    * not by this.
+    */
+  private def releaseTruncated(df: DataFrame, reliable: Boolean): Unit =
+    if (!reliable)
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+
   def clustersStarContraction(pairs: DataFrame, id1: String, id2: String,
       maxRounds: Int = 64, reliable: Boolean = false): DataFrame = {
     import graft.core.CacheScope
     def truncated(df: DataFrame): DataFrame =
-      if (reliable) {
-        // reliable checkpoint writes its files in a SEPARATE job after
-        // the eager count — without a cache that job recomputes the
-        // whole round's edge rewrite. Persist → checkpoint → release.
-        val p = df.persist()
-        try p.checkpoint()
-        finally p.unpersist(blocking = false)
-      } else df.localCheckpoint()
-    // Dataset.unpersist is a no-op on a checkpointed frame (its plan is
-    // a LogicalRDD, not a cache-manager entry) — release the previous
-    // round's materialized blocks through the underlying RDD instead.
-    // Reliable checkpoint FILES are governed by the cluster's checkpoint
-    // dir lifecycle (spark.cleaner.referenceTracking.cleanCheckpoints /
-    // context stop), not by this loop.
+      ConnectedComponents.truncated(df, reliable)
     def releaseTruncated(df: DataFrame): Unit =
-      if (!reliable)
-        df.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(_.unpersist(blocking = false))
+      ConnectedComponents.releaseTruncated(df, reliable)
     // ONE materialization of the (possibly expensive) pair generator:
     // canonical distinct pairs, checkpointed, then split into real
     // edges and the self-pair-only node labels — ids appearing ONLY in
@@ -238,5 +260,74 @@ object ConnectedComponents {
       .select(col("e.id").as("id"), col("e.label").as("label"))
       .distinct()
     selfLab.fold(out)(out.unionByName)
+  }
+
+  /** Minimum hop distance from a SEED SET over an undirected pair list —
+    * distributed frontier BFS. The graph-proximity primitive curation
+    * pipelines use for seed-based quality propagation: label every
+    * document by how many similarity/link hops separate it from a
+    * trusted set (the "distance from curated seeds" family of web-scale
+    * quality heuristics), then weight or threshold on that distance.
+    *
+    * Output: (id, dist) for every seed (dist 0 — seeds outside the
+    * graph are still reported: they are trivially at distance 0 from
+    * themselves) and every node reachable from a seed within `maxHops`,
+    * with dist = length of the shortest path. Nodes further than
+    * `maxHops` (or unreachable) are absent. Deterministic and
+    * partitioning-independent; self-pairs carry no connectivity.
+    *
+    * Scale shape: classic frontier iteration. Round h joins the
+    * CURRENT FRONTIER (nodes first reached at h−1) against the cached
+    * symmetrized edge list — a shuffle proportional to the frontier's
+    * adjacency, not the graph — dedups the discovered ids, and
+    * anti-joins the visited set to keep only first sightings. Nothing
+    * is collected to the driver; per-round frames are eagerly
+    * materialized with truncated lineage ([[truncated]]: localCheckpoint
+    * by default, reliable checkpoint under `reliable`) so a deep BFS
+    * does not stack O(rounds) of Catalyst plan. The loop stops at the
+    * first empty frontier — `maxHops` bounds it for cyclic graphs whose
+    * useful horizon is known (quality propagation rarely wants more
+    * than a few hops; distance saturates long before diameter).
+    */
+  def seedDistances(pairs: DataFrame, id1: String, id2: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 16,
+      reliable: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val edges = graft.core.CacheScope.cached(
+      pairs.select(explode(array(
+          struct(col(id1).as("a"), col(id2).as("b")),
+          struct(col(id2).as("a"), col(id1).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    var visited = truncated(
+      seeds.select(col(seedCol).as("id")).distinct()
+        .withColumn("dist", lit(0)), reliable)
+    var frontier = visited
+    var hop = 0
+    var frontierN = frontier.count()
+    while (frontierN > 0 && hop < maxHops) {
+      hop += 1
+      val discovered = edges
+        .join(frontier.select(col("id").as("a")), "a")
+        .select(col("b").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+      val next = truncated(discovered, reliable)
+      frontierN = next.count()
+      val grown = truncated(visited.unionByName(next), reliable)
+      // superseded rounds' blocks: releaseTruncated is idempotent, so
+      // the hop-1 case (frontier eq visited) releases once harmlessly
+      releaseTruncated(frontier, reliable)
+      releaseTruncated(visited, reliable)
+      visited = grown
+      frontier = next
+    }
+    // the final frontier's rows are already in `visited` (its own
+    // materialization) — drop the duplicate blocks; when the loop never
+    // ran, frontier IS the result, so keep it
+    if (!(frontier eq visited)) releaseTruncated(frontier, reliable)
+    edges.unpersist()
+    visited
   }
 }

@@ -1111,4 +1111,23 @@ object Extensions {
     Multimodal.imageNearDupPairs(base, "doc_id", "payload", maxDist = 3)
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** x67: seed-distance labeling — minimum similarity-graph hops from a
+    * trusted seed set ([[graft.operators.ConnectedComponents
+    * .seedDistances]] frontier BFS), the primitive behind "distance
+    * from curated seeds" quality propagation. Graph = the x3 Jaccard
+    * pair graph; seeds = the first 100 doc ids (a stand-in for a
+    * curated allowlist). Oracle = DuckDB's bounded recursive walk with
+    * MIN(dist) per node.
+    */
+  def x67SeedDistance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardShinglePairs(docs(s, dir), "doc_id", "text",
+      k = 3, threshold = 0.6)
+    val seeds = docs(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 100)
+    graft.operators.ConnectedComponents
+      .seedDistances(pairs, "id1", "id2", seeds, "doc_id", maxHops = 8)
+      .select(col("id").as("doc_id"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -487,6 +487,72 @@ class OperatorSpec extends SparkSpec {
         s"$persistedAfter persistent RDDs")
   }
 
+  test("seed distances: BFS semantics on a known graph, maxHops horizon, " +
+      "off-graph seeds, and agreement with a driver BFS on real pairs") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // chain 1-2-3-4-5 plus a disconnected 10-11 component; seed 20 is
+    // not in the graph at all
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id1", "id2")
+    val seeds = Seq(1L, 20L).toDF("doc_id")
+    def run(maxHops: Int): Map[Long, Int] = ConnectedComponents
+      .seedDistances(pairs, "id1", "id2", seeds, "doc_id", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // full horizon: chain distances from 1; off-graph seed reports 0;
+    // the unreachable 10-11 component is absent
+    assert(run(16) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4,
+      20L -> 0))
+    // the horizon truncates, it does not re-route
+    assert(run(2) == Map(1L -> 0, 2L -> 1, 3L -> 2, 20L -> 0))
+    // maxHops = 0: the seed set itself, nothing else
+    assert(run(0) == Map(1L -> 0, 20L -> 0))
+
+    // real x3 pair graph: agree with a driver-side BFS from the same
+    // seeds, and find at least one node strictly past the seed ring
+    val realPairs = graft.operators.Dedup.jaccardShinglePairs(
+      graft.core.Graft.table(spark, sfDir, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.6)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (realPairs ++ realPairs.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seedIds = graft.core.Graft.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val expected = scala.collection.mutable.Map.empty[Long, Int]
+    var frontier = seedIds
+    frontier.foreach(expected(_) = 0)
+    var hop = 0
+    while (frontier.nonEmpty && hop < 8) {
+      hop += 1
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+        .filterNot(expected.contains)
+      frontier.foreach(expected(_) = hop)
+    }
+    val got = graft.queries.Extensions.x67SeedDistance(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected.toMap)
+    assert(got.values.exists(_ > 0),
+      "test corpus should propagate past the seed ring")
+  }
+
+  test("seed distances release their per-round frontier blocks") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val seeds = Seq(0L).toDF("id")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val out = ConnectedComponents
+      .seedDistances(pairs, "id1", "id2", seeds, "id", maxHops = 32)
+      .collect()
+    assert(out.length == 33) // seed + 32 hops down the chain
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter <= persistedBefore + 2,
+      s"frontier/visited snapshots leaked: $persistedBefore -> " +
+        s"$persistedAfter persistent RDDs")
+  }
+
   test("Repetition stats: planted repetitive docs flagged, diverse doc " +
       "not, empty doc all-zero and unflagged") {
     import spark.implicits._
