@@ -119,12 +119,16 @@ object Events {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
+    // The events parquet stores ts as timestamp[us] without a zone, which
+    // Spark reads as TIMESTAMP_NTZ; unix_micros only accepts TIMESTAMP.
+    // Under the UTC session timezone the NTZ->TZ cast reinterprets the
+    // same wall-clock instant, so the micros are identical either way.
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
     val sessions = ev(s, dir)
-      .withColumn("prev_us",
-        lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("prev_us", lag(tsUs, 1).over(byUser))
       .withColumn("new_session",
         (col("prev_us").isNull ||
-          (unix_micros(col("ts")) - col("prev_us")) > gapUs).cast("int"))
+          (tsUs - col("prev_us")) > gapUs).cast("int"))
       .withColumn("session_id",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, 0)))
