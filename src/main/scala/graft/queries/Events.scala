@@ -123,6 +123,14 @@ object Events {
     // Spark reads as TIMESTAMP_NTZ; unix_micros only accepts TIMESTAMP.
     // Under the UTC session timezone the NTZ->TZ cast reinterprets the
     // same wall-clock instant, so the micros are identical either way.
+    // In any OTHER zone the cast is non-uniform across DST transitions
+    // and could move session boundaries — enforce the precondition
+    // instead of silently depending on Graft.session's default.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "q25 sessionization requires spark.sql.session.timeZone=UTC: its " +
+        "TIMESTAMP_NTZ->TIMESTAMP cast is only instant-preserving under " +
+        "a fixed-offset zone (Graft.session pins UTC; this session was " +
+        "built elsewhere)")
     val tsUs = unix_micros(col("ts").cast("timestamp"))
     val sessions = ev(s, dir)
       .withColumn("prev_us", lag(tsUs, 1).over(byUser))

@@ -502,36 +502,54 @@ object Relational {
     * run NATIVELY through Spark 4.x `WITH RECURSIVE` (executed as a
     * `UnionLoop`: each iteration is a tiny driver-coordinated job).
     *
-    * Scale shape: the recursion only ever materializes the month spine
-    * (one row per month between min and max order date — dozens of rows
-    * regardless of fact-table size), while the 100 TB side is a single
-    * partial+final aggregation of `orders`; the spine then joins the
-    * month-sized aggregate via broadcast. The fact table never
-    * participates in the recursion.
+    * Scale shape: the recursion only ever materializes a YEAR spine
+    * (one row per year between min and max order date), which then
+    * explodes into months OUTSIDE the loop — so a corpus spanning Y
+    * years costs Y driver-coordinated iterations, not 12·Y (each
+    * UnionLoop iteration is a fixed-overhead driver job, so the
+    * recursion depth IS the wall cost of this query), and the default
+    * `spark.sql.cteRecursionLevelLimit` of 100 covers a century
+    * instead of eight years. The limit is additionally raised here so
+    * a multi-century range degrades to slow, never to an error. The
+    * 100 TB side is a single partial+final aggregation of `orders`;
+    * the spine joins the month-sized aggregate via broadcast. The
+    * fact table never participates in the recursion.
     */
-  def q40RecursiveSpine(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+  private[graft] def q40OverView(s: SparkSession, view: String): DataFrame = {
+    // sticky on purpose: the frame is lazy, so the limit must still be
+    // raised when the query EXECUTES, long after this method returned
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     s.sql(
-      """WITH RECURSIVE bounds AS (
+      s"""WITH RECURSIVE bounds AS (
         |  SELECT date_trunc('MONTH', MIN(o_orderdate)) AS lo,
         |         date_trunc('MONTH', MAX(o_orderdate)) AS hi
-        |  FROM orders_rec),
-        |spine(month_start) AS (
-        |  SELECT lo FROM bounds
+        |  FROM $view),
+        |years(year_start) AS (
+        |  SELECT date_trunc('YEAR', lo) FROM bounds
         |  UNION ALL
-        |  SELECT month_start + INTERVAL '1' MONTH FROM spine
-        |  WHERE month_start < (SELECT hi FROM bounds)),
+        |  SELECT year_start + INTERVAL '1' YEAR FROM years
+        |  WHERE year_start < date_trunc('YEAR', (SELECT hi FROM bounds))),
+        |spine AS (
+        |  SELECT year_start + m.i * INTERVAL '1' MONTH AS month_start
+        |  FROM years CROSS JOIN (SELECT explode(sequence(0, 11)) AS i) m
+        |  WHERE year_start + m.i * INTERVAL '1' MONTH
+        |        BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds)),
         |monthly AS (
         |  SELECT date_trunc('MONTH', o_orderdate) AS month_start,
         |         COUNT(*) AS n_orders,
         |         COUNT(DISTINCT o_custkey) AS n_customers
-        |  FROM orders_rec GROUP BY 1)
+        |  FROM $view GROUP BY 1)
         |SELECT s.month_start,
         |       COALESCE(m.n_orders, 0) AS n_orders,
         |       COALESCE(m.n_customers, 0) AS n_customers
         |FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
         |ORDER BY s.month_start
         |""".stripMargin)
+  }
+
+  def q40RecursiveSpine(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+    q40OverView(s, "orders_rec")
   }
 
   /** q41: recursive hierarchy traversal — depth, root path, and a

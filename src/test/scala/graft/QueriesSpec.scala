@@ -222,4 +222,28 @@ class QueriesSpec extends SparkSpec {
     // intermediate materialization was required to express it
     assert(packed.queryExecution.optimizedPlan != null)
   }
+
+  test("q40 survives a >100-year order range: yearly spine + raised " +
+      "recursion limit, months gap-filled exactly") {
+    import spark.implicits._
+    // two orders 105 years apart: a MONTHLY recursive spine would need
+    // 1,258 iterations and the yearly spine needs 106 — both past the
+    // default cteRecursionLevelLimit of 100, so this range errors
+    // without q40's explicit limit raise
+    Seq(
+      (1L, 10L, java.time.LocalDateTime.of(1900, 6, 15, 0, 0)),
+      (2L, 20L, java.time.LocalDateTime.of(2005, 3, 20, 0, 0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .createOrReplaceTempView("orders_century")
+    val rows = graft.queries.Relational
+      .q40OverView(spark, "orders_century").collect()
+    // 1900-06 .. 2005-03 inclusive
+    assert(rows.length == (2005 - 1900) * 12 + (3 - 6) + 1, rows.length)
+    val nonEmpty = rows.filter(_.getLong(1) > 0)
+    assert(nonEmpty.length == 2)
+    // spine endpoints are the months of the two orders (timestamp_ntz
+    // surfaces as LocalDateTime — compare opaquely)
+    assert(nonEmpty.map(_.get(0)).toSeq ==
+      Seq(rows.head.get(0), rows.last.get(0)))
+  }
 }
