@@ -164,11 +164,49 @@ final class Collection private[core] (
     rp.sortWithinPartitions(cs: _*)
   }
 
+  /** Schema-drift guard for [[write]]'s Append mode: appending a frame
+    * with renamed/retyped columns would land mixed-schema parquet files
+    * under one collection — later reads resolve ONE footer and silently
+    * drop (or fail on) the drifted files' columns, poisoning the
+    * collection for every reader. Compare by (name → type), ignoring
+    * nullability and column order (parquet resolves columns by name, so
+    * those differences are harmless); fail loudly naming the drifted
+    * columns. Cost: one footer-schema read per Append (the loader
+    * appends once per LOAD, not per batch — ParquetLoader.scala:82).
+    */
+  private def checkAppendSchema(df: DataFrame): Unit = {
+    val stored = spark.read.parquet(path).schema
+    def types(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val sm = types(stored)
+    val im = types(df.schema)
+    if (sm == im) return
+    val missing = (sm.keySet -- im.keySet).toSeq.sorted
+    val extra = (im.keySet -- sm.keySet).toSeq.sorted
+    val retyped = (sm.keySet & im.keySet).toSeq.sorted
+      .filter(k => sm(k) != im(k))
+      .map(k => s"$k: stored ${sm(k)} vs incoming ${im(k)}")
+    throw new IllegalArgumentException(
+      s"schema drift on append to collection '$name' ($path):" +
+        (if (missing.nonEmpty)
+          s" missing columns [${missing.mkString(", ")}]" else "") +
+        (if (extra.nonEmpty)
+          s" new columns [${extra.mkString(", ")}]" else "") +
+        (if (retyped.nonEmpty)
+          s" retyped columns [${retyped.mkString("; ")}]" else "") +
+        " — align the frame to the stored schema, or pass " +
+        "allowSchemaDrift = true to append anyway (readers then need " +
+        "mergeSchema to see the union)")
+  }
+
   def write(df: DataFrame, mode: SaveMode,
       maxRecordsPerFile: Long = 0L,
       partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil,
+      allowSchemaDrift: Boolean = false): Unit = {
     recoverCompact() // never write beside a stranded swap
+    if (mode == SaveMode.Append && !allowSchemaDrift && hasData)
+      checkAppendSchema(df)
     val src =
       if (clusterBy.isEmpty) df
       else rangeClustered(df, clusterBy, None)

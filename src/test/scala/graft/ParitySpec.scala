@@ -313,6 +313,45 @@ class ParitySpec extends SparkSpec {
     assert(empty.compact() == ((0, 0)))
   }
 
+  test("Collection Append schema guard: renamed/retyped columns throw " +
+      "naming the drift; matching and opted-in appends land") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_drift").toString
+    val c = new graft.core.CollectionManager(spark, base).collection("docs")
+    c.write(Seq((1L, "a")).toDF("id", "t"), SaveMode.Overwrite)
+
+    // matching schema appends (nullability/order differences are fine)
+    c.write(Seq(("b", 2L)).toDF("t", "id"), SaveMode.Append)
+    assert(c.count() == 2)
+
+    // renamed column → loud failure naming both sides
+    val renamed = intercept[IllegalArgumentException] {
+      c.write(Seq((3L, "c")).toDF("id", "txt"), SaveMode.Append)
+    }
+    assert(renamed.getMessage.contains("txt") &&
+      renamed.getMessage.contains("t"), renamed.getMessage)
+
+    // retyped column → loud failure naming the types
+    val retyped = intercept[IllegalArgumentException] {
+      c.write(Seq((4, "d")).toDF("id", "t"), SaveMode.Append)
+    }
+    assert(retyped.getMessage.contains("bigint") &&
+      retyped.getMessage.contains("int"), retyped.getMessage)
+    assert(c.count() == 2) // failed appends wrote nothing
+
+    // explicit opt-in appends the widened frame (readers use mergeSchema)
+    c.write(Seq((5L, "e", 1.5)).toDF("id", "t", "score"),
+      SaveMode.Append, allowSchemaDrift = true)
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/docs").count() == 3)
+
+    // overwrite with a new schema needs no opt-in (it REPLACES the data)
+    c.write(Seq((6, "f")).toDF("id", "t"), SaveMode.Overwrite)
+    assert(c.count() == 1)
+  }
+
   test("Collection clusterBy: range-clustered writes give near-disjoint " +
       "per-file min/max ranges (the layout parquet skipping needs), " +
       "preserved through a clustered compact") {
