@@ -28,6 +28,51 @@ object AnnIndex {
   private[operators] val CodesName = "codes"
   private[operators] val CentroidsName = "centroids"
   private[operators] val CellsName = "cells"
+  private[operators] val TombstonesName = "tombstones"
+  private[operators] val StatsName = "build_stats"
+  private[operators] val StagingVecsName = "vecs_rebuild"
+  private[operators] val RebuildPendingPrefix = ".rebuild-pending-"
+
+  /** Refuse an index whose [[IvfIndex.rebuild]] crashed mid-way: the
+    * stored collections are then a silent mix of pre- and post-rebuild
+    * state. One FS list; same loud-refusal contract as
+    * [[DedupIndex.checkPending]].
+    */
+  private[operators] def checkPending(spark: SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val stuck = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(RebuildPendingPrefix))
+    require(stuck.isEmpty,
+      s"ANN index at $path has ${stuck.length} incomplete rebuild(s) — " +
+        "its collections may mix pre- and post-rebuild state. Re-run " +
+        "rebuild (or rebuild from the corpus), then remove: " +
+        stuck.map(_.getPath.getName).mkString(", "))
+  }
+
+  /** Tombstone filter over the stored corpus side: anti-join the
+    * deleted id set when one exists (AQE broadcasts the typically tiny
+    * tombstone side at runtime). With no deletes the plan is
+    * untouched, so the no-training / partition-pruning plan assertions
+    * keep holding verbatim.
+    */
+  private[operators] def minusTombstones(mgr: CollectionManager,
+      df: DataFrame): DataFrame = {
+    val t = mgr.collection(TombstonesName)
+    if (!t.exists()) df
+    else df.join(t.read(), Seq("neighbor_id"), "left_anti")
+  }
+
+  /** Tombstone-append shared by both index kinds — one tiny write; the
+    * physical vectors/codes persist until rebuild.
+    */
+  private[operators] def appendTombstones(mgr: CollectionManager,
+      ids: DataFrame, idCol: String): Unit =
+    mgr.collection(TombstonesName).write(
+      ids.select(col(idCol).as("neighbor_id")).distinct(),
+      SaveMode.Append)
 
   private[operators] def writeMeta(mgr: CollectionManager,
       spark: SparkSession, kind: String, a: Int, b: Int): Unit = {
@@ -78,8 +123,11 @@ final class PqIndex private (
 
   private def mgr = new CollectionManager(spark, path)
 
-  /** (neighbor_id, cn, codes) — the stored encoded corpus. */
-  def codes: DataFrame = mgr.collection(AnnIndex.CodesName).read()
+  /** (neighbor_id, cn, codes) — the stored LIVE encoded corpus
+    * (tombstoned vectors excluded).
+    */
+  def codes: DataFrame =
+    AnnIndex.minusTombstones(mgr, mgr.collection(AnnIndex.CodesName).read())
 
   /** ADC top-k against the stored codes — [[SimilaritySearch.pqTopK]]'s
     * output for the index's build parameters, with NO training and NO
@@ -89,10 +137,36 @@ final class PqIndex private (
     */
   def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    AnnIndex.checkPending(spark, path)
     val sub = codebooks.head.head.length
     SimilaritySearch.pqScore(codes, codebooks, numSubspaces, nCentroids,
       sub, queries, idCol, vecCol, k, excludeSelf)
   }
+
+  /** DELETE vectors from the index (takedown/purge): a tombstone
+    * append honored immediately by [[topK]] — the deleted vector stops
+    * surfacing as a neighbor the moment this returns; its code row
+    * persists until [[rebuild]]. A tombstoned id stays dead until a
+    * rebuild frees it.
+    */
+  def delete(ids: DataFrame, idCol: String): Unit = {
+    AnnIndex.checkPending(spark, path)
+    AnnIndex.appendTombstones(mgr, ids, idCol)
+  }
+
+  /** REBUILD from the current corpus: PQ codes are lossy (the original
+    * vectors are not stored), so unlike [[IvfIndex.rebuild]] this
+    * needs the corpus frame — retrain the codebooks under today's
+    * distribution (the drift [[extend]] accumulates), re-encode, and
+    * clear tombstones. Equivalent to [[PqIndex.build]] at this path
+    * with the stored parameters; returns the fresh index (None for an
+    * empty corpus).
+    */
+  def rebuild(corpus: DataFrame, idCol: String, vecCol: String,
+      kmeansIters: Int = 2, trainFraction: Double = 1.0)
+      : Option[PqIndex] =
+    PqIndex.build(corpus, idCol, vecCol, numSubspaces, nCentroids,
+      kmeansIters, trainFraction, path)
 
   /** APPEND new vectors under the FROZEN codebooks — the index
     * maintenance step: one map-side compiled encode of the delta (the
@@ -106,6 +180,7 @@ final class PqIndex private (
     * stay unique across the original corpus and every extension.
     */
   def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    AnnIndex.checkPending(spark, path)
     val sub = codebooks.head.head.length
     AnnIndex.requireDim(delta, vecCol, numSubspaces * sub)
     val c = delta.select(col(idCol).as("neighbor_id"),
@@ -160,6 +235,9 @@ object PqIndex {
                     containsNull = false), nullable = false)))),
             SaveMode.Overwrite)
           AnnIndex.writeMeta(mgr, spark, "pq", numSubspaces, nCentroids)
+          // a fresh build IS the surviving corpus — stale tombstones
+          // from a previous index here must not keep hiding vectors
+          mgr.collection(AnnIndex.TombstonesName).drop()
           Some(new PqIndex(spark, path, numSubspaces, nCentroids,
             codebooks))
       }
@@ -170,6 +248,7 @@ object PqIndex {
     * read; the codes collection stays on disk until queried.
     */
   def load(spark: SparkSession, path: String): PqIndex = {
+    AnnIndex.checkPending(spark, path)
     val mgr = new CollectionManager(spark, path)
     val (numSubspaces, nCentroids) = AnnIndex.readMeta(mgr, path, "pq")
     val cb = mgr.collection(AnnIndex.CodebooksName).read()
@@ -197,8 +276,20 @@ final class IvfIndex private (
 
   private def mgr = new CollectionManager(spark, path)
 
-  /** (neighbor_id, cv, cn, cell) — the stored assigned corpus. */
-  def cells: DataFrame = mgr.collection(AnnIndex.CellsName).read()
+  /** (neighbor_id, cv, cn, cell) — the stored LIVE assigned corpus
+    * (tombstoned vectors excluded).
+    */
+  def cells: DataFrame =
+    AnnIndex.minusTombstones(mgr, mgr.collection(AnnIndex.CellsName).read())
+
+  /** DELETE vectors from the index (takedown/purge): a tombstone
+    * append honored immediately by [[topK]] and [[driftReport]]; the
+    * physical rows persist until [[rebuild]] compacts them away.
+    */
+  def delete(ids: DataFrame, idCol: String): Unit = {
+    AnnIndex.checkPending(spark, path)
+    AnnIndex.appendTombstones(mgr, ids, idCol)
+  }
 
   /** Probed exact-cosine top-k against the stored cells —
     * [[SimilaritySearch.ivfTopK]]'s output for the build parameters,
@@ -208,6 +299,7 @@ final class IvfIndex private (
     */
   def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    AnnIndex.checkPending(spark, path)
     // tiny driver-side probe-set computation (queries are the bounded
     // side by the ANN contract) -> a LITERAL isin partition filter the
     // parquet source prunes directories with
@@ -229,6 +321,7 @@ final class IvfIndex private (
     * stay unique across the original corpus and every extension.
     */
   def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    AnnIndex.checkPending(spark, path)
     AnnIndex.requireDim(delta, vecCol, centroids.head.length)
     mgr.collection(AnnIndex.CellsName).write(
       SimilaritySearch.assignCells(
@@ -236,6 +329,91 @@ final class IvfIndex private (
           normSq(col(vecCol)).as("cn")),
         "cv", centroids),
       SaveMode.Append, partitionBy = Seq("cell"))
+  }
+
+  /** DRIFT AUDIT — the cheap measurement that tells the operator WHEN
+    * to [[rebuild]], closing the silent-decay gap of [[extend]]'s
+    * frozen centroids: per cell, the build-time baseline (member count
+    * and mean squared distance to the centroid, persisted by
+    * [[IvfIndex.build]]) against the same statistics over today's LIVE
+    * corpus (extends included, tombstones excluded). Off-distribution
+    * extends inflate `dist_ratio` (vectors far from every build-time
+    * centroid ⇒ probe recall decays); lopsided growth shows as
+    * `size_ratio` skew across cells (mega-cells make every probe
+    * expensive). Cost: one map-side assigned-distance pass over the
+    * cells collection + a nCells-row aggregation — no training, no
+    * corpus-source scan.
+    *
+    * Columns: (cell, n_build, mean_dist_sq_build, n_now,
+    * mean_dist_sq_now, size_ratio, dist_ratio). Rule of thumb:
+    * rebuild when any populated cell's dist_ratio passes ~2 or the
+    * max/mean size_ratio skew passes ~4.
+    */
+  def driftReport(): DataFrame = {
+    AnnIndex.checkPending(spark, path)
+    val statsC = mgr.collection(AnnIndex.StatsName)
+    require(statsC.exists(),
+      s"index at $path predates drift statistics — rebuild() once to " +
+        "record the baseline")
+    val base = statsC.read().select(col("cell"),
+      col("n").as("n_build"),
+      col("mean_dist_sq").as("mean_dist_sq_build"))
+    val now = IvfIndex.cellStats(cells, centroids).select(col("cell"),
+      col("n").as("n_now"), col("mean_dist_sq").as("mean_dist_sq_now"))
+    base.join(now, Seq("cell"), "full_outer")
+      .withColumn("n_build", coalesce(col("n_build"), lit(0L)))
+      .withColumn("n_now", coalesce(col("n_now"), lit(0L)))
+      .withColumn("size_ratio",
+        col("n_now").cast("double") /
+          greatest(col("n_build"), lit(1L)).cast("double"))
+      .withColumn("dist_ratio",
+        when(col("mean_dist_sq_build") > 0,
+          col("mean_dist_sq_now") / col("mean_dist_sq_build")))
+      .orderBy(col("cell"))
+  }
+
+  /** REBUILD from the index's own surviving vectors (IVF stores full
+    * vectors, so no corpus access is needed): retrain the coarse
+    * quantizer under today's distribution, reassign, rewrite, refresh
+    * the drift baseline, and clear tombstones — restoring the balanced
+    * cells and probe recall that [[extend]]'s frozen centroids erode.
+    * Survivors are staged to a sibling collection first and the whole
+    * rewrite is bracketed by a `.rebuild-pending-*` marker: a crash
+    * mid-rebuild is a loud refusal on the next access, never a silent
+    * mix of old and new cells. Returns the fresh index.
+    */
+  def rebuild(kmeansIters: Int = 2, trainFraction: Double = 1.0)
+      : IvfIndex = {
+    AnnIndex.checkPending(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path,
+      AnnIndex.RebuildPendingPrefix + java.util.UUID.randomUUID())
+    fs.create(marker).close()
+    CacheScope.scoped {
+      val staging = mgr.collection(AnnIndex.StagingVecsName)
+      staging.drop()
+      staging.write(cells.select(col("neighbor_id"), col("cv"), col("cn")),
+        SaveMode.Overwrite)
+      val c = CacheScope.cached(staging.read())
+      val cents = SimilaritySearch.trainCentroids(c, "neighbor_id", "cv",
+        nCells, kmeansIters, trainFraction)
+      require(cents.nonEmpty,
+        s"rebuild of $path found no surviving vectors (everything " +
+          "tombstoned) — drop the index instead")
+      val assigned = SimilaritySearch.assignCells(c, "cv", cents)
+      mgr.collection(AnnIndex.CellsName).write(assigned,
+        SaveMode.Overwrite, partitionBy = Seq("cell"))
+      mgr.collection(AnnIndex.CentroidsName).write(
+        IvfIndex.centroidsDf(spark, cents), SaveMode.Overwrite)
+      mgr.collection(AnnIndex.StatsName).write(
+        IvfIndex.cellStats(assigned, cents), SaveMode.Overwrite)
+      AnnIndex.writeMeta(mgr, spark, "ivf", cents.length, 0)
+      staging.drop()
+      mgr.collection(AnnIndex.TombstonesName).drop()
+      fs.delete(marker, false)
+      new IvfIndex(spark, path, cents.length, cents)
+    }
   }
 }
 
@@ -259,29 +437,58 @@ object IvfIndex {
         nCells, kmeansIters, trainFraction)
       if (cents.isEmpty) None
       else {
-        mgr.collection(AnnIndex.CellsName).write(
-          SimilaritySearch.assignCells(c, "cv", cents),
+        val assigned = SimilaritySearch.assignCells(c, "cv", cents)
+        mgr.collection(AnnIndex.CellsName).write(assigned,
           SaveMode.Overwrite, partitionBy = Seq("cell"))
         mgr.collection(AnnIndex.CentroidsName).write(
-          spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              cents.zipWithIndex.map { case (v, i) => Row(i, v) }, 1),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("cell",
-                org.apache.spark.sql.types.IntegerType, nullable = false),
-              org.apache.spark.sql.types.StructField("vec",
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.FloatType,
-                  containsNull = false), nullable = false)))),
-          SaveMode.Overwrite)
+          centroidsDf(spark, cents), SaveMode.Overwrite)
+        // the drift baseline driftReport() compares against: per-cell
+        // member count and mean squared assignment distance at build
+        mgr.collection(AnnIndex.StatsName).write(
+          cellStats(assigned, cents), SaveMode.Overwrite)
         AnnIndex.writeMeta(mgr, spark, "ivf", cents.length, 0)
+        // a fresh build IS the surviving corpus — stale tombstones
+        // from a previous index here must not keep hiding vectors
+        mgr.collection(AnnIndex.TombstonesName).drop()
+        mgr.collection(AnnIndex.StagingVecsName).drop()
         Some(new IvfIndex(spark, path, cents.length, cents))
       }
     }
   }
 
+  /** The tiny (cell, vec) centroid frame — shared by build/rebuild
+    * writes and the drift audit's distance join.
+    */
+  private[operators] def centroidsDf(spark: SparkSession,
+      cents: Seq[Seq[Float]]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.zipWithIndex.map { case (v, i) => Row(i, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType,
+            containsNull = false), nullable = false))))
+
+  /** Per-cell (cell, n, mean_dist_sq) over an assigned (cv, cell)
+    * frame: one broadcast join against the nCells-row centroid table +
+    * a map-side compiled squared-L2 — the measurement kernel under
+    * both the build-time baseline and [[IvfIndex.driftReport]].
+    */
+  private[operators] def cellStats(assigned: DataFrame,
+      cents: Seq[Seq[Float]]): DataFrame =
+    assigned
+      .join(broadcast(centroidsDf(assigned.sparkSession, cents)),
+        Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        avg(l2Sq(col("cv"), col("vec"))).as("mean_dist_sq"))
+
   /** Open an index previously written by [[build]]. */
   def load(spark: SparkSession, path: String): IvfIndex = {
+    AnnIndex.checkPending(spark, path)
     val mgr = new CollectionManager(spark, path)
     val (nCells, _) = AnnIndex.readMeta(mgr, path, "ivf")
     val cents = mgr.collection(AnnIndex.CentroidsName).read()

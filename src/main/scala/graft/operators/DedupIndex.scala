@@ -74,40 +74,85 @@ final class DedupIndex private (
   private def fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** [[extend]] appends to THREE collections; a crash between appends
-    * would leave them mutually inconsistent — documents present for
-    * verification but absent from candidate generation, i.e. silently
-    * missed duplicates forever. Every extend therefore brackets its
-    * appends with a marker file, and every query/extend/load refuses a
-    * marked index LOUDLY instead of returning silently-incomplete
-    * answers.
+  /** [[extend]] appends to THREE collections and [[rebuild]] rewrites
+    * five; a crash mid-way would leave them mutually inconsistent —
+    * documents present for verification but absent from candidate
+    * generation, i.e. silently missed duplicates forever. Both
+    * therefore bracket their writes with a marker file, and every
+    * query/extend/rebuild/load refuses a marked index LOUDLY instead
+    * of returning silently-incomplete answers.
     */
   private[graft] def checkPending(): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return
     val stuck = fs.listStatus(root)
-      .filter(_.getPath.getName.startsWith(DedupIndex.PendingPrefix))
+      .filter { f =>
+        val n = f.getPath.getName
+        n.startsWith(DedupIndex.PendingPrefix) ||
+          n.startsWith(DedupIndex.RebuildPendingPrefix)
+      }
     require(stuck.isEmpty,
       s"dedup index at $path has ${stuck.length} incomplete " +
-        "extension(s) — a crash interrupted extend() between its " +
-        "collection appends, so the stored state is mutually " +
-        "inconsistent (silently missing pairs). Rebuild with " +
-        "DedupIndex.build (or re-run the failed extend on a restored " +
-        "copy), then remove: " +
+        "operation(s) — a crash interrupted extend() or rebuild() " +
+        "between its collection writes, so the stored state is " +
+        "mutually inconsistent (silently missing pairs). Rebuild with " +
+        "DedupIndex.build (or re-run the failed operation on a " +
+        "restored copy), then remove: " +
         stuck.map(_.getPath.getName).mkString(", "))
   }
 
-  /** (id, sh, n) corpus shingle sets — the verification side. */
-  def sets: DataFrame = mgr.collection(DedupIndex.SetsName).read()
+  /** Tombstone filter over a corpus-side table: anti-join the deleted
+    * id set when one exists (no hint — AQE broadcasts the typically
+    * tiny tombstone side at runtime; a mass purge stays a shuffle
+    * join, which is the right plan at that size). With no deletes the
+    * plan is untouched — the no-corpus-scan and zero-extra-join
+    * assertions of the spec suite keep holding verbatim.
+    */
+  private def minusTombstones(df: DataFrame): DataFrame = {
+    val t = mgr.collection(DedupIndex.TombstonesName)
+    if (!t.exists()) df
+    else df.join(t.read(), Seq("id"), "left_anti")
+  }
 
-  /** (s, df) corpus document frequencies — the frozen global order. */
+  /** (id, sh, n) LIVE corpus shingle sets — the verification side
+    * (tombstoned documents excluded).
+    */
+  def sets: DataFrame =
+    minusTombstones(mgr.collection(DedupIndex.SetsName).read())
+
+  /** (s, df) corpus document frequencies — the frozen global order.
+    * Deliberately NOT tombstone-filtered: the stored prefix rows were
+    * ranked under this exact order, so it must stay frozen for
+    * prefix-filter completeness (deletes only make it drift the same
+    * benign way [[extend]] does — candidates inflate, verified pairs
+    * stay exact; [[rebuild]] restores the rarest-first economy).
+    */
   def dfreq: DataFrame = mgr.collection(DedupIndex.DfreqName).read()
 
-  /** (id, n, s, rn) corpus prefix rows under the build threshold. */
-  def prefix: DataFrame = mgr.collection(DedupIndex.PrefixName).read()
+  /** (id, n, s, rn) LIVE corpus prefix rows under the build threshold. */
+  def prefix: DataFrame =
+    minusTombstones(mgr.collection(DedupIndex.PrefixName).read())
 
-  /** (id, band, bucket) corpus MinHash-LSH bucket assignments. */
-  def banded: DataFrame = mgr.collection(DedupIndex.BandedName).read()
+  /** (id, band, bucket) LIVE corpus MinHash-LSH bucket assignments. */
+  def banded: DataFrame =
+    minusTombstones(mgr.collection(DedupIndex.BandedName).read())
+
+  /** DELETE documents from the index — the takedown/purge verb of the
+    * service loop. Deletes are TOMBSTONES (one tiny append of the id
+    * set), honored immediately by every query path — batch
+    * ([[jaccardPairsAgainst]]/[[minHashPairsAgainst]]) and streaming
+    * ([[graft.streaming.Streaming.indexDedupStream]] reads the same
+    * filtered accessors) — so a removed document stops matching deltas
+    * the moment this returns, without rewriting any corpus-sized
+    * collection. The physical rows persist until [[rebuild]] compacts
+    * them away; a tombstoned id stays dead (re-[[extend]]ing it is
+    * refused) until a rebuild, after which the id is free again.
+    */
+  def delete(ids: DataFrame, idCol: String): Unit = {
+    checkPending()
+    mgr.collection(DedupIndex.TombstonesName).write(
+      ids.select(col(idCol).as("id")).distinct(), SaveMode.Append)
+  }
 
   /** EXACT incremental Jaccard pairs against the stored corpus —
     * [[Dedup.jaccardShinglePairsAgainst]]'s output (every delta-touching
@@ -181,6 +226,18 @@ final class DedupIndex private (
   def extend(delta: DataFrame, idCol: String, textCol: String): Unit =
     CacheScope.scoped {
       checkPending()
+      val tomb = mgr.collection(DedupIndex.TombstonesName)
+      if (tomb.exists()) {
+        // re-adding a tombstoned id would append live sets/prefix/banded
+        // rows the tombstone filter then hides — state that silently
+        // resurrects when the tombstone is compacted away. Refuse.
+        val clash = delta.select(col(idCol).as("id"))
+          .join(tomb.read(), Seq("id"), "left_semi").limit(1).collect()
+        require(clash.isEmpty,
+          s"delta re-uses tombstoned id ${clash.headOption.map(_.get(0))} " +
+            "— deleted ids stay dead until rebuild(); re-ingest under a " +
+            "fresh id or rebuild first")
+      }
       val marker = new org.apache.hadoop.fs.Path(path,
         DedupIndex.PendingPrefix + java.util.UUID.randomUUID())
       fs.create(marker).close()
@@ -229,6 +286,48 @@ final class DedupIndex private (
     val vSets = CacheScope.cached(sets.unionByName(dSets))
     Dedup.verifyJaccard(cand, vSets, queryThreshold)
   }
+
+  /** REBUILD the index from its own surviving state — the maintenance
+    * verb that closes the lifecycle: tombstoned documents are
+    * physically compacted away, and the document-frequency order is
+    * recomputed over the survivors, restoring the rarest-first prefix
+    * economy that [[extend]]'s frozen order and [[delete]]'s ghosts
+    * erode. Needs NO access to the original corpus: the stored shingle
+    * sets are sufficient to re-derive every table ([[dfreq]],
+    * [[prefix]], [[banded]] — signatures are a pure function of the
+    * sets), so at 100 TB this is one index-sized pass, not a corpus
+    * re-shingle. After it returns, the result is byte-identical to
+    * [[DedupIndex.build]] run fresh over the surviving documents
+    * (spec-asserted), and previously tombstoned ids are free again.
+    *
+    * Crash-bracketed like [[extend]]: survivors are staged to a
+    * sibling collection first, and a `.rebuild-pending-*` marker makes
+    * any mid-rebuild crash a loud refusal, never a silent mix of old
+    * and new tables.
+    */
+  def rebuild(): Unit = CacheScope.scoped {
+    checkPending()
+    val marker = new org.apache.hadoop.fs.Path(path,
+      DedupIndex.RebuildPendingPrefix + java.util.UUID.randomUUID())
+    fs.create(marker).close()
+    // stage survivors OUTSIDE the sets collection: the derived tables
+    // are rebuilt from the staged copy, so no collection is ever read
+    // and overwritten in the same job
+    val staging = mgr.collection(DedupIndex.StagingSetsName)
+    staging.drop()
+    staging.write(sets, SaveMode.Overwrite)
+    val survivors = CacheScope.cached(staging.read())
+    DedupIndex.writeDerivedState(mgr, spark, survivors, k, threshold,
+      numHashes, bands)
+    mgr.collection(DedupIndex.SetsName).drop()
+    val from = new org.apache.hadoop.fs.Path(path, DedupIndex.StagingSetsName)
+    val to = new org.apache.hadoop.fs.Path(path, DedupIndex.SetsName)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"could not publish rebuilt sets: $from")
+    mgr.collection(DedupIndex.TombstonesName).drop()
+    fs.delete(marker, false)
+    ()
+  }
 }
 
 object DedupIndex {
@@ -238,7 +337,44 @@ object DedupIndex {
   private[operators] val PrefixName = "prefix"
   private[operators] val BandedName = "banded"
   private[operators] val MetaName = "meta"
+  private[operators] val TombstonesName = "tombstones"
+  private[operators] val StagingSetsName = "sets_rebuild"
   private[operators] val PendingPrefix = ".extend-pending-"
+  private[operators] val RebuildPendingPrefix = ".rebuild-pending-"
+
+  /** Derive and overwrite every table downstream of the shingle sets —
+    * the shared tail of [[build]] (sets fresh from the corpus) and
+    * [[DedupIndex.rebuild]] (sets staged from the survivors): document
+    * frequencies, the prefix rows ranked under them, the banded MinHash
+    * buckets, and the meta row. `sets` must be cached by the caller
+    * (it feeds three derivations).
+    */
+  private def writeDerivedState(mgr: CollectionManager,
+      spark: SparkSession, sets: DataFrame, k: Int, threshold: Double,
+      numHashes: Int, bands: Int): Unit = {
+    val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val dfreq = CacheScope.cached(
+      post.groupBy(col("s")).agg(count(lit(1)).as("df")))
+    mgr.collection(DfreqName).write(dfreq, SaveMode.Overwrite)
+    val dfHint = Dedup.sizedBroadcastHint(dfreq)
+    val prefix = post
+      .join(dfHint(dfreq), "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= Dedup.prefixLenCol(col("n"), threshold))
+      .select(col("id"), col("n"), col("s"), col("rn"))
+    mgr.collection(PrefixName).write(prefix, SaveMode.Overwrite)
+    val sig = sets.withColumn("minhash_sig",
+      GraftFunctions.minHashSignature(col("sh"), numHashes))
+    mgr.collection(BandedName).write(
+      Dedup.bandedBuckets(sig, "id", numHashes, bands),
+      SaveMode.Overwrite)
+    import spark.implicits._
+    mgr.collection(MetaName).write(
+      Seq((k, threshold, numHashes, bands))
+        .toDF("k", "threshold", "num_hashes", "bands"),
+      SaveMode.Overwrite)
+  }
 
   /** Compute and persist the corpus-side dedup state under `path`
     * (overwriting any previous index there). One shingle pass over the
@@ -260,28 +396,11 @@ object DedupIndex {
       val sets = CacheScope.cached(
         Dedup.shingleSets(corpus, idCol, textCol, k))
       mgr.collection(SetsName).write(sets, SaveMode.Overwrite)
-      val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
-      val dfreq = CacheScope.cached(
-        post.groupBy(col("s")).agg(count(lit(1)).as("df")))
-      mgr.collection(DfreqName).write(dfreq, SaveMode.Overwrite)
-      val dfHint = Dedup.sizedBroadcastHint(dfreq)
-      val prefix = post
-        .join(dfHint(dfreq), "s")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-        .filter(col("rn") <= Dedup.prefixLenCol(col("n"), threshold))
-        .select(col("id"), col("n"), col("s"), col("rn"))
-      mgr.collection(PrefixName).write(prefix, SaveMode.Overwrite)
-      val sig = sets.withColumn("minhash_sig",
-        GraftFunctions.minHashSignature(col("sh"), numHashes))
-      mgr.collection(BandedName).write(
-        Dedup.bandedBuckets(sig, "id", numHashes, bands),
-        SaveMode.Overwrite)
-      import spark.implicits._
-      mgr.collection(MetaName).write(
-        Seq((k, threshold, numHashes, bands))
-          .toDF("k", "threshold", "num_hashes", "bands"),
-        SaveMode.Overwrite)
+      writeDerivedState(mgr, spark, sets, k, threshold, numHashes, bands)
+      // a fresh build IS the surviving corpus — stale tombstones from a
+      // previous index at this path must not keep hiding documents
+      mgr.collection(TombstonesName).drop()
+      mgr.collection(StagingSetsName).drop()
     }
     new DedupIndex(spark, path, k, threshold, numHashes, bands)
   }

@@ -149,4 +149,140 @@ class AnnIndexSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  /** Post-delete expectation from a pre-delete run: drop the victim's
+    * rows and re-rank — scoring is deterministic, so deletion must
+    * shift ranks without changing relative order.
+    */
+  private def minusVictim(pre: Seq[(Any, Int, Any, Double)], victim: Any,
+      k: Int): Seq[(Any, Int, Any, Double)] =
+    pre.filter(_._3 != victim).groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(_._2).take(k).zipWithIndex
+        .map { case ((q, _, n, c), i) => (q, i + 1, n, c) }
+    }.sortBy(r => (r._1.asInstanceOf[Long], r._2))
+
+  test("delete: a tombstoned vector stops surfacing as a neighbor in " +
+      "both index kinds — remaining results shift ranks deterministically") {
+    import spark.implicits._
+    val pq = PqIndex.build(emb, "vec_id", "embedding",
+      path = tmpDir()).get
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16,
+      path = tmpDir()).get
+    // victim: the global rank-1 neighbor of query 0 in the IVF answer
+    val victim = ivf.topK(queries.filter(col("vec_id") === 0), "vec_id",
+      "embedding", k = 1).collect()(0).getLong(2)
+
+    for ((name, topPre, del, topPost) <- Seq(
+        ("pq",
+          () => rows(pq.topK(queries, "vec_id", "embedding", k = 6)),
+          () => pq.delete(Seq(victim).toDF("vec_id"), "vec_id"),
+          () => rows(pq.topK(queries, "vec_id", "embedding", k = 5))),
+        ("ivf",
+          () => rows(ivf.topK(queries, "vec_id", "embedding", k = 6,
+            nProbe = 16)),
+          () => ivf.delete(Seq(victim).toDF("vec_id"), "vec_id"),
+          () => rows(ivf.topK(queries, "vec_id", "embedding", k = 5,
+            nProbe = 16))))) {
+      val pre = topPre()
+      del()
+      val post = topPost()
+      assert(!post.exists(_._3 == victim), s"$name: victim still surfaces")
+      assert(post == minusVictim(pre, victim, 5),
+        s"$name: deletion did not shift ranks deterministically")
+      assert(post.nonEmpty)
+    }
+  }
+
+  test("IVF driftReport: steady-state ratios stay ~1; an " +
+      "off-distribution extend is flagged by dist_ratio") {
+    val ivf = IvfIndex.build(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", nCells = 16, path = tmpDir()).get
+    val steady = ivf.driftReport().collect()
+    assert(steady.nonEmpty)
+    steady.filter(_.getAs[Long]("n_build") > 0).foreach { r =>
+      assert(math.abs(r.getAs[Double]("size_ratio") - 1.0) < 1e-9, r)
+      val dr = r.getAs[Double]("dist_ratio")
+      assert(dr > 0.99 && dr < 1.01, s"steady-state dist_ratio $dr: $r")
+    }
+    // planted drift: vectors shifted far off the training distribution
+    val shifted = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    ivf.extend(shifted, "vec_id", "embedding")
+    val drifted = ivf.driftReport().collect()
+    val flagged = drifted.filter { r =>
+      Option(r.getAs[Double]("dist_ratio")).exists(_ > 2.0)
+    }
+    assert(flagged.nonEmpty,
+      s"planted off-distribution extend not flagged:\n" +
+        drifted.map(_.toString).mkString("\n"))
+    // the flagged cells are exactly where the shifted vectors landed
+    assert(flagged.forall(r => r.getAs[Long]("n_now") >
+      r.getAs[Long]("n_build")))
+  }
+
+  test("IVF rebuild: tombstones compact away physically, the drift " +
+      "baseline resets, results equal brute force over the survivors, " +
+      "and an interrupted rebuild refuses loudly") {
+    import spark.implicits._
+    val path = tmpDir()
+    val ivf0 = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16,
+      path = path).get
+    val victim = ivf0.topK(queries.filter(col("vec_id") === 0), "vec_id",
+      "embedding", k = 1).collect()(0).getLong(2)
+    ivf0.delete(Seq(victim).toDF("vec_id"), "vec_id")
+
+    val ivf = ivf0.rebuild()
+    assert(spark.read.parquet(s"$path/cells")
+      .filter(col("neighbor_id") === victim).count() == 0,
+      "victim survived the rebuild physically")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(s"$path/vecs_rebuild").exists())
+
+    // probe-all IVF scoring is exact, so the rebuilt index must equal
+    // brute force over the survivors REGARDLESS of retrained centroids
+    val survivors = emb.filter(col("vec_id") =!= victim)
+    val brute = rows(SimilaritySearch.bruteForceTopK(survivors, queries,
+      "vec_id", "embedding", k = 5))
+    assert(rows(ivf.topK(queries, "vec_id", "embedding", k = 5,
+      nProbe = ivf.nCells)) == brute)
+
+    // fresh baseline: steady again
+    ivf.driftReport().collect()
+      .filter(_.getAs[Long]("n_build") > 0).foreach { r =>
+        val dr = r.getAs[Double]("dist_ratio")
+        assert(dr > 0.99 && dr < 1.01, s"post-rebuild dist_ratio: $r")
+      }
+
+    // reload sees the rebuilt state; a marker refuses everything
+    assert(IvfIndex.load(spark, path).nCells == ivf.nCells)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path,
+      ".rebuild-pending-deadbeef"))
+    for (op <- Seq(
+        () => ivf.topK(queries, "vec_id", "embedding", k = 5),
+        () => ivf.extend(emb.limit(1), "vec_id", "embedding"),
+        () => ivf.delete(Seq(1L).toDF("vec_id"), "vec_id"),
+        () => ivf.driftReport(),
+        () => ivf.rebuild(),
+        () => IvfIndex.load(spark, path))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("incomplete rebuild"), e.getMessage)
+    }
+  }
+
+  test("PQ rebuild retrains under the current corpus: byte-equals the " +
+      "inline pqTopK over the survivors and frees tombstoned state") {
+    import spark.implicits._
+    val path = tmpDir()
+    val pq0 = PqIndex.build(emb, "vec_id", "embedding", path = path).get
+    pq0.delete(Seq(3L, 4L).toDF("vec_id"), "vec_id")
+    val survivors = emb.filter(!col("vec_id").isin(3L, 4L))
+    val pq = pq0.rebuild(survivors, "vec_id", "embedding").get
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val inline = rows(SimilaritySearch.pqTopK(survivors, queries,
+      "vec_id", "embedding", k = 5))
+    assert(rows(pq.topK(queries, "vec_id", "embedding", k = 5)) == inline)
+    assert(rows(PqIndex.load(spark, path)
+      .topK(queries, "vec_id", "embedding", k = 5)) == inline)
+  }
 }

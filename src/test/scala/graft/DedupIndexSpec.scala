@@ -160,7 +160,7 @@ class DedupIndexSpec extends SparkSpec {
         () => idx.extend(delta, "doc_id", "text"),
         () => DedupIndex.load(spark, path))) {
       val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains("incomplete extension"), e.getMessage)
+      assert(e.getMessage.contains("incomplete operation"), e.getMessage)
     }
     // recovery: remove the marker -> the index serves again, and a
     // completed extend leaves no marker behind
@@ -227,5 +227,105 @@ class DedupIndexSpec extends SparkSpec {
       threshold = 0.6, path = tmpDir())
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "build leaked operator caches")
+  }
+
+  /** The corpus-side id of some cross pair in the recompute answer —
+    * the deletion victim for the lifecycle tests.
+    */
+  private def crossPairVictim(): Long = {
+    val deltaIds = deltaDocs.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val pairs = Dedup.jaccardShinglePairsAgainst(corpusDocs, deltaDocs,
+      "doc_id", "text", k = 3, threshold = 0.6)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.flatMap(p => Seq(p._1, p._2)).find(!deltaIds.contains(_))
+      .getOrElse(fail("no cross pair in the fixture corpus"))
+  }
+
+  test("delete: a tombstoned corpus doc emits no pairs through either " +
+      "batch query path — answers equal a recompute over the survivors") {
+    val victim = crossPairVictim()
+    val idx = DedupIndex.build(corpusDocs, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    idx.delete(Seq(victim).toDF("doc_id"), "doc_id")
+    val survivors = corpusDocs.filter(col("doc_id") =!= victim)
+
+    val jac = pairSet(
+      idx.jaccardPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+    assert(!jac.exists(p => p._1 == victim || p._2 == victim),
+      s"tombstoned $victim still pairs")
+    assert(jac == pairSet(Dedup.jaccardShinglePairsAgainst(survivors,
+      deltaDocs, "doc_id", "text", k = 3, threshold = 0.6)))
+    assert(jac.nonEmpty, "vacuous after delete — fixture too small")
+
+    val mh = pairSet(
+      idx.minHashPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+    assert(!mh.exists(p => p._1 == victim || p._2 == victim))
+    assert(mh == pairSet(Dedup.minHashPairsAgainst(survivors, deltaDocs,
+      "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+      threshold = 0.6)))
+  }
+
+  test("lifecycle: extend refuses a tombstoned id; rebuild compacts " +
+      "the tombstones away, equals a fresh build on the survivors " +
+      "verbatim, and frees the id") {
+    val victim = crossPairVictim()
+    val path = tmpDir()
+    val idx = DedupIndex.build(corpusDocs, "doc_id", "text", k = 3,
+      threshold = 0.6, path = path)
+    idx.delete(Seq(victim).toDF("doc_id"), "doc_id")
+
+    // re-adding the dead id is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      idx.extend(Seq((victim, "resurrected text body here"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+
+    idx.rebuild()
+
+    // tombstones are gone PHYSICALLY: the raw stored sets no longer
+    // carry the victim, and the tombstones collection is dropped
+    val rawSets = spark.read.parquet(s"$path/sets")
+    assert(rawSets.filter(col("id") === victim).count() == 0)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(s"$path/sets_rebuild").exists())
+
+    // the rebuilt index answers EXACTLY like a fresh build over the
+    // survivors (df order recomputed over the same documents)
+    val survivors = corpusDocs.filter(col("doc_id") =!= victim)
+    val fresh = DedupIndex.build(survivors, "doc_id", "text", k = 3,
+      threshold = 0.6, path = tmpDir())
+    assert(
+      pairSet(idx.jaccardPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+        == pairSet(fresh.jaccardPairsAgainst(deltaDocs, "doc_id", "text",
+          0.6)))
+    assert(
+      pairSet(idx.minHashPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+        == pairSet(fresh.minHashPairsAgainst(deltaDocs, "doc_id", "text",
+          0.6)))
+
+    // the id is free again after rebuild
+    idx.extend(Seq((victim, "brand new content under a recycled id"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+  }
+
+  test("an interrupted rebuild is refused as loudly as an interrupted " +
+      "extend") {
+    val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val path = tmpDir()
+    val idx = DedupIndex.build(corpus, "doc_id", "text", k = 3,
+      threshold = 0.6, path = path)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path,
+      ".rebuild-pending-deadbeef"))
+    for (op <- Seq(
+        () => idx.jaccardPairsAgainst(corpus, "doc_id", "text", 0.6),
+        () => idx.rebuild(),
+        () => idx.delete(Seq(1L).toDF("doc_id"), "doc_id"),
+        () => DedupIndex.load(spark, path))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("incomplete operation"), e.getMessage)
+    }
   }
 }

@@ -170,6 +170,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexDedupStream honors tombstones: a deleted corpus doc " +
+      "never surfaces as dup_of; survivors still screen") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = graft.core.Graft.table(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val delta = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_tidx").toString
+    val idx = graft.operators.DedupIndex.build(corpus, "doc_id", "text",
+      k = 3, threshold = 0.6, path = idxPath)
+    val corpusIds = corpus.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // victim: any corpus doc that screens some arriving delta doc
+    val pre = idx.minHashPairsAgainst(delta.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val victim = pre.flatMap(p => Seq(p._1, p._2))
+      .find(corpusIds.contains)
+      .getOrElse(fail("no cross pair in fixture"))
+    idx.delete(Seq(victim).toDF("doc_id"), "doc_id")
+
+    // batch truth over the SURVIVING corpus (tombstone-filtered index)
+    val batchCross = idx.minHashPairsAgainst(
+        delta.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => corpusIds.contains(p._1) != corpusIds.contains(p._2))
+      .map { case (a, b, j) =>
+        if (corpusIds.contains(a)) (b, a, j) else (a, b, j) }
+      .toSet
+    assert(!batchCross.exists(_._2 == victim))
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = graft.streaming.Streaming.indexDedupStream(
+      input.toDF.toDF("doc_id", "text", "ts"), idx,
+      "doc_id", "text", threshold = 0.6, tsCol = "ts")
+    val q = stream.writeStream.format("memory").queryName("idx_tomb")
+      .outputMode("append").start()
+    try {
+      input.addData(delta.toSeq.map { case (id, t) => (id, t, ts(120)) })
+      q.processAllAvailable()
+      input.addData(Seq((999999L, "watermark pusher", ts(10000))))
+      q.processAllAvailable()
+      val streamed = spark.table("idx_tomb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(!streamed.exists(_._2 == victim),
+        s"tombstoned $victim surfaced in the stream")
+      assert(streamed == batchCross,
+        s"streamed ${streamed.size} vs batch ${batchCross.size}")
+      assert(streamed.nonEmpty, "survivors should still screen")
+    } finally q.stop()
+  }
+
   test("sinkStream lands each micro-batch into a collection exactly " +
       "once, and a replayed batch id overwrites instead of duplicating") {
     import spark.implicits._
