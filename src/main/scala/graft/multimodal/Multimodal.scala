@@ -341,14 +341,90 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** Batched 1-row→N-row frame sampling (the video verb): the payload is
-    * cut into fixed-size "frames" (a real codec seeks keyframes; the
-    * stub slices `frameBytes` chunks) and every `everyNth` frame is
-    * emitted as its own row with (frame_idx, frame_ms, frame payload).
-    * This is the row-exploding media transform — the shape that turns a
-    * video corpus into a frame corpus for captioning/embedding. Output
-    * rows carry all input columns, so downstream operators (dedup,
-    * similarity, quality) compose directly on frames.
+  /** Per-frame GIF delay in centiseconds from the
+    * GraphicControlExtension of frame `i`'s metadata — None for
+    * non-GIF containers, absent extensions, or any metadata hiccup.
+    */
+  private def frameDelayCs(r: javax.imageio.ImageReader,
+      i: Int): Option[Int] =
+    try {
+      val fmt = "javax_imageio_gif_image_1.0"
+      val md = r.getImageMetadata(i)
+      if (md == null || !md.getMetadataFormatNames.contains(fmt)) None
+      else {
+        val root = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+        val gce = root.getElementsByTagName("GraphicControlExtension")
+        if (gce.getLength == 0) None
+        else Option(gce.item(0).getAttributes.getNamedItem("delayTime"))
+          .map(_.getNodeValue.toInt)
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode the sampled frames of a multi-frame image container
+    * (animated GIF through the stock JDK readers): every `everyNth`
+    * frame index, its start time in ms (cumulative container delays
+    * when present — GIF delayTime is centiseconds — else `frameMs` per
+    * frame), and the decoded frame. Frames decode independently, so an
+    * "optimized" GIF whose frames are stored as partial patches yields
+    * the stored patches (compositing disposal methods is a codec
+    * concern out of scope for the sampling verb). None when no
+    * registered reader claims the bytes. Memory bound: the SAMPLED
+    * frames of one payload at a time.
+    */
+  private def readSampledFrames(bytes: Array[Byte], everyNth: Int,
+      frameMs: Int)
+      : Option[IndexedSeq[(Int, Int, java.awt.image.BufferedImage)]] = {
+    imageIoInit
+    if (bytes.length < 8) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis, false, false)
+        val n = r.getNumImages(true)
+        if (n < 1) return None
+        // start-of-frame times need every PRIOR frame's delay, sampled
+        // or not — metadata-only reads, no raster decode
+        val startMs = (0 until n).scanLeft(0) { (acc, i) =>
+          acc + frameDelayCs(r, i).map(_ * 10).getOrElse(frameMs)
+        }
+        Some((0 until n by everyNth).map(f => (f, startMs(f), r.read(f))))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Deterministic PNG re-encode of a decoded frame — each emitted
+    * frame is a self-contained decodable payload, so the downstream
+    * verbs ([[extractFeatures]], [[withImageDHash]], resize) run their
+    * REAL pixel kernels on it.
+    */
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched 1-row→N-row frame sampling (the video verb): every
+    * `everyNth` frame of the payload is emitted as its own row with
+    * (frame_idx, frame_ms, frame payload). This is the row-exploding
+    * media transform — the shape that turns a video corpus into a
+    * frame corpus for captioning/embedding. Output rows carry all
+    * input columns, so downstream operators (dedup, similarity,
+    * quality) compose directly on frames.
+    *
+    * Payloads a registered image reader claims (animated GIF through
+    * the stock JDK; single-frame images count as one-frame containers)
+    * decode REAL frames: frame_ms comes from the container's
+    * cumulative per-frame delays when present (`frameMs` per frame
+    * otherwise), and each frame re-encodes as a standalone PNG whose
+    * pixels feed the downstream verbs' real kernels. Anything else
+    * (unknown codecs, the synthetic text corpus) falls back to slicing
+    * `frameBytes` chunks — the deterministic stand-in that keeps mixed
+    * corpora total, with frame_ms = frame_idx · frameMs.
     */
   def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int,
       everyNth: Int, frameMs: Int = 40): DataFrame = {
@@ -358,17 +434,26 @@ object Multimodal {
       StructField("frame_ms", IntegerType, nullable = false),
       StructField("frame", BinaryType, nullable = false)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    // per-row streaming (no grouped() batching): frame slicing needs no
-    // batch kernel, and batching would only pin DecodeBatchSize full
-    // payloads (potentially large media blobs) in memory per chunk
+    // per-row streaming (no grouped() batching): batching would only
+    // pin DecodeBatchSize full payloads (potentially large media
+    // blobs) in memory per chunk; the decode path bounds itself to one
+    // payload's sampled frames at a time
     df.mapPartitions { it =>
       it.flatMap { row =>
         val bytes = payloadBytes(row, payloadIdx)
-        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-        (0 until nFrames by everyNth).iterator.map { f =>
-          val frame = java.util.Arrays.copyOfRange(bytes, f * frameBytes,
-            math.min((f + 1) * frameBytes, bytes.length))
-          Row.fromSeq(row.toSeq ++ Seq(f, f * frameMs, frame))
+        readSampledFrames(bytes, everyNth, frameMs) match {
+          case Some(frames) =>
+            frames.iterator.map { case (f, ms, img) =>
+              Row.fromSeq(row.toSeq ++ Seq(f, ms, encodePng(img)))
+            }
+          case None =>
+            val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+            (0 until nFrames by everyNth).iterator.map { f =>
+              val frame = java.util.Arrays.copyOfRange(bytes,
+                f * frameBytes,
+                math.min((f + 1) * frameBytes, bytes.length))
+              Row.fromSeq(row.toSeq ++ Seq(f, f * frameMs, frame))
+            }
         }
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -367,6 +367,115 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  /** The cellPng pattern as a raw frame image (see [[cellPng]]). */
+  private def cellFrame(a: Int, b: Int): java.awt.image.BufferedImage = {
+    val cell = 8
+    val img = new java.awt.image.BufferedImage(9 * cell, 8 * cell,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9 * cell; y <- 0 until 8 * cell) {
+      val v = ((x / cell * a + y / cell * b) % 7) * 36 + 18
+      img.setRGB(x, y, v * 0x010101)
+    }
+    img
+  }
+
+  /** In-memory animated GIF via the stock JDK writer, every frame
+    * carrying `delayCs` centiseconds in its GraphicControlExtension.
+    */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage],
+      delayCs: Int): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val params = writer.getDefaultWriteParam
+    val md = writer.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier
+        .createFromRenderedImage(frames.head), params)
+    val fmt = md.getNativeMetadataFormatName
+    val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    val gce = new IIOMetadataNode("GraphicControlExtension")
+    gce.setAttribute("disposalMethod", "none")
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("delayTime", delayCs.toString)
+    gce.setAttribute("transparentColorIndex", "0")
+    root.appendChild(gce)
+    md.setFromTree(fmt, root)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, md), params))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("sampleFrames decodes REAL frames from an animated GIF — known " +
+      "frame count, container-delay timestamps, per-frame dHashes — " +
+      "while non-media payloads keep the deterministic slicing fallback") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // frame 3 repeats frame 0's pattern: its decoded pixels (and so its
+    // dHash) must collide; frames 1/2 are distinct patterns
+    val gif = animatedGif(Seq(cellFrame(53, 97), cellFrame(29, 41),
+      cellFrame(17, 71), cellFrame(53, 97)), delayCs = 25)
+    val df = Seq((1L, gif)).toDF("doc_id", "payload")
+
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 64,
+      everyNth = 1)
+    val rows = frames.select(col("frame_idx"), col("frame_ms"),
+      col("frame")).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 250, 500, 750),
+      "frame_ms must come from the container's 25cs delays")
+    // every emitted frame is a standalone decodable image at the
+    // source dimensions — the contract the downstream real-pixel
+    // kernels rely on
+    rows.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img != null && img.getWidth == 72 && img.getHeight == 64)
+    }
+    // composing the perceptual verb on the frames sees real pixels:
+    // the repeated pattern collides, distinct patterns do not
+    val hashes = Multimodal.withImageDHash(frames, "frame")
+      .select(col("frame_idx"), col("dhash")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hashes(0) == hashes(3), "repeated frame must dHash-collide")
+    assert(Set(hashes(0), hashes(1), hashes(2)).size == 3,
+      "distinct frames must dHash apart")
+
+    // every-nth sampling applies to real frames too
+    assert(Multimodal.sampleFrames(df, "payload", frameBytes = 64,
+        everyNth = 2).select(col("frame_idx")).collect()
+      .map(_.getInt(0)).toSet == Set(0, 2))
+
+    // a still image is a one-frame container
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(cellFrame(29, 41), "png", bos)
+      bos.toByteArray
+    }
+    val still = Multimodal.sampleFrames(
+      Seq((2L, png)).toDF("doc_id", "payload"), "payload",
+      frameBytes = 64, everyNth = 1).collect()
+    assert(still.length == 1)
+
+    // undecodable payloads keep the byte-slicing fallback exactly
+    val text = Multimodal.sampleFrames(
+      Seq((3L, "0123456789".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"),
+      "payload", frameBytes = 4, everyNth = 1)
+      .select(col("frame_idx"), col("frame_ms"), col("frame")).collect()
+      .sortBy(_.getInt(0))
+    assert(text.length == 3)
+    assert(text.map(_.getInt(1)).toSeq == Seq(0, 40, 80))
+    assert(new String(text(2).getAs[Array[Byte]](2), "UTF-8") == "89")
+  }
+
   test("multimodal frame-dedup pipeline: sampleFrames → extractFeatures " +
       "→ banded LSH finds exactly the byte-identical frames") {
     import graft.multimodal.Multimodal
