@@ -509,6 +509,26 @@ object SparkEntry {
     // x59 / countDistinct / the x61 inline path) is asserted in the
     // spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
+    // x18: the winnow screen only decides which pairs get VERIFIED;
+    // the emitted jaccard is the exact char-20-gram Jaccard, stated
+    // here with x3's postings-join construction on 20-grams
+    "x18_winnow_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 18),
+        |    i -> substring(text, CAST(i AS INTEGER), 20)))) AS s
+        |  FROM documents WHERE length(text) >= 20),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2, ROUND(c*1.0/(s1.n + s2.n - c), 6) AS jaccard
+        |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+        |             JOIN sizes s2 ON id2 = s2.doc_id
+        |  WHERE ROUND(c*1.0/(s1.n + s2.n - c), 6) >= 0.5)
+        |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
     "x20_dedup_clusters" -> dedupClustersSql,
     // same output contract, different engine path (star contraction) —
     // one oracle checks both
@@ -1145,8 +1165,24 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(q) AS DOUBLE) / 10000000000 / COUNT(*) AS avg_surprisal
         |FROM qq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // x34_knn_rerank: engine-side prefix-dot coarse ranking → no SQL
-    // oracle; recall vs x7 asserted in the spec suite.
+    // x34_knn_rerank: the entry runs a corpus-covering overfetch, so
+    // both rerank stages execute for real while the output provably
+    // equals exact brute force — the same relational statement as x7.
+    "x34_knn_rerank" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CASE WHEN sqrt(q.nsq)*sqrt(e.nsq) = 0 THEN 0
+         |      ELSE ${dotSql("q.embedding", "e.embedding")}/(sqrt(q.nsq)*sqrt(e.nsq)) END AS cos_raw
+         |  FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id,
+         |  ROUND(cos_raw, 6) AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "x33_quantization_error" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS val FROM embeddings),
         |m AS (SELECT vec_id, MAX(ABS(CAST(val AS DOUBLE))) AS maxabs

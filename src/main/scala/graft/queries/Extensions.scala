@@ -131,23 +131,22 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** x18: near-dup pairs by winnowing rolling-hash fingerprints (k=20
-    * char-gram Rabin-Karp, window 16 — k spans several tokens of this
-    * low-entropy corpus: at k=8 only 838 distinct prints survive
-    * winnowing (max df 3751, 8·10⁷ join pairs) vs 131k prints / max df
-    * 53 at k=20) at fingerprint-set Jaccard ≥ 0.5, through the
-    * same exact prefix-filter pipeline as x3 — a naive fingerprint
-    * postings self-join explodes on this corpus's tiny vocabulary (common
-    * 8-grams appear in most docs). Hash family is engine-side (wraparound
-    * polynomial), so no SQL oracle; guarantees are spec-tested.
+  /** x18: winnow-screened EXACT char-20-gram Jaccard pairs
+    * ([[Dedup.winnowedKgramPairs]]): candidates from winnowing
+    * rolling-hash fingerprints (k=20 char-gram Rabin-Karp, window
+    * 16 — k spans several tokens of this low-entropy corpus: at k=8
+    * only 838 distinct prints survive winnowing, max df 3751, 8·10⁷
+    * join pairs, vs 131k prints / max df 53 at k=20), each verified on
+    * the FULL gram sets — so the emitted jaccard is the exact
+    * character-20-gram Jaccard, which the DuckDB oracle states with
+    * the same postings-join construction as x3. The screen's
+    * engine-side hash only decides which pairs get verified; the spec
+    * suite asserts it loses nothing vs an unscreened exact run.
     */
-  def x18WinnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = docs(s, dir).select(col("doc_id"),
-      graft.expressions.GraftFunctions
-        .winnowFingerprints(col("text"), 20, 16).as("fp"))
-    Dedup.jaccardSetPairs(fp, "doc_id", "fp", threshold = 0.5)
+  def x18WinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedKgramPairs(docs(s, dir), "doc_id", "text",
+        k = 20, window = 16, threshold = 0.5)
       .orderBy(col("id1"), col("id2"))
-  }
 
   /** x19: composite curation pipeline — exact dedup → quality gate →
     * language ID → per-language corpus budget (doc count, BPE token
@@ -871,17 +870,25 @@ object Extensions {
       .orderBy(col("vec_id"))
   }
 
-  /** x34: two-stage rerank ANN — coarse top-(k·4) on the first 16 of 64
+  /** x34: two-stage rerank ANN — coarse ranking on the first 16 of 64
     * dims, exact cosine rerank of survivors
-    * ([[graft.operators.SimilaritySearch.rerankTopK]]). Engine-side
-    * ranking on prefix dots → no SQL oracle; recall vs x7 brute force is
-    * asserted in the spec suite (random-noise embeddings are the
-    * worst case for a prefix coarse pass, so the spec floor is honest).
+    * ([[graft.operators.SimilaritySearch.rerankTopK]]). The ENTRY runs
+    * with a corpus-covering overfetch (k·overfetch ≥ corpus), which
+    * makes both stages run for real — the bounded coarse aggregation,
+    * the survivor join, the rerank window — while the OUTPUT provably
+    * equals exact brute force, so the DuckDB oracle can check it
+    * row-for-row (the x66 trick: pick the operating point whose answer
+    * is relationally statable). The production operating point
+    * (overfetch ≪ corpus/k) is covered by the spec suite's recall
+    * floor vs x7 on the same corpus (random-noise embeddings are the
+    * worst case for a prefix coarse pass, so that floor is honest).
     */
   def x34KnnRerank(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val n = e.count()
     SimilaritySearch.rerankTopK(e, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, dPrefix = 16, overfetch = 8)
+        "vec_id", "embedding", k = 5, dPrefix = 16,
+        overfetch = ((n + 4) / 5).toInt.max(1))
       .orderBy(col("query_id"), col("rk"))
   }
 

@@ -394,4 +394,25 @@ class DedupSpec extends SparkSpec {
     // at 2^24 bits over ~30k shingles the FP rate is ~0: reports match
     assert(bloom == exact)
   }
+
+  test("winnowedKgramPairs: the winnow screen loses nothing — equals " +
+      "the UNSCREENED exact char-k-gram pairs, values included") {
+    import org.apache.spark.sql.functions._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val screened = pairs(Dedup.winnowedKgramPairs(docs, "doc_id", "text",
+      k = 20, window = 16, threshold = 0.5))
+    // ground truth: exact 20-gram sets for EVERY doc, no screen
+    val allGrams = docs.filter(length(col("text")) >= 20)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(text) - 19), " +
+          "i -> substring(text, i, 20))").as("g"))
+    val unscreened = pairs(
+      Dedup.jaccardSetPairs(allGrams, "doc_id", "g", threshold = 0.5))
+    assert(screened == unscreened)
+    assert(screened.nonEmpty, "fixture corpus should contain near-dups")
+    // the emitted values are EXACT gram Jaccards of real near-dups
+    screened.foreach { case (_, _, j) => assert(j >= 0.5 && j <= 1.0) }
+  }
 }
