@@ -1,0 +1,133 @@
+package graft.tools
+
+import graft.core.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend measurement for the headline dedup/ANN/graph/recursive
+  * operators: times each at sf0.01, sf0.1, and a SYNTHESIZED sf1
+  * (10× sf0.1), recording wall seconds, process-CPU seconds, and
+  * result row counts per scale into `scale_trend.json` — the evidence
+  * that converts "designed linear" into "measured ≈linear", and the
+  * cheap detector for constant-factor cliffs (UnionLoop iteration
+  * overhead, capped-LSH cache growth) before a real cluster finds
+  * them.
+  *
+  * sf1 synthesis (from the driver's sf0.1 parquet, never mutated):
+  * 10 replicas with id offsets. Document text gets a PER-REPLICA token
+  * suffix, so within-replica near-dup structure is preserved exactly
+  * (both sides of a pair transform identically) while CROSS-replica
+  * token vocabularies are disjoint — shingle Jaccard across replicas
+  * is 0, so true pair/cluster counts scale exactly 10×: the workload
+  * grows linearly BY CONSTRUCTION and any superlinear runtime is the
+  * engine's fault, not the generator's. Embeddings perturb each
+  * replica by a deterministic per-(replica, dim) offset (no exact
+  * duplicates, no structural requirement); orders offset ids and keep
+  * the date range, so q40's recursion depth stays constant while its
+  * fact side grows 10× — exactly its designed scale shape.
+  *
+  * `runMain graft.tools.ScaleTrend [passes]` (default 2; per-query min).
+  */
+object ScaleTrend {
+
+  private val Stride = 10000000L
+  private val Replicas = 10
+
+  private def synthesizeSf1(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"))) return
+    val ks = spark.range(0, Replicas).select(col("id").as("k"))
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    docs.crossJoin(ks)
+      .select(
+        (col("doc_id") + col("k") * Stride).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_r"), col("k")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    emb.crossJoin(ks)
+      .select((col("vec_id") + col("k") * Stride).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + ((col("k") * 37 + i * 17) % 97 - lit(48))
+            .cast("float") * lit(0.01f)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    orders.crossJoin(ks)
+      .select((col("o_orderkey") + col("k") * Stride).as("o_orderkey"),
+        (col("o_custkey") + col("k") * Stride).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE")).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val passes = if (args.nonEmpty) args(0).toInt else 2
+    val spark = Graft.session("graft-scale-trend")
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => 0.0
+    }
+
+    val sf1Dir = s"${System.getProperty("java.io.tmpdir")}/graft_synth_sf1"
+    println("=== synthesizing sf1 (10x sf0.1, disjoint replica vocab)")
+    synthesizeSf1(spark, "/root/testdata/sf0.1", sf1Dir)
+
+    val headline = Seq("x3_jaccard_pairs", "x4_minhash_pairs",
+      "x60_incremental_lsh", "x62_indexed_incremental",
+      "x56_dedup_clusters_star", "x67_seed_distance", "x61_knn_pq",
+      "x63_knn_pq_indexed", "q40_recursive_spine")
+    val scales = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1" -> sf1Dir)
+
+    def num(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(x))
+    val out = new StringBuilder("{\n")
+    out.append(s""" "replicas":$Replicas,"passes":$passes,"scales":{""")
+    var firstScale = true
+    for ((label, dir) <- scales) {
+      if (!firstScale) out.append(",")
+      firstScale = false
+      out.append(s"""\n  "$label":{""")
+      var firstQ = true
+      for (name <- headline) {
+        val runs = (0 until passes).map { _ =>
+          spark.catalog.clearCache()
+          val (w0, c0) = (System.nanoTime(), cpuSec)
+          val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+          ((System.nanoTime() - w0) / 1e9, cpuSec - c0, rows)
+        }
+        val best = runs.minBy(_._1)
+        if (!firstQ) out.append(",")
+        firstQ = false
+        out.append(s"""\n   "$name":{"wall_sec":${num(best._1)},""" +
+          s""""cpu_sec":${num(best._2)},"rows":${best._3}}""")
+        println(f"$label%-7s $name%-26s wall=${best._1}%8.2fs " +
+          f"cpu=${best._2}%8.2fs rows=${best._3}")
+      }
+      out.append("}")
+    }
+    out.append("\n}}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("scale_trend.json"),
+      out.toString.getBytes("UTF-8"))
+    println("=== wrote scale_trend.json")
+    spark.stop()
+  }
+}
