@@ -3,51 +3,55 @@ package graft.tools
 import graft.core.Graft
 import org.apache.spark.sql.functions._
 
-/** Throwaway exploration main (kept out of the library surface). */
+/** Throwaway exploration main (kept out of the library surface).
+  * Current experiment: attribute the V2 quirk-JSONL sink's throughput
+  * gap vs the parquet loader — transcode kernel vs commit protocol.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = Graft.session("scratch")
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-    // x18 experiment: does the winnowed fingerprint-Jaccard>=0.5 pair
-    // set coincide with the EXACT char-20-gram-Jaccard>=0.5 pair set
-    // on this corpus, and with what margin?
-    val docs = Graft.table(spark, dir, "documents")
-    val fp = docs.select(col("doc_id"),
-      graft.expressions.GraftFunctions
-        .winnowFingerprints(col("text"), 20, 16).as("fp"))
-    val winnow = graft.operators.Dedup
-      .jaccardSetPairs(fp, "doc_id", "fp", threshold = 0.5)
-      .select(col("id1"), col("id2"), col("jaccard"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
-
-    val g2 = docs.filter(length(col("text")) >= 20).select(col("doc_id"),
-      expr("array_distinct(transform(sequence(1, length(text) - 19), " +
-        "i -> substring(text, i, 20)))").as("g"))
-    val exact = graft.operators.Dedup
-      .jaccardSetPairs(g2, "doc_id", "g", threshold = 0.5)
-      .select(col("id1"), col("id2"), col("jaccard"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
-
-    println(s"=== winnow pairs: ${winnow.size}, exact20 pairs: ${exact.size}")
-    println(s"winnow-only: ${winnow.keySet -- exact.keySet}")
-    println(s"exact-only:  ${exact.keySet -- winnow.keySet}")
-    val shared = winnow.keySet & exact.keySet
-    if (shared.nonEmpty) {
-      println(f"min exact J on shared pairs: ${shared.map(exact).min}%.4f")
-      println(f"min winnow J on shared pairs: ${shared.map(winnow).min}%.4f")
+    def time[A](label: String)(f: => A): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-38s ${s}%8.3f s")
+      s
     }
-    // margin: exact-J distribution NEAR the 0.5 threshold from below —
-    // run the exact pairs at 0.3 to see what lurks under the cut
-    val near = graft.operators.Dedup
-      .jaccardSetPairs(g2, "doc_id", "g", threshold = 0.3)
-      .select(col("id1"), col("id2"), col("jaccard"))
-      .collect().map(_.getDouble(2)).filter(j => j >= 0.3 && j < 0.5)
-    println(s"exact pairs with J in [0.3, 0.5): ${near.length} " +
-      (if (near.nonEmpty) f"max=${near.max}%.4f" else ""))
+
+    for ((label, dir) <- Seq(
+        "sf0.1" -> "/root/testdata/sf0.1",
+        "sf1-synth" ->
+          s"${System.getProperty("java.io.tmpdir")}/graft_synth_sf1")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      println(s"=== $label: $n docs")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sinkprof")
+      // 1. scan only (floor)
+      val tScan = time("scan+count only")(docs.count())
+      // 2. transcode kernel only (no write): quirk JSON per row
+      val tEnc = time("quirk transcode, no write") {
+        graft.serde.JsonDocEncoder.encode(docs, Map.empty,
+          quirkCompat = true).select(col("doc")).count()
+      }
+      // 3. transcode + plain text write (Spark's stock committer)
+      val tText = time("transcode + plain text write") {
+        graft.serde.JsonDocEncoder.encode(docs, Map.empty,
+          quirkCompat = true).select(col("doc"))
+          .write.mode("overwrite").text(s"$tmp/plain")
+      }
+      // 4. the real V2 sink (two-phase commit protocol)
+      val tV2 = time("graft-docs V2 sink (full path)") {
+        docs.write.format("graft-docs")
+          .option("path", s"$tmp/docs").mode("append").save()
+      }
+      println(f"$label: kernel=${tEnc - tScan}%.3f s, " +
+        f"textWrite-over-kernel=${tText - tEnc}%.3f s, " +
+        f"v2-over-textWrite=${tV2 - tText}%.3f s, " +
+        f"v2 docs/s=${n / tV2}%.0f, text docs/s=${n / tText}%.0f")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
     spark.stop()
   }
 }
