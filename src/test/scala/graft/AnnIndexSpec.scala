@@ -191,6 +191,17 @@ class AnnIndexSpec extends SparkSpec {
         s"$name: deletion did not shift ranks deterministically")
       assert(post.nonEmpty)
     }
+
+    // the probe-set partition filter must PUSH PAST the tombstone
+    // anti-join — if the anti-join blocked pushdown, every probed query
+    // would full-scan the cells collection at 100 TB
+    val pruned = ivf.topK(queries, "vec_id", "embedding", k = 5,
+      nProbe = 4)
+    pruned.count()
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")),
+      "tombstone anti-join blocked partition pruning:\n" + plan)
   }
 
   test("IVF driftReport: steady-state ratios stay ~1; an " +
