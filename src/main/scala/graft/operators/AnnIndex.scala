@@ -276,6 +276,12 @@ final class IvfIndex private (
 
   private def mgr = new CollectionManager(spark, path)
 
+  /** Crash-marker check, exposed for the streaming layer (it refuses a
+    * mid-rebuild index at stream construction, like indexDedupStream).
+    */
+  private[graft] def checkPending(): Unit =
+    AnnIndex.checkPending(spark, path)
+
   /** (neighbor_id, cv, cn, cell) — the stored LIVE assigned corpus
     * (tombstoned vectors excluded).
     */

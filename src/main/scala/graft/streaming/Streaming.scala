@@ -323,6 +323,63 @@ object Streaming {
       .select(col("id").as("doc_id"), col("dup_of"), col("jaccard"))
   }
 
+  /** Streaming EMBEDDING near-dup screen against the persisted IVF
+    * index ([[graft.operators.IvfIndex]]) — the vector twin of
+    * [[indexDedupStream]]: every arriving embedding computes its
+    * `nProbe` nearest coarse cells MAP-SIDE (the index's own loaded
+    * centroids — no training, no state), meets only those cells'
+    * stored vectors through a stream-STATIC equi-join on `cell`, and
+    * emits (id, dup_of, cos) for every stored vector within
+    * `threshold` exact cosine — the "have we already got this
+    * embedding" gate of a continuous multimodal/embedding ingest
+    * pipeline, with the corpus living entirely in index parquet that
+    * [[graft.operators.IvfIndex.extend]] keeps current and
+    * [[graft.operators.IvfIndex.delete]] tombstones out (the LIVE
+    * accessor is read here, so deletes are honored at the next stream
+    * (re)start, like every index mutation).
+    *
+    * Scale shape: the corpus-sized join is stream-static (NO state
+    * store holds anything corpus-sized); the only stateful operator is
+    * the windowed (id, dup_of) dedup whose state is ingest-rate
+    * bounded and watermark-dropped. Per-arrival fan-out is the probed
+    * cells' member count — bounded in expectation by nProbe·|corpus|/
+    * nCells, and auditable when extends skew it
+    * ([[graft.operators.IvfIndex.driftReport]]'s size_ratio column is
+    * the alarm). Scoring is exact cosine (IVF stores full vectors), so
+    * within the probed cells there are no false positives at the
+    * emitted `cos`; recall is IVF probe recall (a true near-dup in an
+    * unprobed cell is missed — raise nProbe for a stricter gate).
+    * In-stream arrivals are NOT paired with each other, exactly like
+    * [[indexDedupStream]].
+    *
+    * The cells frame is cached (re-read every micro-batch otherwise);
+    * release via an enclosing [[graft.core.CacheScope]] bracket when
+    * the stream stops. The index's crash marker is checked at stream
+    * CONSTRUCTION.
+    */
+  def annScreenStream(vecs: DataFrame,
+      index: graft.operators.IvfIndex, idCol: String, vecCol: String,
+      threshold: Double, tsCol: String, watermark: String = "1 hour",
+      windowDur: String = "10 minutes", nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    index.checkPending()
+    val cells = graft.core.CacheScope.cached(
+      index.cells.select(col("neighbor_id").as("dup_of"), col("cv"),
+        col("cn"), col("cell")))
+    vecs.select(col(idCol), col(vecCol), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .withColumn("__qn", normSq(col(vecCol)))
+      .withColumn("cell",
+        explode(nearestCells(col(vecCol), index.centroids, nProbe)))
+      .join(cells, Seq("cell"))
+      .withColumn("cos", round(cosineFromParts(
+        dot(col(vecCol), col("cv")), col("__qn"), col("cn")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(window(col(tsCol), windowDur), col(idCol), col("dup_of"))
+      .agg(max(col("cos")).as("cos"))
+      .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+  }
+
   /** Streaming contamination screen: incoming (test/eval) documents are
     * checked against a STATIC training-corpus shingle set as they
     * arrive — the stream-static join surface. The static side is the

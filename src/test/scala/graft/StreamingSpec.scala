@@ -225,6 +225,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annScreenStream: arriving embeddings screen against the " +
+      "persisted IVF index — planted twins surface at cos 1.0, " +
+      "tombstoned corpus vectors never do, noise stays silent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_annstream").toString
+    val ivf = graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, path = idxPath).get
+
+    // two corpus vectors to twin against; tombstone the second
+    val targets = emb.orderBy(col("vec_id")).limit(2).collect()
+    val (liveId, liveVec) =
+      (targets(0).getLong(0), targets(0).getSeq[Float](1))
+    val (deadId, deadVec) =
+      (targets(1).getLong(0), targets(1).getSeq[Float](1))
+    ivf.delete(Seq(deadId).toDF("vec_id"), "vec_id")
+
+    val noise = Array.tabulate(liveVec.length)(i =>
+      (math.sin(i * 12.9898) * 43758.5453 % 1.0).toFloat).toSeq
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    // probe ALL cells: this test is about screening semantics, not
+    // probe recall
+    val stream = graft.streaming.Streaming.annScreenStream(
+      input.toDF.toDF("vec_id", "embedding", "ts"), ivf,
+      "vec_id", "embedding", threshold = 0.9, tsCol = "ts",
+      nProbe = 16)
+    val q = stream.writeStream.format("memory").queryName("ann_screen")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (900001L, liveVec, ts(120)),
+        (900002L, deadVec, ts(120)),
+        (900003L, noise, ts(121))))
+      q.processAllAvailable()
+      input.addData(Seq((999999L, noise, ts(10000)))) // watermark push
+      q.processAllAvailable()
+      val streamed = spark.table("ann_screen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed.contains((900001L, liveId, 1.0)),
+        s"planted live twin missing: $streamed")
+      assert(!streamed.exists(_._2 == deadId),
+        s"tombstoned $deadId surfaced: $streamed")
+      assert(!streamed.exists(p => p._1 == 900003L || p._1 == 999999L),
+        s"noise arrival matched: $streamed")
+    } finally q.stop()
+  }
+
   test("sinkStream lands each micro-batch into a collection exactly " +
       "once, and a replayed batch id overwrites instead of duplicating") {
     import spark.implicits._
