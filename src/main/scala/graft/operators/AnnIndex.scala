@@ -74,6 +74,24 @@ object AnnIndex {
       ids.select(col(idCol).as("neighbor_id")).distinct(),
       SaveMode.Append)
 
+  /** Refuse an extend that re-uses a tombstoned id: the appended row
+    * would be hidden by the tombstone filter (the vector silently
+    * invisible) and then dropped by the next rebuild (silently lost) —
+    * the same confusion [[DedupIndex.extend]] refuses. Delta-sized
+    * semi-join, only when tombstones exist.
+    */
+  private[operators] def refuseTombstonedIds(mgr: CollectionManager,
+      delta: DataFrame, idCol: String): Unit = {
+    val t = mgr.collection(TombstonesName)
+    if (!t.exists()) return
+    val clash = delta.select(col(idCol).as("neighbor_id"))
+      .join(t.read(), Seq("neighbor_id"), "left_semi").limit(1).collect()
+    require(clash.isEmpty,
+      s"delta re-uses tombstoned id ${clash.headOption.map(_.get(0))} " +
+        "— deleted ids stay dead until rebuild; re-ingest under a " +
+        "fresh id or rebuild first")
+  }
+
   private[operators] def writeMeta(mgr: CollectionManager,
       spark: SparkSession, kind: String, a: Int, b: Int): Unit = {
     import spark.implicits._
@@ -181,6 +199,7 @@ final class PqIndex private (
     */
   def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
     AnnIndex.checkPending(spark, path)
+    AnnIndex.refuseTombstonedIds(mgr, delta, idCol)
     val sub = codebooks.head.head.length
     AnnIndex.requireDim(delta, vecCol, numSubspaces * sub)
     val c = delta.select(col(idCol).as("neighbor_id"),
@@ -328,6 +347,7 @@ final class IvfIndex private (
     */
   def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
     AnnIndex.checkPending(spark, path)
+    AnnIndex.refuseTombstonedIds(mgr, delta, idCol)
     AnnIndex.requireDim(delta, vecCol, centroids.head.length)
     mgr.collection(AnnIndex.CellsName).write(
       SimilaritySearch.assignCells(

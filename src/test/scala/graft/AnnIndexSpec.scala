@@ -202,6 +202,15 @@ class AnnIndexSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("cell")),
       "tombstone anti-join blocked partition pruning:\n" + plan)
+
+    // re-extending a tombstoned id is refused in both kinds — the row
+    // would be tombstone-hidden now and silently dropped by rebuild
+    val revived = emb.filter(col("vec_id") === victim)
+    for (op <- Seq(() => pq.extend(revived, "vec_id", "embedding"),
+        () => ivf.extend(revived, "vec_id", "embedding"))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    }
   }
 
   test("IVF driftReport: steady-state ratios stay ~1; an " +
