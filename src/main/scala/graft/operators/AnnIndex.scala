@@ -411,6 +411,11 @@ final class IvfIndex private (
   def rebuild(kmeansIters: Int = 2, trainFraction: Double = 1.0)
       : IvfIndex = {
     AnnIndex.checkPending(spark, path)
+    // refuse a degenerate rebuild BEFORE the crash bracket: failing
+    // past the marker would strand it and lock the index for nothing
+    require(!cells.limit(1).isEmpty,
+      s"rebuild of $path found no surviving vectors (everything " +
+        "tombstoned) — drop the index instead")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(path,
@@ -424,9 +429,7 @@ final class IvfIndex private (
       val c = CacheScope.cached(staging.read())
       val cents = SimilaritySearch.trainCentroids(c, "neighbor_id", "cv",
         nCells, kmeansIters, trainFraction)
-      require(cents.nonEmpty,
-        s"rebuild of $path found no surviving vectors (everything " +
-          "tombstoned) — drop the index instead")
+      assert(cents.nonEmpty) // guarded above; keep the invariant loud
       val assigned = SimilaritySearch.assignCells(c, "cv", cents)
       mgr.collection(AnnIndex.CellsName).write(assigned,
         SaveMode.Overwrite, partitionBy = Seq("cell"))

@@ -307,6 +307,11 @@ final class DedupIndex private (
     */
   def rebuild(): Unit = CacheScope.scoped {
     checkPending()
+    // refuse a degenerate rebuild BEFORE the crash bracket: failing
+    // past the marker would strand it and lock the index for nothing
+    require(!sets.limit(1).isEmpty,
+      s"rebuild of $path found no surviving documents (everything " +
+        "tombstoned) — drop the index instead")
     val marker = new org.apache.hadoop.fs.Path(path,
       DedupIndex.RebuildPendingPrefix + java.util.UUID.randomUUID())
     fs.create(marker).close()

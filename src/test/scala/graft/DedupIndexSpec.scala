@@ -311,6 +311,24 @@ class DedupIndexSpec extends SparkSpec {
       .toDF("doc_id", "text"), "doc_id", "text")
   }
 
+  test("rebuild of a fully-tombstoned index refuses BEFORE the crash " +
+      "bracket — no stranded marker, index still answers (empty)") {
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    val path = tmpDir()
+    val idx = DedupIndex.build(corpus, "doc_id", "text", k = 3,
+      threshold = 0.6, path = path)
+    idx.delete(Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val e = intercept[IllegalArgumentException](idx.rebuild())
+    assert(e.getMessage.contains("no surviving"), e.getMessage)
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .anyMatch(p =>
+        p.getFileName.toString.startsWith(".rebuild-pending-")))
+    // still queryable: everything deleted -> empty answers, no error
+    assert(idx.jaccardPairsAgainst(corpus, "doc_id", "text", 0.6)
+      .filter(col("id1") <= 2L || col("id2") <= 2L).count() == 0)
+  }
+
   test("an interrupted rebuild is refused as loudly as an interrupted " +
       "extend") {
     val corpus = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
