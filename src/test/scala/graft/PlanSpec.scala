@@ -343,6 +343,23 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 10, p)
   }
 
+  test("x18: winnow screen feeds exact gram verification — no " +
+      "cartesian, full gram sets materialize only behind the " +
+      "candidate semi-join") {
+    val df = Extensions.x18WinnowPairs(spark, sfDir)
+    df.count()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the expensive full-gram materialization is gated on the screened
+    // candidate ids: a LeftSemi join sits between the documents source
+    // and the gram transform, so unscreened documents never pay the
+    // k-gram explode
+    assert(p.contains("LeftSemi"), p)
+    // the verification intersect runs the compiled sorted-merge kernel,
+    // not a per-row hash set
+    assert(p.contains("graft_sorted_intersect_count"), p)
+  }
+
   test("q40: recursion materializes only the month spine — fact table " +
       "aggregates once outside the UnionLoop and joins via broadcast") {
     val df = Relational.q40RecursiveSpine(spark, sfDir)
