@@ -129,6 +129,7 @@ object SparkEntry {
     "x65_skew_heavy_aqe" -> Extensions.x65SkewHeavyAqe,
     "x66_image_hash_pairs" -> Extensions.x66ImageHashPairs,
     "x67_seed_distance" -> Extensions.x67SeedDistance,
+    "x68_incremental_clusters" -> Extensions.x68IncrementalClusters,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -533,6 +534,10 @@ object SparkEntry {
     // same output contract, different engine path (star contraction) —
     // one oracle checks both
     "x56_dedup_clusters_star" -> dedupClustersSql,
+    // x68 maintains the assignment incrementally (corpus clustered
+    // once, delta pairs merged via quotient CC) but provably equals
+    // re-clustering the merged pair set — x20's oracle verbatim
+    "x68_incremental_clusters" -> dedupClustersSql,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,

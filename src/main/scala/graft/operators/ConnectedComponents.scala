@@ -75,6 +75,66 @@ object ConnectedComponents {
     labels.select(col("id"), col("label"))
   }
 
+  /** INCREMENTAL connected components — the cluster-maintenance verb
+    * that completes the incremental dedup story (index → delta pairs →
+    * clusters, nothing corpus-sized recomputed): given the PRIOR
+    * assignment (id, label) over every previously-paired doc and the
+    * delta-touching pairs of a new batch
+    * ([[Dedup.jaccardShinglePairsAgainst]] /
+    * [[DedupIndex.jaccardPairsAgainst]] output), produce the
+    * assignment every doc would get from re-clustering the merged pair
+    * set — WITHOUT re-clustering it.
+    *
+    * New edges can only MERGE prior clusters (never split them), so
+    * the merged components are exactly the components of the
+    * delta-sized QUOTIENT graph: each delta edge's endpoints map
+    * through the prior assignment (previously-unpaired endpoints map
+    * to themselves), and [[clusters]] runs on those quotient edges
+    * alone. Labels stay canonical: a prior label IS the min doc id of
+    * its class, so the quotient component's min over (prior labels ∪
+    * new doc ids) is the merged component's global min doc id —
+    * byte-identical to a full recompute (oracle-checked as x68, and
+    * spec-asserted including the bridge-merge case).
+    *
+    * At 100 TB: the quotient CC touches only delta-sized state; the
+    * corpus-sized work is ONE join of the prior assignment against the
+    * quotient relabel map (quotient-sized — AQE broadcasts it), which
+    * rewrites only touched clusters. The prior assignment is read
+    * once, never re-derived.
+    */
+  def incrementalClusters(assignment: DataFrame, deltaPairs: DataFrame,
+      id1: String, id2: String): DataFrame = {
+    val a = graft.core.CacheScope.cached(
+      assignment.select(col("id"), col("label")))
+    val e = graft.core.CacheScope.cached(
+      deltaPairs.select(col(id1).as("a"), col(id2).as("b")))
+    // quotient edges: endpoints through the prior assignment;
+    // previously-unpaired endpoints (delta docs, or corpus docs in
+    // their first-ever pair) are their own quotient node
+    val mapped = e
+      .join(a.select(col("id").as("a"), col("label").as("la")),
+        Seq("a"), "left")
+      .join(a.select(col("id").as("b"), col("label").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("q1"),
+        coalesce(col("lb"), col("b")).as("q2"))
+    val q = graft.core.CacheScope.cached(
+      clusters(mapped, "q1", "q2").toDF("__qid", "__qlabel"))
+    // corpus side: relabel ONLY clusters whose label appears in the
+    // quotient result (untouched clusters pass through unchanged)
+    val corpusUpdated = a
+      .join(q, col("label") === col("__qid"), "left")
+      .select(col("id"),
+        coalesce(col("__qlabel"), col("label")).as("label"))
+    // newly-paired docs: every quotient node that is not a prior doc
+    // (a prior LABEL is always also a prior doc — the cluster's min
+    // member) gets its first assignment here
+    val newDocs = q
+      .join(a.select(col("id").as("__qid")), Seq("__qid"), "left_anti")
+      .select(col("__qid").as("id"), col("__qlabel").as("label"))
+    corpusUpdated.unionByName(newDocs)
+  }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
     * the high-diameter escalation of [[clusters]]: min-label propagation

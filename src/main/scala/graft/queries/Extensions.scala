@@ -188,6 +188,32 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x68: INCREMENTAL cluster maintenance — the daily-batch form of
+    * x20: the corpus (doc_id % 7 ≠ 0) is clustered once (the prior
+    * state a service persists), the delta batch's pairs come from the
+    * incremental pair operator, and
+    * [[graft.operators.ConnectedComponents.incrementalClusters]]
+    * merges them into the assignment WITHOUT re-clustering the corpus
+    * — only a delta-sized quotient CC plus one relabel join. The
+    * result provably equals re-clustering the merged pair set, so the
+    * oracle is x20's recursive-closure statement over ALL documents,
+    * verbatim.
+    */
+  def x68IncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val delta = d.filter(col("doc_id") % 7 === 0)
+    val assignment = graft.operators.ConnectedComponents.clusters(
+      Dedup.jaccardShinglePairs(corpus, "doc_id", "text",
+        k = 3, threshold = 0.6), "id1", "id2")
+    val deltaPairs = Dedup.jaccardShinglePairsAgainst(corpus, delta,
+      "doc_id", "text", k = 3, threshold = 0.6)
+    graft.operators.ConnectedComponents
+      .incrementalClusters(assignment, deltaPairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x46: canonical dedup output — one REPRESENTATIVE per near-dup
     * cluster (min doc_id; docs in no pair are their own singleton
     * cluster), carrying the cluster size as a weight. This is the frame

@@ -544,6 +544,37 @@ class OperatorSpec extends SparkSpec {
     assert(gotReal == expected)
   }
 
+  test("incrementalClusters: bridge-merges, delta-only clusters, and " +
+      "first-pair corpus docs — equals a full re-cluster of the " +
+      "merged pair set, hand-built and on the real corpora") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // prior state: clusters {1,2}, {5,6}; corpus doc 30 unpaired so far
+    val prior = ConnectedComponents.clusters(
+      Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2"), "id1", "id2")
+    // delta: doc 10 BRIDGES the two prior clusters; (11,12) is a
+    // delta-only pair; doc 13 pairs previously-unpaired corpus doc 30
+    val deltaPairs = Seq((2L, 10L), (5L, 10L), (11L, 12L), (13L, 30L))
+      .toDF("id1", "id2")
+    val got = ConnectedComponents
+      .incrementalClusters(prior, deltaPairs, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L, // bridged
+      11L -> 11L, 12L -> 11L,                            // delta-only
+      13L -> 13L, 30L -> 13L))                           // first pair
+
+    // real corpora: the x68 entry must equal a full re-cluster of the
+    // merged pair set (which is exactly what its DuckDB oracle states)
+    val full = graft.queries.Extensions.x20DedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = graft.queries.Extensions
+      .x68IncrementalClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full)
+    assert(incr.nonEmpty)
+  }
+
   test("star contraction equals min-label clusters on the known graph " +
       "and the real x3 pairs") {
     import spark.implicits._
