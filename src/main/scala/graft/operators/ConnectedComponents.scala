@@ -104,10 +104,21 @@ object ConnectedComponents {
     */
   def incrementalClusters(assignment: DataFrame, deltaPairs: DataFrame,
       id1: String, id2: String): DataFrame = {
-    val a = graft.core.CacheScope.cached(
-      assignment.select(col("id"), col("label")))
-    val e = graft.core.CacheScope.cached(
-      deltaPairs.select(col(id1).as("a"), col(id2).as("b")))
+    // LINEAGE TRUNCATION, not just caching: the prior assignment
+    // usually comes out of a CC fixpoint whose logical plan NESTS one
+    // level per round (each round references the previous labels
+    // twice), and this operator references that plan several more
+    // times (quotient mapping ×2, relabel join, anti-join) — without
+    // truncation the composed plan grows multiplicatively and every
+    // later ACTION pays tens of seconds of driver-side analysis on a
+    // 10⁴-node tree (measured: 38k-node plan, ~25 s per count at
+    // sf0.1). localCheckpoint materializes both inputs and makes them
+    // plan LEAVES — same device as [[clustersStarContraction]]'s
+    // per-round truncation; blocks are reclaimed by the context
+    // cleaner once the result frame is dereferenced.
+    val a = assignment.select(col("id"), col("label")).localCheckpoint()
+    val e = deltaPairs.select(col(id1).as("a"), col(id2).as("b"))
+      .localCheckpoint()
     // quotient edges: endpoints through the prior assignment;
     // previously-unpaired endpoints (delta docs, or corpus docs in
     // their first-ever pair) are their own quotient node
@@ -118,8 +129,8 @@ object ConnectedComponents {
         Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("q1"),
         coalesce(col("lb"), col("b")).as("q2"))
-    val q = graft.core.CacheScope.cached(
-      clusters(mapped, "q1", "q2").toDF("__qid", "__qlabel"))
+    val q = clusters(mapped, "q1", "q2").toDF("__qid", "__qlabel")
+      .localCheckpoint()
     // corpus side: relabel ONLY clusters whose label appears in the
     // quotient result (untouched clusters pass through unchanged)
     val corpusUpdated = a

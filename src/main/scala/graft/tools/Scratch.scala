@@ -4,54 +4,49 @@ import graft.core.Graft
 import org.apache.spark.sql.functions._
 
 /** Throwaway exploration main (kept out of the library surface).
-  * Current experiment: attribute the V2 quirk-JSONL sink's throughput
-  * gap vs the parquet loader — transcode kernel vs commit protocol.
+  * Current experiment: where does x68's time go?
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = Graft.session("scratch")
     spark.sparkContext.setLogLevel("WARN")
-
-    def time[A](label: String)(f: => A): Double = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$label%-38s ${s}%8.3f s")
-      s
+      val r = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
     }
-
-    for ((label, dir) <- Seq(
-        "sf0.1" -> "/root/testdata/sf0.1",
-        "sf1-synth" ->
-          s"${System.getProperty("java.io.tmpdir")}/graft_synth_sf1")) {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val n = docs.count()
-      println(s"=== $label: $n docs")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sinkprof")
-      // 1. scan only (floor)
-      val tScan = time("scan+count only")(docs.count())
-      // 2. transcode kernel only (no write): quirk JSON per row
-      val tEnc = time("quirk transcode, no write") {
-        graft.serde.JsonDocEncoder.encode(docs, Map.empty,
-          quirkCompat = true).select(col("doc")).count()
-      }
-      // 3. transcode + plain text write (Spark's stock committer)
-      val tText = time("transcode + plain text write") {
-        graft.serde.JsonDocEncoder.encode(docs, Map.empty,
-          quirkCompat = true).select(col("doc"))
-          .write.mode("overwrite").text(s"$tmp/plain")
-      }
-      // 4. the real V2 sink (two-phase commit protocol)
-      val tV2 = time("graft-docs V2 sink (full path)") {
-        docs.write.format("graft-docs")
-          .option("path", s"$tmp/docs").mode("append").save()
-      }
-      println(f"$label: kernel=${tEnc - tScan}%.3f s, " +
-        f"textWrite-over-kernel=${tText - tEnc}%.3f s, " +
-        f"v2-over-textWrite=${tV2 - tText}%.3f s, " +
-        f"v2 docs/s=${n / tV2}%.0f, text docs/s=${n / tText}%.0f")
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    val d = Graft.table(spark, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val delta = d.filter(col("doc_id") % 7 === 0)
+    val basePairs = time("corpus pair gen (count)") {
+      val p = graft.operators.Dedup.jaccardShinglePairs(corpus, "doc_id",
+        "text", k = 3, threshold = 0.6)
+      p.count(); p
     }
+    val assignment = time("corpus CC (eager loop)") {
+      graft.operators.ConnectedComponents.clusters(basePairs, "id1", "id2")
+    }
+    time("assignment count")(assignment.count())
+    val deltaPairs = time("delta pair gen (count)") {
+      val p = graft.operators.Dedup.jaccardShinglePairsAgainst(corpus,
+        delta, "doc_id", "text", k = 3, threshold = 0.6)
+      p.count(); p
+    }
+    val incr = time("incrementalClusters (eager part)") {
+      graft.operators.ConnectedComponents.incrementalClusters(assignment,
+        deltaPairs, "id1", "id2")
+    }
+    println("persistent RDDs: " +
+      spark.sparkContext.getPersistentRDDs.size)
+    val opt = incr.queryExecution.optimizedPlan.toString
+    println("InMemoryRelation nodes in final plan: " +
+      (opt.split("InMemoryRelation").length - 1))
+    println("plan mentions documents source: " +
+      opt.contains("documents"))
+    time("incremental count 1st")(incr.count())
+    time("incremental count 2nd")(incr.count())
     spark.stop()
   }
 }
