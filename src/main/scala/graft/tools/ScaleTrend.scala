@@ -90,7 +90,8 @@ object ScaleTrend {
     val headline = Seq("x3_jaccard_pairs", "x4_minhash_pairs",
       "x60_incremental_lsh", "x62_indexed_incremental",
       "x56_dedup_clusters_star", "x67_seed_distance", "x61_knn_pq",
-      "x63_knn_pq_indexed", "q40_recursive_spine")
+      "x63_knn_pq_indexed", "q40_recursive_spine",
+      "x68_incremental_clusters")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
