@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.{CacheScope, CollectionManager}
 import graft.functions.VectorFunctions._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +22,17 @@ import org.apache.spark.sql.functions._
   * byte-equal to the inline results for the same parameters
   * (spec-asserted). Freshness is the caller's contract, as with any
   * index: vectors added after the build are invisible until rebuilt.
+  *
+  * Handle staleness: a handle carries driver-side state (PQ codebooks,
+  * IVF centroids) that MUST match the stored collections — a stale
+  * PqIndex would decode re-encoded codes with old codebooks (silently
+  * wrong similarities), a stale IvfIndex would compute probe sets from
+  * old centroids against re-partitioned cells (silent recall loss).
+  * Every build/rebuild therefore rotates an epoch marker file
+  * (`.epoch-<uuid>` at the index root) and every verb verifies the
+  * handle's epoch against it — one filesystem listing, piggybacked on
+  * the crash-marker check — failing LOUDLY on a mismatch instead of
+  * returning silently wrong answers.
   */
 object AnnIndex {
   private[operators] val MetaName = "meta"
@@ -28,69 +40,91 @@ object AnnIndex {
   private[operators] val CodesName = "codes"
   private[operators] val CentroidsName = "centroids"
   private[operators] val CellsName = "cells"
-  private[operators] val TombstonesName = "tombstones"
   private[operators] val StatsName = "build_stats"
   private[operators] val StagingVecsName = "vecs_rebuild"
-  private[operators] val RebuildPendingPrefix = ".rebuild-pending-"
+  private[operators] val RebuildPendingPrefix =
+    IndexMarkers.RebuildPendingPrefix
+  private[operators] val EpochPrefix = ".epoch-"
 
-  /** Refuse an index whose [[IvfIndex.rebuild]] crashed mid-way: the
-    * stored collections are then a silent mix of pre- and post-rebuild
-    * state. One FS list; same loud-refusal contract as
-    * [[DedupIndex.checkPending]].
-    */
-  private[operators] def checkPending(spark: SparkSession,
-      path: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val stuck = fs.listStatus(root)
-      .filter(_.getPath.getName.startsWith(RebuildPendingPrefix))
+  private def fsOf(spark: SparkSession, path: String) =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rootNames(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val root = new HPath(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).map(_.getPath.getName).toSeq
+  }
+
+  private def refusePending(names: Seq[String], path: String): Unit = {
+    val stuck = names.filter(_.startsWith(RebuildPendingPrefix))
     require(stuck.isEmpty,
       s"ANN index at $path has ${stuck.length} incomplete rebuild(s) — " +
         "its collections may mix pre- and post-rebuild state. Re-run " +
         "rebuild (or rebuild from the corpus), then remove: " +
-        stuck.map(_.getPath.getName).mkString(", "))
+        stuck.mkString(", "))
   }
 
-  /** Tombstone filter over the stored corpus side: anti-join the
-    * deleted id set when one exists (AQE broadcasts the typically tiny
-    * tombstone side at runtime). With no deletes the plan is
-    * untouched, so the no-training / partition-pruning plan assertions
-    * keep holding verbatim.
+  /** Refuse an index whose build/rebuild crashed mid-way: the stored
+    * collections are then a silent mix of pre- and post-write state.
+    * One FS list; same loud-refusal contract as
+    * [[DedupIndex.checkPending]]. Used at [[PqIndex.load]] /
+    * [[IvfIndex.load]], before a handle (and its epoch) exists.
     */
-  private[operators] def minusTombstones(mgr: CollectionManager,
-      df: DataFrame): DataFrame = {
-    val t = mgr.collection(TombstonesName)
-    if (!t.exists()) df
-    else df.join(t.read(), Seq("neighbor_id"), "left_anti")
+  private[operators] def checkPending(spark: SparkSession,
+      path: String): Unit =
+    refusePending(rootNames(spark, path), path)
+
+  /** The per-verb guard: crash-marker check PLUS handle-epoch check,
+    * one filesystem listing total. A pending marker refuses first (a
+    * mid-crash index has no trustworthy epoch); then the handle's
+    * epoch must match the stored `.epoch-*` marker or the handle is
+    * STALE — the index was rebuilt under it.
+    */
+  private[operators] def checkLive(spark: SparkSession, path: String,
+      epoch: String): Unit = {
+    val names = rootNames(spark, path)
+    refusePending(names, path)
+    val stored = names.filter(_.startsWith(EpochPrefix))
+      .map(_.stripPrefix(EpochPrefix))
+    require(stored.contains(epoch),
+      s"stale index handle for $path: handle epoch $epoch, stored " +
+        s"epoch ${stored.mkString(",")} — the index was rebuilt, so " +
+        "this handle's driver-side codebooks/centroids no longer match " +
+        "the stored collections; reload the index")
   }
 
-  /** Tombstone-append shared by both index kinds — one tiny write; the
-    * physical vectors/codes persist until rebuild.
-    */
-  private[operators] def appendTombstones(mgr: CollectionManager,
-      ids: DataFrame, idCol: String): Unit =
-    mgr.collection(TombstonesName).write(
-      ids.select(col(idCol).as("neighbor_id")).distinct(),
-      SaveMode.Append)
-
-  /** Refuse an extend that re-uses a tombstoned id: the appended row
-    * would be hidden by the tombstone filter (the vector silently
-    * invisible) and then dropped by the next rebuild (silently lost) —
-    * the same confusion [[DedupIndex.extend]] refuses. Delta-sized
-    * semi-join, only when tombstones exist.
-    */
-  private[operators] def refuseTombstonedIds(mgr: CollectionManager,
-      delta: DataFrame, idCol: String): Unit = {
-    val t = mgr.collection(TombstonesName)
-    if (!t.exists()) return
-    val clash = delta.select(col(idCol).as("neighbor_id"))
-      .join(t.read(), Seq("neighbor_id"), "left_semi").limit(1).collect()
-    require(clash.isEmpty,
-      s"delta re-uses tombstoned id ${clash.headOption.map(_.get(0))} " +
-        "— deleted ids stay dead until rebuild; re-ingest under a " +
-        "fresh id or rebuild first")
+  /** Read the stored epoch at load time (exactly one must exist). */
+  private[operators] def readEpoch(spark: SparkSession,
+      path: String): String = {
+    val stored = rootNames(spark, path).filter(_.startsWith(EpochPrefix))
+      .map(_.stripPrefix(EpochPrefix))
+    require(stored.length == 1,
+      s"index at $path carries ${stored.length} epoch markers — " +
+        "incomplete build or manual tampering; rebuild the index")
+    stored.head
   }
+
+  /** Rotate the epoch marker — the LAST write of a successful
+    * build/rebuild (before its pending marker is cleared).
+    */
+  private[operators] def writeEpoch(spark: SparkSession,
+      path: String): String = {
+    val fs = fsOf(spark, path)
+    val root = new HPath(path)
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(EpochPrefix))
+      .foreach(f => fs.delete(f.getPath, false))
+    val e = java.util.UUID.randomUUID().toString
+    fs.create(new HPath(root, EpochPrefix + e)).close()
+    e
+  }
+
+  private[operators] def createPending(spark: SparkSession,
+      path: String): HPath = IndexMarkers.createPending(spark, path)
+
+  private[operators] def clearPending(spark: SparkSession,
+      path: String): Unit = IndexMarkers.clearPending(spark, path)
 
   private[operators] def writeMeta(mgr: CollectionManager,
       spark: SparkSession, kind: String, a: Int, b: Int): Unit = {
@@ -131,21 +165,29 @@ object AnnIndex {
   * subspace — at the 8×16 defaults a 64-dim float vector stores as 8
   * codes: the 64× memory cut that makes a 100 TB embedding corpus
   * scannable from RAM, now persisted so queries never re-encode).
+  * Each stored row also carries `qerrs`, the per-subspace squared
+  * reconstruction error recorded AT ENCODE TIME (build and extend
+  * alike) — PQ codes are lossy, so this is the only moment the error
+  * is measurable, and it is what [[driftReport]] audits.
   */
 final class PqIndex private (
     val spark: SparkSession,
     val path: String,
     val numSubspaces: Int,
     val nCentroids: Int,
-    val codebooks: IndexedSeq[Seq[Seq[Float]]]) {
+    val codebooks: IndexedSeq[Seq[Seq[Float]]],
+    epoch: String) {
 
   private def mgr = new CollectionManager(spark, path)
+  private val tomb = new TombstoneStore(spark, path, "neighbor_id")
 
-  /** (neighbor_id, cn, codes) — the stored LIVE encoded corpus
+  private def checkLive(): Unit = AnnIndex.checkLive(spark, path, epoch)
+
+  /** (neighbor_id, cn, codes, qerrs) — the stored LIVE encoded corpus
     * (tombstoned vectors excluded).
     */
   def codes: DataFrame =
-    AnnIndex.minusTombstones(mgr, mgr.collection(AnnIndex.CodesName).read())
+    tomb.minus(mgr.collection(AnnIndex.CodesName).read())
 
   /** ADC top-k against the stored codes — [[SimilaritySearch.pqTopK]]'s
     * output for the index's build parameters, with NO training and NO
@@ -155,36 +197,79 @@ final class PqIndex private (
     */
   def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    AnnIndex.checkPending(spark, path)
+    checkLive()
     val sub = codebooks.head.head.length
     SimilaritySearch.pqScore(codes, codebooks, numSubspaces, nCentroids,
       sub, queries, idCol, vecCol, k, excludeSelf)
   }
 
   /** DELETE vectors from the index (takedown/purge): a tombstone
-    * append honored immediately by [[topK]] — the deleted vector stops
-    * surfacing as a neighbor the moment this returns; its code row
-    * persists until [[rebuild]]. A tombstoned id stays dead until a
-    * rebuild frees it.
+    * append honored immediately by [[topK]] and [[driftReport]] — the
+    * deleted vector stops surfacing as a neighbor the moment this
+    * returns; its code row persists until [[rebuild]]. A tombstoned id
+    * stays dead until a rebuild frees it.
     */
   def delete(ids: DataFrame, idCol: String): Unit = {
-    AnnIndex.checkPending(spark, path)
-    AnnIndex.appendTombstones(mgr, ids, idCol)
+    checkLive()
+    tomb.append(ids, idCol)
+  }
+
+  /** DRIFT AUDIT — the cheap measurement that tells the operator WHEN
+    * to [[rebuild]], the PQ twin of [[IvfIndex.driftReport]]: per
+    * subspace, the build-time baseline (mean squared reconstruction
+    * error of the build encode, persisted by [[PqIndex.build]])
+    * against the same statistic over today's LIVE codes (extends
+    * included, tombstones excluded; every stored row carries its
+    * encode-time `qerrs`). [[extend]] encodes under FROZEN codebooks,
+    * so off-distribution deltas reconstruct badly — ADC distances
+    * quietly degrade with nothing else measuring it; here they inflate
+    * `err_ratio` immediately. Cost: one aggregation over the stored
+    * error column — no training, no corpus access, no re-encode.
+    *
+    * Columns: (subspace, mean_err_sq_build, n_now, mean_err_sq_now,
+    * err_ratio). Rule of thumb: rebuild when any subspace's err_ratio
+    * passes ~2.
+    */
+  def driftReport(): DataFrame = {
+    checkLive()
+    val statsC = mgr.collection(AnnIndex.StatsName)
+    require(statsC.exists(),
+      s"index at $path predates drift statistics — rebuild() once to " +
+        "record the baseline")
+    val base = statsC.read().select(col("subspace"),
+      col("mean_err_sq").as("mean_err_sq_build"))
+    val now = codes
+      .select(posexplode(col("qerrs")).as(Seq("subspace", "e")))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_now"),
+        avg(col("e")).as("mean_err_sq_now"))
+    base.join(now, Seq("subspace"), "full_outer")
+      .withColumn("err_ratio",
+        when(col("mean_err_sq_build") > 0,
+          col("mean_err_sq_now") / col("mean_err_sq_build")))
+      .orderBy(col("subspace"))
   }
 
   /** REBUILD from the current corpus: PQ codes are lossy (the original
     * vectors are not stored), so unlike [[IvfIndex.rebuild]] this
     * needs the corpus frame — retrain the codebooks under today's
     * distribution (the drift [[extend]] accumulates), re-encode, and
-    * clear tombstones. Equivalent to [[PqIndex.build]] at this path
-    * with the stored parameters; returns the fresh index (None for an
-    * empty corpus).
+    * clear tombstones. Tombstoned ids still present in the caller's
+    * corpus are purged first (a takedown must not silently resurrect
+    * because the caller passed an unpurged corpus — the same contract
+    * as [[IvfIndex.rebuild]]'s survivors-only compaction). Equivalent
+    * to [[PqIndex.build]] at this path with the stored parameters;
+    * returns the fresh index (None for an empty corpus). The rebuild
+    * rotates the stored epoch, so THIS handle is stale afterwards —
+    * use the returned index.
     */
   def rebuild(corpus: DataFrame, idCol: String, vecCol: String,
       kmeansIters: Int = 2, trainFraction: Double = 1.0)
-      : Option[PqIndex] =
-    PqIndex.build(corpus, idCol, vecCol, numSubspaces, nCentroids,
-      kmeansIters, trainFraction, path)
+      : Option[PqIndex] = {
+    checkLive()
+    PqIndex.build(tomb.minusBy(corpus, idCol), idCol, vecCol,
+      numSubspaces, nCentroids, kmeansIters, trainFraction, path)
+  }
 
   /** APPEND new vectors under the FROZEN codebooks — the index
     * maintenance step: one map-side compiled encode of the delta (the
@@ -193,33 +278,59 @@ final class PqIndex private (
     * codes remain valid and the append is a single-collection,
     * delta-sized write. The trade is quantization drift — vectors from
     * a distribution the codebooks never saw carry larger quantization
-    * error (they score LOW, the bias's safe direction) — so rebuild on
-    * a maintenance cadence, as with [[DedupIndex.extend]]. Ids must
-    * stay unique across the original corpus and every extension.
+    * error (they score LOW, the bias's safe direction) — which the
+    * per-row `qerrs` record makes auditable via [[driftReport]];
+    * rebuild on a maintenance cadence, as with [[DedupIndex.extend]].
+    * Ids must stay unique across the original corpus and every
+    * extension.
     */
   def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
-    AnnIndex.checkPending(spark, path)
-    AnnIndex.refuseTombstonedIds(mgr, delta, idCol)
+    checkLive()
+    tomb.refuse(delta, idCol, "rebuild")
     val sub = codebooks.head.head.length
     AnnIndex.requireDim(delta, vecCol, numSubspaces * sub)
     val c = delta.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), normSq(col(vecCol)).as("cn"))
-    val codeCols = (0 until numSubspaces).map { s =>
-      nearestCell(slice(col("cv"), s * sub + 1, sub), codebooks(s)) }
     mgr.collection(AnnIndex.CodesName).write(
-      c.select(col("neighbor_id"), col("cn"),
-        array(codeCols: _*).as("codes")),
+      PqIndex.encodeWithErrors(c, codebooks, numSubspaces, sub),
       SaveMode.Append)
   }
 }
 
 object PqIndex {
 
+  /** One map-pass encode of a (neighbor_id, cv, cn) frame under fixed
+    * codebooks: the per-subspace argmin code (identical to the inline
+    * [[SimilaritySearch.pqTrainEncode]] encode, so stored and inline
+    * results stay byte-equal) PLUS the per-subspace squared
+    * reconstruction error — measurable only here, while the full
+    * vector is still in hand (see [[PqIndex.driftReport]]).
+    */
+  private[operators] def encodeWithErrors(c: DataFrame,
+      codebooks: IndexedSeq[Seq[Seq[Float]]], numSubspaces: Int,
+      sub: Int): DataFrame = {
+    val codeCols = (0 until numSubspaces).map { s =>
+      nearestCell(slice(col("cv"), s * sub + 1, sub), codebooks(s)) }
+    val errCols = (0 until numSubspaces).map { s =>
+      l2Sq(slice(col("cv"), s * sub + 1, sub),
+        element_at(typedLit(codebooks(s).map(_.toSeq)), codeCols(s) + 1))
+        .cast("float")
+    }
+    c.select(col("neighbor_id"), col("cn"),
+      array(codeCols: _*).as("codes"), array(errCols: _*).as("qerrs"))
+  }
+
   /** Train codebooks (sample-trainable, deterministic — identical to
     * the inline [[SimilaritySearch.pqTopK]] training), encode the
-    * corpus in one map pass, and persist (codebooks, codes, meta)
-    * under `path`. Every cache the build creates is released before it
-    * returns. Returns None for an empty corpus (nothing to index).
+    * corpus in one map pass, and persist (codebooks, codes + encode
+    * errors, drift baseline, meta) under `path`. The multi-collection
+    * overwrite is crash-bracketed with a `.rebuild-pending-*` marker
+    * (a crash between the writes would otherwise leave new codes under
+    * old codebooks — silently wrong distances forever), and a
+    * successful build rotates the epoch marker, staling any older
+    * handle at this path. Every cache the build creates is released
+    * before it returns. Returns None for an empty corpus (nothing to
+    * index, nothing written).
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       numSubspaces: Int = 8, nCentroids: Int = 16, kmeansIters: Int = 2,
@@ -233,8 +344,17 @@ object PqIndex {
       SimilaritySearch.pqTrainEncode(c, numSubspaces, nCentroids,
           kmeansIters, trainFraction) match {
         case None => None
-        case Some((_, codebooks, codes)) =>
+        case Some((dim, codebooks, _)) =>
+          val sub = dim / numSubspaces
+          AnnIndex.createPending(spark, path)
+          val codes = encodeWithErrors(c, codebooks, numSubspaces, sub)
           mgr.collection(AnnIndex.CodesName).write(codes,
+            SaveMode.Overwrite)
+          // drift baseline: mean per-subspace encode error at build
+          mgr.collection(AnnIndex.StatsName).write(
+            codes.select(posexplode(col("qerrs")).as(Seq("subspace", "e")))
+              .groupBy(col("subspace"))
+              .agg(count(lit(1)).as("n"), avg(col("e")).as("mean_err_sq")),
             SaveMode.Overwrite)
           val cbRows = for {
             s <- codebooks.indices
@@ -256,9 +376,11 @@ object PqIndex {
           AnnIndex.writeMeta(mgr, spark, "pq", numSubspaces, nCentroids)
           // a fresh build IS the surviving corpus — stale tombstones
           // from a previous index here must not keep hiding vectors
-          mgr.collection(AnnIndex.TombstonesName).drop()
+          mgr.collection("tombstones").drop()
+          val epoch = AnnIndex.writeEpoch(spark, path)
+          AnnIndex.clearPending(spark, path)
           Some(new PqIndex(spark, path, numSubspaces, nCentroids,
-            codebooks))
+            codebooks, epoch))
       }
     }
   }
@@ -268,6 +390,7 @@ object PqIndex {
     */
   def load(spark: SparkSession, path: String): PqIndex = {
     AnnIndex.checkPending(spark, path)
+    val epoch = AnnIndex.readEpoch(spark, path)
     val mgr = new CollectionManager(spark, path)
     val (numSubspaces, nCentroids) = AnnIndex.readMeta(mgr, path, "pq")
     val cb = mgr.collection(AnnIndex.CodebooksName).read()
@@ -276,7 +399,7 @@ object PqIndex {
       cb.filter(_.getInt(0) == s).map(_.getSeq[Float](2)).toSeq
     }
     require(codebooks.forall(_.nonEmpty), s"empty codebook in $path")
-    new PqIndex(spark, path, numSubspaces, nCentroids, codebooks)
+    new PqIndex(spark, path, numSubspaces, nCentroids, codebooks, epoch)
   }
 }
 
@@ -291,29 +414,40 @@ final class IvfIndex private (
     val spark: SparkSession,
     val path: String,
     val nCells: Int,
-    val centroids: Seq[Seq[Float]]) {
+    val centroids: Seq[Seq[Float]],
+    epoch: String) {
 
   private def mgr = new CollectionManager(spark, path)
+  private val tomb = new TombstoneStore(spark, path, "neighbor_id")
 
-  /** Crash-marker check, exposed for the streaming layer (it refuses a
-    * mid-rebuild index at stream construction, like indexDedupStream).
+  /** Crash-marker + handle-epoch check, exposed for the streaming
+    * layer (it refuses a mid-rebuild or stale index at stream
+    * construction, like indexDedupStream).
     */
   private[graft] def checkPending(): Unit =
-    AnnIndex.checkPending(spark, path)
+    AnnIndex.checkLive(spark, path, epoch)
 
   /** (neighbor_id, cv, cn, cell) — the stored LIVE assigned corpus
     * (tombstoned vectors excluded).
     */
-  def cells: DataFrame =
-    AnnIndex.minusTombstones(mgr, mgr.collection(AnnIndex.CellsName).read())
+  def cells: DataFrame = tomb.minus(cellsRaw)
+
+  /** The stored assigned corpus WITHOUT the tombstone filter — the
+    * streaming layer caches this corpus-sized frame once and applies
+    * the tombstone anti-join OUTSIDE the cache, so mid-stream deletes
+    * are honored per micro-batch (see
+    * [[graft.streaming.Streaming.annScreenStream]]).
+    */
+  private[graft] def cellsRaw: DataFrame =
+    mgr.collection(AnnIndex.CellsName).read()
 
   /** DELETE vectors from the index (takedown/purge): a tombstone
     * append honored immediately by [[topK]] and [[driftReport]]; the
     * physical rows persist until [[rebuild]] compacts them away.
     */
   def delete(ids: DataFrame, idCol: String): Unit = {
-    AnnIndex.checkPending(spark, path)
-    AnnIndex.appendTombstones(mgr, ids, idCol)
+    checkPending()
+    tomb.append(ids, idCol)
   }
 
   /** Probed exact-cosine top-k against the stored cells —
@@ -324,7 +458,7 @@ final class IvfIndex private (
     */
   def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    AnnIndex.checkPending(spark, path)
+    checkPending()
     // tiny driver-side probe-set computation (queries are the bounded
     // side by the ANN contract) -> a LITERAL isin partition filter the
     // parquet source prunes directories with
@@ -346,8 +480,8 @@ final class IvfIndex private (
     * stay unique across the original corpus and every extension.
     */
   def extend(delta: DataFrame, idCol: String, vecCol: String): Unit = {
-    AnnIndex.checkPending(spark, path)
-    AnnIndex.refuseTombstonedIds(mgr, delta, idCol)
+    checkPending()
+    tomb.refuse(delta, idCol, "rebuild")
     AnnIndex.requireDim(delta, vecCol, centroids.head.length)
     mgr.collection(AnnIndex.CellsName).write(
       SimilaritySearch.assignCells(
@@ -376,7 +510,7 @@ final class IvfIndex private (
     * max/mean size_ratio skew passes ~4.
     */
   def driftReport(): DataFrame = {
-    AnnIndex.checkPending(spark, path)
+    checkPending()
     val statsC = mgr.collection(AnnIndex.StatsName)
     require(statsC.exists(),
       s"index at $path predates drift statistics — rebuild() once to " +
@@ -406,21 +540,20 @@ final class IvfIndex private (
     * Survivors are staged to a sibling collection first and the whole
     * rewrite is bracketed by a `.rebuild-pending-*` marker: a crash
     * mid-rebuild is a loud refusal on the next access, never a silent
-    * mix of old and new cells. Returns the fresh index.
+    * mix of old and new cells. The rebuild rotates the stored epoch,
+    * so THIS handle is stale afterwards — use the returned index.
     */
   def rebuild(kmeansIters: Int = 2, trainFraction: Double = 1.0)
       : IvfIndex = {
-    AnnIndex.checkPending(spark, path)
+    checkPending()
     // refuse a degenerate rebuild BEFORE the crash bracket: failing
     // past the marker would strand it and lock the index for nothing
     require(!cells.limit(1).isEmpty,
       s"rebuild of $path found no surviving vectors (everything " +
         "tombstoned) — drop the index instead")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(path,
-      AnnIndex.RebuildPendingPrefix + java.util.UUID.randomUUID())
-    fs.create(marker).close()
+    val marker = AnnIndex.createPending(spark, path)
+    val fs = new HPath(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     CacheScope.scoped {
       val staging = mgr.collection(AnnIndex.StagingVecsName)
       staging.drop()
@@ -439,9 +572,10 @@ final class IvfIndex private (
         IvfIndex.cellStats(assigned, cents), SaveMode.Overwrite)
       AnnIndex.writeMeta(mgr, spark, "ivf", cents.length, 0)
       staging.drop()
-      mgr.collection(AnnIndex.TombstonesName).drop()
+      mgr.collection("tombstones").drop()
+      val newEpoch = AnnIndex.writeEpoch(spark, path)
       fs.delete(marker, false)
-      new IvfIndex(spark, path, cents.length, cents)
+      new IvfIndex(spark, path, cents.length, cents, newEpoch)
     }
   }
 }
@@ -451,7 +585,10 @@ object IvfIndex {
   /** Train the coarse quantizer (sample-trainable, identical to the
     * inline [[SimilaritySearch.ivfTopK]] training), assign cells in
     * one map pass, and persist (centroids, cells partitioned-by-cell,
-    * meta) under `path`. Returns None for an empty corpus.
+    * drift baseline, meta) under `path`. The multi-collection
+    * overwrite is crash-bracketed and a successful build rotates the
+    * epoch marker (see [[PqIndex.build]]). Returns None for an empty
+    * corpus.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, kmeansIters: Int = 2, trainFraction: Double = 1.0,
@@ -466,6 +603,7 @@ object IvfIndex {
         nCells, kmeansIters, trainFraction)
       if (cents.isEmpty) None
       else {
+        AnnIndex.createPending(spark, path)
         val assigned = SimilaritySearch.assignCells(c, "cv", cents)
         mgr.collection(AnnIndex.CellsName).write(assigned,
           SaveMode.Overwrite, partitionBy = Seq("cell"))
@@ -478,9 +616,11 @@ object IvfIndex {
         AnnIndex.writeMeta(mgr, spark, "ivf", cents.length, 0)
         // a fresh build IS the surviving corpus — stale tombstones
         // from a previous index here must not keep hiding vectors
-        mgr.collection(AnnIndex.TombstonesName).drop()
+        mgr.collection("tombstones").drop()
         mgr.collection(AnnIndex.StagingVecsName).drop()
-        Some(new IvfIndex(spark, path, cents.length, cents))
+        val epoch = AnnIndex.writeEpoch(spark, path)
+        AnnIndex.clearPending(spark, path)
+        Some(new IvfIndex(spark, path, cents.length, cents, epoch))
       }
     }
   }
@@ -518,11 +658,12 @@ object IvfIndex {
   /** Open an index previously written by [[build]]. */
   def load(spark: SparkSession, path: String): IvfIndex = {
     AnnIndex.checkPending(spark, path)
+    val epoch = AnnIndex.readEpoch(spark, path)
     val mgr = new CollectionManager(spark, path)
     val (nCells, _) = AnnIndex.readMeta(mgr, path, "ivf")
     val cents = mgr.collection(AnnIndex.CentroidsName).read()
       .orderBy(col("cell")).collect().map(_.getSeq[Float](1)).toSeq
     require(cents.length == nCells, s"centroid table mismatch in $path")
-    new IvfIndex(spark, path, nCells, cents)
+    new IvfIndex(spark, path, nCells, cents, epoch)
   }
 }

@@ -71,6 +71,8 @@ final class DedupIndex private (
 
   private def mgr = new CollectionManager(spark, path)
 
+  private val tomb = new TombstoneStore(spark, path, "id")
+
   private def fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -101,24 +103,20 @@ final class DedupIndex private (
         stuck.map(_.getPath.getName).mkString(", "))
   }
 
-  /** Tombstone filter over a corpus-side table: anti-join the deleted
-    * id set when one exists (no hint — AQE broadcasts the typically
-    * tiny tombstone side at runtime; a mass purge stays a shuffle
-    * join, which is the right plan at that size). With no deletes the
-    * plan is untouched — the no-corpus-scan and zero-extra-join
-    * assertions of the spec suite keep holding verbatim.
-    */
-  private def minusTombstones(df: DataFrame): DataFrame = {
-    val t = mgr.collection(DedupIndex.TombstonesName)
-    if (!t.exists()) df
-    else df.join(t.read(), Seq("id"), "left_anti")
-  }
-
   /** (id, sh, n) LIVE corpus shingle sets — the verification side
-    * (tombstoned documents excluded).
+    * (tombstoned documents excluded; the presence probe is cached per
+    * handle, see [[TombstoneStore]]).
     */
-  def sets: DataFrame =
-    minusTombstones(mgr.collection(DedupIndex.SetsName).read())
+  def sets: DataFrame = tomb.minus(setsRaw)
+
+  /** The stored shingle sets WITHOUT the tombstone filter — the
+    * streaming layer caches this corpus-sized frame once and applies
+    * the tombstone anti-join OUTSIDE the cache, so mid-stream deletes
+    * are honored per micro-batch (see
+    * [[graft.streaming.Streaming.indexDedupStream]]).
+    */
+  private[graft] def setsRaw: DataFrame =
+    mgr.collection(DedupIndex.SetsName).read()
 
   /** (s, df) corpus document frequencies — the frozen global order.
     * Deliberately NOT tombstone-filtered: the stored prefix rows were
@@ -131,11 +129,16 @@ final class DedupIndex private (
 
   /** (id, n, s, rn) LIVE corpus prefix rows under the build threshold. */
   def prefix: DataFrame =
-    minusTombstones(mgr.collection(DedupIndex.PrefixName).read())
+    tomb.minus(mgr.collection(DedupIndex.PrefixName).read())
 
   /** (id, band, bucket) LIVE corpus MinHash-LSH bucket assignments. */
-  def banded: DataFrame =
-    minusTombstones(mgr.collection(DedupIndex.BandedName).read())
+  def banded: DataFrame = tomb.minus(bandedRaw)
+
+  /** The stored bucket assignments WITHOUT the tombstone filter — see
+    * [[setsRaw]].
+    */
+  private[graft] def bandedRaw: DataFrame =
+    mgr.collection(DedupIndex.BandedName).read()
 
   /** DELETE documents from the index — the takedown/purge verb of the
     * service loop. Deletes are TOMBSTONES (one tiny append of the id
@@ -150,8 +153,7 @@ final class DedupIndex private (
     */
   def delete(ids: DataFrame, idCol: String): Unit = {
     checkPending()
-    mgr.collection(DedupIndex.TombstonesName).write(
-      ids.select(col(idCol).as("id")).distinct(), SaveMode.Append)
+    tomb.append(ids, idCol)
   }
 
   /** EXACT incremental Jaccard pairs against the stored corpus —
@@ -226,18 +228,10 @@ final class DedupIndex private (
   def extend(delta: DataFrame, idCol: String, textCol: String): Unit =
     CacheScope.scoped {
       checkPending()
-      val tomb = mgr.collection(DedupIndex.TombstonesName)
-      if (tomb.exists()) {
-        // re-adding a tombstoned id would append live sets/prefix/banded
-        // rows the tombstone filter then hides — state that silently
-        // resurrects when the tombstone is compacted away. Refuse.
-        val clash = delta.select(col(idCol).as("id"))
-          .join(tomb.read(), Seq("id"), "left_semi").limit(1).collect()
-        require(clash.isEmpty,
-          s"delta re-uses tombstoned id ${clash.headOption.map(_.get(0))} " +
-            "— deleted ids stay dead until rebuild(); re-ingest under a " +
-            "fresh id or rebuild first")
-      }
+      // re-adding a tombstoned id would append live sets/prefix/banded
+      // rows the tombstone filter then hides — state that silently
+      // resurrects when the tombstone is compacted away. Refuse.
+      tomb.refuse(delta, idCol, "rebuild")
       val marker = new org.apache.hadoop.fs.Path(path,
         DedupIndex.PendingPrefix + java.util.UUID.randomUUID())
       fs.create(marker).close()
@@ -330,6 +324,7 @@ final class DedupIndex private (
     if (!fs.rename(from, to))
       throw new IllegalStateException(s"could not publish rebuilt sets: $from")
     mgr.collection(DedupIndex.TombstonesName).drop()
+    tomb.markDropped()
     fs.delete(marker, false)
     ()
   }
@@ -398,6 +393,11 @@ object DedupIndex {
     val spark = corpus.sparkSession
     val mgr = new CollectionManager(spark, path)
     CacheScope.scoped {
+      // crash bracket: build overwrites five collections; a crash
+      // between the writes would leave e.g. fresh sets under stale
+      // prefix rows — silently missed pairs forever (same contract as
+      // extend/rebuild, see [[checkPending]])
+      IndexMarkers.createPending(spark, path)
       val sets = CacheScope.cached(
         Dedup.shingleSets(corpus, idCol, textCol, k))
       mgr.collection(SetsName).write(sets, SaveMode.Overwrite)
@@ -406,6 +406,17 @@ object DedupIndex {
       // previous index at this path must not keep hiding documents
       mgr.collection(TombstonesName).drop()
       mgr.collection(StagingSetsName).drop()
+      // clear EVERY marker (including a stale one from the crashed
+      // extend/rebuild this build is recovering from): the state is
+      // wholly consistent again — build IS the documented remedy
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter { f =>
+          val n = f.getPath.getName
+          n.startsWith(PendingPrefix) || n.startsWith(RebuildPendingPrefix)
+        }
+        .foreach(f => fs.delete(f.getPath, false))
     }
     new DedupIndex(spark, path, k, threshold, numHashes, bands)
   }

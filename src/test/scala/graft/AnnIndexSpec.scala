@@ -290,6 +290,121 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("PQ driftReport: steady-state err_ratio stays ~1; an " +
+      "off-distribution extend is flagged; rebuild resets the baseline") {
+    val pq = PqIndex.build(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", path = tmpDir()).get
+    val steady = pq.driftReport().collect()
+    assert(steady.length == pq.numSubspaces)
+    steady.foreach { r =>
+      val er = r.getAs[Double]("err_ratio")
+      assert(er > 0.99 && er < 1.01, s"steady-state err_ratio $er: $r")
+    }
+    // planted drift: vectors shifted far off the training distribution
+    // reconstruct badly under the frozen codebooks — the silent ADC
+    // decay driftReport exists to surface
+    val shifted = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    pq.extend(shifted, "vec_id", "embedding")
+    val drifted = pq.driftReport().collect()
+    assert(drifted.exists(_.getAs[Double]("err_ratio") > 2.0),
+      s"planted off-distribution extend not flagged:\n" +
+        drifted.map(_.toString).mkString("\n"))
+    // rebuild retrains under the merged distribution and re-baselines
+    val merged = emb.filter(col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding")).unionByName(shifted)
+    val pq2 = pq.rebuild(merged, "vec_id", "embedding").get
+    pq2.driftReport().collect().foreach { r =>
+      val er = r.getAs[Double]("err_ratio")
+      assert(er > 0.99 && er < 1.01, s"post-rebuild err_ratio: $r")
+    }
+  }
+
+  test("stale handle: after a rebuild rotates the epoch, the OLD handle " +
+      "refuses loudly instead of scoring with mismatched driver state") {
+    import spark.implicits._
+    // PQ: a stale handle would decode re-encoded codes with old
+    // codebooks — silently wrong similarities
+    val pqPath = tmpDir()
+    val pq0 = PqIndex.build(emb, "vec_id", "embedding", path = pqPath).get
+    val pq1 = pq0.rebuild(emb, "vec_id", "embedding").get
+    for (op <- Seq(
+        () => pq0.topK(queries, "vec_id", "embedding", k = 5),
+        () => pq0.extend(emb.limit(1), "vec_id", "embedding"),
+        () => pq0.delete(Seq(1L).toDF("vec_id"), "vec_id"),
+        () => pq0.driftReport(),
+        () => pq0.rebuild(emb, "vec_id", "embedding"))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("stale"), e.getMessage)
+    }
+    // the fresh handle and a reload both work
+    assert(rows(pq1.topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
+    assert(rows(PqIndex.load(spark, pqPath)
+      .topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
+    // IVF: a stale handle would probe old centroids against
+    // re-partitioned cells — silent recall loss
+    val ivfPath = tmpDir()
+    val ivf0 = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16,
+      path = ivfPath).get
+    val ivf1 = ivf0.rebuild()
+    val e = intercept[IllegalArgumentException](
+      ivf0.topK(queries, "vec_id", "embedding", k = 5))
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    assert(rows(ivf1.topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
+  }
+
+  test("PQ rebuild with an UNPURGED corpus does not resurrect a " +
+      "tombstoned vector; an interrupted PQ build refuses loudly") {
+    import spark.implicits._
+    val path = tmpDir()
+    val pq0 = PqIndex.build(emb, "vec_id", "embedding", path = path).get
+    val victim = pq0.topK(queries.filter(col("vec_id") === 0), "vec_id",
+      "embedding", k = 1).collect()(0).getLong(2)
+    pq0.delete(Seq(victim).toDF("vec_id"), "vec_id")
+    // the caller forgets to purge: rebuild must honor the takedown
+    val pq = pq0.rebuild(emb, "vec_id", "embedding").get
+    assert(pq.codes.filter(col("neighbor_id") === victim).count() == 0,
+      "tombstoned vector resurrected through an unpurged rebuild corpus")
+    assert(!rows(pq.topK(queries, "vec_id", "embedding", k = 10))
+      .exists(_._3 == victim))
+    // interrupted build: the crash bracket refuses everything (a crash
+    // between the codes and codebooks overwrites would otherwise be a
+    // SILENT mix — new codes scored under old codebooks)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path,
+      ".rebuild-pending-cafebabe"))
+    for (op <- Seq(
+        () => pq.topK(queries, "vec_id", "embedding", k = 5),
+        () => PqIndex.load(spark, path): Any)) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("incomplete rebuild"), e.getMessage)
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path,
+      ".rebuild-pending-cafebabe"))
+    // a completed build clears the stale marker it recovered from
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path,
+      ".rebuild-pending-deadbeef"))
+    val fresh = PqIndex.build(emb, "vec_id", "embedding", path = path).get
+    assert(rows(fresh.topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
+    assert(rows(PqIndex.load(spark, path)
+      .topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
+  }
+
+  test("a data-less tombstones directory behaves exactly like no " +
+      "tombstones — reads resolve, nothing is filtered") {
+    val path = tmpDir()
+    val pq = PqIndex.build(emb, "vec_id", "embedding", path = path).get
+    val n = pq.codes.count()
+    // a tombstones dir with no data files previously made the
+    // anti-join fail to resolve neighbor_id (0-column frame) and broke
+    // every read until the dir was removed
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(path, "tombstones"))
+    val pq2 = PqIndex.load(spark, path)
+    assert(pq2.codes.count() == n)
+    assert(rows(pq2.topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
+  }
+
   test("PQ rebuild retrains under the current corpus: byte-equals the " +
       "inline pqTopK over the survivors and frees tombstoned state") {
     import spark.implicits._
