@@ -21,6 +21,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** The LIVE read of an index tombstone collection — a
+    * [[graft.sources.LiveIdSetSource]] frame whose file listing is
+    * re-planned on every micro-batch, unlike a `spark.read.parquet`
+    * frame (which snapshots its listing at construction). This is what
+    * lets a long-running stream honor deletes issued after it started.
+    */
+  private def liveIds(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-live-ids").option("path", dir).load()
+
   /** Watermarked tumbling (or, with `slide`, sliding) window aggregation
     * — streaming q23. One shuffle on (window, keys); partial aggregation
     * and state-store pruning via the watermark bound late data.
@@ -273,11 +282,20 @@ object Streaming {
     * The capped corpus side and the stored sets are cached here (they
     * are re-read EVERY micro-batch otherwise); release them via an
     * enclosing [[graft.core.CacheScope]] bracket or `clearCache()`
-    * when the stream stops. The index's crash-consistency marker is
-    * checked at stream CONSTRUCTION (a marker appearing mid-stream —
-    * an extend crashing while this stream runs — is only caught on the
-    * next (re)start; run extends and restarts on the same maintenance
-    * cadence).
+    * when the stream stops. Deletes are honored MID-STREAM: the
+    * corpus-sized frames cache the RAW stored state, and the tombstone
+    * anti-join sits OUTSIDE the cache against a live-listing read
+    * ([[graft.sources.LiveIdSetSource]]) that is re-planned on every
+    * micro-batch — a takedown issued between two micro-batches stops
+    * the document surfacing in the next one, no restart (cost: one
+    * tiny-file listing + read per batch). One honest edge: a
+    * tombstoned doc occupying a slot of an over-cap bucket's CACHED
+    * kept-members list keeps occupying it until restart (its pairs are
+    * filtered; the slot is not re-awarded). The index's
+    * crash-consistency marker is checked at stream CONSTRUCTION (a
+    * marker appearing mid-stream — an extend crashing while this
+    * stream runs — is only caught on the next (re)start; run extends
+    * and restarts on the same maintenance cadence).
     */
   def indexDedupStream(docs: DataFrame,
       index: graft.operators.DedupIndex, idCol: String, textCol: String,
@@ -300,19 +318,28 @@ object Streaming {
     val banded = graft.operators.Dedup.bandedBuckets(sig, idCol,
       index.numHashes, index.bands,
       passthrough = Seq(tsCol, "__sh", "__n"))
+    // RAW stored state under the cache; the tombstone anti-join stays
+    // OUTSIDE it, against the live-listing source, so each micro-batch
+    // re-reads the (tiny) tombstone set and mid-stream deletes are
+    // honored at the next batch
+    val liveTomb = liveIds(docs.sparkSession, s"${index.path}/tombstones")
+      .select(col("id").as("dup_of"))
     val cappedCorpus = graft.core.CacheScope.cached(
-      index.banded
+      index.bandedRaw
         .withColumn("__rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
         .filter(col("__rn") <= bucketCap)
         .select(col("band"), col("bucket"), col("id").as("dup_of")))
     val corpusSets = graft.core.CacheScope.cached(
-      index.sets.select(col("id").as("dup_of"),
+      index.setsRaw.select(col("id").as("dup_of"),
         col("sh").as("__csh"), col("n").as("__cn")))
-    val cand = banded.join(cappedCorpus, Seq("band", "bucket"))
+    val cand = banded
+      .join(cappedCorpus.join(liveTomb, Seq("dup_of"), "left_anti"),
+        Seq("band", "bucket"))
     cand
-      .join(corpusSets, Seq("dup_of"))
+      .join(corpusSets.join(liveTomb, Seq("dup_of"), "left_anti"),
+        Seq("dup_of"))
       .withColumn("__c",
         GraftFunctions.sortedIntersectCount(col("__sh"), col("__csh")))
       .withColumn("jaccard", round(
@@ -334,9 +361,12 @@ object Streaming {
     * embedding" gate of a continuous multimodal/embedding ingest
     * pipeline, with the corpus living entirely in index parquet that
     * [[graft.operators.IvfIndex.extend]] keeps current and
-    * [[graft.operators.IvfIndex.delete]] tombstones out (the LIVE
-    * accessor is read here, so deletes are honored at the next stream
-    * (re)start, like every index mutation).
+    * [[graft.operators.IvfIndex.delete]] tombstones out — honored
+    * MID-STREAM: the cached cells frame is the RAW stored corpus and
+    * the tombstone anti-join sits OUTSIDE the cache against a
+    * live-listing read ([[graft.sources.LiveIdSetSource]]) re-planned
+    * every micro-batch, so a takedown issued between two micro-batches
+    * stops the vector surfacing in the next one, no restart.
     *
     * Scale shape: the corpus-sized join is stream-static (NO state
     * store holds anything corpus-sized); the only stateful operator is
@@ -363,9 +393,12 @@ object Streaming {
       windowDur: String = "10 minutes", nProbe: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions._
     index.checkPending()
+    val liveTomb = liveIds(vecs.sparkSession, s"${index.path}/tombstones")
+      .select(col("id").as("dup_of"))
     val cells = graft.core.CacheScope.cached(
-      index.cells.select(col("neighbor_id").as("dup_of"), col("cv"),
+      index.cellsRaw.select(col("neighbor_id").as("dup_of"), col("cv"),
         col("cn"), col("cell")))
+      .join(liveTomb, Seq("dup_of"), "left_anti")
     vecs.select(col(idCol), col(vecCol), col(tsCol))
       .withWatermark(tsCol, watermark)
       .withColumn("__qn", normSq(col(vecCol)))

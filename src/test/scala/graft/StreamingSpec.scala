@@ -274,6 +274,114 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexDedupStream honors a delete issued MID-STREAM: docs " +
+      "arriving after the delete stop matching the victim in the very " +
+      "next micro-batch — no restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = graft.core.Graft.table(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val delta = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_midtomb").toString
+    val idx = graft.operators.DedupIndex.build(corpus, "doc_id", "text",
+      k = 3, threshold = 0.6, path = idxPath)
+    val corpusIds = corpus.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // probe doc: a delta doc with a cross pair; victim: its corpus twin
+    val pre = idx.minHashPairsAgainst(delta.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => corpusIds.contains(p._1) != corpusIds.contains(p._2))
+    val (probeId, victim) = pre.headOption.map { p =>
+      if (corpusIds.contains(p._2)) (p._1, p._2) else (p._2, p._1)
+    }.getOrElse(fail("no cross pair in fixture"))
+    val probeText = delta.find(_._1 == probeId).get._2
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = graft.streaming.Streaming.indexDedupStream(
+      input.toDF.toDF("doc_id", "text", "ts"), idx,
+      "doc_id", "text", threshold = 0.6, tsCol = "ts")
+    val q = stream.writeStream.format("memory").queryName("mid_tomb")
+      .outputMode("append").start()
+    try {
+      // batch 1 (pre-delete): the probe matches its corpus twin
+      input.addData(Seq((900001L, probeText, ts(120))))
+      q.processAllAvailable()
+      input.addData(Seq((900098L, "watermark pusher", ts(1000))))
+      q.processAllAvailable()
+      val afterB1 = spark.table("mid_tomb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1.contains((900001L, victim)),
+        s"pre-delete arrival should match the victim: $afterB1")
+
+      // the takedown arrives while the stream is RUNNING
+      idx.delete(Seq(victim).toDF("doc_id"), "doc_id")
+
+      // batch 2 (post-delete): an identical arrival no longer matches
+      // the victim — honored at the next micro-batch, not next restart
+      input.addData(Seq((900002L, probeText, ts(2000))))
+      q.processAllAvailable()
+      input.addData(Seq((900099L, "watermark pusher", ts(5000))))
+      q.processAllAvailable()
+      val all = spark.table("mid_tomb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!all.exists(p => p._1 == 900002L && p._2 == victim),
+        s"victim still surfaced for a post-delete arrival: $all")
+      // survivors still screen: the post-delete arrival keeps every
+      // NON-victim partner the pre-delete arrival had
+      val b1Partners = all.filter(_._1 == 900001L).map(_._2) - victim
+      val b2Partners = all.filter(_._1 == 900002L).map(_._2)
+      assert(b2Partners == b1Partners,
+        s"post-delete arrival lost non-victim partners: " +
+          s"$b2Partners vs $b1Partners")
+    } finally q.stop()
+  }
+
+  test("annScreenStream honors a delete issued MID-STREAM: vectors " +
+      "arriving after the delete stop matching the victim in the very " +
+      "next micro-batch — no restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_midann").toString
+    val ivf = graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, path = idxPath).get
+    val target = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+    val (victim, twin) = (target.getLong(0), target.getSeq[Float](1))
+
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val stream = graft.streaming.Streaming.annScreenStream(
+      input.toDF.toDF("vec_id", "embedding", "ts"), ivf,
+      "vec_id", "embedding", threshold = 0.9, tsCol = "ts", nProbe = 16)
+    val q = stream.writeStream.format("memory").queryName("mid_ann")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((900001L, twin, ts(120))))
+      q.processAllAvailable()
+      input.addData(Seq((900098L, twin.map(_ + 100f), ts(1000))))
+      q.processAllAvailable()
+      val afterB1 = spark.table("mid_ann").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB1.contains((900001L, victim)),
+        s"pre-delete twin should surface: $afterB1")
+
+      ivf.delete(Seq(victim).toDF("vec_id"), "vec_id")
+
+      input.addData(Seq((900002L, twin, ts(2000))))
+      q.processAllAvailable()
+      input.addData(Seq((900099L, twin.map(_ + 100f), ts(5000))))
+      q.processAllAvailable()
+      val all = spark.table("mid_ann").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!all.exists(p => p._1 == 900002L && p._2 == victim),
+        s"victim still surfaced for a post-delete arrival: $all")
+    } finally q.stop()
+  }
+
   test("sinkStream lands each micro-batch into a collection exactly " +
       "once, and a replayed batch id overwrites instead of duplicating") {
     import spark.implicits._
