@@ -503,13 +503,19 @@ object SparkEntry {
         |    AS n_within_1k
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
     // x4_minhash_pairs / x5_simhash_pairs / x8_knn_lsh / x14_neardup_lsh /
-    // x15_approx_distinct / x55_semantic_dedup / x60_incremental_lsh /
-    // x61_knn_pq / x63_knn_pq_indexed are probabilistic / engine-hash
+    // x15_approx_distinct / x60_incremental_lsh / x61_knn_pq /
+    // x63_knn_pq_indexed are probabilistic / engine-hash
     // operators: no SQL oracle (the driver records a rows-only check);
     // recall/accuracy against the exact counterparts (x3 / x6 / x7 /
     // x59 / countDistinct / the x61 inline path) is asserted in the
     // spec suite.
     "x3_jaccard_pairs" -> jaccardPairsSql,
+    // x55: seeded-quantizer SemDeDup — the cell partition (id-order
+    // seed centroids, double-precision squared-L2 argmin, lowest-seed
+    // tie-break) is restated exactly, so the oracle reproduces the
+    // pairs the partition misses, i.e. the REAL SemDeDup
+    // approximation, then closes clusters recursively like x20
+    "x55_semantic_dedup" -> semanticDedupSql,
     // x18: the winnow screen only decides which pairs get VERIFIED;
     // the emitted jaccard is the exact char-20-gram Jaccard, stated
     // here with x3's postings-join construction on 20-grams
@@ -1275,6 +1281,57 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def l2SqSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+
+  /** x55: the seeded-quantizer SemDeDup pipeline restated — seed
+    * centroids are the 8 lowest-vec_id embeddings (the engine's
+    * deterministic id-order init at kmeansIters = 0), assignment is the
+    * double-precision squared-L2 argmin with lowest-seed tie-break
+    * (bit-for-bit the compiled kernel's arithmetic), pairs compare ONLY
+    * within a cell (exactly SemDeDup's approximation), verified at
+    * exact cosine ≥ 0.8, clusters closed recursively (x20's
+    * construction) and collapsed to min-id representatives with
+    * cluster size.
+    */
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE seeds AS (
+       |  SELECT vec_id AS sid, embedding AS sv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 8)),
+       |dist AS (
+       |  SELECT e.vec_id, s.sid, ${l2SqSql("e.embedding", "s.sv")} AS d2
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, sid AS cell FROM (
+       |    SELECT vec_id, sid, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, sid) AS rk
+       |    FROM dist) WHERE rk = 1),
+       |nv AS (SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq
+       |       FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM assign a JOIN assign b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN nv na ON na.vec_id = a.vec_id
+       |  JOIN nv nb ON nb.vec_id = b.vec_id
+       |  WHERE ROUND(CASE WHEN sqrt(na.nsq)*sqrt(nb.nsq) = 0 THEN 0
+       |    ELSE ${dotSql("na.embedding", "nb.embedding")}/(sqrt(na.nsq)*sqrt(nb.nsq)) END, 6) >= 0.45),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION
+       |  SELECT id2 AS a, id1 AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (
+       |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cid
+       |  FROM reach GROUP BY a)
+       |SELECT COALESCE(cid, e.vec_id) AS vec_id, COUNT(*) AS cluster_size
+       |FROM embeddings e LEFT JOIN lab USING (vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def normSqSql(c: String): String =
     s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"

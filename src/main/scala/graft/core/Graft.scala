@@ -35,6 +35,17 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // engine-level recursion budget for recursive CTEs (q40/q41
+      // shapes): the default limit of 100 caps q40's yearly spine at a
+      // century. Set ONCE at session construction — a query constructor
+      // must never mutate shared session conf as a side effect (a
+      // multi-tenant footgun: the raise would silently outlive the
+      // query and weaken the runaway-recursion guard for everyone).
+      // Recursion depth is a DESIGNED dimension here: every recursive
+      // query in the engine recurses over spine/hierarchy rows (years,
+      // tree depth), never facts, so a deep recursion is legitimate
+      // (multi-millennium spine), not a runaway.
+      .config("spark.sql.cteRecursionLevelLimit", "100000")
       // Parquet TIMESTAMP(NANOS) (the events table) is not a native Spark
       // type; read as long and convert in [[table]].
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

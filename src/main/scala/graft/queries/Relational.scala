@@ -509,16 +509,18 @@ object Relational {
     * UnionLoop iteration is a fixed-overhead driver job, so the
     * recursion depth IS the wall cost of this query), and the default
     * `spark.sql.cteRecursionLevelLimit` of 100 covers a century
-    * instead of eight years. The limit is additionally raised here so
-    * a multi-century range degrades to slow, never to an error. The
-    * 100 TB side is a single partial+final aggregation of `orders`;
-    * the spine joins the month-sized aggregate via broadcast. The
-    * fact table never participates in the recursion.
+    * instead of eight years. Multi-century ranges need the raised
+    * engine-level limit [[graft.core.Graft.session]] sets at session
+    * construction (the query itself never mutates session conf — a
+    * sticky per-query raise would weaken the runaway-recursion guard
+    * for every OTHER query on the session); on a foreign session with
+    * the default limit, a >100-year range degrades to a loud error,
+    * never a silent truncation. The 100 TB side is a single
+    * partial+final aggregation of `orders`; the spine joins the
+    * month-sized aggregate via broadcast. The fact table never
+    * participates in the recursion.
     */
   private[graft] def q40OverView(s: SparkSession, view: String): DataFrame = {
-    // sticky on purpose: the frame is lazy, so the limit must still be
-    // raised when the query EXECUTES, long after this method returned
-    s.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
     s.sql(
       s"""WITH RECURSIVE bounds AS (
         |  SELECT date_trunc('MONTH', MIN(o_orderdate)) AS lo,

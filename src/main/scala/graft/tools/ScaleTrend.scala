@@ -91,7 +91,12 @@ object ScaleTrend {
       "x60_incremental_lsh", "x62_indexed_incremental",
       "x56_dedup_clusters_star", "x67_seed_distance", "x61_knn_pq",
       "x63_knn_pq_indexed", "q40_recursive_spine",
-      "x68_incremental_clusters")
+      "x68_incremental_clusters",
+      // round 9: the exact-substring family (duplicated n-gram
+      // coverage + removal — x58's per-doc rebuild is the shape a 10x
+      // step would expose) and the dHash media-dedup path
+      "x57_dup_ngram_coverage", "x58_remove_dup_ngrams",
+      "x66_image_hash_pairs")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
@@ -108,6 +113,10 @@ object ScaleTrend {
       out.append(s"""\n  "$label":{""")
       var firstQ = true
       for (name <- headline) {
+        // untimed setup: persist x68's prior-state fixture so the
+        // timed runs measure the maintenance operator alone
+        if (name == "x68_incremental_clusters")
+          graft.queries.Extensions.x68Fixture(spark, dir)
         val runs = (0 until passes).map { _ =>
           spark.catalog.clearCache()
           val (w0, c0) = (System.nanoTime(), cpuSec)

@@ -223,13 +223,15 @@ class QueriesSpec extends SparkSpec {
     assert(packed.queryExecution.optimizedPlan != null)
   }
 
-  test("q40 survives a >100-year order range: yearly spine + raised " +
-      "recursion limit, months gap-filled exactly") {
+  test("q40 survives a >100-year order range: yearly spine + the " +
+      "engine-level recursion limit, months gap-filled exactly") {
     import spark.implicits._
     // two orders 105 years apart: a MONTHLY recursive spine would need
     // 1,258 iterations and the yearly spine needs 106 — both past the
     // default cteRecursionLevelLimit of 100, so this range errors
-    // without q40's explicit limit raise
+    // without the raised limit Graft.session sets at construction
+    // (q40 itself never mutates session conf)
+    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit") == "100000")
     Seq(
       (1L, 10L, java.time.LocalDateTime.of(1900, 6, 15, 0, 0)),
       (2L, 20L, java.time.LocalDateTime.of(2005, 3, 20, 0, 0)))
