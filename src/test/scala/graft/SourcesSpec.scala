@@ -509,6 +509,91 @@ class SourcesSpec extends SparkSpec {
       ex.getCause != null &&
         ex.getCause.getMessage.contains("Invalid batch size"), ex.getMessage)
   }
+
+  test("graft-live-ids reads an id collection, tolerates missing and " +
+      "data-less dirs, finds the int64 column whatever its name, and " +
+      "reports its on-disk size to the join planner") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_liveids").toString
+    def liveIds(dir: String) =
+      spark.read.format("graft-live-ids").option("path", dir).load()
+
+    // missing dir and data-less dir both read as zero rows (the
+    // no-deletes fast path of the streaming tombstone anti-join)
+    assert(liveIds(s"$base/absent").count() == 0)
+    Files.createDirectory(Paths.get(s"$base/empty"))
+    assert(liveIds(s"$base/empty").count() == 0)
+
+    // AnnIndex-style column name: neighbor_id — exposed as `id`
+    Seq(11L, 12L, 13L).toDF("neighbor_id")
+      .write.parquet(s"$base/tomb")
+    val got = liveIds(s"$base/tomb")
+    assert(got.columns.toSeq == Seq("id"))
+    assert(got.collect().map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
+
+    // appended files are visible to a FRESH plan (per-plan listing —
+    // the property the mid-stream delete specs exercise end-to-end)
+    Seq(14L).toDF("neighbor_id").write.mode("append").parquet(s"$base/tomb")
+    assert(liveIds(s"$base/tomb").collect().map(_.getLong(0)).toSet ==
+      Set(11L, 12L, 13L, 14L))
+
+    // size statistics reach the optimizer: a join against the tiny id
+    // set must broadcast, not shuffle
+    val big = spark.range(0, 10000).select(col("id"))
+    val joined = big.join(liveIds(s"$base/tomb"), Seq("id"), "left_anti")
+    assert(joined.count() == 10000 - 4)
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny id set did not broadcast:\n$plan")
+  }
+
+  test("why graft-live-ids exists: a stream-static join's parquet side " +
+      "SNAPSHOTS its listing at construction, the V2 side re-lists " +
+      "per micro-batch") {
+    // This pins the measured Spark behavior the mid-stream tombstone
+    // design depends on. If an upgrade ever makes the V1 side live (or
+    // the V2 side snapshot), this fails and the streaming tombstone
+    // path must be re-validated.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_relist").toString
+    Seq(1L, 2L).toDF("id").write.parquet(s"$dir/v1")
+    Seq(1L, 2L).toDF("id").write.parquet(s"$dir/v2")
+    val v1Side = spark.read.parquet(s"$dir/v1")
+    val v2Side = spark.read.format("graft-live-ids")
+      .option("path", s"$dir/v2").load()
+    val in = MemoryStream[Long]
+    val joined = in.toDF().select(col("value").as("id"))
+      .join(v1Side.select(col("id").as("v1id")),
+        col("id") === col("v1id"), "left")
+      .join(v2Side.select(col("id").as("v2id")),
+        col("id") === col("v2id"), "left")
+    val q = joined.writeStream.format("memory").queryName("relist_probe")
+      .outputMode("append").start()
+    try {
+      in.addData(3L)
+      q.processAllAvailable()
+      // id 3 unknown to both sides in batch 1
+      val b1 = spark.table("relist_probe").collect()
+      assert(b1.length == 1 && b1(0).isNullAt(1) && b1(0).isNullAt(2))
+      // append id 3 to BOTH directories while the stream runs
+      Seq(3L).toDF("id").write.mode("append").parquet(s"$dir/v1")
+      Seq(3L).toDF("id").write.mode("append").parquet(s"$dir/v2")
+      in.addData(3L)
+      q.processAllAvailable()
+      val b2 = spark.table("relist_probe").collect()
+        .filter(!_.isNullAt(2))
+      // the V2 side saw the appended file at the next batch...
+      assert(b2.length == 1, "graft-live-ids did not re-list mid-stream")
+      // ...and the V1 parquet side did NOT (it would be fine if Spark
+      // ever fixed this — but then the custom source is redundant and
+      // this design note should be revisited)
+      assert(b2(0).isNullAt(1),
+        "spark.read.parquet static side unexpectedly re-listed — " +
+          "revisit the graft-live-ids design notes")
+    } finally q.stop()
+  }
 }
 
 /** Test-only FileSystem whose open() never returns — simulates a hung
