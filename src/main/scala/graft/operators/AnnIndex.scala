@@ -250,6 +250,22 @@ final class PqIndex private (
       .orderBy(col("subspace"))
   }
 
+  /** COMPACT the stored codes (and tombstones) into few large files —
+    * the small-files maintenance pass [[extend]]'s per-batch appends
+    * make necessary. Contents untouched, answers byte-identical
+    * (spec-asserted); cheaper and more frequent than [[rebuild]]
+    * (compact on the file-count cadence, rebuild on the [[driftReport]]
+    * cadence). Assumes no concurrent writer or reader, like every
+    * maintenance verb. Returns (filesBefore, filesAfter).
+    */
+  def compact(targetRecordsPerFile: Long = 1 << 20): (Int, Int) = {
+    checkLive()
+    val counts = Seq(AnnIndex.CodesName, "tombstones")
+      .map(mgr.collection(_)).filter(_.exists())
+      .map(_.compact(targetRecordsPerFile))
+    (counts.map(_._1).sum, counts.map(_._2).sum)
+  }
+
   /** REBUILD from the current corpus: PQ codes are lossy (the original
     * vectors are not stored), so unlike [[IvfIndex.rebuild]] this
     * needs the corpus frame — retrain the codebooks under today's
@@ -489,6 +505,24 @@ final class IvfIndex private (
           normSq(col(vecCol)).as("cn")),
         "cv", centroids),
       SaveMode.Append, partitionBy = Seq("cell"))
+  }
+
+  /** COMPACT the stored cells (and tombstones) into few large files
+    * per cell partition — the small-files maintenance pass
+    * [[extend]]'s per-batch appends make necessary (each extend lands
+    * files inside every touched Hive cell directory). The cell
+    * partition layout is preserved ([[graft.core.Collection.compact]]
+    * rediscovers and re-applies the partition keys), so probe-set
+    * partition pruning keeps working verbatim (spec-asserted).
+    * Contents untouched, answers byte-identical; assumes no concurrent
+    * writer or reader. Returns (filesBefore, filesAfter).
+    */
+  def compact(targetRecordsPerFile: Long = 1 << 20): (Int, Int) = {
+    checkPending()
+    val counts = Seq(AnnIndex.CellsName, "tombstones")
+      .map(mgr.collection(_)).filter(_.exists())
+      .map(_.compact(targetRecordsPerFile))
+    (counts.map(_._1).sum, counts.map(_._2).sum)
   }
 
   /** DRIFT AUDIT — the cheap measurement that tells the operator WHEN

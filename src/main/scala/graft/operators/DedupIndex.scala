@@ -281,6 +281,32 @@ final class DedupIndex private (
     Dedup.verifyJaccard(cand, vSets, queryThreshold)
   }
 
+  /** COMPACT the stored collections into ≈`targetRecordsPerFile`-row
+    * files — the small-files maintenance pass [[extend]]'s per-batch
+    * appends make necessary (each extend lands one file set per
+    * collection; after thousands of delta batches, footer-open cost
+    * dominates every index scan). Contents are untouched — queries
+    * answer byte-identically before and after (spec-asserted) — so
+    * this is cheaper and more frequent than [[rebuild]]: compact on
+    * the file-count cadence, rebuild on the drift cadence. Each
+    * collection swaps via [[graft.core.Collection.compact]]'s
+    * crash-safe two-rename protocol; like every maintenance verb it
+    * assumes no concurrent writer OR reader (a stream planning a
+    * micro-batch mid-swap could observe an absent collection for an
+    * instant — run it on the same cadence as extends/restarts).
+    * Returns (filesBefore, filesAfter) summed over the collections.
+    */
+  def compact(targetRecordsPerFile: Long = 1 << 20): (Int, Int) = {
+    checkPending()
+    val names = Seq(DedupIndex.SetsName, DedupIndex.DfreqName,
+      DedupIndex.PrefixName, DedupIndex.BandedName,
+      DedupIndex.TombstonesName)
+    val counts = names.map(mgr.collection(_))
+      .filter(_.exists())
+      .map(_.compact(targetRecordsPerFile))
+    (counts.map(_._1).sum, counts.map(_._2).sum)
+  }
+
   /** REBUILD the index from its own surviving state — the maintenance
     * verb that closes the lifecycle: tombstoned documents are
     * physically compacted away, and the document-frequency order is

@@ -43,6 +43,11 @@ class AnnIndexSpec extends SparkSpec {
     q.count()
     val plan = q.queryExecution.executedPlan.toString()
     assert(plan.contains(path), "query did not read the stored codes")
+    // the per-row encode-error column exists for driftReport only —
+    // the hot topK path must prune it out of the parquet scan
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("qerrs")),
+      "topK reads the qerrs audit column:\n" + plan)
     // the corpus side of the scoring plan must be the codes collection,
     // not the embeddings source (queries legitimately come from it)
     val codesScans = plan.linesIterator
@@ -388,6 +393,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(fresh.topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
     assert(rows(PqIndex.load(spark, path)
       .topK(queries, "vec_id", "embedding", k = 5)).nonEmpty)
+  }
+
+  test("compact: per-batch extend files collapse in both index kinds, " +
+      "topK stays byte-identical (tombstones included), IVF keeps " +
+      "probe-set partition pruning") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 350)
+    def extendIn3(ext: (DataFrame, String, String) => Unit): Unit =
+      for (r <- 0 until 3)
+        ext(emb.filter(col("vec_id") >= 350 && col("vec_id") % 3 === r)
+          .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+
+    val pq = PqIndex.build(corpus, "vec_id", "embedding",
+      path = tmpDir()).get
+    extendIn3(pq.extend)
+    pq.delete(Seq(1L).toDF("vec_id"), "vec_id")
+    val pqPre = rows(pq.topK(queries, "vec_id", "embedding", k = 5))
+    val (pb, pa) = pq.compact()
+    assert(pa < pb, s"PQ compact did not shrink: $pb -> $pa")
+    assert(rows(pq.topK(queries, "vec_id", "embedding", k = 5)) == pqPre)
+
+    val ivf = IvfIndex.build(corpus, "vec_id", "embedding", nCells = 16,
+      path = tmpDir()).get
+    extendIn3(ivf.extend)
+    ivf.delete(Seq(1L).toDF("vec_id"), "vec_id")
+    val ivfPre = rows(ivf.topK(queries, "vec_id", "embedding", k = 5))
+    val (ib, ia) = ivf.compact()
+    assert(ia < ib, s"IVF compact did not shrink: $ib -> $ia")
+    val q = ivf.topK(queries, "vec_id", "embedding", k = 5)
+    assert(rows(q) == ivfPre)
+    // the Hive cell layout survived the rewrite: probes still prune
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")),
+      "compact lost the cell partition layout:\n" + plan)
   }
 
   test("a data-less tombstones directory behaves exactly like no " +

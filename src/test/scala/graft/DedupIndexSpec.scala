@@ -386,4 +386,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(idx2.jaccardPairsAgainst(deltaDocs, "doc_id", "text", 0.6)
       .count() > 0)
   }
+
+  test("compact: per-batch extend files collapse, answers stay " +
+      "byte-identical, tombstones keep filtering") {
+    val path = tmpDir()
+    val half = corpusDocs.filter(col("doc_id") % 2 === 0)
+    val idx = DedupIndex.build(half, "doc_id", "text", k = 3,
+      threshold = 0.6, path = path)
+    // five delta-batch extends — each lands its own file set per
+    // collection, the small-files accretion a daily service produces
+    for (r <- 0 until 5)
+      idx.extend(corpusDocs.filter(col("doc_id") % 2 === 1 &&
+        col("doc_id") % 5 === r), "doc_id", "text")
+    val victim = corpusDocs.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(1).collect()(0).getLong(0)
+    idx.delete(spark.range(victim, victim + 1).toDF("doc_id"), "doc_id")
+    val pre = pairSet(
+      idx.jaccardPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+    val (before, after) = idx.compact()
+    assert(after < before, s"compact did not shrink: $before -> $after")
+    assert(pairSet(idx.jaccardPairsAgainst(deltaDocs, "doc_id", "text",
+      0.6)) == pre)
+    assert(pairSet(DedupIndex.load(spark, path)
+      .minHashPairsAgainst(deltaDocs, "doc_id", "text", 0.6))
+      .forall(p => p._1 != victim && p._2 != victim))
+  }
 }
