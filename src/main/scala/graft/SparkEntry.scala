@@ -130,6 +130,7 @@ object SparkEntry {
     "x66_image_hash_pairs" -> Extensions.x66ImageHashPairs,
     "x67_seed_distance" -> Extensions.x67SeedDistance,
     "x68_incremental_clusters" -> Extensions.x68IncrementalClusters,
+    "x69_warc_stats" -> Extensions.x69WarcStats,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -544,6 +545,15 @@ object SparkEntry {
     // once, delta pairs merged via quotient CC) but provably equals
     // re-clustering the merged pair set — x20's oracle verbatim
     "x68_incremental_clusters" -> dedupClustersSql,
+    // x69: WARC round trip — fidelity is provable in SQL because the
+    // fixture serializes `documents` itself: per doc, the recovered
+    // body bytes must carry the original text's exact length and md5
+    "x69_warc_stats" ->
+      """SELECT doc_id, 200 AS http_status,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,

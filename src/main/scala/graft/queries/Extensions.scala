@@ -1213,4 +1213,80 @@ object Extensions {
       .select(col("id").as("doc_id"), col("dist"))
       .orderBy(col("doc_id"))
   }
+
+  /** x69: WARC ingestion (the Common Crawl container) with per-document
+    * content fidelity PROVEN against the oracle: the documents table is
+    * serialized into 8 gzip-member-per-record WARC shards — a
+    * once-per-dir fixture written executor-side through the Hadoop FS
+    * API, like a re-sharding pipeline would — then read back through
+    * [[graft.sources.Warc.read]] (binaryFile → streaming member-aware
+    * parse → HTTP envelope split), and each record reports doc_id
+    * (from its target URI), HTTP status, body byte count, and an md5
+    * over the recovered body bytes. The oracle states the same four
+    * values straight from `documents`, so a single flipped bit
+    * anywhere in the WARC write → gzip → inflate → parse → envelope
+    * split chain fails the hash compare.
+    */
+  def x69WarcStats(s: SparkSession, dir: String): DataFrame = {
+    val warcDir = x69Fixture(s, dir)
+    graft.sources.Warc.read(s, warcDir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("http_status"),
+        col("n_bytes"),
+        md5(col("payload")).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x69FixtureLock = new Object
+
+  /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]
+    * for the caching contract). Written from executors via the Hadoop
+    * FS API — the same code path works against an object store on a
+    * real cluster; only record CONTENT is oracle-relevant, so the
+    * hash-partitioned file assignment need not be stable.
+    */
+  def x69Fixture(s: SparkSession, dir: String): String =
+    x69FixtureLock.synchronized {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_warc_fixture_$key"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$base/_DONE")
+      if (!fs.exists(done)) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+        val sconf = new org.apache.spark.sql.graftbridge
+          .SerializableHadoopConf(s.sparkContext.hadoopConfiguration)
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+          .repartition(8, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val rows = it.toSeq
+            if (rows.nonEmpty) {
+              val recs = rows.map { r =>
+                graft.sources.Warc.WarcRecord("response",
+                  s"<urn:graft:${r.getLong(0)}>",
+                  s"http://example.com/doc/${r.getLong(0)}",
+                  "2024-01-01T00:00:00Z",
+                  "application/http; msgtype=response", 200,
+                  "text/plain; charset=utf-8",
+                  r.getString(1).getBytes("UTF-8"))
+              }
+              val part = org.apache.spark.TaskContext.getPartitionId()
+              val p = new org.apache.hadoop.fs.Path(base,
+                f"part-$part%05d.warc.gz")
+              val out = p.getFileSystem(sconf.value).create(p, true)
+              try out.write(graft.sources.Warc.writeBytes(recs,
+                gzipPerRecord = true))
+              finally out.close()
+            }
+          }
+        fs.create(done).close()
+      }
+      base
+    }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.Warc
+import graft.sources.Warc.WarcRecord
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) reader: framing, concatenated gzip members, HTTP
+  * envelope splitting, loud truncation errors, and the DataFrame read
+  * over sharded files.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def rec(id: Long, body: String): WarcRecord =
+    WarcRecord("response", s"<urn:graft:$id>",
+      s"http://example.com/doc/$id", "2024-01-01T00:00:00Z",
+      "application/http; msgtype=response", 200,
+      "text/plain; charset=utf-8", body.getBytes("UTF-8"))
+
+  test("plain round trip: response and warcinfo records survive with " +
+      "exact payload bytes; the HTTP envelope is split off responses") {
+    val info = WarcRecord("warcinfo", "<urn:graft:info>", "",
+      "2024-01-01T00:00:00Z", "application/warc-fields", 0, "",
+      "software: graft\r\n".getBytes("UTF-8"))
+    val bytes = Warc.writeBytes(Seq(info, rec(1, "hello wörld"),
+      rec(2, "")), gzipPerRecord = false)
+    val got = Warc.parseAll(bytes).toSeq
+    assert(got.map(_.warc_type) == Seq("warcinfo", "response", "response"))
+    // warcinfo payload is verbatim (no HTTP envelope to strip)
+    assert(new String(got(0).payload, "UTF-8") == "software: graft\r\n")
+    assert(got(0).http_status == 0)
+    // response payload is the BODY only; envelope fields surfaced
+    assert(new String(got(1).payload, "UTF-8") == "hello wörld")
+    assert(got(1).http_status == 200)
+    assert(got(1).http_content_type == "text/plain; charset=utf-8")
+    assert(got(1).target_uri == "http://example.com/doc/1")
+    assert(got(2).payload.length == 0) // empty body round-trips
+  }
+
+  test("gzip member per record (the crawl-archive layout): ALL members " +
+      "parse, not just the first — pins the JDK concatenated-member " +
+      "behavior the reader depends on") {
+    val bytes = Warc.writeBytes(
+      (1L to 40L).map(i => rec(i, s"doc body $i " * i.toInt)),
+      gzipPerRecord = true)
+    val got = Warc.parseAll(bytes).toSeq
+    assert(got.size == 40, s"only ${got.size}/40 members parsed")
+    assert(got.map(_.target_uri.split("/").last.toLong) == (1L to 40L))
+    assert(new String(got(39).payload, "UTF-8") == "doc body 40 " * 40)
+  }
+
+  test("truncation fails loudly, never a silently shorter corpus") {
+    val bytes = Warc.writeBytes(Seq(rec(1, "x" * 1000)),
+      gzipPerRecord = false)
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 600)
+    val e = intercept[Exception](Warc.parseAll(cut).toSeq)
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("Warc.read: sharded directory loads with one partition per " +
+      "file, record counts and bodies intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    for (shard <- 0 until 3) {
+      val recs = (0 until 5).map(i => rec(shard * 100L + i,
+        s"shard $shard doc $i"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part-$shard%05d.warc.gz"),
+        Warc.writeBytes(recs, gzipPerRecord = true))
+    }
+    val df = graft.sources.Warc.read(spark, dir)
+    assert(df.count() == 15)
+    assert(df.select(col("warc_file")).distinct().count() == 3)
+    assert(df.rdd.getNumPartitions == 3, "expected one task per file")
+    val row = df.filter(col("target_uri") === "http://example.com/doc/104")
+      .collect()(0)
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") ==
+      "shard 1 doc 4")
+    assert(row.getAs[Long]("n_bytes") == "shard 1 doc 4".length)
+  }
+
+  test("x69 fixture + entry: the WARC round trip over the documents " +
+      "table recovers every document's exact bytes") {
+    import spark.implicits._
+    val got = graft.queries.Extensions.x69WarcStats(spark, sfDir).collect()
+    val want = graft.core.Graft.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("m"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (m, n) = want(r.getLong(0))
+      assert(r.getInt(1) == 200)
+      assert(r.getLong(2) == n, s"byte count drifted for ${r.getLong(0)}")
+      assert(r.getString(3) == m, s"md5 drifted for ${r.getLong(0)}")
+    }
+  }
+}
