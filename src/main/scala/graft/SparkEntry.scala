@@ -131,6 +131,7 @@ object SparkEntry {
     "x67_seed_distance" -> Extensions.x67SeedDistance,
     "x68_incremental_clusters" -> Extensions.x68IncrementalClusters,
     "x69_warc_stats" -> Extensions.x69WarcStats,
+    "x70_html_extract" -> Extensions.x70HtmlExtract,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -552,6 +553,17 @@ object SparkEntry {
       """SELECT doc_id, 200 AS http_status,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS body_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // x70: the oracle states what extraction MUST recover from the
+    // in-query HTML wrapping — heading + whitespace-normalized text —
+    // not the regex chain that recovers it (a semantic oracle: leaked
+    // markup, lost prose, or a mis-decoded entity all hash-mismatch)
+    "x70_html_extract" ->
+      """SELECT doc_id,
+        |  trim('Doc ' || doc_id || ' ' ||
+        |       trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS extracted_text
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,

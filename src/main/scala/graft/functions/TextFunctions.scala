@@ -128,4 +128,37 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(emailPattern), lit(0)))
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+
+  /** HTML → text extraction — the canonical step between WARC ingest
+    * ([[graft.sources.Warc]]) and every text operator: crawl payloads
+    * are HTML, the pipeline wants prose. A pure codegen'd
+    * regexp_replace chain (zero shuffles at any scale):
+    * script/style blocks go first (their CONTENT is code, and `1<2`
+    * inside them would otherwise open a phantom tag), then comments,
+    * then tags, then the five core named entities plus numeric
+    * apostrophe (`&amp;` decoded LAST so `&amp;lt;` correctly yields
+    * the literal text `&lt;`, not `<`), then whitespace collapses to
+    * single spaces. Deliberately crude-but-deterministic (no DOM, no
+    * charset sniffing — malformed markup degrades to extra stripped
+    * spans, never an error): the boilerplate-vs-content judgment call
+    * belongs to quality scoring downstream, not the extractor.
+    */
+  def htmlToText(html: Column): Column = {
+    // the whole <head> goes first: its text children (title, inline
+    // meta) are page chrome, not document prose
+    val noHead = regexp_replace(html,
+      "(?is)<head\\b[^>]*>.*?</head\\s*>", " ")
+    val noScript = regexp_replace(noHead,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&" // last — see scaladoc
+    ).foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r)) // literal substring replace, no regex
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -1240,6 +1240,34 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x70: HTML → text extraction with a SEMANTIC oracle. Each document
+    * is wrapped into a realistic page IN-QUERY — escaped body between
+    * head/style boilerplate, an HTML comment, a heading, and a script
+    * whose code contains both `1<2` (a phantom tag opener) and a
+    * literal `'</div>'` string — then run through
+    * [[TextFunctions.htmlToText]]. The oracle states what extraction
+    * MUST recover (the heading plus the whitespace-normalized original
+    * text), not a mirror of the regex chain, so it catches
+    * over-stripping (lost prose), under-stripping (leaked markup or
+    * script), and entity mishandling alike, including on documents
+    * whose own text carries `&amp;`-style sequences or literal tags.
+    */
+  def x70HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+    val html = concat(
+      lit("<html><head><title>t</title><style>p{margin:1px}</style>" +
+        "</head><body><!-- nav\nboilerplate --><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p class=\"body\">"), esc,
+      lit("</p><script>if(1<2){var s='</div>';}</script></body></html>"))
+    d.select(col("doc_id"),
+        TextFunctions.htmlToText(html).as("extracted_text"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

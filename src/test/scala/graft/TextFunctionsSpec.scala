@@ -90,4 +90,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](TextFunctions.redactPii(col("text")), clean) == clean)
     assert(one[String](TextFunctions.redactPii(col("text")), got) == got)
   }
+
+  test("htmlToText strips markup/script/style/comments, decodes core " +
+      "entities in the right order, collapses whitespace") {
+    def x(html: String): String =
+      one[String](TextFunctions.htmlToText(col("text")), html)
+    // script CONTENT goes, including a phantom tag opener (1<2) and a
+    // literal closing tag inside a string; style, comments, and the
+    // whole <head> (title text is chrome, not prose) go too
+    assert(x("<html><head><title>Site name</title></head>" +
+      "<body><style>p{a:1}</style><h1>T</h1>" +
+      "<!-- menu\nstuff --><p>hello   world</p>" +
+      "<script>if(1<2){var s='</div>';}</script></body></html>") ==
+      "T hello world")
+    // entity decode: &amp; LAST, so &amp;lt; is the literal text &lt;
+    assert(x("a &lt;b&gt; &quot;c&quot; &#39;d&apos; e&nbsp;f &amp; " +
+      "g &amp;lt; h") == "a <b> \"c\" 'd' e f & g &lt; h")
+    // decoded entities are TEXT, not markup — never re-stripped
+    assert(x("<p>&lt;script&gt;x&lt;/script&gt;</p>") ==
+      "<script>x</script>")
+    // block tags become separators, not concatenation
+    assert(x("<p>one</p><p>two</p>") == "one two")
+    // plain text passes through normalized; malformed markup degrades
+    // to stripped spans, never an error
+    assert(x("just\n\n text\t here") == "just text here")
+    assert(x("<p unclosed attr >ok") == "ok")
+    assert(x("") == "")
+  }
 }

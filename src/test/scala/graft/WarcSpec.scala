@@ -77,6 +77,35 @@ class WarcSpec extends SparkSpec {
     assert(row.getAs[Long]("n_bytes") == "shard 1 doc 4".length)
   }
 
+  test("property: arbitrary unicode bodies round-trip bit-exact " +
+      "through write -> gzip members -> parse, in order") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(60)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val genBody = Gen.frequency(
+      (4, Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)),
+      (2, Gen.listOf(Gen.oneOf[String]("ä", "質", "😀",
+        "\n", "\r", "\t", " ")).map(_.mkString)),
+      (1, Gen.const("")))
+    val genBatch = for {
+      n <- Gen.chooseNum(0, 12)
+      bodies <- Gen.listOfN(n, genBody)
+      gz <- Gen.oneOf(true, false)
+    } yield (bodies, gz)
+    val prop = Prop.forAll(genBatch) { case (bodies, gz) =>
+      val recs = bodies.zipWithIndex.map { case (b, i) =>
+        rec(i.toLong, b) }
+      val got = Warc.parseAll(Warc.writeBytes(recs, gz)).toSeq
+      got.size == recs.size && got.zip(recs).forall { case (g, w) =>
+        java.util.Arrays.equals(g.payload, w.payload) &&
+          g.target_uri == w.target_uri && g.http_status == 200
+      }
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.toString)
+  }
+
   test("x69 fixture + entry: the WARC round trip over the documents " +
       "table recovers every document's exact bytes") {
     import spark.implicits._
