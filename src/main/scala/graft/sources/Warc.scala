@@ -191,6 +191,41 @@ object Warc {
       "payload", "n_bytes")
   }
 
+  /** Continuous WARC ingest: every `*.warc*` file that APPEARS under
+    * `path` is parsed exactly once (the binaryFile streaming source's
+    * checkpointed file log), emitting the same columns as [[read]] —
+    * the "crawl shards land in a bucket, the pipeline tails them"
+    * deployment. The parse is a stateless per-file flatMap, so this
+    * composes with any downstream streaming operator (feed `payload`
+    * through [[graft.functions.TextFunctions.htmlToText]] into
+    * `indexDedupStream` for dedup-on-crawl-ingest). `schema` needs no
+    * caller input — binaryFile's schema is fixed — but the source
+    * requires `maxFilesPerTrigger`-style pacing for huge backlogs via
+    * standard options on the returned stream's upstream reader.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // binaryFile's schema is FIXED by the source, but file streaming
+    // sources still demand it explicitly (no streaming inference)
+    val binaryFileSchema = new org.apache.spark.sql.types.StructType()
+      .add("path", org.apache.spark.sql.types.StringType)
+      .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+      .add("length", org.apache.spark.sql.types.LongType)
+      .add("content", org.apache.spark.sql.types.BinaryType)
+    val files = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    files.flatMap { case (p, bytes) =>
+      parseAll(bytes).map(r => (p, r.warc_type, r.record_id,
+        r.target_uri, r.warc_date, r.content_type, r.http_status,
+        r.http_content_type, r.payload, r.payload.length.toLong))
+    }.toDF("warc_file", "warc_type", "record_id", "target_uri",
+      "warc_date", "content_type", "http_status", "http_content_type",
+      "payload", "n_bytes")
+  }
+
   /** Serialize records to WARC bytes — deterministic (fixed header
     * order), one gzip member per record when `gzipPerRecord` (the
     * crawl-archive layout [[parseAll]]'s member-concatenation handles).

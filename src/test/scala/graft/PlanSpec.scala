@@ -374,4 +374,36 @@ class PlanSpec extends SparkSpec {
     // the orders scan reads exactly the two columns the query needs
     assert(p.contains("struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"), p)
   }
+
+  /** Count physical nodes named `name` in a formatted explain (each
+    * node prints once in the tree and once as a "(n) name" detail
+    * header — count the headers).
+    */
+  private def nodes(p: String, name: String): Int =
+    p.linesIterator.count(_.trim.matches(s"\\(\\d+\\) $name.*"))
+
+  test("x70: HTML extraction is scan -> filter -> project — the only " +
+      "exchange is the output ordering, and the text filter pushes " +
+      "into the scan") {
+    val p = plan(Extensions.x70HtmlExtract(spark, sfDir))
+    // the wrap + strip + decode + normalize chain is a single native
+    // projection over the scan: no shuffle, no UDF, no generator
+    assert(nodes(p, "Exchange") <= 1,
+      s"extraction introduced a shuffle:\n$p")
+    assert(nodes(p, "Project") == 1 && nodes(p, "Generate") == 0 &&
+      !p.contains("BatchEvalPython"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"), p)
+    assert(p.contains("struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("x69: WARC parse is a deserialize->flatMap->serialize pipeline " +
+      "with no shuffle before the output ordering") {
+    val p = plan(Extensions.x69WarcStats(spark, sfDir))
+    // records flow file->parse->project; only the final orderBy may
+    // exchange (rangepartitioning for the sorted output)
+    assert(nodes(p, "Exchange") <= 1,
+      s"WARC ingest introduced a shuffle:\n$p")
+    assert(nodes(p, "MapPartitions") == 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
 }

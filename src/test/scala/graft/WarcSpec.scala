@@ -106,6 +106,36 @@ class WarcSpec extends SparkSpec {
     assert(r.passed, r.toString)
   }
 
+  test("readStream: WARC shards appearing in a directory are parsed " +
+      "exactly once, including files that land after the stream starts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_warcs_ck")
+      .toString
+    def shard(name: String, ids: Range): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        Warc.writeBytes(ids.map(i => rec(i.toLong, s"body $i")),
+          gzipPerRecord = true))
+    shard("a.warc.gz", 0 until 4)
+    val q = Warc.readStream(spark, dir)
+      .selectExpr("target_uri", "CAST(payload AS STRING) AS body")
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 4)
+      // a shard landing AFTER the stream started is drained too,
+      // exactly once — and earlier shards are not re-emitted
+      shard("b.warc.gz", 100 until 103)
+      q.processAllAvailable()
+      val got = spark.table("warc_stream").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.length == 7)
+      assert(got.count(_._1.endsWith("/101")) == 1)
+      assert(got.toMap.apply("http://example.com/doc/101") == "body 101")
+    } finally q.stop()
+  }
+
   test("x69 fixture + entry: the WARC round trip over the documents " +
       "table recovers every document's exact bytes") {
     import spark.implicits._
