@@ -132,6 +132,7 @@ object SparkEntry {
     "x68_incremental_clusters" -> Extensions.x68IncrementalClusters,
     "x69_warc_stats" -> Extensions.x69WarcStats,
     "x70_html_extract" -> Extensions.x70HtmlExtract,
+    "x71_audio_features" -> Extensions.x71AudioFeatures,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -566,6 +567,18 @@ object SparkEntry {
         |    AS extracted_text
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // x71: every decoded statistic is closed-form in doc_id (square
+    // wave: RMS = amplitude exactly, lengths divide evenly) — the
+    // oracle states the WAV round trip's truth from first principles
+    "x71_audio_features" ->
+      """SELECT doc_id, 16000 AS sample_rate,
+        |  CAST(1600 + (doc_id % 7) * 800 AS BIGINT) AS n_samples,
+        |  CAST((1600 + (doc_id % 7) * 800) // 16 AS BIGINT) AS duration_ms,
+        |  CAST((doc_id % 1000) * 16 AS INTEGER) AS peak,
+        |  CAST((doc_id % 1000) * 16 AS DOUBLE) AS rms,
+        |  CAST(CASE WHEN doc_id % 1000 = 0 THEN 1 ELSE 0 END AS DOUBLE)
+        |    AS silence_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,

@@ -532,4 +532,169 @@ object Multimodal {
       maxDist: Int = 3, blocks: Int = 4): DataFrame =
     graft.operators.Dedup.hammingPairs(
       withImageDHash(df, payloadCol), idCol, "dhash", maxDist, blocks)
+
+  // ---------------------------------------------------------------- audio
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("silence_ratio", DoubleType, nullable = false),
+    StructField("is_audio", BooleanType, nullable = false)))
+
+  /** Parse `bytes` as an audio container via the stock JDK sound API
+    * (`javax.sound.sampled` — WAV/AIFF/AU, no added dependency),
+    * returning (rate, channels, bits, interleaved int samples). None
+    * when the bytes are not decodable audio. 8-bit and 16-bit integer
+    * PCM are materialized (16-bit honoring the container's endianness);
+    * other depths decode the header only (samples empty) — enough for
+    * duration metadata, with amplitude stats zeroed.
+    */
+  private def readAudio(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Int])] = {
+    if (bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val signed =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!signed && !unsigned) return None
+        val data = in.readAllBytes()
+        val bits = f.getSampleSizeInBits
+        val samples: Array[Int] =
+          if (bits == 16) {
+            val n = data.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              val (lo, hi) =
+                if (f.isBigEndian) (data(2 * i + 1), data(2 * i))
+                else (data(2 * i), data(2 * i + 1))
+              out(i) = (hi.toInt << 8) | (lo & 0xff)
+              i += 1
+            }
+            out
+          } else if (bits == 8) {
+            data.map(b => if (unsigned) (b & 0xff) - 128 else b.toInt)
+          } else Array.emptyIntArray
+        Some((f.getSampleRate.toInt, f.getChannels, bits, samples))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Batch audio kernel: REAL decode for audio payloads (true rate /
+    * channel / depth, amplitude stats over the PCM samples — peak,
+    * RMS, exact-zero silence ratio); non-audio payloads synthesize
+    * deterministic metadata from the byte length (the same totality
+    * contract as [[decodePayloads]]).
+    */
+  private def audioBatch(batch: Seq[Array[Byte]]): Seq[Row] =
+    batch.map { bytes =>
+      readAudio(bytes) match {
+        case Some((rate, channels, bits, samples)) =>
+          val frames =
+            if (channels > 0) samples.length.toLong / channels
+            else samples.length.toLong
+          val durMs = if (rate > 0) frames * 1000L / rate else 0L
+          var peak = 0
+          var sumSq = 0.0
+          var zeros = 0L
+          var i = 0
+          while (i < samples.length) {
+            val a = math.abs(samples(i))
+            if (a > peak) peak = a
+            sumSq += samples(i).toDouble * samples(i)
+            if (samples(i) == 0) zeros += 1
+            i += 1
+          }
+          val rms =
+            if (samples.isEmpty) 0.0
+            else math.sqrt(sumSq / samples.length)
+          val silence =
+            if (samples.isEmpty) 1.0 else zeros.toDouble / samples.length
+          Row(rate, channels, bits, frames, durMs, peak, rms, silence,
+            true)
+        case None =>
+          val n = bytes.length
+          Row(16000, 1, 16, n.toLong, n.toLong * 1000 / 16000, 0, 0.0,
+            1.0, false)
+      }
+    }
+
+  /** Batched per-partition audio decode — appends an `audio` struct
+    * ([[audioSchema]]) per row; same execution shape as
+    * [[decodePayloads]] (constant memory, no shuffle, single plan
+    * node).
+    */
+  def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio", audioSchema, nullable = false))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        val decoded = audioBatch(batch.map(payloadBytes(_, payloadIdx)))
+        batch.lazyZip(decoded).map { case (row, a) =>
+          Row.fromSeq(row.toSeq :+ a)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Serialize 16-bit mono PCM to a canonical 44-byte-header WAV —
+    * the fixture/re-shard writer twin of [[decodeAudio]], deterministic
+    * for identical samples.
+    */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Deterministic WAV payload generator for fixtures and the x71
+    * oracle: per id, a 16 kHz mono 16-bit square wave of amplitude
+    * `(id % 1000)·16` and length `1600 + (id % 7)·800` samples
+    * (period 16, half-period aligned lengths) — every statistic
+    * [[decodeAudio]] reports is then CLOSED-FORM in the id (RMS of a
+    * ±A square wave is exactly A; the lengths divide evenly by both
+    * the period and the 16 kHz→ms conversion), so an SQL oracle can
+    * state the full decode output from first principles and any bug
+    * anywhere in the WAV write → JDK parse → PCM reconstruction →
+    * stats chain breaks the hash compare.
+    */
+  def attachWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val amp = ((id % 1000) * 16).toShort
+        val n = (1600 + (id % 7) * 800).toInt
+        val samples = Array.tabulate(n)(i =>
+          if (i % 16 < 8) amp else (-amp).toShort)
+        Row.fromSeq(row.toSeq :+ wavBytes(samples, 16000))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -1268,6 +1268,31 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x71: REAL audio decode over synthesized WAV payloads — the audio
+    * leg of the multimodal family on the same closed-form-oracle
+    * pattern as x69/x70: [[Multimodal.attachWavPayload]] renders a
+    * deterministic square wave per document (amplitude and length are
+    * pure functions of doc_id), [[Multimodal.decodeAudio]] runs the
+    * stock-JDK WAV parse + PCM reconstruction + amplitude statistics,
+    * and the oracle states every reported value from first principles
+    * (a ±A square wave's RMS is exactly A; the sample counts divide
+    * evenly into milliseconds) — so a flipped byte anywhere in the
+    * header write, endianness handling, or sample math fails the hash.
+    */
+  def x71AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    Multimodal.decodeAudio(
+        Multimodal.attachWavPayload(d, "doc_id"), "payload")
+      .select(col("doc_id"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.duration_ms").as("duration_ms"),
+        col("audio.peak").as("peak"),
+        col("audio.rms").as("rms"),
+        col("audio.silence_ratio").as("silence_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

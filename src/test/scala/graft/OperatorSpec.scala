@@ -1011,4 +1011,40 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, "")))              // fully deduplicated
     assert(out(4L) == ((0L, 0L, "")))              // no tokens at all
   }
+
+  test("Multimodal decodeAudio: REAL JDK WAV decode — rate/depth/PCM " +
+      "amplitude stats exact on a known waveform; non-audio payloads " +
+      "take the deterministic fallback") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // a 16 kHz mono square wave of amplitude 1000 for 3200 samples:
+    // peak and RMS are EXACTLY 1000, duration exactly 200 ms
+    val sq = Array.tabulate(3200)(i =>
+      if (i % 16 < 8) 1000.toShort else (-1000).toShort)
+    // a silent stretch: all-zero samples
+    val silent = Array.fill[Short](1600)(0)
+    val rows = Seq(
+      (1L, Multimodal.wavBytes(sq, 16000)),
+      (2L, Multimodal.wavBytes(silent, 16000)),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    val got = Multimodal.decodeAudio(rows.toDF("id", "payload"), "payload")
+      .select(col("id"), col("audio.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a1 = got(1L)
+    assert(a1.getAs[Int]("sample_rate") == 16000)
+    assert(a1.getAs[Int]("channels") == 1)
+    assert(a1.getAs[Int]("bits") == 16)
+    assert(a1.getAs[Long]("n_samples") == 3200L)
+    assert(a1.getAs[Long]("duration_ms") == 200L)
+    assert(a1.getAs[Int]("peak") == 1000)
+    assert(a1.getAs[Double]("rms") == 1000.0) // exact, not approximate
+    assert(a1.getAs[Double]("silence_ratio") == 0.0)
+    assert(a1.getAs[Boolean]("is_audio"))
+    val a2 = got(2L)
+    assert(a2.getAs[Int]("peak") == 0 && a2.getAs[Double]("rms") == 0.0)
+    assert(a2.getAs[Double]("silence_ratio") == 1.0)
+    val a3 = got(3L)
+    assert(!a3.getAs[Boolean]("is_audio"))
+    assert(a3.getAs[Int]("sample_rate") == 16000) // deterministic synth
+  }
 }
