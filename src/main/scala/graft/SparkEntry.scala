@@ -133,6 +133,7 @@ object SparkEntry {
     "x69_warc_stats" -> Extensions.x69WarcStats,
     "x70_html_extract" -> Extensions.x70HtmlExtract,
     "x71_audio_features" -> Extensions.x71AudioFeatures,
+    "x72_url_curation" -> Extensions.x72UrlCuration,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -578,6 +579,30 @@ object SparkEntry {
         |  CAST((doc_id % 1000) * 16 AS DOUBLE) AS rms,
         |  CAST(CASE WHEN doc_id % 1000 = 0 THEN 1 ELSE 0 END AS DOUBLE)
         |    AS silence_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // x72: the synthesized crawl URLs are pure functions of doc_id, so
+    // the oracle states every parse/normalize/blocklist output from
+    // first principles — never mirroring the regexp chain that computes
+    // them (wrong capture, kept fragment, dropped port, mis-joined
+    // query all hash-mismatch)
+    "x72_url_curation" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'www.example.com'
+        |                  WHEN 1 THEN 'news.example.co.uk'
+        |                  WHEN 2 THEN 'cdn.mirror.org'
+        |                  ELSE 'blog.example.com' END AS host,
+        |  CASE doc_id % 4 WHEN 0 THEN 'example.com'
+        |                  WHEN 1 THEN 'example.co.uk'
+        |                  WHEN 2 THEN 'mirror.org'
+        |                  ELSE 'example.com' END AS registered_domain,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://www.example.com/Articles/' || doc_id
+        |                || '?page=' || (doc_id % 7)
+        |    WHEN 1 THEN 'http://news.example.co.uk/' || doc_id
+        |                || '/story?id=' || doc_id
+        |    WHEN 2 THEN 'https://cdn.mirror.org:8443/assets/' || doc_id
+        |    ELSE 'http://blog.example.com/' END AS url_normalized,
+        |  doc_id % 4 IN (0, 3) AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,

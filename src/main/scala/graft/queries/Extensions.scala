@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.core.Graft
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, UrlFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Curation, Dedup, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1290,6 +1290,46 @@ object Extensions {
         col("audio.peak").as("peak"),
         col("audio.rms").as("rms"),
         col("audio.silence_ratio").as("silence_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x72: URL parse / canonicalization / registered-domain blocklist —
+    * the curation pass between WARC ingestion and content processing,
+    * on the x70/x71 closed-form-oracle pattern: each document gets a
+    * deliberately MESSY crawl URL synthesized in-query (uppercase
+    * scheme and host, explicit default and non-default ports, userinfo,
+    * a FQDN trailing dot, `utm_*` tracking params in every position,
+    * fragments, an authority-only URL with no path), then runs the real
+    * parse ([[UrlFunctions.urlHost]]), [[UrlFunctions.registeredDomain]]
+    * (including the `co.uk`-style third-level case), and
+    * [[UrlFunctions.normalizeUrl]], plus the broadcast blocklist flag
+    * ([[Curation.markBlocklisted]]). The oracle states every output
+    * from first principles in doc_id arithmetic — a wrong capture
+    * group, a kept fragment, a dropped non-default port, or a
+    * mis-joined query after tracking removal all hash-mismatch.
+    */
+  def x72UrlCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"))
+    val id = col("doc_id")
+    val raw = when(id % 4 === 0,
+        concat(lit("HTTPS://WWW.Example.COM:443/Articles/"),
+          id.cast("string"), lit("?utm_source=feed&page="),
+          (id % 7).cast("string"), lit("#frag")))
+      .when(id % 4 === 1,
+        concat(lit("http://news.example.co.uk./"), id.cast("string"),
+          lit("/story?id="), id.cast("string"), lit("&utm_campaign=x")))
+      .when(id % 4 === 2,
+        concat(lit("https://user:pw@CDN.Mirror.ORG:8443/assets/"),
+          id.cast("string")))
+      .otherwise(
+        concat(lit("http://Blog.example.com?utm_medium=rss&utm_term="),
+          id.cast("string")))
+    val parsed = Curation.withUrlParts(d.withColumn("url", raw), "url")
+    val blocklist = Seq("example.co.uk", "mirror.org").toDF("domain")
+    Curation.markBlocklisted(parsed, "registered_domain", blocklist)
+      .select(col("doc_id"), col("host"), col("registered_domain"),
+        col("url_normalized"), col("kept"))
       .orderBy(col("doc_id"))
   }
 

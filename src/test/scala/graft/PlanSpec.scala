@@ -406,4 +406,18 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "MapPartitions") == 1, p)
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
+
+  test("x72: URL curation is a map-side regexp chain + one BROADCAST " +
+      "blocklist probe — the corpus never shuffles before the output " +
+      "ordering") {
+    val p = plan(Extensions.x72UrlCuration(spark, sfDir))
+    assert(nodes(p, "BroadcastHashJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0 &&
+      nodes(p, "CartesianProduct") == 0, p)
+    // only the blocklist's own build-side exchange (broadcast) and the
+    // final orderBy range exchange may appear — no corpus hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled for the blocklist probe:\n$p")
+    assert(!p.contains("BatchEvalPython"), p)
+  }
 }

@@ -117,4 +117,52 @@ class TextFunctionsSpec extends SparkSpec {
     assert(x("<p unclosed attr >ok") == "ok")
     assert(x("") == "")
   }
+
+  test("url parsing: host/port/path/query across userinfo, trailing " +
+      "dots, casing, and authority-only URLs; malformed input is total") {
+    import graft.functions.UrlFunctions._
+    def host(u: String) = one[String](urlHost(col("text")), u)
+    def port(u: String) = one[String](urlPort(col("text")), u)
+    def path(u: String) = one[String](urlPath(col("text")), u)
+    def query(u: String) = one[String](urlQuery(col("text")), u)
+    assert(host("HTTPS://WWW.Example.COM:443/a?b#c") == "www.example.com")
+    assert(host("http://user:pw@Host.Org:8080/x") == "host.org")
+    assert(host("http://fqdn.example.net./") == "fqdn.example.net")
+    assert(host("http://h?q=1") == "h") // authority-only + query
+    assert(port("http://h:8080/x") == "8080" && port("http://h/x") == "")
+    assert(path("https://h:443/A/B?q") == "/A/B" && path("http://h") == "")
+    assert(query("http://h/p?a=1&b=2#frag") == "a=1&b=2")
+    // malformed / non-URL input degrades to empty parts, never throws
+    for (bad <- Seq("", "not a url", "mailto:x@y.z", "://nohost"))
+      assert(host(bad) == "", bad)
+  }
+
+  test("registeredDomain: two-label default, cc-second-level three-" +
+      "label case, single-label host is its own domain") {
+    import graft.functions.UrlFunctions._
+    def rd(h: String) = one[String](registeredDomain(col("text")), h)
+    assert(rd("news.example.co.uk") == "example.co.uk")
+    assert(rd("a.b.example.com.au") == "example.com.au")
+    assert(rd("cdn.mirror.org") == "mirror.org")
+    assert(rd("deep.sub.domain.example.com") == "example.com")
+    assert(rd("example.com") == "example.com")
+    assert(rd("localhost") == "localhost")
+  }
+
+  test("normalizeUrl: lowercases scheme+host, drops userinfo/fragment/" +
+      "default ports/utm params, keeps case-significant path+query and " +
+      "non-default ports, renders empty path as /") {
+    import graft.functions.UrlFunctions._
+    def n(u: String) = one[String](normalizeUrl(col("text")), u)
+    assert(n("HTTPS://WWW.Ex.COM:443/Art/9?utm_source=f&page=2#frag") ==
+      "https://www.ex.com/Art/9?page=2")
+    assert(n("http://u:p@Host.ORG:80/a?id=7&utm_campaign=x") ==
+      "http://host.org/a?id=7")
+    assert(n("https://h.net:8443/x") == "https://h.net:8443/x")
+    assert(n("http://H.com?utm_a=1&utm_b=2") == "http://h.com/")
+    // utm removal in the middle keeps a single joining &
+    assert(n("http://h.com/p?a=1&utm_x=2&b=3") == "http://h.com/p?a=1&b=3")
+    // unparseable input → empty string, total
+    assert(n("nonsense") == "")
+  }
 }
