@@ -134,6 +134,7 @@ object SparkEntry {
     "x70_html_extract" -> Extensions.x70HtmlExtract,
     "x71_audio_features" -> Extensions.x71AudioFeatures,
     "x72_url_curation" -> Extensions.x72UrlCuration,
+    "x73_shuffle_shards" -> Extensions.x73ShuffleShards,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -604,6 +605,24 @@ object SparkEntry {
         |    ELSE 'http://blog.example.com/' END AS url_normalized,
         |  doc_id % 4 IN (0, 3) AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x73: md5 hex is engine-identical and the 16-bit shard scaling is
+    // integer-exact, so the oracle recomputes the whole deterministic
+    // shuffle assignment (hex nibbles via strpos arithmetic)
+    "x73_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('r9:' || doc_id) AS hk FROM documents),
+        |s AS (
+        |  SELECT doc_id, hk,
+        |    CAST((( (strpos('0123456789abcdef', substr(hk,1,1))-1)*4096
+        |          + (strpos('0123456789abcdef', substr(hk,2,1))-1)*256
+        |          + (strpos('0123456789abcdef', substr(hk,3,1))-1)*16
+        |          + (strpos('0123456789abcdef', substr(hk,4,1))-1) ) * 32)
+        |        // 65536 AS INTEGER) AS shard
+        |  FROM h)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  MIN(hk) AS first_key, MAX(hk) AS last_key
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,

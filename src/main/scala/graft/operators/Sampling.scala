@@ -111,4 +111,38 @@ object Sampling {
       .limit(k)
       .drop("__wkey", "__wmax")
   }
+
+  /** Deterministic corpus shuffle: assign every row a pseudo-random
+    * `shard` in [0, numShards) and a within-shard sort key, both pure
+    * functions of (seed, id) via md5 — the global shuffle a training
+    * run needs before writing example shards, with the reproducibility
+    * a RNG-based `repartition` can never give (same seed → the same
+    * shards on any cluster, any partitioning, any engine; new seed →
+    * an independent permutation).
+    *
+    * `shard` comes from the first 16 bits of md5(seed:id) scaled to
+    * numShards — a PURE MAP-SIDE expression: the assignment itself
+    * shuffles nothing, so pipelines that only need membership (shard
+    * counts, per-shard stats, partitioned writes through
+    * `partitionBy(shard)`) never pay a corpus shuffle at all. Shards
+    * are exactly balanced in expectation (md5 uniformity); sizing is
+    * exact when numShards divides 2¹⁶. `__shuffle_key` (the full hash)
+    * orders rows WITHIN a shard: writing with
+    * `repartition(shard).sortWithinPartitions(shuffle_key)` yields
+    * byte-stable shard files. No global row index is materialized on
+    * purpose — a corpus-wide row_number needs either a single-reducer
+    * window (the classic scale bug) or a two-phase offset join, and
+    * training shards only ever need (shard, within-shard order).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0 && numShards <= 65536,
+      s"numShards must be in [1, 65536], got $numShards")
+    val seedLit = seed.replace("'", "''")
+    val hSql = s"md5(concat_ws(':', '$seedLit', CAST(`$idCol` AS STRING)))"
+    df.withColumn("shard", expr(
+        s"CAST((CAST(conv(substring($hSql, 1, 4), 16, 10) AS BIGINT)" +
+        s" * $numShards) DIV 65536 AS INT)"))
+      .withColumn("__shuffle_key", expr(hSql))
+  }
 }

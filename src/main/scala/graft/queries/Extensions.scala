@@ -1333,6 +1333,26 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x73: deterministic corpus shuffle into training shards
+    * ([[graft.operators.Sampling.shuffleShards]]) summarized per shard —
+    * membership (count + doc_id checksum) and the within-shard order
+    * endpoints (min/max shuffle key), so a changed hash input, a biased
+    * shard scaling, or an unstable sort key all hash-mismatch. md5 hex
+    * and the 16-bit scaling are engine-exact, so the oracle recomputes
+    * the full assignment in SQL. The per-shard agg is the ideal 100 TB
+    * plan: map-side assignment + partial agg, one 32-row exchange.
+    */
+  def x73ShuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    graft.operators.Sampling.shuffleShards(d, "doc_id", "r9", 32)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        min(col("__shuffle_key")).as("first_key"),
+        max(col("__shuffle_key")).as("last_key"))
+      .orderBy(col("shard"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

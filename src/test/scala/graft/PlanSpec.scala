@@ -414,10 +414,32 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "BroadcastHashJoin") == 1, p)
     assert(nodes(p, "SortMergeJoin") == 0 &&
       nodes(p, "CartesianProduct") == 0, p)
-    // only the blocklist's own build-side exchange (broadcast) and the
-    // final orderBy range exchange may appear — no corpus hash shuffle
-    assert(!p.contains("Exchange hashpartitioning"),
+    // the only hash exchange is the blocklist's own dedup (keyed by
+    // `domain`, 2 rows, inside the broadcast build side); the corpus
+    // reaches the probe without shuffling
+    val hashEx = p.split("hashpartitioning\\(").toSeq.drop(1)
+    assert(hashEx.forall(_.startsWith("domain")),
       s"corpus shuffled for the blocklist probe:\n$p")
     assert(!p.contains("BatchEvalPython"), p)
+  }
+
+  test("x73: shard assignment is map-side — the only hash exchange " +
+      "carries the 32-row partial aggregate, and no window or global " +
+      "sort touches the corpus") {
+    val p = plan(Extensions.x73ShuffleShards(spark, sfDir))
+    // scan → project(assign) → partial agg → one tiny exchange →
+    // final agg → output sort; a Window or a pre-agg Sort would mean
+    // the assignment stopped being map-side
+    assert(nodes(p, "Exchange") <= 2, s"extra shuffle:\n$p")
+    assert(p.split("hashpartitioning").length - 1 == 1, p)
+    assert(nodes(p, "Window") == 0, p)
+    // string min/max forces SortAggregate (no fixed-size hash buffer);
+    // the partial stays map-side either way — its sort is partition-
+    // local (`false` = not global), never a corpus-wide ordering
+    assert(nodes(p, "HashAggregate") + nodes(p, "SortAggregate") == 2, p)
+    // the only GLOBAL sort is the 32-row output ordering; the partial
+    // aggregate's sort is partition-local
+    assert(p.split("\\], true, 0").length - 1 <= 1,
+      s"global sort before the agg:\n$p")
   }
 }

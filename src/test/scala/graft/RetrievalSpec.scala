@@ -112,6 +112,35 @@ class RetrievalSpec extends SparkSpec {
     assert(Sampling.hashSample(df, "doc_id", 0, 1).count() == 0L)
   }
 
+  test("shuffleShards: exact partition of the corpus, deterministic " +
+      "across partitionings and re-runs, balanced, seed-independent " +
+      "permutations, stable within-shard order key") {
+    val df = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def assign(parts: Int, seed: String = "s1") =
+      Sampling.shuffleShards(df.repartition(parts, col("doc_id")),
+          "doc_id", seed, 32)
+        .select("doc_id", "shard", "__shuffle_key").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getString(2)))).toMap
+    val a = assign(4)
+    assert(a.size == 2000, "every row assigned exactly once")
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 32 })
+    assert(assign(1) == a && assign(13) == a,
+      "assignment must not depend on partitioning")
+    // balance: 2000 rows over 32 shards ≈ 62.5 each; md5-uniform →
+    // generous ±4σ-ish band
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.size == 32, s"empty shards: ${32 - sizes.size}")
+    assert(sizes.values.forall(n => n > 25 && n < 100),
+      s"unbalanced: ${sizes.toMap}")
+    // a different seed yields a genuinely different permutation
+    val b = assign(4, seed = "s2")
+    val moved = (1L to 2000L).count(i => a(i)._1 != b(i)._1)
+    assert(moved > 1500, s"only $moved rows moved under a new seed")
+    // the within-shard key orders rows stably: key collisions would
+    // break byte-stable shard files (md5 over distinct ids — none)
+    assert(a.values.map(_._2).toSet.size == 2000)
+  }
+
   test("operators degrade to empty/zero results on empty inputs, " +
       "never errors") {
     val empty = docsDf()
