@@ -135,6 +135,7 @@ object SparkEntry {
     "x71_audio_features" -> Extensions.x71AudioFeatures,
     "x72_url_curation" -> Extensions.x72UrlCuration,
     "x73_shuffle_shards" -> Extensions.x73ShuffleShards,
+    "x74_zorder_layout" -> Extensions.x74ZorderLayout,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -623,6 +624,21 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
         |  MIN(hk) AS first_key, MAX(hk) AS last_key
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // x74: Morton order is pure integer bit arithmetic — the oracle
+    // states the interleave's definition (bit j of dim c → bit 2j+c)
+    "x74_zorder_layout" -> {
+      val zTerms = (0 until 10).flatMap(i => Seq(
+        s"(((a >> $i) & 1) << ${2 * i})",
+        s"(((b >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT l_orderkey % 1024 AS a, l_partkey % 1024 AS b,
+         |         l_linenumber
+         |  FROM lineitem),
+         |z AS (SELECT ($zTerms) AS zv, l_linenumber FROM m)
+         |SELECT CAST(zv >> 12 AS INTEGER) AS zb, COUNT(*) AS n_rows,
+         |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+         |FROM z GROUP BY zb ORDER BY zb""".stripMargin
+    },
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,

@@ -1353,6 +1353,27 @@ object Extensions {
       .orderBy(col("shard"))
   }
 
+  /** x74: Z-order (Morton) clustering key — [[graft.operators.Layout]]'s
+    * curve computed over two scaled lineitem dimensions and aggregated
+    * per curve segment (the 256 coarse buckets a 256-file layout would
+    * map to). The interleave is pure integer bit arithmetic, so the
+    * oracle restates Morton order's definition exactly; the
+    * file-tightness property the key exists for (every file a
+    * hyper-rectangle, min/max narrow in EVERY dimension) is measured in
+    * the spec suite via [[graft.operators.Layout.fileSpans]].
+    */
+  def x74ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = Graft.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    val z = graft.operators.Layout.zValue(
+      Seq(col("l_orderkey") % 1024, col("l_partkey") % 1024), 10)
+    li.withColumn("zb", shiftright(z, 12).cast("int"))
+      .groupBy(col("zb"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_linenumber").cast("long")).as("sum_ln"))
+      .orderBy(col("zb"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

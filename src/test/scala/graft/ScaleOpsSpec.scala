@@ -84,4 +84,64 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p.contains("graft_bloom_contains"), p)
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("Layout.zValue matches a reference Morton interleave, including " +
+      "dimension order and multi-column striding") {
+    import spark.implicits._
+    def ref(vals: Seq[Long], bits: Int): Long =
+      (for { (v, c) <- vals.zipWithIndex; j <- 0 until bits }
+        yield ((v >> j) & 1L) << (j * vals.size + c)).foldLeft(0L)(_ | _)
+    // exhaustive 3-bit 2-D grid + spot checks at full width
+    val grid = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val got2 = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    for ((x, y) <- grid)
+      assert(got2((x, y)) == ref(Seq(x, y), 3), s"($x,$y)")
+    // the curve visits the grid in the textbook N-shape: (0,0) (1,0)
+    // (0,1) (1,1) over the low quad
+    assert(got2((0, 0)) == 0 && got2((1, 0)) == 1 &&
+      got2((0, 1)) == 2 && got2((1, 1)) == 3)
+    val wide = Seq((1023L, 511L, 7L)).toDF("a", "b", "c")
+      .select(graft.operators.Layout.zValue(
+        Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .head().getLong(0)
+    assert(wide == ref(Seq(1023L, 511L, 7L), 10))
+  }
+
+  test("Z-ordered files are tight on BOTH dimensions; a single-column " +
+      "sort leaves the non-leading dimension spanning the full range") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x, y, x * 64 + y)).toDF("x", "y", "payload")
+    val zdir = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    val xdir = java.nio.file.Files
+      .createTempDirectory("graft_xsort").toString
+    graft.operators.Layout.writeZOrdered(grid, zdir, Seq("x", "y"),
+      bits = 6, numFiles = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xdir)
+    def avgSpans(dir: String): (Double, Double) = {
+      val rows = graft.operators.Layout
+        .fileSpans(spark, dir, Seq("x", "y")).collect()
+      (rows.map(_.getAs[Double]("span_x")).sum / rows.length,
+       rows.map(_.getAs[Double]("span_y")).sum / rows.length)
+    }
+    val (zx, zy) = avgSpans(zdir)
+    val (sx, sy) = avgSpans(xdir)
+    // 16 files over a 64×64 grid = 4×4 curve blocks → ~1/4 span per
+    // dim; allow slack for range-partition boundary files
+    assert(zx < 0.5 && zy < 0.5, s"z-order not tight: x=$zx y=$zy")
+    // x-sort: leading dim tight, y spans everything — the failure mode
+    // Z-order exists to fix
+    assert(sx < 0.2, s"x-sorted leading dim should be tight: $sx")
+    assert(sy > 0.9, s"x-sorted y should span the range: $sy")
+    assert(zy < sy / 2, "Z-order must beat the 1-D layout on y")
+    // round trip: clustering only reorders — content is unchanged
+    assert(spark.read.parquet(zdir).agg(sum(col("payload"))).head.getLong(0)
+      == grid.agg(sum(col("payload"))).head.getLong(0))
+  }
 }
