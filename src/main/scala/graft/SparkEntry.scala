@@ -136,6 +136,8 @@ object SparkEntry {
     "x72_url_curation" -> Extensions.x72UrlCuration,
     "x73_shuffle_shards" -> Extensions.x73ShuffleShards,
     "x74_zorder_layout" -> Extensions.x74ZorderLayout,
+    "x75_bpe_train" -> Extensions.x75BpeTrain,
+    "x76_bpe_encode" -> Extensions.x76BpeEncode,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -515,6 +517,11 @@ object SparkEntry {
     // recall/accuracy against the exact counterparts (x3 / x6 / x7 /
     // x59 / countDistinct / the x61 inline path) is asserted in the
     // spec suite.
+    // x75_bpe_train / x76_bpe_encode are iterative: every merge's pair
+    // counts depend on the previous merge's argmax rewrite, so a SQL
+    // restatement would be a second trainer, not an oracle; BpeSpec
+    // gates both against an independent driver-side reference BPE on
+    // the full fixture corpus plus closed-form hand-computed corpora.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     // x55: seeded-quantizer SemDeDup — the cell partition (id-order
     // seed centroids, double-precision squared-L2 argmin, lowest-seed

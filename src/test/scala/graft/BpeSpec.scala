@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE trainer/encoder gating: x75/x76 have no SQL oracle (iterative,
+  * argmax-dependent), so correctness is proven against an INDEPENDENT
+  * driver-side reference implementation — dict-based, no Spark, no
+  * shared code with the operator — plus closed-form corpora where the
+  * whole merge table is hand-computable.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE: classic dict-of-symbol-lists implementation
+    * (Sennrich ACL'16 pseudocode shape). Same conventions as the
+    * operator by DESIGN (bpeTokenPattern words, single-char start,
+    * weight = word frequency, tiebreak count desc then left/right asc,
+    * leftmost-first non-overlapping application, minCount floor) but a
+    * disjoint code path: plain Scala collections.
+    */
+  private def refTrain(texts: Seq[String], numMerges: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, String, Long)] = {
+    val wordRe = graft.functions.TextFunctions.bpeTokenPattern.r
+    val hist = scala.collection.mutable.Map.empty[Vector[String], Long]
+    for (t <- texts; w <- wordRe.findAllIn(t))
+      hist.updateWith(w.map(_.toString).toVector)(c => Some(c.getOrElse(0L) + 1))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var current = hist.toMap
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- current; i <- 0 until syms.length - 1)
+        pairs.updateWith((syms(i), syms(i + 1)))(c =>
+          Some(c.getOrElse(0L) + n))
+      val eligible = pairs.filter(_._2 >= minCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((l, r), c) = eligible.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, l + r, c))
+        current = current.map { case (syms, n) =>
+          (refApply(syms, l, r), n)
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Leftmost-first non-overlapping merge of (l, r) in a symbol list. */
+  private def refApply(syms: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refEncode(text: String,
+      merges: Seq[(Int, String, String, String, Long)]): Vector[String] = {
+    val wordRe = graft.functions.TextFunctions.bpeTokenPattern.r
+    wordRe.findAllIn(text).toVector.flatMap { w =>
+      merges.sortBy(_._1).foldLeft(w.map(_.toString).toVector) {
+        case (syms, (_, l, r, _, _)) => refApply(syms, l, r)
+      }
+    }
+  }
+
+  test("train: hand-computed merge table on a closed-form corpus, " +
+      "early stop when no pair clears minCount") {
+    import spark.implicits._
+    val df = Seq("aaab aaab", "aaab ab").toDF("text")
+    // histogram: aaab×3, ab×1 → (a,a)=6 wins; then (a,b)=4; then
+    // (aa,ab)=3; then nothing repeats → stop at 3 of the requested 10
+    assert(Bpe.train(df, "text", 10) == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 4L),
+      (3, "aa", "ab", "aaab", 3L)))
+    // leftmost-first: " a a a b " merges to " aa a b ", never " a aa b "
+    val one = Bpe.train(df, "text", 1)
+    assert(one == Seq((1, "a", "a", "aa", 6L)))
+    // minCount floor: a corpus of once-off pairs trains zero merges
+    assert(Bpe.train(Seq("ab cd").toDF("text"), "text", 5).isEmpty)
+  }
+
+  test("train matches the independent reference BPE on the full " +
+      "fixture corpus, including tiebreaks") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val expected = refTrain(texts, 30)
+    val got = Bpe.train(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull), "text", 30)
+    assert(got.size == expected.size,
+      s"merge count ${got.size} vs ${expected.size}")
+    for (((g, e), i) <- got.zip(expected).zipWithIndex)
+      assert(g == e, s"merge $i: got $g expected $e")
+  }
+
+  test("encode matches the reference encoder on every fixture " +
+      "document; token counts shrink monotonically with merges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val merges = Bpe.train(docs, "text", 30)
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("tokens")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toVector)).toMap
+    assert(got.keySet == texts.keySet)
+    for ((id, text) <- texts)
+      assert(got(id) == refEncode(text, merges), s"doc $id")
+    // zero merges = character tokens; more merges never adds tokens
+    val raw = Bpe.encode(docs, "doc_id", "text", Nil)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    for ((id, toks) <- got) {
+      assert(toks.length <= raw(id), s"doc $id grew")
+      assert(raw(id) ==
+        refEncode(texts(id), Nil).length, s"doc $id char count")
+    }
+    // and the merges genuinely compress this corpus
+    assert(got.values.map(_.length).sum < raw.values.sum)
+  }
+
+  test("punctuation and digit words: single-mark words never merge " +
+      "(no pairs), digit runs merge like letter runs, regex " +
+      "metacharacters in symbols are quoted") {
+    import spark.implicits._
+    val df = Seq("a.b a.b 12 12 12 .. ..").toDF("text")
+    // words: a,.,b (x2 each), 12 (x3), . (x4 from '..' pairs split as
+    // single marks). Only (1,2) repeats as an adjacent pair.
+    val merges = Bpe.train(df, "text", 5)
+    assert(merges == Seq((1, "1", "2", "12", 3L)))
+    val enc = Bpe.encode(df.withColumn("id", lit(1L)), "id", "text",
+      merges).select(col("tokens")).head.getSeq[String](0)
+    assert(enc == Seq("a", ".", "b", "a", ".", "b", "12", "12", "12",
+      ".", ".", ".", "."))
+  }
+}
