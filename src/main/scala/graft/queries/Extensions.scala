@@ -1374,9 +1374,10 @@ object Extensions {
       .orderBy(col("zb"))
   }
 
-  /** Memoized BPE merge tables per corpus dir — training is a pure
-    * function of the corpus, so sharing the table between x75/x76 (and
-    * bench passes) changes nothing but wall clock.
+  /** Memoized BPE merge tables per corpus dir, for the ENCODE entry:
+    * training is a pure function of the corpus, so x76 reusing x75's
+    * table changes nothing but wall clock. x75 itself always trains
+    * fresh — its bench number must measure the trainer, not a memo hit.
     */
   private val bpeMergeCache =
     scala.collection.concurrent.TrieMap
@@ -1400,8 +1401,10 @@ object Extensions {
     */
   def x75BpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bpeMerges(s, dir)
-      .toDF("rank", "left", "right", "merged", "pair_count")
+    val merges = graft.operators.Bpe.train(
+      docs(s, dir).filter(col("text").isNotNull), "text", numMerges = 30)
+    bpeMergeCache.put(dir, merges)
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy(col("rank"))
   }
 

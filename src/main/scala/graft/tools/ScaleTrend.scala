@@ -96,7 +96,15 @@ object ScaleTrend {
       // coverage + removal — x58's per-doc rebuild is the shape a 10x
       // step would expose) and the dHash media-dedup path
       "x57_dup_ngram_coverage", "x58_remove_dup_ngrams",
-      "x66_image_hash_pairs")
+      "x66_image_hash_pairs",
+      // round 9 (late): the new curation/layout/tokenizer families —
+      // x73/x74 are map-side + one tiny agg exchange (should stay
+      // ~linear in scan cost), x75 trains on the histogram (the sf1
+      // synthesis grows the vocab 10x via per-replica suffixes — the
+      // honest worst case), x76 encodes distinct words once then
+      // probes map-side
+      "x72_url_curation", "x73_shuffle_shards", "x74_zorder_layout",
+      "x75_bpe_train", "x76_bpe_encode")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
