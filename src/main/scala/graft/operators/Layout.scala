@@ -60,6 +60,47 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Rank-normalize a numeric column into `[0, 2^bits)` bucket ids for
+    * [[zValue]]: approximate quantile boundaries (collected once — at
+    * most 2^bits+1 doubles on the driver) become a broadcast band
+    * table, and every row picks its bucket with a map-side
+    * [[RangeJoin.bandJoin]] probe. This is what makes Z-order practical
+    * on real columns: raw value bits interleave badly when the
+    * distribution is skewed (most buckets empty, hot buckets huge), but
+    * rank buckets are near-equal-mass by construction, so the curve
+    * splits data — not value space — evenly.
+    *
+    * Heavy repetition collapses duplicate boundaries (fewer, still
+    * ordered buckets); the outermost bands are widened to ±∞ so every
+    * non-null value lands somewhere. The bucket id column is named
+    * `<col>_bucket`.
+    */
+  def rankBuckets(df: DataFrame, colName: String, bits: Int,
+      relativeError: Double = 0.001): DataFrame = {
+    require(bits > 0 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val n = 1 << bits
+    val probs = (0 to n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(colName, probs, relativeError)
+      .distinct.sorted
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bands = bounds.sliding(2).zipWithIndex.collect {
+      case (Array(lo, hi), i) => (i, lo, hi)
+    }.toSeq match {
+      case Seq() => Seq((0, Double.NegativeInfinity,
+        Double.PositiveInfinity)) // constant column: one bucket
+      case bs =>
+        // widen the outer bands so min/max round-off never drops rows
+        val w = bs.updated(0, (0, Double.NegativeInfinity, bs.head._3))
+        w.updated(w.size - 1,
+          (w.last._1, w.last._2, Double.PositiveInfinity))
+    }
+    val dim = bands.toDF("__bucket_id", "__lo", "__hi")
+    RangeJoin.bandJoin(df, dim, colName, "__lo", "__hi")
+      .withColumn(s"${colName}_bucket", col("__bucket_id"))
+      .drop("__bucket_id", "__lo", "__hi")
+  }
+
   /** Per-file tightness report for a written table: for each file and
     * each column, the fraction of the column's global range the file
     * spans (the exact quantity file-skipping prunes on — parquet

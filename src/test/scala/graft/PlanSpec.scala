@@ -442,4 +442,16 @@ class PlanSpec extends SparkSpec {
     assert(p.split("\\], true, 0").length - 1 <= 1,
       s"global sort before the agg:\n$p")
   }
+
+  test("x76: BPE encoding probes the vocab through ONE broadcast join " +
+      "— the corpus never sort-merge joins, and the only corpus " +
+      "shuffle is the per-document token reassembly") {
+    val p = plan(Extensions.x76BpeEncode(spark, sfDir))
+    assert(nodes(p, "BroadcastHashJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0 &&
+      nodes(p, "CartesianProduct") == 0, p)
+    // hash exchanges: the vocab-sized distinct-words dedup (build
+    // side) and the doc_id reassembly groupBy — nothing else
+    assert(p.split("hashpartitioning\\(").length - 1 <= 3, p)
+  }
 }

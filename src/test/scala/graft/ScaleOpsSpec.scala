@@ -144,4 +144,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).agg(sum(col("payload"))).head.getLong(0)
       == grid.agg(sum(col("payload"))).head.getLong(0))
   }
+
+  test("Layout.rankBuckets: near-equal-mass buckets on skewed data, " +
+      "total (no rows dropped), monotone in the value") {
+    import spark.implicits._
+    // quadratic growth → heavily right-skewed value distribution: raw
+    // value bits would pile most rows into the low buckets
+    val df = (1L to 4096L).map(i => (i, i * i)).toDF("id", "v")
+    val got = graft.operators.Layout.rankBuckets(df, "v", bits = 4)
+    assert(got.count() == 4096, "totality")
+    val sizes = got.groupBy(col("v_bucket")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(sizes.size == 16, s"expected 16 buckets: ${sizes.keySet}")
+    // equal mass within approxQuantile tolerance (256 ± 25%)
+    assert(sizes.values.forall(n => n > 192 && n < 320),
+      s"unbalanced: $sizes")
+    // bucket id is monotone in the value: ranges never interleave
+    val ranges = got.groupBy(col("v_bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("v_bucket")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    for (Array((_, hi), (lo, _)) <- ranges.sliding(2))
+      assert(hi < lo, s"overlapping buckets: ${ranges.toSeq}")
+  }
 }
