@@ -138,6 +138,7 @@ object SparkEntry {
     "x74_zorder_layout" -> Extensions.x74ZorderLayout,
     "x75_bpe_train" -> Extensions.x75BpeTrain,
     "x76_bpe_encode" -> Extensions.x76BpeEncode,
+    "x77_domain_quota" -> Extensions.x77DomainQuota,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -631,6 +632,22 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
         |  MIN(hk) AS first_key, MAX(hk) AS last_key
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // x77: md5 hex order is engine-identical, so the oracle recomputes
+    // the exact per-domain kept set (both planted regimes: the
+    // mega-domain thins to the quota, the long tail passes whole)
+    "x77_domain_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'megafarm.com'
+        |         ELSE 'site' || (doc_id % 97) END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d)
+        |SELECT doc_id, domain FROM r WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin,
     // x74: Morton order is pure integer bit arithmetic — the oracle
     // states the interleave's definition (bit j of dim c → bit 2j+c)
     "x74_zorder_layout" -> {

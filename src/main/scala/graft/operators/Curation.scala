@@ -51,4 +51,56 @@ object Curation {
     val bl = broadcast(blocklist.select(col("domain")).distinct())
     df.join(bl, df(domainCol) === bl("domain"), "left_anti")
   }
+
+  /** Per-domain document quota — the over-representation cap every
+    * web-corpus recipe applies after blocklisting (a handful of
+    * template-heavy domains otherwise dominate the token budget): keep
+    * at most `quota` rows per `domainCol` value, chosen by md5-hash
+    * order of the id (uniform within the domain, deterministic across
+    * runs/engines/partitionings — the [[Sampling]] contract).
+    *
+    * Scale shape: one shuffle keyed by domain, then a per-domain sort
+    * for the rank — fine for real domain distributions (the heaviest
+    * domain in a crawl is ~10⁶ docs, one task's worth). For a
+    * pathological mega-domain, [[domainQuotaApprox]] is the map-side
+    * form: same cap in EXPECTATION with no per-domain sort at all.
+    */
+  def domainQuota(df: DataFrame, domainCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** Map-side approximate quota: domains at or under `quota` pass
+    * whole; oversized domains are thinned by the hash-threshold filter
+    * at rate quota/n_domain (kept count binomial around the quota, the
+    * price of skipping the per-domain sort). Two corpus passes — one
+    * tiny count agg broadcast back, one filter — and NOTHING sorts, so
+    * a link-farm domain with 10⁹ rows costs the same per row as any
+    * other. The domain-rate compare quantizes to the same 8-hex-digit
+    * threshold as [[Sampling.hashSample]], so selection stays a pure
+    * function of (id, domain size).
+    */
+  def domainQuotaApprox(df: DataFrame, domainCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    val m = BigInt(16).pow(8).toLong
+    val joined = df.join(broadcast(counts), Seq(domainCol))
+    // threshold hex = floor(16^8 * quota / n), compared against the
+    // first 8 md5 hex digits — lexicographic on equal-length lowercase
+    // hex ≡ numeric compare
+    val thresholdHex = lpad(hex(
+        (lit(m) * quota / col("__n")).cast("long")), 8, "0")
+    joined.filter(col("__n") <= quota ||
+        substring(md5(col(idCol).cast("string")), 1, 8) <
+          lower(thresholdHex))
+      .select(df.columns.map(col).toSeq: _*) // restore input column order
+  }
 }

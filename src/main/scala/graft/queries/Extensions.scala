@@ -1422,6 +1422,26 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x77: per-domain quota — the over-representation cap after
+    * blocklisting. The synthetic domain column plants both regimes at
+    * every scale: `megafarm.com` holds half the corpus (far over
+    * quota — thinned to exactly 20 by md5-order rank), while the
+    * `siteN` long tail sits under quota (passes whole). md5 order is
+    * engine-exact, so the oracle recomputes the identical kept set;
+    * [[Curation.domainQuotaApprox]] — the map-side form for
+    * pathological mega-domains — is spec-gated against this exact
+    * variant's regimes instead.
+    */
+  def x77DomainQuota(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+      .withColumn("domain",
+        when(col("doc_id") % 10 < 5, lit("megafarm.com"))
+          .otherwise(concat(lit("site"), (col("doc_id") % 97)
+            .cast("string"))))
+    Curation.domainQuota(d, "domain", "doc_id", quota = 20)
+      .orderBy(col("doc_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

@@ -141,6 +141,36 @@ class RetrievalSpec extends SparkSpec {
     assert(a.values.map(_._2).toSet.size == 2000)
   }
 
+  test("domainQuota: exact cap on oversized domains, under-quota " +
+      "domains pass whole, deterministic; the approx map-side form " +
+      "agrees on regimes with a binomial-band cap") {
+    import graft.operators.Curation
+    // domain 'big' has 1500 rows, 'mid' exactly quota, 'tiny' under
+    val df = (1L to 1650L).map { i =>
+      (i, if (i <= 1500) "big" else if (i <= 1600) "mid" else "tiny")
+    }.toDF("id", "dom")
+    val exact = Curation.domainQuota(df, "dom", "id", quota = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = exact.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("big") == 100 && byDom("mid") == 100 &&
+      byDom("tiny") == 50, byDom.toString)
+    // deterministic and partitioning-independent
+    val again = Curation
+      .domainQuota(df.repartition(13, col("id")), "dom", "id", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(exact.toSet == again.toSet)
+    // approx: under/at-quota domains pass WHOLE; the oversized domain
+    // thins to ~quota (binomial around 100, 4σ ≈ ±40)
+    val approx = Curation.domainQuotaApprox(df, "dom", "id", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val aByDom = approx.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(aByDom("mid") == 100 && aByDom("tiny") == 50, aByDom.toString)
+    assert(aByDom("big") > 60 && aByDom("big") < 140, aByDom.toString)
+    // both are SUBSETS of the input (samplers never invent rows)
+    val ids = (1L to 1650L).toSet
+    assert(exact.forall(p => ids(p._1)) && approx.forall(p => ids(p._1)))
+  }
+
   test("operators degrade to empty/zero results on empty inputs, " +
       "never errors") {
     val empty = docsDf()
