@@ -139,6 +139,7 @@ object SparkEntry {
     "x75_bpe_train" -> Extensions.x75BpeTrain,
     "x76_bpe_encode" -> Extensions.x76BpeEncode,
     "x77_domain_quota" -> Extensions.x77DomainQuota,
+    "x78_crawl_pipeline" -> Extensions.x78CrawlPipeline,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -647,6 +648,32 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM d)
         |SELECT doc_id, domain FROM r WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin,
+    // x78: the end-to-end composition stated from the source table —
+    // extraction recovers the ws-normalized text (the x70 guarantee),
+    // fingerprint = md5 of exactly that, dedup keeps min doc_id per
+    // fingerprint, quota keeps the md5-order top 20 per domain
+    "x78_crawl_pipeline" ->
+      """WITH ext AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted
+        |  FROM documents WHERE text IS NOT NULL),
+        |fp AS (
+        |  SELECT doc_id, md5(extracted) AS fingerprint,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(extracted)
+        |      ORDER BY doc_id) AS rn
+        |  FROM ext),
+        |dom AS (
+        |  SELECT doc_id, fingerprint,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'megafarm.com'
+        |         ELSE 'site' || (doc_id % 97) END AS domain
+        |  FROM fp WHERE rn = 1),
+        |q AS (
+        |  SELECT doc_id, domain, fingerprint,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM dom)
+        |SELECT doc_id, domain, fingerprint FROM q WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
     // x74: Morton order is pure integer bit arithmetic — the oracle
     // states the interleave's definition (bit j of dim c → bit 2j+c)

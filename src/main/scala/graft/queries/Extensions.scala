@@ -1442,6 +1442,49 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x78: the END-TO-END crawl pipeline — ingestion through curation
+    * composed from the real operators, each in its production shape:
+    * WARC read (file-parallel scan of the x69 shards) → HTML wrap +
+    * [[TextFunctions.htmlToText]] extraction (map-side) → exact
+    * fingerprint dedup ([[Dedup.exact]], one shuffle) → per-domain
+    * quota ([[Curation.domainQuota]], one shuffle). The oracle states
+    * the composition's truth end-to-end from the `documents` table:
+    * extraction must recover the whitespace-normalized original text
+    * out of the markup (the x70 guarantee), the fingerprint is md5 of
+    * exactly that, dedup keeps the min doc_id per fingerprint, and the
+    * quota keeps the md5-order top 20 per planted domain — a fault in
+    * ANY stage (or in how stages hand off) hash-mismatches.
+    */
+  def x78CrawlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val warcDir = x69Fixture(s, dir)
+    val ingested = graft.sources.Warc.read(s, warcDir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("payload").cast("string").as("raw_text"))
+    // the x70-style wrap, minus the heading so extraction recovers the
+    // original text EXACTLY (escaped body, comment, script with a
+    // phantom tag opener and a literal closing tag in a string)
+    val esc = replace(replace(replace(col("raw_text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+    val html = concat(
+      lit("<html><body><!-- nav\nboilerplate --><p class=\"b\">"), esc,
+      lit("</p><script>var s='</p>';if(1<2){}</script></body></html>"))
+    val extracted = ingested
+      .select(col("doc_id"), TextFunctions.htmlToText(html).as("text"))
+    val deduped = Dedup.exact(extracted, "doc_id", "text")
+      .select(col("doc_id"), col("fingerprint"))
+    val withDomain = deduped.withColumn("domain",
+      when(col("doc_id") % 10 < 5, lit("megafarm.com"))
+        .otherwise(concat(lit("site"),
+          (col("doc_id") % 97).cast("string"))))
+    Curation.domainQuota(withDomain, "domain", "doc_id", quota = 20)
+      .select(col("doc_id"), col("domain"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

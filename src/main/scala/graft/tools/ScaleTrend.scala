@@ -68,7 +68,28 @@ object ScaleTrend {
         col("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
+    synthesizeSf1Lineitem(spark, srcDir, outDir)
     fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE")).close()
+  }
+
+  /** lineitem replication for x74 (Z-order key over orderkey/partkey),
+    * guarded separately so a synthesis dir written before x74 existed
+    * backfills just this table instead of rebuilding everything.
+    */
+  private def synthesizeSf1Lineitem(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$outDir/_DONE_LINEITEM")
+    if (fs.exists(done)) return
+    val ks = spark.range(0, Replicas).select(col("id").as("k"))
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    li.crossJoin(ks)
+      .select((col("l_orderkey") + col("k") * Stride).as("l_orderkey"),
+        (col("l_partkey") + col("k") * Stride).as("l_partkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    fs.create(done).close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,6 +107,7 @@ object ScaleTrend {
     val sf1Dir = s"${System.getProperty("java.io.tmpdir")}/graft_synth_sf1"
     println("=== synthesizing sf1 (10x sf0.1, disjoint replica vocab)")
     synthesizeSf1(spark, "/root/testdata/sf0.1", sf1Dir)
+    synthesizeSf1Lineitem(spark, "/root/testdata/sf0.1", sf1Dir)
 
     val headline = Seq("x3_jaccard_pairs", "x4_minhash_pairs",
       "x60_incremental_lsh", "x62_indexed_incremental",
@@ -104,7 +126,7 @@ object ScaleTrend {
       // honest worst case), x76 encodes distinct words once then
       // probes map-side
       "x72_url_curation", "x73_shuffle_shards", "x74_zorder_layout",
-      "x75_bpe_train", "x76_bpe_encode")
+      "x75_bpe_train", "x76_bpe_encode", "x77_domain_quota")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
