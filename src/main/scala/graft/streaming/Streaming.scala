@@ -156,6 +156,40 @@ object Streaming {
         col(s"r.$rightTime") <= col(s"l.$leftTime"))
   }
 
+  case class DomDoc(doc_id: Long, domain: String)
+
+  /** Streaming per-domain quota — the ingest-time twin of
+    * [[graft.operators.Curation.domainQuota]]: keep the FIRST `quota`
+    * documents per domain across the stream's lifetime. State is one
+    * Long per domain ever seen (the kept count) — O(domains), never
+    * O(corpus), and a mega-domain costs exactly the same state as any
+    * other. Semantics differ from the batch form on purpose: a stream
+    * has an arrival order, so first-come-first-kept is the natural
+    * contract (and re-running the same ordered feed reproduces the
+    * same kept set); the batch md5-order form is the one to use when
+    * the kept set must be independent of ingestion order.
+    *
+    * NoTimeout: a domain's count must survive arbitrarily long idle
+    * gaps or the cap silently resets — the state is a counter, not a
+    * buffer, so "never expire" costs bytes per domain, not per row.
+    */
+  def domainQuotaStream(docs: DataFrame, idCol: String,
+      domainCol: String, quota: Int): Dataset[DomDoc] = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).cast("string").as("domain")).as[DomDoc]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, DomDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[DomDoc], state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L)
+          val kept = it.take((quota - seen).toInt.max(0)).toList
+          if (kept.nonEmpty) state.update(seen + kept.size)
+          kept.iterator
+      }
+  }
+
   /** Watermarked streaming deduplication: the first arrival of each
     * `idCol` wins — including redeliveries that carry a DIFFERENT
     * timestamp (at-least-once transports often restamp), which is why

@@ -716,4 +716,39 @@ class StreamingSpec extends SparkSpec {
       .sortBy(r => (r._1, r._2)).toSeq
     assert(got == expected)
   }
+
+  test("domainQuotaStream: first-quota-per-domain across micro-batches, " +
+      "cap survives idle batches, later arrivals at a full domain drop") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = Streaming.domainQuotaStream(
+      input.toDF.toDF("doc_id", "domain"), "doc_id", "domain", quota = 3)
+    val q = stream.writeStream.format("memory").queryName("dom_quota")
+      .outputMode("append").start()
+    try {
+      def kept(): Map[String, Set[Long]] = spark.table("dom_quota")
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // batch 1: A under quota, B exactly at quota
+      input.addData(Seq(1L -> "A", 2L -> "A", 10L -> "B", 11L -> "B",
+        12L -> "B"))
+      q.processAllAvailable()
+      assert(kept() == Map("A" -> Set(1L, 2L), "B" -> Set(10L, 11L, 12L)))
+      // batch 2: A tops up to 3 then drops; B (already full) all drop;
+      // C starts fresh
+      input.addData(Seq(3L -> "A", 4L -> "A", 13L -> "B", 20L -> "C"))
+      q.processAllAvailable()
+      assert(kept() == Map("A" -> Set(1L, 2L, 3L),
+        "B" -> Set(10L, 11L, 12L), "C" -> Set(20L)))
+      // batch 3 after B/C idle a batch: counters persisted, not reset
+      input.addData(Seq(14L -> "B", 21L -> "C", 22L -> "C", 23L -> "C"))
+      q.processAllAvailable()
+      val finalKept = kept()
+      assert(finalKept("B") == Set(10L, 11L, 12L), "B cap must survive")
+      assert(finalKept("C") == Set(20L, 21L, 22L), finalKept.toString)
+      // total = quota-bounded per domain
+      assert(finalKept.values.forall(_.size <= 3))
+    } finally q.stop()
+  }
 }
