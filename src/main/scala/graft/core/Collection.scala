@@ -203,12 +203,22 @@ final class Collection private[core] (
       maxRecordsPerFile: Long = 0L,
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
+      zOrderBy: Seq[String] = Nil,
+      zOrderBits: Int = 10,
       allowSchemaDrift: Boolean = false): Unit = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are alternative layouts — pass one")
     recoverCompact() // never write beside a stranded swap
     if (mode == SaveMode.Append && !allowSchemaDrift && hasData)
       checkAppendSchema(df)
     val src =
-      if (clusterBy.isEmpty) df
+      if (zOrderBy.nonEmpty)
+        // multi-dimension clustering: rank-bucketed Morton order, so
+        // footer min/max stays tight on EVERY zOrderBy column and a
+        // filter on any of them prunes files (Layout.fileSpans is the
+        // audit). clusterBy remains the 1-D range layout.
+        graft.operators.Layout.zClustered(df, zOrderBy, zOrderBits)
+      else if (clusterBy.isEmpty) df
       else rangeClustered(df, clusterBy, None)
     val w = src.write
       .mode(mode)

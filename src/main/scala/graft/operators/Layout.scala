@@ -43,6 +43,30 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** `df` re-arranged along the Z-curve of `clusterCols`: each column
+    * is rank-bucketed to `bits` bits (so arbitrary skewed numeric
+    * columns interleave meaningfully — see [[rankBuckets]]), the Morton
+    * key range-partitions the frame (into `numFiles` when given, else
+    * Spark's default parallelism) and orders rows within partitions,
+    * and the scaffolding columns are dropped. This is the reusable
+    * half of [[writeZOrdered]]; [[graft.core.Collection]]'s `zOrderBy`
+    * write mode routes through it so the engine's own table format
+    * gets multi-dimension clustering natively.
+    */
+  def zClustered(df: DataFrame, clusterCols: Seq[String], bits: Int,
+      numFiles: Option[Int] = None): DataFrame = {
+    val bucketed = clusterCols.foldLeft(df)(
+      (acc, c) => rankBuckets(acc, c, bits))
+    val z = zValue(clusterCols.map(c => col(s"${c}_bucket")), bits)
+    val keyed = bucketed.withColumn("__z", z)
+    val rp = numFiles match {
+      case Some(n) => keyed.repartitionByRange(n, col("__z"))
+      case None => keyed.repartitionByRange(col("__z"))
+    }
+    rp.sortWithinPartitions(col("__z"))
+      .drop("__z" +: clusterCols.map(c => s"${c}_bucket"): _*)
+  }
+
   /** Write `df` clustered on the Z-curve of `clusterCols` (each scaled
     * to `bits` bits): range-partition by the Morton key into
     * `numFiles` files, sort within each, drop the key from the stored
