@@ -140,6 +140,7 @@ object SparkEntry {
     "x76_bpe_encode" -> Extensions.x76BpeEncode,
     "x77_domain_quota" -> Extensions.x77DomainQuota,
     "x78_crawl_pipeline" -> Extensions.x78CrawlPipeline,
+    "x79_pca_project" -> Extensions.x79PcaProject,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -524,6 +525,10 @@ object SparkEntry {
     // restatement would be a second trainer, not an oracle; BpeSpec
     // gates both against an independent driver-side reference BPE on
     // the full fixture corpus plus closed-form hand-computed corpora.
+    // x79_pca_project is float eigenanalysis (the x61 argument);
+    // SimilaritySpec gates it with exact invariants — orthonormality,
+    // variance ordering, compiled projection ≡ driver matmul,
+    // full-rank rotation preserving distances.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     // x55: seeded-quantizer SemDeDup — the cell partition (id-order
     // seed centroids, double-precision squared-L2 argmin, lowest-seed

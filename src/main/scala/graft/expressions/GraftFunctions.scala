@@ -20,6 +20,9 @@ object GraftFunctions {
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def matProject(a: Column, mean: Seq[Double],
+      components: Seq[Seq[Double]]): Column =
+    c(MatProject(e(a), mean, components))
   def vecNormSq(a: Column): Column = c(VecNormSq(e(a)))
   def vecL2Sq(a: Column, b: Column): Column = c(VecL2Sq(e(a), e(b)))
   def hyperplaneBucket(a: Column, nBits: Int, dim: Int = -1): Column =

@@ -483,3 +483,53 @@ case class Int8QuantStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
     copy(child = newChild)
 }
+
+/** Mean-centered matrix projection `y = P(x − μ)` for one float vector,
+  * as ONE map-side compiled pass — the PCA/dimension-reduction apply
+  * step ([[graft.operators.Embeddings]]). The k×d projection matrix and
+  * the mean ride inside the expression (k·d doubles — the same payload
+  * a broadcast would ship) via the codegen reference object, so the
+  * enclosing stage stays whole-stage compiled and NOTHING shuffles:
+  * reducing a 100 TB embedding column is a pure scan.
+  *
+  * Output is float (the engine's embedding element type) so projected
+  * vectors compose with every existing kernel (VecDot, banding, IVF).
+  */
+case class MatProject(child: Expression, mean: Seq[Double],
+    components: Seq[Seq[Double]])
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(components.nonEmpty, "need at least one component")
+  require(components.forall(_.length == mean.length),
+    "component dims must match the mean dim")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_mat_project"
+
+  @transient private lazy val mu: Array[Double] = mean.toArray
+  @transient private lazy val p: Array[Array[Double]] =
+    components.map(_.toArray).toArray
+
+  override def kernel(a: Any): Any = {
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
+    val d = math.min(xs.length, mu.length)
+    val k = p.length
+    val out = new Array[Any](k)
+    var r = 0
+    while (r < k) {
+      val row = p(r)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        acc += row(i) * (xs(i).toDouble - mu(i))
+        i += 1
+      }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatProject =
+    copy(child = newChild)
+}

@@ -1485,6 +1485,25 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x79: PCA dimension reduction — train 16 components over the
+    * embedding corpus (distributed covariance, driver d×d eigen),
+    * project every vector through the compiled
+    * [[graft.expressions.MatProject]] pass. NO SQL oracle: float
+    * eigenanalysis (the x61 argument — sign/rotation ambiguity and
+    * reduction-order float sums make a cross-engine restatement
+    * meaningless); SimilaritySpec gates it with exact invariants
+    * (orthonormality, variance ordering, compiled-pass ≡ driver
+    * matmul, full-rank rotation preserving distances, reconstruction
+    * error monotone in k). Output is the deterministic shape only.
+    */
+  def x79PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val m = graft.operators.Embeddings.trainPca(e, "embedding", k = 16)
+    graft.operators.Embeddings.projectPca(e, "embedding", m)
+      .select(col("vec_id"), size(col("projected")).as("n_dims"))
+      .orderBy(col("vec_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

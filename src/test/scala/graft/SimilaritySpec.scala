@@ -486,4 +486,71 @@ class SimilaritySpec extends SparkSpec {
       .toSeq == ivf.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .toSeq, "hash-sampled training must be run-deterministic")
   }
+
+  test("PCA: orthonormal components, non-increasing explained " +
+      "variance, compiled projection equals driver matmul") {
+    import graft.operators.Embeddings
+    val m = Embeddings.trainPca(emb, "embedding", k = 8)
+    assert(m.k == 8 && m.dim == 64)
+    // orthonormality: P Pᵀ ≈ I (rows are the components)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val dot = (0 until 64).map(t => m.components(i)(t) *
+        m.components(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"PPt($i,$j)=$dot")
+    }
+    val ev = m.explainedVariance
+    assert(ev.forall(_ >= 0.0) && ev.sum <= 1.0 + 1e-9)
+    for (Seq(a, b) <- ev.sliding(2)) assert(a >= b - 1e-12, ev.toString)
+    // the compiled MatProject pass equals a driver-side y = P(x − μ)
+    val got = Embeddings.projectPca(emb, "embedding", m)
+      .select(col("vec_id"), col("projected")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((id, x) <- vecs.take(50)) {
+      val want = m.components.map(row =>
+        (0 until 64).map(t => row(t) * (x(t) - m.mean(t))).sum)
+      val g = got(id)
+      assert(g.length == 8)
+      for (t <- 0 until 8)
+        assert(math.abs(g(t) - want(t)) < 1e-4,
+          s"vec $id comp $t: ${g(t)} vs ${want(t)}")
+    }
+  }
+
+  test("PCA: full-rank projection is a rotation — pairwise distances " +
+      "preserved exactly; reconstruction error monotone in k and ~0 " +
+      "at full rank") {
+    import graft.operators.Embeddings
+    val full = Embeddings.trainPca(emb, "embedding", k = 64)
+    val proj = Embeddings.projectPca(emb, "embedding", full)
+      .select(col("vec_id"), col("projected")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt((0 until a.length)
+        .map(i => (a(i).toDouble - b(i)) * (a(i).toDouble - b(i))).sum)
+    val ids = vecs.keys.toSeq.sorted.take(20)
+    for (i <- ids; j <- ids if i < j) {
+      val dRaw = l2(vecs(i), vecs(j))
+      val dProj = l2(proj(i), proj(j))
+      assert(math.abs(dRaw - dProj) < 1e-2 * (1.0 + dRaw),
+        s"($i,$j): raw $dRaw proj $dProj")
+    }
+    // reconstruction mse from k components, driver-side on a sample
+    def mse(k: Int): Double = {
+      val m = Embeddings.trainPca(emb, "embedding", k)
+      val sample = vecs.toSeq.sortBy(_._1).take(100)
+      sample.map { case (_, x) =>
+        val y = m.components.map(row =>
+          (0 until 64).map(t => row(t) * (x(t) - m.mean(t))).sum)
+        val xhat = (0 until 64).map(t =>
+          m.mean(t) + m.components.indices.map(c =>
+            m.components(c)(t) * y(c)).sum)
+        (0 until 64).map(t => math.pow(x(t) - xhat(t), 2)).sum / 64.0
+      }.sum / sample.size
+    }
+    val (m2, m8, m32, m64) = (mse(2), mse(8), mse(32), mse(64))
+    assert(m2 >= m8 - 1e-12 && m8 >= m32 - 1e-12 && m32 >= m64 - 1e-12,
+      s"$m2 $m8 $m32 $m64")
+    assert(m64 < 1e-9, s"full-rank reconstruction must be exact: $m64")
+  }
 }
