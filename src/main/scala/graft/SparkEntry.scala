@@ -756,6 +756,59 @@ object SparkEntry {
          |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id,
          |  ROUND(cos_raw, 6) AS cos
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // x8: the x34-style flip the r8 verdict's audit asked to attempt —
+    // hyperplane LSH has NO iterated float means (the x17 blocker), so
+    // with the engine's deterministic coefficients as literals the
+    // whole pipeline is exactly statable: 6 sign-bit buckets, radius-2
+    // multiprobe ≡ Hamming(qbucket, cbucket) <= 2, exact-cosine rerank
+    // ranked on the RAW cosine (rounding only in the output projection,
+    // matching the Spark window's ordering)
+    "x8_knn_lsh" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq,
+         |    ${hyperplaneBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CASE WHEN sqrt(q.nsq)*sqrt(e.nsq) = 0 THEN 0
+         |      ELSE ${dotSql("q.embedding", "e.embedding")}/(sqrt(q.nsq)*sqrt(e.nsq)) END AS cos_raw
+         |  FROM n q JOIN n e
+         |    ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+         |   AND bit_count(xor(q.bucket, e.bucket)) <= 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id,
+         |  ROUND(cos_raw, 6) AS cos
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // x14: the same flip — banding over FIXED hyperplanes is
+    // deterministic, not probabilistic, once the coefficients are
+    // literals: candidates = pairs sharing >= 1 of the 24 five-bit
+    // band buckets (the cap never engages below 4096-member buckets —
+    // orders of magnitude above these corpora — and pairs are
+    // distinct()), verified at ROUNDED cosine >= 0.45 exactly as the
+    // operator filters
+    "x14_neardup_lsh" -> {
+      val bucketCols = (0 until 24)
+        .map(b => s"${bandBucketSql("embedding", b)} AS b$b")
+        .mkString(",\n    ")
+      val shareBand = (0 until 24).map(b => s"a.b$b = e.b$b")
+        .mkString(" OR ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${normSqSql("embedding")} AS nsq,
+         |    $bucketCols
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS id1, e.vec_id AS id2,
+         |    ROUND(CASE WHEN sqrt(a.nsq)*sqrt(e.nsq) = 0 THEN 0
+         |      ELSE ${dotSql("a.embedding", "e.embedding")}/(sqrt(a.nsq)*sqrt(e.nsq)) END, 6) AS cos
+         |  FROM n a JOIN n e
+         |    ON a.vec_id < e.vec_id AND ($shareBand))
+         |SELECT id1, id2, cos FROM cand WHERE cos >= 0.45
+         |ORDER BY id1, id2""".stripMargin
+    },
     "x9_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(LENGTH(text) AS INTEGER) AS n_chars,
@@ -1432,6 +1485,43 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** x8's 6-bit hyperplane bucket restated exactly: the engine's
+    * deterministic coefficients ([[graft.expressions.HyperplaneBucket
+    * .coef]]) are emitted as double literals (Double.toString
+    * round-trips), and each projection is the same fixed-order
+    * left-to-right double sum the compiled kernel runs — the same
+    * list_sum machinery the x6/x7 oracles already prove engine-exact.
+    * nBits = 6 over the 64-dim embeddings.
+    */
+  private def hyperplaneBucketSql(vecCol: String): String = {
+    val bits = (0 until 6).map { b =>
+      val coefs = (0 until 64)
+        .map(j => graft.expressions.HyperplaneBucket.coef(b, j))
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($vecCol, $coefs), " +
+        s"x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN ${1L << b} " +
+        "ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** One of x14's 24 five-bit band buckets (hyperplane index =
+    * band·5 + bit — [[graft.expressions.HyperplaneBands]]'s layout),
+    * restated with the same literal-coefficient fixed-order-sum device
+    * as [[hyperplaneBucketSql]].
+    */
+  private def bandBucketSql(vecCol: String, band: Int): String = {
+    val bits = (0 until 5).map { bit =>
+      val coefs = (0 until 64)
+        .map(j => graft.expressions.HyperplaneBucket.coef(band * 5 + bit, j))
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($vecCol, $coefs), " +
+        s"x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN ${1L << bit} " +
+        "ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
 
   private def l2SqSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"

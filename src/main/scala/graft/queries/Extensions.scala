@@ -79,8 +79,11 @@ object Extensions {
     * corpus supports (24 bands × 5 bits — per-pair detection
     * 1−(1−p⁵)²⁴ ≈ 0.95 at cos 0.45, where p = 1−θ/π; the production
     * 0.95-threshold setting is 16×8, spec-asserted on planted
-    * near-dups). Subset-of-x6 with identical cosines is asserted in the
-    * spec suite, not the oracle.
+    * near-dups). DuckDB-oracle-checked since round 9: banding over
+    * FIXED hyperplanes is deterministic once the coefficients are
+    * stated as literals, so the oracle recomputes the 24 band buckets
+    * and the verified pair set exactly; subset-of-x6 with identical
+    * cosines additionally asserted in the spec suite.
     */
   def x14NearDupLsh(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.cosineNearDupPairsLSH(emb(s, dir), "vec_id",
@@ -128,8 +131,12 @@ object Extensions {
   }
 
   /** x8: LSH ANN top-5 (6-bit hyperplane buckets, radius-2 multiprobe →
-    * 22 of 64 buckets per query) — recall vs x7 asserted in the spec
-    * suite, not the oracle.
+    * 22 of 64 buckets per query). DuckDB-oracle-checked since round 9
+    * via the x34-style flip: the hyperplanes are FIXED deterministic
+    * coefficients, so the oracle restates the bucket signs with the
+    * same literal coefficients and fixed-order double sums (no
+    * iterated means — the blocker that keeps x17 spec-gated); recall
+    * vs x7 additionally asserted in the spec suite.
     */
   def x8KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
