@@ -141,6 +141,7 @@ object SparkEntry {
     "x77_domain_quota" -> Extensions.x77DomainQuota,
     "x78_crawl_pipeline" -> Extensions.x78CrawlPipeline,
     "x79_pca_project" -> Extensions.x79PcaProject,
+    "x80_video_meta" -> Extensions.x80VideoMeta,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -695,6 +696,16 @@ object SparkEntry {
          |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
          |FROM z GROUP BY zb ORDER BY zb""".stripMargin
     },
+    // x80: every container field is closed-form in doc_id (timescale
+    // 1000 makes duration_ms = duration; the optional second track is
+    // 0x0 audio so the first track always owns the size)
+    "x80_video_meta" ->
+      """SELECT doc_id, 'mp4' AS container, 'isom' AS brand,
+        |  CAST(1500 + (doc_id % 11) * 250 AS BIGINT) AS duration_ms,
+        |  CAST(1 + (doc_id % 2) AS INTEGER) AS n_tracks,
+        |  CAST(320 + (doc_id % 5) * 16 AS INTEGER) AS width,
+        |  CAST(240 + (doc_id % 3) * 16 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,

@@ -652,6 +652,198 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  val videoSchema: StructType = StructType(Seq(
+    StructField("container", StringType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Parse an ISO base-media-file-format (MP4, ISO 14496-12) container's
+    * METADATA — brand, movie duration, track count, presentation size —
+    * by walking the box tree (`ftyp`, `moov`/`mvhd`, `trak`/`tkhd`,
+    * 32- and 64-bit box sizes, mvhd/tkhd versions 0 and 1). This is a
+    * REAL parse of the container the stock JDK can't decode frames
+    * from: codec work (H.264 etc.) stays the documented stub, but
+    * duration/resolution/track filtering — the curation decisions a
+    * video corpus actually makes before spending GPU decode — run on
+    * true container values. Returns None for non-BMFF bytes; malformed
+    * boxes degrade to None, never an error (the crawl totality
+    * contract).
+    */
+  private[multimodal] def readMp4Meta(bytes: Array[Byte])
+      : Option[(String, Long, Int, Int, Int)] = {
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+    def fourcc(p: Int): String =
+      new String(bytes, p, 4, "US-ASCII")
+    // walk the boxes in [from, to); returns (header size, body bounds)
+    // per box via the callback
+    def walk(from: Long, to: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var p = from
+      while (p + 8 <= to) {
+        val size0 = u32(p.toInt)
+        val typ = fourcc(p.toInt + 4)
+        val (size, hdr) =
+          if (size0 == 1L) {
+            if (p + 16 > to) return false
+            (u64(p.toInt + 8), 16L)
+          } else if (size0 == 0L) (to - p, 8L)
+          else (size0, 8L)
+        if (size < hdr || p + size > to) return false
+        f(typ, p + hdr, p + size)
+        p += size
+      }
+      p == to
+    }
+    try {
+      if (bytes.length < 16) return None
+      if (fourcc(4) != "ftyp") return None
+      var brand = ""
+      var durationMs = -1L
+      var nTracks = 0
+      var width = 0
+      var height = 0
+      val ok = walk(0L, bytes.length.toLong) { (typ, bFrom, bTo) =>
+        typ match {
+          case "ftyp" if bTo - bFrom >= 4 =>
+            brand = fourcc(bFrom.toInt)
+          case "moov" =>
+            walk(bFrom, bTo) { (t2, cFrom, cTo) =>
+              t2 match {
+                case "mvhd" if cTo - cFrom >= 20 =>
+                  val v = bytes(cFrom.toInt) & 0xff
+                  val (ts, dur) =
+                    if (v == 1 && cTo - cFrom >= 28)
+                      (u32(cFrom.toInt + 20), u64(cFrom.toInt + 24))
+                    else (u32(cFrom.toInt + 12), u32(cFrom.toInt + 16))
+                  if (ts > 0) durationMs = dur * 1000L / ts
+                case "trak" =>
+                  nTracks += 1
+                  walk(cFrom, cTo) { (t3, dFrom, dTo) =>
+                    if (t3 == "tkhd" && dTo - dFrom >= 84) {
+                      val v = bytes(dFrom.toInt) & 0xff
+                      val wOff = if (v == 1) 88 else 76
+                      if (dTo - dFrom >= wOff + 8) {
+                        val w = (u32(dFrom.toInt + wOff) >> 16).toInt
+                        val h = (u32(dFrom.toInt + wOff + 4) >> 16).toInt
+                        // first track with a real presentation size wins
+                        // (audio tracks carry 0×0)
+                        if (width == 0 && w > 0) { width = w; height = h }
+                      }
+                    }
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (!ok || durationMs < 0) None
+      else Some((brand, durationMs, nTracks, width, height))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+  }
+
+  /** Batched per-partition video-container metadata — appends a `video`
+    * struct ([[videoSchema]]) per row; same execution shape as
+    * [[decodePayloads]]. Non-BMFF payloads report the deterministic
+    * byte-length fallback (`container = "unknown"`), keeping mixed
+    * corpora total.
+    */
+  def videoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("video", videoSchema, nullable = false))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = payloadBytes(row, payloadIdx)
+          val v = readMp4Meta(bytes) match {
+            case Some((brand, durMs, nTracks, w, h)) =>
+              Row("mp4", brand, durMs, nTracks, w, h)
+            case None =>
+              Row("unknown", "", bytes.length.toLong, 0, 0, 0)
+          }
+          Row.fromSeq(row.toSeq :+ v)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Serialize a minimal valid MP4 (ftyp + moov(mvhd, trak(tkhd)...))
+    * — the fixture/re-shard writer twin of [[videoMeta]],
+    * deterministic for identical inputs. Tracks are (width, height)
+    * pairs; zero-sized tracks model audio.
+    */
+  def mp4Bytes(brand: String, timescale: Long, duration: Long,
+      tracks: Seq[(Int, Int)]): Array[Byte] = {
+    require(brand.length == 4, "brand must be a 4cc")
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+      buf.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    val ftyp = box("ftyp",
+      (brand + "    " + brand).getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(timescale.toInt).putInt(duration.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.putLong(0) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(tracks.length + 1) // next track id
+      box("mvhd", b.array())
+    }
+    val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7) // version 0, flags: enabled|in_movie|in_preview
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(i + 1).putInt(0) // track id, reserved
+      b.putInt(duration.toInt)
+      b.putLong(0) // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      b.putInt(w << 16).putInt(h << 16)
+      box("trak", box("tkhd", b.array()))
+    }
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    ftyp ++ moov
+  }
+
+  /** Deterministic MP4 payload generator for fixtures and the x80
+    * oracle: per id, timescale 1000 with duration `1500 + (id % 11)·250`
+    * (so duration_ms = duration exactly), `1 + id % 2` tracks — the
+    * first `(320 + (id % 5)·16) × (240 + (id % 3)·16)` video, the
+    * optional second a 0×0 audio track — so every metadata field
+    * [[videoMeta]] reports is CLOSED-FORM in the id.
+    */
+  def attachMp4Payload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val w = (320 + (id % 5) * 16).toInt
+        val h = (240 + (id % 3) * 16).toInt
+        val tracks =
+          if (id % 2 == 1) Seq((w, h), (0, 0)) else Seq((w, h))
+        val bytes = mp4Bytes("isom", 1000L, 1500 + (id % 11) * 250, tracks)
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Serialize 16-bit mono PCM to a canonical 44-byte-header WAV —
     * the fixture/re-shard writer twin of [[decodeAudio]], deterministic
     * for identical samples.

@@ -1511,6 +1511,34 @@ object Extensions {
       .orderBy(col("vec_id"))
   }
 
+  /** x80: REAL MP4 container-metadata parse over synthesized payloads —
+    * the video leg of the multimodal family on the x71 closed-form
+    * pattern: [[Multimodal.attachMp4Payload]] renders a deterministic
+    * ISO-BMFF container per document (timescale, duration, track list
+    * and presentation size all pure functions of doc_id),
+    * [[Multimodal.videoMeta]] walks the real box tree (ftyp/moov/mvhd/
+    * trak/tkhd), and the oracle states every reported field from first
+    * principles — a flipped byte in the box writer, a wrong offset in
+    * either mvhd version, or the audio track winning the size all
+    * hash-mismatch. Frame DECODE stays the documented stub (no codec
+    * in the stock JDK); duration/resolution/track curation — the
+    * decisions made before spending GPU decode — run on true container
+    * values.
+    */
+  def x80VideoMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    Multimodal.videoMeta(
+        Multimodal.attachMp4Payload(d, "doc_id"), "payload")
+      .select(col("doc_id"),
+        col("video.container").as("container"),
+        col("video.brand").as("brand"),
+        col("video.duration_ms").as("duration_ms"),
+        col("video.n_tracks").as("n_tracks"),
+        col("video.width").as("width"),
+        col("video.height").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

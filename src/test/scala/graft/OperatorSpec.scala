@@ -1047,4 +1047,60 @@ class OperatorSpec extends SparkSpec {
     assert(!a3.getAs[Boolean]("is_audio"))
     assert(a3.getAs[Int]("sample_rate") == 16000) // deterministic synth
   }
+
+  test("videoMeta parses REAL MP4 container metadata — brand, " +
+      "timescale-scaled duration, track count, first video track's " +
+      "size — across box versions; garbage degrades to the fallback") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val mp4 = Multimodal.mp4Bytes("mp42", timescale = 600,
+      duration = 1800, tracks = Seq((640, 360), (0, 0)))
+    val wav = Multimodal.wavBytes(Array[Short](1, 2, 3), 16000)
+    val df = Seq((1L, mp4), (2L, wav),
+      (3L, Array.tabulate(50)(_.toByte))).toDF("doc_id", "payload")
+    val got = Multimodal.videoMeta(df, "payload")
+      .select(col("doc_id"), col("video.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val v1 = got(1L)
+    assert(v1.getAs[String]("container") == "mp4")
+    assert(v1.getAs[String]("brand") == "mp42")
+    assert(v1.getAs[Long]("duration_ms") == 3000L, // 1800/600 s
+      v1.toString)
+    assert(v1.getAs[Int]("n_tracks") == 2)
+    assert(v1.getAs[Int]("width") == 640 &&
+      v1.getAs[Int]("height") == 360,
+      "the 0x0 audio track must not win the presentation size")
+    // WAV and garbage both take the deterministic non-video fallback
+    for (id <- Seq(2L, 3L)) {
+      assert(got(id).getAs[String]("container") == "unknown", id)
+      assert(got(id).getAs[Int]("n_tracks") == 0)
+    }
+    // version-1 mvhd/tkhd (64-bit times) parse too: splice the v0
+    // fixture into v1 boxes by hand
+    val v1mvhd = {
+      val b = java.nio.ByteBuffer.allocate(112)
+      b.putInt(0x01000000) // version 1
+      b.putLong(0).putLong(0) // creation, modification (64-bit)
+      b.putInt(1000).putLong(2750) // timescale, duration (64-bit)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.putLong(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      (0 until 6).foreach(_ => b.putInt(0))
+      b.putInt(2)
+      b.array()
+    }
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom    isom".getBytes("US-ASCII"))
+    val onlyMvhd = ftyp ++ box("moov", box("mvhd", v1mvhd))
+    val gotV1 = Multimodal.videoMeta(
+        Seq((9L, onlyMvhd)).toDF("doc_id", "payload"), "payload")
+      .select(col("video.duration_ms"), col("video.n_tracks"))
+      .head()
+    assert(gotV1.getLong(0) == 2750L && gotV1.getInt(1) == 0)
+  }
 }
