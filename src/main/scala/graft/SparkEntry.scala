@@ -142,6 +142,8 @@ object SparkEntry {
     "x78_crawl_pipeline" -> Extensions.x78CrawlPipeline,
     "x79_pca_project" -> Extensions.x79PcaProject,
     "x80_video_meta" -> Extensions.x80VideoMeta,
+    "x81_quality_score" -> Extensions.x81QualityScore,
+    "x82_quality_train" -> Extensions.x82QualityTrain,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -530,6 +532,13 @@ object SparkEntry {
     // SimilaritySpec gates it with exact invariants — orthonormality,
     // variance ordering, compiled projection ≡ driver matmul,
     // full-rank rotation preserving distances.
+    // x82_quality_train is iterative: each gradient depends on the
+    // previous weights through the transcendental σ link (the x75
+    // argument), so no SQL restatement exists; QualityClassifierSpec
+    // gates the trained weights EXACTLY (quantized-long gradient sums
+    // make them partitioning-independent) against an independent
+    // driver-side reference trainer, plus learnability on a separable
+    // corpus. The frozen-weights INFERENCE pass is x81, oracle-checked.
     "x3_jaccard_pairs" -> jaccardPairsSql,
     // x55: seeded-quantizer SemDeDup — the cell partition (id-order
     // seed centroids, double-precision squared-L2 argmin, lowest-seed
@@ -706,6 +715,11 @@ object SparkEntry {
         |  CAST(320 + (doc_id % 5) * 16 AS INTEGER) AS width,
         |  CAST(240 + (doc_id % 3) * 16 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x81: the frozen quality model's longs re-emitted as SQL literals
+    // (the x8/x14 literal-coefficient device, with NO float summation
+    // at all — logits are exact integer sums of quantized weights, and
+    // the md5 bucket is the x73 strpos-nibble arithmetic)
+    "x81_quality_score" -> qualityScoreSql,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,
@@ -1532,6 +1546,40 @@ object SparkEntry {
         "ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")
+  }
+
+  /** x81's frozen linear quality model restated exactly: the engine's
+    * quantized-long weights ([[graft.operators.QualityClassifier
+    * .refModel]]) are emitted as integer literals, the feature bucket
+    * is the first-16-bits md5 scaling x73 already proves
+    * engine-identical, and the logit is an exact integer sum — no
+    * float arithmetic anywhere, so the statement is bit-for-bit.
+    */
+  private def qualityScoreSql: String = {
+    val m = graft.operators.QualityClassifier.refModel(seed = 9, dim = 64)
+    val wlist = m.weightsQ.mkString("[", ", ", "]")
+    def nib(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(md5(token),$i,1))-1)"
+    val bucket =
+      s"(((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) " +
+        "* 64) // 65536)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(
+       |    lower(COALESCE(text, '')), '\\s+'), x -> length(x) > 0)) AS token
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, list_extract($wlist, $bucket + 1) AS wq
+       |  FROM toks),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(wq) AS BIGINT) AS wsum
+       |  FROM w GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(${m.biasQ} + COALESCE(s.wsum, 0) AS BIGINT) AS logit_q,
+       |  (${m.biasQ} + COALESCE(s.wsum, 0)) > 0 AS keep
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def l2SqSql(a: String, b: String): String =

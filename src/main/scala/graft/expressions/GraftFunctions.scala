@@ -45,6 +45,11 @@ object GraftFunctions {
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(e(text), k, w))
+  def hashedLinearLogit(text: Column, weightsQ: Seq[Long],
+      biasQ: Long): Column =
+    c(HashedLinearLogit(e(text), weightsQ, biasQ))
+  def hashedBucketCounts(text: Column, dim: Int): Column =
+    c(HashedBucketCounts(e(text), dim))
   def int8QuantStats(a: Column): Column = c(Int8QuantStats(e(a)))
   def bloomContains(bits: Column, hash: Column, numHashes: Int): Column =
     c(BloomContains(e(bits), e(hash), numHashes))

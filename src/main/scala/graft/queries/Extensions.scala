@@ -1539,6 +1539,57 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x81: learned quality scoring under FROZEN weights — the 100 TB
+    * shape of a model-based filter (CCNet/DCLM style): training
+    * happened once on a labeled sample (x82); the corpus pass applies
+    * the frozen model as ONE compiled map-side kernel, zero exchanges.
+    * Exact-integer logits (weights quantized to 1e-9 longs, md5-bucket
+    * features) make the output bit-for-bit statable in DuckDB — the
+    * oracle re-emits the model's longs as SQL literals (the x8/x14
+    * literal-coefficient device, here with NO float summation at all).
+    */
+  def x81QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.QualityClassifier.refModel(seed = 9, dim = 64)
+    graft.operators.QualityClassifier
+      .score(docs(s, dir), "doc_id", "text", m)
+      .orderBy(col("doc_id"))
+  }
+
+  /** x82: quality-classifier TRAINING on the labeled fixture (label =
+    * a signed token-count threshold, linearly representable in the
+    * hashed feature space — see the label note below), then
+    * self-scoring.
+    * NO SQL oracle: every iteration's gradient depends on the previous
+    * weights through the transcendental σ link (the x75 iteration
+    * argument); QualityClassifierSpec gates train exactly — quantized-
+    * long gradient sums make the weights partitioning-independent and
+    * equal to an independent driver-side reference trainer VERBATIM —
+    * plus separable-corpus learnability and the overflow guard.
+    */
+  def x82QualityTrain(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // label: a signed token-count threshold — exactly representable by
+    // a linear model over the hashed count features (the fixture's
+    // lang column is NOT text-derivable: every language draws from the
+    // same token soup, measured ceiling ~0.64), so training has a true
+    // signal to find; accuracy ≈ 0.97-0.996 across sf fixtures
+    val toks = TextFunctions.tokens(coalesce(col("text"), lit("")))
+    val signed = size(filter(toks, t => t === "spark")) * 2 +
+      size(filter(toks, t => t === "vector")) +
+      size(filter(toks, t => t === "stream")) -
+      size(filter(toks, t => t === "slow")) -
+      size(filter(toks, t => t === "big"))
+    val labeled = d.withColumn("y", (signed > 0).cast("int"))
+    val m = graft.operators.QualityClassifier.train(labeled, "text", "y",
+      dim = 256, iters = 40, lr = 0.5)
+    graft.operators.QualityClassifier.score(labeled, "doc_id", "text", m)
+      .join(labeled.select(col("doc_id"), col("y")), "doc_id")
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        col("logit_q"), col("keep").as("pred"),
+        (col("keep") === (col("y") === 1)).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]
