@@ -126,7 +126,13 @@ object ScaleTrend {
       // honest worst case), x76 encodes distinct words once then
       // probes map-side
       "x72_url_curation", "x73_shuffle_shards", "x74_zorder_layout",
-      "x75_bpe_train", "x76_bpe_encode", "x77_domain_quota")
+      "x75_bpe_train", "x76_bpe_encode", "x77_domain_quota",
+      // round 9 (late): the learned quality classifier — x81 frozen-
+      // weights inference is a pure map pass (should track scan cost),
+      // x82 trains fresh per scale (iters × one sample pass; the sf1
+      // "sample" is the full synthesized corpus — the honest worst
+      // case for the per-iteration job overhead)
+      "x81_quality_score", "x82_quality_train")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
