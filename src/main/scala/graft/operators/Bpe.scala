@@ -12,18 +12,40 @@ import org.apache.spark.sql.functions._
   * Scale design: training NEVER iterates over the corpus. One shuffle
   * builds the word HISTOGRAM (vocab-sized — grows sublinearly in corpus
   * bytes, the reason corpus-scale BPE training is feasible at all), and
-  * every merge iteration runs on that cached histogram: pair counts are
-  * weighted by word frequency, so the result is identical to counting
-  * over the raw corpus. Applying a merge rewrites the histogram's
-  * symbol strings with one non-overlapping leftmost-first regexp pass —
-  * the same convention reference BPE implementations use — and each
-  * iteration materializes the tiny frame so plan depth stays O(1), not
-  * O(iterations).
+  * the merge loop runs over that histogram. The loop itself has two
+  * homes, picked by a MEASURED bound on the histogram size:
   *
-  * Encoding mirrors the trick: distinct words are encoded ONCE (again
-  * vocab-sized work) and broadcast-joined back to the corpus — the
-  * per-document cost is a map-side join probe, independent of the
-  * merge-table size.
+  *  - '''driver path''' (histogram rows ≤ `maxDriverWords`, default
+  *    10⁷): the histogram is collected once and the merge loop runs in
+  *    memory with incrementally-maintained pair counts and a
+  *    pair→words index, so each merge touches only the words that
+  *    contain the merged pair. This is the practical path for real
+  *    vocab sizes — 32k–100k merges as in-memory map updates instead
+  *    of 2 Spark jobs per merge (collect-argmax + rewrite), which at
+  *    production merge counts is ~10⁵ driver-round-trip jobs of pure
+  *    scheduling overhead on a vocab-sized frame. Even a 100 TB web
+  *    corpus's word histogram is ~10⁷–10⁸ rows; the default bound
+  *    keeps the collected form ≲ a few hundred MB of driver heap.
+  *  - '''distributed path''' (above the bound, or `maxDriverWords = 0`
+  *    to force it): the original per-merge pair-count agg + argmax +
+  *    regexp rewrite over the cached histogram frame — correct at any
+  *    histogram size, paying per-merge job latency.
+  *
+  * Both paths are exact and produce IDENTICAL merge tables (asserted
+  * against each other and against an independent reference trainer in
+  * BpeSpec): pair counts are frequency-weighted longs, ties break
+  * deterministically, and merge application is leftmost-first
+  * non-overlapping in both.
+  *
+  * Encoding mirrors the histogram trick: distinct words are encoded
+  * ONCE (vocab-sized work) and joined back to the corpus — the
+  * per-document cost is a join probe, independent of the merge-table
+  * size. The distinct-word table joins back under a broadcast hint
+  * ONLY when its measured in-memory bytes fit `broadcastMaxBytes`
+  * (the [[Dedup.VerifyBroadcastMaxBytes]] idiom): distinct words in a
+  * web corpus are 10⁷–10⁸ rows (typos, URLs, hashes) and an
+  * unconditional broadcast of that table is a driver/executor OOM, so
+  * above the bound the join falls back to a shuffle join on the word.
   *
   * Words are [[TextFunctions.bpeTokenPattern]] matches (letter runs,
   * digit runs, single marks) — the same pre-tokenization the rest of
@@ -63,7 +85,7 @@ object Bpe {
 
   /** One iteration's pair counts over the histogram: adjacent symbol
     * pairs weighted by word frequency. Exposed for the oracle-side
-    * story and specs; `train` uses it internally.
+    * story and specs; the distributed merge loop uses it internally.
     */
   def pairCounts(hist: DataFrame): DataFrame = {
     val syms = split(trim(col("syms")), " ")
@@ -83,6 +105,140 @@ object Bpe {
     * at least `minCount` times (default 2 — merging singletons only
     * bloats the vocab).
     *
+    * Dispatch: one distributed shuffle builds the histogram; its row
+    * count picks the merge-loop home (see the class doc) — in-memory
+    * on the driver when it fits `maxDriverWords`, the distributed
+    * per-merge loop otherwise. `maxDriverWords = 0` forces the
+    * distributed path (the spec device proving both paths identical).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L,
+      maxDriverWords: Long = 10000000L)
+      : Seq[(Int, String, String, String, Long)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxDriverWords >= 0,
+      s"maxDriverWords must be >= 0, got $maxDriverWords")
+    val hist = wordHistogram(df, textCol).localCheckpoint()
+    if (hist.count() <= maxDriverWords) {
+      val rows = hist.select(col("word"), col("weight")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      trainDriver(rows, numMerges, minCount)
+    } else trainDistributed(hist, numMerges, minCount)
+  }
+
+  /** Unicode code-point split of a word into single-character symbol
+    * strings — the same unit Spark's regexp `.` (and therefore the
+    * distributed path's charPad) produces, surrogate pairs kept whole.
+    */
+  private def codePoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Leftmost-first non-overlapping merge of adjacent (l, r) in a
+    * symbol array — the driver-path twin of [[applyMerge]]'s regexp.
+    */
+  private def mergeSyms(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** In-memory merge loop over a collected histogram. Pair counts are
+    * maintained INCREMENTALLY: a pair→containing-words index means each
+    * merge re-pairs only the words it actually rewrites (the classic
+    * fast-BPE bookkeeping), so cost per merge is the affected-word mass
+    * plus one argmax scan of the live pair table — merges/sec is
+    * bounded by vocabulary churn, not by Spark job latency. All
+    * arithmetic is exact longs, so the result is independent of map
+    * iteration order (the argmax applies the full deterministic
+    * tiebreak).
+    */
+  private[operators] def trainDriver(histRows: Array[(String, Long)],
+      numMerges: Int, minCount: Long)
+      : Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = histRows.map(r => codePoints(r._1))
+    val weights: Array[Long] = histRows.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def addWord(wi: Int): Unit = {
+      val s = syms(wi); val w = weights(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + w))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        i += 1
+      }
+    }
+    // full removal before rewrite (then full re-add) keeps the index
+    // exact even when a word contains the merged pair at several
+    // positions; entries that reach zero leave the maps so the argmax
+    // scan only ever sees live pairs
+    def removeWord(wi: Int): Unit = {
+      val s = syms(wi); val w = weights(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val left = pairCount(p) - w
+        if (left == 0L) { pairCount.remove(p); pairWords.remove(p) }
+        else { pairCount(p) = left; pairWords.get(p).foreach(_ -= wi) }
+        i += 1
+      }
+    }
+
+    var wi = 0
+    while (wi < syms.length) { addWord(wi); wi += 1 }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      var best: (String, String) = null
+      var bestC = 0L
+      for ((p, c) <- pairCount if c >= minCount) {
+        if (best == null || c > bestC ||
+            (c == bestC && (p._1 < best._1 ||
+              (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        val (l, r) = best
+        merges += ((rank, l, r, l + r, bestC))
+        val affected = pairWords(best).toArray
+        java.util.Arrays.sort(affected)
+        var j = 0
+        while (j < affected.length) {
+          val w2 = affected(j)
+          removeWord(w2)
+          syms(w2) = mergeSyms(syms(w2), l, r)
+          addWord(w2)
+          j += 1
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed merge loop — the giant-histogram fallback.
+    *
     * Driver work per iteration: ONE collected row (the argmax). Each
     * iteration TRUNCATES LINEAGE with `localCheckpoint` — a persisted
     * chain keeps the full logical plan, and because both cache printing
@@ -95,10 +251,9 @@ object Bpe {
     * [[ConnectedComponents]]' per-round truncation. Blocks are
     * reclaimed by the context cleaner as frames are dereferenced.
     */
-  def train(df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L): Seq[(Int, String, String, String, Long)] = {
-    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    var hist = wordHistogram(df, textCol).localCheckpoint()
+  private def trainDistributed(hist0: DataFrame, numMerges: Int,
+      minCount: Long): Seq[(Int, String, String, String, Long)] = {
+    var hist = hist0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
@@ -133,23 +288,39 @@ object Bpe {
     * `tokens` (the word's subword symbols, in order, words
     * concatenated) and `n_tokens`. Distinct words are encoded once by
     * folding the ranked merges into a chain of regexp passes over the
-    * padded symbol form, then broadcast-joined back onto the exploded
-    * corpus — per-document work is a map-side probe, so encoding cost
-    * scales with corpus size + vocab size, never their product.
+    * padded symbol form, then joined back onto the exploded corpus —
+    * per-document work is a join probe, so encoding cost scales with
+    * corpus size + vocab size, never their product.
+    *
+    * The encoded distinct-word table is cached, MEASURED, and joined
+    * under a broadcast hint only when its in-memory bytes fit
+    * `broadcastMaxBytes` (default [[Dedup.VerifyBroadcastMaxBytes]]);
+    * above the bound the join runs as a shuffle join — at web-corpus
+    * distinct-word counts (10⁷–10⁸ rows) an unconditional broadcast is
+    * a driver OOM, and AQE remains free to re-plan the shuffle join if
+    * runtime stats allow.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+      merges: Seq[(Int, String, String, String, Long)],
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame = {
     val words = df.select(col(idCol),
         posexplode(regexp_extract_all(col(textCol),
           lit(TextFunctions.bpeTokenPattern), lit(0)))
           .as(Seq("word_pos", "word")))
     val distinctWords = words.select(col("word")).distinct()
       .withColumn("syms", charPad(col("word")))
-    val encoded = merges.sortBy(_._1).foldLeft(distinctWords) {
-      case (acc, (_, l, r, _, _)) => applyMerge(acc, l, r)
-    }.withColumn("word_tokens", split(trim(col("syms")), " "))
-      .select(col("word").as("__w"), col("word_tokens"))
-    words.join(broadcast(encoded), col("word") === col("__w"))
+    val encoded = graft.core.CacheScope.cached(
+      merges.sortBy(_._1).foldLeft(distinctWords) {
+        case (acc, (_, l, r, _, _)) => applyMerge(acc, l, r)
+      }.withColumn("word_tokens", split(trim(col("syms")), " "))
+        .select(col("word").as("__w"), col("word_tokens")))
+    encoded.count() // materialize so the size is measured, not guessed
+    val hint: DataFrame => DataFrame =
+      if (graft.core.Graft.estimatedBytes(encoded) <= broadcastMaxBytes)
+        broadcast(_)
+      else identity
+    words.join(hint(encoded), col("word") === col("__w"))
       .groupBy(col(idCol))
       .agg(flatten(array_sort(collect_list(
           struct(col("word_pos"), col("word_tokens"))))

@@ -132,7 +132,13 @@ object ScaleTrend {
       // x82 trains fresh per scale (iters × one sample pass; the sf1
       // "sample" is the full synthesized corpus — the honest worst
       // case for the per-iteration job overhead)
-      "x81_quality_score", "x82_quality_train")
+      "x81_quality_score", "x82_quality_train",
+      // round 10: the end-to-end crawl composition (x78 — the row a
+      // 100 TB operator actually runs: WARC→extract→dedup→quota, every
+      // hand-off measured) and the media legs (x71 audio decode, x80
+      // MP4 container metadata — both batched map passes that should
+      // track scan cost)
+      "x78_crawl_pipeline", "x71_audio_features", "x80_video_meta")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
@@ -167,6 +173,36 @@ object ScaleTrend {
         println(f"$label%-7s $name%-26s wall=${best._1}%8.2fs " +
           f"cpu=${best._2}%8.2fs rows=${best._3}")
       }
+      // BPE training throughput at a production-shaped merge count:
+      // 1000 merges through the driver merge loop — the merges/sec
+      // figure the per-merge distributed loop could never deliver
+      // (2 Spark jobs × 1000 merges of scheduling overhead). The
+      // fixture corpus has only 31 distinct words (nowhere near 1000
+      // merges of pair mass), so the measurement widens the vocabulary
+      // DETERMINISTICALLY with the sf1-synthesis device: every word
+      // gets a per-document numeric suffix, giving a ~30k-word vocab —
+      // the shape of a real tokenizer-training corpus. Includes the
+      // histogram build, so it is the cost a user actually pays.
+      val bpeRuns = (0 until passes).map { _ =>
+        spark.catalog.clearCache()
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull)
+          .select(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), (col("doc_id") % 997).cast("string")))
+            .as("text"))
+        val (w0, c0) = (System.nanoTime(), cpuSec)
+        val merges = graft.operators.Bpe.train(docs, "text",
+          numMerges = 1000, minCount = 1L)
+        ((System.nanoTime() - w0) / 1e9, cpuSec - c0, merges.size)
+      }
+      val bpeBest = bpeRuns.minBy(_._1)
+      val mps = bpeBest._3 / bpeBest._1
+      out.append(s""",\n   "bpe_train_1k_merges":{""" +
+        s""""wall_sec":${num(bpeBest._1)},"cpu_sec":${num(bpeBest._2)},""" +
+        s""""merges":${bpeBest._3},"merges_per_sec":${num(mps)}}""")
+      println(f"$label%-7s bpe_train_1k_merges        " +
+        f"wall=${bpeBest._1}%8.2fs merges=${bpeBest._3} " +
+        f"merges/s=$mps%8.1f")
       out.append("}")
     }
     out.append("\n}}\n")

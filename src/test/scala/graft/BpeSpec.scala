@@ -85,21 +85,32 @@ class BpeSpec extends SparkSpec {
     assert(one == Seq((1, "a", "a", "aa", 6L)))
     // minCount floor: a corpus of once-off pairs trains zero merges
     assert(Bpe.train(Seq("ab cd").toDF("text"), "text", 5).isEmpty)
+    // the distributed path computes the same closed-form table
+    assert(Bpe.train(df, "text", 10, maxDriverWords = 0L) == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 4L),
+      (3, "aa", "ab", "aaab", 3L)))
   }
 
   test("train matches the independent reference BPE on the full " +
-      "fixture corpus, including tiebreaks") {
+      "fixture corpus, including tiebreaks — on BOTH the driver and " +
+      "the distributed merge-loop paths") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("text").isNotNull)
       .select(col("text")).collect().map(_.getString(0)).toSeq
     val expected = refTrain(texts, 30)
-    val got = Bpe.train(
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(col("text").isNotNull), "text", 30)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    // default dispatch: the fixture histogram fits → driver path
+    val got = Bpe.train(docs, "text", 30)
     assert(got.size == expected.size,
       s"merge count ${got.size} vs ${expected.size}")
     for (((g, e), i) <- got.zip(expected).zipWithIndex)
       assert(g == e, s"merge $i: got $g expected $e")
+    // maxDriverWords = 0 forces the distributed per-merge loop; the
+    // two paths must produce the identical merge table
+    val distributed = Bpe.train(docs, "text", 30, maxDriverWords = 0L)
+    assert(distributed == got, "driver and distributed paths diverge")
   }
 
   test("encode matches the reference encoder on every fixture " +

@@ -454,4 +454,30 @@ class PlanSpec extends SparkSpec {
     // side) and the doc_id reassembly groupBy — nothing else
     assert(p.split("hashpartitioning\\(").length - 1 <= 3, p)
   }
+
+  test("Bpe.encode: the distinct-word broadcast is GATED on measured " +
+      "bytes — hint under the bound, shuffle join above it (the " +
+      "web-corpus distinct-word table must never force-broadcast)") {
+    import graft.operators.Bpe
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val merges = Bpe.train(docs, "text", 5)
+    // kill the auto-broadcast threshold so the plan reflects ONLY the
+    // engine's explicit hint decision (at web scale the vocab exceeds
+    // the auto threshold anyway — this simulates that regime)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pHinted = plan(Bpe.encode(docs, "doc_id", "text", merges))
+      assert(nodes(pHinted, "BroadcastHashJoin") == 1,
+        s"measured-small vocab did not broadcast:\n$pHinted")
+      val pGated = plan(
+        Bpe.encode(docs, "doc_id", "text", merges, broadcastMaxBytes = 0L))
+      assert(nodes(pGated, "BroadcastHashJoin") == 0,
+        s"over-bound vocab still broadcast:\n$pGated")
+      assert(nodes(pGated, "SortMergeJoin") +
+        nodes(pGated, "ShuffledHashJoin") >= 1, pGated)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
