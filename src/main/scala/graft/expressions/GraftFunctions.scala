@@ -41,6 +41,7 @@ object GraftFunctions {
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignature(e(shingles), numHashes))
   def simHash64(text: Column): Column = c(SimHash64(e(text)))
+  def htmlNcrDecode(text: Column): Column = c(HtmlNcrDecode(e(text)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
@@ -90,6 +91,10 @@ object GraftFunctions {
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "64-bit SimHash of a text"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_html_ncr_decode"),
+      info("graft_html_ncr_decode",
+        "decode HTML numeric character references (&#NNNN; / &#xHH;)"),
+      (args: Seq[Expression]) => HtmlNcrDecode(args(0))))
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
       info("graft_sorted_intersect_count",
         "|A∩B| of two sorted distinct string arrays"),

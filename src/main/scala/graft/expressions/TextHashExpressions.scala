@@ -317,3 +317,72 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Decode HTML numeric character references — `&#8217;` (decimal) and
+  * `&#xA0;`/`&#X2019;` (hex) — in ONE left-to-right scan, no rescan of
+  * produced text. Real crawl HTML is full of numeric references (smart
+  * quotes, NBSP, emoji), and every reference left undecoded pollutes
+  * each downstream shingle and fingerprint, so
+  * [[graft.functions.TextFunctions.htmlToText]] runs this kernel
+  * between tag-stripping and the named-entity chain.
+  *
+  * Contract (mirrors browser behavior where a single pass can):
+  *  - references decode to their Unicode scalar value, surrogate pairs
+  *    emitted for astral code points;
+  *  - malformed (`&#;`, `&#xzz;`), unterminated, over-long (> 7 decimal
+  *    / 6 hex digits), zero, surrogate-range, and > U+10FFFF references
+  *    pass through VERBATIM — totality over crawl garbage, never an
+  *    error;
+  *  - no rescan: a decoded character is never re-examined, so decoding
+  *    cannot cascade (`&#38;#60;` yields `&#60;` as text, not `<`).
+  */
+case class HtmlNcrDecode(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_ncr_decode"
+
+  override def kernel(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    var i = s.indexOf("&#")
+    if (i < 0) return t
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    while (i >= 0) {
+      sb.append(s, pos, i)
+      var j = i + 2
+      val hex = j < s.length && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+      if (hex) j += 1
+      val digStart = j
+      val maxDigits = if (hex) 6 else 7
+      var cp = 0
+      var overlong = false
+      while (j < s.length && {
+        val c = s.charAt(j)
+        if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')
+        else c >= '0' && c <= '9'
+      }) {
+        if (j - digStart >= maxDigits) overlong = true
+        else cp = cp * (if (hex) 16 else 10) + Character.digit(s.charAt(j), 16)
+        j += 1
+      }
+      val valid = j > digStart && !overlong && j < s.length &&
+        s.charAt(j) == ';' && cp > 0 && cp <= 0x10FFFF &&
+        !(cp >= 0xD800 && cp <= 0xDFFF)
+      if (valid) {
+        sb.appendCodePoint(cp)
+        pos = j + 1
+      } else {
+        sb.append("&#")
+        pos = i + 2
+      }
+      i = s.indexOf("&#", pos)
+    }
+    sb.append(s, pos, s.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlNcrDecode = copy(child = newChild)
+}

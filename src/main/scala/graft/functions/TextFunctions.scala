@@ -135,10 +135,17 @@ object TextFunctions {
     * regexp_replace chain (zero shuffles at any scale):
     * script/style blocks go first (their CONTENT is code, and `1<2`
     * inside them would otherwise open a phantom tag), then comments,
-    * then tags, then the five core named entities plus numeric
-    * apostrophe (`&amp;` decoded LAST so `&amp;lt;` correctly yields
-    * the literal text `&lt;`, not `<`), then whitespace collapses to
-    * single spaces. Deliberately crude-but-deterministic (no DOM, no
+    * then tags, then NUMERIC character references — `&#8217;` decimal
+    * and `&#xA0;` hex, ubiquitous in real crawl HTML — via the
+    * single-scan [[graft.expressions.HtmlNcrDecode]] kernel (malformed
+    * or out-of-range references pass through verbatim), then the core
+    * named entities (`&amp;` decoded LAST so `&amp;lt;` correctly
+    * yields the literal text `&lt;`, not `<`), then whitespace
+    * collapses to single spaces. One residual of the chain-of-passes
+    * shape: a double-escaped NUMERIC ampersand (`&#38;lt;`) decodes to
+    * `&` before the named pass sees the combined `&lt;` — the
+    * vanishingly-rare corner a single-scan DOM decoder would get
+    * right. Deliberately crude-but-deterministic (no DOM, no
     * charset sniffing — malformed markup degrades to extra stripped
     * spans, never an error): the boilerplate-vs-content judgment call
     * belongs to quality scoring downstream, not the extractor.
@@ -152,11 +159,15 @@ object TextFunctions {
       "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    // numeric references first (the kernel's one scan covers the
+    // decimal-apostrophe case the named list used to carry), named
+    // entities after, &amp; last of all
+    val noNcr = graft.expressions.GraftFunctions.htmlNcrDecode(noTags)
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&apos;" -> "'", "&nbsp;" -> " ",
       "&amp;" -> "&" // last — see scaladoc
-    ).foldLeft(noTags) { case (c, (e, r)) =>
+    ).foldLeft(noNcr) { case (c, (e, r)) =>
       replace(c, lit(e), lit(r)) // literal substring replace, no regex
     }
     trim(regexp_replace(decoded, "\\s+", " "))

@@ -1258,15 +1258,24 @@ object Extensions {
     * over-stripping (lost prose), under-stripping (leaked markup or
     * script), and entity mishandling alike, including on documents
     * whose own text carries `&amp;`-style sequences or literal tags.
+    * Round 10: the wrap ALSO spells characters as NUMERIC character
+    * references — every `e` in the body as decimal `&#101;`, every `o`
+    * as hex `&#x6f;`, and the heading's `D` as `&#68;` — so a decoder
+    * that leaves `&#8217;`-style references as literal text (real
+    * crawl HTML is full of them) hash-mismatches on every document.
     */
   def x70HtmlExtract(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("text").isNotNull)
-    val esc = replace(replace(replace(col("text"),
+    // &/</> escape FIRST, then the numeric spellings (e and o never
+    // occur inside the &amp;/&lt;/&gt; entity text, so the two escape
+    // layers cannot corrupt each other)
+    val esc = replace(replace(replace(replace(replace(col("text"),
       lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
-      lit(">"), lit("&gt;"))
+      lit(">"), lit("&gt;")),
+      lit("e"), lit("&#101;")), lit("o"), lit("&#x6f;"))
     val html = concat(
       lit("<html><head><title>t</title><style>p{margin:1px}</style>" +
-        "</head><body><!-- nav\nboilerplate --><h1>Doc "),
+        "</head><body><!-- nav\nboilerplate --><h1>&#68;oc "),
       col("doc_id").cast("string"),
       lit("</h1><p class=\"body\">"), esc,
       lit("</p><script>if(1<2){var s='</div>';}</script></body></html>"))

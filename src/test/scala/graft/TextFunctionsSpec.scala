@@ -118,6 +118,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(x("") == "")
   }
 
+  test("htmlToText decodes numeric character references — decimal and " +
+      "hex, astral code points — and passes malformed or out-of-range " +
+      "references through verbatim") {
+    def x(html: String): String =
+      one[String](TextFunctions.htmlToText(col("text")), html)
+    // the ubiquitous crawl cases: smart quote (decimal), NBSP (hex),
+    // uppercase-X hex, astral emoji (surrogate pair emitted)
+    assert(x("it&#8217;s") == "it’s")
+    assert(x("a&#xA0;b") == "a b")
+    assert(x("q&#X2019;q") == "q’q")
+    assert(x("hi &#128512;!") == "hi 😀!")
+    // decimal apostrophe still decodes (moved from the named list to
+    // the kernel), named entities still decode after numerics
+    assert(x("&#39;d&apos; &amp; &lt;x&gt;") == "'d' & <x>")
+    // malformed / unterminated / empty / overlong / zero / surrogate /
+    // beyond-Unicode references pass through verbatim — totality
+    assert(x("&#; &#xzz; &#x; &#38 end") == "&#; &#xzz; &#x; &#38 end")
+    assert(x("&#0; &#xD800; &#1114112; &#99999999;") ==
+      "&#0; &#xD800; &#1114112; &#99999999;")
+    // no rescan: a decoded '&' never combines with following text into
+    // a second decode round within the kernel
+    assert(x("&#38;#60;") == "&#60;")
+    // double-escaped NAMED entity via &amp; still yields literal text
+    assert(x("g &amp;lt; h") == "g &lt; h")
+  }
+
   test("url parsing: host/port/path/query across userinfo, trailing " +
       "dots, casing, and authority-only URLs; malformed input is total") {
     import graft.functions.UrlFunctions._
