@@ -42,6 +42,8 @@ object GraftFunctions {
     c(MinHashSignature(e(shingles), numHashes))
   def simHash64(text: Column): Column = c(SimHash64(e(text)))
   def htmlNcrDecode(text: Column): Column = c(HtmlNcrDecode(e(text)))
+  def pslRegisteredDomain(host: Column, rules: Seq[String]): Column =
+    c(PslRegisteredDomain(e(host), rules))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

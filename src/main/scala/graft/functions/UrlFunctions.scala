@@ -78,6 +78,20 @@ object UrlFunctions {
     coalesce(nullif(three, lit("")), nullif(two, lit("")), host)
   }
 
+  /** Registered domain under a caller-supplied PUBLIC SUFFIX LIST —
+    * the production form (the heuristic above groups `github.io`-style
+    * private suffixes wrong). `pslRules` are publicsuffix.org-format
+    * lines (comments/blank lines skipped, `*.ck` wildcards and
+    * `!www.ck` exceptions honored, longest match wins); they ship to
+    * executors on the codegen reference object, so the lookup is a
+    * pure map-side hash probe per label — no join, no shuffle (see
+    * [[graft.expressions.PslRegisteredDomain]]). Hosts that ARE a
+    * public suffix (and unparseable garbage) return themselves —
+    * the same totality contract as the heuristic form.
+    */
+  def registeredDomain(host: Column, pslRules: Seq[String]): Column =
+    graft.expressions.GraftFunctions.pslRegisteredDomain(host, pslRules)
+
   /** Tracking parameters stripped from a query string: every `utm_*`
     * pair is removed (with its joining `&`), and a leading `&` left by
     * removing the first pair is dropped. Pure regexp — exactly the

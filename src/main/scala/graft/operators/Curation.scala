@@ -28,6 +28,35 @@ object Curation {
       .withColumn("url_normalized", UrlFunctions.normalizeUrl(u))
   }
 
+  /** [[withUrlParts]] with `registered_domain` computed under a
+    * caller-supplied public-suffix list instead of the built-in
+    * heuristic — the production form (see [[UrlFunctions
+    * .registeredDomain]]'s PSL overload).
+    */
+  def withUrlParts(df: DataFrame, urlCol: String,
+      pslRules: Seq[String]): DataFrame = {
+    val u = col(urlCol)
+    val host = UrlFunctions.urlHost(u)
+    df.withColumn("host", host)
+      .withColumn("registered_domain",
+        UrlFunctions.registeredDomain(host, pslRules))
+      .withColumn("url_normalized", UrlFunctions.normalizeUrl(u))
+  }
+
+  /** Collect a one-column PSL frame (rule lines, publicsuffix.org
+    * format) into the rule Seq the PSL kernel ships to executors. The
+    * list is bounded data (~10⁴ rules for the real PSL); the bound is
+    * a loud guard, not a truncation.
+    */
+  def pslRules(psl: DataFrame, maxRules: Long = 1000000L): Seq[String] = {
+    val n = psl.count()
+    require(n <= maxRules,
+      s"public-suffix table has $n rows > maxRules=$maxRules — not a " +
+        "suffix list; pass the publicsuffix.org rule file, not a corpus")
+    psl.select(psl.columns.head).collect()
+      .map(_.getString(0)).toSeq
+  }
+
   /** Rows flagged `kept = false` when their registered domain appears in
     * the blocklist (a one-column `domain` frame). Broadcast LEFT join so
     * the flag is auditable; [[filterBlocklisted]] is the drop form and

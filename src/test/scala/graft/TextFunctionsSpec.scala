@@ -175,6 +175,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rd("localhost") == "localhost")
   }
 
+  test("registeredDomain under a public-suffix list: multi-level and " +
+      "private suffixes, wildcard and exception rules, longest match, " +
+      "implicit-* default, host-is-a-suffix totality") {
+    import graft.functions.UrlFunctions._
+    val psl = Seq(
+      "// ===BEGIN ICANN DOMAINS===", "", // comments/blanks skipped
+      "com", "uk", "co.uk", "io",
+      "*.ck", "!www.ck",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "github.io", "s3.amazonaws.com")
+    def rd(h: String) =
+      one[String](registeredDomain(col("text"), psl), h)
+    // longest match wins: co.uk over uk; github.io (private) over io
+    assert(rd("news.example.co.uk") == "example.co.uk")
+    assert(rd("example.uk") == "example.uk")
+    assert(rd("project.user.github.io") == "user.github.io")
+    assert(rd("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    assert(rd("deep.sub.example.com") == "example.com")
+    // wildcard *.ck: any x.ck is a public suffix...
+    assert(rd("shop.foo.bar.ck") == "foo.bar.ck")
+    // ...except the !www.ck exception, whose suffix is just ck
+    assert(rd("www.ck") == "www.ck")
+    assert(rd("sub.www.ck") == "www.ck")
+    // unlisted TLD: implicit * rule (last label is the suffix)
+    assert(rd("example.zz") == "example.zz")
+    assert(rd("a.b.example.zz") == "example.zz")
+    // a host that IS a public suffix returns itself (totality), as do
+    // single-label hosts and empty strings
+    assert(rd("github.io") == "github.io")
+    assert(rd("com") == "com")
+    assert(rd("localhost") == "localhost")
+    assert(rd("") == "")
+    // the heuristic form groups the private suffix WRONG (collapses
+    // every github.io user site into one "domain") — the reason the
+    // PSL overload exists
+    assert(one[String](registeredDomain(col("text")),
+      "project.user.github.io") == "github.io")
+  }
+
   test("normalizeUrl: lowercases scheme+host, drops userinfo/fragment/" +
       "default ports/utm params, keeps case-significant path+query and " +
       "non-default ports, renders empty path as /") {
