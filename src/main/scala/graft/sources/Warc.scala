@@ -14,15 +14,23 @@ import org.apache.spark.sql.functions._
   * store each record as its own gzip MEMBER, concatenated, so a reader
   * must keep inflating past the first member's end.
   *
-  * Spark shape: files load through the built-in `binaryFile` source
-  * (one task per file — the standard parallelism unit for WARC, whose
-  * gzip members are not split-pointable without an external index) and
-  * records FLOW from a streaming parse: memory is O(largest record),
-  * never O(file), so a 1 GB crawl shard parses in a task without
-  * buffering the inflated archive. For `response` records the embedded
-  * HTTP response is split into status / headers / body so the payload
-  * column is the DOCUMENT BYTES a text pipeline actually wants — feed
-  * it straight into the dedup / text-analysis / quality operators.
+  * Spark shape: [[read]] opens each file as a STREAM
+  * (`sc.binaryFiles`' `PortableDataStream` — the public lazy-open
+  * API), one file per flatMap element (the standard parallelism unit
+  * for WARC, whose gzip members are not split-pointable without an
+  * external index), and records FLOW from a streaming parse: memory
+  * is O(largest record), never O(file) — no whole-file
+  * materialization and no 2 GB ceiling, so an arbitrarily large crawl
+  * shard parses in a task without buffering the raw OR inflated
+  * archive (laziness is spec-pinned: records before a poisoned tail
+  * parse without the tail ever being read). The STREAMING ingest
+  * ([[readStream]]) rides the built-in binaryFile file-tracking
+  * source, which DOES materialize each file as one row and caps files
+  * at 2 GB — the honest bound of that path, documented there. For
+  * `response` records the embedded HTTP response is split into
+  * status / headers / body so the payload column is the DOCUMENT
+  * BYTES a text pipeline actually wants — feed it straight into the
+  * dedup / text-analysis / quality operators.
   *
   * The writer half exists for round-trip fixtures and for re-sharding
   * pipelines that emit WARC (deterministic output: ordered headers,
@@ -47,14 +55,28 @@ object Warc {
   private val Gzip0 = 0x1f
   private val Gzip1 = 0x8b
 
-  /** Parse a whole WARC file (gzipped-per-member or plain), streaming:
-    * the iterator pulls one record at a time off the (possibly
-    * inflating) stream. Malformed framing fails LOUDLY with the byte
-    * context — a truncated crawl shard must not silently yield a
-    * shorter corpus.
+  /** Parse an in-memory WARC file (gzipped-per-member or plain) —
+    * [[parseStream]] over the byte array; kept for the writer-fixture
+    * round trips and small-payload callers.
     */
-  def parseAll(bytes: Array[Byte]): Iterator[WarcRecord] = {
-    if (bytes.length == 0) return Iterator.empty
+  def parseAll(bytes: Array[Byte]): Iterator[WarcRecord] =
+    if (bytes.length == 0) Iterator.empty
+    else parseStream(new ByteArrayInputStream(bytes))
+
+  /** Parse a WARC stream (gzipped-per-member or plain), STREAMING: the
+    * iterator pulls one record at a time off the (possibly inflating)
+    * stream — memory O(largest record), never O(stream). Malformed
+    * framing fails LOUDLY with the byte context — a truncated crawl
+    * shard must not silently yield a shorter corpus. The caller owns
+    * closing `raw` (the task-completion listener in [[read]] does).
+    */
+  def parseStream(raw: InputStream): Iterator[WarcRecord] = {
+    val pb = new PushbackInputStream(raw, 2)
+    val b0 = pb.read()
+    if (b0 < 0) return Iterator.empty
+    val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    pb.unread(b0)
     // JDK GZIPInputStream continues across CONCATENATED members
     // natively (readTrailer probes for a following member header), so
     // the per-record-member crawl layout inflates as one stream; the
@@ -62,10 +84,8 @@ object Warc {
     // stopped at the first member (reading 1 record of a 30,000-record
     // shard) would fail loudly here
     val in: InputStream =
-      if ((bytes(0) & 0xff) == Gzip0 && bytes.length > 1 &&
-          (bytes(1) & 0xff) == Gzip1)
-        new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-      else new ByteArrayInputStream(bytes)
+      if (b0 == Gzip0 && b1 == Gzip1) new GZIPInputStream(pb, 1 << 16)
+      else pb
     recordIterator(new PushbackInputStream(in, 1))
   }
 
@@ -170,25 +190,52 @@ object Warc {
       payload.length))
   }
 
-  /** Read every WARC file under `path` (glob ok) as a DataFrame:
-    * (warc_file, warc_type, record_id, target_uri, warc_date,
-    * content_type, http_status, http_content_type, payload, n_bytes).
-    * Parallelism = file count (see class doc); records stream from
-    * each file's parse, so executor memory is O(record).
+  /** Read every WARC file under `path` (glob ok, `*.warc*` names) as a
+    * DataFrame: (warc_file, warc_type, record_id, target_uri,
+    * warc_date, content_type, http_status, http_content_type, payload,
+    * n_bytes). Parallelism = file count (see class doc).
+    *
+    * TRUE-STREAMING: each file is opened as a `PortableDataStream` and
+    * records flow straight off the open (possibly inflating) stream —
+    * task memory is O(largest record), never O(file), and there is no
+    * 2 GB file ceiling (the bound the whole-file binaryFile row would
+    * impose). Streams close at exhaustion AND at task completion, so a
+    * failed/killed task never leaks a file handle.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    files.flatMap { case (p, bytes) =>
-      parseAll(bytes).map(r => (p, r.warc_type, r.record_id,
-        r.target_uri, r.warc_date, r.content_type, r.http_status,
-        r.http_content_type, r.payload, r.payload.length.toLong))
-    }.toDF("warc_file", "warc_type", "record_id", "target_uri",
-      "warc_date", "content_type", "http_status", "http_content_type",
-      "payload", "n_bytes")
+    val rdd = spark.sparkContext.binaryFiles(path)
+      .filter { case (p, _) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        name.contains(".warc")
+      }
+      .flatMap { case (p, pds) =>
+        val in = pds.open()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () })
+        val base = parseStream(in)
+        new Iterator[(String, String, String, String, String, String,
+            Int, String, Array[Byte], Long)] {
+          override def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) try in.close() catch {
+              case _: java.io.IOException => ()
+            }
+            h
+          }
+          override def next() = {
+            val r = base.next()
+            (p, r.warc_type, r.record_id, r.target_uri, r.warc_date,
+              r.content_type, r.http_status, r.http_content_type,
+              r.payload, r.payload.length.toLong)
+          }
+        }
+      }
+    spark.createDataset(rdd)
+      .toDF("warc_file", "warc_type", "record_id", "target_uri",
+        "warc_date", "content_type", "http_status", "http_content_type",
+        "payload", "n_bytes")
   }
 
   /** Continuous WARC ingest: every `*.warc*` file that APPEARS under
@@ -202,6 +249,13 @@ object Warc {
     * caller input — binaryFile's schema is fixed — but the source
     * requires `maxFilesPerTrigger`-style pacing for huge backlogs via
     * standard options on the returned stream's upstream reader.
+    *
+    * HONEST MEMORY BOUND (unlike [[read]]): the binaryFile streaming
+    * source materializes each file as ONE row and refuses files over
+    * 2 GB, so per-task memory here is O(file) and a shard must stay
+    * under that ceiling — fine for standard ~1 GB crawl shards. The
+    * batch [[read]] has neither bound (PortableDataStream); use it,
+    * or re-shard oversized archives, when shards can exceed 2 GB.
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -396,14 +396,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("x69: WARC parse is a deserialize->flatMap->serialize pipeline " +
-      "with no shuffle before the output ordering") {
+  test("x69: WARC parse streams off the file RDD scan with no shuffle " +
+      "before the output ordering") {
     val p = plan(Extensions.x69WarcStats(spark, sfDir))
-    // records flow file->parse->project; only the final orderBy may
-    // exchange (rangepartitioning for the sorted output)
+    // records flow file->streaming parse (inside the binaryFiles RDD's
+    // flatMap, BELOW the SQL plan)->project; only the final orderBy
+    // may exchange (rangepartitioning for the sorted output)
     assert(nodes(p, "Exchange") <= 1,
       s"WARC ingest introduced a shuffle:\n$p")
-    assert(nodes(p, "MapPartitions") == 1, p)
+    assert(p.contains("flatMap at Warc.scala"),
+      s"parse no longer feeds the scan from the streaming flatMap:\n$p")
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
