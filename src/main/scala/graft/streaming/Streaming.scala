@@ -169,9 +169,21 @@ object Streaming {
     * same kept set); the batch md5-order form is the one to use when
     * the kept set must be independent of ingestion order.
     *
-    * NoTimeout: a domain's count must survive arbitrarily long idle
-    * gaps or the cap silently resets — the state is a counter, not a
-    * buffer, so "never expire" costs bytes per domain, not per row.
+    * STATE-RETENTION DECISION (explicit, not an accident): NoTimeout —
+    * a domain's count must survive arbitrarily long idle gaps or the
+    * cap silently resets, so the default never evicts. The cost is one
+    * Long of state per domain EVER seen: ~16 bytes of payload per
+    * counter, so even the open web's ~10⁸ registered domains are a few
+    * GB of state-store across the cluster — bytes per domain, not per
+    * row, and the store is partitioned like any aggregation state.
+    * That is the right default for a quota whose CONTRACT is
+    * stream-lifetime. For a months-lived stream that prefers bounded
+    * state over a lifetime-exact cap, [[domainQuotaStreamTtl]] trades
+    * the contract explicitly: idle domains evict after an event-time
+    * TTL and a re-appearing domain starts a FRESH quota (the cap
+    * becomes per-activity-burst — C4-style recrawl semantics), which
+    * is the only sound eviction: any TTL that kept the cap
+    * lifetime-exact would have to keep the counter, i.e. not evict.
     */
   def domainQuotaStream(docs: DataFrame, idCol: String,
       domainCol: String, quota: Int): Dataset[DomDoc] = {
@@ -187,6 +199,69 @@ object Streaming {
           val kept = it.take((quota - seen).toInt.max(0)).toList
           if (kept.nonEmpty) state.update(seen + kept.size)
           kept.iterator
+      }
+  }
+
+  case class DomDocTs(doc_id: Long, domain: String, ts: Timestamp)
+
+  /** [[domainQuotaStream]] with BOUNDED state: domain counters evict
+    * after `ttl` of event-time inactivity (watermark-driven, so
+    * eviction is deterministic and replayable — no wall-clock in the
+    * semantics). The documented trade (see [[domainQuotaStream]]'s
+    * retention decision): a domain that goes idle past the TTL and
+    * then reappears starts a FRESH quota — the cap is per
+    * activity-burst, not stream-lifetime. State is O(domains active
+    * within the TTL horizon), the bound a months-lived open-web
+    * stream needs.
+    *
+    * `watermarkDelay` is the usual late-arrival tolerance on `tsCol`;
+    * the TTL clock is the watermark, so eviction happens once the
+    * watermark passes `ttl` beyond the batch in which the domain last
+    * appeared.
+    */
+  def domainQuotaStreamTtl(docs: DataFrame, idCol: String,
+      domainCol: String, tsCol: String, quota: Int, ttl: String,
+      watermarkDelay: String = "0 seconds"): Dataset[DomDoc] = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(ttl)) match {
+      case iv =>
+        require(iv.months == 0,
+          "ttl must be a day/time interval (months vary in length)")
+        iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(ttlMs > 0, s"ttl must be positive, got $ttl")
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).cast("string").as("domain"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[DomDocTs]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, DomDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[DomDocTs], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arr = it.toList // micro-batch-sized, never state
+            val seen = state.getOption.getOrElse(0L)
+            val kept = arr.take((quota - seen).toInt.max(0))
+              .map(d => DomDoc(d.doc_id, d.domain))
+            // update even when nothing was kept: a full domain that is
+            // still ACTIVE must keep its counter (and push its
+            // eviction horizon forward) or the cap would reset while
+            // arrivals are still flowing
+            state.update(seen + kept.size)
+            // evict when the watermark passes last-seen event time +
+            // ttl (floored at wm+1: the API requires a future stamp)
+            val maxTs = arr.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            kept.iterator
+          }
       }
   }
 

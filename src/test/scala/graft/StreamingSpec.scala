@@ -751,4 +751,47 @@ class StreamingSpec extends SparkSpec {
       assert(finalKept.values.forall(_.size <= 3))
     } finally q.stop()
   }
+
+  test("domainQuotaStreamTtl: counters survive within the TTL horizon, " +
+      "idle domains evict once the watermark passes last-seen + ttl, " +
+      "and a re-appearing domain starts a fresh quota") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(minOfDay: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(minOfDay * 60000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = Streaming.domainQuotaStreamTtl(
+      input.toDF.toDF("doc_id", "domain", "ts"),
+      "doc_id", "domain", "ts", quota = 2, ttl = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("dom_quota_ttl")
+      .outputMode("append").start()
+    try {
+      def kept(): Map[String, Set[Long]] = spark.table("dom_quota_ttl")
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // 10:00 — A over quota: 2 kept
+      input.addData(Seq((1L, "A", ts(600)), (2L, "A", ts(600)),
+        (3L, "A", ts(600))))
+      q.processAllAvailable()
+      assert(kept() == Map("A" -> Set(1L, 2L)))
+      // 10:30 — still inside the TTL horizon: counter held, drop
+      input.addData(Seq((4L, "A", ts(630))))
+      q.processAllAvailable()
+      assert(kept() == Map("A" -> Set(1L, 2L)), "cap reset inside TTL")
+      // 13:00 — B advances the watermark far past A's 11:30 horizon;
+      // the no-data timeout batch evicts A's counter
+      input.addData(Seq((10L, "B", ts(780))))
+      q.processAllAvailable()
+      assert(kept() == Map("A" -> Set(1L, 2L), "B" -> Set(10L)))
+      // 13:05 — A re-appears after eviction: FRESH quota (the
+      // documented per-activity-burst trade)
+      input.addData(Seq((5L, "A", ts(785)), (6L, "A", ts(785)),
+        (7L, "A", ts(785))))
+      q.processAllAvailable()
+      val finalKept = kept()
+      assert(finalKept("A") == Set(1L, 2L, 5L, 6L),
+        s"expected a fresh post-eviction quota, got $finalKept")
+      assert(finalKept("B") == Set(10L))
+    } finally q.stop()
+  }
 }
