@@ -1562,7 +1562,7 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5(token),$i,1))-1)"
     val bucket =
       s"(((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) " +
-        "* 64) // 65536)"
+        s"* ${m.dim}) // 65536)" // dim from the model, never a literal
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(
        |    lower(COALESCE(text, '')), '\\s+'), x -> length(x) > 0)) AS token

@@ -40,7 +40,10 @@ object HashedBucket {
     md.reset()
     val h = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val h16 = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
-    (h16 * dim) / 65536
+    // long arithmetic, matching shuffleShards' BIGINT cast: for
+    // dim > 32768 (permitted up to 65536) an Int product h16*dim
+    // would overflow at h16 = 65535 into a negative bucket
+    ((h16.toLong * dim) / 65536L).toInt
   }
 }
 

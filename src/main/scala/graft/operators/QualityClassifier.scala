@@ -109,40 +109,54 @@ object QualityClassifier {
     *
     * @param labelCol 0/1 integer-castable label column
     * @param maxExactTokens loud overflow bound on Σ sample tokens
+    * @param docsPerPartition iteration-partition sizing (docs per
+    *   task, capped at cluster parallelism) — exposed so tests can
+    *   force a genuinely multi-partition treeAggregate; the default
+    *   keeps per-job task-scheduling overhead below the per-row
+    *   arithmetic on small labeled samples
     */
   def train(df: DataFrame, textCol: String, labelCol: String,
       dim: Int = 64, iters: Int = 40, lr: Double = 0.5,
       momentum: Double = 0.9,
-      maxExactTokens: Long = 8000000000L): Model = {
+      maxExactTokens: Long = 8000000000L,
+      docsPerPartition: Long = 50000L): Model = {
+    require(docsPerPartition > 0,
+      s"docsPerPartition must be positive, got $docsPerPartition")
     val spark = df.sparkSession
     import spark.implicits._
     // cache the DESERIALIZED feature tuples, not the Dataset: every
     // iteration re-reads them, and per-pass row decode would dominate
-    // the dim-long arithmetic. Partitioning is sized to the SAMPLE
-    // (~50k docs per partition, capped at the cluster parallelism):
-    // an iteration is a full-sample job, so per-job task overhead has
-    // to stay below the per-row arithmetic — a thousand-task fan-out
-    // over a 5k-doc labeled set costs more in scheduling than in math
+    // the dim-long arithmetic. Persist FIRST and derive n + the token
+    // total from ONE pass over the cached tuples, so the sample is
+    // tokenized and bucketed exactly once (the stats pass is also the
+    // cache-materializing pass).
     val base = df.select(col(labelCol).cast("long").as("y"),
         countsColumn(coalesce(col(textCol), lit("")), dim).as("cnts"))
-    val stats = base.select(count(lit(1)),
-      coalesce(sum(aggregate(col("cnts"), lit(0L), (a, c) => a + c)),
-        lit(0L))).head()
-    val n = stats.getLong(0)
-    val totalTokens = stats.getLong(1)
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, n / 50000L + 1L)).toInt
-    val feat = base.as[(Long, Array[Long])]
-      .rdd
-      .coalesce(parts)
-      .persist()
+    val feat0 = base.as[(Long, Array[Long])].rdd.persist()
     try {
+      val (n, totalTokens) = feat0.treeAggregate((0L, 0L))(
+        seqOp = (acc, row) => {
+          val c = row._2
+          var s = 0L
+          var i = 0
+          while (i < c.length) { s += c(i); i += 1 }
+          (acc._1 + 1L, acc._2 + s)
+        },
+        combOp = (a, b) => (a._1 + b._1, a._2 + b._2))
       require(n > 0, "training requires at least one labeled document")
       require(totalTokens <= maxExactTokens,
         s"training sample has $totalTokens tokens > maxExactTokens=" +
           s"$maxExactTokens: exact-long gradient accumulation could " +
           "overflow — train on a smaller labeled sample (inference " +
           "has no such bound)")
+      // iteration partitioning sized to the SAMPLE: an iteration is a
+      // full-sample job, so a thousand-task fan-out over a 5k-doc
+      // labeled set costs more in scheduling than in math. coalesce
+      // over the persisted parent reuses the cached blocks.
+      val parts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        n / docsPerPartition + 1L)).toInt
+      val feat = feat0.coalesce(parts)
       var biasQ = 0L
       val wq = new Array[Long](dim)
       // classical momentum, driver-side: velocities are scalar double
@@ -189,6 +203,6 @@ object QualityClassifier {
         }
       }
       Model(biasQ, wq)
-    } finally feat.unpersist()
+    } finally feat0.unpersist()
   }
 }

@@ -28,7 +28,8 @@ class QualityClassifierSpec extends SparkSpec {
   private def refBucket(tok: String, dim: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(tok.getBytes("UTF-8"))
-    ((((h(0) & 0xff) << 8) | (h(1) & 0xff)) * dim) / 65536
+    val h16 = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+    ((h16.toLong * dim) / 65536L).toInt // long math like the kernel
   }
 
   private def refLogit(text: String, m: Model): (Long, Long) = {
@@ -146,9 +147,13 @@ class QualityClassifierSpec extends SparkSpec {
       .select(coalesce(col("text"), lit("")), col("y").cast("long"))
       .as[(String, Long)].collect().toSeq
     val want = refTrain(rows, dim = 64, iters = 7, lr = 0.5, momentum = 0.9)
-    for (parts <- Seq(1, 7)) {
+    // docsPerPartition sized so the 500-doc fixture genuinely spans
+    // the requested partition count — the 7-way case exercises
+    // treeAggregate's combOp path for real (500/80 + 1 = 7 tasks),
+    // not a single-task collapse
+    for ((parts, dpp) <- Seq((1, 50000L), (7, 80L))) {
       val got = QualityClassifier.train(labeled.repartition(parts), "text",
-        "y", dim = 64, iters = 7, lr = 0.5)
+        "y", dim = 64, iters = 7, lr = 0.5, docsPerPartition = dpp)
       assert(got.biasQ === want.biasQ, s"bias at parts=$parts")
       assert(got.weightsQ.toSeq === want.weightsQ.toSeq,
         s"weights at parts=$parts")
