@@ -1510,13 +1510,40 @@ object Extensions {
     * meaningless); SimilaritySpec gates it with exact invariants
     * (orthonormality, variance ordering, compiled-pass ≡ driver
     * matmul, full-rank rotation preserving distances, reconstruction
-    * error monotone in k). Output is the deterministic shape only.
+    * error monotone in k). The entry output is FALSIFIABLE from the
+    * bench side (round-10 ask): per vector it emits the top-16
+    * projected squared norm (rotation/sign-invariant — the projection
+    * onto the top-16 eigenSPACE is well-defined even though the
+    * eigenvector signs are not) and the full-rank rotation error
+    * |‖P(x−μ)‖² − ‖x−μ‖²| rounded at 1e-2 — identically 0.00 for a
+    * correct orthonormal projection, and nonzero the moment
+    * MatProject, the centering, or the eigenbasis breaks. Both models
+    * slice ONE full-rank training (a single covariance pass).
     */
   def x79PcaProject(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Embeddings.PcaModel
     val e = emb(s, dir)
-    val m = graft.operators.Embeddings.trainPca(e, "embedding", k = 16)
-    graft.operators.Embeddings.projectPca(e, "embedding", m)
-      .select(col("vec_id"), size(col("projected")).as("n_dims"))
+    val d = e.select(size(col("embedding"))).head.getInt(0)
+    val mFull = graft.operators.Embeddings.trainPca(e, "embedding", k = d)
+    val m16 = PcaModel(mFull.mean, mFull.components.take(16),
+      mFull.explainedVariance.take(16))
+    // identity "projection" = exact centering x−μ through the same
+    // compiled kernel (same float rounding as the full-rank pass, so
+    // the rotation error isolates the BASIS, not the arithmetic)
+    val ident = PcaModel(mFull.mean,
+      (0 until d).map(i => (0 until d).map(j =>
+        if (i == j) 1.0 else 0.0)), mFull.explainedVariance)
+    val p16 = graft.operators.Embeddings.pcaProject(col("embedding"), m16)
+    val pFull = graft.operators.Embeddings
+      .pcaProject(col("embedding"), mFull)
+    val pId = graft.operators.Embeddings.pcaProject(col("embedding"), ident)
+    e.select(col("vec_id"),
+        size(p16).as("n_dims"),
+        round(graft.expressions.GraftFunctions.vecNormSq(p16), 2)
+          .as("norm16_q"),
+        round(abs(graft.expressions.GraftFunctions.vecNormSq(pFull) -
+          graft.expressions.GraftFunctions.vecNormSq(pId)), 2)
+          .as("full_rank_err_q"))
       .orderBy(col("vec_id"))
   }
 
