@@ -144,6 +144,7 @@ object SparkEntry {
     "x80_video_meta" -> Extensions.x80VideoMeta,
     "x81_quality_score" -> Extensions.x81QualityScore,
     "x82_quality_train" -> Extensions.x82QualityTrain,
+    "x83_psl_domains" -> Extensions.x83PslDomains,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -720,6 +721,61 @@ object SparkEntry {
     // at all — logits are exact integer sums of quantized weights, and
     // the md5 bucket is the x73 strpos-nibble arithmetic)
     "x81_quality_score" -> qualityScoreSql,
+    // x83: the full publicsuffix.org algorithm restated relationally —
+    // suffix explode, rule join (exact / wildcard-tail / exception),
+    // exception-beats-longest-match precedence, label reassembly —
+    // over the same literal rule list the engine's kernel carries
+    "x83_psl_domains" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'news' || doc_id || '.example.co.uk'
+        |      WHEN 1 THEN 'blog.user' || doc_id || '.github.io'
+        |      WHEN 2 THEN 'deep.a.shop' || doc_id || '.ck'
+        |      WHEN 3 THEN 'sub' || doc_id || '.www.ck'
+        |      WHEN 4 THEN 'www.ex' || doc_id || '.com'
+        |      WHEN 5 THEN 'c.a' || doc_id || '.zz'
+        |      WHEN 6 THEN 'github.io'
+        |      ELSE 'localhost' || doc_id
+        |    END AS host
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id, host, string_split(host, '.') AS ls,
+        |         len(string_split(host, '.')) AS n
+        |  FROM hosts),
+        |suf AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(ls, i, n), '.') AS s,
+        |    CASE WHEN i < n
+        |      THEN array_to_string(list_slice(ls, i + 1, n), '.') END AS tl
+        |  FROM (SELECT doc_id, ls, n, unnest(range(1, n + 1)) AS i
+        |        FROM lab)),
+        |exact_rules(rule) AS (
+        |  VALUES ('com'), ('uk'), ('co.uk'), ('io'), ('github.io')),
+        |wild_rules(rule) AS (VALUES ('ck')),
+        |exc_rules(rule) AS (VALUES ('www.ck')),
+        |m AS (
+        |  SELECT doc_id,
+        |    MIN(CASE WHEN kind = 'x' THEN i END) AS exc_i,
+        |    MIN(CASE WHEN kind = 'n' THEN i END) AS norm_i
+        |  FROM (
+        |    SELECT s.doc_id, s.i, 'x' AS kind
+        |    FROM suf s JOIN exc_rules r ON s.s = r.rule
+        |    UNION ALL
+        |    SELECT s.doc_id, s.i, 'n'
+        |    FROM suf s JOIN exact_rules r ON s.s = r.rule
+        |    UNION ALL
+        |    SELECT s.doc_id, s.i, 'n'
+        |    FROM suf s JOIN wild_rules r ON s.tl = r.rule)
+        |  GROUP BY 1)
+        |SELECT l.doc_id, l.host,
+        |  CASE WHEN COALESCE(m.exc_i + 1, m.norm_i, l.n) - 1 < 1
+        |    THEN l.host
+        |    ELSE array_to_string(list_slice(l.ls,
+        |      CAST(COALESCE(m.exc_i + 1, m.norm_i, l.n) - 1 AS BIGINT),
+        |      l.n), '.') END AS registered_domain
+        |FROM lab l LEFT JOIN m ON l.doc_id = m.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
     "x57_dup_ngram_coverage" -> dupNgramCoverageSql,
     "x58_remove_dup_ngrams" -> removeDupNgramsSql,
     "x59_incremental_jaccard" -> incrementalJaccardSql,

@@ -1626,6 +1626,50 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x83: registered-domain extraction under a PUBLIC SUFFIX LIST —
+    * the round-10 production form of the x72 heuristic, oracle-checked
+    * end-to-end: hosts covering every PSL rule class are synthesized
+    * in-query as pure functions of doc_id (multi-level exact rule,
+    * private suffix, `*.ck` wildcard, `!www.ck` exception, unlisted
+    * TLD, host-equals-suffix, single label), the engine resolves them
+    * through the [[graft.expressions.PslRegisteredDomain]] kernel with
+    * a literal rule list, and the DuckDB oracle RESTATES THE FULL
+    * publicsuffix.org ALGORITHM relationally (suffix explode → rule
+    * join → exception-beats-longest-match precedence → label
+    * reassembly) over the same literal rules — so a wrong precedence,
+    * an off-by-one label slice, or a wildcard mismatch anywhere in the
+    * kernel hash-mismatches.
+    */
+  def x83PslDomains(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val k = col("doc_id").cast("string")
+    val host = when(col("doc_id") % 8 === 0,
+        concat(lit("news"), k, lit(".example.co.uk")))
+      .when(col("doc_id") % 8 === 1,
+        concat(lit("blog.user"), k, lit(".github.io")))
+      .when(col("doc_id") % 8 === 2,
+        concat(lit("deep.a.shop"), k, lit(".ck")))
+      .when(col("doc_id") % 8 === 3,
+        concat(lit("sub"), k, lit(".www.ck")))
+      .when(col("doc_id") % 8 === 4,
+        concat(lit("www.ex"), k, lit(".com")))
+      .when(col("doc_id") % 8 === 5,
+        concat(lit("c.a"), k, lit(".zz")))
+      .when(col("doc_id") % 8 === 6, lit("github.io"))
+      .otherwise(concat(lit("localhost"), k))
+    d.select(col("doc_id"), host.as("host"),
+        UrlFunctions.registeredDomain(host, x83Psl)
+          .as("registered_domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The x83 fixture rule list — one of each PSL rule class; the
+    * oracle re-emits the same rules as SQL literals.
+    */
+  val x83Psl: Seq[String] = Seq(
+    "// x83 fixture list", "",
+    "com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck")
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]
