@@ -457,6 +457,17 @@ class PlanSpec extends SparkSpec {
     assert(p.split("hashpartitioning\\(").length - 1 <= 3, p)
   }
 
+  test("x83: PSL registered-domain resolution is pure map-side — the " +
+      "rule lookup is the compiled kernel, no join, and the only " +
+      "exchange is the output ordering") {
+    val p = plan(Extensions.x83PslDomains(spark, sfDir))
+    assert(p.contains("graft_psl_registered_domain"), p)
+    assert(nodes(p, "Exchange") <= 1, s"PSL lookup shuffled:\n$p")
+    assert(nodes(p, "BroadcastHashJoin") + nodes(p, "SortMergeJoin") +
+      nodes(p, "ShuffledHashJoin") + nodes(p, "CartesianProduct") == 0,
+      s"PSL lookup joined:\n$p")
+  }
+
   test("Bpe.encode: the distinct-word broadcast is GATED on measured " +
       "bytes — hint under the bound, shuffle join above it (the " +
       "web-corpus distinct-word table must never force-broadcast)") {
