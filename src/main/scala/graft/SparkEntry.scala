@@ -145,6 +145,7 @@ object SparkEntry {
     "x81_quality_score" -> Extensions.x81QualityScore,
     "x82_quality_train" -> Extensions.x82QualityTrain,
     "x83_psl_domains" -> Extensions.x83PslDomains,
+    "x84_video_frames" -> Extensions.x84VideoFrames,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -721,6 +722,19 @@ object SparkEntry {
     // at all — logits are exact integer sums of quantized weights, and
     // the md5 bucket is the x73 strpos-nibble arithmetic)
     "x81_quality_score" -> qualityScoreSql,
+    // x84: every decoded MJPEG frame's index, time, and dimensions are
+    // closed-form in doc_id (deterministic AVI fixture) — the oracle
+    // states the full container→RIFF-walk→JPEG-decode chain's truth
+    "x84_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(f * (20 + (doc_id % 4) * 10) AS INTEGER) AS frame_ms,
+        |  CAST(32 + (doc_id % 5) * 16 AS INTEGER) AS width,
+        |  CAST(24 + (doc_id % 3) * 16 AS INTEGER) AS height,
+        |  TRUE AS decodable
+        |FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS f
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // x83: the full publicsuffix.org algorithm restated relationally —
     // suffix explode, rule join (exact / wildcard-tail / exception),
     // exception-beats-longest-match precedence, label reassembly —

@@ -416,13 +416,19 @@ object Multimodal {
     * input columns, so downstream operators (dedup, similarity,
     * quality) compose directly on frames.
     *
-    * Payloads a registered image reader claims (animated GIF through
+    * MJPEG AVI payloads (round 10) decode REAL VIDEO frames: the RIFF
+    * walk yields each sampled `00dc` chunk's JPEG through the stock
+    * decoder with frame times from the container's
+    * `dwMicroSecPerFrame` — the one video codec the stock JDK can
+    * genuinely decode (see [[readAviFrames]]). Payloads a registered
+    * image reader claims (animated GIF through
     * the stock JDK; single-frame images count as one-frame containers)
     * decode REAL frames: frame_ms comes from the container's
     * cumulative per-frame delays when present (`frameMs` per frame
     * otherwise), and each frame re-encodes as a standalone PNG whose
     * pixels feed the downstream verbs' real kernels. Anything else
-    * (unknown codecs, the synthetic text corpus) falls back to slicing
+    * (H.264-family codecs — no stock-JDK decoder exists — and the
+    * synthetic text corpus) falls back to slicing
     * `frameBytes` chunks — the deterministic stand-in that keeps mixed
     * corpora total, with frame_ms = frame_idx · frameMs.
     */
@@ -441,7 +447,8 @@ object Multimodal {
     df.mapPartitions { it =>
       it.flatMap { row =>
         val bytes = payloadBytes(row, payloadIdx)
-        readSampledFrames(bytes, everyNth, frameMs) match {
+        readAviFrames(bytes, everyNth)
+          .orElse(readSampledFrames(bytes, everyNth, frameMs)) match {
           case Some(frames) =>
             frames.iterator.map { case (f, ms, img) =>
               Row.fromSeq(row.toSeq ++ Seq(f, ms, encodePng(img)))
@@ -886,6 +893,176 @@ object Multimodal {
         val samples = Array.tabulate(n)(i =>
           if (i % 16 < 8) amp else (-amp).toShort)
         Row.fromSeq(row.toSeq :+ wavBytes(samples, 16000))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  // ---- MJPEG-in-AVI: REAL video frame decode (round 10) -------------
+  //
+  // The one video codec the stock JDK can genuinely decode: MJPEG
+  // stores each frame as an independent JPEG inside the RIFF/AVI
+  // container (public spec: Microsoft AVI RIFF + OpenDML), and
+  // javax.imageio decodes JPEG. This closes the video-frame-decode
+  // stub for the MJPEG case with the same honesty contract as the
+  // rest of the family: H.264/VP9/AV1 payloads still take the
+  // deterministic byte-slice fallback (no stock-JDK codec exists for
+  // them), and a real deployment swaps in a hardware decoder behind
+  // the same sampleFrames contract.
+
+  /** Parse an MJPEG AVI: cumulative frame times from the avih
+    * `dwMicroSecPerFrame` and every sampled `##dc`/`##db` chunk's JPEG
+    * decoded via the stock reader. None for non-AVI bytes, AVIs with
+    * no video chunks, or any non-JPEG frame payload (an AVI carrying a
+    * codec the JDK lacks degrades to the byte-slice fallback rather
+    * than erroring — totality over mixed corpora). Memory bound: one
+    * payload's sampled frames at a time, same as the GIF path.
+    */
+  private def readAviFrames(bytes: Array[Byte], everyNth: Int)
+      : Option[IndexedSeq[(Int, Int, java.awt.image.BufferedImage)]] = {
+    if (bytes.length < 12 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' || bytes(8) != 'A' || bytes(9) != 'V' ||
+        bytes(10) != 'I' || bytes(11) != ' ') return None
+    try {
+      def le32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) |
+          ((bytes(off + 3) & 0xffL) << 24)
+      def fcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+      var usPerFrame = 40000L // 25 fps default when avih is absent
+      val chunks = IndexedSeq.newBuilder[Array[Byte]]
+      var p = 12
+      while (p + 8 <= bytes.length) {
+        val id = fcc(p)
+        val sz = le32(p + 4).toInt
+        if (id == "LIST" && p + 12 <= bytes.length) {
+          val listEnd = math.min(p + 8 + sz, bytes.length)
+          fcc(p + 8) match {
+            case "hdrl" =>
+              var q = p + 12
+              while (q + 8 <= listEnd) {
+                val csz = le32(q + 4).toInt
+                if (fcc(q) == "avih" && csz >= 4 && le32(q + 8) > 0)
+                  usPerFrame = le32(q + 8)
+                q += 8 + csz + (csz & 1)
+              }
+            case "movi" =>
+              var q = p + 12
+              while (q + 8 <= listEnd) {
+                val cid = fcc(q)
+                val csz = le32(q + 4).toInt
+                if ((cid.endsWith("dc") || cid.endsWith("db")) &&
+                    csz > 0 && q + 8 + csz <= bytes.length)
+                  chunks += java.util.Arrays.copyOfRange(bytes, q + 8,
+                    q + 8 + csz)
+                q += 8 + csz + (csz & 1)
+              }
+            case _ => ()
+          }
+        }
+        p += 8 + sz + (sz & 1)
+      }
+      val all = chunks.result()
+      if (all.isEmpty) return None
+      val stepMs = (usPerFrame / 1000L).toInt
+      val out = IndexedSeq.newBuilder[(Int, Int,
+        java.awt.image.BufferedImage)]
+      var i = 0
+      while (i < all.length) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(all(i)))
+        if (img == null) return None // non-JPEG codec → fallback path
+        out += ((i, i * stepMs, img))
+        i += everyNth
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** Serialize frames as an MJPEG AVI (RIFF `AVI ` → LIST hdrl
+    * (avih + LIST strl (strh `vids`/`MJPG` + strf BITMAPINFOHEADER))
+    * → LIST movi with one `00dc` JPEG chunk per frame) — the
+    * fixture/re-shard writer twin of the AVI branch in
+    * [[sampleFrames]]; deterministic for identical frames (ImageIO's
+    * JPEG writer at default quality is a pure function of the raster
+    * within one JDK build).
+    */
+  def aviMjpegBytes(frames: Seq[java.awt.image.BufferedImage],
+      usPerFrame: Long): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(usPerFrame > 0, s"usPerFrame must be positive: $usPerFrame")
+    val jpegs = frames.map { img =>
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val maxJpeg = jpegs.map(_.length).max
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def s(x: String): Array[Byte] = x.getBytes("ISO-8859-1")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      s(id) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      s("LIST") ++ le32(body.length + 4) ++ s(kind) ++ body
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxJpeg) ++
+      le32(w) ++ le32(h) ++ new Array[Byte](16)
+    val strh = s("vids") ++ s("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(usPerFrame) ++ le32(1000000L) ++ le32(0) ++
+      le32(frames.length) ++ le32(maxJpeg) ++ le32(0xffffffffL) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      s("MJPG") ++ le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = s("AVI ") ++ hdrl ++ movi
+    s("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic MJPEG-AVI payload generator for fixtures and the
+    * x84 oracle: per id, `2 + id % 3` solid-color frames of size
+    * `(32 + (id % 5)·16) × (24 + (id % 3)·16)` at
+    * `(20 + (id % 4)·10)` ms per frame — frame count, every frame
+    * time, and the decoded dimensions are all CLOSED-FORM in the id,
+    * so an SQL oracle states the full container-write → RIFF-walk →
+    * JPEG-decode chain from first principles.
+    */
+  def attachAviPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val n = (2 + id % 3).toInt
+        val w = (32 + (id % 5) * 16).toInt
+        val h = (24 + (id % 3) * 16).toInt
+        val frames = (0 until n).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = img.createGraphics()
+          try {
+            g.setColor(new java.awt.Color(
+              ((id * 37 + f * 11) % 256).toInt,
+              ((id * 53 + f * 29) % 256).toInt,
+              ((id * 71 + f * 47) % 256).toInt))
+            g.fillRect(0, 0, w, h)
+          } finally g.dispose()
+          img
+        }
+        val usPerFrame = (20L + (id % 4) * 10L) * 1000L
+        Row.fromSeq(row.toSeq :+ aviMjpegBytes(frames, usPerFrame))
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

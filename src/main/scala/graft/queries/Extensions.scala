@@ -1670,6 +1670,34 @@ object Extensions {
     "// x83 fixture list", "",
     "com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck")
 
+  /** x84: REAL video frame decode (MJPEG) — the round-10 closure of
+    * the video-decode stub for the one codec the stock JDK can
+    * genuinely decode, on the x71/x80 closed-form pattern:
+    * [[Multimodal.attachAviPayload]] renders a deterministic MJPEG
+    * AVI per document (frame count, per-frame time step, and frame
+    * dimensions all pure functions of doc_id),
+    * [[Multimodal.sampleFrames]] walks the real RIFF container and
+    * decodes every `00dc` JPEG through the stock reader, and the
+    * emitted PNG frames run through the REAL [[Multimodal
+    * .decodePayloads]] pixel probe — so the oracle states the whole
+    * container-write → RIFF-walk → JPEG-decode → PNG-re-encode →
+    * dimension-probe chain from first principles: a wrong chunk
+    * offset, a mis-read dwMicroSecPerFrame, a dropped frame, or a
+    * dimension drift anywhere hash-mismatches.
+    */
+  def x84VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.attachAviPayload(d, "doc_id"), "payload",
+      frameBytes = 1 << 20, everyNth = 1)
+    Multimodal.decodePayloads(frames, "frame")
+      .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.ok").as("decodable"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

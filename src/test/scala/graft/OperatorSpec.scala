@@ -476,6 +476,70 @@ class OperatorSpec extends SparkSpec {
     assert(new String(text(2).getAs[Array[Byte]](2), "UTF-8") == "89")
   }
 
+  test("sampleFrames decodes REAL MJPEG-AVI video frames — frame " +
+      "count, dwMicroSecPerFrame timestamps, true dimensions, pixel " +
+      "content — and an AVI carrying a codec the JDK lacks degrades " +
+      "to the slicing fallback") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // 3 frames: 0 and 2 repeat the same solid color, 1 differs
+    def solid(r: Int, g: Int, b: Int) = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val gg = img.createGraphics()
+      try { gg.setColor(new java.awt.Color(r, g, b))
+            gg.fillRect(0, 0, 48, 32) } finally gg.dispose()
+      img
+    }
+    val avi = Multimodal.aviMjpegBytes(
+      Seq(solid(200, 30, 30), solid(30, 30, 200), solid(200, 30, 30)),
+      usPerFrame = 33000L)
+    val df = Seq((1L, avi)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", frameBytes = 64,
+      everyNth = 1)
+    val rows = frames.select(col("frame_idx"), col("frame_ms"),
+      col("frame")).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 33, 66),
+      "frame_ms must come from avih dwMicroSecPerFrame")
+    // frames decode at true dimensions with the written colors (JPEG
+    // is lossy but a solid color survives within a wide tolerance)
+    val px = rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img != null && img.getWidth == 48 && img.getHeight == 32)
+      img.getRGB(24, 16)
+    }
+    def rgb(p: Int) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    assert(math.abs(rgb(px(0))._1 - 200) < 32 &&
+      rgb(px(0))._3 < 96, s"frame 0 not red-ish: ${rgb(px(0))}")
+    assert(rgb(px(1))._3 > 128 && rgb(px(1))._1 < 96,
+      s"frame 1 not blue-ish: ${rgb(px(1))}")
+    assert(px(0) == px(2), "identical source frames must decode equal")
+    // every-nth sampling applies
+    assert(Multimodal.sampleFrames(df, "payload", frameBytes = 64,
+        everyNth = 2).select(col("frame_idx")).collect()
+      .map(_.getInt(0)).toSet == Set(0, 2))
+    // an AVI whose chunks are NOT JPEG (an unsupported codec) is not
+    // half-decoded: it takes the deterministic byte-slice fallback
+    val fake = avi.clone()
+    // corrupt every frame chunk's JPEG magic in place
+    var i = 0
+    var corrupted = 0
+    while (i + 4 < fake.length) {
+      if (fake(i) == '0' && fake(i + 1) == '0' && fake(i + 2) == 'd' &&
+          fake(i + 3) == 'c') { fake(i + 8) = 0x00; corrupted += 1 }
+      i += 1
+    }
+    assert(corrupted == 3)
+    val fb = Multimodal.sampleFrames(
+      Seq((2L, fake)).toDF("doc_id", "payload"), "payload",
+      frameBytes = 1024, everyNth = 1)
+      .select(col("frame_ms")).collect().map(_.getInt(0))
+    assert(fb.length == (fake.length + 1023) / 1024,
+      "unsupported codec must slice, not error")
+  }
+
   test("multimodal frame-dedup pipeline: sampleFrames → extractFeatures " +
       "→ banded LSH finds exactly the byte-identical frames") {
     import graft.multimodal.Multimodal
