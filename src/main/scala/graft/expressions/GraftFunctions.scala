@@ -44,6 +44,8 @@ object GraftFunctions {
   def htmlNcrDecode(text: Column): Column = c(HtmlNcrDecode(e(text)))
   def pslRegisteredDomain(host: Column, rules: Seq[String]): Column =
     c(PslRegisteredDomain(e(host), rules))
+  def tokenIds(tokens: Column, vocab: Seq[(String, Long)],
+      unkId: Long): Column = c(TokenIds(e(tokens), vocab, unkId))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

@@ -386,3 +386,42 @@ case class HtmlNcrDecode(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): HtmlNcrDecode = copy(child = newChild)
 }
+
+/** Map a token-string array to token IDS through a fixed vocabulary —
+  * the last hop of the tokenization leg ([[graft.operators.Bpe
+  * .encodeIds]]): training consumes int ids, not subword strings. The
+  * vocabulary (≤ ~100k entries for real tokenizers) is hashed once per
+  * JVM and rides the codegen reference object, so the lookup is O(1)
+  * per token with no join and no shuffle; tokens outside the
+  * vocabulary map to `unkId` (never an error — encode-time text can
+  * contain characters training never saw).
+  */
+case class TokenIds(child: Expression, vocab: Seq[(String, Long)],
+    unkId: Long) extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_ids"
+
+  @transient private lazy val lookup
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, java.lang.Long.valueOf(i)) }
+    m
+  }
+
+  override def kernel(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val id = lookup.get(arr.getUTF8String(i).toString)
+      out(i) = if (id == null) unkId else id.longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenIds = copy(child = newChild)
+}

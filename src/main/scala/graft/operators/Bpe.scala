@@ -300,6 +300,46 @@ object Bpe {
     * a driver OOM, and AQE remains free to re-plan the shuffle join if
     * runtime stats allow.
     */
+  /** Token-id vocabulary for a trained merge table: id 0 is the
+    * reserved `<unk>`, ids 1..B are the training corpus's distinct
+    * single-character base symbols in code-point-string sort order,
+    * and ids B+1..B+M are the merged tokens in rank order — the
+    * conventional BPE vocab layout, a pure function of (corpus,
+    * merges) so two runs (or two engines) agree id-for-id. One
+    * vocab-sized job (distinct chars of the distinct words); the
+    * result is driver-resident like the merge table itself.
+    */
+  def vocab(df: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)])
+      : Seq[(String, Long)] = {
+    val baseChars = df.select(explode(regexp_extract_all(col(textCol),
+        lit(TextFunctions.bpeTokenPattern), lit(0))).as("word"))
+      .select(explode(regexp_extract_all(col("word"), lit("."), lit(0)))
+        .as("ch"))
+      .distinct().collect().map(_.getString(0)).sorted
+    ("<unk>", 0L) +:
+      (baseChars.zipWithIndex.map { case (c, i) => (c, i + 1L) } ++
+        merges.sortBy(_._1).zipWithIndex.map { case (m, i) =>
+          (m._4, baseChars.length + 1L + i)
+        }).toSeq
+  }
+
+  /** [[encode]] plus the id hop a trainer actually consumes: every row
+    * gets `token_ids` (long ids through `vocabTable` via the compiled
+    * [[graft.expressions.TokenIds]] lookup — O(1) per token, no join)
+    * alongside `tokens`/`n_tokens`. Tokens outside the vocabulary
+    * (characters training never saw) map to id 0 = `<unk>`, never an
+    * error.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      vocabTable: Seq[(String, Long)],
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame =
+    encode(df, idCol, textCol, merges, broadcastMaxBytes)
+      .withColumn("token_ids", graft.expressions.GraftFunctions
+        .tokenIds(col("tokens"), vocabTable, unkId = 0L))
+
   def encode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String, String, Long)],
       broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)

@@ -139,6 +139,37 @@ class BpeSpec extends SparkSpec {
     assert(got.values.map(_.length).sum < raw.values.sum)
   }
 
+  test("vocab + encodeIds: conventional id layout (<unk>, sorted base " +
+      "chars, merges in rank order), ids equal the reference tokens " +
+      "mapped through the vocab, unseen chars hit <unk>") {
+    import spark.implicits._
+    val df = Seq("aaab aaab", "aaab ab").toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val merges = Bpe.train(df, "text", 10)
+    val v = Bpe.vocab(df, "text", merges)
+    // base chars {a, b} → ids 1, 2; merges aa/ab/aaab → 3, 4, 5
+    assert(v == Seq("<unk>" -> 0L, "a" -> 1L, "b" -> 2L,
+      "aa" -> 3L, "ab" -> 4L, "aaab" -> 5L))
+    val ids = Bpe.encodeIds(df, "id", "text", merges, v)
+      .select(col("id"), col("tokens"), col("token_ids"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[String](1), r.getSeq[Long](2))).sortBy(_._1)
+    // every row's ids are exactly its tokens mapped through the vocab
+    val vm = v.toMap
+    ids.foreach { case (_, toks, tids) =>
+      assert(tids == toks.map(vm), s"$toks -> $tids")
+    }
+    // "aaab aaab" fully merges: two aaab tokens
+    assert(ids.head._3 == Seq(5L, 5L))
+    // encode-time text with a char training never saw → <unk> for that
+    // char's tokens, everything else still resolves
+    val unseen = Bpe.encodeIds(
+      Seq("aaab zz").toDF("text").withColumn("id", lit(7L)),
+      "id", "text", merges, v)
+      .select(col("token_ids")).head.getSeq[Long](0)
+    assert(unseen == Seq(5L, 0L, 0L), s"got $unseen")
+  }
+
   test("punctuation and digit words: single-mark words never merge " +
       "(no pairs), digit runs merge like letter runs, regex " +
       "metacharacters in symbols are quoted") {
