@@ -146,6 +146,7 @@ object SparkEntry {
     "x82_quality_train" -> Extensions.x82QualityTrain,
     "x83_psl_domains" -> Extensions.x83PslDomains,
     "x84_video_frames" -> Extensions.x84VideoFrames,
+    "x85_source_epochs" -> Extensions.x85SourceEpochs,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -722,6 +723,26 @@ object SparkEntry {
     // at all — logits are exact integer sums of quantized weights, and
     // the md5 bucket is the x73 strpos-nibble arithmetic)
     "x81_quality_score" -> qualityScoreSql,
+    // x85: the epochs multiset is a pure function of (id, factor) —
+    // base copies from CASE arithmetic, the fractional copy from the
+    // engine's own 8-hex-digit md5 gate (thresholds chosen as exact
+    // binary fractions of 16^8, so the compare is lexicographic-exact)
+    "x85_source_epochs" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 0
+        |              WHEN 'es' THEN 0 ELSE 1 END
+        |    + CASE WHEN lang = 'en' AND
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |        THEN 1
+        |        WHEN lang = 'fr' AND
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |        THEN 1 ELSE 0 END AS copies
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(ci AS BIGINT) AS copy_idx
+        |FROM (SELECT doc_id, lang, unnest(range(0, copies)) AS ci
+        |      FROM p WHERE copies > 0)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     // x84: every decoded MJPEG frame's index, time, and dimensions are
     // closed-form in doc_id (deterministic AVI fixture) — the oracle
     // states the full container→RIFF-walk→JPEG-decode chain's truth

@@ -51,4 +51,59 @@ object Mixing {
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr_hex"))
       .drop("__thr", "__thr_hex")
   }
+
+  /** The UPSAMPLING half of the mixture recipe: replicate each
+    * stratum's rows by its "epochs" factor — the public LLM-mix device
+    * (LLaMA/Pile-style: high-quality sources see >1 epoch per pass
+    * over the mix, e.g. Wikipedia ×2.5, crawl ×0.67). A row with
+    * factor r emits ⌊r⌋ copies plus one more iff the first 8 md5 hex
+    * digits of its id fall under `floor(16^8·frac(r))` — the engine's
+    * established integer-exact hash gate ([[Sampling.hashSample]]'s
+    * device), so the emitted multiset is a PURE FUNCTION of (id,
+    * factor): reproducible across runs, partitionings, and engines,
+    * and statable bit-for-bit by a SQL oracle. Factors < 1 degrade to
+    * plain deterministic downsampling (0 base copies + the fractional
+    * gate), so ONE operator expresses the whole mixture row.
+    *
+    * Each copy carries `copy_idx` (0-based) — downstream shuffling
+    * ([[Sampling.shuffleShards]] keyed by (id, copy_idx)) spreads
+    * replicas across shards so no training batch sees a document
+    * twice.
+    *
+    * Scale shape: factors are a tiny driver map compiled into the
+    * projection; the replication is a pure map-side
+    * `explode(sequence(...))` — ZERO shuffles at any corpus size, and
+    * the output is at most ⌈max factor⌉ × input rows.
+    */
+  def epochsPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0)
+      : DataFrame = {
+    require(defaultFactor >= 0 && factors.values.forall(_ >= 0),
+      "epoch factors must be >= 0")
+    require(factors.values.forall(_ < 1000) && defaultFactor < 1000,
+      "epoch factors above 1000 are a corpus explosion, not a mix")
+    val full = BigInt(16).pow(8).toLong
+    // integer-exact split: base copies + 16^8-scaled fractional gate,
+    // computed on the DRIVER so the executor-side arithmetic is pure
+    // long compares (no float anywhere in the row path)
+    def base(r: Double): Long = math.floor(r).toLong
+    def fracThr(r: Double): Long =
+      math.floor((r - math.floor(r)) * full.toDouble).toLong
+    val baseCol = factors.foldLeft(lit(base(defaultFactor))) {
+      case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(base(r))).otherwise(acc)
+    }
+    val thrCol = factors.foldLeft(lit(fracThr(defaultFactor))) {
+      case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(fracThr(r))).otherwise(acc)
+    }
+    val copies = (baseCol +
+      when(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") < thrCol, 1L).otherwise(0L)).as("__copies")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

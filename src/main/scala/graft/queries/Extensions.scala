@@ -1698,6 +1698,22 @@ object Extensions {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** x85: mixture EPOCHS — the upsampling half of the data-mix recipe
+    * ([[graft.operators.Mixing.epochsPerStratum]]): en ×2.5 (2 copies
+    * + a hash-gated third for half the ids), de ×1 (untouched via the
+    * default), fr ×0.25 (deterministic quarter), es ×0 (dropped), zh
+    * default ×1. The fractional thresholds are exact powers of two of
+    * the 16^8 gate, so the oracle restates the whole multiset —
+    * including every copy_idx — with the engine's own lexicographic
+    * md5-prefix compare. Map-side explode, zero shuffles.
+    */
+  def x85SourceEpochs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    graft.operators.Mixing.epochsPerStratum(d, "lang", "doc_id",
+        Map("en" -> 2.5, "fr" -> 0.25, "es" -> 0.0), defaultFactor = 1.0)
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
   private val x69FixtureLock = new Object
 
   /** x69's WARC shards, persisted once per sf dir (see [[x68Fixture]]

@@ -980,6 +980,50 @@ class OperatorSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("Mixing.epochsPerStratum: integer factors replicate exactly, " +
+      "fractional factors gate ~frac of ids deterministically, zero " +
+      "drops, copy_idx contiguous, map-side (no shuffle), " +
+      "partitioning-independent") {
+    import spark.implicits._
+    val df = ((1 to 400).map(i => (i.toLong, "up")) ++
+      (401 to 800).map(i => (i.toLong, "keep")) ++
+      (801 to 1200).map(i => (i.toLong, "down")) ++
+      (1201 to 1300).map(i => (i.toLong, "drop")))
+      .toDF("id", "grp")
+    val out = graft.operators.Mixing.epochsPerStratum(df, "grp", "id",
+      Map("up" -> 2.5, "down" -> 0.25, "drop" -> 0.0))
+    val rows = out.select(col("id"), col("grp"), col("copy_idx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byGrp = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // default-1 stratum: exactly its rows, copy_idx all 0
+    assert(byGrp("keep") == 400)
+    assert(rows.filter(_._2 == "keep").forall(_._3 == 0L))
+    // 2.5x: every id twice plus ~half a third time
+    val up = rows.filter(_._2 == "up")
+    assert(up.count(_._3 == 0L) == 400 && up.count(_._3 == 1L) == 400)
+    val thirds = up.count(_._3 == 2L)
+    assert(thirds > 120 && thirds < 280, s"frac(2.5) gate: $thirds")
+    // copy_idx per id is contiguous 0..copies-1
+    up.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._3).sorted.toSeq == (0L until cs.length).toSeq)
+    }
+    // 0.25x: binomial around 100, single copies
+    assert(byGrp("down") > 55 && byGrp("down") < 155, byGrp)
+    assert(rows.filter(_._2 == "down").forall(_._3 == 0L))
+    // 0x: gone
+    assert(!byGrp.contains("drop"))
+    // pure function of the data — repartitioning changes nothing
+    val re = graft.operators.Mixing.epochsPerStratum(
+      df.repartition(7, col("id")), "grp", "id",
+      Map("up" -> 2.5, "down" -> 0.25, "drop" -> 0.0))
+      .select(col("id"), col("copy_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(re.toSeq == rows.map(r => (r._1, r._3)).sorted.toSeq)
+    // map-side: the replication plan has no exchange at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epochs shuffled:\n$plan")
+  }
+
   test("Chunking.tokenWindows: full coverage, overlap = width - stride, " +
       "short tail window, token-free docs dropped") {
     import spark.implicits._
