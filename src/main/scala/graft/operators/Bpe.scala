@@ -158,13 +158,17 @@ object Bpe {
 
   /** In-memory merge loop over a collected histogram. Pair counts are
     * maintained INCREMENTALLY: a pair→containing-words index means each
-    * merge re-pairs only the words it actually rewrites (the classic
-    * fast-BPE bookkeeping), so cost per merge is the affected-word mass
-    * plus one argmax scan of the live pair table — merges/sec is
-    * bounded by vocabulary churn, not by Spark job latency. All
-    * arithmetic is exact longs, so the result is independent of map
-    * iteration order (the argmax applies the full deterministic
-    * tiebreak).
+    * merge re-pairs only the words it actually rewrites, and the
+    * argmax comes from a LAZY-INVALIDATION priority queue (the classic
+    * fast-BPE bookkeeping): every pair whose count changes in a merge
+    * re-enqueues at its new count, and stale queue entries (count no
+    * longer live) discard on pop — so a merge costs the affected-word
+    * mass plus O(log) queue work, NOT a scan of the whole pair table.
+    * At a web-vocab histogram (10⁶–10⁷ live pairs) × 32k merges, the
+    * scan alternative is ~10¹¹ comparisons — the cliff this queue
+    * removes. All arithmetic is exact longs and the queue order is the
+    * strict (count desc, left asc, right asc) tiebreak, so the result
+    * is independent of hash-map iteration order.
     */
   private[operators] def trainDriver(histRows: Array[(String, Long)],
       numMerges: Int, minCount: Long)
@@ -175,6 +179,8 @@ object Bpe {
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords =
       mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // pairs whose count changed since their last enqueue (per merge)
+    val touched = mutable.HashSet.empty[(String, String)]
 
     def addWord(wi: Int): Unit = {
       val s = syms(wi); val w = weights(wi)
@@ -183,13 +189,14 @@ object Bpe {
         val p = (s(i), s(i + 1))
         pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + w))
         pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        touched += p
         i += 1
       }
     }
     // full removal before rewrite (then full re-add) keeps the index
     // exact even when a word contains the merged pair at several
-    // positions; entries that reach zero leave the maps so the argmax
-    // scan only ever sees live pairs
+    // positions; entries that reach zero leave the maps so only live
+    // pairs can ever validate on pop
     def removeWord(wi: Int): Unit = {
       val s = syms(wi); val w = weights(wi)
       var i = 0
@@ -198,30 +205,51 @@ object Bpe {
         val left = pairCount(p) - w
         if (left == 0L) { pairCount.remove(p); pairWords.remove(p) }
         else { pairCount(p) = left; pairWords.get(p).foreach(_ -= wi) }
+        touched += p
         i += 1
       }
     }
 
     var wi = 0
     while (wi < syms.length) { addWord(wi); wi += 1 }
+    // (count, left, right) max-queue with the deterministic tiebreak;
+    // entries are snapshots — validity is checked against pairCount
+    val queue = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, pairCount.size),
+      new java.util.Comparator[(Long, String, String)] {
+        override def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // count desc
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2) // left asc
+            if (l != 0) l else a._3.compareTo(b._3) // right asc
+          }
+        }
+      })
+    pairCount.foreach { case ((l, r), c) =>
+      if (c >= minCount) queue.add((c, l, r))
+    }
+    touched.clear()
+
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
-      var best: (String, String) = null
-      var bestC = 0L
-      for ((p, c) <- pairCount if c >= minCount) {
-        if (best == null || c > bestC ||
-            (c == bestC && (p._1 < best._1 ||
-              (p._1 == best._1 && p._2 < best._2)))) {
-          best = p; bestC = c
-        }
+      // pop until a live entry surfaces: stale snapshots (count moved
+      // since enqueue) discard; the first live one IS the argmax under
+      // the strict order
+      var best: (Long, String, String) = null
+      while (best == null && !queue.isEmpty) {
+        val top = queue.poll()
+        if (pairCount.get((top._2, top._3)).contains(top._1) &&
+            top._1 >= minCount) best = top
       }
       if (best == null) done = true
       else {
-        val (l, r) = best
-        merges += ((rank, l, r, l + r, bestC))
-        val affected = pairWords(best).toArray
+        val (c, l, r) = best
+        merges += ((rank, l, r, l + r, c))
+        val affected = pairWords((l, r)).toArray
         java.util.Arrays.sort(affected)
         var j = 0
         while (j < affected.length) {
@@ -231,6 +259,12 @@ object Bpe {
           addWord(w2)
           j += 1
         }
+        // re-enqueue every pair this merge touched at its live count
+        touched.foreach { p =>
+          pairCount.get(p).foreach(c2 =>
+            if (c2 >= minCount) queue.add((c2, p._1, p._2)))
+        }
+        touched.clear()
         rank += 1
       }
     }
