@@ -106,4 +106,43 @@ object Mixing {
         explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** [[epochsPerStratum]] with the factors as a TABLE instead of a
+    * literal map — the form for data-sized factor inventories (e.g. a
+    * per-domain mix over 10⁵ registered domains, where a literal CASE
+    * chain would explode the expression tree). The factor frame
+    * (stratum, factor) is always tiny next to the corpus, so it
+    * broadcasts; base copies and the 16^8-scaled fractional threshold
+    * are computed ONCE per factor row (longs from that point on —
+    * same integer-exact row path as the literal form, and provably
+    * the same output: asserted in the spec). Strata absent from the
+    * table take `defaultFactor`.
+    */
+  def epochsPerStratumTable(df: DataFrame, stratumCol: String,
+      idCol: String, factors: DataFrame, factorCol: String = "factor",
+      defaultFactor: Double = 1.0): DataFrame = {
+    require(defaultFactor >= 0 && defaultFactor < 1000,
+      s"defaultFactor out of range: $defaultFactor")
+    val full = BigInt(16).pow(8).toLong
+    val f = broadcast(factors
+      .select(col(stratumCol), col(factorCol).cast("double").as("__r"))
+      .withColumn("__base", floor(col("__r")).cast("long"))
+      .withColumn("__thr",
+        floor((col("__r") - floor(col("__r"))) * lit(full.toDouble))
+          .cast("long"))
+      .drop("__r"))
+    val defBase = math.floor(defaultFactor).toLong
+    val defThr = math.floor(
+      (defaultFactor - math.floor(defaultFactor)) * full.toDouble).toLong
+    df.join(f, Seq(stratumCol), "left")
+      .withColumn("__copies",
+        coalesce(col("__base"), lit(defBase)) +
+          when(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+            16, 10).cast("long") < coalesce(col("__thr"), lit(defThr)),
+            1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies", "__base", "__thr")
+  }
 }

@@ -1022,6 +1022,20 @@ class OperatorSpec extends SparkSpec {
     // map-side: the replication plan has no exchange at all
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"epochs shuffled:\n$plan")
+    // the broadcast-TABLE form (data-sized factor inventories) emits
+    // the identical multiset through a broadcast join
+    val ft = Seq(("up", 2.5), ("down", 0.25), ("drop", 0.0))
+      .toDF("grp", "factor")
+    val viaTable = graft.operators.Mixing.epochsPerStratumTable(
+      df, "grp", "id", ft)
+      .select(col("id"), col("copy_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaTable.toSeq == rows.map(r => (r._1, r._3)).sorted.toSeq,
+      "table form diverged from the literal form")
+    val tPlan = graft.operators.Mixing.epochsPerStratumTable(
+      df, "grp", "id", ft).queryExecution.executedPlan.toString
+    assert(tPlan.contains("BroadcastHashJoin"), tPlan)
+    assert(!tPlan.contains("SortMergeJoin"), tPlan)
   }
 
   test("Chunking.tokenWindows: full coverage, overlap = width - stride, " +
