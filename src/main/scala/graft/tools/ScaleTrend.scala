@@ -138,7 +138,11 @@ object ScaleTrend {
       // hand-off measured) and the media legs (x71 audio decode, x80
       // MP4 container metadata — both batched map passes that should
       // track scan cost)
-      "x78_crawl_pipeline", "x71_audio_features", "x80_video_meta")
+      "x78_crawl_pipeline", "x71_audio_features", "x80_video_meta",
+      // round 10 (late): PSL domain resolution (map-side kernel),
+      // MJPEG frame decode (persisted fixture; times the codec chain),
+      // mixture epochs (map-side explode)
+      "x83_psl_domains", "x84_video_frames", "x85_source_epochs")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

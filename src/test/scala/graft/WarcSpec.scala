@@ -141,6 +141,72 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end crawl-ingest dedup: WARC shards stream in, HTML " +
+      "payloads extract, and arriving copies screen against the " +
+      "PERSISTED dedup index — including a shard landing mid-stream") {
+    import spark.implicits._
+    // corpus of mutually-disjoint token sets → cross-doc jaccard ~0,
+    // exact copies land at 1.0
+    def text(i: Long): String =
+      s"doc $i " + (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    val corpus = (0L until 40L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_widx").toString
+    val idx = graft.operators.DedupIndex.build(corpus, "doc_id", "text",
+      k = 3, threshold = 0.6, path = idxPath)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crawl_ck")
+      .toString
+    def htmlOf(t: String): String =
+      s"<html><head><title>x</title></head><body><!-- nav --><p>$t</p>" +
+        "<script>if(1<2){var s='</p>';}</script></body></html>"
+    def shard(name: String, recs: Seq[(Long, String, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        Warc.writeBytes(recs.map { case (id, body, date) =>
+          Warc.WarcRecord("response", s"<urn:c:$id>", s"http://t/doc/$id",
+            date, "application/http; msgtype=response", 200,
+            "text/html; charset=utf-8", htmlOf(body).getBytes("UTF-8"))
+        }, gzipPerRecord = true))
+
+    // shard a: an exact copy of corpus doc 3 + a fresh doc
+    shard("a.warc.gz", Seq(
+      (1003L, text(3), "2024-01-01T10:00:00Z"),
+      (1500L, text(1500), "2024-01-01T10:00:00Z")))
+    val ingested = Warc.readStream(spark, dir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        graft.functions.TextFunctions
+          .htmlToText(col("payload").cast("string")).as("text"),
+        col("warc_date").cast("timestamp").as("ts"))
+    val stream = graft.streaming.Streaming.indexDedupStream(
+      ingested, idx, "doc_id", "text", threshold = 0.6, tsCol = "ts")
+    val q = stream.writeStream.format("memory").queryName("crawl_dedup")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // shard b lands MID-STREAM: a copy of corpus doc 7 + a fresh doc
+      shard("b.warc.gz", Seq(
+        (1107L, text(7), "2024-01-01T10:05:00Z"),
+        (1600L, text(1600), "2024-01-01T10:05:00Z")))
+      q.processAllAvailable()
+      // push the watermark past the pair windows
+      shard("c.warc.gz", Seq(
+        (9999L, text(9999), "2024-01-02T12:00:00Z")))
+      q.processAllAvailable()
+      val flagged = spark.table("crawl_dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(flagged.map(p => (p._1, p._2)).toSet ==
+        Set((1003L, 3L), (1107L, 7L)),
+        s"flagged ${flagged.mkString(", ")}")
+      assert(flagged.forall(_._3 > 0.99),
+        "exact copies must screen at jaccard 1.0")
+    } finally q.stop()
+  }
+
   test("parseStream is genuinely lazy — records before a poisoned " +
       "tail parse without the tail ever being read (the memory-" +
       "O(record) contract: no whole-stream materialization)") {
