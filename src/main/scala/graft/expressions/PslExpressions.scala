@@ -56,7 +56,10 @@ case class PslRegisteredDomain(child: Expression, rules: Seq[String])
   }
 
   override def kernel(input: Any): Any = {
-    val host = input.asInstanceOf[UTF8String].toString
+    // PSL matching is case-insensitive; [[graft.functions.UrlFunctions
+    // .urlHost]] already lowercases, but a directly-passed host must
+    // not silently miss every rule
+    val host = input.asInstanceOf[UTF8String].toString.toLowerCase
     if (host.isEmpty) return input
     val (exact, wild, exc) = parsed
     val labels = host.split('.')

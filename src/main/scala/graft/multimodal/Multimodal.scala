@@ -935,6 +935,10 @@ object Multimodal {
       while (p + 8 <= bytes.length) {
         val id = fcc(p)
         val sz = le32(p + 4).toInt
+        // a hostile/corrupt size field (top bit set → negative toInt)
+        // could zero or reverse the step — malformed, take the
+        // fallback rather than spinning
+        if (sz < 0) return None
         if (id == "LIST" && p + 12 <= bytes.length) {
           val listEnd = math.min(p + 8 + sz, bytes.length)
           fcc(p + 8) match {
@@ -942,6 +946,7 @@ object Multimodal {
               var q = p + 12
               while (q + 8 <= listEnd) {
                 val csz = le32(q + 4).toInt
+                if (csz < 0) return None
                 if (fcc(q) == "avih" && csz >= 4 && le32(q + 8) > 0)
                   usPerFrame = le32(q + 8)
                 q += 8 + csz + (csz & 1)
@@ -951,6 +956,7 @@ object Multimodal {
               while (q + 8 <= listEnd) {
                 val cid = fcc(q)
                 val csz = le32(q + 4).toInt
+                if (csz < 0) return None
                 if ((cid.endsWith("dc") || cid.endsWith("db")) &&
                     csz > 0 && q + 8 + csz <= bytes.length)
                   chunks += java.util.Arrays.copyOfRange(bytes, q + 8,

@@ -538,6 +538,15 @@ class OperatorSpec extends SparkSpec {
       .select(col("frame_ms")).collect().map(_.getInt(0))
     assert(fb.length == (fake.length + 1023) / 1024,
       "unsupported codec must slice, not error")
+    // a hostile size field (0xFFFFFFF8 → negative after toInt) must
+    // not spin the RIFF walk: malformed AVIs take the fallback
+    val hostile = avi.clone()
+    hostile(16) = 0xf8.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte
+    val hb = Multimodal.sampleFrames(
+      Seq((3L, hostile)).toDF("doc_id", "payload"), "payload",
+      frameBytes = 1024, everyNth = 1).count()
+    assert(hb == (hostile.length + 1023) / 1024)
   }
 
   test("multimodal frame-dedup pipeline: sampleFrames → extractFeatures " +

@@ -201,6 +201,9 @@ class TextFunctionsSpec extends SparkSpec {
     // unlisted TLD: implicit * rule (last label is the suffix)
     assert(rd("example.zz") == "example.zz")
     assert(rd("a.b.example.zz") == "example.zz")
+    // PSL matching is case-insensitive: a directly-passed uppercase
+    // host must not miss every rule
+    assert(rd("News.Example.CO.UK") == "example.co.uk")
     // a host that IS a public suffix returns itself (totality), as do
     // single-label hosts and empty strings
     assert(rd("github.io") == "github.io")
