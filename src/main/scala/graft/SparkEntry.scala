@@ -147,6 +147,7 @@ object SparkEntry {
     "x83_psl_domains" -> Extensions.x83PslDomains,
     "x84_video_frames" -> Extensions.x84VideoFrames,
     "x85_source_epochs" -> Extensions.x85SourceEpochs,
+    "x86_quality_calibration" -> Extensions.x86QualityCalibration,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -723,6 +724,7 @@ object SparkEntry {
     // at all — logits are exact integer sums of quantized weights, and
     // the md5 bucket is the x73 strpos-nibble arithmetic)
     "x81_quality_score" -> qualityScoreSql,
+    "x86_quality_calibration" -> qualityCalibrationSql,
     // x85: the epochs multiset is a pure function of (id, factor) —
     // base copies from CASE arithmetic, the fractional copy from the
     // engine's own 8-hex-digit md5 gate (thresholds chosen as exact
@@ -1646,7 +1648,12 @@ object SparkEntry {
     * engine-identical, and the logit is an exact integer sum — no
     * float arithmetic anywhere, so the statement is bit-for-bit.
     */
-  private def qualityScoreSql: String = {
+  /** The shared logit CTEs (toks/w/s) for x81/x86: the engine's
+    * quantized-long weights as SQL literals + the md5-bucket feature
+    * hash — the statement that makes every logit an exact integer in
+    * both engines.
+    */
+  private def qualityLogitCtes: String = {
     val m = graft.operators.QualityClassifier.refModel(seed = 9, dim = 64)
     val wlist = m.weightsQ.mkString("[", ", ", "]")
     def nib(i: Int): String =
@@ -1654,7 +1661,7 @@ object SparkEntry {
     val bucket =
       s"(((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) " +
         s"* ${m.dim}) // 65536)" // dim from the model, never a literal
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(
        |    lower(COALESCE(text, '')), '\\s+'), x -> length(x) > 0)) AS token
        |  FROM documents),
@@ -1664,13 +1671,52 @@ object SparkEntry {
        |s AS (
        |  SELECT doc_id, COUNT(*) AS n_tokens,
        |    CAST(SUM(wq) AS BIGINT) AS wsum
-       |  FROM w GROUP BY 1)
+       |  FROM w GROUP BY 1)""".stripMargin
+  }
+
+  private def qualityScoreSql: String = {
+    val m = graft.operators.QualityClassifier.refModel(seed = 9, dim = 64)
+    s"""WITH $qualityLogitCtes
        |SELECT d.doc_id,
        |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
        |  CAST(${m.biasQ} + COALESCE(s.wsum, 0) AS BIGINT) AS logit_q,
        |  (${m.biasQ} + COALESCE(s.wsum, 0)) > 0 AS keep
        |FROM documents d LEFT JOIN s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** x86: the calibration sweep restated — the exact-integer logits of
+    * the x81 statement, crossed with the same literal threshold list,
+    * confusion counts and basis-point ratios all in integer arithmetic.
+    */
+  private def qualityCalibrationSql: String = {
+    val m = graft.operators.QualityClassifier.refModel(seed = 9, dim = 64)
+    val thresholds = graft.queries.Extensions.x86Thresholds
+      .map(t => s"(CAST($t AS BIGINT))").mkString(", ")
+    s"""WITH $qualityLogitCtes,
+       |lg AS (
+       |  SELECT d.doc_id,
+       |    CAST(${m.biasQ} + COALESCE(s.wsum, 0) AS BIGINT) AS logit,
+       |    (length(COALESCE(d.text, '')) % 2 = 0) AS y
+       |  FROM documents d LEFT JOIN s USING (doc_id)),
+       |t(threshold_q) AS (VALUES $thresholds),
+       |c AS (
+       |  SELECT threshold_q,
+       |    CAST(SUM(CASE WHEN y AND logit > threshold_q
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN NOT y AND logit > threshold_q
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT y AND logit <= threshold_q
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(SUM(CASE WHEN y AND logit <= threshold_q
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM lg, t GROUP BY 1)
+       |SELECT threshold_q, tp, fp, tn, fn,
+       |  CASE WHEN tp + fp > 0 THEN (tp * 10000) // (tp + fp)
+       |       ELSE CAST(-1 AS BIGINT) END AS precision_bp,
+       |  CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn)
+       |       ELSE CAST(-1 AS BIGINT) END AS recall_bp
+       |FROM c ORDER BY threshold_q""".stripMargin
   }
 
   private def l2SqSql(a: String, b: String): String =

@@ -90,6 +90,49 @@ object QualityClassifier {
     graft.expressions.GraftFunctions.hashedLinearLogit(text,
       model.weightsQ.toSeq, model.biasQ)
 
+  /** Calibration sweep over a labeled sample — the step between
+    * training and deployment: a quality filter ships with a THRESHOLD,
+    * and picking it needs the exact confusion counts at each
+    * candidate. One scoring pass (the compiled logit kernel) explodes
+    * against the threshold list (human-sized, ≤ 1024) and aggregates
+    * map-side, so the only exchange carries |thresholds| rows; counts
+    * are exact longs (logits are exact integers — x81's contract) and
+    * precision/recall are emitted in integer BASIS POINTS
+    * (`floor(10⁴·tp/(tp+fp))`), so the whole report is bit-for-bit
+    * statable in SQL (x86's oracle). Undefined ratios (empty
+    * denominator) report -1, never a division error.
+    */
+  def calibrationReport(df: DataFrame, textCol: String, labelCol: String,
+      model: Model, thresholdsQ: Seq[Long]): DataFrame = {
+    require(thresholdsQ.nonEmpty && thresholdsQ.size <= 1024,
+      s"threshold list must have 1..1024 entries, got ${thresholdsQ.size}")
+    require(thresholdsQ.distinct.size == thresholdsQ.size,
+      "threshold list has duplicates")
+    val st = logitColumn(coalesce(col(textCol), lit("")), model)
+    val scored = df.select(col(labelCol).cast("long").as("__y"),
+      element_at(st, 2).as("__logit"))
+    val counts = scored
+      .select(col("__y"), col("__logit"),
+        explode(lit(thresholdsQ.toArray)).as("threshold_q"))
+      .groupBy(col("threshold_q"))
+      .agg(
+        sum(when(col("__y") === 1L && col("__logit") > col("threshold_q"),
+          1L).otherwise(0L)).as("tp"),
+        sum(when(col("__y") =!= 1L && col("__logit") > col("threshold_q"),
+          1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") =!= 1L && col("__logit") <= col("threshold_q"),
+          1L).otherwise(0L)).as("tn"),
+        sum(when(col("__y") === 1L && col("__logit") <= col("threshold_q"),
+          1L).otherwise(0L)).as("fn"))
+    counts
+      .withColumn("precision_bp",
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 10000) div (tp + fp)")).otherwise(-1L))
+      .withColumn("recall_bp",
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 10000) div (tp + fn)")).otherwise(-1L))
+  }
+
   /** Hashed bucket counts as a Column (the training feature vector). */
   def countsColumn(text: Column, dim: Int): Column =
     graft.expressions.GraftFunctions.hashedBucketCounts(text, dim)

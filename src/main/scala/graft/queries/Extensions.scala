@@ -1696,6 +1696,30 @@ object Extensions {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** x86: the calibration sweep — between training (x82) and the
+    * deployment threshold, a quality filter ships with an operating
+    * point, and choosing it needs exact confusion counts per candidate
+    * ([[graft.operators.QualityClassifier.calibrationReport]]). Frozen
+    * x81 weights + the SQL-statable parity label give every cell an
+    * exact-integer truth; precision/recall land in basis points, so
+    * the whole report is bit-for-bit oracle-checked.
+    */
+  def x86QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val labeled = docs(s, dir).withColumn("y",
+      (length(coalesce(col("text"), lit(""))) % 2 === 0).cast("int"))
+    val m = graft.operators.QualityClassifier.refModel(seed = 9, dim = 64)
+    graft.operators.QualityClassifier
+      .calibrationReport(labeled, "text", "y", m, x86Thresholds)
+      .orderBy(col("threshold_q"))
+  }
+
+  /** x86's candidate operating points — spread across the fixture's
+    * logit range so every threshold produces a distinct confusion
+    * matrix; the oracle re-emits them as literals.
+    */
+  val x86Thresholds: Seq[Long] = Seq(-2000000000L, -500000000L,
+    -50000000L, 0L, 500000000L, 2000000000L)
+
   private val x84FixtureLock = new Object
 
   /** x84's AVI corpus, persisted once per sf dir (the x68/x69 caching

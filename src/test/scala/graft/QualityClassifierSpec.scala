@@ -190,4 +190,42 @@ class QualityClassifierSpec extends SparkSpec {
       .head().getDouble(0)
     assert(acc >= 0.95, s"training accuracy $acc below 0.95")
   }
+
+  test("calibrationReport: confusion counts equal a driver recompute " +
+      "at every threshold, recall is monotone in the threshold, and " +
+      "undefined ratios report -1") {
+    import spark.implicits._
+    val m = QualityClassifier.refModel(seed = 9, dim = 64)
+    val labeled = docs.withColumn("y",
+      (length(coalesce(col("text"), lit(""))) % 2 === 0).cast("int"))
+    val thresholds = graft.queries.Extensions.x86Thresholds
+    val got = QualityClassifier.calibrationReport(
+        labeled, "text", "y", m, thresholds)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // driver recompute from the reference logit
+    val rows = labeled.select(coalesce(col("text"), lit("")),
+        col("y").cast("long"))
+      .as[(String, Long)].collect()
+      .map { case (t, y) => (refLogit(t, m)._2, y) }
+    thresholds.foreach { thr =>
+      val tp = rows.count { case (l, y) => y == 1 && l > thr }.toLong
+      val fp = rows.count { case (l, y) => y != 1 && l > thr }.toLong
+      val tn = rows.count { case (l, y) => y != 1 && l <= thr }.toLong
+      val fn = rows.count { case (l, y) => y == 1 && l <= thr }.toLong
+      val prec = if (tp + fp > 0) tp * 10000 / (tp + fp) else -1L
+      val rec = if (tp + fn > 0) tp * 10000 / (tp + fn) else -1L
+      assert(got(thr) == ((tp, fp, tn, fn, prec, rec)), s"thr $thr")
+    }
+    // raising the threshold can only shrink the kept set → tp (and so
+    // recall) non-increasing
+    val byThr = thresholds.sorted.map(got(_))
+    assert(byThr.map(_._1).sliding(2).forall(p => p(0) >= p(1)))
+    // a threshold above every logit keeps nothing: precision undefined
+    val edge = QualityClassifier.calibrationReport(
+        labeled, "text", "y", m, Seq(Long.MaxValue - 1))
+      .collect().head
+    assert(edge.getLong(1) == 0L && edge.getLong(5) == -1L)
+  }
 }
