@@ -148,6 +148,8 @@ object SparkEntry {
     "x84_video_frames" -> Extensions.x84VideoFrames,
     "x85_source_epochs" -> Extensions.x85SourceEpochs,
     "x86_quality_calibration" -> Extensions.x86QualityCalibration,
+    "x87_latest_per_url" -> Extensions.x87LatestPerUrl,
+    "x88_crawl_diff" -> Extensions.x88CrawlDiff,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -725,6 +727,39 @@ object SparkEntry {
     // the md5 bucket is the x73 strpos-nibble arithmetic)
     "x81_quality_score" -> qualityScoreSql,
     "x86_quality_calibration" -> qualityCalibrationSql,
+    // x87: winner per canonical URL = the group's max doc_id (fetch
+    // times are monotone in doc_id); the canonical key is closed-form
+    "x87_latest_per_url" ->
+      """SELECT 'https://site' || (doc_id // 5) || '.example/page'
+        |    AS url_canonical,
+        |  MAX(doc_id) AS doc_id
+        |FROM documents
+        |GROUP BY doc_id // 5
+        |ORDER BY url_canonical""".stripMargin,
+    // x88: the full-outer snapshot diff with x2/x12's md5-normalize
+    // fingerprint statement on both sides
+    "x88_crawl_diff" ->
+      """WITH d AS (
+        |  SELECT 'u' || doc_id AS url, doc_id, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT url,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS prev_fp
+        |  FROM d WHERE doc_id % 11 <> 0),
+        |n AS (
+        |  SELECT url,
+        |    md5(trim(regexp_replace(lower(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' changed marker'
+        |           ELSE text END), '[^a-z0-9]+', ' ', 'g'))) AS next_fp
+        |  FROM d WHERE doc_id % 13 <> 0)
+        |SELECT url, prev_fp, next_fp,
+        |  CASE WHEN prev_fp IS NULL THEN 'new'
+        |       WHEN next_fp IS NULL THEN 'deleted'
+        |       WHEN prev_fp = next_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM p FULL OUTER JOIN n USING (url)
+        |ORDER BY url""".stripMargin,
     // x85: the epochs multiset is a pure function of (id, factor) —
     // base copies from CASE arithmetic, the fractional copy from the
     // engine's own 8-hex-digit md5 gate (thresholds chosen as exact

@@ -81,6 +81,59 @@ object Curation {
     df.join(bl, df(domainCol) === bl("domain"), "left_anti")
   }
 
+  /** Keep the LATEST capture of each canonical URL — the
+    * revision-dedup pass a crawl pipeline runs before content dedup
+    * (the same page is fetched every snapshot; only the newest
+    * capture should enter the corpus). The winner per canonical URL is
+    * the row with the greatest (fetch time, id) — the id tiebreak
+    * makes the pick deterministic when a snapshot carries duplicate
+    * timestamps.
+    *
+    * Scale shape: ONE shuffle keyed by canonical URL through a
+    * `max_by` aggregate — partial-merged map-side with one-row state
+    * per group, so a URL captured in every one of 100 snapshots costs
+    * one comparison per capture, never a per-group sort (the
+    * window-rank alternative sorts every group). Output columns = the
+    * winning row's, plus `url_canonical`.
+    */
+  def latestPerUrl(df: DataFrame, urlCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val cols = df.columns
+    df.withColumn("url_canonical", UrlFunctions.normalizeUrl(col(urlCol)))
+      .groupBy(col("url_canonical"))
+      .agg(max_by(struct(cols.map(col).toSeq: _*),
+        struct(col(tsCol), col(idCol))).as("__w"))
+      .select(col("url_canonical") +:
+        cols.map(c => col(s"__w.$c").as(c)).toSeq: _*)
+  }
+
+  /** Diff two crawl snapshots by canonical URL + content fingerprint —
+    * the incremental-crawl question ("what changed since the last
+    * snapshot?") that decides how much of the pipeline re-runs. Emits
+    * one row per URL present in either snapshot with
+    * `status ∈ {new, changed, unchanged, deleted}` and both
+    * fingerprints (null on the absent side). Callers pass
+    * already-canonical URL keys (compose with [[latestPerUrl]] /
+    * [[UrlFunctions.normalizeUrl]]) and any content fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]] is the usual one).
+    *
+    * Scale shape: one full-outer shuffle join on the URL key — both
+    * sides corpus-sized, nothing else; downstream stages filter on
+    * `status` so only the new/changed slice (typically a few percent
+    * of a recrawl) flows on.
+    */
+  def crawlDiff(prev: DataFrame, next: DataFrame, urlCol: String,
+      fpCol: String): DataFrame = {
+    val p = prev.select(col(urlCol).as("url"), col(fpCol).as("prev_fp"))
+    val n = next.select(col(urlCol).as("url"), col(fpCol).as("next_fp"))
+    p.join(n, Seq("url"), "full_outer")
+      .withColumn("status",
+        when(col("prev_fp").isNull, "new")
+          .when(col("next_fp").isNull, "deleted")
+          .when(col("prev_fp") === col("next_fp"), "unchanged")
+          .otherwise("changed"))
+  }
+
   /** Per-domain document quota — the over-representation cap every
     * web-corpus recipe applies after blocklisting (a handful of
     * template-heavy domains otherwise dominate the token budget): keep

@@ -1720,6 +1720,60 @@ object Extensions {
   val x86Thresholds: Seq[Long] = Seq(-2000000000L, -500000000L,
     -50000000L, 0L, 500000000L, 2000000000L)
 
+  /** x87: revision dedup — keep the LATEST capture per canonical URL
+    * ([[Curation.latestPerUrl]]): five messy URL spellings per page
+    * (default port, userinfo + fragment, utm params, trailing-dot
+    * FQDN, uppercase scheme/host) all normalize to one canonical key,
+    * fetch times are monotone in doc_id, so the winner per page is
+    * closed-form (the group's max doc_id) and the whole
+    * normalize → group → max_by pipeline is oracle-checked end-to-end.
+    */
+  def x87LatestPerUrl(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+      .withColumn("grp", expr("doc_id div 5"))
+    val base = concat(lit("site"), col("grp").cast("string"),
+      lit(".example"))
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("https://"), base, lit("/page")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("HTTPS://"), upper(base), lit(":443/page")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://u:p@"), base, lit("/page#frag")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://"), base, lit("/page?utm_source=x")))
+      .otherwise(concat(lit("https://"), base, lit("./page")))
+    val captures = d.select(col("doc_id"), url.as("url"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id")).as("fetched_at"))
+    Curation.latestPerUrl(captures, "url", "fetched_at", "doc_id")
+      .select(col("url_canonical"), col("doc_id"))
+      .orderBy(col("url_canonical"))
+  }
+
+  /** x88: crawl snapshot diff ([[Curation.crawlDiff]]) — the
+    * incremental-recrawl question, every status planted closed-form:
+    * doc_id % 11 = 0 pages exist only in the NEW snapshot (`new`),
+    * % 13 = 0 only in the old one (`deleted`), % 7 = 0 carry changed
+    * content (`changed` — fingerprints diverge), everything else
+    * `unchanged`. The oracle restates the full-outer join and the
+    * fingerprint arithmetic (x2/x12's md5-normalize statement).
+    */
+  def x88CrawlDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+      .select(concat(lit("u"), col("doc_id").cast("string")).as("url"),
+        col("doc_id"), col("text"))
+    val prev = d.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .select(col("url"), col("fp"))
+    val next = d.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("fp", TextFunctions.fingerprint(
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" changed marker")))
+          .otherwise(col("text"))))
+      .select(col("url"), col("fp"))
+    Curation.crawlDiff(prev, next, "url", "fp")
+      .orderBy(col("url"))
+  }
+
   private val x84FixtureLock = new Object
 
   /** x84's AVI corpus, persisted once per sf dir (the x68/x69 caching

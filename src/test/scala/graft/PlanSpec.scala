@@ -468,6 +468,17 @@ class PlanSpec extends SparkSpec {
       s"PSL lookup joined:\n$p")
   }
 
+  test("x87: latest-per-url runs as a partial-merged max_by " +
+      "aggregation — no window, no per-group sort, one group shuffle") {
+    val p = plan(Extensions.x87LatestPerUrl(spark, sfDir))
+    assert(nodes(p, "Window") == 0, s"latest-per-url sorted a group:\n$p")
+    // partial + final agg stages; exchanges = the group shuffle and
+    // the output ordering, nothing else
+    assert(nodes(p, "HashAggregate") + nodes(p, "SortAggregate") >= 2, p)
+    assert(nodes(p, "Exchange") <= 2, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("Bpe.encode: the distinct-word broadcast is GATED on measured " +
       "bytes — hint under the bound, shuffle join above it (the " +
       "web-corpus distinct-word table must never force-broadcast)") {
