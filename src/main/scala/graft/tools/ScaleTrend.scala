@@ -141,8 +141,11 @@ object ScaleTrend {
       "x78_crawl_pipeline", "x71_audio_features", "x80_video_meta",
       // round 10 (late): PSL domain resolution (map-side kernel),
       // MJPEG frame decode (persisted fixture; times the codec chain),
-      // mixture epochs (map-side explode)
-      "x83_psl_domains", "x84_video_frames", "x85_source_epochs")
+      // mixture epochs (map-side explode), classifier calibration
+      // (scoring pass + thresholds-row exchange), revision dedup (one
+      // max_by group pass), crawl diff (one full-outer join)
+      "x83_psl_domains", "x84_video_frames", "x85_source_epochs",
+      "x86_quality_calibration", "x87_latest_per_url", "x88_crawl_diff")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
