@@ -150,6 +150,7 @@ object SparkEntry {
     "x86_quality_calibration" -> Extensions.x86QualityCalibration,
     "x87_latest_per_url" -> Extensions.x87LatestPerUrl,
     "x88_crawl_diff" -> Extensions.x88CrawlDiff,
+    "x89_unicode_nfc" -> Extensions.x89UnicodeNfc,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -780,6 +781,20 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang, unnest(range(0, copies)) AS ci
         |      FROM p WHERE copies > 0)
         |ORDER BY doc_id, copy_idx""".stripMargin,
+    // x89: DuckDB's ICU nfc_normalize is an INDEPENDENT implementation
+    // of the same Unicode standard as Java's Normalizer — the planted
+    // forms are stated with chr() codes so no tool can re-normalize
+    // the query text itself
+    "x89_unicode_nfc" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(COALESCE(text, '') || ' e' || chr(769) ||
+        |      ' ' || chr(233) || ' A' || chr(778) || ' ' || chr(197) ||
+        |      ' ' || chr(8486)) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS nfc_md5,
+        |  CAST(length(norm) AS BIGINT) AS n_chars_nfc
+        |FROM p ORDER BY doc_id""".stripMargin,
     // x84: every decoded MJPEG frame's index, time, and dimensions are
     // closed-form in doc_id (deterministic AVI fixture) — the oracle
     // states the full container→RIFF-walk→JPEG-decode chain's truth

@@ -46,6 +46,8 @@ object GraftFunctions {
     c(PslRegisteredDomain(e(host), rules))
   def tokenIds(tokens: Column, vocab: Seq[(String, Long)],
       unkId: Long): Column = c(TokenIds(e(tokens), vocab, unkId))
+  def unicodeNormalize(text: Column, form: String): Column =
+    c(UnicodeNormalize(e(text), form))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

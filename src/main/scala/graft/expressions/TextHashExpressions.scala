@@ -425,3 +425,34 @@ case class TokenIds(child: Expression, vocab: Seq[(String, Long)],
   override protected def withNewChildInternal(
       newChild: Expression): TokenIds = copy(child = newChild)
 }
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD via the stock
+  * `java.text.Normalizer`) — the canonicalization step before
+  * tokenizing, shingling, or fingerprinting multilingual crawl text:
+  * the same visible string arrives composed ("é") and decomposed
+  * ("e" + U+0301) across sites, and NFKC additionally folds
+  * compatibility forms (fullwidth "Ａ" → "A", the "ﬁ" ligature →
+  * "fi") that would otherwise split every downstream dedup key. One
+  * compiled pass; the `isNormalized` fast path skips allocation for
+  * the (dominant) already-normal case.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"form must be NFC/NFD/NFKC/NFKD, got $form")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_normalize"
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def kernel(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, f)) t
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnicodeNormalize = copy(child = newChild)
+}

@@ -31,6 +31,20 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Unicode normalization (default NFKC — the corpus-hygiene form:
+    * composed/decomposed accents collapse AND compatibility variants
+    * fold, fullwidth `Ａ` → `A`, the `ﬁ` ligature → `fi`), via the
+    * compiled [[graft.expressions.UnicodeNormalize]] kernel. Run it
+    * BEFORE [[tokens]]/[[shingles]]/[[fingerprint]] on multilingual
+    * crawl text: the same visible string arrives in different Unicode
+    * forms across sites and would otherwise split every dedup key.
+    * NFC (canonical-only, no compatibility folding) is the form a SQL
+    * oracle can state (x89 — DuckDB `nfc_normalize`); NFKC/NFD/NFKD
+    * are spec-gated against the published Unicode expectations.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFKC"): Column =
+    graft.expressions.GraftFunctions.unicodeNormalize(text, form)
+
   /** Document fingerprint: md5 of the normalized text. Identical content
     * modulo case/punctuation/whitespace collides on purpose.
     */

@@ -1774,6 +1774,26 @@ object Extensions {
       .orderBy(col("url"))
   }
 
+  /** x89: Unicode NFC normalization — the canonicalization step before
+    * any multilingual dedup key ([[TextFunctions.normalizeUnicode]]).
+    * Each document's text gets a planted suite of the forms that
+    * actually occur in crawls (decomposed e+◌́, composed é, A+◌̊,
+    * precomposed Å, the Ω ohm sign whose NFC form is Greek capital
+    * omega) and both engines normalize independently — Java's
+    * `Normalizer` here, DuckDB's ICU `nfc_normalize` in the oracle —
+    * so the hash compare proves the implementations agree on the
+    * Unicode standard's answer, not on each other.
+    */
+  def x89UnicodeNfc(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(coalesce(col("text"), lit("")),
+      lit(" e\u0301 \u00e9 A\u030A \u00C5 \u2126")) // escapes: no editor can re-normalize them
+    val norm = TextFunctions.normalizeUnicode(planted, "NFC")
+    docs(s, dir).select(col("doc_id"),
+        md5(norm).as("nfc_md5"),
+        length(norm).cast("long").as("n_chars_nfc"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x84FixtureLock = new Object
 
   /** x84's AVI corpus, persisted once per sf dir (the x68/x69 caching

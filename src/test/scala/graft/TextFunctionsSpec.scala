@@ -144,6 +144,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(x("g &amp;lt; h") == "g &lt; h")
   }
 
+  test("normalizeUnicode: NFKC folds fullwidth + ligatures and " +
+      "composes accents, NFC composes without compatibility folding, " +
+      "both idempotent; dedup keys collide across Unicode forms") {
+    // every non-ASCII literal is an explicit escape so no editor or
+    // formatter can silently re-normalize the test inputs
+    val fwAbc = "\uFF21\uFF42\uFF43"        // fullwidth Abc
+    val fiLig = "\uFB01le"                    // fi-ligature + "le"
+    val eDecomp = "e\u0301"                   // e + combining acute
+    val eComp = "\u00E9"                      // precomposed
+    val ohm = "\u2126"                        // ohm sign
+    val omega = "\u03A9"                      // Greek capital omega
+    def nk(s: String): String =
+      one[String](TextFunctions.normalizeUnicode(col("text")), s)
+    def nc(s: String): String =
+      one[String](TextFunctions.normalizeUnicode(col("text"), "NFC"), s)
+    // NFKC: compatibility folding — fullwidth letters, the fi ligature
+    assert(nk(fwAbc) == "Abc")
+    assert(nk(fiLig) == "file")
+    // both forms compose decomposed accents; NFC keeps fullwidth as-is
+    assert(nk(eDecomp) == eComp && nc(eDecomp) == eComp)
+    assert(nc(fwAbc) == fwAbc)
+    // ohm sign canonically maps to Greek capital omega in BOTH forms
+    assert(nc(ohm) == omega && nk(ohm) == omega)
+    // idempotent; plain ASCII passes through untouched
+    assert(nk(nk(fwAbc + eDecomp + fiLig)) == nk(fwAbc + eDecomp + fiLig))
+    assert(nc("plain ascii 123") == "plain ascii 123")
+    // the point: the same visible text in different Unicode forms
+    // fingerprints identically once normalized
+    val composed = "caf" + eComp + " r" + eComp + "sum" + eComp
+    val decomposed = "caf" + eDecomp + " r" + eDecomp + "sum" + eDecomp
+    assert(composed != decomposed) // genuinely different byte forms
+    assert(one[String](md5(TextFunctions.normalizeUnicode(col("text"))),
+      composed) ==
+      one[String](md5(TextFunctions.normalizeUnicode(col("text"))),
+        decomposed))
+  }
+
   test("url parsing: host/port/path/query across userinfo, trailing " +
       "dots, casing, and authority-only URLs; malformed input is total") {
     import graft.functions.UrlFunctions._
