@@ -145,7 +145,10 @@ object ScaleTrend {
       // (scoring pass + thresholds-row exchange), revision dedup (one
       // max_by group pass), crawl diff (one full-outer join)
       "x83_psl_domains", "x84_video_frames", "x85_source_epochs",
-      "x86_quality_calibration", "x87_latest_per_url", "x88_crawl_diff")
+      "x86_quality_calibration", "x87_latest_per_url", "x88_crawl_diff",
+      // round 10 (last): Unicode NFC normalization — a compiled map
+      // pass with the isNormalized fast path; should track scan cost
+      "x89_unicode_nfc")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
