@@ -148,7 +148,13 @@ object TextFunctions {
     * are HTML, the pipeline wants prose. A pure codegen'd
     * regexp_replace chain (zero shuffles at any scale):
     * script/style blocks go first (their CONTENT is code, and `1<2`
-    * inside them would otherwise open a phantom tag), then comments,
+    * inside them would otherwise open a phantom tag; the block ends at
+    * the FIRST closing tag even when a JS string contains a literal
+    * `"</script>"` — which is exactly the HTML5 parsing rule: raw-text
+    * elements end at the first matching end-tag sequence regardless of
+    * script syntax, the reason real pages write `"<\/script>"` — so
+    * the trailing fragment renders as text here precisely as a browser
+    * renders it), then comments,
     * then tags, then NUMERIC character references — `&#8217;` decimal
     * and `&#xA0;` hex, ubiquitous in real crawl HTML — via the
     * single-scan [[graft.expressions.HtmlNcrDecode]] kernel (malformed

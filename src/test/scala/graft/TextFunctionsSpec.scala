@@ -109,6 +109,12 @@ class TextFunctionsSpec extends SparkSpec {
     // decoded entities are TEXT, not markup — never re-stripped
     assert(x("<p>&lt;script&gt;x&lt;/script&gt;</p>") ==
       "<script>x</script>")
+    // HTML5 raw-text rule: a literal "</script>" inside a JS string
+    // still CLOSES the script element (browsers do the same — pages
+    // must write "<\/script>"), so the fragment after it is rendered
+    // text, exactly like a browser, modulo tag-boundary spacing
+    assert(x("<script>var s='</script>';alert(1)</script>after") ==
+      "';alert(1) after")
     // block tags become separators, not concatenation
     assert(x("<p>one</p><p>two</p>") == "one two")
     // plain text passes through normalized; malformed markup degrades
