@@ -151,6 +151,9 @@ object SparkEntry {
     "x87_latest_per_url" -> Extensions.x87LatestPerUrl,
     "x88_crawl_diff" -> Extensions.x88CrawlDiff,
     "x89_unicode_nfc" -> Extensions.x89UnicodeNfc,
+    "x90_idn_domains" -> Extensions.x90IdnDomains,
+    "x91_bpe_bytes_train" -> Extensions.x91BpeBytesTrain,
+    "x92_bpe_bytes_roundtrip" -> Extensions.x92BpeBytesRoundtrip,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -785,6 +788,32 @@ object SparkEntry {
     // of the same Unicode standard as Java's Normalizer — the planted
     // forms are stated with chr() codes so no tool can re-normalize
     // the query text itself
+    // x92: the byte-BPE round trip stated WITHOUT BPE — the
+    // pre-tokenization's alternatives jointly cover every
+    // non-whitespace char in order, so decoded concatenated tokens =
+    // text minus ASCII whitespace (both \s sets are the same ASCII
+    // class); a lossy step anywhere in train→encode→decode mismatches
+    "x92_bpe_bytes_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '\s', '', 'g')) AS roundtrip_md5,
+        |  CAST(octet_length(encode(regexp_replace(text, '\s', '', 'g')))
+        |    AS BIGINT) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // x90: the oracle states each registered domain from first
+    // principles — the RFC 3492 punycode of every fixed IDN label
+    // computed independently of the engine's java.net.IDN bridge, so
+    // a skipped bridge or a wrong punycode form hash-mismatches
+    "x90_idn_domains" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'xn--mnchen-3ya.de'
+        |    WHEN 1 THEN 'xn--e1afmkfd.xn--p1ai'
+        |    WHEN 2 THEN 'ex' || doc_id || '.com'
+        |    WHEN 3 THEN 'xn--caf-dma.github.io'
+        |    ELSE 'plain' || doc_id || '.de'
+        |  END AS registered_domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x89_unicode_nfc" ->
       """WITH p AS (
         |  SELECT doc_id,

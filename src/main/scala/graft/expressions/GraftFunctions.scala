@@ -48,6 +48,8 @@ object GraftFunctions {
       unkId: Long): Column = c(TokenIds(e(tokens), vocab, unkId))
   def unicodeNormalize(text: Column, form: String): Column =
     c(UnicodeNormalize(e(text), form))
+  def byteRemap(text: Column): Column = c(ByteRemap(e(text)))
+  def byteUnmap(text: Column): Column = c(ByteUnmap(e(text)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
@@ -124,6 +126,10 @@ object GraftFunctions {
         "membership probe against a BloomBuild bitset"),
       (args: Seq[Expression]) =>
         BloomContains(args(0), args(1), lit(args(2)))))
+    ext.injectFunction((FunctionIdentifier("graft_byte_remap"),
+      info("graft_byte_remap",
+        "UTF-8 bytes as byte-BPE printable-unicode symbols"),
+      (args: Seq[Expression]) => ByteRemap(args(0))))
     // optimizer rule: HOF dot-product pattern → compiled VecDot kernel
     ext.injectOptimizerRule(_ => VecKernelRewrite)
   }

@@ -29,6 +29,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *    a public suffix (or empty/garbage) returns itself — the engine's
   *    totality-over-crawl-garbage contract, matching the heuristic
   *    form's behavior for single-label hosts.
+  *
+  * INTERNATIONALIZED hosts: the real publicsuffix.org list stores its
+  * rules in PUNYCODE (`xn--p1ai` for `рф`), so a unicode host matched
+  * as-is would fall through every rule to the implicit `*` and
+  * mis-group — wrong quota keys, missed blocklist hits, for the steady
+  * percent of real crawl URLs that carry IDN hosts. The kernel
+  * therefore bridges non-ASCII hosts through `java.net.IDN.toASCII`
+  * (the public JDK IDNA implementation) BEFORE rule matching, and the
+  * returned registered domain is the punycode form — the same grouping
+  * key an already-punycoded ASCII host produces, so `münchen.de` and
+  * `xn--mnchen-3ya.de` land in one group. Hosts IDNA rejects (overlong
+  * labels, stray dots) degrade to the lowercased raw host — totality
+  * over crawl garbage, never an error. Pure-ASCII hosts skip the
+  * bridge entirely (one scan, no allocation).
+  *
+  * The totality branches (empty host, host IS a public suffix) return
+  * the LOWERCASED/punycoded host, not the raw input — the output is a
+  * grouping key, and case variants of suffix-hosts must not split into
+  * distinct domains.
   */
 case class PslRegisteredDomain(child: Expression, rules: Seq[String])
     extends UnaryExpression with UnaryKernelCodegen {
@@ -55,12 +74,28 @@ case class PslRegisteredDomain(child: Expression, rules: Seq[String])
     (exact.result(), wild.result(), exc.result())
   }
 
+  /** True iff every char is ASCII — the fast path that skips IDNA. */
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
+  }
+
   override def kernel(input: Any): Any = {
     // PSL matching is case-insensitive; [[graft.functions.UrlFunctions
     // .urlHost]] already lowercases, but a directly-passed host must
     // not silently miss every rule
-    val host = input.asInstanceOf[UTF8String].toString.toLowerCase
-    if (host.isEmpty) return input
+    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // IDNA bridge: punycode rules only match punycode hosts (class
+    // doc); rejects degrade to the raw lowercased host, never throw
+    val host =
+      if (isAscii(raw)) raw
+      else try java.net.IDN.toASCII(raw).toLowerCase
+      catch { case _: IllegalArgumentException => raw }
+    if (host.isEmpty) return UTF8String.fromString(host)
     val (exact, wild, exc) = parsed
     val labels = host.split('.')
     val n = labels.length
@@ -89,7 +124,9 @@ case class PslRegisteredDomain(child: Expression, rules: Seq[String])
       else if (normStart >= 0) normStart
       else n - 1 // implicit "*" rule
     val regStart = psStart - 1
-    if (regStart < 0) input // host IS a public suffix — totality
+    // host IS a public suffix — totality; the lowercased/punycoded
+    // form, not the raw input: grouping keys must not split on case
+    if (regStart < 0) UTF8String.fromString(host)
     else UTF8String.fromString(suffix(regStart))
   }
 

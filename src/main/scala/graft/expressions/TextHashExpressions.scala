@@ -456,3 +456,123 @@ case class UnicodeNormalize(child: Expression, form: String)
   override protected def withNewChildInternal(
       newChild: Expression): UnicodeNormalize = copy(child = newChild)
 }
+
+/** The byte↔printable-unicode bijection of byte-level BPE (GPT-2
+  * lineage — Radford et al. 2019, public knowledge): every one of the
+  * 256 byte values gets a VISIBLE single BMP character, so byte
+  * sequences can ride the engine's string machinery (regexp merge
+  * application, string sort-order tiebreaks) with no control
+  * characters and no whitespace ambiguity. Bytes that are already
+  * printable Latin-1 (`!`..`~`, `¡`..`¬`, `®`..`ÿ`) map to themselves;
+  * the remaining 68 (controls, space, DEL, 0x7f–0xa0, 0xad) map to
+  * U+0100 + n in ascending byte order. The mapping is a pure bijection
+  * — [[unmap]] inverts exactly — which is what makes byte-level BPE
+  * unk-free: ANY novel codepoint decomposes into mapped bytes that are
+  * always in the base vocabulary.
+  */
+object ByteUnicode {
+
+  /** byte value (0–255) → its mapped char. */
+  val byteToChar: Array[Char] = {
+    val printable = new Array[Boolean](256)
+    ('!' to '~').foreach(c => printable(c.toInt) = true)
+    ('¡' to '¬').foreach(c => printable(c.toInt) = true)
+    ('®' to 'ÿ').foreach(c => printable(c.toInt) = true)
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** mapped char → byte value; sized 0x400 (max mapped char < 0x144). */
+  private val charToByte: Array[Int] = {
+    val out = Array.fill(0x400)(-1)
+    var b = 0
+    while (b < 256) { out(byteToChar(b).toInt) = b; b += 1 }
+    out
+  }
+
+  /** A string's UTF-8 bytes as mapped chars. */
+  def remap(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(byteToChar(bytes(i) & 0xff)); i += 1
+    }
+    sb.toString
+  }
+
+  /** Exact inverse of [[remap]]'s per-char mapping; a char outside the
+    * mapped alphabet is a caller bug and fails loudly.
+    */
+  def unmap(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      val b = if (c < 0x400) charToByte(c) else -1
+      require(b >= 0,
+        f"char U+$c%04X is not in the byte-BPE alphabet")
+      out(i) = b.toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** [[ByteUnicode.remap]] as a compiled kernel — the executor-side hop
+  * from a word to its byte-symbol string for byte-level BPE
+  * ([[graft.operators.Bpe.trainBytes]]/`encodeBytes`): one pass over
+  * the UTF-8 bytes, array-indexed, no per-row regex or join.
+  */
+case class ByteRemap(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_byte_remap"
+
+  override def kernel(t: Any): Any = {
+    val u = t.asInstanceOf[UTF8String]
+    // getBytes on UTF8String is already the UTF-8 encoding — no String
+    // round trip needed
+    val bytes = u.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(ByteUnicode.byteToChar(bytes(i) & 0xff)); i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteRemap = copy(child = newChild)
+}
+
+/** Inverse of [[ByteRemap]]: mapped byte-symbol strings back to the
+  * original text (unmap each char to its byte, decode UTF-8). The
+  * executor-side half of the byte-BPE round-trip proof — x92 feeds
+  * `array_join(tokens)` through this and hash-compares against the
+  * oracle's direct restatement of the concatenated words, so a lossy
+  * merge application, a wrong byte mapping, or a broken reassembly
+  * anywhere in train→encode→decode hash-mismatches. A char outside
+  * the mapped alphabet is a caller bug and fails loudly (never null).
+  */
+case class ByteUnmap(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_byte_unmap"
+
+  override def kernel(t: Any): Any =
+    UTF8String.fromBytes(
+      ByteUnicode.unmap(t.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteUnmap = copy(child = newChild)
+}

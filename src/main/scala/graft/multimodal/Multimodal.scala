@@ -909,16 +909,18 @@ object Multimodal {
   // them), and a real deployment swaps in a hardware decoder behind
   // the same sampleFrames contract.
 
-  /** Parse an MJPEG AVI: cumulative frame times from the avih
-    * `dwMicroSecPerFrame` and every sampled `##dc`/`##db` chunk's JPEG
-    * decoded via the stock reader. None for non-AVI bytes, AVIs with
-    * no video chunks, or any non-JPEG frame payload (an AVI carrying a
-    * codec the JDK lacks degrades to the byte-slice fallback rather
-    * than erroring — totality over mixed corpora). Memory bound: one
-    * payload's sampled frames at a time, same as the GIF path.
+  /** Walk an AVI's RIFF tree and copy ONLY the `everyNth`-strided
+    * `##dc`/`##db` video chunks — the stride applies DURING the movi
+    * walk, so a 1-in-30 frame sample copies 1/30th of the payload
+    * (non-sampled chunks are skipped over, never allocated; each
+    * element of the returned seq is exactly one copyOfRange —
+    * spec-asserted on chunk counts). Returns (µs per frame, sampled
+    * (original chunk index, JPEG bytes)); None for non-AVI bytes or a
+    * hostile/corrupt size field. Chunk 0 is always on the stride, so
+    * "no video chunks at all" ⇔ empty result.
     */
-  private def readAviFrames(bytes: Array[Byte], everyNth: Int)
-      : Option[IndexedSeq[(Int, Int, java.awt.image.BufferedImage)]] = {
+  private[graft] def aviSampledChunks(bytes: Array[Byte], everyNth: Int)
+      : Option[(Long, IndexedSeq[(Int, Array[Byte])])] = {
     if (bytes.length < 12 ||
         bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
         bytes(3) != 'F' || bytes(8) != 'A' || bytes(9) != 'V' ||
@@ -930,7 +932,8 @@ object Multimodal {
           ((bytes(off + 3) & 0xffL) << 24)
       def fcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
       var usPerFrame = 40000L // 25 fps default when avih is absent
-      val chunks = IndexedSeq.newBuilder[Array[Byte]]
+      val sampled = IndexedSeq.newBuilder[(Int, Array[Byte])]
+      var vidIdx = 0 // video chunks SEEN (sampled or not)
       var p = 12
       while (p + 8 <= bytes.length) {
         val id = fcc(p)
@@ -958,9 +961,12 @@ object Multimodal {
                 val csz = le32(q + 4).toInt
                 if (csz < 0) return None
                 if ((cid.endsWith("dc") || cid.endsWith("db")) &&
-                    csz > 0 && q + 8 + csz <= bytes.length)
-                  chunks += java.util.Arrays.copyOfRange(bytes, q + 8,
-                    q + 8 + csz)
+                    csz > 0 && q + 8 + csz <= bytes.length) {
+                  if (vidIdx % everyNth == 0)
+                    sampled += ((vidIdx, java.util.Arrays.copyOfRange(
+                      bytes, q + 8, q + 8 + csz)))
+                  vidIdx += 1
+                }
                 q += 8 + csz + (csz & 1)
               }
             case _ => ()
@@ -968,21 +974,41 @@ object Multimodal {
         }
         p += 8 + sz + (sz & 1)
       }
-      val all = chunks.result()
-      if (all.isEmpty) return None
-      val stepMs = (usPerFrame / 1000L).toInt
-      val out = IndexedSeq.newBuilder[(Int, Int,
-        java.awt.image.BufferedImage)]
-      var i = 0
-      while (i < all.length) {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(all(i)))
-        if (img == null) return None // non-JPEG codec → fallback path
-        out += ((i, i * stepMs, img))
-        i += everyNth
-      }
-      Some(out.result())
+      Some((usPerFrame, sampled.result()))
     } catch { case _: Exception => None }
+  }
+
+  /** Parse an MJPEG AVI: cumulative frame times from the avih
+    * `dwMicroSecPerFrame` and every sampled `##dc`/`##db` chunk's JPEG
+    * decoded via the stock reader. None for non-AVI bytes, AVIs with
+    * no video chunks, or any non-JPEG frame payload (an AVI carrying a
+    * codec the JDK lacks degrades to the byte-slice fallback rather
+    * than erroring — totality over mixed corpora). Memory bound: one
+    * payload's SAMPLED frames at a time — the `everyNth` stride is
+    * honored during the container walk ([[aviSampledChunks]]), not
+    * after, so non-sampled frames are never copied.
+    */
+  private def readAviFrames(bytes: Array[Byte], everyNth: Int)
+      : Option[IndexedSeq[(Int, Int, java.awt.image.BufferedImage)]] = {
+    aviSampledChunks(bytes, everyNth).flatMap { case (usPerFrame, chunks) =>
+      if (chunks.isEmpty) None
+      else try {
+        val stepMs = (usPerFrame / 1000L).toInt
+        val out = IndexedSeq.newBuilder[(Int, Int,
+          java.awt.image.BufferedImage)]
+        var j = 0
+        var bad = false
+        while (j < chunks.length && !bad) {
+          val (i, jpeg) = chunks(j)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          if (img == null) bad = true // non-JPEG codec → fallback path
+          else out += ((i, i * stepMs, img))
+          j += 1
+        }
+        if (bad) None else Some(out.result())
+      } catch { case _: Exception => None } // corrupt JPEG → fallback
+    }
   }
 
   /** Serialize frames as an MJPEG AVI (RIFF `AVI ` → LIST hdrl

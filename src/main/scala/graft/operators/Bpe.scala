@@ -16,16 +16,23 @@ import org.apache.spark.sql.functions._
   * homes, picked by a MEASURED bound on the histogram size:
   *
   *  - '''driver path''' (histogram rows ≤ `maxDriverWords`, default
-  *    10⁷): the histogram is collected once and the merge loop runs in
+  *    10⁶): the histogram is collected once and the merge loop runs in
   *    memory with incrementally-maintained pair counts and a
   *    pair→words index, so each merge touches only the words that
   *    contain the merged pair. This is the practical path for real
   *    vocab sizes — 32k–100k merges as in-memory map updates instead
   *    of 2 Spark jobs per merge (collect-argmax + rewrite), which at
   *    production merge counts is ~10⁵ driver-round-trip jobs of pure
-  *    scheduling overhead on a vocab-sized frame. Even a 100 TB web
-  *    corpus's word histogram is ~10⁷–10⁸ rows; the default bound
-  *    keeps the collected form ≲ a few hundred MB of driver heap.
+  *    scheduling overhead on a vocab-sized frame. The bound is sized
+  *    to the loop's REAL footprint, which is dominated not by the
+  *    collected rows but by the pair→words index: ~one boxed HashSet
+  *    entry per adjacent-pair slot per distinct word (≈ avg word
+  *    length − 1 ≈ 7 entries/word at ~50 bytes each), so the default
+  *    10⁶ words cost ≈ 0.5 GB of driver heap including the pair-count
+  *    map and the queue — raise the bound only with the heap to match
+  *    (each 10⁶ words ≈ +0.5 GB). BPE training corpora are normally a
+  *    SAMPLE anyway (tokenizers train on ~10⁹ chars, not the full
+  *    corpus), so 10⁶ distinct words covers the standard recipe.
   *  - '''distributed path''' (above the bound, or `maxDriverWords = 0`
   *    to force it): the original per-merge pair-count agg + argmax +
   *    regexp rewrite over the cached histogram frame — correct at any
@@ -113,7 +120,7 @@ object Bpe {
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L,
-      maxDriverWords: Long = 10000000L)
+      maxDriverWords: Long = 1000000L)
       : Seq[(Int, String, String, String, Long)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(maxDriverWords >= 0,
@@ -169,10 +176,26 @@ object Bpe {
     * removes. All arithmetic is exact longs and the queue order is the
     * strict (count desc, left asc, right asc) tiebreak, so the result
     * is independent of hash-map iteration order.
+    *
+    * QUEUE MEMORY BOUND: stale snapshots accumulate until popped, so
+    * without intervention the queue's worst case is O(merges × pairs
+    * touched per merge) — unbounded relative to the live pair table on
+    * a high-churn corpus. The loop therefore REBUILDS the queue from
+    * the live counts whenever its size exceeds
+    * `queueRebuildSlack × pairs` (one O(P log P) pass, amortized
+    * free at the default slack 4: a rebuild only fires after ≥
+    * (slack−1)×P pushes, which themselves cost O(log) each), so queue
+    * memory is always ≤ slack × |pairs|. The rebuild cannot change any
+    * result: the queue after a rebuild contains exactly the live
+    * ≥-minCount snapshots, a subset of what lazy validation would have
+    * accepted anyway (spec-asserted with slack 1, which forces
+    * rebuilds on a churn-heavy corpus).
     */
-  private[operators] def trainDriver(histRows: Array[(String, Long)],
-      numMerges: Int, minCount: Long)
+  private[graft] def trainDriver(histRows: Array[(String, Long)],
+      numMerges: Int, minCount: Long, queueRebuildSlack: Int = 4)
       : Seq[(Int, String, String, String, Long)] = {
+    require(queueRebuildSlack >= 1,
+      s"queueRebuildSlack must be >= 1, got $queueRebuildSlack")
     import scala.collection.mutable
     val syms: Array[Array[String]] = histRows.map(r => codePoints(r._1))
     val weights: Array[Long] = histRows.map(_._2)
@@ -265,6 +288,15 @@ object Bpe {
             if (c2 >= minCount) queue.add((c2, p._1, p._2)))
         }
         touched.clear()
+        // bound the queue: when stale entries dominate, rebuild it
+        // from the live counts (see the scaladoc's amortization)
+        if (queue.size.toLong >
+            queueRebuildSlack.toLong * pairCount.size) {
+          queue.clear()
+          pairCount.foreach { case ((l2, r2), c2) =>
+            if (c2 >= minCount) queue.add((c2, l2, r2))
+          }
+        }
         rank += 1
       }
     }
@@ -377,13 +409,27 @@ object Bpe {
   def encode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String, String, Long)],
       broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame =
+    encodeWith(df, idCol, textCol, merges, broadcastMaxBytes,
+      w => charPad(w))
+
+  /** The shared encode plan: [[encode]] (char symbols) and
+    * [[encodeBytes]] (byte symbols) differ ONLY in how a distinct word
+    * becomes its padded symbol string — `symize` — everything else
+    * (distinct-word table, merge fold, gated join-back, per-doc
+    * reassembly) is identical by construction.
+    */
+  private def encodeWith(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      broadcastMaxBytes: Long,
+      symize: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
     val words = df.select(col(idCol),
         posexplode(regexp_extract_all(col(textCol),
           lit(TextFunctions.bpeTokenPattern), lit(0)))
           .as(Seq("word_pos", "word")))
     val distinctWords = words.select(col("word")).distinct()
-      .withColumn("syms", charPad(col("word")))
+      .withColumn("syms", symize(col("word")))
     val encoded = graft.core.CacheScope.cached(
       merges.sortBy(_._1).foldLeft(distinctWords) {
         case (acc, (_, l, r, _, _)) => applyMerge(acc, l, r)
@@ -401,4 +447,100 @@ object Bpe {
           .getField("word_tokens")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }
+
+  // ---- byte-level BPE (GPT-2 lineage, round 11) --------------------
+  //
+  // The tokenizer form real LLM pipelines actually train: symbols are
+  // UTF-8 BYTES (rendered as the printable-unicode alphabet of
+  // [[graft.expressions.ByteUnicode]]), so the base vocabulary is the
+  // CLOSED set of 256 byte values and there is NO <unk> — any novel
+  // codepoint at encode time decomposes into bytes that are always in
+  // vocabulary and round-trips exactly. Char-level [[train]]/[[encode]]
+  // silently loses unseen characters to <unk>; this path cannot.
+  //
+  // Machinery is shared by construction: the byte path transforms each
+  // word through the ByteRemap kernel ONCE (per distinct histogram /
+  // distinct-word row — vocab-sized work), and the identical merge
+  // loops ([[trainDriver]] / [[trainDistributed]]) and encode plan run
+  // over the mapped symbol strings. BpeSpec gates both paths against
+  // an independent reference byte-BPE trainer and proves emoji/CJK
+  // round-trips.
+
+  /** [[train]] with byte symbols: the merge table's left/right/merged
+    * strings are in the mapped printable-byte alphabet. Same measured
+    * driver/distributed dispatch, same exact-long counts and
+    * deterministic tiebreak.
+    */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L,
+      maxDriverWords: Long = 1000000L)
+      : Seq[(Int, String, String, String, Long)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxDriverWords >= 0,
+      s"maxDriverWords must be >= 0, got $maxDriverWords")
+    val hist = df.select(explode(regexp_extract_all(col(textCol),
+        lit(TextFunctions.bpeTokenPattern), lit(0))).as("word0"))
+      // group on the MAPPED word (the mapping is injective, so the
+      // histogram is identical either way) — both merge-loop homes
+      // then see only byte-symbol strings
+      .select(graft.expressions.GraftFunctions.byteRemap(col("word0"))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("weight"))
+      .withColumn("syms", charPad(col("word")))
+      .localCheckpoint()
+    if (hist.count() <= maxDriverWords) {
+      val rows = hist.select(col("word"), col("weight")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      trainDriver(rows, numMerges, minCount)
+    } else trainDistributed(hist, numMerges, minCount)
+  }
+
+  /** [[encode]] with byte symbols under a [[trainBytes]] merge table:
+    * `tokens` are mapped-alphabet strings (GPT-2's visible vocab
+    * form), `n_tokens` counts them. Every token — including for text
+    * full of codepoints training never saw — is representable, because
+    * un-merged symbols are single bytes.
+    */
+  def encodeBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame =
+    encodeWith(df, idCol, textCol, merges, broadcastMaxBytes,
+      w => charPad(graft.expressions.GraftFunctions.byteRemap(w)))
+
+  /** Byte-BPE vocabulary: ids 0–255 are the 256 byte symbols in byte
+    * order (the conventional layout), ids 256… the merged tokens in
+    * rank order. A pure function of the merge table — NO corpus scan
+    * and no `<unk>`: the byte alphabet is closed, so every encodable
+    * token is in vocabulary by construction.
+    */
+  def vocabBytes(merges: Seq[(Int, String, String, String, Long)])
+      : Seq[(String, Long)] =
+    (0 until 256).map(b =>
+      (graft.expressions.ByteUnicode.byteToChar(b).toString, b.toLong)) ++
+      merges.sortBy(_._1).zipWithIndex.map { case (m, i) =>
+        (m._4, 256L + i)
+      }
+
+  /** [[encodeBytes]] plus `token_ids` through [[vocabBytes]]. The
+    * sentinel −1 is unreachable (closed byte alphabet ⇒ every token
+    * resolves — spec-asserted); it exists so an impossible miss would
+    * be loud, not a silent wrong id.
+    */
+  def encodeIdsBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame =
+    encodeBytes(df, idCol, textCol, merges, broadcastMaxBytes)
+      .withColumn("token_ids", graft.expressions.GraftFunctions
+        .tokenIds(col("tokens"), vocabBytes(merges), unkId = -1L))
+
+  /** Decode byte-BPE tokens back to text: concatenate, unmap to the
+    * original UTF-8 bytes, decode. Exact inverse of the word-level
+    * encoding (the round-trip BpeSpec pins on emoji/CJK corpora) —
+    * the property char-level BPE's `<unk>` cannot give.
+    */
+  def decodeTokens(tokens: Seq[String]): String =
+    new String(graft.expressions.ByteUnicode.unmap(tokens.mkString),
+      java.nio.charset.StandardCharsets.UTF_8)
 }

@@ -162,19 +162,35 @@ object Curation {
     * whole; oversized domains are thinned by the hash-threshold filter
     * at rate quota/n_domain (kept count binomial around the quota, the
     * price of skipping the per-domain sort). Two corpus passes — one
-    * tiny count agg broadcast back, one filter — and NOTHING sorts, so
-    * a link-farm domain with 10⁹ rows costs the same per row as any
+    * count agg joined back, one filter — and NOTHING sorts, so a
+    * link-farm domain with 10⁹ rows costs the same per row as any
     * other. The domain-rate compare quantizes to the same 8-hex-digit
     * threshold as [[Sampling.hashSample]], so selection stays a pure
     * function of (id, domain size).
+    *
+    * The domain-counts frame scales with CORPUS CARDINALITY (an
+    * open-web crawl has ~10⁸ registered domains — multi-GB), so its
+    * join-back is broadcast only when its MEASURED cached bytes fit
+    * `broadcastMaxBytes` (the [[Dedup.sizedBroadcastHint]] idiom —
+    * cache, materialize, read the real size); above the bound it runs
+    * as a shuffle join on the domain key, which AQE remains free to
+    * re-plan. An unconditional broadcast here is the driver-OOM
+    * pattern at open-web domain counts.
     */
   def domainQuotaApprox(df: DataFrame, domainCol: String, idCol: String,
-      quota: Int): DataFrame = {
+      quota: Int,
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
-    val counts = df.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("__n"))
+    val counts = graft.core.CacheScope.cached(
+      df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n")))
+    counts.count() // materialize so the size is measured, not guessed
+    val hint: DataFrame => DataFrame =
+      if (graft.core.Graft.estimatedBytes(counts) <= broadcastMaxBytes)
+        broadcast(_)
+      else identity
     val m = BigInt(16).pow(8).toLong
-    val joined = df.join(broadcast(counts), Seq(domainCol))
+    val joined = df.join(hint(counts), Seq(domainCol))
     // threshold hex = floor(16^8 * quota / n), compared against the
     // first 8 md5 hex digits — lexicographic on equal-length lowercase
     // hex ≡ numeric compare

@@ -110,27 +110,47 @@ object Mixing {
   /** [[epochsPerStratum]] with the factors as a TABLE instead of a
     * literal map — the form for data-sized factor inventories (e.g. a
     * per-domain mix over 10⁵ registered domains, where a literal CASE
-    * chain would explode the expression tree). The factor frame
-    * (stratum, factor) is always tiny next to the corpus, so it
-    * broadcasts; base copies and the 16^8-scaled fractional threshold
-    * are computed ONCE per factor row (longs from that point on —
-    * same integer-exact row path as the literal form, and provably
-    * the same output: asserted in the spec). Strata absent from the
-    * table take `defaultFactor`.
+    * chain would explode the expression tree). Base copies and the
+    * 16^8-scaled fractional threshold are computed ONCE per factor row
+    * (longs from that point on — same integer-exact row path as the
+    * literal form, and provably the same output: asserted in the
+    * spec). Strata absent from the table take `defaultFactor`.
+    *
+    * Two guards on the factor frame, both cheap against its intended
+    * tiny size and load-bearing when a caller passes something bigger:
+    * duplicate stratum rows are REJECTED loudly (the join would
+    * otherwise fan each corpus row out once per duplicate — a silently
+    * wrong multiset, the worst failure class), and the join-back is
+    * broadcast only when the frame's MEASURED cached bytes fit
+    * `broadcastMaxBytes` (shuffle join above — the same measured gate
+    * as [[Bpe.encode]] / [[Curation.domainQuotaApprox]], insurance
+    * against a data-sized factor inventory OOMing the driver).
     */
   def epochsPerStratumTable(df: DataFrame, stratumCol: String,
       idCol: String, factors: DataFrame, factorCol: String = "factor",
-      defaultFactor: Double = 1.0): DataFrame = {
+      defaultFactor: Double = 1.0,
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame = {
     require(defaultFactor >= 0 && defaultFactor < 1000,
       s"defaultFactor out of range: $defaultFactor")
     val full = BigInt(16).pow(8).toLong
-    val f = broadcast(factors
+    val fBase = graft.core.CacheScope.cached(factors
       .select(col(stratumCol), col(factorCol).cast("double").as("__r"))
       .withColumn("__base", floor(col("__r")).cast("long"))
       .withColumn("__thr",
         floor((col("__r") - floor(col("__r"))) * lit(full.toDouble))
           .cast("long"))
       .drop("__r"))
+    val nRows = fBase.count() // also materializes the measured size
+    val nStrata = fBase.select(col(stratumCol)).distinct().count()
+    require(nRows == nStrata,
+      s"factors has $nRows rows but only $nStrata distinct " +
+        s"'$stratumCol' values — duplicate strata would silently " +
+        "multiply their rows; aggregate to one factor per stratum first")
+    val f: DataFrame =
+      if (graft.core.Graft.estimatedBytes(fBase) <= broadcastMaxBytes)
+        broadcast(fBase)
+      else fBase
     val defBase = math.floor(defaultFactor).toLong
     val defThr = math.floor(
       (defaultFactor - math.floor(defaultFactor)) * full.toDouble).toLong

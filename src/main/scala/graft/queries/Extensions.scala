@@ -246,9 +246,12 @@ object Extensions {
     * [[graft.Bench]] and [[graft.tools.ScaleTrend]] additionally call
     * this as an explicit untimed setup step.
     */
+  /** Bump when the x68 fixture writer below changes shape. */
+  private val X68FixtureVersion = 1
+
   def x68Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     x68FixtureLock.synchronized {
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val key = fixtureKey(dir, X68FixtureVersion)
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_x68_fixture_$key"
       val fs = new org.apache.hadoop.fs.Path(base)
@@ -407,7 +410,7 @@ object Extensions {
     */
   private def scratchIndexPath(tag: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      Integer.toHexString(dir.hashCode)
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   def x62IndexedIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -1794,7 +1797,117 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x90: IDN (internationalized) hosts through the PSL bridge —
+    * round 11's closure of the unicode-host gap: hosts with fixed
+    * non-ASCII labels (German umlaut, Cyrillic, accented Latin) and
+    * variable ASCII parts resolve through
+    * [[graft.expressions.PslRegisteredDomain]]'s `java.net.IDN`
+    * punycode bridge against punycode rules (the form the real
+    * publicsuffix.org list stores), and the oracle states each
+    * registered domain from first principles — the RFC 3492 punycode
+    * of every fixed label computed independently — so a skipped
+    * bridge (host falls to the implicit `*`), a wrong punycode form,
+    * or a case split anywhere hash-mismatches. The unicode fixtures
+    * are spelled as code-point escapes on both sides (no editor or
+    * transport renormalization can perturb them — the x89 device).
+    */
+  def x90IdnDomains(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val k = col("doc_id").cast("string")
+    val host = when(col("doc_id") % 5 === 0,
+        lit("www.m\u00fcnchen.de")) // münchen
+      .when(col("doc_id") % 5 === 1, // пример.рф
+        lit("\u043f\u0440\u0438\u043c\u0435\u0440.\u0440\u0444"))
+      .when(col("doc_id") % 5 === 2, // bücher.<ascii>.com
+        concat(lit("b\u00fccher.ex"), k, lit(".com")))
+      .when(col("doc_id") % 5 === 3,
+        lit("caf\u00e9.github.io")) // café
+      .otherwise(concat(lit("plain"), k, lit(".de")))
+    d.select(col("doc_id"),
+        UrlFunctions.registeredDomain(host, x90Psl)
+          .as("registered_domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The x90 rule list — punycode forms only, as the real list. */
+  val x90Psl: Seq[String] = Seq("de", "com", "io", "github.io",
+    "xn--p1ai")
+
+  /** Memoized byte-BPE merge tables per corpus dir (the [[bpeMerges]]
+    * contract: training is a pure function of the corpus, so x92
+    * reusing x91's table changes nothing but wall clock; x91 itself
+    * always trains fresh).
+    */
+  private val bpeByteMergeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Int, String, String, String, Long)]]
+
+  private def bpeByteMerges(s: SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] =
+    bpeByteMergeCache.getOrElseUpdate(dir,
+      graft.operators.Bpe.trainBytes(
+        docs(s, dir).filter(col("text").isNotNull), "text",
+        numMerges = 30))
+
+  /** x91: BYTE-level BPE training ([[graft.operators.Bpe
+    * .trainBytes]], GPT-2 lineage — the tokenizer form real LLM
+    * pipelines train) — 30 ranked merges over UTF-8 byte symbols in
+    * the printable-unicode rendering. NO SQL oracle for the same
+    * structural reason as x75 (each merge's counts depend on every
+    * prior argmax rewrite); gated by BpeSpec: the merge table equals
+    * an independent dict-based reference byte-BPE on the full fixture
+    * corpus and on mixed emoji/CJK corpora, on both merge-loop homes.
+    * The byte path's END results are oracle-checked through x92.
+    */
+  def x91BpeBytesTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.operators.Bpe.trainBytes(
+      docs(s, dir).filter(col("text").isNotNull), "text", numMerges = 30)
+    bpeByteMergeCache.put(dir, merges)
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** x92: byte-BPE round trip, ORACLE-CHECKED — the no-`<unk>`
+    * losslessness contract stated relationally despite the iterative
+    * trainer: encode every document with the x91 byte merge table,
+    * reassemble (`array_join` → [[graft.expressions.ByteUnmap]] →
+    * UTF-8 decode), and hash. Because the pre-tokenization's three
+    * alternatives jointly cover every non-whitespace character in
+    * order, the concatenated words are EXACTLY the text minus ASCII
+    * whitespace — which the oracle states directly as
+    * `regexp_replace(text, '\s', '', 'g')` with no BPE at all. A
+    * lossy merge application, a non-bijective byte mapping, a dropped
+    * token, or a mis-ordered reassembly anywhere in
+    * train→encode→decode hash-mismatches; `n_bytes` (the UTF-8 length
+    * both engines compute independently) pins the byte decomposition
+    * itself.
+    */
+  def x92BpeBytesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val decoded = graft.expressions.GraftFunctions.byteUnmap(
+      array_join(col("tokens"), ""))
+    graft.operators.Bpe.encodeBytes(d, "doc_id", "text",
+        bpeByteMerges(s, dir))
+      .select(col("doc_id"), md5(decoded).as("roundtrip_md5"),
+        octet_length(decoded).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture cache key: the FULL sanitized data-dir string (a 32-bit
+    * hashCode can alias two dirs to one fixture) plus a generator
+    * VERSION — bump the version when the generating code changes so a
+    * stale fixture can never silently feed old bytes to an entry.
+    */
+  private def fixtureKey(dir: String, version: Int): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_v$version"
+
   private val x84FixtureLock = new Object
+
+  /** Bump when [[Multimodal.attachAviPayload]]/[[Multimodal
+    * .aviMjpegBytes]] (the fixture GENERATORS) change shape.
+    */
+  private val AviFixtureVersion = 1
 
   /** x84's AVI corpus, persisted once per sf dir (the x68/x69 caching
     * contract): generating the fixture JPEG-encodes every frame —
@@ -1805,7 +1918,7 @@ object Extensions {
     */
   def x84Fixture(s: SparkSession, dir: String): DataFrame =
     x84FixtureLock.synchronized {
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val key = fixtureKey(dir, AviFixtureVersion)
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_avi_fixture_$key"
       val fs = new org.apache.hadoop.fs.Path(base)
@@ -1844,9 +1957,12 @@ object Extensions {
     * real cluster; only record CONTENT is oracle-relevant, so the
     * hash-partitioned file assignment need not be stable.
     */
+  /** Bump when the WARC fixture writer below changes shape. */
+  private val WarcFixtureVersion = 1
+
   def x69Fixture(s: SparkSession, dir: String): String =
     x69FixtureLock.synchronized {
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val key = fixtureKey(dir, WarcFixtureVersion)
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_warc_fixture_$key"
       val fs = new org.apache.hadoop.fs.Path(base)

@@ -170,6 +170,148 @@ class BpeSpec extends SparkSpec {
     assert(unseen == Seq(5L, 0L, 0L), s"got $unseen")
   }
 
+  /** Reference BYTE-level BPE: same independent dict-based shape as
+    * [[refTrain]], but each word decomposes to its UTF-8 bytes mapped
+    * through an INDEPENDENTLY-built byte→printable table (built here
+    * from the same public GPT-2 description, not by calling
+    * ByteUnicode — a mapping bug in either side diverges the tables).
+    */
+  private val refByteChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  private def refByteSyms(w: String): Vector[String] =
+    w.getBytes("UTF-8").toVector.map(b => refByteChar(b & 0xff).toString)
+
+  private def refTrainBytes(texts: Seq[String], numMerges: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, String, Long)] = {
+    val wordRe = graft.functions.TextFunctions.bpeTokenPattern.r
+    val hist = scala.collection.mutable.Map.empty[Vector[String], Long]
+    for (t <- texts; w <- wordRe.findAllIn(t))
+      hist.updateWith(refByteSyms(w))(c => Some(c.getOrElse(0L) + 1))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var current = hist.toMap
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- current; i <- 0 until syms.length - 1)
+        pairs.updateWith((syms(i), syms(i + 1)))(c =>
+          Some(c.getOrElse(0L) + n))
+      val eligible = pairs.filter(_._2 >= minCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((l, r), c) = eligible.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, l + r, c))
+        current = current.map { case (syms, n) =>
+          (refApply(syms, l, r), n)
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("trainBytes matches the independent reference byte-BPE on the " +
+      "fixture corpus, including tiebreaks — on BOTH the driver and " +
+      "the distributed merge-loop paths") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val texts = docs.select(col("text")).collect()
+      .map(_.getString(0)).toSeq
+    val expected = refTrainBytes(texts, 30)
+    val got = Bpe.trainBytes(docs, "text", 30)
+    assert(got.size == expected.size,
+      s"merge count ${got.size} vs ${expected.size}")
+    for (((g, e), i) <- got.zip(expected).zipWithIndex)
+      assert(g == e, s"merge $i: got $g expected $e")
+    // both merge-loop homes produce the identical byte merge table
+    val distributed = Bpe.trainBytes(docs, "text", 30,
+      maxDriverWords = 0L)
+    assert(distributed == got, "driver and distributed byte paths diverge")
+  }
+
+  test("byte-BPE on mixed UTF-8: emoji/CJK round-trip exactly, no " +
+      "token misses the closed byte vocabulary (the no-<unk> " +
+      "contract), multi-byte sequences merge within words") {
+    import spark.implicits._
+    // emoji (4-byte UTF-8), CJK (3-byte), Latin + combining accent
+    // (2-byte), plain ASCII — each repeated so byte pairs clear
+    // minCount; \u escapes so no tool in the chain can renormalize
+    val rows = Seq(
+      "😀😀 café café",
+      "漢字 漢字 hello hello",
+      "😀 漢字 hello café")
+    val df = rows.toDF("text").withColumn("id",
+      monotonically_increasing_id())
+    val merges = Bpe.trainBytes(df, "text", 40)
+    assert(merges.nonEmpty)
+    // merge table agrees with the independent reference
+    assert(merges == refTrainBytes(rows, 40))
+    val enc = Bpe.encodeIdsBytes(df, "id", "text", merges)
+      .select(col("id"), col("tokens"), col("token_ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Long](2)))
+    val wordRe = graft.functions.TextFunctions.bpeTokenPattern.r
+    for (((id, toks, ids), text) <- enc.sortBy(_._1).zip(rows)) {
+      // ROUND TRIP: decoded tokens = the document's concatenated words
+      val words = wordRe.findAllIn(text).mkString
+      assert(Bpe.decodeTokens(toks) == words, s"doc $id round trip")
+      // no-<unk>: every token resolved to a real id (sentinel -1 never)
+      assert(!ids.contains(-1L), s"doc $id had an impossible vocab miss")
+      assert(ids.length == toks.length)
+    }
+    // a codepoint training NEVER saw still round-trips (the property
+    // char-level <unk> destroys): its bytes fall back to base symbols
+    val novel = Bpe.encodeIdsBytes(
+      Seq("über 🦄").toDF("text")
+        .withColumn("id", lit(9L)), "id", "text", merges)
+      .select(col("tokens"), col("token_ids")).head
+    val novelToks = novel.getSeq[String](0)
+    assert(Bpe.decodeTokens(novelToks) == "über🦄")
+    assert(!novel.getSeq[Long](1).contains(-1L))
+  }
+
+  test("vocabBytes: ids 0-255 are the byte alphabet in byte order, " +
+      "merges follow in rank order, no <unk> entry") {
+    import spark.implicits._
+    val df = Seq("abab abab").toDF("text")
+    val merges = Bpe.trainBytes(df, "text", 2)
+    val v = Bpe.vocabBytes(merges)
+    assert(v.size == 256 + merges.size)
+    // byte order: id = byte value; 'a' = 0x61, 'b' = 0x62
+    assert(v(0x61) == ("a", 0x61.toLong) && v(0x62) == ("b", 0x62.toLong))
+    // byte 0 maps to the first remapped printable (U+0100)
+    assert(v(0) == ("\u0100", 0L))
+    assert(!v.exists(_._1 == "<unk>"))
+    // merges take ids 256... in rank order
+    merges.sortBy(_._1).zipWithIndex.foreach { case (m, i) =>
+      assert(v(256 + i) == (m._4, 256L + i))
+    }
+  }
+
+  test("trainDriver queue rebuild (slack 1 forces it on a churn-heavy " +
+      "corpus) changes nothing: identical merge table to the default " +
+      "slack and to the reference") {
+    // churn-heavy: many shared prefixes so each merge touches many
+    // words and re-enqueues many pairs — stale entries pile up fast
+    val words = (0 until 400).map { i =>
+      val s = s"th${('a' + i % 26).toChar}e${('a' + i % 7).toChar}r"
+      (s, (i % 13 + 2).toLong)
+    }.toArray
+    val byDefault = Bpe.trainDriver(words, 60, 2L)
+    val byRebuild = Bpe.trainDriver(words, 60, 2L, queueRebuildSlack = 1)
+    assert(byRebuild == byDefault)
+    val texts = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }.toSeq
+    assert(byDefault == refTrain(texts, 60))
+  }
+
   test("punctuation and digit words: single-mark words never merge " +
       "(no pairs), digit runs merge like letter runs, regex " +
       "metacharacters in symbols are quoted") {

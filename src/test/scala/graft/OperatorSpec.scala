@@ -549,6 +549,35 @@ class OperatorSpec extends SparkSpec {
     assert(hb == (hostile.length + 1023) / 1024)
   }
 
+  test("AVI movi walk honors the everyNth stride DURING chunk " +
+      "collection: a 1-in-3 sample copies exactly ceil(n/3) chunks, " +
+      "never all of them") {
+    import graft.multimodal.Multimodal
+    def solid(v: Int) = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val gg = img.createGraphics()
+      try { gg.setColor(new java.awt.Color(v, v, v))
+            gg.fillRect(0, 0, 16, 16) } finally gg.dispose()
+      img
+    }
+    val avi = Multimodal.aviMjpegBytes(
+      (0 until 7).map(i => solid(i * 30)), usPerFrame = 40000L)
+    // every element of the returned seq is exactly one copyOfRange —
+    // its size IS the number of chunk copies the walk made
+    val Some((us, sampled)) = Multimodal.aviSampledChunks(avi, 3)
+    assert(us == 40000L)
+    assert(sampled.map(_._1) == IndexedSeq(0, 3, 6),
+      "sampled original indices must follow the stride")
+    assert(sampled.size == 3, s"7 frames at stride 3 copied " +
+      s"${sampled.size} chunks — non-sampled chunks were materialized")
+    // stride 1 still copies every chunk, and each is a real JPEG
+    val Some((_, all)) = Multimodal.aviSampledChunks(avi, 1)
+    assert(all.size == 7 && all.forall { case (_, b) =>
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 // JPEG SOI
+    })
+  }
+
   test("multimodal frame-dedup pipeline: sampleFrames → extractFeatures " +
       "→ banded LSH finds exactly the byte-identical frames") {
     import graft.multimodal.Multimodal
@@ -1045,6 +1074,16 @@ class OperatorSpec extends SparkSpec {
       df, "grp", "id", ft).queryExecution.executedPlan.toString
     assert(tPlan.contains("BroadcastHashJoin"), tPlan)
     assert(!tPlan.contains("SortMergeJoin"), tPlan)
+    // duplicate stratum rows in the factor table would silently fan
+    // corpus rows out (each duplicate multiplies its stratum) — the
+    // operator REJECTS them loudly instead
+    val dup = Seq(("up", 2.5), ("up", 3.0), ("down", 0.25))
+      .toDF("grp", "factor")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Mixing.epochsPerStratumTable(
+        df, "grp", "id", dup).count()
+    }
+    assert(ex.getMessage.contains("duplicate"), ex.getMessage)
   }
 
   test("Chunking.tokenWindows: full coverage, overlap = width - stride, " +

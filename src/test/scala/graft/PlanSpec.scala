@@ -504,4 +504,68 @@ class PlanSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("Curation.domainQuotaApprox: the domain-counts join-back is " +
+      "GATED on measured bytes — broadcast under the bound, shuffle " +
+      "join above it (open-web domain cardinality must never " +
+      "force-broadcast)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+      .withColumn("dom", concat(lit("d"), (col("doc_id") % 37)
+        .cast("string")))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pHinted = plan(graft.operators.Curation.domainQuotaApprox(
+        df, "dom", "doc_id", 5))
+      assert(nodes(pHinted, "BroadcastHashJoin") == 1,
+        s"measured-small counts did not broadcast:\n$pHinted")
+      val pGated = plan(graft.operators.Curation.domainQuotaApprox(
+        df, "dom", "doc_id", 5, broadcastMaxBytes = 0L))
+      assert(nodes(pGated, "BroadcastHashJoin") == 0,
+        s"over-bound counts still broadcast:\n$pGated")
+      assert(nodes(pGated, "SortMergeJoin") +
+        nodes(pGated, "ShuffledHashJoin") >= 1, pGated)
+      // the gate changes the plan, never the kept set
+      val kept = graft.operators.Curation.domainQuotaApprox(
+        df, "dom", "doc_id", 5)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      val keptGated = graft.operators.Curation.domainQuotaApprox(
+        df, "dom", "doc_id", 5, broadcastMaxBytes = 0L)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == keptGated.toSeq)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("Mixing.epochsPerStratumTable: the factor-frame join is gated " +
+      "the same way — broadcast under the bound, shuffle join above, " +
+      "identical multiset either way") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val ft = Seq(("en", 2.0), ("de", 0.5)).toDF("lang", "factor")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pHinted = plan(graft.operators.Mixing.epochsPerStratumTable(
+        df, "lang", "doc_id", ft))
+      assert(nodes(pHinted, "BroadcastHashJoin") == 1, pHinted)
+      val pGated = plan(graft.operators.Mixing.epochsPerStratumTable(
+        df, "lang", "doc_id", ft, broadcastMaxBytes = 0L))
+      assert(nodes(pGated, "BroadcastHashJoin") == 0, pGated)
+      val a = graft.operators.Mixing.epochsPerStratumTable(
+        df, "lang", "doc_id", ft)
+        .select(col("doc_id"), col("copy_idx")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val b = graft.operators.Mixing.epochsPerStratumTable(
+        df, "lang", "doc_id", ft, broadcastMaxBytes = 0L)
+        .select(col("doc_id"), col("copy_idx")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(a.toSeq == b.toSeq)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

@@ -258,6 +258,41 @@ class TextFunctionsSpec extends SparkSpec {
     // PSL overload exists
     assert(one[String](registeredDomain(col("text")),
       "project.user.github.io") == "github.io")
+    // totality branches return the GROUPING-KEY form (lowercased),
+    // not the raw input — case variants of suffix-hosts must not
+    // split into distinct domains
+    assert(rd("GitHub.IO") == "github.io")
+    assert(rd("COM") == "com")
+    assert(rd("LocalHost") == "localhost")
+  }
+
+  test("registeredDomain under a PSL bridges IDN hosts through " +
+      "punycode: unicode hosts match the punycode rules the real list " +
+      "carries, outputs group with already-punycoded hosts, IDNA " +
+      "rejects degrade to the raw host") {
+    import graft.functions.UrlFunctions._
+    // the real publicsuffix.org list stores IDN rules in punycode
+    val psl = Seq("de", "com", "io", "github.io", "xn--p1ai")
+    def rd(h: String) =
+      one[String](registeredDomain(col("text"), psl), h)
+    // unicode host → punycode registered domain under a punycode rule
+    assert(rd("www.münchen.de") == "xn--mnchen-3ya.de")
+    assert(rd("пример.рф") == "xn--e1afmkfd.xn--p1ai")
+    // unicode label UNDER an ASCII registrable part: the registered
+    // domain is pure ASCII and must match the non-IDN answer
+    assert(rd("bücher.example.com") == "example.com")
+    // private-suffix rule with a unicode registrable label
+    assert(rd("café.github.io") == "xn--caf-dma.github.io")
+    // the SAME grouping key whether the caller passes unicode or the
+    // already-punycoded wire form — that equality IS the fix
+    assert(rd("MÜNCHEN.de") == rd("xn--mnchen-3ya.de"))
+    // IDNA2003 ß→ss folding (java.net.IDN default flags)
+    assert(rd("faß.de") == "fass.de")
+    // a host IDNA rejects (empty label from a double dot) degrades to
+    // the lowercased raw host — totality over crawl garbage
+    assert(rd("bad..ü.de").nonEmpty)
+    // pure-ASCII hosts are untouched by the bridge
+    assert(rd("plain.example.com") == "example.com")
   }
 
   test("normalizeUrl: lowercases scheme+host, drops userinfo/fragment/" +
