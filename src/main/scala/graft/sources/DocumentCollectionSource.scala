@@ -480,178 +480,26 @@ private class DocumentScan(path: String, required: StructType,
       checkpointLocation, offsetCompactThreshold)
 }
 
-/** A consumed-file-set offset in compacted form: the full set is
-  * `compact-file(gen) ∪ delta`. `gen` 0 is the empty base. Serialized
-  * with real JSON (Jackson, already on Spark's classpath): listNames
-  * admits ANY *.jsonl file in the directory, so a hand-placed name
-  * containing a quote/comma/backslash must round-trip through
-  * checkpoint recovery instead of corrupting the offset.
+/** The collection's micro-batch stream: the shared file-tracking
+  * machinery ([[FileSetMicroBatchStream]] — compacted name-set
+  * offsets, crash-safe compaction, admission control) over the
+  * *.jsonl listing and the JSONL record reader.
   */
-private case class DocumentFilesOffset(gen: Int, delta: Seq[String])
-    extends streamingread.Offset {
-  override def json(): String = {
-    val node = DocumentFilesOffset.mapper.createObjectNode()
-    node.put("gen", gen)
-    val arr = node.putArray("delta")
-    delta.sorted.foreach(arr.add)
-    DocumentFilesOffset.mapper.writeValueAsString(node)
-  }
-}
-
-private object DocumentFilesOffset {
-  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  def fromJson(json: String): DocumentFilesOffset = {
-    val t = json.trim
-    if (t.startsWith("["))
-      // legacy pre-compaction offsets: a bare full-name-set array
-      DocumentFilesOffset(0,
-        mapper.readValue(t, classOf[Array[String]]).toSeq)
-    else {
-      val node = mapper.readTree(t)
-      val delta = node.get("delta").elements().asScala
-        .map(_.asText()).toSeq
-      DocumentFilesOffset(node.get("gen").asInt(), delta)
-    }
-  }
-}
-
 private class DocumentMicroBatchStream(path: String, required: StructType,
     conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf,
     maxFilesPerTrigger: Int, checkpointLocation: String,
     compactThreshold: Int)
-    extends streamingread.MicroBatchStream
-    with streamingread.SupportsAdmissionControl {
+    extends FileSetMicroBatchStream(checkpointLocation,
+      maxFilesPerTrigger, compactThreshold, conf) {
 
-  private def listNames(): Seq[String] =
+  override protected def listNames(): Seq[String] =
     DocumentFiles.listNames(path, conf.value)
 
-  // ---- compacted consumed-set storage ------------------------------
-  private val compactDir = new Path(checkpointLocation,
-    "graft-offset-compact")
-  private def fs = compactDir.getFileSystem(conf.value)
-  private def compactFile(gen: Int) =
-    new Path(compactDir, f"compact-$gen%09d.json")
-
-  /** The newest generation this instance has read or written, memoized
-    * so the reporting paths can express offsets as a bounded delta
-    * against it instead of the full listing.
-    */
-  @volatile private var lastKnown: (Int, Set[String]) = (0, Set.empty)
-
-  private def readCompact(gen: Int): Set[String] =
-    if (gen <= 0) Set.empty
-    else if (lastKnown._1 == gen) lastKnown._2
-    else {
-      val in = fs.open(compactFile(gen))
-      val bytes =
-        try org.apache.commons.io.IOUtils.toByteArray(in)
-        finally in.close()
-      val set = DocumentFilesOffset.mapper
-        .readValue(bytes, classOf[Array[String]]).toSet
-      if (gen > lastKnown._1) lastKnown = (gen, set)
-      set
-    }
-
-  /** Write the generation's full name set: temp file + atomic rename,
-    * BEFORE the offset referencing it is returned — so every logged
-    * offset's compact file exists, crash or not. An existing file with
-    * this generation is an orphan from a crash after compaction but
-    * before the offset was logged (no logged offset references it, or
-    * it holds identical content from this same (start, files) state) —
-    * overwrite it.
-    */
-  private def writeCompact(gen: Int, names: Iterable[String]): Unit = {
-    fs.mkdirs(compactDir)
-    val tmp = new Path(compactDir, s"compact-$gen.tmp-${UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(DocumentFilesOffset.mapper
-      .writeValueAsBytes(names.toArray.sorted))
-    finally out.close()
-    val dst = compactFile(gen)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"could not publish compact $dst")
-    // prune here rather than in commit(): the engine's source-commit
-    // callback lags the last batch (and never fires before stop()), so
-    // checkpoint-dir boundedness must not depend on it. Offsets that
-    // can still be replayed after a crash reference at worst the start
-    // generation of the in-flight batch (gen − 1) — Spark re-executes
-    // only the last uncommitted micro-batch — so generations ≤ gen − 2
-    // are dead. Keep gen − 1 and gen.
-    fs.listStatus(compactDir)
-      .filter { f =>
-        val n = f.getPath.getName
-        n.startsWith("compact-") && n.endsWith(".json") &&
-          n.stripPrefix("compact-").stripSuffix(".json")
-            .toIntOption.exists(_ <= gen - 2)
-      }
-      .foreach(f => fs.delete(f.getPath, false))
-  }
-
-  private def resolve(o: streamingread.Offset): Set[String] = {
-    val d = o.asInstanceOf[DocumentFilesOffset]
-    readCompact(d.gen) ++ d.delta
-  }
-
-  override def initialOffset(): streamingread.Offset =
-    DocumentFilesOffset(0, Nil)
-
-  // without admission control Spark falls back to this: everything,
-  // expressed as a delta against the newest known generation so the
-  // serialized offset stays bounded (names already compacted away are
-  // not repeated)
-  override def latestOffset(): streamingread.Offset = {
-    val (gen, base) = lastKnown
-    DocumentFilesOffset(gen, listNames().filterNot(base))
-  }
-
-  override def getDefaultReadLimit: streamingread.ReadLimit =
-    streamingread.ReadLimit.maxFiles(maxFilesPerTrigger)
-
-  override def latestOffset(start: streamingread.Offset,
-      limit: streamingread.ReadLimit): streamingread.Offset = {
-    val startOff = start.asInstanceOf[DocumentFilesOffset]
-    val seen = resolve(startOff)
-    val cap = limit match {
-      case m: streamingread.ReadMaxFiles => m.maxFiles()
-      case _ => Int.MaxValue
-    }
-    val admitted = listNames().filterNot(seen).sorted.take(cap)
-    if (admitted.isEmpty) startOff // unchanged representation → no batch
-    else {
-      val delta = startOff.delta ++ admitted
-      if (delta.size >= compactThreshold) {
-        val full = seen ++ admitted
-        writeCompact(startOff.gen + 1, full)
-        lastKnown = (startOff.gen + 1, full)
-        DocumentFilesOffset(startOff.gen + 1, Nil)
-      } else DocumentFilesOffset(startOff.gen, delta)
-    }
-  }
-
-  // progress-event reporting: every trigger embeds this offset's json
-  // in StreamingQueryProgress, so it must stay bounded — express the
-  // listing against the newest known generation, never as the full set
-  override def reportLatestOffset(): streamingread.Offset = {
-    val (gen, base) = lastKnown
-    DocumentFilesOffset(gen, listNames().filterNot(base))
-  }
-
-  override def deserializeOffset(json: String): streamingread.Offset =
-    DocumentFilesOffset.fromJson(json)
-
-  override def planInputPartitions(start: streamingread.Offset,
-      end: streamingread.Offset): Array[InputPartition] = {
-    val seen = resolve(start)
-    resolve(end).toSeq.filterNot(seen).sorted
-      .map(n => DocumentFilePartition(s"$path/$n"): InputPartition).toArray
-  }
+  override protected def partitionFor(name: String): InputPartition =
+    DocumentFilePartition(s"$path/$name")
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocumentReaderFactory(required, conf)
-
-  override def commit(end: streamingread.Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 private case class DocumentFilePartition(file: String) extends InputPartition

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * shard parses in a task without buffering the raw OR inflated
   * archive (laziness is spec-pinned: records before a poisoned tail
   * parse without the tail ever being read). The STREAMING ingest
-  * ([[readStream]]) rides the built-in binaryFile file-tracking
-  * source, which DOES materialize each file as one row and caps files
-  * at 2 GB — the honest bound of that path, documented there. For
+  * ([[readStream]]) has the SAME bound since round 11: it rides the
+  * custom `graft-warc` micro-batch source
+  * ([[WarcStreamSource]] — the engine's compacted file-set offsets
+  * plus this same streaming parse per task), so neither path
+  * materializes files or caps them at 2 GB. For
   * `response` records the embedded HTTP response is split into
   * status / headers / body so the payload column is the DOCUMENT
   * BYTES a text pipeline actually wants — feed it straight into the
@@ -239,46 +241,29 @@ object Warc {
   }
 
   /** Continuous WARC ingest: every `*.warc*` file that APPEARS under
-    * `path` is parsed exactly once (the binaryFile streaming source's
-    * checkpointed file log), emitting the same columns as [[read]] —
-    * the "crawl shards land in a bucket, the pipeline tails them"
-    * deployment. The parse is a stateless per-file flatMap, so this
-    * composes with any downstream streaming operator (feed `payload`
+    * `path` is parsed exactly once — the `graft-warc` custom
+    * micro-batch source ([[WarcStreamSource]]: the engine's compacted
+    * name-set offsets, crash-safe checkpointing, admission control) —
+    * emitting the same columns as [[read]], so batch-developed
+    * transforms run on the stream unchanged. This is the "crawl
+    * shards land in a bucket, the pipeline tails them" deployment;
+    * compose downstream with any streaming operator (feed `payload`
     * through [[graft.functions.TextFunctions.htmlToText]] into
-    * `indexDedupStream` for dedup-on-crawl-ingest). `schema` needs no
-    * caller input — binaryFile's schema is fixed — but the source
-    * requires `maxFilesPerTrigger`-style pacing for huge backlogs via
-    * standard options on the returned stream's upstream reader.
+    * `indexDedupStream` for dedup-on-crawl-ingest).
     *
-    * HONEST MEMORY BOUND (unlike [[read]]): the binaryFile streaming
-    * source materializes each file as ONE row and refuses files over
-    * 2 GB, so per-task memory here is O(file) and a shard must stay
-    * under that ceiling — fine for standard ~1 GB crawl shards. The
-    * batch [[read]] has neither bound (PortableDataStream); use it,
-    * or re-shard oversized archives, when shards can exceed 2 GB.
+    * MEMORY BOUND — same as [[read]] since round 11: each task pulls
+    * records off the OPEN inflating stream ([[parseStream]]), so
+    * per-task memory is O(largest record), never O(file), and there
+    * is no 2 GB file ceiling (both bounds the previous
+    * binaryFile-backed implementation carried are gone).
+    * `maxFilesPerTrigger` (default 1000) paces backlog drains.
     */
-  def readStream(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    // binaryFile's schema is FIXED by the source, but file streaming
-    // sources still demand it explicitly (no streaming inference)
-    val binaryFileSchema = new org.apache.spark.sql.types.StructType()
-      .add("path", org.apache.spark.sql.types.StringType)
-      .add("modificationTime", org.apache.spark.sql.types.TimestampType)
-      .add("length", org.apache.spark.sql.types.LongType)
-      .add("content", org.apache.spark.sql.types.BinaryType)
-    val files = spark.readStream.format("binaryFile")
-      .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.warc*").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    files.flatMap { case (p, bytes) =>
-      parseAll(bytes).map(r => (p, r.warc_type, r.record_id,
-        r.target_uri, r.warc_date, r.content_type, r.http_status,
-        r.http_content_type, r.payload, r.payload.length.toLong))
-    }.toDF("warc_file", "warc_type", "record_id", "target_uri",
-      "warc_date", "content_type", "http_status", "http_content_type",
-      "payload", "n_bytes")
-  }
+  def readStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream.format("graft-warc")
+      .option("path", path)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
 
   /** Serialize records to WARC bytes — deterministic (fixed header
     * order), one gzip member per record when `gzipPerRecord` (the
