@@ -148,7 +148,14 @@ object ScaleTrend {
       "x86_quality_calibration", "x87_latest_per_url", "x88_crawl_diff",
       // round 10 (last): Unicode NFC normalization — a compiled map
       // pass with the isNormalized fast path; should track scan cost
-      "x89_unicode_nfc")
+      "x89_unicode_nfc",
+      // round 11: IDN PSL resolution (map-side kernel + IDNA bridge),
+      // byte-BPE training (histogram + driver merge loop — the sf1
+      // vocab is the honest 10x worst case), and the byte-BPE encode+
+      // decode round trip (distinct-word encode, gated join-back,
+      // per-doc reassembly, unmap kernel)
+      "x90_idn_domains", "x91_bpe_bytes_train",
+      "x92_bpe_bytes_roundtrip")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
@@ -213,6 +220,30 @@ object ScaleTrend {
       println(f"$label%-7s bpe_train_1k_merges        " +
         f"wall=${bpeBest._1}%8.2fs merges=${bpeBest._3} " +
         f"merges/s=$mps%8.1f")
+      // the BYTE-level twin at the same merge count and widened vocab:
+      // byte symbols mean longer symbol sequences per word (UTF-8
+      // bytes, not chars) — the honest extra pair mass a real
+      // GPT-2-style training pays
+      val bpeByteRuns = (0 until passes).map { _ =>
+        spark.catalog.clearCache()
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull)
+          .select(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), (col("doc_id") % 997).cast("string")))
+            .as("text"))
+        val (w0, c0) = (System.nanoTime(), cpuSec)
+        val merges = graft.operators.Bpe.trainBytes(docs, "text",
+          numMerges = 1000, minCount = 1L)
+        ((System.nanoTime() - w0) / 1e9, cpuSec - c0, merges.size)
+      }
+      val bb = bpeByteRuns.minBy(_._1)
+      val bbMps = bb._3 / bb._1
+      out.append(s""",\n   "bpe_bytes_train_1k_merges":{""" +
+        s""""wall_sec":${num(bb._1)},"cpu_sec":${num(bb._2)},""" +
+        s""""merges":${bb._3},"merges_per_sec":${num(bbMps)}}""")
+      println(f"$label%-7s bpe_bytes_train_1k_merges  " +
+        f"wall=${bb._1}%8.2fs merges=${bb._3} " +
+        f"merges/s=$bbMps%8.1f")
       out.append("}")
     }
     out.append("\n}}\n")
