@@ -50,6 +50,7 @@ object GraftFunctions {
     c(UnicodeNormalize(e(text), form))
   def byteRemap(text: Column): Column = c(ByteRemap(e(text)))
   def byteUnmap(text: Column): Column = c(ByteUnmap(e(text)))
+  def idnAscii(host: Column): Column = c(IdnAscii(e(host)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

@@ -133,3 +133,38 @@ case class PslRegisteredDomain(child: Expression, rules: Seq[String])
   override protected def withNewChildInternal(
       newChild: Expression): PslRegisteredDomain = copy(child = newChild)
 }
+
+/** Standalone IDNA bridge: lowercase a host and convert non-ASCII
+  * labels to punycode (`java.net.IDN.toASCII`, public JDK) — the
+  * canonical GROUPING form of a hostname. [[PslRegisteredDomain]]
+  * applies the same bridge internally; this expression exists for the
+  * curation paths that group by raw host (per-host quotas, host
+  * blocklists) where `münchen.de` and `xn--mnchen-3ya.de` must land in
+  * one group without a PSL in play. Pure-ASCII hosts skip the
+  * conversion on a one-scan fast path; hosts IDNA rejects degrade to
+  * the lowercased raw form — totality over crawl garbage.
+  */
+case class IdnAscii(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_idn_ascii"
+
+  override def kernel(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    var ascii = true
+    var i = 0
+    while (ascii && i < raw.length) {
+      if (raw.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii && raw == input.asInstanceOf[UTF8String].toString) input
+    else if (ascii) UTF8String.fromString(raw)
+    else UTF8String.fromString(
+      try java.net.IDN.toASCII(raw).toLowerCase
+      catch { case _: IllegalArgumentException => raw })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IdnAscii = copy(child = newChild)
+}

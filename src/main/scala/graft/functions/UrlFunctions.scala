@@ -78,6 +78,17 @@ object UrlFunctions {
     coalesce(nullif(three, lit("")), nullif(two, lit("")), host)
   }
 
+  /** Canonical ASCII (punycode) grouping form of a host: lowercased,
+    * non-ASCII labels through `java.net.IDN.toASCII` (compiled
+    * [[graft.expressions.IdnAscii]] kernel — pure map-side), IDNA
+    * rejects degrading to the lowercased raw host. Group per-host
+    * quotas and host blocklists by THIS so `münchen.de` and its wire
+    * form `xn--mnchen-3ya.de` land in one group; the PSL
+    * [[registeredDomain]] overload applies the same bridge internally.
+    */
+  def hostAscii(host: Column): Column =
+    graft.expressions.GraftFunctions.idnAscii(host)
+
   /** Registered domain under a caller-supplied PUBLIC SUFFIX LIST —
     * the production form (the heuristic above groups `github.io`-style
     * private suffixes wrong). `pslRules` are publicsuffix.org-format

@@ -3,11 +3,15 @@ package graft
 import graft.operators.Bpe
 import org.apache.spark.sql.functions._
 
-/** BPE trainer/encoder gating: x75/x76 have no SQL oracle (iterative,
-  * argmax-dependent), so correctness is proven against an INDEPENDENT
-  * driver-side reference implementation — dict-based, no Spark, no
-  * shared code with the operator — plus closed-form corpora where the
-  * whole merge table is hand-computable.
+/** BPE trainer/encoder gating: x75/x76/x91 have no SQL oracle
+  * (iterative, argmax-dependent), so correctness is proven against
+  * INDEPENDENT driver-side reference implementations — dict-based, no
+  * Spark, no shared code with the operator — plus closed-form corpora
+  * where the whole merge table is hand-computable. The byte-level
+  * path's reference builds its own byte→printable table from the
+  * public GPT-2 description, so a mapping bug on either side diverges
+  * them; the byte path's END results are additionally oracle-checked
+  * through x92's round-trip identity.
   */
 class BpeSpec extends SparkSpec {
 

@@ -505,6 +505,19 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("x92: byte-BPE encode+decode keeps the x76 plan shape — ONE " +
+      "broadcast vocab probe, no corpus sort-merge join, the byte " +
+      "remap/unmap kernels compiled into the projection") {
+    val p = plan(Extensions.x92BpeBytesRoundtrip(spark, sfDir))
+    assert(nodes(p, "BroadcastHashJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0 &&
+      nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("graft_byte_unmap"), p)
+    // hash exchanges: the distinct-word dedup (build side) and the
+    // doc_id reassembly groupBy — nothing else
+    assert(p.split("hashpartitioning\\(").length - 1 <= 3, p)
+  }
+
   test("Curation.domainQuotaApprox: the domain-counts join-back is " +
       "GATED on measured bytes — broadcast under the bound, shuffle " +
       "join above it (open-web domain cardinality must never " +

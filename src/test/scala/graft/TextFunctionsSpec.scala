@@ -293,6 +293,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rd("bad..ü.de").nonEmpty)
     // pure-ASCII hosts are untouched by the bridge
     assert(rd("plain.example.com") == "example.com")
+    // the standalone grouping form: unicode and wire-form hosts
+    // produce ONE key, ASCII passes through lowercased, rejects
+    // degrade instead of throwing
+    def ha(h: String) = one[String](hostAscii(col("text")), h)
+    assert(ha("www.MÜNCHEN.de") == "www.xn--mnchen-3ya.de")
+    assert(ha("www.münchen.de") == ha("WWW.xn--MNCHEN-3ya.de"))
+    assert(ha("Plain.Example.COM") == "plain.example.com")
+    assert(ha("bad..ü.de").nonEmpty)
   }
 
   test("normalizeUrl: lowercases scheme+host, drops userinfo/fragment/" +
