@@ -131,6 +131,14 @@ object GraftFunctions {
       info("graft_byte_remap",
         "UTF-8 bytes as byte-BPE printable-unicode symbols"),
       (args: Seq[Expression]) => ByteRemap(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_byte_unmap"),
+      info("graft_byte_unmap",
+        "byte-BPE printable-unicode symbols back to text"),
+      (args: Seq[Expression]) => ByteUnmap(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_idn_ascii"),
+      info("graft_idn_ascii",
+        "lowercased punycode (IDNA) grouping form of a host"),
+      (args: Seq[Expression]) => IdnAscii(args(0))))
     // optimizer rule: HOF dot-product pattern → compiled VecDot kernel
     ext.injectOptimizerRule(_ => VecKernelRewrite)
   }

@@ -543,4 +543,44 @@ object Bpe {
   def decodeTokens(tokens: Seq[String]): String =
     new String(graft.expressions.ByteUnicode.unmap(tokens.mkString),
       java.nio.charset.StandardCharsets.UTF_8)
+
+  // ---- tokenizer artifact persistence ------------------------------
+  //
+  // A tokenizer is trained ONCE and shipped to every downstream job
+  // (training cluster, eval harness, serving) — the merge table is the
+  // artifact. Parquet keeps it engine-portable and diffable; the
+  // round trip is exact (strings + longs, no floats), so a loaded
+  // table encodes bit-identically to the in-memory one
+  // (spec-asserted, both char- and byte-level).
+
+  /** Persist a merge table (char- or byte-level — the format is the
+    * same 5 columns either way) as ONE parquet file at `path`.
+    */
+  def saveMerges(spark: SparkSession,
+      merges: Seq[(Int, String, String, String, Long)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] table, rank-ordered — ready for
+    * [[encode]]/[[encodeBytes]]/[[vocab]]/[[vocabBytes]]. Merge tables
+    * are vocab-sized (≤ ~10⁵ rows) by construction, so the collect is
+    * bounded; a corpus-sized path here is caller error and the guard
+    * is loud.
+    */
+  def loadMerges(spark: SparkSession, path: String,
+      maxRows: Long = 10000000L)
+      : Seq[(Int, String, String, String, Long)] = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    require(n <= maxRows,
+      s"merge table at $path has $n rows > $maxRows — not a merge " +
+        "table; pass the saveMerges output, not a corpus")
+    df.select(col("rank"), col("left"), col("right"), col("merged"),
+        col("pair_count")).orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+  }
 }

@@ -256,13 +256,17 @@ object Warc {
     * per-task memory is O(largest record), never O(file), and there
     * is no 2 GB file ceiling (both bounds the previous
     * binaryFile-backed implementation carried are gone).
-    * `maxFilesPerTrigger` (default 1000) paces backlog drains.
+    * `maxFilesPerTrigger` (default 1000) paces backlog drains;
+    * `recursive` walks nested crawl layouts
+    * (`segments/<seg>/warc/<shard>.warc.gz`).
     */
   def readStream(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 1000): DataFrame =
+      maxFilesPerTrigger: Int = 1000,
+      recursive: Boolean = false): DataFrame =
     spark.readStream.format("graft-warc")
       .option("path", path)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("recursive", recursive.toString)
       .load()
 
   /** Serialize records to WARC bytes — deterministic (fixed header

@@ -65,7 +65,8 @@ class WarcStreamSource extends TableProvider with DataSourceRegister {
     require(path != null && path.nonEmpty,
       "graft-warc requires a 'path' option (the crawl-shard dir)")
     new WarcTable(path, opts.getInt("maxFilesPerTrigger", 1000),
-      opts.getInt("offsetCompactThreshold", 1000))
+      opts.getInt("offsetCompactThreshold", 1000),
+      opts.getBoolean("recursive", false))
   }
 }
 
@@ -83,22 +84,44 @@ object WarcStreamSource {
     StructField("payload", BinaryType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
-  /** Names of every `*.warc*` file directly under `dir` — one fresh
-    * listing per admission decision / batch plan, never cached.
+  /** Names of every `*.warc*` file under `dir` — DIR-RELATIVE paths
+    * (so recursive mode's nested names stay stable offset keys), one
+    * fresh listing per admission decision / batch plan, never cached.
+    * Recursive mode walks the whole tree with `fs.listFiles(_, true)`
+    * — the RemoteIterator API object stores implement natively with
+    * paged listings — matching real crawl layouts
+    * (`.../segments/<seg>/warc/<shard>.warc.gz`).
     */
-  private[sources] def listWarcNames(dir: String,
-      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+  private[graft] def listWarcNames(dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      recursive: Boolean = false): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.contains(".warc"))
-      .map(_.getPath.getName).toSeq.sorted
+    else if (!recursive)
+      fs.listStatus(p)
+        .filter(f => f.isFile && f.getPath.getName.contains(".warc"))
+        .map(_.getPath.getName).toSeq.sorted
+    else {
+      val prefix = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.contains(".warc")) {
+          val full = f.getPath.toString
+          out += (if (full.startsWith(prefix))
+            full.substring(prefix.length) else f.getPath.getName)
+        }
+      }
+      out.result().sorted
+    }
   }
 }
 
 private class WarcTable(path: String, maxFilesPerTrigger: Int,
-    compactThreshold: Int) extends Table with SupportsRead {
+    compactThreshold: Int, recursive: Boolean)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-warc:$path"
   override def schema(): StructType = WarcStreamSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -108,12 +131,13 @@ private class WarcTable(path: String, maxFilesPerTrigger: Int,
       : ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new WarcScan(path, maxFilesPerTrigger, compactThreshold)
+        new WarcScan(path, maxFilesPerTrigger, compactThreshold,
+          recursive)
     }
 }
 
 private class WarcScan(path: String, maxFilesPerTrigger: Int,
-    compactThreshold: Int) extends Scan with Batch {
+    compactThreshold: Int, recursive: Boolean) extends Scan with Batch {
 
   private val conf = SessionConf.capture()
 
@@ -122,7 +146,7 @@ private class WarcScan(path: String, maxFilesPerTrigger: Int,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    WarcStreamSource.listWarcNames(path, conf.value)
+    WarcStreamSource.listWarcNames(path, conf.value, recursive)
       .map(n => WarcFilePartition(s"$path/$n"): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -131,18 +155,18 @@ private class WarcScan(path: String, maxFilesPerTrigger: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : streamingread.MicroBatchStream =
     new WarcMicroBatchStream(path, conf, maxFilesPerTrigger,
-      checkpointLocation, compactThreshold)
+      checkpointLocation, compactThreshold, recursive)
 }
 
 private class WarcMicroBatchStream(path: String,
     conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf,
     maxFilesPerTrigger: Int, checkpointLocation: String,
-    compactThreshold: Int)
+    compactThreshold: Int, recursive: Boolean)
     extends FileSetMicroBatchStream(checkpointLocation,
       maxFilesPerTrigger, compactThreshold, conf) {
 
   override protected def listNames(): Seq[String] =
-    WarcStreamSource.listWarcNames(path, conf.value)
+    WarcStreamSource.listWarcNames(path, conf.value, recursive)
 
   override protected def partitionFor(name: String): InputPartition =
     WarcFilePartition(s"$path/$name")

@@ -300,6 +300,40 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge-table persistence: save/load round-trips exactly for " +
+      "char- AND byte-level tables, loaded tables encode " +
+      "bit-identically, corpus-sized paths rejected loudly") {
+    import spark.implicits._
+    val df = Seq("aaab aaab", "aaab ab", "xy xy xy").toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_art")
+      .toString
+    for ((tag, merges) <- Seq(
+        "char" -> Bpe.train(df, "text", 10),
+        "byte" -> Bpe.trainBytes(df, "text", 10))) {
+      assert(merges.nonEmpty, tag)
+      Bpe.saveMerges(spark, merges, s"$dir/$tag")
+      val loaded = Bpe.loadMerges(spark, s"$dir/$tag")
+      assert(loaded == merges, tag)
+    }
+    // loaded byte table encodes identically to the in-memory one
+    val m = Bpe.trainBytes(df, "text", 10)
+    Bpe.saveMerges(spark, m, s"$dir/roundtrip")
+    val viaDisk = Bpe.encodeBytes(df, "id", "text",
+        Bpe.loadMerges(spark, s"$dir/roundtrip"))
+      .select(col("id"), col("tokens")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    val direct = Bpe.encodeBytes(df, "id", "text", m)
+      .select(col("id"), col("tokens")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    assert(viaDisk.toSeq == direct.toSeq)
+    // a data-sized path fails the loud guard instead of collecting
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.loadMerges(spark, s"$dir/roundtrip", maxRows = 1L)
+    }
+    assert(ex.getMessage.contains("not a merge table"), ex.getMessage)
+  }
+
   test("trainDriver queue rebuild (slack 1 forces it on a churn-heavy " +
       "corpus) changes nothing: identical merge table to the default " +
       "slack and to the reference") {

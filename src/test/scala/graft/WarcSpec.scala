@@ -193,6 +193,50 @@ class WarcSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 9)
   }
 
+  test("graft-warc recursive mode: nested crawl layouts " +
+      "(segments/<seg>/warc/<shard>) list dir-relative, stream " +
+      "exactly once, and new files in new subdirs are picked up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_rec")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_rec_ck")
+      .toString
+    def shard(rel: String, ids: Range): Unit = {
+      val p = java.nio.file.Paths.get(dir, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        Warc.writeBytes(ids.map(i => rec(i.toLong, s"body $i")),
+          gzipPerRecord = true))
+    }
+    shard("segments/s1/warc/a.warc.gz", 0 until 3)
+    shard("segments/s2/warc/b.warc.gz", 10 until 12)
+    // the listing is dir-relative so nested names are stable offset keys
+    val names = graft.sources.WarcStreamSource.listWarcNames(dir,
+      spark.sparkContext.hadoopConfiguration, recursive = true)
+    assert(names == Seq("segments/s1/warc/a.warc.gz",
+      "segments/s2/warc/b.warc.gz"))
+    // non-recursive sees nothing at the root (the default contract)
+    assert(graft.sources.WarcStreamSource.listWarcNames(dir,
+      spark.sparkContext.hadoopConfiguration).isEmpty)
+    val q = spark.readStream.format("graft-warc")
+      .option("path", dir).option("recursive", "true").load()
+      .selectExpr("record_id", "warc_file")
+      .writeStream.format("memory").queryName("warc_rec")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_rec").count() == 5)
+      // a NEW segment directory appearing mid-stream is drained too
+      shard("segments/s3/warc/c.warc.gz", 20 until 22)
+      q.processAllAvailable()
+      val got = spark.table("warc_rec").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.length == 7)
+      assert(got.map(_._1).distinct.length == 7)
+      assert(got.exists(_._2.endsWith("segments/s3/warc/c.warc.gz")))
+    } finally q.stop()
+  }
+
   test("graft-warc batch read through the connector equals Warc.read " +
       "on the same shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_b")
