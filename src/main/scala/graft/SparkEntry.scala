@@ -154,6 +154,7 @@ object SparkEntry {
     "x90_idn_domains" -> Extensions.x90IdnDomains,
     "x91_bpe_bytes_train" -> Extensions.x91BpeBytesTrain,
     "x92_bpe_bytes_roundtrip" -> Extensions.x92BpeBytesRoundtrip,
+    "x93_bpe_full_fidelity" -> Extensions.x93BpeBytesFullFidelity,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -788,6 +789,14 @@ object SparkEntry {
     // of the same Unicode standard as Java's Normalizer — the planted
     // forms are stated with chr() codes so no tool can re-normalize
     // the query text itself
+    // x93: the strongest tokenizer statement — full-fidelity byte-BPE
+    // under the GPT-2 space-preserving pre-tokenization reconstructs
+    // the ENTIRE document, so the oracle is md5 of the UNTOUCHED text
+    "x93_bpe_full_fidelity" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // x92: the byte-BPE round trip stated WITHOUT BPE — the
     // pre-tokenization's alternatives jointly cover every
     // non-whitespace char in order, so decoded concatenated tokens =

@@ -61,6 +61,23 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
+  /** GPT-2-style pre-tokenization for BYTE-level BPE
+    * ([[graft.operators.Bpe.trainBytes]]): words keep ONE leading
+    * space (so `" the"` trains as a unit — the space byte renders as
+    * the famous `Ġ` symbol under the byte→printable map), punctuation
+    * comes in runs, and residual whitespace is matched too
+    * (`\s+(?!\S)` leaves the final space for the next word, `\s+`
+    * catches trailing runs). The alternatives JOINTLY COVER every
+    * character, so the concatenated matches ARE the text — the
+    * full-fidelity property x93 oracle-checks as `md5(text)` with no
+    * tokenizer in the oracle at all. [[bpeTokenPattern]] (the
+    * whitespace-dropping form) remains the char-level and default
+    * byte-level pre-tokenizer; pass this one for exact-reconstruction
+    * pipelines.
+    */
+  val bpeBytePatternFull =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+(?!\\S)|\\s+"
+
   /** Stopword inventories for the n-gram-free language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),

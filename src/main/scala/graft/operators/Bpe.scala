@@ -422,11 +422,12 @@ object Bpe {
   private def encodeWith(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String, String, Long)],
       broadcastMaxBytes: Long,
-      symize: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      symize: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      tokenPattern: String = TextFunctions.bpeTokenPattern)
       : DataFrame = {
     val words = df.select(col(idCol),
         posexplode(regexp_extract_all(col(textCol),
-          lit(TextFunctions.bpeTokenPattern), lit(0)))
+          lit(tokenPattern), lit(0)))
           .as(Seq("word_pos", "word")))
     val distinctWords = words.select(col("word")).distinct()
       .withColumn("syms", symize(col("word")))
@@ -469,17 +470,24 @@ object Bpe {
   /** [[train]] with byte symbols: the merge table's left/right/merged
     * strings are in the mapped printable-byte alphabet. Same measured
     * driver/distributed dispatch, same exact-long counts and
-    * deterministic tiebreak.
+    * deterministic tiebreak. `tokenPattern` picks the pre-tokenizer:
+    * the default drops whitespace (word-level round trips, x92); pass
+    * [[TextFunctions.bpeBytePatternFull]] for the GPT-2 convention —
+    * leading-space words (`" the"` as one unit, space rendering as
+    * `Ġ`) and whitespace runs as tokens, which makes decode
+    * reconstruct the ENTIRE document byte-for-byte (x93's oracle is
+    * literally `md5(text)`).
     */
   def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L,
-      maxDriverWords: Long = 1000000L)
+      maxDriverWords: Long = 1000000L,
+      tokenPattern: String = TextFunctions.bpeTokenPattern)
       : Seq[(Int, String, String, String, Long)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(maxDriverWords >= 0,
       s"maxDriverWords must be >= 0, got $maxDriverWords")
     val hist = df.select(explode(regexp_extract_all(col(textCol),
-        lit(TextFunctions.bpeTokenPattern), lit(0))).as("word0"))
+        lit(tokenPattern), lit(0))).as("word0"))
       // group on the MAPPED word (the mapping is injective, so the
       // histogram is identical either way) — both merge-loop homes
       // then see only byte-symbol strings
@@ -503,10 +511,12 @@ object Bpe {
     */
   def encodeBytes(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String, String, Long)],
-      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes,
+      tokenPattern: String = TextFunctions.bpeTokenPattern)
       : DataFrame =
     encodeWith(df, idCol, textCol, merges, broadcastMaxBytes,
-      w => charPad(graft.expressions.GraftFunctions.byteRemap(w)))
+      w => charPad(graft.expressions.GraftFunctions.byteRemap(w)),
+      tokenPattern)
 
   /** Byte-BPE vocabulary: ids 0–255 are the 256 byte symbols in byte
     * order (the conventional layout), ids 256… the merged tokens in
@@ -529,9 +539,11 @@ object Bpe {
     */
   def encodeIdsBytes(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(Int, String, String, String, Long)],
-      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes,
+      tokenPattern: String = TextFunctions.bpeTokenPattern)
       : DataFrame =
-    encodeBytes(df, idCol, textCol, merges, broadcastMaxBytes)
+    encodeBytes(df, idCol, textCol, merges, broadcastMaxBytes,
+      tokenPattern)
       .withColumn("token_ids", graft.expressions.GraftFunctions
         .tokenIds(col("tokens"), vocabBytes(merges), unkId = -1L))
 

@@ -1902,6 +1902,31 @@ object Extensions {
   private def fixtureKey(dir: String, version: Int): String =
     dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_v$version"
 
+  /** x93: FULL-FIDELITY byte-BPE round trip — the GPT-2 convention
+    * end-to-end: [[graft.functions.TextFunctions.bpeBytePatternFull]]
+    * pre-tokenizes with leading-space words and whitespace-run tokens
+    * (the space byte renders as `Ġ` under the byte map), so the
+    * decoded token stream reconstructs the ENTIRE document
+    * byte-for-byte — and the oracle is literally `md5(text)`: no
+    * tokenizer, no regex, no byte map on the oracle side at all. The
+    * strongest statement the engine makes about its tokenizer: train
+    * → encode → decode is the identity on raw documents, certified
+    * against an independent engine's hash of the untouched input.
+    */
+  def x93BpeBytesFullFidelity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val merges = graft.operators.Bpe.trainBytes(d, "text",
+      numMerges = 30,
+      tokenPattern = TextFunctions.bpeBytePatternFull)
+    val decoded = graft.expressions.GraftFunctions.byteUnmap(
+      array_join(col("tokens"), ""))
+    graft.operators.Bpe.encodeBytes(d, "doc_id", "text", merges,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("doc_id"), md5(decoded).as("text_md5"),
+        octet_length(decoded).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x84FixtureLock = new Object
 
   /** Bump when [[Multimodal.attachAviPayload]]/[[Multimodal

@@ -155,7 +155,10 @@ object ScaleTrend {
       // decode round trip (distinct-word encode, gated join-back,
       // per-doc reassembly, unmap kernel)
       "x90_idn_domains", "x91_bpe_bytes_train",
-      "x92_bpe_bytes_roundtrip")
+      "x92_bpe_bytes_roundtrip",
+      // round 11 (late): full-fidelity byte-BPE — GPT-2 space-
+      // preserving pre-tokenization, whole-document reconstruction
+      "x93_bpe_full_fidelity")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

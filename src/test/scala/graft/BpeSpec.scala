@@ -300,6 +300,46 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("full-fidelity pre-tokenization (bpeBytePatternFull): the " +
+      "alternatives jointly cover EVERY character so concatenated " +
+      "matches are the text; leading-space words train as units with " +
+      "the space byte rendering as the GPT-2 Ġ; whole documents " +
+      "round-trip exactly, whitespace included") {
+    import spark.implicits._
+    val pat = graft.functions.TextFunctions.bpeBytePatternFull
+    val re = pat.r
+    // total cover on nasty strings: tabs, runs of spaces, newlines,
+    // unicode, leading/trailing whitespace, empty-ish
+    val nasty = Seq(
+      "the the the cat",
+      "  leading run\tand\ttabs\n\nnewlines  ",
+      "a  b   c    d",
+      "emoji 😀 and 漢字 mix",
+      "punct!!! runs??? ...",
+      " ")
+    for (t <- nasty)
+      assert(re.findAllIn(t).mkString == t, s"coverage broke on '$t'")
+    // leading-space words are single tokens: " the" repeated merges
+    // into one symbol whose first char is the mapped space byte Ġ
+    val df = Seq("the the the the").toDF("text")
+      .withColumn("id", lit(1L))
+    val merges = Bpe.trainBytes(df, "text", 10, minCount = 2L,
+      tokenPattern = pat)
+    // words: "the" (x1), " the" (x3) → " the" fully merges
+    assert(merges.exists(_._4 == "\u0120the"), // Ġthe
+      s"no \u0120the in ${merges.map(_._4)}")
+    // whole-document reconstruction, whitespace exact
+    val docs2 = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val m2 = Bpe.trainBytes(docs2, "text", 30, tokenPattern = pat)
+    val got = Bpe.encodeBytes(docs2, "id", "text", m2, tokenPattern = pat)
+      .select(col("id"), col("tokens")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    for ((t, i) <- nasty.zipWithIndex)
+      assert(Bpe.decodeTokens(got(i.toLong)) == t,
+        s"doc $i did not reconstruct")
+  }
+
   test("merge-table persistence: save/load round-trips exactly for " +
       "char- AND byte-level tables, loaded tables encode " +
       "bit-identically, corpus-sized paths rejected loudly") {
