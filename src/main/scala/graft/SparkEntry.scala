@@ -155,6 +155,7 @@ object SparkEntry {
     "x91_bpe_bytes_train" -> Extensions.x91BpeBytesTrain,
     "x92_bpe_bytes_roundtrip" -> Extensions.x92BpeBytesRoundtrip,
     "x93_bpe_full_fidelity" -> Extensions.x93BpeBytesFullFidelity,
+    "x94_bpe_mapside" -> Extensions.x94BpeMapSide,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -789,6 +790,14 @@ object SparkEntry {
     // of the same Unicode standard as Java's Normalizer — the planted
     // forms are stated with chr() codes so no tool can re-normalize
     // the query text itself
+    // x94: the map-side kernel encoder through the same identity —
+    // any divergence from the join encoder's application order breaks
+    // the reconstruction against the untouched text's md5
+    "x94_bpe_mapside" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // x93: the strongest tokenizer statement — full-fidelity byte-BPE
     // under the GPT-2 space-preserving pre-tokenization reconstructs
     // the ENTIRE document, so the oracle is md5 of the UNTOUCHED text

@@ -51,6 +51,9 @@ object GraftFunctions {
   def byteRemap(text: Column): Column = c(ByteRemap(e(text)))
   def byteUnmap(text: Column): Column = c(ByteUnmap(e(text)))
   def idnAscii(host: Column): Column = c(IdnAscii(e(host)))
+  def bpeEncode(text: Column, merges: Seq[(Int, String, String)],
+      pattern: String, byteLevel: Boolean): Column =
+    c(BpeEncodeTokens(e(text), merges, pattern, byteLevel))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

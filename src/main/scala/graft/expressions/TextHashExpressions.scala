@@ -576,3 +576,119 @@ case class ByteUnmap(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): ByteUnmap = copy(child = newChild)
 }
+
+/** Per-row BPE encoding as a compiled kernel — the MAP-SIDE encoder:
+  * pre-tokenize with `pattern`, start each word as single chars (or
+  * mapped UTF-8 bytes when `byteLevel`), then repeatedly apply the
+  * LOWEST-RANKED merge present, each rank as one leftmost-first
+  * non-overlapping pass. For well-formed merge tables (each merge's
+  * symbols produced only by earlier merges — true of every table
+  * [[graft.operators.Bpe]] trains or loads) this is EXACTLY the
+  * rank-order fold the join-based encoder applies, skipping absent
+  * ranks (spec-asserted equal on full corpora, both levels, both
+  * patterns).
+  *
+  * Scale shape: ZERO shuffles — encoding is a projection, so it
+  * composes with streaming (tokenize-on-ingest is a `withColumn`) and
+  * never materializes a distinct-word table. Per-word cost is
+  * O(len²) scans over ≤ ~tens of symbols; repeated words hit a
+  * per-THREAD bounded LRU (the expression object is shared across a
+  * local executor's task threads — per-thread caches make mutation
+  * race-free without locking).
+  */
+case class BpeEncodeTokens(child: Expression,
+    merges: Seq[(Int, String, String)], pattern: String,
+    byteLevel: Boolean, cacheSize: Int = 10000)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(cacheSize >= 0, s"cacheSize must be >= 0: $cacheSize")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.map(m => ((m._2, m._3), m._1)).toMap
+
+  @transient private lazy val wordRe =
+    java.util.regex.Pattern.compile(pattern)
+
+  @transient private lazy val cache =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Array[String]](64, 0.75f,
+          true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[String]]): Boolean =
+            size() > cacheSize
+        }
+    }
+
+  private def baseSyms(w: String): Array[String] =
+    if (byteLevel) {
+      val m = ByteUnicode.remap(w)
+      Array.tabulate(m.length)(i => m.charAt(i).toString)
+    } else {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+
+  private def encodeWord(w: String): Array[String] = {
+    var syms = baseSyms(w)
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-ranked pair present
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // one leftmost-first non-overlapping pass for that rank
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length &&
+              rank.getOrElse((syms(j), syms(j + 1)), -1) == best) {
+            out += (syms(j) + syms(j + 1)); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  override def kernel(t: Any): Any = {
+    val text = t.asInstanceOf[UTF8String].toString
+    val c = cache.get()
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val m = wordRe.matcher(text)
+    while (m.find()) {
+      val w = m.group()
+      var toks = if (cacheSize > 0) c.get(w) else null
+      if (toks == null) {
+        toks = encodeWord(w)
+        if (cacheSize > 0) c.put(w, toks)
+      }
+      var i = 0
+      while (i < toks.length) {
+        out += UTF8String.fromString(toks(i)); i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeTokens = copy(child = newChild)
+}

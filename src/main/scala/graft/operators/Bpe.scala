@@ -556,6 +556,35 @@ object Bpe {
     new String(graft.expressions.ByteUnicode.unmap(tokens.mkString),
       java.nio.charset.StandardCharsets.UTF_8)
 
+  /** MAP-SIDE encoding — the production serving shape: `tokens` +
+    * `n_tokens` as a pure projection through the compiled
+    * [[graft.expressions.BpeEncodeTokens]] kernel. ZERO shuffles at
+    * any corpus size (the join-based [[encode]]/[[encodeBytes]] cost
+    * two — distinct-words + per-doc reassembly), and because it is a
+    * projection it composes with STREAMING unchanged
+    * (tokenize-on-ingest is a `withColumn`; spec-driven through
+    * MemoryStream). Output is spec-proven identical to the join-based
+    * encoders on full corpora for any trained/loaded merge table
+    * (each rank applied leftmost-first non-overlapping, absent ranks
+    * skipped).
+    *
+    * Trade-off: per-row work is O(tokens) with a per-thread LRU for
+    * repeated words, vs the join form's vocab-sized encode +
+    * join-back. The map form wins when the corpus is huge relative to
+    * its vocabulary (the common case — and the only form a stream can
+    * use); the join form wins when distinct words dominate rows.
+    */
+  def encodeMapSide(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      byteLevel: Boolean = false,
+      tokenPattern: String = TextFunctions.bpeTokenPattern)
+      : DataFrame =
+    df.select(col(idCol),
+        graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+          merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+          tokenPattern, byteLevel).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+
   // ---- tokenizer artifact persistence ------------------------------
   //
   // A tokenizer is trained ONCE and shipped to every downstream job

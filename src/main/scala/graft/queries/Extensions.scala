@@ -1918,9 +1918,47 @@ object Extensions {
     val merges = graft.operators.Bpe.trainBytes(d, "text",
       numMerges = 30,
       tokenPattern = TextFunctions.bpeBytePatternFull)
+    bpeFullMergeCache.put(dir, merges)
     val decoded = graft.expressions.GraftFunctions.byteUnmap(
       array_join(col("tokens"), ""))
     graft.operators.Bpe.encodeBytes(d, "doc_id", "text", merges,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("doc_id"), md5(decoded).as("text_md5"),
+        octet_length(decoded).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Memoized full-pattern byte merge tables (the x75/x76 contract:
+    * x94 reusing x93's table changes wall clock only).
+    */
+  private val bpeFullMergeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Int, String, String, String, Long)]]
+
+  private def bpeFullMerges(s: SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] =
+    bpeFullMergeCache.getOrElseUpdate(dir,
+      graft.operators.Bpe.trainBytes(
+        docs(s, dir).filter(col("text").isNotNull), "text",
+        numMerges = 30,
+        tokenPattern = TextFunctions.bpeBytePatternFull))
+
+  /** x94: the MAP-SIDE encoder ([[graft.operators.Bpe
+    * .encodeMapSide]] — the zero-shuffle production serving shape,
+    * compiled [[graft.expressions.BpeEncodeTokens]] kernel, per-thread
+    * word LRU) through the same full-fidelity round trip as x93: if
+    * the kernel's rank-order application diverges from the join-based
+    * encoder ANYWHERE on the corpus — a wrong lowest-rank choice, an
+    * overlapping merge, a cache aliasing bug — the reconstruction
+    * hash-mismatches `md5(text)`. PlanSpec pins the zero-shuffle
+    * claim; BpeSpec pins token-level equality with the join encoder.
+    */
+  def x94BpeMapSide(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val decoded = graft.expressions.GraftFunctions.byteUnmap(
+      array_join(col("tokens"), ""))
+    graft.operators.Bpe.encodeMapSide(d, "doc_id", "text",
+        bpeFullMerges(s, dir), byteLevel = true,
         tokenPattern = TextFunctions.bpeBytePatternFull)
       .select(col("doc_id"), md5(decoded).as("text_md5"),
         octet_length(decoded).cast("long").as("n_bytes"))

@@ -157,8 +157,9 @@ object ScaleTrend {
       "x90_idn_domains", "x91_bpe_bytes_train",
       "x92_bpe_bytes_roundtrip",
       // round 11 (late): full-fidelity byte-BPE — GPT-2 space-
-      // preserving pre-tokenization, whole-document reconstruction
-      "x93_bpe_full_fidelity")
+      // preserving pre-tokenization, whole-document reconstruction —
+      // and its zero-shuffle map-side kernel twin
+      "x93_bpe_full_fidelity", "x94_bpe_mapside")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -340,6 +340,62 @@ class BpeSpec extends SparkSpec {
         s"doc $i did not reconstruct")
   }
 
+  test("encodeMapSide (compiled kernel, zero shuffles) emits tokens " +
+      "IDENTICAL to the join-based encoders — char and byte levels, " +
+      "default and full-fidelity patterns, on the whole fixture " +
+      "corpus — and tokenizes a STREAM as a pure projection") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    def collectTokens(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, Vector[String]] =
+      df.select(col("doc_id"), col("tokens")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toVector)).toMap
+    // char level, default pattern
+    val mc = Bpe.train(docs, "text", 30)
+    assert(collectTokens(Bpe.encodeMapSide(docs, "doc_id", "text", mc))
+      == collectTokens(Bpe.encode(docs, "doc_id", "text", mc)))
+    // byte level, default pattern
+    val mb = Bpe.trainBytes(docs, "text", 30)
+    assert(collectTokens(Bpe.encodeMapSide(docs, "doc_id", "text", mb,
+        byteLevel = true))
+      == collectTokens(Bpe.encodeBytes(docs, "doc_id", "text", mb)))
+    // byte level, full-fidelity pattern (whitespace tokens included)
+    val pat = graft.functions.TextFunctions.bpeBytePatternFull
+    val mf = Bpe.trainBytes(docs, "text", 30, tokenPattern = pat)
+    assert(collectTokens(Bpe.encodeMapSide(docs, "doc_id", "text", mf,
+        byteLevel = true, tokenPattern = pat))
+      == collectTokens(Bpe.encodeBytes(docs, "doc_id", "text", mf,
+        tokenPattern = pat)))
+    // zero shuffles: the map-side plan has NO exchange at all
+    val plan = Bpe.encodeMapSide(docs, "doc_id", "text", mb,
+      byteLevel = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side encode shuffled:\n$plan")
+    // STREAMING: tokenization is a projection, so it runs on a stream
+    // unchanged — tokens arrive per micro-batch, exactly once
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Bpe.encodeMapSide(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", mb, byteLevel = true)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "hello hello"), (2L, "streaming text"))
+      q.processAllAvailable()
+      mem.addData((3L, "hello again"))
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toVector)).toMap
+      assert(got.keySet == Set(1L, 2L, 3L))
+      val expect = collectTokens(Bpe.encodeMapSide(
+        Seq((1L, "hello hello"), (2L, "streaming text"),
+          (3L, "hello again")).toDF("doc_id", "text"),
+        "doc_id", "text", mb, byteLevel = true))
+      assert(got == expect, "stream tokens diverge from batch")
+    } finally q.stop()
+  }
+
   test("merge-table persistence: save/load round-trips exactly for " +
       "char- AND byte-level tables, loaded tables encode " +
       "bit-identically, corpus-sized paths rejected loudly") {

@@ -518,6 +518,18 @@ class PlanSpec extends SparkSpec {
     assert(p.split("hashpartitioning\\(").length - 1 <= 3, p)
   }
 
+  test("x94: map-side BPE encoding is a pure projection — no join, " +
+      "no aggregate, and the ONLY exchange is the output ordering") {
+    val p = plan(Extensions.x94BpeMapSide(spark, sfDir))
+    assert(p.contains("graft_bpe_encode"), p)
+    assert(nodes(p, "BroadcastHashJoin") + nodes(p, "SortMergeJoin") +
+      nodes(p, "ShuffledHashJoin") + nodes(p, "CartesianProduct") == 0,
+      s"map-side encode joined:\n$p")
+    assert(nodes(p, "HashAggregate") + nodes(p, "SortAggregate") == 0,
+      s"map-side encode aggregated:\n$p")
+    assert(nodes(p, "Exchange") <= 1, s"map-side encode shuffled:\n$p")
+  }
+
   test("Curation.domainQuotaApprox: the domain-counts join-back is " +
       "GATED on measured bytes — broadcast under the bound, shuffle " +
       "join above it (open-web domain cardinality must never " +
