@@ -520,17 +520,65 @@ object Bpe {
 
   /** Byte-BPE vocabulary: ids 0–255 are the 256 byte symbols in byte
     * order (the conventional layout), ids 256… the merged tokens in
-    * rank order. A pure function of the merge table — NO corpus scan
+    * rank order, then `specialTokens` (control markers like
+    * `<|endoftext|>` — reserved ids a trainer emits at document
+    * boundaries; they are NEVER produced by encoding, which only
+    * emits byte/merge symbols, so reserving them cannot collide with
+    * text). A pure function of (merges, specials) — NO corpus scan
     * and no `<unk>`: the byte alphabet is closed, so every encodable
     * token is in vocabulary by construction.
     */
-  def vocabBytes(merges: Seq[(Int, String, String, String, Long)])
-      : Seq[(String, Long)] =
-    (0 until 256).map(b =>
+  def vocabBytes(merges: Seq[(Int, String, String, String, Long)],
+      specialTokens: Seq[String] = Nil): Seq[(String, Long)] = {
+    val base = (0 until 256).map(b =>
       (graft.expressions.ByteUnicode.byteToChar(b).toString, b.toLong)) ++
       merges.sortBy(_._1).zipWithIndex.map { case (m, i) =>
         (m._4, 256L + i)
       }
+    val known = base.map(_._1).toSet
+    specialTokens.foreach(t => require(!known.contains(t),
+      s"special token '$t' collides with a vocab symbol"))
+    require(specialTokens.distinct == specialTokens,
+      "duplicate special tokens")
+    base ++ specialTokens.zipWithIndex.map { case (t, i) =>
+      (t, 256L + merges.size + i)
+    }
+  }
+
+  /** Decode token IDS back to text through a [[vocabBytes]] table —
+    * the inverse of [[encodeIdsBytes]]'s id hop: ids → token strings
+    * → [[decodeTokens]]. Special-token ids render as their literal
+    * marker strings (they carry no bytes). Unknown ids are a caller
+    * bug and fail loudly — byte vocab has no `<unk>` to hide behind.
+    */
+  def decodeIds(ids: Seq[Long],
+      vocabTable: Seq[(String, Long)]): String = {
+    val byId = vocabTable.map { case (t, i) => (i, t) }.toMap
+    // byte/merge symbols decode through the byte unmap; a token whose
+    // chars leave the byte alphabet is a special marker and renders
+    // literally (ASCII-only markers unmap to the same literal text —
+    // printable ASCII is self-mapped — so the branch is equivalent
+    // for them either way)
+    val sb = new StringBuilder
+    val pending = new StringBuilder // consecutive byte-symbol tokens
+    def flush(): Unit = if (pending.nonEmpty) {
+      sb.append(new String(
+        graft.expressions.ByteUnicode.unmap(pending.toString),
+        java.nio.charset.StandardCharsets.UTF_8))
+      pending.clear()
+    }
+    ids.foreach { id =>
+      val t = byId.getOrElse(id,
+        sys.error(s"id $id is not in the vocabulary"))
+      if (t.forall(_ < 0x400) &&
+          (try { graft.expressions.ByteUnicode.unmap(t); true }
+          catch { case _: IllegalArgumentException => false }))
+        pending.append(t)
+      else { flush(); sb.append(t) } // special marker: literal
+    }
+    flush()
+    sb.toString
+  }
 
   /** [[encodeBytes]] plus `token_ids` through [[vocabBytes]]. The
     * sentinel −1 is unreachable (closed byte alphabet ⇒ every token

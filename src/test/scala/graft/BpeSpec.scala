@@ -282,6 +282,40 @@ class BpeSpec extends SparkSpec {
     assert(!novel.getSeq[Long](1).contains(-1L))
   }
 
+  test("vocabBytes special tokens reserve ids after the merges, " +
+      "collisions and duplicates rejected; decodeIds inverts " +
+      "encodeIdsBytes and renders special ids literally") {
+    import spark.implicits._
+    val df = Seq("hello hello world world").toDF("text")
+      .withColumn("id", lit(1L))
+    val merges = Bpe.trainBytes(df, "text", 10)
+    val v = Bpe.vocabBytes(merges,
+      specialTokens = Seq("<|endoftext|>", "<|pad|>"))
+    assert(v.size == 256 + merges.size + 2)
+    assert(v(256 + merges.size) == ("<|endoftext|>",
+      256L + merges.size))
+    // collision with an existing symbol and duplicates both fail loud
+    intercept[IllegalArgumentException] {
+      Bpe.vocabBytes(merges, specialTokens = Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.vocabBytes(merges,
+        specialTokens = Seq("<|pad|>", "<|pad|>"))
+    }
+    // decodeIds inverts the id hop exactly (words concatenated)
+    val ids = Bpe.encodeIdsBytes(df, "id", "text", merges)
+      .select(col("token_ids")).head.getSeq[Long](0)
+    assert(Bpe.decodeIds(ids, v) == "hellohelloworldworld")
+    // special ids interleave as literal markers, text intact around
+    val eot = 256L + merges.size
+    assert(Bpe.decodeIds(ids.take(1) ++ Seq(eot) ++ ids.drop(1), v)
+      .contains("<|endoftext|>"))
+    // unknown ids fail loud — no <unk> to hide behind
+    intercept[RuntimeException] {
+      Bpe.decodeIds(Seq(99999L), v)
+    }
+  }
+
   test("vocabBytes: ids 0-255 are the byte alphabet in byte order, " +
       "merges follow in rank order, no <unk> entry") {
     import spark.implicits._
