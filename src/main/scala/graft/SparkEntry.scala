@@ -156,6 +156,7 @@ object SparkEntry {
     "x92_bpe_bytes_roundtrip" -> Extensions.x92BpeBytesRoundtrip,
     "x93_bpe_full_fidelity" -> Extensions.x93BpeBytesFullFidelity,
     "x94_bpe_mapside" -> Extensions.x94BpeMapSide,
+    "x95_pack_token_budget" -> Extensions.x95PackTokenBudget,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -790,6 +791,29 @@ object SparkEntry {
     // of the same Unicode standard as Java's Normalizer — the planted
     // forms are stated with chr() codes so no tool can re-normalize
     // the query text itself
+    // x95: the packing chain certified end-to-end — zero-merge
+    // full-fidelity byte tokens make n_bpe = UTF-8 byte count, so the
+    // offsets/cuts/straddles restate as a window prefix sum
+    "x95_pack_token_budget" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bpe
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (
+        |  SELECT lang, doc_id, n_bpe,
+        |    CAST(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+        |  FROM t)
+        |SELECT lang, doc_id, n_bpe,
+        |  end_offset - n_bpe AS begin_offset,
+        |  CAST((end_offset - n_bpe) // 512 AS BIGINT) AS seq_id,
+        |  CAST(CASE WHEN n_bpe > 0 THEN (end_offset - 1) // 512
+        |       ELSE (end_offset - n_bpe) // 512 END AS BIGINT)
+        |    AS seq_last,
+        |  CASE WHEN n_bpe > 0
+        |    THEN (end_offset - n_bpe) // 512 <> (end_offset - 1) // 512
+        |    ELSE FALSE END AS straddles
+        |FROM o ORDER BY lang, doc_id""".stripMargin,
     // x94: the map-side kernel encoder through the same identity —
     // any divergence from the join encoder's application order breaks
     // the reconstruction against the untouched text's md5

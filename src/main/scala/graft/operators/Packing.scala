@@ -32,11 +32,47 @@ object Packing {
     * carry the offset where they sit and never straddle.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, seqLen: Int): DataFrame =
+    packCounts(df.select(col(strataCol), col(idCol),
+        TextFunctions.bpeTokenCount(col(textCol)).cast("long")
+          .as("n_bpe")),
+      idCol, strataCol, seqLen)
+
+  /** [[packSequences]] budgeted by the REAL tokenizer: `n_bpe` comes
+    * from the map-side BPE kernel ([[graft.expressions
+    * .BpeEncodeTokens]]) under a trained merge table, so the packing
+    * currency is actual model tokens, not the regex approximation —
+    * at 100 TB a 2× count mismatch is a 2× sequence-budget error, so
+    * real pipelines pack by the tokenizer they train with. Same
+    * deterministic offsets, same one-shuffle-per-stratum shape (the
+    * count itself is a pure projection — zero extra shuffles).
+    *
+    * With `merges = Nil` under [[TextFunctions.bpeBytePatternFull]]
+    * and `byteLevel`, `n_bpe` is EXACTLY the document's UTF-8 byte
+    * count (every byte its own token) — the oracle-checkable identity
+    * x95 uses to certify the whole offset/cut/straddle chain
+    * relationally; trained-merge counts are gated by BpeSpec's
+    * kernel ≡ join-encoder equality instead.
+    */
+  def packSequencesBpe(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, seqLen: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      byteLevel: Boolean = true,
+      tokenPattern: String = TextFunctions.bpeTokenPattern): DataFrame =
+    packCounts(df.select(col(strataCol), col(idCol),
+        size(graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+          merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+          tokenPattern, byteLevel)).cast("long").as("n_bpe")),
+      idCol, strataCol, seqLen)
+
+  /** The shared offset/cut/straddle chain over a (strata, id, n_bpe)
+    * frame — every packing variant differs only in how it counts.
+    */
+  private def packCounts(counts: DataFrame, idCol: String,
       strataCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
-    df.select(col(strataCol), col(idCol),
-        TextFunctions.bpeTokenCount(col(textCol)).cast("long").as("n_bpe"))
+    counts
       .withColumn("end_offset", sum(col("n_bpe")).over(w))
       .withColumn("begin_offset", col("end_offset") - col("n_bpe"))
       .withColumn("seq_id", expr(s"begin_offset div $seqLen"))

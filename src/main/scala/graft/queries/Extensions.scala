@@ -1965,6 +1965,28 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x95: sequence packing budgeted by the REAL tokenizer
+    * ([[graft.operators.Packing.packSequencesBpe]]) — per-language
+    * packed streams cut into 512-token training sequences, with
+    * `n_bpe` counted by the map-side BPE kernel. The zero-merge
+    * full-fidelity configuration makes every byte its own token, so
+    * `n_bpe` = the document's UTF-8 byte count and the ENTIRE
+    * offset/cut/straddle chain is stated relationally by the oracle
+    * (octet_length + a window prefix sum + integer division) — a
+    * wrong count anywhere in regex→bytes→kernel, a mis-ordered
+    * window, or an off-by-one at a cut boundary hash-mismatches.
+    * Trained-merge budgeting is the same code path with a different
+    * table (BpeSpec gates the kernel's counts against the join
+    * encoder).
+    */
+  def x95PackTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Packing.packSequencesBpe(d, "doc_id", "text",
+        "lang", seqLen = 512, merges = Nil, byteLevel = true,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   private val x84FixtureLock = new Object
 
   /** Bump when [[Multimodal.attachAviPayload]]/[[Multimodal

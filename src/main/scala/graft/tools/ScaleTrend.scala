@@ -159,7 +159,10 @@ object ScaleTrend {
       // round 11 (late): full-fidelity byte-BPE — GPT-2 space-
       // preserving pre-tokenization, whole-document reconstruction —
       // and its zero-shuffle map-side kernel twin
-      "x93_bpe_full_fidelity", "x94_bpe_mapside")
+      "x93_bpe_full_fidelity", "x94_bpe_mapside",
+      // round 11 (last): packing budgeted by real tokenizer counts —
+      // kernel count projection + per-stratum prefix-sum window
+      "x95_pack_token_budget")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -430,6 +430,36 @@ class BpeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packSequencesBpe: n_bpe under trained merges equals the " +
+      "map-side encoder's n_tokens per document; zero merges at the " +
+      "full pattern equals the UTF-8 byte count") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val merges = Bpe.trainBytes(docs, "text", 30)
+    val packed = graft.operators.Packing.packSequencesBpe(
+        docs, "doc_id", "text", "lang", seqLen = 128, merges,
+        byteLevel = true)
+      .select(col("doc_id"), col("n_bpe")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val counts = Bpe.encodeMapSide(docs, "doc_id", "text", merges,
+        byteLevel = true)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(packed == counts, "packing counts diverge from the encoder")
+    // zero merges + full pattern: every byte its own token
+    val pat = graft.functions.TextFunctions.bpeBytePatternFull
+    val raw = graft.operators.Packing.packSequencesBpe(
+        docs, "doc_id", "text", "lang", seqLen = 128, Nil,
+        byteLevel = true, tokenPattern = pat)
+      .select(col("doc_id"), col("n_bpe")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bytes = docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(raw == bytes, "zero-merge counts are not the byte counts")
+  }
+
   test("merge-table persistence: save/load round-trips exactly for " +
       "char- AND byte-level tables, loaded tables encode " +
       "bit-identically, corpus-sized paths rejected loudly") {

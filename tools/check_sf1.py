@@ -40,7 +40,7 @@ QUERIES = [
     "x84_video_frames", "x85_source_epochs", "x86_quality_calibration",
     "x87_latest_per_url", "x88_crawl_diff", "x89_unicode_nfc",
     "x90_idn_domains", "x92_bpe_bytes_roundtrip",
-    "x93_bpe_full_fidelity", "x94_bpe_mapside",
+    "x93_bpe_full_fidelity", "x94_bpe_mapside", "x95_pack_token_budget",
 ]
 
 
