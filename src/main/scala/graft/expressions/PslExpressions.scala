@@ -64,7 +64,7 @@ case class PslRegisteredDomain(child: Expression, rules: Seq[String])
     val wild = Set.newBuilder[String]
     val exc = Set.newBuilder[String]
     rules.iterator
-      .map(_.trim.toLowerCase)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(r => r.nonEmpty && !r.startsWith("//"))
       .foreach { r =>
         if (r.startsWith("!")) exc += r.substring(1)
@@ -88,12 +88,13 @@ case class PslRegisteredDomain(child: Expression, rules: Seq[String])
     // PSL matching is case-insensitive; [[graft.functions.UrlFunctions
     // .urlHost]] already lowercases, but a directly-passed host must
     // not silently miss every rule
-    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val raw = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     // IDNA bridge: punycode rules only match punycode hosts (class
     // doc); rejects degrade to the raw lowercased host, never throw
     val host =
       if (isAscii(raw)) raw
-      else try java.net.IDN.toASCII(raw).toLowerCase
+      else try java.net.IDN.toASCII(raw).toLowerCase(java.util.Locale.ROOT)
       catch { case _: IllegalArgumentException => raw }
     if (host.isEmpty) return UTF8String.fromString(host)
     val (exact, wild, exc) = parsed
@@ -151,7 +152,8 @@ case class IdnAscii(child: Expression)
   override def prettyName: String = "graft_idn_ascii"
 
   override def kernel(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val raw = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     var ascii = true
     var i = 0
     while (ascii && i < raw.length) {
@@ -161,7 +163,8 @@ case class IdnAscii(child: Expression)
     if (ascii && raw == input.asInstanceOf[UTF8String].toString) input
     else if (ascii) UTF8String.fromString(raw)
     else UTF8String.fromString(
-      try java.net.IDN.toASCII(raw).toLowerCase
+      try java.net.IDN.toASCII(raw)
+        .toLowerCase(java.util.Locale.ROOT)
       catch { case _: IllegalArgumentException => raw })
   }
 

@@ -152,7 +152,8 @@ object Warc {
     while (l.nonEmpty) {
       val i = l.indexOf(':')
       require(i > 0, s"malformed WARC header line: '$l'")
-      h += (l.substring(0, i).toLowerCase -> l.substring(i + 1).trim)
+      h += (l.substring(0, i).toLowerCase(java.util.Locale.ROOT) ->
+        l.substring(i + 1).trim)
       l = line()
     }
     (version, h.result())
@@ -186,7 +187,8 @@ object Warc {
     val status = lines.headOption
       .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption).getOrElse(0)
     val ct = lines.drop(1)
-      .find(_.toLowerCase.startsWith("content-type:"))
+      .find(_.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("content-type:"))
       .map(_.substring("content-type:".length).trim).getOrElse("")
     (status, ct, java.util.Arrays.copyOfRange(payload, end + 4,
       payload.length))
