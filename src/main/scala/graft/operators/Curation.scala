@@ -31,12 +31,16 @@ object Curation {
   /** [[withUrlParts]] with `registered_domain` computed under a
     * caller-supplied public-suffix list instead of the built-in
     * heuristic — the production form (see [[UrlFunctions
-    * .registeredDomain]]'s PSL overload).
+    * .registeredDomain]]'s PSL overload). `host` is emitted in its
+    * punycode grouping form ([[UrlFunctions.hostAscii]]) so BOTH keys
+    * group IDN and wire-form URLs together — a unicode `host` next to
+    * a punycode `registered_domain` would split per-host quotas while
+    * per-domain quotas merged.
     */
   def withUrlParts(df: DataFrame, urlCol: String,
       pslRules: Seq[String]): DataFrame = {
     val u = col(urlCol)
-    val host = UrlFunctions.urlHost(u)
+    val host = UrlFunctions.hostAscii(UrlFunctions.urlHost(u))
     df.withColumn("host", host)
       .withColumn("registered_domain",
         UrlFunctions.registeredDomain(host, pslRules))

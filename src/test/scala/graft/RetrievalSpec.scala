@@ -171,6 +171,26 @@ class RetrievalSpec extends SparkSpec {
     assert(exact.forall(p => ids(p._1)) && approx.forall(p => ids(p._1)))
   }
 
+  test("withUrlParts under a PSL emits BOTH keys in punycode: IDN and " +
+      "wire-form URLs of the same site land in one host and one " +
+      "registered domain") {
+    import graft.operators.Curation
+    val psl = Seq("de", "com")
+    val df = Seq(
+      (1L, "https://www.m\u00fcnchen.de/a"),     // unicode
+      (2L, "https://WWW.xn--MNCHEN-3ya.de/b"),   // wire form, cased
+      (3L, "http://plain.example.com/c")
+    ).toDF("id", "url")
+    val parts = Curation.withUrlParts(df, "url", psl)
+      .select(col("id"), col("host"), col("registered_domain"))
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getString(2)))).toMap
+    assert(parts(1L) == ("www.xn--mnchen-3ya.de", "xn--mnchen-3ya.de"))
+    assert(parts(1L) == parts(2L),
+      "IDN and wire-form URLs split into different grouping keys")
+    assert(parts(3L) == ("plain.example.com", "example.com"))
+  }
+
   test("operators degrade to empty/zero results on empty inputs, " +
       "never errors") {
     val empty = docsDf()
