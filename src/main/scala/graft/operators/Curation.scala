@@ -61,29 +61,54 @@ object Curation {
       .map(_.getString(0)).toSeq
   }
 
+  /** The blocklist side of both blocklist joins, deduped and
+    * broadcast only under the MEASURED-bytes gate (cache →
+    * materialize → real size; the [[Bpe.encode]] idiom): typical
+    * blocklists are 10⁴–10⁶ domains and broadcast, but aggressive
+    * open-web lists reach 10⁷+ (hundreds of MB after dedup) — above
+    * the bound the join runs shuffled, which AQE remains free to
+    * re-plan. The last class of caller-fed frames in src/main whose
+    * size the caller can get wrong now has the same insurance as the
+    * corpus-derived ones.
+    */
+  private def gatedBlocklist(blocklist: DataFrame,
+      broadcastMaxBytes: Long): DataFrame = {
+    val bl = graft.core.CacheScope.cached(
+      blocklist.select(col("domain")).distinct())
+    bl.count() // materialize so the size is measured, not guessed
+    if (graft.core.Graft.estimatedBytes(bl) <= broadcastMaxBytes)
+      broadcast(bl)
+    else bl
+  }
+
   /** Rows flagged `kept = false` when their registered domain appears in
-    * the blocklist (a one-column `domain` frame). Broadcast LEFT join so
-    * the flag is auditable; [[filterBlocklisted]] is the drop form and
-    * is provably `mark.filter(kept)` minus the bookkeeping columns.
+    * the blocklist (a one-column `domain` frame). LEFT join (broadcast
+    * under the measured gate — [[gatedBlocklist]]) so the flag is
+    * auditable; [[filterBlocklisted]] is the drop form and is provably
+    * `mark.filter(kept)` minus the bookkeeping columns.
     */
   def markBlocklisted(df: DataFrame, domainCol: String,
-      blocklist: DataFrame): DataFrame = {
-    val bl = broadcast(blocklist.select(col("domain")).distinct()
-      .withColumn("__blocked", lit(true)))
+      blocklist: DataFrame,
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame = {
+    val bl = gatedBlocklist(blocklist, broadcastMaxBytes)
+      .withColumn("__blocked", lit(true))
     df.join(bl, df(domainCol) === bl("domain"), "left")
       .withColumn("kept", coalesce(col("__blocked"), lit(false)) === lit(false))
       .drop("domain", "__blocked")
   }
 
-  /** The production drop form: broadcast LEFT ANTI join — rows whose
-    * registered domain is blocklisted never survive the probe, nothing
-    * corpus-sized shuffles.
+  /** The production drop form: LEFT ANTI join (broadcast under the
+    * measured gate) — rows whose registered domain is blocklisted
+    * never survive the probe, nothing corpus-sized shuffles while the
+    * list fits the bound.
     */
   def filterBlocklisted(df: DataFrame, domainCol: String,
-      blocklist: DataFrame): DataFrame = {
-    val bl = broadcast(blocklist.select(col("domain")).distinct())
-    df.join(bl, df(domainCol) === bl("domain"), "left_anti")
-  }
+      blocklist: DataFrame,
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame =
+    df.join(gatedBlocklist(blocklist, broadcastMaxBytes),
+      df(domainCol) === col("domain"), "left_anti")
 
   /** Keep the LATEST capture of each canonical URL — the
     * revision-dedup pass a crawl pipeline runs before content dedup

@@ -564,6 +564,40 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("Curation blocklist joins: broadcast under the measured " +
+      "bound, shuffled anti/left join above it, identical kept sets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+      .withColumn("dom", concat(lit("d"), (col("doc_id") % 37)
+        .cast("string")))
+    val bl = Seq("d3", "d17").toDF("domain")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pHinted = plan(graft.operators.Curation.filterBlocklisted(
+        df, "dom", bl))
+      assert(nodes(pHinted, "BroadcastHashJoin") == 1, pHinted)
+      val pGated = plan(graft.operators.Curation.filterBlocklisted(
+        df, "dom", bl, broadcastMaxBytes = 0L))
+      assert(nodes(pGated, "BroadcastHashJoin") == 0, pGated)
+      val a = graft.operators.Curation.filterBlocklisted(df, "dom", bl)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      val b = graft.operators.Curation.filterBlocklisted(df, "dom", bl,
+          broadcastMaxBytes = 0L)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      assert(a.toSeq == b.toSeq)
+      // the mark form agrees with the drop form either way
+      val kept = graft.operators.Curation.markBlocklisted(df, "dom", bl,
+          broadcastMaxBytes = 0L)
+        .filter(col("kept")).select(col("doc_id")).collect()
+        .map(_.getLong(0)).sorted
+      assert(kept.toSeq == a.toSeq)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("Mixing.epochsPerStratumTable: the factor-frame join is gated " +
       "the same way — broadcast under the bound, shuffle join above, " +
       "identical multiset either way") {
