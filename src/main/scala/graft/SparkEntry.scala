@@ -157,6 +157,8 @@ object SparkEntry {
     "x93_bpe_full_fidelity" -> Extensions.x93BpeBytesFullFidelity,
     "x94_bpe_mapside" -> Extensions.x94BpeMapSide,
     "x95_pack_token_budget" -> Extensions.x95PackTokenBudget,
+    "x96_materialize_sequences" -> Extensions.x96MaterializeSequences,
+    "x97_sequence_contamination" -> Extensions.x97SequenceContamination,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -814,6 +816,111 @@ object SparkEntry {
         |    THEN (end_offset - n_bpe) // 512 <> (end_offset - 1) // 512
         |    ELSE FALSE END AS straddles
         |FROM o ORDER BY lang, doc_id""".stripMargin,
+    // x96: materialized training sequences — zero-merge byte tokens
+    // make each sequence's width-1 packed binary literally bytes
+    // [seq_id*512, (seq_id+1)*512) of the per-lang concatenated
+    // document stream, restated with string_agg + substr arithmetic;
+    // spans and the complete flag come from the same fragment algebra
+    "x96_materialize_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bpe
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (
+        |  SELECT lang, doc_id, text, n_bpe,
+        |    CAST(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+        |  FROM t),
+        |d AS (
+        |  SELECT lang, doc_id, text, n_bpe,
+        |    end_offset - n_bpe AS begin_offset, end_offset,
+        |    (end_offset - n_bpe) // 512 AS s0,
+        |    (end_offset - 1) // 512 AS s1
+        |  FROM o WHERE n_bpe > 0),
+        |f AS (
+        |  SELECT d.lang, d.doc_id, g.s AS seq_id,
+        |    GREATEST(d.begin_offset, g.s * 512) AS fb,
+        |    LEAST(d.end_offset, (g.s + 1) * 512) AS fe,
+        |    d.begin_offset, d.text
+        |  FROM d, LATERAL (SELECT unnest(generate_series(d.s0, d.s1))
+        |    AS s) g),
+        |q AS (
+        |  SELECT lang, seq_id,
+        |    string_agg(substr(text, CAST(fb - begin_offset + 1 AS INTEGER),
+        |      CAST(fe - fb AS INTEGER)), '' ORDER BY fb) AS seq_text,
+        |    string_agg(doc_id || ':' || (fb - seq_id*512) || ':' ||
+        |      (fe - fb), ',' ORDER BY fb) AS doc_spans,
+        |    CAST(SUM(fe - fb) AS BIGINT) AS n_tokens
+        |  FROM f GROUP BY lang, seq_id)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+        |  n_tokens = 512 AS complete,
+        |  md5(seq_text) AS seq_md5, doc_spans
+        |FROM q ORDER BY lang, seq_id""".stripMargin,
+    // x97: sequence-level decontamination — every sequence's text is
+    // rebuilt with the x96 substr arithmetic, then BOTH sides shingle
+    // in list SQL (the x29 idiom) and the shared counts + threshold
+    // recompute; benchmark split = md5-bucket '0' of doc_id
+    "x97_sequence_contamination" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bpe
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (
+        |  SELECT lang, doc_id, text, n_bpe,
+        |    CAST(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+        |  FROM t),
+        |d AS (
+        |  SELECT lang, doc_id, text, n_bpe,
+        |    end_offset - n_bpe AS begin_offset, end_offset,
+        |    (end_offset - n_bpe) // 512 AS s0,
+        |    (end_offset - 1) // 512 AS s1
+        |  FROM o WHERE n_bpe > 0),
+        |f AS (
+        |  SELECT d.lang, d.doc_id, g.s AS seq_id,
+        |    GREATEST(d.begin_offset, g.s * 512) AS fb,
+        |    LEAST(d.end_offset, (g.s + 1) * 512) AS fe,
+        |    d.begin_offset, d.text
+        |  FROM d, LATERAL (SELECT unnest(generate_series(d.s0, d.s1))
+        |    AS s) g),
+        |q AS (
+        |  SELECT lang, seq_id,
+        |    string_agg(substr(text, CAST(fb - begin_offset + 1 AS INTEGER),
+        |      CAST(fe - fb AS INTEGER)), '' ORDER BY fb) AS seq_text
+        |  FROM f GROUP BY lang, seq_id),
+        |stoks AS (
+        |  SELECT lang, seq_id, list_filter(string_split_regex(
+        |    lower(seq_text), '\s+'), x -> length(x) > 0) AS tk
+        |  FROM q),
+        |ssh0 AS (
+        |  SELECT lang, seq_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk)-1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END) AS shl
+        |  FROM stoks),
+        |sn AS (SELECT lang, seq_id, len(shl) AS n FROM ssh0),
+        |ssh AS (SELECT lang, seq_id, unnest(shl) AS s FROM ssh0),
+        |btoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk)-1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END)) AS s
+        |  FROM btoks),
+        |shared AS (
+        |  SELECT lang, seq_id, COUNT(*) AS n_shared
+        |  FROM ssh JOIN bsh USING (s) GROUP BY 1, 2)
+        |SELECT sn.lang, CAST(sn.seq_id AS BIGINT) AS seq_id,
+        |  CAST(n AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(n_shared, 0) * 10 >= n * 1 AND n > 0 AS INTEGER)
+        |    AS contaminated
+        |FROM sn LEFT JOIN shared USING (lang, seq_id)
+        |ORDER BY lang, seq_id""".stripMargin,
     // x94: the map-side kernel encoder through the same identity —
     // any divergence from the join encoder's application order breaks
     // the reconstruction against the untouched text's md5
@@ -833,12 +940,17 @@ object SparkEntry {
     // x92: the byte-BPE round trip stated WITHOUT BPE — the
     // pre-tokenization's alternatives jointly cover every
     // non-whitespace char in order, so decoded concatenated tokens =
-    // text minus ASCII whitespace (both \s sets are the same ASCII
-    // class); a lossy step anywhere in train→encode→decode mismatches
+    // text minus ASCII whitespace. Whitespace is stated as the
+    // EXPLICIT class [ \t\n\x0b\f\r] (Java's \s), not RE2's '\s':
+    // RE2 excludes U+000B from \s while the engine's Java-regex
+    // pre-tokenizer drops it, so the shorthand would hash-mismatch
+    // on a document containing a vertical tab
     "x92_bpe_bytes_roundtrip" ->
       """SELECT doc_id,
-        |  md5(regexp_replace(text, '\s', '', 'g')) AS roundtrip_md5,
-        |  CAST(octet_length(encode(regexp_replace(text, '\s', '', 'g')))
+        |  md5(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g'))
+        |    AS roundtrip_md5,
+        |  CAST(octet_length(encode(
+        |      regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')))
         |    AS BIGINT) AS n_bytes
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,

@@ -54,6 +54,10 @@ object GraftFunctions {
   def bpeEncode(text: Column, merges: Seq[(Int, String, String)],
       pattern: String, byteLevel: Boolean): Column =
     c(BpeEncodeTokens(e(text), merges, pattern, byteLevel))
+  def packedTokenBinary(ids: Column, width: Int): Column =
+    c(PackedTokenBinary(e(ids), width))
+  def idsToText(ids: Column, vocab: Seq[(String, Long)]): Column =
+    c(IdsToText(e(ids), vocab))
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedArrayIntersectCount(e(a), e(b)))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =

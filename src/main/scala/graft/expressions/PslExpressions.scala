@@ -91,11 +91,15 @@ case class PslRegisteredDomain(child: Expression, rules: Seq[String])
     val raw = input.asInstanceOf[UTF8String].toString
       .toLowerCase(java.util.Locale.ROOT)
     // IDNA bridge: punycode rules only match punycode hosts (class
-    // doc); rejects degrade to the raw lowercased host, never throw
+    // doc); rejects degrade to the raw lowercased host, never throw.
+    // NonFatal, not just IllegalArgumentException: some JDK builds
+    // throw other unchecked exceptions (StringIndexOutOfBounds) on
+    // pathological labels, and one hostile crawl host must not kill
+    // the job — totality over garbage is the contract
     val host =
       if (isAscii(raw)) raw
       else try java.net.IDN.toASCII(raw).toLowerCase(java.util.Locale.ROOT)
-      catch { case _: IllegalArgumentException => raw }
+      catch { case scala.util.control.NonFatal(_) => raw }
     if (host.isEmpty) return UTF8String.fromString(host)
     val (exact, wild, exc) = parsed
     val labels = host.split('.')
@@ -163,9 +167,12 @@ case class IdnAscii(child: Expression)
     if (ascii && raw == input.asInstanceOf[UTF8String].toString) input
     else if (ascii) UTF8String.fromString(raw)
     else UTF8String.fromString(
+      // NonFatal (not just IllegalArgumentException): hostile labels
+      // can surface other unchecked JDK exceptions — degrade, never
+      // throw, same as the PSL kernel's bridge
       try java.net.IDN.toASCII(raw)
         .toLowerCase(java.util.Locale.ROOT)
-      catch { case _: IllegalArgumentException => raw })
+      catch { case scala.util.control.NonFatal(_) => raw })
   }
 
   override protected def withNewChildInternal(

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass text/hash kernels for the dedup operators.
@@ -508,6 +508,14 @@ object ByteUnicode {
     sb.toString
   }
 
+  /** Mapped char (as code point) → byte value, −1 when the char is
+    * outside the byte alphabet — the non-throwing probe
+    * [[IdsToText]] uses to pass special-token markers through
+    * literally.
+    */
+  def charToByteOrMinus1(c: Int): Int =
+    if (c >= 0 && c < 0x400) charToByte(c) else -1
+
   /** Exact inverse of [[remap]]'s per-char mapping; a char outside the
     * mapped alphabet is a caller bug and fails loudly.
     */
@@ -592,9 +600,14 @@ case class ByteUnmap(child: Expression)
   * composes with streaming (tokenize-on-ingest is a `withColumn`) and
   * never materializes a distinct-word table. Per-word cost is
   * O(len²) scans over ≤ ~tens of symbols; repeated words hit a
-  * per-THREAD bounded LRU (the expression object is shared across a
-  * local executor's task threads — per-thread caches make mutation
-  * race-free without locking).
+  * per-INSTANCE direct-mapped cache (an AtomicReferenceArray of
+  * immutable word→tokens entries, slot = hash mod size): lock-free
+  * under concurrent task threads — races just overwrite a slot with
+  * an equally-valid immutable entry, encoding being deterministic —
+  * and the footprint is bounded per EXPRESSION (≤ `cacheSize`
+  * entries total), so it dies with the query instead of lingering in
+  * pooled executor threads' ThreadLocal maps the way a per-thread
+  * LRU would (up to threads × cacheSize arrays per retired query).
   */
 case class BpeEncodeTokens(child: Expression,
     merges: Seq[(Int, String, String)], pattern: String,
@@ -613,16 +626,18 @@ case class BpeEncodeTokens(child: Expression,
   @transient private lazy val wordRe =
     java.util.regex.Pattern.compile(pattern)
 
+  // direct-mapped: one immutable (word, tokens) pair per slot,
+  // overwritten on collision — no eviction bookkeeping, no locks, no
+  // per-thread state. Zipfian word frequencies keep the hot head
+  // resident regardless of the replacement policy.
   @transient private lazy val cache =
-    new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
-      override def initialValue() =
-        new java.util.LinkedHashMap[String, Array[String]](64, 0.75f,
-          true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[String, Array[String]]): Boolean =
-            size() > cacheSize
-        }
-    }
+    new java.util.concurrent.atomic.AtomicReferenceArray[
+      (String, Array[String])](math.max(cacheSize, 1))
+
+  private def cacheSlot(w: String): Int = {
+    val h = w.hashCode
+    ((h ^ (h >>> 16)) & 0x7fffffff) % math.max(cacheSize, 1)
+  }
 
   private def baseSyms(w: String): Array[String] =
     if (byteLevel) {
@@ -671,15 +686,20 @@ case class BpeEncodeTokens(child: Expression,
 
   override def kernel(t: Any): Any = {
     val text = t.asInstanceOf[UTF8String].toString
-    val c = cache.get()
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val m = wordRe.matcher(text)
     while (m.find()) {
       val w = m.group()
-      var toks = if (cacheSize > 0) c.get(w) else null
+      var toks: Array[String] = null
+      var slot = -1
+      if (cacheSize > 0) {
+        slot = cacheSlot(w)
+        val e = cache.get(slot)
+        if (e != null && e._1 == w) toks = e._2
+      }
       if (toks == null) {
         toks = encodeWord(w)
-        if (cacheSize > 0) c.put(w, toks)
+        if (cacheSize > 0) cache.set(slot, (w, toks))
       }
       var i = 0
       while (i < toks.length) {
@@ -691,4 +711,113 @@ case class BpeEncodeTokens(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): BpeEncodeTokens = copy(child = newChild)
+}
+
+/** Token-id array → PACKED little-endian binary, `width` bytes per id
+  * (1, 2, or 4) — the on-disk token-stream artifact a training data
+  * loader memory-maps (real pipelines store pretokenized corpora as
+  * flat uint16/uint32 streams, not parquet arrays: a 2-byte id costs
+  * 2 bytes, with zero per-element framing). One compiled pass; an id
+  * outside `[0, 2^(8·width))` (or negative — the encode paths'
+  * impossible-miss sentinel) fails LOUDLY rather than truncating into
+  * a silently-wrong token.
+  *
+  * With `width = 1` under the zero-merge byte-BPE configuration the
+  * output is literally the original UTF-8 bytes of the pre-tokenized
+  * text — the identity x96 uses to oracle-check materialized training
+  * sequences by md5 of their byte content.
+  */
+case class PackedTokenBinary(child: Expression, width: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(width == 1 || width == 2 || width == 4,
+    s"width must be 1, 2, or 4 bytes, got $width")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_packed_token_binary"
+
+  private val bound: Long = 1L << (8 * width)
+
+  override def kernel(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n * width)
+    var i = 0
+    while (i < n) {
+      val id = arr.getLong(i)
+      if (id < 0 || id >= bound)
+        throw new IllegalArgumentException(
+          s"token id $id does not fit $width byte(s); use a wider " +
+            "width for this vocabulary")
+      var b = 0
+      while (b < width) {
+        out(i * width + b) = ((id >>> (8 * b)) & 0xff).toByte
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PackedTokenBinary = copy(child = newChild)
+}
+
+/** Token-id array → decoded TEXT through a vocabulary table — the
+  * row-level inverse of the encode→ids chain ([[BpeEncodeTokens]] +
+  * [[TokenIds]]), as a compiled kernel so whole SEQUENCES decode
+  * map-side (sequence-level decontamination shingles the decoded
+  * text of each packed training sequence — [[graft.operators.Packing
+  * .sequenceContamination]]). Byte-alphabet token chars unmap to
+  * their original UTF-8 bytes; chars outside the byte alphabet
+  * (special-token markers) pass through literally, matching
+  * [[graft.operators.Bpe.decodeIds]]. An id absent from the
+  * vocabulary is a caller bug and fails loudly.
+  *
+  * A sequence CUT can split a multi-byte character, leaving invalid
+  * UTF-8 at the edges; the bytes are passed through unmodified (the
+  * string holds them verbatim), so interior shingles are unaffected.
+  */
+case class IdsToText(child: Expression, vocab: Seq[(String, Long)])
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_ids_to_text"
+
+  @transient private lazy val byId: java.util.HashMap[java.lang.Long, String] = {
+    val m = new java.util.HashMap[java.lang.Long, String](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(java.lang.Long.valueOf(i), t) }
+    m
+  }
+
+  override def kernel(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val t = byId.get(java.lang.Long.valueOf(arr.getLong(i)))
+      if (t == null)
+        throw new IllegalArgumentException(
+          s"token id ${arr.getLong(i)} is not in the vocabulary")
+      sb.append(t)
+      i += 1
+    }
+    val s = sb.toString
+    // unmap byte-alphabet chars to bytes; pass others through as UTF-8
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      val b = if (cp < 0x400) ByteUnicode.charToByteOrMinus1(cp) else -1
+      if (b >= 0) out.write(b)
+      else out.write(new String(Character.toChars(cp))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IdsToText = copy(child = newChild)
 }

@@ -279,6 +279,67 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredRow]]()
   }
 
+  /** Per-group k-th-smallest SORT KEY with BOUNDED state — the
+    * threshold half of the window-free per-group limit
+    * ([[graft.operators.Curation.domainQuota]]): each partition keeps
+    * at most k keys per group in a sorted array, partials merge with
+    * an O(k) two-pointer pass, and `finish` emits the largest
+    * RETAINED key — the k-th smallest overall when the group has ≥ k
+    * rows, the group maximum otherwise. Rows with `key <= threshold`
+    * are then exactly the k smallest (for distinct keys), selected
+    * with no per-group sort: ≤ k keys per (group, partition) cross
+    * the exchange, so a mega-domain costs the same per row as any
+    * other — the ranking-window alternative sorts the whole group
+    * under one task.
+    */
+  class BottomKKey(k: Int) extends Aggregator[String, BottomKBuf,
+      String] {
+    require(k >= 1, "need k >= 1")
+
+    override def zero: BottomKBuf = BottomKBuf(Array.empty)
+
+    override def reduce(buf: BottomKBuf, key: String): BottomKBuf = {
+      val n = buf.keys.length
+      if (n == k && buf.keys(n - 1) <= key) return buf // O(1) reject
+      var ins = 0
+      while (ins < n && buf.keys(ins) <= key) ins += 1
+      val m = math.min(n + 1, k)
+      val out = new Array[String](m)
+      System.arraycopy(buf.keys, 0, out, 0, ins)
+      out(ins) = key
+      System.arraycopy(buf.keys, ins, out, ins + 1, m - ins - 1)
+      BottomKBuf(out)
+    }
+
+    override def merge(a: BottomKBuf, b: BottomKBuf): BottomKBuf = {
+      if (a.keys.isEmpty) return b
+      if (b.keys.isEmpty) return a
+      val m = math.min(a.keys.length + b.keys.length, k)
+      val out = new Array[String](m)
+      var i = 0; var j = 0; var d = 0
+      while (d < m) {
+        val takeA = j >= b.keys.length ||
+          (i < a.keys.length && a.keys(i) <= b.keys(j))
+        if (takeA) { out(d) = a.keys(i); i += 1 }
+        else { out(d) = b.keys(j); j += 1 }
+        d += 1
+      }
+      BottomKBuf(out)
+    }
+
+    override def finish(buf: BottomKBuf): String =
+      if (buf.keys.isEmpty) null else buf.keys(buf.keys.length - 1)
+
+    override def bufferEncoder: Encoder[BottomKBuf] =
+      Encoders.product[BottomKBuf]
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Sorted ascending, capped at k — a flat one-column product the
+    * Tungsten struct encoder serializes directly.
+    */
+  case class BottomKBuf(keys: Array[String])
+
   /** Bloom-filter builder over 64-bit key hashes — the build side of
     * the Bloom-pruned join ([[graft.operators.BloomJoin]]): a
     * FIXED-SIZE mergeable bitset (numBits/8 bytes per partition,

@@ -126,12 +126,34 @@ object Bpe {
     require(maxDriverWords >= 0,
       s"maxDriverWords must be >= 0, got $maxDriverWords")
     val hist = wordHistogram(df, textCol).localCheckpoint()
-    if (hist.count() <= maxDriverWords) {
+    val n = hist.count()
+    if (n <= maxDriverWords) {
       val rows = hist.select(col("word"), col("weight")).collect()
         .map(r => (r.getString(0), r.getLong(1)))
       trainDriver(rows, numMerges, minCount)
-    } else trainDistributed(hist, numMerges, minCount)
+    } else {
+      warnDistributedFallback(n, maxDriverWords)
+      trainDistributed(hist, numMerges, minCount)
+    }
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The driver→distributed dispatch is a silent ~10⁵× per-merge
+    * latency cliff (2 Spark jobs per merge vs in-memory map updates),
+    * so crossing it must be VISIBLE: histograms that would fit a
+    * raised bound get a warning with the exact heap arithmetic needed
+    * to stay on the fast path (≈ 0.5 GB driver heap per 10⁶ words —
+    * the class-doc footprint).
+    */
+  private def warnDistributedFallback(n: Long,
+      maxDriverWords: Long): Unit =
+    if (maxDriverWords > 0 && n <= 20000000L)
+      log.warn(s"BPE histogram has $n distinct words > maxDriverWords=" +
+        s"$maxDriverWords; using the DISTRIBUTED merge loop (~2 Spark " +
+        "jobs per merge). Raising maxDriverWords to cover it costs " +
+        f"~${n / 1e6 * 0.5}%.1f GB of driver heap and keeps training " +
+        "in-memory.")
 
   /** Unicode code-point split of a word into single-character symbol
     * strings — the same unit Spark's regexp `.` (and therefore the
@@ -496,11 +518,15 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("weight"))
       .withColumn("syms", charPad(col("word")))
       .localCheckpoint()
-    if (hist.count() <= maxDriverWords) {
+    val n = hist.count()
+    if (n <= maxDriverWords) {
       val rows = hist.select(col("word"), col("weight")).collect()
         .map(r => (r.getString(0), r.getLong(1)))
       trainDriver(rows, numMerges, minCount)
-    } else trainDistributed(hist, numMerges, minCount)
+    } else {
+      warnDistributedFallback(n, maxDriverWords)
+      trainDistributed(hist, numMerges, minCount)
+    }
   }
 
   /** [[encode]] with byte symbols under a [[trainBytes]] merge table:
@@ -672,4 +698,136 @@ object Bpe {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
   }
+
+  // ---- GPT-2 artifact interop (vocab.json + merges.txt) ------------
+  //
+  // The PUBLIC tokenizer exchange format (the artifact pair the GPT-2
+  // release established and the ecosystem's byte-BPE tooling reads):
+  // `vocab.json` maps token string → id, `merges.txt` lists merge
+  // pairs one per line in rank order under a `#version` header, both
+  // in the printable-byte alphabet ([[graft.expressions.ByteUnicode]]
+  // — the same GPT-2 convention the byte path already renders, so
+  // tokens serialize verbatim). Export lets an engine-trained
+  // tokenizer drive external pipelines; import lets a published
+  // tokenizer load for encode parity — both ends round-trip exactly
+  // (spec-asserted) because the formats carry precisely the engine's
+  // (merges, vocab) state minus the pair counts, which encoding never
+  // uses.
+
+  /** Write a BYTE-level merge table as the GPT-2 artifact pair:
+    * `<dir>/vocab.json` ([[vocabBytes]]'s token → id map, insertion
+    * order preserved) and `<dir>/merges.txt` (`#version: 0.2` header,
+    * then `left right` per merge in rank order). Space in a token is
+    * impossible by construction (byte 0x20 renders as `Ġ`), so the
+    * line format is unambiguous — guarded loudly anyway against a
+    * hand-built table. Files go through the Hadoop FS API, so `dir`
+    * may be any filesystem the session reaches. Driver-side IO:
+    * tokenizer artifacts are vocab-sized (≤ ~10⁵ entries) by
+    * construction.
+    */
+  def saveGpt2(spark: SparkSession,
+      merges: Seq[(Int, String, String, String, Long)],
+      dir: String, specialTokens: Seq[String] = Nil): Unit = {
+    val ordered = merges.sortBy(_._1)
+    ordered.foreach { m =>
+      require(!(m._2 + m._3).exists(c => c == ' ' || c == '\n' ||
+          c == '\r'),
+        s"merge pair ('${m._2}', '${m._3}') contains whitespace — " +
+          "not a byte-level table (the byte alphabet has none); " +
+          "saveGpt2 is defined for trainBytes tables only")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    vocabBytes(ordered, specialTokens).foreach { case (t, i) =>
+      node.put(t, i)
+    }
+    val vocabOut = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "vocab.json"), true)
+    try vocabOut.write(mapper.writeValueAsBytes(node))
+    finally vocabOut.close()
+    val sb = new StringBuilder("#version: 0.2\n")
+    ordered.foreach(m => sb.append(m._2).append(' ').append(m._3)
+      .append('\n'))
+    val mergesOut = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "merges.txt"), true)
+    try mergesOut.write(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mergesOut.close()
+  }
+
+  /** Load a GPT-2 artifact pair: `(merges, vocab)` ready for
+    * [[encodeBytes]] / [[encodeIdsBytes]] / [[decodeIds]]. Merge rank
+    * = line order (header/blank lines skipped); `merged` = the
+    * concatenation (the GPT-2 convention — the format carries no
+    * separate merged string); pair counts are not part of the format
+    * and load as 0. The vocab keeps FILE order, and ids are checked
+    * unique and every merge's result present — a truncated or
+    * mismatched artifact pair fails loudly instead of encoding to
+    * silently-wrong ids.
+    */
+  def loadGpt2(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)]) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(name: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, name))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val merges = readAll("merges.txt").split("\n").iterator
+      .map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (line, i) =>
+        val sp = line.indexOf(' ')
+        require(sp > 0 && line.indexOf(' ', sp + 1) < 0,
+          s"merges.txt line ${i + 1} is not 'left right': '$line'")
+        val l = line.substring(0, sp)
+        val r = line.substring(sp + 1)
+        // ranks are 1-based — the engine's train convention, so a
+        // round-tripped table compares equal field-for-field
+        (i + 1, l, r, l + r, 0L)
+      }.toSeq
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(readAll("vocab.json"))
+    require(tree.isObject, "vocab.json is not a JSON object")
+    val vocab = {
+      val b = Seq.newBuilder[(String, Long)]
+      val it = tree.fieldNames()
+      while (it.hasNext) {
+        val k = it.next()
+        val v = tree.get(k)
+        require(v.canConvertToLong,
+          s"vocab.json id for '$k' is not an integer")
+        b += ((k, v.asLong()))
+      }
+      b.result()
+    }
+    val ids = vocab.map(_._2)
+    require(ids.distinct.size == ids.size,
+      "vocab.json has duplicate ids")
+    val known = vocab.map(_._1).toSet
+    merges.foreach(m => require(known.contains(m._4),
+      s"merge result '${m._4}' (rank ${m._1}) is missing from " +
+        "vocab.json — mismatched artifact pair"))
+    (merges, vocab)
+  }
+
+  /** [[encodeIdsBytes]] under an EXPLICIT vocabulary (a [[loadGpt2]]
+    * artifact's id assignment, which need not follow [[vocabBytes]]'s
+    * layout). The sentinel −1 still marks the impossible miss — for a
+    * well-formed artifact every byte symbol and merge result is in
+    * vocabulary.
+    */
+  def encodeIdsBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      vocabTable: Seq[(String, Long)], broadcastMaxBytes: Long,
+      tokenPattern: String): DataFrame =
+    encodeBytes(df, idCol, textCol, merges, broadcastMaxBytes,
+      tokenPattern)
+      .withColumn("token_ids", graft.expressions.GraftFunctions
+        .tokenIds(col("tokens"), vocabTable, unkId = -1L))
 }

@@ -106,9 +106,14 @@ object Curation {
   def filterBlocklisted(df: DataFrame, domainCol: String,
       blocklist: DataFrame,
       broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
-      : DataFrame =
-    df.join(gatedBlocklist(blocklist, broadcastMaxBytes),
-      df(domainCol) === col("domain"), "left_anti")
+      : DataFrame = {
+    // qualify the probe key through the blocklist frame itself: an
+    // unqualified col("domain") is ambiguous whenever the INPUT also
+    // carries a column named "domain" (domainCol == "domain" is the
+    // common caller shape)
+    val bl = gatedBlocklist(blocklist, broadcastMaxBytes)
+    df.join(bl, df(domainCol) === bl("domain"), "left_anti")
+  }
 
   /** Keep the LATEST capture of each canonical URL — the
     * revision-dedup pass a crawl pipeline runs before content dedup
@@ -170,21 +175,45 @@ object Curation {
     * order of the id (uniform within the domain, deterministic across
     * runs/engines/partitionings — the [[Sampling]] contract).
     *
-    * Scale shape: one shuffle keyed by domain, then a per-domain sort
-    * for the rank — fine for real domain distributions (the heaviest
-    * domain in a crawl is ~10⁶ docs, one task's worth). For a
-    * pathological mega-domain, [[domainQuotaApprox]] is the map-side
-    * form: same cap in EXPECTATION with no per-domain sort at all.
+    * Scale shape: WINDOW-FREE and mega-domain-safe. A bounded
+    * [[graft.functions.Aggregators.BottomKKey]] aggregate computes
+    * each domain's quota-th smallest sort key (≤ `quota` keys per
+    * (domain, partition) cross the exchange — partial-merged
+    * map-side, never a per-domain sort), and a second corpus pass
+    * keeps rows at or under their domain's threshold. A link-farm
+    * domain with 10⁹ rows costs the same per row as any other — the
+    * previous ranking-window form sorted the whole domain under one
+    * task. The per-domain threshold frame scales with corpus
+    * CARDINALITY (~10⁸ registered domains open-web), so its join-back
+    * broadcasts only under the measured-bytes gate, exactly like
+    * [[domainQuotaApprox]]'s counts frame.
+    *
+    * Selection key: `md5(id) || id` — the 32-hex md5 prefix decides
+    * every comparison between distinct ids (fixed width), so the kept
+    * set equals `row_number() OVER (ORDER BY md5(id), id) <= quota`
+    * exactly (oracle x77, and the spec pins a planted mega-domain);
+    * rows sharing an id share a key and are kept or dropped together.
     */
   def domainQuota(df: DataFrame, domainCol: String, idCol: String,
-      quota: Int): DataFrame = {
+      quota: Int,
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes)
+      : DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota)
-      .drop("__rk")
+    val sortKey = concat(md5(col(idCol).cast("string")),
+      col(idCol).cast("string"))
+    val bottomK = udaf(new graft.functions.Aggregators.BottomKKey(quota),
+      org.apache.spark.sql.Encoders.STRING)
+    val thresholds = graft.core.CacheScope.cached(
+      df.select(col(domainCol), sortKey.as("__k"))
+        .groupBy(col(domainCol)).agg(bottomK(col("__k")).as("__thr")))
+    thresholds.count() // materialize so the size is measured, not guessed
+    val hint: DataFrame => DataFrame =
+      if (graft.core.Graft.estimatedBytes(thresholds) <= broadcastMaxBytes)
+        broadcast(_)
+      else identity
+    df.join(hint(thresholds), Seq(domainCol))
+      .filter(sortKey <= col("__thr"))
+      .select(df.columns.map(col).toSeq: _*) // restore input column order
   }
 
   /** Map-side approximate quota: domains at or under `quota` pass

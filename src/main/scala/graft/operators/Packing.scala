@@ -65,6 +65,127 @@ object Packing {
           tokenPattern, byteLevel)).cast("long").as("n_bpe")),
       idCol, strataCol, seqLen)
 
+  /** MATERIALIZE the packed training sequences — the artifact a data
+    * loader actually consumes: one row per `seqLen`-token training
+    * sequence of each stratum's packed stream, with the sequence's
+    * `token_ids`, its provenance `doc_spans` (which documents
+    * contributed which token range), and a `complete` flag (only the
+    * last sequence of a stratum can be partial). This is the hop past
+    * [[packSequencesBpe]]'s per-DOCUMENT offsets: a document that
+    * straddles a cut contributes a fragment to EACH sequence it
+    * overlaps, so the sequence contents cross document boundaries
+    * exactly as GPT-style packing demands.
+    *
+    * Tokens are byte-level BPE ids under `merges` +
+    * [[graft.operators.Bpe.vocabBytes]] (closed alphabet — every
+    * token has an id by construction; the kernel is the zero-shuffle
+    * map-side encoder, so counting and materializing can never
+    * disagree). `doc_spans` is ordered by position; each span is
+    * `(pos, doc, n)`: the document's tokens occupy
+    * `[pos, pos + n)` within the sequence. Zero-token documents
+    * contribute no span.
+    *
+    * Scale shape: encode is a pure projection; then ONE window
+    * shuffle per stratum for the offsets (the [[packSequencesBpe]]
+    * shuffle) and ONE `(strata, seq_id)`-keyed shuffle to assemble
+    * sequences — whose per-group state is bounded by `seqLen` tokens
+    * plus at most `seqLen + 1` span structs, so assembly never holds
+    * more than one sequence's worth of tokens per group regardless
+    * of document or domain skew. A single document larger than
+    * executor memory is a row-size problem upstream of this operator
+    * (its `token_ids` array already is the row), not a grouping one.
+    */
+  def materializeSequences(df: DataFrame, idCol: String,
+      textCol: String, strataCol: String, seqLen: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      specialTokens: Seq[String] = Nil,
+      dropIncomplete: Boolean = false,
+      tokenPattern: String = TextFunctions.bpeTokenPattern): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val enc = df.select(col(strataCol), col(idCol),
+      graft.expressions.GraftFunctions.tokenIds(
+        graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+          merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+          tokenPattern, byteLevel = true),
+        vocab, unkId = -1L).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    val frags = enc
+      .withColumn("__end", sum(col("__n")).over(w))
+      .withColumn("__begin", col("__end") - col("__n"))
+      .filter(col("__n") > 0) // zero-token docs contribute nothing
+      .select(col(strataCol), col(idCol), col("__ids"), col("__begin"),
+        col("__end"),
+        explode(sequence(expr(s"__begin div $seqLen"),
+          expr(s"(__end - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("__fb", greatest(col("__begin"),
+        col("seq_id") * seqLen))
+      .withColumn("__fe", least(col("__end"),
+        (col("seq_id") + 1) * seqLen))
+      .select(col(strataCol), col("seq_id"),
+        // pos FIRST: array_sort on structs orders by leading fields,
+        // and pos is unique within a sequence — fragment order is the
+        // packed stream order
+        struct((col("__fb") - col("seq_id") * seqLen).as("pos"),
+          col(idCol).as("doc"),
+          (col("__fe") - col("__fb")).as("n"),
+          slice(col("__ids"), (col("__fb") - col("__begin") + 1)
+            .cast("int"), (col("__fe") - col("__fb")).cast("int"))
+            .as("ids")).as("__frag"))
+    val seqs = frags.groupBy(col(strataCol), col("seq_id"))
+      .agg(array_sort(collect_list(col("__frag"))).as("__frags"))
+      .select(col(strataCol), col("seq_id"),
+        flatten(col("__frags.ids")).as("token_ids"),
+        expr("transform(__frags, f -> " +
+          "named_struct('pos', f.pos, 'doc', f.doc, 'n', f.n))")
+          .as("doc_spans"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("complete", col("n_tokens") === seqLen)
+    if (dropIncomplete) seqs.filter(col("complete")) else seqs
+  }
+
+  /** SEQUENCE-LEVEL decontamination: screen MATERIALIZED training
+    * sequences (not documents) against a benchmark — packing can
+    * concatenate two individually-clean fragments into a contaminated
+    * sequence across a document boundary, which document-level
+    * screening ([[Dedup.contaminationReport]] over the corpus) can
+    * never see. Each sequence's `token_ids` decode map-side
+    * ([[graft.expressions.IdsToText]] — a pure projection) and the
+    * decoded text runs through the SAME shingle probe as the
+    * document-level report: a sequence is contaminated when ≥
+    * `num/den` of its word `k`-shingles appear in the benchmark.
+    * Output: one row per sequence, keyed by (`strataCol`, `seq_id`),
+    * with `n_shingles`, `n_shared`, `contaminated`.
+    *
+    * Scale shape inherits [[Dedup.contaminationReport]]'s: benchmark
+    * shingles distinct once (benchmark-sized), sequence shingles
+    * shuffle once on the shingle key. For 100 TB corpora use the
+    * Bloom form's bitset against the decoded sequences instead; this
+    * exact form is the oracle-checkable reference.
+    */
+  def sequenceContamination(seqs: DataFrame, strataCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      k: Int, num: Int = 4, den: Int = 5,
+      specialTokens: Seq[String] = Nil): DataFrame = {
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val decoded = seqs.select(
+      concat_ws(" ", col(strataCol), col("seq_id")).as("__sk"),
+      col(strataCol), col("seq_id"),
+      graft.expressions.GraftFunctions.idsToText(col("token_ids"),
+        vocab).as("__text"))
+    val bench = benchmark.select(
+      monotonically_increasing_id().as("__sk"),
+      col(benchTextCol).as("__text"))
+    val report = Dedup.contaminationReport(bench, decoded, "__sk",
+      "__text", k, num, den)
+    decoded.select(col("__sk"), col(strataCol), col("seq_id"))
+      .join(report.withColumnRenamed("id", "__sk"), Seq("__sk"))
+      .select(col(strataCol), col("seq_id"), col("n_shingles"),
+        col("n_shared"), col("contaminated"))
+  }
+
   /** The shared offset/cut/straddle chain over a (strata, id, n_bpe)
     * frame — every packing variant differs only in how it counts.
     */

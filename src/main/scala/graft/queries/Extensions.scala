@@ -1876,7 +1876,10 @@ object Extensions {
     * alternatives jointly cover every non-whitespace character in
     * order, the concatenated words are EXACTLY the text minus ASCII
     * whitespace — which the oracle states directly as
-    * `regexp_replace(text, '\s', '', 'g')` with no BPE at all. A
+    * `regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')` (the
+    * explicit Java-`\s` class: RE2's `\s` shorthand excludes U+000B,
+    * which the engine's Java-regex pre-tokenizer drops) with no BPE
+    * at all. A
     * lossy merge application, a non-bijective byte mapping, a dropped
     * token, or a mis-ordered reassembly anywhere in
     * train→encode→decode hash-mismatches; `n_bytes` (the UTF-8 length
@@ -1985,6 +1988,66 @@ object Extensions {
         "lang", seqLen = 512, merges = Nil, byteLevel = true,
         tokenPattern = TextFunctions.bpeBytePatternFull)
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** x96: MATERIALIZED training sequences ([[graft.operators.Packing
+    * .materializeSequences]]) — the artifact a trainer's data loader
+    * consumes, oracle-checked END-TO-END including the document-
+    * boundary straddle logic where the off-by-ones live. The
+    * zero-merge full-fidelity byte configuration makes every token id
+    * a raw UTF-8 byte value, so each sequence's packed `width = 1`
+    * binary ([[graft.expressions.PackedTokenBinary]]) is LITERALLY
+    * bytes `[seq_id·512, (seq_id+1)·512)` of the stratum's
+    * concatenated document stream — which the oracle restates with
+    * `string_agg` + `substr` arithmetic and hashes, alongside the
+    * span provenance (`doc:pos:n` per contributing fragment, in
+    * stream order) and the `complete` flag. A wrong slice bound, a
+    * dropped or duplicated straddle fragment, a mis-sorted fragment
+    * list, or a wrong id anywhere mismatches the md5.
+    */
+  def x96MaterializeSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Packing.materializeSequences(d, "doc_id", "text",
+        "lang", seqLen = 512, merges = Nil,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("lang"), col("seq_id"), col("n_tokens"),
+        col("complete"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          col("token_ids"), width = 1)).as("seq_md5"),
+        array_join(expr("transform(doc_spans, f -> " +
+          "concat(f.doc, ':', f.pos, ':', f.n))"), ",")
+          .as("doc_spans"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  /** x97: SEQUENCE-LEVEL decontamination ([[graft.operators.Packing
+    * .sequenceContamination]]) — the screen that catches what
+    * document-level screening cannot: packing concatenates fragments
+    * across document boundaries, so a training SEQUENCE can contain
+    * benchmark shingles that no single document does. Sequences come
+    * from x96's materialization; the benchmark split is the md5-bucket
+    * device (first hex digit of md5(doc_id) = '0', the x29 idiom);
+    * each sequence's ids decode map-side and shingle through the same
+    * probe as the document-level report. The oracle rebuilds every
+    * sequence's text with the x96 substr arithmetic, shingles BOTH
+    * sides in list SQL, and recomputes the shared counts — decode,
+    * packing, shingling, and the threshold compare are all on the
+    * hook at once.
+    */
+  def x97SequenceContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val seqs = graft.operators.Packing.materializeSequences(d,
+      "doc_id", "text", "lang", seqLen = 512, merges = Nil,
+      tokenPattern = TextFunctions.bpeBytePatternFull)
+    val benchmark = d.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+    graft.operators.Packing.sequenceContamination(seqs, "lang",
+        benchmark, "text", merges = Nil, k = 3, num = 1, den = 10)
+      .select(col("lang"), col("seq_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_shared").cast("long").as("n_shared"),
+        col("contaminated").cast("int").as("contaminated"))
+      .orderBy(col("lang"), col("seq_id"))
   }
 
   private val x84FixtureLock = new Object

@@ -171,6 +171,9 @@ private[sources] class DocumentCollectionTable(path: String, batchSize: Int,
         ".format(\"graft-docs\")")
     new DocumentScanBuilder(path, tableSchema,
       options.getInt("maxFilesPerTrigger", 1000),
+      Option(options.get("maxBytesPerTrigger"))
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(Long.MaxValue),
       options.getInt("offsetCompactThreshold", 1000))
   }
 }
@@ -405,19 +408,24 @@ import org.apache.spark.sql.connector.read.{streaming => streamingread}
   * batch scan planning and streaming offsets must never disagree.
   */
 private object DocumentFiles {
-  def listNames(path: String,
-      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+  def listFiles(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
     val fs = new Path(path).getFileSystem(conf)
     val dir = new Path(path)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".jsonl"))
-      .map(_.getPath.getName).toSeq.sorted
+      .map(f => (f.getPath.getName, f.getLen)).toSeq.sortBy(_._1)
   }
+
+  def listNames(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    listFiles(path, conf).map(_._1)
 }
 
 private class DocumentScanBuilder(path: String, full: StructType,
-    maxFilesPerTrigger: Int, offsetCompactThreshold: Int)
+    maxFilesPerTrigger: Int, maxBytesPerTrigger: Long,
+    offsetCompactThreshold: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -431,11 +439,12 @@ private class DocumentScanBuilder(path: String, full: StructType,
 
   override def build(): Scan =
     new DocumentScan(path, required, maxFilesPerTrigger,
-      offsetCompactThreshold)
+      maxBytesPerTrigger, offsetCompactThreshold)
 }
 
 private class DocumentScan(path: String, required: StructType,
-    maxFilesPerTrigger: Int, offsetCompactThreshold: Int)
+    maxFilesPerTrigger: Int, maxBytesPerTrigger: Long,
+    offsetCompactThreshold: Int)
     extends Scan with Batch {
 
   private val conf = SessionConf.capture()
@@ -477,7 +486,7 @@ private class DocumentScan(path: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : streamingread.MicroBatchStream =
     new DocumentMicroBatchStream(path, required, conf, maxFilesPerTrigger,
-      checkpointLocation, offsetCompactThreshold)
+      maxBytesPerTrigger, checkpointLocation, offsetCompactThreshold)
 }
 
 /** The collection's micro-batch stream: the shared file-tracking
@@ -487,13 +496,13 @@ private class DocumentScan(path: String, required: StructType,
   */
 private class DocumentMicroBatchStream(path: String, required: StructType,
     conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf,
-    maxFilesPerTrigger: Int, checkpointLocation: String,
-    compactThreshold: Int)
+    maxFilesPerTrigger: Int, maxBytesPerTrigger: Long,
+    checkpointLocation: String, compactThreshold: Int)
     extends FileSetMicroBatchStream(checkpointLocation,
-      maxFilesPerTrigger, compactThreshold, conf) {
+      maxFilesPerTrigger, maxBytesPerTrigger, compactThreshold, conf) {
 
-  override protected def listNames(): Seq[String] =
-    DocumentFiles.listNames(path, conf.value)
+  override protected def listFiles(): Seq[(String, Long)] =
+    DocumentFiles.listFiles(path, conf.value)
 
   override protected def partitionFor(name: String): InputPartition =
     DocumentFilePartition(s"$path/$name")

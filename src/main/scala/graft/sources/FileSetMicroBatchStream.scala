@@ -70,24 +70,37 @@ private[sources] object FileSetOffset {
   * file count. Admission control caps each micro-batch at
   * `maxFilesPerTrigger` files (default 1000) so the first trigger over
   * a large existing directory does not plan the whole history as one
-  * batch.
+  * batch, and — because crawl
+  * shards vary ~10× in size, so a file-count cap alone lets
+  * micro-batch latency swing with the shard mix — at
+  * `maxBytesPerTrigger` TOTAL LISTED BYTES (the FileStreamSource
+  * analogue): files are admitted in name order until the next file
+  * would overflow the byte budget, always admitting at least one so
+  * an oversized single file can never stall the stream. Both caps
+  * only shape BATCH BOUNDARIES — the offset protocol is unchanged,
+  * so exactly-once across restarts is untouched.
   *
-  * Subclasses supply the LISTING ([[listNames]] — called fresh at
-  * every admission decision, never cached across batches) and the
-  * name→partition mapping ([[partitionFor]]); everything else —
-  * offsets, compaction, recovery, admission — is this class.
+  * Subclasses supply the LISTING ([[listFiles]] — names with sizes,
+  * called fresh at every admission decision, never cached across
+  * batches) and the name→partition mapping ([[partitionFor]]);
+  * everything else — offsets, compaction, recovery, admission — is
+  * this class.
   */
 private[sources] abstract class FileSetMicroBatchStream(
     checkpointLocation: String, maxFilesPerTrigger: Int,
-    compactThreshold: Int,
+    maxBytesPerTrigger: Long, compactThreshold: Int,
     conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf)
     extends streamingread.MicroBatchStream
     with streamingread.SupportsAdmissionControl {
 
-  /** Names (relative to the source's directory) of every file the
-    * source currently sees. Called at every admission decision.
+  /** `(name, size-in-bytes)` (names relative to the source's
+    * directory) of every file the source currently sees. Called at
+    * every admission decision. Sizes feed only the byte-budget
+    * admission cap — offsets store names alone.
     */
-  protected def listNames(): Seq[String]
+  protected def listFiles(): Seq[(String, Long)]
+
+  private def listNames(): Seq[String] = listFiles().map(_._1)
 
   /** The input partition that reads one listed name. */
   protected def partitionFor(name: String): InputPartition
@@ -173,17 +186,47 @@ private[sources] abstract class FileSetMicroBatchStream(
   }
 
   override def getDefaultReadLimit: streamingread.ReadLimit =
-    streamingread.ReadLimit.maxFiles(maxFilesPerTrigger)
+    if (maxBytesPerTrigger < Long.MaxValue)
+      streamingread.ReadLimit.compositeLimit(Array(
+        streamingread.ReadLimit.maxFiles(maxFilesPerTrigger),
+        streamingread.ReadLimit.maxBytes(maxBytesPerTrigger)))
+    else streamingread.ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  /** `(file cap, byte cap)` of a read limit; composites combine by
+    * minimum (every member limit must hold).
+    */
+  private def caps(l: streamingread.ReadLimit): (Int, Long) = l match {
+    case m: streamingread.ReadMaxFiles => (m.maxFiles(), Long.MaxValue)
+    case b: streamingread.ReadMaxBytes => (Int.MaxValue, b.maxBytes())
+    case c: streamingread.CompositeReadLimit =>
+      c.getReadLimits.map(caps).reduce((a, b) =>
+        (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _ => (Int.MaxValue, Long.MaxValue)
+  }
 
   override def latestOffset(start: streamingread.Offset,
       limit: streamingread.ReadLimit): streamingread.Offset = {
     val startOff = start.asInstanceOf[FileSetOffset]
     val seen = resolve(startOff)
-    val cap = limit match {
-      case m: streamingread.ReadMaxFiles => m.maxFiles()
-      case _ => Int.MaxValue
+    val (fileCap, byteCap) = caps(limit)
+    // greedy in name order: stop BEFORE the file that overflows the
+    // byte budget, but always admit at least one so a single file
+    // larger than the budget cannot stall the stream forever
+    val fresh = listFiles().filterNot(f => seen(f._1)).sortBy(_._1)
+    val admitted = {
+      val b = Seq.newBuilder[String]
+      var count = 0
+      var bytes = 0L
+      val it = fresh.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val (name, size) = it.next()
+        if (count >= fileCap || (count > 0 && bytes + size > byteCap))
+          done = true
+        else { b += name; count += 1; bytes += size }
+      }
+      b.result()
     }
-    val admitted = listNames().filterNot(seen).sorted.take(cap)
     if (admitted.isEmpty) startOff // unchanged representation → no batch
     else {
       val delta = startOff.delta ++ admitted

@@ -38,6 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.readStream.format("graft-warc")
   *     .option("path", "/crawl/incoming")
   *     .option("maxFilesPerTrigger", "64")
+  *     .option("maxBytesPerTrigger", "256m") // crawl shards vary ~10×
   *     .load()
   * }}}
   *
@@ -65,6 +66,9 @@ class WarcStreamSource extends TableProvider with DataSourceRegister {
     require(path != null && path.nonEmpty,
       "graft-warc requires a 'path' option (the crawl-shard dir)")
     new WarcTable(path, opts.getInt("maxFilesPerTrigger", 1000),
+      Option(opts.get("maxBytesPerTrigger"))
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(Long.MaxValue),
       opts.getInt("offsetCompactThreshold", 1000),
       opts.getBoolean("recursive", false))
   }
@@ -84,7 +88,7 @@ object WarcStreamSource {
     StructField("payload", BinaryType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
-  /** Names of every `*.warc*` file under `dir` — DIR-RELATIVE paths
+  /** `(name, size)` of every `*.warc*` file under `dir` — DIR-RELATIVE paths
     * (so recursive mode's nested names stay stable offset keys), one
     * fresh listing per admission decision / batch plan, never cached.
     * Recursive mode walks the whole tree with `fs.listFiles(_, true)`
@@ -92,35 +96,36 @@ object WarcStreamSource {
     * paged listings — matching real crawl layouts
     * (`.../segments/<seg>/warc/<shard>.warc.gz`).
     */
-  private[graft] def listWarcNames(dir: String,
+  private[graft] def listWarcFiles(dir: String,
       conf: org.apache.hadoop.conf.Configuration,
-      recursive: Boolean = false): Seq[String] = {
+      recursive: Boolean = false): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Nil
     else if (!recursive)
       fs.listStatus(p)
         .filter(f => f.isFile && f.getPath.getName.contains(".warc"))
-        .map(_.getPath.getName).toSeq.sorted
+        .map(f => (f.getPath.getName, f.getLen)).toSeq.sortBy(_._1)
     else {
       val prefix = fs.makeQualified(p).toString.stripSuffix("/") + "/"
-      val out = Seq.newBuilder[String]
+      val out = Seq.newBuilder[(String, Long)]
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.isFile && f.getPath.getName.contains(".warc")) {
           val full = f.getPath.toString
-          out += (if (full.startsWith(prefix))
-            full.substring(prefix.length) else f.getPath.getName)
+          out += (((if (full.startsWith(prefix))
+            full.substring(prefix.length) else f.getPath.getName),
+            f.getLen))
         }
       }
-      out.result().sorted
+      out.result().sortBy(_._1)
     }
   }
 }
 
 private class WarcTable(path: String, maxFilesPerTrigger: Int,
-    compactThreshold: Int, recursive: Boolean)
+    maxBytesPerTrigger: Long, compactThreshold: Int, recursive: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft-warc:$path"
   override def schema(): StructType = WarcStreamSource.Schema
@@ -131,13 +136,14 @@ private class WarcTable(path: String, maxFilesPerTrigger: Int,
       : ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new WarcScan(path, maxFilesPerTrigger, compactThreshold,
-          recursive)
+        new WarcScan(path, maxFilesPerTrigger, maxBytesPerTrigger,
+          compactThreshold, recursive)
     }
 }
 
 private class WarcScan(path: String, maxFilesPerTrigger: Int,
-    compactThreshold: Int, recursive: Boolean) extends Scan with Batch {
+    maxBytesPerTrigger: Long, compactThreshold: Int, recursive: Boolean)
+    extends Scan with Batch {
 
   private val conf = SessionConf.capture()
 
@@ -146,8 +152,9 @@ private class WarcScan(path: String, maxFilesPerTrigger: Int,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    WarcStreamSource.listWarcNames(path, conf.value, recursive)
-      .map(n => WarcFilePartition(s"$path/$n"): InputPartition).toArray
+    WarcStreamSource.listWarcFiles(path, conf.value, recursive)
+      .map(f => WarcFilePartition(s"$path/${f._1}"): InputPartition)
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(conf)
@@ -155,18 +162,20 @@ private class WarcScan(path: String, maxFilesPerTrigger: Int,
   override def toMicroBatchStream(checkpointLocation: String)
       : streamingread.MicroBatchStream =
     new WarcMicroBatchStream(path, conf, maxFilesPerTrigger,
-      checkpointLocation, compactThreshold, recursive)
+      maxBytesPerTrigger, checkpointLocation, compactThreshold,
+      recursive)
 }
 
 private class WarcMicroBatchStream(path: String,
     conf: org.apache.spark.sql.graftbridge.SerializableHadoopConf,
-    maxFilesPerTrigger: Int, checkpointLocation: String,
-    compactThreshold: Int, recursive: Boolean)
+    maxFilesPerTrigger: Int, maxBytesPerTrigger: Long,
+    checkpointLocation: String, compactThreshold: Int,
+    recursive: Boolean)
     extends FileSetMicroBatchStream(checkpointLocation,
-      maxFilesPerTrigger, compactThreshold, conf) {
+      maxFilesPerTrigger, maxBytesPerTrigger, compactThreshold, conf) {
 
-  override protected def listNames(): Seq[String] =
-    WarcStreamSource.listWarcNames(path, conf.value, recursive)
+  override protected def listFiles(): Seq[(String, Long)] =
+    WarcStreamSource.listWarcFiles(path, conf.value, recursive)
 
   override protected def partitionFor(name: String): InputPartition =
     WarcFilePartition(s"$path/$name")

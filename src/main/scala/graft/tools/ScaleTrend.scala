@@ -162,7 +162,12 @@ object ScaleTrend {
       "x93_bpe_full_fidelity", "x94_bpe_mapside",
       // round 11 (last): packing budgeted by real tokenizer counts —
       // kernel count projection + per-stratum prefix-sum window
-      "x95_pack_token_budget")
+      "x95_pack_token_budget",
+      // round 12: materialized training sequences (explode+slice
+      // fragments, (strata, seq_id)-keyed reassembly with seqLen-
+      // bounded state) and sequence-level decontamination (IdsToText
+      // decode + the x29 shingle probe over sequences)
+      "x96_materialize_sequences", "x97_sequence_contamination")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

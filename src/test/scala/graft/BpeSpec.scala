@@ -510,6 +510,95 @@ class BpeSpec extends SparkSpec {
     assert(byDefault == refTrain(texts, 60))
   }
 
+  test("GPT-2 artifact pair: saveGpt2/loadGpt2 round-trips merges and " +
+      "vocab exactly (Ġ and unicode keys included), the public file " +
+      "formats hold, and a loaded artifact encodes bit-identically") {
+    import spark.implicits._
+    val df = Seq("the cat the cat the cat sat", "the cat sat there")
+      .toDF("text").withColumn("id", monotonically_increasing_id())
+    val merges = Bpe.trainBytes(df, "text", numMerges = 12,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    assert(merges.nonEmpty)
+    // the full pattern trains leading-space units, so some merge
+    // symbol carries the mapped space byte Ġ — the escaping case
+    assert(merges.exists(m => (m._2 + m._3).contains('Ġ')),
+      "fixture must exercise the Ġ convention")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpt2")
+      .toString
+    val specials = Seq("<|endoftext|>")
+    Bpe.saveGpt2(spark, merges, dir, specials)
+
+    // public formats: versioned merges.txt, one 'left right' line per
+    // merge; vocab.json a single JSON object with the Ġ keys intact
+    val mergesTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "merges.txt")), "UTF-8")
+    val lines = mergesTxt.split("\n").toSeq
+    assert(lines.head == "#version: 0.2")
+    assert(lines.tail.count(_.nonEmpty) == merges.size)
+    val vocabJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "vocab.json")), "UTF-8")
+    assert(vocabJson.contains("Ġ"))
+    assert(vocabJson.contains("<|endoftext|>"))
+
+    val (loadedMerges, loadedVocab) = Bpe.loadGpt2(spark, dir)
+    assert(loadedMerges.map(m => (m._1, m._2, m._3, m._4)) ==
+      merges.sortBy(_._1).map(m => (m._1, m._2, m._3, m._4)))
+    assert(loadedVocab == Bpe.vocabBytes(merges, specials))
+
+    // a loaded artifact encodes to the SAME token ids
+    val viaArtifact = Bpe.encodeIdsBytes(df, "id", "text", loadedMerges,
+        loadedVocab, graft.operators.Dedup.VerifyBroadcastMaxBytes,
+        graft.functions.TextFunctions.bpeBytePatternFull)
+      .select(col("id"), col("token_ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val direct = Bpe.encodeIdsBytes(df, "id", "text", merges,
+        tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+      .select(col("id"), col("token_ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(viaArtifact.toSeq == direct.toSeq)
+  }
+
+  test("loadGpt2 reads an EXTERNALLY-authored artifact pair: merge " +
+      "ranks from line order, ids from vocab.json (arbitrary " +
+      "assignment honored), mismatched pairs rejected loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpt2_ext")
+      .toString
+    // a hand-written public-format artifact, as an external tool
+    // would produce: two merges, vocab with a non-conventional id gap
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "merges.txt"),
+      "#version: 0.2\na b\nab c\n".getBytes("UTF-8"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    (0 until 256).foreach(b => node.put(
+      graft.expressions.ByteUnicode.byteToChar(b).toString, b.toLong))
+    node.put("ab", 300L) // deliberate gap — file ids win, not layout
+    node.put("abc", 301L)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "vocab.json"),
+      mapper.writeValueAsBytes(node))
+
+    val (m, v) = Bpe.loadGpt2(spark, dir)
+    assert(m == Seq((1, "a", "b", "ab", 0L), (2, "ab", "c", "abc", 0L)))
+    val df = Seq((1L, "abcabd")).toDF("id", "text")
+    val ids = Bpe.encodeIdsBytes(df, "id", "text", m, v,
+        graft.operators.Dedup.VerifyBroadcastMaxBytes,
+        graft.functions.TextFunctions.bpeTokenPattern)
+      .select(col("token_ids")).head.getSeq[Long](0)
+    // a b c a b d → (a b) → ab c ab d → (ab c) → abc ab d
+    assert(ids == Seq(301L, 300L, 'd'.toLong))
+
+    // a merge whose result is missing from vocab.json = mismatched pair
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "merges.txt"),
+      "#version: 0.2\na b\nab z\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.loadGpt2(spark, dir)
+    }
+    assert(ex.getMessage.contains("mismatched artifact pair"),
+      ex.getMessage)
+  }
+
   test("punctuation and digit words: single-mark words never merge " +
       "(no pairs), digit runs merge like letter runs, regex " +
       "metacharacters in symbols are quoted") {

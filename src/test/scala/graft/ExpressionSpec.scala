@@ -325,4 +325,94 @@ class ExpressionSpec extends SparkSpec {
       assert(evalContains(hashed(k)) == probeAll(k), s"eval/codegen $k")
     }
   }
+
+  test("PackedTokenBinary: little-endian packing at widths 1/2/4, " +
+      "width-1 on byte ids reproduces the raw bytes, out-of-range " +
+      "ids fail loudly instead of truncating") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def pack(ids: Seq[Long], w: Int): Seq[Byte] =
+      graft.expressions.PackedTokenBinary(null, w)
+        .kernel(new GenericArrayData(ids.map(Long.box).toArray[Any]))
+        .asInstanceOf[Array[Byte]].toSeq
+    assert(pack(Seq(0L, 1L, 255L), 1) ==
+      Seq[Byte](0, 1, 0xff.toByte))
+    assert(pack(Seq(0x1234L), 2) == Seq[Byte](0x34, 0x12))
+    assert(pack(Seq(0x01020304L), 4) ==
+      Seq[Byte](0x04, 0x03, 0x02, 0x01))
+    // zero-merge byte config: width-1 packing IS the UTF-8 bytes
+    val text = "hi there"
+    val ids = text.getBytes("UTF-8").map(b => (b & 0xff).toLong).toSeq
+    assert(pack(ids, 1).toArray.toSeq == text.getBytes("UTF-8").toSeq)
+    for ((bad, w) <- Seq((256L, 1), (65536L, 2), (-1L, 4))) {
+      val ex = intercept[IllegalArgumentException] {
+        pack(Seq(bad), w)
+      }
+      assert(ex.getMessage.contains("does not fit"), ex.getMessage)
+    }
+    intercept[IllegalArgumentException] {
+      graft.expressions.PackedTokenBinary(null, 3)
+    }
+  }
+
+  test("IdsToText inverts the encode→ids chain row-for-row (agrees " +
+      "with Bpe.decodeIds), renders special-token ids literally, and " +
+      "rejects unknown ids loudly") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val df = Seq((1L, "the cat sat"), (2L, "naïve café — ok"))
+      .toDF("id", "text")
+    val merges = Bpe.trainBytes(df, "text", 8)
+    val specials = Seq("<|endoftext|>")
+    val vocab = Bpe.vocabBytes(merges, specials)
+    val encoded = Bpe.encodeIdsBytes(df, "id", "text", merges)
+      .select(col("id"), col("token_ids"))
+    val viaKernel = encoded
+      .select(col("id"),
+        GraftFunctions.idsToText(col("token_ids"), vocab).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    encoded.collect().foreach { r =>
+      assert(viaKernel(r.getLong(0)) ==
+        Bpe.decodeIds(r.getSeq[Long](1), vocab))
+    }
+    // special ids interleave and render as their literal markers
+    val eot = vocab.find(_._1 == "<|endoftext|>").get._2
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val k = graft.expressions.IdsToText(null, vocab)
+    def decode(ids: Seq[Long]): String =
+      k.kernel(new GenericArrayData(ids.map(Long.box).toArray[Any]))
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    assert(decode(Seq('h'.toLong, 'i'.toLong, eot)) ==
+      "hi<|endoftext|>")
+    val ex = intercept[IllegalArgumentException] {
+      decode(Seq(999999L))
+    }
+    assert(ex.getMessage.contains("not in the vocabulary"),
+      ex.getMessage)
+  }
+
+  test("BpeEncodeTokens cache sizes change nothing: direct-mapped " +
+      "collisions (size 1), no cache (size 0), and the default all " +
+      "emit identical tokens on a high-cardinality corpus") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val texts = (0 until 300).map(i =>
+      s"alpha$i beta${i % 7} gamma${i % 3} alpha$i")
+    val df = texts.toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val merges = Bpe.trainBytes(df, "text", 15)
+      .sortBy(_._1).map(m => (m._1, m._2, m._3))
+    def run(size: Int): Seq[(Long, Seq[String])] =
+      df.select(col("id"),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.expressions.BpeEncodeTokens(
+              org.apache.spark.sql.graftbridge.ColumnBridge
+                .expression(col("text")), merges,
+              graft.functions.TextFunctions.bpeTokenPattern,
+              byteLevel = true, cacheSize = size)).as("tokens"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+        .sortBy(_._1).toSeq
+    val want = run(10000)
+    assert(run(1) == want, "size-1 cache (all collisions) diverged")
+    assert(run(0) == want, "cache-off diverged")
+  }
 }

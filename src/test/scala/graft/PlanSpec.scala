@@ -564,6 +564,49 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("Curation.domainQuota (exact): WINDOW-FREE — bounded top-k " +
+      "threshold agg + gated join-back, kept set identical to the " +
+      "ranking-window form including a planted mega-domain") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+      // mega-domain: half the corpus under one key, long tail beside it
+      .withColumn("dom",
+        when(col("doc_id") % 2 === 0, lit("megafarm.com"))
+          .otherwise(concat(lit("d"), (col("doc_id") % 37)
+            .cast("string"))))
+    val p = plan(graft.operators.Curation.domainQuota(
+      df, "dom", "doc_id", 5))
+    assert(nodes(p, "Window") == 0,
+      s"exact quota still sorts per domain under a window:\n$p")
+    assert(nodes(p, "BroadcastHashJoin") == 1,
+      s"measured-small thresholds did not broadcast:\n$p")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pGated = plan(graft.operators.Curation.domainQuota(
+        df, "dom", "doc_id", 5, broadcastMaxBytes = 0L))
+      assert(nodes(pGated, "BroadcastHashJoin") == 0,
+        s"over-bound thresholds still broadcast:\n$pGated")
+      assert(nodes(pGated, "SortMergeJoin") +
+        nodes(pGated, "ShuffledHashJoin") >= 1, pGated)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // kept set ≡ the ranking-window reference, mega-domain included
+    val got = graft.operators.Curation.domainQuota(
+        df, "dom", "doc_id", 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dom"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ref = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ref, "bounded-agg quota diverged from window form")
+    assert(got.count(i => i % 2 == 0) == 5,
+      "mega-domain must be thinned to exactly the quota")
+  }
+
   test("Curation blocklist joins: broadcast under the measured " +
       "bound, shuffled anti/left join above it, identical kept sets") {
     import org.apache.spark.sql.functions._

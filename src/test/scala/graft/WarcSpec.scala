@@ -193,6 +193,55 @@ class WarcSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 9)
   }
 
+  test("graft-warc source: maxBytesPerTrigger splits a mixed-size " +
+      "shard backlog on the byte budget, preserves exactly-once " +
+      "across a restart, and admits an over-budget shard alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_mb")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_warc_mb_ck")
+      .toString
+    val out = java.nio.file.Files.createTempDirectory("graft_warc_mb_out")
+      .toString
+    // mixed-size shards (~10× spread): uncompressed so sizes are
+    // predictable multiples of the record payload
+    def shard(name: String, ids: Range, bodyLen: Int): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        Warc.writeBytes(ids.map(i => rec(i.toLong, "x" * bodyLen)),
+          gzipPerRecord = false))
+    shard("a.warc", 0 until 2, 100) // small
+    shard("b.warc", 10 until 12, 100) // small
+    shard("c.warc", 20 until 22, 20000) // ~40 KB — over any small budget
+    shard("d.warc", 30 until 32, 100) // small
+    val smallSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "a.warc"))
+    def start() = spark.readStream.format("graft-warc")
+      .option("path", dir)
+      // budget = two small shards; c.warc alone exceeds it
+      .option("maxBytesPerTrigger", (2 * smallSize).toString)
+      .load()
+      .selectExpr("record_id", "warc_file")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 8)
+    // per-batch file sets respect the budget: a+b together (2 small ≤
+    // budget), the oversized c alone, then d — never c with company
+    val fileBatches = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    assert(fileBatches.keySet.map(f => f.substring(f.length - 6)) ==
+      Set("a.warc", "b.warc", "c.warc", "d.warc"))
+    // restart with new shards: exactly-once holds under the byte knob
+    shard("e.warc", 40 until 42, 100)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val rows = spark.read.parquet(out).collect().map(_.getString(0))
+    assert(rows.length == 10, s"expected 10 rows, got ${rows.length}")
+    assert(rows.distinct.length == 10, "duplicate records after restart")
+  }
+
   test("graft-warc recursive mode: nested crawl layouts " +
       "(segments/<seg>/warc/<shard>) list dir-relative, stream " +
       "exactly once, and new files in new subdirs are picked up") {
@@ -210,12 +259,13 @@ class WarcSpec extends SparkSpec {
     shard("segments/s1/warc/a.warc.gz", 0 until 3)
     shard("segments/s2/warc/b.warc.gz", 10 until 12)
     // the listing is dir-relative so nested names are stable offset keys
-    val names = graft.sources.WarcStreamSource.listWarcNames(dir,
+    val names = graft.sources.WarcStreamSource.listWarcFiles(dir,
       spark.sparkContext.hadoopConfiguration, recursive = true)
+      .map(_._1)
     assert(names == Seq("segments/s1/warc/a.warc.gz",
       "segments/s2/warc/b.warc.gz"))
     // non-recursive sees nothing at the root (the default contract)
-    assert(graft.sources.WarcStreamSource.listWarcNames(dir,
+    assert(graft.sources.WarcStreamSource.listWarcFiles(dir,
       spark.sparkContext.hadoopConfiguration).isEmpty)
     val q = spark.readStream.format("graft-warc")
       .option("path", dir).option("recursive", "true").load()

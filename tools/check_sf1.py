@@ -41,6 +41,7 @@ QUERIES = [
     "x87_latest_per_url", "x88_crawl_diff", "x89_unicode_nfc",
     "x90_idn_domains", "x92_bpe_bytes_roundtrip",
     "x93_bpe_full_fidelity", "x94_bpe_mapside", "x95_pack_token_budget",
+    "x96_materialize_sequences", "x97_sequence_contamination",
 ]
 
 
