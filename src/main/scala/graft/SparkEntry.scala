@@ -159,6 +159,10 @@ object SparkEntry {
     "x95_pack_token_budget" -> Extensions.x95PackTokenBudget,
     "x96_materialize_sequences" -> Extensions.x96MaterializeSequences,
     "x97_sequence_contamination" -> Extensions.x97SequenceContamination,
+    "x98_separator_sequences" -> Extensions.x98SeparatorSequences,
+    "x99_token_frequency" -> Extensions.x99TokenFrequency,
+    "x100_fim_transform" -> Extensions.x100FimTransform,
+    "x101_pack_no_straddle" -> Extensions.x101PackNoStraddle,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -921,6 +925,136 @@ object SparkEntry {
         |    AS contaminated
         |FROM sn LEFT JOIN shared USING (lang, seq_id)
         |ORDER BY lang, seq_id""".stripMargin,
+    // x101: first-fit is sequential per stratum, so the oracle is a
+    // RECURSIVE CTE advancing every stratum one document per
+    // iteration — truncation clamp, reset, and offsets restated
+    "x101_pack_no_straddle" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n0
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT lang, doc_id, n0, LEAST(n0, 512) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, doc_id, n0, n, rn,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS begin_off,
+        |    n AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.n0, d.n, d.rn,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.seq_id
+        |         ELSE r.seq_id + 1 END,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.fill
+        |         ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.fill + d.n
+        |         ELSE d.n END
+        |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+        |SELECT lang, doc_id, n AS n_tokens, n0 > 512 AS truncated,
+        |  seq_id, begin_off AS begin
+        |FROM r ORDER BY lang, doc_id""".stripMargin,
+    // x100: FIM — gate and both cut points are 16-bit md5 slices
+    // (the x73 strpos hex arithmetic), reassembly compared by part
+    // lengths + joined-parts md5
+    "x100_fim_transform" ->
+      """WITH h AS (
+        |  SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hk,
+        |    CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (
+        |  SELECT doc_id, text, n,
+        |    (strpos('0123456789abcdef', substr(hk,1,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(hk,2,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(hk,3,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(hk,4,1))-1) AS h1,
+        |    (strpos('0123456789abcdef', substr(hk,5,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(hk,6,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(hk,7,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(hk,8,1))-1) AS h2,
+        |    (strpos('0123456789abcdef', substr(hk,9,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(hk,10,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(hk,11,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(hk,12,1))-1) AS h3
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    (h1 < 32768 AND n >= 2) AS fim,
+        |    CASE WHEN n >= 2 THEN h2 % n ELSE 0 END AS a,
+        |    CASE WHEN n >= 2 THEN 1 + (h3 % (n - (h2 % n)))
+        |         ELSE 0 END AS lm
+        |  FROM v),
+        |p AS (
+        |  SELECT doc_id, fim,
+        |    CASE WHEN fim THEN substr(text, 1, CAST(a AS INTEGER))
+        |         ELSE text END AS prefix,
+        |    CASE WHEN fim THEN substr(text, CAST(a + 1 AS INTEGER),
+        |         CAST(lm AS INTEGER)) ELSE '' END AS middle,
+        |    CASE WHEN fim THEN substr(text,
+        |         CAST(a + 1 + lm AS INTEGER), CAST(n AS INTEGER))
+        |         ELSE '' END AS suffix
+        |  FROM c)
+        |SELECT doc_id, fim,
+        |  CAST(length(prefix) AS BIGINT) AS n_prefix,
+        |  CAST(length(middle) AS BIGINT) AS n_middle,
+        |  CAST(length(suffix) AS BIGINT) AS n_suffix,
+        |  md5(prefix || '|' || middle || '|' || suffix) AS parts_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // x98: separator-aware materialization — per-document stride is
+    // n+1 (content bytes + one <|endoftext|>), content md5 excludes
+    // the separator positions, a fragment carries its separator iff
+    // it reaches its document interval's end
+    "x98_separator_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (
+        |  SELECT lang, doc_id, text, n,
+        |    CAST(SUM(n + 1) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_all
+        |  FROM t),
+        |d AS (
+        |  SELECT lang, doc_id, text, n,
+        |    end_all - (n + 1) AS begin_off, end_all,
+        |    (end_all - (n + 1)) // 512 AS s0,
+        |    (end_all - 1) // 512 AS s1
+        |  FROM o),
+        |f AS (
+        |  SELECT d.lang, d.doc_id, g.s AS seq_id,
+        |    GREATEST(d.begin_off, g.s * 512) AS fb,
+        |    LEAST(d.end_all, (g.s + 1) * 512) AS fe,
+        |    LEAST(d.end_all - 1, (g.s + 1) * 512) AS fec,
+        |    d.begin_off, d.end_all AS de, d.text
+        |  FROM d, LATERAL (SELECT unnest(generate_series(d.s0, d.s1))
+        |    AS s) g),
+        |q AS (
+        |  SELECT lang, seq_id,
+        |    string_agg(CASE WHEN fec > fb THEN substr(text,
+        |      CAST(fb - begin_off + 1 AS INTEGER),
+        |      CAST(fec - fb AS INTEGER)) ELSE '' END, ''
+        |      ORDER BY fb) AS content_text,
+        |    string_agg(doc_id || ':' || (fb - seq_id*512) || ':' ||
+        |      (fe - fb), ',' ORDER BY fb) AS doc_spans,
+        |    CAST(SUM(fe - fb) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN fe = de THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sep
+        |  FROM f GROUP BY lang, seq_id)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+        |  n_tokens = 512 AS complete, n_sep,
+        |  md5(content_text) AS content_md5, doc_spans
+        |FROM q ORDER BY lang, seq_id""".stripMargin,
+    // x99: zero-merge byte tokens make the frequency profile a plain
+    // per-character count over whitespace-stripped text (printable
+    // ASCII self-maps under the byte alphabet; ascii() is the id)
+    "x99_token_frequency" ->
+      """WITH ch AS (
+        |  SELECT unnest(string_split(regexp_replace(text,
+        |    '[ \t\n\x0b\f\r]', '', 'g'), '')) AS token
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT token, CAST(ascii(token) AS BIGINT) AS id,
+        |  COUNT(*) AS n
+        |FROM ch GROUP BY 1, 2 ORDER BY token""".stripMargin,
     // x94: the map-side kernel encoder through the same identity —
     // any divergence from the join encoder's application order breaks
     // the reconstruction against the untouched text's md5

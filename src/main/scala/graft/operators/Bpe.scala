@@ -659,6 +659,34 @@ object Bpe {
           tokenPattern, byteLevel).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
 
+  /** Corpus-wide token-frequency profile under a trained byte-level
+    * tokenizer: one row per distinct vocabulary token actually
+    * emitted, with its id and occurrence count — the post-tokenization
+    * corpus statistic every vocabulary decision keys on (dead merges
+    * to prune, head tokens to verify, coverage audits before a
+    * training run commits its token budget).
+    *
+    * Scale shape: the map-side kernel encodes as a pure projection,
+    * then ONE token-keyed aggregate — vocab-sized output
+    * (≤ 256 + merges + specials rows by construction), partial-merged
+    * map-side, so the exchange carries at most a vocabulary per
+    * partition regardless of corpus size. The id hop is a map-side
+    * hash probe ([[graft.expressions.TokenIds]]), never a join.
+    */
+  def tokenFrequencyBytes(df: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      specialTokens: Seq[String] = Nil,
+      tokenPattern: String = TextFunctions.bpeTokenPattern)
+      : DataFrame =
+    df.select(explode(graft.expressions.GraftFunctions.bpeEncode(
+        col(textCol), merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel = true)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("id", element_at(
+        graft.expressions.GraftFunctions.tokenIds(array(col("token")),
+          vocabBytes(merges, specialTokens), unkId = -1L), 1))
+
   // ---- tokenizer artifact persistence ------------------------------
   //
   // A tokenizer is trained ONCE and shipped to every downstream job

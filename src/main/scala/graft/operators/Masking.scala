@@ -50,4 +50,60 @@ object Masking {
           (x, m) => when(m, lit(maskToken)).otherwise(x)), " "))
       .drop("__tk", "__msk")
   }
+
+  /** Fill-in-the-middle transform — the FIM pretraining objective
+    * (Bavarian et al., "Efficient Training of Language Models to Fill
+    * in the Middle", 2022, public): a `rateNum/rateDen` fraction of
+    * documents is split into (prefix, middle, suffix) so the model
+    * learns infilling; the rest pass through unchanged. Like every
+    * corruption in this family, the decision AND the cut points are
+    * pure integer functions of the document id via md5 — no RNG, so
+    * re-running any shard regenerates byte-identical examples and the
+    * whole transform is engine-exact (x100's oracle restates gate,
+    * cuts, and reassembly in DuckDB).
+    *
+    * Cut derivation (all 16-bit md5 slices, the [[graft.operators
+    * .Sampling]] hex arithmetic): gate = digits 1–4 under
+    * `⌊16⁴·rate⌋`; middle start `a = h₂ mod n` (0-based), middle
+    * length `1 + (h₃ mod (n − a))` — every split with a non-empty
+    * middle is reachable, prefix/suffix may be empty (document-edge
+    * spans, which FIM training wants). Documents shorter than 2 chars
+    * never transform. Untransformed rows carry
+    * `(prefix, middle, suffix) = (text, "", "")`.
+    *
+    * Output: input columns + `fim`, `prefix`, `middle`, `suffix`.
+    * Pure map — ZERO shuffles at any corpus size; rearranging into
+    * PSM/SPM sentinel order is a `concat` the caller composes with
+    * their sentinel ids ([[graft.operators.Bpe.vocabBytes]] special
+    * tokens).
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      rateNum: Int, rateDen: Int): DataFrame = {
+    require(rateNum >= 0 && rateDen > 0, "rate must be a valid fraction")
+    val threshold = (BigInt(16).pow(4) * rateNum / rateDen).toLong
+    val h = md5(col(idCol).cast("string"))
+    def hx(from: Int): Column =
+      conv(substring(h, from, 4), 16, 10).cast("long")
+    val n = length(col(textCol)).cast("long")
+    val gate =
+      if (rateNum >= rateDen) lit(true) // 16^4 is five hex digits
+      else hx(1) < lit(threshold)
+    val isFim = gate && n >= 2
+    val t = col(textCol)
+    val a = hx(5) % n // 0-based middle start
+    val lenMid = lit(1L) + hx(9) % (n - a)
+    // Substring takes IntegerType positions; the mod arithmetic stays
+    // in longs, the cuts cast down (a single document longer than
+    // 2^31 chars is a row-size impossibility upstream)
+    val ai = a.cast("int")
+    val li = lenMid.cast("int")
+    df.withColumn("fim", isFim)
+      .withColumn("prefix", when(col("fim"), t.substr(lit(1), ai))
+        .otherwise(t))
+      .withColumn("middle",
+        when(col("fim"), t.substr(ai + 1, li)).otherwise(lit("")))
+      .withColumn("suffix",
+        when(col("fim"), t.substr(ai + 1 + li, n.cast("int")))
+        .otherwise(lit("")))
+  }
 }

@@ -85,6 +85,17 @@ object Packing {
     * `[pos, pos + n)` within the sequence. Zero-token documents
     * contribute no span.
     *
+    * `docSeparator` (the GPT-2 `<|endoftext|>` convention) appends
+    * the named special token's id after EVERY document — the boundary
+    * marker a trainer's loss masking and attention-reset logic key
+    * on. The separator belongs to its document's token interval (a
+    * straddle can place it in the next sequence), counts toward the
+    * budget exactly like a content token, and makes empty documents
+    * contribute their lone separator instead of vanishing. The token
+    * must be listed in `specialTokens` — ids come from the same
+    * vocabulary either way, so serving and packing can never disagree
+    * on what the separator's id is.
+    *
     * Scale shape: encode is a pure projection; then ONE window
     * shuffle per stratum for the offsets (the [[packSequencesBpe]]
     * shuffle) and ONE `(strata, seq_id)`-keyed shuffle to assemble
@@ -100,15 +111,26 @@ object Packing {
       merges: Seq[(Int, String, String, String, Long)],
       specialTokens: Seq[String] = Nil,
       dropIncomplete: Boolean = false,
+      docSeparator: Option[String] = None,
       tokenPattern: String = TextFunctions.bpeTokenPattern): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val sepId = docSeparator.map { t =>
+      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
+        s"docSeparator '$t' is not in specialTokens — the separator " +
+          "id must come from the shared vocabulary"))
+    }
+    val encoded = graft.expressions.GraftFunctions.tokenIds(
+      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel = true),
+      vocab, unkId = -1L)
+    val withSep = sepId match {
+      case Some(id) => concat(encoded, array(lit(id)))
+      case None => encoded
+    }
     val enc = df.select(col(strataCol), col(idCol),
-      graft.expressions.GraftFunctions.tokenIds(
-        graft.expressions.GraftFunctions.bpeEncode(col(textCol),
-          merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
-          tokenPattern, byteLevel = true),
-        vocab, unkId = -1L).as("__ids"))
+        withSep.as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
     val frags = enc
@@ -184,6 +206,77 @@ object Packing {
       .join(report.withColumnRenamed("id", "__sk"), Seq("__sk"))
       .select(col(strataCol), col("seq_id"), col("n_shingles"),
         col("n_shared"), col("contaminated"))
+  }
+
+  /** NO-STRADDLE (T5-style) packing — the other packing discipline:
+    * documents are placed WHOLE by first-fit in id order (a document
+    * opens a new sequence when it no longer fits the current one),
+    * so no example ever crosses a sequence boundary and the loader
+    * needs no span bookkeeping; the price is padding (the tail of
+    * every sequence a next document didn't fit). Documents longer
+    * than `seqLen` are truncated to the budget and flagged — the
+    * convention encoder-style pipelines use, where over-long examples
+    * were clipped upstream anyway.
+    *
+    * Output: per document — `n_tokens` (post-truncation), `truncated`,
+    * `seq_id`, `begin` (offset inside its sequence). The assignment
+    * is a pure fold over (stratum, id order, counts): re-runs and
+    * repartitioning are byte-stable, and x101's oracle restates the
+    * whole fold as a DuckDB RECURSIVE CTE.
+    *
+    * Scale shape: counting is a pure projection (the map-side BPE
+    * kernel); then ONE shuffle keyed by stratum and a STREAMED
+    * per-partition fold with O(1) state (current stratum, seq id,
+    * fill) — first-fit is inherently sequential per stratum, which is
+    * exactly the parallelism unit the offset-window variants already
+    * use (pack per shard/language at 100 TB, never globally). Spark's
+    * partition sort is spill-safe; the fold never materializes a
+    * group.
+    */
+  def packNoStraddle(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, seqLen: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      byteLevel: Boolean = true,
+      tokenPattern: String = TextFunctions.bpeTokenPattern): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val counts = df.select(col(strataCol), col(idCol),
+      size(graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel)).cast("long").as("__n0"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      counts.schema.fields.take(2) ++ Seq(
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("truncated",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("seq_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("begin",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    counts.repartition(col(strataCol))
+      .sortWithinPartitions(col(strataCol), col(idCol))
+      .mapPartitions { it =>
+        // O(1) fold state; strata are contiguous under the sort, so a
+        // key change resets the sequence counter
+        var started = false
+        var curKey: Any = null
+        var seqId = 0L
+        var fill = 0L
+        it.map { r =>
+          val k = r.get(0)
+          if (!started || k != curKey) {
+            started = true; curKey = k; seqId = 0L; fill = 0L
+          }
+          val n0 = r.getLong(2)
+          val n = math.min(n0, seqLen.toLong)
+          val begin =
+            if (fill + n <= seqLen) fill
+            else { seqId += 1; 0L }
+          fill = begin + n
+          org.apache.spark.sql.Row(r.get(0), r.get(1), n,
+            n0 > seqLen, seqId, begin)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** The shared offset/cut/straddle chain over a (strata, id, n_bpe)

@@ -2050,6 +2050,102 @@ object Extensions {
       .orderBy(col("lang"), col("seq_id"))
   }
 
+  /** x98: materialized sequences WITH DOCUMENT SEPARATORS — the GPT-2
+    * `<|endoftext|>` convention: every document's token stream ends
+    * with the separator's reserved id, which counts toward the
+    * `seqLen` budget and straddles cuts exactly like content. The
+    * oracle re-derives the whole chain with per-document stride
+    * `n + 1` (content bytes plus one separator): offsets, fragment
+    * bounds, span strings, the per-sequence separator COUNT (a
+    * fragment carries its separator iff it reaches the document
+    * interval's end), and the md5 of the sequence's NON-separator
+    * byte content (`content_md5` — engine-side the separator ids are
+    * filtered before the width-1 packed binary, oracle-side the
+    * content substr stops one short of each interval end). Any
+    * misplacement of a separator — dropped, doubled, attributed to
+    * the wrong sequence — breaks either the count or the md5.
+    */
+  def x98SeparatorSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val eot = "<|endoftext|>"
+    val sepId = 256L // zero merges, one special ⇒ first reserved id
+    graft.operators.Packing.materializeSequences(d, "doc_id", "text",
+        "lang", seqLen = 512, merges = Nil,
+        specialTokens = Seq(eot), docSeparator = Some(eot),
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("lang"), col("seq_id"), col("n_tokens"),
+        col("complete"),
+        size(filter(col("token_ids"), t => t === sepId)).cast("long")
+          .as("n_sep"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          filter(col("token_ids"), t => t =!= sepId), width = 1))
+          .as("content_md5"),
+        array_join(expr("transform(doc_spans, f -> " +
+          "concat(f.doc, ':', f.pos, ':', f.n))"), ",")
+          .as("doc_spans"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  /** x99: corpus token-frequency profile under the byte tokenizer
+    * ([[graft.operators.Bpe.tokenFrequencyBytes]]) — the
+    * post-tokenization statistic vocabulary decisions key on. The
+    * zero-merge configuration makes every emitted token a single
+    * (self-mapped printable-ASCII) byte symbol, so the oracle is a
+    * plain per-character count over whitespace-stripped text with
+    * `ascii()` as the id — the kernel's pre-tokenization, the byte
+    * mapping, the vocab id hop, and the aggregate are all on the
+    * hook. Trained-merge profiles are the same code path (BpeSpec
+    * gates the kernel against the join encoder).
+    */
+  def x99TokenFrequency(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Bpe.tokenFrequencyBytes(d, "text", merges = Nil)
+      .select(col("token"), col("id"), col("n").cast("long").as("n"))
+      .orderBy(col("token"))
+  }
+
+  /** x101: NO-STRADDLE (T5-style) packing ([[graft.operators.Packing
+    * .packNoStraddle]]) — first-fit placement of whole documents, a
+    * genuinely SEQUENTIAL per-stratum fold (each placement depends on
+    * the previous fill), which is why the oracle is a DuckDB
+    * RECURSIVE CTE advancing every stratum one document per
+    * iteration: the engine's streamed O(1)-state fold must equal the
+    * relational restatement row for row — truncation clamps, new-
+    * sequence resets, and in-sequence offsets all included. The
+    * zero-merge byte configuration makes the count octet_length, so
+    * the ONLY engine-specific input is the fold itself.
+    */
+  def x101PackNoStraddle(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Packing.packNoStraddle(d, "doc_id", "text", "lang",
+        seqLen = 512, merges = Nil,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** x100: fill-in-the-middle transform ([[graft.operators.Masking
+    * .fimTransform]]) — the FIM pretraining objective's
+    * prefix/middle/suffix split at rate 1/2, every decision a pure
+    * 16-bit md5 function of the doc id. The oracle recomputes the
+    * gate, both cut points, and the reassembly from first principles
+    * (the x73 strpos hex arithmetic), then compares part lengths and
+    * the joined-parts md5 — a shifted cut, a wrong mod, an off-by-one
+    * at either boundary, or a leaked transform on a short document
+    * all hash-mismatch.
+    */
+  def x100FimTransform(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Masking.fimTransform(d, "doc_id", "text",
+        rateNum = 1, rateDen = 2)
+      .select(col("doc_id"), col("fim"),
+        length(col("prefix")).cast("long").as("n_prefix"),
+        length(col("middle")).cast("long").as("n_middle"),
+        length(col("suffix")).cast("long").as("n_suffix"),
+        md5(concat_ws("|", col("prefix"), col("middle"),
+          col("suffix"))).as("parts_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   private val x84FixtureLock = new Object
 
   /** Bump when [[Multimodal.attachAviPayload]]/[[Multimodal

@@ -167,7 +167,15 @@ object ScaleTrend {
       // fragments, (strata, seq_id)-keyed reassembly with seqLen-
       // bounded state) and sequence-level decontamination (IdsToText
       // decode + the x29 shingle probe over sequences)
-      "x96_materialize_sequences", "x97_sequence_contamination")
+      "x96_materialize_sequences", "x97_sequence_contamination",
+      // round 12 (late): separator-aware materialization and the
+      // vocab-sized token-frequency profile
+      "x98_separator_sequences", "x99_token_frequency",
+      // round 12 (last): the FIM corruption map pass and the
+      // no-straddle first-fit fold (timed here; its recursive-CTE
+      // oracle is minutes at sf1, so check_sf1 skips it — sf0.01/0.1
+      // oracle rows stay the correctness evidence)
+      "x100_fim_transform", "x101_pack_no_straddle")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

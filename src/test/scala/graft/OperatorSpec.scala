@@ -987,6 +987,48 @@ class OperatorSpec extends SparkSpec {
     all.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
   }
 
+  test("Masking.fimTransform: transformed docs reassemble exactly, " +
+      "middles never empty, short docs never transform, rate gates " +
+      "hold at 0 and 1, partitioning-independent") {
+    import spark.implicits._
+    import graft.operators.Masking
+    val df = ((1 to 300).map(i => (i.toLong, s"document $i body " +
+        ("x" * (i % 40)))) ++ Seq((9001L, ""), (9002L, "a")))
+      .toDF("doc_id", "text")
+    val out = Masking.fimTransform(df, "doc_id", "text", 1, 2)
+      .select("doc_id", "text", "fim", "prefix", "middle", "suffix")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3),
+          r.getString(4), r.getString(5)))
+      .toMap
+    out.values.foreach { case (text, fim, p, m, sfx) =>
+      if (fim) {
+        assert(p + m + sfx == text, "reassembly must be exact")
+        assert(m.nonEmpty, "FIM middles are never empty")
+      } else assert(p == text && m.isEmpty && sfx.isEmpty)
+    }
+    // docs too short to split never transform
+    assert(!out(9001L)._2 && !out(9002L)._2)
+    // the 1/2 gate lands near half on 300 trials
+    val nFim = out.values.count(_._2)
+    assert(nFim > 110 && nFim < 190, s"$nFim of 300 at rate 1/2")
+    // rate edges: 0 transforms nothing, 1 transforms every n>=2 doc
+    assert(Masking.fimTransform(df, "doc_id", "text", 0, 1)
+      .filter(col("fim")).count() == 0)
+    assert(Masking.fimTransform(df, "doc_id", "text", 1, 1)
+      .filter(!col("fim")).count() == 2) // only the two short docs
+    // pure function of the data: repartitioning changes nothing
+    val re = Masking.fimTransform(df.repartition(11, col("doc_id")),
+        "doc_id", "text", 1, 2)
+      .select("doc_id", "prefix", "middle", "suffix").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    out.foreach { case (id, (_, _, p, m, sfx)) =>
+      assert(re(id) == ((p, m, sfx)))
+    }
+  }
+
   test("Mixing.capPerStratum: rate-1 strata untouched, capped strata " +
       "near the cap, selection partitioning-independent and nested") {
     import spark.implicits._

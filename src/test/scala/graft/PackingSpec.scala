@@ -101,6 +101,132 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("materializeSequences with docSeparator: every document ends " +
+      "with the reserved id (empty docs contribute their lone " +
+      "separator), the separator consumes budget and can itself " +
+      "straddle a cut into the next sequence") {
+    import spark.implicits._
+    val eot = "<|endoftext|>"
+    val sep = 256L // zero merges + one special ⇒ first reserved id
+    val df = Seq(
+      ("s1", 1L, "abcd"), //  content [0,4), sep at 4 → seq 0 exactly
+      ("s1", 2L, ""), //      EMPTY: its separator alone at [5,6)
+      ("s1", 3L, "efghi"), // [6,11) + sep at 11 — spans seqs 1 and 2
+      ("s2", 7L, "vwxyz") //  content fills seq 0; the SEP straddles
+    ).toDF("lang", "doc_id", "text")
+    val got = Packing.materializeSequences(df, "doc_id", "text", "lang",
+        seqLen = 5, merges = Nil, specialTokens = Seq(eot),
+        docSeparator = Some(eot),
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+
+    def ids(k: (String, Long)): Seq[Long] =
+      got(k).getSeq[Long](got(k).fieldIndex("token_ids"))
+    def spans(k: (String, Long)): Seq[(Long, Long, Long)] =
+      got(k).getSeq[org.apache.spark.sql.Row](
+        got(k).fieldIndex("doc_spans"))
+        .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))
+
+    assert(ids(("s1", 0L)) == byteIds("abcd") :+ sep)
+    assert(spans(("s1", 0L)) == Seq((0L, 1L, 5L)))
+    // the empty document survives as its separator, span included
+    assert(ids(("s1", 1L)) == sep +: byteIds("efgh"))
+    assert(spans(("s1", 1L)) == Seq((0L, 2L, 1L), (1L, 3L, 4L)))
+    assert(ids(("s1", 2L)) == byteIds("i") :+ sep)
+    assert(spans(("s1", 2L)) == Seq((0L, 3L, 2L)))
+    // s2: content fills sequence 0 exactly; the separator ALONE
+    // straddles into sequence 1
+    assert(ids(("s2", 0L)) == byteIds("vwxyz"))
+    assert(ids(("s2", 1L)) == Seq(sep))
+    assert(spans(("s2", 1L)) == Seq((0L, 7L, 1L)))
+    // an unregistered separator fails loudly, never a silent -1 id
+    val ex = intercept[RuntimeException] {
+      Packing.materializeSequences(df, "doc_id", "text", "lang", 5,
+        Nil, docSeparator = Some(eot))
+    }
+    assert(ex.getMessage.contains("not in specialTokens"),
+      ex.getMessage)
+  }
+
+  test("tokenFrequencyBytes under TRAINED merges equals a driver-side " +
+      "count over the map-side encoder's tokens, ids from the shared " +
+      "vocabulary") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val merges = Bpe.trainBytes(d.limit(100), "text", numMerges = 25)
+    val got = Bpe.tokenFrequencyBytes(d, "text", merges)
+      .select(col("token"), col("n"), col("id"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vocabIdx = Bpe.vocabBytes(merges).toMap
+    val want = Bpe.encodeMapSide(d, "doc_id", "text", merges,
+        byteLevel = true)
+      .collect().flatMap(_.getSeq[String](1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (tok, (n, id)) =>
+      assert(n == want(tok), s"count diverged for '$tok'")
+      assert(id == vocabIdx(tok), s"id diverged for '$tok'")
+    }
+  }
+
+  test("packNoStraddle: whole-document first-fit — hand fixture, " +
+      "truncation clamp, budget property on real data, and " +
+      "partitioning independence of the sequential fold") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 0L, ""), //        0 tokens → rides at seq 0, begin 0
+      ("s1", 1L, "aaa"), //     3 → seq 0
+      ("s1", 2L, "bbbb"), //    4 → does not fit (3+4>5) → seq 1
+      ("s1", 3L, "c"), //       1 → fits beside it (4+1≤5) → seq 1 @4
+      ("s1", 4L, "x" * 9), //   9 > 5 → TRUNCATED to 5, alone in seq 2
+      ("s2", 9L, "zz") //       fresh stratum resets the fold
+    ).toDF("lang", "doc_id", "text")
+    val got = Packing.packNoStraddle(df, "doc_id", "text", "lang",
+        seqLen = 5, merges = Nil,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(("s1", 0L)) == ((0L, false, 0L, 0L)))
+    assert(got(("s1", 1L)) == ((3L, false, 0L, 0L)))
+    assert(got(("s1", 2L)) == ((4L, false, 1L, 0L)))
+    assert(got(("s1", 3L)) == ((1L, false, 1L, 4L)))
+    assert(got(("s1", 4L)) == ((5L, true, 2L, 0L)))
+    assert(got(("s2", 9L)) == ((2L, false, 0L, 0L)))
+
+    // real corpus: per-sequence budgets hold, offsets are the running
+    // sums of the documents placed before them, nothing straddles
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val real = Packing.packNoStraddle(d, "doc_id", "text", "lang",
+        seqLen = 512, merges = Nil,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    assert(real.nonEmpty)
+    real.groupBy(r => (r._1, r._4)).foreach { case (key, rows) =>
+      assert(rows.map(_._3).sum <= 512L, s"budget exceeded in $key")
+      var expect = 0L
+      rows.sortBy(_._2).foreach { case (_, id, n, _, begin) =>
+        assert(begin == expect, s"offset gap at doc $id in $key")
+        expect += n
+      }
+    }
+    // the fold is a pure function of (stratum, id order, counts)
+    val re = Packing.packNoStraddle(d.repartition(7), "doc_id", "text",
+        "lang", seqLen = 512, merges = Nil,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    real.foreach { case (lang, id, n, sid, begin) =>
+      assert(re((lang, id)) == ((n, sid, begin)))
+    }
+  }
+
   test("sequenceContamination: a benchmark shingle SPANNING a document " +
       "boundary flags the packed sequence while document-level " +
       "screening sees nothing — the gap this operator exists for") {

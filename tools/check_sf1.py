@@ -42,6 +42,8 @@ QUERIES = [
     "x90_idn_domains", "x92_bpe_bytes_roundtrip",
     "x93_bpe_full_fidelity", "x94_bpe_mapside", "x95_pack_token_budget",
     "x96_materialize_sequences", "x97_sequence_contamination",
+    "x98_separator_sequences", "x99_token_frequency",
+    "x100_fim_transform",
 ]
 
 
