@@ -163,6 +163,7 @@ object SparkEntry {
     "x99_token_frequency" -> Extensions.x99TokenFrequency,
     "x100_fim_transform" -> Extensions.x100FimTransform,
     "x101_pack_no_straddle" -> Extensions.x101PackNoStraddle,
+    "x102_materialize_no_straddle" -> Extensions.x102MaterializeNoStraddle,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -924,6 +925,43 @@ object SparkEntry {
         |  CAST(COALESCE(n_shared, 0) * 10 >= n * 1 AND n > 0 AS INTEGER)
         |    AS contaminated
         |FROM sn LEFT JOIN shared USING (lang, seq_id)
+        |ORDER BY lang, seq_id""".stripMargin,
+    // x102: x101's recursive fold grouped to sequences — content md5
+    // is the placement-ordered concat of truncation-clamped substrs,
+    // padding is the arithmetic remainder, spans restate verbatim
+    "x102_materialize_no_straddle" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n0, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT lang, doc_id, n0, LEAST(n0, 512) AS n, text,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, doc_id, n0, n, rn, text,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS begin_off,
+        |    n AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.n0, d.n, d.rn, d.text,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.seq_id
+        |         ELSE r.seq_id + 1 END,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.fill
+        |         ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.fill + d.n
+        |         ELSE d.n END
+        |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(512 - SUM(n) AS BIGINT) AS n_pad,
+        |  CAST(512 AS BIGINT) AS padded_len,
+        |  CAST(512 - SUM(n) AS BIGINT) AS n_pad_ids,
+        |  md5(string_agg(substr(text, 1, CAST(n AS INTEGER)), ''
+        |    ORDER BY begin_off, doc_id)) AS content_md5,
+        |  string_agg(doc_id || ':' || begin_off || ':' || n || ':' ||
+        |    (n0 > 512), ',' ORDER BY begin_off, doc_id) AS doc_spans
+        |FROM r GROUP BY lang, seq_id
         |ORDER BY lang, seq_id""".stripMargin,
     // x101: first-fit is sequential per stratum, so the oracle is a
     // RECURSIVE CTE advancing every stratum one document per

@@ -243,18 +243,34 @@ object Packing {
       size(graft.expressions.GraftFunctions.bpeEncode(col(textCol),
         merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
         tokenPattern, byteLevel)).cast("long").as("__n0"))
-    val outSchema = org.apache.spark.sql.types.StructType(
-      counts.schema.fields.take(2) ++ Seq(
-        org.apache.spark.sql.types.StructField("n_tokens",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("truncated",
-          org.apache.spark.sql.types.BooleanType, nullable = false),
-        org.apache.spark.sql.types.StructField("seq_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("begin",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-    counts.repartition(col(strataCol))
-      .sortWithinPartitions(col(strataCol), col(idCol))
+    firstFit(counts, seqLen, carryIds = false)
+  }
+
+  /** The streamed first-fit fold shared by [[packNoStraddle]] (counts
+    * only) and [[materializeNoStraddle]] (ids carried through, sliced
+    * at the truncation clamp): input is `(strata, id, __n0)` or
+    * `(strata, id, __ids)`, output appends `n_tokens`, `truncated`,
+    * `seq_id`, `begin` (and keeps the truncated `__ids` when
+    * carried). One stratum-keyed shuffle, spill-safe partition sort,
+    * O(1) fold state — no group ever materializes.
+    */
+  private def firstFit(in: DataFrame, seqLen: Int,
+      carryIds: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idsField =
+      if (carryIds)
+        Seq(StructField("__ids", ArrayType(LongType, containsNull = false),
+          nullable = false))
+      else Nil
+    val outSchema = StructType(in.schema.fields.take(2) ++ idsField ++ Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("truncated", BooleanType, nullable = false),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("begin", LongType, nullable = false)))
+    val strataName = in.columns(0)
+    val idName = in.columns(1)
+    in.repartition(col(strataName))
+      .sortWithinPartitions(col(strataName), col(idName))
       .mapPartitions { it =>
         // O(1) fold state; strata are contiguous under the sort, so a
         // key change resets the sequence counter
@@ -267,16 +283,78 @@ object Packing {
           if (!started || k != curKey) {
             started = true; curKey = k; seqId = 0L; fill = 0L
           }
-          val n0 = r.getLong(2)
+          val ids: Seq[Long] =
+            if (carryIds) r.getSeq[Long](2) else null
+          val n0 = if (carryIds) ids.length.toLong else r.getLong(2)
           val n = math.min(n0, seqLen.toLong)
           val begin =
             if (fill + n <= seqLen) fill
             else { seqId += 1; 0L }
           fill = begin + n
-          org.apache.spark.sql.Row(r.get(0), r.get(1), n,
-            n0 > seqLen, seqId, begin)
+          val tail = Seq(n, n0 > seqLen, seqId, begin)
+          org.apache.spark.sql.Row.fromSeq(
+            Seq(r.get(0), r.get(1)) ++
+              (if (carryIds) Seq(ids.take(seqLen)) else Nil) ++ tail)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** MATERIALIZE the no-straddle sequences — [[packNoStraddle]]'s
+    * assignment carried to the trainer artifact: one row per sequence
+    * with the documents' (truncation-clamped) token ids concatenated
+    * in placement order, provenance `doc_spans`, and — when
+    * `padToken` is given — `padded_ids` filled to exactly `seqLen`
+    * with the reserved pad id (the fixed-shape tensor a T5-style
+    * loader consumes; `n_pad` counts the fill). No document crosses a
+    * sequence boundary by construction, so spans never split.
+    *
+    * Scale shape: encode is a pure projection; the first-fit fold is
+    * the [[packNoStraddle]] shuffle with ids riding along (row width
+    * grows by the document's ids — the same data any materialization
+    * must move exactly once); assembly is ONE `(strata, seq_id)`-keyed
+    * aggregate whose per-group state is bounded by `seqLen` tokens.
+    */
+  def materializeNoStraddle(df: DataFrame, idCol: String,
+      textCol: String, strataCol: String, seqLen: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      specialTokens: Seq[String] = Nil,
+      padToken: Option[String] = None,
+      tokenPattern: String = TextFunctions.bpeTokenPattern): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val padId = padToken.map { t =>
+      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
+        s"padToken '$t' is not in specialTokens — the pad id must " +
+          "come from the shared vocabulary"))
+    }
+    val enc = df.select(col(strataCol), col(idCol),
+      graft.expressions.GraftFunctions.tokenIds(
+        graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+          merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+          tokenPattern, byteLevel = true),
+        vocab, unkId = -1L).as("__ids"))
+    val assigned = firstFit(enc, seqLen, carryIds = true)
+    val seqs = assigned
+      .select(col(strataCol), col("seq_id"),
+        struct(col("begin").as("pos"), col(assigned.columns(1)).as("doc"),
+          col("n_tokens").as("n"), col("truncated"),
+          col("__ids").as("ids")).as("__frag"))
+      .groupBy(col(strataCol), col("seq_id"))
+      .agg(array_sort(collect_list(col("__frag"))).as("__frags"))
+      .select(col(strataCol), col("seq_id"),
+        flatten(col("__frags.ids")).as("token_ids"),
+        expr("transform(__frags, f -> named_struct('pos', f.pos, " +
+          "'doc', f.doc, 'n', f.n, 'truncated', f.truncated))")
+          .as("doc_spans"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    padId match {
+      case Some(id) => seqs
+        .withColumn("n_pad", lit(seqLen.toLong) - col("n_tokens"))
+        .withColumn("padded_ids", concat(col("token_ids"),
+          array_repeat(lit(id), (lit(seqLen) - size(col("token_ids")))
+            .cast("int"))))
+      case None => seqs
+    }
   }
 
   /** The shared offset/cut/straddle chain over a (strata, id, n_bpe)

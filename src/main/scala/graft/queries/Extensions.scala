@@ -2123,6 +2123,38 @@ object Extensions {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** x102: MATERIALIZED no-straddle sequences ([[graft.operators
+    * .Packing.materializeNoStraddle]]) — x101's assignment carried to
+    * the padded trainer artifact: per sequence, the placed documents'
+    * (truncation-clamped) byte ids in placement order, the pad fill
+    * to exactly 512, and span provenance with truncation flags. The
+    * oracle extends x101's recursive CTE one step: group the fold's
+    * rows by sequence, concatenate `substr(text, 1, n)` in placement
+    * order (truncation IS the clamp, so content md5 follows
+    * relationally), count padding as `512 − Σn`, and restate every
+    * span — a dropped document, a mis-sliced truncation, a wrong pad
+    * id, or a broken placement order all hash-mismatch.
+    */
+  def x102MaterializeNoStraddle(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val pad = "<pad>"
+    val padId = 256L // zero merges, one special ⇒ first reserved id
+    graft.operators.Packing.materializeNoStraddle(d, "doc_id", "text",
+        "lang", seqLen = 512, merges = Nil,
+        specialTokens = Seq(pad), padToken = Some(pad),
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("lang"), col("seq_id"), col("n_tokens"), col("n_pad"),
+        size(col("padded_ids")).cast("long").as("padded_len"),
+        size(filter(col("padded_ids"), t => t === padId)).cast("long")
+          .as("n_pad_ids"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          col("token_ids"), width = 1)).as("content_md5"),
+        array_join(expr("transform(doc_spans, f -> concat(f.doc, " +
+          "':', f.pos, ':', f.n, ':', f.truncated))"), ",")
+          .as("doc_spans"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
   /** x100: fill-in-the-middle transform ([[graft.operators.Masking
     * .fimTransform]]) — the FIM pretraining objective's
     * prefix/middle/suffix split at rate 1/2, every decision a pure

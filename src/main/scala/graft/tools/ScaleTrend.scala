@@ -175,7 +175,8 @@ object ScaleTrend {
       // no-straddle first-fit fold (timed here; its recursive-CTE
       // oracle is minutes at sf1, so check_sf1 skips it — sf0.01/0.1
       // oracle rows stay the correctness evidence)
-      "x100_fim_transform", "x101_pack_no_straddle")
+      "x100_fim_transform", "x101_pack_no_straddle",
+      "x102_materialize_no_straddle")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -227,6 +227,50 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("materializeNoStraddle: placement-ordered ids, truncation " +
+      "slices, pad fill to exactly seqLen, spans carry truncation " +
+      "flags, unregistered pad token rejected") {
+    import spark.implicits._
+    val pad = "<pad>"
+    val padId = 256L
+    val df = Seq(
+      ("s1", 1L, "aaa"), //   3 → seq 0
+      ("s1", 2L, "c"), //     1 → seq 0 @3
+      ("s1", 3L, "bbbb"), //  4 → 4+4>5 → seq 1
+      ("s1", 4L, "x" * 9) //  TRUNCATED to 5 → seq 2
+    ).toDF("lang", "doc_id", "text")
+    val got = Packing.materializeNoStraddle(df, "doc_id", "text",
+        "lang", seqLen = 5, merges = Nil, specialTokens = Seq(pad),
+        padToken = Some(pad),
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    def seqOf(k: (String, Long), c: String): Seq[Long] =
+      got(k).getSeq[Long](got(k).fieldIndex(c))
+    def lng(k: (String, Long), c: String): Long =
+      got(k).getLong(got(k).fieldIndex(c))
+    assert(seqOf(("s1", 0L), "token_ids") == byteIds("aaac"))
+    assert(seqOf(("s1", 0L), "padded_ids") == byteIds("aaac") :+ padId)
+    assert(lng(("s1", 0L), "n_pad") == 1L)
+    assert(seqOf(("s1", 1L), "padded_ids") == byteIds("bbbb") :+ padId)
+    // the truncated doc: exactly the first five bytes, flag in span
+    assert(seqOf(("s1", 2L), "token_ids") == byteIds("xxxxx"))
+    assert(lng(("s1", 2L), "n_pad") == 0L)
+    val k2 = ("s1", 2L)
+    val spans2 = got(k2).getSeq[org.apache.spark.sql.Row](
+        got(k2).fieldIndex("doc_spans"))
+      .map(s => (s.getLong(0), s.getLong(1), s.getLong(2), s.getBoolean(3)))
+    assert(spans2 == Seq((0L, 4L, 5L, true)))
+    // every padded row is exactly seqLen long
+    got.values.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("padded_ids")).length == 5)
+    }
+    val ex = intercept[RuntimeException] {
+      Packing.materializeNoStraddle(df, "doc_id", "text", "lang", 5,
+        Nil, padToken = Some(pad))
+    }
+    assert(ex.getMessage.contains("not in specialTokens"), ex.getMessage)
+  }
+
   test("sequenceContamination: a benchmark shingle SPANNING a document " +
       "boundary flags the packed sequence while document-level " +
       "screening sees nothing — the gap this operator exists for") {

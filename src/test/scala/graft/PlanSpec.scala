@@ -564,6 +564,47 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("round-12 packing plans: materialization is JOIN-FREE (window " +
+      "+ assembly exchanges only), the first-fit fold carries ONE " +
+      "stratum exchange, FIM and the token profile stay map/agg " +
+      "passes") {
+    // x96/x98: encode projection → stratum window → (strata, seq_id)
+    // assembly; never a join
+    for (e <- Seq(Extensions.x96MaterializeSequences _,
+        Extensions.x98SeparatorSequences _)) {
+      val p = plan(e(spark, sfDir))
+      assert(nodes(p, "BroadcastHashJoin") + nodes(p, "SortMergeJoin") +
+        nodes(p, "ShuffledHashJoin") + nodes(p, "CartesianProduct") == 0,
+        s"materialization joined:\n$p")
+      assert(p.contains("graft_bpe_encode"), p)
+      assert(nodes(p, "Exchange") <= 3, s"extra shuffles:\n$p")
+    }
+    // x101/x102: one round-robin-free stratum repartition feeds the
+    // streamed fold; x102 adds only the assembly exchange
+    val p101 = plan(Extensions.x101PackNoStraddle(spark, sfDir))
+    assert(nodes(p101, "BroadcastHashJoin") + nodes(p101, "SortMergeJoin") +
+      nodes(p101, "ShuffledHashJoin") == 0, p101)
+    assert(nodes(p101, "Window") == 0, s"fold must not be a window:\n$p101")
+    assert(nodes(p101, "Exchange") <= 2, p101)
+    val p102 = plan(Extensions.x102MaterializeNoStraddle(spark, sfDir))
+    assert(nodes(p102, "BroadcastHashJoin") + nodes(p102, "SortMergeJoin") +
+      nodes(p102, "ShuffledHashJoin") == 0, p102)
+    assert(nodes(p102, "Exchange") <= 3, p102)
+    // x99: kernel encode + ONE vocab-sized aggregate, id hop map-side
+    val p99 = plan(Extensions.x99TokenFrequency(spark, sfDir))
+    assert(nodes(p99, "BroadcastHashJoin") + nodes(p99, "SortMergeJoin") +
+      nodes(p99, "ShuffledHashJoin") == 0, s"id hop joined:\n$p99")
+    assert(nodes(p99, "HashAggregate") >= 1, p99)
+    assert(nodes(p99, "Exchange") <= 2, p99)
+    // x100: a pure map pass — no join, no aggregate, no window; the
+    // only exchange is the output ordering
+    val p100 = plan(Extensions.x100FimTransform(spark, sfDir))
+    assert(nodes(p100, "BroadcastHashJoin") + nodes(p100, "SortMergeJoin") +
+      nodes(p100, "ShuffledHashJoin") + nodes(p100, "HashAggregate") +
+      nodes(p100, "SortAggregate") + nodes(p100, "Window") == 0, p100)
+    assert(nodes(p100, "Exchange") <= 1, p100)
+  }
+
   test("Curation.domainQuota (exact): WINDOW-FREE — bounded top-k " +
       "threshold agg + gated join-back, kept set identical to the " +
       "ranking-window form including a planted mega-domain") {
