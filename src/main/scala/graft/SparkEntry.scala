@@ -164,6 +164,7 @@ object SparkEntry {
     "x100_fim_transform" -> Extensions.x100FimTransform,
     "x101_pack_no_straddle" -> Extensions.x101PackNoStraddle,
     "x102_materialize_no_straddle" -> Extensions.x102MaterializeNoStraddle,
+    "x103_sft_loss_mask" -> Extensions.x103SftLossMask,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -926,6 +927,22 @@ object SparkEntry {
         |    AS contaminated
         |FROM sn LEFT JOIN shared USING (lang, seq_id)
         |ORDER BY lang, seq_id""".stripMargin,
+    // x103: the chat construction is stated in-query (user = first
+    // half, assistant = second half), so the mask contract restates
+    // as substr arithmetic — token count = bytes + one marker per
+    // turn, masked md5 = the assistant half, user md5 = the user half
+    "x103_sft_loss_mask" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_turns,
+        |  CAST(octet_length(encode(text)) + 2 AS BIGINT) AS n_tokens,
+        |  CAST(octet_length(encode(substr(text,
+        |    CAST(length(text) // 2 + 1 AS INTEGER),
+        |    CAST(length(text) AS INTEGER)))) AS BIGINT) AS n_masked,
+        |  md5(substr(text, CAST(length(text) // 2 + 1 AS INTEGER),
+        |    CAST(length(text) AS INTEGER))) AS masked_md5,
+        |  md5(substr(text, 1, CAST(length(text) // 2 AS INTEGER)))
+        |    AS user_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // x102: x101's recursive fold grouped to sequences — content md5
     // is the placement-ordered concat of truncation-clamped substrs,
     // padding is the arithmetic remainder, spans restate verbatim

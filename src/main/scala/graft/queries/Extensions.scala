@@ -2123,6 +2123,43 @@ object Extensions {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** x103: SFT loss-masked examples ([[graft.operators.Sft
+    * .lossMaskedExamples]]) — chat transcripts parsed into role
+    * turns, each turn's content tokenized independently, loss mask 1
+    * on assistant content only (never markers, never user turns).
+    * The transcripts are built IN-QUERY from documents (user = first
+    * half, assistant = second half — the planted-construction
+    * idiom), so the oracle can restate everything with substr
+    * arithmetic: turn count, token count (content bytes + one marker
+    * id per turn under the zero-merge byte config), masked count,
+    * and the md5 of BOTH mask classes' content bytes (masked =
+    * assistant half, unmasked-content = user half; marker ids ≥ 256
+    * are excluded by the id filter). A mask misaligned by even one
+    * token breaks a hash.
+    */
+  def x103SftLossMask(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val n = length(col("text"))
+    val h = (n / 2).cast("int")
+    val chat = concat(lit("<|user|>"), col("text").substr(lit(1), h),
+      lit("<|assistant|>"), col("text").substr(h + 1, n))
+    graft.operators.Sft.lossMaskedExamples(
+        d.select(col("doc_id"), chat.as("chat")), "doc_id", "chat",
+        roles = Seq("user", "assistant"), maskRole = "assistant",
+        merges = Nil, tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("doc_id"), col("n_turns"), col("n_tokens"),
+        col("n_masked"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          expr("filter(zip_with(token_ids, loss_mask, " +
+            "(t, m) -> IF(m = 1, t, -1L)), x -> x >= 0)"), width = 1))
+          .as("masked_md5"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          expr("filter(zip_with(token_ids, loss_mask, " +
+            "(t, m) -> IF(m = 0 AND t < 256, t, -1L)), x -> x >= 0)"),
+          width = 1)).as("user_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x102: MATERIALIZED no-straddle sequences ([[graft.operators
     * .Packing.materializeNoStraddle]]) — x101's assignment carried to
     * the padded trainer artifact: per sequence, the placed documents'

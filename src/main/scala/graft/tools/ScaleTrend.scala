@@ -32,6 +32,7 @@ object ScaleTrend {
 
   private val Stride = 10000000L
   private val Replicas = 10
+  private val SynthFiles = 32
 
   private def synthesizeSf1(spark: SparkSession, srcDir: String,
       outDir: String): Unit = {
@@ -49,6 +50,14 @@ object ScaleTrend {
             concat(lit("$1_r"), col("k")))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+      // 32 output files, not 1: the crossJoin inherits the single-file
+      // source's one split, and a one-file sf1 corpus makes every
+      // map-heavy measurement SERIAL (one input split under the 128 MB
+      // maxPartitionBytes default) — wall ratios then measure the
+      // layout, not the operator. Real corpora are many files; the
+      // round-12 trend run measured par ≈ 1.0 on exactly the map-side
+      // BPE rows before this repartition.
+      .repartition(SynthFiles)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
@@ -58,6 +67,7 @@ object ScaleTrend {
           x + ((col("k") * 37 + i * 17) % 97 - lit(48))
             .cast("float") * lit(0.01f)).as("embedding"),
         col("label"))
+      .repartition(SynthFiles)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val orders = spark.read.parquet(s"$srcDir/orders.parquet")
@@ -66,6 +76,7 @@ object ScaleTrend {
         (col("o_custkey") + col("k") * Stride).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
+      .repartition(SynthFiles)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
     synthesizeSf1Lineitem(spark, srcDir, outDir)
@@ -88,6 +99,7 @@ object ScaleTrend {
       .select((col("l_orderkey") + col("k") * Stride).as("l_orderkey"),
         (col("l_partkey") + col("k") * Stride).as("l_partkey"),
         col("l_linenumber"), col("l_quantity"))
+      .repartition(SynthFiles)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     fs.create(done).close()
   }
@@ -176,7 +188,7 @@ object ScaleTrend {
       // oracle is minutes at sf1, so check_sf1 skips it — sf0.01/0.1
       // oracle rows stay the correctness evidence)
       "x100_fim_transform", "x101_pack_no_straddle",
-      "x102_materialize_no_straddle")
+      "x102_materialize_no_straddle", "x103_sft_loss_mask")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -43,7 +43,7 @@ QUERIES = [
     "x93_bpe_full_fidelity", "x94_bpe_mapside", "x95_pack_token_budget",
     "x96_materialize_sequences", "x97_sequence_contamination",
     "x98_separator_sequences", "x99_token_frequency",
-    "x100_fim_transform",
+    "x100_fim_transform", "x103_sft_loss_mask",
 ]
 
 
