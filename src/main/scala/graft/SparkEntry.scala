@@ -165,6 +165,8 @@ object SparkEntry {
     "x101_pack_no_straddle" -> Extensions.x101PackNoStraddle,
     "x102_materialize_no_straddle" -> Extensions.x102MaterializeNoStraddle,
     "x103_sft_loss_mask" -> Extensions.x103SftLossMask,
+    "x104_packed_sft" -> Extensions.x104PackedSft,
+    "x105_preference_pairs" -> Extensions.x105PreferencePairs,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -943,6 +945,78 @@ object SparkEntry {
         |    AS user_md5
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // x105: thirds-of-text construction — stream lengths, clip flags,
+    // eos survival, and kept-content md5s all restate as substr
+    // arithmetic (prompt+chosen are CONTIGUOUS in text, so that md5
+    // is one substr; rejected needs the concat)
+    "x105_preference_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS l, length(text) // 3 AS a,
+        |    (2 * length(text)) // 3 AS b, text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(LEAST(a, 256) AS BIGINT) AS n_prompt,
+        |  CAST(LEAST(b + 1, 256) AS BIGINT) AS n_chosen,
+        |  CAST(LEAST(a + l - b + 1, 256) AS BIGINT) AS n_rejected,
+        |  (b + 1 > 256) AS chosen_truncated,
+        |  (a + l - b + 1 > 256) AS rejected_truncated,
+        |  (b + 1 <= 256) AS chosen_has_eos,
+        |  (a + l - b + 1 <= 256) AS rejected_has_eos,
+        |  md5(substr(text, 1, CAST(LEAST(b, 256) AS INTEGER)))
+        |    AS chosen_md5,
+        |  md5(substr(substr(text, 1, CAST(a AS INTEGER)) ||
+        |    substr(text, CAST(b + 1 AS INTEGER)), 1,
+        |    CAST(LEAST(a + l - b, 256) AS INTEGER))) AS rejected_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // x104: the x101 first-fit CTE with per-doc count length+2 (the
+    // x103 transcript construction), grouped to sequences — masked /
+    // user md5s are placement-ordered concats of the truncation-
+    // clipped halves, sum(position_ids) is Σ n(n-1)/2 (positions
+    // reset per example)
+    "x104_packed_sft" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(length(text) // 2 AS BIGINT) AS lu,
+        |    CAST(length(text) + 2 AS BIGINT) AS n0, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT lang, doc_id, lu, n0, LEAST(n0, 512) AS n, text,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, doc_id, lu, n0, n, rn, text,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS begin_off,
+        |    n AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.lu, d.n0, d.n, d.rn, d.text,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.seq_id
+        |         ELSE r.seq_id + 1 END,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.fill
+        |         ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN r.fill + d.n <= 512 THEN r.fill + d.n
+        |         ELSE d.n END
+        |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1),
+        |m AS (
+        |  SELECT lang, doc_id, seq_id, begin_off, n, n0, lu,
+        |    GREATEST(n - 2 - lu, 0) AS mc, LEAST(lu, n - 1) AS uc, text
+        |  FROM r)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_examples,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(mc) AS BIGINT) AS n_masked,
+        |  CAST(512 - SUM(n) AS BIGINT) AS n_pad,
+        |  CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS sum_positions,
+        |  CAST(512 - SUM(n) AS BIGINT) AS n_pad_ids,
+        |  md5(string_agg(substr(text, CAST(lu + 1 AS INTEGER),
+        |    CAST(mc AS INTEGER)), '' ORDER BY begin_off, doc_id))
+        |    AS masked_md5,
+        |  md5(string_agg(substr(text, 1, CAST(uc AS INTEGER)), ''
+        |    ORDER BY begin_off, doc_id)) AS user_md5,
+        |  string_agg(doc_id || ':' || begin_off || ':' || n || ':' ||
+        |    (n0 > 512), ',' ORDER BY begin_off, doc_id) AS doc_spans
+        |FROM m GROUP BY lang, seq_id
+        |ORDER BY lang, seq_id""".stripMargin,
     // x102: x101's recursive fold grouped to sequences — content md5
     // is the placement-ordered concat of truncation-clamped substrs,
     // padding is the arithmetic remainder, spans restate verbatim

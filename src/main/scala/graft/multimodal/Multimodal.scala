@@ -561,12 +561,45 @@ object Multimodal {
     * other depths decode the header only (samples empty) — enough for
     * duration metadata, with amplitude stats zeroed.
     */
+  /** The JDK's audio SPI providers, resolved ONCE per JVM:
+    * `AudioSystem.getAudioInputStream` re-runs a SYNCHRONIZED
+    * provider scan on every call (JDK13Services holds a global lock),
+    * which serializes a 32-thread decode stage to ~2 effective cores —
+    * measured par 1.75 on the x71 sf1 trend row before this cache.
+    * The readers themselves (WAV/AIFF/AU) are stateless parsers, so
+    * sharing the resolved instances across tasks is safe.
+    */
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader],
+      classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+      .iterator().asScala.toSeq
+  }
+
+  private def openAudio(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    // no provider claimed it (or none were discoverable in this
+    // classloader) — the stock entry point decides, with its lock
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
   private def readAudio(bytes: Array[Byte])
       : Option[(Int, Int, Int, Array[Int])] = {
     if (bytes.length < 12) return None
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in = openAudio(bytes)
       try {
         val f = in.getFormat
         val enc = f.getEncoding

@@ -243,30 +243,30 @@ object Packing {
       size(graft.expressions.GraftFunctions.bpeEncode(col(textCol),
         merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
         tokenPattern, byteLevel)).cast("long").as("__n0"))
-    firstFit(counts, seqLen, carryIds = false)
+    firstFit(counts, seqLen, carryArrays = 0)
   }
 
   /** The streamed first-fit fold shared by [[packNoStraddle]] (counts
-    * only) and [[materializeNoStraddle]] (ids carried through, sliced
-    * at the truncation clamp): input is `(strata, id, __n0)` or
-    * `(strata, id, __ids)`, output appends `n_tokens`, `truncated`,
-    * `seq_id`, `begin` (and keeps the truncated `__ids` when
-    * carried). One stratum-keyed shuffle, spill-safe partition sort,
-    * O(1) fold state — no group ever materializes.
+    * only), [[materializeNoStraddle]] (ids carried through, sliced at
+    * the truncation clamp), and [[Sft.packExamples]] (ids AND the
+    * aligned loss mask carried): input is `(strata, id, __n0)` when
+    * `carryArrays = 0`, else `(strata, id, <carryArrays aligned array
+    * columns>)` where the FIRST array's length is the token count and
+    * every carried array truncates to `seqLen` identically. Output
+    * appends `n_tokens`, `truncated`, `seq_id`, `begin` (and keeps
+    * the truncated arrays when carried). One stratum-keyed shuffle,
+    * spill-safe partition sort, O(1) fold state — no group ever
+    * materializes.
     */
-  private def firstFit(in: DataFrame, seqLen: Int,
-      carryIds: Boolean): DataFrame = {
+  private[operators] def firstFit(in: DataFrame, seqLen: Int,
+      carryArrays: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    val idsField =
-      if (carryIds)
-        Seq(StructField("__ids", ArrayType(LongType, containsNull = false),
-          nullable = false))
-      else Nil
-    val outSchema = StructType(in.schema.fields.take(2) ++ idsField ++ Seq(
-      StructField("n_tokens", LongType, nullable = false),
-      StructField("truncated", BooleanType, nullable = false),
-      StructField("seq_id", LongType, nullable = false),
-      StructField("begin", LongType, nullable = false)))
+    val outSchema = StructType(
+      in.schema.fields.take(2 + carryArrays) ++ Seq(
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("truncated", BooleanType, nullable = false),
+        StructField("seq_id", LongType, nullable = false),
+        StructField("begin", LongType, nullable = false)))
     val strataName = in.columns(0)
     val idName = in.columns(1)
     in.repartition(col(strataName))
@@ -283,9 +283,10 @@ object Packing {
           if (!started || k != curKey) {
             started = true; curKey = k; seqId = 0L; fill = 0L
           }
-          val ids: Seq[Long] =
-            if (carryIds) r.getSeq[Long](2) else null
-          val n0 = if (carryIds) ids.length.toLong else r.getLong(2)
+          val arrs: Seq[Seq[Any]] =
+            (0 until carryArrays).map(j => r.getSeq[Any](2 + j))
+          val n0 =
+            if (carryArrays > 0) arrs.head.length.toLong else r.getLong(2)
           val n = math.min(n0, seqLen.toLong)
           val begin =
             if (fill + n <= seqLen) fill
@@ -294,7 +295,7 @@ object Packing {
           val tail = Seq(n, n0 > seqLen, seqId, begin)
           org.apache.spark.sql.Row.fromSeq(
             Seq(r.get(0), r.get(1)) ++
-              (if (carryIds) Seq(ids.take(seqLen)) else Nil) ++ tail)
+              arrs.map(_.take(seqLen)) ++ tail)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -333,7 +334,7 @@ object Packing {
           merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
           tokenPattern, byteLevel = true),
         vocab, unkId = -1L).as("__ids"))
-    val assigned = firstFit(enc, seqLen, carryIds = true)
+    val assigned = firstFit(enc, seqLen, carryArrays = 1)
     val seqs = assigned
       .select(col(strataCol), col("seq_id"),
         struct(col("begin").as("pos"), col(assigned.columns(1)).as("doc"),

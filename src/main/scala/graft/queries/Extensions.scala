@@ -2160,6 +2160,94 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x104: PACKED SFT sequences ([[graft.operators.Sft
+    * .packExamples]]) — x103's loss-masked examples placed whole by
+    * the no-straddle first-fit fold, with the token stream, the
+    * aligned mask, and position ids that RESET at every example
+    * boundary, padded to the fixed shape. Same in-query transcript
+    * construction as x103 (user = first half, assistant = second
+    * half), so the oracle restates the x101 recursive-CTE assignment
+    * with per-doc token count `length + 2` and then, per sequence:
+    * example/token/mask/pad counts, `sum(position_ids)` as the
+    * closed-form `Σ n(n-1)/2` (positions must restart per example or
+    * the sum breaks), the md5 of both mask classes' content bytes in
+    * PLACEMENT order, and the spans string. Truncation clips the
+    * mask and the positions identically because all three ride the
+    * same fold.
+    */
+  def x104PackedSft(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val n = length(col("text"))
+    val h = (n / 2).cast("int")
+    val chat = concat(lit("<|user|>"), col("text").substr(lit(1), h),
+      lit("<|assistant|>"), col("text").substr(h + 1, n))
+    graft.operators.Sft.packExamples(
+        d.select(col("lang"), col("doc_id"), chat.as("chat")),
+        "doc_id", "chat", "lang", seqLen = 512,
+        roles = Seq("user", "assistant"), maskRole = "assistant",
+        merges = Nil, padToken = "<|pad|>",
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("lang"), col("seq_id"), col("n_examples"),
+        col("n_tokens"), col("n_masked"), col("n_pad"),
+        expr("aggregate(position_ids, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x)").as("sum_positions"),
+        // pad id = 258 (zero merges, specials user/assistant/pad)
+        size(filter(col("padded_ids"), t => t === 258L)).cast("long")
+          .as("n_pad_ids"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          expr("filter(zip_with(token_ids, loss_mask, " +
+            "(t, m) -> IF(m = 1, t, -1L)), x -> x >= 0)"), width = 1))
+          .as("masked_md5"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          expr("filter(zip_with(token_ids, loss_mask, " +
+            "(t, m) -> IF(m = 0 AND t < 256, t, -1L)), x -> x >= 0)"),
+          width = 1)).as("user_md5"),
+        array_join(expr("transform(doc_spans, f -> concat(f.doc, " +
+          "':', f.pos, ':', f.n, ':', f.truncated))"), ",")
+          .as("doc_spans"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  /** x105: DPO preference pairs ([[graft.operators.Sft
+    * .preferencePairs]]) — (prompt, chosen, rejected) built in-query
+    * as thirds of `text` (the planted-construction idiom), so every
+    * output restates as substr arithmetic under the zero-merge byte
+    * config: stream lengths with the eos id, whole-stream clipping at
+    * `maxLen = 256` with per-side flags, eos survival (= the
+    * unclipped stream fits), and the md5 of each side's KEPT content
+    * bytes (prompt ∥ completion prefix — the id filter drops the eos).
+    * A boundary merge, an off-by-one clip, or a lost eos breaks a
+    * hash or a flag.
+    */
+  def x105PreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val l = length(col("text"))
+    val a = (l / 3).cast("int")
+    val b = (l * 2 / 3).cast("int")
+    val eosId = 256L // zero merges, one special ⇒ first reserved id
+    graft.operators.Sft.preferencePairs(
+        d.select(col("doc_id"), col("text").substr(lit(1), a).as("p"),
+          col("text").substr(a + 1, b - a).as("c"),
+          col("text").substr(b + 1, l).as("r")),
+        "doc_id", "p", "c", "r", merges = Nil, maxLen = 256,
+        eosToken = Some("<|eos|>"), specialTokens = Seq("<|eos|>"),
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("doc_id"), col("n_prompt"), col("n_chosen"),
+        col("n_rejected"), col("chosen_truncated"),
+        col("rejected_truncated"),
+        (element_at(col("chosen_ids"), -1) === eosId)
+          .as("chosen_has_eos"),
+        (element_at(col("rejected_ids"), -1) === eosId)
+          .as("rejected_has_eos"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          filter(col("chosen_ids"), t => t < 256L), width = 1))
+          .as("chosen_md5"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          filter(col("rejected_ids"), t => t < 256L), width = 1))
+          .as("rejected_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x102: MATERIALIZED no-straddle sequences ([[graft.operators
     * .Packing.materializeNoStraddle]]) — x101's assignment carried to
     * the padded trainer artifact: per sequence, the placed documents'

@@ -188,7 +188,10 @@ object ScaleTrend {
       // oracle is minutes at sf1, so check_sf1 skips it — sf0.01/0.1
       // oracle rows stay the correctness evidence)
       "x100_fim_transform", "x101_pack_no_straddle",
-      "x102_materialize_no_straddle", "x103_sft_loss_mask")
+      "x102_materialize_no_straddle", "x103_sft_loss_mask",
+      // round 12 (post-refresh): packed SFT (first-fit fold + assembly
+      // with mask/positions riding) and the DPO pair map pass
+      "x104_packed_sft", "x105_preference_pairs")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -603,6 +603,21 @@ class PlanSpec extends SparkSpec {
       nodes(p100, "ShuffledHashJoin") + nodes(p100, "HashAggregate") +
       nodes(p100, "SortAggregate") + nodes(p100, "Window") == 0, p100)
     assert(nodes(p100, "Exchange") <= 1, p100)
+    // x104: packed SFT — example construction is a projection, then
+    // the first-fit fold's stratum exchange and the assembly
+    // aggregate; JOIN-FREE and WINDOW-FREE like x102
+    val p104 = plan(Extensions.x104PackedSft(spark, sfDir))
+    assert(nodes(p104, "BroadcastHashJoin") + nodes(p104, "SortMergeJoin") +
+      nodes(p104, "ShuffledHashJoin") == 0, p104)
+    assert(nodes(p104, "Window") == 0, s"fold must not be a window:\n$p104")
+    assert(nodes(p104, "Exchange") <= 3, p104)
+    // x105: preference pairs — a PURE map pass: no join, no
+    // aggregate, no window; the only exchange is the output ordering
+    val p105 = plan(Extensions.x105PreferencePairs(spark, sfDir))
+    assert(nodes(p105, "BroadcastHashJoin") + nodes(p105, "SortMergeJoin") +
+      nodes(p105, "ShuffledHashJoin") + nodes(p105, "HashAggregate") +
+      nodes(p105, "SortAggregate") + nodes(p105, "Window") == 0, p105)
+    assert(nodes(p105, "Exchange") <= 1, p105)
   }
 
   test("Curation.domainQuota (exact): WINDOW-FREE — bounded top-k " +
