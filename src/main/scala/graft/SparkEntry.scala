@@ -167,6 +167,7 @@ object SparkEntry {
     "x103_sft_loss_mask" -> Extensions.x103SftLossMask,
     "x104_packed_sft" -> Extensions.x104PackedSft,
     "x105_preference_pairs" -> Extensions.x105PreferencePairs,
+    "x106_tokenizer_fertility" -> Extensions.x106TokenizerFertility,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -945,6 +946,30 @@ object SparkEntry {
         |    AS user_md5
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // x106: token total = bytes − non-overlapping "in" count (the
+    // planted merge; instances are disjoint and pre-tokenization
+    // never splits letter-letter adjacency), words = collapsed
+    // non-whitespace runs under the explicit shared class
+    "x106_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS b,
+        |    CAST((length(text) - length(replace(text, 'in', ''))) // 2
+        |      AS BIGINT) AS m,
+        |    CAST(length(regexp_replace(text, '[^ \t\n\f\r]+', 'w',
+        |        'g')) -
+        |      length(replace(regexp_replace(text, '[^ \t\n\f\r]+',
+        |        'w', 'g'), 'w', '')) AS BIGINT) AS w
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(b) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(b - m) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST((SUM(b - m) * 1000) // NULLIF(SUM(w), 0) AS BIGINT)
+        |    AS fertility_milli,
+        |  CAST((SUM(b) * 1000) // NULLIF(SUM(b - m), 0) AS BIGINT)
+        |    AS compression_milli
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     // x105: thirds-of-text construction — stream lengths, clip flags,
     // eos survival, and kept-content md5s all restate as substr
     // arithmetic (prompt+chosen are CONTIGUOUS in text, so that md5

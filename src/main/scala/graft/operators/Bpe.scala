@@ -858,4 +858,48 @@ object Bpe {
       tokenPattern)
       .withColumn("token_ids", graft.expressions.GraftFunctions
         .tokenIds(col("tokens"), vocabTable, unkId = -1L))
+
+  /** Tokenizer EVALUATION profile — the numbers teams grade a trained
+    * tokenizer by, per stratum (usually language): document/byte/
+    * word/token totals plus the two derived ratios, `fertility`
+    * (tokens per word — how many pieces the tokenizer shatters a word
+    * into; high fertility on a language means that language pays more
+    * sequence budget per sentence) and `compression` (bytes per token
+    * — how much text one token carries). Both are emitted as
+    * INTEGER-EXACT milli-ratios (`(a * 1000) div b`) so cross-engine
+    * comparison never hinges on float formatting; null when the
+    * denominator is empty.
+    *
+    * Words are maximal runs of non-whitespace under the EXPLICIT
+    * class `[ \t\n\f\r]` (Java's `\s` and RE2's differ on
+    * U+000B, so the class is spelled out — the x92 lesson). Token
+    * counts come from the compiled map-side kernel, so the profile
+    * measures exactly what [[encodeBytes]]/the packers produce.
+    *
+    * Scale shape: one pure map projection + ONE stratum-keyed
+    * aggregate (partial map-side) — no join, no window, linear at any
+    * corpus size.
+    */
+  def fertilityStats(df: DataFrame, textCol: String, strataCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      byteLevel: Boolean = true,
+      tokenPattern: String =
+        graft.functions.TextFunctions.bpeTokenPattern): DataFrame = {
+    val toks = size(graft.expressions.GraftFunctions.bpeEncode(
+      col(textCol), merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+      tokenPattern, byteLevel)).cast("long")
+    val runs = regexp_replace(col(textCol),
+      "[^ \t\n\f\r]+", "w")
+    val words = (length(runs) - length(translate(runs, "w", "")))
+      .cast("long")
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"),
+        sum(toks).as("n_tokens"),
+        sum(words).as("n_words"))
+      .withColumn("fertility_milli",
+        expr("(n_tokens * 1000) div nullif(n_words, 0)"))
+      .withColumn("compression_milli",
+        expr("(n_bytes * 1000) div nullif(n_tokens, 0)"))
+  }
 }

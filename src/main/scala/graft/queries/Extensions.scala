@@ -2248,6 +2248,27 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x106: tokenizer fertility/compression profile ([[graft.operators
+    * .Bpe.fertilityStats]]) under a PLANTED one-merge table
+    * `(i, n) → in`: adjacent `i n` letters can never be split by the
+    * GPT-2 pre-tokenizer (letter runs are atomic; the contraction
+    * alternation needs an apostrophe), instances of a two-distinct-
+    * char pair are always disjoint, and a merge never creates a new
+    * `(i, n)` adjacency — so the engine's iterative merge loop
+    * removes EXACTLY the non-overlapping occurrence count, and the
+    * oracle restates the token total as
+    * `bytes − occurrences("in")` via `replace` arithmetic. Words use
+    * the explicit shared whitespace class. The ratios are integer
+    * milli-values, so no float crosses engines.
+    */
+  def x106TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Bpe.fertilityStats(d, "text", "lang",
+        merges = Seq((0, "i", "n", "in", 1L)),
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .orderBy(col("lang"))
+  }
+
   /** x102: MATERIALIZED no-straddle sequences ([[graft.operators
     * .Packing.materializeNoStraddle]]) — x101's assignment carried to
     * the padded trainer artifact: per sequence, the placed documents'

@@ -191,7 +191,8 @@ object ScaleTrend {
       "x102_materialize_no_straddle", "x103_sft_loss_mask",
       // round 12 (post-refresh): packed SFT (first-fit fold + assembly
       // with mask/positions riding) and the DPO pair map pass
-      "x104_packed_sft", "x105_preference_pairs")
+      "x104_packed_sft", "x105_preference_pairs",
+      "x106_tokenizer_fertility")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

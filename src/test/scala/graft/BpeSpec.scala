@@ -613,4 +613,35 @@ class BpeSpec extends SparkSpec {
     assert(enc == Seq("a", ".", "b", "a", ".", "b", "12", "12", "12",
       ".", ".", ".", "."))
   }
+
+  test("fertilityStats: hand fixture — planted-merge token count is " +
+      "bytes minus disjoint occurrences, words are explicit-class " +
+      "runs, empty-word stratum yields null fertility, milli-ratios " +
+      "integer-exact") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "king in winter inn"), // 18 bytes, 4 "in", 4 words
+      ("a", "i n in"), //             6 bytes, 1 "in", 3 words
+      ("b", "\t \r\n")) //            4 bytes, 0 "in", 0 words
+      .toDF("lang", "text")
+    val got = Bpe.fertilityStats(df, "text", "lang",
+        merges = Seq((0, "i", "n", "in", 1L)),
+        tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(a.fieldIndex("n_docs")) == 2L)
+    assert(a.getLong(a.fieldIndex("n_bytes")) == 24L)
+    assert(a.getLong(a.fieldIndex("n_tokens")) == 19L,
+      "24 bytes - 5 disjoint 'in' instances")
+    assert(a.getLong(a.fieldIndex("n_words")) == 7L)
+    assert(a.getLong(a.fieldIndex("fertility_milli")) == 19000L / 7L)
+    assert(a.getLong(a.fieldIndex("compression_milli")) == 24000L / 19L)
+    val b = got("b")
+    assert(b.getLong(b.fieldIndex("n_tokens")) == 4L,
+      "whitespace-only doc: every byte its own token, merge inapplicable")
+    assert(b.getLong(b.fieldIndex("n_words")) == 0L)
+    assert(b.isNullAt(b.fieldIndex("fertility_milli")),
+      "zero words must give null, not a division error")
+    assert(b.getLong(b.fieldIndex("compression_milli")) == 1000L)
+  }
 }

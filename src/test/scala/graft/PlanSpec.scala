@@ -618,6 +618,12 @@ class PlanSpec extends SparkSpec {
       nodes(p105, "ShuffledHashJoin") + nodes(p105, "HashAggregate") +
       nodes(p105, "SortAggregate") + nodes(p105, "Window") == 0, p105)
     assert(nodes(p105, "Exchange") <= 1, p105)
+    // x106: kernel-count projection + ONE stratum aggregate
+    val p106 = plan(Extensions.x106TokenizerFertility(spark, sfDir))
+    assert(nodes(p106, "BroadcastHashJoin") + nodes(p106, "SortMergeJoin") +
+      nodes(p106, "ShuffledHashJoin") + nodes(p106, "Window") == 0, p106)
+    assert(nodes(p106, "HashAggregate") >= 1, p106)
+    assert(nodes(p106, "Exchange") <= 2, p106)
   }
 
   test("Curation.domainQuota (exact): WINDOW-FREE — bounded top-k " +

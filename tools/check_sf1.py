@@ -44,7 +44,7 @@ QUERIES = [
     "x96_materialize_sequences", "x97_sequence_contamination",
     "x98_separator_sequences", "x99_token_frequency",
     "x100_fim_transform", "x103_sft_loss_mask",
-    "x105_preference_pairs",
+    "x105_preference_pairs", "x106_tokenizer_fertility",
 ]
 
 
