@@ -168,6 +168,7 @@ object SparkEntry {
     "x104_packed_sft" -> Extensions.x104PackedSft,
     "x105_preference_pairs" -> Extensions.x105PreferencePairs,
     "x106_tokenizer_fertility" -> Extensions.x106TokenizerFertility,
+    "x107_length_batches" -> Extensions.x107LengthBatches,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -946,6 +947,25 @@ object SparkEntry {
         |    AS user_md5
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // x107: descending-length rank → batch id → per-batch max —
+    // pure window arithmetic in the zero-merge byte config
+    "x107_length_batches" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_tokens DESC, doc_id) - 1) // 8 AS BIGINT)
+        |      AS batch_id
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens, batch_id,
+        |  CAST(MAX(n_tokens) OVER (PARTITION BY lang, batch_id)
+        |    AS BIGINT) AS batch_max,
+        |  CAST(MAX(n_tokens) OVER (PARTITION BY lang, batch_id)
+        |    - n_tokens AS BIGINT) AS padding
+        |FROM r ORDER BY lang, doc_id""".stripMargin,
     // x106: token total = bytes − non-overlapping "in" count (the
     // planted merge; instances are disjoint and pre-tokenization
     // never splits letter-letter adjacency), words = collapsed

@@ -358,6 +358,46 @@ object Packing {
     }
   }
 
+  /** LENGTH-GROUPED batching ("smart batching") — the dynamic-padding
+    * alternative to fixed-shape packing for variable-length examples:
+    * within a stratum, examples sort by token count DESCENDING (id as
+    * the tiebreak) and chunk into batches of `batchSize`; each batch
+    * pads only to ITS OWN longest member, so similar-length examples
+    * share a batch and the padding waste collapses versus
+    * arrival-order batching. Output per example: `n_tokens`,
+    * `batch_id`, `batch_max` (the batch's pad target), `padding`
+    * (this example's waste). Descending order also puts the most
+    * expensive batch first — the OOM probe a trainer wants early.
+    *
+    * Scale shape: count is a pure kernel projection; then ONE
+    * stratum-keyed exchange for the ranking window and one
+    * `(strata, batch)` exchange for the batch maximum. Length-sorting
+    * is inherently a per-stratum sort (that is what the operator
+    * means) — the stratum stays the parallelism unit, exactly like
+    * the packing variants; at 100 TB, batch per shard/language, never
+    * globally.
+    */
+  def lengthGroupedBatches(df: DataFrame, idCol: String,
+      textCol: String, strataCol: String, batchSize: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      byteLevel: Boolean = true,
+      tokenPattern: String = TextFunctions.bpeTokenPattern): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val n = size(graft.expressions.GraftFunctions.bpeEncode(
+      col(textCol), merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+      tokenPattern, byteLevel)).cast("long")
+    val w1 = Window.partitionBy(col(strataCol))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    val w2 = Window.partitionBy(col(strataCol), col("batch_id"))
+    df.select(col(strataCol), col(idCol), n.as("n_tokens"))
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("batch_id",
+        expr(s"CAST((__rn - 1) div $batchSize AS BIGINT)"))
+      .withColumn("batch_max", max(col("n_tokens")).over(w2))
+      .withColumn("padding", col("batch_max") - col("n_tokens"))
+      .drop("__rn")
+  }
+
   /** The shared offset/cut/straddle chain over a (strata, id, n_bpe)
     * frame — every packing variant differs only in how it counts.
     */

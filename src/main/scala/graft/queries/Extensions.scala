@@ -2269,6 +2269,22 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  /** x107: length-grouped batches ([[graft.operators.Packing
+    * .lengthGroupedBatches]]) — examples sorted by token count
+    * descending within a stratum and chunked into batches of 8, each
+    * padding to its own maximum. Zero-merge byte config makes the
+    * count `octet_length`, so the whole assignment (rank, batch id,
+    * per-batch max, per-example padding) restates as ROW_NUMBER/MAX
+    * window arithmetic in DuckDB.
+    */
+  def x107LengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Packing.lengthGroupedBatches(d, "doc_id", "text",
+        "lang", batchSize = 8, merges = Nil,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** x102: MATERIALIZED no-straddle sequences ([[graft.operators
     * .Packing.materializeNoStraddle]]) — x101's assignment carried to
     * the padded trainer artifact: per sequence, the placed documents'

@@ -271,7 +271,52 @@ class PackingSpec extends SparkSpec {
     assert(ex.getMessage.contains("not in specialTokens"), ex.getMessage)
   }
 
-  test("sequenceContamination: a benchmark shingle SPANNING a document " +
+  test("lengthGroupedBatches: descending-length chunks of batchSize, " +
+      "each padding to its own max; grouped padding never exceeds " +
+      "arrival-order padding on real data") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, "0123456789"), ("a", 2L, "012345678"),
+      ("a", 3L, "012"), ("a", 4L, "01"), ("a", 5L, "0"))
+      .toDF("lang", "doc_id", "text")
+    val got = graft.operators.Packing.lengthGroupedBatches(df,
+        "doc_id", "text", "lang", batchSize = 2, merges = Nil,
+        tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(r.fieldIndex("batch_id")),
+          r.getLong(r.fieldIndex("batch_max")),
+          r.getLong(r.fieldIndex("padding")))).toMap
+    assert(got(1L) == (0L, 10L, 0L) && got(2L) == (0L, 10L, 1L))
+    assert(got(3L) == (1L, 3L, 0L) && got(4L) == (1L, 3L, 1L))
+    assert(got(5L) == (2L, 1L, 0L), "the tail batch pads to itself")
+
+    // property on real data: batches are ≤ batchSize; total padding
+    // beats batching in id order (the reason the operator exists)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val b = 8
+    val grouped = graft.operators.Packing.lengthGroupedBatches(corpus,
+      "doc_id", "text", "lang", b, Nil,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val sizes = grouped.groupBy(col("lang"), col("batch_id")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(sizes <= b)
+    val groupedPad = grouped.agg(sum(col("padding"))).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    val naive = corpus
+      .select(col("lang"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("n"))
+      .withColumn("bid", expr(s"(row_number() over (partition by lang " +
+        s"order by doc_id) - 1) div $b"))
+    val naivePad = naive.groupBy(col("lang"), col("bid"))
+      .agg((max(col("n")) * count(lit(1)) - sum(col("n"))).as("p"))
+      .agg(sum(col("p"))).head.getLong(0)
+    assert(groupedPad <= naivePad,
+      s"length grouping must not pad more than arrival order: " +
+        s"$groupedPad vs $naivePad")
+  }
+
+  test("sequenceContamination: a benchmark shingle SPANNING a document" +
       "boundary flags the packed sequence while document-level " +
       "screening sees nothing — the gap this operator exists for") {
     import spark.implicits._

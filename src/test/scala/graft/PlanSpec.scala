@@ -624,6 +624,14 @@ class PlanSpec extends SparkSpec {
       nodes(p106, "ShuffledHashJoin") + nodes(p106, "Window") == 0, p106)
     assert(nodes(p106, "HashAggregate") >= 1, p106)
     assert(nodes(p106, "Exchange") <= 2, p106)
+    // x107: kernel-count projection + the two batching windows —
+    // stratum rank, (strata, batch) max — and nothing else
+    val p107 = plan(Extensions.x107LengthBatches(spark, sfDir))
+    assert(nodes(p107, "BroadcastHashJoin") + nodes(p107, "SortMergeJoin") +
+      nodes(p107, "ShuffledHashJoin") + nodes(p107, "HashAggregate") == 0,
+      p107)
+    assert(nodes(p107, "Window") == 2, p107)
+    assert(nodes(p107, "Exchange") <= 3, p107)
   }
 
   test("Curation.domainQuota (exact): WINDOW-FREE — bounded top-k " +
