@@ -169,6 +169,9 @@ object SparkEntry {
     "x105_preference_pairs" -> Extensions.x105PreferencePairs,
     "x106_tokenizer_fertility" -> Extensions.x106TokenizerFertility,
     "x107_length_batches" -> Extensions.x107LengthBatches,
+    "x108_temperature_sample" -> Extensions.x108TemperatureSample,
+    "x109_best_of_n" -> Extensions.x109BestOfN,
+    "x110_resume_shuffle" -> Extensions.x110ResumeShuffle,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -966,6 +969,91 @@ object SparkEntry {
         |  CAST(MAX(n_tokens) OVER (PARTITION BY lang, batch_id)
         |    - n_tokens AS BIGINT) AS padding
         |FROM r ORDER BY lang, doc_id""".stripMargin,
+    // x108: sqrt-temperature apportionment restated verbatim —
+    // IEEE sqrt is correctly rounded in both engines, everything
+    // after the floor is integer window arithmetic
+    "x108_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents
+        |  WHERE text IS NOT NULL GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (
+        |  SELECT lang, n, w,
+        |    CAST((300 * w) // CAST(SUM(w) OVER () AS BIGINT) AS BIGINT)
+        |      AS base,
+        |    CAST((300 * w) % CAST(SUM(w) OVER () AS BIGINT) AS BIGINT)
+        |      AS rem
+        |  FROM w),
+        |r AS (
+        |  SELECT lang, n, base, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+        |    CAST(SUM(base) OVER () AS BIGINT) AS tb
+        |  FROM t),
+        |g AS (
+        |  SELECT lang,
+        |    LEAST(n, base + CASE WHEN rk <= 300 - tb THEN 1 ELSE 0 END)
+        |      AS tgt
+        |  FROM r),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT s.lang, s.doc_id FROM s JOIN g ON s.lang = g.lang
+        |WHERE s.rn <= g.tgt ORDER BY s.lang, s.doc_id""".stripMargin,
+    // x109: planted candidates (prefixes at 1/4, 1/2, 3/4 with reward
+    // 4·len + k), arg-extrema as ROW_NUMBER windows
+    "x109_best_of_n" ->
+      """WITH c AS (
+        |  SELECT doc_id, k, doc_id * 4 + k AS cand_id,
+        |    substr(text, 1,
+        |      greatest(1, (length(text) * k) // 4)) AS cand
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, 3)) AS k)
+        |  WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, cand_id, cand,
+        |    CAST(length(cand) * 4 + k AS DOUBLE) AS reward
+        |  FROM c),
+        |x AS (
+        |  SELECT doc_id, cand_id, cand, reward,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY reward DESC, cand_id DESC) AS rb,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY reward ASC, cand_id ASC) AS rw,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+        |    MAX(reward) OVER (PARTITION BY doc_id)
+        |      - MIN(reward) OVER (PARTITION BY doc_id) AS margin
+        |  FROM r)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_candidates,
+        |  b.cand_id AS chosen_id, w.cand_id AS rejected_id, b.margin,
+        |  md5(b.cand) AS chosen_md5, md5(w.cand) AS rejected_md5
+        |FROM x b JOIN x w ON b.doc_id = w.doc_id
+        |WHERE b.rb = 1 AND w.rw = 1
+        |ORDER BY b.doc_id""".stripMargin,
+    // x110: x73's strpos hex shard arithmetic + hash-order position,
+    // skip as a plain filter
+    "x110_resume_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('r12:' || doc_id) AS hk FROM documents),
+        |s AS (
+        |  SELECT doc_id, hk,
+        |    CAST((( (strpos('0123456789abcdef', substr(hk,1,1))-1)*4096
+        |          + (strpos('0123456789abcdef', substr(hk,2,1))-1)*256
+        |          + (strpos('0123456789abcdef', substr(hk,3,1))-1)*16
+        |          + (strpos('0123456789abcdef', substr(hk,4,1))-1) ) * 32)
+        |        // 65536 AS INTEGER) AS shard
+        |  FROM h),
+        |p AS (
+        |  SELECT shard, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |      ORDER BY hk, doc_id) AS BIGINT) - 1 AS position
+        |  FROM s)
+        |SELECT shard, position, doc_id FROM p WHERE position >= 7
+        |ORDER BY shard, position""".stripMargin,
     // x106: token total = bytes − non-overlapping "in" count (the
     // planted merge; instances are disjoint and pre-tokenization
     // never splits letter-letter adjacency), words = collapsed

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mixture balancing for training corpora — downsample over-represented
@@ -50,6 +51,87 @@ object Mixing {
       .filter(col("__thr") === lit(full) ||
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr_hex"))
       .drop("__thr", "__thr_hex")
+  }
+
+  /** TEMPERATURE-based mixture sampling — the multilingual-mix device
+    * from the mT5/XLM-R line of work (public: Xue et al. NAACL'21 §3.2,
+    * Conneau et al. ACL'20 §3): a stratum with n_g rows receives a
+    * share of the `budget` proportional to n_g^α, so α = 1 reproduces
+    * the natural distribution, α = 0 is uniform over strata, and the
+    * usual α ∈ (0, 1) lifts low-resource strata without flattening the
+    * mix. [[capPerStratum]] is the hard-ceiling form; this is the
+    * smooth one.
+    *
+    * Everything that decides MEMBERSHIP is engine-exact:
+    *
+    *  - weights quantize to integer milli-units `⌊n^α · 1000⌋`. For the
+    *    default α = 0.5 the power is `sqrt`, which IEEE 754 requires to
+    *    be CORRECTLY ROUNDED — both JVM `Math.sqrt` and C `sqrt` return
+    *    the identical double, so the floor can never straddle engines
+    *    (α = 1 and α = 0 are pure integer arithmetic). Other α go
+    *    through `pow`, which libms only bound to ~1 ulp — fine for a
+    *    mix, but callers who need a bit-exact cross-engine oracle
+    *    should stick to {0, 0.5, 1}.
+    *  - per-stratum targets come from LARGEST-REMAINDER apportionment
+    *    over the integer weights (base = budget·w div W, the leftover
+    *    seats to the largest remainders, stratum name as the
+    *    tiebreak), clamped to the stratum size — so targets sum to
+    *    `budget` exactly unless clamping binds (a stratum smaller than
+    *    its share contributes all it has; the shortfall is reported,
+    *    not silently redistributed — redistribution would make every
+    *    stratum's sample depend on every other's size, destroying
+    *    incremental reproducibility).
+    *  - WITHIN a stratum the winners are the md5-hash-order prefix
+    *    ([[Sampling.stratifiedSample]]'s device): a pure function of
+    *    the id, identical across runs, engines, and partitionings.
+    *
+    * Scale shape: one tiny groupBy to count strata (|strata| rows),
+    * the apportionment windows run over that strata-sized frame (a
+    * single-partition window over dozens of rows, not the corpus),
+    * and the corpus pays exactly ONE stratum-keyed window for the
+    * hash rank — the same shape as the exact stratified sampler.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 0 && budget < (1L << 31),
+      s"budget out of range: $budget")
+    require(alpha >= 0 && alpha <= 1, s"alpha out of range: $alpha")
+    val n = col("__n").cast("double")
+    val w = alpha match {
+      case 0.0 => lit(1000L)
+      case 0.5 => floor(sqrt(n) * 1000d).cast("long")
+      case 1.0 => col("__n") * 1000L
+      case a => floor(pow(n, a) * 1000d).cast("long")
+    }
+    // the apportionment frame is |strata|-sized; the empty-frame
+    // windows below are single-partition BY DESIGN (dozens of rows)
+    val all = Window.partitionBy()
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", w)
+      .withColumn("__tw", sum(col("__w")).over(all))
+      // budget·w in DECIMAL(38,0): at α = 1 a 10¹²-row stratum has
+      // w = 10¹⁵, and budget·w would overflow a long — the decimal
+      // product is exact to 10³⁸ and the quotient (≤ budget) fits back
+      .withColumn("__base", expr(
+        s"CAST((CAST(${budget} AS DECIMAL(38,0)) * __w) div __tw " +
+          "AS BIGINT)"))
+      .withColumn("__rem", expr(
+        s"CAST((CAST(${budget} AS DECIMAL(38,0)) * __w) % __tw " +
+          "AS BIGINT)"))
+      .withColumn("__rk", row_number().over(
+        all.orderBy(col("__rem").desc, col(stratumCol))))
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(all))
+      .withColumn("__tgt", least(col("__n"),
+        col("__base") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)))
+      .select(col(stratumCol), col("__tgt"))
+    val rank = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(counts, stratumCol)
+      .withColumn("__rn", row_number().over(rank).cast("long"))
+      .filter(col("__rn") <= col("__tgt"))
+      .drop("__tgt", "__rn")
   }
 
   /** The UPSAMPLING half of the mixture recipe: replicate each

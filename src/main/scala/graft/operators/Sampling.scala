@@ -145,4 +145,41 @@ object Sampling {
         s" * $numShards) DIV 65536 AS INT)"))
       .withColumn("__shuffle_key", expr(hSql))
   }
+
+  /** RESUME a [[shuffleShards]] epoch from a mid-epoch checkpoint —
+    * the trainer-restart operator: a synchronous data-parallel run
+    * with `numShards` workers consumes one row per worker per step,
+    * each worker reading ITS shard in `__shuffle_key` order, so a
+    * checkpoint at global step G means every shard's first
+    * `skipPerShard = G` rows are already consumed. This emits exactly
+    * the unconsumed remainder — each surviving row with its `shard`
+    * and 0-based within-shard `position` — so a restarted run sees
+    * every example exactly once per epoch across the checkpoint
+    * boundary (the property a naive "reshuffle and continue" restart
+    * silently destroys: it re-draws the permutation and both repeats
+    * and drops examples).
+    *
+    * Determinism is inherited: shard and order are pure md5 functions
+    * of (seed, id), so the SAME (seed, numShards, skipPerShard) names
+    * the same remainder on any cluster, any partitioning, any engine
+    * — which is what makes the checkpoint portable.
+    *
+    * Scale shape: the shard assignment is map-side ([[shuffleShards]]);
+    * the within-shard position is ONE shard-keyed window (the shuffle
+    * any per-shard ordering must pay, amortized across the whole
+    * restart); the skip is a map-side filter on the rank. No global
+    * row index is ever materialized — positions are per-shard by
+    * construction, exactly like the files a trainer actually reads.
+    */
+  def resumeShuffle(df: DataFrame, idCol: String, seed: String,
+      numShards: Int, skipPerShard: Long): DataFrame = {
+    require(skipPerShard >= 0,
+      s"skipPerShard must be >= 0, got $skipPerShard")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__shuffle_key"), col(idCol))
+    shuffleShards(df, idCol, seed, numShards)
+      .withColumn("position", row_number().over(w).cast("long") - 1)
+      .filter(col("position") >= skipPerShard)
+      .drop("__shuffle_key")
+  }
 }

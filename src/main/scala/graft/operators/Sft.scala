@@ -178,6 +178,49 @@ object Sft {
         array_repeat(lit(0L), pad)))
   }
 
+  /** BEST-OF-N preference construction — the rejection-sampling step
+    * that turns scored candidate completions into the (chosen,
+    * rejected) pairs [[preferencePairs]] tokenizes (the public recipe:
+    * sample n completions per prompt, score with a reward model, keep
+    * the argmax — InstructGPT/Llama-2-style RLHF data prep). Input is
+    * one row per `(prompt, candidate)` with a numeric reward; output
+    * is one row per prompt with the argmax candidate as `chosen`, the
+    * argmin as `rejected`, the reward `margin`, and `n_candidates`.
+    *
+    * Ties are broken DETERMINISTICALLY by candidate id — highest id
+    * wins the max, lowest id wins the min — so the pair is a pure
+    * function of the data (reruns, partitionings, and engines agree).
+    * When every reward ties, `margin` is 0 and chosen ≠ rejected only
+    * through the id tiebreak; callers typically filter `margin > 0`
+    * before training (kept visible rather than silently dropped).
+    * Prompts with a single candidate yield chosen = rejected and
+    * margin 0 — same policy: report, don't guess.
+    *
+    * Scale shape: ONE prompt-keyed aggregation. `max_by`/`min_by` on a
+    * (reward, id) struct key are declarative Catalyst aggregates with
+    * PARTIAL (map-side) combine — per-prompt candidate sets never
+    * materialize anywhere, so n and the prompt count can both be
+    * data-sized. No window, no sort, no join.
+    */
+  def bestOfN(df: DataFrame, promptCol: String, candIdCol: String,
+      candTextCol: String, rewardCol: String): DataFrame = {
+    val ordKey = struct(col(rewardCol).cast("double"), col(candIdCol))
+    val cand = struct(col(candIdCol), col(candTextCol))
+    df.groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max_by(cand, ordKey).as("__best"),
+        min_by(cand, ordKey).as("__worst"),
+        (max(col(rewardCol).cast("double")) -
+          min(col(rewardCol).cast("double"))).as("margin"))
+      .select(col(promptCol), col("n_candidates"),
+        col(s"__best.$candIdCol").as("chosen_id"),
+        col(s"__best.$candTextCol").as("chosen"),
+        col(s"__worst.$candIdCol").as("rejected_id"),
+        col(s"__worst.$candTextCol").as("rejected"),
+        col("margin"))
+  }
+
   /** DPO/RLHF preference-pair preparation: tokenize `(prompt, chosen,
     * rejected)` into the two full streams a preference trainer
     * consumes — `chosen_ids` / `rejected_ids` are each

@@ -2285,6 +2285,63 @@ object Extensions {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** x108: temperature-based mixture sampling ([[graft.operators
+    * .Mixing.temperatureSample]]) — a 300-row budget apportioned over
+    * languages ∝ n^0.5 by largest remainder, winners the md5-order
+    * prefix per language. α = 0.5 keeps the whole chain engine-exact
+    * (IEEE sqrt is correctly rounded, everything after is integer
+    * arithmetic), so the oracle restates weights, apportionment, and
+    * the per-language rank cut verbatim in window SQL.
+    */
+  def x108TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Mixing.temperatureSample(d, "lang", "doc_id",
+        budget = 300L, alpha = 0.5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** x109: best-of-n preference construction ([[graft.operators.Sft
+    * .bestOfN]]) — three candidate completions per document planted
+    * in-query (prefixes of 1/4, 1/2, 3/4 of the text) with reward
+    * `4·length + k` (always distinct — the id tiebreak is exercised by
+    * the spec, not the oracle), argmax → chosen, argmin → rejected.
+    * The oracle restates the construction with substr arithmetic and
+    * the arg-extrema as ROW_NUMBER windows.
+    */
+  def x109BestOfN(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val cands = d.select(col("doc_id"), col("text"))
+      .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+      .withColumn("cand", expr(
+        "substr(text, 1, greatest(1, (octet_length(text) * k) div 4))"))
+      .withColumn("cand_id", col("doc_id") * 4 + col("k"))
+      .withColumn("reward",
+        (octet_length(col("cand")) * 4 + col("k")).cast("double"))
+    graft.operators.Sft.bestOfN(cands, "doc_id", "cand_id", "cand",
+        "reward")
+      .select(col("doc_id"), col("n_candidates"), col("chosen_id"),
+        col("rejected_id"), col("margin"),
+        md5(col("chosen")).as("chosen_md5"),
+        md5(col("rejected")).as("rejected_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x110: mid-epoch shuffle resume ([[graft.operators.Sampling
+    * .resumeShuffle]]) — the x73 deterministic shuffle (seed r12,
+    * 32 shards) checkpointed at per-shard position 7: the operator
+    * emits exactly the unconsumed remainder with shard + position.
+    * Oracle = x73's strpos hex arithmetic for the shard, ROW_NUMBER
+    * over the hash for the position, and the skip as a plain filter.
+    */
+  def x110ResumeShuffle(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Sampling.resumeShuffle(d, "doc_id", "r12",
+        numShards = 32, skipPerShard = 7L)
+      .select(col("shard"), col("position"), col("doc_id"))
+      .orderBy(col("shard"), col("position"))
+  }
+
   /** x102: MATERIALIZED no-straddle sequences ([[graft.operators
     * .Packing.materializeNoStraddle]]) — x101's assignment carried to
     * the padded trainer artifact: per sequence, the placed documents'

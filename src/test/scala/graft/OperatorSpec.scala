@@ -1060,6 +1060,51 @@ class OperatorSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("Mixing.temperatureSample: α=0.5 apportionment exact on closed-" +
+      "form counts, remainder to the largest fraction, α edges 0/1, " +
+      "clamped strata report their shortfall, partitioning-independent") {
+    import spark.implicits._
+    // counts 400/100/25 → sqrt weights 20000/10000/5000, W = 35000
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 525).map(i => (i.toLong, "c"))).toDF("id", "grp")
+    def counts(out: org.apache.spark.sql.DataFrame) =
+      out.groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // budget 70 divides exactly: 40/20/10
+    val t70 = graft.operators.Mixing.temperatureSample(df, "grp", "id", 70L)
+    assert(counts(t70) == Map("a" -> 40L, "b" -> 20L, "c" -> 10L))
+    // budget 71: remainders 20000/10000/5000 — the single leftover
+    // seat goes to 'a'
+    assert(counts(graft.operators.Mixing
+      .temperatureSample(df, "grp", "id", 71L)) ==
+      Map("a" -> 41L, "b" -> 20L, "c" -> 10L))
+    // α = 0 is uniform over strata; α = 1 is the natural distribution
+    assert(counts(graft.operators.Mixing
+      .temperatureSample(df, "grp", "id", 30L, alpha = 0.0)) ==
+      Map("a" -> 10L, "b" -> 10L, "c" -> 10L))
+    assert(counts(graft.operators.Mixing
+      .temperatureSample(df, "grp", "id", 21L, alpha = 1.0)) ==
+      Map("a" -> 16L, "b" -> 4L, "c" -> 1L))
+    // a stratum smaller than its share clamps to its size — the
+    // shortfall is visible, never silently redistributed
+    val tiny = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 904).map(i => (i.toLong, "tiny"))).toDF("id", "grp")
+    val clamped = counts(graft.operators.Mixing
+      .temperatureSample(tiny, "grp", "id", 100L, alpha = 0.0))
+    assert(clamped == Map("big" -> 50L, "tiny" -> 4L))
+    // pure function of the data: repartitioning changes nothing
+    val ids = t70.select("id").as[Long].collect().sorted.toSeq
+    val re = graft.operators.Mixing
+      .temperatureSample(df.repartition(7, col("id")), "grp", "id", 70L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(re == ids)
+    // budget 0 keeps nothing
+    assert(graft.operators.Mixing
+      .temperatureSample(df, "grp", "id", 0L).isEmpty)
+  }
+
   test("Mixing.epochsPerStratum: integer factors replicate exactly, " +
       "fractional factors gate ~frac of ids deterministically, zero " +
       "drops, copy_idx contiguous, map-side (no shuffle), " +

@@ -632,6 +632,28 @@ class PlanSpec extends SparkSpec {
       p107)
     assert(nodes(p107, "Window") == 2, p107)
     assert(nodes(p107, "Exchange") <= 3, p107)
+    // x108: the corpus pays one count aggregate, the strata-sized
+    // apportionment windows, the target join-back, and ONE rank
+    // window — never a cartesian or a corpus-sized extra exchange
+    val p108 = plan(Extensions.x108TemperatureSample(spark, sfDir))
+    assert(nodes(p108, "CartesianProduct") == 0, p108)
+    assert(nodes(p108, "Window") >= 2 && nodes(p108, "Window") <= 4, p108)
+    // x109: ONE prompt-keyed aggregation with map-side partial
+    // combine — no window, no join (max_by/min_by are declarative)
+    val p109 = plan(Extensions.x109BestOfN(spark, sfDir))
+    assert(nodes(p109, "BroadcastHashJoin") + nodes(p109, "SortMergeJoin") +
+      nodes(p109, "ShuffledHashJoin") + nodes(p109, "Window") == 0, p109)
+    assert(nodes(p109, "HashAggregate") + nodes(p109, "SortAggregate") +
+      nodes(p109, "ObjectHashAggregate") >= 2,
+      s"partial+final combine expected:\n$p109")
+    assert(nodes(p109, "Exchange") <= 2, p109)
+    // x110: map-side shard assignment + ONE shard-keyed rank window
+    val p110 = plan(Extensions.x110ResumeShuffle(spark, sfDir))
+    assert(nodes(p110, "BroadcastHashJoin") + nodes(p110, "SortMergeJoin") +
+      nodes(p110, "ShuffledHashJoin") + nodes(p110, "HashAggregate") +
+      nodes(p110, "SortAggregate") == 0, p110)
+    assert(nodes(p110, "Window") == 1, p110)
+    assert(nodes(p110, "Exchange") <= 2, p110)
   }
 
   test("Curation.domainQuota (exact): WINDOW-FREE — bounded top-k " +

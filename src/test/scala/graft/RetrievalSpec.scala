@@ -141,6 +141,37 @@ class RetrievalSpec extends SparkSpec {
     assert(a.values.map(_._2).toSet.size == 2000)
   }
 
+  test("resumeShuffle: skip 0 is the whole epoch with contiguous " +
+      "per-shard positions; consumed prefix + resumed remainder " +
+      "partition the corpus exactly; deterministic across " +
+      "partitionings") {
+    val df = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def resume(skip: Long, parts: Int = 4) =
+      Sampling.resumeShuffle(df.repartition(parts, col("doc_id")),
+          "doc_id", "s1", 32, skip)
+        .select("doc_id", "shard", "position").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val full = resume(0L)
+    assert(full.size == 2000, "skip 0 must emit every row")
+    // positions are 0-based and contiguous within each shard
+    full.values.groupBy(_._1).foreach { case (s, rows) =>
+      val pos = rows.map(_._2).toSeq.sorted
+      assert(pos == (0L until pos.size.toLong), s"shard $s: $pos")
+    }
+    // the checkpoint partitions the epoch: rows with position < skip
+    // are exactly the rows missing from the resumed remainder
+    val skip = 7L
+    val rest = resume(skip)
+    assert(rest.keySet == full.filter(_._2._2 >= skip).keySet)
+    // surviving rows keep their shard AND position — the remainder is
+    // a suffix of the same permutation, not a re-deal
+    rest.foreach { case (id, sp) => assert(sp == full(id)) }
+    // deterministic across partitionings
+    assert(resume(skip, parts = 13) == rest)
+    // skipping past every shard's size empties the epoch
+    assert(resume(10000L).isEmpty)
+  }
+
   test("domainQuota: exact cap on oversized domains, under-quota " +
       "domains pass whole, deterministic; the approx map-side form " +
       "agrees on regimes with a binomial-band cap") {

@@ -267,4 +267,29 @@ class SftSpec extends SparkSpec {
         eosToken = Some("<|eos|>"))
     }
   }
+
+  test("bestOfN: argmax → chosen, argmin → rejected, margin and count " +
+      "right; reward ties break by candidate id deterministically; a " +
+      "single candidate yields chosen = rejected with margin 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", 1L, "a", 1.0), ("p1", 2L, "b", 5.0), ("p1", 3L, "c", 3.0),
+      // all-tied rewards: highest id wins max, lowest wins min
+      ("p2", 4L, "d", 2.0), ("p2", 5L, "e", 2.0), ("p2", 6L, "f", 2.0),
+      // single candidate
+      ("p3", 7L, "g", 9.0))
+      .toDF("prompt", "cand_id", "cand", "reward")
+    val got = Sft.bestOfN(df, "prompt", "cand_id", "cand", "reward")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getString(5), r.getDouble(6))).toMap
+    assert(got("p1") == ((3L, 2L, "b", 1L, "a", 4.0)))
+    assert(got("p2") == ((3L, 6L, "f", 4L, "d", 0.0)))
+    assert(got("p3") == ((1L, 7L, "g", 7L, "g", 0.0)))
+    // pure function of the data: repartitioning changes nothing
+    val re = Sft.bestOfN(df.repartition(5, col("cand_id")), "prompt",
+        "cand_id", "cand", "reward")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(re == got.view.mapValues(_._2).toMap)
+  }
 }
