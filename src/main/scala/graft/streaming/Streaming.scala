@@ -202,6 +202,67 @@ object Streaming {
       }
   }
 
+  case class PackDoc(strata: String, doc_id: Long, n_bpe: Long)
+  case class PackedDoc(strata: String, doc_id: Long, n_bpe: Long,
+    begin_offset: Long, seq_id: Long, seq_last: Long, straddles: Boolean)
+
+  /** STREAMING sequence packing — [[graft.operators.Packing]]'s
+    * offset/cut/straddle assignment as documents ARRIVE, so a crawl
+    * ingest can emit trainer-ready packing metadata continuously
+    * instead of waiting for a batch re-pack of the whole corpus. Each
+    * stratum's state is ONE long (the write cursor in its infinite
+    * packed token stream): a document with n tokens occupies
+    * `[cursor, cursor + n)`, exactly the batch operator's interval
+    * arithmetic, so sequence ids keep growing monotonically across
+    * micro-batches and restarts (the cursor lives in the checkpointed
+    * state store — exactly-once like every stateful op here).
+    *
+    * ORDER is the one semantic that differs from batch by necessity:
+    * batch packing orders by id within a stratum; a stream packs in
+    * ARRIVAL order (that is what "streaming" means — the cursor
+    * cannot wait for smaller ids that may never come). Within a
+    * micro-batch the group's documents are sorted by id, so the
+    * assignment is deterministic given the batch boundaries, and a
+    * stream whose arrival order IS id order (e.g. replaying sorted
+    * shards) produces byte-identical output to the batch operator —
+    * the property the spec pins.
+    *
+    * Token counting composes upstream: the map-side BPE kernel is a
+    * pure projection, so `withColumn("n_bpe", size(bpeEncode(...)))`
+    * works on the stream unchanged ([[graft.operators.Bpe]] x94).
+    * State: O(1) per stratum. Per-batch work: the group's batch slice
+    * (sorted in memory — micro-batch-sized, never state).
+    */
+  def packStream(docs: DataFrame, idCol: String, strataCol: String,
+      countCol: String, seqLen: Int): Dataset[PackedDoc] = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import docs.sparkSession.implicits._
+    docs.select(col(strataCol).cast("string").as("strata"),
+        col(idCol).cast("long").as("doc_id"),
+        col(countCol).cast("long").as("n_bpe")).as[PackDoc]
+      .groupByKey(_.strata)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (strata: String, it: Iterator[PackDoc], state: GroupState[Long]) =>
+          // the batch slice sorts by id for within-batch determinism
+          // (micro-batch-sized, never state)
+          val docs = it.toArray.sortBy(_.doc_id)
+          var cur = state.getOption.getOrElse(0L)
+          val out = docs.map { d =>
+            require(d.n_bpe >= 0, s"negative token count: $d")
+            val begin = cur
+            cur = begin + d.n_bpe
+            val seqId = begin / seqLen
+            val seqLast =
+              if (d.n_bpe > 0) (cur - 1) / seqLen else seqId
+            PackedDoc(strata, d.doc_id, d.n_bpe, begin, seqId, seqLast,
+              seqId != seqLast)
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   case class DomDocTs(doc_id: Long, domain: String, ts: Timestamp)
 
   /** [[domainQuotaStream]] with BOUNDED state: domain counters evict

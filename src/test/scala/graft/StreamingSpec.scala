@@ -717,6 +717,76 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("packStream: cursor carries across micro-batches (offsets are " +
+      "one contiguous stream per stratum), straddles at the right " +
+      "cuts, and id-ordered arrival reproduces the batch packer " +
+      "byte-for-byte") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val stream = Streaming.packStream(
+      input.toDF.toDF("lang", "doc_id", "n"),
+      "doc_id", "lang", "n", seqLen = 10)
+    val q = stream.writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("pack_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+        .toMap
+      // batch 1: a:4+7 tokens (7 straddles the 10-cut), b:3
+      input.addData(Seq(("a", 1L, 4L), ("a", 2L, 7L), ("b", 10L, 3L)))
+      q.processAllAvailable()
+      assert(rows() == Map(
+        ("a", 1L) -> (0L, 0L, 0L, false),
+        ("a", 2L) -> (4L, 0L, 1L, true),
+        ("b", 10L) -> (0L, 0L, 0L, false)))
+      // batch 2: cursors resume at a=11, b=3; a zero-token doc sits
+      // at the cursor and never straddles
+      input.addData(Seq(("a", 3L, 9L), ("a", 4L, 0L), ("b", 11L, 17L)))
+      q.processAllAvailable()
+      val r2 = rows()
+      assert(r2(("a", 3L)) == (11L, 1L, 1L, false))
+      assert(r2(("a", 4L)) == (20L, 2L, 2L, false))
+      assert(r2(("b", 11L)) == (3L, 0L, 1L, true))
+
+      // id-ordered arrival ≡ the batch packer on the same counts:
+      // replay real documents (zero-merge byte counts) in id order
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val corpus = docsDf.select(col("lang"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("n"))
+      val batch = graft.operators.Packing.packSequencesBpe(
+          docsDf, "doc_id", "text", "lang", seqLen = 512, merges = Nil,
+          tokenPattern =
+            graft.functions.TextFunctions.bpeBytePatternFull)
+        .select("lang", "doc_id", "begin_offset", "seq_id", "seq_last",
+          "straddles")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .toMap
+      val in2 = MemoryStream[(String, Long, Long)]
+      val s2 = Streaming.packStream(in2.toDF.toDF("lang", "doc_id", "n"),
+        "doc_id", "lang", "n", seqLen = 512)
+      val q2 = s2.writeStream.format("memory").queryName("pack_stream2")
+        .outputMode("append").start()
+      try {
+        // two id-ordered micro-batches split mid-corpus
+        val all = corpus.orderBy("doc_id")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val (b1, b2) = all.splitAt(all.length / 2)
+        in2.addData(b1.toSeq); q2.processAllAvailable()
+        in2.addData(b2.toSeq); q2.processAllAvailable()
+        val streamed = spark.table("pack_stream2").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+          .toMap
+        assert(streamed == batch,
+          "id-ordered streaming must equal batch packing")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("domainQuotaStream: first-quota-per-domain across micro-batches, " +
       "cap survives idle batches, later arrivals at a full domain drop") {
     import spark.implicits._
