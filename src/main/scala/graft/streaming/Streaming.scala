@@ -263,6 +263,102 @@ object Streaming {
       }
   }
 
+  case class TokDoc(strata: String, doc_id: Long, ids: Array[Long])
+  case class Span(pos: Long, doc: Long, n: Long)
+  case class PackState(seqId: Long, ids: Array[Long], spans: Array[Span])
+  case class PackedSeq(strata: String, seq_id: Long,
+    token_ids: Array[Long], doc_spans: Array[Span], n_tokens: Long,
+    complete: Boolean)
+
+  /** STREAMING sequence MATERIALIZATION — the trainer artifact
+    * ([[graft.operators.Packing.materializeSequences]]: per-sequence
+    * `token_ids` + ordered `doc_spans` provenance) produced
+    * CONTINUOUSLY: each stratum's state carries the one partial
+    * sequence under construction (< `seqLen` tokens plus its spans —
+    * bounded by construction), documents append to it in id order
+    * within each micro-batch, and every sequence that fills EMITS in
+    * that batch. A document larger than the remaining budget
+    * straddles into the next sequence(s) exactly like the batch
+    * operator — including across micro-batch AND restart boundaries,
+    * because the partial sequence lives in the checkpointed state
+    * store.
+    *
+    * Only COMPLETE sequences emit (Append mode cannot retract a
+    * provisional tail, and a trainer cannot use a sequence that may
+    * still grow); the final partial sequence of a finite replay
+    * remains in state by design — flush it by sending a sentinel
+    * stratum-closing document of `seqLen` tokens, or take the tail
+    * from the batch operator during the cutover. Tokenization
+    * (byte-BPE ids under the shared vocabulary, optional
+    * `docSeparator` appended per document) happens as a pure
+    * projection BEFORE the stateful step, so the stateful work per
+    * batch is array copies only. Arrival order is the packing order
+    * across batches (the streaming contract — see [[packStream]]);
+    * id-ordered arrival reproduces the batch artifact byte-for-byte
+    * (spec-pinned).
+    */
+  def materializeStream(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, seqLen: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      specialTokens: Seq[String] = Nil,
+      docSeparator: Option[String] = None,
+      tokenPattern: String = graft.functions.TextFunctions
+        .bpeTokenPattern): Dataset[PackedSeq] = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val sepId = docSeparator.map { t =>
+      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
+        s"docSeparator '$t' is not in specialTokens — the separator " +
+          "id must come from the shared vocabulary"))
+    }
+    val encoded = graft.expressions.GraftFunctions.tokenIds(
+      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel = true),
+      vocab, unkId = -1L)
+    val withSep = sepId match {
+      case Some(id) => concat(encoded, array(lit(id)))
+      case None => encoded
+    }
+    import docs.sparkSession.implicits._
+    docs.select(col(strataCol).cast("string").as("strata"),
+        col(idCol).cast("long").as("doc_id"), withSep.as("ids"))
+      .as[TokDoc]
+      .groupByKey(_.strata)
+      .flatMapGroupsWithState[PackState, PackedSeq](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (strata: String, it: Iterator[TokDoc],
+            state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(
+            PackState(0L, Array.empty, Array.empty))
+          var seqId = st.seqId
+          val buf = scala.collection.mutable.ArrayBuffer(
+            st.ids.toIndexedSeq: _*)
+          val spans = scala.collection.mutable.ArrayBuffer(
+            st.spans.toIndexedSeq: _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
+          // id order within the batch (micro-batch-sized, never state)
+          for (d <- it.toArray.sortBy(_.doc_id)) {
+            var off = 0
+            // zero-token docs contribute no span (batch parity)
+            while (off < d.ids.length) {
+              val take = math.min(seqLen - buf.length, d.ids.length - off)
+              spans += Span(buf.length.toLong, d.doc_id, take.toLong)
+              buf ++= d.ids.view.slice(off, off + take)
+              off += take
+              if (buf.length == seqLen) {
+                out += PackedSeq(strata, seqId, buf.toArray,
+                  spans.toArray, seqLen.toLong, complete = true)
+                seqId += 1
+                buf.clear(); spans.clear()
+              }
+            }
+          }
+          state.update(PackState(seqId, buf.toArray, spans.toArray))
+          out.iterator
+      }
+  }
+
   case class DomDocTs(doc_id: Long, domain: String, ts: Timestamp)
 
   /** [[domainQuotaStream]] with BOUNDED state: domain counters evict

@@ -787,6 +787,91 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("materializeStream: complete sequences emit with exact spans, " +
+      "a straddling document carries across micro-batches through " +
+      "state, and id-ordered arrival equals the batch artifact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // hand fixture: seqLen 5, byte tokens. a1 'ab' (2), a2 'cdefg'
+    // (5): seq 0 = ab+cde (a2 straddles), buffer holds fg
+    val input = MemoryStream[(String, Long, String)]
+    val stream = Streaming.materializeStream(
+      input.toDF.toDF("lang", "doc_id", "text"), "doc_id", "text",
+      "lang", seqLen = 5, merges = Nil,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val q = stream.writeStream.format("memory").queryName("mat_stream")
+      .outputMode("append").start()
+    try {
+      def seqs() = spark.table("mat_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getSeq[Long](2),
+            r.getSeq[org.apache.spark.sql.Row](3)
+              .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))),
+            r.getLong(4), r.getBoolean(5))).toMap
+      input.addData(Seq(("a", 1L, "ab"), ("a", 2L, "cdefg")))
+      q.processAllAvailable()
+      val s1 = seqs()
+      assert(s1.keySet == Set(("a", 0L)))
+      val (ids0, spans0, n0, c0) = s1(("a", 0L))
+      assert(n0 == 5L && c0 && ids0.size == 5)
+      assert(spans0 == Seq((0L, 1L, 2L), (2L, 2L, 3L)),
+        s"straddle spans wrong: $spans0")
+      // batch 2: zero-token doc contributes nothing; 'hij' (3) tops
+      // up the carried 'fg' (2) → seq 1 completes with a2's TAIL
+      // first — the cross-batch straddle the state exists for
+      input.addData(Seq(("a", 3L, ""), ("a", 4L, "hij")))
+      q.processAllAvailable()
+      val s2 = seqs()
+      assert(s2.keySet == Set(("a", 0L), ("a", 1L)))
+      val (ids1, spans1, _, _) = s2(("a", 1L))
+      assert(ids1.size == 5)
+      assert(spans1 == Seq((0L, 2L, 2L), (2L, 4L, 3L)),
+        s"carried-tail spans wrong: $spans1")
+
+      // id-ordered replay over real documents (with a separator)
+      // equals the batch artifact minus its incomplete tails
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val batch = graft.operators.Packing.materializeSequences(
+          docsDf, "doc_id", "text", "lang", seqLen = 512, merges = Nil,
+          specialTokens = Seq("<|endoftext|>"),
+          dropIncomplete = true,
+          docSeparator = Some("<|endoftext|>"),
+          tokenPattern =
+            graft.functions.TextFunctions.bpeBytePatternFull)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getSeq[Long](2),
+            r.getSeq[org.apache.spark.sql.Row](3)
+              .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))))
+        .toMap
+      val in2 = MemoryStream[(String, Long, String)]
+      val s3 = Streaming.materializeStream(
+        in2.toDF.toDF("lang", "doc_id", "text"), "doc_id", "text",
+        "lang", seqLen = 512, merges = Nil,
+        specialTokens = Seq("<|endoftext|>"),
+        docSeparator = Some("<|endoftext|>"),
+        tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+      val q2 = s3.writeStream.format("memory").queryName("mat_stream2")
+        .outputMode("append").start()
+      try {
+        val all = docsDf.select("lang", "doc_id", "text")
+          .orderBy("doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        val (b1, b2) = all.splitAt(all.length / 2)
+        in2.addData(b1.toSeq); q2.processAllAvailable()
+        in2.addData(b2.toSeq); q2.processAllAvailable()
+        val streamed = spark.table("mat_stream2").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            (r.getSeq[Long](2),
+              r.getSeq[org.apache.spark.sql.Row](3)
+                .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))))
+          .toMap
+        assert(streamed == batch,
+          s"streamed ${streamed.size} vs batch ${batch.size} sequences")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("domainQuotaStream: first-quota-per-domain across micro-batches, " +
       "cap survives idle batches, later arrivals at a full domain drop") {
     import spark.implicits._
