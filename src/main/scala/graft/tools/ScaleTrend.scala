@@ -192,7 +192,13 @@ object ScaleTrend {
       // round 12 (post-refresh): packed SFT (first-fit fold + assembly
       // with mask/positions riding) and the DPO pair map pass
       "x104_packed_sft", "x105_preference_pairs",
-      "x106_tokenizer_fertility")
+      "x106_tokenizer_fertility",
+      // round 12 (final): length-grouped batching (two windows),
+      // sqrt-temperature mixture sampling (strata apportionment +
+      // one rank window), best-of-n pairs (one max_by/min_by agg),
+      // and the mid-epoch shuffle resume (one shard-keyed window)
+      "x107_length_batches", "x108_temperature_sample",
+      "x109_best_of_n", "x110_resume_shuffle")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

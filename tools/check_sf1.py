@@ -45,6 +45,8 @@ QUERIES = [
     "x98_separator_sequences", "x99_token_frequency",
     "x100_fim_transform", "x103_sft_loss_mask",
     "x105_preference_pairs", "x106_tokenizer_fertility",
+    "x107_length_batches", "x108_temperature_sample",
+    "x109_best_of_n", "x110_resume_shuffle",
 ]
 
 
