@@ -172,6 +172,7 @@ object SparkEntry {
     "x108_temperature_sample" -> Extensions.x108TemperatureSample,
     "x109_best_of_n" -> Extensions.x109BestOfN,
     "x110_resume_shuffle" -> Extensions.x110ResumeShuffle,
+    "x111_dsir_weights" -> Extensions.x111DsirWeights,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1034,6 +1035,47 @@ object SparkEntry {
         |FROM x b JOIN x w ON b.doc_id = w.doc_id
         |WHERE b.rb = 1 AND w.rw = 1
         |ORDER BY b.doc_id""".stripMargin,
+    // x111: DSIR — bigrams in list SQL, the strpos hex bucket hash,
+    // add-one smoothed counts, 1e-10-quantized log terms, term sums
+    "x111_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM tok WHERE len(tk) >= 2),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    (( (strpos('0123456789abcdef', substr(md5(bg),1,1))-1)*4096
+        |     + (strpos('0123456789abcdef', substr(md5(bg),2,1))-1)*256
+        |     + (strpos('0123456789abcdef', substr(md5(bg),3,1))-1)*16
+        |     + (strpos('0123456789abcdef', substr(md5(bg),4,1))-1) )
+        |     * 1024) // 65536 AS bucket
+        |  FROM bg),
+        |ct AS (SELECT bucket, COUNT(*) AS c FROM bk
+        |       WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ct) AS nt,
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM cr) AS nr),
+        |terms AS (
+        |  SELECT g.range AS bucket,
+        |    CAST(floor(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+        |      / CAST(tot.nt + 1024 AS DOUBLE)) * 1e10) AS BIGINT)
+        |    - CAST(floor(ln(CAST(COALESCE(r.c, 0) + 1 AS DOUBLE)
+        |      / CAST(tot.nr + 1024 AS DOUBLE)) * 1e10) AS BIGINT)
+        |      AS term
+        |  FROM range(0, 1024) g
+        |  LEFT JOIN ct t ON g.range = t.bucket
+        |  LEFT JOIN cr r ON g.range = r.bucket, tot)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+        |  CAST(SUM(term) AS BIGINT) AS score_q
+        |FROM bk b JOIN terms ON b.bucket = terms.bucket
+        |GROUP BY 1 ORDER BY b.doc_id""".stripMargin,
     // x110: x73's strpos hex shard arithmetic + hash-order position,
     // skip as a plain filter
     "x110_resume_shuffle" ->

@@ -2342,6 +2342,22 @@ object Extensions {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** x111: DSIR importance weights ([[graft.operators.Selection
+    * .dsirWeights]]) — raw pool = every document, target = the
+    * English subset, 1024 hashed-bigram buckets. The models are
+    * counting fits and every log term quantizes to a 1e-10 long
+    * before the per-document sum, so DuckDB restates the whole chain:
+    * bigrams in list SQL, the bucket hash via the strpos hex
+    * arithmetic, smoothed counts, and the quantized term sums.
+    */
+  def x111DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Selection.dsirWeights(
+        d, d.filter(col("lang") === "en"), "doc_id", "text",
+        numBuckets = 1024)
+      .orderBy(col("doc_id"))
+  }
+
   /** x102: MATERIALIZED no-straddle sequences ([[graft.operators
     * .Packing.materializeNoStraddle]]) — x101's assignment carried to
     * the padded trainer artifact: per sequence, the placed documents'

@@ -198,7 +198,10 @@ object ScaleTrend {
       // one rank window), best-of-n pairs (one max_by/min_by agg),
       // and the mid-epoch shuffle resume (one shard-keyed window)
       "x107_length_batches", "x108_temperature_sample",
-      "x109_best_of_n", "x110_resume_shuffle")
+      "x109_best_of_n", "x110_resume_shuffle",
+      // round 12 (post-final): DSIR importance weights — two
+      // bucket-bounded model aggs + broadcast term join + doc sum
+      "x111_dsir_weights")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -1105,6 +1105,70 @@ class OperatorSpec extends SparkSpec {
       .temperatureSample(df, "grp", "id", 0L).isEmpty)
   }
 
+  test("Selection.dsirWeights: equals a driver-side reference " +
+      "computation term for term, target-like documents outscore " +
+      "off-target ones, featureless docs excluded, " +
+      "partitioning-independent") {
+    import spark.implicits._
+    val target = Seq((100L, "the quick fox jumps"),
+      (101L, "the quick dog runs")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the quick fox jumps"), // pure target phrasing
+      (2L, "zzz qqq www vvv"),     // pure off-target
+      (3L, "the quick fox jumps the quick fox jumps"), // dup bigrams
+      (4L, "solo"),                // one token: no bigram features
+      (5L, "")).toDF("doc_id", "text")
+    val b = 64
+    val got = graft.operators.Selection.dsirWeights(raw, target,
+        "doc_id", "text", numBuckets = b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    // driver-side reference: same hash, same smoothing, same 1e-10
+    // quantization — computed independently with plain Scala
+    def bigrams(t: String): Seq[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 2) Seq.empty
+      else tk.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex16 = ((md(0) & 0xff) << 8) | (md(1) & 0xff)
+      hex16.toLong * b / 65536
+    }
+    val rawDocs = Map(1L -> "the quick fox jumps", 2L -> "zzz qqq www vvv",
+      3L -> "the quick fox jumps the quick fox jumps", 4L -> "solo",
+      5L -> "")
+    val tgtF = Seq("the quick fox jumps", "the quick dog runs")
+      .flatMap(bigrams).map(bucket)
+    val rawF = rawDocs.values.flatMap(bigrams).map(bucket).toSeq
+    def cnt(fs: Seq[Long]) = fs.groupBy(identity).view.mapValues(_.size)
+    val (ctM, crM, nt, nr) = (cnt(tgtF), cnt(rawF), tgtF.size, rawF.size)
+    def q(c: Int, n: Int): Long =
+      math.floor(math.log((c + 1).toDouble / (n + b).toDouble) * 1e10)
+        .toLong
+    val expected = rawDocs.collect {
+      case (id, t) if bigrams(t).nonEmpty =>
+        val fs = bigrams(t).map(bucket)
+        id -> (fs.size.toLong, fs.map(f =>
+          q(ctM.getOrElse(f, 0), nt) - q(crM.getOrElse(f, 0), nr)).sum)
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(!got.contains(4L) && !got.contains(5L),
+      "featureless docs must be excluded, not given fake scores")
+    assert(got(1L)._2 > got(2L)._2,
+      "target phrasing must outscore off-target text")
+    assert(got(3L)._1 == 7L, "duplicate bigrams count per occurrence")
+    // pure function of the data: repartitioning changes nothing
+    val re = graft.operators.Selection.dsirWeights(
+        raw.repartition(5, col("doc_id")),
+        target.repartition(3, col("doc_id")), "doc_id", "text", b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(re == got)
+  }
+
   test("Mixing.epochsPerStratum: integer factors replicate exactly, " +
       "fractional factors gate ~frac of ids deterministically, zero " +
       "drops, copy_idx contiguous, map-side (no shuffle), " +

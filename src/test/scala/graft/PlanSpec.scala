@@ -647,6 +647,16 @@ class PlanSpec extends SparkSpec {
       nodes(p109, "ObjectHashAggregate") >= 2,
       s"partial+final combine expected:\n$p109")
     assert(nodes(p109, "Exchange") <= 2, p109)
+    // x111: the bucket-term table reaches the exploded corpus
+    // features through a BROADCAST join (numBuckets rows, bounded by
+    // the parameter), the doc-keyed sum is an aggregate, and the
+    // 1-row total frames ride broadcast nested loops — never a
+    // cartesian
+    val p111 = plan(Extensions.x111DsirWeights(spark, sfDir))
+    assert(nodes(p111, "BroadcastHashJoin") >= 1, p111)
+    assert(nodes(p111, "CartesianProduct") +
+      nodes(p111, "SortMergeJoin") + nodes(p111, "Window") == 0, p111)
+    assert(nodes(p111, "HashAggregate") >= 2, p111)
     // x110: map-side shard assignment + ONE shard-keyed rank window
     val p110 = plan(Extensions.x110ResumeShuffle(spark, sfDir))
     assert(nodes(p110, "BroadcastHashJoin") + nodes(p110, "SortMergeJoin") +
