@@ -173,6 +173,7 @@ object SparkEntry {
     "x109_best_of_n" -> Extensions.x109BestOfN,
     "x110_resume_shuffle" -> Extensions.x110ResumeShuffle,
     "x111_dsir_weights" -> Extensions.x111DsirWeights,
+    "x112_token_windows_bpe" -> Extensions.x112TokenWindowsBpe,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1035,6 +1036,17 @@ object SparkEntry {
         |FROM x b JOIN x w ON b.doc_id = w.doc_id
         |WHERE b.rb = 1 AND w.rw = 1
         |ORDER BY b.doc_id""".stripMargin,
+    // x112: zero-merge byte windows = plain substring arithmetic
+    "x112_token_windows_bpe" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(LEAST(128, length(text) - i * 64) AS BIGINT)
+        |    AS chunk_tokens,
+        |  md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 128))
+        |    AS chunk_md5
+        |FROM documents, LATERAL (SELECT
+        |  unnest(generate_series(0, (length(text) - 1) // 64)) AS i)
+        |WHERE text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // x111: DSIR — bigrams in list SQL, the strpos hex bucket hash,
     // add-one smoothed counts, 1e-10-quantized log terms, term sums
     "x111_dsir_weights" ->

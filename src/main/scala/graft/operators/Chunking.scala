@@ -63,6 +63,50 @@ object Chunking {
         array_join(col("__w"), " ").as("chunk_text"))
   }
 
+  /** [[tokenWindows]] budgeted by the REAL tokenizer — the RAG/embedding
+    * prep a model-facing pipeline actually needs: window `i` covers
+    * TOKEN IDS `[i·stride, i·stride + width)` under the byte-level BPE
+    * (map-side kernel + the shared vocabulary), and `chunk_text` is the
+    * DECODED window — byte-exact reconstruction, because byte-level BPE
+    * is lossless and a token boundary is always a byte boundary (the
+    * regex form's space-rejoin can both miscount the embedding budget
+    * ~2× and mangle whitespace; this form's count IS the model's and
+    * its text round-trips). Under the full-fidelity pre-tokenization,
+    * non-overlapping windows reassemble the document exactly.
+    *
+    * Output: idCol, `chunk_idx`, `chunk_tokens`, `chunk_ids` (the
+    * window's token ids — what an embedding model consumes directly),
+    * `chunk_text`. Pure map: encode, sequence, posexplode, slice,
+    * decode — zero shuffles at any corpus size, streaming-composable.
+    */
+  def tokenWindowsBpe(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      specialTokens: Seq[String] = Nil,
+      tokenPattern: String = TextFunctions.bpeTokenPattern): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val ids = graft.expressions.GraftFunctions.tokenIds(
+      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel = true),
+      vocab, unkId = -1L)
+    df.select(col(idCol), ids.as("__ids"))
+      .withColumn("__n", size(col("__ids")))
+      .filter(col("__n") > 0)
+      .withColumn("__idx",
+        sequence(lit(0), expr(s"(__n - 1) div $stride")))
+      .select(col(idCol), col("__ids"),
+        posexplode(col("__idx")).as(Seq("chunk_idx", "__i")))
+      .withColumn("chunk_ids", slice(col("__ids"),
+        col("__i") * stride + 1, lit(width)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk_ids")).cast("long").as("chunk_tokens"),
+        col("chunk_ids"),
+        graft.expressions.GraftFunctions.idsToText(col("chunk_ids"),
+          vocab).as("chunk_text"))
+  }
+
   /** Corpus-wide segment dedup: cut each document into NON-overlapping
     * `width`-token segments, keep only the first occurrence of each
     * distinct segment text (ordered by (idCol, segment index)), and

@@ -2342,6 +2342,23 @@ object Extensions {
       .orderBy(col("shard"), col("position"))
   }
 
+  /** x112: BPE token-window chunking ([[graft.operators.Chunking
+    * .tokenWindowsBpe]]) — width 128, stride 64 over real token ids,
+    * chunk text decoded byte-exactly. Zero-merge byte config under
+    * the full-fidelity pre-tokenization makes window i's decoded text
+    * EXACTLY `substr(text, i·64 + 1, 128)`, so the oracle states
+    * index, count, and content md5 with plain substring arithmetic.
+    */
+  def x112TokenWindowsBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Chunking.tokenWindowsBpe(d, "doc_id", "text",
+        width = 128, stride = 64, merges = Nil,
+        tokenPattern = TextFunctions.bpeBytePatternFull)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** x111: DSIR importance weights ([[graft.operators.Selection
     * .dsirWeights]]) — raw pool = every document, target = the
     * English subset, 1024 hashed-bigram buckets. The models are

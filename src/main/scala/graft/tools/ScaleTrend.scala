@@ -201,7 +201,9 @@ object ScaleTrend {
       "x109_best_of_n", "x110_resume_shuffle",
       // round 12 (post-final): DSIR importance weights — two
       // bucket-bounded model aggs + broadcast term join + doc sum
-      "x111_dsir_weights")
+      "x111_dsir_weights",
+      // round 12 (post-final): BPE token-window chunking — pure map
+      "x112_token_windows_bpe")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -1268,6 +1268,52 @@ class OperatorSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("tokenWindowsBpe: windows are exact slices of the trained-merge " +
+      "id stream, non-overlapping windows reassemble the document " +
+      "byte-for-byte, token-free docs dropped") {
+    import graft.operators.{Bpe, Chunking}
+    val full = graft.functions.TextFunctions.bpeBytePatternFull
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull).limit(60)
+    val merges = Bpe.trainBytes(docs, "text", 25, tokenPattern = full)
+    assert(merges.nonEmpty)
+    // (1) chunk ids ≡ sliding slices of the full per-doc id stream
+    val fullIds = Bpe.encodeIdsBytes(docs, "doc_id", "text", merges,
+        Bpe.vocabBytes(merges), Long.MaxValue, full)
+      .select(col("doc_id"), col("token_ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val win = Chunking.tokenWindowsBpe(docs, "doc_id", "text",
+        width = 16, stride = 7, merges, tokenPattern = full)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getSeq[Long](3), r.getString(4))).toMap
+    for (((id, i), (n, ids, _)) <- win) {
+      val expect = fullIds(id).slice(i * 7, i * 7 + 16)
+      assert(ids == expect, s"doc $id window $i")
+      assert(n == expect.size.toLong)
+    }
+    // every full stream is covered: window count matches the formula
+    for ((id, ids) <- fullIds if ids.nonEmpty)
+      assert(win.keys.count(_._1 == id) == (ids.size - 1) / 7 + 1)
+    // (2) stride = width partitions: decoded concat == original text
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val parts = Chunking.tokenWindowsBpe(docs, "doc_id", "text",
+        width = 16, stride = 16, merges, tokenPattern = full)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+      .groupBy(_._1)
+    for ((id, rows) <- parts) {
+      val joined = rows.sortBy(_._2).map(_._3).mkString
+      assert(joined == texts(id),
+        s"doc $id must reassemble from non-overlapping windows")
+    }
+    // (3) token-free docs yield nothing
+    import spark.implicits._
+    val empty = Chunking.tokenWindowsBpe(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text",
+      4, 4, merges, tokenPattern = full)
+    assert(empty.isEmpty)
+  }
+
   test("Chunking invariants on random docs: non-overlapping windows " +
       "partition the tokens exactly; overlapping windows cover every " +
       "position with the right token") {

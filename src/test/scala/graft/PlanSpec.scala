@@ -647,6 +647,13 @@ class PlanSpec extends SparkSpec {
       nodes(p109, "ObjectHashAggregate") >= 2,
       s"partial+final combine expected:\n$p109")
     assert(nodes(p109, "Exchange") <= 2, p109)
+    // x112: BPE token-window chunking is a PURE MAP — encode,
+    // posexplode, slice, decode; the only exchange is output ordering
+    val p112 = plan(Extensions.x112TokenWindowsBpe(spark, sfDir))
+    assert(nodes(p112, "BroadcastHashJoin") + nodes(p112, "SortMergeJoin") +
+      nodes(p112, "ShuffledHashJoin") + nodes(p112, "HashAggregate") +
+      nodes(p112, "SortAggregate") + nodes(p112, "Window") == 0, p112)
+    assert(nodes(p112, "Exchange") <= 1, p112)
     // x111: the bucket-term table reaches the exploded corpus
     // features through a BROADCAST join (numBuckets rows, bounded by
     // the parameter), the doc-keyed sum is an aggregate, and the

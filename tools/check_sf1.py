@@ -47,7 +47,7 @@ QUERIES = [
     "x105_preference_pairs", "x106_tokenizer_fertility",
     "x107_length_batches", "x108_temperature_sample",
     "x109_best_of_n", "x110_resume_shuffle",
-    "x111_dsir_weights",
+    "x111_dsir_weights", "x112_token_windows_bpe",
 ]
 
 
