@@ -56,28 +56,40 @@ object Selection {
     * occurrence, exactly like the paper's bag model.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, numBuckets: Int = 1024): DataFrame = {
+      textCol: String, numBuckets: Int = 1024): DataFrame =
+    dsirScore(raw, idCol, textCol,
+      dsirTerms(raw, target, textCol, numBuckets), numBuckets)
+
+  private def bigramBuckets(df: DataFrame, textCol: String, b: Int,
+      extra: Column*): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol)).as("__tk")
+    df.select((extra :+ tk): _*)
+      .filter(size(col("__tk")) >= 2)
+      .select((extra :+ explode(expr(
+        "transform(slice(__tk, 1, size(__tk) - 1)," +
+          " (x, i) -> concat(x, ' ', __tk[i + 1]))")).as("__bg")): _*)
+      .withColumn("__bucket", expr(
+        s"(CAST(conv(substring(md5(__bg), 1, 4), 16, 10) AS BIGINT)" +
+          s" * $b) div 65536"))
+  }
+
+  /** FIT the two bucket models and return the frozen term table:
+    * `(bucket, term_q)`, exactly `numBuckets` rows — `term_q` is the
+    * 1e-10-quantized `log p_target(bucket) − log p_raw(bucket)` under
+    * add-one smoothing. This is the model artifact of the DSIR split:
+    * fit once here, score forever with [[dsirScore]] — including over
+    * a STREAM (the scorer is a broadcast stream-static join + one
+    * aggregation), and persist/reload as a plain `numBuckets`-row
+    * parquet like any dimension table.
+    */
+  def dsirTerms(raw: DataFrame, target: DataFrame, textCol: String,
+      numBuckets: Int = 1024): DataFrame = {
     require(numBuckets >= 2 && numBuckets <= 65536,
       s"numBuckets must be in [2, 65536], got $numBuckets")
     val b = numBuckets
-    val spark = raw.sparkSession
-
-    def bigramBuckets(df: DataFrame, extra: Column*): DataFrame = {
-      val tk = TextFunctions.tokens(col(textCol)).as("__tk")
-      df.select((extra :+ tk): _*)
-        .filter(size(col("__tk")) >= 2)
-        .select((extra :+ explode(expr(
-          "transform(slice(__tk, 1, size(__tk) - 1)," +
-            " (x, i) -> concat(x, ' ', __tk[i + 1]))")).as("__bg")): _*)
-        .withColumn("__bucket", expr(
-          s"(CAST(conv(substring(md5(__bg), 1, 4), 16, 10) AS BIGINT)" +
-            s" * $b) div 65536"))
-    }
-
     def model(df: DataFrame): DataFrame =
-      bigramBuckets(df).groupBy(col("__bucket"))
+      bigramBuckets(df, textCol, b).groupBy(col("__bucket"))
         .agg(count(lit(1)).as("__c"))
-
     // full bucket table (buckets absent from a corpus still carry
     // their smoothed term), both counts, both totals — numBuckets
     // rows end to end, bounded by the require above, hence the
@@ -88,9 +100,11 @@ object Selection {
     def q(c: Column, n: Column): Column =
       floor(log((c + 1).cast("double") / (n + b).cast("double"))
         * lit(1e10)).cast("long")
-    val terms = spark.range(0, b).select(col("id").as("__bucket"))
-      .join(mt.withColumnRenamed("__c", "__ct"), Seq("__bucket"), "left")
-      .join(mr.withColumnRenamed("__c", "__cr"), Seq("__bucket"), "left")
+    raw.sparkSession.range(0, b).select(col("id").as("bucket"))
+      .join(mt.withColumnRenamed("__c", "__ct"),
+        col("bucket") === col("__bucket"), "left").drop("__bucket")
+      .join(mr.withColumnRenamed("__c", "__cr"),
+        col("bucket") === col("__bucket"), "left").drop("__bucket")
       .na.fill(0L, Seq("__ct", "__cr"))
       // empty corpora degrade to the uniform smoothed model (N = 0)
       // instead of null scores
@@ -98,14 +112,28 @@ object Selection {
         coalesce(sum(col("__c")), lit(0L)).as("__nt"))))
       .crossJoin(broadcast(mr.agg(
         coalesce(sum(col("__c")), lit(0L)).as("__nr"))))
-      .select(col("__bucket"),
+      .select(col("bucket"),
         (q(col("__ct"), col("__nt")) - q(col("__cr"), col("__nr")))
-          .as("__term"))
+          .as("term_q"))
+  }
 
-    bigramBuckets(raw, col(idCol))
-      .join(broadcast(terms), Seq("__bucket"))
+  /** SCORE documents under a frozen [[dsirTerms]] table: features →
+    * broadcast term join → one id-keyed sum. `numBuckets` must be the
+    * value the terms were fit with (the bucket hash must agree).
+    * Works unchanged on a streaming frame — the join is stream-static
+    * against the bounded broadcast table and the aggregation is the
+    * per-micro-batch grouped sum a `foreachBatch` scorer runs; the
+    * batch form is what [[dsirWeights]] delegates to.
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= 65536,
+      s"numBuckets must be in [2, 65536], got $numBuckets")
+    bigramBuckets(df, textCol, numBuckets, col(idCol))
+      .join(broadcast(terms),
+        col("__bucket") === terms("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
-        sum(col("__term")).as("score_q"))
+        sum(col("term_q")).as("score_q"))
   }
 }

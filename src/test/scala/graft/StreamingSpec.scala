@@ -872,6 +872,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScore over a stream: frozen terms score arriving documents " +
+      "identically to the batch scorer (stream-static broadcast join, " +
+      "update-mode per-doc sums)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val terms = graft.operators.Selection.dsirTerms(
+      docsDf, docsDf.filter(col("lang") === "en"), "text", 256)
+      .cache()
+    val batch = graft.operators.Selection.dsirScore(
+        docsDf, "doc_id", "text", terms, 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.operators.Selection.dsirScore(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", terms, 256)
+    val q = scored.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("update").start()
+    try {
+      // two micro-batches; each doc arrives exactly once, so its
+      // update row IS its final score
+      val all = docsDf.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("dsir_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size} docs")
+    } finally { q.stop(); terms.unpersist() }
+  }
+
   test("domainQuotaStream: first-quota-per-domain across micro-batches, " +
       "cap survives idle batches, later arrivals at a full domain drop") {
     import spark.implicits._
