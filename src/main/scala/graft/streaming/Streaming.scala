@@ -331,31 +331,132 @@ object Streaming {
             state: GroupState[PackState]) =>
           val st = state.getOption.getOrElse(
             PackState(0L, Array.empty, Array.empty))
-          var seqId = st.seqId
-          val buf = scala.collection.mutable.ArrayBuffer(
-            st.ids.toIndexedSeq: _*)
-          val spans = scala.collection.mutable.ArrayBuffer(
-            st.spans.toIndexedSeq: _*)
-          val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
-          // id order within the batch (micro-batch-sized, never state)
-          for (d <- it.toArray.sortBy(_.doc_id)) {
-            var off = 0
-            // zero-token docs contribute no span (batch parity)
-            while (off < d.ids.length) {
-              val take = math.min(seqLen - buf.length, d.ids.length - off)
-              spans += Span(buf.length.toLong, d.doc_id, take.toLong)
-              buf ++= d.ids.view.slice(off, off + take)
-              off += take
-              if (buf.length == seqLen) {
-                out += PackedSeq(strata, seqId, buf.toArray,
-                  spans.toArray, seqLen.toLong, complete = true)
-                seqId += 1
-                buf.clear(); spans.clear()
-              }
-            }
-          }
-          state.update(PackState(seqId, buf.toArray, spans.toArray))
+          val (next, out) = packFold(strata, it, st, seqLen)
+          state.update(next)
           out.iterator
+      }
+  }
+
+  /** The shared per-batch packing fold: place the group's documents
+    * (sorted by id — micro-batch-sized, never state) against the
+    * carried partial sequence; emit every sequence that fills.
+    */
+  private def packFold(strata: String, it: Iterator[TokDoc],
+      st: PackState, seqLen: Int): (PackState, Seq[PackedSeq]) = {
+    var seqId = st.seqId
+    val buf = scala.collection.mutable.ArrayBuffer(
+      st.ids.toIndexedSeq: _*)
+    val spans = scala.collection.mutable.ArrayBuffer(
+      st.spans.toIndexedSeq: _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
+    for (d <- it.toArray.sortBy(_.doc_id)) {
+      var off = 0
+      // zero-token docs contribute no span (batch parity)
+      while (off < d.ids.length) {
+        val take = math.min(seqLen - buf.length, d.ids.length - off)
+        spans += Span(buf.length.toLong, d.doc_id, take.toLong)
+        buf ++= d.ids.view.slice(off, off + take)
+        off += take
+        if (buf.length == seqLen) {
+          out += PackedSeq(strata, seqId, buf.toArray,
+            spans.toArray, seqLen.toLong, complete = true)
+          seqId += 1
+          buf.clear(); spans.clear()
+        }
+      }
+    }
+    (PackState(seqId, buf.toArray, spans.toArray), out.toSeq)
+  }
+
+  case class TokDocTs(strata: String, doc_id: Long, ids: Array[Long],
+    ts: Timestamp)
+
+  /** [[materializeStream]] with an EVENT-TIME FLUSH — the answer to
+    * Append mode's tail problem: a stratum idle past `flushAfter` (by
+    * the watermark clock — deterministic and replayable, no wall time
+    * in the semantics) EMITS its partial sequence flagged
+    * `complete = false` and advances the cursor, so a finite replay or
+    * a gone-quiet source drains without sentinel documents. The
+    * sequence-id line CONTINUES across the flush (state is kept, only
+    * the buffer resets): a re-appearing stratum starts the next
+    * sequence, never reuses a flushed id. The trade is explicit:
+    * a flushed-then-reappearing stratum packs less densely than the
+    * infinite-stream ideal (the flushed tail is short) — that is what
+    * "flush" means; choose `flushAfter` longer than real arrival gaps.
+    *
+    * `watermarkDelay` is the usual late-arrival tolerance on `tsCol`.
+    * State and arithmetic are [[materializeStream]]'s (the shared
+    * fold); only the timeout path differs.
+    */
+  def materializeStreamFlush(docs: DataFrame, idCol: String,
+      textCol: String, strataCol: String, tsCol: String, seqLen: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      flushAfter: String,
+      specialTokens: Seq[String] = Nil,
+      docSeparator: Option[String] = None,
+      watermarkDelay: String = "0 seconds",
+      tokenPattern: String = graft.functions.TextFunctions
+        .bpeTokenPattern): Dataset[PackedSeq] = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val flushMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(flushAfter)) match {
+      case iv =>
+        require(iv.months == 0,
+          "flushAfter must be a day/time interval (months vary)")
+        iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(flushMs > 0, s"flushAfter must be positive, got $flushAfter")
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val sepId = docSeparator.map { t =>
+      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
+        s"docSeparator '$t' is not in specialTokens — the separator " +
+          "id must come from the shared vocabulary"))
+    }
+    val encoded = graft.expressions.GraftFunctions.tokenIds(
+      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel = true),
+      vocab, unkId = -1L)
+    val withSep = sepId match {
+      case Some(id) => concat(encoded, array(lit(id)))
+      case None => encoded
+    }
+    import docs.sparkSession.implicits._
+    docs.select(col(strataCol).cast("string").as("strata"),
+        col(idCol).cast("long").as("doc_id"), withSep.as("ids"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[TokDocTs]
+      .groupByKey(_.strata)
+      .flatMapGroupsWithState[PackState, PackedSeq](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (strata: String, it: Iterator[TokDocTs],
+            state: GroupState[PackState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            // flush the partial (if any), advance the cursor, KEEP
+            // the state so the sequence-id line survives idleness;
+            // no new timeout until the stratum speaks again
+            if (st.ids.nonEmpty) {
+              state.update(
+                PackState(st.seqId + 1, Array.empty, Array.empty))
+              Iterator.single(PackedSeq(strata, st.seqId, st.ids,
+                st.spans, st.ids.length.toLong, complete = false))
+            } else Iterator.empty
+          } else {
+            val arr = it.toArray // micro-batch-sized, never state
+            val st = state.getOption.getOrElse(
+              PackState(0L, Array.empty, Array.empty))
+            val (next, out) = packFold(strata,
+              arr.iterator.map(d => TokDoc(d.strata, d.doc_id, d.ids)),
+              st, seqLen)
+            state.update(next)
+            val maxTs = arr.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + flushMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
       }
   }
 

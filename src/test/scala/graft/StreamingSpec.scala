@@ -872,6 +872,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("materializeStreamFlush: an idle stratum's partial sequence " +
+      "flushes complete=false once the watermark passes last-seen + " +
+      "flushAfter; the sequence-id line continues after the flush; " +
+      "active strata never flush") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(minOfDay: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(minOfDay * 60000L)
+    val input = MemoryStream[(String, Long, String, java.sql.Timestamp)]
+    val stream = Streaming.materializeStreamFlush(
+      input.toDF.toDF("lang", "doc_id", "text", "ts"),
+      "doc_id", "text", "lang", "ts", seqLen = 5, merges = Nil,
+      flushAfter = "1 hour",
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val q = stream.writeStream.format("memory").queryName("mat_flush")
+      .outputMode("append").start()
+    try {
+      def seqs() = spark.table("mat_flush").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getSeq[Long](2).size, r.getLong(4), r.getBoolean(5)))
+        .toMap
+      // 10:00 — a: 7 tokens → seq 0 complete, 2 tokens buffered
+      input.addData(Seq(("a", 1L, "abcdefg", ts(600))))
+      q.processAllAvailable()
+      assert(seqs() == Map(("a", 0L) -> (5, 5L, true)))
+      // 10:30 — b speaks (watermark 10:00 < a's 11:00 horizon): a's
+      // partial holds
+      input.addData(Seq(("b", 10L, "xy", ts(630))))
+      q.processAllAvailable()
+      assert(seqs() == Map(("a", 0L) -> (5, 5L, true)))
+      // 13:00 — b advances the watermark past a's 11:00 horizon: a's
+      // 2-token partial flushes complete=false; b (last seen 10:30,
+      // horizon 11:30 < 13:00 watermark? watermark after THIS batch
+      // is 10:30; b re-arms its own timeout) — only a flushes
+      input.addData(Seq(("b", 11L, "z", ts(780))))
+      q.processAllAvailable()
+      input.addData(Seq(("b", 12L, "w", ts(781))))
+      q.processAllAvailable()
+      val s3 = seqs()
+      assert(s3(("a", 1L)) == (2, 2L, false),
+        s"idle partial must flush: $s3")
+      // 13:05 — a re-appears: the id line CONTINUES at seq 2 (never
+      // reuses the flushed id 1); 8 tokens → seq 2 completes (5) and
+      // 3 stay buffered
+      input.addData(Seq(("a", 2L, "hijklmno", ts(785))))
+      q.processAllAvailable()
+      val s4 = seqs()
+      assert(s4(("a", 2L)) == (5, 5L, true),
+        s"post-flush cursor must continue, got $s4")
+      assert(!s4.contains(("b", 0L)) || s4(("b", 0L))._3 == false,
+        "b has at most its own flush")
+    } finally q.stop()
+  }
+
   test("dsirScore over a stream: frozen terms score arriving documents " +
       "identically to the batch scorer (stream-static broadcast join, " +
       "update-mode per-doc sums)") {
