@@ -341,7 +341,7 @@ object Streaming {
     * (sorted by id — micro-batch-sized, never state) against the
     * carried partial sequence; emit every sequence that fills.
     */
-  private def packFold(strata: String, it: Iterator[TokDoc],
+  private[graft] def packFold(strata: String, it: Iterator[TokDoc],
       st: PackState, seqLen: Int): (PackState, Seq[PackedSeq]) = {
     var seqId = st.seqId
     val buf = scala.collection.mutable.ArrayBuffer(

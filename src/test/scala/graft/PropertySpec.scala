@@ -39,6 +39,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Streaming.packFold: micro-batch boundaries never change the " +
+      "emitted sequences (split-invariance), complete sequences tile " +
+      "[0, seqLen) exactly, and the carried state is the suffix") {
+    import graft.streaming.Streaming.{packFold, PackState, TokDoc}
+    def key(s: graft.streaming.Streaming.PackedSeq) =
+      (s.strata, s.seq_id, s.token_ids.toSeq,
+        s.doc_spans.map(x => (x.pos, x.doc, x.n)).toSeq, s.n_tokens,
+        s.complete)
+    val docsGen = for {
+      n <- Gen.chooseNum(0, 30)
+      lens <- Gen.listOfN(n, Gen.chooseNum(0, 25))
+    } yield lens.zipWithIndex.map { case (l, i) =>
+      TokDoc("s", i.toLong, Array.tabulate(l)(j => (i * 100 + j).toLong))
+    }
+    val p = Prop.forAll(docsGen, Gen.chooseNum(1, 12),
+        Gen.chooseNum(1, 5)) { (docs, seqLen, nSplits) =>
+      val zero = PackState(0L, Array.empty, Array.empty)
+      val (endA, allAtOnce) = packFold("s", docs.iterator, zero, seqLen)
+      // contiguous id-ordered batches (the streaming contract)
+      val cuts = (0 until nSplits)
+        .map(i => docs.size * i / nSplits).distinct :+ docs.size
+      var st = zero
+      val emitted = cuts.sliding(2).flatMap { case Seq(a, b) =>
+        val (next, out) = packFold("s",
+          docs.slice(a, b).iterator, st, seqLen)
+        st = next
+        out
+      }.toList
+      val same = emitted.map(key) == allAtOnce.map(key) &&
+        st.seqId == endA.seqId && st.ids.toSeq == endA.ids.toSeq &&
+        st.spans.toSeq == endA.spans.toSeq
+      // tiling: every emission is complete, spans cover [0, seqLen)
+      // contiguously, and token count is exactly seqLen
+      val tiled = allAtOnce.forall { s =>
+        s.complete && s.token_ids.length == seqLen &&
+          s.doc_spans.scanLeft(0L)((acc, sp) =>
+            { assert(sp.pos == acc); acc + sp.n }).last == seqLen
+      }
+      // conservation: every token lands in exactly one place
+      val total = docs.map(_.ids.length).sum
+      val conserved =
+        allAtOnce.size * seqLen + endA.ids.length == total
+      same && tiled && conserved
+    }
+    check("packFold split-invariance", p)
+  }
+
   private val token: Gen[String] =
     Gen.chooseNum(1, 6).flatMap(n =>
       Gen.stringOfN(n, Gen.alphaNumChar))
