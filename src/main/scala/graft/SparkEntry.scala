@@ -1270,9 +1270,9 @@ object SparkEntry {
         |SELECT lang, doc_id, n AS n_tokens, n0 > 512 AS truncated,
         |  seq_id, begin_off AS begin
         |FROM r ORDER BY lang, doc_id""".stripMargin,
-    // x100: FIM — gate and both cut points are 16-bit md5 slices
-    // (the x73 strpos hex arithmetic), reassembly compared by part
-    // lengths + joined-parts md5
+    // x100: FIM — 16-bit gate slice, 32-bit CUT slices (digits 5-12 /
+    // 13-20, the x73 strpos hex arithmetic), reassembly compared by
+    // part lengths + joined-parts md5
     "x100_fim_transform" ->
       """WITH h AS (
         |  SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hk,
@@ -1284,14 +1284,22 @@ object SparkEntry {
         |      + (strpos('0123456789abcdef', substr(hk,2,1))-1)*256
         |      + (strpos('0123456789abcdef', substr(hk,3,1))-1)*16
         |      + (strpos('0123456789abcdef', substr(hk,4,1))-1) AS h1,
-        |    (strpos('0123456789abcdef', substr(hk,5,1))-1)*4096
-        |      + (strpos('0123456789abcdef', substr(hk,6,1))-1)*256
-        |      + (strpos('0123456789abcdef', substr(hk,7,1))-1)*16
-        |      + (strpos('0123456789abcdef', substr(hk,8,1))-1) AS h2,
-        |    (strpos('0123456789abcdef', substr(hk,9,1))-1)*4096
+        |    (strpos('0123456789abcdef', substr(hk,5,1))-1)*268435456::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,6,1))-1)*16777216::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,7,1))-1)*1048576::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,8,1))-1)*65536::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,9,1))-1)*4096
         |      + (strpos('0123456789abcdef', substr(hk,10,1))-1)*256
         |      + (strpos('0123456789abcdef', substr(hk,11,1))-1)*16
-        |      + (strpos('0123456789abcdef', substr(hk,12,1))-1) AS h3
+        |      + (strpos('0123456789abcdef', substr(hk,12,1))-1) AS h2,
+        |    (strpos('0123456789abcdef', substr(hk,13,1))-1)*268435456::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,14,1))-1)*16777216::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,15,1))-1)*1048576::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,16,1))-1)*65536::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,17,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(hk,18,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(hk,19,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(hk,20,1))-1) AS h3
         |  FROM h),
         |c AS (
         |  SELECT doc_id, text, n,

@@ -788,7 +788,9 @@ object Bpe {
 
   /** Load a GPT-2 artifact pair: `(merges, vocab)` ready for
     * [[encodeBytes]] / [[encodeIdsBytes]] / [[decodeIds]]. Merge rank
-    * = line order (header/blank lines skipped); `merged` = the
+    * = line order (a first-line `#version` header and blank lines are
+    * skipped — ONLY those: a '#'-leading merge line is real data, the
+    * '#' byte symbol); `merged` = the
     * concatenation (the GPT-2 convention — the format carries no
     * separate merged string); pair counts are not part of the format
     * and load as 0. The vocab keeps FILE order, and ids are checked
@@ -806,9 +808,19 @@ object Bpe {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val merges = readAll("merges.txt").split("\n").iterator
+    val allLines = readAll("merges.txt").split("\n").toSeq
       .map(_.stripSuffix("\r"))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    // only the FIRST line may be the '#version' header — '#' is a
+    // legitimate printable byte symbol ('# #' is a real merge in
+    // published GPT-2 artifacts, producing the '##' token), so
+    // filtering every '#'-leading line would silently drop merges and
+    // break encode parity with the source tokenizer
+    val body = allLines match {
+      case h +: t if h.startsWith("#version") => t
+      case other => other
+    }
+    val merges = body.iterator
+      .filter(_.nonEmpty)
       .zipWithIndex.map { case (line, i) =>
         val sp = line.indexOf(' ')
         require(sp > 0 && line.indexOf(' ', sp + 1) < 0,

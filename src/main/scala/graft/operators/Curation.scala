@@ -211,7 +211,12 @@ object Curation {
       if (graft.core.Graft.estimatedBytes(thresholds) <= broadcastMaxBytes)
         broadcast(_)
       else identity
-    df.join(hint(thresholds), Seq(domainCol))
+    // NULL-SAFE join: rows whose domain extraction failed form one
+    // quota group of their own (the ranking-window semantics this form
+    // replaced). A plain equi-join never matches null keys and would
+    // silently drop every null-domain row.
+    val t = hint(thresholds).withColumnRenamed(domainCol, "__dom")
+    df.join(t, col(domainCol) <=> col("__dom"))
       .filter(sortKey <= col("__thr"))
       .select(df.columns.map(col).toSeq: _*) // restore input column order
   }
@@ -248,7 +253,11 @@ object Curation {
         broadcast(_)
       else identity
     val m = BigInt(16).pow(8).toLong
-    val joined = df.join(hint(counts), Seq(domainCol))
+    // null-safe: null-domain rows are one quota group, not dropped
+    // (same contract as the exact form)
+    val joined = df.join(
+      hint(counts).withColumnRenamed(domainCol, "__dom"),
+      col(domainCol) <=> col("__dom"))
     // threshold hex = floor(16^8 * quota / n), compared against the
     // first 8 md5 hex digits — lexicographic on equal-length lowercase
     // hex ≡ numeric compare

@@ -62,14 +62,17 @@ object Masking {
     * whole transform is engine-exact (x100's oracle restates gate,
     * cuts, and reassembly in DuckDB).
     *
-    * Cut derivation (all 16-bit md5 slices, the [[graft.operators
-    * .Sampling]] hex arithmetic): gate = digits 1–4 under
-    * `⌊16⁴·rate⌋`; middle start `a = h₂ mod n` (0-based), middle
-    * length `1 + (h₃ mod (n − a))` — every split with a non-empty
-    * middle is reachable, prefix/suffix may be empty (document-edge
-    * spans, which FIM training wants). Documents shorter than 2 chars
-    * never transform. Untransformed rows carry
-    * `(prefix, middle, suffix) = (text, "", "")`.
+    * Cut derivation (the [[graft.operators.Sampling]] hex
+    * arithmetic): gate = 16-bit digits 1–4 under `⌊16⁴·rate⌋`; the CUT
+    * slices are 32-bit — middle start `a = h₂ mod n` (0-based, digits
+    * 5–12), middle length `1 + (h₃ mod (n − a))` (digits 13–20) — so
+    * every split is reachable for documents up to 2³² chars (a 16-bit
+    * slice would pin the middle inside the first 64Ki chars of long
+    * documents and never cover their tail; residual modular bias is
+    * ≤ n/2³², negligible at real document lengths). Prefix/suffix may
+    * be empty (document-edge spans, which FIM training wants).
+    * Documents shorter than 2 chars never transform. Untransformed
+    * rows carry `(prefix, middle, suffix) = (text, "", "")`.
     *
     * Output: input columns + `fim`, `prefix`, `middle`, `suffix`.
     * Pure map — ZERO shuffles at any corpus size; rearranging into
@@ -82,16 +85,18 @@ object Masking {
     require(rateNum >= 0 && rateDen > 0, "rate must be a valid fraction")
     val threshold = (BigInt(16).pow(4) * rateNum / rateDen).toLong
     val h = md5(col(idCol).cast("string"))
-    def hx(from: Int): Column =
-      conv(substring(h, from, 4), 16, 10).cast("long")
+    def hx(from: Int, digits: Int): Column =
+      conv(substring(h, from, digits), 16, 10).cast("long")
     val n = length(col(textCol)).cast("long")
     val gate =
       if (rateNum >= rateDen) lit(true) // 16^4 is five hex digits
-      else hx(1) < lit(threshold)
+      else hx(1, 4) < lit(threshold)
     val isFim = gate && n >= 2
     val t = col(textCol)
-    val a = hx(5) % n // 0-based middle start
-    val lenMid = lit(1L) + hx(9) % (n - a)
+    // 32-bit cut slices: a 16-bit slice caps the reachable start/length
+    // at 64Ki, starving the tail of long documents (see scaladoc)
+    val a = hx(5, 8) % n // 0-based middle start
+    val lenMid = lit(1L) + hx(13, 8) % (n - a)
     // Substring takes IntegerType positions; the mod arithmetic stays
     // in longs, the cuts cast down (a single document longer than
     // 2^31 chars is a row-size impossibility upstream)

@@ -15,7 +15,10 @@ import graft.functions.TextFunctions
   * The assignment is a pure function of (stratum, id order, token
   * counts): every offset is an exact integer running sum, so shards can
   * be packed independently, re-runs are byte-stable, and a downstream
-  * loader can seek any sequence id directly.
+  * loader can seek any sequence id directly. Ids are assumed UNIQUE
+  * within a stratum ("id order" is otherwise ill-defined); the offset
+  * windows use an explicit ROWS frame so a violated assumption yields
+  * disjoint per-row intervals rather than silently overlapping ones.
   *
   * Scale shape: one shuffle keyed by the stratum column, then a
   * per-stratum prefix sum (ordered window). The stratum IS the
@@ -132,7 +135,14 @@ object Packing {
     val enc = df.select(col(strataCol), col(idCol),
         withSep.as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
+    // ROWS frame, not the orderBy default RANGE: under RANGE, rows
+    // sharing an id would all receive the LAST duplicate's running sum
+    // as __end, yielding overlapping fragments with no error. Ids are
+    // documented unique per stratum; the ROWS frame makes a violation
+    // produce disjoint (if order-arbitrary) intervals instead of
+    // silently corrupt sequences.
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val frags = enc
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("__begin", col("__end") - col("__n"))
@@ -404,7 +414,10 @@ object Packing {
   private def packCounts(counts: DataFrame, idCol: String,
       strataCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    // ROWS frame — see materializeSequences: the default RANGE frame
+    // gives duplicate ids identical end offsets (overlapping intervals)
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts
       .withColumn("end_offset", sum(col("n_bpe")).over(w))
       .withColumn("begin_offset", col("end_offset") - col("n_bpe"))

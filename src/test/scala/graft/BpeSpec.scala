@@ -599,6 +599,42 @@ class BpeSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("loadGpt2 keeps '#'-leading merge lines — only a first-line " +
+      "#version header is skipped ('#' is a real byte symbol; '# #' " +
+      "is a published GPT-2 merge) — and the pair round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gpt2_hash").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "merges.txt"),
+      "#version: 0.2\n# #\n## #\n".getBytes("UTF-8"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    (0 until 256).foreach(b => node.put(
+      graft.expressions.ByteUnicode.byteToChar(b).toString, b.toLong))
+    node.put("##", 300L)
+    node.put("###", 301L)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "vocab.json"),
+      mapper.writeValueAsBytes(node))
+    val (m, v) = Bpe.loadGpt2(spark, dir)
+    assert(m == Seq((1, "#", "#", "##", 0L), (2, "##", "#", "###", 0L)),
+      s"'#'-leading merges were dropped: $m")
+    // and they ENCODE under the full pattern (punctuation runs stay
+    // one pre-token): '###' → (# #)→(## #)→ one ### token
+    val df = Seq((1L, "###")).toDF("id", "text")
+    val ids = Bpe.encodeIdsBytes(df, "id", "text", m, v,
+        graft.operators.Dedup.VerifyBroadcastMaxBytes,
+        graft.functions.TextFunctions.bpeBytePatternFull)
+      .select(col("token_ids")).head.getSeq[Long](0)
+    assert(ids == Seq(301L), ids.toString)
+    // save→load round-trips the '#' merges too
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_gpt2_hash_rt").toString
+    Bpe.saveGpt2(spark, m, dir2)
+    val (m2, _) = Bpe.loadGpt2(spark, dir2)
+    assert(m2 == m, s"round-trip lost '#' merges: $m2")
+  }
+
   test("punctuation and digit words: single-mark words never merge " +
       "(no pairs), digit runs merge like letter runs, regex " +
       "metacharacters in symbols are quoted") {

@@ -1029,6 +1029,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("Masking.fimTransform: 32-bit cut slices cover the tail of " +
+      "long documents — middles start past 64Ki chars (impossible " +
+      "under 16-bit slices), reassembly stays exact") {
+    import spark.implicits._
+    import graft.operators.Masking
+    // 20 docs of 200k chars; under 16-bit arithmetic every middle
+    // start was h % n confined to 0..65535
+    val df = (1 to 20).map(i => (i.toLong, "y" * 200000))
+      .toDF("doc_id", "text")
+    val out = Masking.fimTransform(df, "doc_id", "text", 1, 1)
+      .select("fim", "prefix", "middle", "suffix").collect()
+    assert(out.forall(_.getBoolean(0)))
+    out.foreach { r =>
+      assert(r.getString(1).length + r.getString(2).length +
+        r.getString(3).length == 200000, "reassembly must be exact")
+      assert(r.getString(2).nonEmpty)
+    }
+    // md5 is fixed: for these 20 ids at n=200000, some middle starts
+    // beyond 65536 (deterministically; P≈1e-10 were slices uniform
+    // 16-bit-capped)
+    assert(out.exists(_.getString(1).length > 65536),
+      "no middle ever started past 64Ki — cut slices still 16-bit?")
+  }
+
   test("Mixing.capPerStratum: rate-1 strata untouched, capped strata " +
       "near the cap, selection partitioning-independent and nested") {
     import spark.implicits._

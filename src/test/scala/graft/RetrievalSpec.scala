@@ -202,6 +202,38 @@ class RetrievalSpec extends SparkSpec {
     assert(exact.forall(p => ids(p._1)) && approx.forall(p => ids(p._1)))
   }
 
+  test("domainQuota: NULL-domain rows form one quota group of their " +
+      "own (null-safe join) — never silently dropped; exact form " +
+      "matches the ranking-window semantics including the null " +
+      "partition; approx form keeps them too") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.expressions.Window
+    // 150 rows with a NULL domain (failed extraction) + one domain at
+    // exactly quota
+    val df = (1L to 250L).map { i =>
+      (i, if (i <= 150) null else "real"): (Long, String)
+    }.toDF("id", "dom")
+    val exact = Curation.domainQuota(df, "dom", "id", quota = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(exact.count(_._2 == null) == 100,
+      s"null group must cap at quota, got ${exact.count(_._2 == null)}")
+    assert(exact.count(_._2 == "real") == 100)
+    // the kept set equals row_number() over the null-inclusive window
+    val w = Window.partitionBy(col("dom")).orderBy(
+      concat(md5(col("id").cast("string")), col("id").cast("string")))
+    val ref = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(exact.toSet == ref)
+    // approx: the null group thins around quota (binomial 150·(2/3)),
+    // not to zero
+    val approx = Curation.domainQuotaApprox(df, "dom", "id", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val aNull = approx.count(_._2 == null)
+    assert(aNull > 55 && aNull <= 150, s"approx kept $aNull null rows")
+    assert(approx.count(_._2 == "real") == 100)
+  }
+
   test("withUrlParts under a PSL emits BOTH keys in punycode: IDN and " +
       "wire-form URLs of the same site land in one host and one " +
       "registered domain") {
