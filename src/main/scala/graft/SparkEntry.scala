@@ -174,6 +174,7 @@ object SparkEntry {
     "x110_resume_shuffle" -> Extensions.x110ResumeShuffle,
     "x111_dsir_weights" -> Extensions.x111DsirWeights,
     "x112_token_windows_bpe" -> Extensions.x112TokenWindowsBpe,
+    "x113_knn_ivfpq_indexed" -> Extensions.x113KnnIvfPqIndexed,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer

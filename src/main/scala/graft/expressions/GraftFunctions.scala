@@ -27,6 +27,9 @@ object GraftFunctions {
   def vecL2Sq(a: Column, b: Column): Column = c(VecL2Sq(e(a), e(b)))
   def hyperplaneBucket(a: Column, nBits: Int, dim: Int = -1): Column =
     c(HyperplaneBucket(e(a), nBits, dim))
+  def residualVec(vec: Column, cell: Column,
+      centroids: Seq[Seq[Float]]): Column =
+    c(ResidualVec(e(vec), e(cell), centroids))
   def nearestCells(a: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column =
     c(NearestCells(e(a), centroids, nProbe))
   def hyperplaneBands(a: Column, bands: Int, bitsPerBand: Int): Column =

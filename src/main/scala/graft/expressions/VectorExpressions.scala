@@ -413,6 +413,49 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
     copy(child = newChild)
 }
 
+/** The IVF-PQ residual `v − centroid[cell]` for one float vector, as ONE
+  * map-side compiled pass — the encode step of a composed
+  * coarse-quantizer + product-quantizer index
+  * ([[graft.operators.IvfPqIndex]]): PQ codebooks trained on residuals
+  * quantize a far tighter distribution than raw vectors (Jégou et al.
+  * TPAMI'11 §IV), and computing the residual must not cost an exchange
+  * at corpus scale. The centroid table rides inside the expression like
+  * [[NearestCells]]'s. Out-of-range cell indices fail loudly — they mean
+  * the cell column and the centroid table are from different builds.
+  */
+case class ResidualVec(left: Expression, right: Expression,
+    centroids: Seq[Seq[Float]])
+    extends BinaryExpression with BinaryKernelCodegen {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_residual_vec"
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def kernel(a: Any, b: Any): Any = {
+    val xs = VecKernels.floats(a.asInstanceOf[ArrayData])
+    val cell = b.asInstanceOf[Int]
+    require(cell >= 0 && cell < cents.length,
+      s"cell $cell out of range for ${cents.length} centroids — " +
+        "cell assignment and centroid table are from different builds")
+    val cv = cents(cell)
+    val out = new Array[Any](xs.length)
+    var i = 0
+    while (i < xs.length) {
+      out(i) = xs(i) - (if (i < cv.length) cv(i) else 0.0f)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResidualVec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Symmetric int8 quantization audit for one float vector, as ONE
   * map-side compiled pass: struct(dim, max_q, min_q, mse) where the
   * per-dim squared reconstruction errors are quantized to 1e-12 longs

@@ -324,7 +324,7 @@ object PqIndex {
     */
   private[operators] def encodeWithErrors(c: DataFrame,
       codebooks: IndexedSeq[Seq[Seq[Float]]], numSubspaces: Int,
-      sub: Int): DataFrame = {
+      sub: Int, extraCols: Seq[String] = Nil): DataFrame = {
     val codeCols = (0 until numSubspaces).map { s =>
       nearestCell(slice(col("cv"), s * sub + 1, sub), codebooks(s)) }
     val errCols = (0 until numSubspaces).map { s =>
@@ -332,8 +332,8 @@ object PqIndex {
         element_at(typedLit(codebooks(s).map(_.toSeq)), codeCols(s) + 1))
         .cast("float")
     }
-    c.select(col("neighbor_id"), col("cn"),
-      array(codeCols: _*).as("codes"), array(errCols: _*).as("qerrs"))
+    c.select(col("neighbor_id") +: col("cn") +: extraCols.map(col) ++: Seq(
+      array(codeCols: _*).as("codes"), array(errCols: _*).as("qerrs")): _*)
   }
 
   /** Train codebooks (sample-trainable, deterministic — identical to

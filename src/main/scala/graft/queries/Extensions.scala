@@ -439,6 +439,30 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** x113: ANN served from the COMPOSED IVF-PQ residual index
+    * ([[graft.operators.IvfPqIndex]], Jégou et al. TPAMI'11 §IV —
+    * IVFADC): coarse cells prune the scan to `nProbe` Hive partitions
+    * AND each pruned row is a product-quantized RESIDUAL scanned via
+    * compiled ADC lookups — the deployable 100 TB embedding layout
+    * (flat PQ scans every code per query; raw IVF stores full-width
+    * vectors). Build is timed as part of the query, like x62/x63;
+    * codebooks and centroids train on a half-rate deterministic hash
+    * sample. Engine-side k-means → no SQL oracle (the x61/x63
+    * justification); the lossless-regime byte-equality vs exact brute
+    * force, recall floor on planted twins, partition pruning, and the
+    * full lifecycle are spec-asserted (AnnIndexSpec).
+    */
+  def x113KnnIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = graft.operators.IvfPqIndex.build(e, "vec_id", "embedding",
+      nCells = 16, numSubspaces = 8, nCentroids = 16,
+      trainFraction = 0.5, path = scratchIndexPath("x113_idx", dir))
+      .getOrElse(sys.error("empty embeddings table"))
+    idx.topK(e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+        nProbe = 4)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfIndex, PqIndex, SimilaritySearch}
+import graft.operators.{IvfIndex, IvfPqIndex, PqIndex, SimilaritySearch}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -460,5 +460,203 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(pq.topK(queries, "vec_id", "embedding", k = 5)) == inline)
     assert(rows(PqIndex.load(spark, path)
       .topK(queries, "vec_id", "embedding", k = 5)) == inline)
+  }
+
+  // ---- composed IVF-PQ residual index -------------------------------
+
+  /** Small-integer corpus where the lossless regime is EXACT end to
+    * end: the first `nDistinct` rows are the distinct vectors (so the
+    * coarse init IS the distinct set and Lloyd's means stay exactly on
+    * them), every later row duplicates one of them (residuals exactly
+    * 0f), and all arithmetic is integer-valued — products and sums are
+    * exact in double, so the composed ADC score equals the brute-force
+    * dot bit for bit.
+    */
+  private def intCorpus(nDistinct: Int, copies: Int): DataFrame = {
+    val distinct = (0 until nDistinct).map { d =>
+      (0 until 8).map(i => ((d * 3 + i * 5) % 9 + 1).toFloat)
+    }
+    val rows = (0 until nDistinct * copies).map { i =>
+      org.apache.spark.sql.Row(i.toLong + 1L, distinct(
+        if (i < nDistinct) i else i % nDistinct))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false))))
+  }
+
+  test("IvfPqIndex: lossless regime — probe-all topK byte-equals the " +
+      "exact bruteForceTopK (the composed prune+compress path certified " +
+      "against the oracle-checked exact form)") {
+    val corpus = intCorpus(nDistinct = 8, copies = 5)
+    val qs = corpus.filter(col("vec_id") <= 4)
+    val idx = IvfPqIndex.build(corpus, "vec_id", "embedding",
+      nCells = 8, numSubspaces = 4, nCentroids = 16,
+      path = tmpDir()).get
+    val brute = rows(SimilaritySearch.bruteForceTopK(corpus, qs,
+      "vec_id", "embedding", k = 5))
+    val got = rows(idx.topK(qs, "vec_id", "embedding", k = 5,
+      nProbe = 8))
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("IvfPqIndex: loaded-index topK byte-equals the build handle; " +
+      "the scan prunes to probed cell partitions, reads codes (never " +
+      "full-width vectors) and prunes the qerrs audit column") {
+    val path = tmpDir()
+    IvfPqIndex.build(emb, "vec_id", "embedding", nCells = 16,
+      numSubspaces = 8, nCentroids = 16, path = path)
+    val built = graft.operators.IvfPqIndex.load(spark, path)
+    assert(built.nCells == 16)
+    val q = built.topK(queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString()
+    // probe set pushed as a partition filter on the Hive cell layout
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")),
+      "probe set was not pushed as a partition filter:\n" + plan)
+    // compressed scan: the codes read must not include qerrs (audit
+    // only); and no corpus-source full-width vectors on the query path
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("qerrs")),
+      "topK reads the qerrs audit column:\n" + plan)
+    val corpusScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet"))
+      .filter(l => l.contains("cv") || l.contains("codes")).toSeq
+    assert(corpusScans.isEmpty,
+      "corpus vectors were re-read on the query path:\n" + plan)
+    // deterministic: a reload answers identically
+    assert(rows(graft.operators.IvfPqIndex.load(spark, path)
+      .topK(queries, "vec_id", "embedding", k = 5, nProbe = 4)) ==
+      rows(q))
+  }
+
+  test("IvfPqIndex: recall floor vs brute force on planted " +
+      "near-duplicate neighbors; approximation bias is one-sided " +
+      "(scores never exceed the exact cosine by more than rounding)") {
+    import graft.expressions.HyperplaneBucket
+    // plant twins of the first 30 corpus vectors (~1% jitter,
+    // cos ≈ 0.9999) — the twin is the unambiguous true top-1
+    val base = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).take(30)
+    val planted = base.map { case (id, v) =>
+      val v2 = v.clone()
+      var i = 0
+      while (i < v2.length) {
+        v2(i) = v2(i) + 0.02f * HyperplaneBucket.coef(id.toInt, i).toFloat
+        i += 1
+      }
+      (id + 100000L, v2)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false)))
+    val all = emb.select(col("vec_id"), col("embedding")).union(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          planted.toSeq.map { case (id, v) =>
+            org.apache.spark.sql.Row(id, v.toSeq) }, 4), schema))
+    val idx = IvfPqIndex.build(all, "vec_id", "embedding", nCells = 16,
+      numSubspaces = 8, nCentroids = 16, path = tmpDir()).get
+    val qs = all.filter(col("vec_id") < 30)
+    val got = idx.topK(qs, "vec_id", "embedding", k = 1, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = got.count { case (q, n) => n == q + 100000L }
+    assert(hits >= 24, // measured ≥ 27/30 on the fixture; floor at 0.8
+      s"IVF-PQ top-1 found only $hits/30 planted twins: $got")
+  }
+
+  test("IvfPqIndex lifecycle: extend under frozen quantizers finds the " +
+      "planted twin; delete hides it immediately; compact preserves " +
+      "pruning; rebuild purges and stales the old handle") {
+    import spark.implicits._
+    val path = tmpDir()
+    val corpus = emb.filter(col("vec_id") < 400)
+    val idx = IvfPqIndex.build(corpus, "vec_id", "embedding",
+      nCells = 16, numSubspaces = 8, nCentroids = 16, path = path).get
+    val preRows = idx.codes.count()
+    val delta = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    idx.extend(delta, "vec_id", "embedding")
+    assert(idx.codes.count() == preRows + 50)
+    // an identical probe surfaces the planted twin: same cell (compiled
+    // assign is deterministic), identical residual codes → identical ADC
+    val plantedRow = delta.orderBy(col("vec_id")).limit(1).collect()(0)
+    val plantedId = plantedRow.getLong(0)
+    val probe = Seq(Tuple1(777777L)).toDF("vec_id")
+      .withColumn("embedding",
+        typedLit(plantedRow.getSeq[Float](1)).cast("array<float>"))
+    val top = idx.topK(probe, "vec_id", "embedding", k = 3, nProbe = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(top.contains(plantedId),
+      s"extend lost the planted twin $plantedId: $top")
+    // wrong-dim delta refused loudly
+    val wrongDim = delta.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val e = intercept[IllegalArgumentException](
+      idx.extend(wrongDim, "vec_id", "embedding"))
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    // delete hides immediately
+    idx.delete(Seq(Tuple1(plantedId)).toDF("vec_id"), "vec_id")
+    val afterDel = idx.topK(probe, "vec_id", "embedding", k = 3,
+      nProbe = 4).collect().map(_.getLong(2)).toSet
+    assert(!afterDel.contains(plantedId), s"tombstoned $plantedId " +
+      s"still surfaces: $afterDel")
+    // compact: files collapse, answers byte-identical, pruning intact
+    val preAnswer = rows(idx.topK(probe, "vec_id", "embedding", k = 3,
+      nProbe = 4))
+    val (before, after) = idx.compact()
+    assert(after <= before)
+    val qPost = idx.topK(probe, "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(rows(qPost) == preAnswer)
+    val postPlan = qPost.queryExecution.executedPlan.toString()
+    assert(postPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")),
+      "compaction lost the cell partition layout:\n" + postPlan)
+    // drift baseline exists from build; steady-state ratio ≈ 1
+    val drift = idx.driftReport().collect()
+    assert(drift.nonEmpty)
+    // rebuild purges tombstones, retrains, and stales THIS handle
+    val survivors = corpus.select(col("vec_id"), col("embedding"))
+      .union(delta.filter(col("vec_id") =!= plantedId))
+    val fresh = idx.rebuild(survivors, "vec_id", "embedding").get
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(fresh.codes.count() == preRows + 50 - 1)
+    val stale = intercept[IllegalArgumentException](
+      idx.topK(probe, "vec_id", "embedding", k = 1))
+    assert(stale.getMessage.contains("stale"), stale.getMessage)
+    // and the rebuilt index never resurrects the tombstoned id
+    val post = rows(fresh.topK(probe, "vec_id", "embedding", k = 3,
+      nProbe = 4))
+    assert(!post.exists(_._3 == plantedId))
+  }
+
+  test("IvfPqIndex: empty corpus build returns None; build releases " +
+      "every cache; x113 entry is deterministic across invocations") {
+    val empty = emb.filter(col("vec_id") < -1)
+    assert(IvfPqIndex.build(empty, "vec_id", "embedding",
+      path = tmpDir()).isEmpty)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    IvfPqIndex.build(emb, "vec_id", "embedding", path = tmpDir())
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "IvfPqIndex.build leaked operator caches")
+    val a = rows(graft.queries.Extensions.x113KnnIvfPqIndexed(spark,
+      sfDir))
+    val b = rows(graft.queries.Extensions.x113KnnIvfPqIndexed(spark,
+      sfDir))
+    assert(a == b && a.nonEmpty)
   }
 }
