@@ -175,6 +175,7 @@ object SparkEntry {
     "x111_dsir_weights" -> Extensions.x111DsirWeights,
     "x112_token_windows_bpe" -> Extensions.x112TokenWindowsBpe,
     "x113_knn_ivfpq_indexed" -> Extensions.x113KnnIvfPqIndexed,
+    "x114_trainer_shards" -> Extensions.x114TrainerShards,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1037,6 +1038,21 @@ object SparkEntry {
         |FROM x b JOIN x w ON b.doc_id = w.doc_id
         |WHERE b.rb = 1 AND w.rw = 1
         |ORDER BY b.doc_id""".stripMargin,
+    // x114: the written trainer-shard blob is, under the zero-merge
+    // byte config, the stratum's concatenated document bytes in id
+    // order (the x96 identity carried to the FILE) — sizes, sequence
+    // counts, and the blob md5 all restate from the documents table
+    "x114_trainer_shards" ->
+      """SELECT lang,
+        |  CAST((sum(length(text)) + 511) // 512 AS BIGINT)
+        |    AS n_sequences,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS token_bytes,
+        |  CAST(sum(length(text)) AS BIGINT) AS blob_bytes,
+        |  md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang HAVING sum(length(text)) > 0
+        |ORDER BY lang""".stripMargin,
     // x112: zero-merge byte windows = plain substring arithmetic
     "x112_token_windows_bpe" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,

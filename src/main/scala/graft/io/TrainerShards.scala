@@ -1,0 +1,260 @@
+package graft.io
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CONTIGUOUS trainer-shard writer — the last hop from materialized
+  * training sequences ([[graft.operators.Packing.materializeSequences]]
+  * / [[graft.operators.Packing.materializeNoStraddle]]) to the flat
+  * mmap-able artifact a training data loader actually opens (the
+  * Megatron-LM indexed-dataset convention, public format family: a raw
+  * token blob plus an offsets sidecar). Parquet rows of `token_ids`
+  * are queryable; a trainer wants `seek(offset); read(len)` with zero
+  * parsing — this writer produces exactly that.
+  *
+  * One FILE PAIR PER STRATUM (the stratum is the shard unit, the same
+  * contract as the x22 shard assignment and the x73/x110 shuffle-shard
+  * epoch):
+  *  - `<stratum>.tokens` — every sequence's ids as fixed-width
+  *    little-endian integers (`width` ∈ 1/2/4 bytes via the compiled
+  *    [[graft.expressions.PackedTokenBinary]] kernel), concatenated in
+  *    ascending `seq_id` order. `mmap` + pointer arithmetic reads any
+  *    sequence directly.
+  *  - `<stratum>.idx` — a 16-byte header (magic `GRFTSHRD`, u32 LE
+  *    version, u32 LE width) then one u64 LE END-byte-offset per
+  *    sequence (begin = previous end, count = (size − 16) / 8), so the
+  *    sidecar is itself mmap-able with no parsing.
+  *
+  * Determinism: sequence order is `seq_id` ascending within a stratum
+  * and every byte is a pure function of the input frame, so re-runs
+  * are byte-identical (spec-asserted) — the property that lets a
+  * restarted pipeline overwrite shards idempotently.
+  *
+  * Scale shape: ONE exchange keyed by the stratum column, a spill-safe
+  * partition sort, then each stratum STREAMS to its file pair with
+  * O(1) task state (an open stream and a running offset — no sequence
+  * list, no buffered blob; the idx offsets stream out as the tokens
+  * do). The stratum is the parallelism unit, exactly like the packing
+  * operators that produce the input — at 100 TB you shard first (x22)
+  * and write many bounded file pairs, never one global blob.
+  *
+  * Crash safety: everything lands in a staging directory first; the
+  * publish is the [[graft.core.Collection.compact]] two-rename swap
+  * (retire current → publish staging → drop retired), so readers never
+  * observe a half-written shard set. A task retry truncates and
+  * rewrites its own files (`overwrite = true`) — each stratum is
+  * written by exactly one task by construction of the exchange.
+  *
+  * The reference stops at row-wise JSON ingest
+  * (ParquetArangoLoader.java:85-288); this is the engine's
+  * trainer-artifact surface.
+  */
+object TrainerShards {
+
+  val TokensSuffix = ".tokens"
+  val IdxSuffix = ".idx"
+  private[io] val Magic: Array[Byte] =
+    "GRFTSHRD".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private[io] val Version = 1
+  private[io] val HeaderBytes = 16
+
+  /** File-safe encoding of a stratum value (injective, reversible —
+    * URL percent-encoding), so any stratum string maps to exactly one
+    * file pair name.
+    */
+  def fileStem(stratum: String): String =
+    java.net.URLEncoder.encode(stratum, "UTF-8")
+
+  private def u32le(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  private def u64le(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** Write one file pair per stratum under `dir` and return the
+    * manifest: (stratum, n_sequences, n_tokens, token_bytes, file).
+    * EAGER — the write job has completed (and the two-rename publish
+    * succeeded) when this returns; the manifest frame is driver-built
+    * and stratum-count-sized (bounded: strata are the declared shard
+    * unit).
+    */
+  def write(seqs: DataFrame, strataCol: String, seqIdCol: String,
+      tokenIdsCol: String, width: Int, dir: String): DataFrame = {
+    require(width == 1 || width == 2 || width == 4,
+      s"width must be 1, 2, or 4 bytes, got $width")
+    val spark = seqs.sparkSession
+    val conf = new org.apache.spark.sql.graftbridge.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = s"$dir.staging-${java.util.UUID.randomUUID()}"
+    // pack compiled BEFORE the exchange: the shuffle moves the final
+    // bytes exactly once, and the fold below never touches id arrays
+    val packed = seqs.select(
+      col(strataCol).cast("string").as("__s"),
+      col(seqIdCol).cast("long").as("__q"),
+      graft.expressions.GraftFunctions.packedTokenBinary(
+        col(tokenIdsCol), width).as("__b"),
+      size(col(tokenIdsCol)).cast("long").as("__n"))
+    import org.apache.spark.sql.types._
+    val manifestSchema = StructType(Seq(
+      StructField("stratum", StringType, nullable = false),
+      StructField("n_sequences", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("token_bytes", LongType, nullable = false),
+      StructField("file", StringType, nullable = false)))
+    val manifestRows = packed
+      .repartition(col("__s"))
+      .sortWithinPartitions(col("__s"), col("__q"))
+      .mapPartitions { it =>
+        // strata are contiguous under the sort; a key change closes the
+        // current file pair and opens the next. O(1) state: two open
+        // streams + a running byte offset.
+        val fsConf = conf.value
+        var cur: String = null
+        var tokOut: org.apache.hadoop.fs.FSDataOutputStream = null
+        var idxOut: org.apache.hadoop.fs.FSDataOutputStream = null
+        var off = 0L
+        var nSeq = 0L
+        var nTok = 0L
+        val done = Seq.newBuilder[Row]
+        def close(): Unit = if (cur != null) {
+          tokOut.close(); idxOut.close()
+          done += Row(cur, nSeq, nTok, off, fileStem(cur))
+          cur = null
+        }
+        def open(s: String): Unit = {
+          cur = s; off = 0L; nSeq = 0L; nTok = 0L
+          val stem = fileStem(s)
+          val base = new HPath(staging)
+          val fs = base.getFileSystem(fsConf)
+          fs.mkdirs(base)
+          tokOut = fs.create(new HPath(base, stem + TokensSuffix), true)
+          idxOut = fs.create(new HPath(base, stem + IdxSuffix), true)
+          idxOut.write(Magic)
+          idxOut.write(u32le(Version))
+          idxOut.write(u32le(width))
+        }
+        // eager drain: bytes stream straight to the filesystem; only
+        // the per-stratum manifest rows (bounded: strata per partition)
+        // are held
+        while (it.hasNext) {
+          val r = it.next()
+          val s = r.getString(0)
+          if (s != cur) { close(); open(s) }
+          val bytes = r.getAs[Array[Byte]](2)
+          tokOut.write(bytes)
+          off += bytes.length
+          idxOut.write(u64le(off))
+          nSeq += 1
+          nTok += r.getLong(3)
+        }
+        close()
+        done.result().iterator
+      }(org.apache.spark.sql.Encoders.row(manifestSchema))
+      .collect()
+    publish(spark, staging, dir)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(manifestRows.toIndexedSeq,
+        math.max(1, math.min(manifestRows.length, 4))),
+      manifestSchema)
+  }
+
+  /** The [[graft.core.Collection.compact]] two-rename swap: retire the
+    * current shard set (if any), publish staging, drop the retired
+    * copy. A crash before the first rename leaves only staging garbage
+    * (the live dir untouched); between the renames the restore path
+    * puts the original back.
+    */
+  private def publish(spark: SparkSession, staging: String,
+      dir: String): Unit = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new HPath(dir)
+    val stagingP = new HPath(staging)
+    if (!fs.exists(stagingP))
+      // an empty input wrote no files; publish an empty shard set
+      fs.mkdirs(stagingP)
+    val retired = new HPath(dir + s".old-${java.util.UUID.randomUUID()}")
+    val hadOld = fs.exists(target)
+    if (hadOld && !fs.rename(target, retired))
+      throw new IllegalStateException(s"could not retire $dir")
+    if (!fs.rename(stagingP, target)) {
+      if (hadOld) fs.rename(retired, target)
+      throw new IllegalStateException(s"could not publish $staging")
+    }
+    if (hadOld) fs.delete(retired, true)
+  }
+
+  /** Driver-side reference reader — the loader contract made
+    * executable for the round-trip spec: parse the idx header +
+    * offsets, slice the tokens blob, decode little-endian ids. A real
+    * trainer mmaps both files and does the same arithmetic without
+    * copies.
+    */
+  def readShard(spark: SparkSession, dir: String, stratum: String)
+      : (Int, Seq[Seq[Long]]) = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: HPath): Array[Byte] = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    }
+    val stem = fileStem(stratum)
+    val idx = readAll(new HPath(dir, stem + IdxSuffix))
+    require(idx.length >= HeaderBytes &&
+      idx.take(Magic.length).sameElements(Magic),
+      s"not a trainer-shard idx: $stem$IdxSuffix")
+    val bb = java.nio.ByteBuffer.wrap(idx)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val version = bb.getInt(Magic.length)
+    require(version == Version, s"unsupported shard version $version")
+    val width = bb.getInt(Magic.length + 4)
+    require(width == 1 || width == 2 || width == 4,
+      s"corrupt width $width in $stem$IdxSuffix")
+    require((idx.length - HeaderBytes) % 8 == 0,
+      s"truncated idx: $stem$IdxSuffix")
+    val count = (idx.length - HeaderBytes) / 8
+    val ends = (0 until count.toInt)
+      .map(i => bb.getLong(HeaderBytes + i * 8))
+    val blob = readAll(new HPath(dir, stem + TokensSuffix))
+    require(ends.isEmpty || ends.last == blob.length,
+      s"idx/tokens size mismatch for $stem: ${ends.lastOption
+        .getOrElse(0L)} vs ${blob.length}")
+    val tb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var begin = 0L
+    val seqs = ends.map { end =>
+      val n = ((end - begin) / width).toInt
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val p = (begin + i.toLong * width).toInt
+        out(i) = width match {
+          case 1 => blob(p) & 0xffL
+          case 2 => tb.getShort(p) & 0xffffL
+          case 4 => tb.getInt(p) & 0xffffffffL
+        }
+        i += 1
+      }
+      begin = end
+      out.toSeq
+    }
+    (width, seqs)
+  }
+
+  /** The strata present in a written shard set — one idx listing. */
+  def listShards(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(dir))) Nil
+    else fs.listStatus(new HPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(IdxSuffix))
+      .map(n => java.net.URLDecoder.decode(
+        n.stripSuffix(IdxSuffix), "UTF-8"))
+      .sorted
+  }
+}

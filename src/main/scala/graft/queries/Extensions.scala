@@ -463,6 +463,39 @@ object Extensions {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** x114: CONTIGUOUS trainer shards ([[graft.io.TrainerShards]]) —
+    * materialized training sequences written as the flat mmap-able
+    * tokens-blob + offsets-sidecar pair a data loader actually opens
+    * (Megatron-style public format), one file pair per stratum in
+    * deterministic seq_id order, published by a crash-safe two-rename
+    * swap. The query WRITES the shards, then reads the published blobs
+    * back through the binaryFile source and states their bytes: under
+    * the zero-merge byte configuration (the x96 identity) each
+    * stratum's width-1 blob is LITERALLY the concatenation of its
+    * documents' text bytes in id order, so the oracle restates file
+    * sizes, sequence counts, and the blob md5 from the documents table
+    * alone — the on-disk artifact is oracle-checked end to end.
+    */
+  def x114TrainerShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
+      "text", "lang", seqLen = 512, merges = Nil,
+      tokenPattern = TextFunctions.bpeBytePatternFull)
+    val out = scratchIndexPath("x114_shards", dir)
+    val manifest = graft.io.TrainerShards.write(seqs, "lang", "seq_id",
+      "token_ids", width = 1, out)
+    val blobs = s.read.format("binaryFile").load(out + "/*.tokens")
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.tokens$", 1).as("file"),
+        md5(col("content")).as("content_md5"),
+        col("length").as("blob_bytes"))
+    manifest.join(blobs, Seq("file"))
+      .select(col("stratum").as("lang"), col("n_sequences"),
+        col("n_tokens"), col("token_bytes"), col("blob_bytes"),
+        col("content_md5"))
+      .orderBy(col("lang"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure
