@@ -176,6 +176,7 @@ object SparkEntry {
     "x112_token_windows_bpe" -> Extensions.x112TokenWindowsBpe,
     "x113_knn_ivfpq_indexed" -> Extensions.x113KnnIvfPqIndexed,
     "x114_trainer_shards" -> Extensions.x114TrainerShards,
+    "x115_temperature_approx" -> Extensions.x115TemperatureApprox,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -973,6 +974,56 @@ object SparkEntry {
         |  CAST(MAX(n_tokens) OVER (PARTITION BY lang, batch_id)
         |    - n_tokens AS BIGINT) AS padding
         |FROM r ORDER BY lang, doc_id""".stripMargin,
+    // x115: x108's apportionment + the window-free hash-rate gate —
+    // threshold (16^8·tgt) div n compared against the 8-hex md5
+    // prefix as an integer (x73 strpos arithmetic); tgt = n strata
+    // keep everything (threshold 16^8 — the rate-1 guard)
+    "x115_temperature_approx" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents
+        |  WHERE text IS NOT NULL GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+        |  FROM c),
+        |t AS (
+        |  SELECT lang, n, w,
+        |    CAST((300 * w) // CAST(SUM(w) OVER () AS BIGINT) AS BIGINT)
+        |      AS base,
+        |    CAST((300 * w) % CAST(SUM(w) OVER () AS BIGINT) AS BIGINT)
+        |      AS rem
+        |  FROM w),
+        |r AS (
+        |  SELECT lang, n, base, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+        |    CAST(SUM(base) OVER () AS BIGINT) AS tb
+        |  FROM t),
+        |g AS (
+        |  SELECT lang, n,
+        |    LEAST(n, base + CASE WHEN rk <= 300 - tb THEN 1 ELSE 0 END)
+        |      AS tgt
+        |  FROM r),
+        |q AS (
+        |  SELECT lang, n, tgt,
+        |    (4294967296 * tgt) // n AS thr
+        |  FROM g),
+        |s AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT lang, doc_id,
+        |    (strpos('0123456789abcdef', substr(hk,1,1))-1)*268435456::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,2,1))-1)*16777216::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,3,1))-1)*1048576::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,4,1))-1)*65536::BIGINT
+        |      + (strpos('0123456789abcdef', substr(hk,5,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(hk,6,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(hk,7,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(hk,8,1))-1) AS h8
+        |  FROM s)
+        |SELECT h.lang, h.doc_id FROM h JOIN q ON h.lang = q.lang
+        |WHERE q.thr = 4294967296 OR h.h8 < q.thr
+        |ORDER BY h.lang, h.doc_id""".stripMargin,
     // x108: sqrt-temperature apportionment restated verbatim —
     // IEEE sqrt is correctly rounded in both engines, everything
     // after the floor is integer window arithmetic

@@ -91,8 +91,14 @@ object Mixing {
     * and the corpus pays exactly ONE stratum-keyed window for the
     * hash rank — the same shape as the exact stratified sampler.
     */
-  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
-      budget: Long, alpha: Double = 0.5): DataFrame = {
+  /** The shared |strata|-sized apportionment frame: (stratumCol, __n,
+    * __tgt) where targets are the largest-remainder apportionment of
+    * `budget` over `n^α` weights, clamped to stratum size. The windows
+    * here run over the STRATA frame (dozens-to-thousands of rows,
+    * single partition by design), never the corpus.
+    */
+  private def temperatureTargets(df: DataFrame, stratumCol: String,
+      budget: Long, alpha: Double): DataFrame = {
     require(budget >= 0 && budget < (1L << 31),
       s"budget out of range: $budget")
     require(alpha >= 0 && alpha <= 1, s"alpha out of range: $alpha")
@@ -103,10 +109,8 @@ object Mixing {
       case 1.0 => col("__n") * 1000L
       case a => floor(pow(n, a) * 1000d).cast("long")
     }
-    // the apportionment frame is |strata|-sized; the empty-frame
-    // windows below are single-partition BY DESIGN (dozens of rows)
     val all = Window.partitionBy()
-    val counts = df.groupBy(col(stratumCol))
+    df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", w)
       .withColumn("__tw", sum(col("__w")).over(all))
@@ -125,6 +129,12 @@ object Mixing {
       .withColumn("__tgt", least(col("__n"),
         col("__base") + when(col("__rk") <= col("__left"), 1L)
           .otherwise(0L)))
+      .select(col(stratumCol), col("__n"), col("__tgt"))
+  }
+
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    val counts = temperatureTargets(df, stratumCol, budget, alpha)
       .select(col(stratumCol), col("__tgt"))
     val rank = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -132,6 +142,42 @@ object Mixing {
       .withColumn("__rn", row_number().over(rank).cast("long"))
       .filter(col("__rn") <= col("__tgt"))
       .drop("__tgt", "__rn")
+  }
+
+  /** [[temperatureSample]] WITHOUT the per-stratum rank window — the
+    * 100 TB form: the exact sampler's `row_number() OVER (PARTITION BY
+    * stratum ORDER BY md5(id))` sorts each stratum under ONE task, and
+    * a stratum is a language/source — at corpus scale one stratum can
+    * be half the data (the mega-stratum serialization the window-free
+    * domainQuota eliminated for domains). Here membership is the
+    * hash-RATE gate instead ([[Curation.domainQuotaApprox]]'s device):
+    * a row survives iff its first 8 md5 hex digits fall under
+    * `(16^8 · tgt) div n` — a pure map-side compare after the tiny
+    * targets join, ZERO corpus-keyed windows or sorts (plan-asserted).
+    * Kept counts are binomial around each target (the exact form
+    * remains the oracle reference, x108); at-target strata (tgt = n)
+    * keep everything outright — the threshold 16^8 is nine hex digits
+    * and would compare LOW against 8-char prefixes, the
+    * [[capPerStratum]] rate-1 guard.
+    *
+    * Selection is still a pure function of (id, stratum sizes):
+    * reproducible across runs, engines, and partitionings, and the
+    * SAME gate family as [[Sampling.hashSample]], so compositions
+    * stay integer-exact.
+    */
+  def temperatureSampleApprox(df: DataFrame, stratumCol: String,
+      idCol: String, budget: Long, alpha: Double = 0.5): DataFrame = {
+    val full = BigInt(16).pow(8).toLong
+    val counts = temperatureTargets(df, stratumCol, budget, alpha)
+      .withColumn("__thr",
+        expr(s"(${full}L * __tgt) div __n"))
+      .withColumn("__thr_hex", format_string("%08x", col("__thr")))
+      .select(col(stratumCol), col("__thr"), col("__thr_hex"))
+    df.join(counts, stratumCol)
+      .filter(col("__thr") === lit(full) ||
+        substring(md5(col(idCol).cast("string")), 1, 8) <
+          col("__thr_hex"))
+      .drop("__thr", "__thr_hex")
   }
 
   /** The UPSAMPLING half of the mixture recipe: replicate each

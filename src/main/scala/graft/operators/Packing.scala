@@ -379,13 +379,24 @@ object Packing {
     * (this example's waste). Descending order also puts the most
     * expensive batch first — the OOM probe a trainer wants early.
     *
-    * Scale shape: count is a pure kernel projection; then ONE
-    * stratum-keyed exchange for the ranking window and one
-    * `(strata, batch)` exchange for the batch maximum. Length-sorting
-    * is inherently a per-stratum sort (that is what the operator
-    * means) — the stratum stays the parallelism unit, exactly like
-    * the packing variants; at 100 TB, batch per shard/language, never
-    * globally.
+    * Scale shape — NO per-stratum window (a stratum is a
+    * language/source; at corpus scale one stratum can be half the
+    * data, and `row_number() OVER (PARTITION BY stratum)` would sort
+    * it under ONE task, the mega-stratum serialization the window-free
+    * domainQuota eliminated for domains). The global rank decomposes
+    * exactly: a per-(stratum, n_tokens) HISTOGRAM (bounded by
+    * |strata| × |distinct lengths| — lengths are budget-bounded small
+    * integers, so this frame is tiny vs the corpus) carries each
+    * length bucket's starting rank via a prefix sum over the
+    * histogram; the corpus then pays one exchange keyed
+    * (strata, n_tokens) for the WITHIN-TIE rank (id order) — tie
+    * groups, not strata, are the sort unit — plus the
+    * (strata, batch_id) window for the batch maximum, whose partitions
+    * are ≤ batchSize rows by construction. Output is identical to the
+    * single-window form (same total order, same batches — x107's
+    * oracle is unchanged); the residual bound is the largest TIE group
+    * (one length inside one stratum), which is the operator's
+    * irreducible sort unit.
     */
   def lengthGroupedBatches(df: DataFrame, idCol: String,
       textCol: String, strataCol: String, batchSize: Int,
@@ -396,16 +407,33 @@ object Packing {
     val n = size(graft.expressions.GraftFunctions.bpeEncode(
       col(textCol), merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
       tokenPattern, byteLevel)).cast("long")
-    val w1 = Window.partitionBy(col(strataCol))
-      .orderBy(col("n_tokens").desc, col(idCol))
+    val counted = df.select(col(strataCol), col(idCol), n.as("n_tokens"))
+    // per-(stratum, length) histogram: the only corpus-wide pass is a
+    // partial-merged count agg; the prefix sum runs over the tiny
+    // histogram frame, DESC so start = rows with strictly longer length
+    val wHist = Window.partitionBy(col(strataCol))
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = graft.core.CacheScope.cached(
+      counted.groupBy(col(strataCol), col("n_tokens"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__end", sum(col("__cnt")).over(wHist))
+        .select(col(strataCol), col("n_tokens"),
+          (col("__end") - col("__cnt")).as("__start")))
+    val hint = Dedup.sizedBroadcastHint(offsets)
+    val tieRank = Window.partitionBy(col(strataCol), col("n_tokens"))
+      .orderBy(col(idCol))
     val w2 = Window.partitionBy(col(strataCol), col("batch_id"))
-    df.select(col(strataCol), col(idCol), n.as("n_tokens"))
-      .withColumn("__rn", row_number().over(w1))
+    counted
+      .join(hint(offsets), Seq(strataCol, "n_tokens"))
+      .withColumn("__rn",
+        col("__start") + row_number().over(tieRank).cast("long"))
       .withColumn("batch_id",
         expr(s"CAST((__rn - 1) div $batchSize AS BIGINT)"))
       .withColumn("batch_max", max(col("n_tokens")).over(w2))
       .withColumn("padding", col("batch_max") - col("n_tokens"))
-      .drop("__rn")
+      .select(col(strataCol), col(idCol), col("n_tokens"),
+        col("batch_id"), col("batch_max"), col("padding"))
   }
 
   /** The shared offset/cut/straddle chain over a (strata, id, n_bpe)

@@ -496,6 +496,27 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  /** x115: WINDOW-FREE temperature sampling ([[graft.operators.Mixing
+    * .temperatureSampleApprox]]) — the 100 TB form of x108: the same
+    * integer-exact n^0.5 largest-remainder apportionment, but
+    * membership is the hash-RATE gate (`md5(id) prefix <
+    * (16^8·tgt) div n`) instead of a per-stratum rank window, so a
+    * mega-stratum never sorts under one task (plan-asserted
+    * window-free in PlanSpec). Selection is STILL a pure function of
+    * (id, stratum sizes) — kept counts are binomial around the
+    * targets, but the kept SET is deterministic, so the oracle
+    * restates the whole chain exactly: IEEE-exact sqrt weights,
+    * integer apportionment, and the 8-hex-digit threshold compare via
+    * the x73 strpos arithmetic.
+    */
+  def x115TemperatureApprox(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    graft.operators.Mixing.temperatureSampleApprox(d, "lang", "doc_id",
+        budget = 300L, alpha = 0.5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** x21: deterministic hash split — train/val/test assignment by the
     * first hex digit of md5(doc_id) (14/1/1 of 16). The reproducible-
     * sampling pattern for training pipelines: the split is a pure

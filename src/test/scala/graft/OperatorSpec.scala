@@ -1129,6 +1129,38 @@ class OperatorSpec extends SparkSpec {
       .temperatureSample(df, "grp", "id", 0L).isEmpty)
   }
 
+  test("Mixing.temperatureSampleApprox: kept counts in the binomial " +
+      "band around the exact targets, at-target strata kept WHOLE, " +
+      "subset of input, partitioning-independent, budget 0 empty") {
+    import spark.implicits._
+    // planted mega-stratum beside a mid and a tiny one
+    val df = ((1 to 10000).map(i => (i.toLong, "mega")) ++
+      (10001 to 10400).map(i => (i.toLong, "b")) ++
+      (10401 to 10404).map(i => (i.toLong, "tiny"))).toDF("id", "grp")
+    def counts(out: org.apache.spark.sql.DataFrame) =
+      out.groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=0.5 weights 100000/20000/2000, W=122000, budget 300 →
+    // largest-remainder targets 246/49/4 (tiny clamps at its size)
+    val a = graft.operators.Mixing
+      .temperatureSampleApprox(df, "grp", "id", 300L)
+    val c = counts(a)
+    assert(math.abs(c("mega") - 246L) <= 63, c.toString) // 4σ
+    assert(math.abs(c("b") - 49L) <= 29, c.toString)     // 4σ + 1
+    // tiny's target equals its size → rate-1 guard keeps all 4 exactly
+    assert(c("tiny") == 4L, c.toString)
+    // subset of the input, never invented rows
+    val ids = a.select("id").as[Long].collect().toSet
+    assert(ids.subsetOf((1L to 10404L).toSet))
+    // pure function of the data
+    val re = graft.operators.Mixing.temperatureSampleApprox(
+      df.repartition(13, col("id")), "grp", "id", 300L)
+      .select("id").as[Long].collect().toSet
+    assert(re == ids)
+    assert(graft.operators.Mixing
+      .temperatureSampleApprox(df, "grp", "id", 0L).isEmpty)
+  }
+
   test("Selection.dsirWeights: equals a driver-side reference " +
       "computation term for term, target-like documents outscore " +
       "off-target ones, featureless docs excluded, " +

@@ -15,6 +15,83 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("mega-stratum rank windows are gone: temperatureSampleApprox " +
+      "gates by hash rate (no md5-ordered window anywhere), " +
+      "lengthGroupedBatches ranks within (stratum, length) tie groups " +
+      "— and both match their exact references on a planted " +
+      "mega-stratum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical
+    // mega-stratum: half the corpus under one key, long tail beside it
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .withColumn("grp",
+        when(col("doc_id") % 2 === 0, lit("mega"))
+          .otherwise(concat(lit("s"), (col("doc_id") % 37)
+            .cast("string"))))
+    def logicalWindows(q: DataFrame): Seq[logical.Window] =
+      q.queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w
+      }
+    // approx temperature: NO per-stratum window — the only windows
+    // left are the |strata|-sized apportionment frame's, which
+    // partition by NOTHING (single small partition by design). A
+    // window partitioned by the stratum column is exactly the
+    // mega-stratum sort this form exists to avoid.
+    val approx = graft.operators.Mixing.temperatureSampleApprox(
+      df, "grp", "doc_id", 500L)
+    assert(logicalWindows(approx).forall(_.partitionSpec.isEmpty),
+      "approx temperature still ranks the corpus under a per-stratum " +
+        "window")
+    // contrast: the exact oracle-reference form DOES carry that window
+    val exact = graft.operators.Mixing.temperatureSample(
+      df, "grp", "doc_id", 500L)
+    assert(logicalWindows(exact).exists(_.partitionSpec.length == 1))
+    // approx kept counts: binomial around the exact form's per-stratum
+    // targets, at-target strata kept whole
+    val exactCounts = exact.groupBy(col("grp")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxCounts = approx.groupBy(col("grp")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactCounts.foreach { case (g, tgt) =>
+      val got = approxCounts.getOrElse(g, 0L)
+      val sigma4 = 4 * math.sqrt(tgt.toDouble) + 1
+      assert(math.abs(got - tgt) <= sigma4,
+        s"stratum $g: approx kept $got vs target $tgt (±$sigma4)")
+    }
+    // lengthGroupedBatches: every remaining corpus window partitions by
+    // at least (stratum, length)/(stratum, batch) — none by the stratum
+    // alone, so a mega-stratum never sorts under one task
+    val lgb = graft.operators.Packing.lengthGroupedBatches(
+      df, "doc_id", "text", "grp", batchSize = 8, merges = Nil)
+    val ws = logicalWindows(lgb)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.length >= 2),
+      "a window still partitions by the stratum alone:\n" +
+        ws.map(_.partitionSpec.map(_.sql)).mkString("\n"))
+    // output identical to the single-window reference form
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("batch_id"))
+    val ref = df.select(col("grp"), col("doc_id"),
+        size(graft.expressions.GraftFunctions.bpeEncode(col("text"),
+          Nil, graft.functions.TextFunctions.bpeTokenPattern, true))
+          .cast("long").as("n_tokens"))
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("batch_id", expr("CAST((__rn - 1) div 8 AS BIGINT)"))
+      .withColumn("batch_max", max(col("n_tokens")).over(w2))
+      .withColumn("padding", col("batch_max") - col("n_tokens"))
+      .drop("__rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val got = lgb.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == ref,
+      "histogram-offset batching diverged from the single-window form")
+  }
+
   test("q2: filters and projection are pushed into the parquet scan") {
     val p = plan(Relational.q2FilterProject(spark, sfDir))
     assert(p.contains("PushedFilters:"))
