@@ -1573,10 +1573,17 @@ object Extensions {
       .select(col("doc_id"), TextFunctions.htmlToText(html).as("text"))
     val deduped = Dedup.exact(extracted, "doc_id", "text")
       .select(col("doc_id"), col("fingerprint"))
-    val withDomain = deduped.withColumn("domain",
-      when(col("doc_id") % 10 < 5, lit("megafarm.com"))
-        .otherwise(concat(lit("site"),
-          (col("doc_id") % 97).cast("string"))))
+    // cache the pipeline output across domainQuota's TWO passes
+    // (threshold agg, then join-back filter) — without it the whole
+    // upstream (WARC read → extract → dedup shuffle) executes twice,
+    // measured as the x78 round-12 regression (tools/QuotaCost). The
+    // frame is the crawl batch's survivors: bounded, and exactly what
+    // a production pipeline persists before curation anyway.
+    val withDomain = graft.core.CacheScope.cached(
+      deduped.withColumn("domain",
+        when(col("doc_id") % 10 < 5, lit("megafarm.com"))
+          .otherwise(concat(lit("site"),
+            (col("doc_id") % 97).cast("string")))))
     Curation.domainQuota(withDomain, "domain", "doc_id", quota = 20)
       .select(col("doc_id"), col("domain"), col("fingerprint"))
       .orderBy(col("doc_id"))
