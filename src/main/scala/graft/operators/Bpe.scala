@@ -856,6 +856,138 @@ object Bpe {
     (merges, vocab)
   }
 
+  /** Load a Hugging Face single-file `tokenizer.json` (the public
+    * `tokenizers` serialization — the artifact most published models
+    * actually ship) for the BYTE-LEVEL BPE subset: `(merges, vocab)`
+    * ready for [[encodeIdsBytes]] / [[decodeIds]], exactly like
+    * [[loadGpt2]]'s pair. Supported and checked:
+    *
+    *  - `model.type` must be `"BPE"` with no dropout, no
+    *    continuing-subword prefix, and no end-of-word suffix — a
+    *    Unigram/WordPiece/WordLevel file (or BPE under semantics this
+    *    engine does not implement) is REJECTED loudly, never decoded
+    *    to silently-wrong ids.
+    *  - the pre-tokenizer, when present, must be `ByteLevel` (directly
+    *    or inside a `Sequence`) — the byte alphabet is what makes the
+    *    vocab's `Ġ`-mapped symbols meaningful.
+    *  - `model.vocab` keeps FILE iteration order; `added_tokens`
+    *    (specials) merge in when absent; ids checked unique.
+    *  - `model.merges` accepts BOTH public spellings: `"left right"`
+    *    strings (tokenizers < 0.20) and `["left", "right"]` pairs
+    *    (0.20+). Rank = array order; every merge's concatenation must
+    *    be in vocabulary (mismatched artifact fails loudly).
+    *
+    * Pair counts are not part of the format and load as 0, as with
+    * [[loadGpt2]]; encode parity between the two formats carrying the
+    * same tokenizer is spec-asserted.
+    */
+  def loadTokenizerJson(spark: SparkSession, path: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)]) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val model = tree.get("model")
+    require(model != null && model.isObject,
+      s"$path has no tokenizer model object")
+    val kind = Option(model.get("type")).map(_.asText()).getOrElse("BPE")
+    require(kind == "BPE",
+      s"unsupported tokenizer model type '$kind' in $path — only " +
+        "byte-level BPE is supported; refusing to mis-encode")
+    require(model.get("dropout") == null || model.get("dropout").isNull,
+      s"$path uses BPE dropout — a stochastic encode this engine " +
+        "does not implement")
+    for (f <- Seq("continuing_subword_prefix", "end_of_word_suffix")) {
+      val v = model.get(f)
+      require(v == null || v.isNull || v.asText() == "",
+        s"$path sets $f='${v.asText()}' — WordPiece-style semantics " +
+          "this engine does not implement")
+    }
+    // pre-tokenizer: ByteLevel, possibly nested in a Sequence
+    def isByteLevel(node: com.fasterxml.jackson.databind.JsonNode)
+        : Boolean = {
+      if (node == null || node.isNull) false
+      else Option(node.get("type")).map(_.asText()) match {
+        case Some("ByteLevel") => true
+        case Some("Sequence") =>
+          val ps = node.get("pretokenizers")
+          ps != null && ps.isArray && {
+            val it = ps.elements()
+            var found = false
+            while (it.hasNext && !found) found = isByteLevel(it.next())
+            found
+          }
+        case _ => false
+      }
+    }
+    val pre = tree.get("pre_tokenizer")
+    require(pre == null || pre.isNull || isByteLevel(pre),
+      s"$path pre-tokenizer is not ByteLevel — its vocab symbols are " +
+        "not the byte alphabet this engine encodes with")
+    val vocabNode = model.get("vocab")
+    require(vocabNode != null && vocabNode.isObject,
+      s"$path model.vocab is not a JSON object")
+    val vocabBuilder = Seq.newBuilder[(String, Long)]
+    val names = vocabNode.fieldNames()
+    while (names.hasNext) {
+      val k = names.next()
+      val v = vocabNode.get(k)
+      require(v.canConvertToLong, s"$path vocab id for '$k' is not " +
+        "an integer")
+      vocabBuilder += ((k, v.asLong()))
+    }
+    var vocab = vocabBuilder.result()
+    val known = scala.collection.mutable.LinkedHashSet(
+      vocab.map(_._1): _*)
+    val added = tree.get("added_tokens")
+    if (added != null && added.isArray) {
+      val it = added.elements()
+      while (it.hasNext) {
+        val t = it.next()
+        val content = t.get("content").asText()
+        if (!known.contains(content)) {
+          vocab = vocab :+ ((content, t.get("id").asLong()))
+          known += content
+        }
+      }
+    }
+    val ids = vocab.map(_._2)
+    require(ids.distinct.size == ids.size,
+      s"$path carries duplicate token ids")
+    val mergesNode = model.get("merges")
+    require(mergesNode != null && mergesNode.isArray,
+      s"$path model.merges is not an array")
+    val merges = {
+      val b = Seq.newBuilder[(Int, String, String, String, Long)]
+      val it = mergesNode.elements()
+      var rank = 1
+      while (it.hasNext) {
+        val m = it.next()
+        val (l, r) =
+          if (m.isArray) {
+            require(m.size() == 2,
+              s"$path merge $rank is not a [left, right] pair")
+            (m.get(0).asText(), m.get(1).asText())
+          } else {
+            val line = m.asText()
+            val sp = line.indexOf(' ')
+            require(sp > 0 && line.indexOf(' ', sp + 1) < 0,
+              s"$path merge $rank is not 'left right': '$line'")
+            (line.substring(0, sp), line.substring(sp + 1))
+          }
+        require(known.contains(l + r),
+          s"merge result '${l + r}' (rank $rank) is missing from " +
+            s"$path's vocab — mismatched artifact")
+        b += ((rank, l, r, l + r, 0L))
+        rank += 1
+      }
+      b.result()
+    }
+    (merges, vocab)
+  }
+
   /** [[encodeIdsBytes]] under an EXPLICIT vocabulary (a [[loadGpt2]]
     * artifact's id assignment, which need not follow [[vocabBytes]]'s
     * layout). The sentinel −1 still marks the impossible miss — for a

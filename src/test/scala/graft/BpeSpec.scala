@@ -635,6 +635,158 @@ class BpeSpec extends SparkSpec {
     assert(m2 == m, s"round-trip lost '#' merges: $m2")
   }
 
+  /** Author a tokenizer.json from (merges, vocab) in either public
+    * merge spelling; returns the file path.
+    */
+  private def writeTokenizerJson(
+      merges: Seq[(Int, String, String, String, Long)],
+      vocab: Seq[(String, Long)], arrayMerges: Boolean,
+      modelType: String = "BPE", preType: String = "ByteLevel",
+      extraModel: Map[String, String] = Map.empty,
+      addedTokens: Seq[(String, Long)] = Nil): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    val pre = mapper.createObjectNode()
+    pre.put("type", preType)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("pre_tokenizer",
+      pre)
+    if (addedTokens.nonEmpty) {
+      val arr = mapper.createArrayNode()
+      addedTokens.foreach { case (c, id) =>
+        val t = mapper.createObjectNode()
+        t.put("id", id); t.put("content", c); t.put("special", true)
+        arr.add(t)
+      }
+      root.set[com.fasterxml.jackson.databind.JsonNode]("added_tokens",
+        arr)
+    }
+    val model = mapper.createObjectNode()
+    model.put("type", modelType)
+    extraModel.foreach { case (k, v) => model.put(k, v) }
+    val v = mapper.createObjectNode()
+    vocab.foreach { case (t, id) => v.put(t, id) }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", v)
+    val ms = mapper.createArrayNode()
+    merges.sortBy(_._1).foreach { m =>
+      if (arrayMerges) {
+        val pair = mapper.createArrayNode()
+        pair.add(m._2); pair.add(m._3); ms.add(pair)
+      } else ms.add(s"${m._2} ${m._3}")
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges", ms)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("model", model)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokjson")
+    val p = dir.resolve("tokenizer.json")
+    java.nio.file.Files.write(p, mapper.writeValueAsBytes(root))
+    p.toString
+  }
+
+  test("loadTokenizerJson: the HF single-file format (both merge " +
+      "spellings) loads to the SAME (merges, vocab) as the GPT-2 pair " +
+      "of the same tokenizer, and encodes bit-identically") {
+    import spark.implicits._
+    val df = Seq("the cat the cat the cat sat", "the cat sat there")
+      .toDF("text").withColumn("id", monotonically_increasing_id())
+    val trained = Bpe.trainBytes(df, "text", numMerges = 12,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val specials = Seq("<|endoftext|>")
+    val vocab = Bpe.vocabBytes(trained, specials)
+    // the GPT-2 pair of the same tokenizer — the parity reference
+    val gptDir = java.nio.file.Files
+      .createTempDirectory("graft_gpt2_ref").toString
+    Bpe.saveGpt2(spark, trained, gptDir, specials)
+    val (gm, gv) = Bpe.loadGpt2(spark, gptDir)
+
+    for (arrayMerges <- Seq(false, true)) {
+      val path = writeTokenizerJson(trained, vocab, arrayMerges)
+      val (tm, tv) = Bpe.loadTokenizerJson(spark, path)
+      assert(tm == gm, s"merges differ (arrayMerges=$arrayMerges)")
+      assert(tv == gv, s"vocab differs (arrayMerges=$arrayMerges)")
+      val viaJson = Bpe.encodeIdsBytes(df, "id", "text", tm, tv,
+          graft.operators.Dedup.VerifyBroadcastMaxBytes,
+          graft.functions.TextFunctions.bpeBytePatternFull)
+        .select(col("id"), col("token_ids")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      val viaPair = Bpe.encodeIdsBytes(df, "id", "text", gm, gv,
+          graft.operators.Dedup.VerifyBroadcastMaxBytes,
+          graft.functions.TextFunctions.bpeBytePatternFull)
+        .select(col("id"), col("token_ids")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+      assert(viaJson == viaPair,
+        s"encode parity broke (arrayMerges=$arrayMerges)")
+    }
+
+    // added_tokens absent from model.vocab merge in (file id honored);
+    // ByteLevel nested in a Sequence pre-tokenizer is accepted
+    val noSpecialVocab = Bpe.vocabBytes(trained, Nil)
+    val path2 = writeTokenizerJson(trained, noSpecialVocab,
+      arrayMerges = true,
+      addedTokens = Seq(("<|endoftext|>", 9999L)))
+    val (_, v2) = Bpe.loadTokenizerJson(spark, path2)
+    assert(v2.contains(("<|endoftext|>", 9999L)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val seqPath = {
+      val tree = mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path2)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val seq = mapper.createObjectNode()
+      seq.put("type", "Sequence")
+      val arr = mapper.createArrayNode()
+      val bl = mapper.createObjectNode(); bl.put("type", "ByteLevel")
+      arr.add(bl)
+      seq.set[com.fasterxml.jackson.databind.JsonNode](
+        "pretokenizers", arr)
+      tree.set[com.fasterxml.jackson.databind.JsonNode](
+        "pre_tokenizer", seq)
+      val d = java.nio.file.Files.createTempDirectory("graft_tokseq")
+      val p = d.resolve("tokenizer.json")
+      java.nio.file.Files.write(p, mapper.writeValueAsBytes(tree))
+      p.toString
+    }
+    assert(Bpe.loadTokenizerJson(spark, seqPath)._2
+      .contains(("<|endoftext|>", 9999L)))
+  }
+
+  test("loadTokenizerJson rejects unsupported tokenizers LOUDLY: " +
+      "non-BPE models, dropout, WordPiece prefixes, non-ByteLevel " +
+      "pre-tokenizers, and mismatched merge/vocab artifacts") {
+    import spark.implicits._
+    val df = Seq("aa ab aa ab aa").toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val trained = Bpe.trainBytes(df, "text", numMerges = 3,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val vocab = Bpe.vocabBytes(trained, Nil)
+    def expectReject(path: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Bpe.loadTokenizerJson(spark, path))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectReject(writeTokenizerJson(trained, vocab, arrayMerges = true,
+      modelType = "Unigram"), "unsupported tokenizer model type")
+    expectReject(writeTokenizerJson(trained, vocab, arrayMerges = true,
+      extraModel = Map("continuing_subword_prefix" -> "##")),
+      "continuing_subword_prefix")
+    expectReject(writeTokenizerJson(trained, vocab, arrayMerges = true,
+      preType = "Whitespace"), "not ByteLevel")
+    // a merge whose result is missing from the vocab = mismatched file
+    val missing = vocab.filterNot(_._1 == trained.head._4)
+    expectReject(writeTokenizerJson(trained, missing,
+      arrayMerges = false), "missing from")
+    // dropout is a stochastic encode — refused
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val base = writeTokenizerJson(trained, vocab, arrayMerges = true)
+    val tree = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base)))
+    tree.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("dropout", 0.1)
+    val d = java.nio.file.Files.createTempDirectory("graft_tokdrop")
+    val p = d.resolve("tokenizer.json")
+    java.nio.file.Files.write(p, mapper.writeValueAsBytes(tree))
+    expectReject(p.toString, "dropout")
+  }
+
   test("punctuation and digit words: single-mark words never merge " +
       "(no pairs), digit runs merge like letter runs, regex " +
       "metacharacters in symbols are quoted") {
