@@ -87,3 +87,53 @@ case class BloomContains(left: Expression, right: Expression,
       newRight: Expression): BloomContains =
     copy(left = newLeft, right = newRight)
 }
+
+/** Count of a string array's elements whose Spark-compatible xxhash64
+  * (seed 42 — IDENTICAL to the `xxhash64(col)` the Bloom builder was
+  * fed) probes all-set in the bitset — the whole per-row contamination
+  * measurement of [[graft.operators.Dedup.contaminationReportBloom]]'s
+  * explode→probe→sum chain collapsed into ONE compiled pass. Built for
+  * the STREAMING sequence screen ([[graft.streaming.Streaming
+  * .sequenceContaminationStream]]), where an explode + re-aggregate
+  * would turn an Append-mode map into a stateful streaming aggregation.
+  */
+case class BloomSharedCount(left: Expression, right: Expression,
+    numHashes: Int) extends BinaryExpression with BinaryKernelCodegen {
+
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_bloom_shared_count"
+
+  override def kernel(shinglesAny: Any, bitsAny: Any): Any = {
+    val shingles = shinglesAny.asInstanceOf[ArrayData]
+    val bits = bitsAny.asInstanceOf[ArrayData]
+    val mBits = bits.numElements().toLong * 64L
+    var shared = 0L
+    var j = 0
+    val n = shingles.numElements()
+    while (j < n) {
+      val s = shingles.getUTF8String(j)
+      // Spark's xxhash64(string) semantics, seed 42 — must match the
+      // hash the builder aggregated or every probe misses
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val hh2 = BloomProbe.h2(h1)
+      var hit = true
+      var i = 0
+      while (hit && i < numHashes) {
+        val p = BloomProbe.pos(h1, hh2, i, mBits)
+        if ((bits.getLong((p >>> 6).toInt) & (1L << (p & 63L))) == 0L)
+          hit = false
+        i += 1
+      }
+      if (hit) shared += 1L
+      j += 1
+    }
+    shared
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BloomSharedCount =
+    copy(left = newLeft, right = newRight)
+}

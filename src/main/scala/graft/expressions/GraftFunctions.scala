@@ -71,6 +71,9 @@ object GraftFunctions {
   def hashedBucketCounts(text: Column, dim: Int): Column =
     c(HashedBucketCounts(e(text), dim))
   def int8QuantStats(a: Column): Column = c(Int8QuantStats(e(a)))
+  def bloomSharedCount(shingles: Column, bits: Column,
+      numHashes: Int): Column =
+    c(BloomSharedCount(e(shingles), e(bits), numHashes))
   def bloomContains(bits: Column, hash: Column, numHashes: Int): Column =
     c(BloomContains(e(bits), e(hash), numHashes))
 

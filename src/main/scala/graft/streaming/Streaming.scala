@@ -460,6 +460,217 @@ object Streaming {
       }
   }
 
+  /** [[materializeStreamFlush]] with BOUNDED state — the unbounded-
+    * stratum-cardinality answer: [[materializeStream]]'s NoTimeout
+    * keeps one state entry per stratum FOREVER, fine for
+    * language/shard strata (dozens), unbounded for per-domain strata
+    * on a months-lived open-web stream. Here a stratum idle past `ttl`
+    * (watermark clock — deterministic and replayable) flushes its
+    * partial sequence (`complete = false`) and then EVICTS its state
+    * entirely — the [[domainQuotaStreamTtl]] retention contract
+    * applied to packing. State is O(strata active within the TTL
+    * horizon).
+    *
+    * The documented trade, visible in the output: a stratum
+    * re-appearing after eviction RESTARTS its sequence line at
+    * `seq_id = 0` (its ids regress — consumers keying sequences by
+    * (stratum, seq_id) must treat each activity burst as its own
+    * epoch, e.g. by bucketing on the flush boundary). Choose `ttl`
+    * longer than real arrival gaps; [[materializeStreamFlush]] is the
+    * variant that keeps the id line (and the state entry) forever.
+    */
+  def materializeStreamTtl(docs: DataFrame, idCol: String,
+      textCol: String, strataCol: String, tsCol: String, seqLen: Int,
+      merges: Seq[(Int, String, String, String, Long)],
+      ttl: String,
+      specialTokens: Seq[String] = Nil,
+      docSeparator: Option[String] = None,
+      watermarkDelay: String = "0 seconds",
+      tokenPattern: String = graft.functions.TextFunctions
+        .bpeTokenPattern): Dataset[PackedSeq] = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(ttl)) match {
+      case iv =>
+        require(iv.months == 0,
+          "ttl must be a day/time interval (months vary)")
+        iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(ttlMs > 0, s"ttl must be positive, got $ttl")
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val sepId = docSeparator.map { t =>
+      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
+        s"docSeparator '$t' is not in specialTokens — the separator " +
+          "id must come from the shared vocabulary"))
+    }
+    val encoded = graft.expressions.GraftFunctions.tokenIds(
+      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel = true),
+      vocab, unkId = -1L)
+    val withSep = sepId match {
+      case Some(id) => concat(encoded, array(lit(id)))
+      case None => encoded
+    }
+    import docs.sparkSession.implicits._
+    docs.select(col(strataCol).cast("string").as("strata"),
+        col(idCol).cast("long").as("doc_id"), withSep.as("ids"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[TokDocTs]
+      .groupByKey(_.strata)
+      .flatMapGroupsWithState[PackState, PackedSeq](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (strata: String, it: Iterator[TokDocTs],
+            state: GroupState[PackState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            // flush the partial (if any) and EVICT — the memory bound;
+            // a re-appearing stratum starts a fresh id line at 0
+            state.remove()
+            if (st.ids.nonEmpty)
+              Iterator.single(PackedSeq(strata, st.seqId, st.ids,
+                st.spans, st.ids.length.toLong, complete = false))
+            else Iterator.empty
+          } else {
+            val arr = it.toArray // micro-batch-sized, never state
+            val st = state.getOption.getOrElse(
+              PackState(0L, Array.empty, Array.empty))
+            val (next, out) = packFold(strata,
+              arr.iterator.map(d => TokDoc(d.strata, d.doc_id, d.ids)),
+              st, seqLen)
+            state.update(next)
+            val maxTs = arr.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** [[packStream]] with BOUNDED state — the TTL form of the offsets
+    * variant: a stratum idle past `ttl` (watermark clock) evicts its
+    * ONE-long cursor; a re-appearing stratum restarts its packed
+    * stream at offset 0 / `seq_id = 0` (visible in the output — each
+    * activity burst is its own packing epoch). State is O(strata
+    * active within the TTL horizon) instead of O(all strata ever).
+    */
+  def packStreamTtl(docs: DataFrame, idCol: String, strataCol: String,
+      countCol: String, tsCol: String, seqLen: Int, ttl: String,
+      watermarkDelay: String = "0 seconds"): Dataset[PackedDoc] = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(ttl)) match {
+      case iv =>
+        require(iv.months == 0,
+          "ttl must be a day/time interval (months vary)")
+        iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(ttlMs > 0, s"ttl must be positive, got $ttl")
+    import docs.sparkSession.implicits._
+    docs.select(col(strataCol).cast("string").as("strata"),
+        col(idCol).cast("long").as("doc_id"),
+        col(countCol).cast("long").as("n_bpe"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[PackDocTs]
+      .groupByKey(_.strata)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (strata: String, it: Iterator[PackDocTs],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // nothing buffered: the cursor just evicts
+            Iterator.empty
+          } else {
+            val docs = it.toArray.sortBy(_.doc_id)
+            var cur = state.getOption.getOrElse(0L)
+            val out = docs.map { d =>
+              require(d.n_bpe >= 0, s"negative token count: $d")
+              val begin = cur
+              cur = begin + d.n_bpe
+              val seqId = begin / seqLen
+              val seqLast =
+                if (d.n_bpe > 0) (cur - 1) / seqLen else seqId
+              PackedDoc(strata, d.doc_id, d.n_bpe, begin, seqId,
+                seqLast, seqId != seqLast)
+            }
+            state.update(cur)
+            val maxTs = docs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  case class PackDocTs(strata: String, doc_id: Long, n_bpe: Long,
+    ts: Timestamp)
+
+  /** STREAMING sequence-level decontamination — x97's screen applied
+    * ON INGEST: packing can concatenate two individually-clean
+    * fragments into a contaminated training sequence across a document
+    * boundary, and with [[materializeStream]] emitting sequences
+    * continuously, nothing should wait for a later batch pass to catch
+    * that. The benchmark (STATIC side) distincts its word-k-shingles
+    * once into a fixed-size Bloom bitset (the x51 builder —
+    * [[graft.functions.Aggregators.BloomBuild]]); each arriving
+    * sequence then decodes map-side ([[graft.expressions.IdsToText]]),
+    * shingles, and counts benchmark hits in ONE compiled pass
+    * ([[graft.expressions.BloomSharedCount]]) after a broadcast
+    * stream-static cross join of the one-row bitset — NO streaming
+    * aggregation, NO extra state, Append-mode friendly at any corpus
+    * rate.
+    *
+    * Semantics vs the batch screen ([[graft.operators.Packing
+    * .sequenceContamination]], x97): identical `n_shingles` (the
+    * distinct-shingle count) and threshold rule; `n_shared` may only
+    * be INFLATED by Bloom false positives (never deflated — no false
+    * negatives), so every sequence the exact screen flags is flagged
+    * here too; size `log2Bits` ≥ log2(benchmark shingles) + 7 for a
+    * sub-1 % FP rate. Batch parity on real data is spec-pinned with
+    * the planted cross-boundary case arriving across a micro-batch
+    * split.
+    *
+    * Output: the input sequence columns + `n_shingles`, `n_shared`,
+    * `contaminated` — a screen, not a filter, so the caller routes
+    * flagged sequences to quarantine or drop.
+    */
+  def sequenceContaminationStream(seqs: DataFrame, strataCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      k: Int, num: Int = 4, den: Int = 5,
+      specialTokens: Seq[String] = Nil,
+      log2Bits: Int = 24, numHashes: Int = 5): DataFrame = {
+    require(log2Bits >= 6 && log2Bits <= 30, s"log2Bits: $log2Bits")
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BloomBuild(1 << log2Bits,
+        numHashes),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // static side: benchmark → one-row bitset, computed once per query
+    // start (a stream-static join re-uses the static plan's result)
+    val bloom = benchmark
+      .select(explode(graft.expressions.GraftFunctions.wordShingles(
+        col(benchTextCol), k)).as("s"))
+      .agg(bloomAgg(xxhash64(col("s"))).as("__bloom"))
+    val sh = graft.expressions.GraftFunctions.wordShingles(
+      graft.expressions.GraftFunctions.idsToText(col("token_ids"),
+        vocab), k)
+    seqs.crossJoin(broadcast(bloom))
+      .withColumn("__sh", sh)
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("n_shared",
+        graft.expressions.GraftFunctions.bloomSharedCount(col("__sh"),
+          col("__bloom"), numHashes))
+      .withColumn("contaminated",
+        col("n_shared") * den >= col("n_shingles") * num &&
+          col("n_shingles") > 0)
+      .drop("__sh", "__bloom")
+  }
+
   case class DomDocTs(doc_id: Long, domain: String, ts: Timestamp)
 
   /** [[domainQuotaStream]] with BOUNDED state: domain counters evict

@@ -1037,4 +1037,179 @@ class StreamingSpec extends SparkSpec {
       assert(finalKept("B") == Set(10L))
     } finally q.stop()
   }
+
+  test("sequenceContaminationStream: a cross-boundary contamination " +
+      "ARRIVING ACROSS A MICRO-BATCH SPLIT is flagged on ingest " +
+      "(invisible at document level), and the screen equals the batch " +
+      "x97 report on a real id-ordered replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // planted case: doc1 "ab" + doc2 "cdefg" pack into seq 0 = "abcde"
+    // — a WORD that exists in NEITHER document, only in the packed
+    // sequence, and doc2 arrives in a LATER micro-batch
+    val bench = Seq(Tuple1("abcde")).toDF("text")
+    val input = MemoryStream[(String, Long, String)]
+    val seqsStream = Streaming.materializeStream(
+      input.toDF.toDF("lang", "doc_id", "text"), "doc_id", "text",
+      "lang", seqLen = 5, merges = Nil,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val screened = Streaming.sequenceContaminationStream(
+      seqsStream.toDF(), "strata", bench, "text", merges = Nil, k = 1)
+    val q = screened.writeStream.format("memory")
+      .queryName("seq_contam_stream").outputMode("append").start()
+    try {
+      input.addData(Seq(("a", 1L, "ab")))
+      q.processAllAvailable()
+      assert(spark.table("seq_contam_stream").isEmpty,
+        "no sequence completed yet")
+      input.addData(Seq(("a", 2L, "cdefg")))
+      q.processAllAvailable()
+      val flagged = spark.table("seq_contam_stream")
+        .select(col("strata"), col("seq_id"), col("n_shingles"),
+          col("n_shared"), col("contaminated"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(flagged == Map(("a", 0L) -> (1L, 1L, true)),
+        s"cross-boundary case not flagged on ingest: $flagged")
+      // the DOCUMENT-level screen cannot see it — neither doc carries
+      // the crossing word
+      val docLevel = graft.operators.Dedup.contaminationReport(
+        bench.select(monotonically_increasing_id().as("id"), col("text")),
+        Seq((1L, "ab"), (2L, "cdefg")).toDF("id", "text"),
+        "id", "text", k = 1)
+        .filter(col("contaminated")).count()
+      assert(docLevel == 0, "planted case must be doc-level invisible")
+    } finally q.stop()
+
+    // batch parity on real documents: id-ordered replay split across
+    // micro-batches, screened on ingest, equals the exact batch x97
+    // report on the same (complete) sequences
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val benchmark = docsDf.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      .select(col("text"))
+    val batchSeqs = graft.operators.Packing.materializeSequences(
+      docsDf, "doc_id", "text", "lang", seqLen = 512, merges = Nil,
+      dropIncomplete = true,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val batchReport = graft.operators.Packing.sequenceContamination(
+      batchSeqs, "lang", benchmark, "text", merges = Nil, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val in2 = MemoryStream[(String, Long, String)]
+    val s2 = Streaming.materializeStream(
+      in2.toDF.toDF("lang", "doc_id", "text"), "doc_id", "text",
+      "lang", seqLen = 512, merges = Nil,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val screened2 = Streaming.sequenceContaminationStream(
+      s2.toDF(), "strata", benchmark, "text", merges = Nil, k = 3)
+    val q2 = screened2.writeStream.format("memory")
+      .queryName("seq_contam_stream2").outputMode("append").start()
+    try {
+      val all = docsDf.select("lang", "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      val (b1, b2) = all.splitAt(all.length / 2)
+      in2.addData(b1.toSeq); q2.processAllAvailable()
+      in2.addData(b2.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("seq_contam_stream2")
+        .select(col("strata"), col("seq_id"), col("n_shingles"),
+          col("n_shared"), col("contaminated"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batchReport.view
+        .filterKeys(streamed.contains).toMap,
+        "stream screen diverged from the batch x97 report")
+      // every key the batch report has beyond the stream's is an
+      // incomplete tail the stream correctly withheld
+      assert(batchReport.keySet == streamed.keySet,
+        s"complete-sequence sets differ: batch ${batchReport.size} " +
+          s"vs stream ${streamed.size}")
+    } finally q2.stop()
+  }
+
+  test("materializeStreamTtl: an idle stratum flushes its partial AND " +
+      "evicts; a re-appearing stratum RESTARTS its sequence line at 0 " +
+      "(visible as a second (stratum, 0) emission)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(minOfDay: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(minOfDay * 60000L)
+    val input = MemoryStream[(String, Long, String, java.sql.Timestamp)]
+    val stream = Streaming.materializeStreamTtl(
+      input.toDF.toDF("lang", "doc_id", "text", "ts"),
+      "doc_id", "text", "lang", "ts", seqLen = 5, merges = Nil,
+      ttl = "1 hour",
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val q = stream.writeStream.format("memory").queryName("mat_ttl")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("mat_ttl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+          r.getBoolean(5))).toSeq
+      // 10:00 — a: 7 tokens → seq 0 complete, 2 buffered
+      input.addData(Seq(("a", 1L, "abcdefg", ts(600))))
+      q.processAllAvailable()
+      assert(rows() == Seq(("a", 0L, 5L, true)))
+      // 13:00+ — b pushes the watermark past a's 11:00 horizon: a's
+      // partial flushes complete=false and the state EVICTS
+      input.addData(Seq(("b", 10L, "z", ts(780))))
+      q.processAllAvailable()
+      input.addData(Seq(("b", 11L, "w", ts(781))))
+      q.processAllAvailable()
+      assert(rows().contains(("a", 1L, 2L, false)),
+        s"idle partial must flush before eviction: ${rows()}")
+      // 13:05 — a re-appears AFTER eviction: the id line RESTARTS at
+      // seq 0 (the documented per-burst trade) — a SECOND ("a", 0)
+      // emission is the visible restart
+      input.addData(Seq(("a", 2L, "hijkl", ts(785))))
+      q.processAllAvailable()
+      val emissions = rows().filter(r => r._1 == "a" && r._2 == 0L)
+      assert(emissions == Seq(("a", 0L, 5L, true), ("a", 0L, 5L, true)),
+        s"re-appearing stratum must restart its id line: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("packStreamTtl: an idle stratum's cursor evicts (offsets " +
+      "restart at 0 per activity burst); active strata keep one " +
+      "contiguous stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(minOfDay: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(minOfDay * 60000L)
+    val input = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
+    val stream = Streaming.packStreamTtl(
+      input.toDF.toDF("lang", "doc_id", "n", "ts"),
+      "doc_id", "lang", "n", "ts", seqLen = 10, ttl = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("pack_ttl")
+      .outputMode("append").start()
+    try {
+      def begins() = spark.table("pack_ttl").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      // 10:00 — a: 7 tokens at offset 0
+      input.addData(Seq(("a", 1L, 7L, ts(600))))
+      q.processAllAvailable()
+      assert(begins() == Map(("a", 1L) -> 0L))
+      // inside the horizon the cursor holds: next doc at offset 7
+      input.addData(Seq(("a", 2L, 4L, ts(630))))
+      q.processAllAvailable()
+      assert(begins()(("a", 2L)) == 7L)
+      // 13:00+ — b pushes the watermark past a's horizon: a evicts
+      input.addData(Seq(("b", 10L, 1L, ts(780))))
+      q.processAllAvailable()
+      input.addData(Seq(("b", 11L, 1L, ts(781))))
+      q.processAllAvailable()
+      // 13:05 — a re-appears: offsets RESTART at 0 (fresh burst);
+      // b (active) continues its contiguous stream at offset 1
+      input.addData(Seq(("a", 3L, 2L, ts(785)), ("b", 12L, 2L, ts(785))))
+      q.processAllAvailable()
+      val b3 = begins()
+      assert(b3(("a", 3L)) == 0L,
+        s"evicted stratum must restart at 0: $b3")
+      assert(b3(("b", 12L)) == 2L,
+        s"active stratum must stay contiguous: $b3")
+    } finally q.stop()
+  }
 }
