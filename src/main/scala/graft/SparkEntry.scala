@@ -177,6 +177,7 @@ object SparkEntry {
     "x113_knn_ivfpq_indexed" -> Extensions.x113KnnIvfPqIndexed,
     "x114_trainer_shards" -> Extensions.x114TrainerShards,
     "x115_temperature_approx" -> Extensions.x115TemperatureApprox,
+    "x116_shard_readback" -> Extensions.x116ShardReadback,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1089,6 +1090,40 @@ object SparkEntry {
         |FROM x b JOIN x w ON b.doc_id = w.doc_id
         |WHERE b.rb = 1 AND w.rw = 1
         |ORDER BY b.doc_id""".stripMargin,
+    // x116: the write→read shard loop — per-sequence byte md5 equals
+    // the x96 substr arithmetic from the documents table
+    "x116_shard_readback" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bpe
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (
+        |  SELECT lang, doc_id, text, n_bpe,
+        |    CAST(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+        |  FROM t),
+        |d AS (
+        |  SELECT lang, doc_id, text, n_bpe,
+        |    end_offset - n_bpe AS begin_offset, end_offset,
+        |    (end_offset - n_bpe) // 512 AS s0,
+        |    (end_offset - 1) // 512 AS s1
+        |  FROM o WHERE n_bpe > 0),
+        |f AS (
+        |  SELECT d.lang, d.doc_id, g.s AS seq_id,
+        |    GREATEST(d.begin_offset, g.s * 512) AS fb,
+        |    LEAST(d.end_offset, (g.s + 1) * 512) AS fe,
+        |    d.begin_offset, d.text
+        |  FROM d, LATERAL (SELECT unnest(generate_series(d.s0, d.s1))
+        |    AS s) g),
+        |q AS (
+        |  SELECT lang, seq_id,
+        |    string_agg(substr(text, CAST(fb - begin_offset + 1 AS INTEGER),
+        |      CAST(fe - fb AS INTEGER)), '' ORDER BY fb) AS seq_text,
+        |    CAST(SUM(fe - fb) AS BIGINT) AS n_tokens
+        |  FROM f GROUP BY lang, seq_id)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+        |  md5(seq_text) AS seq_md5
+        |FROM q ORDER BY lang, seq_id""".stripMargin,
     // x114: the written trainer-shard blob is, under the zero-merge
     // byte config, the stratum's concatenated document bytes in id
     // order (the x96 identity carried to the FILE) — sizes, sequence

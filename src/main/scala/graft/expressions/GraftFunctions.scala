@@ -57,6 +57,8 @@ object GraftFunctions {
   def bpeEncode(text: Column, merges: Seq[(Int, String, String)],
       pattern: String, byteLevel: Boolean): Column =
     c(BpeEncodeTokens(e(text), merges, pattern, byteLevel))
+  def shardSequences(blob: Column, idx: Column): Column =
+    c(ShardSequences(e(blob), e(idx)))
   def packedTokenBinary(ids: Column, width: Int): Column =
     c(PackedTokenBinary(e(ids), width))
   def idsToText(ids: Column, vocab: Seq[(String, Long)]): Column =

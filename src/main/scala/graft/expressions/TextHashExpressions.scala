@@ -763,6 +763,81 @@ case class PackedTokenBinary(child: Expression, width: Int)
       newChild: Expression): PackedTokenBinary = copy(child = newChild)
 }
 
+/** Trainer-shard file pair → the sequences it encodes, as ONE compiled
+  * pass per shard: parse the idx sidecar ([[graft.io.TrainerShards]]'s
+  * layout — `GRFTSHRD` magic, u32 LE version + width, u64 LE
+  * end-offsets), slice the tokens blob accordingly, and decode the
+  * fixed-width little-endian ids. The distributed-read inverse of
+  * [[PackedTokenBinary]] + the shard writer, so the on-disk artifact is
+  * queryable (and oracle-checkable) without a driver-side reader. A
+  * malformed pair fails LOUDLY (bad magic/version/width, offset/blob
+  * size mismatch) — never silently mis-sliced sequences.
+  */
+case class ShardSequences(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryKernelCodegen {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "graft_shard_sequences"
+
+  override def kernel(blobAny: Any, idxAny: Any): Any = {
+    val blob = blobAny.asInstanceOf[Array[Byte]]
+    val idx = idxAny.asInstanceOf[Array[Byte]]
+    val header = graft.io.TrainerShards.HeaderBytes
+    val magic = graft.io.TrainerShards.Magic
+    require(idx.length >= header && {
+      var ok = true; var i = 0
+      while (ok && i < magic.length) { ok = idx(i) == magic(i); i += 1 }
+      ok
+    }, "not a trainer-shard idx (bad magic)")
+    val bb = java.nio.ByteBuffer.wrap(idx)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val version = bb.getInt(magic.length)
+    require(version == graft.io.TrainerShards.Version,
+      s"unsupported shard version $version")
+    val width = bb.getInt(magic.length + 4)
+    require(width == 1 || width == 2 || width == 4,
+      s"corrupt shard width $width")
+    require((idx.length - header) % 8 == 0, "truncated shard idx")
+    val count = (idx.length - header) / 8
+    val tb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Any](count)
+    var begin = 0L
+    var s = 0
+    while (s < count) {
+      val end = bb.getLong(header + s * 8)
+      require(end >= begin && end <= blob.length &&
+        (end - begin) % width == 0,
+        s"idx offset $end inconsistent with blob of ${blob.length}")
+      val n = ((end - begin) / width).toInt
+      val ids = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val p = (begin + i.toLong * width).toInt
+        ids(i) = width match {
+          case 1 => blob(p) & 0xffL
+          case 2 => tb.getShort(p) & 0xffffL
+          case 4 => tb.getInt(p) & 0xffffffffL
+        }
+        i += 1
+      }
+      out(s) = new GenericArrayData(ids)
+      begin = end
+      s += 1
+    }
+    require(begin == blob.length,
+      s"blob carries ${blob.length - begin} trailing bytes the idx " +
+        "does not cover")
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShardSequences =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Token-id array → decoded TEXT through a vocabulary table — the
   * row-level inverse of the encode→ids chain ([[BpeEncodeTokens]] +
   * [[TokenIds]]), as a compiled kernel so whole SEQUENCES decode

@@ -54,10 +54,10 @@ object TrainerShards {
 
   val TokensSuffix = ".tokens"
   val IdxSuffix = ".idx"
-  private[io] val Magic: Array[Byte] =
+  private[graft] val Magic: Array[Byte] =
     "GRFTSHRD".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-  private[io] val Version = 1
-  private[io] val HeaderBytes = 16
+  private[graft] val Version = 1
+  private[graft] val HeaderBytes = 16
 
   /** File-safe encoding of a stratum value (injective, reversible —
     * URL percent-encoding), so any stratum string maps to exactly one
@@ -243,6 +243,37 @@ object TrainerShards {
       out.toSeq
     }
     (width, seqs)
+  }
+
+  /** DISTRIBUTED read-back of a written shard set: one row per
+    * sequence, `(stratum, seq_idx, token_ids)` in file order — the
+    * write's inverse, so the on-disk artifact is queryable (and
+    * oracle-checked end to end, x116) without leaving Spark. Each
+    * shard's file pair is read whole through the binaryFile source and
+    * sliced by the compiled [[graft.expressions.ShardSequences]]
+    * kernel; parallelism is one task per shard, the artifact's natural
+    * unit. The binaryFile source bounds one file at the 2 GB row
+    * limit — the same bound the writer's
+    * `targetRecordsPerFile`-less-but-stratum-sized shards should be
+    * sized under; a real trainer mmaps instead.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = spark.read.format("binaryFile")
+      .load(dir + "/*" + TokensSuffix)
+      .select(regexp_extract(col("path"),
+          "([^/]+)\\" + TokensSuffix + "$", 1).as("__stem"),
+        col("content").as("__blob"))
+    val idx = spark.read.format("binaryFile")
+      .load(dir + "/*" + IdxSuffix)
+      .select(regexp_extract(col("path"),
+          "([^/]+)\\" + IdxSuffix + "$", 1).as("__stem"),
+        col("content").as("__idx"))
+    tokens.join(idx, Seq("__stem"))
+      .select(expr("url_decode(__stem)").as("stratum"),
+        posexplode(graft.expressions.GraftFunctions.shardSequences(
+          col("__blob"), col("__idx"))))
+      .select(col("stratum"), col("pos").cast("long").as("seq_idx"),
+        col("col").as("token_ids"))
   }
 
   /** The strata present in a written shard set — one idx listing. */

@@ -496,6 +496,32 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  /** x116: trainer-shard READ-BACK — the x114 artifact re-entering the
+    * engine through [[graft.io.TrainerShards.read]] (binaryFile scan +
+    * the compiled [[graft.expressions.ShardSequences]] kernel), one
+    * row per sequence with its byte-content md5. Write → file pair →
+    * distributed read → per-sequence bytes equal the x96
+    * materialization arithmetic, restated by the oracle from the
+    * documents table alone — the full write/read loop is
+    * oracle-certified, not just the writer.
+    */
+  def x116ShardReadback(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
+      "text", "lang", seqLen = 512, merges = Nil,
+      tokenPattern = TextFunctions.bpeBytePatternFull)
+    val out = scratchIndexPath("x116_shards", dir)
+    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
+      width = 1, out)
+    graft.io.TrainerShards.read(s, out)
+      .select(col("stratum").as("lang"),
+        col("seq_idx").as("seq_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          col("token_ids"), width = 1)).as("seq_md5"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
   /** x115: WINDOW-FREE temperature sampling ([[graft.operators.Mixing
     * .temperatureSampleApprox]]) — the 100 TB form of x108: the same
     * integer-exact n^0.5 largest-remainder apportionment, but

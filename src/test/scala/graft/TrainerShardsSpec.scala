@@ -153,6 +153,49 @@ class TrainerShardsSpec extends SparkSpec {
       "straddled sequences broke blob contiguity")
   }
 
+  test("distributed read: TrainerShards.read returns every stratum's " +
+      "sequences byte-identically to the driver reference reader, at " +
+      "width 2 and width 1, with file-order seq_idx") {
+    val seqs = materialize(fixture, seqLen = 32)
+    for (width <- Seq(1, 2)) {
+      val dir = tmpDir()
+      TrainerShards.write(seqs, "lang", "seq_id", "token_ids", width,
+        dir)
+      val dist = TrainerShards.read(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2))
+        .toMap
+      val strata = TrainerShards.listShards(spark, dir)
+      assert(strata.nonEmpty)
+      for (s <- strata) {
+        val (w, ref) = TrainerShards.readShard(spark, dir, s)
+        assert(w == width)
+        ref.zipWithIndex.foreach { case (ids, i) =>
+          assert(dist((s, i.toLong)) == ids,
+            s"distributed read diverged at ($s, $i), width $width")
+        }
+      }
+      assert(dist.size == strata.map(s =>
+        TrainerShards.readShard(spark, dir, s)._2.size).sum)
+    }
+    // a corrupt idx (bad magic) fails loudly, never mis-slices
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 1, dir)
+    val idxPath = java.nio.file.Paths.get(dir,
+      TrainerShards.fileStem("en") + TrainerShards.IdxSuffix)
+    val bytes = java.nio.file.Files.readAllBytes(idxPath)
+    bytes(0) = 'X'.toByte
+    java.nio.file.Files.write(idxPath, bytes)
+    val e = intercept[Exception] {
+      TrainerShards.read(spark, dir).collect()
+    }
+    // the kernel's "bad magic" refusal surfaces wrapped in Spark's
+    // per-file read failure — loud either way, never mis-sliced rows
+    def loud(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(m =>
+        m.contains("magic") || m.contains("en.idx")) || loud(t.getCause))
+    assert(loud(e), s"unexpected failure: $e")
+  }
+
   test("strata with unsafe filesystem characters map to one reversible " +
       "file stem; empty input publishes an empty shard set") {
     import spark.implicits._
