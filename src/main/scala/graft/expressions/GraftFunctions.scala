@@ -30,6 +30,9 @@ object GraftFunctions {
   def residualVec(vec: Column, cell: Column,
       centroids: Seq[Seq[Float]]): Column =
     c(ResidualVec(e(vec), e(cell), centroids))
+  def pqAdcTable(vec: Column, codebooks: Seq[Seq[Seq[Float]]],
+      nCentroids: Int): Column =
+    c(PqAdcTable(e(vec), codebooks, nCentroids))
   def nearestCells(a: Column, centroids: Seq[Seq[Float]], nProbe: Int): Column =
     c(NearestCells(e(a), centroids, nProbe))
   def hyperplaneBands(a: Column, bands: Int, bitsPerBand: Int): Column =

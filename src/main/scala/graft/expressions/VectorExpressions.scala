@@ -413,6 +413,65 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
     copy(child = newChild)
 }
 
+/** The per-QUERY ADC lookup table (`numSubspaces × nCentroids`
+  * subspace dots against the PQ codebooks) computed PER ROW as one
+  * compiled pass — what [[graft.operators.SimilaritySearch.pqScore]]
+  * builds driver-side for a collected query set, made streamable: on an
+  * ingest stream the "queries" are the arriving vectors themselves, so
+  * the table must be a map-side projection, not a driver loop
+  * ([[graft.streaming.Streaming.annScreenStreamPq]]). Cost per row is
+  * dim × nCentroids multiplies; the table then prices every scored code
+  * row at `numSubspaces` lookups via [[PqAdcDot]].
+  */
+case class PqAdcTable(child: Expression,
+    codebooks: Seq[Seq[Seq[Float]]], nCentroids: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need non-empty codebooks")
+  // stride must be the INDEX's nCentroids parameter, not the largest
+  // trained codebook: small corpora train short codebooks, and PqAdcDot
+  // indexes adc[s * nCentroids + code]
+  require(nCentroids >= codebooks.map(_.length).max,
+    s"nCentroids $nCentroids below a codebook's size")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc_table"
+
+  @transient private lazy val cbs: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def kernel(a: Any): Any = {
+    val qv = VecKernels.floats(a.asInstanceOf[ArrayData])
+    val numSubspaces = cbs.length
+    val sub = cbs(0)(0).length
+    val table = new Array[Any](numSubspaces * nCentroids)
+    java.util.Arrays.fill(table, 0.0d)
+    var s = 0
+    while (s < numSubspaces) {
+      var ci = 0
+      while (ci < cbs(s).length) {
+        val cent = cbs(s)(ci)
+        var d = 0.0
+        var j = 0
+        val n = math.min(sub, math.max(0, qv.length - s * sub))
+        while (j < n) {
+          d += qv(s * sub + j).toDouble * cent(j).toDouble
+          j += 1
+        }
+        table(s * nCentroids + ci) = d
+        ci += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(table)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqAdcTable = copy(child = newChild)
+}
+
 /** The IVF-PQ residual `v − centroid[cell]` for one float vector, as ONE
   * map-side compiled pass — the encode step of a composed
   * coarse-quantizer + product-quantizer index

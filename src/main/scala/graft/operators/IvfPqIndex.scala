@@ -57,7 +57,12 @@ final class IvfPqIndex private (
   private def mgr = new CollectionManager(spark, path)
   private val tomb = new TombstoneStore(spark, path, "neighbor_id")
 
-  private def checkLive(): Unit = AnnIndex.checkLive(spark, path, epoch)
+  /** Crash-marker + handle-epoch check, exposed for the streaming
+    * layer (it refuses a mid-rebuild or stale index at stream
+    * construction, like [[IvfIndex.checkPending]]).
+    */
+  private[graft] def checkLive(): Unit =
+    AnnIndex.checkLive(spark, path, epoch)
 
   private def sub: Int = codebooks.head.head.length
 
@@ -66,6 +71,14 @@ final class IvfPqIndex private (
     */
   def codes: DataFrame =
     tomb.minus(mgr.collection(AnnIndex.CodesName).read())
+
+  /** The stored codes WITHOUT the tombstone filter — the streaming
+    * layer caches this frame once and anti-joins the LIVE tombstone
+    * listing outside the cache, so mid-stream deletes are honored per
+    * micro-batch (the [[IvfIndex.cellsRaw]] contract).
+    */
+  private[graft] def codesRaw: DataFrame =
+    mgr.collection(AnnIndex.CodesName).read()
 
   /** Probed ADC top-k: per query, ONE driver-side ADC table against
     * the residual codebooks (shared across its probed cells) plus one

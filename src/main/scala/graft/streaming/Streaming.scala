@@ -991,6 +991,66 @@ object Streaming {
       .select(col(idCol).as("id"), col("dup_of"), col("cos"))
   }
 
+  /** [[annScreenStream]] over the COMPOSED IVF-PQ residual index — the
+    * deployable-layout form of ANN-on-ingest: arriving vectors probe
+    * their `nProbe` nearest cells and score the stored COMPRESSED
+    * residual codes, never full-width vectors. The per-arrival ADC
+    * table is a compiled map-side projection
+    * ([[graft.expressions.PqAdcTable]] — on a stream the "queries" are
+    * the arrivals, so there is no driver-side query set to collect),
+    * the `⟨q, c_cell⟩` offset rides the probe explode, and each scored
+    * code row costs `numSubspaces` lookups ([[graft.expressions
+    * .PqAdcDot]]).
+    *
+    * The emitted `cos` is the ADC approximate cosine — biased LOW
+    * (quantization error only shrinks the numerator; the denominator
+    * carries the TRUE stored norm), and at lossy settings the bias is
+    * MATERIAL: an exact twin of an indexed vector scores the index's
+    * self-ADC cosine, ≈ 0.7–0.8 on random 64-dim embeddings at the
+    * 8×16 defaults, not 1.0. Calibrate `threshold` against a measured
+    * self-query of the index (k = 1, excludeSelf = false), the same
+    * way batch [[graft.operators.IvfPqIndex.topK]] consumers pick
+    * shortlist cutoffs; unrelated vectors still score near 0, so the
+    * regimes separate cleanly. [[annScreenStream]] (raw IVF) is the
+    * exact-cosine screen when full-width storage is affordable.
+    * Mid-stream deletes are honored per micro-batch via the live
+    * tombstone listing, exactly like [[annScreenStream]]. The codes
+    * frame is cached — release via an enclosing
+    * [[graft.core.CacheScope]] bracket when the stream stops.
+    */
+  def annScreenStreamPq(vecs: DataFrame,
+      index: graft.operators.IvfPqIndex, idCol: String, vecCol: String,
+      threshold: Double, tsCol: String, watermark: String = "1 hour",
+      windowDur: String = "10 minutes", nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    index.checkLive()
+    val liveTomb = liveIds(vecs.sparkSession, s"${index.path}/tombstones")
+      .select(col("id").as("dup_of"))
+    val codes = graft.core.CacheScope.cached(
+      index.codesRaw.select(col("neighbor_id").as("dup_of"),
+        col("cn"), col("codes"), col("cell")))
+      .join(liveTomb, Seq("dup_of"), "left_anti")
+    val centsLit = typedLit(index.centroids.map(_.toSeq))
+    vecs.select(col(idCol), col(vecCol), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .withColumn("__qn", normSq(col(vecCol)))
+      .withColumn("__adc", graft.expressions.GraftFunctions.pqAdcTable(
+        col(vecCol), index.codebooks, index.nCentroids))
+      .withColumn("cell",
+        explode(nearestCells(col(vecCol), index.centroids, nProbe)))
+      .withColumn("__cdot",
+        dot(col(vecCol), element_at(centsLit, col("cell") + 1)))
+      .join(codes, Seq("cell"))
+      .withColumn("cos", round(cosineFromParts(
+        graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
+          col("__adc"), index.nCentroids) + col("__cdot"),
+        col("__qn"), col("cn")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(window(col(tsCol), windowDur), col(idCol), col("dup_of"))
+      .agg(max(col("cos")).as("cos"))
+      .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+  }
+
   /** Streaming contamination screen: incoming (test/eval) documents are
     * checked against a STATIC training-corpus shingle set as they
     * arrive — the stream-static join surface. The static side is the
