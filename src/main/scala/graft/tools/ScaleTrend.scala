@@ -203,7 +203,12 @@ object ScaleTrend {
       // bucket-bounded model aggs + broadcast term join + doc sum
       "x111_dsir_weights",
       // round 12 (post-final): BPE token-window chunking — pure map
-      "x112_token_windows_bpe")
+      "x112_token_windows_bpe",
+      // round 13: composed IVF-PQ index (build + probed compressed
+      // query), trainer-shard write→binaryFile read-back pair,
+      // window-free temperature sampling (hash-rate gate)
+      "x113_knn_ivfpq_indexed", "x114_trainer_shards",
+      "x115_temperature_approx", "x116_shard_readback")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

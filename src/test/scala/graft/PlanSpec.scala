@@ -701,14 +701,25 @@ class PlanSpec extends SparkSpec {
       nodes(p106, "ShuffledHashJoin") + nodes(p106, "Window") == 0, p106)
     assert(nodes(p106, "HashAggregate") >= 1, p106)
     assert(nodes(p106, "Exchange") <= 2, p106)
-    // x107: kernel-count projection + the two batching windows —
-    // stratum rank, (strata, batch) max — and nothing else
+    // x107 (round-13 shape): histogram-offset batching — the tiny
+    // (stratum, length) histogram joins back broadcast under the
+    // measured gate, and the two remaining windows partition by
+    // (strata, n_tokens) tie groups and (strata, batch_id) — NO
+    // window partitions by the stratum alone (the mega-stratum
+    // assert lives in the dedicated round-13 test above)
     val p107 = plan(Extensions.x107LengthBatches(spark, sfDir))
-    assert(nodes(p107, "BroadcastHashJoin") + nodes(p107, "SortMergeJoin") +
-      nodes(p107, "ShuffledHashJoin") + nodes(p107, "HashAggregate") == 0,
-      p107)
-    assert(nodes(p107, "Window") == 2, p107)
-    assert(nodes(p107, "Exchange") <= 3, p107)
+    assert(nodes(p107, "SortMergeJoin") + nodes(p107, "ShuffledHashJoin") +
+      nodes(p107, "CartesianProduct") == 0, p107)
+    assert(nodes(p107, "BroadcastHashJoin") == 1,
+      s"measured-small offsets did not broadcast:\n$p107")
+    // the MAIN query carries 2 windows + 3 exchanges; the cached
+    // histogram's InMemoryRelation prints its own subplan TWICE
+    // (AQE initial + final), adding 2 windows and 4 exchanges of
+    // display noise — the per-window partition-arity assert (no
+    // window partitioned by the stratum alone) lives in the
+    // dedicated mega-stratum test, on the optimized plan
+    assert(nodes(p107, "Window") <= 4, p107)
+    assert(nodes(p107, "Exchange") <= 7, p107)
     // x108: the corpus pays one count aggregate, the strata-sized
     // apportionment windows, the target join-back, and ONE rank
     // window — never a cartesian or a corpus-sized extra exchange

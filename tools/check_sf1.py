@@ -48,6 +48,8 @@ QUERIES = [
     "x107_length_batches", "x108_temperature_sample",
     "x109_best_of_n", "x110_resume_shuffle",
     "x111_dsir_weights", "x112_token_windows_bpe",
+    "x114_trainer_shards", "x115_temperature_approx",
+    "x116_shard_readback",
 ]
 
 
