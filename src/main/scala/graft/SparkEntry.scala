@@ -1130,14 +1130,14 @@ object SparkEntry {
     // counts, and the blob md5 all restate from the documents table
     "x114_trainer_shards" ->
       """SELECT lang,
-        |  CAST((sum(length(text)) + 511) // 512 AS BIGINT)
+        |  CAST((sum(octet_length(encode(text))) + 511) // 512 AS BIGINT)
         |    AS n_sequences,
-        |  CAST(sum(length(text)) AS BIGINT) AS n_tokens,
-        |  CAST(sum(length(text)) AS BIGINT) AS token_bytes,
-        |  CAST(sum(length(text)) AS BIGINT) AS blob_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS token_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS blob_bytes,
         |  md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
         |FROM documents WHERE text IS NOT NULL
-        |GROUP BY lang HAVING sum(length(text)) > 0
+        |GROUP BY lang HAVING sum(octet_length(encode(text))) > 0
         |ORDER BY lang""".stripMargin,
     // x112: zero-merge byte windows = plain substring arithmetic
     "x112_token_windows_bpe" ->

@@ -42,9 +42,14 @@ import org.apache.spark.sql.functions._
   * Crash safety: everything lands in a staging directory first; the
   * publish is the [[graft.core.Collection.compact]] two-rename swap
   * (retire current → publish staging → drop retired), so readers never
-  * observe a half-written shard set. A task retry truncates and
-  * rewrites its own files (`overwrite = true`) — each stratum is
-  * written by exactly one task by construction of the exchange.
+  * observe a half-written shard set. A (serial) task retry truncates
+  * and rewrites its own files (`overwrite = true`) — each stratum is
+  * written by exactly one task by construction of the exchange — and
+  * a mid-write failure closes its open streams (no leaked HDFS lease
+  * blocking the retry). SPECULATIVE execution is refused loudly at
+  * the call: duplicate concurrent attempts of one task would
+  * interleave writes into the same staging files (there is no output
+  * committer underneath this writer).
   *
   * The reference stops at row-wise JSON ingest
   * (ParquetArangoLoader.java:85-288); this is the engine's
@@ -86,6 +91,16 @@ object TrainerShards {
     require(width == 1 || width == 2 || width == 4,
       s"width must be 1, 2, or 4 bytes, got $width")
     val spark = seqs.sparkSession
+    // each stratum's file pair is written by exactly one TASK with no
+    // output-committer protocol underneath — a SPECULATIVE duplicate
+    // attempt of that task would interleave writes into the same
+    // staging files and could publish a corrupt shard; refuse loudly
+    // instead (serial task RETRIES are fine: overwrite=true truncates)
+    require(!spark.conf.getOption("spark.speculation")
+        .exists(_.toBoolean),
+      "TrainerShards.write is incompatible with spark.speculation — " +
+        "duplicate task attempts would interleave writes into one " +
+        "shard file; disable speculation for this job")
     val conf = new org.apache.spark.sql.graftbridge.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val staging = s"$dir.staging-${java.util.UUID.randomUUID()}"
@@ -138,19 +153,28 @@ object TrainerShards {
         }
         // eager drain: bytes stream straight to the filesystem; only
         // the per-stratum manifest rows (bounded: strata per partition)
-        // are held
-        while (it.hasNext) {
-          val r = it.next()
-          val s = r.getString(0)
-          if (s != cur) { close(); open(s) }
-          val bytes = r.getAs[Array[Byte]](2)
-          tokOut.write(bytes)
-          off += bytes.length
-          idxOut.write(u64le(off))
-          nSeq += 1
-          nTok += r.getLong(3)
+        // are held. The finally closes the open pair on a mid-write
+        // failure (disk full, datanode loss) — a leaked HDFS lease
+        // would otherwise block the retry's overwriting create until
+        // lease recovery
+        try {
+          while (it.hasNext) {
+            val r = it.next()
+            val s = r.getString(0)
+            if (s != cur) { close(); open(s) }
+            val bytes = r.getAs[Array[Byte]](2)
+            tokOut.write(bytes)
+            off += bytes.length
+            idxOut.write(u64le(off))
+            nSeq += 1
+            nTok += r.getLong(3)
+          }
+          close()
+        } finally if (cur != null) {
+          // failure path only (success nulls cur in close())
+          try tokOut.close() catch { case _: Throwable => () }
+          try idxOut.close() catch { case _: Throwable => () }
         }
-        close()
         done.result().iterator
       }(org.apache.spark.sql.Encoders.row(manifestSchema))
       .collect()

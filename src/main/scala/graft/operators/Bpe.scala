@@ -863,13 +863,18 @@ object Bpe {
     * [[loadGpt2]]'s pair. Supported and checked:
     *
     *  - `model.type` must be `"BPE"` with no dropout, no
-    *    continuing-subword prefix, and no end-of-word suffix — a
-    *    Unigram/WordPiece/WordLevel file (or BPE under semantics this
-    *    engine does not implement) is REJECTED loudly, never decoded
+    *    continuing-subword prefix/end-of-word suffix, no
+    *    `ignore_merges` (Llama-3/Qwen2-style whole-word vocab skips),
+    *    no `byte_fallback` (sentencepiece alphabet), and no
+    *    unk_token/fuse_unk (byte-level BPE has no unknowns) — a
+    *    Unigram/WordPiece/WordLevel file, or BPE under semantics this
+    *    engine does not implement, is REJECTED loudly, never decoded
     *    to silently-wrong ids.
-    *  - the pre-tokenizer, when present, must be `ByteLevel` (directly
+    *  - the pre-tokenizer must be PRESENT and `ByteLevel` (directly
     *    or inside a `Sequence`) — the byte alphabet is what makes the
-    *    vocab's `Ġ`-mapped symbols meaningful.
+    *    vocab's `Ġ`-mapped symbols meaningful; an absent pipeline
+    *    (Llama-2-style sentencepiece files) cannot be confirmed
+    *    byte-level and is refused.
     *  - `model.vocab` keeps FILE iteration order; `added_tokens`
     *    (specials) merge in when absent; ids checked unique.
     *  - `model.merges` accepts BOTH public spellings: `"left right"`
@@ -905,6 +910,22 @@ object Bpe {
         s"$path sets $f='${v.asText()}' — WordPiece-style semantics " +
           "this engine does not implement")
     }
+    // the OTHER BPE options that change encode semantics: accepting
+    // them silently would break the 'rejected loudly, never mis-
+    // encoded' contract (ignore_merges: Llama-3/Qwen2-style whole-word
+    // vocab hits skip merging; byte_fallback: sentencepiece-style
+    // <0xNN> fallback, a different alphabet; fuse_unk/unk_token:
+    // byte-level BPE has no unknowns by construction)
+    for (f <- Seq("ignore_merges", "byte_fallback", "fuse_unk")) {
+      val v = model.get(f)
+      require(v == null || v.isNull || !v.asBoolean(false),
+        s"$path sets $f=true — encode semantics this engine does " +
+          "not implement; refusing to mis-encode")
+    }
+    require(model.get("unk_token") == null ||
+      model.get("unk_token").isNull,
+      s"$path carries an unk_token — byte-level BPE has no unknowns; " +
+        "this is not a byte-level artifact")
     // pre-tokenizer: ByteLevel, possibly nested in a Sequence
     def isByteLevel(node: com.fasterxml.jackson.databind.JsonNode)
         : Boolean = {
@@ -922,10 +943,16 @@ object Bpe {
         case _ => false
       }
     }
+    // an ABSENT pre-tokenizer is a rejection too: Llama-2-style
+    // sentencepiece-BPE files carry normalizer-only pipelines whose
+    // vocab symbols are not the byte alphabet — nothing confirms
+    // byte-level, so loading would silently mis-encode
     val pre = tree.get("pre_tokenizer")
-    require(pre == null || pre.isNull || isByteLevel(pre),
-      s"$path pre-tokenizer is not ByteLevel — its vocab symbols are " +
-        "not the byte alphabet this engine encodes with")
+    require(pre != null && !pre.isNull && isByteLevel(pre),
+      s"$path pre-tokenizer is ${if (pre == null || pre.isNull)
+        "absent" else "not ByteLevel"} — its vocab symbols are " +
+        "not (or cannot be confirmed to be) the byte alphabet this " +
+        "engine encodes with")
     val vocabNode = model.get("vocab")
     require(vocabNode != null && vocabNode.isObject,
       s"$path model.vocab is not a JSON object")

@@ -100,6 +100,16 @@ final class IvfPqIndex private (
       return SimilaritySearch.emptyTopKOf(spark,
         queries.schema(idCol).dataType,
         codes.schema("neighbor_id").dataType)
+    // the same loud dimension guard extend carries: a short/long query
+    // vector would otherwise surface as a raw index error from the
+    // driver-side ADC table loop (or silently min-prefix the probes)
+    qRows.find(_.getSeq[Float](1).length != numSubspaces * sub)
+      .foreach { r =>
+        require(requirement = false,
+          s"index expects ${numSubspaces * sub}-dim vectors, query " +
+            s"'${r.get(0)}' carries ${r.getSeq[Float](1).length}-dim — " +
+            "a different embedding model?")
+      }
     val probeRows = qRows.flatMap { r =>
       val qv = r.getSeq[Float](1)
       val adc = IvfPqIndex.adcTable(qv, codebooks, numSubspaces,

@@ -44,13 +44,14 @@ object Mixing {
       .withColumn("__thr",
         least(lit(full), expr(s"(${full}L * ${cap}L) div __n")))
       .withColumn("__thr_hex", format_string("%08x", col("__thr")))
-      .select(col(stratumCol), col("__thr"), col("__thr_hex"))
-    df.join(counts, stratumCol)
+      .select(col(stratumCol).as("__s"), col("__thr"), col("__thr_hex"))
+    // null-safe: a null stratum is one cap group, never silently dropped
+    df.join(counts, col(stratumCol) <=> col("__s"))
       // rate-1 strata keep everything outright: their threshold 16^8 is
       // nine hex digits and would compare LOW lexicographically
       .filter(col("__thr") === lit(full) ||
         substring(md5(col(idCol).cast("string")), 1, 8) < col("__thr_hex"))
-      .drop("__thr", "__thr_hex")
+      .drop("__s", "__thr", "__thr_hex")
   }
 
   /** TEMPERATURE-based mixture sampling — the multilingual-mix device
@@ -135,13 +136,16 @@ object Mixing {
   def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
       budget: Long, alpha: Double = 0.5): DataFrame = {
     val counts = temperatureTargets(df, stratumCol, budget, alpha)
-      .select(col(stratumCol), col("__tgt"))
+      .select(col(stratumCol).as("__s"), col("__tgt"))
     val rank = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.join(counts, stratumCol)
+    // null-safe: a null stratum is a stratum (one apportionment row of
+    // its own — window partitions always handled it); a plain
+    // equi-join would silently drop its rows
+    df.join(counts, col(stratumCol) <=> col("__s"))
       .withColumn("__rn", row_number().over(rank).cast("long"))
       .filter(col("__rn") <= col("__tgt"))
-      .drop("__tgt", "__rn")
+      .drop("__s", "__tgt", "__rn")
   }
 
   /** [[temperatureSample]] WITHOUT the per-stratum rank window — the
@@ -172,12 +176,13 @@ object Mixing {
       .withColumn("__thr",
         expr(s"(${full}L * __tgt) div __n"))
       .withColumn("__thr_hex", format_string("%08x", col("__thr")))
-      .select(col(stratumCol), col("__thr"), col("__thr_hex"))
-    df.join(counts, stratumCol)
+      .select(col(stratumCol).as("__s"), col("__thr"), col("__thr_hex"))
+    // null-safe: null strata sample like any other (see the exact form)
+    df.join(counts, col(stratumCol) <=> col("__s"))
       .filter(col("__thr") === lit(full) ||
         substring(md5(col(idCol).cast("string")), 1, 8) <
           col("__thr_hex"))
-      .drop("__thr", "__thr_hex")
+      .drop("__s", "__thr", "__thr_hex")
   }
 
   /** The UPSAMPLING half of the mixture recipe: replicate each

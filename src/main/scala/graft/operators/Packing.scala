@@ -424,8 +424,16 @@ object Packing {
     val tieRank = Window.partitionBy(col(strataCol), col("n_tokens"))
       .orderBy(col(idCol))
     val w2 = Window.partitionBy(col(strataCol), col("batch_id"))
+    // NULL-SAFE join on both keys: a null stratum (and a null count
+    // from null text) formed a window partition in the replaced
+    // single-window form — a plain equi-join would silently drop
+    // those rows (the domainQuota null-key class)
+    val off = offsets.withColumnRenamed(strataCol, "__s")
+      .withColumnRenamed("n_tokens", "__l")
     counted
-      .join(hint(offsets), Seq(strataCol, "n_tokens"))
+      .join(hint(off), col(strataCol) <=> col("__s") &&
+        col("n_tokens") <=> col("__l"))
+      .drop("__s", "__l")
       .withColumn("__rn",
         col("__start") + row_number().over(tieRank).cast("long"))
       .withColumn("batch_id",

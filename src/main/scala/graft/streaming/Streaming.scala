@@ -202,6 +202,48 @@ object Streaming {
       }
   }
 
+  /** Parse a day/time interval to milliseconds — the shared timeout
+    * arithmetic of every TTL/flush stream. Month-bearing intervals are
+    * rejected (months vary in length; the watermark clock needs a
+    * fixed span), as are non-positive spans.
+    */
+  private def intervalMs(name: String, value: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(value))
+    require(iv.months == 0,
+      s"$name must be a day/time interval (months vary in length)")
+    val ms = iv.days * 86400000L + iv.microseconds / 1000L
+    require(ms > 0, s"$name must be positive, got $value")
+    ms
+  }
+
+  /** The shared encode prelude of the materializing streams: byte-BPE
+    * token ids under the shared vocabulary, the optional document
+    * separator appended — a pure projection computed BEFORE any
+    * stateful step, so the stateful work is array copies only.
+    */
+  private def tokenIdsWithSep(textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      specialTokens: Seq[String], docSeparator: Option[String],
+      tokenPattern: String): org.apache.spark.sql.Column = {
+    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
+    val sepId = docSeparator.map { t =>
+      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
+        s"docSeparator '$t' is not in specialTokens — the separator " +
+          "id must come from the shared vocabulary"))
+    }
+    val encoded = graft.expressions.GraftFunctions.tokenIds(
+      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
+        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tokenPattern, byteLevel = true),
+      vocab, unkId = -1L)
+    sepId match {
+      case Some(id) => concat(encoded, array(lit(id)))
+      case None => encoded
+    }
+  }
+
   case class PackDoc(strata: String, doc_id: Long, n_bpe: Long)
   case class PackedDoc(strata: String, doc_id: Long, n_bpe: Long,
     begin_offset: Long, seq_id: Long, seq_last: Long, straddles: Boolean)
@@ -305,21 +347,8 @@ object Streaming {
       tokenPattern: String = graft.functions.TextFunctions
         .bpeTokenPattern): Dataset[PackedSeq] = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
-    val sepId = docSeparator.map { t =>
-      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
-        s"docSeparator '$t' is not in specialTokens — the separator " +
-          "id must come from the shared vocabulary"))
-    }
-    val encoded = graft.expressions.GraftFunctions.tokenIds(
-      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
-        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
-        tokenPattern, byteLevel = true),
-      vocab, unkId = -1L)
-    val withSep = sepId match {
-      case Some(id) => concat(encoded, array(lit(id)))
-      case None => encoded
-    }
+    val withSep = tokenIdsWithSep(textCol, merges, specialTokens,
+      docSeparator, tokenPattern)
     import docs.sparkSession.implicits._
     docs.select(col(strataCol).cast("string").as("strata"),
         col(idCol).cast("long").as("doc_id"), withSep.as("ids"))
@@ -398,30 +427,9 @@ object Streaming {
       tokenPattern: String = graft.functions.TextFunctions
         .bpeTokenPattern): Dataset[PackedSeq] = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val flushMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-        .fromString(flushAfter)) match {
-      case iv =>
-        require(iv.months == 0,
-          "flushAfter must be a day/time interval (months vary)")
-        iv.days * 86400000L + iv.microseconds / 1000L
-    }
-    require(flushMs > 0, s"flushAfter must be positive, got $flushAfter")
-    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
-    val sepId = docSeparator.map { t =>
-      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
-        s"docSeparator '$t' is not in specialTokens — the separator " +
-          "id must come from the shared vocabulary"))
-    }
-    val encoded = graft.expressions.GraftFunctions.tokenIds(
-      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
-        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
-        tokenPattern, byteLevel = true),
-      vocab, unkId = -1L)
-    val withSep = sepId match {
-      case Some(id) => concat(encoded, array(lit(id)))
-      case None => encoded
-    }
+    val flushMs = intervalMs("flushAfter", flushAfter)
+    val withSep = tokenIdsWithSep(textCol, merges, specialTokens,
+      docSeparator, tokenPattern)
     import docs.sparkSession.implicits._
     docs.select(col(strataCol).cast("string").as("strata"),
         col(idCol).cast("long").as("doc_id"), withSep.as("ids"),
@@ -489,30 +497,9 @@ object Streaming {
       tokenPattern: String = graft.functions.TextFunctions
         .bpeTokenPattern): Dataset[PackedSeq] = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-        .fromString(ttl)) match {
-      case iv =>
-        require(iv.months == 0,
-          "ttl must be a day/time interval (months vary)")
-        iv.days * 86400000L + iv.microseconds / 1000L
-    }
-    require(ttlMs > 0, s"ttl must be positive, got $ttl")
-    val vocab = graft.operators.Bpe.vocabBytes(merges, specialTokens)
-    val sepId = docSeparator.map { t =>
-      vocab.find(_._1 == t).map(_._2).getOrElse(sys.error(
-        s"docSeparator '$t' is not in specialTokens — the separator " +
-          "id must come from the shared vocabulary"))
-    }
-    val encoded = graft.expressions.GraftFunctions.tokenIds(
-      graft.expressions.GraftFunctions.bpeEncode(col(textCol),
-        merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
-        tokenPattern, byteLevel = true),
-      vocab, unkId = -1L)
-    val withSep = sepId match {
-      case Some(id) => concat(encoded, array(lit(id)))
-      case None => encoded
-    }
+    val ttlMs = intervalMs("ttl", ttl)
+    val withSep = tokenIdsWithSep(textCol, merges, specialTokens,
+      docSeparator, tokenPattern)
     import docs.sparkSession.implicits._
     docs.select(col(strataCol).cast("string").as("strata"),
         col(idCol).cast("long").as("doc_id"), withSep.as("ids"),
@@ -560,15 +547,7 @@ object Streaming {
       countCol: String, tsCol: String, seqLen: Int, ttl: String,
       watermarkDelay: String = "0 seconds"): Dataset[PackedDoc] = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-        .fromString(ttl)) match {
-      case iv =>
-        require(iv.months == 0,
-          "ttl must be a day/time interval (months vary)")
-        iv.days * 86400000L + iv.microseconds / 1000L
-    }
-    require(ttlMs > 0, s"ttl must be positive, got $ttl")
+    val ttlMs = intervalMs("ttl", ttl)
     import docs.sparkSession.implicits._
     docs.select(col(strataCol).cast("string").as("strata"),
         col(idCol).cast("long").as("doc_id"),
@@ -650,12 +629,16 @@ object Streaming {
       new graft.functions.Aggregators.BloomBuild(1 << log2Bits,
         numHashes),
       org.apache.spark.sql.Encoders.scalaLong)
-    // static side: benchmark → one-row bitset, computed once per query
-    // start (a stream-static join re-uses the static plan's result)
-    val bloom = benchmark
+    // static side: benchmark → one-row bitset, CACHED — a stream-static
+    // join re-plans the static side every micro-batch, so without the
+    // cache a months-lived stream would re-scan and re-aggregate the
+    // whole benchmark per trigger (the contaminationStream /
+    // annScreenStreamPq static-side contract; release via an enclosing
+    // CacheScope bracket when the stream stops)
+    val bloom = graft.core.CacheScope.cached(benchmark
       .select(explode(graft.expressions.GraftFunctions.wordShingles(
         col(benchTextCol), k)).as("s"))
-      .agg(bloomAgg(xxhash64(col("s"))).as("__bloom"))
+      .agg(bloomAgg(xxhash64(col("s"))).as("__bloom")))
     val sh = graft.expressions.GraftFunctions.wordShingles(
       graft.expressions.GraftFunctions.idsToText(col("token_ids"),
         vocab), k)
@@ -692,15 +675,7 @@ object Streaming {
       domainCol: String, tsCol: String, quota: Int, ttl: String,
       watermarkDelay: String = "0 seconds"): Dataset[DomDoc] = {
     require(quota > 0, s"quota must be positive, got $quota")
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-        .fromString(ttl)) match {
-      case iv =>
-        require(iv.months == 0,
-          "ttl must be a day/time interval (months vary in length)")
-        iv.days * 86400000L + iv.microseconds / 1000L
-    }
-    require(ttlMs > 0, s"ttl must be positive, got $ttl")
+    val ttlMs = intervalMs("ttl", ttl)
     import docs.sparkSession.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"),
         col(domainCol).cast("string").as("domain"),

@@ -769,6 +769,31 @@ class BpeSpec extends SparkSpec {
       "continuing_subword_prefix")
     expectReject(writeTokenizerJson(trained, vocab, arrayMerges = true,
       preType = "Whitespace"), "not ByteLevel")
+    // semantics flags this engine does not implement refuse loudly
+    val mapper0 = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (flag <- Seq("ignore_merges", "byte_fallback", "fuse_unk")) {
+      val base0 = writeTokenizerJson(trained, vocab, arrayMerges = true)
+      val t0 = mapper0.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(base0)))
+      t0.get("model")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put(flag, true)
+      val d0 = java.nio.file.Files.createTempDirectory(s"graft_$flag")
+      val p0 = d0.resolve("tokenizer.json")
+      java.nio.file.Files.write(p0, mapper0.writeValueAsBytes(t0))
+      expectReject(p0.toString, flag)
+    }
+    // an ABSENT pre-tokenizer (Llama-2-style sentencepiece file)
+    // cannot be confirmed byte-level — refused, not mis-encoded
+    val baseAbs = writeTokenizerJson(trained, vocab, arrayMerges = true)
+    val tAbs = mapper0.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(baseAbs)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    tAbs.remove("pre_tokenizer")
+    val dAbs = java.nio.file.Files.createTempDirectory("graft_nopre")
+    val pAbs = dAbs.resolve("tokenizer.json")
+    java.nio.file.Files.write(pAbs, mapper0.writeValueAsBytes(tAbs))
+    expectReject(pAbs.toString, "absent")
     // a merge whose result is missing from the vocab = mismatched file
     val missing = vocab.filterNot(_._1 == trained.head._4)
     expectReject(writeTokenizerJson(trained, missing,

@@ -1161,6 +1161,41 @@ class OperatorSpec extends SparkSpec {
       .temperatureSampleApprox(df, "grp", "id", 0L).isEmpty)
   }
 
+  test("null strata are strata: temperatureSample/Approx and " +
+      "capPerStratum keep null-stratum rows as one group (null-safe " +
+      "joins — the window semantics), and lengthGroupedBatches keeps " +
+      "null-stratum and null-count rows (never silently dropped)") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => (i.toLong, "a")) ++
+      (41 to 80).map(i => (i.toLong, null: String))).toDF("id", "grp")
+    // exact: null group gets its own apportionment share
+    val exact = graft.operators.Mixing
+      .temperatureSample(df, "grp", "id", 20L, alpha = 0.0)
+    val eByG = exact.groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(eByG == Map(Some("a") -> 10L, None -> 10L), eByG.toString)
+    // approx: null group sampled binomially, never dropped
+    val approx = graft.operators.Mixing
+      .temperatureSampleApprox(df, "grp", "id", 20L, alpha = 0.0)
+    val aNull = approx.filter(col("grp").isNull).count()
+    assert(aNull > 0 && aNull <= 40, s"approx kept $aNull null rows")
+    // cap: null stratum capped like any other
+    val capped = graft.operators.Mixing.capPerStratum(df, "grp", "id", 15L)
+    assert(capped.filter(col("grp").isNull).count() > 0)
+    assert(capped.filter(col("grp") === "a").count() > 0)
+    // lengthGroupedBatches: null stratum AND null count (null text)
+    // rows survive and batch exactly like the window reference did
+    val docs = Seq((1L, "a", "x y z"), (2L, "a", null: String),
+      (3L, null: String, "p q"), (4L, null: String, "r")).toDF(
+      "doc_id", "grp", "text")
+    val out = graft.operators.Packing.lengthGroupedBatches(
+      docs, "doc_id", "text", "grp", batchSize = 2, merges = Nil)
+    assert(out.count() == 4,
+      s"rows vanished: ${out.collect().mkString(",")}")
+    assert(out.filter(col("grp").isNull).count() == 2)
+    assert(out.filter(col("n_tokens").isNull).count() == 1)
+  }
+
   test("Selection.dsirWeights: equals a driver-side reference " +
       "computation term for term, target-like documents outscore " +
       "off-target ones, featureless docs excluded, " +
