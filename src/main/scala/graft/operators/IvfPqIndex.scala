@@ -156,6 +156,42 @@ final class IvfPqIndex private (
         round(col("cos"), 6).as("cos"))
   }
 
+  /** TWO-STAGE exact rerank — the standard IVFADC deployment shape
+    * (shortlist from the compressed index, exact scores for the
+    * shortlist only): [[topK]] fetches `k · overfetch` ADC candidates
+    * per query from the pruned compressed scan, then ONLY those rows
+    * meet their full-width vectors from the CALLER's corpus frame (the
+    * index stores codes — the full vectors live wherever the corpus
+    * does, and this join touches k·overfetch of them per query, never
+    * the corpus) for an exact cosine re-ranking. Quantization error
+    * decides at most which candidates make the shortlist; the returned
+    * ORDER and `cos` values are exact. Ids absent from `corpus`
+    * (deleted upstream) simply drop out of the shortlist join.
+    */
+  def topKRerank(queries: DataFrame, idCol: String, vecCol: String,
+      corpus: DataFrame, k: Int, nProbe: Int = 4, overfetch: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    val shortlist = topK(queries, idCol, vecCol, k * overfetch, nProbe,
+      excludeSelf).select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), normSq(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), normSq(col(vecCol)).as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosineFromParts(dot(col("qv"), col("cv")),
+        col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** DELETE vectors (takedown/purge): a tombstone append honored
     * immediately by [[topK]] and [[driftReport]]; physical rows persist
     * until [[rebuild]]. Same contract as the sibling indexes.

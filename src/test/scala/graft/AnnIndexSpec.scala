@@ -643,6 +643,69 @@ class AnnIndexSpec extends SparkSpec {
     assert(!post.exists(_._3 == plantedId))
   }
 
+  test("IvfPqIndex.topKRerank: returned cosines are EXACT (equal the " +
+      "brute-force values for the same pairs), ranking beats raw ADC " +
+      "on planted twins, and deleted-upstream ids drop out") {
+    import graft.expressions.HyperplaneBucket
+    // the planted-twin fixture again: true top-1 is unambiguous
+    val base = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).take(30)
+    val planted = base.map { case (id, v) =>
+      val v2 = v.clone()
+      var i = 0
+      while (i < v2.length) {
+        v2(i) = v2(i) + 0.02f * HyperplaneBucket.coef(id.toInt, i).toFloat
+        i += 1
+      }
+      (id + 100000L, v2)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false)))
+    val all = emb.select(col("vec_id"), col("embedding")).union(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          planted.toSeq.map { case (id, v) =>
+            org.apache.spark.sql.Row(id, v.toSeq) }, 4), schema))
+    val idx = IvfPqIndex.build(all, "vec_id", "embedding", nCells = 16,
+      numSubspaces = 8, nCentroids = 16, path = tmpDir()).get
+    val qs = all.filter(col("vec_id") < 30)
+    val rer = idx.topKRerank(qs, "vec_id", "embedding", all, k = 5,
+      nProbe = 4, overfetch = 4)
+    // exactness: every returned cos equals the brute-force cosine of
+    // the same (query, neighbor) pair
+    val brute = SimilaritySearch.bruteForceTopK(all, qs, "vec_id",
+        "embedding", k = 200) // deep k: cover every reranked pair
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val rerRows = rer.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rerRows.nonEmpty)
+    rerRows.foreach { case (qid, _, nid, cos) =>
+      brute.get((qid, nid)).foreach(b =>
+        assert(b == cos, s"rerank cos $cos != exact $b for ($qid,$nid)"))
+    }
+    // rerank top-1 finds the planted twin at least as often as raw ADC
+    def hits(rows: Array[(Long, Int, Long, Double)]): Int =
+      rows.count { case (q, rk, n, _) => rk == 1 && n == q + 100000L }
+    val adcTop = idx.topK(qs, "vec_id", "embedding", k = 1, nProbe = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(hits(rerRows) >= hits(adcTop),
+      s"rerank (${hits(rerRows)}) must not lose to ADC (${hits(adcTop)})")
+    assert(hits(rerRows) >= 24, s"rerank top-1 found ${hits(rerRows)}/30")
+    // an id deleted upstream (absent from the rerank corpus) drops out
+    val victim = rerRows.head._3
+    val rer2 = idx.topKRerank(qs, "vec_id", "embedding",
+      all.filter(col("vec_id") =!= victim), k = 5, nProbe = 4)
+    assert(!rer2.collect().exists(_.getLong(2) == victim))
+  }
+
   test("IvfPqIndex: empty corpus build returns None; build releases " +
       "every cache; x113 entry is deterministic across invocations") {
     val empty = emb.filter(col("vec_id") < -1)
