@@ -953,6 +953,46 @@ object Bpe {
         "absent" else "not ByteLevel"} — its vocab symbols are " +
         "not (or cannot be confirmed to be) the byte alphabet this " +
         "engine encodes with")
+    // the OTHER two pipeline stages that change the id stream. A
+    // normalizer (NFC/Lowercase/Replace/…) rewrites the TEXT before
+    // pre-tokenization — this engine encodes raw bytes, so accepting
+    // one would produce ids that differ from the source tokenizer on
+    // any input the normalizer touches: exactly the silent mis-encode
+    // this loader promises to reject. Same for a post-processor that
+    // INJECTS ids (TemplateProcessing's BOS/EOS, Roberta/Bert
+    // sentence-pair wrapping): every encoded sequence would be
+    // missing the template's tokens. Only the id-neutral shapes pass:
+    // absent, ByteLevel (offset trimming only — no id changes), or a
+    // Sequence composed purely of those.
+    val norm = tree.get("normalizer")
+    require(norm == null || norm.isNull,
+      s"$path carries a normalizer (type '${Option(norm.get("type"))
+        .map(_.asText()).getOrElse("?")}') — this engine encodes raw " +
+        "unnormalized bytes; loading would silently mis-encode any " +
+        "input the normalizer rewrites")
+    def isIdNeutralPost(node: com.fasterxml.jackson.databind.JsonNode)
+        : Boolean = {
+      if (node == null || node.isNull) true
+      else Option(node.get("type")).map(_.asText()) match {
+        case Some("ByteLevel") => true
+        case Some("Sequence") =>
+          val ps = node.get("processors")
+          ps != null && ps.isArray && {
+            val it = ps.elements()
+            var ok = true
+            while (it.hasNext && ok) ok = isIdNeutralPost(it.next())
+            ok
+          }
+        case _ => false
+      }
+    }
+    val post = tree.get("post_processor")
+    require(isIdNeutralPost(post),
+      s"$path post-processor type '${Option(post.get("type"))
+        .map(_.asText()).getOrElse("?")}' injects or rewrites token " +
+        "ids (TemplateProcessing-class BOS/EOS templates especially) " +
+        "— this engine emits the raw BPE id stream; loading would " +
+        "silently drop the template's tokens from every sequence")
     val vocabNode = model.get("vocab")
     require(vocabNode != null && vocabNode.isObject,
       s"$path model.vocab is not a JSON object")
@@ -1013,6 +1053,104 @@ object Bpe {
       b.result()
     }
     (merges, vocab)
+  }
+
+  /** Export a BYTE-level merge table as a Hugging Face single-file
+    * `tokenizer.json` — the serialization the public `tokenizers`
+    * library reads, and the single-file format most tooling now
+    * consumes (the gap the GPT-2 pair export left). Field shapes
+    * follow that library's published serialization: `model.type =
+    * "BPE"` with the vocab in insertion order and merges as
+    * `[left, right]` pairs (the 0.20+ spelling [[loadTokenizerJson]]
+    * also accepts), a `ByteLevel` pre-tokenizer/post-processor/decoder
+    * triple, `normalizer: null` (the engine encodes raw bytes — see
+    * the matching [[loadTokenizerJson]] rejection), and specials as
+    * `added_tokens` entries with `special: true`. Round trip is exact:
+    * save → [[loadTokenizerJson]] ≡ the (merges, vocab) that
+    * [[saveGpt2]] + [[loadGpt2]] carry for the same table
+    * (spec-asserted, plus encode parity across formats). Driver-side
+    * IO through the Hadoop FS API — tokenizer artifacts are
+    * vocab-sized by construction.
+    */
+  def saveTokenizerJson(spark: SparkSession,
+      merges: Seq[(Int, String, String, String, Long)],
+      path: String, specialTokens: Seq[String] = Nil): Unit = {
+    val ordered = merges.sortBy(_._1)
+    ordered.foreach { m =>
+      require(!(m._2 + m._3).exists(c => c == ' ' || c == '\n' ||
+          c == '\r'),
+        s"merge pair ('${m._2}', '${m._3}') contains whitespace — " +
+          "not a byte-level table; saveTokenizerJson is defined for " +
+          "trainBytes tables only")
+    }
+    val vocab = vocabBytes(ordered, specialTokens)
+    val byId = vocab.toMap
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    root.putNull("truncation")
+    root.putNull("padding")
+    val addedArr = mapper.createArrayNode()
+    specialTokens.foreach { t =>
+      val n = mapper.createObjectNode()
+      n.put("id", byId(t))
+      n.put("content", t)
+      n.put("single_word", false)
+      n.put("lstrip", false)
+      n.put("rstrip", false)
+      n.put("normalized", false)
+      n.put("special", true)
+      addedArr.add(n)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("added_tokens",
+      addedArr)
+    root.putNull("normalizer")
+    def byteLevelNode(addPrefixSpace: Boolean) = {
+      val n = mapper.createObjectNode()
+      n.put("type", "ByteLevel")
+      n.put("add_prefix_space", addPrefixSpace)
+      n.put("trim_offsets", true)
+      n.put("use_regex", true)
+      n
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("pre_tokenizer",
+      byteLevelNode(addPrefixSpace = false))
+    root.set[com.fasterxml.jackson.databind.JsonNode]("post_processor",
+      byteLevelNode(addPrefixSpace = true))
+    root.set[com.fasterxml.jackson.databind.JsonNode]("decoder",
+      byteLevelNode(addPrefixSpace = true))
+    val model = mapper.createObjectNode()
+    model.put("type", "BPE")
+    model.putNull("dropout")
+    model.putNull("unk_token")
+    model.putNull("continuing_subword_prefix")
+    model.putNull("end_of_word_suffix")
+    model.put("fuse_unk", false)
+    model.put("byte_fallback", false)
+    model.put("ignore_merges", false)
+    val vNode = mapper.createObjectNode()
+    // specials ship as added_tokens ONLY — model.vocab carries the
+    // trained table, exactly the split loadTokenizerJson re-merges
+    val specialSet = specialTokens.toSet
+    vocab.foreach { case (t, id) =>
+      if (!specialSet.contains(t)) vNode.put(t, id)
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vNode)
+    val mergesArr = mapper.createArrayNode()
+    ordered.foreach { m =>
+      val pair = mapper.createArrayNode()
+      pair.add(m._2); pair.add(m._3)
+      mergesArr.add(pair)
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges",
+      mergesArr)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("model", model)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
   }
 
   /** [[encodeIdsBytes]] under an EXPLICIT vocabulary (a [[loadGpt2]]

@@ -812,6 +812,127 @@ class BpeSpec extends SparkSpec {
     expectReject(p.toString, "dropout")
   }
 
+  test("loadTokenizerJson rejects normalizers and id-injecting " +
+      "post-processors (TemplateProcessing's BOS/EOS template would " +
+      "silently shift every sequence); id-neutral ByteLevel passes") {
+    import spark.implicits._
+    val df = Seq("aa ab aa ab aa").toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val trained = Bpe.trainBytes(df, "text", numMerges = 3,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val vocab = Bpe.vocabBytes(trained, Nil)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def mutate(field: String,
+        node: com.fasterxml.jackson.databind.JsonNode): String = {
+      val base = writeTokenizerJson(trained, vocab, arrayMerges = true)
+      val tree = mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(base)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      tree.set[com.fasterxml.jackson.databind.JsonNode](field, node)
+      val d = java.nio.file.Files.createTempDirectory("graft_tokpipe")
+      val p = d.resolve("tokenizer.json")
+      java.nio.file.Files.write(p, mapper.writeValueAsBytes(tree))
+      p.toString
+    }
+    def typed(t: String) = {
+      val n = mapper.createObjectNode(); n.put("type", t); n
+    }
+    def expectReject(path: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Bpe.loadTokenizerJson(spark, path))
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    // a text-rewriting normalizer — ANY type — refuses loudly
+    for (nt <- Seq("NFC", "Lowercase", "Sequence"))
+      expectReject(mutate("normalizer", typed(nt)), "normalizer")
+    // id-injecting post-processors refuse; TemplateProcessing is the
+    // published shape that carries a BOS/EOS template
+    for (pt <- Seq("TemplateProcessing", "RobertaProcessing",
+        "BertProcessing"))
+      expectReject(mutate("post_processor", typed(pt)),
+        "post-processor")
+    // a Sequence hiding a TemplateProcessing inside refuses too
+    val seqPost = typed("Sequence")
+    val procs = mapper.createArrayNode()
+    procs.add(typed("ByteLevel")); procs.add(typed("TemplateProcessing"))
+    seqPost.set[com.fasterxml.jackson.databind.JsonNode]("processors",
+      procs)
+    expectReject(mutate("post_processor", seqPost), "post-processor")
+    // the id-NEUTRAL shapes pass: ByteLevel post-processor (offset
+    // trimming only — GPT-2's own file carries exactly this), and a
+    // Sequence of ByteLevel
+    val blPost = typed("ByteLevel")
+    blPost.put("trim_offsets", true)
+    assert(Bpe.loadTokenizerJson(spark,
+      mutate("post_processor", blPost))._1 == trained.map(m =>
+        (m._1, m._2, m._3, m._4, 0L)))
+    val seqOk = typed("Sequence")
+    val okProcs = mapper.createArrayNode(); okProcs.add(typed("ByteLevel"))
+    seqOk.set[com.fasterxml.jackson.databind.JsonNode]("processors",
+      okProcs)
+    assert(Bpe.loadTokenizerJson(spark,
+      mutate("post_processor", seqOk))._2.nonEmpty)
+  }
+
+  test("saveTokenizerJson: save→loadTokenizerJson is identity, the " +
+      "saved json and the saveGpt2 pair of the same table encode " +
+      "bit-identically, and the file's field shapes follow the " +
+      "public tokenizers serialization") {
+    import spark.implicits._
+    val df = Seq("the cat the cat the cat sat", "the cat sat there")
+      .toDF("text").withColumn("id", monotonically_increasing_id())
+    val trained = Bpe.trainBytes(df, "text", numMerges = 12,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val specials = Seq("<|endoftext|>", "<|pad|>")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tokjson_save")
+    val jsonPath = dir.resolve("tokenizer.json").toString
+    Bpe.saveTokenizerJson(spark, trained, jsonPath, specials)
+    // round trip ≡ the GPT-2 pair's load of the SAME table
+    val gptDir = java.nio.file.Files
+      .createTempDirectory("graft_gpt2_xfmt").toString
+    Bpe.saveGpt2(spark, trained, gptDir, specials)
+    val (gm, gv) = Bpe.loadGpt2(spark, gptDir)
+    val (jm, jv) = Bpe.loadTokenizerJson(spark, jsonPath)
+    assert(jm == gm, s"merges round-trip broke: $jm")
+    assert(jv == gv, s"vocab round-trip broke: $jv")
+    // cross-format encode parity on real text
+    val viaJson = Bpe.encodeIdsBytes(df, "id", "text", jm, jv,
+        graft.operators.Dedup.VerifyBroadcastMaxBytes,
+        graft.functions.TextFunctions.bpeBytePatternFull)
+      .select(col("id"), col("token_ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val viaPair = Bpe.encodeIdsBytes(df, "id", "text", gm, gv,
+        graft.operators.Dedup.VerifyBroadcastMaxBytes,
+        graft.functions.TextFunctions.bpeBytePatternFull)
+      .select(col("id"), col("token_ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    assert(viaJson == viaPair, "cross-format encode parity broke")
+    // field shapes per the public serialization: BPE model with
+    // array-pair merges, ByteLevel pipeline, null normalizer,
+    // specials as added_tokens with special:true and NOT in
+    // model.vocab (the loader re-merges them — asserted above)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(jsonPath)))
+    assert(tree.get("model").get("type").asText() == "BPE")
+    assert(tree.get("normalizer").isNull)
+    assert(tree.get("pre_tokenizer").get("type").asText() == "ByteLevel")
+    assert(tree.get("post_processor").get("type").asText() ==
+      "ByteLevel")
+    assert(tree.get("decoder").get("type").asText() == "ByteLevel")
+    val m0 = tree.get("model").get("merges").get(0)
+    assert(m0.isArray && m0.size() == 2, s"merges not pairs: $m0")
+    assert(tree.get("added_tokens").size() == 2)
+    assert(tree.get("added_tokens").get(0).get("special").asBoolean())
+    assert(tree.get("model").get("vocab").get("<|endoftext|>") == null,
+      "specials leaked into model.vocab")
+    // whitespace-carrying tables refuse (not byte-level)
+    intercept[IllegalArgumentException](Bpe.saveTokenizerJson(spark,
+      Seq((1, "a b", "c", "a bc", 0L)),
+      dir.resolve("bad.json").toString))
+  }
+
   test("punctuation and digit words: single-mark words never merge " +
       "(no pairs), digit runs merge like letter runs, regex " +
       "metacharacters in symbols are quoted") {
