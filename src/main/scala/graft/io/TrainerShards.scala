@@ -42,14 +42,19 @@ import org.apache.spark.sql.functions._
   * Crash safety: everything lands in a staging directory first; the
   * publish is the [[graft.core.Collection.compact]] two-rename swap
   * (retire current → publish staging → drop retired), so readers never
-  * observe a half-written shard set. A (serial) task retry truncates
-  * and rewrites its own files (`overwrite = true`) — each stratum is
-  * written by exactly one task by construction of the exchange — and
-  * a mid-write failure closes its open streams (no leaked HDFS lease
-  * blocking the retry). SPECULATIVE execution is refused loudly at
-  * the call: duplicate concurrent attempts of one task would
-  * interleave writes into the same staging files (there is no output
-  * committer underneath this writer).
+  * observe a half-written shard set. Within staging, each task ATTEMPT
+  * writes attempt-unique files (`<stem>.tokens.attempt-<id>`) and
+  * renames them into place only at stratum close — so a ZOMBIE attempt
+  * (a task re-launched while the presumed-lost attempt is still
+  * running, which `spark.speculation=false` does not rule out) can
+  * never interleave bytes into another attempt's open file, on any
+  * filesystem, lease semantics or not. Both attempts produce identical
+  * bytes (the writer is deterministic), so whichever rename lands last
+  * is correct; orphaned attempt files from failed attempts are swept
+  * before publish. SPECULATIVE execution is still refused loudly at
+  * the call — it adds concurrency for no benefit here (there is no
+  * output committer underneath this writer, and the exchange already
+  * gives each stratum exactly one task).
   *
   * The reference stops at row-wise JSON ingest
   * (ParquetArangoLoader.java:85-288); this is the engine's
@@ -59,6 +64,7 @@ object TrainerShards {
 
   val TokensSuffix = ".tokens"
   val IdxSuffix = ".idx"
+  private[graft] val AttemptMark = ".attempt-"
   private[graft] val Magic: Array[Byte] =
     "GRFTSHRD".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   private[graft] val Version = 1
@@ -127,6 +133,12 @@ object TrainerShards {
         // current file pair and opens the next. O(1) state: two open
         // streams + a running byte offset.
         val fsConf = conf.value
+        // attempt-unique staging names: a zombie prior attempt of this
+        // task (presumed lost, still running) writes DIFFERENT files;
+        // the close-time rename is the per-stratum commit point
+        val attemptSuffix = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"$AttemptMark${tc.taskAttemptId()}")
+          .getOrElse(s"${AttemptMark}driver")
         var cur: String = null
         var tokOut: org.apache.hadoop.fs.FSDataOutputStream = null
         var idxOut: org.apache.hadoop.fs.FSDataOutputStream = null
@@ -136,7 +148,22 @@ object TrainerShards {
         val done = Seq.newBuilder[Row]
         def close(): Unit = if (cur != null) {
           tokOut.close(); idxOut.close()
-          done += Row(cur, nSeq, nTok, off, fileStem(cur))
+          val stem = fileStem(cur)
+          val base = new HPath(staging)
+          val fs = base.getFileSystem(fsConf)
+          for (sfx <- Seq(TokensSuffix, IdxSuffix)) {
+            val from = new HPath(base, stem + sfx + attemptSuffix)
+            val to = new HPath(base, stem + sfx)
+            // a completed zombie rename may already occupy the final
+            // name — its bytes are identical (deterministic writer),
+            // so replace-and-win is safe on every filesystem
+            if (fs.exists(to)) fs.delete(to, false)
+            if (!fs.rename(from, to))
+              throw new IllegalStateException(
+                s"could not commit shard file $to from attempt " +
+                  s"staging $from")
+          }
+          done += Row(cur, nSeq, nTok, off, stem)
           cur = null
         }
         def open(s: String): Unit = {
@@ -145,8 +172,10 @@ object TrainerShards {
           val base = new HPath(staging)
           val fs = base.getFileSystem(fsConf)
           fs.mkdirs(base)
-          tokOut = fs.create(new HPath(base, stem + TokensSuffix), true)
-          idxOut = fs.create(new HPath(base, stem + IdxSuffix), true)
+          tokOut = fs.create(
+            new HPath(base, stem + TokensSuffix + attemptSuffix), true)
+          idxOut = fs.create(
+            new HPath(base, stem + IdxSuffix + attemptSuffix), true)
           idxOut.write(Magic)
           idxOut.write(u32le(Version))
           idxOut.write(u32le(width))
@@ -178,11 +207,28 @@ object TrainerShards {
         done.result().iterator
       }(org.apache.spark.sql.Encoders.row(manifestSchema))
       .collect()
+    sweepAttemptFiles(spark, staging)
     publish(spark, staging, dir)
     spark.createDataFrame(
       spark.sparkContext.parallelize(manifestRows.toIndexedSeq,
         math.max(1, math.min(manifestRows.length, 4))),
       manifestSchema)
+  }
+
+  /** Drop orphaned attempt files (a FAILED attempt's leftovers — its
+    * successful retry committed under a different attempt id) from
+    * staging before publish, so the published directory holds only
+    * committed `<stem>.tokens`/`<stem>.idx` pairs.
+    */
+  private def sweepAttemptFiles(spark: SparkSession,
+      staging: String): Unit = {
+    val p = new HPath(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        if (st.getPath.getName.contains(AttemptMark))
+          fs.delete(st.getPath, false)
+      }
   }
 
   /** The [[graft.core.Collection.compact]] two-rename swap: retire the

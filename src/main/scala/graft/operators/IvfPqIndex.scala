@@ -66,6 +66,11 @@ final class IvfPqIndex private (
 
   private def sub: Int = codebooks.head.head.length
 
+  /** The vector dimension this index was built for — the loud
+    * input-contract bound every query/extend/stream surface checks.
+    */
+  private[graft] def dim: Int = numSubspaces * sub
+
   /** (neighbor_id, cn, codes, qerrs, cell) — the stored LIVE encoded
     * corpus (tombstoned vectors excluded).
     */

@@ -613,11 +613,13 @@ object Streaming {
     * the planted cross-boundary case arriving across a micro-batch
     * split.
     *
-    * Output: the input sequence columns + `n_shingles`, `n_shared`,
-    * `contaminated` — a screen, not a filter, so the caller routes
-    * flagged sequences to quarantine or drop.
+    * Output: the input sequence columns (whatever keys the caller's
+    * sequences carry — stratum, seq_id — pass through untouched) +
+    * `n_shingles`, `n_shared`, `contaminated` — a screen, not a
+    * filter, so the caller routes flagged sequences to quarantine or
+    * drop. The screen itself operates on `token_ids` only.
     */
-  def sequenceContaminationStream(seqs: DataFrame, strataCol: String,
+  def sequenceContaminationStream(seqs: DataFrame,
       benchmark: DataFrame, benchTextCol: String,
       merges: Seq[(Int, String, String, String, Long)],
       k: Int, num: Int = 4, den: Int = 5,
@@ -940,6 +942,23 @@ object Streaming {
     * the stream stops. The index's crash marker is checked at stream
     * CONSTRUCTION.
     */
+  /** Per-row LOUD dimension check for the streaming ANN screens — the
+    * stream-side mirror of [[graft.operators.IvfPqIndex.topK]]'s
+    * query-dimension guard. The compiled kernels are prefix-tolerant
+    * by design ([[graft.expressions.PqAdcTable]] zero-fills past the
+    * input, NearestCells min-prefixes), so a stream fed by a
+    * wrong-dimension embedding model would otherwise screen silently
+    * wrong forever; this fails the micro-batch instead. The guard
+    * lives in a FILTER condition (not a dropped projection) so the
+    * optimizer cannot prune it away.
+    */
+  private def requireDimStream(vecCol: String, expected: Int,
+      path: String): org.apache.spark.sql.Column =
+    assert_true(size(col(vecCol)) === expected,
+      concat(lit(s"index at $path expects $expected-dim vectors, " +
+          "arrival carries "), size(col(vecCol)).cast("string"),
+        lit("-dim — a different embedding model?"))).isNull
+
   def annScreenStream(vecs: DataFrame,
       index: graft.operators.IvfIndex, idCol: String, vecCol: String,
       threshold: Double, tsCol: String, watermark: String = "1 hour",
@@ -953,6 +972,8 @@ object Streaming {
         col("cn"), col("cell")))
       .join(liveTomb, Seq("dup_of"), "left_anti")
     vecs.select(col(idCol), col(vecCol), col(tsCol))
+      .filter(requireDimStream(vecCol, index.centroids.head.length,
+        index.path))
       .withWatermark(tsCol, watermark)
       .withColumn("__qn", normSq(col(vecCol)))
       .withColumn("cell",
@@ -1007,6 +1028,7 @@ object Streaming {
       .join(liveTomb, Seq("dup_of"), "left_anti")
     val centsLit = typedLit(index.centroids.map(_.toSeq))
     vecs.select(col(idCol), col(vecCol), col(tsCol))
+      .filter(requireDimStream(vecCol, index.dim, index.path))
       .withWatermark(tsCol, watermark)
       .withColumn("__qn", normSq(col(vecCol)))
       .withColumn("__adc", graft.expressions.GraftFunctions.pqAdcTable(

@@ -328,6 +328,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ANN screens refuse wrong-dimension arrivals LOUDLY: a stream " +
+      "fed by a different embedding model fails the micro-batch " +
+      "instead of silently screening prefix-truncated vectors") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_annpq_dim").toString
+    val idx = graft.operators.IvfPqIndex.build(emb, "vec_id",
+      "embedding", nCells = 4, numSubspaces = 8, nCentroids = 16,
+      path = idxPath).get
+    val short = Seq.fill(dim / 2)(0.5f)
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val stream = graft.streaming.Streaming.annScreenStreamPq(
+      input.toDF.toDF("vec_id", "embedding", "ts"), idx,
+      "vec_id", "embedding", threshold = 0.6, tsCol = "ts")
+    val q = stream.writeStream.format("memory").queryName("ann_pq_dim")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((900001L, short, ts(120))))
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains(s"expects $dim-dim")),
+        s"wrong-dim arrival did not fail loudly: ${msgs(e)}")
+    } finally q.stop()
+    // the raw-IVF screen carries the same guard
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft_annivf_dim").toString
+    val ivf = graft.operators.IvfIndex.build(emb, "vec_id",
+      "embedding", nCells = 4, path = ivfPath).get
+    val in2 = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val s2 = graft.streaming.Streaming.annScreenStream(
+      in2.toDF.toDF("vec_id", "embedding", "ts"), ivf,
+      "vec_id", "embedding", threshold = 0.9, tsCol = "ts")
+    val q2 = s2.writeStream.format("memory").queryName("ann_ivf_dim")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq((900001L, short, ts(120))))
+      val e2 = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q2.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e2).exists(m => m.contains(s"expects $dim-dim")),
+        s"wrong-dim arrival did not fail loudly: ${msgs(e2)}")
+    } finally q2.stop()
+  }
+
   test("indexDedupStream honors a delete issued MID-STREAM: docs " +
       "arriving after the delete stop matching the victim in the very " +
       "next micro-batch — no restart") {
@@ -1108,7 +1160,7 @@ class StreamingSpec extends SparkSpec {
       "lang", seqLen = 5, merges = Nil,
       tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
     val screened = Streaming.sequenceContaminationStream(
-      seqsStream.toDF(), "strata", bench, "text", merges = Nil, k = 1)
+      seqsStream.toDF(), bench, "text", merges = Nil, k = 1)
     val q = screened.writeStream.format("memory")
       .queryName("seq_contam_stream").outputMode("append").start()
     try {
@@ -1157,7 +1209,7 @@ class StreamingSpec extends SparkSpec {
       "lang", seqLen = 512, merges = Nil,
       tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
     val screened2 = Streaming.sequenceContaminationStream(
-      s2.toDF(), "strata", benchmark, "text", merges = Nil, k = 3)
+      s2.toDF(), benchmark, "text", merges = Nil, k = 3)
     val q2 = screened2.writeStream.format("memory")
       .queryName("seq_contam_stream2").outputMode("append").start()
     try {

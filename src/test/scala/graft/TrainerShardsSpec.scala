@@ -55,6 +55,19 @@ class TrainerShardsSpec extends SparkSpec {
       .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     assert(TrainerShards.listShards(spark, dir).toSet ==
       expected.keySet)
+    // the attempt-unique staging names (the zombie-attempt shield)
+    // never leak into the published set: only committed .tokens/.idx
+    // pairs are visible
+    val published = new java.io.File(dir).listFiles().map(_.getName)
+    assert(published.forall(n => !n.contains(".attempt-")),
+      s"attempt staging leaked into the published dir: " +
+        s"${published.toSeq}")
+    // only committed pairs are visible (dot-hidden local-FS checksum
+    // sidecars aside)
+    assert(published.filterNot(_.startsWith(".")).forall(n =>
+      n.endsWith(TrainerShards.TokensSuffix) ||
+        n.endsWith(TrainerShards.IdxSuffix)),
+      s"unexpected file in published dir: ${published.toSeq}")
     expected.foreach { case (lang, want) =>
       val (width, got) = TrainerShards.readShard(spark, dir, lang)
       assert(width == 2)
