@@ -145,20 +145,18 @@ final class IvfPqIndex private (
     val live = codes.select(col("neighbor_id"), col("cn"), col("codes"),
         col("cell"))
       .filter(col("cell").isin(probedCells: _*))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    live.join(broadcast(probes), Seq("cell"))
-      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
-        else lit(true))
-      .withColumn("cos", cosineFromParts(
-        graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
-          col("adc"), nCentroids) + col("cdot"),
-        col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    // bounded per-query top-k: ≤ k candidate rows per (query,
+    // partition) cross the exchange — never a sort of a query's full
+    // probed-cell candidate set under one task
+    SimilaritySearch.boundedTopK(
+      live.join(broadcast(probes), Seq("cell"))
+        .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+          else lit(true))
+        .withColumn("cos", cosineFromParts(
+          graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
+            col("adc"), nCentroids) + col("cdot"),
+          col("qn"), col("cn"))),
+      k)
   }
 
   /** TWO-STAGE exact rerank — the standard IVFADC deployment shape
@@ -183,18 +181,13 @@ final class IvfPqIndex private (
       col(vecCol).as("cv"), normSq(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), normSq(col(vecCol)).as("qn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    shortlist
-      .join(c, Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cos", cosineFromParts(dot(col("qv"), col("cv")),
-        col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    SimilaritySearch.boundedTopK(
+      shortlist
+        .join(c, Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", cosineFromParts(dot(col("qv"), col("cv")),
+          col("qn"), col("cn"))),
+      k)
   }
 
   /** DELETE vectors (takedown/purge): a tombstone append honored

@@ -29,6 +29,45 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  /** Per-query BOUNDED top-k over a scored candidate frame — the final
+    * rank step every ANN path shares. Semantics are exactly
+    * `row_number() OVER (PARTITION BY query_id ORDER BY cos DESC,
+    * neighbor_id) <= k` (byte-equality vs the window form is
+    * spec-asserted on real data), but the plan is a partial-merge
+    * aggregation over the bounded [[graft.functions.Aggregators
+    * .TopKRows]] buffer: at most k (cos, neighbor_id) rows per
+    * (query, partition) cross the exchange and NO per-query sort of
+    * the full candidate set happens anywhere — the ranking window
+    * sorts every candidate of a query under ONE task, the one
+    * sort-shaped plan that stops scaling when probed cells hold
+    * nProbe/nCells of a 100 TB corpus. Integral neighbor ids ride the
+    * long-keyed buffer (every engine surface uses them); any other id
+    * type falls back to the window form for schema generality.
+    */
+  private[graft] def boundedTopK(scored: DataFrame, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val nidType = scored.schema("neighbor_id").dataType
+    nidType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val topk = udaf(new graft.functions.Aggregators.TopKRows(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"), col("neighbor_id").cast("long"),
+            lit(0L)).as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.key1").cast(nidType).as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
+      case _ =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("query_id"), col("rk"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+    }
+  }
+
   /** Exact top-k neighbors for each query vector.
     * @param corpus  (idCol, vecCol) table — any size
     * @param queries (idCol, vecCol) table — must be broadcast-small
@@ -44,13 +83,7 @@ object SimilaritySearch {
         else lit(true))
       .withColumn("cos",
         cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    boundedTopK(scored, k)
   }
 
   /** ANN top-k via random-hyperplane LSH with hamming-radius multiprobe.
@@ -86,17 +119,14 @@ object SimilaritySearch {
     val probes = q0.select(col("query_id"), col("qv"), col("qn"),
       explode(array(flips.map(m => col("qbucket").bitwiseXOR(lit(m))): _*))
         .as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(probes), Seq("bucket"))
-      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
-        else lit(true))
-      .withColumn("cos",
-        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    boundedTopK(
+      c.join(broadcast(probes), Seq("bucket"))
+        .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+          else lit(true))
+        .withColumn("cos",
+          cosineFromParts(dot(col("qv"), col("cv")), col("qn"),
+            col("cn"))),
+      k)
   }
 
   /** Map-side IVF cell assignment: appends an int `cell` column — the
@@ -261,17 +291,14 @@ object SimilaritySearch {
         explode(nearestCells(col("qv"), cents, nProbe)))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
 
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cells.join(broadcast(probes), Seq("cell"))
-      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
-        else lit(true))
-      .withColumn("cos",
-        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    boundedTopK(
+      cells.join(broadcast(probes), Seq("cell"))
+        .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+          else lit(true))
+        .withColumn("cos",
+          cosineFromParts(dot(col("qv"), col("cv")), col("qn"),
+            col("cn"))),
+      k)
   }
 
   /** Two-stage ANN: a cheap coarse pass scores only the first `dPrefix`
@@ -292,7 +319,8 @@ object SimilaritySearch {
     * cross the exchange and nothing sorts the full per-query score list
     * (a ranking window here would put |corpus| rows per query under one
     * sort — the exact shape this operator exists to avoid). The final
-    * rerank window runs over ≤ k·overfetch candidates per query.
+    * rerank rank is the same bounded aggregation over ≤ k·overfetch
+    * candidates per query ([[boundedTopK]]).
     * Requires Long ids (the bounded buffer carries them as longs).
     */
   def rerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -316,18 +344,16 @@ object SimilaritySearch {
       .groupBy(col("query_id"))
       .agg(coarseTopK(col("coarse"), col("neighbor_id"), lit(0L)).as("top"))
       .select(col("query_id"), explode(col("top.key1")).as("neighbor_id"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    survivors
-      .join(c.select(col("neighbor_id"), col("cv"), col("cn")), "neighbor_id")
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
-        "query_id")
-      .withColumn("cos",
-        cosineFromParts(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(rankW))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    boundedTopK(
+      survivors
+        .join(c.select(col("neighbor_id"), col("cv"), col("cn")),
+          "neighbor_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+          "query_id")
+        .withColumn("cos",
+          cosineFromParts(dot(col("qv"), col("cv")), col("qn"),
+            col("cn"))),
+      k)
   }
 
   /** Row bound above which [[cosineNearDupPairs]] refuses to run
@@ -583,13 +609,7 @@ object SimilaritySearch {
       .withColumn("cos", cosineFromParts(
         graft.expressions.GraftFunctions.pqAdcDot(col("codes"), col("adc"),
           nCentroids), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    boundedTopK(scored, k)
   }
 
   /** SemDeDup-style semantic near-dup pairs (id1 < id2, cos ≥ threshold):

@@ -722,4 +722,61 @@ class AnnIndexSpec extends SparkSpec {
       sfDir))
     assert(a == b && a.nonEmpty)
   }
+
+  test("bounded top-k: byte-equals the ranking-window form on real " +
+      "scored data WITH exact-cosine ties, and no index topK carries " +
+      "a query-partitioned window or candidate sort in its plan") {
+    import graft.functions.VectorFunctions._
+    // the window form this aggregate replaces — rank on the RAW cos,
+    // round after, the historical contract
+    def windowForm(scored: DataFrame, k: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    }
+    // duplicated-vector corpus: every query sees groups of neighbors
+    // at IDENTICAL cosines, so the neighbor_id tie-break is exercised
+    // for real; the sf fixture exercises the no-ties regime
+    for (corpus <- Seq(intCorpus(nDistinct = 8, copies = 5), emb)) {
+      val q = corpus.filter(col("vec_id") <= 6)
+      val scored = corpus
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"), normSq(col("embedding")).as("cn"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), normSq(col("embedding")).as("qn"))))
+        .withColumn("cos", cosineFromParts(dot(col("qv"), col("cv")),
+          col("qn"), col("cn")))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      assert(rows(SimilaritySearch.boundedTopK(scored, 7)) ==
+        rows(windowForm(scored, 7)),
+        "bounded top-k diverged from the window form")
+    }
+    // plan shape: the candidate path of every index kind ranks through
+    // the bounded aggregate — no Window node anywhere in the optimized
+    // plan (cached frames fold subtrees into InMemoryRelations, so
+    // collect on the logical plan, not the formatted text — the
+    // round-13 lesson)
+    val pq = PqIndex.build(emb, "vec_id", "embedding",
+      path = tmpDir()).get
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding",
+      path = tmpDir()).get
+    val ivfpq = IvfPqIndex.build(emb, "vec_id", "embedding",
+      path = tmpDir()).get
+    for ((name, df) <- Seq(
+        "pq" -> pq.topK(queries, "vec_id", "embedding", k = 5),
+        "ivf" -> ivf.topK(queries, "vec_id", "embedding", k = 5),
+        "ivfpq" -> ivfpq.topK(queries, "vec_id", "embedding", k = 5),
+        "ivfpq_rerank" -> ivfpq.topKRerank(queries, "vec_id",
+          "embedding", emb, k = 5))) {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.isEmpty,
+        s"$name topK still ranks through a window: ${wins.mkString}")
+    }
+  }
 }
