@@ -178,6 +178,7 @@ object SparkEntry {
     "x114_trainer_shards" -> Extensions.x114TrainerShards,
     "x115_temperature_approx" -> Extensions.x115TemperatureApprox,
     "x116_shard_readback" -> Extensions.x116ShardReadback,
+    "x117_epoch_order" -> Extensions.x117EpochOrder,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1124,6 +1125,32 @@ object SparkEntry {
         |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
         |  md5(seq_text) AS seq_md5
         |FROM q ORDER BY lang, seq_id""".stripMargin,
+    // x117: the epoch-order sidecar's permutation restated from the
+    // documents table alone — sequence counts via the x114 packing
+    // arithmetic, consumption order via the same md5(seed:epoch:
+    // stratum:pos) sort the writer uses (lowercase-hex md5 strings
+    // order identically in both engines)
+    "x117_epoch_order" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST((sum(octet_length(encode(text))) + 511) // 512
+        |      AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |  GROUP BY lang HAVING sum(octet_length(encode(text))) > 0),
+        |p AS (
+        |  SELECT lang, g.p AS pos
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, t.n - 1))
+        |    AS p) g),
+        |k AS (
+        |  SELECT lang, pos,
+        |    md5('ep' || ':' || '1' || ':' || lang || ':' ||
+        |      CAST(pos AS VARCHAR)) AS key
+        |  FROM p)
+        |SELECT lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY key, pos) AS BIGINT) AS rank,
+        |  CAST(pos AS BIGINT) AS pos
+        |FROM k ORDER BY lang, rank""".stripMargin,
     // x114: the written trainer-shard blob is, under the zero-merge
     // byte config, the stratum's concatenated document bytes in id
     // order (the x96 identity carried to the FILE) — sizes, sequence

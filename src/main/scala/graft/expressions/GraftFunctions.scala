@@ -62,6 +62,8 @@ object GraftFunctions {
     c(BpeEncodeTokens(e(text), merges, pattern, byteLevel))
   def shardSequences(blob: Column, idx: Column): Column =
     c(ShardSequences(e(blob), e(idx)))
+  def epochOrdPositions(ord: Column): Column =
+    c(EpochOrdPositions(e(ord)))
   def packedTokenBinary(ids: Column, width: Int): Column =
     c(PackedTokenBinary(e(ids), width))
   def idsToText(ids: Column, vocab: Seq[(String, Long)]): Column =

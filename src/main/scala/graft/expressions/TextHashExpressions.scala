@@ -838,6 +838,54 @@ case class ShardSequences(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Epoch-order sidecar (`<stem>.ord` — [[graft.io.TrainerShards
+  * .writeEpochOrder]]'s layout: `GRFTEPOC` magic, u32 LE version, u32
+  * LE epoch, then u64 LE sequence POSITIONS in consumption order) →
+  * the position array, one compiled pass per shard. The distributed
+  * read half of the epoch artifact: a trainer mmaps the same file and
+  * walks it with pointer arithmetic. A malformed sidecar fails LOUDLY
+  * (bad magic/version, truncated payload, position out of [0, 2⁶³)) —
+  * never a silently reordered epoch.
+  */
+case class EpochOrdPositions(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_epoch_ord_positions"
+
+  override def kernel(a: Any): Any = {
+    val ord = a.asInstanceOf[Array[Byte]]
+    val header = graft.io.TrainerShards.EpochHeaderBytes
+    val magic = graft.io.TrainerShards.EpochMagic
+    require(ord.length >= header && {
+      var ok = true; var i = 0
+      while (ok && i < magic.length) { ok = ord(i) == magic(i); i += 1 }
+      ok
+    }, "not an epoch-order sidecar (bad magic)")
+    val bb = java.nio.ByteBuffer.wrap(ord)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val version = bb.getInt(magic.length)
+    require(version == graft.io.TrainerShards.EpochVersion,
+      s"unsupported epoch-order version $version")
+    require((ord.length - header) % 8 == 0,
+      "truncated epoch-order sidecar")
+    val count = (ord.length - header) / 8
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val p = bb.getLong(header + i * 8)
+      require(p >= 0, s"corrupt epoch-order position $p")
+      out(i) = p
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): EpochOrdPositions = copy(child = newChild)
+}
+
 /** Token-id array → decoded TEXT through a vocabulary table — the
   * row-level inverse of the encode→ids chain ([[BpeEncodeTokens]] +
   * [[TokenIds]]), as a compiled kernel so whole SEQUENCES decode

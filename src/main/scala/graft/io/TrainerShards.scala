@@ -64,7 +64,15 @@ object TrainerShards {
 
   val TokensSuffix = ".tokens"
   val IdxSuffix = ".idx"
+  val OrdSuffix = ".ord"
   private[graft] val AttemptMark = ".attempt-"
+  private[graft] val EpochMagic: Array[Byte] =
+    "GRFTEPOC".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private[graft] val EpochVersion = 1
+  private[graft] val EpochHeaderBytes = 16
+
+  /** The per-epoch sidecar directory name under a shard set. */
+  def epochDirName(epoch: Int): String = f"epoch-$epoch%05d"
   private[graft] val Magic: Array[Byte] =
     "GRFTSHRD".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   private[graft] val Version = 1
@@ -344,6 +352,210 @@ object TrainerShards {
           col("__blob"), col("__idx"))))
       .select(col("stratum"), col("pos").cast("long").as("seq_idx"),
         col("col").as("token_ids"))
+  }
+
+  /** Write the per-EPOCH consumption-order sidecars a restartable
+    * trainer needs BESIDE the `.tokens`/`.idx` pairs — the missing
+    * half of the Megatron-style indexed artifact family: the token
+    * blob says WHAT the sequences are; these say in WHICH ORDER epoch
+    * `epoch` consumes them. One `<stem>.ord` per stratum under
+    * `<dir>/epoch-NNNNN/`: a 16-byte header (`GRFTEPOC`, u32 LE
+    * version, u32 LE epoch) then u64 LE sequence POSITIONS (0-based
+    * indexes into the stratum's `.idx` order) in consumption order —
+    * mmap-able with no parsing, like the pair it annotates.
+    *
+    * The permutation is the x73 construction carried to the artifact:
+    * position `p` of stratum `s` sorts by
+    * `md5(seed:epoch:s:p)` (ties by `p` — md5 collisions on these
+    * short inputs do not occur, but the order must be TOTAL by
+    * construction), so the epoch order is a pure function of
+    * (seed, epoch, stratum, sequence count): byte-identical re-runs,
+    * independent permutations per epoch/seed, and an ORACLE can
+    * restate the whole file from the corpus alone. A trainer
+    * restarting at step G resumes by skipping each shard's first G
+    * positions — x110's consumed-prefix arithmetic — from the files
+    * alone, no engine re-run ([[readEpochRemainder]] is that read
+    * made executable; spec-asserted).
+    *
+    * Scale shape: sequence counts come from the published `.idx`
+    * SIZES (one driver listing, strata-bounded); the position frame is
+    * a distributed range join, then ONE stratum-keyed exchange sorted
+    * by the hash key streams each stratum's positions to its sidecar
+    * with O(1) task state — the [[write]] machinery, including
+    * attempt-unique staging files and the two-rename publish of the
+    * epoch directory (the live `.tokens`/`.idx` files are never
+    * touched; re-writing an epoch swaps its directory atomically).
+    */
+  def writeEpochOrder(seqsSpark: SparkSession, dir: String,
+      seed: String, epoch: Int): DataFrame = {
+    val spark = seqsSpark
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(!spark.conf.getOption("spark.speculation")
+        .exists(_.toBoolean),
+      "TrainerShards.writeEpochOrder is incompatible with " +
+        "spark.speculation — same single-writer contract as write")
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new HPath(dir)), s"no shard set at $dir")
+    val strata = fs.listStatus(new HPath(dir)).toSeq
+      .filter(_.getPath.getName.endsWith(IdxSuffix))
+      .map { st =>
+        require(st.getLen >= HeaderBytes &&
+          (st.getLen - HeaderBytes) % 8 == 0,
+          s"truncated idx sidecar ${st.getPath}")
+        (java.net.URLDecoder.decode(
+          st.getPath.getName.stripSuffix(IdxSuffix), "UTF-8"),
+          (st.getLen - HeaderBytes) / 8)
+      }
+      .sortBy(_._1)
+    require(strata.nonEmpty, s"no shards at $dir — write() first")
+    val conf = new org.apache.spark.sql.graftbridge.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val staging =
+      s"$dir/.epoch-$epoch-staging-${java.util.UUID.randomUUID()}"
+    val target = s"$dir/${epochDirName(epoch)}"
+    import spark.implicits._
+    val counts = strata.toDF("__s", "__n")
+    val maxN = strata.map(_._2).max
+    // distributed position frame: range × strata (strata side is tiny
+    // and broadcast), one row per (stratum, position)
+    val positions = spark.range(maxN).toDF("__p")
+      .join(broadcast(counts), col("__p") < col("__n"))
+      .select(col("__s"), col("__p"),
+        md5(concat_ws(":", lit(seed), lit(epoch.toString), col("__s"),
+          col("__p").cast("string"))).as("__k"))
+    import org.apache.spark.sql.types._
+    val manifestSchema = StructType(Seq(
+      StructField("stratum", StringType, nullable = false),
+      StructField("n_sequences", LongType, nullable = false),
+      StructField("file", StringType, nullable = false)))
+    val manifestRows = positions
+      .repartition(col("__s"))
+      .sortWithinPartitions(col("__s"), col("__k"), col("__p"))
+      .mapPartitions { it =>
+        val fsConf = conf.value
+        val attemptSuffix = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"$AttemptMark${tc.taskAttemptId()}")
+          .getOrElse(s"${AttemptMark}driver")
+        var cur: String = null
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var n = 0L
+        val done = Seq.newBuilder[Row]
+        def close(): Unit = if (cur != null) {
+          out.close()
+          val stem = fileStem(cur)
+          val base = new HPath(staging)
+          val fsL = base.getFileSystem(fsConf)
+          val from = new HPath(base, stem + OrdSuffix + attemptSuffix)
+          val to = new HPath(base, stem + OrdSuffix)
+          if (fsL.exists(to)) fsL.delete(to, false)
+          if (!fsL.rename(from, to))
+            throw new IllegalStateException(
+              s"could not commit epoch sidecar $to")
+          done += Row(cur, n, stem + OrdSuffix)
+          cur = null
+        }
+        def open(s: String): Unit = {
+          cur = s; n = 0L
+          val base = new HPath(staging)
+          val fsL = base.getFileSystem(fsConf)
+          fsL.mkdirs(base)
+          out = fsL.create(
+            new HPath(base, fileStem(s) + OrdSuffix + attemptSuffix),
+            true)
+          out.write(EpochMagic)
+          out.write(u32le(EpochVersion))
+          out.write(u32le(epoch))
+        }
+        try {
+          while (it.hasNext) {
+            val r = it.next()
+            val s = r.getString(0)
+            if (s != cur) { close(); open(s) }
+            out.write(u64le(r.getLong(1)))
+            n += 1
+          }
+          close()
+        } finally if (cur != null) {
+          try out.close() catch { case _: Throwable => () }
+        }
+        done.result().iterator
+      }(org.apache.spark.sql.Encoders.row(manifestSchema))
+      .collect()
+    sweepAttemptFiles(spark, staging)
+    publish(spark, staging, target)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(manifestRows.toIndexedSeq,
+        math.max(1, math.min(manifestRows.length, 4))),
+      manifestSchema)
+  }
+
+  /** DISTRIBUTED read of an epoch's consumption order: one row per
+    * (stratum, rank, pos) — `rank` is the 1-based consumption step
+    * within the stratum's shard, `pos` the 0-based sequence index into
+    * the shard's `.idx` order. One task per sidecar (binaryFile source
+    * + the compiled [[graft.expressions.EpochOrdPositions]] kernel),
+    * the artifact's natural unit; composes with [[read]] by joining on
+    * (stratum, pos = seq_idx).
+    */
+  def readEpochOrder(spark: SparkSession, dir: String, epoch: Int)
+      : DataFrame = {
+    spark.read.format("binaryFile")
+      .load(s"$dir/${epochDirName(epoch)}/*$OrdSuffix")
+      .select(regexp_extract(col("path"),
+          "([^/]+)\\" + OrdSuffix + "$", 1).as("__stem"),
+        col("content").as("__ord"))
+      .select(expr("url_decode(__stem)").as("stratum"),
+        posexplode(graft.expressions.GraftFunctions.epochOrdPositions(
+          col("__ord"))))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("pos"))
+  }
+
+  /** The UNCONSUMED remainder of an epoch after a checkpoint at global
+    * step `skipPerShard` — x110's consumed-prefix/remainder partition
+    * computed FROM THE FILES ALONE (each shard's first `skipPerShard`
+    * `.ord` entries are consumed; this returns the rest, rank order
+    * preserved). A restarted trainer reading this sees every sequence
+    * exactly once per epoch across the checkpoint boundary without
+    * re-running the engine that wrote the artifact.
+    */
+  def readEpochRemainder(spark: SparkSession, dir: String, epoch: Int,
+      skipPerShard: Long): DataFrame = {
+    require(skipPerShard >= 0,
+      s"skipPerShard must be >= 0, got $skipPerShard")
+    readEpochOrder(spark, dir, epoch)
+      .filter(col("rank") > skipPerShard)
+  }
+
+  /** Driver-side reference reader for one stratum's epoch sidecar —
+    * the loader contract made executable for the specs, like
+    * [[readShard]]: returns (epoch, positions-in-consumption-order).
+    */
+  def readEpochOrderShard(spark: SparkSession, dir: String, epoch: Int,
+      stratum: String): (Int, Seq[Long]) = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new HPath(s"$dir/${epochDirName(epoch)}",
+      fileStem(stratum) + OrdSuffix)
+    val in = fs.open(p)
+    val ord =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    require(ord.length >= EpochHeaderBytes &&
+      ord.take(EpochMagic.length).sameElements(EpochMagic),
+      s"not an epoch-order sidecar: $p")
+    val bb = java.nio.ByteBuffer.wrap(ord)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val version = bb.getInt(EpochMagic.length)
+    require(version == EpochVersion,
+      s"unsupported epoch-order version $version")
+    val fileEpoch = bb.getInt(EpochMagic.length + 4)
+    require((ord.length - EpochHeaderBytes) % 8 == 0,
+      s"truncated epoch-order sidecar: $p")
+    val count = (ord.length - EpochHeaderBytes) / 8
+    (fileEpoch, (0 until count.toInt)
+      .map(i => bb.getLong(EpochHeaderBytes + i * 8)))
   }
 
   /** The strata present in a written shard set — one idx listing. */

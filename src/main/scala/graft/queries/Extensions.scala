@@ -522,6 +522,36 @@ object Extensions {
       .orderBy(col("lang"), col("seq_id"))
   }
 
+  /** x117: per-EPOCH consumption-order sidecars beside the trainer
+    * shards ([[graft.io.TrainerShards.writeEpochOrder]]) — the
+    * shuffle/epoch half of the Megatron-style indexed artifact: one
+    * mmap-able `.ord` file per stratum under `epoch-NNNNN/`, u64 LE
+    * sequence positions in consumption order, permuted by the x73
+    * md5(seed:epoch:stratum:pos) construction so the file is a pure
+    * function of (seed, epoch, sequence counts). The query writes the
+    * x114 shard set, writes epoch 1's sidecars, and reads the
+    * PUBLISHED files back distributed ([[graft.expressions
+    * .EpochOrdPositions]]); the oracle restates every (rank, pos) row
+    * from the documents table alone — sequence counts via the x114
+    * packing arithmetic, the permutation via the same md5 sort. A
+    * trainer restarting at step G resumes from these files alone
+    * (x110's prefix/remainder partition — spec-asserted).
+    */
+  def x117EpochOrder(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
+      "text", "lang", seqLen = 512, merges = Nil,
+      tokenPattern = TextFunctions.bpeBytePatternFull)
+    val out = scratchIndexPath("x117_shards", dir)
+    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
+      width = 1, out)
+    graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
+      epoch = 1)
+    graft.io.TrainerShards.readEpochOrder(s, out, epoch = 1)
+      .select(col("stratum").as("lang"), col("rank"), col("pos"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** x115: WINDOW-FREE temperature sampling ([[graft.operators.Mixing
     * .temperatureSampleApprox]]) — the 100 TB form of x108: the same
     * integer-exact n^0.5 largest-remainder apportionment, but

@@ -1048,6 +1048,131 @@ object Streaming {
       .select(col(idCol).as("id"), col("dup_of"), col("cos"))
   }
 
+  /** INDEX MAINTENANCE ON INGEST — the composition a months-lived
+    * embedding stream needs: every micro-batch is (1) SCREENED against
+    * the composed IVF-PQ index as it stands (in-batch arrivals are not
+    * paired with each other, the [[indexDedupStream]] contract), then
+    * (2) APPENDED to it under the frozen quantizers (the batch
+    * [[graft.operators.IvfPqIndex.extend]] path — Hive cell partitions
+    * gain files, prunability preserved), with (3) an optional
+    * [[graft.operators.IvfPqIndex.compact]] every `compactEvery`
+    * batches to fold the per-batch appends back into few large files.
+    * An arrival thus becomes FINDABLE by the very next micro-batch's
+    * screen with no batch job babysitting the index.
+    *
+    * Mechanics: `foreachBatch`, because the static side must RE-LIST
+    * the codes collection every batch (a cached stream-static frame
+    * snapshots its file listing and would never see the appends this
+    * very stream makes). Each batch re-reads [[graft.operators
+    * .IvfPqIndex.codes]] — tombstone-filtered, so mid-stream deletes
+    * are honored exactly like [[annScreenStreamPq]] — scores arrivals
+    * through the same per-row ADC plan (map-side
+    * [[graft.expressions.PqAdcTable]], no driver-side query collect),
+    * hands `(id, dup_of, cos)` matches to `onMatches`, then extends.
+    *
+    * Exactly-once on the EXTEND: a marker under the index path records
+    * `(streamId, last appended batch id)`; a replayed micro-batch
+    * (restart recovery re-delivers the last uncommitted batch with the
+    * SAME batch id) skips its duplicate append (spec-asserted).
+    * `streamId` must be stable across restarts of one checkpointed
+    * stream and must change with a fresh checkpoint (batch ids restart
+    * at 0 there — tie it to the checkpoint location); a marker from a
+    * DIFFERENT streamId never suppresses an append. The marker is
+    * written after the append, so a crash BETWEEN append and marker
+    * can double-append that one batch — the standard
+    * no-output-committer window ([[graft.io.TrainerShards.write]]'s
+    * honesty note); a [[graft.operators.IvfPqIndex.rebuild]] heals it,
+    * and ids stay unique so the duplicate is visible, never silently
+    * wrong-scoring.
+    *
+    * The epoch/stale-handle contract is intact: every batch runs
+    * `checkLive()` through the extend/codes paths, so a rebuild by
+    * another job mid-stream fails this stream LOUDLY instead of
+    * appending into a rotated index. Quantization drift from
+    * off-distribution arrivals lands in the per-row `qerrs` and is
+    * visible in [[graft.operators.IvfPqIndex.driftReport]]
+    * immediately (spec-asserted with an off-distribution burst).
+    */
+  def annIngestStreamPq(vecs: DataFrame,
+      index: graft.operators.IvfPqIndex, idCol: String, vecCol: String,
+      threshold: Double, streamId: String, nProbe: Int = 4,
+      compactEvery: Int = 0)
+      (onMatches: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0, got $compactEvery")
+    require(streamId.nonEmpty && !streamId.contains('\n'),
+      "streamId must be a non-empty single-line token")
+    index.checkLive()
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"${index.path}/stream_extend_batch")
+    def lastExtended(spark: SparkSession): Long = {
+      val fs = markerPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        val lines =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).split("\n")
+          finally in.close()
+        // a marker from another stream lineage never suppresses an
+        // append — batch ids are only comparable within one lineage
+        if (lines.length == 2 && lines(0) == streamId)
+          lines(1).trim.toLong
+        else -1L
+      }
+    }
+    def recordExtended(spark: SparkSession, batchId: Long): Unit = {
+      val fs = markerPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(markerPath, true)
+      try out.write(s"$streamId\n$batchId".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val centsLit = typedLit(index.centroids.map(_.toSeq))
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.functions.VectorFunctions._
+        // screen FIRST, against the index as of the PREVIOUS batch —
+        // fresh codes listing (appends + deletes visible), same
+        // compiled ADC plan as annScreenStreamPq
+        val arrivals = batch
+          .select(col(idCol), col(vecCol))
+          .filter(requireDimStream(vecCol, index.dim, index.path))
+        val matches = arrivals
+          .withColumn("__qn", normSq(col(vecCol)))
+          .withColumn("__adc",
+            graft.expressions.GraftFunctions.pqAdcTable(col(vecCol),
+              index.codebooks, index.nCentroids))
+          .withColumn("cell",
+            explode(nearestCells(col(vecCol), index.centroids, nProbe)))
+          .withColumn("__cdot",
+            dot(col(vecCol), element_at(centsLit, col("cell") + 1)))
+          .join(index.codes.select(col("neighbor_id").as("dup_of"),
+            col("cn"), col("codes"), col("cell")), Seq("cell"))
+          .withColumn("cos", round(cosineFromParts(
+            graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
+              col("__adc"), index.nCentroids) + col("__cdot"),
+            col("__qn"), col("cn")), 6))
+          .filter(col("cos") >= threshold)
+          .groupBy(col(idCol), col("dup_of"))
+          .agg(max(col("cos")).as("cos"))
+          .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+        onMatches(matches, batchId)
+        // extend AFTER the screen; replayed batches skip their
+        // duplicate append
+        if (batchId > lastExtended(spark) && !arrivals.isEmpty) {
+          index.extend(arrivals, idCol, vecCol)
+          recordExtended(spark, batchId)
+          if (compactEvery > 0 && batchId % compactEvery == 0)
+            index.compact()
+        }
+        ()
+    }.start()
+  }
+
   /** Streaming contamination screen: incoming (test/eval) documents are
     * checked against a STATIC training-corpus shingle set as they
     * arrive — the stream-static join surface. The static side is the

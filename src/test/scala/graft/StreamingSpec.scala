@@ -328,6 +328,111 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annIngestStreamPq: arrivals screen against AND extend the " +
+      "composed IVF-PQ index per micro-batch — an arrival is findable " +
+      "by the NEXT batch's screen, mid-stream deletes are honored, a " +
+      "replayed stream lineage skips duplicate appends, and an " +
+      "off-distribution burst surfaces in driftReport") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_annpq_ingest").toString
+    val idx = graft.operators.IvfPqIndex.build(emb, "vec_id",
+      "embedding", nCells = 16, numSubspaces = 8, nCentroids = 16,
+      path = idxPath).get
+    val target = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+    val (victim, twin) = (target.getLong(0), target.getSeq[Float](1))
+
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streaming.annIngestStreamPq(
+      input.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", threshold = 0.6, streamId = "lineage-1",
+      nProbe = 16) { (m, bid) =>
+      got.synchronized {
+        got ++= m.collect().map(r => (bid, r.getLong(0), r.getLong(1)))
+      }
+    }
+    try {
+      // batch 0: an exact twin of the victim arrives — matches the
+      // CORPUS victim, and is appended under the frozen quantizers
+      input.addData(Seq((900001L, twin)))
+      q.processAllAvailable()
+      assert(got.exists(p => p._2 == 900001L && p._3 == victim),
+        s"batch-0 twin missed its corpus victim: $got")
+      assert(!got.exists(p => p._2 == 900001L && p._3 == 900001L),
+        "an arrival matched itself within its own batch")
+      // batch 1: the same vector again — now ALSO finds batch 0's
+      // arrival: the index grew without any batch job
+      input.addData(Seq((900002L, twin)))
+      q.processAllAvailable()
+      assert(got.exists(p => p._2 == 900002L && p._3 == 900001L),
+        s"batch-1 arrival cannot see batch-0's extend: $got")
+      assert(got.exists(p => p._2 == 900002L && p._3 == victim))
+
+      // a takedown lands while the stream runs — honored next batch
+      idx.delete(Seq(victim).toDF("vec_id"), "vec_id")
+      input.addData(Seq((900003L, twin)))
+      q.processAllAvailable()
+      val b2 = got.filter(_._2 == 900003L).map(_._3).toSet
+      assert(!b2.contains(victim),
+        s"deleted victim still surfaced post-delete: $b2")
+      assert(b2.contains(900001L) && b2.contains(900002L),
+        s"survivors vanished from the screen: $b2")
+
+      // off-distribution burst: far outside the trained residual
+      // distribution — the extend records its qerrs and driftReport
+      // flags it immediately
+      val n = emb.count().toInt
+      val burst = (0 until n).map { j =>
+        (910000L + j, Seq.tabulate(dim)(i =>
+          ((math.sin(i * 7.3 + j * 13.1) * 1000) % 97).toFloat * 50f))
+      }
+      input.addData(burst)
+      q.processAllAvailable()
+    } finally q.stop()
+    val drift = idx.driftReport().collect()
+      .flatMap(r => Option(r.getAs[java.lang.Double]("err_ratio")))
+      .map(_.toDouble)
+    assert(drift.nonEmpty && drift.max > 2.0,
+      s"off-distribution burst invisible in driftReport: " +
+        s"${drift.toSeq}")
+
+    // replay lineage: the SAME streamId re-delivers its batches after
+    // a restart — screens still run, duplicate appends are SKIPPED
+    val codesBefore = idx.codes.count()
+    val replay = MemoryStream[(Long, Seq[Float])]
+    val gotReplay = scala.collection.mutable.Buffer[Long]()
+    val q2 = graft.streaming.Streaming.annIngestStreamPq(
+      replay.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", threshold = 0.6, streamId = "lineage-1",
+      nProbe = 16) { (m, _) =>
+      gotReplay.synchronized { gotReplay ++= m.collect().map(_.getLong(0)) }
+    }
+    try {
+      replay.addData(Seq((900001L, twin)))
+      q2.processAllAvailable()
+      assert(gotReplay.contains(900001L),
+        "replayed batch stopped screening")
+      assert(idx.codes.count() == codesBefore,
+        "replayed batch double-appended into the index")
+    } finally q2.stop()
+    // a NEW lineage is a different stream — its appends are real
+    val fresh = MemoryStream[(Long, Seq[Float])]
+    val q3 = graft.streaming.Streaming.annIngestStreamPq(
+      fresh.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", threshold = 0.6, streamId = "lineage-2",
+      nProbe = 16) { (_, _) => () }
+    try {
+      fresh.addData(Seq((920001L, twin)))
+      q3.processAllAvailable()
+      assert(idx.codes.count() == codesBefore + 1,
+        "a new stream lineage failed to extend")
+    } finally q3.stop()
+  }
+
   test("ANN screens refuse wrong-dimension arrivals LOUDLY: a stream " +
       "fed by a different embedding model fails the micro-batch " +
       "instead of silently screening prefix-truncated vectors") {

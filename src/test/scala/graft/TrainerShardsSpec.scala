@@ -108,6 +108,82 @@ class TrainerShardsSpec extends SparkSpec {
     }
   }
 
+  test("epoch-order sidecars: each .ord is a permutation of the " +
+      "shard's positions, byte-deterministic per (seed, epoch) and " +
+      "independent across epochs; a checkpoint at step G partitions " +
+      "into consumed-prefix/remainder FROM THE FILES ALONE; a shard " +
+      "re-write retires stale epoch orders") {
+    val seqs = materialize(fixture, seqLen = 8) // small seqLen → many
+    val dir = tmpDir()                          // sequences per stratum
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 1)
+    val strata = TrainerShards.listShards(spark, dir)
+    assert(strata.nonEmpty)
+    val perms = strata.map { s =>
+      val n = TrainerShards.readShard(spark, dir, s)._2.length
+      val (e0, p0) = TrainerShards.readEpochOrderShard(spark, dir, 0, s)
+      val (e1, p1) = TrainerShards.readEpochOrderShard(spark, dir, 1, s)
+      assert(e0 == 0 && e1 == 1, "header epoch mismatch")
+      assert(p0.sorted == (0L until n.toLong), s"$s epoch 0 is not a " +
+        s"permutation of 0..${n - 1}: $p0")
+      assert(p1.sorted == (0L until n.toLong))
+      if (n > 2) assert(p0 != p1,
+        s"$s epochs 0 and 1 drew the SAME order — not independent")
+      s -> p0
+    }.toMap
+    // byte-determinism: re-writing the same epoch publishes identical
+    // files (the idempotent-restart property)
+    val before = strata.map(s => s -> java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, TrainerShards.epochDirName(0),
+        TrainerShards.fileStem(s) + TrainerShards.OrdSuffix))).toMap
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    strata.foreach { s =>
+      val after = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, TrainerShards.epochDirName(0),
+          TrainerShards.fileStem(s) + TrainerShards.OrdSuffix))
+      assert(before(s).sameElements(after),
+        s"$s epoch 0 re-write changed bytes")
+    }
+    // the distributed read equals the driver reader, rank for rank
+    val distributed = TrainerShards.readEpochOrder(spark, dir, 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(distributed == perms,
+      "distributed epoch read diverged from the sidecar bytes")
+    // x110's partition from files alone: consumed prefix G + remainder
+    // are disjoint, exhaustive, and order-preserving — no engine re-run
+    val g = 2L
+    val remainder = TrainerShards.readEpochRemainder(spark, dir, 0, g)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    strata.foreach { s =>
+      val consumed = perms(s).take(g.toInt)
+      val rest = remainder.getOrElse(s, Seq.empty)
+      assert(rest == perms(s).drop(g.toInt),
+        s"$s remainder is not the order-preserved suffix")
+      assert((consumed ++ rest).sorted ==
+        (0L until perms(s).length.toLong),
+        s"$s consumed+remainder is not an exact partition")
+    }
+    // every remainder position resolves to a real sequence via the
+    // distributed shard read — the artifact pair composes
+    val rem = TrainerShards.readEpochRemainder(spark, dir, 0, g)
+      .select(col("stratum").as("rs"), col("pos"))
+    val joined = rem.join(TrainerShards.read(spark, dir),
+      col("rs") === col("stratum") && col("pos") === col("seq_idx"))
+    assert(joined.count() ==
+      perms.values.map(p => math.max(0L, p.length - g)).sum)
+    // re-writing the SHARD SET retires the whole directory — stale
+    // epoch orders (whose counts no longer match) vanish with it
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir,
+        TrainerShards.epochDirName(0))),
+      "a shard re-write left a stale epoch order behind")
+  }
+
   test("atomic publish: a re-write replaces the shard set in one swap " +
       "and leaves no staging or retired residue; stale strata vanish") {
     val dir = tmpDir()
