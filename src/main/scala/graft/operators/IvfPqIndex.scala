@@ -269,6 +269,87 @@ final class IvfPqIndex private (
       .orderBy(col("subspace"))
   }
 
+  /** ADC threshold CALIBRATION — the measured answer to "what
+    * threshold should an ANN screen over this index use?"
+    * ([[graft.streaming.Streaming.annScreenStreamPq]] /
+    * [[graft.streaming.Streaming.annIngestStreamPq]]). ADC cosines are
+    * biased LOW (an EXACT twin of an indexed vector scores the index's
+    * self-ADC cosine — ≈ 0.7–0.8 on random 64-dim embeddings at the
+    * 8×16 defaults, never 1.0), so a threshold picked by intuition
+    * silently misses every duplicate. This operator runs the
+    * documented manual procedure as one query: SELF-score each
+    * supplied corpus vector against its OWN stored code (exactly what
+    * an exact-duplicate arrival of it would score) and report the
+    * per-cell distribution — cells whose residuals quantized badly
+    * calibrate lower, and a drifting cell is visible here before it
+    * is visible in recall.
+    *
+    * Columns: (cell, n, min_self_cos, p05_self_cos, mean_self_cos) —
+    * the percentile is Spark's exact `percentile` over the 6-decimal
+    * rounded scores, so the report is deterministic.
+    * [[suggestedAdcThreshold]] reduces it to the one scalar a screen
+    * needs. Pass a [[Sampling.hashSample]] of the corpus at scale —
+    * the join is id-keyed and the scoring map-side, so cost is one
+    * exchange over the sample.
+    */
+  def adcCalibration(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    checkLive()
+    AnnIndex.requireDim(corpus, vecCol, dim)
+    selfScores(corpus, idCol, vecCol)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cos")).as("min_self_cos"),
+        expr("percentile(cos, 0.05)").as("p05_self_cos"),
+        avg(col("cos")).as("mean_self_cos"))
+      .orderBy(col("cell"))
+  }
+
+  /** The scalar form of [[adcCalibration]]: `margin ×` the global
+    * `quantile` of the self-ADC scores — low enough that (1 −
+    * quantile) of exact twins pass, with `margin` headroom for
+    * near-but-not-exact duplicates, while unrelated vectors still
+    * score near 0 (the regimes separate cleanly — spec-asserted on
+    * the planted-twin corpus).
+    */
+  def suggestedAdcThreshold(corpus: DataFrame, idCol: String,
+      vecCol: String, quantile: Double = 0.05,
+      margin: Double = 0.9): Double = {
+    checkLive()
+    require(quantile > 0 && quantile < 1, s"quantile: $quantile")
+    require(margin > 0 && margin <= 1, s"margin: $margin")
+    AnnIndex.requireDim(corpus, vecCol, dim)
+    val rows = selfScores(corpus, idCol, vecCol)
+      .agg(expr(s"percentile(cos, $quantile)")).collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      "no overlapping ids between the corpus frame and the index — " +
+        "calibration needs the indexed vectors' full-width form")
+    rows(0).getDouble(0) * margin
+  }
+
+  /** Self-ADC scores: each corpus vector against its own stored code
+    * — the shared measurement under [[adcCalibration]] /
+    * [[suggestedAdcThreshold]]. Map-side ADC table per row (the
+    * streaming-screen plan), one id-keyed join against the live codes.
+    */
+  private def selfScores(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val centsLit = typedLit(centroids.map(_.toSeq))
+    val v = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("qv"), normSq(col(vecCol)).as("qn"))
+    codes.select(col("neighbor_id"), col("cn"), col("codes"),
+        col("cell"))
+      .join(v, Seq("neighbor_id"))
+      .withColumn("__adc", graft.expressions.GraftFunctions.pqAdcTable(
+        col("qv"), codebooks, nCentroids))
+      .withColumn("cos", round(cosineFromParts(
+        graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
+          col("__adc"), nCentroids) +
+          dot(col("qv"), element_at(centsLit, col("cell") + 1)),
+        col("qn"), col("cn")), 6))
+      .select(col("cell"), col("neighbor_id"), col("cos"))
+  }
+
   /** REBUILD from the current corpus: PQ codes are lossy (original
     * vectors are not stored), so like [[PqIndex.rebuild]] this needs
     * the corpus frame — retrain coarse centroids AND residual codebooks

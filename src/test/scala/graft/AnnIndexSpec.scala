@@ -723,6 +723,62 @@ class AnnIndexSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("ADC calibration: the self-query operator reproduces the " +
+      "documented threshold regime on the planted-twin corpus — " +
+      "exact twins score at or above the suggested threshold, " +
+      "unrelated vectors stay far below it") {
+    import graft.functions.VectorFunctions._
+    val path = tmpDir()
+    val idx = IvfPqIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, numSubspaces = 8, nCentroids = 16, path = path).get
+    // the per-cell report covers every live cell, n sums to the corpus
+    val report = idx.adcCalibration(emb, "vec_id", "embedding")
+      .collect()
+    assert(report.map(_.getLong(1)).sum == emb.count())
+    report.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9 &&
+        r.getDouble(3) <= r.getDouble(4) + 1e-9,
+        s"cell ${r.getInt(0)} stats out of order: $r")
+    }
+    val t = idx.suggestedAdcThreshold(emb, "vec_id", "embedding")
+    // the documented regime on random 64-dim at the 8x16 defaults:
+    // self-ADC ~0.7-0.8, so the 0.9x p05 suggestion lands well below
+    // 1 and well above the unrelated-vector band near 0
+    assert(t > 0.3 && t < 0.9, s"suggested threshold $t outside the " +
+      "measured self-ADC regime")
+    // an EXACT TWIN of an indexed vector passes the threshold...
+    val target = emb.orderBy(col("vec_id")).limit(3).collect()
+    val spark0 = spark
+    import spark0.implicits._
+    val twins = target.map(r => (r.getLong(0) + 900000L,
+      r.getSeq[Float](1))).toSeq.toDF("vec_id", "embedding")
+    val twinHits = idx.topK(twins, "vec_id", "embedding", k = 1,
+        nProbe = 16, excludeSelf = false).collect()
+      .map(r => (r.get(0).asInstanceOf[Long], r.getDouble(3)))
+    target.foreach { r =>
+      val hit = twinHits.find(_._1 == r.getLong(0) + 900000L)
+      assert(hit.exists(_._2 >= t),
+        s"exact twin of ${r.getLong(0)} scored ${hit.map(_._2)} " +
+          s"below the suggested threshold $t")
+    }
+    // ...and an unrelated vector stays far below it
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val noise = Seq((990001L, Seq.tabulate(dim)(i =>
+      (math.sin(i * 12.9898) * 43758.5453 % 1.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val noiseBest = idx.topK(noise, "vec_id", "embedding", k = 1,
+        nProbe = 16, excludeSelf = false).collect()
+      .map(_.getDouble(3)).maxOption.getOrElse(0.0)
+    assert(noiseBest < t,
+      s"unrelated vector scored $noiseBest >= threshold $t")
+    // a corpus frame sharing no ids with the index refuses loudly
+    val renamed = emb.select((col("vec_id") + 5000000L).as("vec_id"),
+      col("embedding"))
+    val e = intercept[IllegalArgumentException](
+      idx.suggestedAdcThreshold(renamed, "vec_id", "embedding"))
+    assert(e.getMessage.contains("no overlapping ids"), e.getMessage)
+  }
+
   test("bounded top-k: byte-equals the ranking-window form on real " +
       "scored data WITH exact-cosine ties, and no index topK carries " +
       "a query-partitioned window or candidate sort in its plan") {
