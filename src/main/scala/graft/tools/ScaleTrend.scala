@@ -208,7 +208,10 @@ object ScaleTrend {
       // query), trainer-shard write→binaryFile read-back pair,
       // window-free temperature sampling (hash-rate gate)
       "x113_knn_ivfpq_indexed", "x114_trainer_shards",
-      "x115_temperature_approx", "x116_shard_readback")
+      "x115_temperature_approx", "x116_shard_readback",
+      // round 14: epoch consumption-order sidecars (one stratum-keyed
+      // exchange + distributed .ord read-back)
+      "x117_epoch_order")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -49,7 +49,7 @@ QUERIES = [
     "x109_best_of_n", "x110_resume_shuffle",
     "x111_dsir_weights", "x112_token_windows_bpe",
     "x114_trainer_shards", "x115_temperature_approx",
-    "x116_shard_readback",
+    "x116_shard_readback", "x117_epoch_order",
 ]
 
 
