@@ -144,9 +144,7 @@ object TrainerShards {
         // attempt-unique staging names: a zombie prior attempt of this
         // task (presumed lost, still running) writes DIFFERENT files;
         // the close-time rename is the per-stratum commit point
-        val attemptSuffix = Option(org.apache.spark.TaskContext.get())
-          .map(tc => s"$AttemptMark${tc.taskAttemptId()}")
-          .getOrElse(s"${AttemptMark}driver")
+        val attempt = attemptSuffix()
         var cur: String = null
         var tokOut: org.apache.hadoop.fs.FSDataOutputStream = null
         var idxOut: org.apache.hadoop.fs.FSDataOutputStream = null
@@ -159,18 +157,8 @@ object TrainerShards {
           val stem = fileStem(cur)
           val base = new HPath(staging)
           val fs = base.getFileSystem(fsConf)
-          for (sfx <- Seq(TokensSuffix, IdxSuffix)) {
-            val from = new HPath(base, stem + sfx + attemptSuffix)
-            val to = new HPath(base, stem + sfx)
-            // a completed zombie rename may already occupy the final
-            // name — its bytes are identical (deterministic writer),
-            // so replace-and-win is safe on every filesystem
-            if (fs.exists(to)) fs.delete(to, false)
-            if (!fs.rename(from, to))
-              throw new IllegalStateException(
-                s"could not commit shard file $to from attempt " +
-                  s"staging $from")
-          }
+          for (sfx <- Seq(TokensSuffix, IdxSuffix))
+            commitAttemptFile(fs, base, stem, sfx, attempt)
           done += Row(cur, nSeq, nTok, off, stem)
           cur = null
         }
@@ -181,9 +169,9 @@ object TrainerShards {
           val fs = base.getFileSystem(fsConf)
           fs.mkdirs(base)
           tokOut = fs.create(
-            new HPath(base, stem + TokensSuffix + attemptSuffix), true)
+            new HPath(base, stem + TokensSuffix + attempt), true)
           idxOut = fs.create(
-            new HPath(base, stem + IdxSuffix + attemptSuffix), true)
+            new HPath(base, stem + IdxSuffix + attempt), true)
           idxOut.write(Magic)
           idxOut.write(u32le(Version))
           idxOut.write(u32le(width))
@@ -223,10 +211,43 @@ object TrainerShards {
       manifestSchema)
   }
 
+  /** The attempt-unique staging suffix for the running task — the
+    * shared half of the zombie-safe commit protocol [[write]] and
+    * [[writeEpochOrder]] both use.
+    */
+  private def attemptSuffix(): String =
+    Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"$AttemptMark${tc.taskAttemptId()}")
+      .getOrElse(s"${AttemptMark}driver")
+
+  /** Commit one attempt-staged file to its final staging name —
+    * delete-then-rename, safe against a completed zombie rename
+    * because both attempts write identical bytes (deterministic
+    * writers). Shared by [[write]] and [[writeEpochOrder]] so the
+    * commit protocol has exactly one implementation.
+    */
+  private def commitAttemptFile(
+      fs: org.apache.hadoop.fs.FileSystem, base: HPath, stem: String,
+      suffix: String, attempt: String): Unit = {
+    val from = new HPath(base, stem + suffix + attempt)
+    val to = new HPath(base, stem + suffix)
+    if (fs.exists(to)) fs.delete(to, false)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(
+        s"could not commit $to from attempt staging $from")
+  }
+
   /** Drop orphaned attempt files (a FAILED attempt's leftovers — its
     * successful retry committed under a different attempt id) from
     * staging before publish, so the published directory holds only
-    * committed `<stem>.tokens`/`<stem>.idx` pairs.
+    * committed `<stem>.tokens`/`<stem>.idx` pairs. RESIDUAL window,
+    * documented honestly: a zombie attempt still RUNNING when the
+    * driver sweeps can recreate attempt files between the sweep and
+    * the publish rename, landing suffix-tagged garbage in the
+    * published dir (every reader ignores non-suffix files, so answers
+    * are unaffected; the next re-write retires it) — closing that
+    * fully needs a job-level commit protocol, which this writer
+    * deliberately does not carry.
     */
   private def sweepAttemptFiles(spark: SparkSession,
       staging: String): Unit = {
@@ -434,9 +455,7 @@ object TrainerShards {
       .sortWithinPartitions(col("__s"), col("__k"), col("__p"))
       .mapPartitions { it =>
         val fsConf = conf.value
-        val attemptSuffix = Option(org.apache.spark.TaskContext.get())
-          .map(tc => s"$AttemptMark${tc.taskAttemptId()}")
-          .getOrElse(s"${AttemptMark}driver")
+        val attempt = attemptSuffix()
         var cur: String = null
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         var n = 0L
@@ -446,12 +465,7 @@ object TrainerShards {
           val stem = fileStem(cur)
           val base = new HPath(staging)
           val fsL = base.getFileSystem(fsConf)
-          val from = new HPath(base, stem + OrdSuffix + attemptSuffix)
-          val to = new HPath(base, stem + OrdSuffix)
-          if (fsL.exists(to)) fsL.delete(to, false)
-          if (!fsL.rename(from, to))
-            throw new IllegalStateException(
-              s"could not commit epoch sidecar $to")
+          commitAttemptFile(fsL, base, stem, OrdSuffix, attempt)
           done += Row(cur, n, stem + OrdSuffix)
           cur = null
         }
@@ -461,7 +475,7 @@ object TrainerShards {
           val fsL = base.getFileSystem(fsConf)
           fsL.mkdirs(base)
           out = fsL.create(
-            new HPath(base, fileStem(s) + OrdSuffix + attemptSuffix),
+            new HPath(base, fileStem(s) + OrdSuffix + attempt),
             true)
           out.write(EpochMagic)
           out.write(u32le(EpochVersion))

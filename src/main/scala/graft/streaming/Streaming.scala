@@ -1071,27 +1071,40 @@ object Streaming {
     * hands `(id, dup_of, cos)` matches to `onMatches`, then extends.
     *
     * Exactly-once on the EXTEND: a marker under the index path records
-    * `(streamId, last appended batch id)`; a replayed micro-batch
-    * (restart recovery re-delivers the last uncommitted batch with the
-    * SAME batch id) skips its duplicate append (spec-asserted).
-    * `streamId` must be stable across restarts of one checkpointed
-    * stream and must change with a fresh checkpoint (batch ids restart
-    * at 0 there — tie it to the checkpoint location); a marker from a
+    * the last appended batch id PER STREAM LINEAGE (one line per
+    * `streamId` ever used — a second lineage's append never erases the
+    * first's replay protection); a replayed micro-batch (restart
+    * recovery re-delivers the last uncommitted batch with the SAME
+    * batch id) skips its duplicate append (spec-asserted). `streamId`
+    * must be stable across restarts of one checkpointed stream and
+    * must change with a fresh checkpoint (batch ids restart at 0
+    * there — tie it to the checkpoint location); a marker from a
     * DIFFERENT streamId never suppresses an append. The marker is
     * written after the append, so a crash BETWEEN append and marker
     * can double-append that one batch — the standard
     * no-output-committer window ([[graft.io.TrainerShards.write]]'s
     * honesty note); a [[graft.operators.IvfPqIndex.rebuild]] heals it,
     * and ids stay unique so the duplicate is visible, never silently
-    * wrong-scoring.
+    * wrong-scoring. On a REPLAYED batch the index already contains the
+    * batch's own vectors, so the screen anti-joins the current batch's
+    * ids out of the codes side — the in-batch no-pairing contract (an
+    * arrival never matches itself or a batch-mate) holds on first
+    * delivery AND on replay (spec-asserted).
     *
-    * The epoch/stale-handle contract is intact: every batch runs
-    * `checkLive()` through the extend/codes paths, so a rebuild by
-    * another job mid-stream fails this stream LOUDLY instead of
-    * appending into a rotated index. Quantization drift from
-    * off-distribution arrivals lands in the per-row `qerrs` and is
-    * visible in [[graft.operators.IvfPqIndex.driftReport]]
-    * immediately (spec-asserted with an off-distribution burst).
+    * Arrivals carrying a TOMBSTONED id are screened but NOT appended
+    * (the id stays dead until a rebuild frees it — the tombstone
+    * contract); without that filter a re-crawled deleted id would be
+    * a poison pill (extend refuses tombstoned ids loudly, the batch
+    * fails, and restart recovery re-delivers it forever).
+    *
+    * The epoch/stale-handle contract is intact: every batch re-checks
+    * `checkLive()` BEFORE screening (and again inside extend), so a
+    * rebuild by another job mid-stream fails this stream LOUDLY
+    * instead of scoring rotated codes under the stale handle's frozen
+    * quantizers. Quantization drift from off-distribution arrivals
+    * lands in the per-row `qerrs` and is visible in
+    * [[graft.operators.IvfPqIndex.driftReport]] immediately
+    * (spec-asserted with an off-distribution burst).
     */
   def annIngestStreamPq(vecs: DataFrame,
       index: graft.operators.IvfPqIndex, idCol: String, vecCol: String,
@@ -1105,29 +1118,35 @@ object Streaming {
     index.checkLive()
     val markerPath = new org.apache.hadoop.fs.Path(
       s"${index.path}/stream_extend_batch")
-    def lastExtended(spark: SparkSession): Long = {
+    // one "<streamId>\t<batchId>" line per lineage ever used — batch
+    // ids are only comparable within one lineage, and a second
+    // lineage's append must not erase the first's replay protection
+    def readMarker(spark: SparkSession): Map[String, Long] = {
       val fs = markerPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(markerPath)) -1L
+      if (!fs.exists(markerPath)) Map.empty
       else {
         val in = fs.open(markerPath)
-        val lines =
+        val text =
           try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8).split("\n")
+            java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
-        // a marker from another stream lineage never suppresses an
-        // append — batch ids are only comparable within one lineage
-        if (lines.length == 2 && lines(0) == streamId)
-          lines(1).trim.toLong
-        else -1L
+        text.split("\n").iterator.filter(_.contains('\t')).map { l =>
+          val t = l.lastIndexOf('\t')
+          (l.substring(0, t), l.substring(t + 1).trim.toLong)
+        }.toMap
       }
     }
+    def lastExtended(spark: SparkSession): Long =
+      readMarker(spark).getOrElse(streamId, -1L)
     def recordExtended(spark: SparkSession, batchId: Long): Unit = {
       val fs = markerPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      val entries = readMarker(spark) + (streamId -> batchId)
       val out = fs.create(markerPath, true)
-      try out.write(s"$streamId\n$batchId".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(entries.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
     val centsLit = typedLit(index.centroids.map(_.toSeq))
@@ -1135,40 +1154,67 @@ object Streaming {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         import graft.functions.VectorFunctions._
-        // screen FIRST, against the index as of the PREVIOUS batch —
-        // fresh codes listing (appends + deletes visible), same
-        // compiled ADC plan as annScreenStreamPq
+        // a rebuild by another job mid-stream must fail BEFORE the
+        // screen scores rotated codes under this handle's frozen
+        // quantizers — codes itself carries no epoch check
+        index.checkLive()
+        // one materialization per batch: the screen, the emptiness
+        // probe, and the extend all reuse it instead of re-reading
+        // the source three times per trigger
         val arrivals = batch
           .select(col(idCol), col(vecCol))
           .filter(requireDimStream(vecCol, index.dim, index.path))
-        val matches = arrivals
-          .withColumn("__qn", normSq(col(vecCol)))
-          .withColumn("__adc",
-            graft.expressions.GraftFunctions.pqAdcTable(col(vecCol),
-              index.codebooks, index.nCentroids))
-          .withColumn("cell",
-            explode(nearestCells(col(vecCol), index.centroids, nProbe)))
-          .withColumn("__cdot",
-            dot(col(vecCol), element_at(centsLit, col("cell") + 1)))
-          .join(index.codes.select(col("neighbor_id").as("dup_of"),
-            col("cn"), col("codes"), col("cell")), Seq("cell"))
-          .withColumn("cos", round(cosineFromParts(
-            graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
-              col("__adc"), index.nCentroids) + col("__cdot"),
-            col("__qn"), col("cn")), 6))
-          .filter(col("cos") >= threshold)
-          .groupBy(col(idCol), col("dup_of"))
-          .agg(max(col("cos")).as("cos"))
-          .select(col(idCol).as("id"), col("dup_of"), col("cos"))
-        onMatches(matches, batchId)
-        // extend AFTER the screen; replayed batches skip their
-        // duplicate append
-        if (batchId > lastExtended(spark) && !arrivals.isEmpty) {
-          index.extend(arrivals, idCol, vecCol)
-          recordExtended(spark, batchId)
-          if (compactEvery > 0 && batchId % compactEvery == 0)
-            index.compact()
-        }
+          .persist()
+        try {
+          // screen against the index as of the PREVIOUS batch — fresh
+          // codes listing (appends + deletes visible), same compiled
+          // ADC plan as annScreenStreamPq. The current batch's own ids
+          // anti-join OUT of the codes side: on a REPLAYED batch the
+          // index already holds these vectors, and without the
+          // anti-join every arrival would "match" itself and its
+          // batch-mates at the self-ADC cosine
+          val batchIds = arrivals.select(col(idCol).as("dup_of"))
+          val screenable = index.codes
+            .select(col("neighbor_id").as("dup_of"),
+              col("cn"), col("codes"), col("cell"))
+            .join(broadcast(batchIds), Seq("dup_of"), "left_anti")
+          val matches = arrivals
+            .withColumn("__qn", normSq(col(vecCol)))
+            .withColumn("__adc",
+              graft.expressions.GraftFunctions.pqAdcTable(col(vecCol),
+                index.codebooks, index.nCentroids))
+            .withColumn("cell",
+              explode(nearestCells(col(vecCol), index.centroids,
+                nProbe)))
+            .withColumn("__cdot",
+              dot(col(vecCol), element_at(centsLit, col("cell") + 1)))
+            .join(screenable, Seq("cell"))
+            .withColumn("cos", round(cosineFromParts(
+              graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
+                col("__adc"), index.nCentroids) + col("__cdot"),
+              col("__qn"), col("cn")), 6))
+            .filter(col("cos") >= threshold)
+            .groupBy(col(idCol), col("dup_of"))
+            .agg(max(col("cos")).as("cos"))
+            .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+          onMatches(matches, batchId)
+          // extend AFTER the screen; replayed batches skip their
+          // duplicate append; tombstoned re-arrivals are screened
+          // above but never appended (extend would refuse them
+          // loudly — a poison pill for the replaying stream)
+          if (batchId > lastExtended(spark)) {
+            val liveTomb = liveIds(spark, s"${index.path}/tombstones")
+              .select(col("id").as(idCol))
+            val appendable = arrivals.join(liveTomb, Seq(idCol),
+              "left_anti")
+            if (!appendable.isEmpty) {
+              index.extend(appendable, idCol, vecCol)
+              recordExtended(spark, batchId)
+              if (compactEvery > 0 && batchId % compactEvery == 0)
+                index.compact()
+            }
+          }
+        } finally arrivals.unpersist()
         ()
     }.start()
   }

@@ -382,6 +382,17 @@ class StreamingSpec extends SparkSpec {
       assert(b2.contains(900001L) && b2.contains(900002L),
         s"survivors vanished from the screen: $b2")
 
+      // a RE-ARRIVAL of the tombstoned id is screened but NOT
+      // appended — without the filter, extend's tombstone refusal
+      // would poison-pill the stream on every replay
+      val beforeVictim = idx.codes.count()
+      input.addData(Seq((victim, twin)))
+      q.processAllAvailable()
+      assert(idx.codes.count() == beforeVictim,
+        "a tombstoned re-arrival was appended into the index")
+      assert(got.exists(p => p._2 == victim && p._3 == 900001L),
+        "the tombstoned re-arrival was not screened")
+
       // off-distribution burst: far outside the trained residual
       // distribution — the extend records its qerrs and driftReport
       // flags it immediately
@@ -401,21 +412,31 @@ class StreamingSpec extends SparkSpec {
         s"${drift.toSeq}")
 
     // replay lineage: the SAME streamId re-delivers its batches after
-    // a restart — screens still run, duplicate appends are SKIPPED
+    // a restart — screens still run, duplicate appends are SKIPPED,
+    // and the batch's own already-indexed vectors never pair with
+    // themselves (the anti-join on the replayed batch's ids)
     val codesBefore = idx.codes.count()
     val replay = MemoryStream[(Long, Seq[Float])]
-    val gotReplay = scala.collection.mutable.Buffer[Long]()
+    val gotReplay = scala.collection.mutable.Buffer[(Long, Long)]()
     val q2 = graft.streaming.Streaming.annIngestStreamPq(
       replay.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
       "embedding", threshold = 0.6, streamId = "lineage-1",
       nProbe = 16) { (m, _) =>
-      gotReplay.synchronized { gotReplay ++= m.collect().map(_.getLong(0)) }
+      gotReplay.synchronized {
+        gotReplay ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
     }
     try {
-      replay.addData(Seq((900001L, twin)))
+      // both twins in one replayed batch: both are already indexed
+      replay.addData(Seq((900001L, twin), (900002L, twin)))
       q2.processAllAvailable()
-      assert(gotReplay.contains(900001L),
-        "replayed batch stopped screening")
+      assert(gotReplay.exists(p => p._1 == 900001L && p._2 == 900003L),
+        s"replayed batch stopped screening: $gotReplay")
+      assert(!gotReplay.exists(p => p._1 == p._2),
+        s"replayed arrival matched ITSELF: $gotReplay")
+      assert(!gotReplay.exists(p => Set(p._1, p._2) ==
+          Set(900001L, 900002L)),
+        s"replayed batch-mates paired with each other: $gotReplay")
       assert(idx.codes.count() == codesBefore,
         "replayed batch double-appended into the index")
     } finally q2.stop()
@@ -431,6 +452,27 @@ class StreamingSpec extends SparkSpec {
       assert(idx.codes.count() == codesBefore + 1,
         "a new stream lineage failed to extend")
     } finally q3.stop()
+
+    // a rebuild by ANOTHER job mid-stream rotates the epoch — the
+    // running stream's next batch fails LOUDLY (stale handle) before
+    // any screen scores rotated codes under the old quantizers
+    val after = MemoryStream[(Long, Seq[Float])]
+    val q4 = graft.streaming.Streaming.annIngestStreamPq(
+      after.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", threshold = 0.6, streamId = "lineage-3",
+      nProbe = 16) { (_, _) => () }
+    try {
+      graft.operators.IvfPqIndex.build(emb, "vec_id", "embedding",
+        nCells = 16, numSubspaces = 8, nCentroids = 16, path = idxPath)
+      after.addData(Seq((930001L, twin)))
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q4.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("stale")),
+        s"mid-stream rebuild did not fail the stream loudly: ${msgs(e)}")
+    } finally q4.stop()
   }
 
   test("ANN screens refuse wrong-dimension arrivals LOUDLY: a stream " +
