@@ -204,11 +204,94 @@ object TrainerShards {
       }(org.apache.spark.sql.Encoders.row(manifestSchema))
       .collect()
     sweepAttemptFiles(spark, staging)
+    // the manifest SHIPS WITH the artifact (written into staging, so
+    // the two-rename publish makes shard files and manifest visible
+    // atomically): a loader reads counts/width/bytes without deriving
+    // them from file sizes, and a shard set is self-describing
+    writeManifest(spark, staging, width, manifestRows)
     publish(spark, staging, dir)
     spark.createDataFrame(
       spark.sparkContext.parallelize(manifestRows.toIndexedSeq,
         math.max(1, math.min(manifestRows.length, 4))),
       manifestSchema)
+  }
+
+  val ManifestName = "_MANIFEST.json"
+
+  /** Serialize the stratum manifest into staging as
+    * [[ManifestName]] — strata-count-sized driver IO; the leading
+    * underscore keeps it outside every `*.tokens`/`*.idx`/`*.ord`
+    * reader glob.
+    */
+  private def writeManifest(spark: SparkSession, staging: String,
+      width: Int, rows: Array[Row]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "graft-trainer-shards")
+    root.put("version", Version)
+    root.put("width", width)
+    val arr = mapper.createArrayNode()
+    rows.sortBy(_.getString(0)).foreach { r =>
+      val n = mapper.createObjectNode()
+      n.put("stratum", r.getString(0))
+      n.put("n_sequences", r.getLong(1))
+      n.put("n_tokens", r.getLong(2))
+      n.put("token_bytes", r.getLong(3))
+      n.put("file_stem", r.getString(4))
+      arr.add(n)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("strata", arr)
+    val fs = new HPath(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new HPath(staging)) // empty input still ships a manifest
+    val out = fs.create(new HPath(staging, ManifestName), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** Read a published shard set's manifest back:
+    * (stratum, n_sequences, n_tokens, token_bytes, file_stem, width)
+    * — the loader-facing inventory, strata-count-sized.
+    */
+  def readManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new HPath(dir, ManifestName)
+    require(fs.exists(p), s"no shard manifest at $p — written by a " +
+      "pre-manifest version? re-run write()")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    require(tree.get("format") != null &&
+      tree.get("format").asText() == "graft-trainer-shards" &&
+      tree.get("version").asInt() == Version,
+      s"not a trainer-shard manifest: $p")
+    val width = tree.get("width").asInt()
+    val rows = {
+      val b = Seq.newBuilder[Row]
+      val it = tree.get("strata").elements()
+      while (it.hasNext) {
+        val n = it.next()
+        b += Row(n.get("stratum").asText(),
+          n.get("n_sequences").asLong(), n.get("n_tokens").asLong(),
+          n.get("token_bytes").asLong(), n.get("file_stem").asText(),
+          width)
+      }
+      b.result()
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.length, 4))),
+      StructType(Seq(
+        StructField("stratum", StringType, nullable = false),
+        StructField("n_sequences", LongType, nullable = false),
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("token_bytes", LongType, nullable = false),
+        StructField("file_stem", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false))))
   }
 
   /** The attempt-unique staging suffix for the running task — the

@@ -442,15 +442,20 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
     // a NEW lineage is a different stream — its appends are real
     val fresh = MemoryStream[(Long, Seq[Float])]
+    // compactEvery exercises the periodic maintenance path: the
+    // per-batch append files fold, answers unchanged (row-preserving
+    // compact is separately spec-asserted in AnnIndexSpec)
     val q3 = graft.streaming.Streaming.annIngestStreamPq(
       fresh.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
       "embedding", threshold = 0.6, streamId = "lineage-2",
-      nProbe = 16) { (_, _) => () }
+      nProbe = 16, compactEvery = 1) { (_, _) => () }
     try {
       fresh.addData(Seq((920001L, twin)))
       q3.processAllAvailable()
-      assert(idx.codes.count() == codesBefore + 1,
-        "a new stream lineage failed to extend")
+      fresh.addData(Seq((920002L, twin)))
+      q3.processAllAvailable()
+      assert(idx.codes.count() == codesBefore + 2,
+        "a new stream lineage failed to extend (through compaction)")
     } finally q3.stop()
 
     // a rebuild by ANOTHER job mid-stream rotates the epoch — the

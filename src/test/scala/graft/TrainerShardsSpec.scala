@@ -62,12 +62,25 @@ class TrainerShardsSpec extends SparkSpec {
     assert(published.forall(n => !n.contains(".attempt-")),
       s"attempt staging leaked into the published dir: " +
         s"${published.toSeq}")
-    // only committed pairs are visible (dot-hidden local-FS checksum
-    // sidecars aside)
+    // only committed pairs + the manifest are visible (dot-hidden
+    // local-FS checksum sidecars aside)
     assert(published.filterNot(_.startsWith(".")).forall(n =>
       n.endsWith(TrainerShards.TokensSuffix) ||
-        n.endsWith(TrainerShards.IdxSuffix)),
+        n.endsWith(TrainerShards.IdxSuffix) ||
+        n == TrainerShards.ManifestName),
       s"unexpected file in published dir: ${published.toSeq}")
+    // the manifest SHIPS WITH the artifact and restates the returned
+    // frame: a loader learns counts/width without deriving file sizes
+    val mf = TrainerShards.readManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(5))).toMap
+    assert(mf.keySet == expected.keySet)
+    expected.foreach { case (lang, want) =>
+      val (nSeq, nTok, bytes, w) = mf(lang)
+      assert(w == 2 && nSeq == want.length &&
+        nTok == want.map(_.length.toLong).sum && bytes == nTok * 2,
+        s"manifest mismatch for $lang: ${mf(lang)}")
+    }
     expected.foreach { case (lang, want) =>
       val (width, got) = TrainerShards.readShard(spark, dir, lang)
       assert(width == 2)
