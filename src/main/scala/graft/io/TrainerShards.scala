@@ -625,6 +625,28 @@ object TrainerShards {
       .filter(col("rank") > skipPerShard)
   }
 
+  /** The COMPOSED resume read — everything a restarted trainer needs
+    * in one call, from the published files alone: each shard's epoch
+    * order past the checkpoint ([[readEpochRemainder]]) joined back to
+    * its sequences ([[read]]), yielding `(stratum, rank, pos,
+    * token_ids)` — `rank` IS the consumption step, so order by
+    * `(stratum, rank)` to consume (a join output carries no row
+    * order). `skipPerShard = 0` replays the whole epoch. One task per
+    * shard on each side + one stratum+position-keyed join; nothing
+    * corpus-sized on the driver.
+    */
+  def readInEpochOrder(spark: SparkSession, dir: String, epoch: Int,
+      skipPerShard: Long = 0L): DataFrame = {
+    val order = readEpochRemainder(spark, dir, epoch, skipPerShard)
+    val seqs = read(spark, dir)
+      .select(col("stratum").as("__s"), col("seq_idx").as("pos"),
+        col("token_ids"))
+    order.join(seqs,
+        order("stratum") === col("__s") && order("pos") === seqs("pos"))
+      .select(order("stratum"), col("rank"), order("pos"),
+        col("token_ids"))
+  }
+
   /** Driver-side reference reader for one stratum's epoch sidecar —
     * the loader contract made executable for the specs, like
     * [[readShard]]: returns (epoch, positions-in-consumption-order).

@@ -1097,6 +1097,12 @@ object Streaming {
     * a poison pill (extend refuses tombstoned ids loudly, the batch
     * fails, and restart recovery re-delivers it forever).
     *
+    * Single-writer contract, like every index maintenance verb: at
+    * most ONE ingest stream runs against an index at a time (two
+    * concurrent lineages would interleave extends and race the
+    * marker's read-modify-write); replacing a stream means stopping
+    * the old one first.
+    *
     * The epoch/stale-handle contract is intact: every batch re-checks
     * `checkLive()` BEFORE screening (and again inside extend), so a
     * rebuild by another job mid-stream fails this stream LOUDLY

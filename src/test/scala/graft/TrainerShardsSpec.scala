@@ -189,6 +189,22 @@ class TrainerShardsSpec extends SparkSpec {
       col("rs") === col("stratum") && col("pos") === col("seq_idx"))
     assert(joined.count() ==
       perms.values.map(p => math.max(0L, p.length - g)).sum)
+    // the composed one-call resume read: (stratum, rank, pos,
+    // token_ids) in consumption order, data included — equals the
+    // remainder resolved through readShard by hand
+    val resumed = TrainerShards.readInEpochOrder(spark, dir, 0, g)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    strata.foreach { s =>
+      val shard = TrainerShards.readShard(spark, dir, s)._2
+      val want = perms(s).drop(g.toInt)
+        .map(p => (p, shard(p.toInt)))
+      assert(resumed.getOrElse(s, Seq.empty) == want,
+        s"$s composed resume read diverged from the files")
+    }
     // re-writing the SHARD SET retires the whole directory — stale
     // epoch orders (whose counts no longer match) vanish with it
     TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
