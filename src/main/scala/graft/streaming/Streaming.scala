@@ -1048,6 +1048,51 @@ object Streaming {
       .select(col(idCol).as("id"), col("dup_of"), col("cos"))
   }
 
+  /** Per-lineage extend marker shared by the ingest compositions
+    * ([[annIngestStreamPq]] / [[annIngestStream]]): one
+    * `"<streamId>\t<batchId>"` line per lineage ever used under
+    * `<indexPath>/stream_extend_batch` — batch ids are only comparable
+    * within one lineage, and a second lineage's append must not erase
+    * the first's replay protection. Single-writer by contract (at most
+    * one ingest stream per index — the marker's read-modify-write is
+    * not concurrent-safe, like every index maintenance verb).
+    */
+  private final class ExtendMarker(indexPath: String, streamId: String) {
+    require(streamId.nonEmpty && !streamId.contains('\n') &&
+      !streamId.contains('\t'),
+      "streamId must be a non-empty single-line tab-free token")
+    private val markerPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/stream_extend_batch")
+    private def read(spark: SparkSession): Map[String, Long] = {
+      val fs = markerPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(markerPath)) Map.empty
+      else {
+        val in = fs.open(markerPath)
+        val text =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        text.split("\n").iterator.filter(_.contains('\t')).map { l =>
+          val t = l.lastIndexOf('\t')
+          (l.substring(0, t), l.substring(t + 1).trim.toLong)
+        }.toMap
+      }
+    }
+    def lastExtended(spark: SparkSession): Long =
+      read(spark).getOrElse(streamId, -1L)
+    def recordExtended(spark: SparkSession, batchId: Long): Unit = {
+      val fs = markerPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val entries = read(spark) + (streamId -> batchId)
+      val out = fs.create(markerPath, true)
+      try out.write(entries.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** INDEX MAINTENANCE ON INGEST — the composition a months-lived
     * embedding stream needs: every micro-batch is (1) SCREENED against
     * the composed IVF-PQ index as it stands (in-batch arrivals are not
@@ -1119,42 +1164,8 @@ object Streaming {
       (onMatches: (DataFrame, Long) => Unit): StreamingQuery = {
     require(compactEvery >= 0,
       s"compactEvery must be >= 0, got $compactEvery")
-    require(streamId.nonEmpty && !streamId.contains('\n'),
-      "streamId must be a non-empty single-line token")
     index.checkLive()
-    val markerPath = new org.apache.hadoop.fs.Path(
-      s"${index.path}/stream_extend_batch")
-    // one "<streamId>\t<batchId>" line per lineage ever used — batch
-    // ids are only comparable within one lineage, and a second
-    // lineage's append must not erase the first's replay protection
-    def readMarker(spark: SparkSession): Map[String, Long] = {
-      val fs = markerPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(markerPath)) Map.empty
-      else {
-        val in = fs.open(markerPath)
-        val text =
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        text.split("\n").iterator.filter(_.contains('\t')).map { l =>
-          val t = l.lastIndexOf('\t')
-          (l.substring(0, t), l.substring(t + 1).trim.toLong)
-        }.toMap
-      }
-    }
-    def lastExtended(spark: SparkSession): Long =
-      readMarker(spark).getOrElse(streamId, -1L)
-    def recordExtended(spark: SparkSession, batchId: Long): Unit = {
-      val fs = markerPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val entries = readMarker(spark) + (streamId -> batchId)
-      val out = fs.create(markerPath, true)
-      try out.write(entries.toSeq.sorted
-        .map { case (k, v) => s"$k\t$v" }.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    val marker = new ExtendMarker(index.path, streamId)
     val centsLit = typedLit(index.centroids.map(_.toSeq))
     vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1208,14 +1219,83 @@ object Streaming {
           // duplicate append; tombstoned re-arrivals are screened
           // above but never appended (extend would refuse them
           // loudly — a poison pill for the replaying stream)
-          if (batchId > lastExtended(spark)) {
+          if (batchId > marker.lastExtended(spark)) {
             val liveTomb = liveIds(spark, s"${index.path}/tombstones")
               .select(col("id").as(idCol))
             val appendable = arrivals.join(liveTomb, Seq(idCol),
               "left_anti")
             if (!appendable.isEmpty) {
               index.extend(appendable, idCol, vecCol)
-              recordExtended(spark, batchId)
+              marker.recordExtended(spark, batchId)
+              if (compactEvery > 0 && batchId % compactEvery == 0)
+                index.compact()
+            }
+          }
+        } finally arrivals.unpersist()
+        ()
+    }.start()
+  }
+
+  /** [[annIngestStreamPq]]'s RAW-IVF twin — screen + extend-on-ingest
+    * over a persisted [[graft.operators.IvfIndex]] (full-width vector
+    * storage, EXACT cosine scoring, so planted duplicates flag at
+    * cos ≈ 1 and thresholds need no ADC calibration). Same contract in
+    * every other respect: foreachBatch with a fresh tombstone-filtered
+    * cells listing per batch (appends + mid-stream deletes visible),
+    * the current batch's ids anti-joined out of the static side (no
+    * self/batch-mate pairing on replay), frozen-quantizer `extend`
+    * after the screen, tombstoned re-arrivals screened but never
+    * appended, the per-lineage [[ExtendMarker]] replay guard, optional
+    * periodic compact, per-batch staleness check, single writer. Use
+    * the IVF-PQ form when the corpus cannot afford full-width storage
+    * — that one is the 100 TB layout; this one buys exact scores.
+    */
+  def annIngestStream(vecs: DataFrame,
+      index: graft.operators.IvfIndex, idCol: String, vecCol: String,
+      threshold: Double, streamId: String, nProbe: Int = 4,
+      compactEvery: Int = 0)
+      (onMatches: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0, got $compactEvery")
+    index.checkPending()
+    val marker = new ExtendMarker(index.path, streamId)
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.functions.VectorFunctions._
+        index.checkPending()
+        val arrivals = batch
+          .select(col(idCol), col(vecCol))
+          .filter(requireDimStream(vecCol, index.centroids.head.length,
+            index.path))
+          .persist()
+        try {
+          val batchIds = arrivals.select(col(idCol).as("dup_of"))
+          val screenable = index.cells
+            .select(col("neighbor_id").as("dup_of"), col("cv"),
+              col("cn"), col("cell"))
+            .join(broadcast(batchIds), Seq("dup_of"), "left_anti")
+          val matches = arrivals
+            .withColumn("__qn", normSq(col(vecCol)))
+            .withColumn("cell",
+              explode(nearestCells(col(vecCol), index.centroids,
+                nProbe)))
+            .join(screenable, Seq("cell"))
+            .withColumn("cos", round(cosineFromParts(
+              dot(col(vecCol), col("cv")), col("__qn"), col("cn")), 6))
+            .filter(col("cos") >= threshold)
+            .groupBy(col(idCol), col("dup_of"))
+            .agg(max(col("cos")).as("cos"))
+            .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+          onMatches(matches, batchId)
+          if (batchId > marker.lastExtended(spark)) {
+            val liveTomb = liveIds(spark, s"${index.path}/tombstones")
+              .select(col("id").as(idCol))
+            val appendable = arrivals.join(liveTomb, Seq(idCol),
+              "left_anti")
+            if (!appendable.isEmpty) {
+              index.extend(appendable, idCol, vecCol)
+              marker.recordExtended(spark, batchId)
               if (compactEvery > 0 && batchId % compactEvery == 0)
                 index.compact()
             }

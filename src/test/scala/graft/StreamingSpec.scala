@@ -480,6 +480,71 @@ class StreamingSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("annIngestStream (raw IVF): exact-cosine screen + extend per " +
+      "micro-batch — a batch-0 arrival is findable by batch 1 at " +
+      "cos 1, mid-stream deletes honored, replayed lineage skips the " +
+      "duplicate append without self-matching") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_annivf_ingest").toString
+    val idx = graft.operators.IvfIndex.build(emb, "vec_id",
+      "embedding", nCells = 16, path = idxPath).get
+    val target = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+    val (victim, twin) = (target.getLong(0), target.getSeq[Float](1))
+    val got = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streaming.annIngestStream(
+      input.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", threshold = 0.95, streamId = "ivf-1", nProbe = 16) {
+      (m, _) => got.synchronized {
+        got ++= m.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      input.addData(Seq((900001L, twin)))
+      q.processAllAvailable()
+      assert(got.exists(p => p._1 == 900001L && p._2 == victim &&
+        p._3 >= 0.999), s"exact twin missed its victim at cos 1: $got")
+      assert(!got.exists(p => p._1 == p._2), s"self-match: $got")
+      input.addData(Seq((900002L, twin)))
+      q.processAllAvailable()
+      assert(got.exists(p => p._1 == 900002L && p._2 == 900001L &&
+        p._3 >= 0.999),
+        s"batch-1 arrival cannot see batch-0's extend: $got")
+      idx.delete(Seq(victim).toDF("vec_id"), "vec_id")
+      input.addData(Seq((900003L, twin)))
+      q.processAllAvailable()
+      val b2 = got.filter(_._1 == 900003L).map(_._2).toSet
+      assert(!b2.contains(victim) && b2.contains(900001L),
+        s"post-delete screen wrong: $b2")
+    } finally q.stop()
+    // replay lineage: screens, never re-appends, never self-pairs
+    val cellsBefore = idx.cells.count()
+    val replay = MemoryStream[(Long, Seq[Float])]
+    val gotR = scala.collection.mutable.Buffer[(Long, Long)]()
+    val q2 = graft.streaming.Streaming.annIngestStream(
+      replay.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", threshold = 0.95, streamId = "ivf-1", nProbe = 16) {
+      (m, _) => gotR.synchronized {
+        gotR ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    try {
+      replay.addData(Seq((900001L, twin), (900002L, twin)))
+      q2.processAllAvailable()
+      assert(gotR.exists(p => p._1 == 900001L && p._2 == 900003L),
+        s"replayed batch stopped screening: $gotR")
+      assert(!gotR.exists(p => p._1 == p._2), s"replay self-match: $gotR")
+      assert(!gotR.exists(p => Set(p._1, p._2) == Set(900001L, 900002L)),
+        s"replayed batch-mates paired: $gotR")
+      assert(idx.cells.count() == cellsBefore,
+        "replayed batch double-appended")
+    } finally q2.stop()
+  }
+
   test("ANN screens refuse wrong-dimension arrivals LOUDLY: a stream " +
       "fed by a different embedding model fails the micro-batch " +
       "instead of silently screening prefix-truncated vectors") {
