@@ -251,8 +251,10 @@ object TrainerShards {
   }
 
   /** Read a published shard set's manifest back:
-    * (stratum, n_sequences, n_tokens, token_bytes, file_stem, width)
-    * — the loader-facing inventory, strata-count-sized.
+    * (stratum, n_sequences, n_tokens, token_bytes, file, width) —
+    * the loader-facing inventory, strata-count-sized; the first five
+    * columns match [[write]]'s returned manifest frame name-for-name
+    * so the two inventories are interchangeable.
     */
   def readManifest(spark: SparkSession, dir: String): DataFrame = {
     val fs = new HPath(dir)
@@ -264,20 +266,32 @@ object TrainerShards {
     val tree =
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
-    require(tree.get("format") != null &&
-      tree.get("format").asText() == "graft-trainer-shards" &&
-      tree.get("version").asInt() == Version,
+    // null-safe field access: a truncated or foreign JSON must hit
+    // the loud diagnostic, never an opaque NPE
+    def field(node: com.fasterxml.jackson.databind.JsonNode,
+        name: String): com.fasterxml.jackson.databind.JsonNode = {
+      val v = if (node == null) null else node.get(name)
+      require(v != null && !v.isNull,
+        s"not a trainer-shard manifest (missing '$name'): $p")
+      v
+    }
+    require(field(tree, "format").asText() == "graft-trainer-shards" &&
+      field(tree, "version").asInt() == Version,
       s"not a trainer-shard manifest: $p")
-    val width = tree.get("width").asInt()
+    val width = field(tree, "width").asInt()
+    val strataNode = field(tree, "strata")
+    require(strataNode.isArray,
+      s"not a trainer-shard manifest (strata is not an array): $p")
     val rows = {
       val b = Seq.newBuilder[Row]
-      val it = tree.get("strata").elements()
+      val it = strataNode.elements()
       while (it.hasNext) {
         val n = it.next()
-        b += Row(n.get("stratum").asText(),
-          n.get("n_sequences").asLong(), n.get("n_tokens").asLong(),
-          n.get("token_bytes").asLong(), n.get("file_stem").asText(),
-          width)
+        b += Row(field(n, "stratum").asText(),
+          field(n, "n_sequences").asLong(),
+          field(n, "n_tokens").asLong(),
+          field(n, "token_bytes").asLong(),
+          field(n, "file_stem").asText(), width)
       }
       b.result()
     }
@@ -290,7 +304,7 @@ object TrainerShards {
         StructField("n_sequences", LongType, nullable = false),
         StructField("n_tokens", LongType, nullable = false),
         StructField("token_bytes", LongType, nullable = false),
-        StructField("file_stem", StringType, nullable = false),
+        StructField("file", StringType, nullable = false),
         StructField("width", IntegerType, nullable = false))))
   }
 

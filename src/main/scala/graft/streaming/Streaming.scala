@@ -1063,7 +1063,15 @@ object Streaming {
       "streamId must be a non-empty single-line tab-free token")
     private val markerPath = new org.apache.hadoop.fs.Path(
       s"$indexPath/stream_extend_batch")
-    private def read(spark: SparkSession): Map[String, Long] = {
+
+    /** All lineages' last-extended batch ids. Read ONCE per batch; the
+      * same snapshot feeds both the skip decision and [[record]], so a
+      * batch never re-parses the file. Accepts the legacy single-
+      * lineage two-line format (no tabs) so a marker written by the
+      * pre-multi-lineage code still suppresses its replayed batch
+      * instead of silently double-appending.
+      */
+    def snapshot(spark: SparkSession): Map[String, Long] = {
       val fs = markerPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(markerPath)) Map.empty
@@ -1073,24 +1081,102 @@ object Streaming {
           try new String(org.apache.commons.io.IOUtils.toByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
-        text.split("\n").iterator.filter(_.contains('\t')).map { l =>
+        val lines = text.split("\n")
+        val tabbed = lines.iterator.filter(_.contains('\t')).map { l =>
           val t = l.lastIndexOf('\t')
           (l.substring(0, t), l.substring(t + 1).trim.toLong)
         }.toMap
+        if (tabbed.nonEmpty) tabbed
+        else if (lines.length == 2 && lines(1).trim.matches("-?\\d+"))
+          Map(lines(0) -> lines(1).trim.toLong) // legacy format
+        else Map.empty
       }
     }
-    def lastExtended(spark: SparkSession): Long =
-      read(spark).getOrElse(streamId, -1L)
-    def recordExtended(spark: SparkSession, batchId: Long): Unit = {
+
+    /** Persist `entries + (streamId -> batchId)` ATOMICALLY (temp file
+      * + rename): the marker now carries EVERY lineage's protection,
+      * so a crash mid-write must not truncate another lineage's entry
+      * into a smaller batch id (a silent double-append on ITS next
+      * restart) — truncate-in-place did exactly that.
+      */
+    def record(spark: SparkSession, entries: Map[String, Long],
+        batchId: Long): Unit = {
       val fs = markerPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val entries = read(spark) + (streamId -> batchId)
-      val out = fs.create(markerPath, true)
-      try out.write(entries.toSeq.sorted
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${markerPath.toString}.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write((entries + (streamId -> batchId)).toSeq.sorted
         .map { case (k, v) => s"$k\t$v" }.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      if (fs.exists(markerPath)) fs.delete(markerPath, false)
+      if (!fs.rename(tmp, markerPath))
+        throw new IllegalStateException(
+          s"could not commit extend marker $markerPath")
     }
+  }
+
+  /** The shared screen-then-extend micro-batch loop under
+    * [[annIngestStreamPq]] / [[annIngestStream]] — ONE implementation
+    * of the contract machinery (per-batch staleness check, dim-guarded
+    * single materialization, batch-id anti-join handle for the screen,
+    * per-lineage replay skip, tombstone filter before append, periodic
+    * compact); the callers supply only the index-specific scoring
+    * stage and verbs.
+    */
+  private def ingestLoop(vecs: DataFrame, indexPath: String,
+      expectedDim: Int, checkLive: () => Unit,
+      screen: (DataFrame, DataFrame) => DataFrame,
+      extendFn: DataFrame => Unit, compactFn: () => Unit,
+      idCol: String, vecCol: String, streamId: String,
+      compactEvery: Int)
+      (onMatches: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0, got $compactEvery")
+    checkLive()
+    val marker = new ExtendMarker(indexPath, streamId)
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // a rebuild by another job mid-stream must fail BEFORE the
+        // screen scores rotated state under this handle's frozen
+        // quantizers — the stored frames carry no epoch check
+        checkLive()
+        // one materialization per batch: the screen, the emptiness
+        // probe, and the extend all reuse it instead of re-reading
+        // the source three times per trigger
+        val arrivals = batch
+          .select(col(idCol), col(vecCol))
+          .filter(requireDimStream(vecCol, expectedDim, indexPath))
+          .persist()
+        try {
+          // the current batch's own ids anti-join OUT of the static
+          // side inside `screen`: on a REPLAYED batch the index
+          // already holds these vectors, and without it every arrival
+          // would "match" itself and its batch-mates
+          val batchIds = arrivals.select(col(idCol).as("dup_of"))
+          onMatches(screen(arrivals, batchIds), batchId)
+          // extend AFTER the screen; replayed batches skip their
+          // duplicate append; tombstoned re-arrivals are screened
+          // above but never appended (extend would refuse them
+          // loudly — a poison pill for the replaying stream)
+          val entries = marker.snapshot(spark)
+          if (batchId > entries.getOrElse(streamId, -1L)) {
+            val liveTomb = liveIds(spark, s"$indexPath/tombstones")
+              .select(col("id").as(idCol))
+            val appendable = arrivals.join(liveTomb, Seq(idCol),
+              "left_anti")
+            if (!appendable.isEmpty) {
+              extendFn(appendable)
+              marker.record(spark, entries, batchId)
+              if (compactEvery > 0 && batchId % compactEvery == 0)
+                compactFn()
+            }
+          }
+        } finally arrivals.unpersist()
+        ()
+    }.start()
   }
 
   /** INDEX MAINTENANCE ON INGEST — the composition a months-lived
@@ -1162,78 +1248,39 @@ object Streaming {
       threshold: Double, streamId: String, nProbe: Int = 4,
       compactEvery: Int = 0)
       (onMatches: (DataFrame, Long) => Unit): StreamingQuery = {
-    require(compactEvery >= 0,
-      s"compactEvery must be >= 0, got $compactEvery")
-    index.checkLive()
-    val marker = new ExtendMarker(index.path, streamId)
+    import graft.functions.VectorFunctions._
     val centsLit = typedLit(index.centroids.map(_.toSeq))
-    vecs.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        import graft.functions.VectorFunctions._
-        // a rebuild by another job mid-stream must fail BEFORE the
-        // screen scores rotated codes under this handle's frozen
-        // quantizers — codes itself carries no epoch check
-        index.checkLive()
-        // one materialization per batch: the screen, the emptiness
-        // probe, and the extend all reuse it instead of re-reading
-        // the source three times per trigger
-        val arrivals = batch
-          .select(col(idCol), col(vecCol))
-          .filter(requireDimStream(vecCol, index.dim, index.path))
-          .persist()
-        try {
-          // screen against the index as of the PREVIOUS batch — fresh
-          // codes listing (appends + deletes visible), same compiled
-          // ADC plan as annScreenStreamPq. The current batch's own ids
-          // anti-join OUT of the codes side: on a REPLAYED batch the
-          // index already holds these vectors, and without the
-          // anti-join every arrival would "match" itself and its
-          // batch-mates at the self-ADC cosine
-          val batchIds = arrivals.select(col(idCol).as("dup_of"))
-          val screenable = index.codes
-            .select(col("neighbor_id").as("dup_of"),
-              col("cn"), col("codes"), col("cell"))
-            .join(broadcast(batchIds), Seq("dup_of"), "left_anti")
-          val matches = arrivals
-            .withColumn("__qn", normSq(col(vecCol)))
-            .withColumn("__adc",
-              graft.expressions.GraftFunctions.pqAdcTable(col(vecCol),
-                index.codebooks, index.nCentroids))
-            .withColumn("cell",
-              explode(nearestCells(col(vecCol), index.centroids,
-                nProbe)))
-            .withColumn("__cdot",
-              dot(col(vecCol), element_at(centsLit, col("cell") + 1)))
-            .join(screenable, Seq("cell"))
-            .withColumn("cos", round(cosineFromParts(
-              graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
-                col("__adc"), index.nCentroids) + col("__cdot"),
-              col("__qn"), col("cn")), 6))
-            .filter(col("cos") >= threshold)
-            .groupBy(col(idCol), col("dup_of"))
-            .agg(max(col("cos")).as("cos"))
-            .select(col(idCol).as("id"), col("dup_of"), col("cos"))
-          onMatches(matches, batchId)
-          // extend AFTER the screen; replayed batches skip their
-          // duplicate append; tombstoned re-arrivals are screened
-          // above but never appended (extend would refuse them
-          // loudly — a poison pill for the replaying stream)
-          if (batchId > marker.lastExtended(spark)) {
-            val liveTomb = liveIds(spark, s"${index.path}/tombstones")
-              .select(col("id").as(idCol))
-            val appendable = arrivals.join(liveTomb, Seq(idCol),
-              "left_anti")
-            if (!appendable.isEmpty) {
-              index.extend(appendable, idCol, vecCol)
-              marker.recordExtended(spark, batchId)
-              if (compactEvery > 0 && batchId % compactEvery == 0)
-                index.compact()
-            }
-          }
-        } finally arrivals.unpersist()
-        ()
-    }.start()
+    ingestLoop(vecs, index.path, index.dim, () => index.checkLive(),
+      screen = (arrivals, batchIds) => {
+        // fresh codes listing per batch (appends + deletes visible),
+        // the same compiled ADC plan as annScreenStreamPq
+        val screenable = index.codes
+          .select(col("neighbor_id").as("dup_of"),
+            col("cn"), col("codes"), col("cell"))
+          .join(broadcast(batchIds), Seq("dup_of"), "left_anti")
+        arrivals
+          .withColumn("__qn", normSq(col(vecCol)))
+          .withColumn("__adc",
+            graft.expressions.GraftFunctions.pqAdcTable(col(vecCol),
+              index.codebooks, index.nCentroids))
+          .withColumn("cell",
+            explode(nearestCells(col(vecCol), index.centroids,
+              nProbe)))
+          .withColumn("__cdot",
+            dot(col(vecCol), element_at(centsLit, col("cell") + 1)))
+          .join(screenable, Seq("cell"))
+          .withColumn("cos", round(cosineFromParts(
+            graft.expressions.GraftFunctions.pqAdcDot(col("codes"),
+              col("__adc"), index.nCentroids) + col("__cdot"),
+            col("__qn"), col("cn")), 6))
+          .filter(col("cos") >= threshold)
+          .groupBy(col(idCol), col("dup_of"))
+          .agg(max(col("cos")).as("cos"))
+          .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+      },
+      extendFn = d => index.extend(d, idCol, vecCol),
+      compactFn = () => { index.compact(); () },
+      idCol, vecCol, streamId, compactEvery)(onMatches)
   }
 
   /** [[annIngestStreamPq]]'s RAW-IVF twin — screen + extend-on-ingest
@@ -1255,54 +1302,30 @@ object Streaming {
       threshold: Double, streamId: String, nProbe: Int = 4,
       compactEvery: Int = 0)
       (onMatches: (DataFrame, Long) => Unit): StreamingQuery = {
-    require(compactEvery >= 0,
-      s"compactEvery must be >= 0, got $compactEvery")
-    index.checkPending()
-    val marker = new ExtendMarker(index.path, streamId)
-    vecs.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        import graft.functions.VectorFunctions._
-        index.checkPending()
-        val arrivals = batch
-          .select(col(idCol), col(vecCol))
-          .filter(requireDimStream(vecCol, index.centroids.head.length,
-            index.path))
-          .persist()
-        try {
-          val batchIds = arrivals.select(col(idCol).as("dup_of"))
-          val screenable = index.cells
-            .select(col("neighbor_id").as("dup_of"), col("cv"),
-              col("cn"), col("cell"))
-            .join(broadcast(batchIds), Seq("dup_of"), "left_anti")
-          val matches = arrivals
-            .withColumn("__qn", normSq(col(vecCol)))
-            .withColumn("cell",
-              explode(nearestCells(col(vecCol), index.centroids,
-                nProbe)))
-            .join(screenable, Seq("cell"))
-            .withColumn("cos", round(cosineFromParts(
-              dot(col(vecCol), col("cv")), col("__qn"), col("cn")), 6))
-            .filter(col("cos") >= threshold)
-            .groupBy(col(idCol), col("dup_of"))
-            .agg(max(col("cos")).as("cos"))
-            .select(col(idCol).as("id"), col("dup_of"), col("cos"))
-          onMatches(matches, batchId)
-          if (batchId > marker.lastExtended(spark)) {
-            val liveTomb = liveIds(spark, s"${index.path}/tombstones")
-              .select(col("id").as(idCol))
-            val appendable = arrivals.join(liveTomb, Seq(idCol),
-              "left_anti")
-            if (!appendable.isEmpty) {
-              index.extend(appendable, idCol, vecCol)
-              marker.recordExtended(spark, batchId)
-              if (compactEvery > 0 && batchId % compactEvery == 0)
-                index.compact()
-            }
-          }
-        } finally arrivals.unpersist()
-        ()
-    }.start()
+    import graft.functions.VectorFunctions._
+    ingestLoop(vecs, index.path, index.centroids.head.length,
+      () => index.checkPending(),
+      screen = (arrivals, batchIds) => {
+        val screenable = index.cells
+          .select(col("neighbor_id").as("dup_of"), col("cv"),
+            col("cn"), col("cell"))
+          .join(broadcast(batchIds), Seq("dup_of"), "left_anti")
+        arrivals
+          .withColumn("__qn", normSq(col(vecCol)))
+          .withColumn("cell",
+            explode(nearestCells(col(vecCol), index.centroids,
+              nProbe)))
+          .join(screenable, Seq("cell"))
+          .withColumn("cos", round(cosineFromParts(
+            dot(col(vecCol), col("cv")), col("__qn"), col("cn")), 6))
+          .filter(col("cos") >= threshold)
+          .groupBy(col(idCol), col("dup_of"))
+          .agg(max(col("cos")).as("cos"))
+          .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+      },
+      extendFn = d => index.extend(d, idCol, vecCol),
+      compactFn = () => { index.compact(); () },
+      idCol, vecCol, streamId, compactEvery)(onMatches)
   }
 
   /** Streaming contamination screen: incoming (test/eval) documents are

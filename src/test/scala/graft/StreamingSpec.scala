@@ -414,7 +414,23 @@ class StreamingSpec extends SparkSpec {
     // replay lineage: the SAME streamId re-delivers its batches after
     // a restart — screens still run, duplicate appends are SKIPPED,
     // and the batch's own already-indexed vectors never pair with
-    // themselves (the anti-join on the replayed batch's ids)
+    // themselves (the anti-join on the replayed batch's ids).
+    // The marker is first rewritten into the LEGACY single-lineage
+    // two-line format, so this replay also proves a pre-multi-lineage
+    // marker still suppresses its duplicate append after upgrade
+    val markerFile = java.nio.file.Paths.get(idxPath,
+      "stream_extend_batch")
+    val markerNow = new String(
+      java.nio.file.Files.readAllBytes(markerFile), "UTF-8")
+    val lin1 = markerNow.split("\n").find(_.startsWith("lineage-1\t"))
+      .map(_.split("\t")(1).trim).getOrElse(fail(
+        s"lineage-1 missing from marker: $markerNow"))
+    java.nio.file.Files.write(markerFile,
+      s"lineage-1\n$lin1".getBytes("UTF-8"))
+    // the raw write bypassed Hadoop's ChecksumFileSystem — drop the
+    // stale .crc sidecar or the next FS read fails its checksum
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(idxPath,
+      ".stream_extend_batch.crc"))
     val codesBefore = idx.codes.count()
     val replay = MemoryStream[(Long, Seq[Float])]
     val gotReplay = scala.collection.mutable.Buffer[(Long, Long)]()
