@@ -64,6 +64,8 @@ object GraftFunctions {
     c(ShardSequences(e(blob), e(idx)))
   def epochOrdPositions(ord: Column): Column =
     c(EpochOrdPositions(e(ord)))
+  def blendEntries(blob: Column): Column =
+    c(BlendEntries(e(blob)))
   def packedTokenBinary(ids: Column, width: Int): Column =
     c(PackedTokenBinary(e(ids), width))
   def idsToText(ids: Column, vocab: Seq[(String, Long)]): Column =

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass text/hash kernels for the dedup operators.
@@ -843,9 +843,12 @@ case class ShardSequences(left: Expression, right: Expression)
   * LE epoch, then u64 LE sequence POSITIONS in consumption order) →
   * the position array, one compiled pass per shard. The distributed
   * read half of the epoch artifact: a trainer mmaps the same file and
-  * walks it with pointer arithmetic. A malformed sidecar fails LOUDLY
-  * (bad magic/version, truncated payload, position out of [0, 2⁶³)) —
-  * never a silently reordered epoch.
+  * walks it with pointer arithmetic. A malformed sidecar fails LOUDLY:
+  * this kernel checks magic/version/truncation/negative positions, and
+  * the UPPER position bound (which needs the shard's sequence count,
+  * unknown here) is enforced one layer up by [[graft.io.TrainerShards
+  * .readEpochOrder]]'s filter-resident guard — so a corrupt position
+  * can never silently drop a consumption step at the resume join.
   */
 case class EpochOrdPositions(child: Expression)
     extends UnaryExpression with UnaryKernelCodegen {
@@ -884,6 +887,72 @@ case class EpochOrdPositions(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): EpochOrdPositions = copy(child = newChild)
+}
+
+/** Blend-schedule part file (`part-NNNNN.blend` —
+  * [[graft.io.TrainerShards.writeBlendSchedule]]'s layout: `GRFTBLNP`
+  * magic, u32 LE version, u32 LE epoch, u64 LE first global step, then
+  * one 12-byte record per step: u32 LE stratum ordinal + u64 LE
+  * 1-based rank within that stratum's epoch order) → a struct of
+  * (epoch, first_step, ordinals, ranks), one compiled pass per part
+  * file. The distributed read half of the cross-stratum blend
+  * artifact: a trainer mmaps the same file and walks 12-byte records.
+  * Malformed parts fail LOUDLY (bad magic/version, truncated payload,
+  * negative rank); ordinal and rank BOUNDS are checked one layer up
+  * where the strata table is known
+  * ([[graft.io.TrainerShards.readBlendSchedule]]).
+  */
+case class BlendEntries(child: Expression)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("epoch", IntegerType, nullable = false),
+    StructField("first_step", LongType, nullable = false),
+    StructField("ordinals",
+      ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ranks",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_blend_entries"
+
+  override def kernel(a: Any): Any = {
+    val blob = a.asInstanceOf[Array[Byte]]
+    val header = graft.io.TrainerShards.BlendHeaderBytes
+    val magic = graft.io.TrainerShards.BlendMagic
+    require(blob.length >= header && {
+      var ok = true; var i = 0
+      while (ok && i < magic.length) { ok = blob(i) == magic(i); i += 1 }
+      ok
+    }, "not a blend-schedule part (bad magic)")
+    val bb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val version = bb.getInt(magic.length)
+    require(version == graft.io.TrainerShards.BlendVersion,
+      s"unsupported blend-schedule version $version")
+    val epoch = bb.getInt(magic.length + 4)
+    val firstStep = bb.getLong(magic.length + 8)
+    require(firstStep >= 1, s"corrupt blend first step $firstStep")
+    require((blob.length - header) % 12 == 0,
+      "truncated blend-schedule part")
+    val count = (blob.length - header) / 12
+    val ords = new Array[Any](count)
+    val ranks = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val o = bb.getInt(header + i * 12)
+      val r = bb.getLong(header + i * 12 + 4)
+      require(o >= 0, s"corrupt blend stratum ordinal $o")
+      require(r >= 1, s"corrupt blend rank $r")
+      ords(i) = o
+      ranks(i) = r
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](epoch, firstStep, new GenericArrayData(ords),
+        new GenericArrayData(ranks)))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BlendEntries = copy(child = newChild)
 }
 
 /** Token-id array → decoded TEXT through a vocabulary table — the

@@ -73,6 +73,14 @@ object TrainerShards {
 
   /** The per-epoch sidecar directory name under a shard set. */
   def epochDirName(epoch: Int): String = f"epoch-$epoch%05d"
+
+  val BlendSuffix = ".blend"
+  val BlendDirName = "blend"
+  val BlendManifestName = "_BLEND.json"
+  private[graft] val BlendMagic: Array[Byte] =
+    "GRFTBLNP".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private[graft] val BlendVersion = 1
+  private[graft] val BlendHeaderBytes = 24
   private[graft] val Magic: Array[Byte] =
     "GRFTSHRD".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   private[graft] val Version = 1
@@ -94,10 +102,13 @@ object TrainerShards {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
 
   /** Write one file pair per stratum under `dir` and return the
-    * manifest: (stratum, n_sequences, n_tokens, token_bytes, file).
-    * EAGER — the write job has completed (and the two-rename publish
-    * succeeded) when this returns; the manifest frame is driver-built
-    * and stratum-count-sized (bounded: strata are the declared shard
+    * manifest: (stratum, n_sequences, n_tokens, token_bytes, file,
+    * tokens_md5, idx_md5) — the checksums accumulate on the write
+    * stream, so integrity certification costs no second read
+    * ([[verifyManifest]] is the loader-side check). EAGER — the write
+    * job has completed (and the two-rename publish succeeded) when
+    * this returns; the manifest frame is driver-built and
+    * stratum-count-sized (bounded: strata are the declared shard
     * unit).
     */
   def write(seqs: DataFrame, strataCol: String, seqIdCol: String,
@@ -132,14 +143,17 @@ object TrainerShards {
       StructField("n_sequences", LongType, nullable = false),
       StructField("n_tokens", LongType, nullable = false),
       StructField("token_bytes", LongType, nullable = false),
-      StructField("file", StringType, nullable = false)))
+      StructField("file", StringType, nullable = false),
+      StructField("tokens_md5", StringType, nullable = false),
+      StructField("idx_md5", StringType, nullable = false)))
     val manifestRows = packed
       .repartition(col("__s"))
       .sortWithinPartitions(col("__s"), col("__q"))
       .mapPartitions { it =>
         // strata are contiguous under the sort; a key change closes the
         // current file pair and opens the next. O(1) state: two open
-        // streams + a running byte offset.
+        // streams + a running byte offset (+ two running md5 digests —
+        // the manifest's integrity checksums cost no second read).
         val fsConf = conf.value
         // attempt-unique staging names: a zombie prior attempt of this
         // task (presumed lost, still running) writes DIFFERENT files;
@@ -148,10 +162,14 @@ object TrainerShards {
         var cur: String = null
         var tokOut: org.apache.hadoop.fs.FSDataOutputStream = null
         var idxOut: org.apache.hadoop.fs.FSDataOutputStream = null
+        var tokMd: java.security.MessageDigest = null
+        var idxMd: java.security.MessageDigest = null
         var off = 0L
         var nSeq = 0L
         var nTok = 0L
         val done = Seq.newBuilder[Row]
+        def hex(md: java.security.MessageDigest): String =
+          md.digest().map(b => f"$b%02x").mkString
         def close(): Unit = if (cur != null) {
           tokOut.close(); idxOut.close()
           val stem = fileStem(cur)
@@ -159,11 +177,13 @@ object TrainerShards {
           val fs = base.getFileSystem(fsConf)
           for (sfx <- Seq(TokensSuffix, IdxSuffix))
             commitAttemptFile(fs, base, stem, sfx, attempt)
-          done += Row(cur, nSeq, nTok, off, stem)
+          done += Row(cur, nSeq, nTok, off, stem, hex(tokMd), hex(idxMd))
           cur = null
         }
         def open(s: String): Unit = {
           cur = s; off = 0L; nSeq = 0L; nTok = 0L
+          tokMd = java.security.MessageDigest.getInstance("MD5")
+          idxMd = java.security.MessageDigest.getInstance("MD5")
           val stem = fileStem(s)
           val base = new HPath(staging)
           val fs = base.getFileSystem(fsConf)
@@ -172,9 +192,10 @@ object TrainerShards {
             new HPath(base, stem + TokensSuffix + attempt), true)
           idxOut = fs.create(
             new HPath(base, stem + IdxSuffix + attempt), true)
-          idxOut.write(Magic)
-          idxOut.write(u32le(Version))
-          idxOut.write(u32le(width))
+          idxOut.write(Magic); idxMd.update(Magic)
+          val ver = u32le(Version); val wid = u32le(width)
+          idxOut.write(ver); idxMd.update(ver)
+          idxOut.write(wid); idxMd.update(wid)
         }
         // eager drain: bytes stream straight to the filesystem; only
         // the per-stratum manifest rows (bounded: strata per partition)
@@ -188,9 +209,10 @@ object TrainerShards {
             val s = r.getString(0)
             if (s != cur) { close(); open(s) }
             val bytes = r.getAs[Array[Byte]](2)
-            tokOut.write(bytes)
+            tokOut.write(bytes); tokMd.update(bytes)
             off += bytes.length
-            idxOut.write(u64le(off))
+            val end = u64le(off)
+            idxOut.write(end); idxMd.update(end)
             nSeq += 1
             nTok += r.getLong(3)
           }
@@ -238,6 +260,8 @@ object TrainerShards {
       n.put("n_tokens", r.getLong(2))
       n.put("token_bytes", r.getLong(3))
       n.put("file_stem", r.getString(4))
+      n.put("tokens_md5", r.getString(5))
+      n.put("idx_md5", r.getString(6))
       arr.add(n)
     }
     root.set[com.fasterxml.jackson.databind.JsonNode]("strata", arr)
@@ -287,11 +311,19 @@ object TrainerShards {
       val it = strataNode.elements()
       while (it.hasNext) {
         val n = it.next()
+        // checksum fields are null for a manifest written by a
+        // pre-checksum version — readable, but [[verifyManifest]]
+        // refuses it loudly rather than vacuously passing
+        def opt(name: String): String = {
+          val v = n.get(name)
+          if (v == null || v.isNull) null else v.asText()
+        }
         b += Row(field(n, "stratum").asText(),
           field(n, "n_sequences").asLong(),
           field(n, "n_tokens").asLong(),
           field(n, "token_bytes").asLong(),
-          field(n, "file_stem").asText(), width)
+          field(n, "file_stem").asText(), width,
+          opt("tokens_md5"), opt("idx_md5"))
       }
       b.result()
     }
@@ -305,7 +337,62 @@ object TrainerShards {
         StructField("n_tokens", LongType, nullable = false),
         StructField("token_bytes", LongType, nullable = false),
         StructField("file", StringType, nullable = false),
-        StructField("width", IntegerType, nullable = false))))
+        StructField("width", IntegerType, nullable = false),
+        StructField("tokens_md5", StringType, nullable = true),
+        StructField("idx_md5", StringType, nullable = true))))
+  }
+
+  /** Verify a published shard set against its manifest's content
+    * checksums WITHOUT the engine that wrote it doing anything clever:
+    * every `.tokens`/`.idx` file is re-read through the binaryFile
+    * source (one task per file, the artifact's natural unit), its md5
+    * recomputed, and compared against `_MANIFEST.json` — corruption,
+    * truncation, a missing committed file, or an extra unmanifested
+    * shard all fail LOUDLY with the offending stems named. A manifest
+    * written by a pre-checksum version refuses (no vacuous pass).
+    * Returns the per-stratum verified frame (stratum, file,
+    * tokens_md5, idx_md5) for callers who want the inventory.
+    */
+  def verifyManifest(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir)
+    val expected = m.select(col("stratum"), col("file"),
+      col("tokens_md5"), col("idx_md5")).collect()
+    require(expected.forall(r => r.getString(2) != null &&
+      r.getString(3) != null),
+      s"manifest at $dir carries no content checksums (written by a " +
+        "pre-checksum version) — re-run write() to certify integrity")
+    def actualMd5(suffix: String): Map[String, String] = {
+      val files = spark.read.format("binaryFile").load(s"$dir/*$suffix")
+        .select(regexp_extract(col("path"),
+            "([^/]+)\\" + suffix + "$", 1).as("stem"),
+          md5(col("content")).as("md5"))
+        .collect()
+      files.map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val tokActual = actualMd5(TokensSuffix)
+    val idxActual = actualMd5(IdxSuffix)
+    val problems = Seq.newBuilder[String]
+    expected.foreach { r =>
+      val stem = r.getString(1)
+      def check(kind: String, actual: Map[String, String], want: String)
+          : Unit = actual.get(stem) match {
+        case None => problems += s"$stem$kind: MISSING"
+        case Some(got) if got != want =>
+          problems += s"$stem$kind: md5 $got != manifest $want"
+        case _ => ()
+      }
+      check(TokensSuffix, tokActual, r.getString(2))
+      check(IdxSuffix, idxActual, r.getString(3))
+    }
+    val manifested = expected.map(_.getString(1)).toSet
+    (tokActual.keySet ++ idxActual.keySet).diff(manifested).toSeq.sorted
+      .foreach(s => problems += s"$s: present but not in manifest")
+    val bad = problems.result()
+    require(bad.isEmpty,
+      s"shard set at $dir fails manifest verification:\n  " +
+        bad.mkString("\n  "))
+    m.select(col("stratum"), col("file"), col("tokens_md5"),
+      col("idx_md5"))
   }
 
   /** The attempt-unique staging suffix for the running task — the
@@ -318,20 +405,30 @@ object TrainerShards {
       .getOrElse(s"${AttemptMark}driver")
 
   /** Commit one attempt-staged file to its final staging name —
-    * delete-then-rename, safe against a completed zombie rename
-    * because both attempts write identical bytes (deterministic
-    * writers). Shared by [[write]] and [[writeEpochOrder]] so the
-    * commit protocol has exactly one implementation.
+    * RENAME-FIRST, never delete the destination: a losing attempt that
+    * finds the final name already present simply drops its own copy
+    * (both attempts write identical bytes — deterministic writers — so
+    * whichever rename landed is correct). The earlier delete-then-
+    * rename variant let a zombie attempt delete the winning attempt's
+    * committed file and die before its own rename, leaving staging
+    * missing that stratum's file while the manifest still listed it.
+    * Only a committed COMPLETE file can occupy the final name (the
+    * rename happens at stratum close, after every byte is written), so
+    * "destination exists" is always a completed twin, never a partial.
+    * Shared by [[write]], [[writeEpochOrder]] and
+    * [[writeBlendSchedule]] so the commit protocol has exactly one
+    * implementation.
     */
   private def commitAttemptFile(
       fs: org.apache.hadoop.fs.FileSystem, base: HPath, stem: String,
       suffix: String, attempt: String): Unit = {
     val from = new HPath(base, stem + suffix + attempt)
     val to = new HPath(base, stem + suffix)
-    if (fs.exists(to)) fs.delete(to, false)
-    if (!fs.rename(from, to))
-      throw new IllegalStateException(
+    if (!fs.rename(from, to)) {
+      if (fs.exists(to)) fs.delete(from, false) // lost to an identical twin
+      else throw new IllegalStateException(
         s"could not commit $to from attempt staging $from")
+    }
   }
 
   /** Drop orphaned attempt files (a FAILED attempt's leftovers — its
@@ -512,20 +609,7 @@ object TrainerShards {
         .exists(_.toBoolean),
       "TrainerShards.writeEpochOrder is incompatible with " +
         "spark.speculation — same single-writer contract as write")
-    val fs = new HPath(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new HPath(dir)), s"no shard set at $dir")
-    val strata = fs.listStatus(new HPath(dir)).toSeq
-      .filter(_.getPath.getName.endsWith(IdxSuffix))
-      .map { st =>
-        require(st.getLen >= HeaderBytes &&
-          (st.getLen - HeaderBytes) % 8 == 0,
-          s"truncated idx sidecar ${st.getPath}")
-        (java.net.URLDecoder.decode(
-          st.getPath.getName.stripSuffix(IdxSuffix), "UTF-8"),
-          (st.getLen - HeaderBytes) / 8)
-      }
-      .sortBy(_._1)
+    val strata = listIdxCounts(spark, dir)
     require(strata.nonEmpty, s"no shards at $dir — write() first")
     val conf = new org.apache.spark.sql.graftbridge.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
@@ -611,6 +695,17 @@ object TrainerShards {
     */
   def readEpochOrder(spark: SparkSession, dir: String, epoch: Int)
       : DataFrame = {
+    // positions are BOUND-CHECKED against the shard's sequence count
+    // (from the `.idx` sizes — one strata-bounded listing): a corrupted
+    // position that is non-negative yet >= the count would otherwise
+    // pass the kernel and silently DROP a consumption step at the
+    // readInEpochOrder join — a sequence vanishing from the epoch. The
+    // guard is filter-resident (assert_true) so the optimizer cannot
+    // prune it, and an orphan sidecar naming a stratum with no shard
+    // fails the same way (null count).
+    import spark.implicits._
+    val counts = broadcast(
+      listIdxCounts(spark, dir).toDF("__cs", "__cn"))
     spark.read.format("binaryFile")
       .load(s"$dir/${epochDirName(epoch)}/*$OrdSuffix")
       .select(regexp_extract(col("path"),
@@ -621,6 +716,14 @@ object TrainerShards {
           col("__ord"))))
       .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
         col("col").as("pos"))
+      .join(counts, col("stratum") === col("__cs"), "left")
+      .filter(assert_true(col("pos") < col("__cn"),
+        concat(lit(s"epoch-order sidecar under $dir names position "),
+          col("pos").cast("string"), lit(" of stratum '"), col("stratum"),
+          lit("' which holds only "),
+          coalesce(col("__cn").cast("string"), lit("NO")),
+          lit(" sequences — corrupt or orphaned sidecar"))).isNull)
+      .drop("__cs", "__cn")
   }
 
   /** The UNCONSUMED remainder of an epoch after a checkpoint at global
@@ -661,6 +764,448 @@ object TrainerShards {
         col("token_ids"))
   }
 
+  /** Write the CROSS-STRATUM blend schedule into the epoch artifact —
+    * the missing level above [[writeEpochOrder]]: the `.ord` sidecars
+    * say in which order each stratum consumes ITS OWN sequences; this
+    * says WHICH STRATUM feeds each global training step, so a
+    * restarting trainer reconstructs the whole interleaved consumption
+    * plan from the published directory alone (the same gap x117 closed
+    * one level down). Files land under
+    * `<dir>/epoch-NNNNN/blend/`: `part-NNNNN.blend` parts (24-byte
+    * header `GRFTBLNP` + u32 LE version + u32 LE epoch + u64 LE first
+    * global step, then one 12-byte record per step: u32 LE stratum
+    * ordinal + u64 LE 1-based rank within that stratum) plus a
+    * `_BLEND.json` manifest carrying the ordinal table, the quantized
+    * weights, and the per-part inventory — all published by the same
+    * two-rename swap, so readers never observe a half-written
+    * schedule.
+    *
+    * SEMANTICS — deterministic weighted fair interleave (the public
+    * Megatron "blendable dataset" shape, stated in closed form):
+    * stratum `s` with quantized weight `w_s = ⌊weight·1000⌋` consumes
+    * its k-th sequence (1-based) at virtual time `k / w_s`; the global
+    * schedule is all (stratum, k) pairs sorted by virtual time, ties
+    * by stratum name in unsigned UTF-8 byte order (Spark SQL's and
+    * DuckDB's string order — strata names are compared as the engines
+    * compare them). Every stratum's FULL epoch is consumed; at any
+    * prefix the per-stratum consumption counts track the weight ratios
+    * (strata that exhaust early simply drop out). The global step of
+    * (i, k) has a CLOSED FORM in pure integer arithmetic —
+    * `k + Σ_{j≠i} [min(n_j, ⌊(k·w_j − 1)/w_i⌋) + tie_j]` with
+    * `tie_j = 1` iff `w_i | k·w_j ∧ k·w_j/w_i ≤ n_j ∧ name_j <
+    * name_i` — so the whole artifact is a pure function of (weights,
+    * sequence counts): byte-identical re-runs, and an SQL oracle can
+    * restate every (global_step, stratum, rank) row from the corpus
+    * alone (x118).
+    *
+    * Scale shape: sequence counts come from the published `.idx`
+    * sizes (one strata-bounded driver listing); the (stratum, k)
+    * frame is the distributed range × broadcast-counts join; the
+    * global step is computed MAP-SIDE per row from the closed form
+    * (O(|strata|) longs per row, no sort, no window, nothing
+    * corpus-sized on the driver); then ONE part-keyed exchange
+    * streams each part's records to its file with O(1) task state —
+    * [[write]]'s machinery, attempt-unique staging files included.
+    * Each part writer ASSERTS its steps arrive dense and sequential
+    * (`first_step + written`), so a closed-form bug can never publish
+    * a silently gapped or duplicated schedule.
+    *
+    * `weights` must cover every stratum in the shard set exactly (no
+    * extras — a typo would silently re-weight the mix); each weight
+    * must quantize to ≥ 1 milli-unit. Requires the epoch's `.ord`
+    * sidecars to exist ([[writeEpochOrder]] first): the blend's ranks
+    * are indexes INTO that consumption order, and publishing a blend
+    * for an epoch with no per-stratum order is an inconsistent
+    * artifact. Re-running [[writeEpochOrder]] swaps the whole epoch
+    * directory and RETIRES the blend with it — re-publish the blend
+    * after (the permutation the ranks point into changed).
+    */
+  def writeBlendSchedule(spark: SparkSession, dir: String, epoch: Int,
+      weights: Map[String, Double], stepsPerFile: Long = 1L << 22)
+      : DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(stepsPerFile >= 1,
+      s"stepsPerFile must be >= 1, got $stepsPerFile")
+    require(!spark.conf.getOption("spark.speculation")
+        .exists(_.toBoolean),
+      "TrainerShards.writeBlendSchedule is incompatible with " +
+        "spark.speculation — same single-writer contract as write")
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDir = s"$dir/${epochDirName(epoch)}"
+    require(fs.exists(new HPath(epochDir)),
+      s"no epoch-order sidecars at $epochDir — writeEpochOrder first " +
+        "(blend ranks index into that consumption order)")
+    // strata in unsigned UTF-8 byte order — the tie-break and ordinal
+    // order, chosen because it is how Spark SQL and DuckDB both
+    // compare strings (an oracle restates the tie without collation
+    // gymnastics)
+    def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    val strata = listIdxCounts(spark, dir).sortWith {
+      case ((a, _), (b, _)) => utf8Lt(a, b)
+    }
+    require(strata.nonEmpty, s"no shards at $dir — write() first")
+    val names = strata.map(_._1).toArray
+    val ns = strata.map(_._2).toArray
+    val missing = names.filterNot(weights.contains)
+    require(missing.isEmpty,
+      s"weights missing for strata: ${missing.mkString(", ")}")
+    val extras = weights.keys.filterNot(names.contains).toSeq.sorted
+    require(extras.isEmpty,
+      s"weights name strata absent from the shard set: " +
+        s"${extras.mkString(", ")} — a typo would re-weight the mix")
+    val ws = names.map { s =>
+      val w = math.floor(weights(s) * 1000d).toLong
+      require(w >= 1, s"weight for stratum '$s' quantizes to $w " +
+        "milli-units — must be >= 0.001")
+      w
+    }
+    val total = ns.sum
+    val maxN = ns.max
+    val maxW = ws.max
+    require(maxW == 0 || maxN <= Long.MaxValue / maxW,
+      s"k*w overflows a long: max count $maxN x max milli-weight $maxW")
+    val m = names.length
+    val ordinalOf = names.zipWithIndex.toMap
+
+    import spark.implicits._
+    val countsDf = strata.toDF("__s", "__n")
+    val positions = spark.range(maxN).toDF("__p")
+      .join(broadcast(countsDf), col("__p") < col("__n"))
+      .select(col("__s"), col("__p"))
+    // closed-form global step, map-side: O(m) long ops per row. The
+    // tie-break name_j < name_i is ordinal order (names are sorted).
+    val nsL = ns; val wsL = ws; val mL = m
+    val ordinalOfL = ordinalOf
+    val stepsPerFileL = stepsPerFile
+    val scheduled = positions.as[(String, Long)].map { case (s, p) =>
+      val i = ordinalOfL(s)
+      val wi = wsL(i)
+      val k = p + 1 // 1-based rank within stratum
+      var g = k // own stratum: itself + its k-1 predecessors
+      var j = 0
+      while (j < mL) {
+        if (j != i) {
+          val a = k * wsL(j)
+          var cnt = math.min(nsL(j), (a - 1) / wi)
+          if (a % wi == 0 && a / wi <= nsL(j) && j < i) cnt += 1
+          g += cnt
+        }
+        j += 1
+      }
+      ((g - 1) / stepsPerFileL, g, i, k)
+    }.toDF("__part", "__g", "__o", "__r")
+
+    val conf = new org.apache.spark.sql.graftbridge.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = s"$epochDir/.blend-staging-${java.util.UUID.randomUUID()}"
+    val target = s"$epochDir/$BlendDirName"
+    import org.apache.spark.sql.types._
+    val partSchema = StructType(Seq(
+      StructField("part", LongType, nullable = false),
+      StructField("first_step", LongType, nullable = false),
+      StructField("n_steps", LongType, nullable = false),
+      StructField("file", StringType, nullable = false)))
+    val epochL = epoch
+    val totalL = total
+    val partRows = scheduled
+      .repartition(col("__part"))
+      .sortWithinPartitions(col("__part"), col("__g"))
+      .mapPartitions { it =>
+        val fsConf = conf.value
+        val attempt = attemptSuffix()
+        var cur = -1L
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var firstStep = 0L
+        var n = 0L
+        val done = Seq.newBuilder[Row]
+        def stem(part: Long): String = f"part-$part%05d"
+        def close(): Unit = if (cur >= 0) {
+          out.close()
+          val expected =
+            math.min(stepsPerFileL, totalL - cur * stepsPerFileL)
+          require(n == expected,
+            s"blend part $cur wrote $n steps, expected $expected — " +
+              "the closed-form schedule has a gap or duplicate")
+          val base = new HPath(staging)
+          val fsL = base.getFileSystem(fsConf)
+          commitAttemptFile(fsL, base, stem(cur), BlendSuffix, attempt)
+          done += Row(cur, firstStep, n, stem(cur) + BlendSuffix)
+          cur = -1L
+        }
+        def open(part: Long): Unit = {
+          cur = part; firstStep = part * stepsPerFileL + 1; n = 0L
+          val base = new HPath(staging)
+          val fsL = base.getFileSystem(fsConf)
+          fsL.mkdirs(base)
+          out = fsL.create(
+            new HPath(base, stem(part) + BlendSuffix + attempt), true)
+          out.write(BlendMagic)
+          out.write(u32le(BlendVersion))
+          out.write(u32le(epochL))
+          out.write(u64le(firstStep))
+        }
+        try {
+          while (it.hasNext) {
+            val r = it.next()
+            val part = r.getLong(0)
+            if (part != cur) { close(); open(part) }
+            require(r.getLong(1) == firstStep + n,
+              s"blend step ${r.getLong(1)} arrived out of sequence " +
+                s"(expected ${firstStep + n}) — closed-form collision")
+            out.write(u32le(r.getInt(2)))
+            out.write(u64le(r.getLong(3)))
+            n += 1
+          }
+          close()
+        } finally if (cur >= 0) {
+          try out.close() catch { case _: Throwable => () }
+        }
+        done.result().iterator
+      }(org.apache.spark.sql.Encoders.row(partSchema))
+      .collect()
+    sweepAttemptFiles(spark, staging)
+    val nParts = ((total + stepsPerFile - 1) / stepsPerFile).toInt
+    require(partRows.length == nParts &&
+      partRows.map(_.getLong(0)).sorted.sameElements(
+        Array.range(0, nParts).map(_.toLong)) &&
+      partRows.map(_.getLong(2)).sum == total,
+      s"blend schedule wrote ${partRows.length} parts covering " +
+        s"${partRows.map(_.getLong(2)).sum} steps; expected $nParts " +
+        s"parts / $total steps")
+    writeBlendManifest(spark, staging, epoch, stepsPerFile, total,
+      names, ws, ns, partRows)
+    publish(spark, staging, target)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        names.indices.map(i => Row(names(i), i, ws(i), ns(i))),
+        math.max(1, math.min(m, 4))),
+      StructType(Seq(
+        StructField("stratum", StringType, nullable = false),
+        StructField("ordinal", IntegerType, nullable = false),
+        StructField("weight_milli", LongType, nullable = false),
+        StructField("n_sequences", LongType, nullable = false))))
+  }
+
+  private def writeBlendManifest(spark: SparkSession, staging: String,
+      epoch: Int, stepsPerFile: Long, total: Long,
+      names: Array[String], ws: Array[Long], ns: Array[Long],
+      partRows: Array[Row]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "graft-blend-schedule")
+    root.put("version", BlendVersion)
+    root.put("epoch", epoch)
+    root.put("steps_per_file", stepsPerFile)
+    root.put("total_steps", total)
+    val arr = mapper.createArrayNode()
+    names.indices.foreach { i =>
+      val n = mapper.createObjectNode()
+      n.put("stratum", names(i))
+      n.put("ordinal", i)
+      n.put("weight_milli", ws(i))
+      n.put("n_sequences", ns(i))
+      arr.add(n)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("strata", arr)
+    val files = mapper.createArrayNode()
+    partRows.sortBy(_.getLong(0)).foreach { r =>
+      val n = mapper.createObjectNode()
+      n.put("file", r.getString(3))
+      n.put("first_step", r.getLong(1))
+      n.put("n_steps", r.getLong(2))
+      files.add(n)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("files", files)
+    val fs = new HPath(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new HPath(staging))
+    val out = fs.create(new HPath(staging, BlendManifestName), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** The blend manifest parsed back: (stratum, ordinal, weight_milli,
+    * n_sequences) in ordinal order plus (stepsPerFile, totalSteps).
+    */
+  private[graft] def readBlendMeta(spark: SparkSession, dir: String,
+      epoch: Int): (Seq[(String, Int, Long, Long)], Long, Long) = {
+    val p = new HPath(s"$dir/${epochDirName(epoch)}/$BlendDirName",
+      BlendManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no blend schedule at $p — writeBlendSchedule first")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    def field(node: com.fasterxml.jackson.databind.JsonNode,
+        name: String): com.fasterxml.jackson.databind.JsonNode = {
+      val v = if (node == null) null else node.get(name)
+      require(v != null && !v.isNull,
+        s"not a blend-schedule manifest (missing '$name'): $p")
+      v
+    }
+    require(field(tree, "format").asText() == "graft-blend-schedule" &&
+      field(tree, "version").asInt() == BlendVersion,
+      s"not a blend-schedule manifest: $p")
+    require(field(tree, "epoch").asInt() == epoch,
+      s"blend manifest at $p is for epoch " +
+        s"${field(tree, "epoch").asInt()}, not $epoch")
+    val strataNode = field(tree, "strata")
+    require(strataNode.isArray,
+      s"not a blend-schedule manifest (strata is not an array): $p")
+    val b = Seq.newBuilder[(String, Int, Long, Long)]
+    val it = strataNode.elements()
+    while (it.hasNext) {
+      val n = it.next()
+      b += ((field(n, "stratum").asText(), field(n, "ordinal").asInt(),
+        field(n, "weight_milli").asLong(),
+        field(n, "n_sequences").asLong()))
+    }
+    val strata = b.result().sortBy(_._2)
+    require(strata.map(_._2) == strata.indices,
+      s"blend manifest ordinals are not dense 0..${strata.size - 1}: $p")
+    (strata, field(tree, "steps_per_file").asLong(),
+      field(tree, "total_steps").asLong())
+  }
+
+  /** DISTRIBUTED read of the blend schedule: one row per global step —
+    * `(global_step, stratum, rank)`, `rank` the 1-based consumption
+    * step within the stratum (joins [[readEpochOrder]] on
+    * (stratum, rank) for the position, [[readInBlendOrder]] composes
+    * the whole chain). One task per part file (binaryFile + the
+    * compiled [[graft.expressions.BlendEntries]] kernel); ordinals and
+    * ranks are BOUND-CHECKED against the manifest's strata table
+    * (filter-resident, like [[readEpochOrder]]'s position guard), and
+    * a part from the wrong epoch fails loudly.
+    */
+  def readBlendSchedule(spark: SparkSession, dir: String, epoch: Int)
+      : DataFrame = {
+    val (strata, _, _) = readBlendMeta(spark, dir, epoch)
+    val namesLit = typedLit(strata.map(_._1))
+    import spark.implicits._
+    val counts = broadcast(
+      strata.map(t => (t._1, t._4)).toDF("__cs", "__cn"))
+    spark.read.format("binaryFile")
+      .load(s"$dir/${epochDirName(epoch)}/$BlendDirName/*$BlendSuffix")
+      .select(graft.expressions.GraftFunctions.blendEntries(
+        col("content")).as("__b"))
+      .filter(assert_true(col("__b.epoch") === epoch,
+        concat(lit("blend part under "), lit(dir),
+          lit(" carries epoch "), col("__b.epoch").cast("string"),
+          lit(s", expected $epoch"))).isNull)
+      .select(col("__b.first_step").as("__fs"),
+        posexplode(arrays_zip(col("__b.ordinals"), col("__b.ranks"))))
+      .select((col("__fs") + col("pos")).as("global_step"),
+        element_at(namesLit, col("col.ordinals") + 1).as("stratum"),
+        col("col.ranks").as("rank"))
+      .filter(assert_true(col("stratum").isNotNull,
+        lit(s"blend part under $dir names a stratum ordinal outside " +
+          s"the manifest's ${strata.size}-entry table")).isNull)
+      .join(counts, col("stratum") === col("__cs"), "left")
+      .filter(assert_true(col("rank") <= col("__cn"),
+        concat(lit(s"blend part under $dir names rank "),
+          col("rank").cast("string"), lit(" of stratum '"),
+          col("stratum"), lit("' which holds only "),
+          col("__cn").cast("string"), lit(" sequences"))).isNull)
+      .drop("__cs", "__cn")
+  }
+
+  /** Per-shard cursors at a checkpoint: how many sequences of each
+    * stratum the blend schedule has consumed by global step
+    * `globalStep` INCLUSIVE — computed from the published files alone
+    * (max rank per stratum over the prefix; strata not yet started
+    * report 0). This plus [[readEpochRemainder]] is everything a
+    * restarting trainer needs to resume the BLEND mid-epoch with no
+    * engine re-run. Strata-sized output.
+    */
+  def blendCursors(spark: SparkSession, dir: String, epoch: Int,
+      globalStep: Long): DataFrame = {
+    require(globalStep >= 0, s"globalStep must be >= 0, got $globalStep")
+    val (strata, _, _) = readBlendMeta(spark, dir, epoch)
+    import spark.implicits._
+    val all = strata.map(_._1).toDF("stratum")
+    val consumed = readBlendSchedule(spark, dir, epoch)
+      .filter(col("global_step") <= globalStep)
+      .groupBy(col("stratum"))
+      .agg(max(col("rank")).as("__c"))
+    all.join(consumed, Seq("stratum"), "left")
+      .select(col("stratum"),
+        coalesce(col("__c"), lit(0L)).as("consumed"))
+  }
+
+  /** The UNCONSUMED remainder of the blend schedule after a checkpoint
+    * at global step `afterStep` — every (global_step, stratum, rank)
+    * with `global_step > afterStep`, the cross-stratum twin of
+    * [[readEpochRemainder]]. `afterStep = 0` replays the whole epoch.
+    */
+  def readBlendRemainder(spark: SparkSession, dir: String, epoch: Int,
+      afterStep: Long): DataFrame = {
+    require(afterStep >= 0, s"afterStep must be >= 0, got $afterStep")
+    readBlendSchedule(spark, dir, epoch)
+      .filter(col("global_step") > afterStep)
+  }
+
+  /** The COMPOSED cross-stratum resume read — the full artifact chain
+    * from the published files alone: blend remainder past the
+    * checkpoint ([[readBlendRemainder]]) → per-stratum consumption
+    * order ([[readEpochOrder]], joined on (stratum, rank)) → sequences
+    * ([[read]], joined on (stratum, pos)), yielding `(global_step,
+    * stratum, rank, pos, token_ids)` — order by `global_step` to
+    * consume (a join output carries no row order). One task per file
+    * on each leg plus two bounded-key joins; nothing corpus-sized on
+    * the driver.
+    */
+  def readInBlendOrder(spark: SparkSession, dir: String, epoch: Int,
+      afterStep: Long = 0L): DataFrame = {
+    val blend = readBlendRemainder(spark, dir, epoch, afterStep)
+    val order = readEpochOrder(spark, dir, epoch)
+    val seqs = read(spark, dir)
+      .select(col("stratum").as("__s"), col("seq_idx").as("__p"),
+        col("token_ids"))
+    blend.join(order, Seq("stratum", "rank"))
+      .join(seqs,
+        col("stratum") === col("__s") && col("pos") === col("__p"))
+      .select(col("global_step"), col("stratum"), col("rank"),
+        col("pos"), col("token_ids"))
+  }
+
+  /** Driver-side reference reader for one blend part — the loader
+    * contract made executable for the specs, like [[readShard]]:
+    * returns (epoch, firstStep, records as (ordinal, rank)).
+    */
+  def readBlendPartDriver(spark: SparkSession, dir: String, epoch: Int,
+      file: String): (Int, Long, Seq[(Int, Long)]) = {
+    val p = new HPath(s"$dir/${epochDirName(epoch)}/$BlendDirName", file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val blob =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    require(blob.length >= BlendHeaderBytes &&
+      blob.take(BlendMagic.length).sameElements(BlendMagic),
+      s"not a blend-schedule part: $p")
+    val bb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val version = bb.getInt(BlendMagic.length)
+    require(version == BlendVersion,
+      s"unsupported blend-schedule version $version")
+    val fileEpoch = bb.getInt(BlendMagic.length + 4)
+    val firstStep = bb.getLong(BlendMagic.length + 8)
+    require((blob.length - BlendHeaderBytes) % 12 == 0,
+      s"truncated blend-schedule part: $p")
+    val count = (blob.length - BlendHeaderBytes) / 12
+    (fileEpoch, firstStep, (0 until count.toInt).map { i =>
+      (bb.getInt(BlendHeaderBytes + i * 12),
+        bb.getLong(BlendHeaderBytes + i * 12 + 4))
+    })
+  }
+
   /** Driver-side reference reader for one stratum's epoch sidecar —
     * the loader contract made executable for the specs, like
     * [[readShard]]: returns (epoch, positions-in-consumption-order).
@@ -689,6 +1234,29 @@ object TrainerShards {
     val count = (ord.length - EpochHeaderBytes) / 8
     (fileEpoch, (0 until count.toInt)
       .map(i => bb.getLong(EpochHeaderBytes + i * 8)))
+  }
+
+  /** (stratum, sequence count) for every shard in a written set,
+    * from the published `.idx` SIZES alone — ONE driver listing,
+    * strata-bounded; the sequence-count ground truth the epoch and
+    * blend writers (and the read-time position bound check) share.
+    */
+  private[graft] def listIdxCounts(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new HPath(dir)), s"no shard set at $dir")
+    fs.listStatus(new HPath(dir)).toSeq
+      .filter(_.getPath.getName.endsWith(IdxSuffix))
+      .map { st =>
+        require(st.getLen >= HeaderBytes &&
+          (st.getLen - HeaderBytes) % 8 == 0,
+          s"truncated idx sidecar ${st.getPath}")
+        (java.net.URLDecoder.decode(
+          st.getPath.getName.stripSuffix(IdxSuffix), "UTF-8"),
+          (st.getLen - HeaderBytes) / 8)
+      }
+      .sortBy(_._1)
   }
 
   /** The strata present in a written shard set — one idx listing. */

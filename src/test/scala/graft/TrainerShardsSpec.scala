@@ -213,6 +213,270 @@ class TrainerShardsSpec extends SparkSpec {
       "a shard re-write left a stale epoch order behind")
   }
 
+  test("blend schedule: the published parts state the dense 1..T " +
+      "weighted fair interleave (closed form == brute-force virtual-" +
+      "time sort), byte-deterministic; cursors + remainder resume the " +
+      "BLEND from the files alone; composed read returns the right " +
+      "token bytes; weights and bounds validate loudly") {
+    val seqs = materialize(fixture, seqLen = 8)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    // blend before epoch order is an inconsistent artifact — refused
+    val noOrd = intercept[IllegalArgumentException] {
+      TrainerShards.writeBlendSchedule(spark, dir, 0,
+        Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5))
+    }
+    assert(noOrd.getMessage.contains("writeEpochOrder first"))
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    // weight validation: missing stratum, unknown stratum, sub-milli
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.writeBlendSchedule(spark, dir, 0,
+        Map("en" -> 2.0, "de" -> 1.0))
+    }.getMessage.contains("missing"))
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.writeBlendSchedule(spark, dir, 0,
+        Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5, "zz" -> 1.0))
+    }.getMessage.contains("absent"))
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.writeBlendSchedule(spark, dir, 0,
+        Map("en" -> 2.0, "de" -> 0.0004, "fr" -> 1.5))
+    }.getMessage.contains("0.001"))
+
+    val wOf = Map("en" -> 2000L, "de" -> 1000L, "fr" -> 1500L)
+    TrainerShards.writeBlendSchedule(spark, dir, 0,
+      Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5), stepsPerFile = 4)
+    val counts = TrainerShards.listShards(spark, dir)
+      .map(s => s -> TrainerShards.readShard(spark, dir, s)._2.length
+        .toLong).toMap
+    val total = counts.values.sum
+
+    val sched = TrainerShards.readBlendSchedule(spark, dir, 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // dense global steps, each (stratum, rank) exactly once
+    assert(sched.map(_._1).toSeq == (1L to total),
+      s"global steps are not dense 1..$total")
+    assert(sched.map(t => (t._2, t._3)).toSet ==
+      counts.toSeq.flatMap { case (s, n) => (1L to n).map(k => (s, k)) }
+        .toSet)
+    // the closed form equals the brute-force virtual-time sort:
+    // (s1,k1) before (s2,k2) iff k1/w1 < k2/w2 (cross-multiplied,
+    // exact), ties by stratum name
+    val brute = counts.toSeq
+      .flatMap { case (s, n) => (1L to n).map(k => (s, k)) }
+      .sortWith { case ((s1, k1), (s2, k2)) =>
+        val c = (k1 * wOf(s2)) compare (k2 * wOf(s1))
+        if (c != 0) c < 0 else s1 < s2
+      }
+    assert(sched.map(t => (t._2, t._3)).toSeq == brute,
+      "closed-form schedule diverged from the virtual-time sort")
+    // artifact shape: parts + manifest, headers carry epoch and the
+    // right first_step; concatenated driver reads state the schedule
+    val blendDir = java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0), TrainerShards.BlendDirName)
+    val partFiles = new java.io.File(blendDir.toString).listFiles()
+      .map(_.getName).filter(_.endsWith(TrainerShards.BlendSuffix))
+      .sorted
+    assert(partFiles.length == ((total + 3) / 4).toInt,
+      s"expected ceil($total/4) parts, got ${partFiles.toSeq}")
+    assert(java.nio.file.Files.exists(
+      blendDir.resolve(TrainerShards.BlendManifestName)))
+    val names = counts.keys.toSeq.sorted
+    val driverSched = partFiles.flatMap { f =>
+      val (ep, first, recs) =
+        TrainerShards.readBlendPartDriver(spark, dir, 0, f)
+      assert(ep == 0, s"$f header epoch $ep")
+      recs.zipWithIndex.map { case ((o, r), i) =>
+        (first + i, names(o), r)
+      }
+    }.sortBy(_._1)
+    assert(driverSched.toSeq == sched.toSeq,
+      "driver part reads diverged from the distributed read")
+    // byte-determinism: re-publish → identical part bytes
+    val before = partFiles.map(f => f -> java.nio.file.Files
+      .readAllBytes(blendDir.resolve(f))).toMap
+    TrainerShards.writeBlendSchedule(spark, dir, 0,
+      Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5), stepsPerFile = 4)
+    partFiles.foreach { f =>
+      assert(before(f).sameElements(
+        java.nio.file.Files.readAllBytes(blendDir.resolve(f))),
+        s"$f re-write changed bytes")
+    }
+
+    // resume the BLEND from the files alone: cursors at G equal the
+    // prefix's per-stratum consumption, remainder is the exact suffix
+    val g = total / 2
+    val prefix = sched.filter(_._1 <= g)
+    val cursors = TrainerShards.blendCursors(spark, dir, 0, g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cursors == names.map(s =>
+      s -> prefix.count(_._2 == s).toLong).toMap,
+      s"cursors at step $g diverged: $cursors")
+    // ranks are dense within the prefix, so max rank == count — the
+    // cursor IS each shard's consumed-prefix length (x110 arithmetic)
+    names.foreach { s =>
+      val pre = prefix.filter(_._2 == s).map(_._3)
+      assert(pre.toSeq == (1L to cursors(s)),
+        s"$s prefix ranks are not dense: ${pre.toSeq}")
+    }
+    val rem = TrainerShards.readBlendRemainder(spark, dir, 0, g)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert((prefix ++ rem).toSeq == sched.toSeq,
+      "prefix + remainder is not an exact partition of the schedule")
+    // the composed resume read: every remaining step resolves through
+    // the .ord permutation to the right sequence BYTES
+    val resumed = TrainerShards.readInBlendOrder(spark, dir, 0, g)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Long](4)))
+    assert(resumed.map(_._1).toSet == rem.map(_._1).toSet)
+    val shards = names.map(s =>
+      s -> TrainerShards.readShard(spark, dir, s)._2).toMap
+    val ords = names.map(s =>
+      s -> TrainerShards.readEpochOrderShard(spark, dir, 0, s)._2).toMap
+    resumed.foreach { case (_, s, rank, pos, ids) =>
+      assert(ords(s)(rank.toInt - 1) == pos,
+        s"$s rank $rank resolved to pos $pos, .ord says " +
+          s"${ords(s)(rank.toInt - 1)}")
+      assert(ids == shards(s)(pos.toInt),
+        s"$s pos $pos token bytes diverged")
+    }
+
+    // corruption fails loudly: a rank beyond the stratum's count
+    val victim = blendDir.resolve(partFiles.head)
+    val blob = java.nio.file.Files.readAllBytes(victim)
+    val patched = blob.clone()
+    // first record's rank (u64 LE at header+4): set to total+7 —
+    // beyond every stratum's count
+    val bad = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(total + 7).array()
+    System.arraycopy(bad, 0, patched, TrainerShards.BlendHeaderBytes + 4,
+      8)
+    java.nio.file.Files.write(victim, patched)
+    java.nio.file.Files.deleteIfExists(
+      blendDir.resolve("." + partFiles.head + ".crc"))
+    val boom = intercept[Exception] {
+      TrainerShards.readBlendSchedule(spark, dir, 0).collect()
+    }
+    assert(exceptionChain(boom).exists(_.contains("holds only")),
+      s"out-of-range rank read silently: ${exceptionChain(boom)}")
+    java.nio.file.Files.write(victim, blob) // restore
+    java.nio.file.Files.deleteIfExists(
+      blendDir.resolve("." + partFiles.head + ".crc"))
+
+    // re-running writeEpochOrder swaps the epoch dir and RETIRES the
+    // blend with it (the permutation the ranks index into changed)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s2", epoch = 0)
+    assert(!java.nio.file.Files.exists(blendDir),
+      "an epoch-order re-write left a stale blend behind")
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.readBlendSchedule(spark, dir, 0)
+    }.getMessage.contains("writeBlendSchedule first"))
+  }
+
+  private def exceptionChain(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ exceptionChain(t.getCause)
+
+  test("manifest checksums: verifyManifest passes a pristine shard " +
+      "set, names the stem on a flipped byte or a missing file, and " +
+      "refuses a pre-checksum manifest instead of vacuously passing") {
+    val seqs = materialize(fixture, seqLen = 16)
+    val dir = tmpDir()
+    val manifest = TrainerShards.write(seqs, "lang", "seq_id",
+      "token_ids", 2, dir)
+    // the returned frame and the shipped manifest agree on checksums,
+    // and both equal the actual file bytes
+    assert(manifest.columns.toSeq.containsSlice(
+      Seq("tokens_md5", "idx_md5")))
+    TrainerShards.verifyManifest(spark, dir) // pristine: no throw
+    // flip one payload byte in one .tokens file
+    val stem = TrainerShards.fileStem("en")
+    val tok = java.nio.file.Paths.get(dir,
+      stem + TrainerShards.TokensSuffix)
+    val blob = java.nio.file.Files.readAllBytes(tok)
+    val patched = blob.clone()
+    patched(patched.length / 2) = (patched(patched.length / 2) ^ 0x7f)
+      .toByte
+    java.nio.file.Files.write(tok, patched)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      "." + stem + TrainerShards.TokensSuffix + ".crc"))
+    val flipped = intercept[IllegalArgumentException] {
+      TrainerShards.verifyManifest(spark, dir)
+    }
+    assert(flipped.getMessage.contains(stem) &&
+      flipped.getMessage.contains("md5"),
+      s"flipped byte not named: ${flipped.getMessage}")
+    java.nio.file.Files.write(tok, blob)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      "." + stem + TrainerShards.TokensSuffix + ".crc"))
+    // a committed file missing entirely (the zombie-commit failure
+    // class the rename-first protocol exists to prevent) is loud too
+    val idxFile = java.nio.file.Paths.get(dir,
+      stem + TrainerShards.IdxSuffix)
+    val idxBytes = java.nio.file.Files.readAllBytes(idxFile)
+    java.nio.file.Files.delete(idxFile)
+    val missing = intercept[IllegalArgumentException] {
+      TrainerShards.verifyManifest(spark, dir)
+    }
+    assert(missing.getMessage.contains("MISSING"),
+      s"missing file not named: ${missing.getMessage}")
+    java.nio.file.Files.write(idxFile, idxBytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      "." + stem + TrainerShards.IdxSuffix + ".crc"))
+    // a legacy manifest without checksums refuses
+    val mPath = java.nio.file.Paths.get(dir, TrainerShards.ManifestName)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(java.nio.file.Files.readAllBytes(mPath))
+    tree.get("strata").elements().forEachRemaining { n =>
+      val o = n.asInstanceOf[com.fasterxml.jackson.databind.node
+        .ObjectNode]
+      o.remove("tokens_md5"); o.remove("idx_md5"); ()
+    }
+    java.nio.file.Files.write(mPath, mapper.writeValueAsBytes(tree))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      "." + TrainerShards.ManifestName + ".crc"))
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.verifyManifest(spark, dir)
+    }.getMessage.contains("pre-checksum"))
+  }
+
+  test("epoch-order positions are bound-checked at read: a corrupted " +
+      "position >= the shard's sequence count fails loudly instead of " +
+      "silently dropping a consumption step at the resume join") {
+    val seqs = materialize(fixture, seqLen = 16)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    TrainerShards.readEpochOrder(spark, dir, 0).collect() // pristine ok
+    val stem = TrainerShards.fileStem("en")
+    val ord = java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0), stem + TrainerShards.OrdSuffix)
+    val blob = java.nio.file.Files.readAllBytes(ord)
+    // overwrite the FIRST position with an out-of-range value (the
+    // stratum's own count — positions are 0-based, so count is one
+    // past the last valid)
+    val n = TrainerShards.readShard(spark, dir, "en")._2.length.toLong
+    val bad = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(n).array()
+    System.arraycopy(bad, 0, blob, 16, 8)
+    java.nio.file.Files.write(ord, blob)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      dir, TrainerShards.epochDirName(0),
+      "." + stem + TrainerShards.OrdSuffix + ".crc"))
+    val boom = intercept[Exception] {
+      TrainerShards.readEpochOrder(spark, dir, 0).collect()
+    }
+    assert(exceptionChain(boom).exists(_.contains("holds only")),
+      s"out-of-range position read silently: ${exceptionChain(boom)}")
+    // the composed resume read hits the same wall — a sequence can
+    // never silently vanish from an epoch
+    val boom2 = intercept[Exception] {
+      TrainerShards.readInEpochOrder(spark, dir, 0).collect()
+    }
+    assert(exceptionChain(boom2).exists(_.contains("holds only")))
+  }
+
   test("atomic publish: a re-write replaces the shard set in one swap " +
       "and leaves no staging or retired residue; stale strata vanish") {
     val dir = tmpDir()
