@@ -1093,16 +1093,20 @@ object Streaming {
       }
     }
 
-    /** Persist `entries + (streamId -> batchId)` ATOMICALLY (temp file
-      * + rename): the marker now carries EVERY lineage's protection,
-      * so a crash mid-write must not truncate another lineage's entry
-      * into a smaller batch id (a silent double-append on ITS next
-      * restart) — truncate-in-place did exactly that.
+    /** Persist `entries + (streamId -> batchId)` ATOMICALLY: temp file
+      * + OVERWRITING rename (`FileContext` with `Options.Rename
+      * .OVERWRITE` — one filesystem operation, so the old marker stays
+      * in place until the new one replaces it). The marker carries
+      * EVERY lineage's protection, so neither a crash mid-write (the
+      * truncate-in-place bug) nor a crash between a delete and a
+      * rename (the delete-then-rename bug — it left NO marker at all,
+      * erasing every lineage's replay protection) may ever make a
+      * lineage's entry regress or vanish.
       */
     def record(spark: SparkSession, entries: Map[String, Long],
         batchId: Long): Unit = {
-      val fs = markerPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = markerPath.getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(
         s"${markerPath.toString}.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
@@ -1110,10 +1114,10 @@ object Streaming {
         .map { case (k, v) => s"$k\t$v" }.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.exists(markerPath)) fs.delete(markerPath, false)
-      if (!fs.rename(tmp, markerPath))
-        throw new IllegalStateException(
-          s"could not commit extend marker $markerPath")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(markerPath),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 
@@ -1128,6 +1132,7 @@ object Streaming {
   private def ingestLoop(vecs: DataFrame, indexPath: String,
       expectedDim: Int, checkLive: () => Unit,
       screen: (DataFrame, DataFrame) => DataFrame,
+      presentIds: DataFrame => DataFrame,
       extendFn: DataFrame => Unit, compactFn: () => Unit,
       idCol: String, vecCol: String, streamId: String,
       compactEvery: Int)
@@ -1165,15 +1170,33 @@ object Streaming {
           if (batchId > entries.getOrElse(streamId, -1L)) {
             val liveTomb = liveIds(spark, s"$indexPath/tombstones")
               .select(col("id").as(idCol))
-            val appendable = arrivals.join(liveTomb, Seq(idCol),
-              "left_anti")
-            if (!appendable.isEmpty) {
-              extendFn(appendable)
-              marker.record(spark, entries, batchId)
-              if (compactEvery > 0 && batchId % compactEvery == 0)
-                compactFn()
-            }
+            // ids ALREADY IN the index anti-join out too — this makes
+            // the append IDEMPOTENT across the crash window between
+            // extend and marker.record (the replayed batch's vectors
+            // are found present and skipped — exactly-once with no
+            // rebuild), and it makes a re-crawled live id a no-op
+            // instead of a poison pill (extend refuses duplicate ids
+            // loudly, and restart recovery would re-deliver the batch
+            // forever). The presence scan is CELL-PRUNED by the
+            // callback (an arrival can only have landed in its
+            // assigned cell under the frozen quantizers), so its cost
+            // is the batch's cells, never the index
+            val appendable = arrivals
+              .join(liveTomb, Seq(idCol), "left_anti")
+              .join(presentIds(arrivals).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            if (!appendable.isEmpty) extendFn(appendable)
+            // record even when nothing appended: the skip decision is
+            // now made once per batch id, and a replay after the
+            // crash window heals the marker instead of re-probing
+            marker.record(spark, entries, batchId)
           }
+          // compact cadence is independent of which batches happen to
+          // append rows — with sparse or bursty streams the "every
+          // compactEvery batches" maintenance must not silently skip
+          if (compactEvery > 0 && batchId > 0 &&
+              batchId % compactEvery == 0)
+            compactFn()
         } finally arrivals.unpersist()
         ()
     }.start()
@@ -1211,16 +1234,22 @@ object Streaming {
     * must change with a fresh checkpoint (batch ids restart at 0
     * there — tie it to the checkpoint location); a marker from a
     * DIFFERENT streamId never suppresses an append. The marker is
-    * written after the append, so a crash BETWEEN append and marker
-    * can double-append that one batch — the standard
-    * no-output-committer window ([[graft.io.TrainerShards.write]]'s
-    * honesty note); a [[graft.operators.IvfPqIndex.rebuild]] heals it,
-    * and ids stay unique so the duplicate is visible, never silently
-    * wrong-scoring. On a REPLAYED batch the index already contains the
-    * batch's own vectors, so the screen anti-joins the current batch's
-    * ids out of the codes side — the in-batch no-pairing contract (an
-    * arrival never matches itself or a batch-mate) holds on first
-    * delivery AND on replay (spec-asserted).
+    * written after the append, and the window between them is HEALED
+    * by idempotence rather than documented away: before every append,
+    * ids already present in the index anti-join out of the appendable
+    * set (a CELL-PRUNED presence scan — an id can only have landed in
+    * its assigned cell under the frozen quantizers, so the check costs
+    * the batch's cell partitions, never the index), so a crash between
+    * extend and marker replays into a no-op append — exactly-once on
+    * the codes with NO rebuild (spec-asserted by killing the stream in
+    * that window). The same filter makes a re-crawled LIVE id a no-op
+    * instead of a poison pill (extend refuses duplicate ids loudly and
+    * restart recovery would re-deliver the batch forever). On a
+    * REPLAYED batch the index already contains the batch's own
+    * vectors, so the screen anti-joins the current batch's ids out of
+    * the codes side — the in-batch no-pairing contract (an arrival
+    * never matches itself or a batch-mate) holds on first delivery AND
+    * on replay (spec-asserted).
     *
     * Arrivals carrying a TOMBSTONED id are screened but NOT appended
     * (the id stays dead until a rebuild frees it — the tombstone
@@ -1278,6 +1307,20 @@ object Streaming {
           .agg(max(col("cos")).as("cos"))
           .select(col(idCol).as("id"), col("dup_of"), col("cos"))
       },
+      presentIds = arrivals => {
+        // an id can only have been appended into its ASSIGNED cell
+        // (nearest centroid, deterministic under the frozen
+        // quantizers), so presence scans only the batch's cell
+        // partitions — a literal isin the parquet source prunes with,
+        // never the whole codes collection. Distinct cells are
+        // nCells-bounded, so the collect is tiny by construction.
+        val batchCells = arrivals
+          .select(nearestCell(col(vecCol), index.centroids).as("cell"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        index.codesRaw
+          .select(col("neighbor_id").as(idCol), col("cell"))
+          .filter(col("cell").isin(batchCells: _*))
+      },
       extendFn = d => index.extend(d, idCol, vecCol),
       compactFn = () => { index.compact(); () },
       idCol, vecCol, streamId, compactEvery)(onMatches)
@@ -1322,6 +1365,15 @@ object Streaming {
           .groupBy(col(idCol), col("dup_of"))
           .agg(max(col("cos")).as("cos"))
           .select(col(idCol).as("id"), col("dup_of"), col("cos"))
+      },
+      presentIds = arrivals => {
+        // the cell-pruned presence scan, as in [[annIngestStreamPq]]
+        val batchCells = arrivals
+          .select(nearestCell(col(vecCol), index.centroids).as("cell"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        index.cellsRaw
+          .select(col("neighbor_id").as(idCol), col("cell"))
+          .filter(col("cell").isin(batchCells: _*))
       },
       extendFn = d => index.extend(d, idCol, vecCol),
       compactFn = () => { index.compact(); () },

@@ -496,6 +496,72 @@ class StreamingSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("annIngestStreamPq: the extend-then-marker crash window heals " +
+      "by idempotence — a replayed batch whose vectors are already in " +
+      "the index appends NOTHING (exactly-once, no rebuild), the " +
+      "marker heals, and a re-crawled LIVE id is a no-op instead of " +
+      "a poison pill") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.core.Graft.table(spark, sfDir, "embeddings")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_annpq_crash").toString
+    val idx = graft.operators.IvfPqIndex.build(emb, "vec_id",
+      "embedding", nCells = 16, numSubspaces = 8, nCentroids = 16,
+      path = idxPath).get
+    val target = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+    val (victim, twin) = (target.getLong(0), target.getSeq[Float](1))
+    // simulate the crash: batch 0's extend COMMITTED, the marker was
+    // never recorded (killed between the two), stream restarts and
+    // recovery re-delivers the same batch under the same lineage
+    idx.extend(Seq((800001L, twin)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val codesBefore = idx.codes.count()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.Buffer[(Long, Long)]()
+    val q = graft.streaming.Streaming.annIngestStreamPq(
+      input.toDF.toDF("vec_id", "embedding"), idx, "vec_id",
+      "embedding", threshold = 0.6, streamId = "lineage-crash",
+      nProbe = 16) { (m, _) =>
+      got.synchronized {
+        got ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    try {
+      // the replayed batch: no marker entry exists for this lineage,
+      // so the batch-id skip CANNOT fire — only presence idempotence
+      // stands between the replay and a double append
+      input.addData(Seq((800001L, twin)))
+      q.processAllAvailable()
+      assert(idx.codes.count() == codesBefore,
+        "the extend-then-marker crash window double-appended")
+      // the screen still ran, and the replayed arrival never paired
+      // with its own already-indexed vector
+      assert(got.exists(p => p._1 == 800001L && p._2 == victim),
+        s"replayed batch stopped screening: $got")
+      assert(!got.exists(p => p._1 == 800001L && p._2 == 800001L),
+        "the replayed arrival matched ITSELF")
+      // the marker healed (recorded despite the empty append): the
+      // next batch extends normally
+      input.addData(Seq((800002L, twin)))
+      q.processAllAvailable()
+      assert(idx.codes.count() == codesBefore + 1,
+        "post-heal batch failed to extend")
+      // a re-crawled LIVE id is silently skipped, never re-appended
+      // and never a poison pill (extend would refuse the duplicate
+      // loudly and recovery would re-deliver the batch forever)
+      input.addData(Seq((800002L, twin)))
+      q.processAllAvailable()
+      assert(idx.codes.count() == codesBefore + 1,
+        "a live re-arrival was re-appended")
+      // the stream survived and keeps extending
+      input.addData(Seq((800003L, twin)))
+      q.processAllAvailable()
+      assert(idx.codes.count() == codesBefore + 2,
+        "the stream did not survive the live re-arrival")
+    } finally q.stop()
+  }
+
   test("annIngestStream (raw IVF): exact-cosine screen + extend per " +
       "micro-batch — a batch-0 arrival is findable by batch 1 at " +
       "cos 1, mid-stream deletes honored, replayed lineage skips the " +
