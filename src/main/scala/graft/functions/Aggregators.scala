@@ -279,6 +279,115 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredRow]]()
   }
 
+  /** One retained row in the STRING-keyed top-k buffer — [[ScoredRow]]
+    * with a string key1 (the id type the long-keyed buffer cannot
+    * carry).
+    */
+  case class ScoredRowS(score: Double, key1: String, key2: Long)
+
+  /** String-keyed top-k buffer in rank order, capped at k. */
+  case class TopKBufS(scores: Array[Double], key1s: Array[String],
+      key2s: Array[Long]) {
+    def size: Int = scores.length
+  }
+
+  /** [[TopKRows]] for STRING keys — the same bounded partial-merge
+    * top-k, ranking by score DESC then key1 ASC in UNSIGNED UTF-8 BYTE
+    * order (Spark SQL's string collation — `UTF8String.compareTo` —
+    * NOT Java's UTF-16 `String.compareTo`, which diverges on
+    * supplementary characters), then key2 ASC. Byte-equality vs the
+    * `row_number()` window form on string-id corpora is spec-asserted;
+    * this closes the silent window fallback for non-integral ids.
+    */
+  class TopKRowsStr(k: Int) extends Aggregator[ScoredRowS, TopKBufS,
+      Seq[ScoredRowS]] {
+    require(k >= 1, "need k >= 1")
+
+    override def zero: TopKBufS =
+      TopKBufS(Array.empty, Array.empty, Array.empty)
+
+    // Spark sorts strings as unsigned UTF-8 bytes; comparing the Java
+    // strings directly would diverge above the BMP. The conversion
+    // allocates, but only inside k-bounded buffer maintenance — never
+    // per candidate on the O(1) reject hot path's happy case? It IS on
+    // the hot path via ranksBefore — so compare code points instead:
+    // UTF-8 byte order equals CODE POINT order (a property of UTF-8),
+    // and compareTo on code points needs no allocation.
+    private def utf8Lt(a: String, b: String): Boolean = {
+      val la = a.length; val lb = b.length
+      var i = 0
+      while (i < la && i < lb) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca)
+      }
+      la < lb
+    }
+
+    private def ranksBefore(s1: Double, a1: String, b1: Long,
+        s2: Double, a2: String, b2: Long): Boolean = {
+      val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && (utf8Lt(a1, a2) || (a1 == a2 && b1 < b2)))
+    }
+
+    override def reduce(buf: TopKBufS, in: ScoredRowS): TopKBufS = {
+      val n = buf.size
+      if (n == k && !ranksBefore(in.score, in.key1, in.key2,
+          buf.scores(n - 1), buf.key1s(n - 1), buf.key2s(n - 1)))
+        return buf // O(1) reject hot path
+      var ins = 0
+      while (ins < n && ranksBefore(buf.scores(ins), buf.key1s(ins),
+          buf.key2s(ins), in.score, in.key1, in.key2)) ins += 1
+      val m = math.min(n + 1, k)
+      val scores = new Array[Double](m)
+      val key1s = new Array[String](m)
+      val key2s = new Array[Long](m)
+      System.arraycopy(buf.scores, 0, scores, 0, ins)
+      System.arraycopy(buf.key1s, 0, key1s, 0, ins)
+      System.arraycopy(buf.key2s, 0, key2s, 0, ins)
+      scores(ins) = in.score; key1s(ins) = in.key1; key2s(ins) = in.key2
+      val tail = m - ins - 1
+      System.arraycopy(buf.scores, ins, scores, ins + 1, tail)
+      System.arraycopy(buf.key1s, ins, key1s, ins + 1, tail)
+      System.arraycopy(buf.key2s, ins, key2s, ins + 1, tail)
+      TopKBufS(scores, key1s, key2s)
+    }
+
+    override def merge(a: TopKBufS, b: TopKBufS): TopKBufS = {
+      if (a.size == 0) return b
+      if (b.size == 0) return a
+      val m = math.min(a.size + b.size, k)
+      val scores = new Array[Double](m)
+      val key1s = new Array[String](m)
+      val key2s = new Array[Long](m)
+      var i = 0; var j = 0; var d = 0
+      while (d < m) {
+        val takeA = j >= b.size || (i < a.size &&
+          ranksBefore(a.scores(i), a.key1s(i), a.key2s(i),
+            b.scores(j), b.key1s(j), b.key2s(j)))
+        if (takeA) {
+          scores(d) = a.scores(i); key1s(d) = a.key1s(i)
+          key2s(d) = a.key2s(i); i += 1
+        } else {
+          scores(d) = b.scores(j); key1s(d) = b.key1s(j)
+          key2s(d) = b.key2s(j); j += 1
+        }
+        d += 1
+      }
+      TopKBufS(scores, key1s, key2s)
+    }
+
+    override def finish(buf: TopKBufS): Seq[ScoredRowS] =
+      buf.scores.indices.map(ix =>
+        ScoredRowS(buf.scores(ix), buf.key1s(ix), buf.key2s(ix)))
+
+    override def bufferEncoder: Encoder[TopKBufS] =
+      Encoders.product[TopKBufS]
+    override def outputEncoder: Encoder[Seq[ScoredRowS]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[ScoredRowS]]()
+  }
+
   /** Per-group k-th-smallest SORT KEY with BOUNDED state — the
     * threshold half of the window-free per-group limit
     * ([[graft.operators.Curation.domainQuota]]): each partition keeps

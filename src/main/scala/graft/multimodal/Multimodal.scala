@@ -572,10 +572,27 @@ object Multimodal {
   private lazy val audioReaders
       : Seq[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(
+    val all = java.util.ServiceLoader.load(
       classOf[javax.sound.sampled.spi.AudioFileReader],
       classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
       .iterator().asScala.toSeq
+    // two more lock dodges, both measured on the x71 sf1 trend row
+    // (decode stage serialized to ~1 effective core WITH the provider
+    // cache — this pass took it to real parallelism):
+    //  1. the JDK's SoftMidiAudioFileReader is a MIDI RENDERER, not a
+    //     PCM container parser, and its reject path runs MidiSystem
+    //     provider lookups through the same JDK13Services GLOBAL LOCK
+    //     the cache exists to avoid — every row paid it before
+    //     reaching WaveFileReader. MIDI is not a container this
+    //     operator decodes; drop the reader.
+    //  2. WAV is the overwhelmingly common container — probe Wave*
+    //     readers first so the hot path never pays Aiff/Au reject
+    //     exceptions.
+    val kept = all.filterNot(
+      _.getClass.getSimpleName.contains("SoftMidi"))
+    val (wav, rest) = kept.partition(
+      _.getClass.getSimpleName.startsWith("Wave"))
+    wav ++ rest
   }
 
   private def openAudio(bytes: Array[Byte])

@@ -888,6 +888,33 @@ object Bpe {
     */
   def loadTokenizerJson(spark: SparkSession, path: String)
       : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)]) = {
+    val (merges, vocab, needsNfc) = loadTokenizerJsonPipeline(spark,
+      path)
+    require(!needsNfc,
+      s"$path carries an NFC normalizer — this entry point returns " +
+        "only (merges, vocab) and its callers encode RAW bytes, which " +
+        "would silently mis-encode any input NFC rewrites; load " +
+        "through loadTokenizerJsonPipeline and encode through " +
+        "encodeIdsBytesPipeline (it NFC-normalizes first)")
+    (merges, vocab)
+  }
+
+  /** [[loadTokenizerJson]] with the normalization pipeline surfaced:
+    * returns (merges, vocab, needsNfc). `needsNfc = true` means the
+    * file carries a pure-NFC normalizer (`{type: NFC}`, or a
+    * `Sequence` of only those) — common in the published ecosystem —
+    * and inputs must be NFC-normalized before encode to reproduce the
+    * source tokenizer's ids ([[encodeIdsBytesPipeline]] does exactly
+    * that, through the engine's compiled NFC kernel — the x89
+    * machinery). Every OTHER normalizer (Lowercase, Replace, NFD/
+    * NFKC/NFKD, Sequences containing any of them) is still REJECTED
+    * loudly: each rewrites text in ways this engine does not
+    * reproduce, the silent-mis-encode class the loader exists to
+    * refuse.
+    */
+  def loadTokenizerJsonPipeline(spark: SparkSession, path: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)],
+        Boolean) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
@@ -954,22 +981,47 @@ object Bpe {
         "not (or cannot be confirmed to be) the byte alphabet this " +
         "engine encodes with")
     // the OTHER two pipeline stages that change the id stream. A
-    // normalizer (NFC/Lowercase/Replace/…) rewrites the TEXT before
-    // pre-tokenization — this engine encodes raw bytes, so accepting
-    // one would produce ids that differ from the source tokenizer on
-    // any input the normalizer touches: exactly the silent mis-encode
-    // this loader promises to reject. Same for a post-processor that
-    // INJECTS ids (TemplateProcessing's BOS/EOS, Roberta/Bert
-    // sentence-pair wrapping): every encoded sequence would be
-    // missing the template's tokens. Only the id-neutral shapes pass:
-    // absent, ByteLevel (offset trimming only — no id changes), or a
-    // Sequence composed purely of those.
+    // normalizer rewrites the TEXT before pre-tokenization — this
+    // engine encodes raw bytes, so accepting one silently would
+    // produce ids that differ from the source tokenizer on any input
+    // the normalizer touches: exactly the silent mis-encode this
+    // loader promises to reject. ONE normalizer is reproducible with
+    // engine machinery: pure NFC (the compiled x89 kernel) — it is
+    // SURFACED as `needsNfc` instead of rejected, and
+    // [[encodeIdsBytesPipeline]] applies it before encode. Everything
+    // else (Lowercase, Replace, NFD/NFKC/NFKD, mixed Sequences) stays
+    // rejected. Same for a post-processor that INJECTS ids
+    // (TemplateProcessing's BOS/EOS, Roberta/Bert sentence-pair
+    // wrapping): every encoded sequence would be missing the
+    // template's tokens. Only the id-neutral shapes pass: absent,
+    // ByteLevel (offset trimming only — no id changes), or a Sequence
+    // composed purely of those.
+    def isNfcOnly(node: com.fasterxml.jackson.databind.JsonNode)
+        : Boolean = {
+      if (node == null || node.isNull) false
+      else Option(node.get("type")).map(_.asText()) match {
+        case Some("NFC") => true
+        case Some("Sequence") =>
+          val ns = node.get("normalizers")
+          ns != null && ns.isArray && ns.size() > 0 && {
+            val it = ns.elements()
+            var ok = true
+            while (it.hasNext && ok) ok = isNfcOnly(it.next())
+            ok
+          }
+        case _ => false
+      }
+    }
     val norm = tree.get("normalizer")
-    require(norm == null || norm.isNull,
-      s"$path carries a normalizer (type '${Option(norm.get("type"))
-        .map(_.asText()).getOrElse("?")}') — this engine encodes raw " +
-        "unnormalized bytes; loading would silently mis-encode any " +
-        "input the normalizer rewrites")
+    val needsNfc = norm != null && !norm.isNull && {
+      require(isNfcOnly(norm),
+        s"$path carries a normalizer (type '${Option(norm.get("type"))
+          .map(_.asText()).getOrElse("?")}') this engine does not " +
+          "reproduce — only an absent or pure-NFC normalizer is " +
+          "supported; loading would silently mis-encode any input " +
+          "the normalizer rewrites")
+      true
+    }
     def isIdNeutralPost(node: com.fasterxml.jackson.databind.JsonNode)
         : Boolean = {
       if (node == null || node.isNull) true
@@ -1052,7 +1104,30 @@ object Bpe {
       }
       b.result()
     }
-    (merges, vocab)
+    (merges, vocab, needsNfc)
+  }
+
+  /** [[encodeIdsBytes]] honoring a [[loadTokenizerJsonPipeline]]
+    * artifact's normalization flag: when `needsNfc`, the text column
+    * is NFC-normalized FIRST (the compiled x89 kernel — a pure
+    * map-side projection, zero extra shuffles) so the emitted ids
+    * match the source tokenizer on every input, composed or
+    * decomposed (encode-parity spec-asserted on a decomposed-accent
+    * fixture).
+    */
+  def encodeIdsBytesPipeline(df: DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      vocabTable: Seq[(String, Long)], needsNfc: Boolean,
+      broadcastMaxBytes: Long = Dedup.VerifyBroadcastMaxBytes,
+      tokenPattern: String = TextFunctions.bpeTokenPattern)
+      : DataFrame = {
+    val input =
+      if (!needsNfc) df
+      else df.withColumn(textCol,
+        TextFunctions.normalizeUnicode(col(textCol), "NFC"))
+    encodeIdsBytes(input, idCol, textCol, merges, vocabTable,
+      broadcastMaxBytes, tokenPattern)
   }
 
   /** Export a BYTE-level merge table as a Hugging Face single-file

@@ -29,26 +29,56 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  /** Corpus-size bound (measured bytes) under which [[boundedTopK]]
+    * prefers the ranking-WINDOW plan: the [[graft.functions
+    * .Aggregators.TopKRows]] aggregate costs a fixed ~0.15 s of
+    * encoder/codegen setup that a small candidate set never amortizes
+    * (measured: x17 regressed 1.28× on the aggregate while the big
+    * probed sets won 0.7–0.8×), and a window over a corpus this small
+    * sorts trivially under one task. Callers pass MEASURED bytes
+    * ([[graft.core.Graft.estimatedBytes]] over a cached or
+    * parquet-backed frame — a statistics read, no job), the engine's
+    * broadcast-gate idiom; unknown sizes default to the aggregate,
+    * the 100 TB-safe side.
+    */
+  private[graft] val WindowTopKMaxBytes: Long = 64L << 20
+
   /** Per-query BOUNDED top-k over a scored candidate frame — the final
     * rank step every ANN path shares. Semantics are exactly
     * `row_number() OVER (PARTITION BY query_id ORDER BY cos DESC,
     * neighbor_id) <= k` (byte-equality vs the window form is
-    * spec-asserted on real data), but the plan is a partial-merge
-    * aggregation over the bounded [[graft.functions.Aggregators
-    * .TopKRows]] buffer: at most k (cos, neighbor_id) rows per
-    * (query, partition) cross the exchange and NO per-query sort of
-    * the full candidate set happens anywhere — the ranking window
-    * sorts every candidate of a query under ONE task, the one
-    * sort-shaped plan that stops scaling when probed cells hold
-    * nProbe/nCells of a 100 TB corpus. Integral neighbor ids ride the
-    * long-keyed buffer (every engine surface uses them); any other id
-    * type falls back to the window form for schema generality.
+    * spec-asserted on real data, long AND string ids), but the plan is
+    * a partial-merge aggregation over the bounded
+    * [[graft.functions.Aggregators.TopKRows]] /
+    * [[graft.functions.Aggregators.TopKRowsStr]] buffer: at most k
+    * (cos, neighbor_id) rows per (query, partition) cross the exchange
+    * and NO per-query sort of the full candidate set happens anywhere
+    * — the ranking window sorts every candidate of a query under ONE
+    * task, the one sort-shaped plan that stops scaling when probed
+    * cells hold nProbe/nCells of a 100 TB corpus. Integral ids ride
+    * the long-keyed buffer, strings the UTF-8-ordered string buffer;
+    * other id types (decimal, binary, struct) take the window form —
+    * and LOUDLY, via log, never silently.
+    *
+    * `corpusBytesHint`: a MEASURED corpus size, when the caller has
+    * one for free — at or under [[WindowTopKMaxBytes]] the window
+    * form wins outright (no aggregate setup cost, identical bytes
+    * out; spec-asserted on both sides of the gate).
     */
-  private[graft] def boundedTopK(scored: DataFrame, k: Int)
-      : DataFrame = {
+  private[graft] def boundedTopK(scored: DataFrame, k: Int,
+      corpusBytesHint: Option[BigInt] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val nidType = scored.schema("neighbor_id").dataType
-    nidType match {
+    def windowForm: DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    }
+    if (corpusBytesHint.exists(_ <= WindowTopKMaxBytes)) windowForm
+    else nidType match {
       case ByteType | ShortType | IntegerType | LongType =>
         val topk = udaf(new graft.functions.Aggregators.TopKRows(k))
         scored.groupBy(col("query_id"))
@@ -58,13 +88,26 @@ object SimilaritySearch {
           .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
             col("col.key1").cast(nidType).as("neighbor_id"),
             round(col("col.score"), 6).as("cos"))
-      case _ =>
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= k)
-          .select(col("query_id"), col("rk"), col("neighbor_id"),
-            round(col("cos"), 6).as("cos"))
+      case StringType =>
+        val topk = udaf(new graft.functions.Aggregators.TopKRowsStr(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"), col("neighbor_id"), lit(0L))
+            .as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.key1").as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
+      case other =>
+        // no bounded buffer carries this id type — the window plan is
+        // the sort-shaped fallback the bounded forms exist to kill,
+        // so its use is LOGGED, never silent (the one-string-id-corpus
+        // -away lesson: a fallback nobody can see is a plan regression
+        // waiting to ship)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"boundedTopK: neighbor_id type $other has no bounded " +
+            "buffer — falling back to the per-query ranking WINDOW " +
+            "(sorts each query's full candidate set under one task)")
+        windowForm
     }
   }
 
@@ -274,16 +317,25 @@ object SimilaritySearch {
       // output schema instead of tripping NearestCells' nonEmpty require
       return emptyTopK(corpus, queries, idCol)
 
+    // the cached corpus frame is materialized (trainCentroids ran its
+    // Lloyd collects over it), so its measured size is a free
+    // statistics read — the boundedTopK gate's input
     ivfScore(assignCells(c, "cv", cents), cents, nProbe, queries, idCol,
-      vecCol, k, excludeSelf)
+      vecCol, k, excludeSelf,
+      corpusBytesHint = Some(graft.core.Graft.estimatedBytes(c)))
   }
 
   /** Probe + exact-cosine scoring over an assigned (neighbor_id, cv,
     * cn, cell) frame — shared by [[ivfTopK]] and [[IvfIndex.topK]].
+    * `corpusBytesHint` feeds [[boundedTopK]]'s window-vs-aggregate
+    * gate; the persisted-index caller passes None (an index is by
+    * definition the at-scale path — its plans stay window-free,
+    * plan-asserted in AnnIndexSpec).
     */
   private[operators] def ivfScore(cells: DataFrame,
       cents: Seq[Seq[Float]], nProbe: Int, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, excludeSelf: Boolean)
+      idCol: String, vecCol: String, k: Int, excludeSelf: Boolean,
+      corpusBytesHint: Option[BigInt] = None)
       : DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
@@ -298,7 +350,7 @@ object SimilaritySearch {
         .withColumn("cos",
           cosineFromParts(dot(col("qv"), col("cv")), col("qn"),
             col("cn"))),
-      k)
+      k, corpusBytesHint)
   }
 
   /** Two-stage ANN: a cheap coarse pass scores only the first `dPrefix`

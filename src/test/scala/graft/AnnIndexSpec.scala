@@ -835,4 +835,66 @@ class AnnIndexSpec extends SparkSpec {
         s"$name topK still ranks through a window: ${wins.mkString}")
     }
   }
+
+  test("bounded top-k on STRING ids: byte-equals the window form " +
+      "under Spark's UTF-8 collation (supplementary-plane ids order " +
+      "differently than UTF-16 compareTo), plan stays window-free; " +
+      "the measured-size gate picks the window under the bound with " +
+      "identical bytes out") {
+    import graft.functions.VectorFunctions._
+    def windowForm(scored: DataFrame, k: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    }
+    // tie groups (copies of one vector) get ids whose FIRST char is
+    // 😀 (U+1F600, a surrogate pair), U+FFFD, or 'z' — U+1F600 sorts
+    // ABOVE U+FFFD in UTF-8/code-point order but BELOW it under
+    // Java's UTF-16 compareTo, so a buffer comparing Java strings
+    // would rank these ties wrongly
+    val sCorpus = intCorpus(nDistinct = 8, copies = 5)
+      .withColumn("sid", concat(
+        when(col("vec_id") % 3 === 0, lit("😀"))
+          .when(col("vec_id") % 3 === 1, lit("�"))
+          .otherwise(lit("z")),
+        col("vec_id").cast("string")))
+    val sq = sCorpus.filter(col("vec_id") <= 6)
+    val scored = sCorpus
+      .select(col("sid").as("neighbor_id"),
+        col("embedding").as("cv"), normSq(col("embedding")).as("cn"))
+      .crossJoin(broadcast(sq.select(col("sid").as("query_id"),
+        col("embedding").as("qv"), normSq(col("embedding")).as("qn"))))
+      .withColumn("cos", cosineFromParts(dot(col("qv"), col("cv")),
+        col("qn"), col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    assert(rows(SimilaritySearch.boundedTopK(scored, 7)) ==
+      rows(windowForm(scored, 7)),
+      "string-keyed bounded top-k diverged from the window form")
+    // the string path is a real bounded aggregate — zero Window nodes
+    val wins = SimilaritySearch.boundedTopK(scored, 7)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.isEmpty,
+      s"string ids still fall back to a window: ${wins.mkString}")
+    // the measured-size gate: under the bound the window plan is
+    // CHOSEN (no aggregate setup cost), above it the aggregate —
+    // identical bytes out on both sides
+    val under = SimilaritySearch.boundedTopK(scored, 7,
+      Some(BigInt(1024)))
+    val over = SimilaritySearch.boundedTopK(scored, 7,
+      Some(BigInt(Long.MaxValue)))
+    assert(rows(under) == rows(over),
+      "the gate changed ANSWERS, not just plans")
+    assert(under.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty, "under the bound the window form should be chosen")
+    assert(over.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "over the bound the aggregate must rank")
+  }
 }

@@ -842,9 +842,38 @@ class BpeSpec extends SparkSpec {
         Bpe.loadTokenizerJson(spark, path))
       assert(e.getMessage.contains(needle), e.getMessage)
     }
-    // a text-rewriting normalizer — ANY type — refuses loudly
-    for (nt <- Seq("NFC", "Lowercase", "Sequence"))
+    // a text-rewriting normalizer the engine cannot reproduce — any
+    // type but pure NFC — refuses loudly (an EMPTY Sequence proves
+    // nothing and refuses too)
+    for (nt <- Seq("Lowercase", "Replace", "NFD", "NFKC", "Sequence"))
       expectReject(mutate("normalizer", typed(nt)), "normalizer")
+    // a Sequence MIXING NFC with a rejected stage refuses — NFC must
+    // be the WHOLE pipeline, not a prefix of one
+    val mixedNorm = typed("Sequence")
+    val mixedList = mapper.createArrayNode()
+    mixedList.add(typed("NFC")); mixedList.add(typed("Lowercase"))
+    mixedNorm.set[com.fasterxml.jackson.databind.JsonNode](
+      "normalizers", mixedList)
+    expectReject(mutate("normalizer", mixedNorm), "normalizer")
+    // pure NFC: the LEGACY entry point still refuses (its callers
+    // encode raw bytes), but pointing at the pipeline entry...
+    expectReject(mutate("normalizer", typed("NFC")),
+      "encodeIdsBytesPipeline")
+    // ...and the pipeline entry ACCEPTS it, surfacing the flag
+    val (mNfc, vNfc, needsNfc) = Bpe.loadTokenizerJsonPipeline(spark,
+      mutate("normalizer", typed("NFC")))
+    assert(needsNfc && vNfc.nonEmpty &&
+      mNfc == trained.map(m => (m._1, m._2, m._3, m._4, 0L)))
+    // a Sequence of ONLY NFC accepts too
+    val nfcSeq = typed("Sequence")
+    val nfcList = mapper.createArrayNode(); nfcList.add(typed("NFC"))
+    nfcSeq.set[com.fasterxml.jackson.databind.JsonNode]("normalizers",
+      nfcList)
+    assert(Bpe.loadTokenizerJsonPipeline(spark,
+      mutate("normalizer", nfcSeq))._3)
+    // an absent normalizer reports needsNfc = false
+    assert(!Bpe.loadTokenizerJsonPipeline(spark,
+      writeTokenizerJson(trained, vocab, arrayMerges = true))._3)
     // id-injecting post-processors refuse; TemplateProcessing is the
     // published shape that carries a BOS/EOS template
     for (pt <- Seq("TemplateProcessing", "RobertaProcessing",
@@ -872,6 +901,57 @@ class BpeSpec extends SparkSpec {
       okProcs)
     assert(Bpe.loadTokenizerJson(spark,
       mutate("post_processor", seqOk))._2.nonEmpty)
+  }
+
+  test("NFC-carrying tokenizer.json: encodeIdsBytesPipeline " +
+      "NFC-normalizes before encode, so decomposed input yields the " +
+      "ids the source tokenizer would emit (parity with the raw " +
+      "encode of the precomposed form)") {
+    import spark.implicits._
+    val train = Seq("café crema café crema café")
+      .toDF("text").withColumn("id", monotonically_increasing_id())
+    val trained = Bpe.trainBytes(train, "text", numMerges = 4,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val vocab = Bpe.vocabBytes(trained, Nil)
+    // write the artifact, then stamp a pure-NFC normalizer into it
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val base = writeTokenizerJson(trained, vocab, arrayMerges = true)
+    val tree = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val nfcNode = mapper.createObjectNode(); nfcNode.put("type", "NFC")
+    tree.set[com.fasterxml.jackson.databind.JsonNode]("normalizer",
+      nfcNode)
+    val d = java.nio.file.Files.createTempDirectory("graft_toknfc")
+    val p = d.resolve("tokenizer.json")
+    java.nio.file.Files.write(p, mapper.writeValueAsBytes(tree))
+    val (m, v, needsNfc) = Bpe.loadTokenizerJsonPipeline(spark,
+      p.toString)
+    assert(needsNfc)
+    def ids(text: String, pipeline: Boolean): Seq[Long] = {
+      val df = Seq((1L, text)).toDF("id", "text")
+      val out =
+        if (pipeline) Bpe.encodeIdsBytesPipeline(df, "id", "text", m,
+          v, needsNfc, tokenPattern =
+            graft.functions.TextFunctions.bpeBytePatternFull)
+        else Bpe.encodeIdsBytes(df, "id", "text", m, v,
+          graft.operators.Dedup.VerifyBroadcastMaxBytes,
+          graft.functions.TextFunctions.bpeBytePatternFull)
+      out.select(col("token_ids")).head.getSeq[Long](0)
+    }
+    val composed = "café crema"        // é precomposed (NFC form)
+    val decomposed = "café crema"     // e + combining acute
+    assert(composed != decomposed) // genuinely different byte streams
+    // what the source tokenizer (normalizer: NFC) emits for BOTH
+    // spellings is the raw byte encode of the COMPOSED form
+    val want = ids(composed, pipeline = false)
+    assert(ids(decomposed, pipeline = true) == want,
+      "decomposed input did not NFC-fold to the source tokenizer's ids")
+    assert(ids(composed, pipeline = true) == want,
+      "already-composed input must pass through NFC unchanged")
+    // without the pipeline, the decomposed bytes encode DIFFERENTLY —
+    // the mis-encode the legacy entry point's refusal protects against
+    assert(ids(decomposed, pipeline = false) != want)
   }
 
   test("saveTokenizerJson: save→loadTokenizerJson is identity, the " +
