@@ -179,6 +179,7 @@ object SparkEntry {
     "x115_temperature_approx" -> Extensions.x115TemperatureApprox,
     "x116_shard_readback" -> Extensions.x116ShardReadback,
     "x117_epoch_order" -> Extensions.x117EpochOrder,
+    "x118_blend_schedule" -> Extensions.x118BlendSchedule,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1151,6 +1152,52 @@ object SparkEntry {
         |    ORDER BY key, pos) AS BIGINT) AS rank,
         |  CAST(pos AS BIGINT) AS pos
         |FROM k ORDER BY lang, rank""".stripMargin,
+    // x118: the cross-stratum blend schedule restated from the
+    // documents table alone — counts via the x114 packing arithmetic,
+    // weights from the stratum name (1000 + 500·alphabet position of
+    // the first letter, the same formula the query uses), the global
+    // step via the closed-form weighted-fair-interleave rank (strict
+    // cross-multiplied count + the name-ordered tie), and the position
+    // via the x117 md5 permutation — ALL integer-exact in both engines
+    "x118_blend_schedule" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST((sum(octet_length(encode(text))) + 511) // 512
+        |      AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |  GROUP BY lang HAVING sum(octet_length(encode(text))) > 0),
+        |w AS (
+        |  SELECT lang, n,
+        |    CAST(1000 + 500 * strpos('abcdefghijklmnopqrstuvwxyz',
+        |      substr(lang, 1, 1)) AS BIGINT) AS w
+        |  FROM t),
+        |p AS (
+        |  SELECT lang, g.k AS k
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, w.n))
+        |    AS k) g),
+        |g AS (
+        |  SELECT p.lang, p.k,
+        |    p.k + COALESCE(SUM(
+        |      LEAST(wj.n, (p.k * wj.w - 1) // wi.w)
+        |      + CASE WHEN (p.k * wj.w) % wi.w = 0
+        |             AND (p.k * wj.w) // wi.w <= wj.n
+        |             AND wj.lang < p.lang THEN 1 ELSE 0 END), 0)
+        |      AS gstep
+        |  FROM p JOIN w wi ON p.lang = wi.lang
+        |  LEFT JOIN w wj ON wj.lang <> p.lang
+        |  GROUP BY p.lang, p.k),
+        |o AS (
+        |  SELECT lang, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('ep' || ':' || '1' || ':' || lang || ':' ||
+        |        CAST(pos AS VARCHAR)), pos) AS rank
+        |  FROM (SELECT lang, g.p AS pos
+        |        FROM t, LATERAL (SELECT
+        |          unnest(generate_series(0, t.n - 1)) AS p) g))
+        |SELECT CAST(g.gstep AS BIGINT) AS global_step, g.lang,
+        |  CAST(g.k AS BIGINT) AS rank, CAST(o.pos AS BIGINT) AS pos
+        |FROM g JOIN o ON g.lang = o.lang AND g.k = o.rank
+        |ORDER BY global_step""".stripMargin,
     // x114: the written trainer-shard blob is, under the zero-merge
     // byte config, the stratum's concatenated document bytes in id
     // order (the x96 identity carried to the FILE) — sizes, sequence

@@ -552,6 +552,51 @@ object Extensions {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** x118: the CROSS-STRATUM blend schedule published into the epoch
+    * artifact ([[graft.io.TrainerShards.writeBlendSchedule]]) — the
+    * level above x117: the `.ord` sidecars fix each stratum's internal
+    * consumption order; the blend parts fix WHICH STRATUM feeds each
+    * global training step, as a deterministic weighted fair interleave
+    * (stratum s consumes its k-th sequence at virtual time k/w_s;
+    * global order sorts by virtual time, ties by stratum name) whose
+    * global step has a CLOSED FORM in pure integer arithmetic — so the
+    * oracle restates every (global_step, stratum, rank, pos) row from
+    * the documents table alone: sequence counts via the x114 packing
+    * arithmetic, weights via the same first-letter formula, the
+    * closed-form strict+tie count sum, and the x117 md5 permutation
+    * for the position. The query writes shards + epoch order + blend,
+    * then reads the PUBLISHED files back distributed
+    * ([[graft.expressions.BlendEntries]]) and joins the two sidecar
+    * levels — a restarting trainer resumes the BLEND mid-epoch from
+    * these files alone ([[graft.io.TrainerShards.blendCursors]] /
+    * [[graft.io.TrainerShards.readInBlendOrder]], spec-asserted).
+    * `en` and `es` carry EQUAL weights by construction, so the
+    * virtual-time tie-break is exercised on every shared k.
+    */
+  def x118BlendSchedule(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
+      "text", "lang", seqLen = 512, merges = Nil,
+      tokenPattern = TextFunctions.bpeBytePatternFull)
+    val out = scratchIndexPath("x118_shards", dir)
+    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
+      width = 1, out)
+    graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
+      epoch = 1)
+    // weights from the stratum name alone (1.0 + 0.5·alphabet position
+    // of the first letter) so the oracle can restate them
+    val weights = graft.io.TrainerShards.listShards(s, out)
+      .map(l => l -> (1.0 + 0.5 * (l.charAt(0) - 'a' + 1))).toMap
+    graft.io.TrainerShards.writeBlendSchedule(s, out, epoch = 1,
+      weights)
+    graft.io.TrainerShards.readBlendSchedule(s, out, epoch = 1)
+      .join(graft.io.TrainerShards.readEpochOrder(s, out, epoch = 1),
+        Seq("stratum", "rank"))
+      .select(col("global_step"), col("stratum").as("lang"),
+        col("rank"), col("pos"))
+      .orderBy(col("global_step"))
+  }
+
   /** x115: WINDOW-FREE temperature sampling ([[graft.operators.Mixing
     * .temperatureSampleApprox]]) — the 100 TB form of x108: the same
     * integer-exact n^0.5 largest-remainder apportionment, but
@@ -1433,7 +1478,14 @@ object Extensions {
     * header write, endianness handling, or sample math fails the hash.
     */
   def x71AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    // decode stages must NOT inherit the scan's split count: a
+    // column-pruned doc_id read of documents.parquet is a few hundred
+    // KB even at sf1 (openCostInBytes coalesces the files), so the
+    // whole decode ran on ~1-2 tasks — the x71 sf1 superlinearity
+    // (measured par 1.75 on 32 cores). Repartitioning 8-byte rows is
+    // free; the decode work is what needs the cores.
     val d = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
     Multimodal.decodeAudio(
         Multimodal.attachWavPayload(d, "doc_id"), "payload")
       .select(col("doc_id"),
@@ -1706,7 +1758,10 @@ object Extensions {
     * values.
     */
   def x80VideoMeta(s: SparkSession, dir: String): DataFrame = {
+    // same repartition as x71: the container parse is per-row work
+    // that must not run on the id scan's 1-2 coalesced splits
     val d = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
     Multimodal.videoMeta(
         Multimodal.attachMp4Payload(d, "doc_id"), "payload")
       .select(col("doc_id"),

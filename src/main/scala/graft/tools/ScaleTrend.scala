@@ -34,7 +34,7 @@ object ScaleTrend {
   private val Replicas = 10
   private val SynthFiles = 32
 
-  private def synthesizeSf1(spark: SparkSession, srcDir: String,
+  private[tools] def synthesizeSf1(spark: SparkSession, srcDir: String,
       outDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,7 +87,7 @@ object ScaleTrend {
     * guarded separately so a synthesis dir written before x74 existed
     * backfills just this table instead of rebuilding everything.
     */
-  private def synthesizeSf1Lineitem(spark: SparkSession, srcDir: String,
+  private[tools] def synthesizeSf1Lineitem(spark: SparkSession, srcDir: String,
       outDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -211,7 +211,11 @@ object ScaleTrend {
       "x115_temperature_approx", "x116_shard_readback",
       // round 14: epoch consumption-order sidecars (one stratum-keyed
       // exchange + distributed .ord read-back)
-      "x117_epoch_order")
+      "x117_epoch_order",
+      // round 15: the cross-stratum blend schedule (map-side
+      // closed-form global step + one part-keyed exchange + the
+      // distributed part read-back joined to the .ord level)
+      "x118_blend_schedule")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
