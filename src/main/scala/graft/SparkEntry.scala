@@ -180,6 +180,7 @@ object SparkEntry {
     "x116_shard_readback" -> Extensions.x116ShardReadback,
     "x117_epoch_order" -> Extensions.x117EpochOrder,
     "x118_blend_schedule" -> Extensions.x118BlendSchedule,
+    "x119_blend_epochs" -> Extensions.x119BlendEpochs,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1197,6 +1198,53 @@ object SparkEntry {
         |SELECT CAST(g.gstep AS BIGINT) AS global_step, g.lang,
         |  CAST(g.k AS BIGINT) AS rank, CAST(o.pos AS BIGINT) AS pos
         |FROM g JOIN o ON g.lang = o.lang AND g.k = o.rank
+        |ORDER BY global_step""".stripMargin,
+    // x119: x118 composed with the x85 source-epochs arithmetic —
+    // m = (n · f_milli) div 1000 consumption steps per stratum, the
+    // same closed-form interleave over m, and the wraparound
+    // ((k−1) mod n) + 1 resolving every step to its x117 position
+    "x119_blend_epochs" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST((sum(octet_length(encode(text))) + 511) // 512
+        |      AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |  GROUP BY lang HAVING sum(octet_length(encode(text))) > 0),
+        |w AS (
+        |  SELECT lang, n,
+        |    CAST(1000 + 500 * strpos('abcdefghijklmnopqrstuvwxyz',
+        |      substr(lang, 1, 1)) AS BIGINT) AS w,
+        |    CAST((n * (500 + 750 *
+        |      (strpos('abcdefghijklmnopqrstuvwxyz', substr(lang, 1, 1))
+        |        % 3))) // 1000 AS BIGINT) AS m
+        |  FROM t),
+        |p AS (
+        |  SELECT lang, g.k AS k
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, w.m))
+        |    AS k) g),
+        |g AS (
+        |  SELECT p.lang, p.k,
+        |    p.k + COALESCE(SUM(
+        |      LEAST(wj.m, (p.k * wj.w - 1) // wi.w)
+        |      + CASE WHEN (p.k * wj.w) % wi.w = 0
+        |             AND (p.k * wj.w) // wi.w <= wj.m
+        |             AND wj.lang < p.lang THEN 1 ELSE 0 END), 0)
+        |      AS gstep
+        |  FROM p JOIN w wi ON p.lang = wi.lang
+        |  LEFT JOIN w wj ON wj.lang <> p.lang
+        |  GROUP BY p.lang, p.k),
+        |o AS (
+        |  SELECT lang, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('ep' || ':' || '1' || ':' || lang || ':' ||
+        |        CAST(pos AS VARCHAR)), pos) AS rank
+        |  FROM (SELECT lang, g.p AS pos
+        |        FROM t, LATERAL (SELECT
+        |          unnest(generate_series(0, t.n - 1)) AS p) g))
+        |SELECT CAST(g.gstep AS BIGINT) AS global_step, g.lang,
+        |  CAST(g.k AS BIGINT) AS rank, CAST(o.pos AS BIGINT) AS pos
+        |FROM g JOIN w ON g.lang = w.lang
+        |JOIN o ON o.lang = g.lang AND o.rank = ((g.k - 1) % w.n) + 1
         |ORDER BY global_step""".stripMargin,
     // x114: the written trainer-shard blob is, under the zero-merge
     // byte config, the stratum's concatenated document bytes in id

@@ -787,16 +787,25 @@ object TrainerShards {
     * schedule is all (stratum, k) pairs sorted by virtual time, ties
     * by stratum name in unsigned UTF-8 byte order (Spark SQL's and
     * DuckDB's string order — strata names are compared as the engines
-    * compare them). Every stratum's FULL epoch is consumed; at any
-    * prefix the per-stratum consumption counts track the weight ratios
-    * (strata that exhaust early simply drop out). The global step of
-    * (i, k) has a CLOSED FORM in pure integer arithmetic —
-    * `k + Σ_{j≠i} [min(n_j, ⌊(k·w_j − 1)/w_i⌋) + tie_j]` with
-    * `tie_j = 1` iff `w_i | k·w_j ∧ k·w_j/w_i ≤ n_j ∧ name_j <
+    * compare them). Stratum `s` contributes `m_s = ⌊n_s · r_s⌋`
+    * consumption steps, where `r_s` is its SOURCE-EPOCHS factor
+    * (`epochsFactors`, default 1.0 — the [[graft.operators.Mixing
+    * .epochsPerStratum]] device carried to the artifact: Wikipedia
+    * ×2.5 sees 2.5 passes per blend epoch, crawl ×0.67 a partial
+    * one); consumption step `k > n_s` WRAPS AROUND into the epoch's
+    * permutation (`.ord` rank `((k−1) mod n_s) + 1` — replicas within
+    * one blend epoch re-walk the same per-epoch order; the
+    * permutation changes across epochs). At any prefix the
+    * per-stratum consumption counts track the weight ratios (strata
+    * that exhaust their `m_s` early simply drop out). The global step
+    * of (i, k) has a CLOSED FORM in pure integer arithmetic —
+    * `k + Σ_{j≠i} [min(m_j, ⌊(k·w_j − 1)/w_i⌋) + tie_j]` with
+    * `tie_j = 1` iff `w_i | k·w_j ∧ k·w_j/w_i ≤ m_j ∧ name_j <
     * name_i` — so the whole artifact is a pure function of (weights,
-    * sequence counts): byte-identical re-runs, and an SQL oracle can
-    * restate every (global_step, stratum, rank) row from the corpus
-    * alone (x118).
+    * factors, sequence counts): byte-identical re-runs, and an SQL
+    * oracle can restate every (global_step, stratum, rank) row from
+    * the corpus alone (x118 factor-free, x119 with factors and
+    * wraparound).
     *
     * Scale shape: sequence counts come from the published `.idx`
     * sizes (one strata-bounded driver listing); the (stratum, k)
@@ -821,7 +830,8 @@ object TrainerShards {
     * after (the permutation the ranks point into changed).
     */
   def writeBlendSchedule(spark: SparkSession, dir: String, epoch: Int,
-      weights: Map[String, Double], stepsPerFile: Long = 1L << 22)
+      weights: Map[String, Double], stepsPerFile: Long = 1L << 22,
+      epochsFactors: Map[String, Double] = Map.empty)
       : DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     require(stepsPerFile >= 1,
@@ -863,35 +873,54 @@ object TrainerShards {
         "milli-units — must be >= 0.001")
       w
     }
-    val total = ns.sum
-    val maxN = ns.max
+    val fExtras = epochsFactors.keys.filterNot(names.contains)
+      .toSeq.sorted
+    require(fExtras.isEmpty,
+      s"epochsFactors name strata absent from the shard set: " +
+        s"${fExtras.mkString(", ")} — a typo would re-mix the epochs")
+    // source-epochs factors, milli-quantized like Mixing's — m_s =
+    // (n_s · f_milli) div 1000 consumption steps per stratum, 0 means
+    // the stratum sits this blend epoch out entirely
+    val fms = names.map { s =>
+      val f = epochsFactors.getOrElse(s, 1.0)
+      require(f >= 0 && f < 1000,
+        s"epochs factor for stratum '$s' out of [0, 1000): $f")
+      math.floor(f * 1000d).toLong
+    }
+    val ms = names.indices.map(i => ns(i) * fms(i) / 1000L).toArray
+    val total = ms.sum
+    require(total >= 1,
+      "every stratum's epochs factor rounds to zero steps — nothing " +
+        "to schedule")
+    val maxM = ms.max
     val maxW = ws.max
-    require(maxW == 0 || maxN <= Long.MaxValue / maxW,
-      s"k*w overflows a long: max count $maxN x max milli-weight $maxW")
+    require(maxW == 0 || maxM <= Long.MaxValue / maxW,
+      s"k*w overflows a long: max steps $maxM x max milli-weight $maxW")
     val m = names.length
     val ordinalOf = names.zipWithIndex.toMap
 
     import spark.implicits._
-    val countsDf = strata.toDF("__s", "__n")
-    val positions = spark.range(maxN).toDF("__p")
-      .join(broadcast(countsDf), col("__p") < col("__n"))
+    val countsDf = names.indices.map(i => (names(i), ms(i)))
+      .toDF("__s", "__m")
+    val positions = spark.range(maxM).toDF("__p")
+      .join(broadcast(countsDf), col("__p") < col("__m"))
       .select(col("__s"), col("__p"))
     // closed-form global step, map-side: O(m) long ops per row. The
     // tie-break name_j < name_i is ordinal order (names are sorted).
-    val nsL = ns; val wsL = ws; val mL = m
+    val msL = ms; val wsL = ws; val mL = m
     val ordinalOfL = ordinalOf
     val stepsPerFileL = stepsPerFile
     val scheduled = positions.as[(String, Long)].map { case (s, p) =>
       val i = ordinalOfL(s)
       val wi = wsL(i)
-      val k = p + 1 // 1-based rank within stratum
+      val k = p + 1 // 1-based consumption step within stratum
       var g = k // own stratum: itself + its k-1 predecessors
       var j = 0
       while (j < mL) {
         if (j != i) {
           val a = k * wsL(j)
-          var cnt = math.min(nsL(j), (a - 1) / wi)
-          if (a % wi == 0 && a / wi <= nsL(j) && j < i) cnt += 1
+          var cnt = math.min(msL(j), (a - 1) / wi)
+          if (a % wi == 0 && a / wi <= msL(j) && j < i) cnt += 1
           g += cnt
         }
         j += 1
@@ -977,22 +1006,26 @@ object TrainerShards {
         s"${partRows.map(_.getLong(2)).sum} steps; expected $nParts " +
         s"parts / $total steps")
     writeBlendManifest(spark, staging, epoch, stepsPerFile, total,
-      names, ws, ns, partRows)
+      names, ws, ns, fms, ms, partRows)
     publish(spark, staging, target)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        names.indices.map(i => Row(names(i), i, ws(i), ns(i))),
+        names.indices.map(i =>
+          Row(names(i), i, ws(i), ns(i), fms(i), ms(i))),
         math.max(1, math.min(m, 4))),
       StructType(Seq(
         StructField("stratum", StringType, nullable = false),
         StructField("ordinal", IntegerType, nullable = false),
         StructField("weight_milli", LongType, nullable = false),
-        StructField("n_sequences", LongType, nullable = false))))
+        StructField("n_sequences", LongType, nullable = false),
+        StructField("factor_milli", LongType, nullable = false),
+        StructField("n_steps", LongType, nullable = false))))
   }
 
   private def writeBlendManifest(spark: SparkSession, staging: String,
       epoch: Int, stepsPerFile: Long, total: Long,
       names: Array[String], ws: Array[Long], ns: Array[Long],
+      fms: Array[Long], ms: Array[Long],
       partRows: Array[Row]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -1008,6 +1041,8 @@ object TrainerShards {
       n.put("ordinal", i)
       n.put("weight_milli", ws(i))
       n.put("n_sequences", ns(i))
+      n.put("factor_milli", fms(i))
+      n.put("n_steps", ms(i))
       arr.add(n)
     }
     root.set[com.fasterxml.jackson.databind.JsonNode]("strata", arr)
@@ -1030,10 +1065,12 @@ object TrainerShards {
   }
 
   /** The blend manifest parsed back: (stratum, ordinal, weight_milli,
-    * n_sequences) in ordinal order plus (stepsPerFile, totalSteps).
+    * n_sequences, factor_milli, n_steps) in ordinal order plus
+    * (stepsPerFile, totalSteps).
     */
   private[graft] def readBlendMeta(spark: SparkSession, dir: String,
-      epoch: Int): (Seq[(String, Int, Long, Long)], Long, Long) = {
+      epoch: Int)
+      : (Seq[(String, Int, Long, Long, Long, Long)], Long, Long) = {
     val p = new HPath(s"$dir/${epochDirName(epoch)}/$BlendDirName",
       BlendManifestName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1059,13 +1096,15 @@ object TrainerShards {
     val strataNode = field(tree, "strata")
     require(strataNode.isArray,
       s"not a blend-schedule manifest (strata is not an array): $p")
-    val b = Seq.newBuilder[(String, Int, Long, Long)]
+    val b = Seq.newBuilder[(String, Int, Long, Long, Long, Long)]
     val it = strataNode.elements()
     while (it.hasNext) {
       val n = it.next()
       b += ((field(n, "stratum").asText(), field(n, "ordinal").asInt(),
         field(n, "weight_milli").asLong(),
-        field(n, "n_sequences").asLong()))
+        field(n, "n_sequences").asLong(),
+        field(n, "factor_milli").asLong(),
+        field(n, "n_steps").asLong()))
     }
     val strata = b.result().sortBy(_._2)
     require(strata.map(_._2) == strata.indices,
@@ -1089,8 +1128,10 @@ object TrainerShards {
     val (strata, _, _) = readBlendMeta(spark, dir, epoch)
     val namesLit = typedLit(strata.map(_._1))
     import spark.implicits._
+    // rank bound = the stratum's CONSUMPTION STEPS m_s (n·factor, may
+    // exceed the sequence count when factors > 1 wrap around)
     val counts = broadcast(
-      strata.map(t => (t._1, t._4)).toDF("__cs", "__cn"))
+      strata.map(t => (t._1, t._6)).toDF("__cs", "__cn"))
     spark.read.format("binaryFile")
       .load(s"$dir/${epochDirName(epoch)}/$BlendDirName/*$BlendSuffix")
       .select(graft.expressions.GraftFunctions.blendEntries(
@@ -1111,18 +1152,22 @@ object TrainerShards {
       .filter(assert_true(col("rank") <= col("__cn"),
         concat(lit(s"blend part under $dir names rank "),
           col("rank").cast("string"), lit(" of stratum '"),
-          col("stratum"), lit("' which holds only "),
-          col("__cn").cast("string"), lit(" sequences"))).isNull)
+          col("stratum"), lit("' which is scheduled for only "),
+          col("__cn").cast("string"), lit(" consumption steps")))
+        .isNull)
       .drop("__cs", "__cn")
   }
 
-  /** Per-shard cursors at a checkpoint: how many sequences of each
-    * stratum the blend schedule has consumed by global step
+  /** Per-shard cursors at a checkpoint: how many CONSUMPTION STEPS of
+    * each stratum the blend schedule has taken by global step
     * `globalStep` INCLUSIVE — computed from the published files alone
     * (max rank per stratum over the prefix; strata not yet started
-    * report 0). This plus [[readEpochRemainder]] is everything a
-    * restarting trainer needs to resume the BLEND mid-epoch with no
-    * engine re-run. Strata-sized output.
+    * report 0; with source-epochs factors > 1 the cursor can exceed
+    * the sequence count — `((cursor−1) mod n_s) + 1` is the `.ord`
+    * position within the current wraparound pass). This plus
+    * [[readEpochRemainder]] is everything a restarting trainer needs
+    * to resume the BLEND mid-epoch with no engine re-run. Strata-sized
+    * output.
     */
   def blendCursors(spark: SparkSession, dir: String, epoch: Int,
       globalStep: Long): DataFrame = {
@@ -1154,7 +1199,9 @@ object TrainerShards {
   /** The COMPOSED cross-stratum resume read — the full artifact chain
     * from the published files alone: blend remainder past the
     * checkpoint ([[readBlendRemainder]]) → per-stratum consumption
-    * order ([[readEpochOrder]], joined on (stratum, rank)) → sequences
+    * order ([[readEpochOrder]], joined on (stratum,
+    * `((rank−1) mod n_s) + 1` — the wraparound for source-epochs
+    * factors > 1; the identity when factors are 1) → sequences
     * ([[read]], joined on (stratum, pos)), yielding `(global_step,
     * stratum, rank, pos, token_ids)` — order by `global_step` to
     * consume (a join output carries no row order). One task per file
@@ -1163,12 +1210,20 @@ object TrainerShards {
     */
   def readInBlendOrder(spark: SparkSession, dir: String, epoch: Int,
       afterStep: Long = 0L): DataFrame = {
+    val (strata, _, _) = readBlendMeta(spark, dir, epoch)
+    import spark.implicits._
+    val seqCounts = broadcast(
+      strata.map(t => (t._1, t._4)).toDF("__ss", "__sn"))
     val blend = readBlendRemainder(spark, dir, epoch, afterStep)
+      .join(seqCounts, col("stratum") === col("__ss"))
+      .withColumn("__ord_rank", (col("rank") - 1) % col("__sn") + 1)
+      .drop("__ss", "__sn")
     val order = readEpochOrder(spark, dir, epoch)
+      .select(col("stratum"), col("rank").as("__ord_rank"), col("pos"))
     val seqs = read(spark, dir)
       .select(col("stratum").as("__s"), col("seq_idx").as("__p"),
         col("token_ids"))
-    blend.join(order, Seq("stratum", "rank"))
+    blend.join(order, Seq("stratum", "__ord_rank"))
       .join(seqs,
         col("stratum") === col("__s") && col("pos") === col("__p"))
       .select(col("global_step"), col("stratum"), col("rank"),

@@ -597,6 +597,48 @@ object Extensions {
       .orderBy(col("global_step"))
   }
 
+  /** x119: the blend schedule WITH SOURCE-EPOCHS FACTORS — x118
+    * composed with the x85 [[graft.operators.Mixing.epochsPerStratum]]
+    * arithmetic: stratum s contributes `m_s = ⌊n_s · r_s⌋` consumption
+    * steps (en/zh ×2.0 wrap back around into the same epoch
+    * permutation, fr ×0.5 consumes half its shard, de ×1.25 overruns
+    * by a quarter), and every step resolves through the wraparound
+    * `((rank−1) mod n_s) + 1` to its `.ord` position. The oracle
+    * restates the whole thing — counts, factor quantization, the
+    * closed-form interleave over m_s, and the wraparound pos — from
+    * the documents table alone, integer-exact in both engines. The
+    * output is [[graft.io.TrainerShards.readInBlendOrder]] minus the
+    * token bytes, so the composed resume-read join chain is what is
+    * actually being checked.
+    */
+  def x119BlendEpochs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
+      "text", "lang", seqLen = 512, merges = Nil,
+      tokenPattern = TextFunctions.bpeBytePatternFull)
+    val out = scratchIndexPath("x119_shards", dir)
+    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
+      width = 1, out)
+    graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
+      epoch = 1)
+    val shards = graft.io.TrainerShards.listShards(s, out)
+    val weights = shards
+      .map(l => l -> (1.0 + 0.5 * (l.charAt(0) - 'a' + 1))).toMap
+    // factor from the stratum name alone so the oracle restates it:
+    // 0.5 + 0.75·(alphabet position mod 3) → de 1.25, en/es 2.0,
+    // fr 0.5, zh 2.0 — wraparound, overrun, and partial consumption
+    // all exercised
+    val factors = shards
+      .map(l => l -> (0.5 + 0.75 * ((l.charAt(0) - 'a' + 1) % 3)))
+      .toMap
+    graft.io.TrainerShards.writeBlendSchedule(s, out, epoch = 1,
+      weights, epochsFactors = factors)
+    graft.io.TrainerShards.readInBlendOrder(s, out, epoch = 1)
+      .select(col("global_step"), col("stratum").as("lang"),
+        col("rank"), col("pos"))
+      .orderBy(col("global_step"))
+  }
+
   /** x115: WINDOW-FREE temperature sampling ([[graft.operators.Mixing
     * .temperatureSampleApprox]]) — the 100 TB form of x108: the same
     * integer-exact n^0.5 largest-remainder apportionment, but

@@ -358,7 +358,7 @@ class TrainerShardsSpec extends SparkSpec {
     val boom = intercept[Exception] {
       TrainerShards.readBlendSchedule(spark, dir, 0).collect()
     }
-    assert(exceptionChain(boom).exists(_.contains("holds only")),
+    assert(exceptionChain(boom).exists(_.contains("scheduled for only")),
       s"out-of-range rank read silently: ${exceptionChain(boom)}")
     java.nio.file.Files.write(victim, blob) // restore
     java.nio.file.Files.deleteIfExists(
@@ -372,6 +372,80 @@ class TrainerShardsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       TrainerShards.readBlendSchedule(spark, dir, 0)
     }.getMessage.contains("writeBlendSchedule first"))
+  }
+
+  test("blend schedule with source-epochs factors: m = floor(n*f) " +
+      "consumption steps per stratum, ranks past the shard wrap " +
+      "around into the same epoch permutation, partial consumption " +
+      "stops early, a zero-factor stratum sits the epoch out, and " +
+      "the closed form still equals the brute-force sort over m") {
+    val seqs = materialize(fixture, seqLen = 8)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    val n = TrainerShards.listShards(spark, dir)
+      .map(s => s -> TrainerShards.readShard(spark, dir, s)._2.length
+        .toLong).toMap
+    val weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5)
+    val wOf = Map("en" -> 2000L, "de" -> 1000L, "fr" -> 1500L)
+    val factors = Map("en" -> 1.5, "de" -> 0.4, "fr" -> 0.0)
+    // unknown strata in factors refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.writeBlendSchedule(spark, dir, 0, weights,
+        epochsFactors = factors + ("zz" -> 1.0))
+    }.getMessage.contains("absent"))
+    // all-zero factors = nothing to schedule — refused, not an empty
+    // artifact
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.writeBlendSchedule(spark, dir, 0, weights,
+        epochsFactors = n.keys.map(_ -> 0.0).toMap)
+    }.getMessage.contains("nothing to schedule"))
+
+    TrainerShards.writeBlendSchedule(spark, dir, 0, weights,
+      stepsPerFile = 4, epochsFactors = factors)
+    val m = n.map { case (s, c) =>
+      s -> c * math.floor(factors(s) * 1000).toLong / 1000L
+    }
+    val total = m.values.sum
+    assert(m("fr") == 0 && m("en") > n("en") && m("de") < n("de"),
+      s"fixture no longer exercises wrap/partial/sit-out: $m vs $n")
+    val sched = TrainerShards.readBlendSchedule(spark, dir, 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(sched.map(_._1).toSeq == (1L to total))
+    assert(!sched.exists(_._2 == "fr"),
+      "a zero-factor stratum leaked into the schedule")
+    m.filter(_._2 > 0).foreach { case (s, ms) =>
+      assert(sched.filter(_._2 == s).map(_._3).toSeq == (1L to ms),
+        s"$s consumption steps are not dense 1..$ms")
+    }
+    // closed form == brute-force virtual-time sort over the m's
+    val brute = m.toSeq.flatMap { case (s, ms) =>
+      (1L to ms).map(k => (s, k))
+    }.sortWith { case ((s1, k1), (s2, k2)) =>
+      val c = (k1 * wOf(s2)) compare (k2 * wOf(s1))
+      if (c != 0) c < 0 else s1 < s2
+    }
+    assert(sched.map(t => (t._2, t._3)).toSeq == brute)
+    // the composed read resolves every step through the WRAPAROUND to
+    // the right .ord position and token bytes; overrun ranks re-walk
+    // the same permutation
+    val ords = n.keys.map(s => s ->
+      TrainerShards.readEpochOrderShard(spark, dir, 0, s)._2).toMap
+    val shards = n.keys.map(s =>
+      s -> TrainerShards.readShard(spark, dir, s)._2).toMap
+    val resumed = TrainerShards.readInBlendOrder(spark, dir, 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Long](4)))
+    assert(resumed.length == total,
+      "the wraparound join dropped or duplicated steps")
+    resumed.foreach { case (_, s, rank, pos, ids) =>
+      val ordRank = ((rank - 1) % n(s)).toInt
+      assert(ords(s)(ordRank) == pos,
+        s"$s step $rank resolved to pos $pos, .ord wraparound says " +
+          s"${ords(s)(ordRank)}")
+      assert(ids == shards(s)(pos.toInt))
+    }
   }
 
   private def exceptionChain(t: Throwable): Seq[String] =
