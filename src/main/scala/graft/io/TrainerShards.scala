@@ -630,7 +630,8 @@ object TrainerShards {
     val manifestSchema = StructType(Seq(
       StructField("stratum", StringType, nullable = false),
       StructField("n_sequences", LongType, nullable = false),
-      StructField("file", StringType, nullable = false)))
+      StructField("file", StringType, nullable = false),
+      StructField("ord_md5", StringType, nullable = false)))
     val manifestRows = positions
       .repartition(col("__s"))
       .sortWithinPartitions(col("__s"), col("__k"), col("__p"))
@@ -639,6 +640,7 @@ object TrainerShards {
         val attempt = attemptSuffix()
         var cur: String = null
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var md: java.security.MessageDigest = null
         var n = 0L
         val done = Seq.newBuilder[Row]
         def close(): Unit = if (cur != null) {
@@ -647,27 +649,31 @@ object TrainerShards {
           val base = new HPath(staging)
           val fsL = base.getFileSystem(fsConf)
           commitAttemptFile(fsL, base, stem, OrdSuffix, attempt)
-          done += Row(cur, n, stem + OrdSuffix)
+          done += Row(cur, n, stem + OrdSuffix,
+            md.digest().map(b => f"$b%02x").mkString)
           cur = null
         }
         def open(s: String): Unit = {
           cur = s; n = 0L
+          md = java.security.MessageDigest.getInstance("MD5")
           val base = new HPath(staging)
           val fsL = base.getFileSystem(fsConf)
           fsL.mkdirs(base)
           out = fsL.create(
             new HPath(base, fileStem(s) + OrdSuffix + attempt),
             true)
-          out.write(EpochMagic)
-          out.write(u32le(EpochVersion))
-          out.write(u32le(epoch))
+          out.write(EpochMagic); md.update(EpochMagic)
+          val ver = u32le(EpochVersion); val ep = u32le(epoch)
+          out.write(ver); md.update(ver)
+          out.write(ep); md.update(ep)
         }
         try {
           while (it.hasNext) {
             val r = it.next()
             val s = r.getString(0)
             if (s != cur) { close(); open(s) }
-            out.write(u64le(r.getLong(1)))
+            val pos = u64le(r.getLong(1))
+            out.write(pos); md.update(pos)
             n += 1
           }
           close()
@@ -678,11 +684,135 @@ object TrainerShards {
       }(org.apache.spark.sql.Encoders.row(manifestSchema))
       .collect()
     sweepAttemptFiles(spark, staging)
+    // the epoch manifest SHIPS WITH the sidecars (same atomic
+    // publish): seed + per-file checksums, so the epoch artifact is
+    // self-describing and integrity-verifiable without the engine —
+    // the _MANIFEST.json contract carried one level up
+    writeEpochManifest(spark, staging, epoch, seed, manifestRows)
     publish(spark, staging, target)
     spark.createDataFrame(
       spark.sparkContext.parallelize(manifestRows.toIndexedSeq,
         math.max(1, math.min(manifestRows.length, 4))),
       manifestSchema)
+  }
+
+  val EpochManifestName = "_EPOCH.json"
+
+  private def writeEpochManifest(spark: SparkSession, staging: String,
+      epoch: Int, seed: String, rows: Array[Row]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "graft-epoch-order")
+    root.put("version", EpochVersion)
+    root.put("epoch", epoch)
+    root.put("seed", seed)
+    val arr = mapper.createArrayNode()
+    rows.sortBy(_.getString(0)).foreach { r =>
+      val n = mapper.createObjectNode()
+      n.put("stratum", r.getString(0))
+      n.put("n_sequences", r.getLong(1))
+      n.put("file", r.getString(2))
+      n.put("ord_md5", r.getString(3))
+      arr.add(n)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("strata", arr)
+    val fs = new HPath(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new HPath(staging))
+    val out = fs.create(new HPath(staging, EpochManifestName), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** Verify a published epoch's `.ord` sidecars against the shipped
+    * `_EPOCH.json` checksums — [[verifyManifest]]'s contract one
+    * level up: every sidecar re-read through the binaryFile source,
+    * md5 compared, and corruption / truncation / a missing committed
+    * file / an unmanifested extra all refused LOUDLY with the
+    * offending stems named. Also cross-checks each stratum's
+    * `n_sequences` against the live `.idx` sizes, so an epoch
+    * manifest from a RETIRED shard generation (counts no longer
+    * matching) refuses instead of silently resuming the wrong
+    * permutation length. Returns (stratum, file, ord_md5, seed).
+    */
+  def verifyEpochOrder(spark: SparkSession, dir: String, epoch: Int)
+      : DataFrame = {
+    val p = new HPath(s"$dir/${epochDirName(epoch)}", EpochManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no epoch manifest at $p — written by a pre-manifest version? " +
+        "re-run writeEpochOrder")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    def field(node: com.fasterxml.jackson.databind.JsonNode,
+        name: String): com.fasterxml.jackson.databind.JsonNode = {
+      val v = if (node == null) null else node.get(name)
+      require(v != null && !v.isNull,
+        s"not an epoch-order manifest (missing '$name'): $p")
+      v
+    }
+    require(field(tree, "format").asText() == "graft-epoch-order" &&
+      field(tree, "version").asInt() == EpochVersion &&
+      field(tree, "epoch").asInt() == epoch,
+      s"not this epoch's manifest: $p")
+    val seed = field(tree, "seed").asText()
+    val strataNode = field(tree, "strata")
+    require(strataNode.isArray,
+      s"not an epoch-order manifest (strata is not an array): $p")
+    val expected = {
+      val b = Seq.newBuilder[(String, Long, String, String)]
+      val it = strataNode.elements()
+      while (it.hasNext) {
+        val n = it.next()
+        b += ((field(n, "stratum").asText(),
+          field(n, "n_sequences").asLong(),
+          field(n, "file").asText(), field(n, "ord_md5").asText()))
+      }
+      b.result()
+    }
+    val idxCounts = listIdxCounts(spark, dir).toMap
+    val actual = spark.read.format("binaryFile")
+      .load(s"$dir/${epochDirName(epoch)}/*$OrdSuffix")
+      .select(regexp_extract(col("path"),
+          "([^/]+\\" + OrdSuffix + ")$", 1).as("file"),
+        md5(col("content")).as("md5"),
+        col("length"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val problems = Seq.newBuilder[String]
+    expected.foreach { case (stratum, nSeq, file, wantMd5) =>
+      actual.get(file) match {
+        case None => problems += s"$file: MISSING"
+        case Some((gotMd5, len)) =>
+          if (gotMd5 != wantMd5)
+            problems += s"$file: md5 $gotMd5 != manifest $wantMd5"
+          else if (len != EpochHeaderBytes + 8L * nSeq)
+            problems += s"$file: $len bytes, manifest says $nSeq " +
+              "positions"
+      }
+      idxCounts.get(stratum) match {
+        case Some(n) if n != nSeq =>
+          problems += s"$stratum: manifest says $nSeq sequences but " +
+            s"the live shard holds $n — epoch order from a retired " +
+            "shard generation"
+        case None =>
+          problems += s"$stratum: no live shard for this epoch order"
+        case _ => ()
+      }
+    }
+    val manifested = expected.map(_._3).toSet
+    actual.keySet.diff(manifested).toSeq.sorted
+      .foreach(f => problems += s"$f: present but not in manifest")
+    val bad = problems.result()
+    require(bad.isEmpty,
+      s"epoch $epoch at $dir fails manifest verification:\n  " +
+        bad.mkString("\n  "))
+    import spark.implicits._
+    expected.map(t => (t._1, t._3, t._4, seed))
+      .toDF("stratum", "file", "ord_md5", "seed")
   }
 
   /** DISTRIBUTED read of an epoch's consumption order: one row per
@@ -937,7 +1067,8 @@ object TrainerShards {
       StructField("part", LongType, nullable = false),
       StructField("first_step", LongType, nullable = false),
       StructField("n_steps", LongType, nullable = false),
-      StructField("file", StringType, nullable = false)))
+      StructField("file", StringType, nullable = false),
+      StructField("md5", StringType, nullable = false)))
     val epochL = epoch
     val totalL = total
     val partRows = scheduled
@@ -948,6 +1079,7 @@ object TrainerShards {
         val attempt = attemptSuffix()
         var cur = -1L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var md: java.security.MessageDigest = null
         var firstStep = 0L
         var n = 0L
         val done = Seq.newBuilder[Row]
@@ -962,20 +1094,25 @@ object TrainerShards {
           val base = new HPath(staging)
           val fsL = base.getFileSystem(fsConf)
           commitAttemptFile(fsL, base, stem(cur), BlendSuffix, attempt)
-          done += Row(cur, firstStep, n, stem(cur) + BlendSuffix)
+          done += Row(cur, firstStep, n, stem(cur) + BlendSuffix,
+            md.digest().map(b => f"$b%02x").mkString)
           cur = -1L
         }
         def open(part: Long): Unit = {
           cur = part; firstStep = part * stepsPerFileL + 1; n = 0L
+          md = java.security.MessageDigest.getInstance("MD5")
           val base = new HPath(staging)
           val fsL = base.getFileSystem(fsConf)
           fsL.mkdirs(base)
           out = fsL.create(
             new HPath(base, stem(part) + BlendSuffix + attempt), true)
-          out.write(BlendMagic)
-          out.write(u32le(BlendVersion))
-          out.write(u32le(epochL))
-          out.write(u64le(firstStep))
+          def w(bytes: Array[Byte]): Unit = {
+            out.write(bytes); md.update(bytes)
+          }
+          w(BlendMagic)
+          w(u32le(BlendVersion))
+          w(u32le(epochL))
+          w(u64le(firstStep))
         }
         try {
           while (it.hasNext) {
@@ -985,8 +1122,9 @@ object TrainerShards {
             require(r.getLong(1) == firstStep + n,
               s"blend step ${r.getLong(1)} arrived out of sequence " +
                 s"(expected ${firstStep + n}) — closed-form collision")
-            out.write(u32le(r.getInt(2)))
-            out.write(u64le(r.getLong(3)))
+            val o = u32le(r.getInt(2)); val rk = u64le(r.getLong(3))
+            out.write(o); md.update(o)
+            out.write(rk); md.update(rk)
             n += 1
           }
           close()
@@ -1052,6 +1190,7 @@ object TrainerShards {
       n.put("file", r.getString(3))
       n.put("first_step", r.getLong(1))
       n.put("n_steps", r.getLong(2))
+      n.put("md5", r.getString(4))
       files.add(n)
     }
     root.set[com.fasterxml.jackson.databind.JsonNode]("files", files)
@@ -1228,6 +1367,89 @@ object TrainerShards {
         col("stratum") === col("__s") && col("pos") === col("__p"))
       .select(col("global_step"), col("stratum"), col("rank"),
         col("pos"), col("token_ids"))
+  }
+
+  /** Verify a published blend schedule against its `_BLEND.json`
+    * per-part checksums — [[verifyManifest]] / [[verifyEpochOrder]]'s
+    * contract at the blend level: every part re-read through the
+    * binaryFile source, md5 + declared step count compared, missing
+    * committed parts and unmanifested extras refused LOUDLY. Returns
+    * (file, first_step, n_steps, md5).
+    */
+  def verifyBlendSchedule(spark: SparkSession, dir: String, epoch: Int)
+      : DataFrame = {
+    val p = new HPath(s"$dir/${epochDirName(epoch)}/$BlendDirName",
+      BlendManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no blend schedule at $p — writeBlendSchedule first")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val filesNode = tree.get("files")
+    require(filesNode != null && filesNode.isArray,
+      s"not a blend-schedule manifest (files is not an array): $p")
+    val expected = {
+      val b = Seq.newBuilder[(String, Long, Long, String)]
+      val it = filesNode.elements()
+      while (it.hasNext) {
+        val n = it.next()
+        def f(name: String) = {
+          val v = n.get(name)
+          require(v != null && !v.isNull,
+            s"not a blend-schedule manifest (missing '$name'): $p")
+          v
+        }
+        b += ((f("file").asText(), f("first_step").asLong(),
+          f("n_steps").asLong(), f("md5").asText()))
+      }
+      b.result()
+    }
+    val actual = spark.read.format("binaryFile")
+      .load(s"$dir/${epochDirName(epoch)}/$BlendDirName/*$BlendSuffix")
+      .select(regexp_extract(col("path"),
+          "([^/]+\\" + BlendSuffix + ")$", 1).as("file"),
+        md5(col("content")).as("md5"), col("length"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val problems = Seq.newBuilder[String]
+    expected.foreach { case (file, _, nSteps, wantMd5) =>
+      actual.get(file) match {
+        case None => problems += s"$file: MISSING"
+        case Some((gotMd5, len)) =>
+          if (gotMd5 != wantMd5)
+            problems += s"$file: md5 $gotMd5 != manifest $wantMd5"
+          else if (len != BlendHeaderBytes + 12L * nSteps)
+            problems += s"$file: $len bytes, manifest says $nSteps steps"
+      }
+    }
+    actual.keySet.diff(expected.map(_._1).toSet).toSeq.sorted
+      .foreach(f => problems += s"$f: present but not in manifest")
+    val bad = problems.result()
+    require(bad.isEmpty,
+      s"blend schedule for epoch $epoch at $dir fails manifest " +
+        s"verification:\n  ${bad.mkString("\n  ")}")
+    import spark.implicits._
+    expected.toDF("file", "first_step", "n_steps", "md5")
+  }
+
+  /** One DATA-PARALLEL rank's slice of the composed blend read — the
+    * standard round-robin assignment (global step G feeds rank
+    * `(G−1) mod worldSize`), filtered from [[readInBlendOrder]]'s
+    * output so EACH rank reconstructs exactly its own consumption
+    * stream from the published files alone: slices are disjoint,
+    * exhaustive, and balanced within one step (spec-asserted). Resume
+    * composes unchanged: pass the checkpoint's `afterStep` and every
+    * rank skips the same global prefix.
+    */
+  def readBlendForRank(spark: SparkSession, dir: String, epoch: Int,
+      rank: Int, worldSize: Int, afterStep: Long = 0L): DataFrame = {
+    require(worldSize >= 1, s"worldSize must be >= 1, got $worldSize")
+    require(rank >= 0 && rank < worldSize,
+      s"rank must be in [0, $worldSize), got $rank")
+    readInBlendOrder(spark, dir, epoch, afterStep)
+      .filter((col("global_step") - 1) % worldSize === rank)
   }
 
   /** Driver-side reference reader for one blend part — the loader

@@ -448,6 +448,104 @@ class TrainerShardsSpec extends SparkSpec {
     }
   }
 
+  test("artifact integrity one level up: verifyEpochOrder and " +
+      "verifyBlendSchedule pass pristine sets and name flipped " +
+      "bytes / retired-generation mismatches; readBlendForRank " +
+      "slices are disjoint, exhaustive, and balanced") {
+    val seqs = materialize(fixture, seqLen = 8)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    TrainerShards.writeBlendSchedule(spark, dir, 0,
+      Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5), stepsPerFile = 4)
+    // pristine: both verifiers pass and return their inventories
+    assert(TrainerShards.verifyEpochOrder(spark, dir, 0).count() == 3)
+    assert(TrainerShards.verifyBlendSchedule(spark, dir, 0).count()
+      >= 1)
+    // DP-rank slices: disjoint, exhaustive, balanced within one step
+    val full = TrainerShards.readInBlendOrder(spark, dir, 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val slices = (0 until 3).map { r =>
+      TrainerShards.readBlendForRank(spark, dir, 0, r, worldSize = 3)
+        .collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    }
+    assert(slices.map(_.size).sum == full.size &&
+      slices.reduce(_ ++ _) == full,
+      "rank slices are not an exact partition of the blend")
+    assert(slices.map(_.size).max - slices.map(_.size).min <= 1,
+      s"rank slices unbalanced: ${slices.map(_.size)}")
+    slices.foreach(s1 => slices.foreach(s2 =>
+      assert((s1 eq s2) || s1.intersect(s2).isEmpty)))
+    // a flipped byte in an .ord fails verifyEpochOrder loudly
+    val stem = TrainerShards.fileStem("en")
+    val ord = java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0), stem + TrainerShards.OrdSuffix)
+    val ordBytes = java.nio.file.Files.readAllBytes(ord)
+    val patched = ordBytes.clone()
+    patched(patched.length - 1) = (patched(patched.length - 1) ^ 0x1)
+      .toByte
+    java.nio.file.Files.write(ord, patched)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0),
+      "." + stem + TrainerShards.OrdSuffix + ".crc"))
+    val ordBoom = intercept[IllegalArgumentException] {
+      TrainerShards.verifyEpochOrder(spark, dir, 0)
+    }
+    assert(ordBoom.getMessage.contains(stem) &&
+      ordBoom.getMessage.contains("md5"), ordBoom.getMessage)
+    java.nio.file.Files.write(ord, ordBytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0),
+      "." + stem + TrainerShards.OrdSuffix + ".crc"))
+    // an epoch manifest from a RETIRED shard generation (sequence
+    // counts no longer matching the live .idx) refuses
+    val eManifest = java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0), TrainerShards.EpochManifestName)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val eTree = mapper.readTree(
+      java.nio.file.Files.readAllBytes(eManifest))
+    val eBytes = java.nio.file.Files.readAllBytes(eManifest)
+    eTree.get("strata").elements().forEachRemaining { n =>
+      val o = n.asInstanceOf[com.fasterxml.jackson.databind.node
+        .ObjectNode]
+      if (o.get("stratum").asText() == "en")
+        o.put("n_sequences", o.get("n_sequences").asLong() + 1)
+      ()
+    }
+    java.nio.file.Files.write(eManifest, mapper.writeValueAsBytes(eTree))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0),
+      "." + TrainerShards.EpochManifestName + ".crc"))
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.verifyEpochOrder(spark, dir, 0)
+    }.getMessage.contains("manifest says"))
+    java.nio.file.Files.write(eManifest, eBytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0),
+      "." + TrainerShards.EpochManifestName + ".crc"))
+    // a flipped byte in a blend part fails verifyBlendSchedule loudly
+    val blendDir = java.nio.file.Paths.get(dir,
+      TrainerShards.epochDirName(0), TrainerShards.BlendDirName)
+    val part = new java.io.File(blendDir.toString).listFiles()
+      .map(_.getName).filter(_.endsWith(TrainerShards.BlendSuffix))
+      .sorted.head
+    val pPath = blendDir.resolve(part)
+    val pBytes = java.nio.file.Files.readAllBytes(pPath)
+    val pPatched = pBytes.clone()
+    pPatched(pPatched.length - 1) =
+      (pPatched(pPatched.length - 1) ^ 0x1).toByte
+    java.nio.file.Files.write(pPath, pPatched)
+    java.nio.file.Files.deleteIfExists(blendDir.resolve("." + part +
+      ".crc"))
+    val blendBoom = intercept[IllegalArgumentException] {
+      TrainerShards.verifyBlendSchedule(spark, dir, 0)
+    }
+    assert(blendBoom.getMessage.contains(part) &&
+      blendBoom.getMessage.contains("md5"), blendBoom.getMessage)
+  }
+
   private def exceptionChain(t: Throwable): Seq[String] =
     if (t == null) Nil
     else Option(t.getMessage).toSeq ++ exceptionChain(t.getCause)
