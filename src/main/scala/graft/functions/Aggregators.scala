@@ -307,12 +307,10 @@ object Aggregators {
       TopKBufS(Array.empty, Array.empty, Array.empty)
 
     // Spark sorts strings as unsigned UTF-8 bytes; comparing the Java
-    // strings directly would diverge above the BMP. The conversion
-    // allocates, but only inside k-bounded buffer maintenance — never
-    // per candidate on the O(1) reject hot path's happy case? It IS on
-    // the hot path via ranksBefore — so compare code points instead:
-    // UTF-8 byte order equals CODE POINT order (a property of UTF-8),
-    // and compareTo on code points needs no allocation.
+    // strings directly (UTF-16 code units) would diverge above the
+    // BMP. UTF-8 byte order equals CODE POINT order (a property of
+    // UTF-8's encoding), so compare code points — allocation-free,
+    // cheap enough for the per-candidate reject path.
     private def utf8Lt(a: String, b: String): Boolean = {
       val la = a.length; val lb = b.length
       var i = 0
