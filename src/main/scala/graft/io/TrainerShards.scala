@@ -362,6 +362,15 @@ object TrainerShards {
       s"manifest at $dir carries no content checksums (written by a " +
         "pre-checksum version) — re-run write() to certify integrity")
     def actualMd5(suffix: String): Map[String, String] = {
+      // an EMPTY published shard set (empty input) has a manifest but
+      // no shard files — the binaryFile glob would fail on zero
+      // matches, so list first (vacuous verification is correct here:
+      // the manifest declares nothing)
+      val fs = new HPath(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.listStatus(new HPath(dir))
+          .exists(_.getPath.getName.endsWith(suffix)))
+        return Map.empty
       val files = spark.read.format("binaryFile").load(s"$dir/*$suffix")
         .select(regexp_extract(col("path"),
             "([^/]+)\\" + suffix + "$", 1).as("stem"),
@@ -947,7 +956,14 @@ object TrainerShards {
     * [[write]]'s machinery, attempt-unique staging files included.
     * Each part writer ASSERTS its steps arrive dense and sequential
     * (`first_step + written`), so a closed-form bug can never publish
-    * a silently gapped or duplicated schedule.
+    * a silently gapped or duplicated schedule. HONEST BOUND: total
+    * work is O(|strata| · Σm) — linear in steps but also linear in
+    * strata PER STEP. Mixture strata are languages/sources (10²–10³
+    * by construction, the same bound the driver-side listing and the
+    * ordinal table already assume), where this is noise; a
+    * 10⁵-stratum blend (e.g. per-domain) should collapse strata
+    * upstream first (the [[graft.operators.Curation]] domain-quota
+    * machinery exists for exactly that), not widen this closed form.
     *
     * `weights` must cover every stratum in the shard set exactly (no
     * extras — a typo would silently re-weight the mix); each weight

@@ -766,5 +766,8 @@ class TrainerShardsSpec extends SparkSpec {
     TrainerShards.write(seqs.filter(lit(false)), "lang", "seq_id",
       "token_ids", 1, empty)
     assert(TrainerShards.listShards(spark, empty).isEmpty)
+    // an empty set still verifies (manifest declares nothing; the
+    // binaryFile glob must not trip on zero matches)
+    assert(TrainerShards.verifyManifest(spark, empty).count() == 0)
   }
 }
