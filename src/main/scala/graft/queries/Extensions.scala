@@ -496,6 +496,41 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  /** The shared width-1 zero-merge shard set over the documents
+    * table — the artifact x116–x119 all read or annotate, built ONCE
+    * per (dir, version) under a `_DONE`-marked fixture path (the x84
+    * device): the sidecar queries then time THEIR level of the
+    * artifact (read-back, epoch order, blend), not a redundant
+    * rebuild of the level below. x114 deliberately keeps its own
+    * write — timing the shard WRITER is its point, and its oracle
+    * checks that write's bytes. Epoch orders and blends are still
+    * (re)published by each query that needs them: those writes swap
+    * atomically and are byte-deterministic per (seed, epoch, weights,
+    * factors), so queries sharing the fixture cannot see each other's
+    * state — each republishes exactly what it reads.
+    */
+  private val shardFixtureLock = new Object
+  private val ShardFixtureVersion = 1
+  private def sharedShardSet(s: SparkSession, dir: String): String =
+    shardFixtureLock.synchronized {
+      val key = fixtureKey(dir, ShardFixtureVersion)
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_shard_fixture_$key"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$base/_DONE")
+      if (!fs.exists(done)) {
+        val d = docs(s, dir).filter(col("text").isNotNull)
+        val seqs = graft.operators.Packing.materializeSequences(d,
+          "doc_id", "text", "lang", seqLen = 512, merges = Nil,
+          tokenPattern = TextFunctions.bpeBytePatternFull)
+        graft.io.TrainerShards.write(seqs, "lang", "seq_id",
+          "token_ids", width = 1, s"$base/shards")
+        fs.create(done).close()
+      }
+      s"$base/shards"
+    }
+
   /** x116: trainer-shard READ-BACK — the x114 artifact re-entering the
     * engine through [[graft.io.TrainerShards.read]] (binaryFile scan +
     * the compiled [[graft.expressions.ShardSequences]] kernel), one
@@ -503,16 +538,11 @@ object Extensions {
     * distributed read → per-sequence bytes equal the x96
     * materialization arithmetic, restated by the oracle from the
     * documents table alone — the full write/read loop is
-    * oracle-certified, not just the writer.
+    * oracle-certified, not just the writer (the write lands once in
+    * the shared fixture; x114 times and byte-checks the writer).
     */
   def x116ShardReadback(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).filter(col("text").isNotNull)
-    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
-      "text", "lang", seqLen = 512, merges = Nil,
-      tokenPattern = TextFunctions.bpeBytePatternFull)
-    val out = scratchIndexPath("x116_shards", dir)
-    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
-      width = 1, out)
+    val out = sharedShardSet(s, dir)
     graft.io.TrainerShards.read(s, out)
       .select(col("stratum").as("lang"),
         col("seq_idx").as("seq_id"),
@@ -528,9 +558,10 @@ object Extensions {
     * mmap-able `.ord` file per stratum under `epoch-NNNNN/`, u64 LE
     * sequence positions in consumption order, permuted by the x73
     * md5(seed:epoch:stratum:pos) construction so the file is a pure
-    * function of (seed, epoch, sequence counts). The query writes the
-    * x114 shard set, writes epoch 1's sidecars, and reads the
-    * PUBLISHED files back distributed ([[graft.expressions
+    * function of (seed, epoch, sequence counts). The query writes
+    * epoch 1's sidecars over the shared shard fixture
+    * ([[sharedShardSet]] — x114 times the shard write itself) and
+    * reads the PUBLISHED files back distributed ([[graft.expressions
     * .EpochOrdPositions]]); the oracle restates every (rank, pos) row
     * from the documents table alone — sequence counts via the x114
     * packing arithmetic, the permutation via the same md5 sort. A
@@ -538,13 +569,7 @@ object Extensions {
     * (x110's prefix/remainder partition — spec-asserted).
     */
   def x117EpochOrder(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).filter(col("text").isNotNull)
-    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
-      "text", "lang", seqLen = 512, merges = Nil,
-      tokenPattern = TextFunctions.bpeBytePatternFull)
-    val out = scratchIndexPath("x117_shards", dir)
-    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
-      width = 1, out)
+    val out = sharedShardSet(s, dir)
     graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
       epoch = 1)
     graft.io.TrainerShards.readEpochOrder(s, out, epoch = 1)
@@ -574,13 +599,7 @@ object Extensions {
     * virtual-time tie-break is exercised on every shared k.
     */
   def x118BlendSchedule(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).filter(col("text").isNotNull)
-    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
-      "text", "lang", seqLen = 512, merges = Nil,
-      tokenPattern = TextFunctions.bpeBytePatternFull)
-    val out = scratchIndexPath("x118_shards", dir)
-    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
-      width = 1, out)
+    val out = sharedShardSet(s, dir)
     graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
       epoch = 1)
     // weights from the stratum name alone (1.0 + 0.5·alphabet position
@@ -612,13 +631,7 @@ object Extensions {
     * actually being checked.
     */
   def x119BlendEpochs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).filter(col("text").isNotNull)
-    val seqs = graft.operators.Packing.materializeSequences(d, "doc_id",
-      "text", "lang", seqLen = 512, merges = Nil,
-      tokenPattern = TextFunctions.bpeBytePatternFull)
-    val out = scratchIndexPath("x119_shards", dir)
-    graft.io.TrainerShards.write(seqs, "lang", "seq_id", "token_ids",
-      width = 1, out)
+    val out = sharedShardSet(s, dir)
     graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
       epoch = 1)
     val shards = graft.io.TrainerShards.listShards(s, out)
