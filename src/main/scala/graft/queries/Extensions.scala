@@ -1774,7 +1774,7 @@ object Extensions {
   def x79PcaProject(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Embeddings.PcaModel
     val e = emb(s, dir)
-    val d = e.select(size(col("embedding"))).head.getInt(0)
+    val d = e.select(size(col("embedding"))).head().getInt(0)
     val mFull = graft.operators.Embeddings.trainPca(e, "embedding", k = d)
     val m16 = PcaModel(mFull.mean, mFull.components.take(16),
       mFull.explainedVariance.take(16))

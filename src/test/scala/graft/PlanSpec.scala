@@ -228,6 +228,22 @@ class PlanSpec extends SparkSpec {
     assert(p45.contains("partial_"), p45)
   }
 
+  test("x118/x119: the blend artifact reads carry no Window and no " +
+      "cartesian product — every rank comes from the published files " +
+      "through compiled kernels and bounded-key joins") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (q <- Seq(Extensions.x118BlendSchedule(spark, sfDir),
+        Extensions.x119BlendEpochs(spark, sfDir))) {
+      val wins = q.queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w
+      }
+      assert(wins.isEmpty,
+        s"a blend read ranks through a window: ${wins.mkString}")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("x34: rerank coarse stage is a bounded partial-merge agg; the " +
       "only window ranks the <= k*overfetch candidate set") {
     val p = plan(Extensions.x34KnnRerank(spark, sfDir))
