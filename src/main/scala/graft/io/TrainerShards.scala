@@ -110,9 +110,21 @@ object TrainerShards {
     * this returns; the manifest frame is driver-built and
     * stratum-count-sized (bounded: strata are the declared shard
     * unit).
+    *
+    * `provenance` is a free-form string map shipped VERBATIM into
+    * `_MANIFEST.json` — the slot for what the bytes alone cannot say:
+    * WHICH tokenizer produced these ids (vocab file md5), which
+    * corpus snapshot, which pipeline version. Token ids are
+    * meaningless under a different vocabulary, and a loader that
+    * checks `readProvenance` against its tokenizer artifact before
+    * trusting the ids turns that silent-garbage failure into a loud
+    * one. Keys must be non-empty; values are arbitrary strings.
     */
   def write(seqs: DataFrame, strataCol: String, seqIdCol: String,
-      tokenIdsCol: String, width: Int, dir: String): DataFrame = {
+      tokenIdsCol: String, width: Int, dir: String,
+      provenance: Map[String, String] = Map.empty): DataFrame = {
+    require(provenance.keys.forall(_.nonEmpty),
+      "provenance keys must be non-empty")
     require(width == 1 || width == 2 || width == 4,
       s"width must be 1, 2, or 4 bytes, got $width")
     val spark = seqs.sparkSession
@@ -230,7 +242,7 @@ object TrainerShards {
     // the two-rename publish makes shard files and manifest visible
     // atomically): a loader reads counts/width/bytes without deriving
     // them from file sizes, and a shard set is self-describing
-    writeManifest(spark, staging, width, manifestRows)
+    writeManifest(spark, staging, width, manifestRows, provenance)
     publish(spark, staging, dir)
     spark.createDataFrame(
       spark.sparkContext.parallelize(manifestRows.toIndexedSeq,
@@ -246,12 +258,19 @@ object TrainerShards {
     * reader glob.
     */
   private def writeManifest(spark: SparkSession, staging: String,
-      width: Int, rows: Array[Row]): Unit = {
+      width: Int, rows: Array[Row],
+      provenance: Map[String, String]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("format", "graft-trainer-shards")
     root.put("version", Version)
     root.put("width", width)
+    val prov = mapper.createObjectNode()
+    provenance.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      prov.put(k, v); ()
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("provenance",
+      prov)
     val arr = mapper.createArrayNode()
     rows.sortBy(_.getString(0)).foreach { r =>
       val n = mapper.createObjectNode()
@@ -402,6 +421,34 @@ object TrainerShards {
         bad.mkString("\n  "))
     m.select(col("stratum"), col("file"), col("tokens_md5"),
       col("idx_md5"))
+  }
+
+  /** The provenance map a shard set was written with — empty for a
+    * manifest from a pre-provenance version (readable; the CHECK is
+    * the caller's: compare the tokenizer identity here against the
+    * vocabulary you are about to decode with).
+    */
+  def readProvenance(spark: SparkSession, dir: String)
+      : Map[String, String] = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new HPath(dir, ManifestName)
+    require(fs.exists(p), s"no shard manifest at $p")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val prov = tree.get("provenance")
+    if (prov == null || prov.isNull || !prov.isObject) Map.empty
+    else {
+      val b = Map.newBuilder[String, String]
+      val it = prov.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        b += (e.getKey -> e.getValue.asText())
+      }
+      b.result()
+    }
   }
 
   /** The attempt-unique staging suffix for the running task — the

@@ -770,4 +770,30 @@ class TrainerShardsSpec extends SparkSpec {
     // binaryFile glob must not trip on zero matches)
     assert(TrainerShards.verifyManifest(spark, empty).count() == 0)
   }
+
+  test("provenance rides the manifest verbatim: the tokenizer/corpus " +
+      "identity a loader must check before trusting the ids " +
+      "round-trips; absent provenance reads as empty") {
+    import spark.implicits._
+    val seqs = Seq(("en", 0L, Seq(1L, 2L)))
+      .toDF("lang", "seq_id", "token_ids")
+    val dir = tmpDir()
+    val prov = Map("tokenizer_md5" -> "abc123",
+      "corpus_snapshot" -> "2026-08-16", "pipeline" -> "graft-r15")
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 1, dir,
+      provenance = prov)
+    assert(TrainerShards.readProvenance(spark, dir) == prov)
+    // still verifies with provenance present
+    TrainerShards.verifyManifest(spark, dir)
+    // default write carries an EMPTY provenance object, not a missing
+    // field — and reads back empty
+    val plain = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 1, plain)
+    assert(TrainerShards.readProvenance(spark, plain).isEmpty)
+    // empty keys refuse
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 1,
+        tmpDir(), provenance = Map("" -> "x"))
+    }.getMessage.contains("non-empty"))
+  }
 }
