@@ -1190,7 +1190,7 @@ object SparkEntry {
         |o AS (
         |  SELECT lang, pos,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY md5('ep' || ':' || '1' || ':' || lang || ':' ||
+        |      ORDER BY md5('ep' || ':' || '2' || ':' || lang || ':' ||
         |        CAST(pos AS VARCHAR)), pos) AS rank
         |  FROM (SELECT lang, g.p AS pos
         |        FROM t, LATERAL (SELECT
@@ -1236,7 +1236,7 @@ object SparkEntry {
         |o AS (
         |  SELECT lang, pos,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY md5('ep' || ':' || '1' || ':' || lang || ':' ||
+        |      ORDER BY md5('ep' || ':' || '3' || ':' || lang || ':' ||
         |        CAST(pos AS VARCHAR)), pos) AS rank
         |  FROM (SELECT lang, g.p AS pos
         |        FROM t, LATERAL (SELECT

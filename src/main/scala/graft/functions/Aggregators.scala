@@ -308,24 +308,24 @@ object Aggregators {
 
     // Spark sorts strings as unsigned UTF-8 bytes; comparing the Java
     // strings directly (UTF-16 code units) would diverge above the
-    // BMP. UTF-8 byte order equals CODE POINT order (a property of
-    // UTF-8's encoding), so compare code points — allocation-free,
-    // cheap enough for the per-candidate reject path.
-    private def utf8Lt(a: String, b: String): Boolean = {
-      val la = a.length; val lb = b.length
-      var i = 0
-      while (i < la && i < lb) {
-        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
-        if (ca != cb) return ca < cb
-        i += Character.charCount(ca)
-      }
-      la < lb
-    }
+    // BMP, and comparing CODE POINTS diverges on malformed input: an
+    // unpaired surrogate encodes as the replacement byte '?' under
+    // UTF8String.fromString, so it must rank as 0x3F here too or the
+    // aggregate orders such an id differently than the row_number()
+    // window form this class is documented to byte-equal. Compare
+    // through UTF8String itself — the one ordering Spark's own sort
+    // uses, malformed input included.
+    private def utf8Cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
     private def ranksBefore(s1: Double, a1: String, b1: Long,
         s2: Double, a2: String, b2: Long): Boolean = {
       val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
-      c > 0 || (c == 0 && (utf8Lt(a1, a2) || (a1 == a2 && b1 < b2)))
+      if (c != 0) return c > 0
+      val k = utf8Cmp(a1, a2)
+      k < 0 || (k == 0 && b1 < b2)
     }
 
     override def reduce(buf: TopKBufS, in: ScoredRowS): TopKBufS = {

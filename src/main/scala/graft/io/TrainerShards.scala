@@ -1010,7 +1010,9 @@ object TrainerShards {
     * ordinal table already assume), where this is noise; a
     * 10⁵-stratum blend (e.g. per-domain) should collapse strata
     * upstream first (the [[graft.operators.Curation]] domain-quota
-    * machinery exists for exactly that), not widen this closed form.
+    * machinery exists for exactly that), not widen this closed form —
+    * and `maxStrata` (default 10^4) refuses the pathological call
+    * LOUDLY rather than letting it run silently quadratic.
     *
     * `weights` must cover every stratum in the shard set exactly (no
     * extras — a typo would silently re-weight the mix); each weight
@@ -1024,9 +1026,11 @@ object TrainerShards {
     */
   def writeBlendSchedule(spark: SparkSession, dir: String, epoch: Int,
       weights: Map[String, Double], stepsPerFile: Long = 1L << 22,
-      epochsFactors: Map[String, Double] = Map.empty)
+      epochsFactors: Map[String, Double] = Map.empty,
+      maxStrata: Int = 10000)
       : DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(maxStrata >= 1, s"maxStrata must be >= 1, got $maxStrata")
     require(stepsPerFile >= 1,
       s"stepsPerFile must be >= 1, got $stepsPerFile")
     require(!spark.conf.getOption("spark.speculation")
@@ -1051,6 +1055,17 @@ object TrainerShards {
       case ((a, _), (b, _)) => utf8Lt(a, b)
     }
     require(strata.nonEmpty, s"no shards at $dir — write() first")
+    // the closed form costs O(|strata|) long ops PER STEP (see the
+    // honest bound in the doc above): fine at the 10^2-10^3 mixture
+    // strata this layer produces, silently quadratic at 10^5. Refuse
+    // the pathological call LOUDLY instead of running it.
+    require(strata.size <= maxStrata,
+      s"${strata.size} strata exceeds maxStrata=$maxStrata — the " +
+        s"closed-form interleave costs O(|strata|) per step " +
+        s"(~${strata.size}x${strata.map(_._2).sum} long ops here); " +
+        "collapse strata upstream first (the Curation domain-quota / " +
+        "Mixing machinery exists for exactly that), or raise " +
+        "maxStrata explicitly if the cost is truly intended")
     val names = strata.map(_._1).toArray
     val ns = strata.map(_._2).toArray
     val missing = names.filterNot(weights.contains)
@@ -1080,7 +1095,7 @@ object TrainerShards {
         s"epochs factor for stratum '$s' out of [0, 1000): $f")
       math.floor(f * 1000d).toLong
     }
-    val ms = names.indices.map(i => ns(i) * fms(i) / 1000L).toArray
+    val ms = consumptionSteps(names, ns, fms)
     val total = ms.sum
     require(total >= 1,
       "every stratum's epochs factor rounds to zero steps — nothing " +
@@ -1222,6 +1237,20 @@ object TrainerShards {
         StructField("factor_milli", LongType, nullable = false),
         StructField("n_steps", LongType, nullable = false))))
   }
+
+  /** Per-stratum consumption steps m_s = (n_s · f_milli) div 1000 —
+    * guarded: n_s can be trillions at 100 TB and f_milli up to
+    * 999_999, and the product must not wrap silently into a negative
+    * schedule.
+    */
+  private[graft] def consumptionSteps(names: Array[String],
+      ns: Array[Long], fms: Array[Long]): Array[Long] =
+    names.indices.map { i =>
+      require(fms(i) == 0 || ns(i) <= Long.MaxValue / fms(i),
+        s"n_sequences(${ns(i)}) x factor_milli(${fms(i)}) for " +
+          s"stratum '${names(i)}' overflows a long")
+      ns(i) * fms(i) / 1000L
+    }.toArray
 
   private def writeBlendManifest(spark: SparkSession, staging: String,
       epoch: Int, stepsPerFile: Long, total: Long,

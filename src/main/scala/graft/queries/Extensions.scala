@@ -506,8 +506,11 @@ object Extensions {
     * checks that write's bytes. Epoch orders and blends are still
     * (re)published by each query that needs them: those writes swap
     * atomically and are byte-deterministic per (seed, epoch, weights,
-    * factors), so queries sharing the fixture cannot see each other's
-    * state — each republishes exactly what it reads.
+    * factors), AND each query owns a DISTINCT epoch number (x117→1,
+    * x118→2, x119→3) so their artifacts never alias: writeEpochOrder
+    * retires the epoch dir (blend included) on republish, and a lazy
+    * frame from one query executed after another query's swap must
+    * still read its own files.
     */
   private val shardFixtureLock = new Object
   private val ShardFixtureVersion = 1
@@ -600,16 +603,21 @@ object Extensions {
     */
   def x118BlendSchedule(s: SparkSession, dir: String): DataFrame = {
     val out = sharedShardSet(s, dir)
+    // epoch 2 is x118's OWN epoch number (x117 owns 1, x119 owns 3):
+    // the sidecar queries share one shard fixture but must never
+    // share an epoch directory — writeEpochOrder retires and replaces
+    // the blend dir, so a lazily-executed frame from one query could
+    // otherwise read another query's artifact mid-swap
     graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
-      epoch = 1)
+      epoch = 2)
     // weights from the stratum name alone (1.0 + 0.5·alphabet position
     // of the first letter) so the oracle can restate them
     val weights = graft.io.TrainerShards.listShards(s, out)
       .map(l => l -> (1.0 + 0.5 * (l.charAt(0) - 'a' + 1))).toMap
-    graft.io.TrainerShards.writeBlendSchedule(s, out, epoch = 1,
+    graft.io.TrainerShards.writeBlendSchedule(s, out, epoch = 2,
       weights)
-    graft.io.TrainerShards.readBlendSchedule(s, out, epoch = 1)
-      .join(graft.io.TrainerShards.readEpochOrder(s, out, epoch = 1),
+    graft.io.TrainerShards.readBlendSchedule(s, out, epoch = 2)
+      .join(graft.io.TrainerShards.readEpochOrder(s, out, epoch = 2),
         Seq("stratum", "rank"))
       .select(col("global_step"), col("stratum").as("lang"),
         col("rank"), col("pos"))
@@ -632,8 +640,9 @@ object Extensions {
     */
   def x119BlendEpochs(s: SparkSession, dir: String): DataFrame = {
     val out = sharedShardSet(s, dir)
+    // epoch 3: x119's own epoch number — see x118's aliasing note
     graft.io.TrainerShards.writeEpochOrder(s, out, seed = "ep",
-      epoch = 1)
+      epoch = 3)
     val shards = graft.io.TrainerShards.listShards(s, out)
     val weights = shards
       .map(l => l -> (1.0 + 0.5 * (l.charAt(0) - 'a' + 1))).toMap
@@ -644,9 +653,9 @@ object Extensions {
     val factors = shards
       .map(l => l -> (0.5 + 0.75 * ((l.charAt(0) - 'a' + 1) % 3)))
       .toMap
-    graft.io.TrainerShards.writeBlendSchedule(s, out, epoch = 1,
+    graft.io.TrainerShards.writeBlendSchedule(s, out, epoch = 3,
       weights, epochsFactors = factors)
-    graft.io.TrainerShards.readInBlendOrder(s, out, epoch = 1)
+    graft.io.TrainerShards.readInBlendOrder(s, out, epoch = 3)
       .select(col("global_step"), col("stratum").as("lang"),
         col("rank"), col("pos"))
       .orderBy(col("global_step"))

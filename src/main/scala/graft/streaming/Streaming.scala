@@ -1133,6 +1133,7 @@ object Streaming {
       expectedDim: Int, checkLive: () => Unit,
       screen: (DataFrame, DataFrame) => DataFrame,
       presentIds: DataFrame => DataFrame,
+      allIds: () => DataFrame,
       extendFn: DataFrame => Unit, compactFn: () => Unit,
       idCol: String, vecCol: String, streamId: String,
       compactEvery: Int)
@@ -1174,18 +1175,38 @@ object Streaming {
             // the append IDEMPOTENT across the crash window between
             // extend and marker.record (the replayed batch's vectors
             // are found present and skipped — exactly-once with no
-            // rebuild), and it makes a re-crawled live id a no-op
-            // instead of a poison pill (extend refuses duplicate ids
-            // loudly, and restart recovery would re-deliver the batch
-            // forever). The presence scan is CELL-PRUNED by the
-            // callback (an arrival can only have landed in its
-            // assigned cell under the frozen quantizers), so its cost
-            // is the batch's cells, never the index
-            val appendable = arrivals
+            // rebuild). The presence scan is CELL-PRUNED by the
+            // callback (an UNCHANGED arrival can only have landed in
+            // its assigned cell under the frozen quantizers), so its
+            // cost is the batch's cells, never the index — but that
+            // same-vector assumption is exactly what a RE-CRAWLED id
+            // with a changed embedding violates: it assigns to a
+            // different cell, escapes the pruned scan, and would
+            // append a silent duplicate neighbor_id. So the pruned
+            // scan's SURVIVORS (genuinely-new-looking ids — a replay
+            // leaves none, skipping this leg entirely) get an id-only
+            // UNPRUNED check: the index's id column streams through a
+            // broadcast semi-join against the batch-sized survivor
+            // set, then the tiny hit set anti-joins back out — both
+            // joins broadcast the small side, the big side is one
+            // column-pruned scan per appending batch. That scan is
+            // the price of exactly-once under an upstream that may
+            // re-deliver a live id with new bytes.
+            val candidates = arrivals
               .join(liveTomb, Seq(idCol), "left_anti")
               .join(presentIds(arrivals).select(col(idCol)),
                 Seq(idCol), "left_anti")
-            if (!appendable.isEmpty) extendFn(appendable)
+              .persist()
+            try {
+              if (!candidates.isEmpty) {
+                val dupElsewhere = allIds()
+                  .join(broadcast(candidates.select(col(idCol))),
+                    Seq(idCol), "left_semi")
+                val appendable = candidates
+                  .join(dupElsewhere, Seq(idCol), "left_anti")
+                if (!appendable.isEmpty) extendFn(appendable)
+              }
+            } finally { candidates.unpersist(); () }
             // record even when nothing appended: the skip decision is
             // now made once per batch id, and a replay after the
             // crash window heals the marker instead of re-probing
@@ -1321,6 +1342,8 @@ object Streaming {
           .select(col("neighbor_id").as(idCol), col("cell"))
           .filter(col("cell").isin(batchCells: _*))
       },
+      allIds = () =>
+        index.codesRaw.select(col("neighbor_id").as(idCol)),
       extendFn = d => index.extend(d, idCol, vecCol),
       compactFn = () => { index.compact(); () },
       idCol, vecCol, streamId, compactEvery)(onMatches)
@@ -1375,6 +1398,8 @@ object Streaming {
           .select(col("neighbor_id").as(idCol), col("cell"))
           .filter(col("cell").isin(batchCells: _*))
       },
+      allIds = () =>
+        index.cellsRaw.select(col("neighbor_id").as(idCol)),
       extendFn = d => index.extend(d, idCol, vecCol),
       compactFn = () => { index.compact(); () },
       idCol, vecCol, streamId, compactEvery)(onMatches)

@@ -852,14 +852,19 @@ class AnnIndexSpec extends SparkSpec {
           round(col("cos"), 6).as("cos"))
     }
     // tie groups (copies of one vector) get ids whose FIRST char is
-    // 😀 (U+1F600, a surrogate pair), U+FFFD, or 'z' — U+1F600 sorts
-    // ABOVE U+FFFD in UTF-8/code-point order but BELOW it under
-    // Java's UTF-16 compareTo, so a buffer comparing Java strings
-    // would rank these ties wrongly
+    // 😀 (U+1F600, a surrogate pair), U+FFFD, a LONE surrogate, or
+    // 'z' — U+1F600 sorts ABOVE U+FFFD in UTF-8/code-point order but
+    // BELOW it under Java's UTF-16 compareTo, and the MALFORMED lone
+    // surrogate encodes as the replacement byte '?' (0x3F) under
+    // UTF8String.fromString, so it must sort BELOW 'z' (0x7A) here
+    // even though its code unit (0xD83D) is far above — a buffer
+    // comparing Java strings OR code points would rank these ties
+    // wrongly
     val sCorpus = intCorpus(nDistinct = 8, copies = 5)
       .withColumn("sid", concat(
-        when(col("vec_id") % 3 === 0, lit("😀"))
-          .when(col("vec_id") % 3 === 1, lit("�"))
+        when(col("vec_id") % 4 === 0, lit("😀"))
+          .when(col("vec_id") % 4 === 1, lit("�"))
+          .when(col("vec_id") % 4 === 2, lit("\ud83d"))
           .otherwise(lit("z")),
         col("vec_id").cast("string")))
     val sq = sCorpus.filter(col("vec_id") <= 6)

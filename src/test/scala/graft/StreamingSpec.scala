@@ -559,6 +559,30 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(idx.codes.count() == codesBefore + 2,
         "the stream did not survive the live re-arrival")
+      // a re-crawled live id whose EMBEDDING CHANGED assigns to a
+      // different cell, so the cell-pruned presence scan alone would
+      // miss it and append a silent duplicate neighbor_id — the
+      // id-only unpruned fallback on the survivors must catch it
+      import graft.functions.VectorFunctions.nearestCell
+      def cellOf(v: Seq[Float]): Int =
+        Seq(Tuple1(v)).toDF("embedding")
+          .select(nearestCell(col("embedding"), idx.centroids))
+          .collect()(0).getInt(0)
+      val moved = emb.orderBy(col("vec_id").desc).limit(64).collect()
+        .map(_.getSeq[Float](1))
+        .find(v => cellOf(v) != cellOf(twin))
+        .getOrElse(fail("no fixture vector lands in a different " +
+          "cell — widen the candidate pool"))
+      input.addData(Seq((800002L, moved)))
+      q.processAllAvailable()
+      assert(idx.codes.count() == codesBefore + 2,
+        "a re-crawled id with a CHANGED vector escaped the " +
+          "cell-pruned presence scan and duplicated in the index")
+      // and the stream keeps extending genuinely-new ids after it
+      input.addData(Seq((800004L, twin)))
+      q.processAllAvailable()
+      assert(idx.codes.count() == codesBefore + 3,
+        "the changed-vector guard blocked a genuinely new id")
     } finally q.stop()
   }
 

@@ -448,6 +448,42 @@ class TrainerShardsSpec extends SparkSpec {
     }
   }
 
+  test("blend schedule guards: a pathological strata count refuses " +
+      "LOUDLY naming the collapse-upstream remedy (the closed form " +
+      "is O(|strata|) per step), and an n*factor product that would " +
+      "wrap a long refuses before any job runs") {
+    val seqs = materialize(fixture, seqLen = 8)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    val weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5)
+    // 3 strata against maxStrata = 2: the guard itself, exercised
+    // without manufacturing 10^4 files — the default bound is the
+    // same require on the same listing
+    val tooMany = intercept[IllegalArgumentException] {
+      TrainerShards.writeBlendSchedule(spark, dir, 0, weights,
+        maxStrata = 2)
+    }
+    assert(tooMany.getMessage.contains("collapse strata upstream") &&
+      tooMany.getMessage.contains("maxStrata"),
+      s"wrong guard message: ${tooMany.getMessage}")
+    // n_s * f_milli wrapping a long: a ~9.3e12-sequence stratum at
+    // factor 999.999 (f_milli 999_999) exceeds Long.MaxValue — the
+    // guarded arithmetic must refuse, not publish a negative-step
+    // schedule (the sizes come from idx sidecars too large to
+    // manufacture here, so the shared helper is exercised directly)
+    val wraps = intercept[IllegalArgumentException] {
+      TrainerShards.consumptionSteps(Array("de"),
+        Array(9300000000000L), Array(999999L))
+    }
+    assert(wraps.getMessage.contains("overflows a long") &&
+      wraps.getMessage.contains("de"),
+      s"wrong overflow message: ${wraps.getMessage}")
+    // and the in-range product is exact, not saturated
+    assert(TrainerShards.consumptionSteps(Array("en"),
+      Array(7L), Array(1500L)).toSeq == Seq(10L))
+  }
+
   test("artifact integrity one level up: verifyEpochOrder and " +
       "verifyBlendSchedule pass pristine sets and name flipped " +
       "bytes / retired-generation mismatches; readBlendForRank " +
