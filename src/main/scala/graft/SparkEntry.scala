@@ -181,6 +181,7 @@ object SparkEntry {
     "x117_epoch_order" -> Extensions.x117EpochOrder,
     "x118_blend_schedule" -> Extensions.x118BlendSchedule,
     "x119_blend_epochs" -> Extensions.x119BlendEpochs,
+    "x120_run_resume" -> Extensions.x120RunResume,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1246,6 +1247,59 @@ object SparkEntry {
         |FROM g JOIN w ON g.lang = w.lang
         |JOIN o ON o.lang = g.lang AND o.rank = ((g.k - 1) % w.n) + 1
         |ORDER BY global_step""".stripMargin,
+    // x120: the RUN-level resume restated end to end — counts via the
+    // x114 packing arithmetic, the x118 closed-form interleave PER
+    // EPOCH (same counts and weights, so the totals match), per-epoch
+    // md5 permutations (seed "run"), the prefix-sum run offset
+    // (epoch-1)*T, and the same floor(2T/3) mid-epoch-1 cutoff the
+    // query reads from _RUN.json — integer-exact in both engines
+    "x120_run_resume" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST((sum(octet_length(encode(text))) + 511) // 512
+        |      AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |  GROUP BY lang HAVING sum(octet_length(encode(text))) > 0),
+        |w AS (
+        |  SELECT lang, n,
+        |    CAST(1000 + 500 * strpos('abcdefghijklmnopqrstuvwxyz',
+        |      substr(lang, 1, 1)) AS BIGINT) AS w
+        |  FROM t),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM t),
+        |p AS (
+        |  SELECT lang, g.k AS k
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, w.n))
+        |    AS k) g),
+        |g AS (
+        |  SELECT p.lang, p.k,
+        |    p.k + COALESCE(SUM(
+        |      LEAST(wj.n, (p.k * wj.w - 1) // wi.w)
+        |      + CASE WHEN (p.k * wj.w) % wi.w = 0
+        |             AND (p.k * wj.w) // wi.w <= wj.n
+        |             AND wj.lang < p.lang THEN 1 ELSE 0 END), 0)
+        |      AS gstep
+        |  FROM p JOIN w wi ON p.lang = wi.lang
+        |  LEFT JOIN w wj ON wj.lang <> p.lang
+        |  GROUP BY p.lang, p.k),
+        |e AS (SELECT unnest(generate_series(1, 2)) AS epoch),
+        |o AS (
+        |  SELECT e.epoch, d.lang, d.pos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.epoch, d.lang
+        |      ORDER BY md5('run' || ':' || CAST(e.epoch AS VARCHAR)
+        |        || ':' || d.lang || ':' || CAST(d.pos AS VARCHAR)),
+        |        d.pos) AS rank
+        |  FROM e CROSS JOIN (SELECT lang, gg.p AS pos
+        |    FROM t, LATERAL (SELECT
+        |      unnest(generate_series(0, t.n - 1)) AS p) gg) d)
+        |SELECT CAST(g.gstep + (e.epoch - 1) * tot.t AS BIGINT)
+        |    AS run_step,
+        |  CAST(e.epoch AS INTEGER) AS epoch, g.lang,
+        |  CAST(g.k AS BIGINT) AS rank, CAST(o.pos AS BIGINT) AS pos
+        |FROM g CROSS JOIN e CROSS JOIN tot
+        |JOIN o ON o.epoch = e.epoch AND o.lang = g.lang
+        |  AND o.rank = g.k
+        |WHERE g.gstep + (e.epoch - 1) * tot.t > 2 * tot.t // 3
+        |ORDER BY run_step""".stripMargin,
     // x114: the written trainer-shard blob is, under the zero-merge
     // byte config, the stratum's concatenated document bytes in id
     // order (the x96 identity carried to the FILE) — sizes, sequence

@@ -1461,6 +1461,35 @@ object TrainerShards {
         col("pos"), col("token_ids"))
   }
 
+  /** The part-file names a published blend's `_BLEND.json` declares —
+    * the completeness ground truth the consumption stream checks a
+    * micro-batch against (epoch-part-count sized).
+    */
+  private[graft] def blendPartNames(spark: SparkSession, dir: String,
+      epoch: Int): Seq[String] = {
+    val p = new HPath(s"$dir/${epochDirName(epoch)}/$BlendDirName",
+      BlendManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no blend schedule at $p — writeBlendSchedule first")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val filesNode = tree.get("files")
+    require(filesNode != null && filesNode.isArray,
+      s"not a blend-schedule manifest (files is not an array): $p")
+    val b = Seq.newBuilder[String]
+    val it = filesNode.elements()
+    while (it.hasNext) {
+      val n = it.next().get("file")
+      require(n != null && !n.isNull,
+        s"not a blend-schedule manifest (missing 'file'): $p")
+      b += n.asText()
+    }
+    b.result()
+  }
+
   /** Verify a published blend schedule against its `_BLEND.json`
     * per-part checksums — [[verifyManifest]] / [[verifyEpochOrder]]'s
     * contract at the blend level: every part re-read through the
@@ -1542,6 +1571,402 @@ object TrainerShards {
       s"rank must be in [0, $worldSize), got $rank")
     readInBlendOrder(spark, dir, epoch, afterStep)
       .filter((col("global_step") - 1) % worldSize === rank)
+  }
+
+  // ==================== run-level manifest ====================
+
+  val RunManifestName = "_RUN.json"
+  private[graft] val RunVersion = 1
+
+  /** One epoch's row in the run manifest: its seed, its 1-based first
+    * RUN step (prefix sum over the preceding epochs' totals), its
+    * within-epoch total, its blend stepsPerFile, and the full strata
+    * table the blend was bound with — enough to refuse a republished
+    * blend that silently changed the mix.
+    */
+  private[graft] case class RunEpoch(epoch: Int, seed: String,
+      firstRunStep: Long, totalSteps: Long, stepsPerFile: Long,
+      strata: Seq[(String, Int, Long, Long, Long, Long)])
+
+  /** The epoch numbers with a published directory under `dir`. */
+  private def epochDirsOnDisk(spark: SparkSession, dir: String)
+      : Seq[Int] = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(dir))) Nil
+    else fs.listStatus(new HPath(dir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("epoch-\\d{5}") =>
+        n.stripPrefix("epoch-").toInt }
+      .sorted
+  }
+
+  /** The seed a published epoch's `_EPOCH.json` records. */
+  private def readEpochSeed(spark: SparkSession, dir: String,
+      epoch: Int): String = {
+    val p = new HPath(s"$dir/${epochDirName(epoch)}", EpochManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no epoch manifest at $p")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val v = tree.get("seed")
+    require(v != null && !v.isNull,
+      s"not an epoch-order manifest (missing 'seed'): $p")
+    v.asText()
+  }
+
+  /** Atomic single-file publish for the run manifest: temp file + an
+    * OVERWRITING `FileContext` rename — one filesystem operation, so
+    * a reader never observes a truncated `_RUN.json` and the previous
+    * manifest stays in place until the new one replaces it (the
+    * ExtendMarker commit idiom).
+    */
+  private def writeFileAtomic(spark: SparkSession, path: HPath,
+      bytes: Array[Byte]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
+    val tmp = new HPath(
+      s"${path.toString}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(path),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Publish `_RUN.json` at the shard root — the level above
+    * x117/x118: each `_BLEND.json` fixes one epoch's global order;
+    * the RUN manifest fixes WHICH epochs exist, in what consumption
+    * order, under what seed/weights/factors — so "the trainer is at
+    * run step G" is resolvable across epoch boundaries from the
+    * published files alone ([[readRunRemainder]]), with no epoch
+    * arithmetic left to the caller.
+    *
+    * Everything in the manifest is READ FROM the published artifacts,
+    * never invented here: per-epoch seeds from `_EPOCH.json`, strata
+    * tables / totals / stepsPerFile from `_BLEND.json`, the
+    * provenance map from `_MANIFEST.json` — the writer only BINDS
+    * them, adding the prefix-sum `first_run_step` per epoch. Binding
+    * requires every declared epoch to have BOTH sidecar levels
+    * published, and the declared list must cover the epoch
+    * directories on disk EXACTLY (no stragglers a resuming trainer
+    * would silently skip, no declared-but-missing epochs) — the same
+    * loud-failure idiom [[verifyRun]] re-checks read-side. Driver
+    * cost: one listing plus one small JSON read per epoch — nothing
+    * corpus-sized.
+    */
+  def writeRunManifest(spark: SparkSession, dir: String,
+      epochs: Seq[Int]): DataFrame = {
+    require(epochs.nonEmpty, "a run binds at least one epoch")
+    require(epochs.forall(_ >= 0),
+      s"epochs must be >= 0: ${epochs.mkString(", ")}")
+    require(epochs.distinct == epochs,
+      s"duplicate epochs in the run: ${epochs.mkString(", ")}")
+    val onDisk = epochDirsOnDisk(spark, dir)
+    require(onDisk.toSet == epochs.toSet,
+      s"run epochs [${epochs.mkString(", ")}] disagree with the " +
+        s"epoch directories on disk [${onDisk.mkString(", ")}] — a " +
+        "run must bind exactly what is published (drop strays or " +
+        "declare them)")
+    val metas = {
+      var first = 1L
+      epochs.map { e =>
+        val seed = readEpochSeed(spark, dir, e)
+        val (strata, spf, total) = readBlendMeta(spark, dir, e)
+        val m = RunEpoch(e, seed, first, total, spf, strata)
+        first += total
+        m
+      }
+    }
+    val provenance = readProvenance(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "graft-training-run")
+    root.put("version", RunVersion)
+    root.put("total_steps", metas.map(_.totalSteps).sum)
+    val pn = mapper.createObjectNode()
+    provenance.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      pn.put(k, v) }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("provenance", pn)
+    val arr = mapper.createArrayNode()
+    metas.foreach { m =>
+      val n = mapper.createObjectNode()
+      n.put("epoch", m.epoch)
+      n.put("seed", m.seed)
+      n.put("first_run_step", m.firstRunStep)
+      n.put("total_steps", m.totalSteps)
+      n.put("steps_per_file", m.stepsPerFile)
+      val sa = mapper.createArrayNode()
+      m.strata.foreach { case (s, o, w, ns, fm, ms) =>
+        val sn = mapper.createObjectNode()
+        sn.put("stratum", s); sn.put("ordinal", o)
+        sn.put("weight_milli", w); sn.put("n_sequences", ns)
+        sn.put("factor_milli", fm); sn.put("n_steps", ms)
+        sa.add(sn)
+      }
+      n.set[com.fasterxml.jackson.databind.JsonNode]("strata", sa)
+      arr.add(n)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("epochs", arr)
+    writeFileAtomic(spark, new HPath(dir, RunManifestName),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    import spark.implicits._
+    metas.map(m => (m.epoch, m.seed, m.firstRunStep, m.totalSteps))
+      .toDF("epoch", "seed", "first_run_step", "total_steps")
+  }
+
+  /** The run manifest parsed back: epochs in consumption order plus
+    * the recorded provenance map.
+    */
+  private[graft] def readRunMeta(spark: SparkSession, dir: String)
+      : (Seq[RunEpoch], Map[String, String]) = {
+    val p = new HPath(dir, RunManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no run manifest at $p — writeRunManifest first")
+    val in = fs.open(p)
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    def field(node: com.fasterxml.jackson.databind.JsonNode,
+        name: String): com.fasterxml.jackson.databind.JsonNode = {
+      val v = if (node == null) null else node.get(name)
+      require(v != null && !v.isNull,
+        s"not a training-run manifest (missing '$name'): $p")
+      v
+    }
+    require(field(tree, "format").asText() == "graft-training-run" &&
+      field(tree, "version").asInt() == RunVersion,
+      s"not a training-run manifest: $p")
+    val b = Seq.newBuilder[RunEpoch]
+    val it = field(tree, "epochs").elements()
+    while (it.hasNext) {
+      val n = it.next()
+      val sb = Seq.newBuilder[(String, Int, Long, Long, Long, Long)]
+      val sit = field(n, "strata").elements()
+      while (sit.hasNext) {
+        val s = sit.next()
+        sb += ((field(s, "stratum").asText(),
+          field(s, "ordinal").asInt(),
+          field(s, "weight_milli").asLong(),
+          field(s, "n_sequences").asLong(),
+          field(s, "factor_milli").asLong(),
+          field(s, "n_steps").asLong()))
+      }
+      b += RunEpoch(field(n, "epoch").asInt(),
+        field(n, "seed").asText(),
+        field(n, "first_run_step").asLong(),
+        field(n, "total_steps").asLong(),
+        field(n, "steps_per_file").asLong(), sb.result())
+    }
+    val metas = b.result()
+    require(metas.nonEmpty, s"run manifest binds no epochs: $p")
+    // the prefix sums must be dense — a hand-edited manifest with a
+    // gap would silently shift every later epoch's run steps
+    var first = 1L
+    metas.foreach { m =>
+      require(m.firstRunStep == first,
+        s"run manifest epoch ${m.epoch} starts at run step " +
+          s"${m.firstRunStep}, expected $first — the epoch list is " +
+          s"gapped or reordered: $p")
+      first += m.totalSteps
+    }
+    val provNode = tree.get("provenance")
+    val prov =
+      if (provNode == null || !provNode.isObject) Map.empty[String, String]
+      else {
+        val pb = Map.newBuilder[String, String]
+        val pit = provNode.fields()
+        while (pit.hasNext) {
+          val e = pit.next(); pb += (e.getKey -> e.getValue.asText())
+        }
+        pb.result()
+      }
+    (metas, prov)
+  }
+
+  /** Verify a published run against what is actually on disk —
+    * [[verifyManifest]]'s contract at the TOP level. Shallow (always):
+    * the epoch-directory set on disk equals the declared list, every
+    * declared epoch's `_EPOCH.json` seed and `_BLEND.json` strata
+    * table / totals still match what the run was bound with (a
+    * republished epoch order or re-weighted blend REFUSES — its run
+    * steps would silently mean different sequences), and the
+    * provenance map still matches `_MANIFEST.json`. `deep = true`
+    * additionally re-checksums every level through [[verifyManifest]],
+    * [[verifyEpochOrder]] and [[verifyBlendSchedule]]. Returns
+    * (epoch, seed, first_run_step, total_steps).
+    */
+  def verifyRun(spark: SparkSession, dir: String,
+      deep: Boolean = false): DataFrame = {
+    val (metas, prov) = readRunMeta(spark, dir)
+    val problems = Seq.newBuilder[String]
+    val onDisk = epochDirsOnDisk(spark, dir)
+    val declared = metas.map(_.epoch)
+    if (onDisk.toSet != declared.toSet)
+      problems += s"epoch directories on disk " +
+        s"[${onDisk.mkString(", ")}] disagree with the run's " +
+        s"declared epochs [${declared.mkString(", ")}]"
+    else metas.foreach { m =>
+      val seed = readEpochSeed(spark, dir, m.epoch)
+      if (seed != m.seed)
+        problems += s"epoch ${m.epoch}: seed '$seed' on disk, run " +
+          s"was bound with '${m.seed}' — epoch order republished " +
+          "since the run was bound"
+      val (strata, spf, total) = readBlendMeta(spark, dir, m.epoch)
+      if (total != m.totalSteps || spf != m.stepsPerFile ||
+          strata != m.strata)
+        problems += s"epoch ${m.epoch}: the published blend " +
+          s"(total $total, ${strata.size} strata) no longer matches " +
+          s"the run binding (total ${m.totalSteps}, " +
+          s"${m.strata.size} strata) — blend republished since the " +
+          "run was bound"
+    }
+    val liveProv = readProvenance(spark, dir)
+    if (liveProv != prov)
+      problems += s"provenance on disk $liveProv no longer matches " +
+        s"the run's recorded $prov — shards republished since the " +
+        "run was bound"
+    val bad = problems.result()
+    require(bad.isEmpty,
+      s"training run at $dir fails verification:\n  " +
+        bad.mkString("\n  "))
+    if (deep) {
+      verifyManifest(spark, dir).collect()
+      metas.foreach { m =>
+        verifyEpochOrder(spark, dir, m.epoch).collect()
+        verifyBlendSchedule(spark, dir, m.epoch).collect()
+      }
+    }
+    import spark.implicits._
+    metas.map(m => (m.epoch, m.seed, m.firstRunStep, m.totalSteps))
+      .toDF("epoch", "seed", "first_run_step", "total_steps")
+  }
+
+  /** Resolve a RUN-global checkpoint ("the trainer has consumed
+    * through run step G inclusive") to its position in the epoch
+    * sequence: (epoch, steps consumed WITHIN that epoch). G = 0 is
+    * before everything (first epoch, 0 consumed); a G at or past the
+    * run's end pins to the last epoch fully consumed. Pure driver
+    * arithmetic over the manifest's prefix sums — the epoch math the
+    * caller previously had to do themselves, now read from the
+    * artifact.
+    */
+  def runCursor(spark: SparkSession, dir: String, runStep: Long)
+      : (Int, Long) = {
+    require(runStep >= 0, s"runStep must be >= 0, got $runStep")
+    val (metas, _) = readRunMeta(spark, dir)
+    val last = metas.last
+    if (runStep >= last.firstRunStep + last.totalSteps - 1)
+      (last.epoch, last.totalSteps)
+    else {
+      val m = metas.reverse.find(_.firstRunStep <= runStep)
+        .getOrElse(metas.head)
+      (m.epoch, math.max(0L, runStep - (m.firstRunStep - 1)))
+    }
+  }
+
+  /** Per-shard cursors at a RUN-global checkpoint: [[blendCursors]]
+    * resolved through [[runCursor]] — (epoch, stratum, consumed) for
+    * the epoch the checkpoint lands in (every earlier epoch is fully
+    * consumed, every later one untouched). From the published files
+    * alone; strata-sized output.
+    */
+  def runCursors(spark: SparkSession, dir: String, runStep: Long)
+      : DataFrame = {
+    val (epoch, within) = runCursor(spark, dir, runStep)
+    blendCursors(spark, dir, epoch, within)
+      .select(lit(epoch).as("epoch"), col("stratum"), col("consumed"))
+  }
+
+  /** The UNCONSUMED remainder of the whole RUN after a checkpoint at
+    * run step `afterStep` — every (run_step, epoch, global_step,
+    * stratum, rank) with `run_step > afterStep`, ACROSS epoch
+    * boundaries: the checkpoint epoch contributes its
+    * [[readBlendRemainder]], every later epoch its full schedule,
+    * each offset by its manifest `first_run_step`. Refuses an epoch
+    * whose published blend no longer matches the run binding (its
+    * steps would mean different sequences). `afterStep = 0` replays
+    * the whole run.
+    */
+  def readRunRemainder(spark: SparkSession, dir: String,
+      afterStep: Long): DataFrame = {
+    require(afterStep >= 0, s"afterStep must be >= 0, got $afterStep")
+    runLegs(spark, dir, afterStep,
+      (e, after) => readBlendRemainder(spark, dir, e, after))
+  }
+
+  /** The COMPOSED cross-epoch resume read — [[readInBlendOrder]]
+    * carried across the whole run: every remaining step resolved
+    * through its epoch's `.ord` permutation (wraparound included) to
+    * its sequence bytes, as `(run_step, epoch, global_step, stratum,
+    * rank, pos, token_ids)`. Order by `run_step` to consume.
+    */
+  def readInRunOrder(spark: SparkSession, dir: String,
+      afterStep: Long = 0L): DataFrame = {
+    require(afterStep >= 0, s"afterStep must be >= 0, got $afterStep")
+    runLegs(spark, dir, afterStep,
+      (e, after) => readInBlendOrder(spark, dir, e, after))
+  }
+
+  /** One DP rank's slice of the composed RUN read — the
+    * [[readBlendForRank]] round-robin carried across epoch
+    * boundaries: run step G feeds rank `(G−1) mod worldSize`, so the
+    * assignment never resets at an epoch edge and every rank's slice
+    * stays disjoint, exhaustive, and balanced within one step.
+    */
+  def readRunForRank(spark: SparkSession, dir: String, rank: Int,
+      worldSize: Int, afterStep: Long = 0L): DataFrame = {
+    require(worldSize >= 1, s"worldSize must be >= 1, got $worldSize")
+    require(rank >= 0 && rank < worldSize,
+      s"rank must be in [0, $worldSize), got $rank")
+    readInRunOrder(spark, dir, afterStep)
+      .filter((col("run_step") - 1) % worldSize === rank)
+  }
+
+  /** The shared cross-epoch union: one leg per epoch with anything
+    * left past the checkpoint, each leg's within-epoch frame lifted
+    * to run coordinates. Epoch count legs — bounded by the run
+    * length, never by the corpus.
+    */
+  private def runLegs(spark: SparkSession, dir: String,
+      afterStep: Long, leg: (Int, Long) => DataFrame): DataFrame = {
+    val (metas, _) = readRunMeta(spark, dir)
+    val frames = metas.flatMap { m =>
+      // the live blend must still be the one the run was bound with —
+      // a republished mix would make these run steps silently mean
+      // different sequences
+      val (_, _, liveTotal) = readBlendMeta(spark, dir, m.epoch)
+      require(liveTotal == m.totalSteps,
+        s"epoch ${m.epoch}'s published blend holds $liveTotal steps " +
+          s"but the run was bound with ${m.totalSteps} — blend " +
+          "republished since the run was bound; rewrite _RUN.json")
+      val afterWithin = math.min(m.totalSteps,
+        math.max(0L, afterStep - (m.firstRunStep - 1)))
+      if (afterWithin >= m.totalSteps) None
+      else Some(leg(m.epoch, afterWithin)
+        .withColumn("epoch", lit(m.epoch))
+        .withColumn("run_step",
+          col("global_step") + lit(m.firstRunStep - 1)))
+    }
+    require(frames.nonEmpty || afterStep > 0,
+      s"run at $dir has no steps at all")
+    val all = frames match {
+      case Nil =>
+        // checkpoint at or past the run's end: an EMPTY frame in the
+        // leg's shape, not an error — "nothing left" is an answer
+        leg(metas.last.epoch, metas.last.totalSteps)
+          .withColumn("epoch", lit(metas.last.epoch))
+          .withColumn("run_step", col("global_step"))
+      case fs => fs.reduce(_ unionByName _)
+    }
+    val rest = all.columns.filterNot(c =>
+      c == "run_step" || c == "epoch" || c == "global_step")
+    all.select((Seq(col("run_step"), col("epoch"),
+      col("global_step")) ++ rest.map(col)): _*)
   }
 
   /** Driver-side reference reader for one blend part — the loader

@@ -534,6 +534,72 @@ object Extensions {
       s"$base/shards"
     }
 
+  /** The TWO-EPOCH bound-run fixture for x120 — its own shard set
+    * (never the x116–x119 one: a run manifest at a shard root binds
+    * ALL epoch directories there, so the run fixture must own its
+    * root): width-1 zero-merge shards over the documents table,
+    * epochs 1 and 2 (seed "run", first-letter weights, no factors),
+    * blends for both, `_RUN.json` binding [1, 2]. Built ONCE under a
+    * `_DONE`-marked path; x120 then times the RESUME READ, not the
+    * build — the build-once/read-many shape a real training run has.
+    */
+  private def runShardSet(s: SparkSession, dir: String): String =
+    shardFixtureLock.synchronized {
+      val key = fixtureKey(dir, ShardFixtureVersion)
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_run_fixture_$key"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$base/_DONE")
+      if (!fs.exists(done)) {
+        val d = docs(s, dir).filter(col("text").isNotNull)
+        val seqs = graft.operators.Packing.materializeSequences(d,
+          "doc_id", "text", "lang", seqLen = 512, merges = Nil,
+          tokenPattern = TextFunctions.bpeBytePatternFull)
+        val out = s"$base/shards"
+        graft.io.TrainerShards.write(seqs, "lang", "seq_id",
+          "token_ids", width = 1, out)
+        val weights = graft.io.TrainerShards.listShards(s, out)
+          .map(l => l -> (1.0 + 0.5 * (l.charAt(0) - 'a' + 1))).toMap
+        Seq(1, 2).foreach { e =>
+          graft.io.TrainerShards.writeEpochOrder(s, out, seed = "run",
+            epoch = e)
+          graft.io.TrainerShards.writeBlendSchedule(s, out, epoch = e,
+            weights)
+        }
+        graft.io.TrainerShards.writeRunManifest(s, out, Seq(1, 2))
+        fs.create(done).close()
+      }
+      s"$base/shards"
+    }
+
+  /** x120: the RUN-level artifact — `_RUN.json` binds the two bound
+    * epochs into one consumption sequence, and
+    * [[graft.io.TrainerShards.readInRunOrder]] resumes a trainer
+    * checkpointed at run step ⌊2T/3⌋ — INSIDE epoch 1 — across the
+    * epoch boundary from the published files alone: the rest of epoch
+    * 1's blend plus all of epoch 2's, each step resolved through its
+    * OWN epoch's permutation to its `.ord` position. The oracle
+    * restates the entire thing from the documents table: counts via
+    * the x114 packing arithmetic, the x118 closed-form interleave per
+    * epoch, per-epoch md5 permutations, the prefix-sum run offset,
+    * and the same ⌊2T/3⌋ cutoff — so the cross-epoch resume
+    * arithmetic is oracle-certified end to end, not just
+    * spec-asserted.
+    */
+  def x120RunResume(s: SparkSession, dir: String): DataFrame = {
+    val out = runShardSet(s, dir)
+    graft.io.TrainerShards.verifyRun(s, out)
+    val (metas, _) = graft.io.TrainerShards.readRunMeta(s, out)
+    // the checkpoint: two thirds into epoch 1 (both epochs have the
+    // same total — same counts, same weights)
+    val g = 2L * metas.head.totalSteps / 3L
+    graft.io.TrainerShards.readInRunOrder(s, out, afterStep = g)
+      .select(col("run_step"), col("epoch"),
+        col("stratum").as("lang"), col("rank"), col("pos"))
+      .orderBy(col("run_step"))
+  }
+
   /** x116: trainer-shard READ-BACK — the x114 artifact re-entering the
     * engine through [[graft.io.TrainerShards.read]] (binaryFile scan +
     * the compiled [[graft.expressions.ShardSequences]] kernel), one

@@ -1504,6 +1504,94 @@ object Streaming {
     * the normal state for continuous ingest — must pass the schema
     * explicitly or the service crash-loops on the eager inference read.
     */
+  /** TAIL a training run's blend artifacts as epochs publish — the
+    * consumption loop of a months-lived trainer, closed over the
+    * x118 artifact family: each newly published epoch (its `.blend`
+    * parts appear ATOMICALLY — the epoch directory publish is a
+    * rename) arrives as one micro-batch of part files; the callback
+    * receives `(epoch, readInBlendOrder(epoch), batchId)` — the full
+    * composed resume read for that epoch, steps resolvable in
+    * `global_step` order — invoked in ASCENDING epoch order, and only
+    * after every earlier epoch's callback returned (foreachBatch is
+    * sequential, and epochs within a batch are consumed sorted), so
+    * a later epoch can never start before the prior epoch drains.
+    *
+    * Exactly-once on the FILE LOG: Spark's checkpointed file-stream
+    * offsets admit each part file once, so a published epoch fires
+    * its callback once in normal operation. After a crash INSIDE the
+    * callback, streaming replays the last batch — the standard
+    * foreachBatch at-least-once window — so a consumer with side
+    * effects keys them by (epoch, batchId), exactly like
+    * [[ExtendMarker]] does for ingest. The stream REFUSES a
+    * micro-batch holding only part of an epoch's declared file set
+    * (possible only if a caller caps maxFilesPerTrigger below a
+    * publish — the default trigger admits everything available), and
+    * refuses files under an epoch with no readable manifest — loud,
+    * never a partial consumption.
+    *
+    * Scale shape: the streamed frames carry PATHS only (names-sized
+    * micro-batches — the token bytes flow through the distributed
+    * [[graft.io.TrainerShards.readInBlendOrder]] legs, never through
+    * the stream); driver state is the file-offset log, bounded by
+    * publish cadence, never corpus-sized.
+    */
+  def blendConsumptionStream(spark: SparkSession, dir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      (onEpoch: (Int, DataFrame, Long) => Unit): StreamingQuery = {
+    val epochRe = ("epoch-(\\d{5})/" +
+      graft.io.TrainerShards.BlendDirName).r
+    // binaryFile's fixed schema, stated explicitly — a streaming file
+    // source refuses to infer (the directory may be empty at boot)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter",
+        "*" + graft.io.TrainerShards.BlendSuffix)
+      .load(s"$dir/epoch-*/${graft.io.TrainerShards.BlendDirName}")
+      .select(col("path"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // part NAMES only — sized by what published since the last
+          // trigger, never by the corpus
+          val paths = batch.collect().map(_.getString(0))
+          val byEpoch = paths.groupBy { p =>
+            epochRe.findFirstMatchIn(p) match {
+              case Some(m) => m.group(1).toInt
+              case None => throw new IllegalStateException(
+                s"blend part outside an epoch directory: $p")
+            }
+          }
+          byEpoch.keys.toSeq.sorted.foreach { e =>
+            val declared = graft.io.TrainerShards
+              .blendPartNames(spark, dir, e).toSet
+            val arrived = byEpoch(e)
+              .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+            require(declared == arrived,
+              s"epoch $e micro-batch holds ${arrived.size} of " +
+                s"${declared.size} declared blend parts — a " +
+                "maxFilesPerTrigger cap split an atomic publish, or " +
+                "the manifest disagrees with the directory; refusing " +
+                "a partial consumption")
+            onEpoch(e,
+              graft.io.TrainerShards.readInBlendOrder(spark, dir, e),
+              batchId)
+          }
+          ()
+      }.start()
+  }
+
   def continuousLoad(spark: SparkSession, location: String,
       collection: Collection, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),

@@ -215,7 +215,10 @@ object ScaleTrend {
       // round 15: the cross-stratum blend schedule (map-side
       // closed-form global step + one part-keyed exchange + the
       // distributed part read-back joined to the .ord level)
-      "x118_blend_schedule")
+      "x118_blend_schedule",
+      // round 16: the run-level artifact — cross-epoch resume read
+      // (two blends + two .ord levels + the prefix-sum offset union)
+      "x120_run_resume")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -496,6 +496,93 @@ class StreamingSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("blendConsumptionStream: an epoch published MID-STREAM is " +
+      "consumed in ascending epoch order, exactly once, only after " +
+      "the prior epoch's callback drained; steps arrive dense with " +
+      "the right positions; an idle trigger re-consumes nothing") {
+    import spark.implicits._
+    import graft.io.TrainerShards
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "pack my box with five dozen liquor jugs"),
+      (3L, "de", "zwei boxkaempfer jagen eva quer durch sylt"),
+      (4L, "de", "franz jagt im taxi quer durch bayern"))
+      .toDF("doc_id", "lang", "text")
+    val seqs = graft.operators.Packing.materializeSequences(docs,
+      "doc_id", "text", "lang", seqLen = 8, merges = Nil,
+      tokenPattern = graft.functions.TextFunctions.bpeBytePatternFull)
+    val dir = Files.createTempDirectory("graft_blendstream").toString +
+      "/shards"
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir)
+    val weights = Map("en" -> 1.0, "de" -> 2.0)
+    def publish(e: Int): Unit = {
+      TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = e)
+      TrainerShards.writeBlendSchedule(spark, dir, e, weights,
+        stepsPerFile = 3)
+    }
+    publish(0)
+    val ckpt = Files.createTempDirectory("graft_blendstream_ck")
+      .toString
+    // (epoch, dense-steps-with-positions, thread marker) per callback,
+    // in invocation order — the sequencing assertion IS the order of
+    // this buffer
+    val got = scala.collection.mutable.Buffer[(Int,
+      Seq[(Long, String, Long, Long)])]()
+    val q = graft.streaming.Streaming.blendConsumptionStream(spark,
+      dir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(0L)) { (epoch, frame, _) =>
+      got.synchronized {
+        got += ((epoch, frame.orderBy(col("global_step")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSeq))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(0),
+        s"expected exactly epoch 0 consumed, got ${got.map(_._1)}")
+      // the consumed steps equal the BATCH composed read, dense 1..T
+      val batch0 = TrainerShards.readInBlendOrder(spark, dir, 0)
+        .orderBy(col("global_step")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got(0)._2 == batch0,
+        "streamed epoch 0 diverged from the batch composed read")
+      assert(got(0)._2.map(_._1) == (1L to batch0.length),
+        "epoch 0 steps are not dense")
+
+      // a NEW epoch publishes while the stream runs: consumed after
+      // epoch 0 (already drained), exactly once
+      publish(1)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(0, 1),
+        s"epoch 1 not consumed in order: ${got.map(_._1)}")
+      val batch1 = TrainerShards.readInBlendOrder(spark, dir, 1)
+        .orderBy(col("global_step")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got(1)._2 == batch1,
+        "streamed epoch 1 diverged from the batch composed read")
+      // epoch 1's permutation is its OWN (seed:1), not epoch 0's
+      assert(got(1)._2 != got(0)._2,
+        "epoch 1 replayed epoch 0's consumption order")
+
+      // nothing new: no re-consumption (exactly-once on the file log)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(0, 1),
+        s"idle trigger re-consumed: ${got.map(_._1)}")
+
+      // TWO epochs published between triggers arrive in one batch,
+      // still consumed ascending
+      publish(2)
+      publish(3)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3),
+        s"multi-epoch batch out of order: ${got.map(_._1)}")
+    } finally q.stop()
+  }
+
   test("annIngestStreamPq: the extend-then-marker crash window heals " +
       "by idempotence — a replayed batch whose vectors are already in " +
       "the index appends NOTHING (exactly-once, no rebuild), the " +

@@ -484,6 +484,127 @@ class TrainerShardsSpec extends SparkSpec {
       Array(7L), Array(1500L)).toSeq == Seq(10L))
   }
 
+  test("run manifest: _RUN.json binds the epoch sequence from the " +
+      "published artifacts alone; runCursor resolves a run-global " +
+      "checkpoint across epoch boundaries; a trainer checkpointed " +
+      "INSIDE the middle epoch resumes the remainder of that epoch " +
+      "plus every later one with no engine re-run; per-rank slices " +
+      "stay disjoint across the boundary; verifyRun refuses disk " +
+      "drift loudly") {
+    val seqs = materialize(fixture, seqLen = 8)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir,
+      provenance = Map("tokenizer_md5" -> "cafe01"))
+    val weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5)
+    (0 to 2).foreach { e =>
+      TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = e)
+      TrainerShards.writeBlendSchedule(spark, dir, e, weights,
+        stepsPerFile = 4)
+    }
+    // binding must cover the directories on disk EXACTLY
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.writeRunManifest(spark, dir, Seq(0, 1))
+    }.getMessage.contains("disagree"))
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.writeRunManifest(spark, dir, Seq(0, 1, 2, 3))
+    }.getMessage.contains("disagree"))
+    val bound = TrainerShards.writeRunManifest(spark, dir, Seq(0, 1, 2))
+      .collect().sortBy(_.getInt(0))
+    val t = bound(0).getLong(3)
+    assert(bound.map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((0, "s", 1L, t), (1, "s", t + 1, t), (2, "s", 2 * t + 1, t)),
+      s"prefix sums wrong: ${bound.mkString(", ")}")
+    TrainerShards.verifyRun(spark, dir, deep = true)
+
+    // runCursor edges: before everything, exactly at a boundary, one
+    // past it, at the end, past the end
+    assert(TrainerShards.runCursor(spark, dir, 0L) == ((0, 0L)))
+    assert(TrainerShards.runCursor(spark, dir, t) == ((0, t)))
+    assert(TrainerShards.runCursor(spark, dir, t + 1) == ((1, 1L)))
+    assert(TrainerShards.runCursor(spark, dir, 3 * t) == ((2, t)))
+    assert(TrainerShards.runCursor(spark, dir, 3 * t + 7) == ((2, t)))
+
+    // checkpoint INSIDE the middle epoch: run step G = t + t/2
+    val g = t + t / 2
+    assert(TrainerShards.runCursor(spark, dir, g) == ((1, t / 2)))
+    // per-shard cursors = the middle epoch's blend cursors
+    val rc = TrainerShards.runCursors(spark, dir, g).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted
+    val bc = TrainerShards.blendCursors(spark, dir, 1, t / 2).collect()
+      .map(r => (1, r.getString(0), r.getLong(1))).sorted
+    assert(rc.toSeq == bc.toSeq)
+
+    // the remainder: epoch 1 past t/2 lifted by t, epoch 2 in full
+    // lifted by 2t — dense run steps g+1 .. 3t, and every row equals
+    // the per-epoch blend read it composes (files alone, both sides)
+    val rem = TrainerShards.readRunRemainder(spark, dir, g).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(rem.map(_._1).toSeq == ((g + 1) to (3 * t)),
+      "run steps past the checkpoint are not dense")
+    val e1 = TrainerShards.readBlendRemainder(spark, dir, 1, t / 2)
+      .collect().map(r => (r.getLong(0) + t, 1, r.getLong(0),
+        r.getString(1), r.getLong(2)))
+    val e2 = TrainerShards.readBlendSchedule(spark, dir, 2)
+      .collect().map(r => (r.getLong(0) + 2 * t, 2, r.getLong(0),
+        r.getString(1), r.getLong(2)))
+    assert(rem.toSeq == (e1 ++ e2).sortBy(_._1).toSeq,
+      "the cross-epoch remainder diverged from its per-epoch legs")
+
+    // the composed read carries the right TOKEN BYTES across the
+    // boundary (each epoch's own permutation, wraparound identity)
+    val shards = TrainerShards.listShards(spark, dir).map(st =>
+      st -> TrainerShards.readShard(spark, dir, st)._2).toMap
+    val ords = (0 to 2).flatMap(e =>
+      TrainerShards.listShards(spark, dir).map(st =>
+        (e, st) -> TrainerShards.readEpochOrderShard(spark, dir, e,
+          st)._2)).toMap
+    val composed = TrainerShards.readInRunOrder(spark, dir, g)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Long](6)))
+    assert(composed.length == rem.length)
+    composed.foreach { case (_, e, st, rank, pos, ids) =>
+      assert(ords((e, st))((rank - 1).toInt % shards(st).length)
+        == pos, s"epoch $e $st rank $rank resolved to wrong pos")
+      assert(ids == shards(st)(pos.toInt),
+        s"epoch $e $st pos $pos carried wrong bytes")
+    }
+
+    // per-rank slices: disjoint, exhaustive, balanced, and the
+    // round-robin does NOT reset at the epoch boundary
+    val world = 3
+    val slices = (0 until world).map(r =>
+      TrainerShards.readRunForRank(spark, dir, r, world, afterStep = g)
+        .select("run_step").collect().map(_.getLong(0)).toSet)
+    assert(slices.map(_.size).sum == rem.length &&
+      slices.reduce(_ ++ _).size == rem.length,
+      "rank slices overlap or drop steps")
+    slices.zipWithIndex.foreach { case (sl, r) =>
+      assert(sl.forall(st => (st - 1) % world == r),
+        s"rank $r holds a foreign run step")
+    }
+
+    // drift refusals: a republished blend with a different mix
+    TrainerShards.writeBlendSchedule(spark, dir, 2, weights,
+      epochsFactors = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0))
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.verifyRun(spark, dir)
+    }.getMessage.contains("republished"))
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.readRunRemainder(spark, dir, g).collect()
+    }.getMessage.contains("republished"))
+    // restore the bound blend; a STRAY epoch directory also refuses
+    TrainerShards.writeBlendSchedule(spark, dir, 2, weights,
+      stepsPerFile = 4)
+    TrainerShards.verifyRun(spark, dir)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 7)
+    TrainerShards.writeBlendSchedule(spark, dir, 7, weights)
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.verifyRun(spark, dir)
+    }.getMessage.contains("disagree"))
+  }
+
   test("artifact integrity one level up: verifyEpochOrder and " +
       "verifyBlendSchedule pass pristine sets and name flipped " +
       "bytes / retired-generation mismatches; readBlendForRank " +

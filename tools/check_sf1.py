@@ -50,7 +50,7 @@ QUERIES = [
     "x111_dsir_weights", "x112_token_windows_bpe",
     "x114_trainer_shards", "x115_temperature_approx",
     "x116_shard_readback", "x117_epoch_order",
-    "x118_blend_schedule", "x119_blend_epochs",
+    "x118_blend_schedule", "x119_blend_epochs", "x120_run_resume",
 ]
 
 
