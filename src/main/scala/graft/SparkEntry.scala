@@ -182,6 +182,7 @@ object SparkEntry {
     "x118_blend_schedule" -> Extensions.x118BlendSchedule,
     "x119_blend_epochs" -> Extensions.x119BlendEpochs,
     "x120_run_resume" -> Extensions.x120RunResume,
+    "x121_unigram_encode" -> Extensions.x121UnigramEncode,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer

@@ -60,6 +60,14 @@ object GraftFunctions {
   def bpeEncode(text: Column, merges: Seq[(Int, String, String)],
       pattern: String, byteLevel: Boolean): Column =
     c(BpeEncodeTokens(e(text), merges, pattern, byteLevel))
+  def unigramEncode(text: Column,
+      tok: graft.operators.Unigram.UnigramTokenizer): Column =
+    c(UnigramEncodeIds(e(text), tok.pieces.toSeq, tok.unkId,
+      tok.byteFallback, tok.norms))
+  def decimalSortKey(v: Column, precision: Int, scale: Int): Column =
+    c(DecimalSortKey(e(v), precision, scale))
+  def sortKeyDecimal(v: Column, precision: Int, scale: Int): Column =
+    c(SortKeyDecimal(e(v), precision, scale))
   def shardSequences(blob: Column, idx: Column): Column =
     c(ShardSequences(e(blob), e(idx)))
   def epochOrdPositions(ord: Column): Column =

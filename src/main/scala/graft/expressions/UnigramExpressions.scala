@@ -1,0 +1,260 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DecimalType, LongType}
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DecimalType → fixed-width ORDER-PRESERVING binary: the unscaled
+  * value as big-endian two's complement sign-extended to the
+  * precision's byte width, sign bit flipped — so UNSIGNED
+  * lexicographic byte order (Spark's BinaryType ordering, and the
+  * [[graft.functions.Aggregators.TopKRowsBin]] buffer's) equals
+  * numeric order for a column's shared scale. [[SortKeyDecimal]] is
+  * the exact inverse; round-trip is bit-identical (spec-asserted).
+  * This is what lets DECIMAL neighbor ids ride the bounded top-k
+  * buffer instead of falling back to a per-query ranking window.
+  */
+case class DecimalSortKey(child: Expression, precision: Int,
+    scale: Int) extends UnaryKernelCodegen {
+  require(precision >= 1 && scale >= 0 && scale <= precision,
+    s"bad decimal shape ($precision, $scale)")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_decimal_sort_key"
+
+  @transient private[graft] lazy val width: Int =
+    java.math.BigInteger.TEN.pow(precision).toByteArray.length
+
+  override def kernel(input: Any): Any = {
+    val unscaled = input.asInstanceOf[Decimal]
+      .toJavaBigDecimal.unscaledValue()
+    val raw = unscaled.toByteArray // minimal two's complement, BE
+    val out = new Array[Byte](width)
+    // sign-extend to the fixed width
+    val fill: Byte = if (unscaled.signum() < 0) -1 else 0
+    java.util.Arrays.fill(out, 0, width - raw.length, fill)
+    System.arraycopy(raw, 0, out, width - raw.length, raw.length)
+    out(0) = (out(0) ^ 0x80).toByte // flip the sign bit
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DecimalSortKey = copy(child = newChild)
+}
+
+/** The exact inverse of [[DecimalSortKey]]. */
+case class SortKeyDecimal(child: Expression, precision: Int,
+    scale: Int) extends UnaryKernelCodegen {
+  override def dataType: DataType = DecimalType(precision, scale)
+  override def prettyName: String = "graft_sort_key_decimal"
+
+  override def kernel(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]].clone()
+    bytes(0) = (bytes(0) ^ 0x80).toByte
+    Decimal(new java.math.BigDecimal(
+      new java.math.BigInteger(bytes), scale), precision, scale)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortKeyDecimal = copy(child = newChild)
+}
+
+/** Unigram (sentencepiece-class) ENCODE as a compiled map-side kernel
+  * — the Llama-family half of the tokenizer surface, beside the
+  * byte-BPE [[BpeEncodeTokens]]: text → token ids by VITERBI maximum-
+  * likelihood segmentation over a scored piece vocabulary (the public
+  * sentencepiece / HF `tokenizers` Unigram algorithm: each piece
+  * carries a log-probability; the best segmentation maximizes the
+  * sum; unknown spans cost `min_score − 10.0` per code point — the
+  * published kUnkPenalty).
+  *
+  * Semantics pinned here, all spec-asserted:
+  *  - NORMALIZERS run inside the kernel, in file order: `Prepend`
+  *    (Llama's "▁") then literal `Replace` (Llama's " " → "▁") —
+  *    exactly the two the sentencepiece-conversion lineage uses.
+  *    (NFC, when the file carries it, is applied UPSTREAM through the
+  *    engine's compiled x89 kernel — see
+  *    [[graft.operators.Unigram.encodeIds]].)
+  *  - The LATTICE runs over the whole normalized string (this lineage
+  *    has no pre-tokenizer — rejected at load otherwise), positions
+  *    advance by code point, and the unknown edge spans one code
+  *    point. A real piece strictly outscores the unknown edge by
+  *    construction (`unk = min − 10`), so offering the edge at every
+  *    position equals sentencepiece's only-when-no-single-char rule.
+  *  - TIES (impossible in EM-trained artifacts — scores are distinct
+  *    log-probs — but the order must be total): the relaxation keeps
+  *    the FIRST winner under a strict `>`, scanning starts ascending,
+  *    so the piece starting EARLIEST (the longest at that end) wins,
+  *    deterministically.
+  *  - CONSECUTIVE UNKNOWN code points FUSE into one span when the
+  *    model defines an unk id (the HF rule: `fuse_unk ⇔ unk_id`
+  *    present; serialization carries no separate flag).
+  *  - BYTE FALLBACK: an unknown span resolves to its UTF-8 bytes'
+  *    `<0xNN>` pieces when the model declares `byte_fallback` and ALL
+  *    those pieces exist; otherwise the span falls to `unk_id`; a
+  *    model with NEITHER path fails LOUDLY naming the span — never a
+  *    silently dropped character.
+  *
+  * Scale shape: pure projection — zero shuffles, whole-stage codegen
+  * via [[UnaryKernelCodegen]], O(len · maxPieceLen) hash probes per
+  * row bounded by a first-char gate. Token ids are the piece's INDEX
+  * in the vocab array (the Unigram convention).
+  */
+case class UnigramEncodeIds(child: Expression,
+    pieces: Seq[(String, Double)], unkId: Int, byteFallback: Boolean,
+    norms: Seq[(String, String, String)])
+    extends UnaryKernelCodegen {
+
+  require(pieces.nonEmpty, "unigram vocab must be non-empty")
+  require(unkId < pieces.length,
+    s"unk_id $unkId outside the ${pieces.length}-piece vocab")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_unigram_encode"
+
+  @transient private lazy val pieceIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pieces.size * 2)
+    pieces.zipWithIndex.foreach { case ((p, _), i) =>
+      m.put(p, Integer.valueOf(i))
+    }
+    m
+  }
+  @transient private lazy val scoreOf: Array[Double] =
+    pieces.map(_._2).toArray
+  @transient private lazy val maxLen: Int =
+    pieces.map(_._1.length).max
+  @transient private lazy val unkScore: Double =
+    pieces.map(_._2).min - 10.0
+  // first-char gate: the longest piece beginning with each char, 0 if
+  // none — prunes the inner substring loop at positions no piece
+  // starts at
+  @transient private lazy val maxLenFrom: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer]()
+    pieces.foreach { case (p, _) =>
+      if (p.nonEmpty) {
+        val c = Character.valueOf(p.charAt(0))
+        val cur = m.get(c)
+        if (cur == null || cur.intValue() < p.length)
+          m.put(c, Integer.valueOf(p.length))
+      }
+    }
+    m
+  }
+  // <0xNN> piece ids, or -1 — the byte-fallback table
+  @transient private lazy val byteIds: Array[Int] =
+    Array.tabulate(256) { b =>
+      val p = pieceIdx.get(f"<0x$b%02X>")
+      if (p == null) -1 else p.intValue()
+    }
+
+  private def normalize(text: String): String = {
+    var t = text
+    norms.foreach {
+      case ("prepend", s, _) => t = s + t
+      case ("replace", from, to) => t = t.replace(from, to)
+      case (k, _, _) => throw new IllegalStateException(
+        s"unknown normalizer op '$k' — loader bug")
+    }
+    t
+  }
+
+  override def kernel(input: Any): Any = {
+    val t = normalize(input.asInstanceOf[UTF8String].toString)
+    val n = t.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val NEG = java.lang.Double.NEGATIVE_INFINITY
+    val best = new Array[Double](n + 1)
+    java.util.Arrays.fill(best, NEG)
+    best(0) = 0.0
+    val backPos = new Array[Int](n + 1)
+    val backPiece = new Array[Int](n + 1) // vocab index, or -1 = unk
+    var i = 0
+    while (i < n) {
+      if (best(i) != NEG) {
+        val gate = maxLenFrom.get(Character.valueOf(t.charAt(i)))
+        if (gate != null) {
+          val maxL = math.min(math.min(maxLen, gate.intValue()), n - i)
+          var len = 1
+          while (len <= maxL) {
+            val pi = pieceIdx.get(t.substring(i, i + len))
+            if (pi != null) {
+              val sc = best(i) + scoreOf(pi.intValue())
+              if (sc > best(i + len)) {
+                best(i + len) = sc
+                backPos(i + len) = i
+                backPiece(i + len) = pi.intValue()
+              }
+            }
+            len += 1
+          }
+        }
+        // the unknown edge: one code point
+        val step = Character.charCount(t.codePointAt(i))
+        val sc = best(i) + unkScore
+        if (sc > best(i + step)) {
+          best(i + step) = sc
+          backPos(i + step) = i
+          backPiece(i + step) = -1
+        }
+      }
+      i += 1
+    }
+    // backtrack: (start, end, pieceIdx) in reverse
+    var spans: List[(Int, Int, Int)] = Nil
+    var pos = n
+    while (pos > 0) {
+      val s = backPos(pos)
+      spans = (s, pos, backPiece(pos)) :: spans
+      pos = s
+    }
+    // fuse consecutive unknown code points when an unk id exists
+    val fused =
+      if (unkId < 0) spans
+      else {
+        val b = List.newBuilder[(Int, Int, Int)]
+        var run: (Int, Int) = null
+        spans.foreach { case (s, e, p) =>
+          if (p == -1) run = if (run == null) (s, e) else (run._1, e)
+          else {
+            if (run != null) { b += ((run._1, run._2, -1)); run = null }
+            b += ((s, e, p))
+          }
+        }
+        if (run != null) b += ((run._1, run._2, -1))
+        b.result()
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    fused.foreach { case (s, e, p) =>
+      if (p >= 0) out += p.toLong
+      else {
+        val span = t.substring(s, e)
+        var fell = false
+        if (byteFallback) {
+          val bytes = span.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (bytes.forall(b => byteIds(b & 0xff) >= 0)) {
+            bytes.foreach(b => out += byteIds(b & 0xff).toLong)
+            fell = true
+          }
+        }
+        if (!fell) {
+          if (unkId >= 0) out += unkId.toLong
+          else throw new IllegalStateException(
+            s"unigram encode cannot represent '$span': no matching " +
+              "piece, byte fallback " +
+              (if (byteFallback) "incomplete (<0xNN> pieces missing)"
+               else "disabled") +
+              ", and the model defines no unk_id — refusing to drop " +
+              "input silently")
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramEncodeIds = copy(child = newChild)
+}

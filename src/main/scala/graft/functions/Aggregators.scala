@@ -386,6 +386,110 @@ object Aggregators {
         .ExpressionEncoder[Seq[ScoredRowS]]()
   }
 
+  /** One retained row in the BINARY-keyed top-k buffer. */
+  case class ScoredRowB(score: Double, key1: Array[Byte], key2: Long)
+
+  /** Binary-keyed top-k buffer in rank order, capped at k. */
+  case class TopKBufB(scores: Array[Double], key1s: Array[Array[Byte]],
+      key2s: Array[Long]) {
+    def size: Int = scores.length
+  }
+
+  /** [[TopKRows]] for BINARY keys — the same bounded partial-merge
+    * top-k, ranking by score DESC then key1 ASC in UNSIGNED
+    * lexicographic byte order (exactly Spark SQL's BinaryType
+    * ordering), then key2 ASC. This closes the last id-type gap in
+    * the window-free family: BinaryType ids rank directly, and any
+    * type with an order-preserving binary encoding (DecimalType
+    * through [[graft.expressions.DecimalSortKey]]) rides the same
+    * buffer.
+    */
+  class TopKRowsBin(k: Int) extends Aggregator[ScoredRowB, TopKBufB,
+      Seq[ScoredRowB]] {
+    require(k >= 1, "need k >= 1")
+
+    override def zero: TopKBufB =
+      TopKBufB(Array.empty, Array.empty, Array.empty)
+
+    // Spark compares BinaryType as UNSIGNED bytes, shorter-prefix
+    // first on ties — mirror it exactly
+    private def binCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+
+    private def ranksBefore(s1: Double, a1: Array[Byte], b1: Long,
+        s2: Double, a2: Array[Byte], b2: Long): Boolean = {
+      val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
+      if (c != 0) return c > 0
+      val kc = binCmp(a1, a2)
+      kc < 0 || (kc == 0 && b1 < b2)
+    }
+
+    override def reduce(buf: TopKBufB, in: ScoredRowB): TopKBufB = {
+      val n = buf.size
+      if (n == k && !ranksBefore(in.score, in.key1, in.key2,
+          buf.scores(n - 1), buf.key1s(n - 1), buf.key2s(n - 1)))
+        return buf // O(1) reject hot path
+      var ins = 0
+      while (ins < n && ranksBefore(buf.scores(ins), buf.key1s(ins),
+          buf.key2s(ins), in.score, in.key1, in.key2)) ins += 1
+      val m = math.min(n + 1, k)
+      val scores = new Array[Double](m)
+      val key1s = new Array[Array[Byte]](m)
+      val key2s = new Array[Long](m)
+      System.arraycopy(buf.scores, 0, scores, 0, ins)
+      System.arraycopy(buf.key1s, 0, key1s, 0, ins)
+      System.arraycopy(buf.key2s, 0, key2s, 0, ins)
+      scores(ins) = in.score; key1s(ins) = in.key1; key2s(ins) = in.key2
+      val tail = m - ins - 1
+      System.arraycopy(buf.scores, ins, scores, ins + 1, tail)
+      System.arraycopy(buf.key1s, ins, key1s, ins + 1, tail)
+      System.arraycopy(buf.key2s, ins, key2s, ins + 1, tail)
+      TopKBufB(scores, key1s, key2s)
+    }
+
+    override def merge(a: TopKBufB, b: TopKBufB): TopKBufB = {
+      if (a.size == 0) return b
+      if (b.size == 0) return a
+      val m = math.min(a.size + b.size, k)
+      val scores = new Array[Double](m)
+      val key1s = new Array[Array[Byte]](m)
+      val key2s = new Array[Long](m)
+      var i = 0; var j = 0; var d = 0
+      while (d < m) {
+        val takeA = j >= b.size || (i < a.size &&
+          ranksBefore(a.scores(i), a.key1s(i), a.key2s(i),
+            b.scores(j), b.key1s(j), b.key2s(j)))
+        if (takeA) {
+          scores(d) = a.scores(i); key1s(d) = a.key1s(i)
+          key2s(d) = a.key2s(i); i += 1
+        } else {
+          scores(d) = b.scores(j); key1s(d) = b.key1s(j)
+          key2s(d) = b.key2s(j); j += 1
+        }
+        d += 1
+      }
+      TopKBufB(scores, key1s, key2s)
+    }
+
+    override def finish(buf: TopKBufB): Seq[ScoredRowB] =
+      buf.scores.indices.map(ix =>
+        ScoredRowB(buf.scores(ix), buf.key1s(ix), buf.key2s(ix)))
+
+    override def bufferEncoder: Encoder[TopKBufB] =
+      Encoders.product[TopKBufB]
+    override def outputEncoder: Encoder[Seq[ScoredRowB]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[ScoredRowB]]()
+  }
+
   /** Per-group k-th-smallest SORT KEY with BOUNDED state — the
     * threshold half of the window-free per-group limit
     * ([[graft.operators.Curation.domainQuota]]): each partition keeps

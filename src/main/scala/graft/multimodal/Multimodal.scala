@@ -403,6 +403,7 @@ object Multimodal {
     * REAL pixel kernels on it.
     */
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    imageIoInit // the WRITE path honors the same disk-cache flag
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -1040,6 +1041,11 @@ object Multimodal {
     */
   private def readAviFrames(bytes: Array[Byte], everyNth: Int)
       : Option[IndexedSeq[(Int, Int, java.awt.image.BufferedImage)]] = {
+    // without this, the FIRST decode path to run in an executor JVM
+    // would route every per-frame ImageInputStream through ImageIO's
+    // DISK cache (a temp file created and deleted per frame — syscall
+    // work that scales with frames × threads, not pixels)
+    imageIoInit
     aviSampledChunks(bytes, everyNth).flatMap { case (usPerFrame, chunks) =>
       if (chunks.isEmpty) None
       else try {
@@ -1073,6 +1079,7 @@ object Multimodal {
       usPerFrame: Long): Array[Byte] = {
     require(frames.nonEmpty, "need at least one frame")
     require(usPerFrame > 0, s"usPerFrame must be positive: $usPerFrame")
+    imageIoInit // keep the fixture writer off the per-frame disk cache
     val jpegs = frames.map { img =>
       val b = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", b)

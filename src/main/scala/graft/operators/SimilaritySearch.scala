@@ -56,9 +56,15 @@ object SimilaritySearch {
     * — the ranking window sorts every candidate of a query under ONE
     * task, the one sort-shaped plan that stops scaling when probed
     * cells hold nProbe/nCells of a 100 TB corpus. Integral ids ride
-    * the long-keyed buffer, strings the UTF-8-ordered string buffer;
-    * other id types (decimal, binary, struct) take the window form —
-    * and LOUDLY, via log, never silently.
+    * the long-keyed buffer, strings the UTF-8-ordered string buffer,
+    * binary ids the byte-ordered buffer, decimals the byte buffer
+    * through the order-preserving [[graft.expressions
+    * .DecimalSortKey]] encoding, and date/timestamp ids the long
+    * buffer via their exact epoch integers — every orderable scalar
+    * id type is window-free. Only float/double (Spark's -0.0 = 0.0
+    * comparison makes a byte-exact bounded tie-break ill-defined)
+    * and non-scalar ids take the window form — and LOUDLY, via log,
+    * never silently.
     *
     * `corpusBytesHint`: a MEASURED corpus size, when the caller has
     * one for free — at or under [[WindowTopKMaxBytes]] the window
@@ -97,12 +103,60 @@ object SimilaritySearch {
           .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
             col("col.key1").as("neighbor_id"),
             round(col("col.score"), 6).as("cos"))
+      case BinaryType =>
+        val topk = udaf(new graft.functions.Aggregators.TopKRowsBin(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"), col("neighbor_id"), lit(0L))
+            .as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.key1").as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
+      case dt: DecimalType =>
+        // decimal ids ride the binary buffer through the order-
+        // preserving sort-key encoding (sign-flipped fixed-width
+        // two's complement: unsigned byte order == numeric order for
+        // the column's shared scale); the inverse kernel restores the
+        // exact decimal on the way out
+        import graft.expressions.GraftFunctions._
+        val topk = udaf(new graft.functions.Aggregators.TopKRowsBin(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"),
+            decimalSortKey(col("neighbor_id"), dt.precision, dt.scale),
+            lit(0L)).as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            sortKeyDecimal(col("col.key1"), dt.precision, dt.scale)
+              .as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
+      case DateType =>
+        // days-since-epoch is an exact order-preserving long
+        val topk = udaf(new graft.functions.Aggregators.TopKRows(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"), unix_date(col("neighbor_id"))
+            .cast("long"), lit(0L)).as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            date_from_unix_date(col("col.key1").cast("int"))
+              .as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
+      case TimestampType =>
+        // microseconds-since-epoch: Spark's own internal long
+        val topk = udaf(new graft.functions.Aggregators.TopKRows(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"), unix_micros(col("neighbor_id")),
+            lit(0L)).as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            timestamp_micros(col("col.key1")).as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
       case other =>
-        // no bounded buffer carries this id type — the window plan is
-        // the sort-shaped fallback the bounded forms exist to kill,
-        // so its use is LOGGED, never silent (the one-string-id-corpus
-        // -away lesson: a fallback nobody can see is a plan regression
-        // waiting to ship)
+        // every ORDERABLE id type an engine surface can emit now has
+        // a bounded buffer (integral/string/binary/decimal/date/
+        // timestamp); what remains is float/double (where Spark's
+        // -0.0 = 0.0 comparison makes a byte-exact bounded tie-break
+        // ill-defined) and non-scalar shapes. Those still take the
+        // window plan — LOGGED, never silent
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"boundedTopK: neighbor_id type $other has no bounded " +
             "buffer — falling back to the per-query ranking WINDOW " +

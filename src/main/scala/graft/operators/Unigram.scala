@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Unigram (sentencepiece-class) tokenizer support — the Llama-family
+  * lineage the byte-BPE loader deliberately refuses: `tokenizer.json`
+  * files with `model.type = "Unigram"` (scored pieces, Viterbi
+  * maximum-likelihood encode, byte fallback), the conversion format
+  * of sentencepiece models in the public `tokenizers` ecosystem.
+  *
+  * Same contract as [[Bpe.loadTokenizerJson]]: everything the engine
+  * can reproduce EXACTLY loads; everything else is REJECTED loudly at
+  * load, never silently mis-encoded. Supported exactly:
+  *  - `Unigram` models (vocab `[[piece, score], ...]`, ids = array
+  *    index, `unk_id`, `byte_fallback`);
+  *  - normalizers: absent, `Prepend`, literal-`Replace`, pure `NFC`
+  *    (leading only — applied through the engine's compiled x89
+  *    kernel), and `Sequence`s of those — the Llama lineage is
+  *    `[Prepend "▁", Replace " " → "▁"]`;
+  *  - pre-tokenizer: ABSENT only (this lineage runs the lattice over
+  *    the whole normalized sentence; `Metaspace`/`ByteLevel`/splits
+  *    are different segmentations — rejected);
+  *  - post-processor: absent, id-neutral, or a single-sequence
+  *    `TemplateProcessing` (Llama's `<s> $A` BOS template) — the
+  *    fixed special ids around one `A` sequence are emitted exactly;
+  *    pair templates (`$B`) are rejected.
+  *
+  * The encode itself is the compiled map-side
+  * [[graft.expressions.UnigramEncodeIds]] kernel — zero shuffles,
+  * whole-stage codegen, the [[Bpe.encodeMapSide]] shape. Reference:
+  * the public sentencepiece Viterbi algorithm and the HF `tokenizers`
+  * Unigram serialization; quirk parity (unk fusing ⇔ unk_id, the
+  * −10.0 unknown penalty, `<0xNN>` fallback precedence) is pinned by
+  * hand-computed lattice fixtures in UnigramSpec.
+  */
+object Unigram {
+
+  /** A loaded Unigram tokenizer: pieces in id order (id = index),
+    * `unkId < 0` = none, kernel-resident normalizer ops in file
+    * order, `needsNfc` = a leading pure-NFC stage (applied upstream
+    * of the kernel), and the template's fixed prefix/suffix ids.
+    */
+  case class UnigramTokenizer(pieces: IndexedSeq[(String, Double)],
+      unkId: Int, byteFallback: Boolean,
+      norms: Seq[(String, String, String)], needsNfc: Boolean,
+      prefixIds: Seq[Long], suffixIds: Seq[Long])
+
+  /** Load a `tokenizer.json` carrying a Unigram model, rejecting
+    * loudly anything the engine cannot reproduce exactly — see the
+    * object doc for the accepted surface.
+    */
+  def loadTokenizerJson(spark: SparkSession, path: String)
+      : UnigramTokenizer = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val model = tree.get("model")
+    require(model != null && model.isObject,
+      s"$path has no tokenizer model object")
+    val kind = Option(model.get("type")).map(_.asText()).getOrElse("")
+    require(kind == "Unigram",
+      s"unsupported tokenizer model type '$kind' in $path — this " +
+        "loader reads Unigram (sentencepiece-class) models; " +
+        "byte-level BPE loads through Bpe.loadTokenizerJson")
+
+    // vocab: [[piece, score], ...]; ids are array positions
+    val vocabNode = model.get("vocab")
+    require(vocabNode != null && vocabNode.isArray &&
+      vocabNode.size() > 0,
+      s"$path model.vocab is not a non-empty array — not a Unigram " +
+        "serialization")
+    val pieces = {
+      val b = IndexedSeq.newBuilder[(String, Double)]
+      val it = vocabNode.elements()
+      while (it.hasNext) {
+        val e = it.next()
+        require(e.isArray && e.size() == 2 && e.get(0).isTextual &&
+          e.get(1).isNumber,
+          s"$path vocab entry is not [piece, score]")
+        b += ((e.get(0).asText(), e.get(1).asDouble()))
+      }
+      b.result()
+    }
+    require(pieces.map(_._1).distinct.size == pieces.size,
+      s"$path carries duplicate pieces — ids (array positions) " +
+        "would be ambiguous")
+    val unkNode = model.get("unk_id")
+    val unkId =
+      if (unkNode == null || unkNode.isNull) -1
+      else {
+        require(unkNode.canConvertToInt &&
+          unkNode.asInt() >= 0 && unkNode.asInt() < pieces.size,
+          s"$path unk_id ${unkNode.asText()} outside the " +
+            s"${pieces.size}-piece vocab")
+        unkNode.asInt()
+      }
+    val byteFallback = {
+      val v = model.get("byte_fallback")
+      v != null && !v.isNull && v.asBoolean(false)
+    }
+
+    // normalizers: Prepend / literal Replace / leading pure NFC /
+    // Sequences of those
+    def flattenNorms(node: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Option(node.get("type")).map(_.asText()) match {
+        case Some("Sequence") =>
+          val ns = node.get("normalizers")
+          require(ns != null && ns.isArray,
+            s"$path Sequence normalizer without a normalizers array")
+          val b = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+          val it = ns.elements()
+          while (it.hasNext) b ++= flattenNorms(it.next())
+          b.result()
+        case Some(_) => Seq(node)
+        case None => throw new IllegalArgumentException(
+          s"$path normalizer entry has no type")
+      }
+    val normNode = tree.get("normalizer")
+    val atoms =
+      if (normNode == null || normNode.isNull) Seq.empty
+      else flattenNorms(normNode)
+    val nfcPrefix = atoms.takeWhile(n => n.get("type").asText() == "NFC")
+    val needsNfc = nfcPrefix.nonEmpty
+    val norms = atoms.drop(nfcPrefix.size).map { n =>
+      n.get("type").asText() match {
+        case "Prepend" =>
+          val p = n.get("prepend")
+          require(p != null && p.isTextual,
+            s"$path Prepend normalizer without a prepend string")
+          ("prepend", p.asText(), "")
+        case "Replace" =>
+          val pat = n.get("pattern")
+          require(pat != null && pat.isObject &&
+            pat.get("String") != null && pat.get("String").isTextual,
+            s"$path Replace normalizer with a non-literal pattern " +
+              "(Regex) — a rewrite this engine does not reproduce; " +
+              "refusing to mis-encode")
+          val c = n.get("content")
+          require(c != null && c.isTextual,
+            s"$path Replace normalizer without a content string")
+          ("replace", pat.get("String").asText(), c.asText())
+        case "NFC" => throw new IllegalArgumentException(
+          s"$path carries NFC after a non-NFC normalizer stage — " +
+            "the engine applies NFC upstream of the kernel, so only " +
+            "a LEADING pure-NFC stage is reproducible; refusing to " +
+            "mis-encode")
+        case other => throw new IllegalArgumentException(
+          s"$path carries a normalizer (type '$other') this engine " +
+            "does not reproduce — only Prepend, literal Replace and " +
+            "a leading NFC are supported; loading would silently " +
+            "mis-encode any input the normalizer rewrites")
+      }
+    }
+
+    // pre-tokenizer: this lineage has none — the lattice runs over
+    // the whole normalized sentence
+    val pre = tree.get("pre_tokenizer")
+    require(pre == null || pre.isNull,
+      s"$path carries a pre-tokenizer (type '${Option(pre.get("type"))
+        .map(_.asText()).getOrElse("?")}') — Unigram support runs " +
+        "the lattice over the whole normalized sentence " +
+        "(sentencepiece-conversion lineage); a Metaspace/ByteLevel/" +
+        "split stage is a different segmentation; refusing to " +
+        "mis-encode")
+
+    // post-processor: absent, or a single-sequence TemplateProcessing
+    // (fixed special ids around one A)
+    val post = tree.get("post_processor")
+    val (prefixIds, suffixIds) =
+      if (post == null || post.isNull) (Seq.empty[Long], Seq.empty[Long])
+      else {
+        require(Option(post.get("type")).map(_.asText())
+            .contains("TemplateProcessing"),
+          s"$path post-processor type '${Option(post.get("type"))
+            .map(_.asText()).getOrElse("?")}' is not reproducible — " +
+            "only absent or single-sequence TemplateProcessing is " +
+            "supported")
+        val single = post.get("single")
+        require(single != null && single.isArray,
+          s"$path TemplateProcessing without a single template")
+        // special-token id resolution: the processor's own table
+        // first, then the vocab position
+        val specialIds: Map[String, Long] = {
+          val m = Map.newBuilder[String, Long]
+          val st = post.get("special_tokens")
+          if (st != null && st.isObject) {
+            val it = st.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              val ids = e.getValue.get("ids")
+              require(ids != null && ids.isArray && ids.size() == 1,
+                s"$path template special '${e.getKey}' maps to " +
+                  s"${if (ids == null) 0 else ids.size()} ids — " +
+                  "only single-id specials are reproducible")
+              m += (e.getKey -> ids.get(0).asLong())
+            }
+          }
+          m.result()
+        }
+        val pieceId = pieces.map(_._1).zipWithIndex.toMap
+        def idOf(name: String): Long =
+          specialIds.getOrElse(name, pieceId.get(name) match {
+            case Some(i) => i.toLong
+            case None => throw new IllegalArgumentException(
+              s"$path template names special '$name' with no id in " +
+                "special_tokens or the vocab")
+          })
+        val pre0 = Seq.newBuilder[Long]
+        val post0 = Seq.newBuilder[Long]
+        var seenA = false
+        val it = single.elements()
+        while (it.hasNext) {
+          val item = it.next()
+          if (item.get("SpecialToken") != null) {
+            val id = idOf(item.get("SpecialToken").get("id").asText())
+            if (seenA) post0 += id else pre0 += id
+          } else if (item.get("Sequence") != null) {
+            val sid = item.get("Sequence").get("id").asText()
+            require(sid == "A",
+              s"$path template references sequence '$sid' — pair " +
+                "templates are not reproducible for single-sequence " +
+                "encode; refusing to mis-encode")
+            require(!seenA, s"$path template references A twice")
+            seenA = true
+          } else throw new IllegalArgumentException(
+            s"$path template item is neither SpecialToken nor " +
+              "Sequence")
+        }
+        require(seenA, s"$path template never references sequence A")
+        (pre0.result(), post0.result())
+      }
+
+    UnigramTokenizer(pieces, unkId, byteFallback, norms, needsNfc,
+      prefixIds, suffixIds)
+  }
+
+  /** The encode column: NFC upstream when the file demands it (the
+    * compiled x89 kernel — still a pure projection), then the Viterbi
+    * kernel, then the template's fixed ids. Zero shuffles.
+    */
+  def encodeColumn(text: Column, tok: UnigramTokenizer): Column = {
+    val normalized =
+      if (tok.needsNfc) TextFunctions.normalizeUnicode(text, "NFC")
+      else text
+    val core = graft.expressions.GraftFunctions.unigramEncode(
+      normalized, tok)
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+    else concat(typedLit(tok.prefixIds), core, typedLit(tok.suffixIds))
+  }
+
+  /** Distributed encode: one row per input row, `(idCol, token_ids)`
+    * — [[Bpe.encodeMapSide]]'s shape for the Unigram lineage.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      tok: UnigramTokenizer): DataFrame =
+    df.select(col(idCol),
+      encodeColumn(col(textCol), tok).as("token_ids"))
+
+  /** Driver-side decode — the sentencepiece convention: ids →
+    * pieces, `<0xNN>` runs decode as UTF-8 bytes, "▁" renders as a
+    * space, and ONE leading space is dropped when the normalizer
+    * prepended one (the inverse of Prepend). Unknown-id positions
+    * render as the unk piece (information the encode discarded —
+    * decode is lossy exactly there, nowhere else).
+    */
+  def decodeIds(ids: Seq[Long], tok: UnigramTokenizer): String = {
+    val byteRe = "^<0x([0-9A-Fa-f]{2})>$".r
+    val sb = new StringBuilder
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def flush(): Unit = if (pending.nonEmpty) {
+      sb.append(new String(pending.toArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      pending.clear()
+    }
+    ids.foreach { id =>
+      require(id >= 0 && id < tok.pieces.size,
+        s"id $id outside the ${tok.pieces.size}-piece vocab")
+      val p = tok.pieces(id.toInt)._1
+      byteRe.findFirstMatchIn(p) match {
+        case Some(m) => pending += Integer.parseInt(m.group(1), 16).toByte
+        case None => flush(); sb.append(p)
+      }
+    }
+    flush()
+    var out = sb.toString.replace('▁', ' ')
+    if (tok.norms.exists(n => n._1 == "prepend") &&
+        out.startsWith(" "))
+      out = out.substring(1)
+    out
+  }
+}

@@ -600,6 +600,65 @@ object Extensions {
       .orderBy(col("run_step"))
   }
 
+  /** x121: Unigram (sentencepiece-class) encode over the documents
+    * corpus — the Llama-family tokenizer lineage: a constructed
+    * Unigram `tokenizer.json` (scored letter/bigram pieces, the
+    * Prepend "▁" + Replace " "→"▁" normalizer pair, `byte_fallback`
+    * with the full `<0xNN>` alphabet so every byte is representable)
+    * loads through [[graft.operators.Unigram.loadTokenizerJson]] and
+    * encodes map-side through the compiled Viterbi kernel
+    * ([[graft.expressions.UnigramEncodeIds]]) — zero shuffles on the
+    * encode leg. NO SQL ORACLE: Viterbi max-likelihood segmentation
+    * is an iterative DP a relational restatement cannot express
+    * (the x75/x76 justification class); the semantics are gated by
+    * UnigramSpec's hand-computed lattice fixtures instead. Output is
+    * (doc_id, n_tokens, ids_md5) — deterministic bytes, so drift
+    * still shows as a hash change in the rows-only record.
+    */
+  def x121UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val letters = Seq(
+      "e" -> -2.8, "t" -> -2.9, "a" -> -3.0, "o" -> -3.1,
+      "n" -> -3.2, "i" -> -3.3, "s" -> -3.4, "r" -> -3.5,
+      "h" -> -3.6, "l" -> -3.7, "d" -> -3.8, "▁the" -> -5.0,
+      "▁a" -> -3.9, "▁to" -> -5.2, "the" -> -6.0, "ing" -> -6.2,
+      "er" -> -5.4, "an" -> -5.5, "on" -> -5.6, "at" -> -5.7)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createArrayNode()
+    def piece(p: String, sc: Double): Unit = {
+      val e = mapper.createArrayNode(); e.add(p); e.add(sc)
+      vocab.add(e)
+    }
+    piece("<unk>", 0.0); piece("▁", -2.5)
+    (0 until 256).foreach(b => piece(f"<0x$b%02X>", -12.0))
+    letters.foreach { case (p, sc) => piece(p, sc) }
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "normalizer": {"type": "Sequence", "normalizers": [
+        |   {"type": "Prepend", "prepend": "▁"},
+        |   {"type": "Replace", "pattern": {"String": " "},
+        |    "content": "▁"}]},
+        | "pre_tokenizer": null, "post_processor": null,
+        | "model": {"type": "Unigram", "unk_id": 0,
+        |   "byte_fallback": true}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_unigram_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.Unigram.loadTokenizerJson(s, path)
+    graft.operators.Unigram.encodeIds(
+      docs(s, dir).filter(col("text").isNotNull), "doc_id", "text",
+      tok)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          col("token_ids"), width = 2)).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x116: trainer-shard READ-BACK — the x114 artifact re-entering the
     * engine through [[graft.io.TrainerShards.read]] (binaryFile scan +
     * the compiled [[graft.expressions.ShardSequences]] kernel), one

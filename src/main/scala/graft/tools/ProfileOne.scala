@@ -27,14 +27,22 @@ object ProfileOne {
         b.getProcessCpuTime / 1e9
       case _ => 0.0
     }
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     for (n <- names; p <- 1 to passes) {
       val t0 = System.nanoTime()
       val c0 = cpuSec
+      val g0 = gcMs
       val cnt = graft.SparkEntry.queries(n)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = cpuSec - c0
+      val gc = (gcMs - g0) / 1e3
       println(f"PROFILE $n pass $p: wall $wall%.2f s cpu $cpu%.2f s " +
-        f"par ${cpu / math.max(wall, 1e-9)}%.2f rows $cnt")
+        f"par ${cpu / math.max(wall, 1e-9)}%.2f gc $gc%.2f s rows $cnt")
     }
     spark.stop()
   }

@@ -902,4 +902,76 @@ class AnnIndexSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.isEmpty, "over the bound the aggregate must rank")
   }
+
+  test("bounded top-k on BINARY, DECIMAL, DATE and TIMESTAMP ids: " +
+      "byte-equals the window form under each type's native Spark " +
+      "ordering (unsigned bytes, signed numeric via the flipped " +
+      "sort key, epoch integers) with exact-cosine tie groups, and " +
+      "every plan stays window-free") {
+    import graft.functions.VectorFunctions._
+    def windowForm(scored: DataFrame, k: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    }
+    // copies of one vector make exact cos ties, so the id tie-break
+    // is exercised on every shared rank; id derivations cover the
+    // hostile corners: md5 bytes exceed 0x7f (unsigned byte order),
+    // the decimal spans NEGATIVE and positive (the sign-bit flip)
+    val base = intCorpus(nDistinct = 8, copies = 5)
+    val variants: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "binary" -> unhex(md5(col("vec_id").cast("string"))),
+      "decimal" -> ((col("vec_id") - 20) * lit(1.37))
+        .cast(org.apache.spark.sql.types.DecimalType(12, 4)),
+      "date" -> date_add(lit("2020-01-01").cast("date"),
+        (col("vec_id") % 1000).cast("int")),
+      "timestamp" -> timestamp_millis(col("vec_id") * 1234567L))
+    for ((label, idExpr) <- variants) {
+      val corpus = base.withColumn("tid", idExpr)
+      val q = corpus.filter(col("vec_id") <= 6)
+      val scored = corpus
+        .select(col("tid").as("neighbor_id"),
+          col("embedding").as("cv"), normSq(col("embedding")).as("cn"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), normSq(col("embedding")).as("qn"))))
+        .withColumn("cos", cosineFromParts(dot(col("qv"), col("cv")),
+          col("qn"), col("cn")))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      // Array[Byte] compares by reference inside tuples — canonicalize
+      def rowsC(df: DataFrame): Seq[(Any, Int, Any, Double)] =
+        rows(df).map { case (q2, rk, id, cos) =>
+          (q2, rk, id match {
+            case a: Array[Byte] => a.toSeq
+            case x => x
+          }, cos)
+        }
+      assert(rowsC(SimilaritySearch.boundedTopK(scored, 7)) ==
+        rowsC(windowForm(scored, 7)),
+        s"$label-keyed bounded top-k diverged from the window form")
+      val wins = SimilaritySearch.boundedTopK(scored, 7)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(wins.isEmpty,
+        s"$label ids still fall back to a window: ${wins.mkString}")
+    }
+    // the decimal sort key round-trips bit-identically on hostile
+    // values (negative, zero, max-precision)
+    import spark.implicits._
+    val vals = Seq("-99999999.9999", "-0.0001", "0.0000", "0.0001",
+      "12345678.4321", "99999999.9999")
+    val rt = vals.toDF("v")
+      .select(col("v").cast(
+        org.apache.spark.sql.types.DecimalType(12, 4)).as("d"))
+      .select(graft.expressions.GraftFunctions.sortKeyDecimal(
+        graft.expressions.GraftFunctions.decimalSortKey(col("d"),
+          12, 4), 12, 4).as("rt"), col("d"))
+      .collect()
+    rt.foreach(r => assert(r.getDecimal(0) == r.getDecimal(1),
+      s"sort-key round trip broke: ${r.getDecimal(1)}"))
+  }
 }

@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+/** Unigram (sentencepiece-class) tokenizer: hand-computed Viterbi
+  * lattices pin the encode semantics (every expected id sequence
+  * below is derived on paper from the published max-likelihood
+  * segmentation rule), plus the loader's rejection matrix — the
+  * BpeSpec parity-harness pattern with constructed fixtures.
+  */
+class UnigramSpec extends SparkSpec {
+
+  private def writeJson(body: String): String = {
+    val f = Files.createTempFile("graft_unigram", ".json")
+    Files.write(f, body.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  // vocab ids are ARRAY POSITIONS: 0 <unk>, 1 ▁, 2 a, 3 b, 4 ab,
+  // 5 ▁a, 6 abc — scores chosen so every expected segmentation below
+  // is the unique lattice optimum (verified by hand)
+  private val baseVocab =
+    """[["<unk>", 0.0], ["▁", -1.0], ["a", -2.0], ["b", -2.0],
+      | ["ab", -3.5], ["▁a", -1.5], ["abc", -4.0]]"""
+      .stripMargin
+  private val llamaNorms =
+    """{"type": "Sequence", "normalizers": [
+      |  {"type": "Prepend", "prepend": "▁"},
+      |  {"type": "Replace", "pattern": {"String": " "},
+      |   "content": "▁"}]}""".stripMargin
+
+  private def tokJson(vocab: String = baseVocab, unkId: String = "0",
+      byteFallback: Boolean = false, normalizer: String = llamaNorms,
+      preTokenizer: String = "null", postProcessor: String = "null") =
+    s"""{"version": "1.0",
+       | "normalizer": $normalizer,
+       | "pre_tokenizer": $preTokenizer,
+       | "post_processor": $postProcessor,
+       | "model": {"type": "Unigram", "unk_id": $unkId,
+       |   "byte_fallback": ${if (byteFallback) "true" else "false"},
+       |   "vocab": $vocab}}""".stripMargin
+
+  private def encode(tok: Unigram.UnigramTokenizer, text: String)
+      : Seq[Long] = {
+    import spark.implicits._
+    Seq(("d", text)).toDF("id", "t")
+      .transform(df => Unigram.encodeIds(df, "id", "t", tok))
+      .collect()(0).getSeq[Long](1)
+  }
+
+  test("Viterbi encode: the max-likelihood segmentation wins (hand-" +
+      "computed lattices), the Prepend+Replace normalizer runs in " +
+      "file order, ties fall to the earliest start, unknown code " +
+      "points fuse to one unk id, and the plan is a pure projection") {
+    val tok = Unigram.loadTokenizerJson(spark, writeJson(tokJson()))
+    assert(tok.unkId == 0 && !tok.byteFallback && !tok.needsNfc)
+    // "a ab" normalizes to ▁a▁ab; the optimum is ▁a(−1.5) ▁a(−1.5)
+    // b(−2.0) = −5.0, strictly better than ▁a ▁ ab (−6.0) and every
+    // other path
+    assert(encode(tok, "a ab") == Seq(5L, 5L, 3L))
+    // "abc" → ▁abc; ▁(−1) abc(−4) = −5 beats ▁a(−1.5) b(−2) + unk c
+    // (unk = min−10 = −14) by construction
+    assert(encode(tok, "abc") == Seq(1L, 6L))
+    // two unknown code points between known pieces FUSE into one unk
+    // (the fuse ⇔ unk_id rule): ▁a [zz] b
+    assert(encode(tok, "azzb") == Seq(5L, 0L, 3L))
+    // empty input → only the prepended marker
+    assert(encode(tok, "") == Seq(1L))
+    // deterministic tie-break: x(−2) y(−2) xy(−4) ties x+y against
+    // xy; the earliest-start (longest) piece must win, always
+    val tieTok = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = """[["<unk>", 0.0], ["x", -2.0], ["y", -2.0],
+                | ["xy", -4.0]]""".stripMargin,
+      normalizer = "null")))
+    assert(encode(tieTok, "xy") == Seq(3L))
+    // zero shuffles: the encode is a projection
+    import spark.implicits._
+    val plan = Unigram.encodeIds(
+      Seq(("d", "a ab")).toDF("id", "t"), "id", "t", tok)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, "unigram encode introduced a shuffle")
+  }
+
+  test("byte fallback: an unknown span resolves to its <0xNN> pieces " +
+      "when all exist (fused spans fall back as whole UTF-8 runs), " +
+      "falls to unk_id when any byte piece is missing, and a model " +
+      "with neither path refuses loudly instead of dropping input") {
+    val vocabBf =
+      """[["<unk>", 0.0], ["▁", -1.0], ["a", -2.0], ["b", -2.0],
+        | ["ab", -3.5], ["▁a", -1.5], ["abc", -4.0],
+        | ["<0xC3>", -9.0], ["<0xA9>", -9.0]]""".stripMargin
+    val tok = Unigram.loadTokenizerJson(spark,
+      writeJson(tokJson(vocab = vocabBf, byteFallback = true)))
+    // é = C3 A9: both byte pieces exist → ids 7, 8
+    assert(encode(tok, "aé") == Seq(5L, 7L, 8L))
+    // a FUSED unknown span falls back as one UTF-8 run: éé → 4 bytes
+    assert(encode(tok, "aéé") == Seq(5L, 7L, 8L, 7L, 8L))
+    // µ = C2 B5 and <0xC2> is missing → the span falls to unk_id
+    assert(encode(tok, "aµ") == Seq(5L, 0L))
+    // decode inverts the byte run (and drops the prepended space)
+    assert(Unigram.decodeIds(Seq(5L, 7L, 8L), tok) == "aé")
+    assert(Unigram.decodeIds(encode(tok, "a ab"), tok) == "a ab")
+    // no unk_id, no byte fallback → loud refusal naming the span
+    val noEscape = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = baseVocab, unkId = "null")))
+    val err = intercept[Exception] {
+      encode(noEscape, "az")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null &&
+      m.contains("refusing to drop input silently")),
+      s"wrong refusal: ${chain(err)}")
+  }
+
+  test("leading pure-NFC stage composes upstream of the kernel: a " +
+      "decomposed accent encodes identically to its composed form") {
+    val vocabNfc =
+      """[["<unk>", 0.0], ["▁", -1.0], ["é", -2.0],
+        | ["a", -2.0]]""".stripMargin
+    val norm =
+      """{"type": "Sequence", "normalizers": [
+        |  {"type": "NFC"},
+        |  {"type": "Prepend", "prepend": "▁"},
+        |  {"type": "Replace", "pattern": {"String": " "},
+        |   "content": "▁"}]}""".stripMargin
+    val tok = Unigram.loadTokenizerJson(spark,
+      writeJson(tokJson(vocab = vocabNfc, normalizer = norm)))
+    assert(tok.needsNfc)
+    // e + COMBINING ACUTE (decomposed) must hit the composed é piece
+    assert(encode(tok, "e\u0301") == encode(tok, "é"))
+    assert(encode(tok, "é") == Seq(1L, 2L))
+  }
+
+  test("TemplateProcessing: the single-sequence BOS template's fixed " +
+      "ids wrap every encode (the Llama '<s> $A' shape)") {
+    val post =
+      """{"type": "TemplateProcessing",
+        | "single": [
+        |   {"SpecialToken": {"id": "<s>", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}}],
+        | "special_tokens": {
+        |   "<s>": {"id": "<s>", "ids": [42], "tokens": ["<s>"]}}}"""
+        .stripMargin
+    val tok = Unigram.loadTokenizerJson(spark,
+      writeJson(tokJson(postProcessor = post)))
+    assert(tok.prefixIds == Seq(42L) && tok.suffixIds.isEmpty)
+    assert(encode(tok, "a ab") == Seq(42L, 5L, 5L, 3L))
+  }
+
+  test("rejection matrix: everything the engine cannot reproduce " +
+      "exactly refuses LOUDLY at load — BPE models point at the BPE " +
+      "loader, pre-tokenizers, regex Replace, Lowercase, NFC after a " +
+      "rewrite stage, pair templates, and out-of-range unk_id") {
+    def rejects(body: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Unigram.loadTokenizerJson(spark, writeJson(body))
+      }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    rejects(tokJson().replace("\"Unigram\"", "\"BPE\""),
+      "Bpe.loadTokenizerJson")
+    rejects(tokJson(preTokenizer =
+      """{"type": "Metaspace", "replacement": "▁",
+        | "add_prefix_space": true}""".stripMargin),
+      "pre-tokenizer")
+    rejects(tokJson(normalizer =
+      """{"type": "Replace", "pattern": {"Regex": " +"},
+        | "content": " "}""".stripMargin),
+      "non-literal pattern")
+    rejects(tokJson(normalizer = """{"type": "Lowercase"}"""),
+      "does not reproduce")
+    rejects(tokJson(normalizer =
+      """{"type": "Sequence", "normalizers": [
+        |  {"type": "Prepend", "prepend": "▁"},
+        |  {"type": "NFC"}]}""".stripMargin),
+      "LEADING pure-NFC")
+    rejects(tokJson(postProcessor =
+      """{"type": "TemplateProcessing",
+        | "single": [{"Sequence": {"id": "B", "type_id": 0}}],
+        | "special_tokens": {}}""".stripMargin),
+      "pair templates")
+    rejects(tokJson(postProcessor = """{"type": "RobertaProcessing"}"""),
+      "TemplateProcessing")
+    rejects(tokJson(unkId = "99"), "outside")
+    rejects(tokJson(vocab =
+      """[["a", -1.0], ["a", -2.0]]"""), "duplicate pieces")
+  }
+}
