@@ -63,7 +63,7 @@ object GraftFunctions {
   def unigramEncode(text: Column,
       tok: graft.operators.Unigram.UnigramTokenizer): Column =
     c(UnigramEncodeIds(e(text), tok.pieces.toSeq, tok.unkId,
-      tok.byteFallback, tok.norms))
+      tok.byteFallback, tok.norms, tok.metaspace))
   def decimalSortKey(v: Column, precision: Int, scale: Int): Column =
     c(DecimalSortKey(e(v), precision, scale))
   def sortKeyDecimal(v: Column, precision: Int, scale: Int): Column =

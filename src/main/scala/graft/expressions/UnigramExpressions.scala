@@ -77,12 +77,19 @@ case class SortKeyDecimal(child: Expression, precision: Int,
   *    (NFC, when the file carries it, is applied UPSTREAM through the
   *    engine's compiled x89 kernel — see
   *    [[graft.operators.Unigram.encodeIds]].)
-  *  - The LATTICE runs over the whole normalized string (this lineage
-  *    has no pre-tokenizer — rejected at load otherwise), positions
-  *    advance by code point, and the unknown edge spans one code
-  *    point. A real piece strictly outscores the unknown edge by
-  *    construction (`unk = min − 10`), so offering the edge at every
-  *    position equals sentencepiece's only-when-no-single-char rule.
+  *  - The LATTICE runs over the whole normalized string when the
+  *    file has no pre-tokenizer (the Llama lineage), or per
+  *    PRE-TOKEN under a `Metaspace` pre-tokenizer (the T5 lineage):
+  *    Metaspace rewrites " " to its replacement, prepends one per
+  *    its scheme (never double-prepending), and with `split` cuts
+  *    the string BEFORE every replacement occurrence (merged-with-
+  *    next), each segment encoding independently — a piece can never
+  *    span a pre-token boundary, and unknown fusing stays within a
+  *    segment. Positions advance by code point, and the unknown edge
+  *    spans one code point. A real piece strictly outscores the
+  *    unknown edge by construction (`unk = min − 10`), so offering
+  *    the edge at every position equals sentencepiece's
+  *    only-when-no-single-char rule.
   *  - TIES (impossible in EM-trained artifacts — scores are distinct
   *    log-probs — but the order must be total): the relaxation keeps
   *    the FIRST winner under a strict `>`, scanning starts ascending,
@@ -104,12 +111,18 @@ case class SortKeyDecimal(child: Expression, precision: Int,
   */
 case class UnigramEncodeIds(child: Expression,
     pieces: Seq[(String, Double)], unkId: Int, byteFallback: Boolean,
-    norms: Seq[(String, String, String)])
+    norms: Seq[(String, String, String)],
+    metaspace: Option[(String, Boolean, String)] = None)
     extends UnaryKernelCodegen {
 
   require(pieces.nonEmpty, "unigram vocab must be non-empty")
   require(unkId < pieces.length,
     s"unk_id $unkId outside the ${pieces.length}-piece vocab")
+  metaspace.foreach { case (repl, _, scheme) =>
+    require(repl.nonEmpty, "metaspace replacement must be non-empty")
+    require(scheme == "always" || scheme == "first" ||
+      scheme == "never", s"unknown metaspace prepend scheme '$scheme'")
+  }
 
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
@@ -162,9 +175,35 @@ case class UnigramEncodeIds(child: Expression,
   }
 
   override def kernel(input: Any): Any = {
-    val t = normalize(input.asInstanceOf[UTF8String].toString)
+    val t0 = normalize(input.asInstanceOf[UTF8String].toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    metaspace match {
+      case None => encodeInto(t0, out)
+      case Some((repl, split, scheme)) =>
+        var t = t0.replace(" ", repl)
+        if (scheme != "never" && !t.startsWith(repl) && t.nonEmpty)
+          t = repl + t
+        if (!split) encodeInto(t, out)
+        else {
+          // merged-with-next: cut BEFORE every replacement occurrence
+          var from = 0
+          var at = t.indexOf(repl, if (t.startsWith(repl)) repl.length
+            else 0)
+          while (at >= 0) {
+            if (at > from) encodeInto(t.substring(from, at), out)
+            from = at
+            at = t.indexOf(repl, at + repl.length)
+          }
+          if (from < t.length) encodeInto(t.substring(from), out)
+        }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def encodeInto(t: String,
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
     val n = t.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n == 0) return
     val NEG = java.lang.Double.NEGATIVE_INFINITY
     val best = new Array[Double](n + 1)
     java.util.Arrays.fill(best, NEG)
@@ -226,7 +265,6 @@ case class UnigramEncodeIds(child: Expression,
         if (run != null) b += ((run._1, run._2, -1))
         b.result()
       }
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     fused.foreach { case (s, e, p) =>
       if (p >= 0) out += p.toLong
       else {
@@ -252,7 +290,6 @@ case class UnigramEncodeIds(child: Expression,
         }
       }
     }
-    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(

@@ -20,9 +20,12 @@ import graft.functions.TextFunctions
   *    (leading only — applied through the engine's compiled x89
   *    kernel), and `Sequence`s of those — the Llama lineage is
   *    `[Prepend "▁", Replace " " → "▁"]`;
-  *  - pre-tokenizer: ABSENT only (this lineage runs the lattice over
-  *    the whole normalized sentence; `Metaspace`/`ByteLevel`/splits
-  *    are different segmentations — rejected);
+  *  - pre-tokenizer: ABSENT (the Llama lineage runs the lattice over
+  *    the whole normalized sentence) or `Metaspace` (the T5 lineage:
+  *    " "→replacement rewrite, scheme-gated prepend, and with
+  *    `split` a per-pre-token lattice — pieces never span pre-token
+  *    boundaries); `ByteLevel`/`Whitespace`/other splits are
+  *    different segmentations — rejected;
   *  - post-processor: absent, id-neutral, or a single-sequence
   *    `TemplateProcessing` (Llama's `<s> $A` BOS template) — the
   *    fixed special ids around one `A` sequence are emitted exactly;
@@ -46,7 +49,8 @@ object Unigram {
   case class UnigramTokenizer(pieces: IndexedSeq[(String, Double)],
       unkId: Int, byteFallback: Boolean,
       norms: Seq[(String, String, String)], needsNfc: Boolean,
-      prefixIds: Seq[Long], suffixIds: Seq[Long])
+      prefixIds: Seq[Long], suffixIds: Seq[Long],
+      metaspace: Option[(String, Boolean, String)] = None)
 
   /** Load a `tokenizer.json` carrying a Unigram model, rejecting
     * loudly anything the engine cannot reproduce exactly — see the
@@ -159,16 +163,57 @@ object Unigram {
       }
     }
 
-    // pre-tokenizer: this lineage has none — the lattice runs over
-    // the whole normalized sentence
+    // pre-tokenizer: absent (Llama lineage — the lattice runs over
+    // the whole normalized sentence) or Metaspace (T5 lineage —
+    // space→replacement rewrite, scheme-gated prepend, and with
+    // `split` a per-pre-token lattice); anything else is a different
+    // segmentation — rejected
     val pre = tree.get("pre_tokenizer")
-    require(pre == null || pre.isNull,
-      s"$path carries a pre-tokenizer (type '${Option(pre.get("type"))
-        .map(_.asText()).getOrElse("?")}') — Unigram support runs " +
-        "the lattice over the whole normalized sentence " +
-        "(sentencepiece-conversion lineage); a Metaspace/ByteLevel/" +
-        "split stage is a different segmentation; refusing to " +
-        "mis-encode")
+    val metaspace: Option[(String, Boolean, String)] =
+      if (pre == null || pre.isNull) None
+      else Option(pre.get("type")).map(_.asText()) match {
+        case Some("Metaspace") =>
+          val repl = {
+            val r = pre.get("replacement")
+            if (r == null || r.isNull) "▁"
+            else {
+              require(r.isTextual && r.asText().nonEmpty,
+                s"$path Metaspace replacement is not a non-empty " +
+                  "string")
+              r.asText()
+            }
+          }
+          val split = {
+            val v = pre.get("split")
+            v == null || v.isNull || v.asBoolean(true)
+          }
+          val scheme = {
+            val ps = pre.get("prepend_scheme")
+            if (ps != null && !ps.isNull) ps.asText()
+            else {
+              // legacy field: add_prefix_space true (the default) is
+              // the "always" scheme
+              val aps = pre.get("add_prefix_space")
+              if (aps == null || aps.isNull || aps.asBoolean(true))
+                "always"
+              else "never"
+            }
+          }
+          require(scheme == "always" || scheme == "first" ||
+            scheme == "never",
+            s"$path Metaspace prepend_scheme '$scheme' is not a " +
+              "published scheme (always/first/never) — refusing to " +
+              "mis-encode")
+          Some((repl, split, scheme))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$path carries a pre-tokenizer (type " +
+              s"'${other.getOrElse("?")}') this engine does not " +
+              "reproduce — only absent (whole-sentence lattice) or " +
+              "Metaspace is supported; a ByteLevel/Whitespace/split " +
+              "stage is a different segmentation; refusing to " +
+              "mis-encode")
+      }
 
     // post-processor: absent, or a single-sequence TemplateProcessing
     // (fixed special ids around one A)
@@ -238,7 +283,7 @@ object Unigram {
       }
 
     UnigramTokenizer(pieces, unkId, byteFallback, norms, needsNfc,
-      prefixIds, suffixIds)
+      prefixIds, suffixIds, metaspace)
   }
 
   /** The encode column: NFC upstream when the file demands it (the

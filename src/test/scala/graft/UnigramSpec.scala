@@ -154,6 +154,134 @@ class UnigramSpec extends SparkSpec {
     assert(encode(tok, "a ab") == Seq(42L, 5L, 5L, 3L))
   }
 
+  test("independent reference parity: a plain-Scala Viterbi decoder " +
+      "(disjoint implementation — immutable maps, no gate, no " +
+      "kernel) agrees with the engine encode on real corpus text " +
+      "under a byte-fallback vocab") {
+    // the x121 vocab shape: letters + bigrams + the full <0xNN>
+    // alphabet, so every input is representable
+    val letterPieces = Seq(
+      "e" -> -2.8, "t" -> -2.9, "a" -> -3.0, "o" -> -3.1,
+      "n" -> -3.2, "i" -> -3.3, "s" -> -3.4, "r" -> -3.5,
+      "h" -> -3.6, "l" -> -3.7, "d" -> -3.8, "▁the" -> -5.0,
+      "▁a" -> -3.9, "▁to" -> -5.2, "the" -> -6.0, "ing" -> -6.2,
+      "er" -> -5.4, "an" -> -5.5, "on" -> -5.6, "at" -> -5.7)
+    val vocabJson = (Seq("\"<unk>\"" -> 0.0, "\"▁\"" -> -2.5) ++
+      (0 until 256).map(b => f""""<0x$b%02X>"""" -> -12.0) ++
+      letterPieces.map { case (px, sc) => s""""$px"""" -> sc })
+      .map { case (px, sc) => s"[$px, $sc]" }.mkString("[", ",", "]")
+    val tok = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = vocabJson, byteFallback = true)))
+
+    // independent reference: the DOCUMENTED semantics (forward DP,
+    // starts ascending, strict >, earliest-start tie-break, per-code-
+    // point unk edge) in a naive disjoint implementation — immutable
+    // Maps, no first-char gate, no maxLen bound, no kernel code. The
+    // tie-break and addition order are part of the spec, so the
+    // reference states them too; everything else differs.
+    def refEncode(text: String): Seq[Long] = {
+      val t = "▁" + text.replace(" ", "▁")
+      val pieces = tok.pieces
+      val idx = pieces.map(_._1).zipWithIndex.toMap
+      val unkScore = pieces.map(_._2).min - 10.0
+      val n = t.length
+      val maxPieceLen = pieces.map(_._1.length).max
+      var bestAt = Map(0 -> 0.0)
+      var backAt = Map.empty[Int, (Int, String, Boolean)]
+      for (i <- 0 until n if bestAt.contains(i)) {
+        for (len <- 1 to math.min(n - i, maxPieceLen)) {
+          val cand = t.substring(i, i + len)
+          if (idx.contains(cand)) {
+            val sc = bestAt(i) + pieces(idx(cand))._2
+            if (!bestAt.contains(i + len) || sc > bestAt(i + len)) {
+              bestAt += (i + len) -> sc
+              backAt += (i + len) -> ((i, cand, false))
+            }
+          }
+        }
+        val step = Character.charCount(t.codePointAt(i))
+        val usc = bestAt(i) + unkScore
+        if (!bestAt.contains(i + step) || usc > bestAt(i + step)) {
+          bestAt += (i + step) -> usc
+          backAt += (i + step) -> ((i, t.substring(i, i + step), true))
+        }
+      }
+      var spans = List.empty[(String, Boolean)]
+      var pos = n
+      while (pos > 0) {
+        val (prev, px, isUnk) = backAt(pos)
+        spans = (px, isUnk) :: spans
+        pos = prev
+      }
+      // fuse unk runs, then byte-fallback them
+      val fusedB = List.newBuilder[(String, Boolean)]
+      var run: StringBuilder = null
+      spans.foreach { case (px, isUnk) =>
+        if (isUnk) { if (run == null) run = new StringBuilder; run ++= px }
+        else {
+          if (run != null) { fusedB += ((run.toString, true)); run = null }
+          fusedB += ((px, false))
+        }
+      }
+      if (run != null) fusedB += ((run.toString, true))
+      fusedB.result().flatMap {
+        case (px, false) => Seq(idx(px).toLong)
+        case (span, true) =>
+          span.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map(b => idx(f"<0x${b & 0xff}%02X>").toLong).toSeq
+      }
+    }
+
+    import spark.implicits._
+    val texts = graft.core.Graft.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = Unigram.encodeIds(
+      texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", tok)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) == refEncode(text),
+        s"doc $id diverged from the independent reference")
+    }
+  }
+
+  test("Metaspace pre-tokenizer (T5 lineage): split cuts the lattice " +
+      "at pre-token boundaries so a multi-word piece can never " +
+      "match; split=false equals the whole-sentence lattice; the " +
+      "prepend scheme gates the leading marker and never doubles it") {
+    // ▁the▁cat (-3.0) would dominate any split segmentation — with
+    // split=true it must be UNREACHABLE (pieces cannot span the cut
+    // before the second ▁)
+    val vocab =
+      """[["<unk>", 0.0], ["▁", -1.0], ["▁the", -2.0],
+        | ["▁cat", -2.5], ["▁the▁cat", -3.0], ["the", -2.2],
+        | ["cat", -2.6]]""".stripMargin
+    def ms(split: Boolean, scheme: String) =
+      s"""{"type": "Metaspace", "replacement": "▁",
+         | "split": $split, "prepend_scheme": "$scheme"}"""
+        .stripMargin
+    val tokSplit = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = vocab, normalizer = "null",
+      preTokenizer = ms(split = true, "always"))))
+    assert(tokSplit.metaspace.contains(("▁", true, "always")))
+    // "the cat" → ▁the▁cat → segments [▁the, ▁cat] → ids 2, 3
+    assert(encode(tokSplit, "the cat") == Seq(2L, 3L))
+    val tokJoin = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = vocab, normalizer = "null",
+      preTokenizer = ms(split = false, "always"))))
+    // whole-sentence lattice: ▁the▁cat (-3.0) beats ▁the + ▁cat (-4.5)
+    assert(encode(tokJoin, "the cat") == Seq(4L))
+    // scheme "never": no leading marker → "the" matches the bare
+    // piece, "cat" still gets its ▁ from the space rewrite
+    val tokNever = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = vocab, normalizer = "null",
+      preTokenizer = ms(split = true, "never"))))
+    assert(encode(tokNever, "the cat") == Seq(5L, 3L))
+    // already-marked input is never double-prepended
+    assert(encode(tokSplit, "▁the") == Seq(2L))
+  }
+
   test("rejection matrix: everything the engine cannot reproduce " +
       "exactly refuses LOUDLY at load — BPE models point at the BPE " +
       "loader, pre-tokenizers, regex Replace, Lowercase, NFC after a " +
@@ -167,10 +295,12 @@ class UnigramSpec extends SparkSpec {
     }
     rejects(tokJson().replace("\"Unigram\"", "\"BPE\""),
       "Bpe.loadTokenizerJson")
+    rejects(tokJson(preTokenizer = """{"type": "Whitespace"}"""),
+      "pre-tokenizer")
     rejects(tokJson(preTokenizer =
       """{"type": "Metaspace", "replacement": "▁",
-        | "add_prefix_space": true}""".stripMargin),
-      "pre-tokenizer")
+        | "prepend_scheme": "exotic"}""".stripMargin),
+      "prepend_scheme")
     rejects(tokJson(normalizer =
       """{"type": "Replace", "pattern": {"Regex": " +"},
         | "content": " "}""".stripMargin),
