@@ -1718,6 +1718,36 @@ object TrainerShards {
       .toDF("epoch", "seed", "first_run_step", "total_steps")
   }
 
+  /** APPEND one newly published epoch to an existing run — the
+    * steady-state verb of a months-lived training run (publish epoch
+    * N+1's order + blend, then extend the binding) without
+    * redeclaring the whole epoch list. The epoch must be the ONLY
+    * epoch directory on disk not yet bound (anything else is drift
+    * the caller must resolve first — the writeRunManifest contract),
+    * must carry both sidecar levels, and must not already be bound.
+    * The re-published `_RUN.json` is byte-equivalent to a fresh
+    * [[writeRunManifest]] over the extended list (spec-asserted), so
+    * extension never forks the artifact's meaning; the publish is
+    * the same atomic rename. Returns the new binding summary.
+    */
+  def extendRunManifest(spark: SparkSession, dir: String, epoch: Int)
+      : DataFrame = {
+    val (metas, _) = readRunMeta(spark, dir)
+    require(!metas.exists(_.epoch == epoch),
+      s"epoch $epoch is already bound to the run at $dir")
+    val onDisk = epochDirsOnDisk(spark, dir)
+    val unbound = onDisk.filterNot(e =>
+      metas.exists(_.epoch == e) || e == epoch)
+    require(unbound.isEmpty,
+      s"epoch directories [${unbound.mkString(", ")}] are on disk " +
+        s"but bound to no run — a run must bind exactly what is " +
+        "published; drop strays or declare them via writeRunManifest")
+    require(onDisk.contains(epoch),
+      s"no epoch directory for epoch $epoch at $dir — " +
+        "writeEpochOrder + writeBlendSchedule first")
+    writeRunManifest(spark, dir, metas.map(_.epoch) :+ epoch)
+  }
+
   /** The run manifest parsed back: epochs in consumption order plus
     * the recorded provenance map.
     */

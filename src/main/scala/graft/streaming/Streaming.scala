@@ -1515,6 +1515,10 @@ object Streaming {
     * after every earlier epoch's callback returned (foreachBatch is
     * sequential, and epochs within a batch are consumed sorted), so
     * a later epoch can never start before the prior epoch drains.
+    * Ascending NUMERIC epoch order is this stream's contract — the
+    * order epochs naturally publish in; a run whose `_RUN.json`
+    * binds a different consumption order is consumed via the batch
+    * [[graft.io.TrainerShards.readInRunOrder]] instead.
     *
     * Exactly-once on the FILE LOG: Spark's checkpointed file-stream
     * offsets admit each part file once, so a published epoch fires

@@ -244,6 +244,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x120: the run-level resume read carries no Window and no " +
+      "cartesian product — the cross-epoch union inherits each " +
+      "epoch leg's shape") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val q = Extensions.x120RunResume(spark, sfDir)
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(wins.isEmpty,
+      s"the run resume read ranks through a window: ${wins.mkString}")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x34: rerank coarse stage is a bounded partial-merge agg; the " +
       "only window ranks the <= k*overfetch candidate set") {
     val p = plan(Extensions.x34KnnRerank(spark, sfDir))

@@ -197,6 +197,42 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DecimalSortKey: unsigned byte order of the encoding equals " +
+      "numeric order, and the inverse kernel round-trips exactly, " +
+      "for random decimals spanning the sign flip") {
+    import graft.expressions.{DecimalSortKey, SortKeyDecimal}
+    import org.apache.spark.sql.types.Decimal
+    val precision = 12; val scale = 4
+    val enc = DecimalSortKey(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), precision,
+      scale)
+    val dec = SortKeyDecimal(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), precision,
+      scale)
+    def key(v: java.math.BigDecimal): Array[Byte] =
+      enc.kernel(Decimal(v, precision, scale)).asInstanceOf[Array[Byte]]
+    def binCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+    val decGen = for {
+      unscaled <- Gen.chooseNum(-99999999999L, 99999999999L)
+    } yield java.math.BigDecimal.valueOf(unscaled, scale)
+    check("decimal-sort-key", Prop.forAll(decGen, decGen) { (x, y) =>
+      val (kx, ky) = (key(x), key(y))
+      val orderOk = Integer.signum(binCmp(kx, ky)) ==
+        Integer.signum(x.compareTo(y))
+      val rtOk = dec.kernel(kx).asInstanceOf[Decimal]
+        .toJavaBigDecimal.compareTo(x) == 0
+      orderOk && rtOk
+    })
+  }
+
   test("FrequentItems invariants on random streams and partitionings") {
     import graft.functions.Aggregators.FrequentItems
     val stream = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))

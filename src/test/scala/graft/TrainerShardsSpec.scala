@@ -605,6 +605,63 @@ class TrainerShardsSpec extends SparkSpec {
     }.getMessage.contains("disagree"))
   }
 
+  test("extendRunManifest: a newly published epoch appends to the " +
+      "binding byte-equivalently to a fresh declaration; an unbound " +
+      "stray, a missing epoch, and a double-bind all refuse loudly") {
+    val seqs = materialize(fixture, seqLen = 8)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir,
+      provenance = Map("tok" -> "t9"))
+    val weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5)
+    def publish(e: Int): Unit = {
+      TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = e)
+      TrainerShards.writeBlendSchedule(spark, dir, e, weights)
+    }
+    publish(0)
+    TrainerShards.writeRunManifest(spark, dir, Seq(0))
+    // the epoch must exist before it can be bound
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.extendRunManifest(spark, dir, 1)
+    }.getMessage.contains("no epoch directory"))
+    publish(1)
+    TrainerShards.extendRunManifest(spark, dir, 1)
+    TrainerShards.verifyRun(spark, dir)
+    val extended = {
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir,
+        TrainerShards.RunManifestName))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // byte-equivalence: a fresh declaration over [0, 1] writes the
+    // same manifest (the extension never forks the artifact meaning)
+    TrainerShards.writeRunManifest(spark, dir, Seq(0, 1))
+    val fresh = {
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir,
+        TrainerShards.RunManifestName))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(extended == fresh,
+      "extendRunManifest forked the manifest bytes")
+    // double-bind refuses
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.extendRunManifest(spark, dir, 1)
+    }.getMessage.contains("already bound"))
+    // a SECOND unbound stray on disk refuses the append (the caller
+    // must resolve drift first)
+    publish(5)
+    publish(7)
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.extendRunManifest(spark, dir, 7)
+    }.getMessage.contains("bound to no run"))
+  }
+
   test("artifact integrity one level up: verifyEpochOrder and " +
       "verifyBlendSchedule pass pristine sets and name flipped " +
       "bytes / retired-generation mismatches; readBlendForRank " +
