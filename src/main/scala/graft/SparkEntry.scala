@@ -183,6 +183,7 @@ object SparkEntry {
     "x119_blend_epochs" -> Extensions.x119BlendEpochs,
     "x120_run_resume" -> Extensions.x120RunResume,
     "x121_unigram_encode" -> Extensions.x121UnigramEncode,
+    "x122_wordpiece_encode" -> Extensions.x122WordPieceEncode,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer

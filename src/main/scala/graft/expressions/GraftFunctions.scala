@@ -64,6 +64,11 @@ object GraftFunctions {
       tok: graft.operators.Unigram.UnigramTokenizer): Column =
     c(UnigramEncodeIds(e(text), tok.pieces.toSeq, tok.unkId,
       tok.byteFallback, tok.norms, tok.metaspace))
+  def wordPieceEncode(text: Column,
+      tok: graft.operators.WordPiece.WordPieceTokenizer): Column =
+    c(WordPieceEncodeIds(e(text), tok.vocab, tok.unkId,
+      tok.contPrefix, tok.maxInputCharsPerWord, tok.cleanText,
+      tok.handleChineseChars, tok.stripAccents, tok.lowercase))
   def decimalSortKey(v: Column, precision: Int, scale: Int): Column =
     c(DecimalSortKey(e(v), precision, scale))
   def sortKeyDecimal(v: Column, precision: Int, scale: Int): Column =

@@ -1,0 +1,185 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece ENCODE as a compiled map-side kernel — the BERT lineage,
+  * completing the tokenizer trifecta beside [[BpeEncodeTokens]] and
+  * [[UnigramEncodeIds]]: per pre-token GREEDY LONGEST-MATCH-FIRST
+  * over a vocabulary whose word-internal continuations carry a prefix
+  * (`##`), the published WordPiece algorithm (any unmatched position
+  * or an over-long word makes the WHOLE word `unk`).
+  *
+  * The Bert pipeline stages run inside the kernel, in the published
+  * order, each reproducing the public `tokenizers` BertNormalizer /
+  * BertPreTokenizer semantics:
+  *  - `clean_text`: drop U+0000, U+FFFD and control characters
+  *    (Unicode Cc/Cf except tab/newline/carriage-return, which — like
+  *    every other whitespace — rewrite to a plain space);
+  *  - `handle_chinese_chars`: pad CJK ideographs with spaces so each
+  *    becomes its own pre-token;
+  *  - `strip_accents`: NFD then remove combining marks (Mn) — and the
+  *    BERT default rule: when the file leaves it null, it follows
+  *    `lowercase`;
+  *  - `lowercase`: locale-independent full Unicode lowercase;
+  *  - pre-tokenization: split on whitespace, then isolate every
+  *    punctuation character (ASCII punctuation ranges + Unicode P*)
+  *    as its own pre-token.
+  *
+  * Known honest bound: category lookups (control, punctuation, Mn)
+  * use the JDK's Unicode tables; a `tokenizers` build pinned to a
+  * different Unicode version could classify an exotic codepoint
+  * differently. Every mainstream-text case is identical and the
+  * semantics are spec-pinned with hand-computed fixtures.
+  *
+  * Scale shape: pure projection — zero shuffles, whole-stage codegen,
+  * greedy matching costs O(len²) per WORD bounded by
+  * `maxInputCharsPerWord` (the published default 100).
+  */
+case class WordPieceEncodeIds(child: Expression,
+    vocab: Seq[(String, Long)], unkId: Long, contPrefix: String,
+    maxInputCharsPerWord: Int, cleanText: Boolean,
+    handleChineseChars: Boolean, stripAccents: Boolean,
+    lowercase: Boolean)
+    extends UnaryKernelCodegen {
+
+  require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
+  require(maxInputCharsPerWord >= 1,
+    s"maxInputCharsPerWord must be >= 1: $maxInputCharsPerWord")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+
+  @transient private lazy val idOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, java.lang.Long.valueOf(i)) }
+    m
+  }
+
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+    (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+    (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
+
+  private def isPunct(cp: Int): Boolean = {
+    if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+        (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)) true
+    else Character.getType(cp) match {
+      case Character.DASH_PUNCTUATION | Character.START_PUNCTUATION |
+           Character.END_PUNCTUATION | Character.CONNECTOR_PUNCTUATION |
+           Character.OTHER_PUNCTUATION | Character.INITIAL_QUOTE_PUNCTUATION |
+           Character.FINAL_QUOTE_PUNCTUATION => true
+      case _ => false
+    }
+  }
+
+  // Unicode White_Space (the Rust `char::is_whitespace` the published
+  // pipeline uses) — Java's isWhitespace alone EXCLUDES NBSP-class
+  // Zs chars; isSpaceChar supplies them (controls are handled before
+  // this test ever runs)
+  private def isWs(cp: Int): Boolean =
+    Character.isWhitespace(cp) || Character.isSpaceChar(cp)
+
+  private def isControl(cp: Int): Boolean =
+    cp != '\t' && cp != '\n' && cp != '\r' && {
+      val t = Character.getType(cp)
+      t == Character.CONTROL || t == Character.FORMAT
+    }
+
+  private def normalize(text: String): String = {
+    var t = text
+    if (cleanText) {
+      val sb = new StringBuilder(t.length)
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        if (cp == 0 || cp == 0xFFFD || isControl(cp)) ()
+        else if (isWs(cp)) sb.append(' ')
+        else sb.appendAll(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      t = sb.toString
+    }
+    if (handleChineseChars) {
+      val sb = new StringBuilder(t.length + 16)
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        if (isCjk(cp)) {
+          sb.append(' ').appendAll(Character.toChars(cp)).append(' ')
+        } else sb.appendAll(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      t = sb.toString
+    }
+    if (stripAccents) {
+      val nfd = java.text.Normalizer.normalize(t,
+        java.text.Normalizer.Form.NFD)
+      val sb = new StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val cp = nfd.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK)
+          sb.appendAll(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      t = sb.toString
+    }
+    if (lowercase) t = t.toLowerCase(java.util.Locale.ROOT)
+    t
+  }
+
+  private def preTokens(t: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val word = new StringBuilder
+    def flush(): Unit =
+      if (word.nonEmpty) { out += word.toString; word.clear() }
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (isWs(cp)) flush()
+      else if (isPunct(cp)) {
+        flush(); out += new String(Character.toChars(cp))
+      } else word.appendAll(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    flush()
+    out.result()
+  }
+
+  override def kernel(input: Any): Any = {
+    val t = normalize(input.asInstanceOf[UTF8String].toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    preTokens(t).foreach { w =>
+      if (w.length > maxInputCharsPerWord) out += unkId
+      else {
+        // greedy longest-match-first; any stuck position fails the
+        // WHOLE word to unk (the published WordPiece rule)
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var start = 0
+        var bad = false
+        while (start < w.length && !bad) {
+          var end = w.length
+          var hit: java.lang.Long = null
+          while (end > start && hit == null) {
+            val cand =
+              (if (start > 0) contPrefix else "") + w.substring(start, end)
+            hit = idOf.get(cand)
+            if (hit == null) end -= 1
+          }
+          if (hit == null) bad = true
+          else { ids += hit.longValue(); start = end }
+        }
+        if (bad) out += unkId else out ++= ids
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordPieceEncodeIds = copy(child = newChild)
+}

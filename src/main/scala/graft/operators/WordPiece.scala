@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer support — the BERT lineage, completing the
+  * engine's tokenizer trifecta (byte-BPE [[Bpe]], sentencepiece
+  * [[Unigram]], WordPiece here): `tokenizer.json` files with
+  * `model.type = "WordPiece"` (greedy longest-match-first encode with
+  * `##` continuations, whole-word unk on any stuck position), the
+  * serialization BERT-family models ship.
+  *
+  * Same contract as the other two loaders: exactly-reproducible
+  * pipelines load, everything else refuses LOUDLY. Supported:
+  *  - `WordPiece` models (object vocab, `unk_token` resolved against
+  *    it, `continuing_subword_prefix`, `max_input_chars_per_word`);
+  *  - normalizer: absent or `BertNormalizer` (clean_text /
+  *    handle_chinese_chars / strip_accents — the published
+  *    null-follows-lowercase default — / lowercase), reproduced
+  *    in-kernel; other normalizers rejected;
+  *  - pre-tokenizer: `BertPreTokenizer` REQUIRED (whitespace split +
+  *    punctuation isolation — the split WordPiece's greedy match is
+  *    defined over; an absent pre-tokenizer would make the whole
+  *    text one word, a different artifact class);
+  *  - post-processor: absent, single-sequence `TemplateProcessing`
+  *    (BERT's `[CLS] $A [SEP]`), or the legacy `BertProcessing`
+  *    (cls/sep pairs) — fixed ids around one sequence; pair
+  *    templates rejected.
+  *
+  * Honest bound, documented on the kernel: Unicode category lookups
+  * use the JDK's tables; a `tokenizers` build pinned to a different
+  * Unicode version could classify an exotic codepoint differently.
+  */
+object WordPiece {
+
+  /** A loaded WordPiece tokenizer. */
+  case class WordPieceTokenizer(vocab: Seq[(String, Long)],
+      unkId: Long, contPrefix: String, maxInputCharsPerWord: Int,
+      cleanText: Boolean, handleChineseChars: Boolean,
+      stripAccents: Boolean, lowercase: Boolean,
+      prefixIds: Seq[Long], suffixIds: Seq[Long])
+
+  def loadTokenizerJson(spark: SparkSession, path: String)
+      : WordPieceTokenizer = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val tree =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val model = tree.get("model")
+    require(model != null && model.isObject,
+      s"$path has no tokenizer model object")
+    val kind = Option(model.get("type")).map(_.asText()).getOrElse("")
+    require(kind == "WordPiece",
+      s"unsupported tokenizer model type '$kind' in $path — this " +
+        "loader reads WordPiece (BERT-class) models; byte-level BPE " +
+        "loads through Bpe.loadTokenizerJson, Unigram through " +
+        "Unigram.loadTokenizerJson")
+
+    val vocabNode = model.get("vocab")
+    require(vocabNode != null && vocabNode.isObject,
+      s"$path model.vocab is not a JSON object — not a WordPiece " +
+        "serialization")
+    val vocab = {
+      val b = Seq.newBuilder[(String, Long)]
+      val it = vocabNode.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        require(e.getValue.canConvertToLong,
+          s"$path vocab id for '${e.getKey}' is not an integer")
+        b += ((e.getKey, e.getValue.asLong()))
+      }
+      b.result()
+    }
+    require(vocab.map(_._2).distinct.size == vocab.size,
+      s"$path carries duplicate token ids")
+    val vocabMap = vocab.toMap
+    val unkToken = {
+      val v = model.get("unk_token")
+      require(v != null && v.isTextual,
+        s"$path WordPiece model without an unk_token — greedy " +
+          "matching is undefined without one")
+      v.asText()
+    }
+    val unkId = vocabMap.getOrElse(unkToken,
+      throw new IllegalArgumentException(
+        s"$path unk_token '$unkToken' is missing from the vocab"))
+    val contPrefix = {
+      val v = model.get("continuing_subword_prefix")
+      if (v == null || v.isNull) "##" else v.asText()
+    }
+    val maxChars = {
+      val v = model.get("max_input_chars_per_word")
+      if (v == null || v.isNull) 100
+      else {
+        require(v.canConvertToInt && v.asInt() >= 1,
+          s"$path max_input_chars_per_word is not a positive integer")
+        v.asInt()
+      }
+    }
+
+    val norm = tree.get("normalizer")
+    val (cleanText, handleCjk, stripAccents, lowercase) =
+      if (norm == null || norm.isNull) (false, false, false, false)
+      else {
+        require(Option(norm.get("type")).map(_.asText())
+            .contains("BertNormalizer"),
+          s"$path carries a normalizer (type '${Option(norm.get("type"))
+            .map(_.asText()).getOrElse("?")}') this loader does not " +
+            "reproduce — only absent or BertNormalizer is supported " +
+            "for WordPiece; refusing to mis-encode")
+        def flag(name: String, dflt: Boolean): Boolean = {
+          val v = norm.get(name)
+          if (v == null || v.isNull) dflt else v.asBoolean(dflt)
+        }
+        val lc = flag("lowercase", dflt = true)
+        // the published default: strip_accents follows lowercase
+        // when the file leaves it null
+        val sa = {
+          val v = norm.get("strip_accents")
+          if (v == null || v.isNull) lc else v.asBoolean(lc)
+        }
+        (flag("clean_text", dflt = true),
+          flag("handle_chinese_chars", dflt = true), sa, lc)
+      }
+
+    val pre = tree.get("pre_tokenizer")
+    require(pre != null && !pre.isNull &&
+      Option(pre.get("type")).map(_.asText())
+        .contains("BertPreTokenizer"),
+      s"$path pre-tokenizer is ${if (pre == null || pre.isNull)
+        "absent" else s"'${Option(pre.get("type")).map(_.asText())
+          .getOrElse("?")}'"} — WordPiece greedy matching is defined " +
+        "over the BertPreTokenizer split (whitespace + punctuation " +
+        "isolation); anything else is a different segmentation; " +
+        "refusing to mis-encode")
+
+    val post = tree.get("post_processor")
+    val (prefixIds, suffixIds): (Seq[Long], Seq[Long]) =
+      if (post == null || post.isNull) (Seq.empty, Seq.empty)
+      else Option(post.get("type")).map(_.asText()) match {
+        case Some("BertProcessing") =>
+          // legacy shape: {"sep": ["[SEP]", id], "cls": ["[CLS]", id]}
+          def pairId(name: String): Long = {
+            val v = post.get(name)
+            require(v != null && v.isArray && v.size() == 2,
+              s"$path BertProcessing.$name is not a [token, id] pair")
+            v.get(1).asLong()
+          }
+          (Seq(pairId("cls")), Seq(pairId("sep")))
+        case Some("TemplateProcessing") =>
+          val single = post.get("single")
+          require(single != null && single.isArray,
+            s"$path TemplateProcessing without a single template")
+          val specialIds: Map[String, Long] = {
+            val m = Map.newBuilder[String, Long]
+            val st = post.get("special_tokens")
+            if (st != null && st.isObject) {
+              val it = st.fields()
+              while (it.hasNext) {
+                val e = it.next()
+                val ids = e.getValue.get("ids")
+                require(ids != null && ids.isArray && ids.size() == 1,
+                  s"$path template special '${e.getKey}' maps to " +
+                    "more than one id — not reproducible")
+                m += (e.getKey -> ids.get(0).asLong())
+              }
+            }
+            m.result()
+          }
+          def idOf(name: String): Long =
+            specialIds.getOrElse(name, vocabMap.getOrElse(name,
+              throw new IllegalArgumentException(
+                s"$path template names special '$name' with no id")))
+          val pre0 = Seq.newBuilder[Long]
+          val post0 = Seq.newBuilder[Long]
+          var seenA = false
+          val it = single.elements()
+          while (it.hasNext) {
+            val item = it.next()
+            if (item.get("SpecialToken") != null) {
+              val id = idOf(item.get("SpecialToken").get("id").asText())
+              if (seenA) post0 += id else pre0 += id
+            } else if (item.get("Sequence") != null) {
+              val sid = item.get("Sequence").get("id").asText()
+              require(sid == "A" && !seenA,
+                s"$path template references '$sid' — pair templates " +
+                  "are not reproducible for single-sequence encode")
+              seenA = true
+            } else throw new IllegalArgumentException(
+              s"$path template item is neither SpecialToken nor " +
+                "Sequence")
+          }
+          require(seenA, s"$path template never references sequence A")
+          (pre0.result(), post0.result())
+        case other => throw new IllegalArgumentException(
+          s"$path post-processor type '${other.getOrElse("?")}' is " +
+            "not reproducible — only absent, BertProcessing, or " +
+            "single-sequence TemplateProcessing is supported")
+      }
+
+    WordPieceTokenizer(vocab, unkId, contPrefix, maxChars, cleanText,
+      handleCjk, stripAccents, lowercase, prefixIds, suffixIds)
+  }
+
+  /** The encode column: the compiled kernel plus the template's
+    * fixed ids. Zero shuffles.
+    */
+  def encodeColumn(text: Column, tok: WordPieceTokenizer): Column = {
+    val core = graft.expressions.GraftFunctions.wordPieceEncode(
+      text, tok)
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+    else concat(typedLit(tok.prefixIds), core, typedLit(tok.suffixIds))
+  }
+
+  /** Distributed encode: `(idCol, token_ids)` — zero-shuffle. */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      tok: WordPieceTokenizer): DataFrame =
+    df.select(col(idCol),
+      encodeColumn(col(textCol), tok).as("token_ids"))
+}

@@ -659,6 +659,63 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x122: WordPiece (BERT-class) encode over the documents corpus —
+    * the third tokenizer lineage: a constructed BERT-style
+    * `tokenizer.json` (full a–z/0–9 base alphabet + `##`
+    * continuations so every lowercase alphanumeric word encodes
+    * without unk, common-word entries exercising the greedy
+    * longest-match, the BertNormalizer pipeline, BertPreTokenizer,
+    * and the `[CLS] $A [SEP]` template) loads through
+    * [[graft.operators.WordPiece.loadTokenizerJson]] and encodes
+    * map-side through the compiled greedy kernel. NO SQL ORACLE:
+    * greedy longest-match-first is an iterative per-word procedure
+    * (the x121/x75 justification class), gated by WordPieceSpec's
+    * hand-computed fixtures; output is deterministic
+    * (doc_id, n_tokens, ids_md5).
+    */
+  def x122WordPieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createObjectNode()
+    var nextId = 0L
+    def put(t: String): Unit = { vocab.put(t, nextId); nextId += 1 }
+    Seq("[UNK]", "[CLS]", "[SEP]").foreach(put)
+    ('a' to 'z').foreach(c => put(c.toString))
+    ('a' to 'z').foreach(c => put("##" + c))
+    ('0' to '9').foreach(c => put(c.toString))
+    ('0' to '9').foreach(c => put("##" + c))
+    Seq(".", ",", "!", "?", "'", "-", ":", ";").foreach(put)
+    Seq("the", "##ing", "##ed", "##er", "##es", "and", "of", "to")
+      .foreach(put)
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "normalizer": {"type": "BertNormalizer", "clean_text": true,
+        |   "handle_chinese_chars": true, "strip_accents": null,
+        |   "lowercase": true},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"},
+        | "post_processor": {"type": "BertProcessing",
+        |   "sep": ["[SEP]", 2], "cls": ["[CLS]", 1]},
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        |   "continuing_subword_prefix": "##",
+        |   "max_input_chars_per_word": 100}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_wordpiece_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    graft.operators.WordPiece.encodeIds(
+      docs(s, dir).filter(col("text").isNotNull), "doc_id", "text",
+      tok)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        md5(graft.expressions.GraftFunctions.packedTokenBinary(
+          col("token_ids"), width = 1)).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x116: trainer-shard READ-BACK — the x114 artifact re-entering the
     * engine through [[graft.io.TrainerShards.read]] (binaryFile scan +
     * the compiled [[graft.expressions.ShardSequences]] kernel), one

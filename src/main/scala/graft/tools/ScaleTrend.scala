@@ -219,7 +219,8 @@ object ScaleTrend {
       // round 16: the run-level artifact — cross-epoch resume read
       // (two blends + two .ord levels + the prefix-sum offset union)
       // — and the Unigram Viterbi encode kernel (pure map-side)
-      "x120_run_resume", "x121_unigram_encode")
+      "x120_run_resume", "x121_unigram_encode",
+      "x122_wordpiece_encode")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
