@@ -286,6 +286,127 @@ object Unigram {
       prefixIds, suffixIds, metaspace)
   }
 
+  /** Export a loaded Unigram tokenizer back to the single-file
+    * `tokenizer.json` serialization — the [[Bpe.saveTokenizerJson]]
+    * contract for this lineage: save→load is the identity
+    * (spec-asserted), field shapes follow the public `tokenizers`
+    * serialization (vocab as [piece, score] pairs in id order, the
+    * normalizer sequence reconstructed from the loaded ops — leading
+    * NFC, Prepend, Replace — Metaspace with its explicit
+    * replacement/split/prepend_scheme, and a single-sequence
+    * TemplateProcessing when the tokenizer carries template ids).
+    */
+  def saveTokenizerJson(spark: SparkSession, tok: UnigramTokenizer,
+      path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    // normalizer
+    val atoms = mapper.createArrayNode()
+    if (tok.needsNfc) {
+      val n = mapper.createObjectNode(); n.put("type", "NFC")
+      atoms.add(n)
+    }
+    tok.norms.foreach {
+      case ("prepend", v, _) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "Prepend"); n.put("prepend", v); atoms.add(n)
+      case ("replace", from, to) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "Replace")
+        val pat = mapper.createObjectNode(); pat.put("String", from)
+        n.set[com.fasterxml.jackson.databind.JsonNode]("pattern", pat)
+        n.put("content", to); atoms.add(n)
+      case (k, _, _) => throw new IllegalStateException(
+        s"unknown normalizer op '$k'")
+    }
+    if (atoms.size() == 0)
+      root.putNull("normalizer")
+    else if (atoms.size() == 1)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("normalizer",
+        atoms.get(0))
+    else {
+      val seq = mapper.createObjectNode()
+      seq.put("type", "Sequence")
+      seq.set[com.fasterxml.jackson.databind.JsonNode]("normalizers",
+        atoms)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("normalizer",
+        seq)
+    }
+    // pre-tokenizer
+    tok.metaspace match {
+      case None => root.putNull("pre_tokenizer")
+      case Some((repl, split, scheme)) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "Metaspace"); n.put("replacement", repl)
+        n.put("split", split); n.put("prepend_scheme", scheme)
+        root.set[com.fasterxml.jackson.databind.JsonNode](
+          "pre_tokenizer", n)
+    }
+    // post-processor: reconstruct a minimal single-sequence template
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty)
+      root.putNull("post_processor")
+    else {
+      val post = mapper.createObjectNode()
+      post.put("type", "TemplateProcessing")
+      val single = mapper.createArrayNode()
+      val specials = mapper.createObjectNode()
+      def special(id: Long): Unit = {
+        val name =
+          if (id >= 0 && id < tok.pieces.size) tok.pieces(id.toInt)._1
+          else s"<special:$id>"
+        val it = mapper.createObjectNode()
+        val st = mapper.createObjectNode()
+        st.put("id", name); st.put("type_id", 0)
+        it.set[com.fasterxml.jackson.databind.JsonNode](
+          "SpecialToken", st)
+        single.add(it)
+        val entry = mapper.createObjectNode()
+        entry.put("id", name)
+        val ids = mapper.createArrayNode(); ids.add(id)
+        entry.set[com.fasterxml.jackson.databind.JsonNode]("ids", ids)
+        val toks = mapper.createArrayNode(); toks.add(name)
+        entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
+          toks)
+        specials.set[com.fasterxml.jackson.databind.JsonNode](name,
+          entry)
+      }
+      tok.prefixIds.foreach(special)
+      val seqIt = mapper.createObjectNode()
+      val seqRef = mapper.createObjectNode()
+      seqRef.put("id", "A"); seqRef.put("type_id", 0)
+      seqIt.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
+        seqRef)
+      single.add(seqIt)
+      tok.suffixIds.foreach(special)
+      post.set[com.fasterxml.jackson.databind.JsonNode]("single",
+        single)
+      post.set[com.fasterxml.jackson.databind.JsonNode](
+        "special_tokens", specials)
+      root.set[com.fasterxml.jackson.databind.JsonNode](
+        "post_processor", post)
+    }
+    // model
+    val model = mapper.createObjectNode()
+    model.put("type", "Unigram")
+    if (tok.unkId < 0) model.putNull("unk_id")
+    else model.put("unk_id", tok.unkId)
+    model.put("byte_fallback", tok.byteFallback)
+    val vocab = mapper.createArrayNode()
+    tok.pieces.foreach { case (px, sc) =>
+      val e = mapper.createArrayNode(); e.add(px); e.add(sc)
+      vocab.add(e)
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("model", model)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
   /** The encode column: NFC upstream when the file demands it (the
     * compiled x89 kernel — still a pure projection), then the Viterbi
     * kernel, then the template's fixed ids. Zero shuffles.

@@ -204,6 +204,97 @@ object WordPiece {
       handleCjk, stripAccents, lowercase, prefixIds, suffixIds)
   }
 
+  /** Export a loaded WordPiece tokenizer back to the single-file
+    * `tokenizer.json` serialization — save→load identity
+    * (spec-asserted). The normalizer re-emits as a BertNormalizer
+    * when any stage is on (strip_accents written EXPLICITLY so the
+    * null-follows-lowercase default cannot re-resolve differently),
+    * the pre-tokenizer is always BertPreTokenizer (the load
+    * requirement), and templates re-emit as single-sequence
+    * TemplateProcessing.
+    */
+  def saveTokenizerJson(spark: SparkSession, tok: WordPieceTokenizer,
+      path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    if (!tok.cleanText && !tok.handleChineseChars &&
+        !tok.stripAccents && !tok.lowercase)
+      root.putNull("normalizer")
+    else {
+      val n = mapper.createObjectNode()
+      n.put("type", "BertNormalizer")
+      n.put("clean_text", tok.cleanText)
+      n.put("handle_chinese_chars", tok.handleChineseChars)
+      n.put("strip_accents", tok.stripAccents)
+      n.put("lowercase", tok.lowercase)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("normalizer", n)
+    }
+    val pre = mapper.createObjectNode()
+    pre.put("type", "BertPreTokenizer")
+    root.set[com.fasterxml.jackson.databind.JsonNode]("pre_tokenizer",
+      pre)
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty)
+      root.putNull("post_processor")
+    else {
+      val idToTok = tok.vocab.map(_.swap).toMap
+      val post = mapper.createObjectNode()
+      post.put("type", "TemplateProcessing")
+      val single = mapper.createArrayNode()
+      val specials = mapper.createObjectNode()
+      def special(id: Long): Unit = {
+        val name = idToTok.getOrElse(id, s"<special:$id>")
+        val it = mapper.createObjectNode()
+        val st = mapper.createObjectNode()
+        st.put("id", name); st.put("type_id", 0)
+        it.set[com.fasterxml.jackson.databind.JsonNode](
+          "SpecialToken", st)
+        single.add(it)
+        val entry = mapper.createObjectNode()
+        entry.put("id", name)
+        val ids = mapper.createArrayNode(); ids.add(id)
+        entry.set[com.fasterxml.jackson.databind.JsonNode]("ids", ids)
+        val toks = mapper.createArrayNode(); toks.add(name)
+        entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
+          toks)
+        specials.set[com.fasterxml.jackson.databind.JsonNode](name,
+          entry)
+      }
+      tok.prefixIds.foreach(special)
+      val seqIt = mapper.createObjectNode()
+      val seqRef = mapper.createObjectNode()
+      seqRef.put("id", "A"); seqRef.put("type_id", 0)
+      seqIt.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
+        seqRef)
+      single.add(seqIt)
+      tok.suffixIds.foreach(special)
+      post.set[com.fasterxml.jackson.databind.JsonNode]("single",
+        single)
+      post.set[com.fasterxml.jackson.databind.JsonNode](
+        "special_tokens", specials)
+      root.set[com.fasterxml.jackson.databind.JsonNode](
+        "post_processor", post)
+    }
+    val model = mapper.createObjectNode()
+    model.put("type", "WordPiece")
+    val unkTok = tok.vocab.find(_._2 == tok.unkId).map(_._1)
+      .getOrElse(throw new IllegalStateException(
+        s"unk id ${tok.unkId} has no vocab entry"))
+    model.put("unk_token", unkTok)
+    model.put("continuing_subword_prefix", tok.contPrefix)
+    model.put("max_input_chars_per_word", tok.maxInputCharsPerWord)
+    val vocab = mapper.createObjectNode()
+    tok.vocab.foreach { case (t, i) => vocab.put(t, i) }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("model", model)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
   /** The encode column: the compiled kernel plus the template's
     * fixed ids. Zero shuffles.
     */

@@ -282,6 +282,40 @@ class UnigramSpec extends SparkSpec {
     assert(encode(tokSplit, "▁the") == Seq(2L))
   }
 
+  test("saveTokenizerJson: save -> load is the identity across every " +
+      "pipeline shape (norms, NFC, Metaspace, byte fallback, " +
+      "templates), and the re-loaded tokenizer encodes identically") {
+    val post =
+      """{"type": "TemplateProcessing",
+        | "single": [
+        |   {"SpecialToken": {"id": "<unk>", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}}],
+        | "special_tokens": {
+        |   "<unk>": {"id": "<unk>", "ids": [0], "tokens": ["<unk>"]}}}"""
+        .stripMargin
+    val shapes = Seq(
+      tokJson(),
+      tokJson(normalizer =
+        """{"type": "Sequence", "normalizers": [
+          |  {"type": "NFC"},
+          |  {"type": "Prepend", "prepend": "▁"},
+          |  {"type": "Replace", "pattern": {"String": " "},
+          |   "content": "▁"}]}""".stripMargin),
+      tokJson(byteFallback = true, postProcessor = post),
+      tokJson(normalizer = "null", preTokenizer =
+        """{"type": "Metaspace", "replacement": "▁",
+          | "split": true, "prepend_scheme": "always"}""".stripMargin))
+    shapes.foreach { body =>
+      val tok = Unigram.loadTokenizerJson(spark, writeJson(body))
+      val out = Files.createTempFile("graft_unigram_save", ".json")
+        .toString
+      Unigram.saveTokenizerJson(spark, tok, out)
+      val re = Unigram.loadTokenizerJson(spark, out)
+      assert(re == tok, s"save->load forked the tokenizer for $body")
+      assert(encode(re, "a ab z") == encode(tok, "a ab z"))
+    }
+  }
+
   test("rejection matrix: everything the engine cannot reproduce " +
       "exactly refuses LOUDLY at load — BPE models point at the BPE " +
       "loader, pre-tokenizers, regex Replace, Lowercase, NFC after a " +
