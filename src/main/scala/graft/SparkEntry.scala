@@ -184,6 +184,8 @@ object SparkEntry {
     "x120_run_resume" -> Extensions.x120RunResume,
     "x121_unigram_encode" -> Extensions.x121UnigramEncode,
     "x122_wordpiece_encode" -> Extensions.x122WordPieceEncode,
+    "x123_unigram_roundtrip" -> Extensions.x123UnigramRoundtrip,
+    "x124_wordpiece_roundtrip" -> Extensions.x124WordPieceRoundtrip,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1691,6 +1693,33 @@ object SparkEntry {
         |  CAST(octet_length(encode(
         |      regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')))
         |    AS BIGINT) AS n_bytes
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // x123: the Unigram (sentencepiece) round trip stated WITHOUT a
+    // tokenizer — under the fixture pipeline (Prepend "▁", Replace
+    // " "→"▁", full <0xNN> byte fallback) decode(encode(text)) is
+    // exactly the marker rewrite: every "▁" (original or space-
+    // rewritten) renders back as a space and the one prepended
+    // marker drops, so the oracle is a literal replace
+    "x123_unigram_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(replace(text, '▁', ' ')) AS roundtrip_md5,
+        |  CAST(length(replace(text, '▁', ' ')) AS BIGINT) AS n_chars
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // x124: the WordPiece round trip stated WITHOUT a tokenizer — on
+    // input pre-cleaned to [A-Za-z0-9 ] the Bert pipeline is lower +
+    // whitespace-split and the decoder is a space-join, so
+    // decode(encode(clean(text))) = trim + collapse-runs of
+    // lower(clean(text)) — four functions both engines share
+    "x124_wordpiece_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |      lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+        |      ' +', ' ', 'g'))) AS roundtrip_md5,
+        |  CAST(length(trim(regexp_replace(
+        |      lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+        |      ' +', ' ', 'g'))) AS BIGINT) AS n_chars
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
     // x90: the oracle states each registered domain from first

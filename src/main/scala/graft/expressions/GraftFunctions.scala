@@ -69,6 +69,14 @@ object GraftFunctions {
     c(WordPieceEncodeIds(e(text), tok.vocab, tok.unkId,
       tok.contPrefix, tok.maxInputCharsPerWord, tok.cleanText,
       tok.handleChineseChars, tok.stripAccents, tok.lowercase))
+  def unigramDecode(ids: Column,
+      tok: graft.operators.Unigram.UnigramTokenizer): Column =
+    c(UnigramDecodeIds(e(ids), tok.pieces.map(_._1),
+      tok.norms, tok.metaspace))
+  def wordPieceDecode(ids: Column,
+      tok: graft.operators.WordPiece.WordPieceTokenizer,
+      skipIds: Seq[Long] = Seq.empty): Column =
+    c(WordPieceDecodeIds(e(ids), tok.vocab, tok.contPrefix, skipIds))
   def decimalSortKey(v: Column, precision: Int, scale: Int): Column =
     c(DecimalSortKey(e(v), precision, scale))
   def sortKeyDecimal(v: Column, precision: Int, scale: Int): Column =

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DecimalType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DecimalType, LongType, StringType}
 import org.apache.spark.sql.types.Decimal
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -166,7 +166,10 @@ case class UnigramEncodeIds(child: Expression,
   private def normalize(text: String): String = {
     var t = text
     norms.foreach {
-      case ("prepend", s, _) => t = s + t
+      // the reference lineage (HF Prepend / sentencepiece) no-ops on
+      // empty input — encode("") must yield only template ids, never
+      // the prepend piece (mirrors the Metaspace t.nonEmpty gate)
+      case ("prepend", s, _) => if (t.nonEmpty) t = s + t
       case ("replace", from, to) => t = t.replace(from, to)
       case (k, _, _) => throw new IllegalStateException(
         s"unknown normalizer op '$k' — loader bug")
@@ -294,4 +297,102 @@ case class UnigramEncodeIds(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): UnigramEncodeIds = copy(child = newChild)
+}
+
+/** The shared Unigram DECODE core — one implementation feeding both
+  * the distributed kernel ([[UnigramDecodeIds]]) and the driver-side
+  * [[graft.operators.Unigram.decodeIds]], so the two can never drift.
+  *
+  * The sentencepiece convention, parameterized by the tokenizer's own
+  * pipeline (not hardcoded to the Llama shape):
+  *  - ids → pieces; `<0xNN>` RUNS fuse and decode as UTF-8 bytes;
+  *  - the space MARKER un-renders to " ": the Metaspace replacement
+  *    when the tokenizer carries one, else the content of a
+  *    `Replace " " → X` normalizer, else the conventional "▁";
+  *  - ONE leading space drops when the pipeline prepended one — a
+  *    `Prepend` normalizer, or a Metaspace prepend scheme of
+  *    `always`/`first` (never for `never`).
+  * Unknown-id positions render as the unk piece — decode is lossy
+  * exactly where the encode discarded information, nowhere else.
+  */
+private[graft] object UnigramDecode {
+
+  private val byteRe = "^<0x([0-9A-Fa-f]{2})>$".r
+
+  /** The marker string this tokenizer renders spaces as. */
+  def spaceMarker(norms: Seq[(String, String, String)],
+      metaspace: Option[(String, Boolean, String)]): String =
+    metaspace.map(_._1).orElse(
+      norms.collectFirst { case ("replace", " ", to) => to })
+      .getOrElse("▁")
+
+  /** Whether the pipeline prepends one marker the decode must drop. */
+  def dropsLeading(norms: Seq[(String, String, String)],
+      metaspace: Option[(String, Boolean, String)]): Boolean =
+    norms.exists(_._1 == "prepend") ||
+      metaspace.exists(m => m._3 == "always" || m._3 == "first")
+
+  def decode(ids: Array[Long], pieces: IndexedSeq[String],
+      marker: String, dropLeading: Boolean): String = {
+    val sb = new java.lang.StringBuilder
+    val pending = new java.io.ByteArrayOutputStream
+    def flush(): Unit = if (pending.size() > 0) {
+      sb.append(new String(pending.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      pending.reset()
+    }
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      require(id >= 0 && id < pieces.size,
+        s"id $id outside the ${pieces.size}-piece vocab")
+      val p = pieces(id.toInt)
+      byteRe.findFirstMatchIn(p) match {
+        case Some(m) => pending.write(Integer.parseInt(m.group(1), 16))
+        case None => flush(); sb.append(p)
+      }
+      i += 1
+    }
+    flush()
+    var out = sb.toString
+    if (marker.nonEmpty && marker != " ")
+      out = out.replace(marker, " ")
+    if (dropLeading && out.startsWith(" ")) out = out.substring(1)
+    out
+  }
+}
+
+/** Unigram DECODE as a compiled map-side kernel — the distributed
+  * inverse of [[UnigramEncodeIds]] (ids → text), sharing its core
+  * with the driver-side decode through [[UnigramDecode]]. With byte
+  * fallback covering the full `<0xNN>` alphabet,
+  * `decode(encode(x))` equals `x` up to the marker→space rewrite —
+  * the relationally-statable identity the x123 oracle checks
+  * end-to-end. Pure projection: zero shuffles, whole-stage codegen.
+  */
+case class UnigramDecodeIds(child: Expression, pieces: Seq[String],
+    norms: Seq[(String, String, String)],
+    metaspace: Option[(String, Boolean, String)])
+    extends UnaryKernelCodegen {
+
+  require(pieces.nonEmpty, "unigram vocab must be non-empty")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unigram_decode"
+
+  @transient private lazy val pieceArr: IndexedSeq[String] =
+    pieces.toIndexedSeq
+  @transient private lazy val marker: String =
+    UnigramDecode.spaceMarker(norms, metaspace)
+  @transient private lazy val dropLeading: Boolean =
+    UnigramDecode.dropsLeading(norms, metaspace)
+
+  override def kernel(input: Any): Any =
+    UTF8String.fromString(UnigramDecode.decode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray(),
+      pieceArr, marker, dropLeading))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramDecodeIds = copy(child = newChild)
 }

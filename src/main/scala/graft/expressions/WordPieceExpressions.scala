@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** WordPiece ENCODE as a compiled map-side kernel — the BERT lineage,
@@ -155,7 +155,10 @@ case class WordPieceEncodeIds(child: Expression,
     val t = normalize(input.asInstanceOf[UTF8String].toString)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     preTokens(t).foreach { w =>
-      if (w.length > maxInputCharsPerWord) out += unkId
+      // the reference counts CODE POINTS, not UTF-16 units — an
+      // astral-heavy word near the limit must not go unk early
+      if (w.codePointCount(0, w.length) > maxInputCharsPerWord)
+        out += unkId
       else {
         // greedy longest-match-first; any stuck position fails the
         // WHOLE word to unk (the published WordPiece rule)
@@ -182,4 +185,71 @@ case class WordPieceEncodeIds(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): WordPieceEncodeIds = copy(child = newChild)
+}
+
+/** WordPiece DECODE as a compiled map-side kernel — the published
+  * `decoders.WordPiece` join convention: tokens join with a single
+  * space, except a token carrying the continuation prefix (`##`)
+  * attaches directly to its word with the prefix stripped. Ids in
+  * `skipIds` (template specials — [CLS]/[SEP]) drop from the output;
+  * any other id must exist in the vocab or the decode fails LOUDLY —
+  * never a silently skipped token. (The reference decoder's optional
+  * `cleanup` punctuation-respacing pass is NOT applied — decode here
+  * is the exact join form, which is what makes the x124 roundtrip
+  * relationally statable.)
+  *
+  * On pre-tokenized input (the only thing the encode emits), decode ∘
+  * encode reconstructs the normalized text exactly when every word is
+  * in-coverage — the identity the x124 oracle states end-to-end.
+  * Pure projection: zero shuffles, whole-stage codegen.
+  */
+case class WordPieceDecodeIds(child: Expression,
+    vocab: Seq[(String, Long)], contPrefix: String,
+    skipIds: Seq[Long]) extends UnaryKernelCodegen {
+
+  require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_wordpiece_decode"
+
+  @transient private lazy val tokOf: java.util.HashMap[java.lang.Long, String] = {
+    val m = new java.util.HashMap[java.lang.Long, String](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(java.lang.Long.valueOf(i), t) }
+    m
+  }
+  @transient private lazy val skip: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    skipIds.foreach(i => s.add(java.lang.Long.valueOf(i)))
+    s
+  }
+
+  override def kernel(input: Any): Any = {
+    val ids = input
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val sb = new java.lang.StringBuilder
+    var first = true
+    var i = 0
+    while (i < ids.length) {
+      val boxed = java.lang.Long.valueOf(ids(i))
+      if (!skip.contains(boxed)) {
+        val t = tokOf.get(boxed)
+        if (t == null) throw new IllegalStateException(
+          s"wordpiece decode: id ${ids(i)} has no vocab entry — " +
+            "refusing to skip a token silently")
+        if (contPrefix.nonEmpty && t.startsWith(contPrefix))
+          sb.append(t, contPrefix.length, t.length)
+        else {
+          if (!first) sb.append(' ')
+          sb.append(t)
+        }
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordPieceDecodeIds = copy(child = newChild)
 }

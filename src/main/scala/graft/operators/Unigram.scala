@@ -429,36 +429,36 @@ object Unigram {
     df.select(col(idCol),
       encodeColumn(col(textCol), tok).as("token_ids"))
 
-  /** Driver-side decode — the sentencepiece convention: ids →
-    * pieces, `<0xNN>` runs decode as UTF-8 bytes, "▁" renders as a
-    * space, and ONE leading space is dropped when the normalizer
-    * prepended one (the inverse of Prepend). Unknown-id positions
+  /** Driver-side decode — the sentencepiece convention, shared with
+    * the distributed kernel through
+    * [[graft.expressions.UnigramDecode]]: ids → pieces, `<0xNN>` runs
+    * decode as UTF-8 bytes, the tokenizer's OWN space marker (the
+    * Metaspace replacement when set, else the `Replace " "→X`
+    * content, else "▁") renders as a space, and ONE leading space
+    * drops when the pipeline prepended one (a Prepend normalizer or
+    * a Metaspace `always`/`first` scheme). Unknown-id positions
     * render as the unk piece (information the encode discarded —
     * decode is lossy exactly there, nowhere else).
     */
-  def decodeIds(ids: Seq[Long], tok: UnigramTokenizer): String = {
-    val byteRe = "^<0x([0-9A-Fa-f]{2})>$".r
-    val sb = new StringBuilder
-    val pending = scala.collection.mutable.ArrayBuffer.empty[Byte]
-    def flush(): Unit = if (pending.nonEmpty) {
-      sb.append(new String(pending.toArray,
-        java.nio.charset.StandardCharsets.UTF_8))
-      pending.clear()
-    }
-    ids.foreach { id =>
-      require(id >= 0 && id < tok.pieces.size,
-        s"id $id outside the ${tok.pieces.size}-piece vocab")
-      val p = tok.pieces(id.toInt)._1
-      byteRe.findFirstMatchIn(p) match {
-        case Some(m) => pending += Integer.parseInt(m.group(1), 16).toByte
-        case None => flush(); sb.append(p)
-      }
-    }
-    flush()
-    var out = sb.toString.replace('▁', ' ')
-    if (tok.norms.exists(n => n._1 == "prepend") &&
-        out.startsWith(" "))
-      out = out.substring(1)
-    out
-  }
+  def decodeIds(ids: Seq[Long], tok: UnigramTokenizer): String =
+    graft.expressions.UnigramDecode.decode(ids.toArray,
+      tok.pieces.map(_._1),
+      graft.expressions.UnigramDecode.spaceMarker(tok.norms,
+        tok.metaspace),
+      graft.expressions.UnigramDecode.dropsLeading(tok.norms,
+        tok.metaspace))
+
+  /** The decode column — the distributed inverse of
+    * [[encodeColumn]] (sans template ids: strip them first, or
+    * encode without a template). Zero shuffles.
+    */
+  def decodeColumn(ids: Column, tok: UnigramTokenizer): Column =
+    graft.expressions.GraftFunctions.unigramDecode(ids, tok)
+
+  /** Distributed decode: `(idCol, text)` — [[encodeIds]]'s inverse
+    * shape for token-id arrays carrying NO template ids.
+    */
+  def decodeIdsDf(df: DataFrame, idCol: String, idsCol: String,
+      tok: UnigramTokenizer): DataFrame =
+    df.select(col(idCol), decodeColumn(col(idsCol), tok).as("text"))
 }

@@ -310,4 +310,24 @@ object WordPiece {
       tok: WordPieceTokenizer): DataFrame =
     df.select(col(idCol),
       encodeColumn(col(textCol), tok).as("token_ids"))
+
+  /** The decode column — the published `decoders.WordPiece` join
+    * convention (space-join, continuation prefix attaches), template
+    * ids dropped by default. Zero shuffles. Decode is lossy across
+    * the Bert normalizer (case/accents/whitespace discarded by the
+    * ENCODE); on pre-normalized in-coverage text decode ∘ encode is
+    * the identity — the x124 oracle's statement.
+    */
+  def decodeColumn(ids: Column, tok: WordPieceTokenizer,
+      skipTemplateIds: Boolean = true): Column =
+    graft.expressions.GraftFunctions.wordPieceDecode(ids, tok,
+      if (skipTemplateIds) (tok.prefixIds ++ tok.suffixIds).distinct
+      else Seq.empty)
+
+  /** Distributed decode: `(idCol, text)` — [[encodeIds]]'s inverse
+    * shape (template ids dropped).
+    */
+  def decodeIdsDf(df: DataFrame, idCol: String, idsCol: String,
+      tok: WordPieceTokenizer): DataFrame =
+    df.select(col(idCol), decodeColumn(col(idsCol), tok).as("text"))
 }

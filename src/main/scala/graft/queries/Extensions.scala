@@ -600,22 +600,14 @@ object Extensions {
       .orderBy(col("run_step"))
   }
 
-  /** x121: Unigram (sentencepiece-class) encode over the documents
-    * corpus — the Llama-family tokenizer lineage: a constructed
-    * Unigram `tokenizer.json` (scored letter/bigram pieces, the
-    * Prepend "▁" + Replace " "→"▁" normalizer pair, `byte_fallback`
-    * with the full `<0xNN>` alphabet so every byte is representable)
-    * loads through [[graft.operators.Unigram.loadTokenizerJson]] and
-    * encodes map-side through the compiled Viterbi kernel
-    * ([[graft.expressions.UnigramEncodeIds]]) — zero shuffles on the
-    * encode leg. NO SQL ORACLE: Viterbi max-likelihood segmentation
-    * is an iterative DP a relational restatement cannot express
-    * (the x75/x76 justification class); the semantics are gated by
-    * UnigramSpec's hand-computed lattice fixtures instead. Output is
-    * (doc_id, n_tokens, ids_md5) — deterministic bytes, so drift
-    * still shows as a hash change in the rows-only record.
+  /** The x121/x123 fixture tokenizer: scored letter/bigram pieces,
+    * the Llama normalizer pair (Prepend "▁" + Replace " "→"▁"),
+    * `byte_fallback` with the FULL `<0xNN>` alphabet — so every
+    * character of every document is representable and the encode is
+    * lossless up to the marker rewrite (the x123 oracle's statement).
     */
-  def x121UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+  private def unigramFixtureTok(s: SparkSession, dir: String)
+      : graft.operators.Unigram.UnigramTokenizer = {
     val letters = Seq(
       "e" -> -2.8, "t" -> -2.9, "a" -> -3.0, "o" -> -3.1,
       "n" -> -3.2, "i" -> -3.3, "s" -> -3.4, "r" -> -3.5,
@@ -648,7 +640,26 @@ object Extensions {
       s"graft_unigram_${fixtureKey(dir, 1)}.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       mapper.writeValueAsBytes(root))
-    val tok = graft.operators.Unigram.loadTokenizerJson(s, path)
+    graft.operators.Unigram.loadTokenizerJson(s, path)
+  }
+
+  /** x121: Unigram (sentencepiece-class) encode over the documents
+    * corpus — the Llama-family tokenizer lineage: the
+    * [[unigramFixtureTok]] `tokenizer.json` loads through
+    * [[graft.operators.Unigram.loadTokenizerJson]] and encodes
+    * map-side through the compiled Viterbi kernel
+    * ([[graft.expressions.UnigramEncodeIds]]) — zero shuffles on the
+    * encode leg. NO SQL ORACLE: Viterbi max-likelihood segmentation
+    * is an iterative DP a relational restatement cannot express
+    * (the x75/x76 justification class); the semantics are gated by
+    * UnigramSpec's hand-computed lattice fixtures instead, and the
+    * END-TO-END losslessness of the same encode is oracle-checked by
+    * x123's roundtrip. Output is (doc_id, n_tokens, ids_md5) —
+    * deterministic bytes, so drift still shows as a hash change in
+    * the rows-only record.
+    */
+  def x121UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val tok = unigramFixtureTok(s, dir)
     graft.operators.Unigram.encodeIds(
       docs(s, dir).filter(col("text").isNotNull), "doc_id", "text",
       tok)
@@ -656,6 +667,31 @@ object Extensions {
         size(col("token_ids")).cast("long").as("n_tokens"),
         md5(graft.expressions.GraftFunctions.packedTokenBinary(
           col("token_ids"), width = 2)).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x123: Unigram encode→decode round trip, ORACLE-CHECKED — the
+    * x92 precedent applied to the sentencepiece lineage: every
+    * document encodes through the compiled Viterbi kernel and
+    * decodes through the compiled [[graft.expressions
+    * .UnigramDecodeIds]] kernel (both zero-shuffle projections).
+    * Under the [[unigramFixtureTok]] pipeline the composition is
+    * EXACTLY `replace(text, '▁', ' ')` — the Prepend "▁" the decode
+    * drops, the Replace " "→"▁" the decode un-renders (mapping any
+    * literal "▁" in the input to a space too, which the oracle
+    * states verbatim), and the full `<0xNN>` byte alphabet making
+    * every unknown span losslessly representable. A wrong lattice
+    * backtrace, a mis-fused unknown, a dropped byte piece, or a
+    * decode drift anywhere hash-mismatches; `n_chars` (code points
+    * both engines count independently) pins the length.
+    */
+  def x123UnigramRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tok = unigramFixtureTok(s, dir)
+    val decoded = graft.operators.Unigram.decodeColumn(
+      graft.operators.Unigram.encodeColumn(col("text"), tok), tok)
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(decoded).as("roundtrip_md5"),
+        length(decoded).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
   }
 
@@ -713,6 +749,63 @@ object Extensions {
         size(col("token_ids")).cast("long").as("n_tokens"),
         md5(graft.expressions.GraftFunctions.packedTokenBinary(
           col("token_ids"), width = 1)).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x124: WordPiece encode→decode round trip, ORACLE-CHECKED — the
+    * x92 precedent for the BERT lineage. WordPiece is LOSSY across
+    * its normalizer (case/whitespace discarded), so the identity is
+    * stated on a pre-cleaned input BOTH engines can compute: strip
+    * every non-[A-Za-z0-9 ] character to a space (Spark side, before
+    * the encode), then the Bert pipeline's lowercase is plain ASCII
+    * `lower` and its whitespace split + the decoder's space-join is
+    * exactly `trim` + collapse-runs — all four DuckDB-statable. The
+    * fixture vocab carries the FULL a–z/0–9 alphabet with `##`
+    * continuations (greedy matching can always fall to single
+    * characters, so no word ever goes unk; `max_input_chars_per_word`
+    * is raised to 100000 so no run-length cliff exists), plus
+    * multi-char entries exercising the longest-match path, and no
+    * template (ids are pure content). A greedy mis-match, a wrong
+    * continuation attach, or a decode drift hash-mismatches;
+    * `n_chars` pins the length.
+    */
+  def x124WordPieceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createObjectNode()
+    var nextId = 0L
+    def put(t: String): Unit = { vocab.put(t, nextId); nextId += 1 }
+    put("[UNK]")
+    ('a' to 'z').foreach(c => put(c.toString))
+    ('a' to 'z').foreach(c => put("##" + c))
+    ('0' to '9').foreach(c => put(c.toString))
+    ('0' to '9').foreach(c => put("##" + c))
+    Seq("the", "##ing", "##ed", "##er", "##es", "and", "of", "to")
+      .foreach(put)
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "normalizer": {"type": "BertNormalizer", "clean_text": true,
+        |   "handle_chinese_chars": true, "strip_accents": null,
+        |   "lowercase": true},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"},
+        | "post_processor": null,
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        |   "continuing_subword_prefix": "##",
+        |   "max_input_chars_per_word": 100000}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_wordpiece_rt_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
+    val decoded = graft.operators.WordPiece.decodeColumn(
+      graft.operators.WordPiece.encodeColumn(cleaned, tok), tok)
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(decoded).as("roundtrip_md5"),
+        length(decoded).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
   }
 

@@ -1198,13 +1198,29 @@ object Streaming {
                 Seq(idCol), "left_anti")
               .persist()
             try {
-              if (!candidates.isEmpty) {
+              val nCandidates = candidates.count()
+              if (nCandidates > 0) {
                 val dupElsewhere = allIds()
                   .join(broadcast(candidates.select(col(idCol))),
                     Seq(idCol), "left_semi")
                 val appendable = candidates
                   .join(dupElsewhere, Seq(idCol), "left_anti")
-                if (!appendable.isEmpty) extendFn(appendable)
+                  .persist()
+                try {
+                  val nAppendable = appendable.count()
+                  // a changed-vector re-crawl is SKIPPED (the live id
+                  // keeps its OLD vector in the index) — staleness
+                  // must be observable, never silent: count and warn
+                  if (nAppendable < nCandidates)
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"ann-ingest batch $batchId: " +
+                        s"${nCandidates - nAppendable} re-crawled " +
+                        "live id(s) arrived with CHANGED embeddings " +
+                        "— skipped to keep the append idempotent; " +
+                        "the index keeps the old vector (stale until " +
+                        "the next rebuild/compaction)")
+                  if (nAppendable > 0) extendFn(appendable)
+                } finally { appendable.unpersist(); () }
               }
             } finally { candidates.unpersist(); () }
             // record even when nothing appended: the skip decision is
@@ -1524,9 +1540,12 @@ object Streaming {
     * offsets admit each part file once, so a published epoch fires
     * its callback once in normal operation. After a crash INSIDE the
     * callback, streaming replays the last batch — the standard
-    * foreachBatch at-least-once window — so a consumer with side
-    * effects keys them by (epoch, batchId), exactly like
-    * [[ExtendMarker]] does for ingest. The stream REFUSES a
+    * foreachBatch at-least-once window. DELIVERY TO THE CALLBACK IS
+    * THEREFORE AT-LEAST-ONCE, and idempotence is the CALLER'S
+    * OBLIGATION: key every side effect by the delivered `batchId`
+    * (skip ids at or below the last one recorded — the
+    * [[ExtendMarker]] idiom), as StreamingSpec's mid-stream
+    * replay test does. The stream REFUSES a
     * micro-batch holding only part of an epoch's declared file set
     * (possible only if a caller caps maxFilesPerTrigger below a
     * publish — the default trigger admits everything available), and

@@ -68,8 +68,10 @@ class UnigramSpec extends SparkSpec {
     // two unknown code points between known pieces FUSE into one unk
     // (the fuse ⇔ unk_id rule): ▁a [zz] b
     assert(encode(tok, "azzb") == Seq(5L, 0L, 3L))
-    // empty input → only the prepended marker
-    assert(encode(tok, "") == Seq(1L))
+    // empty input → NOTHING: the reference Prepend (HF tokenizers /
+    // sentencepiece) no-ops on an empty string, so encode("") yields
+    // no content ids (only template ids, when a template exists)
+    assert(encode(tok, "") == Seq.empty[Long])
     // deterministic tie-break: x(−2) y(−2) xy(−4) ties x+y against
     // xy; the earliest-start (longest) piece must win, always
     val tieTok = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
@@ -356,5 +358,75 @@ class UnigramSpec extends SparkSpec {
     rejects(tokJson(unkId = "99"), "outside")
     rejects(tokJson(vocab =
       """[["a", -1.0], ["a", -2.0]]"""), "duplicate pieces")
+  }
+
+  private def decodeDistributed(tok: Unigram.UnigramTokenizer,
+      ids: Seq[Long]): String = {
+    import spark.implicits._
+    Seq(("d", ids)).toDF("id", "ids")
+      .transform(df => Unigram.decodeIdsDf(df, "id", "ids", tok))
+      .collect()(0).getString(1)
+  }
+
+  test("decode: the distributed kernel inverts the encode — byte " +
+      "pieces fuse as UTF-8, the pipeline's marker un-renders, one " +
+      "prepended marker drops; driver decodeIds shares the same " +
+      "core; the plan is a pure projection") {
+    val bytePieces = (0 until 256)
+      .map(b => f"""["<0x$b%02X>", -12.0]""").mkString(", ")
+    val tok = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = s"""[["<unk>", 0.0], ["▁", -1.0], ["a", -2.0],
+                 | ["b", -2.0], $bytePieces]""".stripMargin,
+      byteFallback = true)))
+    // full byte coverage ⇒ decode(encode(x)) == replace(x, '▁', ' ')
+    // — exactly the x123 oracle's statement
+    for (t <- Seq("a b", "züö €9", "ab  ba", " a", "a▁b", "",
+        "😀 ok")) {
+      val ids = encode(tok, t)
+      val want = t.replace('▁', ' ')
+      assert(decodeDistributed(tok, ids) == want,
+        s"distributed decode of '$t'")
+      assert(Unigram.decodeIds(ids, tok) == want,
+        s"driver decode of '$t'")
+    }
+    // zero shuffles: decode is a projection
+    import spark.implicits._
+    val plan = Unigram.decodeIdsDf(
+      Seq(("d", Seq(1L, 2L))).toDF("id", "ids"), "id", "ids", tok)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, "unigram decode introduced a shuffle")
+  }
+
+  test("decode: a Metaspace tokenizer decodes through its OWN " +
+      "replacement and prepend scheme — custom markers un-render, " +
+      "always/first drop the leading space, never keeps it") {
+    // custom replacement '+': pieces carry it, decode must un-render
+    // it (not the conventional ▁) and drop the scheme's prepend
+    val vocab =
+      """[["<unk>", 0.0], ["+", -1.0], ["+the", -2.0],
+        | ["+cat", -2.5], ["the", -2.2], ["cat", -2.6]]""".stripMargin
+    def tokOf(scheme: String) =
+      Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+        vocab = vocab, normalizer = "null",
+        preTokenizer =
+          s"""{"type": "Metaspace", "replacement": "+",
+             | "split": true, "prepend_scheme": "$scheme"}"""
+            .stripMargin)))
+    val always = tokOf("always")
+    assert(encode(always, "the cat") == Seq(2L, 3L))
+    assert(decodeDistributed(always, Seq(2L, 3L)) == "the cat")
+    assert(Unigram.decodeIds(Seq(2L, 3L), always) == "the cat")
+    // never: no prepend on encode, no drop on decode
+    val never = tokOf("never")
+    assert(encode(never, "the cat") == Seq(4L, 3L))
+    assert(decodeDistributed(never, Seq(4L, 3L)) == "the cat")
+    // ids outside the vocab refuse loudly
+    val e = intercept[Exception](decodeDistributed(always, Seq(99L)))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("outside")))
   }
 }
