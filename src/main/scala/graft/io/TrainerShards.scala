@@ -1617,6 +1617,82 @@ object TrainerShards {
     v.asText()
   }
 
+  /** One committed run-binding generation: `_RUN.<gen>.json`. */
+  private def runGenName(gen: Long): String = s"_RUN.$gen.json"
+  private val runGenRe = "^_RUN\\.([0-9]+)\\.json$".r
+
+  /** The highest committed run-binding generation on disk (0 = none
+    * — a legacy `_RUN.json` published before generations existed, or
+    * no binding at all). One root listing, pattern-filtered.
+    */
+  private[graft] def maxRunGeneration(spark: SparkSession,
+      dir: String): Long = {
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(dir))) 0L
+    else fs.listStatus(new HPath(dir)).iterator
+      .map(_.getPath.getName)
+      .collect { case runGenRe(g) => g.toLong }
+      .maxOption.getOrElse(0L)
+  }
+
+  /** The run-manifest publish protocol — a GENERATION-TOKEN CAS so a
+    * racing publisher loses LOUDLY AT COMMIT instead of silently
+    * unbinding the winner's epoch (the read-modify-write hazard of a
+    * bare overwriting rename):
+    *  1. COMMIT: the manifest bytes rename WITHOUT overwrite to the
+    *     immutable `_RUN.<gen>.json`, `gen` = highest on disk + 1.
+    *     Exactly one concurrent publisher can win this rename; the
+    *     loser throws here, having changed nothing a reader keys on.
+    *  2. POINT: the SAME bytes then publish to `_RUN.json` via the
+    *     atomic overwriting rename readers key on (readers are
+    *     unchanged — the pointer IS the manifest; the generation
+    *     files are the serialization token and the binding's audit
+    *     trail, one small JSON per extend).
+    * A publisher crashing between 1 and 2 leaves a committed
+    * generation newer than the pointer — [[verifyRun]] refuses that
+    * state loudly (re-publish to heal); it can never LOSE a bound
+    * epoch, because the pointer still holds the last fully published
+    * binding.
+    */
+  private def publishRunManifest(spark: SparkSession, dir: String,
+      bytes: Array[Byte]): Unit = {
+    commitRunGeneration(spark, dir, bytes,
+      maxRunGeneration(spark, dir) + 1)
+    writeFileAtomic(spark, new HPath(dir, RunManifestName), bytes)
+  }
+
+  /** The COMMIT step alone (no pointer update) with an EXPLICIT
+    * generation — package-private so the racing-publisher and
+    * commit-then-crash specs can replay a stale generation read and
+    * a half-publish deterministically; production paths go through
+    * [[publishRunManifest]], which reads the live maximum and then
+    * publishes the pointer.
+    */
+  private[graft] def commitRunGeneration(spark: SparkSession,
+      dir: String, bytes: Array[Byte], gen: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val genPath = new HPath(dir, runGenName(gen))
+    val fs = genPath.getFileSystem(conf)
+    val tmp = new HPath(
+      s"${genPath.toString}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, conf)
+    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(genPath))
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"concurrent run-manifest publish at $dir: generation " +
+            s"${genPath.getName} was committed by another writer " +
+            "while this one was binding — this publish refuses at " +
+            "commit (the winner's binding is untouched); re-read " +
+            "the run and retry", e)
+    }
+  }
+
   /** Atomic single-file publish for the run manifest: temp file + an
     * OVERWRITING `FileContext` rename — one filesystem operation, so
     * a reader never observes a truncated `_RUN.json` and the previous
@@ -1711,7 +1787,7 @@ object TrainerShards {
       arr.add(n)
     }
     root.set[com.fasterxml.jackson.databind.JsonNode]("epochs", arr)
-    writeFileAtomic(spark, new HPath(dir, RunManifestName),
+    publishRunManifest(spark, dir,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     import spark.implicits._
     metas.map(m => (m.epoch, m.seed, m.firstRunStep, m.totalSteps))
@@ -1727,8 +1803,11 @@ object TrainerShards {
     * must carry both sidecar levels, and must not already be bound.
     * The re-published `_RUN.json` is byte-equivalent to a fresh
     * [[writeRunManifest]] over the extended list (spec-asserted), so
-    * extension never forks the artifact's meaning; the publish is
-    * the same atomic rename. Returns the new binding summary.
+    * extension never forks the artifact's meaning; the publish goes
+    * through the [[publishRunManifest]] generation-token CAS, so of
+    * two RACING extends exactly one commits and the other throws at
+    * commit — never a silently unbound epoch. Returns the new
+    * binding summary.
     */
   def extendRunManifest(spark: SparkSession, dir: String, epoch: Int)
       : DataFrame = {
@@ -1860,6 +1939,29 @@ object TrainerShards {
       problems += s"provenance on disk $liveProv no longer matches " +
         s"the run's recorded $prov — shards republished since the " +
         "run was bound"
+    // generation-token cross-check: the newest COMMITTED generation
+    // must be the binding the pointer names — a publisher that won
+    // the commit rename but crashed before the pointer (or a
+    // clobbered pointer) is a half-published binding, refused loudly
+    // (re-publish via writeRunManifest to heal; no bound epoch is
+    // ever lost — the pointer still holds the last full publish)
+    val gen = maxRunGeneration(spark, dir)
+    if (gen > 0) {
+      val fs = new HPath(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def slurp(p: HPath): Array[Byte] = {
+        val in = fs.open(p)
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      }
+      if (!java.util.Arrays.equals(
+          slurp(new HPath(dir, runGenName(gen))),
+          slurp(new HPath(dir, RunManifestName))))
+        problems += s"committed generation $gen does not match the " +
+          s"$RunManifestName pointer — a publisher crashed between " +
+          "commit and pointer, or the pointer was clobbered; " +
+          "re-publish the binding (writeRunManifest) to heal"
+    }
     val bad = problems.result()
     require(bad.isEmpty,
       s"training run at $dir fails verification:\n  " +

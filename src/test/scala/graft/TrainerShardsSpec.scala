@@ -662,6 +662,61 @@ class TrainerShardsSpec extends SparkSpec {
     }.getMessage.contains("bound to no run"))
   }
 
+  test("racing run-manifest publishers: the generation-token CAS " +
+      "makes the loser throw AT COMMIT and leaves the winner's " +
+      "binding untouched; a commit-then-crash half-publish is " +
+      "refused by verifyRun and heals on re-publish") {
+    val seqs = materialize(fixture, seqLen = 8)
+    val dir = tmpDir()
+    TrainerShards.write(seqs, "lang", "seq_id", "token_ids", 2, dir,
+      provenance = Map("tok" -> "t9"))
+    val weights = Map("en" -> 2.0, "de" -> 1.0, "fr" -> 1.5)
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 0)
+    TrainerShards.writeBlendSchedule(spark, dir, 0, weights)
+    TrainerShards.writeRunManifest(spark, dir, Seq(0))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def slurp(name: String): Array[Byte] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, name))
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    }
+    // the WINNER: a second publish commits generation 2
+    TrainerShards.writeEpochOrder(spark, dir, seed = "s", epoch = 1)
+    TrainerShards.writeBlendSchedule(spark, dir, 1, weights)
+    TrainerShards.extendRunManifest(spark, dir, 1)
+    assert(TrainerShards.maxRunGeneration(spark, dir) == 2L)
+    val winner = slurp(TrainerShards.RunManifestName)
+    // the LOSER: a racing publisher that read generation 1 before
+    // the winner committed (the stale read replayed deterministically
+    // through the explicit-generation commit step) — it must refuse
+    // AT COMMIT, leaving both the generation file and the pointer
+    // exactly the winner's
+    val e = intercept[IllegalStateException] {
+      TrainerShards.commitRunGeneration(spark, dir,
+        "LOSER BYTES".getBytes("UTF-8"), gen = 2L)
+    }
+    assert(e.getMessage.contains("concurrent run-manifest publish"))
+    assert(java.util.Arrays.equals(slurp("_RUN.2.json"), winner),
+      "the loser clobbered the winner's committed generation")
+    assert(java.util.Arrays.equals(
+      slurp(TrainerShards.RunManifestName), winner),
+      "the loser clobbered the pointer")
+    TrainerShards.verifyRun(spark, dir)
+    // commit-then-crash: generation 3 lands (a DIFFERENT binding)
+    // but the pointer never updates — verifyRun refuses the
+    // half-publish loudly...
+    TrainerShards.commitRunGeneration(spark, dir,
+      "HALF-PUBLISHED BINDING".getBytes("UTF-8"), gen = 3L)
+    assert(intercept[IllegalArgumentException] {
+      TrainerShards.verifyRun(spark, dir)
+    }.getMessage.contains("crashed between commit and pointer"))
+    // ...and a re-publish heals it (generation 4 + pointer)
+    TrainerShards.writeRunManifest(spark, dir, Seq(0, 1))
+    assert(TrainerShards.maxRunGeneration(spark, dir) == 4L)
+    TrainerShards.verifyRun(spark, dir)
+  }
+
   test("artifact integrity one level up: verifyEpochOrder and " +
       "verifyBlendSchedule pass pristine sets and name flipped " +
       "bytes / retired-generation mismatches; readBlendForRank " +
