@@ -186,6 +186,8 @@ object SparkEntry {
     "x122_wordpiece_encode" -> Extensions.x122WordPieceEncode,
     "x123_unigram_roundtrip" -> Extensions.x123UnigramRoundtrip,
     "x124_wordpiece_roundtrip" -> Extensions.x124WordPieceRoundtrip,
+    "x125_wordpiece_train_roundtrip" ->
+      Extensions.x125WordPieceTrainRoundtrip,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1713,6 +1715,19 @@ object SparkEntry {
     // decode(encode(clean(text))) = trim + collapse-runs of
     // lower(clean(text)) — four functions both engines share
     "x124_wordpiece_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |      lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+        |      ' +', ' ', 'g'))) AS roundtrip_md5,
+        |  CAST(length(trim(regexp_replace(
+        |      lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),
+        |      ' +', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // x125: the x124 identity certifying the TRAINED WordPiece
+    // artifact — training guarantees corpus alphabet coverage, so
+    // the roundtrip statement is the same trainer-free SQL
+    "x125_wordpiece_train_roundtrip" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(
         |      lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g')),

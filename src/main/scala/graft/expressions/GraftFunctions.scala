@@ -77,6 +77,11 @@ object GraftFunctions {
       tok: graft.operators.WordPiece.WordPieceTokenizer,
       skipIds: Seq[Long] = Seq.empty): Column =
     c(WordPieceDecodeIds(e(ids), tok.vocab, tok.contPrefix, skipIds))
+  def bertPreTokens(text: Column, cleanText: Boolean,
+      handleChineseChars: Boolean, stripAccents: Boolean,
+      lowercase: Boolean): Column =
+    c(BertPreTokens(e(text), cleanText, handleChineseChars,
+      stripAccents, lowercase))
   def decimalSortKey(v: Column, precision: Int, scale: Int): Column =
     c(DecimalSortKey(e(v), precision, scale))
   def sortKeyDecimal(v: Column, precision: Int, scale: Int): Column =

@@ -38,26 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * greedy matching costs O(len²) per WORD bounded by
   * `maxInputCharsPerWord` (the published default 100).
   */
-case class WordPieceEncodeIds(child: Expression,
-    vocab: Seq[(String, Long)], unkId: Long, contPrefix: String,
-    maxInputCharsPerWord: Int, cleanText: Boolean,
-    handleChineseChars: Boolean, stripAccents: Boolean,
-    lowercase: Boolean)
-    extends UnaryKernelCodegen {
-
-  require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
-  require(maxInputCharsPerWord >= 1,
-    s"maxInputCharsPerWord must be >= 1: $maxInputCharsPerWord")
-
-  override def dataType: DataType =
-    ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_wordpiece_encode"
-
-  @transient private lazy val idOf: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
-    vocab.foreach { case (t, i) => m.put(t, java.lang.Long.valueOf(i)) }
-    m
-  }
+/** The shared BertNormalizer + BertPreTokenizer pipeline — ONE
+  * implementation feeding the encode kernel ([[WordPieceEncodeIds]]),
+  * the pre-token histogram expression ([[BertPreTokens]]) the TRAINER
+  * builds its word counts with, and any future stage: the trainer's
+  * view of a word and the encoder's can never drift.
+  */
+private[graft] object BertPipeline {
 
   private def isCjk(cp: Int): Boolean =
     (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
@@ -90,7 +77,9 @@ case class WordPieceEncodeIds(child: Expression,
       t == Character.CONTROL || t == Character.FORMAT
     }
 
-  private def normalize(text: String): String = {
+  def normalize(text: String, cleanText: Boolean,
+      handleChineseChars: Boolean, stripAccents: Boolean,
+      lowercase: Boolean): String = {
     var t = text
     if (cleanText) {
       val sb = new StringBuilder(t.length)
@@ -133,7 +122,7 @@ case class WordPieceEncodeIds(child: Expression,
     t
   }
 
-  private def preTokens(t: String): Seq[String] = {
+  def preTokens(t: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val word = new StringBuilder
     def flush(): Unit =
@@ -150,11 +139,35 @@ case class WordPieceEncodeIds(child: Expression,
     flush()
     out.result()
   }
+}
+
+case class WordPieceEncodeIds(child: Expression,
+    vocab: Seq[(String, Long)], unkId: Long, contPrefix: String,
+    maxInputCharsPerWord: Int, cleanText: Boolean,
+    handleChineseChars: Boolean, stripAccents: Boolean,
+    lowercase: Boolean)
+    extends UnaryKernelCodegen {
+
+  require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
+  require(maxInputCharsPerWord >= 1,
+    s"maxInputCharsPerWord must be >= 1: $maxInputCharsPerWord")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+
+  @transient private lazy val idOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, java.lang.Long.valueOf(i)) }
+    m
+  }
 
   override def kernel(input: Any): Any = {
-    val t = normalize(input.asInstanceOf[UTF8String].toString)
+    val t = BertPipeline.normalize(
+      input.asInstanceOf[UTF8String].toString, cleanText,
+      handleChineseChars, stripAccents, lowercase)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    preTokens(t).foreach { w =>
+    BertPipeline.preTokens(t).foreach { w =>
       // the reference counts CODE POINTS, not UTF-16 units — an
       // astral-heavy word near the limit must not go unk early
       if (w.codePointCount(0, w.length) > maxInputCharsPerWord)
@@ -185,6 +198,35 @@ case class WordPieceEncodeIds(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): WordPieceEncodeIds = copy(child = newChild)
+}
+
+/** The Bert pre-token stream as a compiled map-side kernel — text →
+  * array of pre-tokens under EXACTLY the [[BertPipeline]] the encode
+  * kernel runs (normalizer stages + whitespace split + punctuation
+  * isolation). This is the trainer's corpus view: the word histogram
+  * feeding [[graft.operators.WordPiece.train]] explodes this column,
+  * so a trained vocabulary segments the corpus precisely the way the
+  * encoder will re-segment it — histogram and encode can never
+  * drift. Pure projection: zero shuffles, whole-stage codegen.
+  */
+case class BertPreTokens(child: Expression, cleanText: Boolean,
+    handleChineseChars: Boolean, stripAccents: Boolean,
+    lowercase: Boolean) extends UnaryKernelCodegen {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bert_pre_tokens"
+
+  override def kernel(input: Any): Any = {
+    val toks = BertPipeline.preTokens(BertPipeline.normalize(
+      input.asInstanceOf[UTF8String].toString, cleanText,
+      handleChineseChars, stripAccents, lowercase))
+    new GenericArrayData(
+      toks.map(t => UTF8String.fromString(t): Any).toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BertPreTokens = copy(child = newChild)
 }
 
 /** WordPiece DECODE as a compiled map-side kernel — the published

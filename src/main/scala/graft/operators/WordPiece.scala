@@ -330,4 +330,253 @@ object WordPiece {
   def decodeIdsDf(df: DataFrame, idCol: String, idsCol: String,
       tok: WordPieceTokenizer): DataFrame =
     df.select(col(idCol), decodeColumn(col(idsCol), tok).as("text"))
+
+  // ---- training -----------------------------------------------------
+
+  /** The trainer's corpus view: Bert pre-tokens (the SAME compiled
+    * [[graft.expressions.BertPreTokens]] pipeline the encode kernel
+    * runs — histogram and encoder can never drift) → (word, weight).
+    * One distributed shuffle, vocabulary-sized result.
+    */
+  def wordHistogram(df: DataFrame, textCol: String,
+      cleanText: Boolean = true, handleChineseChars: Boolean = true,
+      stripAccents: Option[Boolean] = None, lowercase: Boolean = true)
+      : DataFrame =
+    df.select(explode(graft.expressions.GraftFunctions.bertPreTokens(
+        col(textCol), cleanText, handleChineseChars,
+        stripAccents.getOrElse(lowercase), lowercase)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("weight"))
+
+  /** Train a WordPiece vocabulary from a raw corpus — the published
+    * wordcount builder (the HF `WordPieceTrainer` algorithm): words
+    * split into a word-start symbol plus `contPrefix`-marked
+    * continuations; merges pick the pair maximizing the LIKELIHOOD
+    * score `count(pair) / (count(left) · count(right))` (the
+    * WordPiece criterion — BPE's raw-count argmax is [[Bpe.train]]'s
+    * job), merged token = left + right-minus-prefix, until the
+    * vocabulary reaches `vocabSize` or no pair has
+    * `count ≥ minFrequency`. Ids are insertion order: specials, the
+    * corpus alphabet (sorted), then merges — the HF layout.
+    * Deterministic: score ties compare EXACTLY (cross-multiplied
+    * integers, never floats) and then break (left, right) ascending,
+    * so training is a pure function of the corpus. (HF's own heap
+    * order is insertion-dependent on exact ties; the engine pins a
+    * total order instead — documented divergence, fixture-pinned.)
+    *
+    * Scale shape, the [[Bpe.train]] split: the corpus-sized work (the
+    * pre-token histogram and the alphabet scan) is DISTRIBUTED; the
+    * merge loop runs on the driver over the collected histogram,
+    * bounded by `maxDriverWords` (≈0.5 GB heap per 10⁶ distinct
+    * words) — over the bound it REFUSES loudly naming the levers
+    * (sample the corpus as the published trainers do, prune the
+    * histogram with `histogramMinCount`, or raise the bound). The
+    * ALPHABET always comes from the FULL histogram (never pruned), so
+    * a trained tokenizer covers every character the corpus contains —
+    * no word can go unk for coverage reasons; `histogramMinCount > 1`
+    * only thins the MERGE statistics (documented approximation:
+    * pair mass from sub-threshold words is ignored).
+    */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+      minFrequency: Long = 2L,
+      specials: Seq[String] = Seq("[UNK]"),
+      unkToken: String = "[UNK]", contPrefix: String = "##",
+      maxInputCharsPerWord: Int = 100,
+      cleanText: Boolean = true, handleChineseChars: Boolean = true,
+      stripAccents: Option[Boolean] = None, lowercase: Boolean = true,
+      histogramMinCount: Long = 1L,
+      maxDriverWords: Long = 1000000L): WordPieceTokenizer = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    require(minFrequency >= 1,
+      s"minFrequency must be >= 1: $minFrequency")
+    require(histogramMinCount >= 1,
+      s"histogramMinCount must be >= 1: $histogramMinCount")
+    require(specials.contains(unkToken),
+      s"unkToken '$unkToken' must be among the specials " +
+        s"${specials.mkString("[", ", ", "]")}")
+    require(specials.distinct == specials,
+      s"duplicate specials: ${specials.mkString(", ")}")
+    val sa = stripAccents.getOrElse(lowercase)
+    val hist = wordHistogram(df, textCol, cleanText,
+      handleChineseChars, Some(sa), lowercase).localCheckpoint()
+    // the alphabet from the FULL histogram — full character coverage
+    // regardless of any merge-side pruning; char-sized result
+    val firstSyms = hist
+      .select(regexp_extract(col("word"), "^.", 0).as("sym"))
+      .distinct()
+    val contSyms = hist
+      .select(explode(regexp_extract_all(
+        regexp_replace(col("word"), "^.", ""), lit("."), lit(0)))
+        .as("ch"))
+      .distinct()
+      .select(concat(lit(contPrefix), col("ch")).as("sym"))
+    val alphabet = firstSyms.union(contSyms).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val pruned =
+      if (histogramMinCount <= 1L) hist
+      else hist.filter(col("weight") >= histogramMinCount)
+    val n = pruned.count()
+    require(n <= maxDriverWords,
+      s"WordPiece histogram has $n distinct words > maxDriverWords=" +
+        s"$maxDriverWords — the merge loop is driver-resident " +
+        f"(~${n / 1e6 * 0.5}%.1f GB of heap to cover it). Train on " +
+        "a corpus sample (the published trainers do), prune rare " +
+        "words with histogramMinCount, or raise maxDriverWords.")
+    val rows = pruned.select(col("word"), col("weight")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tokens = trainDriver(rows, alphabet, vocabSize, minFrequency,
+      specials, contPrefix)
+    val unkId = tokens.indexOf(unkToken).toLong
+    WordPieceTokenizer(
+      tokens.zipWithIndex.map { case (t, i) => (t, i.toLong) },
+      unkId, contPrefix, maxInputCharsPerWord, cleanText,
+      handleChineseChars, sa, lowercase, Seq.empty, Seq.empty)
+  }
+
+  /** The driver merge loop — package-private so the spec can pin the
+    * hand-computed likelihood argmax directly. Returns the token list
+    * in id order: specials, alphabet (as given), then merges.
+    */
+  private[graft] def trainDriver(histRows: Array[(String, Long)],
+      alphabet: Seq[String], vocabSize: Int, minFrequency: Long,
+      specials: Seq[String], contPrefix: String): Seq[String] = {
+    import scala.collection.mutable
+
+    def codePoints(w: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b.result()
+    }
+    def splitWord(w: String): Array[String] = {
+      val cps = codePoints(w)
+      var i = 1
+      while (i < cps.length) { cps(i) = contPrefix + cps(i); i += 1 }
+      cps
+    }
+
+    val syms: Array[Array[String]] = histRows.map(r => splitWord(r._1))
+    val weights: Array[Long] = histRows.map(_._2)
+    val symCount = mutable.HashMap.empty[String, Long]
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def addWord(wi: Int): Unit = {
+      val s = syms(wi); val w = weights(wi)
+      var i = 0
+      while (i < s.length) {
+        symCount.updateWith(s(i))(c => Some(c.getOrElse(0L) + w))
+        if (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + w))
+          pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        }
+        i += 1
+      }
+    }
+    def removeWord(wi: Int): Unit = {
+      val s = syms(wi); val w = weights(wi)
+      var i = 0
+      while (i < s.length) {
+        val left = symCount(s(i)) - w
+        if (left == 0L) symCount.remove(s(i)) else symCount(s(i)) = left
+        if (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          val c = pairCount(p) - w
+          if (c == 0L) { pairCount.remove(p); pairWords.remove(p) }
+          else { pairCount(p) = c; pairWords.get(p).foreach(_ -= wi) }
+        }
+        i += 1
+      }
+    }
+    def mergeSyms(s: Array[String], l: String, r: String,
+        merged: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+          b += merged; i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.result()
+    }
+
+    var wi = 0
+    while (wi < syms.length) { addWord(wi); wi += 1 }
+
+    val vocab = mutable.ArrayBuffer.empty[String]
+    val seen = mutable.HashSet.empty[String]
+    (specials ++ alphabet).foreach(t => if (seen.add(t)) vocab += t)
+    require(vocab.size <= vocabSize,
+      s"vocabSize $vocabSize cannot hold the ${specials.size} " +
+        s"specials + ${alphabet.size}-symbol corpus alphabet " +
+        s"(${vocab.size} tokens before any merge) — raise vocabSize")
+
+    var continue = true
+    while (vocab.size < vocabSize && continue) {
+      // the likelihood argmax: count(pair) / (count(l)·count(r)).
+      // Scan once with cheap doubles to find the ceiling, then
+      // compare the near-tie window EXACTLY via cross-multiplication
+      // (BigInt — counts can overflow a Long product) with the
+      // deterministic (left, right)-ascending tiebreak. Equal
+      // rationals always land on equal doubles, so no true tie can
+      // escape the window; the epsilon only admits false candidates
+      // for the exact pass to reject.
+      var ceil = -1.0
+      pairCount.foreach { case (p, c) =>
+        if (c >= minFrequency) {
+          val s = c.toDouble /
+            (symCount(p._1).toDouble * symCount(p._2).toDouble)
+          if (s > ceil) ceil = s
+        }
+      }
+      var best: (String, String) = null
+      var bestC = 0L; var bestL = 0L; var bestR = 0L
+      if (ceil >= 0.0) {
+        val floor = ceil * (1.0 - 1e-12)
+        pairCount.foreach { case (p, c) =>
+          if (c >= minFrequency) {
+            val l = symCount(p._1); val r = symCount(p._2)
+            if (c.toDouble / (l.toDouble * r.toDouble) >= floor) {
+              val better =
+                if (best == null) true
+                else {
+                  val lhs = BigInt(c) * BigInt(bestL) * BigInt(bestR)
+                  val rhs = BigInt(bestC) * BigInt(l) * BigInt(r)
+                  if (lhs != rhs) lhs > rhs
+                  else {
+                    val cl = p._1.compareTo(best._1)
+                    if (cl != 0) cl < 0 else p._2.compareTo(best._2) < 0
+                  }
+                }
+              if (better) { best = p; bestC = c; bestL = l; bestR = r }
+            }
+          }
+        }
+      }
+      if (best == null) continue = false
+      else {
+        val merged = best._1 +
+          (if (contPrefix.nonEmpty && best._2.startsWith(contPrefix))
+             best._2.substring(contPrefix.length)
+           else best._2)
+        // two merge paths can produce the same string (a+##bc and
+        // ab+##c both yield "abc") — the id is assigned once, the
+        // rewrite still happens
+        if (seen.add(merged)) vocab += merged
+        val affected = pairWords.get(best).map(_.toArray)
+          .getOrElse(Array.empty[Int])
+        affected.foreach { w =>
+          removeWord(w)
+          syms(w) = mergeSyms(syms(w), best._1, best._2, merged)
+          addWord(w)
+        }
+      }
+    }
+    vocab.toSeq
+  }
 }

@@ -809,6 +809,39 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x125: WordPiece TRAINING, oracle-checked end to end — the
+    * [[graft.operators.WordPiece.train]] wordcount builder (the
+    * published likelihood-scored merge loop) fitted on the cleaned
+    * corpus itself, saved to `tokenizer.json`, RELOADED, and driven
+    * through the x124 roundtrip: the trainer's full-histogram
+    * alphabet guarantees corpus coverage (no word can go unk), so
+    * decode(encode(clean(text))) must equal trim+collapse of
+    * lower(clean(text)) — the same DuckDB-statable identity, now
+    * certifying the TRAINED artifact instead of a constructed one. A
+    * coverage gap, a malformed merge, a broken save→load, or any
+    * greedy/decode drift under the fitted vocabulary hash-mismatches.
+    * (The merge CHOICES themselves are pinned by WordPieceSpec's
+    * hand-computed likelihood fixture — the x75/x91 split: iterative
+    * argmax by spec, end results by oracle.)
+    */
+  def x125WordPieceTrainRoundtrip(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
+    val trained = graft.operators.WordPiece.train(
+      d.select(cleaned.as("text")), "text", vocabSize = 500,
+      minFrequency = 2L, maxInputCharsPerWord = 100000)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_wp_trained_${fixtureKey(dir, 1)}.json"
+    graft.operators.WordPiece.saveTokenizerJson(s, trained, path)
+    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    val decoded = graft.operators.WordPiece.decodeColumn(
+      graft.operators.WordPiece.encodeColumn(cleaned, tok), tok)
+    d.select(col("doc_id"), md5(decoded).as("roundtrip_md5"),
+        length(decoded).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x116: trainer-shard READ-BACK — the x114 artifact re-entering the
     * engine through [[graft.io.TrainerShards.read]] (binaryFile scan +
     * the compiled [[graft.expressions.ShardSequences]] kernel), one

@@ -228,4 +228,55 @@ class WordPieceSpec extends SparkSpec {
       case x: org.apache.spark.sql.execution.exchange.Exchange => x
     }.isEmpty, "wordpiece decode introduced a shuffle")
   }
+
+  test("train: hand-computed likelihood merges — the hug/pug/hugs " +
+      "fixture derives every merge and every EXACT rational tie on " +
+      "paper; the end-to-end distributed train matches; the trained " +
+      "tokenizer encodes greedily, roundtrips, and survives " +
+      "save -> load; refusals are loud") {
+    // weights 10/5/5. Initial symbols h:15 p:5 ##u:20 ##g:20 ##s:5;
+    // ALL four pair scores tie at exactly 1/20 → tiebreak (left asc)
+    // picks (##g,##s) → ##gs. Second round ties at 1/20 again →
+    // (##u,##g) → ##ug. Third: (##u,##gs) wins at 1/5 → ##ugs.
+    // Fourth: (p,##ug) and (h,##ugs) tie at 1/15 → (h,##ugs) → hugs.
+    val hist = Array(("hug", 10L), ("pug", 5L), ("hugs", 5L))
+    val alphabet = Seq("##g", "##s", "##u", "h", "p")
+    val expected = Seq("[UNK]", "##g", "##s", "##u", "h", "p",
+      "##gs", "##ug", "##ugs", "hugs")
+    assert(WordPiece.trainDriver(hist, alphabet, vocabSize = 10,
+      minFrequency = 2L, specials = Seq("[UNK]"),
+      contPrefix = "##") == expected)
+    // minFrequency above every pair count → no merges, alphabet only
+    assert(WordPiece.trainDriver(hist, alphabet, vocabSize = 10,
+      minFrequency = 100L, specials = Seq("[UNK]"),
+      contPrefix = "##") == Seq("[UNK]") ++ alphabet)
+    // end-to-end: the distributed histogram + alphabet scan feed the
+    // same loop — identical vocabulary, ids in insertion order
+    import spark.implicits._
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(5)("hugs")).toDF("text")
+    val tok = WordPiece.train(corpus, "text", vocabSize = 10,
+      minFrequency = 2L)
+    assert(tok.vocab.map(_._1) == expected && tok.unkId == 0L)
+    // greedy encode under the trained vocab: "pug" never merged
+    // fully, so "pugs" = p + ##ugs; unknown chars fail the word
+    assert(encode(tok, "hugs pugs") == Seq(9L, 5L, 8L))
+    assert(encode(tok, "zap") == Seq(0L))
+    // decode ∘ encode on in-coverage text
+    assert(decodeDistributed(tok, encode(tok, "hugs pug hug")) ==
+      "hugs pug hug")
+    // save -> load is the identity on the trained artifact
+    val f = Files.createTempFile("graft_wp_train", ".json")
+    WordPiece.saveTokenizerJson(spark, tok, f.toString)
+    assert(WordPiece.loadTokenizerJson(spark, f.toString) == tok)
+    // refusals: a vocabSize the alphabet cannot fit, and the
+    // driver-words bound
+    assert(intercept[IllegalArgumentException] {
+      WordPiece.train(corpus, "text", vocabSize = 3)
+    }.getMessage.contains("cannot hold"))
+    assert(intercept[IllegalArgumentException] {
+      WordPiece.train(corpus, "text", vocabSize = 10,
+        maxDriverWords = 2L)
+    }.getMessage.contains("maxDriverWords"))
+  }
 }
