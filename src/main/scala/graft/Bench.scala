@@ -49,6 +49,15 @@ object Bench {
         b.getProcessCpuTime / 1e9
       case _ => -1.0
     }
+    // host-quietness evidence IN the artifact (round-16 finding: a
+    // contended driver run read as a 1.5× regression with no
+    // attribution anywhere the driver looks) — 1-minute loadavg
+    // before warmup and after the passes; a drained host reads < ~2
+    def loadAvg1m: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg1m
 
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
@@ -136,6 +145,23 @@ object Bench {
         ""
       }
 
+    val loadEnd = loadAvg1m
+    // the contention verdict, computed where the driver reads it: a
+    // pass whose wall balloons while cpu stays flat was starved; a
+    // pass whose CPU itself balloons (vs the others) ran against a
+    // loaded host. Flag when the slowest pass's cpu is >2× the
+    // fastest's, or the host entered the run already loaded.
+    val cpuSeq = cpu.result()
+    val contended =
+      (cpuSeq.nonEmpty && cpuSeq.min > 0 &&
+        cpuSeq.max / cpuSeq.min > 2.0) || loadStart > 8.0
+    val hostStats =
+      s""","loadavg_start":${String.format(java.util.Locale.ROOT,
+        "%.2f", Double.box(loadStart))}""" +
+      s""","loadavg_end":${String.format(java.util.Locale.ROOT,
+        "%.2f", Double.box(loadEnd))}""" +
+      s""","contended":$contended"""
+
     val all = passes.result()
     val results = all.head.indices.map { i =>
       val rows = all.map(_(i))
@@ -160,7 +186,7 @@ object Bench {
       s""""$k":{"sec":${num(sec, 3)},"ok":$ok}"""
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$detail,"failed":$failed,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())}$loadStats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$detail,"failed":$failed,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())}$loadStats$hostStats,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, (detailLine + "\n").getBytes("UTF-8"))
@@ -184,7 +210,7 @@ object Bench {
       results.filter(!_._3).map(r => s""""${r._1}"""").take(10)
         .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$namedJson,"other_count":${rest.size},"other_sec":${num(rest.map(_._2).sum, 2)},"failed":$failed,"failed_names":$failedNames,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())}$loadStats,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$namedJson,"other_count":${rest.size},"other_sec":${num(rest.map(_._2).sum, 2)},"failed":$failed,"failed_names":$failedNames,"pass_wall":${arr(wall.result())},"pass_cpu":${arr(cpu.result())}$loadStats$hostStats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -188,6 +188,8 @@ object SparkEntry {
     "x124_wordpiece_roundtrip" -> Extensions.x124WordPieceRoundtrip,
     "x125_wordpiece_train_roundtrip" ->
       Extensions.x125WordPieceTrainRoundtrip,
+    "x126_unigram_train_roundtrip" ->
+      Extensions.x126UnigramTrainRoundtrip,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1704,6 +1706,15 @@ object SparkEntry {
     // rewritten) renders back as a space and the one prepended
     // marker drops, so the oracle is a literal replace
     "x123_unigram_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(replace(text, '▁', ' ')) AS roundtrip_md5,
+        |  CAST(length(replace(text, '▁', ' ')) AS BIGINT) AS n_chars
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // x126: the x123 identity certifying the TRAINED Unigram
+    // artifact — the trainer's byte alphabet + required singles make
+    // the same trainer-free statement hold for a fitted vocabulary
+    "x126_unigram_train_roundtrip" ->
       """SELECT doc_id,
         |  md5(replace(text, '▁', ' ')) AS roundtrip_md5,
         |  CAST(length(replace(text, '▁', ' ')) AS BIGINT) AS n_chars

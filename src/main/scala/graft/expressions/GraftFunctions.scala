@@ -77,6 +77,8 @@ object GraftFunctions {
       tok: graft.operators.WordPiece.WordPieceTokenizer,
       skipIds: Seq[Long] = Seq.empty): Column =
     c(WordPieceDecodeIds(e(ids), tok.vocab, tok.contPrefix, skipIds))
+  def allSubstrings(text: Column, maxLen: Int): Column =
+    c(AllSubstrings(e(text), maxLen))
   def bertPreTokens(text: Column, cleanText: Boolean,
       handleChineseChars: Boolean, stripAccents: Boolean,
       lowercase: Boolean): Column =

@@ -299,6 +299,41 @@ case class UnigramEncodeIds(child: Expression,
       newChild: Expression): UnigramEncodeIds = copy(child = newChild)
 }
 
+/** Every substring of 1..maxLen CODE POINTS, as an array column — the
+  * Unigram trainer's seed-candidate enumerator: exploded and
+  * count-aggregated DISTRIBUTED (the substring space is combinatorial
+  * — words × lengths — and must never ride a driver collect; only the
+  * top-N seed survives to the driver). Pure projection.
+  */
+case class AllSubstrings(child: Expression, maxLen: Int)
+    extends UnaryKernelCodegen {
+  require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_all_substrings"
+
+  override def kernel(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < w.length) {
+      var end = i
+      var len = 0
+      while (end < w.length && len < maxLen) {
+        end += Character.charCount(w.codePointAt(end))
+        len += 1
+        out += UTF8String.fromString(w.substring(i, end))
+      }
+      i += Character.charCount(w.codePointAt(i))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AllSubstrings = copy(child = newChild)
+}
+
 /** The shared Unigram DECODE core — one implementation feeding both
   * the distributed kernel ([[UnigramDecodeIds]]) and the driver-side
   * [[graft.operators.Unigram.decodeIds]], so the two can never drift.

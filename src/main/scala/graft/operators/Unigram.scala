@@ -461,4 +461,258 @@ object Unigram {
   def decodeIdsDf(df: DataFrame, idCol: String, idsCol: String,
       tok: UnigramTokenizer): DataFrame =
     df.select(col(idCol), decodeColumn(col(idsCol), tok).as("text"))
+
+  // ---- training -----------------------------------------------------
+
+  /** The trainer's corpus view: Metaspace-style pre-tokens under the
+    * Llama normalizer shape — every single-space-delimited unit gets
+    * the "▁" marker (consecutive spaces yield bare "▁" units, exactly
+    * what the Prepend + Replace " "→"▁" pipeline feeds the lattice).
+    * One distributed shuffle, vocabulary-sized result.
+    */
+  def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ", -1)).as("w"))
+      .select(concat(lit("▁"), col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("weight"))
+
+  /** Train a Unigram (sentencepiece-class) vocabulary from a raw
+    * corpus — the published EM + pruning recipe: seed with the
+    * highest-mass substrings (count × length, the sentencepiece seed
+    * heuristic, enumerated and counted DISTRIBUTED; only the top
+    * `seedSize` reach the driver), then alternate EM over the
+    * pre-token histogram (forward–backward expected piece counts,
+    * maximum-likelihood M-step — corpus log-likelihood is
+    * NON-DECREASING per step, spec-asserted) with pruning rounds that
+    * drop the lowest-expected-count pieces until the learned budget
+    * fits, then a final EM polish. Single code points (and "▁") are
+    * REQUIRED pieces — never pruned — so every corpus string stays
+    * representable and EM lattices stay reachable by construction.
+    *
+    * Documented simplifications vs sentencepiece (the algorithm is
+    * the public one; these are scope bounds, not silent drift):
+    * pre-tokens aggregate as Metaspace units, so learned pieces never
+    * span a "▁" boundary (multi-word pieces are not learnable);
+    * pruning ranks by expected count rather than the
+    * likelihood-loss criterion; the M-step is plain ML (no Bayesian
+    * digamma smoothing). The RESULT is certified two ways: the
+    * hand-computed forward–backward fixture in UnigramSpec pins the
+    * EM arithmetic, and x126's oracle roundtrip certifies the trained
+    * artifact end to end.
+    *
+    * Scale shape (the [[Bpe.train]] split): pre-token histogram,
+    * seed-substring counting, and the top-N selection are
+    * distributed; EM runs on the driver over the collected histogram,
+    * bounded by `maxDriverWords` (refused loudly over the bound,
+    * naming the sample/raise levers — the published trainers are
+    * corpus-sample driver programs too).
+    *
+    * Output ids: `<unk>` at 0, the `<0xNN>` byte alphabet when
+    * `byteFallback` (scored below every learned piece), then learned
+    * pieces by score descending (piece ascending on exact ties).
+    * Learned pieces colliding with the `<0xNN>` byte-piece NAMESPACE
+    * are excluded at seed time (they would mis-decode).
+    */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 8, seedSize: Int = 0, emIters: Int = 2,
+      pruneFraction: Double = 0.25, byteFallback: Boolean = true,
+      maxDriverWords: Long = 1000000L): UnigramTokenizer = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    require(emIters >= 1, s"emIters must be >= 1: $emIters")
+    require(pruneFraction > 0.0 && pruneFraction < 1.0,
+      s"pruneFraction must be in (0, 1): $pruneFraction")
+    val spark = df.sparkSession
+    val hist = wordHistogram(df, textCol).localCheckpoint()
+    val n = hist.count()
+    require(n <= maxDriverWords,
+      s"Unigram pre-token histogram has $n distinct units > " +
+        s"maxDriverWords=$maxDriverWords — EM is driver-resident " +
+        "over the collected histogram. Train on a corpus sample " +
+        "(the published trainers do) or raise maxDriverWords.")
+    val learnedBudget = vocabSize - 1 - (if (byteFallback) 256 else 0)
+    // required singles: every code point the corpus contains (plus
+    // the marker, which is itself a pre-token head) — char-sized
+    val singles = hist
+      .select(explode(regexp_extract_all(col("word"), lit("."),
+        lit(0))).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSet
+    require(learnedBudget > singles.size,
+      s"vocabSize $vocabSize leaves a learned budget of " +
+        s"$learnedBudget but the corpus needs ${singles.size} " +
+        "required single-code-point pieces (plus <unk>" +
+        (if (byteFallback) " and 256 byte pieces" else "") +
+        ") — raise vocabSize")
+    val seedN = if (seedSize > 0) seedSize
+      else math.max(4 * learnedBudget, singles.size + learnedBudget)
+    // seed: top substrings by count×len — counted distributed, only
+    // the winners collected; byte-piece-namespace collisions excluded
+    val seedRows = hist
+      .select(explode(graft.expressions.GraftFunctions.allSubstrings(
+        col("word"), maxPieceLen)).as("piece"), col("weight"))
+      .groupBy(col("piece")).agg(sum(col("weight")).as("cnt"))
+      .filter(!col("piece").rlike("^<0x[0-9A-Fa-f]{2}>$"))
+      .orderBy((col("cnt") * length(col("piece"))).desc, col("piece"))
+      .limit(seedN)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words = hist.select(col("word"), col("weight")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val learned = trainDriver(words.map(_._1), words.map(_._2),
+      seedRows, singles, learnedBudget, maxPieceLen, emIters,
+      pruneFraction)
+    require(learned.forall(p => java.lang.Double.isFinite(p._2)),
+      "trainer produced a non-finite piece score — invariant broken")
+    // assembly: <unk>, bytes (scored just below the learned floor so
+    // an id listing never ranks them above real pieces), learned by
+    // score desc / piece asc
+    val b = IndexedSeq.newBuilder[(String, Double)]
+    b += (("<unk>", 0.0))
+    val floor = learned.map(_._2).min - 10.0
+    if (byteFallback)
+      (0 until 256).foreach(x => b += ((f"<0x$x%02X>", floor)))
+    learned.sortBy { case (p, sc) => (-sc, p) }
+      .foreach { case (p, sc) => b += ((p, sc)) }
+    UnigramTokenizer(b.result(), unkId = 0, byteFallback,
+      norms = Seq(("prepend", "▁", ""), ("replace", " ", "▁")),
+      needsNfc = false, prefixIds = Seq.empty, suffixIds = Seq.empty,
+      metaspace = None)
+  }
+
+  /** One EM step over the pre-token histogram — package-private so
+    * the spec can pin the forward–backward arithmetic against a
+    * hand-computed fixture. Returns (expected counts per piece,
+    * corpus log-likelihood UNDER THE INPUT scores). Every word must
+    * be reachable (singles present) — refused loudly otherwise.
+    */
+  private[graft] def emStep(words: Array[String],
+      weights: Array[Long], pieces: Array[String],
+      logp: Array[Double], maxPieceLen: Int)
+      : (Array[Double], Double) = {
+    val idx = new java.util.HashMap[String, Integer](pieces.length * 2)
+    pieces.zipWithIndex.foreach { case (p, i) =>
+      idx.put(p, Integer.valueOf(i)) }
+    val expected = new Array[Double](pieces.length)
+    var loglik = 0.0
+    val NEG = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi); val c = weights(wi)
+      val nn = w.length
+      val alpha = Array.fill(nn + 1)(NEG); alpha(0) = 0.0
+      val beta = Array.fill(nn + 1)(NEG); beta(nn) = 0.0
+      var i = 0
+      while (i < nn) {
+        if (alpha(i) != NEG) {
+          var end = i; var len = 0
+          while (end < nn && len < maxPieceLen) {
+            end += Character.charCount(w.codePointAt(end)); len += 1
+            val pi = idx.get(w.substring(i, end))
+            if (pi != null)
+              alpha(end) = lse(alpha(end),
+                alpha(i) + logp(pi.intValue()))
+          }
+        }
+        i += Character.charCount(w.codePointAt(i))
+      }
+      require(alpha(nn) != NEG,
+        s"EM lattice unreachable for '$w' — the required single-" +
+          "code-point pieces are missing; trainer invariant broken")
+      // backward pass (positions descending)
+      var j = nn
+      while (j > 0) {
+        // step j back by one code point
+        val prev = w.offsetByCodePoints(j, -1)
+        var end = prev; var len = 0
+        while (end < nn && len < maxPieceLen) {
+          end += Character.charCount(w.codePointAt(end)); len += 1
+          val pi = idx.get(w.substring(prev, end))
+          if (pi != null && beta(end) != NEG)
+            beta(prev) = lse(beta(prev),
+              logp(pi.intValue()) + beta(end))
+        }
+        j = prev
+      }
+      val z = alpha(nn)
+      // posterior mass per edge
+      i = 0
+      while (i < nn) {
+        if (alpha(i) != NEG) {
+          var end = i; var len = 0
+          while (end < nn && len < maxPieceLen) {
+            end += Character.charCount(w.codePointAt(end)); len += 1
+            val pi = idx.get(w.substring(i, end))
+            if (pi != null && beta(end) != NEG) {
+              val post = math.exp(
+                alpha(i) + logp(pi.intValue()) + beta(end) - z)
+              expected(pi.intValue()) += post * c
+            }
+          }
+        }
+        i += Character.charCount(w.codePointAt(i))
+      }
+      loglik += c * z
+      wi += 1
+    }
+    (expected, loglik)
+  }
+
+  /** The driver EM + pruning loop — package-private for the spec.
+    * Returns learned (piece, log-probability) pairs, `budget` of
+    * them at most, singles always included.
+    */
+  private[graft] def trainDriver(words: Array[String],
+      weights: Array[Long], seed: Array[(String, Long)],
+      singles: Set[String], budget: Int, maxPieceLen: Int,
+      emIters: Int, pruneFraction: Double)
+      : Array[(String, Double)] = {
+    // seed probabilities from the substring counts; singles forced in
+    val seedMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    seed.foreach { case (p, c) => seedMap(p) = c.toDouble }
+    singles.foreach(ch =>
+      if (!seedMap.contains(ch)) seedMap(ch) = 1.0)
+    var pieces = seedMap.keys.toArray
+    var logp = {
+      val tot = seedMap.values.sum
+      pieces.map(p => math.log(seedMap(p) / tot))
+    }
+    def emRounds(k: Int): Unit = {
+      var r = 0
+      while (r < k) {
+        val (e, _) = emStep(words, weights, pieces, logp, maxPieceLen)
+        val tot = e.sum
+        // log(x) − log(tot), never log(x/tot): a positive-but-
+        // subnormal ratio underflows the division to 0.0 and log
+        // would emit −Infinity — unserializable and unorderable;
+        // floor everything at the −1e9 sentinel
+        logp = e.map(x =>
+          if (x <= 0.0) -1e9
+          else math.max(math.log(x) - math.log(tot), -1e9))
+        r += 1
+      }
+    }
+    while (pieces.length > budget) {
+      emRounds(emIters)
+      val (e, _) = emStep(words, weights, pieces, logp, maxPieceLen)
+      // prune the lowest-expected-count non-required pieces — at
+      // least down to the budget, at most pruneFraction per round
+      val required = pieces.zipWithIndex.filter { case (p, _) =>
+        singles.contains(p) }
+      val optional = pieces.zipWithIndex.filterNot { case (p, _) =>
+        singles.contains(p) }
+      val keepOptional = math.max(budget - required.length,
+        math.ceil(optional.length * (1.0 - pruneFraction)).toInt
+          .min(optional.length - 1))
+      val kept = (required ++ optional.sortBy { case (p, i) =>
+        (-e(i), p) }.take(math.max(keepOptional, 0)))
+        .sortBy(_._2)
+      val keptLogp = kept.map { case (_, i) => logp(i) }
+      pieces = kept.map(_._1)
+      logp = keptLogp
+    }
+    emRounds(emIters)
+    pieces.zip(logp)
+  }
 }

@@ -842,6 +842,37 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x126: Unigram TRAINING, oracle-checked end to end — the
+    * [[graft.operators.Unigram.train]] EM + pruning recipe
+    * (distributed pre-token histogram + seed-substring counting,
+    * driver forward–backward EM) fitted on the corpus, saved to
+    * `tokenizer.json`, RELOADED, and driven through the x123
+    * roundtrip: the trainer emits the full `<0xNN>` byte alphabet
+    * and the required-singles invariant, so under the emitted Llama
+    * normalizer pair the identity `decode(encode(text)) =
+    * replace(text, '▁', ' ')` holds for the TRAINED artifact — the
+    * same trainer-free DuckDB statement as x123. A broken M-step
+    * score, a pruned required piece, a byte-namespace collision, or
+    * any save→load drift hash-mismatches. (The EM arithmetic itself
+    * is pinned by UnigramSpec's hand-computed posterior fixture and
+    * the observed likelihood monotonicity — the x75/x91 split.)
+    */
+  def x126UnigramTrainRoundtrip(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val trained = graft.operators.Unigram.train(d, "text",
+      vocabSize = 400, maxPieceLen = 6)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_uni_trained_${fixtureKey(dir, 1)}.json"
+    graft.operators.Unigram.saveTokenizerJson(s, trained, path)
+    val tok = graft.operators.Unigram.loadTokenizerJson(s, path)
+    val decoded = graft.operators.Unigram.decodeColumn(
+      graft.operators.Unigram.encodeColumn(col("text"), tok), tok)
+    d.select(col("doc_id"), md5(decoded).as("roundtrip_md5"),
+        length(decoded).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x116: trainer-shard READ-BACK — the x114 artifact re-entering the
     * engine through [[graft.io.TrainerShards.read]] (binaryFile scan +
     * the compiled [[graft.expressions.ShardSequences]] kernel), one

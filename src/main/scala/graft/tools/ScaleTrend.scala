@@ -224,8 +224,11 @@ object ScaleTrend {
       "x120_run_resume", "x121_unigram_encode",
       "x122_wordpiece_encode",
       // round 17: the distributed decode roundtrips (pure map-side
-      // encode∘decode compositions)
-      "x123_unigram_roundtrip", "x124_wordpiece_roundtrip")
+      // encode∘decode compositions) and the two tokenizer TRAINERS
+      // (distributed histogram/seed + driver merge-loop/EM, then the
+      // same roundtrip)
+      "x123_unigram_roundtrip", "x124_wordpiece_roundtrip",
+      "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

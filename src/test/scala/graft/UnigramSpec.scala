@@ -429,4 +429,91 @@ class UnigramSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("outside")))
   }
+
+  test("train/EM: the forward-backward expected counts equal the " +
+      "hand-computed posterior fixture exactly; corpus log-likelihood " +
+      "is non-decreasing across EM iterations (the EM theorem, " +
+      "observed); pruning keeps required singles") {
+    // fixture: words {aa:1, ab:1}, pieces {a, b, aa} at uniform 1/3.
+    //  "aa": [a,a] p=1/9, [aa] p=1/3, Z=4/9 → posterior(aa)=3/4,
+    //        posterior([a,a])=1/4 contributing 2·(1/4) to E(a)
+    //  "ab": only [a,b], Z=1/9 → E(a)+=1, E(b)+=1
+    //  ⇒ E = (a: 3/2, b: 1, aa: 3/4); loglik = ln(4/9)+ln(1/9)
+    val words = Array("aa", "ab")
+    val weights = Array(1L, 1L)
+    val pieces = Array("a", "b", "aa")
+    val logp = Array.fill(3)(math.log(1.0 / 3.0))
+    val (exp0, ll0) = Unigram.emStep(words, weights, pieces, logp,
+      maxPieceLen = 2)
+    assert(math.abs(exp0(0) - 1.5) < 1e-12 &&
+      math.abs(exp0(1) - 1.0) < 1e-12 &&
+      math.abs(exp0(2) - 0.75) < 1e-12,
+      s"expected counts ${exp0.toSeq}")
+    assert(math.abs(ll0 - (math.log(4.0 / 9.0) + math.log(1.0 / 9.0)))
+      < 1e-12)
+    // EM monotonicity on a larger corpus: loglik(θ_{k+1}) ≥ loglik(θ_k)
+    val w2 = Array("▁the", "▁thin", "▁tin", "▁he", "▁hint")
+    val c2 = Array(5L, 3L, 2L, 4L, 1L)
+    var ps = (w2.flatMap(w => w.toSeq.map(_.toString)).distinct ++
+      Seq("▁th", "th", "he", "in", "▁t", "hi")).distinct
+    var lp = Array.fill(ps.length)(math.log(1.0 / ps.length))
+    var last = Double.NegativeInfinity
+    for (_ <- 1 to 5) {
+      val (ex, ll) = Unigram.emStep(w2, c2, ps, lp, maxPieceLen = 4)
+      assert(ll >= last - 1e-9, s"EM log-likelihood regressed: $ll < $last")
+      last = ll
+      val tot = ex.sum
+      lp = ex.map(x => if (x <= 0.0) -1e9 else math.log(x / tot))
+    }
+    // pruning: singles survive any budget; the learned set fits it
+    val singles = w2.flatMap(w => w.toSeq.map(_.toString)).toSet
+    val seed = ps.map(p => (p, 5L))
+    val learned = Unigram.trainDriver(w2, c2, seed, singles,
+      budget = singles.size + 2, maxPieceLen = 4, emIters = 2,
+      pruneFraction = 0.25)
+    assert(learned.length <= singles.size + 2)
+    assert(singles.forall(s => learned.exists(_._1 == s)),
+      "a required single was pruned")
+  }
+
+  test("train end-to-end: the trained tokenizer carries <unk>, the " +
+      "byte alphabet, and score-ordered learned pieces; encodes " +
+      "zero-shuffle; roundtrips distributed decode∘encode back to " +
+      "the marker rewrite; survives save -> load; refusals are loud") {
+    import spark.implicits._
+    val corpus = (Seq.fill(8)("the thin cat") ++
+      Seq.fill(4)("a thin hat") ++ Seq.fill(2)("the cat sat"))
+      .toDF("text")
+    val tok = Unigram.train(corpus, "text", vocabSize = 300,
+      maxPieceLen = 6)
+    assert(tok.pieces.head == (("<unk>", 0.0)) && tok.unkId == 0)
+    assert(tok.byteFallback &&
+      tok.pieces.slice(1, 257).map(_._1) ==
+        (0 until 256).map(x => f"<0x$x%02X>"))
+    assert(tok.pieces.size <= 300)
+    // learned pieces are score-descending after the byte block
+    val learned = tok.pieces.drop(257)
+    assert(learned.map(_._2).sliding(2).forall(s =>
+      s.length < 2 || s(0) >= s(1)))
+    // every corpus single survives as a piece
+    assert("the thin cat".replace(" ", "▁").toSeq.map(_.toString)
+      .forall(ch => learned.exists(_._1 == ch) ||
+        tok.pieces.exists(_._1 == ch)))
+    // the roundtrip identity the x126 oracle states
+    for (t <- Seq("the thin cat", "a thin hat", "unseen words zq!"))
+      assert(Unigram.decodeIds(encode(tok, t), tok) ==
+        t.replace('▁', ' '))
+    // save -> load identity
+    val f = Files.createTempFile("graft_uni_train", ".json")
+    Unigram.saveTokenizerJson(spark, tok, f.toString)
+    assert(Unigram.loadTokenizerJson(spark, f.toString) == tok)
+    // refusals: a budget the singles cannot fit; the histogram bound
+    assert(intercept[IllegalArgumentException] {
+      Unigram.train(corpus, "text", vocabSize = 260)
+    }.getMessage.contains("raise vocabSize"))
+    assert(intercept[IllegalArgumentException] {
+      Unigram.train(corpus, "text", vocabSize = 300,
+        maxDriverWords = 2L)
+    }.getMessage.contains("maxDriverWords"))
+  }
 }

@@ -51,6 +51,8 @@ QUERIES = [
     "x114_trainer_shards", "x115_temperature_approx",
     "x116_shard_readback", "x117_epoch_order",
     "x118_blend_schedule", "x119_blend_epochs", "x120_run_resume",
+    "x123_unigram_roundtrip", "x124_wordpiece_roundtrip",
+    "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip",
 ]
 
 
