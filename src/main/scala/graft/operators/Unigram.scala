@@ -488,13 +488,20 @@ object Unigram {
     * REQUIRED pieces — never pruned — so every corpus string stays
     * representable and EM lattices stay reachable by construction.
     *
+    * Pruning uses the sentencepiece LIKELIHOOD-LOSS criterion: each
+    * piece's loss is its expected mass times the log-probability gap
+    * to its best alternative segmentation (the cost of rerouting the
+    * piece through the rest of the vocabulary); the lowest-loss
+    * pieces go first — a frequent-but-cheaply-decomposable piece
+    * prunes BEFORE a rarer piece whose characters are expensive
+    * (spec-pinned by a discriminating fixture).
+    *
     * Documented simplifications vs sentencepiece (the algorithm is
     * the public one; these are scope bounds, not silent drift):
     * pre-tokens aggregate as Metaspace units, so learned pieces never
-    * span a "▁" boundary (multi-word pieces are not learnable);
-    * pruning ranks by expected count rather than the
-    * likelihood-loss criterion; the M-step is plain ML (no Bayesian
-    * digamma smoothing). The RESULT is certified two ways: the
+    * span a "▁" boundary (multi-word pieces are not learnable); the
+    * M-step is plain ML (no Bayesian digamma smoothing). The RESULT
+    * is certified two ways: the
     * hand-computed forward–backward fixture in UnigramSpec pins the
     * EM arithmetic, and x126's oracle roundtrip certifies the trained
     * artifact end to end.
@@ -693,20 +700,65 @@ object Unigram {
         r += 1
       }
     }
+    // the sentencepiece pruning criterion: a piece's LOSS is the
+    // corpus log-likelihood cost of removing it — approximated (as
+    // sentencepiece itself does) by rerouting the piece's own
+    // expected mass through its best ALTERNATIVE segmentation:
+    // loss_i = E_i · (logp_i − viterbi(piece_i, vocab \ {i})).
+    // A frequent piece whose constituents are themselves cheap
+    // carries LESS loss than a rarer piece whose characters are
+    // expensive — exactly the distinction expected-count ranking
+    // misses (spec-pinned by a discriminating fixture).
+    def altScore(s: String, excluded: Int,
+        idx: java.util.HashMap[String, Integer],
+        lp: Array[Double]): Double = {
+      val nn = s.length
+      val NEG = Double.NegativeInfinity
+      val best = Array.fill(nn + 1)(NEG); best(0) = 0.0
+      var i = 0
+      while (i < nn) {
+        if (best(i) != NEG) {
+          var end = i; var len = 0
+          while (end < nn && len < maxPieceLen) {
+            end += Character.charCount(s.codePointAt(end)); len += 1
+            val pi = idx.get(s.substring(i, end))
+            if (pi != null && pi.intValue() != excluded) {
+              val sc = best(i) + lp(pi.intValue())
+              if (sc > best(end)) best(end) = sc
+            }
+          }
+        }
+        i += Character.charCount(s.codePointAt(i))
+      }
+      best(nn)
+    }
     while (pieces.length > budget) {
       emRounds(emIters)
       val (e, _) = emStep(words, weights, pieces, logp, maxPieceLen)
-      // prune the lowest-expected-count non-required pieces — at
-      // least down to the budget, at most pruneFraction per round
+      val idx = new java.util.HashMap[String, Integer](pieces.length * 2)
+      pieces.zipWithIndex.foreach { case (p, i) =>
+        idx.put(p, Integer.valueOf(i)) }
       val required = pieces.zipWithIndex.filter { case (p, _) =>
         singles.contains(p) }
       val optional = pieces.zipWithIndex.filterNot { case (p, _) =>
         singles.contains(p) }
+      val loss = optional.map { case (p, i) =>
+        val alt = altScore(p, i, idx, logp)
+        // no alternative path (cannot happen while singles are
+        // required) would make removal infinitely costly
+        val l = if (alt == Double.NegativeInfinity)
+          Double.PositiveInfinity
+        else e(i) * (logp(i) - alt)
+        (p, i, l)
+      }
+      // keep the HIGHEST-loss optional pieces — at least down to the
+      // budget, at most pruneFraction pruned per round
       val keepOptional = math.max(budget - required.length,
         math.ceil(optional.length * (1.0 - pruneFraction)).toInt
           .min(optional.length - 1))
-      val kept = (required ++ optional.sortBy { case (p, i) =>
-        (-e(i), p) }.take(math.max(keepOptional, 0)))
+      val kept = (required ++ loss.sortBy { case (p, _, l) =>
+        (-l, p) }.take(math.max(keepOptional, 0))
+        .map { case (p, i, _) => (p, i) })
         .sortBy(_._2)
       val keptLogp = kept.map { case (_, i) => logp(i) }
       pieces = kept.map(_._1)

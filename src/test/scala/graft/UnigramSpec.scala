@@ -474,6 +474,26 @@ class UnigramSpec extends SparkSpec {
     assert(learned.length <= singles.size + 2)
     assert(singles.forall(s => learned.exists(_._1 == s)),
       "a required single was pruned")
+    // LIKELIHOOD-LOSS pruning (the sentencepiece criterion), pinned
+    // by a fixture where it DISAGREES with expected-count ranking:
+    // "th" is frequent (E ≈ high) but its constituents t,h are
+    // themselves common, so rerouting th → t·h is cheap; "qz" is
+    // rare but q,z appear ONLY inside it, so its alternative
+    // segmentation is ruinously expensive. Count-ranking would prune
+    // qz (the rarer piece); loss-ranking must prune th.
+    val w3 = Array("th", "t", "h", "qz")
+    val c3 = Array(50L, 50L, 50L, 3L)
+    val s3 = Set("t", "h", "q", "z")
+    val learned3 = Unigram.trainDriver(w3, c3,
+      Array(("t", 50L), ("h", 50L), ("q", 3L), ("z", 3L),
+        ("th", 50L), ("qz", 3L)),
+      s3, budget = s3.size + 1, maxPieceLen = 4, emIters = 2,
+      pruneFraction = 0.25)
+    assert(learned3.exists(_._1 == "qz") &&
+      !learned3.exists(_._1 == "th"),
+      s"loss pruning picked ${learned3.map(_._1).toSeq} — expected " +
+        "qz kept (expensive alternative) and th pruned (cheap " +
+        "alternative)")
   }
 
   test("train end-to-end: the trained tokenizer carries <unk>, the " +
