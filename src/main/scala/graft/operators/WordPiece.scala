@@ -365,11 +365,13 @@ object WordPiece {
     *
     * Scale shape, the [[Bpe.train]] split: the corpus-sized work (the
     * pre-token histogram and the alphabet scan) is DISTRIBUTED; the
-    * merge loop runs on the driver over the collected histogram,
-    * bounded by `maxDriverWords` (≈0.5 GB heap per 10⁶ distinct
-    * words) — over the bound it REFUSES loudly naming the levers
-    * (sample the corpus as the published trainers do, prune the
-    * histogram with `histogramMinCount`, or raise the bound). The
+    * merge loop runs on the driver over the collected histogram when
+    * it fits `maxDriverWords` (≈0.5 GB heap per 10⁶ distinct words),
+    * and falls back to the DISTRIBUTED per-merge loop above the
+    * bound — loudly (the ~10⁵× per-merge latency cliff is warned
+    * with the exact heap arithmetic and the `histogramMinCount`
+    * lever), with `maxDriverWords = 0` forcing it (the spec device
+    * proving both homes pick identical merge sequences). The
     * ALPHABET always comes from the FULL histogram (never pruned), so
     * a trained tokenizer covers every character the corpus contains —
     * no word can go unk for coverage reasons; `histogramMinCount > 1`
@@ -415,16 +417,29 @@ object WordPiece {
       if (histogramMinCount <= 1L) hist
       else hist.filter(col("weight") >= histogramMinCount)
     val n = pruned.count()
-    require(n <= maxDriverWords,
-      s"WordPiece histogram has $n distinct words > maxDriverWords=" +
-        s"$maxDriverWords — the merge loop is driver-resident " +
-        f"(~${n / 1e6 * 0.5}%.1f GB of heap to cover it). Train on " +
-        "a corpus sample (the published trainers do), prune rare " +
-        "words with histogramMinCount, or raise maxDriverWords.")
-    val rows = pruned.select(col("word"), col("weight")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val tokens = trainDriver(rows, alphabet, vocabSize, minFrequency,
-      specials, contPrefix)
+    // the Bpe.train dispatch: in-memory driver loop when the
+    // histogram fits, the distributed per-merge loop otherwise
+    // (maxDriverWords = 0 forces it — the spec device proving both
+    // homes identical); crossing the cliff is VISIBLE, never silent
+    val tokens =
+      if (n <= maxDriverWords && maxDriverWords > 0) {
+        val rows = pruned.select(col("word"), col("weight")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        trainDriver(rows, alphabet, vocabSize, minFrequency,
+          specials, contPrefix)
+      } else {
+        if (maxDriverWords > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"WordPiece histogram has $n distinct words > " +
+              s"maxDriverWords=$maxDriverWords; using the " +
+              "DISTRIBUTED merge loop (~4 Spark jobs per merge). " +
+              "Raising maxDriverWords to cover it costs " +
+              f"~${n / 1e6 * 0.5}%.1f GB of driver heap and keeps " +
+              "training in-memory; histogramMinCount prunes the " +
+              "rare-word tail first.")
+        trainDistributed(pruned, alphabet, vocabSize, minFrequency,
+          specials, contPrefix)
+      }
     val unkId = tokens.indexOf(unkToken).toLong
     WordPieceTokenizer(
       tokens.zipWithIndex.map { case (t, i) => (t, i.toLong) },
@@ -519,13 +534,12 @@ object WordPiece {
     var continue = true
     while (vocab.size < vocabSize && continue) {
       // the likelihood argmax: count(pair) / (count(l)·count(r)).
-      // Scan once with cheap doubles to find the ceiling, then
-      // compare the near-tie window EXACTLY via cross-multiplication
-      // (BigInt — counts can overflow a Long product) with the
-      // deterministic (left, right)-ascending tiebreak. Equal
-      // rationals always land on equal doubles, so no true tie can
-      // escape the window; the epsilon only admits false candidates
-      // for the exact pass to reject.
+      // Scan once with cheap doubles to find the ceiling, then hand
+      // the near-tie window to the EXACT selector shared with the
+      // distributed home ([[argmaxPair]]). Equal rationals always
+      // land on equal doubles, so no true tie can escape the window;
+      // the epsilon only admits false candidates for the exact pass
+      // to reject.
       var ceil = -1.0
       pairCount.foreach { case (p, c) =>
         if (c >= minFrequency) {
@@ -534,49 +548,162 @@ object WordPiece {
           if (s > ceil) ceil = s
         }
       }
-      var best: (String, String) = null
-      var bestC = 0L; var bestL = 0L; var bestR = 0L
+      val window = Seq.newBuilder[(String, String, Long, Long, Long)]
       if (ceil >= 0.0) {
         val floor = ceil * (1.0 - 1e-12)
         pairCount.foreach { case (p, c) =>
           if (c >= minFrequency) {
             val l = symCount(p._1); val r = symCount(p._2)
-            if (c.toDouble / (l.toDouble * r.toDouble) >= floor) {
-              val better =
-                if (best == null) true
-                else {
-                  val lhs = BigInt(c) * BigInt(bestL) * BigInt(bestR)
-                  val rhs = BigInt(bestC) * BigInt(l) * BigInt(r)
-                  if (lhs != rhs) lhs > rhs
-                  else {
-                    val cl = p._1.compareTo(best._1)
-                    if (cl != 0) cl < 0 else p._2.compareTo(best._2) < 0
-                  }
-                }
-              if (better) { best = p; bestC = c; bestL = l; bestR = r }
-            }
+            if (c.toDouble / (l.toDouble * r.toDouble) >= floor)
+              window += ((p._1, p._2, c, l, r))
           }
         }
       }
-      if (best == null) continue = false
+      argmaxPair(window.result()) match {
+        case None => continue = false
+        case Some((bl, br, _)) =>
+          val best = (bl, br)
+          val merged = mergedToken(bl, br, contPrefix)
+          // two merge paths can produce the same string (a+##bc and
+          // ab+##c both yield "abc") — the id is assigned once, the
+          // rewrite still happens
+          if (seen.add(merged)) vocab += merged
+          val affected = pairWords.get(best).map(_.toArray)
+            .getOrElse(Array.empty[Int])
+          affected.foreach { w =>
+            removeWord(w)
+            syms(w) = mergeSyms(syms(w), best._1, best._2, merged)
+            addWord(w)
+          }
+      }
+    }
+    vocab.toSeq
+  }
+
+  /** The DISTRIBUTED merge loop — the [[Bpe.trainDistributed]] shape
+    * for likelihood scores: the histogram never leaves the cluster;
+    * each merge runs pair counts + symbol counts (vocab-sized aggs),
+    * joins the likelihood score, pulls only the NEAR-TIE WINDOW of
+    * the double-score maximum to the driver, and selects exactly via
+    * the shared [[argmaxPair]] — so this home and the driver loop
+    * provably pick the same merge sequence (spec-asserted on the
+    * fixture corpus with `maxDriverWords = 0`). ~4 Spark jobs per
+    * merge — the documented ~10⁵× per-merge latency cliff vs the
+    * in-memory loop; it exists for histograms the driver heap cannot
+    * hold, not for speed.
+    */
+  private def trainDistributed(hist: DataFrame, alphabet: Seq[String],
+      vocabSize: Int, minFrequency: Long, specials: Seq[String],
+      contPrefix: String): Seq[String] = {
+    def quote(s: String): String = java.util.regex.Pattern.quote(s)
+    def quoteRepl(s: String): String =
+      java.util.regex.Matcher.quoteReplacement(s)
+    // padded symbol string " h ##u ##g " — word-start char bare,
+    // continuations prefixed; the space-joined form one regexp pass
+    // per merge can rewrite (the Bpe.applyMerge idiom)
+    val restSyms = transform(
+      regexp_extract_all(regexp_replace(col("word"), "^.", ""),
+        lit("."), lit(0)),
+      ch => concat(lit(contPrefix), ch))
+    var h = hist.select(col("weight"),
+      concat(lit(" "), array_join(
+        concat(array(regexp_extract(col("word"), "^.", 0)), restSyms),
+        " "), lit(" ")).as("syms"))
+      .localCheckpoint()
+
+    val vocab = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    (specials ++ alphabet).foreach(t => if (seen.add(t)) vocab += t)
+    require(vocab.size <= vocabSize,
+      s"vocabSize $vocabSize cannot hold the ${specials.size} " +
+        s"specials + ${alphabet.size}-symbol corpus alphabet " +
+        s"(${vocab.size} tokens before any merge) — raise vocabSize")
+
+    var continue = true
+    while (vocab.size < vocabSize && continue) {
+      val symArr = split(trim(col("syms")), " ")
+      val symCounts = h
+        .select(explode(symArr).as("sym"), col("weight"))
+        .groupBy(col("sym")).agg(sum(col("weight")).as("scnt"))
+      val pairCounts = h
+        .select(col("weight"), symArr.as("a"))
+        .select(col("weight"), col("a"),
+          posexplode(col("a")).as(Seq("i", "left")))
+        .withColumn("right", try_element_at(col("a"), col("i") + 2))
+        .filter(col("right").isNotNull)
+        .groupBy(col("left"), col("right"))
+        .agg(sum(col("weight")).as("pc"))
+        .filter(col("pc") >= minFrequency)
+      val scored = pairCounts
+        .join(broadcast(symCounts
+          .withColumnRenamed("sym", "left")
+          .withColumnRenamed("scnt", "lc")), Seq("left"))
+        .join(broadcast(symCounts
+          .withColumnRenamed("sym", "right")
+          .withColumnRenamed("scnt", "rc")), Seq("right"))
+        .withColumn("score", col("pc").cast("double") /
+          (col("lc").cast("double") * col("rc").cast("double")))
+        .localCheckpoint()
+      val mx = scored.agg(max(col("score"))).head()
+      if (mx.isNullAt(0)) continue = false
       else {
-        val merged = best._1 +
-          (if (contPrefix.nonEmpty && best._2.startsWith(contPrefix))
-             best._2.substring(contPrefix.length)
-           else best._2)
-        // two merge paths can produce the same string (a+##bc and
-        // ab+##c both yield "abc") — the id is assigned once, the
-        // rewrite still happens
-        if (seen.add(merged)) vocab += merged
-        val affected = pairWords.get(best).map(_.toArray)
-          .getOrElse(Array.empty[Int])
-        affected.foreach { w =>
-          removeWord(w)
-          syms(w) = mergeSyms(syms(w), best._1, best._2, merged)
-          addWord(w)
+        // only the double-score near-tie window reaches the driver;
+        // the shared exact selector picks the winner
+        val window = scored
+          .filter(col("score") >= mx.getDouble(0) * (1.0 - 1e-12))
+          .select(col("left"), col("right"), col("pc"), col("lc"),
+            col("rc"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+        argmaxPair(window) match {
+          case None => continue = false
+          case Some((l, r, _)) =>
+            val merged = mergedToken(l, r, contPrefix)
+            if (seen.add(merged)) vocab += merged
+            h = h.withColumn("syms", regexp_replace(col("syms"),
+              s"(?<= )${quote(l)} ${quote(r)}(?= )",
+              quoteRepl(merged))).localCheckpoint()
         }
       }
     }
     vocab.toSeq
+  }
+
+  /** left + right-minus-continuation-prefix — the published merged
+    * token shape, shared by both merge-loop homes.
+    */
+  private def mergedToken(l: String, r: String,
+      contPrefix: String): String =
+    l + (if (contPrefix.nonEmpty && r.startsWith(contPrefix))
+           r.substring(contPrefix.length)
+         else r)
+
+  /** The EXACT likelihood argmax over a candidate window — shared by
+    * the driver loop and the distributed loop so the two homes can
+    * never disagree: the winner maximizes count/(lc·rc) compared via
+    * BigInt cross-multiplication (counts can overflow a Long
+    * product), ties broken (left, right) ascending. Input tuples are
+    * (left, right, pairCount, leftCount, rightCount).
+    */
+  private[graft] def argmaxPair(
+      cands: Seq[(String, String, Long, Long, Long)])
+      : Option[(String, String, Long)] = {
+    var best: (String, String, Long, Long, Long) = null
+    cands.foreach { cand =>
+      val better =
+        if (best == null) true
+        else {
+          val lhs = BigInt(cand._3) * BigInt(best._4) * BigInt(best._5)
+          val rhs = BigInt(best._3) * BigInt(cand._4) * BigInt(cand._5)
+          if (lhs != rhs) lhs > rhs
+          else {
+            val cl = cand._1.compareTo(best._1)
+            if (cl != 0) cl < 0 else cand._2.compareTo(best._2) < 0
+          }
+        }
+      if (better) best = cand
+    }
+    Option(best).map(b => (b._1, b._2, b._3))
   }
 }

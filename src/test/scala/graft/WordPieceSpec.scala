@@ -269,14 +269,16 @@ class WordPieceSpec extends SparkSpec {
     val f = Files.createTempFile("graft_wp_train", ".json")
     WordPiece.saveTokenizerJson(spark, tok, f.toString)
     assert(WordPiece.loadTokenizerJson(spark, f.toString) == tok)
-    // refusals: a vocabSize the alphabet cannot fit, and the
-    // driver-words bound
+    // both merge-loop homes pick the IDENTICAL sequence: force the
+    // distributed loop (maxDriverWords = 0, the Bpe.train device) —
+    // every exact rational tie in the fixture must break the same way
+    val tokDist = WordPiece.train(corpus, "text", vocabSize = 10,
+      minFrequency = 2L, maxDriverWords = 0L)
+    assert(tokDist == tok,
+      "distributed merge loop diverged from the driver loop")
+    // refusal: a vocabSize the alphabet cannot fit
     assert(intercept[IllegalArgumentException] {
       WordPiece.train(corpus, "text", vocabSize = 3)
     }.getMessage.contains("cannot hold"))
-    assert(intercept[IllegalArgumentException] {
-      WordPiece.train(corpus, "text", vocabSize = 10,
-        maxDriverWords = 2L)
-    }.getMessage.contains("maxDriverWords"))
   }
 }
