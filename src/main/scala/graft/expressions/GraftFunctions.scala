@@ -79,6 +79,9 @@ object GraftFunctions {
     c(WordPieceDecodeIds(e(ids), tok.vocab, tok.contPrefix, skipIds))
   def allSubstrings(text: Column, maxLen: Int): Column =
     c(AllSubstrings(e(text), maxLen))
+  def unigramEStep(word: Column, pieces: Seq[String],
+      logp: Seq[Double], maxPieceLen: Int): Column =
+    c(UnigramEStep(e(word), pieces, logp, maxPieceLen))
   def bertPreTokens(text: Column, cleanText: Boolean,
       handleChineseChars: Boolean, stripAccents: Boolean,
       lowercase: Boolean): Column =

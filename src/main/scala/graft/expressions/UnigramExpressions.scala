@@ -334,6 +334,143 @@ case class AllSubstrings(child: Expression, maxLen: Int)
       newChild: Expression): AllSubstrings = copy(child = newChild)
 }
 
+/** The shared per-word EM core — the forward–backward posterior pass
+  * ONE implementation feeds: the driver E-step
+  * ([[graft.operators.Unigram.emStep]]) and the distributed E-step
+  * kernel ([[UnigramEStep]]), so the two homes compute identical
+  * per-word expectations by construction.
+  */
+private[graft] object UnigramEm {
+
+  private val NEG = Double.NegativeInfinity
+
+  private def lse(a: Double, b: Double): Double =
+    if (a == NEG) b else if (b == NEG) a
+    else if (a > b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** Forward–backward over one word: `acc(pieceIdx, posteriorMass)`
+    * fires once per reachable lattice edge (mass for ONE occurrence
+    * of the word — the caller applies its weight); returns the
+    * word's log-likelihood Z. Refuses an unreachable word loudly
+    * (the required-singles invariant).
+    */
+  def wordExpected(w: String,
+      idx: java.util.HashMap[String, Integer], logp: Array[Double],
+      maxPieceLen: Int, acc: (Int, Double) => Unit): Double = {
+    val nn = w.length
+    val alpha = Array.fill(nn + 1)(NEG); alpha(0) = 0.0
+    val beta = Array.fill(nn + 1)(NEG); beta(nn) = 0.0
+    var i = 0
+    while (i < nn) {
+      if (alpha(i) != NEG) {
+        var end = i; var len = 0
+        while (end < nn && len < maxPieceLen) {
+          end += Character.charCount(w.codePointAt(end)); len += 1
+          val pi = idx.get(w.substring(i, end))
+          if (pi != null)
+            alpha(end) = lse(alpha(end), alpha(i) + logp(pi.intValue()))
+        }
+      }
+      i += Character.charCount(w.codePointAt(i))
+    }
+    require(alpha(nn) != NEG,
+      s"EM lattice unreachable for '$w' — the required single-" +
+        "code-point pieces are missing; trainer invariant broken")
+    var j = nn
+    while (j > 0) {
+      val prev = w.offsetByCodePoints(j, -1)
+      var end = prev; var len = 0
+      while (end < nn && len < maxPieceLen) {
+        end += Character.charCount(w.codePointAt(end)); len += 1
+        val pi = idx.get(w.substring(prev, end))
+        if (pi != null && beta(end) != NEG)
+          beta(prev) = lse(beta(prev), logp(pi.intValue()) + beta(end))
+      }
+      j = prev
+    }
+    val z = alpha(nn)
+    i = 0
+    while (i < nn) {
+      if (alpha(i) != NEG) {
+        var end = i; var len = 0
+        while (end < nn && len < maxPieceLen) {
+          end += Character.charCount(w.codePointAt(end)); len += 1
+          val pi = idx.get(w.substring(i, end))
+          if (pi != null && beta(end) != NEG)
+            acc(pi.intValue(),
+              math.exp(alpha(i) + logp(pi.intValue()) + beta(end) - z))
+        }
+      }
+      i += Character.charCount(w.codePointAt(i))
+    }
+    z
+  }
+}
+
+/** The DISTRIBUTED E-step kernel: one word → its sparse expected
+  * piece counts as `array<struct<id int, e double>>` (one occurrence's
+  * posterior mass — the caller multiplies by the word's weight and
+  * sum-aggregates), with a final sentinel entry `(-1, Z)` carrying
+  * the word's log-likelihood. Runs the SAME [[UnigramEm]] core as the
+  * driver E-step. This is what lets [[graft.operators.Unigram.train]]
+  * scale past `maxDriverWords`: the histogram never leaves the
+  * cluster; each EM iteration is one explode + vocab-sized aggregate.
+  * Pure projection, whole-stage codegen.
+  */
+case class UnigramEStep(child: Expression, pieces: Seq[String],
+    logp: Seq[Double], maxPieceLen: Int) extends UnaryKernelCodegen {
+
+  require(pieces.nonEmpty, "EM vocabulary must be non-empty")
+  require(pieces.length == logp.length,
+    s"${pieces.length} pieces vs ${logp.length} scores")
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_unigram_estep"
+
+  @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pieces.size * 2)
+    pieces.zipWithIndex.foreach { case (p, i) =>
+      m.put(p, Integer.valueOf(i)) }
+    m
+  }
+  @transient private lazy val lp: Array[Double] = logp.toArray
+
+  override def kernel(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    // dense per-word accumulation (a word rarely touches more than a
+    // handful of pieces, but edges repeat — fuse before emitting)
+    val touched = new java.util.LinkedHashMap[Integer, java.lang.Double]()
+    val z = UnigramEm.wordExpected(w, idx, lp, maxPieceLen, (i, e) => {
+      val k = Integer.valueOf(i)
+      val cur = touched.get(k)
+      touched.put(k, java.lang.Double.valueOf(
+        if (cur == null) e else cur.doubleValue() + e))
+    })
+    val out = new Array[Any](touched.size() + 1)
+    var n = 0
+    val it = touched.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(n) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.intValue(), e.getValue.doubleValue())
+      n += 1
+    }
+    out(n) = org.apache.spark.sql.catalyst.InternalRow(-1, z)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramEStep = copy(child = newChild)
+}
+
 /** The shared Unigram DECODE core — one implementation feeding both
   * the distributed kernel ([[UnigramDecodeIds]]) and the driver-side
   * [[graft.operators.Unigram.decodeIds]], so the two can never drift.

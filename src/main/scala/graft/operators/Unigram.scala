@@ -508,10 +508,14 @@ object Unigram {
     *
     * Scale shape (the [[Bpe.train]] split): pre-token histogram,
     * seed-substring counting, and the top-N selection are
-    * distributed; EM runs on the driver over the collected histogram,
-    * bounded by `maxDriverWords` (refused loudly over the bound,
-    * naming the sample/raise levers — the published trainers are
-    * corpus-sample driver programs too).
+    * distributed; EM runs on the driver over the collected histogram
+    * when it fits `maxDriverWords`, and FALLS BACK to the distributed
+    * E-step kernel ([[graft.expressions.UnigramEStep]] — one explode
+    * + vocab-sized aggregate per iteration; the histogram never
+    * leaves the cluster) above the bound, loudly, with
+    * `maxDriverWords = 0` forcing it (the spec device proving both
+    * homes agree). The [[trainLoop]] M-step/pruning is shared, so
+    * only the E-step's execution home differs.
     *
     * Output ids: `<unk>` at 0, the `<0xNN>` byte alphabet when
     * `byteFallback` (scored below every learned piece), then learned
@@ -531,11 +535,6 @@ object Unigram {
     val spark = df.sparkSession
     val hist = wordHistogram(df, textCol).localCheckpoint()
     val n = hist.count()
-    require(n <= maxDriverWords,
-      s"Unigram pre-token histogram has $n distinct units > " +
-        s"maxDriverWords=$maxDriverWords — EM is driver-resident " +
-        "over the collected histogram. Train on a corpus sample " +
-        "(the published trainers do) or raise maxDriverWords.")
     val learnedBudget = vocabSize - 1 - (if (byteFallback) 256 else 0)
     // required singles: every code point the corpus contains (plus
     // the marker, which is itself a pre-token head) — char-sized
@@ -561,11 +560,31 @@ object Unigram {
       .orderBy((col("cnt") * length(col("piece"))).desc, col("piece"))
       .limit(seedN)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val words = hist.select(col("word"), col("weight")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val learned = trainDriver(words.map(_._1), words.map(_._2),
-      seedRows, singles, learnedBudget, maxPieceLen, emIters,
-      pruneFraction)
+    // EM home dispatch (the Bpe.train / WordPiece.train idiom): the
+    // in-memory E-step when the histogram fits the driver, the
+    // DISTRIBUTED E-step kernel otherwise (maxDriverWords = 0 forces
+    // it — the spec device) — same trainLoop either way, so the
+    // algorithm cannot fork between homes
+    val learned =
+      if (n <= maxDriverWords && maxDriverWords > 0) {
+        val words = hist.select(col("word"), col("weight")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        trainDriver(words.map(_._1), words.map(_._2),
+          seedRows, singles, learnedBudget, maxPieceLen, emIters,
+          pruneFraction)
+      } else {
+        if (maxDriverWords > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Unigram pre-token histogram has $n distinct units > " +
+              s"maxDriverWords=$maxDriverWords; running the " +
+              "DISTRIBUTED E-step (one Spark job per EM iteration). " +
+              "Raising maxDriverWords to cover it costs " +
+              f"~${n / 1e6 * 0.5}%.1f GB of driver heap and keeps " +
+              "EM in-memory.")
+        trainLoop(seedRows, singles, learnedBudget, maxPieceLen,
+          emIters, pruneFraction,
+          (ps, lp) => emStepDistributed(hist, ps, lp, maxPieceLen))
+      }
     require(learned.forall(p => java.lang.Double.isFinite(p._2)),
       "trainer produced a non-finite piece score — invariant broken")
     // assembly: <unk>, bytes (scored just below the learned floor so
@@ -599,81 +618,65 @@ object Unigram {
       idx.put(p, Integer.valueOf(i)) }
     val expected = new Array[Double](pieces.length)
     var loglik = 0.0
-    val NEG = Double.NegativeInfinity
-    def lse(a: Double, b: Double): Double =
-      if (a == NEG) b else if (b == NEG) a
-      else if (a > b) a + math.log1p(math.exp(b - a))
-      else b + math.log1p(math.exp(a - b))
     var wi = 0
     while (wi < words.length) {
-      val w = words(wi); val c = weights(wi)
-      val nn = w.length
-      val alpha = Array.fill(nn + 1)(NEG); alpha(0) = 0.0
-      val beta = Array.fill(nn + 1)(NEG); beta(nn) = 0.0
-      var i = 0
-      while (i < nn) {
-        if (alpha(i) != NEG) {
-          var end = i; var len = 0
-          while (end < nn && len < maxPieceLen) {
-            end += Character.charCount(w.codePointAt(end)); len += 1
-            val pi = idx.get(w.substring(i, end))
-            if (pi != null)
-              alpha(end) = lse(alpha(end),
-                alpha(i) + logp(pi.intValue()))
-          }
-        }
-        i += Character.charCount(w.codePointAt(i))
-      }
-      require(alpha(nn) != NEG,
-        s"EM lattice unreachable for '$w' — the required single-" +
-          "code-point pieces are missing; trainer invariant broken")
-      // backward pass (positions descending)
-      var j = nn
-      while (j > 0) {
-        // step j back by one code point
-        val prev = w.offsetByCodePoints(j, -1)
-        var end = prev; var len = 0
-        while (end < nn && len < maxPieceLen) {
-          end += Character.charCount(w.codePointAt(end)); len += 1
-          val pi = idx.get(w.substring(prev, end))
-          if (pi != null && beta(end) != NEG)
-            beta(prev) = lse(beta(prev),
-              logp(pi.intValue()) + beta(end))
-        }
-        j = prev
-      }
-      val z = alpha(nn)
-      // posterior mass per edge
-      i = 0
-      while (i < nn) {
-        if (alpha(i) != NEG) {
-          var end = i; var len = 0
-          while (end < nn && len < maxPieceLen) {
-            end += Character.charCount(w.codePointAt(end)); len += 1
-            val pi = idx.get(w.substring(i, end))
-            if (pi != null && beta(end) != NEG) {
-              val post = math.exp(
-                alpha(i) + logp(pi.intValue()) + beta(end) - z)
-              expected(pi.intValue()) += post * c
-            }
-          }
-        }
-        i += Character.charCount(w.codePointAt(i))
-      }
+      val c = weights(wi)
+      val z = graft.expressions.UnigramEm.wordExpected(words(wi), idx,
+        logp, maxPieceLen, (i, e) => expected(i) += e * c)
       loglik += c * z
       wi += 1
     }
     (expected, loglik)
   }
 
-  /** The driver EM + pruning loop — package-private for the spec.
-    * Returns learned (piece, log-probability) pairs, `budget` of
-    * them at most, singles always included.
+  /** The DISTRIBUTED E-step — the same [[graft.expressions.UnigramEm]]
+    * per-word core through the compiled [[graft.expressions
+    * .UnigramEStep]] kernel: one explode + one vocab-sized aggregate
+    * per call; the histogram never leaves the cluster. The `(-1, Z)`
+    * sentinel rows aggregate into the corpus log-likelihood.
+    */
+  private[graft] def emStepDistributed(hist: DataFrame,
+      pieces: Array[String], logp: Array[Double], maxPieceLen: Int)
+      : (Array[Double], Double) = {
+    val kv = graft.expressions.GraftFunctions.unigramEStep(
+      col("word"), pieces.toSeq, logp.toSeq, maxPieceLen)
+    val rows = hist.select(explode(kv).as("kv"), col("weight"))
+      .select(col("kv.id").as("id"),
+        (col("kv.e") * col("weight")).as("we"))
+      .groupBy(col("id")).agg(sum(col("we")).as("e"))
+      .collect()
+    val expected = new Array[Double](pieces.length)
+    var loglik = 0.0
+    rows.foreach { r =>
+      val id = r.getInt(0)
+      if (id < 0) loglik = r.getDouble(1)
+      else expected(id) = r.getDouble(1)
+    }
+    (expected, loglik)
+  }
+
+  /** The driver EM + pruning loop — package-private for the spec:
+    * [[trainLoop]] over the in-memory E-step. Returns learned
+    * (piece, log-probability) pairs, `budget` of them at most,
+    * singles always included.
     */
   private[graft] def trainDriver(words: Array[String],
       weights: Array[Long], seed: Array[(String, Long)],
       singles: Set[String], budget: Int, maxPieceLen: Int,
-      emIters: Int, pruneFraction: Double)
+      emIters: Int, pruneFraction: Double): Array[(String, Double)] =
+    trainLoop(seed, singles, budget, maxPieceLen, emIters,
+      pruneFraction,
+      (ps, lp) => emStep(words, weights, ps, lp, maxPieceLen))
+
+  /** The EM + pruning loop over an ABSTRACT E-step — the one loop
+    * both homes run (driver in-memory vs distributed kernel), so the
+    * algorithm cannot fork between them; only the E-step's execution
+    * home differs.
+    */
+  private def trainLoop(seed: Array[(String, Long)],
+      singles: Set[String], budget: Int, maxPieceLen: Int,
+      emIters: Int, pruneFraction: Double,
+      emFn: (Array[String], Array[Double]) => (Array[Double], Double))
       : Array[(String, Double)] = {
     // seed probabilities from the substring counts; singles forced in
     val seedMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -688,7 +691,7 @@ object Unigram {
     def emRounds(k: Int): Unit = {
       var r = 0
       while (r < k) {
-        val (e, _) = emStep(words, weights, pieces, logp, maxPieceLen)
+        val (e, _) = emFn(pieces, logp)
         val tot = e.sum
         // log(x) − log(tot), never log(x/tot): a positive-but-
         // subnormal ratio underflows the division to 0.0 and log
@@ -734,7 +737,7 @@ object Unigram {
     }
     while (pieces.length > budget) {
       emRounds(emIters)
-      val (e, _) = emStep(words, weights, pieces, logp, maxPieceLen)
+      val (e, _) = emFn(pieces, logp)
       val idx = new java.util.HashMap[String, Integer](pieces.length * 2)
       pieces.zipWithIndex.foreach { case (p, i) =>
         idx.put(p, Integer.valueOf(i)) }

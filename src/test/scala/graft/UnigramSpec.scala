@@ -527,13 +527,20 @@ class UnigramSpec extends SparkSpec {
     val f = Files.createTempFile("graft_uni_train", ".json")
     Unigram.saveTokenizerJson(spark, tok, f.toString)
     assert(Unigram.loadTokenizerJson(spark, f.toString) == tok)
-    // refusals: a budget the singles cannot fit; the histogram bound
+    // both EM homes agree: force the DISTRIBUTED E-step
+    // (maxDriverWords = 0) — same trainLoop, same per-word core, so
+    // pieces must match exactly and scores to aggregation-order
+    // rounding
+    val tokDist = Unigram.train(corpus, "text", vocabSize = 300,
+      maxPieceLen = 6, maxDriverWords = 0L)
+    assert(tokDist.pieces.map(_._1) == tok.pieces.map(_._1),
+      "distributed E-step diverged from the driver E-step on pieces")
+    tokDist.pieces.zip(tok.pieces).foreach { case ((p, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"score drift on '$p': $a vs $b")
+    }
+    // refusal: a budget the singles cannot fit
     assert(intercept[IllegalArgumentException] {
       Unigram.train(corpus, "text", vocabSize = 260)
     }.getMessage.contains("raise vocabSize"))
-    assert(intercept[IllegalArgumentException] {
-      Unigram.train(corpus, "text", vocabSize = 300,
-        maxDriverWords = 2L)
-    }.getMessage.contains("maxDriverWords"))
   }
 }
