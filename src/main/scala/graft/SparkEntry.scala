@@ -190,6 +190,8 @@ object SparkEntry {
       Extensions.x125WordPieceTrainRoundtrip,
     "x126_unigram_train_roundtrip" ->
       Extensions.x126UnigramTrainRoundtrip,
+    "x127_wordpiece_pair_roundtrip" ->
+      Extensions.x127WordPiecePairRoundtrip,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1711,6 +1713,27 @@ object SparkEntry {
         |  CAST(length(replace(text, '▁', ' ')) AS BIGINT) AS n_chars
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // x127: the pair encode's SEGMENT STRUCTURE stated without a
+    // tokenizer — A/B are planted substr halves, the type-0 and
+    // type-1 content slices must decode back to each cleaned half,
+    // and the full decode to their space-join (the x124 cleaning
+    // chain + x103 substr arithmetic)
+    "x127_wordpiece_pair_roundtrip" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(regexp_replace(
+        |      substr(text, 1, CAST(length(text) // 2 AS INTEGER)),
+        |      '[^A-Za-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS ca,
+        |    trim(regexp_replace(lower(regexp_replace(
+        |      substr(text, CAST(length(text) // 2 + 1 AS INTEGER),
+        |        CAST(length(text) AS INTEGER)),
+        |      '[^A-Za-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS cb
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  md5(trim(ca || ' ' || cb)) AS pair_md5,
+        |  md5(ca) AS a_md5, md5(cb) AS b_md5,
+        |  CAST(length(trim(ca || ' ' || cb)) AS BIGINT) AS n_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
     // x126: the x123 identity certifying the TRAINED Unigram
     // artifact — the trainer's byte alphabet + required singles make
     // the same trainer-free statement hold for a fitted vocabulary

@@ -33,12 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object WordPiece {
 
-  /** A loaded WordPiece tokenizer. */
+  /** The PAIR post-processing template (BERT's
+    * `[CLS] $A [SEP] $B:1 [SEP]:1` shape): fixed (id, type_id)
+    * tokens BEFORE A, BETWEEN A and B, and AFTER B, plus the type
+    * ids the two sequences' content tokens carry.
+    */
+  case class PairTemplate(pre: Seq[(Long, Long)],
+      mid: Seq[(Long, Long)], post: Seq[(Long, Long)],
+      typeA: Long, typeB: Long)
+
+  /** A loaded WordPiece tokenizer. `pair` is the two-sequence
+    * template when the file defines one — [[encodePair]]'s contract;
+    * single-sequence encode ignores it.
+    */
   case class WordPieceTokenizer(vocab: Seq[(String, Long)],
       unkId: Long, contPrefix: String, maxInputCharsPerWord: Int,
       cleanText: Boolean, handleChineseChars: Boolean,
       stripAccents: Boolean, lowercase: Boolean,
-      prefixIds: Seq[Long], suffixIds: Seq[Long])
+      prefixIds: Seq[Long], suffixIds: Seq[Long],
+      pair: Option[PairTemplate] = None)
 
   def loadTokenizerJson(spark: SparkSession, path: String)
       : WordPieceTokenizer = {
@@ -137,18 +150,24 @@ object WordPiece {
         "refusing to mis-encode")
 
     val post = tree.get("post_processor")
-    val (prefixIds, suffixIds): (Seq[Long], Seq[Long]) =
-      if (post == null || post.isNull) (Seq.empty, Seq.empty)
+    val (prefixIds, suffixIds, pairTemplate)
+        : (Seq[Long], Seq[Long], Option[PairTemplate]) =
+      if (post == null || post.isNull) (Seq.empty, Seq.empty, None)
       else Option(post.get("type")).map(_.asText()) match {
         case Some("BertProcessing") =>
           // legacy shape: {"sep": ["[SEP]", id], "cls": ["[CLS]", id]}
+          // — its pair form is FIXED by the format:
+          // [CLS]:0 A:0 [SEP]:0 B:1 [SEP]:1
           def pairId(name: String): Long = {
             val v = post.get(name)
             require(v != null && v.isArray && v.size() == 2,
               s"$path BertProcessing.$name is not a [token, id] pair")
             v.get(1).asLong()
           }
-          (Seq(pairId("cls")), Seq(pairId("sep")))
+          val (cls, sep) = (pairId("cls"), pairId("sep"))
+          (Seq(cls), Seq(sep),
+            Some(PairTemplate(Seq((cls, 0L)), Seq((sep, 0L)),
+              Seq((sep, 1L)), typeA = 0L, typeB = 1L)))
         case Some("TemplateProcessing") =>
           val single = post.get("single")
           require(single != null && single.isArray,
@@ -185,23 +204,79 @@ object WordPiece {
             } else if (item.get("Sequence") != null) {
               val sid = item.get("Sequence").get("id").asText()
               require(sid == "A" && !seenA,
-                s"$path template references '$sid' — pair templates " +
-                  "are not reproducible for single-sequence encode")
+                s"$path SINGLE template references '$sid' — the " +
+                  "single form takes exactly one A sequence (the " +
+                  "pair form is the separate `pair` template)")
               seenA = true
             } else throw new IllegalArgumentException(
               s"$path template item is neither SpecialToken nor " +
                 "Sequence")
           }
           require(seenA, s"$path template never references sequence A")
-          (pre0.result(), post0.result())
+          // the PAIR template, when the file carries one: fixed
+          // (id, type_id) tokens around/between the A and B content
+          val pairNode = post.get("pair")
+          val pt: Option[PairTemplate] =
+            if (pairNode == null || pairNode.isNull ||
+                !pairNode.isArray || pairNode.size() == 0) None
+            else {
+              def typeOf(item: com.fasterxml.jackson.databind.JsonNode,
+                  key: String): Long = {
+                val t = item.get(key).get("type_id")
+                if (t == null || t.isNull) 0L else t.asLong()
+              }
+              val pre1 = Seq.newBuilder[(Long, Long)]
+              val mid1 = Seq.newBuilder[(Long, Long)]
+              val post1 = Seq.newBuilder[(Long, Long)]
+              var typeA = 0L; var typeB = 1L
+              var state = 0 // 0 = before A, 1 = between, 2 = after B
+              val pit = pairNode.elements()
+              while (pit.hasNext) {
+                val item = pit.next()
+                if (item.get("SpecialToken") != null) {
+                  val id =
+                    idOf(item.get("SpecialToken").get("id").asText())
+                  val ty = typeOf(item, "SpecialToken")
+                  state match {
+                    case 0 => pre1 += ((id, ty))
+                    case 1 => mid1 += ((id, ty))
+                    case _ => post1 += ((id, ty))
+                  }
+                } else if (item.get("Sequence") != null) {
+                  val sid = item.get("Sequence").get("id").asText()
+                  val ty = typeOf(item, "Sequence")
+                  if (sid == "A") {
+                    require(state == 0,
+                      s"$path pair template references A out of " +
+                        "order — only A-then-B is reproducible")
+                    typeA = ty; state = 1
+                  } else if (sid == "B") {
+                    require(state == 1,
+                      s"$path pair template references B before A " +
+                        "or twice — only A-then-B is reproducible")
+                    typeB = ty; state = 2
+                  } else throw new IllegalArgumentException(
+                    s"$path pair template references sequence " +
+                      s"'$sid' — only A and B exist in a pair")
+                } else throw new IllegalArgumentException(
+                  s"$path pair template item is neither " +
+                    "SpecialToken nor Sequence")
+              }
+              require(state == 2,
+                s"$path pair template must reference A then B")
+              Some(PairTemplate(pre1.result(), mid1.result(),
+                post1.result(), typeA, typeB))
+            }
+          (pre0.result(), post0.result(), pt)
         case other => throw new IllegalArgumentException(
           s"$path post-processor type '${other.getOrElse("?")}' is " +
             "not reproducible — only absent, BertProcessing, or " +
-            "single-sequence TemplateProcessing is supported")
+            "TemplateProcessing is supported")
       }
 
     WordPieceTokenizer(vocab, unkId, contPrefix, maxChars, cleanText,
-      handleCjk, stripAccents, lowercase, prefixIds, suffixIds)
+      handleCjk, stripAccents, lowercase, prefixIds, suffixIds,
+      pairTemplate)
   }
 
   /** Export a loaded WordPiece tokenizer back to the single-file
@@ -234,42 +309,61 @@ object WordPiece {
     pre.put("type", "BertPreTokenizer")
     root.set[com.fasterxml.jackson.databind.JsonNode]("pre_tokenizer",
       pre)
-    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty)
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty &&
+        tok.pair.isEmpty)
       root.putNull("post_processor")
     else {
       val idToTok = tok.vocab.map(_.swap).toMap
       val post = mapper.createObjectNode()
       post.put("type", "TemplateProcessing")
-      val single = mapper.createArrayNode()
       val specials = mapper.createObjectNode()
-      def special(id: Long): Unit = {
+      def specialItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+          id: Long, typeId: Long): Unit = {
         val name = idToTok.getOrElse(id, s"<special:$id>")
         val it = mapper.createObjectNode()
         val st = mapper.createObjectNode()
-        st.put("id", name); st.put("type_id", 0)
+        st.put("id", name); st.put("type_id", typeId)
         it.set[com.fasterxml.jackson.databind.JsonNode](
           "SpecialToken", st)
-        single.add(it)
-        val entry = mapper.createObjectNode()
-        entry.put("id", name)
-        val ids = mapper.createArrayNode(); ids.add(id)
-        entry.set[com.fasterxml.jackson.databind.JsonNode]("ids", ids)
-        val toks = mapper.createArrayNode(); toks.add(name)
-        entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
-          toks)
-        specials.set[com.fasterxml.jackson.databind.JsonNode](name,
-          entry)
+        arr.add(it)
+        if (!specials.has(name)) {
+          val entry = mapper.createObjectNode()
+          entry.put("id", name)
+          val ids = mapper.createArrayNode(); ids.add(id)
+          entry.set[com.fasterxml.jackson.databind.JsonNode]("ids",
+            ids)
+          val toks = mapper.createArrayNode(); toks.add(name)
+          entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
+            toks)
+          specials.set[com.fasterxml.jackson.databind.JsonNode](name,
+            entry)
+        }
       }
-      tok.prefixIds.foreach(special)
-      val seqIt = mapper.createObjectNode()
-      val seqRef = mapper.createObjectNode()
-      seqRef.put("id", "A"); seqRef.put("type_id", 0)
-      seqIt.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
-        seqRef)
-      single.add(seqIt)
-      tok.suffixIds.foreach(special)
+      def seqItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+          name: String, typeId: Long): Unit = {
+        val it = mapper.createObjectNode()
+        val ref = mapper.createObjectNode()
+        ref.put("id", name); ref.put("type_id", typeId)
+        it.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
+          ref)
+        arr.add(it)
+      }
+      val single = mapper.createArrayNode()
+      tok.prefixIds.foreach(specialItem(single, _, 0L))
+      seqItem(single, "A", 0L)
+      tok.suffixIds.foreach(specialItem(single, _, 0L))
       post.set[com.fasterxml.jackson.databind.JsonNode]("single",
         single)
+      tok.pair.foreach { pt =>
+        val pairArr = mapper.createArrayNode()
+        pt.pre.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+        seqItem(pairArr, "A", pt.typeA)
+        pt.mid.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+        seqItem(pairArr, "B", pt.typeB)
+        pt.post.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+        post.set[com.fasterxml.jackson.databind.JsonNode]("pair",
+          pairArr)
+      }
       post.set[com.fasterxml.jackson.databind.JsonNode](
         "special_tokens", specials)
       root.set[com.fasterxml.jackson.databind.JsonNode](
@@ -311,18 +405,59 @@ object WordPiece {
     df.select(col(idCol),
       encodeColumn(col(textCol), tok).as("token_ids"))
 
+  /** Every fixed id any of the tokenizer's templates can emit —
+    * the decode-time skip set.
+    */
+  private def templateIds(tok: WordPieceTokenizer): Seq[Long] =
+    (tok.prefixIds ++ tok.suffixIds ++ tok.pair.toSeq.flatMap(pt =>
+      (pt.pre ++ pt.mid ++ pt.post).map(_._1))).distinct
+
   /** The decode column — the published `decoders.WordPiece` join
     * convention (space-join, continuation prefix attaches), template
-    * ids dropped by default. Zero shuffles. Decode is lossy across
-    * the Bert normalizer (case/accents/whitespace discarded by the
-    * ENCODE); on pre-normalized in-coverage text decode ∘ encode is
-    * the identity — the x124 oracle's statement.
+    * ids (single AND pair) dropped by default. Zero shuffles. Decode
+    * is lossy across the Bert normalizer (case/accents/whitespace
+    * discarded by the ENCODE); on pre-normalized in-coverage text
+    * decode ∘ encode is the identity — the x124 oracle's statement.
     */
   def decodeColumn(ids: Column, tok: WordPieceTokenizer,
       skipTemplateIds: Boolean = true): Column =
     graft.expressions.GraftFunctions.wordPieceDecode(ids, tok,
-      if (skipTemplateIds) (tok.prefixIds ++ tok.suffixIds).distinct
-      else Seq.empty)
+      if (skipTemplateIds) templateIds(tok) else Seq.empty)
+
+  /** PAIR encode — the BERT two-sequence form: `(token_ids,
+    * type_ids)` under the tokenizer's pair template (`[CLS] $A [SEP]
+    * $B:1 [SEP]:1` and friends): fixed (id, type) tokens around and
+    * between the two content encodes, content tokens carrying the
+    * template's A/B type ids — exactly what an NSP-style or
+    * sentence-pair training pipeline feeds the model. Refuses LOUDLY
+    * when the tokenizer defines no pair template (encoding a pair
+    * under a single-sequence template would silently fabricate
+    * segment structure). Pure projection — zero shuffles.
+    */
+  def encodePairColumns(a: Column, b: Column,
+      tok: WordPieceTokenizer): (Column, Column) = {
+    val pt = tok.pair.getOrElse(throw new IllegalArgumentException(
+      "this tokenizer defines no PAIR template — single-sequence " +
+        "encode is encodeColumn; refusing to fabricate segment " +
+        "structure for a two-sequence input"))
+    val ea = graft.expressions.GraftFunctions.wordPieceEncode(a, tok)
+    val eb = graft.expressions.GraftFunctions.wordPieceEncode(b, tok)
+    val ids = concat(typedLit(pt.pre.map(_._1)), ea,
+      typedLit(pt.mid.map(_._1)), eb, typedLit(pt.post.map(_._1)))
+    val types = concat(typedLit(pt.pre.map(_._2)),
+      array_repeat(lit(pt.typeA), size(ea)),
+      typedLit(pt.mid.map(_._2)),
+      array_repeat(lit(pt.typeB), size(eb)),
+      typedLit(pt.post.map(_._2)))
+    (ids, types)
+  }
+
+  /** Distributed pair encode: `(idCol, token_ids, type_ids)`. */
+  def encodePair(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, tok: WordPieceTokenizer): DataFrame = {
+    val (ids, types) = encodePairColumns(col(aCol), col(bCol), tok)
+    df.select(col(idCol), ids.as("token_ids"), types.as("type_ids"))
+  }
 
   /** Distributed decode: `(idCol, text)` — [[encodeIds]]'s inverse
     * shape (template ids dropped).

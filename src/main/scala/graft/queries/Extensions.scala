@@ -842,6 +842,85 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x127: WordPiece PAIR encode (the BERT two-sequence form),
+    * oracle-checked — `encodePair` under the `[CLS] $A [SEP] $B:1
+    * [SEP]:1` template, on planted halves of each document (the x103
+    * construction: A = first half, B = second half, both pre-cleaned
+    * to the x124 alphabet). The TYPE IDS are verified semantically:
+    * the type-0 content slice must decode to exactly clean(A) and
+    * the type-1 slice to clean(B) (one misplaced segment boundary,
+    * one mistyped special, or one content token under the wrong type
+    * breaks a hash), and the full decode must equal their
+    * space-join — all statable in DuckDB with substr arithmetic and
+    * the x124 cleaning chain, no tokenizer at all.
+    */
+  def x127WordPiecePairRoundtrip(s: SparkSession, dir: String)
+      : DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createObjectNode()
+    var nextId = 0L
+    def put(t: String): Unit = { vocab.put(t, nextId); nextId += 1 }
+    Seq("[UNK]", "[CLS]", "[SEP]").foreach(put)
+    ('a' to 'z').foreach(c => put(c.toString))
+    ('a' to 'z').foreach(c => put("##" + c))
+    ('0' to '9').foreach(c => put(c.toString))
+    ('0' to '9').foreach(c => put("##" + c))
+    Seq("the", "##ing", "##ed", "and", "of", "to").foreach(put)
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "normalizer": {"type": "BertNormalizer", "clean_text": true,
+        |   "handle_chinese_chars": true, "strip_accents": null,
+        |   "lowercase": true},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"},
+        | "post_processor": {"type": "TemplateProcessing",
+        |   "single": [
+        |     {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |     {"Sequence": {"id": "A", "type_id": 0}},
+        |     {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+        |   "pair": [
+        |     {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |     {"Sequence": {"id": "A", "type_id": 0}},
+        |     {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        |     {"Sequence": {"id": "B", "type_id": 1}},
+        |     {"SpecialToken": {"id": "[SEP]", "type_id": 1}}],
+        |   "special_tokens": {
+        |     "[CLS]": {"id": "[CLS]", "ids": [1],
+        |       "tokens": ["[CLS]"]},
+        |     "[SEP]": {"id": "[SEP]", "ids": [2],
+        |       "tokens": ["[SEP]"]}}},
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        |   "continuing_subword_prefix": "##",
+        |   "max_input_chars_per_word": 100000}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_wordpiece_pair_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    val n = length(col("text"))
+    val h = (n / 2).cast("int")
+    def clean(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "[^A-Za-z0-9 ]", " ")
+    val (ids, types) = graft.operators.WordPiece.encodePairColumns(
+      clean(col("text").substr(lit(1), h)),
+      clean(col("text").substr(h + 1, n)), tok)
+    val zipped = zip_with(ids, types,
+      (i, t) => struct(i.as("i"), t.as("t")))
+    def sliceText(typeId: Int) =
+      graft.operators.WordPiece.decodeColumn(
+        transform(filter(zipped, e => e.getField("t") === typeId),
+          e => e.getField("i")), tok)
+    val full = graft.operators.WordPiece.decodeColumn(ids, tok)
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(full).as("pair_md5"),
+        md5(sliceText(0)).as("a_md5"), md5(sliceText(1)).as("b_md5"),
+        length(full).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x126: Unigram TRAINING, oracle-checked end to end — the
     * [[graft.operators.Unigram.train]] EM + pruning recipe
     * (distributed pre-token histogram + seed-substring counting,

@@ -228,7 +228,8 @@ object ScaleTrend {
       // (distributed histogram/seed + driver merge-loop/EM, then the
       // same roundtrip)
       "x123_unigram_roundtrip", "x124_wordpiece_roundtrip",
-      "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip")
+      "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip",
+      "x127_wordpiece_pair_roundtrip")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

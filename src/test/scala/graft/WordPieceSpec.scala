@@ -155,7 +155,8 @@ class WordPieceSpec extends SparkSpec {
 
   test("rejection matrix: non-WordPiece models point at their " +
       "loaders, non-Bert normalizers/pre-tokenizers refuse, an " +
-      "absent pre-tokenizer refuses, pair templates refuse, and a " +
+      "absent pre-tokenizer refuses, a $B in the SINGLE template " +
+      "refuses, and a " +
       "missing unk_token refuses") {
     def rejects(body: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
@@ -175,7 +176,7 @@ class WordPieceSpec extends SparkSpec {
       """{"type": "TemplateProcessing",
         | "single": [{"Sequence": {"id": "B", "type_id": 0}}],
         | "special_tokens": {}}""".stripMargin),
-      "pair templates")
+      "single form takes exactly one A")
     rejects(tokJson().replace("\"[UNK]\": 0, ", ""),
       "missing from the vocab")
   }
@@ -227,6 +228,80 @@ class WordPieceSpec extends SparkSpec {
     assert(plan.collect {
       case x: org.apache.spark.sql.execution.exchange.Exchange => x
     }.isEmpty, "wordpiece decode introduced a shuffle")
+  }
+
+  test("pair templates: [CLS] $A [SEP] $B:1 [SEP]:1 encodes " +
+      "(token_ids, type_ids) hand-computed; BertProcessing implies " +
+      "the same fixed pair; single-sequence encode is unchanged; " +
+      "decode skips pair specials; save -> load identity; loud " +
+      "refusals (no pair template, B before A)") {
+    val pairPost =
+      """{"type": "TemplateProcessing",
+        | "single": [
+        |   {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+        | "pair": [
+        |   {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        |   {"Sequence": {"id": "B", "type_id": 1}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 1}}],
+        | "special_tokens": {
+        |   "[CLS]": {"id": "[CLS]", "ids": [1], "tokens": ["[CLS]"]},
+        |   "[SEP]": {"id": "[SEP]", "ids": [2], "tokens": ["[SEP]"]}}}"""
+        .stripMargin
+    val tok = WordPiece.loadTokenizerJson(spark,
+      writeJson(tokJson(postProcessor = pairPost)))
+    assert(tok.pair.contains(WordPiece.PairTemplate(
+      Seq((1L, 0L)), Seq((2L, 0L)), Seq((2L, 1L)), 0L, 1L)))
+    import spark.implicits._
+    def pair(a: String, b: String): (Seq[Long], Seq[Long]) = {
+      val r = WordPiece.encodePair(
+        Seq(("d", a, b)).toDF("id", "a", "b"), "id", "a", "b", tok)
+        .collect()(0)
+      (r.getSeq[Long](1), r.getSeq[Long](2))
+    }
+    // A = [the, cat] = [3, 4]; B = [play, ##ing] = [13, 14]
+    val (ids, types) = pair("the cat", "playing")
+    assert(ids == Seq(1L, 3L, 4L, 2L, 13L, 14L, 2L))
+    assert(types == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L))
+    // the legacy BertProcessing pair is the same fixed shape
+    val bert = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+      postProcessor = """{"type": "BertProcessing",
+        | "sep": ["[SEP]", 2], "cls": ["[CLS]", 1]}""".stripMargin)))
+    assert(bert.pair == tok.pair)
+    // the single-sequence encode ignores the pair template
+    assert(encode(tok, "the cat") == Seq(1L, 3L, 4L, 2L))
+    // decode skips pair specials too
+    assert(decodeDistributed(tok, ids) == "the cat playing")
+    // pair encode is a pure projection — zero shuffles
+    val plan = WordPiece.encodePair(
+      Seq(("d", "the", "cat")).toDF("id", "a", "b"), "id", "a", "b",
+      tok).queryExecution.executedPlan
+    assert(plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.Exchange => x
+    }.isEmpty, "pair encode introduced a shuffle")
+    // save -> load identity with the pair template
+    val f = Files.createTempFile("graft_wp_pair", ".json")
+    WordPiece.saveTokenizerJson(spark, tok, f.toString)
+    assert(WordPiece.loadTokenizerJson(spark, f.toString) == tok)
+    // refusals: no pair template; B before A
+    val noPair = WordPiece.loadTokenizerJson(spark,
+      writeJson(tokJson()))
+    assert(intercept[IllegalArgumentException] {
+      WordPiece.encodePairColumns(col("a"), col("b"), noPair)
+    }.getMessage.contains("no PAIR template"))
+    assert(intercept[IllegalArgumentException] {
+      WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+        postProcessor = pairPost.replace(
+          """{"Sequence": {"id": "A", "type_id": 0}},
+            |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+            |   {"Sequence": {"id": "B", "type_id": 1}}""".stripMargin,
+          """{"Sequence": {"id": "B", "type_id": 1}},
+            |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+            |   {"Sequence": {"id": "A", "type_id": 0}}""".stripMargin))))
+    }.getMessage.contains("before A"))
   }
 
   test("train: hand-computed likelihood merges — the hug/pug/hugs " +

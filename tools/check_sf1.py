@@ -53,6 +53,7 @@ QUERIES = [
     "x118_blend_schedule", "x119_blend_epochs", "x120_run_resume",
     "x123_unigram_roundtrip", "x124_wordpiece_roundtrip",
     "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip",
+    "x127_wordpiece_pair_roundtrip",
 ]
 
 
