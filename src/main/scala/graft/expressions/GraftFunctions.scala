@@ -91,6 +91,10 @@ object GraftFunctions {
     c(DecimalSortKey(e(v), precision, scale))
   def sortKeyDecimal(v: Column, precision: Int, scale: Int): Column =
     c(SortKeyDecimal(e(v), precision, scale))
+  def doubleSortKey(v: Column): Column = c(DoubleSortKey(e(v)))
+  def sortKeyDouble(v: Column): Column = c(SortKeyDouble(e(v)))
+  def floatSortKey(v: Column): Column = c(FloatSortKey(e(v)))
+  def sortKeyFloat(v: Column): Column = c(SortKeyFloat(e(v)))
   def shardSequences(blob: Column, idx: Column): Column =
     c(ShardSequences(e(blob), e(idx)))
   def epochOrdPositions(ord: Column): Column =

@@ -44,6 +44,90 @@ case class DecimalSortKey(child: Expression, precision: Int,
       newChild: Expression): DecimalSortKey = copy(child = newChild)
 }
 
+/** Double → order-preserving SIGNED long: IEEE-754 bits with all
+  * non-sign bits flipped for negatives — signed-long order equals
+  * Spark's double ordering, including NaN greatest (the canonical
+  * NaN bit pattern sits above +Infinity). −0.0 CANONICALIZES to +0.0
+  * before encoding: Spark's comparison ties them, so the bounded
+  * buffer's byte-exact tie-break needs one representative — the
+  * decode returns +0.0 for both, the only (documented) non-identity
+  * of the round trip. This is what lifts DOUBLE neighbor ids off the
+  * per-query ranking-window fallback. [[SortKeyDouble]] inverts.
+  */
+case class DoubleSortKey(child: Expression)
+    extends UnaryKernelCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_sort_key"
+
+  override def kernel(input: Any): Any = {
+    val d0 = input.asInstanceOf[Double]
+    val d = if (d0 == 0.0) 0.0 else d0
+    val bits = java.lang.Double.doubleToLongBits(d)
+    java.lang.Long.valueOf(
+      if (bits >= 0L) bits else bits ^ java.lang.Long.MAX_VALUE)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DoubleSortKey = copy(child = newChild)
+}
+
+/** The inverse of [[DoubleSortKey]] (−0.0 comes back as the
+  * canonical +0.0 — see the encoder doc).
+  */
+case class SortKeyDouble(child: Expression)
+    extends UnaryKernelCodegen {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_sort_key_double"
+
+  override def kernel(input: Any): Any = {
+    val k = input.asInstanceOf[Long]
+    java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(
+      if (k >= 0L) k else k ^ java.lang.Long.MAX_VALUE))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortKeyDouble = copy(child = newChild)
+}
+
+/** [[DoubleSortKey]] for floats: the int-bits encoding widened to
+  * long (widening preserves signed order). [[SortKeyFloat]] inverts.
+  */
+case class FloatSortKey(child: Expression)
+    extends UnaryKernelCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_float_sort_key"
+
+  override def kernel(input: Any): Any = {
+    val f0 = input.asInstanceOf[Float]
+    val f = if (f0 == 0.0f) 0.0f else f0
+    val bits = java.lang.Float.floatToIntBits(f)
+    java.lang.Long.valueOf(
+      (if (bits >= 0) bits else bits ^ java.lang.Integer.MAX_VALUE)
+        .toLong)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FloatSortKey = copy(child = newChild)
+}
+
+/** The inverse of [[FloatSortKey]]. */
+case class SortKeyFloat(child: Expression)
+    extends UnaryKernelCodegen {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.FloatType
+  override def prettyName: String = "graft_sort_key_float"
+
+  override def kernel(input: Any): Any = {
+    val k = input.asInstanceOf[Long].toInt
+    java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(
+      if (k >= 0) k else k ^ java.lang.Integer.MAX_VALUE))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortKeyFloat = copy(child = newChild)
+}
+
 /** The exact inverse of [[DecimalSortKey]]. */
 case class SortKeyDecimal(child: Expression, precision: Int,
     scale: Int) extends UnaryKernelCodegen {

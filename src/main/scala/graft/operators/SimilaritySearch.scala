@@ -59,12 +59,15 @@ object SimilaritySearch {
     * the long-keyed buffer, strings the UTF-8-ordered string buffer,
     * binary ids the byte-ordered buffer, decimals the byte buffer
     * through the order-preserving [[graft.expressions
-    * .DecimalSortKey]] encoding, and date/timestamp ids the long
-    * buffer via their exact epoch integers — every orderable scalar
-    * id type is window-free. Only float/double (Spark's -0.0 = 0.0
-    * comparison makes a byte-exact bounded tie-break ill-defined)
-    * and non-scalar ids take the window form — and LOUDLY, via log,
-    * never silently.
+    * .DecimalSortKey]] encoding, date/timestamp ids the long buffer
+    * via their exact epoch integers, and float/double ids the long
+    * buffer via the order-preserving IEEE-bit encoding
+    * ([[graft.expressions.DoubleSortKey]] — −0.0 canonicalizes to
+    * +0.0, the one value pair Spark's ordering ties, so the decode
+    * returns the canonical representative) — EVERY orderable scalar
+    * id type is window-free. Only non-scalar ids (arrays/structs/
+    * maps) take the window form — and LOUDLY, via log, never
+    * silently.
     *
     * `corpusBytesHint`: a MEASURED corpus size, when the caller has
     * one for free — at or under [[WindowTopKMaxBytes]] the window
@@ -150,13 +153,36 @@ object SimilaritySearch {
           .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
             timestamp_micros(col("col.key1")).as("neighbor_id"),
             round(col("col.score"), 6).as("cos"))
+      case DoubleType =>
+        // doubles ride the long buffer through the order-preserving
+        // bit encoding, with -0.0 CANONICALIZED to +0.0 first (Spark
+        // ties them, so the buffer's byte-exact tie-break gets one
+        // representative — the documented round-trip non-identity)
+        import graft.expressions.GraftFunctions._
+        val topk = udaf(new graft.functions.Aggregators.TopKRows(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"), doubleSortKey(col("neighbor_id")),
+            lit(0L)).as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            sortKeyDouble(col("col.key1")).as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
+      case FloatType =>
+        import graft.expressions.GraftFunctions._
+        val topk = udaf(new graft.functions.Aggregators.TopKRows(k))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("cos"), floatSortKey(col("neighbor_id")),
+            lit(0L)).as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+            sortKeyFloat(col("col.key1")).as("neighbor_id"),
+            round(col("col.score"), 6).as("cos"))
       case other =>
-        // every ORDERABLE id type an engine surface can emit now has
-        // a bounded buffer (integral/string/binary/decimal/date/
-        // timestamp); what remains is float/double (where Spark's
-        // -0.0 = 0.0 comparison makes a byte-exact bounded tie-break
-        // ill-defined) and non-scalar shapes. Those still take the
-        // window plan — LOGGED, never silent
+        // every ORDERABLE scalar id type now has a bounded buffer
+        // (integral/string/binary/decimal/date/timestamp/float/
+        // double); what remains is non-scalar shapes (arrays,
+        // structs, maps). Those still take the window plan —
+        // LOGGED, never silent
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"boundedTopK: neighbor_id type $other has no bounded " +
             "buffer — falling back to the per-query ranking WINDOW " +

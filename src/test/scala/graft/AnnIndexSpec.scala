@@ -836,6 +836,48 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k on DOUBLE ids: equals the window form on a " +
+      "tie-heavy corpus with negative/zero/fractional ids, and the " +
+      "plan stays window-free (the IEEE-bit sort-key path)") {
+    import graft.functions.VectorFunctions._
+    def windowForm(scored: DataFrame, k: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    }
+    // duplicated vectors force identical cosines, so the DOUBLE id
+    // tie-break is exercised across the sign flip (ids span
+    // negatives, exact 0.0, and fractions)
+    val dCorpus = intCorpus(nDistinct = 8, copies = 5)
+      .withColumn("did", (col("vec_id") - 20).cast("double") * 1.5)
+    val dq = dCorpus.filter(col("vec_id") <= 6)
+    val scored = dCorpus
+      .select(col("did").as("neighbor_id"),
+        col("embedding").as("cv"), normSq(col("embedding")).as("cn"))
+      .crossJoin(broadcast(dq.select(col("did").as("query_id"),
+        col("embedding").as("qv"), normSq(col("embedding")).as("qn"))))
+      .withColumn("cos", cosineFromParts(dot(col("qv"), col("cv")),
+        col("qn"), col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    def rowsD(df: DataFrame) = df
+      .orderBy(col("query_id"), col("rk")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(rowsD(SimilaritySearch.boundedTopK(scored, 7)) ==
+      rowsD(windowForm(scored, 7)),
+      "double-keyed bounded top-k diverged from the window form")
+    val wins = SimilaritySearch.boundedTopK(scored, 7)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.isEmpty,
+      s"double ids still fall back to a window: ${wins.mkString}")
+  }
+
   test("bounded top-k on STRING ids: byte-equals the window form " +
       "under Spark's UTF-8 collation (supplementary-plane ids order " +
       "differently than UTF-16 compareTo), plan stays window-free; " +

@@ -233,6 +233,53 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Double/FloatSortKey: signed-long order of the encoding " +
+      "equals the double ordering (NaN greatest, -0.0 ties +0.0 via " +
+      "canonicalization), and the inverse round-trips bit-exactly " +
+      "on the canonical value") {
+    import graft.expressions.{DoubleSortKey, FloatSortKey,
+      SortKeyDouble, SortKeyFloat}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val enc = DoubleSortKey(Literal(1))
+    val dec = SortKeyDouble(Literal(1))
+    def key(d: Double): Long = enc.kernel(d).asInstanceOf[Long]
+    def canon(d: Double): Double = if (d == 0.0) 0.0 else d
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-1e300, 1e300),
+      Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, java.lang.Double.MIN_VALUE,
+        -java.lang.Double.MIN_VALUE, 1e-310, -1e-310))
+    check("double-sort-key", Prop.forAll(gen, gen) { (x, y) =>
+      val orderOk = java.lang.Long.signum(
+        java.lang.Long.compare(key(x), key(y))) ==
+        Integer.signum(java.lang.Double.compare(canon(x), canon(y)))
+      val rt = dec.kernel(java.lang.Long.valueOf(key(x)))
+        .asInstanceOf[Double]
+      val rtOk = java.lang.Double.doubleToLongBits(rt) ==
+        java.lang.Double.doubleToLongBits(canon(x))
+      orderOk && rtOk
+    })
+    // the float twin across the full special-value ladder: keys must
+    // be STRICTLY increasing and round-trip bit-exactly
+    val fenc = FloatSortKey(Literal(1))
+    val fdec = SortKeyFloat(Literal(1))
+    def fkey(f: Float): Long = fenc.kernel(f).asInstanceOf[Long]
+    val ladder = Seq(Float.NegativeInfinity, -1e30f, -1f,
+      -java.lang.Float.MIN_VALUE, 0f, java.lang.Float.MIN_VALUE, 1f,
+      1e30f, Float.PositiveInfinity, Float.NaN)
+    ladder.sliding(2).foreach { case Seq(a, b) =>
+      assert(fkey(a) < fkey(b), s"float key order broke at $a < $b")
+    }
+    assert(fkey(-0f) == fkey(0f), "float -0.0 must tie +0.0")
+    (ladder :+ -0f).foreach { f =>
+      val rt = fdec.kernel(java.lang.Long.valueOf(fkey(f)))
+        .asInstanceOf[Float]
+      val cf = if (f == 0f) 0f else f
+      assert(java.lang.Float.floatToIntBits(rt) ==
+        java.lang.Float.floatToIntBits(cf), s"float round trip of $f")
+    }
+  }
+
   test("FrequentItems invariants on random streams and partitionings") {
     import graft.functions.Aggregators.FrequentItems
     val stream = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
