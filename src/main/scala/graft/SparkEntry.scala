@@ -192,6 +192,8 @@ object SparkEntry {
       Extensions.x126UnigramTrainRoundtrip,
     "x127_wordpiece_pair_roundtrip" ->
       Extensions.x127WordPiecePairRoundtrip,
+    "x128_wordpiece_truncation" -> Extensions.x128WordPieceTruncPad,
+    "x129_wordpiece_offsets" -> Extensions.x129WordPieceOffsets,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1734,6 +1736,80 @@ object SparkEntry {
         |  md5(ca) AS a_md5, md5(cb) AS b_md5,
         |  CAST(length(trim(ca || ' ' || cb)) AS BIGINT) AS n_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+    // x128: the truncation + padding blocks restated WITHOUT a
+    // tokenizer — under a single-character vocab the pair arithmetic
+    // is positional: kept lengths follow the longest-first closed
+    // form (spec-pinned equal to the published iterative rule), the
+    // kept content decodes to substr of each planted half, and the
+    // pad count / first-pad position / type-id sum are arithmetic
+    // over those lengths (content budget 21 = max_length 24 minus
+    // the 3 pair-template ids; ceil(21/2) = 11)
+    "x128_wordpiece_truncation" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substr(l, 1, least(CAST(length(l)//2 AS INTEGER),
+        |      CAST(2 + doc_id % 23 AS INTEGER))) AS a,
+        |    substr(l, CAST(length(l)//2 + 1 AS INTEGER),
+        |      CAST(1 + doc_id % 17 AS INTEGER)) AS b
+        |  FROM (SELECT doc_id,
+        |          lower(regexp_replace(text, '[^A-Za-z0-9]', '',
+        |            'g')) AS l
+        |        FROM documents WHERE text IS NOT NULL)),
+        |f AS (
+        |  SELECT doc_id, a, b, length(a) AS la, length(b) AS lb,
+        |    CASE WHEN length(a) + length(b) <= 21 THEN length(a)
+        |         ELSE least(length(a), greatest(11, 21 - length(b)))
+        |    END AS fa
+        |  FROM s)
+        |SELECT doc_id,
+        |  md5(substr(a, 1, fa)) AS a_md5,
+        |  md5(substr(b, 1, least(la + lb, 21) - fa)) AS b_md5,
+        |  CAST(24 AS BIGINT) AS n_ids,
+        |  CAST(21 - fa - (least(la + lb, 21) - fa) AS BIGINT)
+        |    AS n_pad,
+        |  CAST(CASE WHEN fa + (least(la + lb, 21) - fa) < 21
+        |       THEN 4 + fa + (least(la + lb, 21) - fa) ELSE 0 END
+        |    AS BIGINT) AS first_pad,
+        |  CAST((least(la + lb, 21) - fa) + 1 AS BIGINT) AS type_sum
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // x129: the offsets stream restated WITHOUT a tokenizer — under
+    // a single-character vocab each non-space character of the
+    // normalized text is one token: id = bare (preceded by a space
+    // or start) vs ## continuation, span = (pos-1, pos) in code
+    // points; the whole id:start:end stream aggregates per doc in
+    // position order (vocab layout: a-z 1..26, ##a-z 27..52,
+    // 0-9 53..62, ##0-9 63..72)
+    "x129_wordpiece_offsets" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g'))
+        |      AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, i, substr(t, CAST(i AS INTEGER), 1) AS c,
+        |    CASE WHEN i = 1 THEN ' '
+        |         ELSE substr(t, CAST(i - 1 AS INTEGER), 1) END AS p
+        |  FROM n, LATERAL (SELECT
+        |    unnest(generate_series(1, length(t))) AS i) g),
+        |ids AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN c BETWEEN 'a' AND 'z' THEN
+        |           CASE WHEN p = ' ' THEN 1 + ascii(c) - 97
+        |                ELSE 27 + ascii(c) - 97 END
+        |         ELSE
+        |           CASE WHEN p = ' ' THEN 53 + ascii(c) - 48
+        |                ELSE 63 + ascii(c) - 48 END
+        |    END AS id
+        |  FROM u WHERE c <> ' ')
+        |SELECT n.doc_id,
+        |  CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_tokens,
+        |  md5(coalesce(g.s, '')) AS offsets_md5
+        |FROM n LEFT JOIN (
+        |  SELECT doc_id, count(*) AS cnt,
+        |    string_agg(id || ':' || (i - 1) || ':' || i, ','
+        |      ORDER BY i) AS s
+        |  FROM ids GROUP BY doc_id) g ON n.doc_id = g.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     // x126: the x123 identity certifying the TRAINED Unigram
     // artifact — the trainer's byte alphabet + required singles make
     // the same trainer-free statement hold for a fitted vocabulary

@@ -69,6 +69,11 @@ object GraftFunctions {
     c(WordPieceEncodeIds(e(text), tok.vocab, tok.unkId,
       tok.contPrefix, tok.maxInputCharsPerWord, tok.cleanText,
       tok.handleChineseChars, tok.stripAccents, tok.lowercase))
+  def wordPieceEncodeOffsets(text: Column,
+      tok: graft.operators.WordPiece.WordPieceTokenizer): Column =
+    c(WordPieceEncodeOffsets(e(text), tok.vocab, tok.unkId,
+      tok.contPrefix, tok.maxInputCharsPerWord, tok.cleanText,
+      tok.handleChineseChars, tok.stripAccents, tok.lowercase))
   def unigramDecode(ids: Column,
       tok: graft.operators.Unigram.UnigramTokenizer): Column =
     c(UnigramDecodeIds(e(ids), tok.pieces.map(_._1),

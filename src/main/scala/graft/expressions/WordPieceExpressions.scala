@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** WordPiece ENCODE as a compiled map-side kernel — the BERT lineage,
@@ -122,23 +122,40 @@ private[graft] object BertPipeline {
     t
   }
 
-  def preTokens(t: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  /** Pre-tokens with their CODE-POINT spans into the input string —
+    * the one segmentation implementation ([[preTokens]] delegates
+    * here), so the id kernel, the offsets kernel and the trainer can
+    * never disagree on where a word starts.
+    */
+  def preTokensOff(t: String): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
     val word = new StringBuilder
-    def flush(): Unit =
-      if (word.nonEmpty) { out += word.toString; word.clear() }
+    var wordStart = -1
+    var cp = 0
+    def flush(cpEnd: Int): Unit =
+      if (word.nonEmpty) {
+        out += ((word.toString, wordStart, cpEnd))
+        word.clear(); wordStart = -1
+      }
     var i = 0
     while (i < t.length) {
-      val cp = t.codePointAt(i)
-      if (isWs(cp)) flush()
-      else if (isPunct(cp)) {
-        flush(); out += new String(Character.toChars(cp))
-      } else word.appendAll(Character.toChars(cp))
-      i += Character.charCount(cp)
+      val c = t.codePointAt(i)
+      if (isWs(c)) flush(cp)
+      else if (isPunct(c)) {
+        flush(cp)
+        out += ((new String(Character.toChars(c)), cp, cp + 1))
+      } else {
+        if (word.isEmpty) wordStart = cp
+        word.appendAll(Character.toChars(c))
+      }
+      i += Character.charCount(c)
+      cp += 1
     }
-    flush()
+    flush(cp)
     out.result()
   }
+
+  def preTokens(t: String): Seq[String] = preTokensOff(t).map(_._1)
 }
 
 case class WordPieceEncodeIds(child: Expression,
@@ -294,4 +311,97 @@ case class WordPieceDecodeIds(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): WordPieceDecodeIds = copy(child = newChild)
+}
+/** WordPiece ENCODE WITH OFFSETS — the [[WordPieceEncodeIds]] greedy
+  * matcher emitting `(id, start, end)` per token, spans in CODE
+  * POINTS into the NORMALIZED text (the string [[BertPipeline]] hands
+  * the pre-tokenizer): a continuation token spans exactly the
+  * characters it matched, a whole-word unk (stuck position or
+  * over-long word) spans the whole word — the published convention,
+  * with the engine's honest divergence DOCUMENTED: the reference
+  * reports byte offsets into the ORIGINAL string via its alignment
+  * maps; this kernel reports code-point offsets into the normalized
+  * string, the view span-level consumers here (PII token masks,
+  * contamination span reports) operate on, and the form a relational
+  * oracle can restate (x129). On input the normalizer leaves
+  * untouched the two coincide up to the byte/code-point unit.
+  * Pure projection: zero shuffles, whole-stage codegen.
+  */
+case class WordPieceEncodeOffsets(child: Expression,
+    vocab: Seq[(String, Long)], unkId: Long, contPrefix: String,
+    maxInputCharsPerWord: Int, cleanText: Boolean,
+    handleChineseChars: Boolean, stripAccents: Boolean,
+    lowercase: Boolean)
+    extends UnaryKernelCodegen {
+
+  require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
+  require(maxInputCharsPerWord >= 1,
+    s"maxInputCharsPerWord must be >= 1: $maxInputCharsPerWord")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode_offsets"
+
+  @transient private lazy val idOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, java.lang.Long.valueOf(i)) }
+    m
+  }
+
+  override def kernel(input: Any): Any = {
+    val t = BertPipeline.normalize(
+      input.asInstanceOf[UTF8String].toString, cleanText,
+      handleChineseChars, stripAccents, lowercase)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def row(id: Long, s: Int, e: Int): Unit =
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, s, e))
+    BertPipeline.preTokensOff(t).foreach { case (w, cpStart, cpEnd) =>
+      if (w.codePointCount(0, w.length) > maxInputCharsPerWord)
+        row(unkId, cpStart, cpEnd)
+      else {
+        // char index -> code points before it, for span conversion
+        val cpAt = new Array[Int](w.length + 1)
+        var ci = 0; var cc = 0
+        while (ci < w.length) {
+          cpAt(ci) = cc
+          val n = Character.charCount(w.codePointAt(ci))
+          var k = 1
+          while (k < n) { cpAt(ci + k) = cc; k += 1 }
+          ci += n; cc += 1
+        }
+        cpAt(w.length) = cc
+        // the same greedy longest-match-first walk as the id kernel
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+        var start = 0
+        var bad = false
+        while (start < w.length && !bad) {
+          var end = w.length
+          var hit: java.lang.Long = null
+          while (end > start && hit == null) {
+            val cand =
+              (if (start > 0) contPrefix else "") + w.substring(start, end)
+            hit = idOf.get(cand)
+            if (hit == null) end -= 1
+          }
+          if (hit == null) bad = true
+          else {
+            spans += ((hit.longValue(),
+              cpStart + cpAt(start), cpStart + cpAt(end)))
+            start = end
+          }
+        }
+        if (bad) row(unkId, cpStart, cpEnd)
+        else spans.foreach { case (id, s, e) => row(id, s, e) }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordPieceEncodeOffsets =
+    copy(child = newChild)
 }

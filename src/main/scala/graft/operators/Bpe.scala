@@ -336,8 +336,16 @@ object Bpe {
     * vocabulary, then driver OOM). Truncation makes each histogram a
     * plan leaf: constant-size plans for any merge count, and the
     * materialized frame stays vocab-sized — same device as
-    * [[ConnectedComponents]]' per-round truncation. Blocks are
-    * reclaimed by the context cleaner as frames are dereferenced.
+    * [[ConnectedComponents]]' per-round truncation. Superseded
+    * generations are unpersisted EXPLICITLY
+    * ([[graft.core.Checkpoints.release]]) the moment their
+    * replacement materializes, so the block manager holds at most
+    * two histogram generations regardless of merge count (the
+    * context cleaner only reclaims lazily, after driver GC). The
+    * argmax collect is already bounded: `orderBy(...).limit(1)` —
+    * raw integer counts compare exactly server-side, so unlike the
+    * WordPiece likelihood loop no driver-side tie window exists to
+    * cap.
     */
   private def trainDistributed(hist0: DataFrame, numMerges: Int,
       minCount: Long): Seq[(Int, String, String, String, Long)] = {
@@ -355,7 +363,11 @@ object Bpe {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((rank, l, r, l + r, c))
+        val prev = hist
         hist = applyMerge(hist, l, r).localCheckpoint()
+        // free the superseded generation deterministically (the
+        // caller's hist0 is left alone — it owns that checkpoint)
+        if (prev ne hist0) graft.core.Checkpoints.release(prev)
         rank += 1
       }
     }
@@ -921,6 +933,11 @@ object Bpe {
     val tree =
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
+    // truncation/padding blocks: the GPT-2 lineage ships without
+    // them and this loader's tuple-shaped API has no place to carry
+    // them — refused loudly, never silently ignored (the loader
+    // contract; WordPiece/Unigram HONOR the blocks)
+    TokenizerTruncation.rejectBlocks(tree, path, "byte-level BPE")
     val model = tree.get("model")
     require(model != null && model.isObject,
       s"$path has no tokenizer model object")

@@ -50,7 +50,9 @@ object Unigram {
       unkId: Int, byteFallback: Boolean,
       norms: Seq[(String, String, String)], needsNfc: Boolean,
       prefixIds: Seq[Long], suffixIds: Seq[Long],
-      metaspace: Option[(String, Boolean, String)] = None)
+      metaspace: Option[(String, Boolean, String)] = None,
+      truncation: Option[TokenizerTruncation.Truncation] = None,
+      padding: Option[TokenizerTruncation.Padding] = None)
 
   /** Load a `tokenizer.json` carrying a Unigram model, rejecting
     * loudly anything the engine cannot reproduce exactly — see the
@@ -282,8 +284,20 @@ object Unigram {
         (pre0.result(), post0.result())
       }
 
+    // truncation / padding blocks: honored (the loader-contract
+    // close) — except only_second, which names a second sequence
+    // this single-sequence surface can never hold
+    val truncation = TokenizerTruncation.parseTruncation(tree, path)
+    truncation.foreach(t => require(t.strategy != "only_second",
+      s"$path truncation.strategy OnlySecond cannot apply to the " +
+        "Unigram surface — it encodes single sequences only (no " +
+        "pair encode exists to hold a second sequence)"))
+    val pieceIdOf = pieces.map(_._1).zipWithIndex.toMap
+    val padding = TokenizerTruncation.parsePadding(tree, path,
+      t => pieceIdOf.get(t).map(_.toLong))
+
     UnigramTokenizer(pieces, unkId, byteFallback, norms, needsNfc,
-      prefixIds, suffixIds, metaspace)
+      prefixIds, suffixIds, metaspace, truncation, padding)
   }
 
   /** Export a loaded Unigram tokenizer back to the single-file
@@ -301,6 +315,10 @@ object Unigram {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", "1.0")
+    TokenizerTruncation.emitTruncation(mapper, root, tok.truncation)
+    TokenizerTruncation.emitPadding(mapper, root, tok.padding,
+      id => if (id >= 0 && id < tok.pieces.size)
+        Some(tok.pieces(id.toInt)._1) else None)
     // normalizer
     val atoms = mapper.createArrayNode()
     if (tok.needsNfc) {
@@ -409,16 +427,30 @@ object Unigram {
 
   /** The encode column: NFC upstream when the file demands it (the
     * compiled x89 kernel — still a pure projection), then the Viterbi
-    * kernel, then the template's fixed ids. Zero shuffles.
+    * kernel, truncated to the `truncation` block's content budget
+    * when the file carries one, then the template's fixed ids,
+    * padded to the `padding` block's Fixed length when set. Zero
+    * shuffles.
     */
   def encodeColumn(text: Column, tok: UnigramTokenizer): Column = {
     val normalized =
       if (tok.needsNfc) TextFunctions.normalizeUnicode(text, "NFC")
       else text
-    val core = graft.expressions.GraftFunctions.unigramEncode(
+    val core0 = graft.expressions.GraftFunctions.unigramEncode(
       normalized, tok)
-    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
-    else concat(typedLit(tok.prefixIds), core, typedLit(tok.suffixIds))
+    val core = tok.truncation match {
+      case Some(t) => TokenizerTruncation.truncateSingle(core0, t,
+        tok.prefixIds.size + tok.suffixIds.size)
+      case None => core0
+    }
+    val full =
+      if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+      else concat(typedLit(tok.prefixIds), core,
+        typedLit(tok.suffixIds))
+    tok.padding match {
+      case Some(p) => TokenizerTruncation.pad(full, p, p.padId)
+      case None => full
+    }
   }
 
   /** Distributed encode: one row per input row, `(idCol, token_ids)`
@@ -496,15 +528,21 @@ object Unigram {
     * prunes BEFORE a rarer piece whose characters are expensive
     * (spec-pinned by a discriminating fixture).
     *
-    * Documented simplifications vs sentencepiece (the algorithm is
-    * the public one; these are scope bounds, not silent drift):
-    * pre-tokens aggregate as Metaspace units, so learned pieces never
-    * span a "▁" boundary (multi-word pieces are not learnable); the
-    * M-step is plain ML (no Bayesian digamma smoothing). The RESULT
-    * is certified two ways: the
-    * hand-computed forward–backward fixture in UnigramSpec pins the
-    * EM arithmetic, and x126's oracle roundtrip certifies the trained
-    * artifact end to end.
+    * The M-step is sentencepiece's BAYESIANIZED update by default —
+    * `logp_i = ψ(E_i) − ψ(ΣE)` ([[mStepBayes]], the implicit-
+    * Dirichlet-prior EM; `bayesianMStep = false` selects plain ML,
+    * which carries the raw-likelihood monotonicity guarantee the
+    * spec observes). Documented simplifications vs sentencepiece
+    * (the algorithm is the public one; these are scope bounds, not
+    * silent drift): pre-tokens aggregate as Metaspace units, so
+    * learned pieces never span a "▁" boundary (multi-word pieces are
+    * not learnable); and low-expected-mass pieces are kept for the
+    * loss-criterion pruning to judge rather than dropped at the
+    * sentencepiece 0.5-expected-count threshold. The RESULT is
+    * certified two ways: the hand-computed forward–backward and
+    * digamma fixtures in UnigramSpec pin the EM arithmetic, and
+    * x126's oracle roundtrip certifies the trained artifact end to
+    * end.
     *
     * Scale shape (the [[Bpe.train]] split): pre-token histogram,
     * seed-substring counting, and the top-N selection are
@@ -526,7 +564,8 @@ object Unigram {
   def train(df: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 8, seedSize: Int = 0, emIters: Int = 2,
       pruneFraction: Double = 0.25, byteFallback: Boolean = true,
-      maxDriverWords: Long = 1000000L): UnigramTokenizer = {
+      maxDriverWords: Long = 1000000L,
+      bayesianMStep: Boolean = true): UnigramTokenizer = {
     require(vocabSize >= 2, s"vocabSize must be >= 2: $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
     require(emIters >= 1, s"emIters must be >= 1: $emIters")
@@ -571,7 +610,7 @@ object Unigram {
           .map(r => (r.getString(0), r.getLong(1)))
         trainDriver(words.map(_._1), words.map(_._2),
           seedRows, singles, learnedBudget, maxPieceLen, emIters,
-          pruneFraction)
+          pruneFraction, bayesianMStep)
       } else {
         if (maxDriverWords > 0)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -583,7 +622,8 @@ object Unigram {
               "EM in-memory.")
         trainLoop(seedRows, singles, learnedBudget, maxPieceLen,
           emIters, pruneFraction,
-          (ps, lp) => emStepDistributed(hist, ps, lp, maxPieceLen))
+          (ps, lp) => emStepDistributed(hist, ps, lp, maxPieceLen),
+          if (bayesianMStep) mStepBayes else mStepMl)
       }
     require(learned.forall(p => java.lang.Double.isFinite(p._2)),
       "trainer produced a non-finite piece score — invariant broken")
@@ -663,20 +703,79 @@ object Unigram {
   private[graft] def trainDriver(words: Array[String],
       weights: Array[Long], seed: Array[(String, Long)],
       singles: Set[String], budget: Int, maxPieceLen: Int,
-      emIters: Int, pruneFraction: Double): Array[(String, Double)] =
+      emIters: Int, pruneFraction: Double,
+      bayesianMStep: Boolean = true): Array[(String, Double)] =
     trainLoop(seed, singles, budget, maxPieceLen, emIters,
       pruneFraction,
-      (ps, lp) => emStep(words, weights, ps, lp, maxPieceLen))
+      (ps, lp) => emStep(words, weights, ps, lp, maxPieceLen),
+      if (bayesianMStep) mStepBayes else mStepMl)
 
-  /** The EM + pruning loop over an ABSTRACT E-step — the one loop
-    * both homes run (driver in-memory vs distributed kernel), so the
-    * algorithm cannot fork between them; only the E-step's execution
-    * home differs.
+  /** ψ(x), the digamma function — the standard public algorithm
+    * (upward recurrence below 7, then the asymptotic expansion
+    * around x − 1/2; the same shape sentencepiece's own `Digamma`
+    * uses). Domain x > 0. Package-private so the spec can pin it
+    * against the closed forms (ψ(1) = −γ, ψ(1/2) = −γ − 2 ln 2, …)
+    * and the recurrence ψ(x+1) = ψ(x) + 1/x.
+    */
+  private[graft] def digamma(x0: Double): Double = {
+    require(x0 > 0.0, s"digamma domain is x > 0: $x0")
+    var x = x0
+    var r = 0.0
+    while (x < 7.0) { r -= 1.0 / x; x += 1.0 }
+    x -= 0.5
+    val xx = 1.0 / x
+    val xx2 = xx * xx
+    val xx4 = xx2 * xx2
+    r + math.log(x) + (1.0 / 24.0) * xx2 - (7.0 / 960.0) * xx4 +
+      (31.0 / 8064.0) * xx4 * xx2 - (127.0 / 30720.0) * xx4 * xx4
+  }
+
+  /** The Bayesianized M-step — sentencepiece's update: `logp_i =
+    * ψ(E_i) − ψ(ΣE)` (the implicit-Dirichlet-prior EM that sharpens
+    * low-mass pieces faster than plain ML). Zero expected mass
+    * floors at the −1e9 sentinel (ψ(0⁺) → −∞ is unserializable and
+    * unorderable — the same rule as the ML step).
+    */
+  private[graft] def mStepBayes(expected: Array[Double])
+      : Array[Double] = {
+    val tot = expected.sum
+    if (tot <= 0.0) expected.map(_ => -1e9)
+    else {
+      val dTot = digamma(tot)
+      expected.map(x =>
+        if (x <= 0.0) -1e9
+        else math.max(digamma(x) - dTot, -1e9))
+    }
+  }
+
+  /** The plain maximum-likelihood M-step — `logp_i = log E_i −
+    * log ΣE`, computed as the DIFFERENCE of logs (a positive-but-
+    * subnormal ratio underflows the division to 0.0 and log would
+    * emit −Infinity — unserializable and unorderable), floored at
+    * the −1e9 sentinel. Kept reachable (`bayesianMStep = false`)
+    * because only ML carries the raw-likelihood monotonicity
+    * guarantee the spec observes — the Bayesian update optimizes a
+    * variational bound, not the raw likelihood.
+    */
+  private[graft] def mStepMl(expected: Array[Double])
+      : Array[Double] = {
+    val logTot = math.log(expected.sum)
+    expected.map(x =>
+      if (x <= 0.0) -1e9
+      else math.max(math.log(x) - logTot, -1e9))
+  }
+
+  /** The EM + pruning loop over an ABSTRACT E-step and M-step — the
+    * one loop both homes run (driver in-memory vs distributed
+    * kernel), so the algorithm cannot fork between them; only the
+    * E-step's execution home differs, and the M-step is one of the
+    * two published updates ([[mStepBayes]] / [[mStepMl]]).
     */
   private def trainLoop(seed: Array[(String, Long)],
       singles: Set[String], budget: Int, maxPieceLen: Int,
       emIters: Int, pruneFraction: Double,
-      emFn: (Array[String], Array[Double]) => (Array[Double], Double))
+      emFn: (Array[String], Array[Double]) => (Array[Double], Double),
+      mStep: Array[Double] => Array[Double])
       : Array[(String, Double)] = {
     // seed probabilities from the substring counts; singles forced in
     val seedMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -692,14 +791,7 @@ object Unigram {
       var r = 0
       while (r < k) {
         val (e, _) = emFn(pieces, logp)
-        val tot = e.sum
-        // log(x) − log(tot), never log(x/tot): a positive-but-
-        // subnormal ratio underflows the division to 0.0 and log
-        // would emit −Infinity — unserializable and unorderable;
-        // floor everything at the −1e9 sentinel
-        logp = e.map(x =>
-          if (x <= 0.0) -1e9
-          else math.max(math.log(x) - math.log(tot), -1e9))
+        logp = mStep(e)
         r += 1
       }
     }

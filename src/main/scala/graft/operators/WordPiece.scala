@@ -44,14 +44,19 @@ object WordPiece {
 
   /** A loaded WordPiece tokenizer. `pair` is the two-sequence
     * template when the file defines one — [[encodePair]]'s contract;
-    * single-sequence encode ignores it.
+    * single-sequence encode ignores it. `truncation` / `padding` are
+    * the file's top-level blocks when present — HONORED by every
+    * encode surface (the [[TokenizerTruncation]] semantics), never
+    * silently ignored.
     */
   case class WordPieceTokenizer(vocab: Seq[(String, Long)],
       unkId: Long, contPrefix: String, maxInputCharsPerWord: Int,
       cleanText: Boolean, handleChineseChars: Boolean,
       stripAccents: Boolean, lowercase: Boolean,
       prefixIds: Seq[Long], suffixIds: Seq[Long],
-      pair: Option[PairTemplate] = None)
+      pair: Option[PairTemplate] = None,
+      truncation: Option[TokenizerTruncation.Truncation] = None,
+      padding: Option[TokenizerTruncation.Padding] = None)
 
   def loadTokenizerJson(spark: SparkSession, path: String)
       : WordPieceTokenizer = {
@@ -276,7 +281,9 @@ object WordPiece {
 
     WordPieceTokenizer(vocab, unkId, contPrefix, maxChars, cleanText,
       handleCjk, stripAccents, lowercase, prefixIds, suffixIds,
-      pairTemplate)
+      pairTemplate,
+      TokenizerTruncation.parseTruncation(tree, path),
+      TokenizerTruncation.parsePadding(tree, path, vocabMap.get))
   }
 
   /** Export a loaded WordPiece tokenizer back to the single-file
@@ -293,6 +300,9 @@ object WordPiece {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", "1.0")
+    TokenizerTruncation.emitTruncation(mapper, root, tok.truncation)
+    TokenizerTruncation.emitPadding(mapper, root, tok.padding,
+      id => tok.vocab.find(_._2 == id).map(_._1))
     if (!tok.cleanText && !tok.handleChineseChars &&
         !tok.stripAccents && !tok.lowercase)
       root.putNull("normalizer")
@@ -389,14 +399,27 @@ object WordPiece {
     finally out.close()
   }
 
-  /** The encode column: the compiled kernel plus the template's
-    * fixed ids. Zero shuffles.
+  /** The encode column: the compiled kernel, truncated to the
+    * `truncation` block's content budget when the file carries one,
+    * plus the template's fixed ids, padded to the `padding` block's
+    * Fixed length when set. Zero shuffles.
     */
   def encodeColumn(text: Column, tok: WordPieceTokenizer): Column = {
-    val core = graft.expressions.GraftFunctions.wordPieceEncode(
+    val core0 = graft.expressions.GraftFunctions.wordPieceEncode(
       text, tok)
-    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
-    else concat(typedLit(tok.prefixIds), core, typedLit(tok.suffixIds))
+    val core = tok.truncation match {
+      case Some(t) => TokenizerTruncation.truncateSingle(core0, t,
+        tok.prefixIds.size + tok.suffixIds.size)
+      case None => core0
+    }
+    val full =
+      if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+      else concat(typedLit(tok.prefixIds), core,
+        typedLit(tok.suffixIds))
+    tok.padding match {
+      case Some(p) => TokenizerTruncation.pad(full, p, p.padId)
+      case None => full
+    }
   }
 
   /** Distributed encode: `(idCol, token_ids)` — zero-shuffle. */
@@ -424,40 +447,137 @@ object WordPiece {
     graft.expressions.GraftFunctions.wordPieceDecode(ids, tok,
       if (skipTemplateIds) templateIds(tok) else Seq.empty)
 
+  /** Assemble the pair (token_ids, type_ids) from two ALREADY
+    * MATERIALIZED content encodes — the one home for the template /
+    * truncation / padding arithmetic, shared by [[encodePair]] (which
+    * materializes the encodes once) and [[encodePairColumns]].
+    */
+  private def pairAssembled(ea: Column, eb: Column,
+      tok: WordPieceTokenizer, pt: PairTemplate): (Column, Column) = {
+    val nTemplate = pt.pre.size + pt.mid.size + pt.post.size
+    val (ka, kb) = tok.truncation match {
+      case Some(t) =>
+        val budget = TokenizerTruncation.contentBudget(t, nTemplate)
+        val (fa, fb) = TokenizerTruncation.pairKeepLengths(
+          size(ea), size(eb), budget, t.strategy)
+        (TokenizerTruncation.keepSeq(ea, fa, t.direction),
+          TokenizerTruncation.keepSeq(eb, fb, t.direction))
+      case None => (ea, eb)
+    }
+    val ids = concat(typedLit(pt.pre.map(_._1)), ka,
+      typedLit(pt.mid.map(_._1)), kb, typedLit(pt.post.map(_._1)))
+    val types = concat(typedLit(pt.pre.map(_._2)),
+      array_repeat(lit(pt.typeA), size(ka)),
+      typedLit(pt.mid.map(_._2)),
+      array_repeat(lit(pt.typeB), size(kb)),
+      typedLit(pt.post.map(_._2)))
+    tok.padding match {
+      case Some(p) => (TokenizerTruncation.pad(ids, p, p.padId),
+        TokenizerTruncation.pad(types, p, p.padTypeId))
+      case None => (ids, types)
+    }
+  }
+
+  private def requirePair(tok: WordPieceTokenizer): PairTemplate =
+    tok.pair.getOrElse(throw new IllegalArgumentException(
+      "this tokenizer defines no PAIR template — single-sequence " +
+        "encode is encodeColumn; refusing to fabricate segment " +
+        "structure for a two-sequence input"))
+
   /** PAIR encode — the BERT two-sequence form: `(token_ids,
     * type_ids)` under the tokenizer's pair template (`[CLS] $A [SEP]
     * $B:1 [SEP]:1` and friends): fixed (id, type) tokens around and
     * between the two content encodes, content tokens carrying the
-    * template's A/B type ids — exactly what an NSP-style or
-    * sentence-pair training pipeline feeds the model. Refuses LOUDLY
-    * when the tokenizer defines no pair template (encoding a pair
-    * under a single-sequence template would silently fabricate
-    * segment structure). Pure projection — zero shuffles.
+    * template's A/B type ids, truncation applied to the CONTENT
+    * under the published longest-first / only-first / only-second
+    * rules, Fixed padding after the template — exactly what an
+    * NSP-style or sentence-pair training pipeline feeds the model.
+    * Refuses LOUDLY when the tokenizer defines no pair template
+    * (encoding a pair under a single-sequence template would
+    * silently fabricate segment structure). Pure projection — zero
+    * shuffles.
+    *
+    * NOTE: both returned columns reference the two encode kernels
+    * directly, so a consumer projecting both may evaluate each
+    * O(len²) encode more than once unless codegen subexpression
+    * elimination fuses them — [[encodePair]] is the production path:
+    * it materializes the encodes once behind an intermediate
+    * projection the optimizer will not inline (non-cheap aliases
+    * referenced more than once are never collapsed).
     */
   def encodePairColumns(a: Column, b: Column,
-      tok: WordPieceTokenizer): (Column, Column) = {
-    val pt = tok.pair.getOrElse(throw new IllegalArgumentException(
-      "this tokenizer defines no PAIR template — single-sequence " +
-        "encode is encodeColumn; refusing to fabricate segment " +
-        "structure for a two-sequence input"))
-    val ea = graft.expressions.GraftFunctions.wordPieceEncode(a, tok)
-    val eb = graft.expressions.GraftFunctions.wordPieceEncode(b, tok)
-    val ids = concat(typedLit(pt.pre.map(_._1)), ea,
-      typedLit(pt.mid.map(_._1)), eb, typedLit(pt.post.map(_._1)))
-    val types = concat(typedLit(pt.pre.map(_._2)),
-      array_repeat(lit(pt.typeA), size(ea)),
-      typedLit(pt.mid.map(_._2)),
-      array_repeat(lit(pt.typeB), size(eb)),
-      typedLit(pt.post.map(_._2)))
-    (ids, types)
-  }
+      tok: WordPieceTokenizer): (Column, Column) =
+    pairAssembled(
+      graft.expressions.GraftFunctions.wordPieceEncode(a, tok),
+      graft.expressions.GraftFunctions.wordPieceEncode(b, tok),
+      tok, requirePair(tok))
 
-  /** Distributed pair encode: `(idCol, token_ids, type_ids)`. */
+  /** Distributed pair encode: `(idCol, token_ids, type_ids)`. The
+    * two content encodes land in an intermediate projection first,
+    * so each O(len²) kernel runs exactly ONCE per row no matter how
+    * many times the assembly arithmetic references it.
+    */
   def encodePair(df: DataFrame, idCol: String, aCol: String,
       bCol: String, tok: WordPieceTokenizer): DataFrame = {
-    val (ids, types) = encodePairColumns(col(aCol), col(bCol), tok)
-    df.select(col(idCol), ids.as("token_ids"), types.as("type_ids"))
+    val pt = requirePair(tok)
+    val enc = df.select(col(idCol),
+      graft.expressions.GraftFunctions.wordPieceEncode(col(aCol), tok)
+        .as("_graft_ea"),
+      graft.expressions.GraftFunctions.wordPieceEncode(col(bCol), tok)
+        .as("_graft_eb"))
+    val (ids, types) = pairAssembled(col("_graft_ea"),
+      col("_graft_eb"), tok, pt)
+    enc.select(col(idCol), ids.as("token_ids"), types.as("type_ids"))
   }
+
+  /** The encode-with-OFFSETS column: `(id, start, end)` structs,
+    * spans in code points into the normalized text (see
+    * [[graft.expressions.WordPieceEncodeOffsets]] for the exact
+    * convention and its documented divergence from the reference's
+    * original-string byte offsets). Template specials carry the
+    * published (0, 0) span; truncation and Fixed padding apply to
+    * this surface exactly as to [[encodeColumn]] (pad entries are
+    * `(pad_id, 0, 0)`). Zero shuffles.
+    */
+  def encodeOffsetsColumn(text: Column, tok: WordPieceTokenizer)
+      : Column = {
+    def fixed(ids: Seq[Long]): Column = array(ids.map(id =>
+      struct(lit(id).as("id"), lit(0).as("start"),
+        lit(0).as("end"))): _*)
+    val core0 =
+      graft.expressions.GraftFunctions.wordPieceEncodeOffsets(text,
+        tok)
+    val core = tok.truncation match {
+      case Some(t) => TokenizerTruncation.truncateSingle(core0, t,
+        tok.prefixIds.size + tok.suffixIds.size)
+      case None => core0
+    }
+    val full =
+      if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+      else concat(fixed(tok.prefixIds), core, fixed(tok.suffixIds))
+    tok.padding match {
+      case Some(p) =>
+        val padRow = struct(lit(p.padId).as("id"),
+          lit(0).as("start"), lit(0).as("end"))
+        val fill = array_repeat(padRow, lit(p.length) - size(full))
+        when(size(full) >= p.length, full).otherwise(
+          if (p.direction == "left") concat(fill, full)
+          else concat(full, fill))
+      case None => full
+    }
+  }
+
+  /** Distributed encode with offsets: `(idCol, tokens)` where
+    * `tokens` is the `(id, start, end)` struct array — the span
+    * surface PII token-masking and contamination span reporting
+    * consume. The kernel lands in an intermediate projection so
+    * consumers referencing it repeatedly never re-run the O(len²)
+    * matcher.
+    */
+  def encodeWithOffsets(df: DataFrame, idCol: String,
+      textCol: String, tok: WordPieceTokenizer): DataFrame =
+    df.select(col(idCol),
+      encodeOffsetsColumn(col(textCol), tok).as("tokens"))
 
   /** Distributed decode: `(idCol, text)` — [[encodeIds]]'s inverse
     * shape (template ids dropped).
@@ -521,7 +641,10 @@ object WordPiece {
       cleanText: Boolean = true, handleChineseChars: Boolean = true,
       stripAccents: Option[Boolean] = None, lowercase: Boolean = true,
       histogramMinCount: Long = 1L,
-      maxDriverWords: Long = 1000000L): WordPieceTokenizer = {
+      maxDriverWords: Long = 1000000L,
+      maxTieWindow: Int = 100000): WordPieceTokenizer = {
+    require(maxTieWindow >= 1,
+      s"maxTieWindow must be >= 1: $maxTieWindow")
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
     require(minFrequency >= 1,
       s"minFrequency must be >= 1: $minFrequency")
@@ -573,7 +696,7 @@ object WordPiece {
               "training in-memory; histogramMinCount prunes the " +
               "rare-word tail first.")
         trainDistributed(pruned, alphabet, vocabSize, minFrequency,
-          specials, contPrefix)
+          specials, contPrefix, maxTieWindow)
       }
     val unkId = tokens.indexOf(unkToken).toLong
     WordPieceTokenizer(
@@ -726,10 +849,21 @@ object WordPiece {
     * merge — the documented ~10⁵× per-merge latency cliff vs the
     * in-memory loop; it exists for histograms the driver heap cannot
     * hold, not for speed.
+    *
+    * The window collect is BOUNDED by `maxTieWindow` (the maxStrata
+    * idiom): on a pathological corpus where a corpus-sized set of
+    * pairs shares the exact maximum score, a naive collect would be
+    * corpus-sized — instead the loop refuses LOUDLY at the cap (the
+    * exact argmax is undecidable without the full tie set, and
+    * guessing would silently fork the two homes' merge sequences).
+    * Superseded `localCheckpoint` generations are unpersisted
+    * explicitly ([[graft.core.Checkpoints.release]]) so the block
+    * manager holds at most two histogram generations at any moment,
+    * not one per completed merge.
     */
   private def trainDistributed(hist: DataFrame, alphabet: Seq[String],
       vocabSize: Int, minFrequency: Long, specials: Seq[String],
-      contPrefix: String): Seq[String] = {
+      contPrefix: String, maxTieWindow: Int): Seq[String] = {
     def quote(s: String): String = java.util.regex.Pattern.quote(s)
     def quoteRepl(s: String): String =
       java.util.regex.Matcher.quoteReplacement(s)
@@ -782,25 +916,43 @@ object WordPiece {
       val mx = scored.agg(max(col("score"))).head()
       if (mx.isNullAt(0)) continue = false
       else {
-        // only the double-score near-tie window reaches the driver;
-        // the shared exact selector picks the winner
+        // only the double-score near-tie window reaches the driver —
+        // BOUNDED: limit(cap + 1) and refuse loudly on saturation
+        // (an all-tie corpus makes the window the entire pair table;
+        // a truncated window could pick a different exact winner
+        // than the driver home, a silent fork this loop refuses)
         val window = scored
           .filter(col("score") >= mx.getDouble(0) * (1.0 - 1e-12))
           .select(col("left"), col("right"), col("pc"), col("lc"),
             col("rc"))
+          .limit(maxTieWindow + 1)
           .collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2),
             r.getLong(3), r.getLong(4))).toSeq
+        if (window.size > maxTieWindow)
+          throw new IllegalStateException(
+            s"WordPiece distributed merge loop: more than " +
+              s"maxTieWindow=$maxTieWindow pairs tie at the maximum " +
+              "likelihood score (a near-uniform corpus — every pair " +
+              "equally likely). Collecting the full tie set would " +
+              "be corpus-sized; refusing. Raise maxTieWindow to " +
+              "cover the tie set, prune the histogram with " +
+              "histogramMinCount, or raise maxDriverWords so the " +
+              "in-memory loop (which holds all pairs anyway) " +
+              "handles this corpus.")
         argmaxPair(window) match {
           case None => continue = false
           case Some((l, r, _)) =>
             val merged = mergedToken(l, r, contPrefix)
             if (seen.add(merged)) vocab += merged
+            val prev = h
             h = h.withColumn("syms", regexp_replace(col("syms"),
               s"(?<= )${quote(l)} ${quote(r)}(?= )",
               quoteRepl(merged))).localCheckpoint()
+            graft.core.Checkpoints.release(prev)
         }
       }
+      graft.core.Checkpoints.release(scored)
     }
     vocab.toSeq
   }

@@ -921,6 +921,167 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x128: WordPiece TRUNCATION + PADDING, oracle-checked — the
+    * `tokenizer.json` `truncation` (LongestFirst, max_length 24) and
+    * `padding` (Fixed 24, `[PAD]`) blocks HONORED end to end, the
+    * round-17 loader-contract gap closed the honest way. The fixture
+    * vocab carries ONLY single characters (`a`–`z`/`0`–`9` bare +
+    * `##` continuations), so a planted single-word sequence of k
+    * characters encodes to exactly k tokens and the whole pair
+    * arithmetic is DuckDB-statable: A/B are per-doc substr halves
+    * with doc_id-varied caps (so the fits / truncates / pads regimes
+    * ALL occur across the corpus), the kept lengths follow the
+    * published longest-first rule in its closed form
+    * (`fa = min(la, max(ceil(n/2), n−lb))` — spec-pinned equal to
+    * the iterative remove-from-longer rule), the kept content
+    * decodes back to `substr(half, 1, f)`, and the pad count,
+    * first-pad position and type-id SUM are pure arithmetic. One
+    * wrong kept length, a pad in the wrong place, a mistyped pad, or
+    * an unhonored block breaks a hash.
+    */
+  def x128WordPieceTruncPad(s: SparkSession, dir: String)
+      : DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createObjectNode()
+    var nextId = 0L
+    def put(t: String): Unit = { vocab.put(t, nextId); nextId += 1 }
+    Seq("[UNK]", "[CLS]", "[SEP]", "[PAD]").foreach(put)
+    ('a' to 'z').foreach(c => put(c.toString))
+    ('a' to 'z').foreach(c => put("##" + c))
+    ('0' to '9').foreach(c => put(c.toString))
+    ('0' to '9').foreach(c => put("##" + c))
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "truncation": {"direction": "Right", "max_length": 24,
+        |   "strategy": "LongestFirst", "stride": 0},
+        | "padding": {"strategy": {"Fixed": 24}, "direction": "Right",
+        |   "pad_to_multiple_of": null, "pad_id": 3, "pad_type_id": 0,
+        |   "pad_token": "[PAD]"},
+        | "normalizer": {"type": "BertNormalizer", "clean_text": true,
+        |   "handle_chinese_chars": true, "strip_accents": null,
+        |   "lowercase": true},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"},
+        | "post_processor": {"type": "TemplateProcessing",
+        |   "single": [
+        |     {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |     {"Sequence": {"id": "A", "type_id": 0}},
+        |     {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+        |   "pair": [
+        |     {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |     {"Sequence": {"id": "A", "type_id": 0}},
+        |     {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        |     {"Sequence": {"id": "B", "type_id": 1}},
+        |     {"SpecialToken": {"id": "[SEP]", "type_id": 1}}],
+        |   "special_tokens": {
+        |     "[CLS]": {"id": "[CLS]", "ids": [1],
+        |       "tokens": ["[CLS]"]},
+        |     "[SEP]": {"id": "[SEP]", "ids": [2],
+        |       "tokens": ["[SEP]"]}}},
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        |   "continuing_subword_prefix": "##",
+        |   "max_input_chars_per_word": 100}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_wordpiece_trunc_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    // planted single-word halves with doc_id-varied caps so the
+    // fits / truncates / pads regimes ALL occur across the corpus
+    val letters = lower(regexp_replace(col("text"), "[^A-Za-z0-9]",
+      ""))
+    val half = (length(letters) / 2).cast("int")
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        letters.substr(lit(1),
+          least(half, (lit(2) + col("doc_id") % 23).cast("int")))
+          .as("a"),
+        letters.substr(half + 1,
+          (lit(1) + col("doc_id") % 17).cast("int")).as("b"))
+    val enc = graft.operators.WordPiece.encodePair(planted, "doc_id",
+      "a", "b", tok)
+    val padId = lit(3L)
+    val withZip = enc.select(col("doc_id"), col("token_ids"),
+      col("type_ids"),
+      zip_with(col("token_ids"), col("type_ids"),
+        (i, t) => struct(i.as("i"), t.as("t"))).as("_z"))
+    def kept(typeId: Int) = graft.operators.WordPiece.decodeColumn(
+      transform(filter(col("_z"), e =>
+        e.getField("t") === typeId && e.getField("i") =!= padId),
+        e => e.getField("i")), tok)
+    withZip.select(col("doc_id"),
+        md5(kept(0)).as("a_md5"), md5(kept(1)).as("b_md5"),
+        size(col("token_ids")).cast("long").as("n_ids"),
+        size(filter(col("token_ids"), i => i === padId)).cast("long")
+          .as("n_pad"),
+        array_position(col("token_ids"), 3L).as("first_pad"),
+        aggregate(col("type_ids"), lit(0L), (acc, t) => acc + t)
+          .as("type_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x129: WordPiece token OFFSETS, oracle-checked — the
+    * `encodeWithOffsets` kernel emits `(id, start, end)` per token,
+    * code-point spans into the NORMALIZED text (the string the Bert
+    * pre-tokenizer scans — what makes the spans relationally
+    * statable, and the view the span-task consumers this serves —
+    * PII token masks, contamination span reports — operate on).
+    * Under a single-character fixture vocab every non-space
+    * character of the normalized text is exactly one token whose id
+    * (bare vs `##` continuation) and 1-character span are pure
+    * positional arithmetic — so DuckDB restates the ENTIRE per-token
+    * stream (id:start:end, in order) from `generate_series` over the
+    * cleaned text, no tokenizer at all. Multi-character spans, unk
+    * spans and template spans are pinned by WordPieceSpec's hand
+    * fixtures (the x121/x122 split: closed-form surface by oracle,
+    * iterative-match semantics by spec).
+    */
+  def x129WordPieceOffsets(s: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createObjectNode()
+    var nextId = 0L
+    def put(t: String): Unit = { vocab.put(t, nextId); nextId += 1 }
+    put("[UNK]")
+    ('a' to 'z').foreach(c => put(c.toString))
+    ('a' to 'z').foreach(c => put("##" + c))
+    ('0' to '9').foreach(c => put(c.toString))
+    ('0' to '9').foreach(c => put("##" + c))
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "normalizer": {"type": "BertNormalizer", "clean_text": true,
+        |   "handle_chinese_chars": true, "strip_accents": null,
+        |   "lowercase": true},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"},
+        | "post_processor": null,
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        |   "continuing_subword_prefix": "##",
+        |   "max_input_chars_per_word": 100000}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_wordpiece_off_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
+    val withToks = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.WordPiece.encodeOffsetsColumn(cleaned, tok)
+          .as("toks"))
+    withToks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(",", transform(col("toks"), t => concat_ws(":",
+          t.getField("id").cast("string"),
+          t.getField("start").cast("string"),
+          t.getField("end").cast("string"))))).as("offsets_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x126: Unigram TRAINING, oracle-checked end to end — the
     * [[graft.operators.Unigram.train]] EM + pruning recipe
     * (distributed pre-token histogram + seed-substring counting,

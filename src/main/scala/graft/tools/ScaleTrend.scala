@@ -229,7 +229,11 @@ object ScaleTrend {
       // same roundtrip)
       "x123_unigram_roundtrip", "x124_wordpiece_roundtrip",
       "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip",
-      "x127_wordpiece_pair_roundtrip")
+      "x127_wordpiece_pair_roundtrip",
+      // round 18: the truncation/padding pair surface and the
+      // offsets kernel (both pure map-side projections — their scale
+      // shape is the scan)
+      "x128_wordpiece_truncation", "x129_wordpiece_offsets")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -798,6 +798,26 @@ class BpeSpec extends SparkSpec {
     val missing = vocab.filterNot(_._1 == trained.head._4)
     expectReject(writeTokenizerJson(trained, missing,
       arrayMerges = false), "missing from")
+    // truncation/padding blocks: the Bpe loader does not honor them
+    // and refuses to silently ignore them (WordPiece/Unigram honor)
+    val mapperTp = new com.fasterxml.jackson.databind.ObjectMapper()
+    for ((block, body) <- Seq(
+        "truncation" -> """{"max_length": 512,
+          | "strategy": "LongestFirst", "stride": 0}""".stripMargin,
+        "padding" -> """{"strategy": {"Fixed": 512},
+          | "pad_id": 0}""".stripMargin)) {
+      val baseTp = writeTokenizerJson(trained, vocab,
+        arrayMerges = true)
+      val tTp = mapperTp.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baseTp)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      tTp.set[com.fasterxml.jackson.databind.JsonNode](block,
+        mapperTp.readTree(body))
+      val dTp = java.nio.file.Files.createTempDirectory(s"graft_$block")
+      val pTp = dTp.resolve("tokenizer.json")
+      java.nio.file.Files.write(pTp, mapperTp.writeValueAsBytes(tTp))
+      expectReject(pTp.toString, block)
+    }
     // dropout is a stochastic encode — refused
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val base = writeTokenizerJson(trained, vocab, arrayMerges = true)

@@ -543,4 +543,100 @@ class UnigramSpec extends SparkSpec {
       Unigram.train(corpus, "text", vocabSize = 260)
     }.getMessage.contains("raise vocabSize"))
   }
+
+  test("Bayesian (digamma) M-step: psi matches its closed forms and " +
+      "recurrence, the M-step is exactly Digamma(e_i) - Digamma(sum) " +
+      "(hand-computed at half-integer expected counts), and plain ML " +
+      "stays reachable") {
+    val gamma = 0.5772156649015329 // Euler–Mascheroni
+    // closed forms: psi(1) = −γ, psi(1/2) = −γ − 2 ln 2,
+    // psi(3/2) = 2 − γ − 2 ln 2, psi(2) = 1 − γ, psi(3) = 3/2 − γ
+    assert(math.abs(Unigram.digamma(1.0) + gamma) < 1e-10)
+    assert(math.abs(Unigram.digamma(0.5) +
+      gamma + 2 * math.log(2)) < 1e-10)
+    assert(math.abs(Unigram.digamma(1.5) -
+      (2.0 - gamma - 2 * math.log(2))) < 1e-10)
+    assert(math.abs(Unigram.digamma(2.0) - (1.0 - gamma)) < 1e-10)
+    assert(math.abs(Unigram.digamma(3.0) - (1.5 - gamma)) < 1e-10)
+    // the recurrence psi(x+1) = psi(x) + 1/x across both branches of
+    // the implementation (below and above the series cutoff)
+    for (x <- Seq(0.1, 0.37, 0.5, 1.0, 2.3, 5.0, 6.9, 7.5, 40.0))
+      assert(math.abs(Unigram.digamma(x + 1.0) -
+        (Unigram.digamma(x) + 1.0 / x)) < 1e-9, s"recurrence at $x")
+    // the M-step: expected (1, 1/2, 3/2), total 3 ⇒ logp =
+    // (psi(1)−psi(3), psi(1/2)−psi(3), psi(3/2)−psi(3)) — the γs
+    // cancel into pure closed forms: (−3/2, −2ln2 − 3/2, 1/2 − 2ln2)
+    val lp = Unigram.mStepBayes(Array(1.0, 0.5, 1.5))
+    assert(math.abs(lp(0) + 1.5) < 1e-10)
+    assert(math.abs(lp(1) + 2 * math.log(2) + 1.5) < 1e-10)
+    assert(math.abs(lp(2) - (0.5 - 2 * math.log(2))) < 1e-10)
+    // zero expected mass floors at the −1e9 sentinel, not −Infinity
+    assert(Unigram.mStepBayes(Array(0.0, 3.0))(0) == -1e9)
+    // both M-steps produce trained artifacts whose roundtrip
+    // identity holds; pieces may differ (that is the point) but the
+    // required-singles invariant cannot
+    import spark.implicits._
+    val corpus = (Seq.fill(6)("the thin cat") ++
+      Seq.fill(3)("a thin hat")).toDF("text")
+    val bayes = Unigram.train(corpus, "text", vocabSize = 300,
+      maxPieceLen = 6)
+    val ml = Unigram.train(corpus, "text", vocabSize = 300,
+      maxPieceLen = 6, bayesianMStep = false)
+    for (tok <- Seq(bayes, ml); t <- Seq("the thin cat", "zq!"))
+      assert(Unigram.decodeIds(encode(tok, t), tok) ==
+        t.replace('▁', ' '))
+  }
+
+  test("truncation + padding blocks on the Unigram surface: honored " +
+      "on encode (budget under the template), Fixed padding pads " +
+      "with pad_id, save -> load identity, only_second refuses at " +
+      "load (no pair surface), stride refuses") {
+    import graft.operators.TokenizerTruncation
+    def withBlocks(trunc: String, padding: String,
+        postProcessor: String = "null"): String =
+      tokJson(postProcessor = postProcessor).replaceFirst("\\{",
+        s"""{"truncation": $trunc, "padding": $padding, """)
+    // "a ab" encodes to [5, 5, 3]; max_length 2 with no template
+    // keeps the head 2
+    val tok = Unigram.loadTokenizerJson(spark, writeJson(withBlocks(
+      """{"max_length": 2, "strategy": "LongestFirst", "stride": 0}""",
+      "null")))
+    assert(tok.truncation ==
+      Some(TokenizerTruncation.Truncation(2, "longest_first", "right")))
+    assert(encode(tok, "a ab") == Seq(5L, 5L))
+    // under a BOS template the content budget shrinks by the
+    // template id; padding fills to the Fixed length after it
+    val bos = """{"type": "TemplateProcessing",
+      | "single": [
+      |   {"SpecialToken": {"id": "<unk>", "type_id": 0}},
+      |   {"Sequence": {"id": "A", "type_id": 0}}],
+      | "special_tokens": {
+      |   "<unk>": {"id": "<unk>", "ids": [0],
+      |     "tokens": ["<unk>"]}}}""".stripMargin
+    val tokT = Unigram.loadTokenizerJson(spark, writeJson(withBlocks(
+      """{"max_length": 3, "strategy": "LongestFirst", "stride": 0}""",
+      """{"strategy": {"Fixed": 6}, "direction": "Right",
+        | "pad_id": 1, "pad_type_id": 0}""".stripMargin, bos)))
+    assert(encode(tokT, "a ab") == Seq(0L, 5L, 5L, 1L, 1L, 1L))
+    // save -> load identity with both blocks
+    val f = Files.createTempFile("graft_uni_trunc", ".json")
+    Unigram.saveTokenizerJson(spark, tokT, f.toString)
+    assert(Unigram.loadTokenizerJson(spark, f.toString) == tokT)
+    // refusals
+    def rejects(body: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Unigram.loadTokenizerJson(spark, writeJson(body))
+      }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    rejects(withBlocks(
+      """{"max_length": 4, "strategy": "OnlySecond", "stride": 0}""",
+      "null"), "single")
+    rejects(withBlocks(
+      """{"max_length": 4, "strategy": "LongestFirst", "stride": 3}""",
+      "null"), "stride")
+    rejects(withBlocks("null", """{"strategy": "BatchLongest"}"""),
+      "BatchLongest")
+  }
 }

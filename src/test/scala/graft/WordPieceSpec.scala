@@ -356,4 +356,242 @@ class WordPieceSpec extends SparkSpec {
       WordPiece.train(corpus, "text", vocabSize = 3)
     }.getMessage.contains("cannot hold"))
   }
+
+  test("truncation + padding blocks: honored exactly (single + pair, " +
+      "closed form == the published iterative longest-first rule on " +
+      "an exhaustive grid, Left direction keeps the tail, Fixed " +
+      "padding pads with pad_id/pad_type_id), save -> load identity, " +
+      "and everything non-reproducible refuses loudly") {
+    import graft.operators.TokenizerTruncation
+    // closed form vs the published iterative rule (remove one token
+    // at a time from the LONGER sequence, ties from the SECOND) —
+    // exhaustive over la, lb in [0,10], budget in [0,12]
+    def iterative(la: Int, lb: Int, n: Int): (Int, Int) = {
+      var (a, b) = (la, lb)
+      while (a + b > n) { if (a > b) a -= 1 else b -= 1 }
+      (a, b)
+    }
+    for (la <- 0 to 10; lb <- 0 to 10; n <- 0 to 12)
+      assert(TokenizerTruncation.pairKeep(la, lb, n) ==
+        iterative(la, lb, n),
+        s"closed form diverged at la=$la lb=$lb n=$n")
+    // the Column form equals the int form (one DataFrame sweep)
+    locally {
+      import spark.implicits._
+      val grid = for (la <- 0 to 6; lb <- 0 to 6) yield (la, lb)
+      val df = grid.toDF("la", "lb")
+      val (fa, fb) = TokenizerTruncation.pairKeepLengths(
+        col("la"), col("lb"), budget = 5, strategy = "longest_first")
+      val rows = df.select(col("la"), col("lb"),
+        fa.as("fa"), fb.as("fb")).collect()
+      rows.foreach { r =>
+        val exp = TokenizerTruncation.pairKeep(r.getInt(0), r.getInt(1), 5)
+        assert((r.getInt(2), r.getInt(3)) == exp,
+          s"column form diverged at la=${r.getInt(0)} lb=${r.getInt(1)}")
+      }
+    }
+    // single-sequence truncation under a template: max_length 5 with
+    // [CLS] $A [SEP] leaves a content budget of 3
+    val truncJson = (strategy: String, direction: String,
+        maxLen: Int) =>
+      s"""{"direction": "$direction", "max_length": $maxLen,
+         | "strategy": "$strategy", "stride": 0}""".stripMargin
+    def withBlocks(trunc: String, padding: String,
+        postProcessor: String = "null"): String =
+      tokJson(postProcessor = postProcessor)
+        .replaceFirst("\\{",
+          s"""{"truncation": $trunc, "padding": $padding, """)
+    val cls = """{"type": "TemplateProcessing",
+      | "single": [
+      |   {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+      |   {"Sequence": {"id": "A", "type_id": 0}},
+      |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+      | "special_tokens": {
+      |   "[CLS]": {"id": "[CLS]", "ids": [1], "tokens": ["[CLS]"]},
+      |   "[SEP]": {"id": "[SEP]", "ids": [2], "tokens": ["[SEP]"]}}}"""
+      .stripMargin
+    val tokR = WordPiece.loadTokenizerJson(spark, writeJson(
+      withBlocks(truncJson("LongestFirst", "Right", 5), "null", cls)))
+    assert(tokR.truncation ==
+      Some(TokenizerTruncation.Truncation(5, "longest_first", "right")))
+    // content of "the unaffable cat" is [3, 5, 6, 7, 4]; keep 3 from
+    // the head, then the template
+    assert(encode(tokR, "the unaffable cat") == Seq(1L, 3L, 5L, 6L, 2L))
+    // Left direction keeps the TAIL
+    val tokL = WordPiece.loadTokenizerJson(spark, writeJson(
+      withBlocks(truncJson("LongestFirst", "Left", 5), "null", cls)))
+    assert(encode(tokL, "the unaffable cat") == Seq(1L, 6L, 7L, 4L, 2L))
+    // Fixed padding pads token ids with pad_id AFTER the template
+    val padJson =
+      """{"strategy": {"Fixed": 8}, "direction": "Right",
+        | "pad_to_multiple_of": null, "pad_id": 0, "pad_type_id": 0,
+        | "pad_token": "[UNK]"}""".stripMargin
+    val tokP = WordPiece.loadTokenizerJson(spark, writeJson(
+      withBlocks("null", padJson, cls)))
+    assert(tokP.padding ==
+      Some(TokenizerTruncation.Padding(8, 0L, 0L, "right")))
+    assert(encode(tokP, "the cat") ==
+      Seq(1L, 3L, 4L, 2L, 0L, 0L, 0L, 0L))
+    // an already-long sequence is NOT truncated by padding
+    assert(encode(tokP, "the unaffable unaffable cat").length > 8)
+    // save -> load identity with both blocks set
+    val tokBoth = WordPiece.loadTokenizerJson(spark, writeJson(
+      withBlocks(truncJson("LongestFirst", "Right", 5), padJson, cls)))
+    val f = Files.createTempFile("graft_wp_trunc", ".json")
+    WordPiece.saveTokenizerJson(spark, tokBoth, f.toString)
+    assert(WordPiece.loadTokenizerJson(spark, f.toString) == tokBoth)
+    // loud refusals: stride, BatchLongest, pad_to_multiple_of, a
+    // contradictory pad_token, an unknown strategy
+    def rejects(body: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        WordPiece.loadTokenizerJson(spark, writeJson(body))
+      }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    rejects(withBlocks(
+      """{"max_length": 5, "strategy": "LongestFirst", "stride": 7}""",
+      "null"), "stride")
+    rejects(withBlocks("null", """{"strategy": "BatchLongest"}"""),
+      "BatchLongest")
+    rejects(withBlocks("null",
+      """{"strategy": {"Fixed": 8}, "pad_to_multiple_of": 16}"""),
+      "pad_to_multiple_of")
+    rejects(withBlocks("null",
+      """{"strategy": {"Fixed": 8}, "pad_id": 7,
+        | "pad_token": "[UNK]"}""".stripMargin),
+      "contradicts itself")
+    rejects(withBlocks(
+      """{"max_length": 5, "strategy": "Sliding"}""", "null"),
+      "not a published strategy")
+  }
+
+  test("pair truncation + padding end to end: longest-first kept " +
+      "lengths, type ids follow the kept content, pads carry " +
+      "pad_type_id, and only_second on a pair truncates only B") {
+    import graft.operators.TokenizerTruncation
+    val pairPost =
+      """{"type": "TemplateProcessing",
+        | "single": [
+        |   {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+        | "pair": [
+        |   {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        |   {"Sequence": {"id": "B", "type_id": 1}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 1}}],
+        | "special_tokens": {
+        |   "[CLS]": {"id": "[CLS]", "ids": [1], "tokens": ["[CLS]"]},
+        |   "[SEP]": {"id": "[SEP]", "ids": [2], "tokens": ["[SEP]"]}}}"""
+        .stripMargin
+    def load(trunc: String, padding: String = "null") =
+      WordPiece.loadTokenizerJson(spark, writeJson(
+        tokJson(postProcessor = pairPost).replaceFirst("\\{",
+          s"""{"truncation": $trunc, "padding": $padding, """)))
+    def encodePair(tok: WordPiece.WordPieceTokenizer, a: String,
+        b: String): (Seq[Long], Seq[Long]) = {
+      import spark.implicits._
+      val r = Seq(("d", a, b)).toDF("id", "a", "b")
+        .transform(df => WordPiece.encodePair(df, "id", "a", "b", tok))
+        .collect()(0)
+      (r.getSeq[Long](1), r.getSeq[Long](2))
+    }
+    // max_length 7 over the 3-id pair template leaves budget 4;
+    // A = "the cat" (2 tokens), B = "a cat a cat" (4 tokens):
+    // iterative longest-first keeps (2, 2)
+    val tok = load(
+      """{"max_length": 7, "strategy": "LongestFirst",
+        | "direction": "Right", "stride": 0}""".stripMargin)
+    val (ids, types) = encodePair(tok, "the cat", "a cat a cat")
+    assert(ids == Seq(1L, 3L, 4L, 2L, 9L, 4L, 2L), s"ids $ids")
+    assert(types == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L), s"types $types")
+    // only_second truncates B alone
+    val tokOS = load(
+      """{"max_length": 7, "strategy": "OnlySecond",
+        | "direction": "Right", "stride": 0}""".stripMargin)
+    val (ids2, _) = encodePair(tokOS, "the cat", "a cat a cat")
+    assert(ids2 == Seq(1L, 3L, 4L, 2L, 9L, 4L, 2L))
+    // ... and refuses loudly (per row) when A alone exceeds the budget
+    val e = intercept[Exception] {
+      encodePair(tokOS, "the cat the cat the cat", "a")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("only_second")))
+    // padding on a pair: ids pad with pad_id, types with pad_type_id
+    val tokPad = load("null",
+      """{"strategy": {"Fixed": 9}, "direction": "Right",
+        | "pad_id": 0, "pad_type_id": 0}""".stripMargin)
+    val (ids3, types3) = encodePair(tokPad, "the cat", "a")
+    assert(ids3 == Seq(1L, 3L, 4L, 2L, 9L, 2L, 0L, 0L, 0L))
+    assert(types3 == Seq(0L, 0L, 0L, 0L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("encodeWithOffsets: (id, start, end) code-point spans into the " +
+      "normalized text — continuations, whole-word unk, punctuation, " +
+      "astral plane, template specials at (0,0), truncation honored") {
+    import spark.implicits._
+    def offsets(tok: WordPiece.WordPieceTokenizer, text: String)
+        : Seq[(Long, Int, Int)] =
+      Seq(("d", text)).toDF("id", "t")
+        .transform(df => WordPiece.encodeWithOffsets(df, "id", "t", tok))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val tok = WordPiece.loadTokenizerJson(spark, writeJson(tokJson()))
+    // normalized("The unaffable cat") = "the unaffable cat"
+    //  the(0,3) un(4,6) ##aff(6,9) ##able(9,14) cat(14,17)
+    assert(offsets(tok, "The unaffable cat") == Seq(
+      (3L, 0, 3), (5L, 4, 6), (6L, 6, 9), (7L, 9, 13), (4L, 14, 17)))
+    // a stuck word goes unk over the WHOLE word's span; punctuation
+    // isolates with its own 1-char span
+    assert(offsets(tok, "the zzz, cat") == Seq(
+      (3L, 0, 3), (0L, 4, 7), (11L, 7, 8), (4L, 9, 12)))
+    // astral-plane characters count as ONE code point each: the
+    // normalized string is "a <unk-word> cat" with the clef at cp 2
+    assert(offsets(tok, "a 𝄞 cat") == Seq(
+      (9L, 0, 1), (0L, 2, 3), (4L, 4, 7)))
+    // template specials carry the published (0, 0) span
+    val tokT = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+      postProcessor = """{"type": "BertProcessing",
+        | "sep": ["[SEP]", 2], "cls": ["[CLS]", 1]}""".stripMargin)))
+    assert(offsets(tokT, "the cat") == Seq(
+      (1L, 0, 0), (3L, 0, 3), (4L, 4, 7), (2L, 0, 0)))
+    // truncation applies to the offsets surface identically
+    val tokTr = WordPiece.loadTokenizerJson(spark, writeJson(
+      tokJson().replaceFirst("\\{",
+        """{"truncation": {"max_length": 2,
+          | "strategy": "LongestFirst", "stride": 0}, """.stripMargin)))
+    assert(offsets(tokTr, "the unaffable cat") == Seq(
+      (3L, 0, 3), (5L, 4, 6)))
+    // ids agree with the id-only kernel on every fixture
+    for (t <- Seq("The unaffable cat", "the zzz, cat", "a cat"))
+      assert(offsets(tok, t).map(_._1) == encode(tok, t),
+        s"offsets ids diverged from encode on '$t'")
+  }
+
+  test("distributed merge loop: the near-tie window collect is " +
+      "BOUNDED — an all-tie corpus refuses loudly at the cap instead " +
+      "of collecting the whole pair table") {
+    import spark.implicits._
+    // a perfectly uniform corpus: every pair has the same likelihood
+    // score, so the near-tie window is the ENTIRE pair table
+    val corpus = Seq("ab", "cd", "ef", "gh").toDF("text")
+    val e = intercept[IllegalStateException] {
+      WordPiece.train(corpus, "text", vocabSize = 100,
+        minFrequency = 1L, maxDriverWords = 0L, maxTieWindow = 2)
+    }
+    assert(e.getMessage.contains("tie") &&
+      e.getMessage.contains("maxTieWindow"),
+      s"unexpected: ${e.getMessage}")
+    // the same corpus trains fine when the window fits the cap, and
+    // identically in both homes
+    val a = WordPiece.train(corpus, "text", vocabSize = 100,
+      minFrequency = 1L, maxDriverWords = 0L, maxTieWindow = 100)
+    val b = WordPiece.train(corpus, "text", vocabSize = 100,
+      minFrequency = 1L)
+    assert(a.vocab == b.vocab)
+  }
 }

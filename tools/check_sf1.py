@@ -54,6 +54,7 @@ QUERIES = [
     "x123_unigram_roundtrip", "x124_wordpiece_roundtrip",
     "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip",
     "x127_wordpiece_pair_roundtrip",
+    "x128_wordpiece_truncation", "x129_wordpiece_offsets",
 ]
 
 
