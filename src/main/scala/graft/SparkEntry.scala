@@ -194,6 +194,7 @@ object SparkEntry {
       Extensions.x127WordPiecePairRoundtrip,
     "x128_wordpiece_truncation" -> Extensions.x128WordPieceTruncPad,
     "x129_wordpiece_offsets" -> Extensions.x129WordPieceOffsets,
+    "x130_unigram_offsets" -> Extensions.x130UnigramOffsets,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1770,7 +1771,12 @@ object SparkEntry {
         |  CAST(CASE WHEN fa + (least(la + lb, 21) - fa) < 21
         |       THEN 4 + fa + (least(la + lb, 21) - fa) ELSE 0 END
         |    AS BIGINT) AS first_pad,
-        |  CAST((least(la + lb, 21) - fa) + 1 AS BIGINT) AS type_sum
+        |  CAST((least(la + lb, 21) - fa) + 1 AS BIGINT) AS type_sum,
+        |  CAST(3 + fa + (least(la + lb, 21) - fa) AS BIGINT)
+        |    AS mask_sum,
+        |  CAST(CASE WHEN fa + (least(la + lb, 21) - fa) < 21
+        |       THEN 4 + fa + (least(la + lb, 21) - fa) ELSE 0 END
+        |    AS BIGINT) AS mask_first_zero
         |FROM f ORDER BY doc_id""".stripMargin,
     // x129: the offsets stream restated WITHOUT a tokenizer — under
     // a single-character vocab each non-space character of the
@@ -1801,6 +1807,39 @@ object SparkEntry {
         |                ELSE 63 + ascii(c) - 48 END
         |    END AS id
         |  FROM u WHERE c <> ' ')
+        |SELECT n.doc_id,
+        |  CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_tokens,
+        |  md5(coalesce(g.s, '')) AS offsets_md5
+        |FROM n LEFT JOIN (
+        |  SELECT doc_id, count(*) AS cnt,
+        |    string_agg(id || ':' || (i - 1) || ':' || i, ','
+        |      ORDER BY i) AS s
+        |  FROM ids GROUP BY doc_id) g ON n.doc_id = g.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // x130: the Unigram offsets stream restated WITHOUT a tokenizer
+    // — spans index the lattice string '▁' || replace(clean,' ','▁')
+    // (the Prepend empty-input no-op stated as a CASE); under the
+    // single-character fixture vocab every character is one token
+    // (vocab layout: <unk> 0, ▁ 1, a-z 2..27, 0-9 28..37)
+    "x130_unigram_offsets" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN c = '' THEN ''
+        |         ELSE '▁' || replace(c, ' ', '▁') END AS t
+        |  FROM (SELECT doc_id,
+        |          lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ',
+        |            'g')) AS c
+        |        FROM documents WHERE text IS NOT NULL)),
+        |u AS (
+        |  SELECT doc_id, i, substr(t, CAST(i AS INTEGER), 1) AS ch
+        |  FROM n, LATERAL (SELECT
+        |    unnest(generate_series(1, length(t))) AS i) g),
+        |ids AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN ch = '▁' THEN 1
+        |         WHEN ch BETWEEN 'a' AND 'z' THEN 2 + ascii(ch) - 97
+        |         ELSE 28 + ascii(ch) - 48 END AS id
+        |  FROM u)
         |SELECT n.doc_id,
         |  CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_tokens,
         |  md5(coalesce(g.s, '')) AS offsets_md5

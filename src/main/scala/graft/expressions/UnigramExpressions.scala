@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DecimalType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DecimalType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.types.Decimal
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -212,23 +212,117 @@ case class UnigramEncodeIds(child: Expression,
     ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_unigram_encode"
 
-  @transient private lazy val pieceIdx: java.util.HashMap[String, Integer] = {
+  @transient private lazy val matcher =
+    new UnigramMatcher(pieces, unkId, byteFallback, norms, metaspace)
+
+  override def kernel(input: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    matcher.encode(input.asInstanceOf[UTF8String].toString,
+      (id, _, _) => out += id)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramEncodeIds = copy(child = newChild)
+}
+
+/** Unigram ENCODE WITH OFFSETS — the [[UnigramEncodeIds]] Viterbi
+  * matcher emitting `(id, start, end)` per token, spans in CODE
+  * POINTS into the NORMALIZED-AND-REWRITTEN string the lattice runs
+  * over (post Prepend/Replace, post Metaspace rewrite — the view
+  * span-level consumers of this lineage operate on, and the form a
+  * relational oracle can restate: x130). Every byte-fallback token of
+  * an unknown span carries the WHOLE span's offsets (the span is the
+  * unit the lattice priced; the bytes are its serialization), and a
+  * fused unknown carries the fused span. Shares [[UnigramMatcher]] —
+  * the ONE lattice implementation — with the id kernel, so the two
+  * surfaces cannot disagree on segmentation (additionally
+  * spec-asserted id-equal across every lattice fixture). Pure
+  * projection: zero shuffles, whole-stage codegen.
+  */
+case class UnigramEncodeOffsets(child: Expression,
+    pieces: Seq[(String, Double)], unkId: Int, byteFallback: Boolean,
+    norms: Seq[(String, String, String)],
+    metaspace: Option[(String, Boolean, String)] = None)
+    extends UnaryKernelCodegen {
+
+  require(pieces.nonEmpty, "unigram vocab must be non-empty")
+  require(unkId < pieces.length,
+    s"unk_id $unkId outside the ${pieces.length}-piece vocab")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_unigram_encode_offsets"
+
+  @transient private lazy val matcher =
+    new UnigramMatcher(pieces, unkId, byteFallback, norms, metaspace)
+
+  override def kernel(input: Any): Any = {
+    val toks =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val t = matcher.encode(input.asInstanceOf[UTF8String].toString,
+      (id, s, e) => toks += ((id, s, e)))
+    // char index -> code points before it, one pass over the lattice
+    // string (the matcher emits CHAR offsets; the surface is CP)
+    val cpAt = new Array[Int](t.length + 1)
+    var ci = 0; var cc = 0
+    while (ci < t.length) {
+      cpAt(ci) = cc
+      val n = Character.charCount(t.codePointAt(ci))
+      var k = 1
+      while (k < n) { cpAt(ci + k) = cc; k += 1 }
+      ci += n; cc += 1
+    }
+    cpAt(t.length) = cc
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val (id, s, e) = toks(i)
+      out(i) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](id, cpAt(s), cpAt(e)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramEncodeOffsets =
+    copy(child = newChild)
+}
+
+/** The ONE Viterbi lattice implementation behind BOTH Unigram encode
+  * kernels ([[UnigramEncodeIds]] / [[UnigramEncodeOffsets]]): the
+  * normalizer ops, the Metaspace rewrite/segmentation, the scored
+  * lattice with its first-char gate, unknown fusing, and byte
+  * fallback — token emission goes through a callback carrying the
+  * token id and its CHAR span into the full lattice string, so the
+  * id surface and the offsets surface can never drift. Built once
+  * per expression instance (`@transient lazy val`), plain vals
+  * inside.
+  */
+private[graft] final class UnigramMatcher(
+    pieces: Seq[(String, Double)], unkId: Int, byteFallback: Boolean,
+    norms: Seq[(String, String, String)],
+    metaspace: Option[(String, Boolean, String)]) {
+
+  private val pieceIdx: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](pieces.size * 2)
     pieces.zipWithIndex.foreach { case ((p, _), i) =>
       m.put(p, Integer.valueOf(i))
     }
     m
   }
-  @transient private lazy val scoreOf: Array[Double] =
-    pieces.map(_._2).toArray
-  @transient private lazy val maxLen: Int =
-    pieces.map(_._1.length).max
-  @transient private lazy val unkScore: Double =
-    pieces.map(_._2).min - 10.0
+  private val scoreOf: Array[Double] = pieces.map(_._2).toArray
+  private val maxLen: Int = pieces.map(_._1.length).max
+  private val unkScore: Double = pieces.map(_._2).min - 10.0
   // first-char gate: the longest piece beginning with each char, 0 if
   // none — prunes the inner substring loop at positions no piece
   // starts at
-  @transient private lazy val maxLenFrom: java.util.HashMap[Character, Integer] = {
+  private val maxLenFrom: java.util.HashMap[Character, Integer] = {
     val m = new java.util.HashMap[Character, Integer]()
     pieces.foreach { case (p, _) =>
       if (p.nonEmpty) {
@@ -241,7 +335,7 @@ case class UnigramEncodeIds(child: Expression,
     m
   }
   // <0xNN> piece ids, or -1 — the byte-fallback table
-  @transient private lazy val byteIds: Array[Int] =
+  private val byteIds: Array[Int] =
     Array.tabulate(256) { b =>
       val p = pieceIdx.get(f"<0x$b%02X>")
       if (p == null) -1 else p.intValue()
@@ -261,34 +355,39 @@ case class UnigramEncodeIds(child: Expression,
     t
   }
 
-  override def kernel(input: Any): Any = {
-    val t0 = normalize(input.asInstanceOf[UTF8String].toString)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+  /** Encode `text`: `f(id, charStart, charEnd)` per token, spans
+    * into the RETURNED full lattice string (normalized + Metaspace-
+    * rewritten).
+    */
+  def encode(text: String, f: (Long, Int, Int) => Unit): String = {
+    val t0 = normalize(text)
     metaspace match {
-      case None => encodeInto(t0, out)
+      case None =>
+        encodeInto(t0, 0, f)
+        t0
       case Some((repl, split, scheme)) =>
         var t = t0.replace(" ", repl)
         if (scheme != "never" && !t.startsWith(repl) && t.nonEmpty)
           t = repl + t
-        if (!split) encodeInto(t, out)
+        if (!split) encodeInto(t, 0, f)
         else {
           // merged-with-next: cut BEFORE every replacement occurrence
           var from = 0
           var at = t.indexOf(repl, if (t.startsWith(repl)) repl.length
             else 0)
           while (at >= 0) {
-            if (at > from) encodeInto(t.substring(from, at), out)
+            if (at > from) encodeInto(t.substring(from, at), from, f)
             from = at
             at = t.indexOf(repl, at + repl.length)
           }
-          if (from < t.length) encodeInto(t.substring(from), out)
+          if (from < t.length) encodeInto(t.substring(from), from, f)
         }
+        t
     }
-    new GenericArrayData(out.toArray)
   }
 
-  private def encodeInto(t: String,
-      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+  private def encodeInto(t: String, base: Int,
+      f: (Long, Int, Int) => Unit): Unit = {
     val n = t.length
     if (n == 0) return
     val NEG = java.lang.Double.NEGATIVE_INFINITY
@@ -353,7 +452,7 @@ case class UnigramEncodeIds(child: Expression,
         b.result()
       }
     fused.foreach { case (s, e, p) =>
-      if (p >= 0) out += p.toLong
+      if (p >= 0) f(p.toLong, base + s, base + e)
       else {
         val span = t.substring(s, e)
         var fell = false
@@ -361,12 +460,15 @@ case class UnigramEncodeIds(child: Expression,
           val bytes = span.getBytes(
             java.nio.charset.StandardCharsets.UTF_8)
           if (bytes.forall(b => byteIds(b & 0xff) >= 0)) {
-            bytes.foreach(b => out += byteIds(b & 0xff).toLong)
+            // every byte token carries the WHOLE span's offsets —
+            // the span is the unit the lattice priced
+            bytes.foreach(b =>
+              f(byteIds(b & 0xff).toLong, base + s, base + e))
             fell = true
           }
         }
         if (!fell) {
-          if (unkId >= 0) out += unkId.toLong
+          if (unkId >= 0) f(unkId.toLong, base + s, base + e)
           else throw new IllegalStateException(
             s"unigram encode cannot represent '$span': no matching " +
               "piece, byte fallback " +
@@ -378,9 +480,6 @@ case class UnigramEncodeIds(child: Expression,
       }
     }
   }
-
-  override protected def withNewChildInternal(
-      newChild: Expression): UnigramEncodeIds = copy(child = newChild)
 }
 
 /** Every substring of 1..maxLen CODE POINTS, as an array column — the

@@ -305,6 +305,25 @@ object TokenizerTruncation {
     }
   }
 
+  /** The attention mask for an assembled sequence — POSITIONAL,
+    * computed from the PRE-PADDING length (never by matching pad_id
+    * values: pad_id may collide with a legitimate content id — the
+    * `[UNK]`-as-pad files — and a value match would silently zero
+    * real tokens; spec-pinned by exactly that fixture). Without a
+    * padding block every position is real.
+    */
+  def attentionMask(unpadded: Column, p: Option[Padding]): Column =
+    p match {
+      case None => array_repeat(lit(1L), size(unpadded))
+      case Some(pd) =>
+        val ones = array_repeat(lit(1L), size(unpadded))
+        val zeros =
+          array_repeat(lit(0L), lit(pd.length) - size(unpadded))
+        when(size(unpadded) >= pd.length, ones).otherwise(
+          if (pd.direction == "left") concat(zeros, ones)
+          else concat(ones, zeros))
+    }
+
   /** Pad an assembled sequence to the Fixed length with `padVal`
     * (the id for token arrays, the type id for type arrays) —
     * lengthen-only, the published Fixed semantics.

@@ -432,7 +432,11 @@ object Unigram {
     * padded to the `padding` block's Fixed length when set. Zero
     * shuffles.
     */
-  def encodeColumn(text: Column, tok: UnigramTokenizer): Column = {
+  /** Truncated content + template, UNPADDED — the pre-padding view
+    * [[encodeColumn]] pads and [[encodeWithMask]] masks from.
+    */
+  private def assembledColumn(text: Column, tok: UnigramTokenizer)
+      : Column = {
     val normalized =
       if (tok.needsNfc) TextFunctions.normalizeUnicode(text, "NFC")
       else text
@@ -443,15 +447,88 @@ object Unigram {
         tok.prefixIds.size + tok.suffixIds.size)
       case None => core0
     }
-    val full =
-      if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
-      else concat(typedLit(tok.prefixIds), core,
-        typedLit(tok.suffixIds))
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+    else concat(typedLit(tok.prefixIds), core,
+      typedLit(tok.suffixIds))
+  }
+
+  def encodeColumn(text: Column, tok: UnigramTokenizer): Column = {
+    val full = assembledColumn(text, tok)
     tok.padding match {
       case Some(p) => TokenizerTruncation.pad(full, p, p.padId)
       case None => full
     }
   }
+
+  /** Distributed encode WITH the attention mask: `(idCol, token_ids,
+    * attention_mask)` — positional from the unpadded assembly,
+    * materialized once behind an intermediate projection (the
+    * [[graft.operators.WordPiece.encodeWithMask]] contract: never
+    * value-matched against pad_id, which may collide with a content
+    * id). Zero shuffles.
+    */
+  def encodeWithMask(df: DataFrame, idCol: String, textCol: String,
+      tok: UnigramTokenizer): DataFrame = {
+    val enc = df.select(col(idCol),
+      assembledColumn(col(textCol), tok).as("_graft_ids"))
+    enc.select(col(idCol),
+      (tok.padding match {
+        case Some(p) =>
+          TokenizerTruncation.pad(col("_graft_ids"), p, p.padId)
+        case None => col("_graft_ids")
+      }).as("token_ids"),
+      TokenizerTruncation.attentionMask(col("_graft_ids"),
+        tok.padding).as("attention_mask"))
+  }
+
+  /** The encode-with-OFFSETS column: `(id, start, end)` structs,
+    * spans in code points into the normalized-and-rewritten lattice
+    * string (see [[graft.expressions.UnigramEncodeOffsets]] for the
+    * exact convention — byte-fallback tokens carry their whole
+    * span's offsets). Template specials carry the published (0, 0)
+    * span; truncation and Fixed padding apply exactly as to
+    * [[encodeColumn]] (pad entries are `(pad_id, 0, 0)`). Zero
+    * shuffles.
+    */
+  def encodeOffsetsColumn(text: Column, tok: UnigramTokenizer)
+      : Column = {
+    def fixed(ids: Seq[Long]): Column = array(ids.map(id =>
+      struct(lit(id).as("id"), lit(0).as("start"),
+        lit(0).as("end"))): _*)
+    val normalized =
+      if (tok.needsNfc) TextFunctions.normalizeUnicode(text, "NFC")
+      else text
+    val core0 = graft.expressions.GraftFunctions.unigramEncodeOffsets(
+      normalized, tok)
+    val core = tok.truncation match {
+      case Some(t) => TokenizerTruncation.truncateSingle(core0, t,
+        tok.prefixIds.size + tok.suffixIds.size)
+      case None => core0
+    }
+    val full =
+      if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+      else concat(fixed(tok.prefixIds), core, fixed(tok.suffixIds))
+    tok.padding match {
+      case Some(p) =>
+        val padRow = struct(lit(p.padId).as("id"),
+          lit(0).as("start"), lit(0).as("end"))
+        val fill = array_repeat(padRow, lit(p.length) - size(full))
+        when(size(full) >= p.length, full).otherwise(
+          if (p.direction == "left") concat(fill, full)
+          else concat(full, fill))
+      case None => full
+    }
+  }
+
+  /** Distributed encode with offsets: `(idCol, tokens)` — the
+    * [[graft.operators.WordPiece.encodeWithOffsets]] shape for the
+    * sentencepiece lineage; the kernel lands in an intermediate
+    * projection so repeated references never re-run the lattice.
+    */
+  def encodeWithOffsets(df: DataFrame, idCol: String,
+      textCol: String, tok: UnigramTokenizer): DataFrame =
+    df.select(col(idCol),
+      encodeOffsetsColumn(col(textCol), tok).as("tokens"))
 
   /** Distributed encode: one row per input row, `(idCol, token_ids)`
     * — [[Bpe.encodeMapSide]]'s shape for the Unigram lineage.

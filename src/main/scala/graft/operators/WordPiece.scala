@@ -404,7 +404,11 @@ object WordPiece {
     * plus the template's fixed ids, padded to the `padding` block's
     * Fixed length when set. Zero shuffles.
     */
-  def encodeColumn(text: Column, tok: WordPieceTokenizer): Column = {
+  /** Truncated content + template, UNPADDED — the pre-padding view
+    * [[encodeColumn]] pads and [[encodeWithMask]] masks from.
+    */
+  private def assembledColumn(text: Column, tok: WordPieceTokenizer)
+      : Column = {
     val core0 = graft.expressions.GraftFunctions.wordPieceEncode(
       text, tok)
     val core = tok.truncation match {
@@ -412,14 +416,40 @@ object WordPiece {
         tok.prefixIds.size + tok.suffixIds.size)
       case None => core0
     }
-    val full =
-      if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
-      else concat(typedLit(tok.prefixIds), core,
-        typedLit(tok.suffixIds))
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+    else concat(typedLit(tok.prefixIds), core,
+      typedLit(tok.suffixIds))
+  }
+
+  def encodeColumn(text: Column, tok: WordPieceTokenizer): Column = {
+    val full = assembledColumn(text, tok)
     tok.padding match {
       case Some(p) => TokenizerTruncation.pad(full, p, p.padId)
       case None => full
     }
+  }
+
+  /** Distributed encode WITH the attention mask: `(idCol, token_ids,
+    * attention_mask)` — the mask is POSITIONAL (1 for every
+    * pre-padding position, 0 for pads, honoring the padding
+    * direction), computed from the unpadded assembly materialized
+    * once behind an intermediate projection — NEVER by matching
+    * pad_id values, which would zero real tokens in files whose pad
+    * id collides with a content id (`[UNK]`-as-pad). Without a
+    * padding block the mask is all ones. Zero shuffles.
+    */
+  def encodeWithMask(df: DataFrame, idCol: String, textCol: String,
+      tok: WordPieceTokenizer): DataFrame = {
+    val enc = df.select(col(idCol),
+      assembledColumn(col(textCol), tok).as("_graft_ids"))
+    enc.select(col(idCol),
+      (tok.padding match {
+        case Some(p) =>
+          TokenizerTruncation.pad(col("_graft_ids"), p, p.padId)
+        case None => col("_graft_ids")
+      }).as("token_ids"),
+      TokenizerTruncation.attentionMask(col("_graft_ids"),
+        tok.padding).as("attention_mask"))
   }
 
   /** Distributed encode: `(idCol, token_ids)` — zero-shuffle. */
@@ -471,12 +501,17 @@ object WordPiece {
       typedLit(pt.mid.map(_._2)),
       array_repeat(lit(pt.typeB), size(kb)),
       typedLit(pt.post.map(_._2)))
+    (ids, types)
+  }
+
+  /** Apply the Fixed padding block (when set) to an assembled pair. */
+  private def padPair(ids: Column, types: Column,
+      tok: WordPieceTokenizer): (Column, Column) =
     tok.padding match {
       case Some(p) => (TokenizerTruncation.pad(ids, p, p.padId),
         TokenizerTruncation.pad(types, p, p.padTypeId))
       case None => (ids, types)
     }
-  }
 
   private def requirePair(tok: WordPieceTokenizer): PairTemplate =
     tok.pair.getOrElse(throw new IllegalArgumentException(
@@ -506,11 +541,13 @@ object WordPiece {
     * referenced more than once are never collapsed).
     */
   def encodePairColumns(a: Column, b: Column,
-      tok: WordPieceTokenizer): (Column, Column) =
-    pairAssembled(
+      tok: WordPieceTokenizer): (Column, Column) = {
+    val (ids, types) = pairAssembled(
       graft.expressions.GraftFunctions.wordPieceEncode(a, tok),
       graft.expressions.GraftFunctions.wordPieceEncode(b, tok),
       tok, requirePair(tok))
+    padPair(ids, types, tok)
+  }
 
   /** Distributed pair encode: `(idCol, token_ids, type_ids)`. The
     * two content encodes land in an intermediate projection first,
@@ -527,7 +564,34 @@ object WordPiece {
         .as("_graft_eb"))
     val (ids, types) = pairAssembled(col("_graft_ea"),
       col("_graft_eb"), tok, pt)
-    enc.select(col(idCol), ids.as("token_ids"), types.as("type_ids"))
+    val (pids, ptypes) = padPair(ids, types, tok)
+    enc.select(col(idCol), pids.as("token_ids"),
+      ptypes.as("type_ids"))
+  }
+
+  /** [[encodePair]] plus the attention mask: `(idCol, token_ids,
+    * type_ids, attention_mask)` — mask positional from the unpadded
+    * assembly (see [[encodeWithMask]] for why never value-matched),
+    * materialized once behind a second intermediate projection.
+    */
+  def encodePairWithMask(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, tok: WordPieceTokenizer): DataFrame = {
+    val pt = requirePair(tok)
+    val enc = df.select(col(idCol),
+      graft.expressions.GraftFunctions.wordPieceEncode(col(aCol), tok)
+        .as("_graft_ea"),
+      graft.expressions.GraftFunctions.wordPieceEncode(col(bCol), tok)
+        .as("_graft_eb"))
+    val (ids, types) = pairAssembled(col("_graft_ea"),
+      col("_graft_eb"), tok, pt)
+    val mid = enc.select(col(idCol), ids.as("_graft_ids"),
+      types.as("_graft_types"))
+    val (pids, ptypes) = padPair(col("_graft_ids"),
+      col("_graft_types"), tok)
+    mid.select(col(idCol), pids.as("token_ids"),
+      ptypes.as("type_ids"),
+      TokenizerTruncation.attentionMask(col("_graft_ids"),
+        tok.padding).as("attention_mask"))
   }
 
   /** The encode-with-OFFSETS column: `(id, start, end)` structs,

@@ -1001,11 +1001,11 @@ object Extensions {
           .as("a"),
         letters.substr(half + 1,
           (lit(1) + col("doc_id") % 17).cast("int")).as("b"))
-    val enc = graft.operators.WordPiece.encodePair(planted, "doc_id",
-      "a", "b", tok)
+    val enc = graft.operators.WordPiece.encodePairWithMask(planted,
+      "doc_id", "a", "b", tok)
     val padId = lit(3L)
     val withZip = enc.select(col("doc_id"), col("token_ids"),
-      col("type_ids"),
+      col("type_ids"), col("attention_mask"),
       zip_with(col("token_ids"), col("type_ids"),
         (i, t) => struct(i.as("i"), t.as("t"))).as("_z"))
     def kept(typeId: Int) = graft.operators.WordPiece.decodeColumn(
@@ -1019,7 +1019,15 @@ object Extensions {
           .as("n_pad"),
         array_position(col("token_ids"), 3L).as("first_pad"),
         aggregate(col("type_ids"), lit(0L), (acc, t) => acc + t)
-          .as("type_sum"))
+          .as("type_sum"),
+        // the POSITIONAL attention mask: sum = pre-padding length
+        // (template + kept content); first zero = the first pad
+        // position (0 when nothing is padded) — together they pin
+        // both the count and the placement of the mask's ones
+        aggregate(col("attention_mask"), lit(0L), (acc, m) => acc + m)
+          .as("mask_sum"),
+        array_position(col("attention_mask"), 0L)
+          .as("mask_first_zero"))
       .orderBy(col("doc_id"))
   }
 
@@ -1072,6 +1080,62 @@ object Extensions {
     val withToks = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.operators.WordPiece.encodeOffsetsColumn(cleaned, tok)
+          .as("toks"))
+    withToks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(",", transform(col("toks"), t => concat_ws(":",
+          t.getField("id").cast("string"),
+          t.getField("start").cast("string"),
+          t.getField("end").cast("string"))))).as("offsets_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x130: Unigram token OFFSETS, oracle-checked — the x129
+    * technique on the sentencepiece lineage: `encodeWithOffsets`
+    * spans index the normalized-and-rewritten LATTICE string
+    * (Prepend "▁" + Replace " "→"▁" — the view the Viterbi prices).
+    * Under a single-character fixture vocab (`▁` + `a–z0–9`, full
+    * coverage of the pre-cleaned input, no multi-char pieces) the
+    * segmentation is forced single-char, so DuckDB restates the
+    * ENTIRE id:start:end stream from `generate_series` over
+    * `'▁' || replace(clean, ' ', '▁')` — including the Prepend
+    * empty-input no-op, stated as a CASE. Lattice-chosen multi-char
+    * spans, fused-unk spans and byte-fallback span semantics are
+    * pinned by UnigramSpec hand fixtures (the x129 split).
+    */
+  def x130UnigramOffsets(s: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createArrayNode()
+    def piece(p: String, sc: Double): Unit = {
+      val e = mapper.createArrayNode(); e.add(p); e.add(sc)
+      vocab.add(e)
+    }
+    piece("<unk>", 0.0); piece("▁", -1.0)
+    ('a' to 'z').foreach(c => piece(c.toString, -2.0))
+    ('0' to '9').foreach(c => piece(c.toString, -2.5))
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "normalizer": {"type": "Sequence", "normalizers": [
+        |   {"type": "Prepend", "prepend": "▁"},
+        |   {"type": "Replace", "pattern": {"String": " "},
+        |    "content": "▁"}]},
+        | "pre_tokenizer": null, "post_processor": null,
+        | "model": {"type": "Unigram", "unk_id": 0,
+        |   "byte_fallback": false}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_unigram_off_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.Unigram.loadTokenizerJson(s, path)
+    val cleaned = lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]",
+      " "))
+    val withToks = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.Unigram.encodeOffsetsColumn(cleaned, tok)
           .as("toks"))
     withToks.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),

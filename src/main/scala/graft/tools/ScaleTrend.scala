@@ -233,7 +233,8 @@ object ScaleTrend {
       // round 18: the truncation/padding pair surface and the
       // offsets kernel (both pure map-side projections — their scale
       // shape is the scan)
-      "x128_wordpiece_truncation", "x129_wordpiece_offsets")
+      "x128_wordpiece_truncation", "x129_wordpiece_offsets",
+      "x130_unigram_offsets")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -639,4 +639,90 @@ class UnigramSpec extends SparkSpec {
     rejects(withBlocks("null", """{"strategy": "BatchLongest"}"""),
       "BatchLongest")
   }
+
+  test("encodeWithOffsets: spans index the lattice string in CODE " +
+      "POINTS — pieces, fused unk, byte-fallback spans (whole-span " +
+      "offsets, per-code-point without fusing), astral plane, " +
+      "template (0,0), truncation honored, and the ids agree with " +
+      "the id kernel on every fixture") {
+    import spark.implicits._
+    def offsets(tok: Unigram.UnigramTokenizer, text: String)
+        : Seq[(Long, Int, Int)] =
+      Seq(("d", text)).toDF("id", "t")
+        .transform(df => Unigram.encodeWithOffsets(df, "id", "t", tok))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val tok = Unigram.loadTokenizerJson(spark, writeJson(tokJson()))
+    // "a ab" -> lattice "▁a▁ab": ▁a(0,2) ▁a(2,4) b(4,5)
+    assert(offsets(tok, "a ab") ==
+      Seq((5L, 0, 2), (5L, 2, 4), (3L, 4, 5)))
+    // consecutive unknowns FUSE: "azzb" -> ▁a(0,2) unk(2,4) b(4,5)
+    assert(offsets(tok, "azzb") ==
+      Seq((5L, 0, 2), (0L, 2, 4), (3L, 4, 5)))
+    // astral plane counts ONE code point: "a𝄞b" -> lattice ▁a𝄞b,
+    // clef = chars 2-3 but cp 2; b lands at cp 3
+    assert(offsets(tok, "a\uD834\uDD1Eb") ==
+      Seq((5L, 0, 2), (0L, 2, 3), (3L, 3, 4)))
+    // byte fallback WITHOUT an unk id: no fusing, each unknown code
+    // point resolves alone — its byte tokens carry that span
+    val tokB = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = """[["▁", -1.0], ["a", -2.0], ["b", -2.0],
+                 | ["<0x7A>", -9.0]]""".stripMargin,
+      unkId = "null", byteFallback = true)))
+    assert(offsets(tokB, "azb") ==
+      Seq((0L, 0, 1), (1L, 1, 2), (3L, 2, 3), (2L, 3, 4)))
+    // byte fallback WITH an unk id: the fused span prices as a unit,
+    // so EVERY byte token of it carries the whole span's offsets
+    val tokBF = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      vocab = """[["<unk>", 0.0], ["▁", -1.0], ["a", -2.0],
+                 | ["b", -2.0], ["<0x7A>", -9.0]]""".stripMargin,
+      byteFallback = true)))
+    assert(offsets(tokBF, "azzb") ==
+      Seq((1L, 0, 1), (2L, 1, 2), (4L, 2, 4), (4L, 2, 4),
+        (3L, 4, 5)))
+    // template specials carry the published (0, 0) span
+    val bos = """{"type": "TemplateProcessing",
+      | "single": [
+      |   {"SpecialToken": {"id": "<unk>", "type_id": 0}},
+      |   {"Sequence": {"id": "A", "type_id": 0}}],
+      | "special_tokens": {
+      |   "<unk>": {"id": "<unk>", "ids": [0],
+      |     "tokens": ["<unk>"]}}}""".stripMargin
+    val tokT = Unigram.loadTokenizerJson(spark, writeJson(
+      tokJson(postProcessor = bos)))
+    assert(offsets(tokT, "a ab") ==
+      Seq((0L, 0, 0), (5L, 0, 2), (5L, 2, 4), (3L, 4, 5)))
+    // truncation applies to the offsets surface identically
+    val tokTr = Unigram.loadTokenizerJson(spark, writeJson(
+      tokJson().replaceFirst("\\{",
+        """{"truncation": {"max_length": 2,
+          | "strategy": "LongestFirst", "stride": 0}, """.stripMargin)))
+    assert(offsets(tokTr, "a ab") == Seq((5L, 0, 2), (5L, 2, 4)))
+    // the ONE-matcher guarantee, asserted behaviorally too: ids from
+    // the offsets kernel equal the id kernel on every fixture
+    for ((tk, t) <- Seq((tok, "a ab"), (tok, "azzb"),
+        (tokB, "azb"), (tokBF, "azzb"), (tok, "abc")))
+      assert(offsets(tk, t).map(_._1) == encode(tk, t),
+        s"offsets ids diverged from encode on '$t'")
+  }
+
+  test("encodeWithMask: the attention mask is POSITIONAL — a pad_id " +
+      "colliding with a content piece still masks correctly") {
+    import spark.implicits._
+    // pad_id 1 is the ▁ piece — a value match against pad_id would
+    // zero any real ▁ token; the positional mask cannot
+    val tokP = Unigram.loadTokenizerJson(spark, writeJson(
+      tokJson().replaceFirst("\\{",
+        """{"padding": {"strategy": {"Fixed": 6},
+          | "direction": "Right", "pad_id": 1, "pad_type_id": 0}, """
+          .stripMargin)))
+    val r = Seq(("d", "a b")).toDF("id", "t")
+      .transform(df => Unigram.encodeWithMask(df, "id", "t", tokP))
+      .collect()(0)
+    // "a b" -> ▁a▁b -> [▁a, ▁, b] = [5, 1, 3]: a REAL ▁ token (id 1)
+    // sits in content while the pads are also id 1
+    assert(r.getSeq[Long](1) == Seq(5L, 1L, 3L, 1L, 1L, 1L))
+    assert(r.getSeq[Long](2) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
 }

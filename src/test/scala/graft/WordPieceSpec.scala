@@ -594,4 +594,74 @@ class WordPieceSpec extends SparkSpec {
       minFrequency = 1L)
     assert(a.vocab == b.vocab)
   }
+
+  test("attention mask: POSITIONAL from the pre-padding length — a " +
+      "pad_id colliding with a content id ([UNK]-as-pad) still masks " +
+      "correctly, Left padding zero-prefixes, no padding block means " +
+      "all ones, and the pair surface masks its pads too") {
+    import spark.implicits._
+    def single(tok: WordPiece.WordPieceTokenizer, text: String)
+        : (Seq[Long], Seq[Long]) = {
+      val r = Seq(("d", text)).toDF("id", "t")
+        .transform(df => WordPiece.encodeWithMask(df, "id", "t", tok))
+        .collect()(0)
+      (r.getSeq[Long](1), r.getSeq[Long](2))
+    }
+    def withPad(dir: String) = tokJson().replaceFirst("\\{",
+      s"""{"padding": {"strategy": {"Fixed": 7},
+         | "direction": "$dir", "pad_id": 0, "pad_type_id": 0,
+         | "pad_token": "[UNK]"}, """.stripMargin)
+    // pad_id 0 IS [UNK], and "zzz" produces a REAL unk (id 0) in
+    // content — a value match against pad_id would zero it; the
+    // positional mask keeps it
+    val tokR = WordPiece.loadTokenizerJson(spark,
+      writeJson(withPad("Right")))
+    assert(single(tokR, "the zzz cat") ==
+      ((Seq(3L, 0L, 4L, 0L, 0L, 0L, 0L),
+        Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L))))
+    // Left padding: zeros FIRST
+    val tokL = WordPiece.loadTokenizerJson(spark,
+      writeJson(withPad("Left")))
+    assert(single(tokL, "the zzz cat") ==
+      ((Seq(0L, 0L, 0L, 0L, 3L, 0L, 4L),
+        Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L))))
+    // no padding block: all ones
+    val tokNone = WordPiece.loadTokenizerJson(spark,
+      writeJson(tokJson()))
+    assert(single(tokNone, "the cat") ==
+      ((Seq(3L, 4L), Seq(1L, 1L))))
+    // pair surface: encodePairWithMask pads ids/types and masks the
+    // pad tail
+    val pairPost =
+      """{"type": "TemplateProcessing",
+        | "single": [
+        |   {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+        | "pair": [
+        |   {"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 0}},
+        |   {"Sequence": {"id": "B", "type_id": 1}},
+        |   {"SpecialToken": {"id": "[SEP]", "type_id": 1}}],
+        | "special_tokens": {
+        |   "[CLS]": {"id": "[CLS]", "ids": [1], "tokens": ["[CLS]"]},
+        |   "[SEP]": {"id": "[SEP]", "ids": [2], "tokens": ["[SEP]"]}}}"""
+        .stripMargin
+    val tokPair = WordPiece.loadTokenizerJson(spark, writeJson(
+      tokJson(postProcessor = pairPost).replaceFirst("\\{",
+        """{"padding": {"strategy": {"Fixed": 9},
+          | "direction": "Right", "pad_id": 0, "pad_type_id": 0}, """
+          .stripMargin)))
+    val r = Seq(("d", "the cat", "a")).toDF("id", "a", "b")
+      .transform(df =>
+        WordPiece.encodePairWithMask(df, "id", "a", "b", tokPair))
+      .collect()(0)
+    assert(r.getSeq[Long](1) ==
+      Seq(1L, 3L, 4L, 2L, 9L, 2L, 0L, 0L, 0L))
+    assert(r.getSeq[Long](2) ==
+      Seq(0L, 0L, 0L, 0L, 1L, 1L, 0L, 0L, 0L))
+    assert(r.getSeq[Long](3) ==
+      Seq(1L, 1L, 1L, 1L, 1L, 1L, 0L, 0L, 0L))
+  }
 }
