@@ -195,6 +195,8 @@ object SparkEntry {
     "x128_wordpiece_truncation" -> Extensions.x128WordPieceTruncPad,
     "x129_wordpiece_offsets" -> Extensions.x129WordPieceOffsets,
     "x130_unigram_offsets" -> Extensions.x130UnigramOffsets,
+    "x131_unigram_pair_truncation" ->
+      Extensions.x131UnigramPairTruncPad,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1849,6 +1851,51 @@ object SparkEntry {
         |      ORDER BY i) AS s
         |  FROM ids GROUP BY doc_id) g ON n.doc_id = g.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    // x131: the Unigram pair surface restated WITHOUT a tokenizer —
+    // each letters-only half h lattices to 1 + length(h) tokens
+    // (the prepended ▁ then single chars; 0 when empty — the
+    // Prepend no-op), the kept content decodes to
+    // substr(h, 1, f−1) after the decoder drops the prepended-space
+    // marker, and the pad/type/mask books are the x128 arithmetic
+    // under the same content budget 21 (= 24 − the 3 pair ids)
+    "x131_unigram_pair_truncation" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substr(l, 1, least(CAST(length(l)//2 AS INTEGER),
+        |      CAST(2 + doc_id % 23 AS INTEGER))) AS a,
+        |    substr(l, CAST(length(l)//2 + 1 AS INTEGER),
+        |      CAST(1 + doc_id % 17 AS INTEGER)) AS b
+        |  FROM (SELECT doc_id,
+        |          lower(regexp_replace(text, '[^A-Za-z0-9]', '',
+        |            'g')) AS l
+        |        FROM documents WHERE text IS NOT NULL)),
+        |t AS (
+        |  SELECT doc_id, a, b,
+        |    CASE WHEN a = '' THEN 0 ELSE length(a) + 1 END AS la,
+        |    CASE WHEN b = '' THEN 0 ELSE length(b) + 1 END AS lb
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id, a, b, la, lb,
+        |    CASE WHEN la + lb <= 21 THEN la
+        |         ELSE least(la, greatest(11, 21 - lb)) END AS fa
+        |  FROM t)
+        |SELECT doc_id,
+        |  md5(substr(a, 1, greatest(fa - 1, 0))) AS a_md5,
+        |  md5(substr(b, 1, greatest(least(la + lb, 21) - fa - 1, 0)))
+        |    AS b_md5,
+        |  CAST(24 AS BIGINT) AS n_ids,
+        |  CAST(21 - fa - (least(la + lb, 21) - fa) AS BIGINT)
+        |    AS n_pad,
+        |  CAST(CASE WHEN fa + (least(la + lb, 21) - fa) < 21
+        |       THEN 4 + fa + (least(la + lb, 21) - fa) ELSE 0 END
+        |    AS BIGINT) AS first_pad,
+        |  CAST((least(la + lb, 21) - fa) + 1 AS BIGINT) AS type_sum,
+        |  CAST(3 + fa + (least(la + lb, 21) - fa) AS BIGINT)
+        |    AS mask_sum,
+        |  CAST(CASE WHEN fa + (least(la + lb, 21) - fa) < 21
+        |       THEN 4 + fa + (least(la + lb, 21) - fa) ELSE 0 END
+        |    AS BIGINT) AS mask_first_zero
+        |FROM f ORDER BY doc_id""".stripMargin,
     // x126: the x123 identity certifying the TRAINED Unigram
     // artifact — the trainer's byte alphabet + required singles make
     // the same trainer-free statement hold for a fitted vocabulary

@@ -26,10 +26,13 @@ import graft.functions.TextFunctions
   *    `split` a per-pre-token lattice — pieces never span pre-token
   *    boundaries); `ByteLevel`/`Whitespace`/other splits are
   *    different segmentations — rejected;
-  *  - post-processor: absent, id-neutral, or a single-sequence
-  *    `TemplateProcessing` (Llama's `<s> $A` BOS template) — the
-  *    fixed special ids around one `A` sequence are emitted exactly;
-  *    pair templates (`$B`) are rejected.
+  *  - post-processor: absent, id-neutral, or `TemplateProcessing` —
+  *    the single template's fixed special ids around one `A`
+  *    sequence (Llama's `<s> $A` BOS shape) are emitted exactly, and
+  *    a `pair` template (A-then-B with type ids) loads through the
+  *    shared [[WordPiece.parsePairTemplate]] state machine for
+  *    [[encodePair]]; a `$B` in the SINGLE template is still
+  *    rejected.
   *
   * The encode itself is the compiled map-side
   * [[graft.expressions.UnigramEncodeIds]] kernel — zero shuffles,
@@ -44,7 +47,10 @@ object Unigram {
   /** A loaded Unigram tokenizer: pieces in id order (id = index),
     * `unkId < 0` = none, kernel-resident normalizer ops in file
     * order, `needsNfc` = a leading pure-NFC stage (applied upstream
-    * of the kernel), and the template's fixed prefix/suffix ids.
+    * of the kernel), the template's fixed prefix/suffix ids, and —
+    * when the file defines one — the PAIR template
+    * ([[encodePair]]'s contract; the [[WordPiece.PairTemplate]]
+    * shape, shared across the template-carrying lineages).
     */
   case class UnigramTokenizer(pieces: IndexedSeq[(String, Double)],
       unkId: Int, byteFallback: Boolean,
@@ -52,7 +58,8 @@ object Unigram {
       prefixIds: Seq[Long], suffixIds: Seq[Long],
       metaspace: Option[(String, Boolean, String)] = None,
       truncation: Option[TokenizerTruncation.Truncation] = None,
-      padding: Option[TokenizerTruncation.Padding] = None)
+      padding: Option[TokenizerTruncation.Padding] = None,
+      pair: Option[WordPiece.PairTemplate] = None)
 
   /** Load a `tokenizer.json` carrying a Unigram model, rejecting
     * loudly anything the engine cannot reproduce exactly — see the
@@ -217,11 +224,16 @@ object Unigram {
               "mis-encode")
       }
 
-    // post-processor: absent, or a single-sequence TemplateProcessing
-    // (fixed special ids around one A)
+    // post-processor: absent, or a TemplateProcessing with a single
+    // template (fixed special ids around one A) and optionally the
+    // PAIR template (A-then-B with type ids — parsed by the shared
+    // [[WordPiece.parsePairTemplate]] state machine, the
+    // encodePair contract)
     val post = tree.get("post_processor")
-    val (prefixIds, suffixIds) =
-      if (post == null || post.isNull) (Seq.empty[Long], Seq.empty[Long])
+    val (prefixIds, suffixIds, pairTemplate)
+        : (Seq[Long], Seq[Long], Option[WordPiece.PairTemplate]) =
+      if (post == null || post.isNull)
+        (Seq.empty[Long], Seq.empty[Long], None)
       else {
         require(Option(post.get("type")).map(_.asText())
             .contains("TemplateProcessing"),
@@ -271,9 +283,9 @@ object Unigram {
           } else if (item.get("Sequence") != null) {
             val sid = item.get("Sequence").get("id").asText()
             require(sid == "A",
-              s"$path template references sequence '$sid' — pair " +
-                "templates are not reproducible for single-sequence " +
-                "encode; refusing to mis-encode")
+              s"$path SINGLE template references '$sid' — the " +
+                "single form takes exactly one A sequence (the " +
+                "pair form is the separate `pair` template)")
             require(!seenA, s"$path template references A twice")
             seenA = true
           } else throw new IllegalArgumentException(
@@ -281,23 +293,22 @@ object Unigram {
               "Sequence")
         }
         require(seenA, s"$path template never references sequence A")
-        (pre0.result(), post0.result())
+        (pre0.result(), post0.result(),
+          WordPiece.parsePairTemplate(post, idOf, path))
       }
 
     // truncation / padding blocks: honored (the loader-contract
-    // close) — except only_second, which names a second sequence
-    // this single-sequence surface can never hold
+    // close); only_second is meaningful only on the pair surface —
+    // a single-sequence encode under it refuses at ENCODE
+    // ([[TokenizerTruncation.truncateSingle]]), the WordPiece rule
     val truncation = TokenizerTruncation.parseTruncation(tree, path)
-    truncation.foreach(t => require(t.strategy != "only_second",
-      s"$path truncation.strategy OnlySecond cannot apply to the " +
-        "Unigram surface — it encodes single sequences only (no " +
-        "pair encode exists to hold a second sequence)"))
     val pieceIdOf = pieces.map(_._1).zipWithIndex.toMap
     val padding = TokenizerTruncation.parsePadding(tree, path,
       t => pieceIdOf.get(t).map(_.toLong))
 
     UnigramTokenizer(pieces, unkId, byteFallback, norms, needsNfc,
-      prefixIds, suffixIds, metaspace, truncation, padding)
+      prefixIds, suffixIds, metaspace, truncation, padding,
+      pairTemplate)
   }
 
   /** Export a loaded Unigram tokenizer back to the single-file
@@ -361,44 +372,67 @@ object Unigram {
         root.set[com.fasterxml.jackson.databind.JsonNode](
           "pre_tokenizer", n)
     }
-    // post-processor: reconstruct a minimal single-sequence template
-    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty)
+    // post-processor: reconstruct the single-sequence template and,
+    // when the tokenizer carries one, the PAIR template (the
+    // WordPiece saver's shape — save→load identity includes it)
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty &&
+        tok.pair.isEmpty)
       root.putNull("post_processor")
     else {
       val post = mapper.createObjectNode()
       post.put("type", "TemplateProcessing")
-      val single = mapper.createArrayNode()
       val specials = mapper.createObjectNode()
-      def special(id: Long): Unit = {
-        val name =
-          if (id >= 0 && id < tok.pieces.size) tok.pieces(id.toInt)._1
-          else s"<special:$id>"
+      def nameOf(id: Long): String =
+        if (id >= 0 && id < tok.pieces.size) tok.pieces(id.toInt)._1
+        else s"<special:$id>"
+      def specialItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+          id: Long, typeId: Long): Unit = {
+        val name = nameOf(id)
         val it = mapper.createObjectNode()
         val st = mapper.createObjectNode()
-        st.put("id", name); st.put("type_id", 0)
+        st.put("id", name); st.put("type_id", typeId)
         it.set[com.fasterxml.jackson.databind.JsonNode](
           "SpecialToken", st)
-        single.add(it)
-        val entry = mapper.createObjectNode()
-        entry.put("id", name)
-        val ids = mapper.createArrayNode(); ids.add(id)
-        entry.set[com.fasterxml.jackson.databind.JsonNode]("ids", ids)
-        val toks = mapper.createArrayNode(); toks.add(name)
-        entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
-          toks)
-        specials.set[com.fasterxml.jackson.databind.JsonNode](name,
-          entry)
+        arr.add(it)
+        if (!specials.has(name)) {
+          val entry = mapper.createObjectNode()
+          entry.put("id", name)
+          val ids = mapper.createArrayNode(); ids.add(id)
+          entry.set[com.fasterxml.jackson.databind.JsonNode]("ids",
+            ids)
+          val toks = mapper.createArrayNode(); toks.add(name)
+          entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
+            toks)
+          specials.set[com.fasterxml.jackson.databind.JsonNode](name,
+            entry)
+        }
       }
-      tok.prefixIds.foreach(special)
-      val seqIt = mapper.createObjectNode()
-      val seqRef = mapper.createObjectNode()
-      seqRef.put("id", "A"); seqRef.put("type_id", 0)
-      seqIt.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
-        seqRef)
-      single.add(seqIt)
-      tok.suffixIds.foreach(special)
+      def seqItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+          name: String, typeId: Long): Unit = {
+        val it = mapper.createObjectNode()
+        val ref = mapper.createObjectNode()
+        ref.put("id", name); ref.put("type_id", typeId)
+        it.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
+          ref)
+        arr.add(it)
+      }
+      val single = mapper.createArrayNode()
+      tok.prefixIds.foreach(specialItem(single, _, 0L))
+      seqItem(single, "A", 0L)
+      tok.suffixIds.foreach(specialItem(single, _, 0L))
       post.set[com.fasterxml.jackson.databind.JsonNode]("single",
         single)
+      tok.pair.foreach { pt =>
+        val pairArr = mapper.createArrayNode()
+        pt.pre.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+        seqItem(pairArr, "A", pt.typeA)
+        pt.mid.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+        seqItem(pairArr, "B", pt.typeB)
+        pt.post.foreach { case (id, ty) =>
+          specialItem(pairArr, id, ty) }
+        post.set[com.fasterxml.jackson.databind.JsonNode]("pair",
+          pairArr)
+      }
       post.set[com.fasterxml.jackson.databind.JsonNode](
         "special_tokens", specials)
       root.set[com.fasterxml.jackson.databind.JsonNode](
@@ -529,6 +563,77 @@ object Unigram {
       textCol: String, tok: UnigramTokenizer): DataFrame =
     df.select(col(idCol),
       encodeOffsetsColumn(col(textCol), tok).as("tokens"))
+
+  private def requirePair(tok: UnigramTokenizer)
+      : WordPiece.PairTemplate =
+    tok.pair.getOrElse(throw new IllegalArgumentException(
+      "this tokenizer defines no PAIR template — single-sequence " +
+        "encode is encodeColumn; refusing to fabricate segment " +
+        "structure for a two-sequence input"))
+
+  /** The content encode for ONE side of a pair (NFC + Viterbi, no
+    * template) — what [[WordPiece.pairAssembled]] assembles.
+    */
+  private def contentColumn(text: Column, tok: UnigramTokenizer)
+      : Column = {
+    val normalized =
+      if (tok.needsNfc) TextFunctions.normalizeUnicode(text, "NFC")
+      else text
+    graft.expressions.GraftFunctions.unigramEncode(normalized, tok)
+  }
+
+  /** PAIR encode for the sentencepiece lineage: `(idCol, token_ids,
+    * type_ids)` under the tokenizer's pair template — the
+    * [[WordPiece.encodePair]] semantics (shared
+    * [[WordPiece.pairAssembled]] arithmetic: template ids, the
+    * published truncation strategies over the content, Fixed
+    * padding), with each side's content running the Viterbi kernel.
+    * Both encodes land in an intermediate projection first — one
+    * lattice run per row per side. Refuses LOUDLY without a pair
+    * template. Zero shuffles.
+    */
+  def encodePair(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, tok: UnigramTokenizer): DataFrame = {
+    val pt = requirePair(tok)
+    val enc = df.select(col(idCol),
+      contentColumn(col(aCol), tok).as("_graft_ea"),
+      contentColumn(col(bCol), tok).as("_graft_eb"))
+    val (ids, types) = WordPiece.pairAssembled(col("_graft_ea"),
+      col("_graft_eb"), tok.truncation, pt)
+    val (pids, ptypes) = padPairCols(ids, types, tok)
+    enc.select(col(idCol), pids.as("token_ids"),
+      ptypes.as("type_ids"))
+  }
+
+  /** [[encodePair]] plus the positional attention mask —
+    * `(idCol, token_ids, type_ids, attention_mask)`, the
+    * [[WordPiece.encodePairWithMask]] contract.
+    */
+  def encodePairWithMask(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, tok: UnigramTokenizer): DataFrame = {
+    val pt = requirePair(tok)
+    val enc = df.select(col(idCol),
+      contentColumn(col(aCol), tok).as("_graft_ea"),
+      contentColumn(col(bCol), tok).as("_graft_eb"))
+    val (ids, types) = WordPiece.pairAssembled(col("_graft_ea"),
+      col("_graft_eb"), tok.truncation, pt)
+    val mid = enc.select(col(idCol), ids.as("_graft_ids"),
+      types.as("_graft_types"))
+    val (pids, ptypes) = padPairCols(col("_graft_ids"),
+      col("_graft_types"), tok)
+    mid.select(col(idCol), pids.as("token_ids"),
+      ptypes.as("type_ids"),
+      TokenizerTruncation.attentionMask(col("_graft_ids"),
+        tok.padding).as("attention_mask"))
+  }
+
+  private def padPairCols(ids: Column, types: Column,
+      tok: UnigramTokenizer): (Column, Column) =
+    tok.padding match {
+      case Some(p) => (TokenizerTruncation.pad(ids, p, p.padId),
+        TokenizerTruncation.pad(types, p, p.padTypeId))
+      case None => (ids, types)
+    }
 
   /** Distributed encode: one row per input row, `(idCol, token_ids)`
     * — [[Bpe.encodeMapSide]]'s shape for the Unigram lineage.

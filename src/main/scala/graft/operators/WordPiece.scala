@@ -58,6 +58,70 @@ object WordPiece {
       truncation: Option[TokenizerTruncation.Truncation] = None,
       padding: Option[TokenizerTruncation.Padding] = None)
 
+  /** Parse a TemplateProcessing PAIR template — fixed (id, type_id)
+    * tokens before A, between A and B, and after B, plus the content
+    * type ids — the ONE parser both template-carrying lineages use
+    * (WordPiece here, [[Unigram.loadTokenizerJson]] for the
+    * sentencepiece lineage), so the A-then-B state machine and its
+    * refusals cannot drift between loaders. `idOf` resolves a
+    * special-token name through the caller's special_tokens table
+    * then its vocab.
+    */
+  private[operators] def parsePairTemplate(
+      post: com.fasterxml.jackson.databind.JsonNode,
+      idOf: String => Long, path: String): Option[PairTemplate] = {
+    val pairNode = post.get("pair")
+    if (pairNode == null || pairNode.isNull ||
+        !pairNode.isArray || pairNode.size() == 0) None
+    else {
+      def typeOf(item: com.fasterxml.jackson.databind.JsonNode,
+          key: String): Long = {
+        val t = item.get(key).get("type_id")
+        if (t == null || t.isNull) 0L else t.asLong()
+      }
+      val pre1 = Seq.newBuilder[(Long, Long)]
+      val mid1 = Seq.newBuilder[(Long, Long)]
+      val post1 = Seq.newBuilder[(Long, Long)]
+      var typeA = 0L; var typeB = 1L
+      var state = 0 // 0 = before A, 1 = between, 2 = after B
+      val pit = pairNode.elements()
+      while (pit.hasNext) {
+        val item = pit.next()
+        if (item.get("SpecialToken") != null) {
+          val id = idOf(item.get("SpecialToken").get("id").asText())
+          val ty = typeOf(item, "SpecialToken")
+          state match {
+            case 0 => pre1 += ((id, ty))
+            case 1 => mid1 += ((id, ty))
+            case _ => post1 += ((id, ty))
+          }
+        } else if (item.get("Sequence") != null) {
+          val sid = item.get("Sequence").get("id").asText()
+          val ty = typeOf(item, "Sequence")
+          if (sid == "A") {
+            require(state == 0,
+              s"$path pair template references A out of " +
+                "order — only A-then-B is reproducible")
+            typeA = ty; state = 1
+          } else if (sid == "B") {
+            require(state == 1,
+              s"$path pair template references B before A " +
+                "or twice — only A-then-B is reproducible")
+            typeB = ty; state = 2
+          } else throw new IllegalArgumentException(
+            s"$path pair template references sequence " +
+              s"'$sid' — only A and B exist in a pair")
+        } else throw new IllegalArgumentException(
+          s"$path pair template item is neither " +
+            "SpecialToken nor Sequence")
+      }
+      require(state == 2,
+        s"$path pair template must reference A then B")
+      Some(PairTemplate(pre1.result(), mid1.result(),
+        post1.result(), typeA, typeB))
+    }
+  }
+
   def loadTokenizerJson(spark: SparkSession, path: String)
       : WordPieceTokenizer = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -218,61 +282,8 @@ object WordPiece {
                 "Sequence")
           }
           require(seenA, s"$path template never references sequence A")
-          // the PAIR template, when the file carries one: fixed
-          // (id, type_id) tokens around/between the A and B content
-          val pairNode = post.get("pair")
-          val pt: Option[PairTemplate] =
-            if (pairNode == null || pairNode.isNull ||
-                !pairNode.isArray || pairNode.size() == 0) None
-            else {
-              def typeOf(item: com.fasterxml.jackson.databind.JsonNode,
-                  key: String): Long = {
-                val t = item.get(key).get("type_id")
-                if (t == null || t.isNull) 0L else t.asLong()
-              }
-              val pre1 = Seq.newBuilder[(Long, Long)]
-              val mid1 = Seq.newBuilder[(Long, Long)]
-              val post1 = Seq.newBuilder[(Long, Long)]
-              var typeA = 0L; var typeB = 1L
-              var state = 0 // 0 = before A, 1 = between, 2 = after B
-              val pit = pairNode.elements()
-              while (pit.hasNext) {
-                val item = pit.next()
-                if (item.get("SpecialToken") != null) {
-                  val id =
-                    idOf(item.get("SpecialToken").get("id").asText())
-                  val ty = typeOf(item, "SpecialToken")
-                  state match {
-                    case 0 => pre1 += ((id, ty))
-                    case 1 => mid1 += ((id, ty))
-                    case _ => post1 += ((id, ty))
-                  }
-                } else if (item.get("Sequence") != null) {
-                  val sid = item.get("Sequence").get("id").asText()
-                  val ty = typeOf(item, "Sequence")
-                  if (sid == "A") {
-                    require(state == 0,
-                      s"$path pair template references A out of " +
-                        "order — only A-then-B is reproducible")
-                    typeA = ty; state = 1
-                  } else if (sid == "B") {
-                    require(state == 1,
-                      s"$path pair template references B before A " +
-                        "or twice — only A-then-B is reproducible")
-                    typeB = ty; state = 2
-                  } else throw new IllegalArgumentException(
-                    s"$path pair template references sequence " +
-                      s"'$sid' — only A and B exist in a pair")
-                } else throw new IllegalArgumentException(
-                  s"$path pair template item is neither " +
-                    "SpecialToken nor Sequence")
-              }
-              require(state == 2,
-                s"$path pair template must reference A then B")
-              Some(PairTemplate(pre1.result(), mid1.result(),
-                post1.result(), typeA, typeB))
-            }
-          (pre0.result(), post0.result(), pt)
+          (pre0.result(), post0.result(),
+            parsePairTemplate(post, idOf, path))
         case other => throw new IllegalArgumentException(
           s"$path post-processor type '${other.getOrElse("?")}' is " +
             "not reproducible — only absent, BertProcessing, or " +
@@ -479,13 +490,16 @@ object WordPiece {
 
   /** Assemble the pair (token_ids, type_ids) from two ALREADY
     * MATERIALIZED content encodes — the one home for the template /
-    * truncation / padding arithmetic, shared by [[encodePair]] (which
-    * materializes the encodes once) and [[encodePairColumns]].
+    * truncation arithmetic, shared by [[encodePair]] /
+    * [[encodePairColumns]] / [[encodePairWithMask]] AND the Unigram
+    * pair surface ([[Unigram.encodePair]]) — the assembly is
+    * lineage-independent once the content encodes exist.
     */
-  private def pairAssembled(ea: Column, eb: Column,
-      tok: WordPieceTokenizer, pt: PairTemplate): (Column, Column) = {
+  private[operators] def pairAssembled(ea: Column, eb: Column,
+      trunc: Option[TokenizerTruncation.Truncation],
+      pt: PairTemplate): (Column, Column) = {
     val nTemplate = pt.pre.size + pt.mid.size + pt.post.size
-    val (ka, kb) = tok.truncation match {
+    val (ka, kb) = trunc match {
       case Some(t) =>
         val budget = TokenizerTruncation.contentBudget(t, nTemplate)
         val (fa, fb) = TokenizerTruncation.pairKeepLengths(
@@ -545,7 +559,7 @@ object WordPiece {
     val (ids, types) = pairAssembled(
       graft.expressions.GraftFunctions.wordPieceEncode(a, tok),
       graft.expressions.GraftFunctions.wordPieceEncode(b, tok),
-      tok, requirePair(tok))
+      tok.truncation, requirePair(tok))
     padPair(ids, types, tok)
   }
 
@@ -563,7 +577,7 @@ object WordPiece {
       graft.expressions.GraftFunctions.wordPieceEncode(col(bCol), tok)
         .as("_graft_eb"))
     val (ids, types) = pairAssembled(col("_graft_ea"),
-      col("_graft_eb"), tok, pt)
+      col("_graft_eb"), tok.truncation, pt)
     val (pids, ptypes) = padPair(ids, types, tok)
     enc.select(col(idCol), pids.as("token_ids"),
       ptypes.as("type_ids"))
@@ -583,7 +597,7 @@ object WordPiece {
       graft.expressions.GraftFunctions.wordPieceEncode(col(bCol), tok)
         .as("_graft_eb"))
     val (ids, types) = pairAssembled(col("_graft_ea"),
-      col("_graft_eb"), tok, pt)
+      col("_graft_eb"), tok.truncation, pt)
     val mid = enc.select(col(idCol), ids.as("_graft_ids"),
       types.as("_graft_types"))
     val (pids, ptypes) = padPair(col("_graft_ids"),

@@ -1146,6 +1146,109 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x131: Unigram PAIR encode + truncation + padding + mask,
+    * oracle-checked — the x128 statement for the sentencepiece
+    * lineage: a single-character coverage vocab (`▁` + `a–z0–9`)
+    * with `<s>`/`</s>` pair specials, a `[<s> $A </s> $B:1 </s>:1]`
+    * template, LongestFirst truncation to 24 and Fixed-24 `<pad>`
+    * padding. Each planted letters-only half h lattices to
+    * `▁ + chars(h)` — exactly `1 + length(h)` tokens (0 when empty,
+    * the Prepend no-op) — so the kept lengths, the kept-content
+    * decodes (`substr(h, 1, f−1)` after the decoder drops the
+    * prepended-space marker), pad count/position, type-id sum and
+    * the positional mask are all DuckDB arithmetic. The three
+    * template-carrying surfaces (WordPiece single/pair, Unigram
+    * single/pair) now share ONE assembly home
+    * ([[graft.operators.WordPiece.pairAssembled]]) — this entry
+    * certifies that home under the second lineage end to end.
+    */
+  def x131UnigramPairTruncPad(s: SparkSession, dir: String)
+      : DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createArrayNode()
+    def piece(p: String, sc: Double): Unit = {
+      val e = mapper.createArrayNode(); e.add(p); e.add(sc)
+      vocab.add(e)
+    }
+    piece("<unk>", 0.0); piece("▁", -1.0)
+    ('a' to 'z').foreach(c => piece(c.toString, -2.0))
+    ('0' to '9').foreach(c => piece(c.toString, -2.5))
+    piece("<s>", -20.0); piece("</s>", -20.0); piece("<pad>", -20.0)
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "truncation": {"direction": "Right", "max_length": 24,
+        |   "strategy": "LongestFirst", "stride": 0},
+        | "padding": {"strategy": {"Fixed": 24}, "direction": "Right",
+        |   "pad_to_multiple_of": null, "pad_id": 40, "pad_type_id": 0,
+        |   "pad_token": "<pad>"},
+        | "normalizer": {"type": "Sequence", "normalizers": [
+        |   {"type": "Prepend", "prepend": "▁"},
+        |   {"type": "Replace", "pattern": {"String": " "},
+        |    "content": "▁"}]},
+        | "pre_tokenizer": null,
+        | "post_processor": {"type": "TemplateProcessing",
+        |   "single": [
+        |     {"SpecialToken": {"id": "<s>", "type_id": 0}},
+        |     {"Sequence": {"id": "A", "type_id": 0}}],
+        |   "pair": [
+        |     {"SpecialToken": {"id": "<s>", "type_id": 0}},
+        |     {"Sequence": {"id": "A", "type_id": 0}},
+        |     {"SpecialToken": {"id": "</s>", "type_id": 0}},
+        |     {"Sequence": {"id": "B", "type_id": 1}},
+        |     {"SpecialToken": {"id": "</s>", "type_id": 1}}],
+        |   "special_tokens": {
+        |     "<s>": {"id": "<s>", "ids": [38], "tokens": ["<s>"]},
+        |     "</s>": {"id": "</s>", "ids": [39],
+        |       "tokens": ["</s>"]}}},
+        | "model": {"type": "Unigram", "unk_id": 0,
+        |   "byte_fallback": false}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_unigram_pair_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.Unigram.loadTokenizerJson(s, path)
+    val letters = lower(regexp_replace(col("text"), "[^A-Za-z0-9]",
+      ""))
+    val half = (length(letters) / 2).cast("int")
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        letters.substr(lit(1),
+          least(half, (lit(2) + col("doc_id") % 23).cast("int")))
+          .as("a"),
+        letters.substr(half + 1,
+          (lit(1) + col("doc_id") % 17).cast("int")).as("b"))
+    val enc = graft.operators.Unigram.encodePairWithMask(planted,
+      "doc_id", "a", "b", tok)
+    val padId = lit(40L)
+    val specialIds = Seq(38L, 39L, 40L)
+    val withZip = enc.select(col("doc_id"), col("token_ids"),
+      col("type_ids"), col("attention_mask"),
+      zip_with(col("token_ids"), col("type_ids"),
+        (i, t) => struct(i.as("i"), t.as("t"))).as("_z"))
+    def kept(typeId: Int) = graft.operators.Unigram.decodeColumn(
+      transform(filter(col("_z"), e =>
+        e.getField("t") === typeId &&
+          !e.getField("i").isin(specialIds: _*)),
+        e => e.getField("i")), tok)
+    withZip.select(col("doc_id"),
+        md5(kept(0)).as("a_md5"), md5(kept(1)).as("b_md5"),
+        size(col("token_ids")).cast("long").as("n_ids"),
+        size(filter(col("token_ids"), i => i === padId)).cast("long")
+          .as("n_pad"),
+        array_position(col("token_ids"), 40L).as("first_pad"),
+        aggregate(col("type_ids"), lit(0L), (acc, t) => acc + t)
+          .as("type_sum"),
+        aggregate(col("attention_mask"), lit(0L), (acc, m) => acc + m)
+          .as("mask_sum"),
+        array_position(col("attention_mask"), 0L)
+          .as("mask_first_zero"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x126: Unigram TRAINING, oracle-checked end to end — the
     * [[graft.operators.Unigram.train]] EM + pruning recipe
     * (distributed pre-token histogram + seed-substring counting,

@@ -352,7 +352,7 @@ class UnigramSpec extends SparkSpec {
       """{"type": "TemplateProcessing",
         | "single": [{"Sequence": {"id": "B", "type_id": 0}}],
         | "special_tokens": {}}""".stripMargin),
-      "pair templates")
+      "single form takes exactly one A")
     rejects(tokJson(postProcessor = """{"type": "RobertaProcessing"}"""),
       "TemplateProcessing")
     rejects(tokJson(unkId = "99"), "outside")
@@ -630,9 +630,17 @@ class UnigramSpec extends SparkSpec {
       assert(e.getMessage.contains(needle),
         s"expected '$needle' in: ${e.getMessage}")
     }
-    rejects(withBlocks(
-      """{"max_length": 4, "strategy": "OnlySecond", "stride": 0}""",
-      "null"), "single")
+    locally {
+      // only_second LOADS now that the pair surface exists; the
+      // SINGLE-sequence encode under it refuses at plan time
+      val tokOS = Unigram.loadTokenizerJson(spark, writeJson(
+        withBlocks("""{"max_length": 4, "strategy": "OnlySecond",
+          | "stride": 0}""".stripMargin, "null")))
+      val e = intercept[IllegalArgumentException] {
+        Unigram.encodeColumn(col("t"), tokOS)
+      }
+      assert(e.getMessage.contains("only_second"))
+    }
     rejects(withBlocks(
       """{"max_length": 4, "strategy": "LongestFirst", "stride": 3}""",
       "null"), "stride")
@@ -704,6 +712,79 @@ class UnigramSpec extends SparkSpec {
         (tokB, "azb"), (tokBF, "azzb"), (tok, "abc")))
       assert(offsets(tk, t).map(_._1) == encode(tk, t),
         s"offsets ids diverged from encode on '$t'")
+  }
+
+  test("pair templates on the Unigram surface: (token_ids, type_ids) " +
+      "hand-computed under <s> $A </s> $B:1 </s>:1, truncation and " +
+      "padding + mask apply, save -> load identity, and a tokenizer " +
+      "without a pair template refuses pair encode loudly") {
+    import spark.implicits._
+    val pairPost =
+      """{"type": "TemplateProcessing",
+        | "single": [
+        |   {"SpecialToken": {"id": "<s>", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}}],
+        | "pair": [
+        |   {"SpecialToken": {"id": "<s>", "type_id": 0}},
+        |   {"Sequence": {"id": "A", "type_id": 0}},
+        |   {"SpecialToken": {"id": "</s>", "type_id": 0}},
+        |   {"Sequence": {"id": "B", "type_id": 1}},
+        |   {"SpecialToken": {"id": "</s>", "type_id": 1}}],
+        | "special_tokens": {
+        |   "<s>": {"id": "<s>", "ids": [42], "tokens": ["<s>"]},
+        |   "</s>": {"id": "</s>", "ids": [43], "tokens": ["</s>"]}}}"""
+        .stripMargin
+    def encodePair(tok: Unigram.UnigramTokenizer, a: String,
+        b: String): (Seq[Long], Seq[Long]) = {
+      val r = Seq(("d", a, b)).toDF("id", "a", "b")
+        .transform(df => Unigram.encodePair(df, "id", "a", "b", tok))
+        .collect()(0)
+      (r.getSeq[Long](1), r.getSeq[Long](2))
+    }
+    val tok = Unigram.loadTokenizerJson(spark, writeJson(
+      tokJson(postProcessor = pairPost)))
+    assert(tok.pair.isDefined && tok.prefixIds == Seq(42L))
+    // A = "a ab" -> [5, 5, 3]; B = "abc" -> [1, 6]
+    assert(encodePair(tok, "a ab", "abc") ==
+      ((Seq(42L, 5L, 5L, 3L, 43L, 1L, 6L, 43L),
+        Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L))))
+    // truncation: max_length 7 over the 3 template ids leaves budget
+    // 4; longest-first on (3, 2) keeps (2, 2)
+    val tokTr = Unigram.loadTokenizerJson(spark, writeJson(
+      tokJson(postProcessor = pairPost).replaceFirst("\\{",
+        """{"truncation": {"max_length": 7,
+          | "strategy": "LongestFirst", "stride": 0}, """.stripMargin)))
+    assert(encodePair(tokTr, "a ab", "abc") ==
+      ((Seq(42L, 5L, 5L, 43L, 1L, 6L, 43L),
+        Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L))))
+    // padding + positional mask through encodePairWithMask
+    val tokP = Unigram.loadTokenizerJson(spark, writeJson(
+      tokJson(postProcessor = pairPost).replaceFirst("\\{",
+        """{"padding": {"strategy": {"Fixed": 10},
+          | "direction": "Right", "pad_id": 0, "pad_type_id": 0}, """
+          .stripMargin)))
+    val r = Seq(("d", "a ab", "abc")).toDF("id", "a", "b")
+      .transform(df =>
+        Unigram.encodePairWithMask(df, "id", "a", "b", tokP))
+      .collect()(0)
+    assert(r.getSeq[Long](1) ==
+      Seq(42L, 5L, 5L, 3L, 43L, 1L, 6L, 43L, 0L, 0L))
+    assert(r.getSeq[Long](2) ==
+      Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 0L, 0L))
+    assert(r.getSeq[Long](3) ==
+      Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 0L, 0L))
+    // save -> load identity includes the pair template and blocks
+    val f = Files.createTempFile("graft_uni_pair", ".json")
+    Unigram.saveTokenizerJson(spark, tokP, f.toString)
+    assert(Unigram.loadTokenizerJson(spark, f.toString) == tokP)
+    // no pair template -> loud refusal
+    val tokSingle = Unigram.loadTokenizerJson(spark,
+      writeJson(tokJson()))
+    val e = intercept[IllegalArgumentException] {
+      Unigram.encodePair(Seq(("d", "a", "b")).toDF("id", "a", "b"),
+        "id", "a", "b", tokSingle)
+    }
+    assert(e.getMessage.contains("no PAIR template"))
   }
 
   test("encodeWithMask: the attention mask is POSITIONAL — a pad_id " +

@@ -55,7 +55,7 @@ QUERIES = [
     "x125_wordpiece_train_roundtrip", "x126_unigram_train_roundtrip",
     "x127_wordpiece_pair_roundtrip",
     "x128_wordpiece_truncation", "x129_wordpiece_offsets",
-    "x130_unigram_offsets",
+    "x130_unigram_offsets", "x131_unigram_pair_truncation",
 ]
 
 
