@@ -197,6 +197,7 @@ object SparkEntry {
     "x130_unigram_offsets" -> Extensions.x130UnigramOffsets,
     "x131_unigram_pair_truncation" ->
       Extensions.x131UnigramPairTruncPad,
+    "x132_chunk_spans" -> Extensions.x132ChunkSpans,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1851,6 +1852,56 @@ object SparkEntry {
         |      ORDER BY i) AS s
         |  FROM ids GROUP BY doc_id) g ON n.doc_id = g.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    // x132: span-carrying chunks restated WITHOUT a tokenizer —
+    // token k = the k-th non-space character of the normalized text
+    // (the x129 positional arithmetic), chunk cs covers tokens
+    // [cs, cs+16) for cs in steps of 8, span = [min pos − 1, max
+    // pos], text = the substr the span delimits
+    "x132_chunk_spans" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g'))
+        |      AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, i, substr(t, CAST(i AS INTEGER), 1) AS c,
+        |    CASE WHEN i = 1 THEN ' '
+        |         ELSE substr(t, CAST(i - 1 AS INTEGER), 1) END AS p
+        |  FROM n, LATERAL (SELECT
+        |    unnest(generate_series(1, length(t))) AS i) g),
+        |tk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN c BETWEEN 'a' AND 'z' THEN
+        |           CASE WHEN p = ' ' THEN 1 + ascii(c) - 97
+        |                ELSE 27 + ascii(c) - 97 END
+        |         ELSE
+        |           CASE WHEN p = ' ' THEN 53 + ascii(c) - 48
+        |                ELSE 63 + ascii(c) - 48 END
+        |    END AS id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |      AS k
+        |  FROM u WHERE c <> ' '),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT), 8)) AS cs
+        |  FROM cnt),
+        |agg AS (
+        |  SELECT ch.doc_id, CAST(ch.cs // 8 AS BIGINT) AS chunk_idx,
+        |    CAST(count(*) AS BIGINT) AS chunk_tokens,
+        |    CAST(min(tk.i) - 1 AS BIGINT) AS char_start,
+        |    CAST(max(tk.i) AS BIGINT) AS char_end,
+        |    md5(string_agg(CAST(tk.id AS VARCHAR), ','
+        |      ORDER BY tk.i)) AS ids_md5
+        |  FROM ch JOIN tk ON tk.doc_id = ch.doc_id
+        |    AND tk.k >= ch.cs AND tk.k < ch.cs + 16
+        |  GROUP BY ch.doc_id, ch.cs)
+        |SELECT a.doc_id, a.chunk_idx, a.chunk_tokens, a.char_start,
+        |  a.char_end, a.ids_md5,
+        |  md5(substr(n.t, CAST(a.char_start + 1 AS INTEGER),
+        |    CAST(a.char_end - a.char_start AS INTEGER))) AS text_md5
+        |FROM agg a JOIN n ON n.doc_id = a.doc_id
+        |ORDER BY a.doc_id, a.chunk_idx""".stripMargin,
     // x131: the Unigram pair surface restated WITHOUT a tokenizer —
     // each letters-only half h lattices to 1 + length(h) tokens
     // (the prepended ▁ then single chars; 0 when empty — the

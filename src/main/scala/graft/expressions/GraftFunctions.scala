@@ -69,6 +69,10 @@ object GraftFunctions {
     c(WordPieceEncodeIds(e(text), tok.vocab, tok.unkId,
       tok.contPrefix, tok.maxInputCharsPerWord, tok.cleanText,
       tok.handleChineseChars, tok.stripAccents, tok.lowercase))
+  def bertNormalize(text: Column,
+      tok: graft.operators.WordPiece.WordPieceTokenizer): Column =
+    c(BertNormalize(e(text), tok.cleanText, tok.handleChineseChars,
+      tok.stripAccents, tok.lowercase))
   def unigramEncodeOffsets(text: Column,
       tok: graft.operators.Unigram.UnigramTokenizer): Column =
     c(UnigramEncodeOffsets(e(text), tok.pieces.toSeq, tok.unkId,

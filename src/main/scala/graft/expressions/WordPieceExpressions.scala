@@ -327,6 +327,29 @@ case class WordPieceDecodeIds(child: Expression,
   * untouched the two coincide up to the byte/code-point unit.
   * Pure projection: zero shuffles, whole-stage codegen.
   */
+/** The Bert NORMALIZED view of a text column — exactly the
+  * [[BertPipeline.normalize]] string the encode/offsets kernels run
+  * over, surfaced as its own projection so span consumers
+  * ([[graft.operators.Chunking.tokenWindowSpans]]) can substr the
+  * SAME string the offsets index. One shared pipeline — the view and
+  * the spans can never drift. Pure projection.
+  */
+case class BertNormalize(child: Expression, cleanText: Boolean,
+    handleChineseChars: Boolean, stripAccents: Boolean,
+    lowercase: Boolean) extends UnaryKernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bert_normalize"
+
+  override def kernel(input: Any): Any =
+    UTF8String.fromString(BertPipeline.normalize(
+      input.asInstanceOf[UTF8String].toString, cleanText,
+      handleChineseChars, stripAccents, lowercase))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BertNormalize = copy(child = newChild)
+}
+
 case class WordPieceEncodeOffsets(child: Expression,
     vocab: Seq[(String, Long)], unkId: Long, contPrefix: String,
     maxInputCharsPerWord: Int, cleanText: Boolean,

@@ -107,6 +107,60 @@ object Chunking {
           vocab).as("chunk_text"))
   }
 
+  /** [[tokenWindowsBpe]]'s PROVENANCE-PRESERVING sibling: windows
+    * budgeted by a WordPiece tokenizer WITH exact source spans — each
+    * chunk carries `(char_start, char_end)` code-point offsets into
+    * the Bert-NORMALIZED text plus the substring they delimit, so a
+    * chunk embedded or retrieved at 100 TB can point BACK into its
+    * source document (attribution, dedup receipts, span-level
+    * contamination reports) instead of reconstructing text from ids
+    * (the decode space-join loses the original spacing; the span
+    * does not). The spans come from the offsets kernel and the
+    * normalized view from the SAME [[graft.expressions.BertPipeline]]
+    * — they cannot drift. Window `i` covers tokens
+    * `[i·stride, i·stride + width)`; the last window may be short;
+    * documents with no tokens yield no rows. The tokenizer must be
+    * template- and padding-free (those ids carry no source span) —
+    * refused loudly otherwise.
+    *
+    * Output: idCol, `chunk_idx`, `chunk_tokens`, `chunk_ids`,
+    * `char_start`, `char_end`, `chunk_text`. Pure map: encode,
+    * sequence, posexplode, slice, substr — zero shuffles at any
+    * corpus size, streaming-composable.
+    */
+  def tokenWindowSpans(df: DataFrame, idCol: String, textCol: String,
+      tok: graft.operators.WordPiece.WordPieceTokenizer,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    require(tok.prefixIds.isEmpty && tok.suffixIds.isEmpty &&
+      tok.padding.isEmpty,
+      "tokenWindowSpans needs a template-free, padding-free " +
+        "tokenizer — template and pad ids carry no source span; " +
+        "strip the post-processor/padding blocks to chunk")
+    val base = df.select(col(idCol),
+      graft.expressions.GraftFunctions.wordPieceEncodeOffsets(
+        col(textCol), tok).as("__toks"),
+      graft.expressions.GraftFunctions.bertNormalize(col(textCol),
+        tok).as("__norm"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__idx",
+        sequence(lit(0), expr(s"(__n - 1) div $stride")))
+    val w = base
+      .select(col(idCol), col("__toks"), col("__norm"),
+        posexplode(col("__idx")).as(Seq("chunk_idx", "__i")))
+      .withColumn("__w", slice(col("__toks"),
+        col("__i") * stride + 1, lit(width)))
+    val start = element_at(col("__w"), 1).getField("start")
+    val end = element_at(col("__w"), -1).getField("end")
+    w.select(col(idCol), col("chunk_idx"),
+      size(col("__w")).cast("long").as("chunk_tokens"),
+      transform(col("__w"), t => t.getField("id")).as("chunk_ids"),
+      start.cast("long").as("char_start"),
+      end.cast("long").as("char_end"),
+      col("__norm").substr(start + 1, end - start).as("chunk_text"))
+  }
+
   /** Corpus-wide segment dedup: cut each document into NON-overlapping
     * `width`-token segments, keep only the first occurrence of each
     * distinct segment text (ordered by (idCol, segment index)), and

@@ -1047,7 +1047,14 @@ object Extensions {
     * fixtures (the x121/x122 split: closed-form surface by oracle,
     * iterative-match semantics by spec).
     */
-  def x129WordPieceOffsets(s: SparkSession, dir: String): DataFrame = {
+  /** The x129/x132 fixture: a SINGLE-CHARACTER WordPiece vocab
+    * (`a–z0–9` bare at 1..26/53..62, `##` continuations at
+    * 27..52/63..72, `[UNK]` 0), template-free — every non-space
+    * character of normalized text is exactly one token, which is
+    * what lets DuckDB restate offsets and spans positionally.
+    */
+  private def wordPieceCharFixtureTok(s: SparkSession, dir: String)
+      : graft.operators.WordPiece.WordPieceTokenizer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val vocab = mapper.createObjectNode()
     var nextId = 0L
@@ -1075,7 +1082,11 @@ object Extensions {
       s"graft_wordpiece_off_${fixtureKey(dir, 1)}.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       mapper.writeValueAsBytes(root))
-    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    graft.operators.WordPiece.loadTokenizerJson(s, path)
+  }
+
+  def x129WordPieceOffsets(s: SparkSession, dir: String): DataFrame = {
+    val tok = wordPieceCharFixtureTok(s, dir)
     val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
     val withToks = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -1144,6 +1155,35 @@ object Extensions {
           t.getField("start").cast("string"),
           t.getField("end").cast("string"))))).as("offsets_md5"))
       .orderBy(col("doc_id"))
+  }
+
+  /** x132: token-window chunking WITH SOURCE SPANS, oracle-checked —
+    * [[graft.operators.Chunking.tokenWindowSpans]] over the x129
+    * single-character fixture: window 16 / stride 8 chunks whose
+    * `(char_start, char_end)` spans, token counts, id streams and
+    * delimited SUBSTRINGS are all positional arithmetic DuckDB
+    * restates from `generate_series` (token k = the k-th non-space
+    * character; chunk cs covers tokens [cs, cs+16); its span is
+    * [pos(cs), pos(last)] and its text `substr(normalized, ...)`).
+    * The provenance property this certifies: every chunk's span
+    * re-extracts EXACTLY the text the chunk was built from — the
+    * attribution/contamination-report contract at 100 TB.
+    */
+  def x132ChunkSpans(s: SparkSession, dir: String): DataFrame = {
+    val tok = wordPieceCharFixtureTok(s, dir)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
+    val chunks = graft.operators.Chunking.tokenWindowSpans(
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), cleaned.as("t")),
+      "doc_id", "t", tok, width = 16, stride = 8)
+    chunks.select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_tokens"),
+        col("char_start"), col("char_end"),
+        md5(concat_ws(",", transform(col("chunk_ids"),
+          x => x.cast("string")))).as("ids_md5"),
+        md5(col("chunk_text")).as("text_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** x131: Unigram PAIR encode + truncation + padding + mask,

@@ -234,7 +234,8 @@ object ScaleTrend {
       // offsets kernel (both pure map-side projections — their scale
       // shape is the scan)
       "x128_wordpiece_truncation", "x129_wordpiece_offsets",
-      "x130_unigram_offsets", "x131_unigram_pair_truncation")
+      "x130_unigram_offsets", "x131_unigram_pair_truncation",
+      "x132_chunk_spans")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

@@ -595,6 +595,58 @@ class WordPieceSpec extends SparkSpec {
     assert(a.vocab == b.vocab)
   }
 
+  test("tokenWindowSpans: provenance chunks — every chunk's span " +
+      "re-extracts exactly its text from the normalized view, the " +
+      "last window may be short, a templated tokenizer refuses, and " +
+      "the plan is a pure projection") {
+    import spark.implicits._
+    val tok = WordPiece.loadTokenizerJson(spark, writeJson(tokJson()))
+    // "the unaffable cat": the(0,3) un(4,6) ##aff(6,9) ##able(9,13)
+    // cat(14,17) — width 3 / stride 2 makes starts 0, 2, 4
+    val rows = graft.operators.Chunking.tokenWindowSpans(
+      Seq(("d", "The unaffable cat")).toDF("id", "t"),
+      "id", "t", tok, width = 3, stride = 2)
+      .orderBy(col("chunk_idx"))
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getSeq[Long](3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.toSeq == Seq(
+      (0, 3L, Seq(3L, 5L, 6L), 0L, 9L, "the unaff"),
+      (1, 3L, Seq(6L, 7L, 4L), 6L, 17L, "affable cat"),
+      (2, 1L, Seq(4L), 14L, 17L, "cat")))
+    // the span IS the text: re-substr over the normalized view
+    // equals chunk_text for every chunk of a real corpus line
+    val doc = Seq(("d", "The quick, brown fox! jumps 42 times."))
+      .toDF("id", "t")
+    val again = graft.operators.Chunking.tokenWindowSpans(
+      doc, "id", "t", tok, width = 4, stride = 3)
+    val norm = graft.expressions.GraftFunctions.bertNormalize(
+      col("t"), tok)
+    val mismatch = again
+      .join(doc, "id")
+      .filter(col("chunk_text") =!=
+        norm.substr(col("char_start").cast("int") + 1,
+          (col("char_end") - col("char_start")).cast("int")))
+      .count()
+    assert(mismatch == 0L, "a chunk span failed to re-extract its text")
+    // templated tokenizer refuses loudly
+    val tokT = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+      postProcessor = """{"type": "BertProcessing",
+        | "sep": ["[SEP]", 2], "cls": ["[CLS]", 1]}""".stripMargin)))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Chunking.tokenWindowSpans(
+        Seq(("d", "x")).toDF("id", "t"), "id", "t", tokT, 3, 2)
+    }
+    assert(e.getMessage.contains("template-free"))
+    // zero shuffles: chunking is a pure map
+    val plan = graft.operators.Chunking.tokenWindowSpans(
+      Seq(("d", "the cat")).toDF("id", "t"), "id", "t", tok, 3, 2)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.Exchange => x
+    }.isEmpty, "tokenWindowSpans introduced a shuffle")
+  }
+
   test("attention mask: POSITIONAL from the pre-padding length — a " +
       "pad_id colliding with a content id ([UNK]-as-pad) still masks " +
       "correctly, Left padding zero-prefixes, no padding block means " +

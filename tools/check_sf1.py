@@ -56,6 +56,7 @@ QUERIES = [
     "x127_wordpiece_pair_roundtrip",
     "x128_wordpiece_truncation", "x129_wordpiece_offsets",
     "x130_unigram_offsets", "x131_unigram_pair_truncation",
+    "x132_chunk_spans",
 ]
 
 
