@@ -198,6 +198,9 @@ object SparkEntry {
     "x131_unigram_pair_truncation" ->
       Extensions.x131UnigramPairTruncPad,
     "x132_chunk_spans" -> Extensions.x132ChunkSpans,
+    "x133_bpe_pair_truncation" -> Extensions.x133BpePairTruncPad,
+    "x134_bpe_offsets" -> Extensions.x134BpeOffsets,
+    "x135_bpe_chunk_spans" -> Extensions.x135BpeChunkSpans,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -1947,6 +1950,108 @@ object SparkEntry {
         |       THEN 4 + fa + (least(la + lb, 21) - fa) ELSE 0 END
         |    AS BIGINT) AS mask_first_zero
         |FROM f ORDER BY doc_id""".stripMargin,
+    // x133: the byte-level BPE pair surface restated WITHOUT a
+    // tokenizer — the byte-identity vocab makes each ASCII half of k
+    // alphanumeric characters encode to exactly its k byte values,
+    // so under the Roberta template (4 fixed ids, content budget
+    // 20 = 24 − 4, ceil(20/2) = 10) the kept lengths are the
+    // longest-first closed form, the content decode is the substr
+    // concatenation (Roberta types are all zero — the first </s>
+    // position 2 + fa pins the A/B split instead), and the
+    // pad/mask books are arithmetic over (fa, fb)
+    "x133_bpe_pair_truncation" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substr(l, 1, least(CAST(length(l)//2 AS INTEGER),
+        |      CAST(2 + doc_id % 23 AS INTEGER))) AS a,
+        |    substr(l, CAST(length(l)//2 + 1 AS INTEGER),
+        |      CAST(1 + doc_id % 17 AS INTEGER)) AS b
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(text, '[^A-Za-z0-9]', '', 'g') AS l
+        |        FROM documents WHERE text IS NOT NULL)),
+        |f AS (
+        |  SELECT doc_id, a, b, length(a) AS la, length(b) AS lb,
+        |    CASE WHEN length(a) + length(b) <= 20 THEN length(a)
+        |         ELSE least(length(a), greatest(10, 20 - length(b)))
+        |    END AS fa
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id, a, b, fa, least(la + lb, 20) - fa AS fb
+        |  FROM f)
+        |SELECT doc_id,
+        |  md5(substr(a, 1, fa) || substr(b, 1, fb)) AS content_md5,
+        |  CAST(2 + fa AS BIGINT) AS first_sep,
+        |  CAST(24 AS BIGINT) AS n_ids,
+        |  CAST(20 - fa - fb AS BIGINT) AS n_pad,
+        |  CAST(CASE WHEN fa + fb < 20 THEN 5 + fa + fb ELSE 0 END
+        |    AS BIGINT) AS first_pad,
+        |  CAST(0 AS BIGINT) AS type_sum,
+        |  CAST(4 + fa + fb AS BIGINT) AS mask_sum,
+        |  CAST(CASE WHEN fa + fb < 20 THEN 5 + fa + fb ELSE 0 END
+        |    AS BIGINT) AS mask_first_zero
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // x134: the byte-level BPE offsets stream restated WITHOUT a
+    // tokenizer — under the byte-identity vocab over cleaned
+    // [A-Za-z0-9 ] text EVERY character (spaces included — the
+    // ByteLevel full-fidelity convention) is one token: id = its
+    // ASCII byte, span = (i−1, i) in code points
+    "x134_bpe_offsets" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, i,
+        |    ascii(substr(t, CAST(i AS INTEGER), 1)) AS id
+        |  FROM n, LATERAL (SELECT
+        |    unnest(generate_series(1, length(t))) AS i) g)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_tokens,
+        |  md5(coalesce(g.s, '')) AS offsets_md5
+        |FROM n LEFT JOIN (
+        |  SELECT doc_id, count(*) AS cnt,
+        |    string_agg(id || ':' || (i - 1) || ':' || i, ','
+        |      ORDER BY i) AS s
+        |  FROM u GROUP BY doc_id) g ON n.doc_id = g.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // x135: byte-level provenance chunks restated WITHOUT a
+    // tokenizer — token k IS the (k+1)-th character of the cleaned
+    // text (spaces included), so chunk ci covers characters
+    // [ci·8, ci·8 + len), its ids are their ASCII bytes and its
+    // text the substr the span delimits
+    "x135_bpe_chunk_spans" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, i,
+        |    ascii(substr(t, CAST(i AS INTEGER), 1)) AS id
+        |  FROM n, LATERAL (SELECT
+        |    unnest(generate_series(1, length(t))) AS i) g),
+        |d AS (SELECT doc_id, length(t) AS n
+        |      FROM n WHERE length(t) > 0),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST((n - 1) // 8 AS BIGINT)))
+        |      AS ci
+        |  FROM d),
+        |agg AS (
+        |  SELECT ch.doc_id, CAST(ch.ci AS BIGINT) AS chunk_idx,
+        |    CAST(count(*) AS BIGINT) AS chunk_tokens,
+        |    CAST(ch.ci * 8 AS BIGINT) AS char_start,
+        |    CAST(ch.ci * 8 + count(*) AS BIGINT) AS char_end,
+        |    md5(string_agg(CAST(u.id AS VARCHAR), ','
+        |      ORDER BY u.i)) AS ids_md5
+        |  FROM ch JOIN u ON u.doc_id = ch.doc_id
+        |    AND u.i > ch.ci * 8 AND u.i <= ch.ci * 8 + 16
+        |  GROUP BY ch.doc_id, ch.ci)
+        |SELECT a.doc_id, a.chunk_idx, a.chunk_tokens, a.char_start,
+        |  a.char_end, a.ids_md5,
+        |  md5(substr(n.t, CAST(a.char_start + 1 AS INTEGER),
+        |    CAST(a.chunk_tokens AS INTEGER))) AS text_md5
+        |FROM agg a JOIN n ON n.doc_id = a.doc_id
+        |ORDER BY a.doc_id, a.chunk_idx""".stripMargin,
     // x126: the x123 identity certifying the TRAINED Unigram
     // artifact — the trainer's byte alphabet + required singles make
     // the same trainer-free statement hold for a fitted vocabulary

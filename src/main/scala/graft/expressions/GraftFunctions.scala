@@ -60,6 +60,10 @@ object GraftFunctions {
   def bpeEncode(text: Column, merges: Seq[(Int, String, String)],
       pattern: String, byteLevel: Boolean): Column =
     c(BpeEncodeTokens(e(text), merges, pattern, byteLevel))
+  def bpeEncodeOffsets(text: Column,
+      merges: Seq[(Int, String, String)], pattern: String,
+      vocab: Seq[(String, Long)]): Column =
+    c(BpeEncodeOffsets(e(text), merges, pattern, vocab))
   def unigramEncode(text: Column,
       tok: graft.operators.Unigram.UnigramTokenizer): Column =
     c(UnigramEncodeIds(e(text), tok.pieces.toSeq, tok.unkId,

@@ -585,6 +585,52 @@ case class ByteUnmap(child: Expression)
       newChild: Expression): ByteUnmap = copy(child = newChild)
 }
 
+/** The per-word BPE merge fold BOTH byte-level kernels share — the id
+  * path ([[BpeEncodeTokens]]) and the offsets path
+  * ([[BpeEncodeOffsets]]) call this ONE implementation, so the two
+  * surfaces cannot disagree on segmentation (the UnigramMatcher
+  * idiom). Besides the final tokens it returns, per token, HOW MANY
+  * base symbols the token consumed — the group boundaries the offsets
+  * kernel turns into spans; the id kernel ignores them.
+  */
+private[expressions] object BpeWordMerge {
+  def merge(base: Array[String], rank: Map[(String, String), Int])
+      : (Array[String], Array[Int]) = {
+    var syms = base
+    var sizes = Array.fill(base.length)(1)
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-ranked pair present
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // one leftmost-first non-overlapping pass for that rank
+        val out = Array.newBuilder[String]
+        val osz = Array.newBuilder[Int]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length &&
+              rank.getOrElse((syms(j), syms(j + 1)), -1) == best) {
+            out += (syms(j) + syms(j + 1))
+            osz += (sizes(j) + sizes(j + 1))
+            j += 2
+          } else { out += syms(j); osz += sizes(j); j += 1 }
+        }
+        syms = out.result()
+        sizes = osz.result()
+        done = syms.length < 2
+      }
+    }
+    (syms, sizes)
+  }
+}
+
 /** Per-row BPE encoding as a compiled kernel — the MAP-SIDE encoder:
   * pre-tokenize with `pattern`, start each word as single chars (or
   * mapped UTF-8 bytes when `byteLevel`), then repeatedly apply the
@@ -654,35 +700,8 @@ case class BpeEncodeTokens(child: Expression,
       out.result()
     }
 
-  private def encodeWord(w: String): Array[String] = {
-    var syms = baseSyms(w)
-    var done = syms.length < 2
-    while (!done) {
-      // lowest-ranked pair present
-      var best = Int.MaxValue
-      var i = 0
-      while (i < syms.length - 1) {
-        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
-        if (r < best) best = r
-        i += 1
-      }
-      if (best == Int.MaxValue) done = true
-      else {
-        // one leftmost-first non-overlapping pass for that rank
-        val out = Array.newBuilder[String]
-        var j = 0
-        while (j < syms.length) {
-          if (j + 1 < syms.length &&
-              rank.getOrElse((syms(j), syms(j + 1)), -1) == best) {
-            out += (syms(j) + syms(j + 1)); j += 2
-          } else { out += syms(j); j += 1 }
-        }
-        syms = out.result()
-        done = syms.length < 2
-      }
-    }
-    syms
-  }
+  private def encodeWord(w: String): Array[String] =
+    BpeWordMerge.merge(baseSyms(w), rank)._1
 
   override def kernel(t: Any): Any = {
     val text = t.asInstanceOf[UTF8String].toString
@@ -711,6 +730,143 @@ case class BpeEncodeTokens(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): BpeEncodeTokens = copy(child = newChild)
+}
+
+/** Byte-level BPE encode WITH OFFSETS: `(id, start, end)` per token,
+  * spans in CODE POINTS into the encode-view text (the string the
+  * kernel scans — post-NFC, post-`add_prefix_space`; the WordPiece/
+  * Unigram offsets convention for this lineage, and a documented
+  * divergence from the reference tokenizer's trim_offsets behaviour:
+  * spans here are the UNTRIMMED byte coverage, so a `Ġword` token's
+  * span includes its leading space). Segmentation CANNOT drift from
+  * [[BpeEncodeTokens]]: both kernels run the ONE [[BpeWordMerge]]
+  * fold; this one also converts each token's base-symbol (= byte)
+  * group to a code-point span. A token boundary that splits a
+  * multi-byte character gives BOTH tokens that character's span
+  * (overlapping spans — each token covers every character it carries
+  * bytes of), so spans always delimit the full characters a token
+  * touches and `substr(text, start, end − start)` re-extracts them —
+  * exact whenever boundaries are character-aligned (always, for
+  * ASCII). Ids resolve through `vocab` and an absent token fails
+  * LOUDLY — the byte alphabet is closed, so a miss means a
+  * mismatched (merges, vocab) pair, never data.
+  */
+case class BpeEncodeOffsets(child: Expression,
+    merges: Seq[(Int, String, String)], pattern: String,
+    vocab: Seq[(String, Long)], cacheSize: Int = 10000)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(cacheSize >= 0, s"cacheSize must be >= 0: $cacheSize")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_bpe_encode_offsets"
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.map(m => ((m._2, m._3), m._1)).toMap
+
+  @transient private lazy val idOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, java.lang.Long.valueOf(i)) }
+    m
+  }
+
+  @transient private lazy val wordRe =
+    java.util.regex.Pattern.compile(pattern)
+
+  // word → (id, relStart, relEnd) triples, spans relative to the
+  // word's own first code point — the same direct-mapped lock-free
+  // cache shape as BpeEncodeTokens (immutable entries, overwrite on
+  // collision)
+  @transient private lazy val cache =
+    new java.util.concurrent.atomic.AtomicReferenceArray[
+      (String, Array[(Long, Int, Int)])](math.max(cacheSize, 1))
+
+  private def cacheSlot(w: String): Int = {
+    val h = w.hashCode
+    ((h ^ (h >>> 16)) & 0x7fffffff) % math.max(cacheSize, 1)
+  }
+
+  /** UTF-8 byte count of a code point — the base-symbol count the
+    * byte path expands it to.
+    */
+  private def utf8Len(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2
+    else if (cp < 0x10000) 3 else 4
+
+  private def encodeWordSpans(w: String): Array[(Long, Int, Int)] = {
+    // per base BYTE: the code-point span of the character carrying it
+    val nCp = w.codePointCount(0, w.length)
+    val byteCpStart = Array.newBuilder[Int]
+    var ci = 0; var cc = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      var k = 0
+      val n = utf8Len(cp)
+      while (k < n) { byteCpStart += cc; k += 1 }
+      ci += Character.charCount(cp); cc += 1
+    }
+    val bcs = byteCpStart.result()
+    val mapped = ByteUnicode.remap(w)
+    val base = Array.tabulate(mapped.length)(i =>
+      mapped.charAt(i).toString)
+    val (toks, sizes) = BpeWordMerge.merge(base, rank)
+    val out = new Array[(Long, Int, Int)](toks.length)
+    var b = 0; var t = 0
+    while (t < toks.length) {
+      val id = idOf.get(toks(t))
+      if (id == null)
+        throw new IllegalArgumentException(
+          s"token '${toks(t)}' is not in the vocabulary — " +
+            "mismatched (merges, vocab) artifact")
+      val lastByte = b + sizes(t) - 1
+      out(t) = (id.longValue(), bcs(b),
+        math.min(bcs(lastByte) + 1, nCp))
+      b += sizes(t); t += 1
+    }
+    out
+  }
+
+  override def kernel(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = wordRe.matcher(text)
+    // incremental UTF-16 → code-point offset conversion (matches are
+    // scanned left to right, so one forward pass suffices)
+    var lastChar = 0; var lastCp = 0
+    while (m.find()) {
+      val wCp = lastCp + Character.codePointCount(text, lastChar,
+        m.start())
+      val w = m.group()
+      var spans: Array[(Long, Int, Int)] = null
+      var slot = -1
+      if (cacheSize > 0) {
+        slot = cacheSlot(w)
+        val e = cache.get(slot)
+        if (e != null && e._1 == w) spans = e._2
+      }
+      if (spans == null) {
+        spans = encodeWordSpans(w)
+        if (cacheSize > 0) cache.set(slot, (w, spans))
+      }
+      var i = 0
+      while (i < spans.length) {
+        val (id, s, e) = spans(i)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](id, wCp + s, wCp + e))
+        i += 1
+      }
+      lastCp = wCp + Character.codePointCount(text, m.start(), m.end())
+      lastChar = m.end()
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeOffsets = copy(child = newChild)
 }
 
 /** Token-id array → PACKED little-endian binary, `width` bytes per id

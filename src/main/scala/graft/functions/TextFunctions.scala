@@ -78,6 +78,24 @@ object TextFunctions {
   val bpeBytePatternFull =
     " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+(?!\\S)|\\s+"
 
+  /** The PUBLISHED GPT-2 `ByteLevel` pre-tokenization regex, verbatim
+    * (the `tokenizers` library's `use_regex = true` split): lowercase
+    * English contraction suffixes as their own tokens, then
+    * space-leading letter / digit / punctuation runs over the FULL
+    * Unicode categories (`\p{L}`/`\p{N}` — not just ASCII), then the
+    * whitespace alternatives of [[bpeBytePatternFull]]. Like that
+    * pattern, the alternatives jointly cover every character, so the
+    * concatenated matches ARE the text. This is the split the
+    * assembled tokenizer.json surface
+    * ([[graft.operators.Bpe.loadTokenizerJsonAssembled]]) encodes
+    * with — published byte-level artifacts (GPT-2, RoBERTa) assume
+    * exactly it. Java's regex engine supports every construct used
+    * (`\p{L}`, `\p{N}`, the `(?!\S)` lookahead).
+    */
+  val bpeByteLevelGpt2Pattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+
   /** Stopword inventories for the n-gram-free language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer training and application — the
@@ -927,17 +927,76 @@ object Bpe {
   def loadTokenizerJsonPipeline(spark: SparkSession, path: String)
       : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)],
         Boolean) = {
+    val p = parseTokenizerTree(spark, path)
+    // truncation/padding blocks: the GPT-2 lineage ships without
+    // them and this loader's tuple-shaped API has no place to carry
+    // them — refused loudly, never silently ignored (the loader
+    // contract; WordPiece/Unigram and the assembled loader
+    // [[loadTokenizerJsonAssembled]] HONOR the blocks)
+    TokenizerTruncation.rejectBlocks(p.tree, path, "byte-level BPE")
+    // the ByteLevel OPTIONS that change the id stream: this loader's
+    // callers encode with a caller-chosen pattern over the raw text,
+    // so a file demanding a prepended space or no regex split would
+    // silently mis-encode — refused here, HONORED by the assembled
+    // loader
+    require(!p.addPrefixSpace,
+      s"$path pre-tokenizer sets add_prefix_space=true — this " +
+        "entry point's callers encode the raw text and would " +
+        "silently drop the prepended space; load through " +
+        "loadTokenizerJsonAssembled, which honors it")
+    require(p.useRegex,
+      s"$path pre-tokenizer sets use_regex=false — the whole text " +
+        "as one merge unit is a different segmentation from every " +
+        "pattern this loader's callers pass; refusing to mis-encode")
+    val post = p.tree.get("post_processor")
+    require(isIdNeutralPost(post),
+      s"$path post-processor type '${Option(post.get("type"))
+        .map(_.asText()).getOrElse("?")}' injects or rewrites token " +
+        "ids (TemplateProcessing-class BOS/EOS templates especially) " +
+        "— this entry point emits the raw BPE id stream; " +
+        "loadTokenizerJsonAssembled honors template-carrying files")
+    (p.merges, p.vocab, p.needsNfc)
+  }
+
+  /** The parsed single-file serialization both loader stances share:
+    * the raw tree (for the block/post checks each stance applies),
+    * the (merges, vocab) model state, the surfaced NFC flag, and the
+    * ByteLevel pre-tokenizer options.
+    */
+  private case class ParsedBpeJson(
+      tree: com.fasterxml.jackson.databind.JsonNode,
+      merges: Seq[(Int, String, String, String, Long)],
+      vocab: Seq[(String, Long)], needsNfc: Boolean,
+      addPrefixSpace: Boolean, useRegex: Boolean)
+
+  /** Post-processor shapes that change NO ids: absent, `ByteLevel`
+    * (offset trimming only), or a Sequence composed purely of those.
+    */
+  private def isIdNeutralPost(
+      node: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    if (node == null || node.isNull) true
+    else Option(node.get("type")).map(_.asText()) match {
+      case Some("ByteLevel") => true
+      case Some("Sequence") =>
+        val ps = node.get("processors")
+        ps != null && ps.isArray && {
+          val it = ps.elements()
+          var ok = true
+          while (it.hasNext && ok) ok = isIdNeutralPost(it.next())
+          ok
+        }
+      case _ => false
+    }
+  }
+
+  private def parseTokenizerTree(spark: SparkSession, path: String)
+      : ParsedBpeJson = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val tree =
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
-    // truncation/padding blocks: the GPT-2 lineage ships without
-    // them and this loader's tuple-shaped API has no place to carry
-    // them — refused loudly, never silently ignored (the loader
-    // contract; WordPiece/Unigram HONOR the blocks)
-    TokenizerTruncation.rejectBlocks(tree, path, "byte-level BPE")
     val model = tree.get("model")
     require(model != null && model.isObject,
       s"$path has no tokenizer model object")
@@ -970,7 +1029,11 @@ object Bpe {
       model.get("unk_token").isNull,
       s"$path carries an unk_token — byte-level BPE has no unknowns; " +
         "this is not a byte-level artifact")
-    // pre-tokenizer: ByteLevel, possibly nested in a Sequence
+    // pre-tokenizer: ByteLevel, possibly nested in a Sequence — and
+    // EVERY Sequence member must be ByteLevel (a Split/Whitespace
+    // sibling is a different segmentation — Llama-3/Qwen2-style
+    // custom-regex splits — that encoding with any ByteLevel pattern
+    // would silently diverge from)
     def isByteLevel(node: com.fasterxml.jackson.databind.JsonNode)
         : Boolean = {
       if (node == null || node.isNull) false
@@ -978,11 +1041,11 @@ object Bpe {
         case Some("ByteLevel") => true
         case Some("Sequence") =>
           val ps = node.get("pretokenizers")
-          ps != null && ps.isArray && {
+          ps != null && ps.isArray && ps.size() > 0 && {
             val it = ps.elements()
-            var found = false
-            while (it.hasNext && !found) found = isByteLevel(it.next())
-            found
+            var ok = true
+            while (it.hasNext && ok) ok = isByteLevel(it.next())
+            ok
           }
         case _ => false
       }
@@ -997,6 +1060,34 @@ object Bpe {
         "absent" else "not ByteLevel"} — its vocab symbols are " +
         "not (or cannot be confirmed to be) the byte alphabet this " +
         "engine encodes with")
+    // the ByteLevel node's own options (the FIRST ByteLevel found —
+    // a Sequence of several is all-ByteLevel by the check above, and
+    // carrying contradictory options across members is not a shape
+    // the public serializer emits; the strictest reading wins: any
+    // member setting add_prefix_space or clearing use_regex counts)
+    def blOptions(node: com.fasterxml.jackson.databind.JsonNode)
+        : (Boolean, Boolean) = {
+      def flag(n: com.fasterxml.jackson.databind.JsonNode,
+          name: String, dflt: Boolean): Boolean = {
+        val v = n.get(name)
+        if (v == null || v.isNull) dflt else v.asBoolean(dflt)
+      }
+      Option(node.get("type")).map(_.asText()) match {
+        case Some("ByteLevel") =>
+          (flag(node, "add_prefix_space", dflt = false),
+            flag(node, "use_regex", dflt = true))
+        case Some("Sequence") =>
+          var aps = false; var ur = true
+          val it = node.get("pretokenizers").elements()
+          while (it.hasNext) {
+            val (a, u) = blOptions(it.next())
+            aps ||= a; ur &&= u
+          }
+          (aps, ur)
+        case _ => (false, true)
+      }
+    }
+    val (addPrefixSpace, useRegex) = blOptions(pre)
     // the OTHER two pipeline stages that change the id stream. A
     // normalizer rewrites the TEXT before pre-tokenization — this
     // engine encodes raw bytes, so accepting one silently would
@@ -1007,12 +1098,10 @@ object Bpe {
     // SURFACED as `needsNfc` instead of rejected, and
     // [[encodeIdsBytesPipeline]] applies it before encode. Everything
     // else (Lowercase, Replace, NFD/NFKC/NFKD, mixed Sequences) stays
-    // rejected. Same for a post-processor that INJECTS ids
-    // (TemplateProcessing's BOS/EOS, Roberta/Bert sentence-pair
-    // wrapping): every encoded sequence would be missing the
-    // template's tokens. Only the id-neutral shapes pass: absent,
-    // ByteLevel (offset trimming only — no id changes), or a Sequence
-    // composed purely of those.
+    // rejected. The post-processor stance is per-loader: the tuple
+    // entry points emit the raw id stream and refuse anything not
+    // id-neutral; [[loadTokenizerJsonAssembled]] parses and HONORS
+    // the template-carrying shapes.
     def isNfcOnly(node: com.fasterxml.jackson.databind.JsonNode)
         : Boolean = {
       if (node == null || node.isNull) false
@@ -1039,29 +1128,6 @@ object Bpe {
           "the normalizer rewrites")
       true
     }
-    def isIdNeutralPost(node: com.fasterxml.jackson.databind.JsonNode)
-        : Boolean = {
-      if (node == null || node.isNull) true
-      else Option(node.get("type")).map(_.asText()) match {
-        case Some("ByteLevel") => true
-        case Some("Sequence") =>
-          val ps = node.get("processors")
-          ps != null && ps.isArray && {
-            val it = ps.elements()
-            var ok = true
-            while (it.hasNext && ok) ok = isIdNeutralPost(it.next())
-            ok
-          }
-        case _ => false
-      }
-    }
-    val post = tree.get("post_processor")
-    require(isIdNeutralPost(post),
-      s"$path post-processor type '${Option(post.get("type"))
-        .map(_.asText()).getOrElse("?")}' injects or rewrites token " +
-        "ids (TemplateProcessing-class BOS/EOS templates especially) " +
-        "— this engine emits the raw BPE id stream; loading would " +
-        "silently drop the template's tokens from every sequence")
     val vocabNode = model.get("vocab")
     require(vocabNode != null && vocabNode.isObject,
       s"$path model.vocab is not a JSON object")
@@ -1121,7 +1187,8 @@ object Bpe {
       }
       b.result()
     }
-    (merges, vocab, needsNfc)
+    ParsedBpeJson(tree, merges, vocab, needsNfc, addPrefixSpace,
+      useRegex)
   }
 
   /** [[encodeIdsBytes]] honoring a [[loadTokenizerJsonPipeline]]
@@ -1145,6 +1212,381 @@ object Bpe {
         TextFunctions.normalizeUnicode(col(textCol), "NFC"))
     encodeIdsBytes(input, idCol, textCol, merges, vocabTable,
       broadcastMaxBytes, tokenPattern)
+  }
+
+  // ---- the ASSEMBLED tokenizer.json surface (round 18) --------------
+  //
+  // The third lineage's full pipeline contract, completing the
+  // WordPiece/Unigram symmetry: published byte-level files (GPT-2,
+  // RoBERTa) carry post-processor templates, truncation and padding
+  // blocks the tuple-shaped loaders above refuse — this surface
+  // HONORS them, through the SAME shared homes the other two
+  // lineages assemble with ([[WordPiece.parseTemplateProcessing]] /
+  // [[WordPiece.pairAssembled]] / [[TokenizerTruncation]]), so the
+  // template arithmetic cannot drift across lineages. Pre-tokenization
+  // is the PUBLISHED ByteLevel regex
+  // ([[TextFunctions.bpeByteLevelGpt2Pattern]] — contractions, \p{L}/
+  // \p{N} runs), with `add_prefix_space` honored.
+
+  /** A fully-loaded byte-level tokenizer: the (merges, vocab) model
+    * state, the surfaced NFC flag, the ByteLevel `add_prefix_space`
+    * option, single/pair templates, and the truncation/padding
+    * blocks — every stage of the published pipeline either honored
+    * or refused at load. `tokenPattern` is the ByteLevel split
+    * (`use_regex = true`, the only loadable setting).
+    */
+  case class BpeTokenizer(
+      merges: Seq[(Int, String, String, String, Long)],
+      vocab: Seq[(String, Long)], needsNfc: Boolean,
+      addPrefixSpace: Boolean,
+      prefixIds: Seq[Long], suffixIds: Seq[Long],
+      pair: Option[WordPiece.PairTemplate] = None,
+      truncation: Option[TokenizerTruncation.Truncation] = None,
+      padding: Option[TokenizerTruncation.Padding] = None,
+      tokenPattern: String = TextFunctions.bpeByteLevelGpt2Pattern)
+
+  /** Load a single-file byte-level `tokenizer.json` with the FULL
+    * pipeline honored: the blocks the tuple loaders refuse —
+    * post-processor templates (`RobertaProcessing`'s fixed
+    * `<s> A </s>` / `<s> A </s> </s> B </s>` form with all-zero type
+    * ids, or single+pair `TemplateProcessing` via the shared
+    * [[WordPiece.parseTemplateProcessing]] parser), `truncation` /
+    * `padding` (the [[TokenizerTruncation]] semantics), and the
+    * ByteLevel `add_prefix_space` option — all load here; everything
+    * neither honorable nor id-neutral still refuses loudly
+    * (`use_regex = false`, BatchLongest padding, non-zero stride,
+    * unknown processors — the loader contract). The vocab must cover
+    * the full 256-symbol byte alphabet (published byte-level
+    * artifacts always do) so every content token resolves to an id
+    * by construction — checked loudly at load, never a silent −1.
+    */
+  def loadTokenizerJsonAssembled(spark: SparkSession, path: String)
+      : BpeTokenizer = {
+    val p = parseTokenizerTree(spark, path)
+    require(p.useRegex,
+      s"$path pre-tokenizer sets use_regex=false — the whole text " +
+        "as one merge unit is a segmentation this engine does not " +
+        "implement; refusing to mis-encode")
+    val vocabMap = p.vocab.toMap
+    (0 until 256).foreach { b =>
+      val sym = graft.expressions.ByteUnicode.byteToChar(b).toString
+      require(vocabMap.contains(sym),
+        s"$path vocab is missing byte symbol $b ('$sym') — not a " +
+          "complete byte-level alphabet; content tokens could fail " +
+          "to resolve to ids")
+    }
+    val post = p.tree.get("post_processor")
+    val (prefixIds, suffixIds, pairTemplate)
+        : (Seq[Long], Seq[Long], Option[WordPiece.PairTemplate]) =
+      if (isIdNeutralPost(post)) (Seq.empty, Seq.empty, None)
+      else Option(post.get("type")).map(_.asText()) match {
+        case Some("RobertaProcessing") =>
+          // the published fixed form: single `<s> A </s>`, pair
+          // `<s> A </s> </s> B </s>`, token_type_ids ALL ZERO
+          // (RoBERTa does not use segment embeddings)
+          def pairId(name: String): Long = {
+            val v = post.get(name)
+            require(v != null && v.isArray && v.size() == 2,
+              s"$path RobertaProcessing.$name is not a [token, id] " +
+                "pair")
+            v.get(1).asLong()
+          }
+          val (cls, sep) = (pairId("cls"), pairId("sep"))
+          (Seq(cls), Seq(sep),
+            Some(WordPiece.PairTemplate(Seq((cls, 0L)),
+              Seq((sep, 0L), (sep, 0L)), Seq((sep, 0L)),
+              typeA = 0L, typeB = 0L)))
+        case Some("TemplateProcessing") =>
+          WordPiece.parseTemplateProcessing(post, vocabMap.get, path)
+        case other => throw new IllegalArgumentException(
+          s"$path post-processor type '${other.getOrElse("?")}' is " +
+            "not reproducible — only absent/ByteLevel (id-neutral), " +
+            "RobertaProcessing, or TemplateProcessing is supported")
+      }
+    BpeTokenizer(p.merges, p.vocab, p.needsNfc, p.addPrefixSpace,
+      prefixIds, suffixIds, pairTemplate,
+      TokenizerTruncation.parseTruncation(p.tree, path),
+      TokenizerTruncation.parsePadding(p.tree, path, vocabMap.get))
+  }
+
+  /** Export a loaded [[BpeTokenizer]] back to the single-file
+    * serialization — save→load identity (spec-asserted; a
+    * RobertaProcessing load re-emits as the equivalent
+    * TemplateProcessing, which loads back to the identical template
+    * ids). Emits through the same shared emitters as the WordPiece
+    * save ([[WordPiece.emitTemplateProcessing]] /
+    * [[TokenizerTruncation]]).
+    */
+  def saveTokenizerJsonAssembled(spark: SparkSession,
+      tok: BpeTokenizer, path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    TokenizerTruncation.emitTruncation(mapper, root, tok.truncation)
+    TokenizerTruncation.emitPadding(mapper, root, tok.padding,
+      id => tok.vocab.find(_._2 == id).map(_._1))
+    if (!tok.needsNfc) root.putNull("normalizer")
+    else {
+      val n = mapper.createObjectNode()
+      n.put("type", "NFC")
+      root.set[com.fasterxml.jackson.databind.JsonNode]("normalizer",
+        n)
+    }
+    val pre = mapper.createObjectNode()
+    pre.put("type", "ByteLevel")
+    pre.put("add_prefix_space", tok.addPrefixSpace)
+    pre.put("trim_offsets", true)
+    pre.put("use_regex", true)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("pre_tokenizer",
+      pre)
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty &&
+        tok.pair.isEmpty)
+      root.putNull("post_processor")
+    else WordPiece.emitTemplateProcessing(mapper, root, tok.prefixIds,
+      tok.suffixIds, tok.pair, tok.vocab.map(_.swap).toMap)
+    val model = mapper.createObjectNode()
+    model.put("type", "BPE")
+    model.putNull("dropout")
+    model.putNull("unk_token")
+    model.putNull("continuing_subword_prefix")
+    model.putNull("end_of_word_suffix")
+    model.put("fuse_unk", false)
+    model.put("byte_fallback", false)
+    model.put("ignore_merges", false)
+    val vNode = mapper.createObjectNode()
+    tok.vocab.foreach { case (t, id) => vNode.put(t, id) }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vNode)
+    val mergesArr = mapper.createArrayNode()
+    tok.merges.sortBy(_._1).foreach { m =>
+      val pairN = mapper.createArrayNode()
+      pairN.add(m._2); pairN.add(m._3)
+      mergesArr.add(pairN)
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges",
+      mergesArr)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("model", model)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** The CORE content ids — NFC when the file demands it, the
+    * ByteLevel `add_prefix_space` prepend (a space is prepended
+    * unless the text already starts with one — the published
+    * behaviour, which makes `"word"` and `" word"` encode
+    * identically), the published ByteLevel regex split, the merge
+    * fold, and the id hop. No template, no truncation, no padding —
+    * the assembly surfaces below add those. Zero shuffles: one
+    * compiled-kernel projection.
+    */
+  private def coreIdsColumn(text: Column, tok: BpeTokenizer)
+      : Column =
+    graft.expressions.GraftFunctions.tokenIds(
+      graft.expressions.GraftFunctions.bpeEncode(
+        encodeView(text, tok),
+        tok.merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tok.tokenPattern, byteLevel = true),
+      tok.vocab, unkId = -1L)
+
+  /** Truncated content + template, UNPADDED — the pre-padding view
+    * [[encodeColumn]] pads and [[encodeWithMask]] masks from (the
+    * [[WordPiece]] assembly shape).
+    */
+  private def assembledColumn(text: Column, tok: BpeTokenizer)
+      : Column = {
+    val core0 = coreIdsColumn(text, tok)
+    val core = tok.truncation match {
+      case Some(t) => TokenizerTruncation.truncateSingle(core0, t,
+        tok.prefixIds.size + tok.suffixIds.size)
+      case None => core0
+    }
+    if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+    else concat(typedLit(tok.prefixIds), core,
+      typedLit(tok.suffixIds))
+  }
+
+  /** Single-sequence encode under the FULL pipeline: template ids,
+    * truncation, Fixed padding — the [[WordPiece.encodeColumn]]
+    * contract for the byte-level lineage. Zero shuffles.
+    */
+  def encodeColumn(text: Column, tok: BpeTokenizer): Column = {
+    val full = assembledColumn(text, tok)
+    tok.padding match {
+      case Some(p) => TokenizerTruncation.pad(full, p, p.padId)
+      case None => full
+    }
+  }
+
+  /** Distributed encode: `(idCol, token_ids)` — zero-shuffle. */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      tok: BpeTokenizer): DataFrame =
+    df.select(col(idCol),
+      encodeColumn(col(textCol), tok).as("token_ids"))
+
+  /** Distributed encode WITH the attention mask: `(idCol, token_ids,
+    * attention_mask)` — positional from the PRE-padding length via
+    * an intermediate projection, never by matching pad_id values
+    * (the [[WordPiece.encodeWithMask]] rule: a pad id colliding with
+    * a content id must not zero real tokens). Zero shuffles.
+    */
+  def encodeWithMask(df: DataFrame, idCol: String, textCol: String,
+      tok: BpeTokenizer): DataFrame = {
+    val enc = df.select(col(idCol),
+      assembledColumn(col(textCol), tok).as("_graft_ids"))
+    enc.select(col(idCol),
+      (tok.padding match {
+        case Some(p) =>
+          TokenizerTruncation.pad(col("_graft_ids"), p, p.padId)
+        case None => col("_graft_ids")
+      }).as("token_ids"),
+      TokenizerTruncation.attentionMask(col("_graft_ids"),
+        tok.padding).as("attention_mask"))
+  }
+
+  private def requirePair(tok: BpeTokenizer): WordPiece.PairTemplate =
+    tok.pair.getOrElse(throw new IllegalArgumentException(
+      "this tokenizer defines no PAIR template — single-sequence " +
+        "encode is encodeColumn; refusing to fabricate segment " +
+        "structure for a two-sequence input"))
+
+  private def padPair(ids: Column, types: Column, tok: BpeTokenizer)
+      : (Column, Column) =
+    tok.padding match {
+      case Some(p) => (TokenizerTruncation.pad(ids, p, p.padId),
+        TokenizerTruncation.pad(types, p, p.padTypeId))
+      case None => (ids, types)
+    }
+
+  /** PAIR encode: `(idCol, token_ids, type_ids)` under the
+    * tokenizer's pair template — RoBERTa's `<s> A </s> </s> B </s>`
+    * or a file's own TemplateProcessing pair — through the SAME
+    * assembly home as the other two lineages
+    * ([[WordPiece.pairAssembled]]: template ids, published
+    * truncation strategies, Fixed padding). Content encodes
+    * materialize once behind an intermediate projection. Refuses
+    * loudly without a pair template. Zero shuffles.
+    */
+  def encodePair(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, tok: BpeTokenizer): DataFrame = {
+    val pt = requirePair(tok)
+    val enc = df.select(col(idCol),
+      coreIdsColumn(col(aCol), tok).as("_graft_ea"),
+      coreIdsColumn(col(bCol), tok).as("_graft_eb"))
+    val (ids, types) = WordPiece.pairAssembled(col("_graft_ea"),
+      col("_graft_eb"), tok.truncation, pt)
+    val (pids, ptypes) = padPair(ids, types, tok)
+    enc.select(col(idCol), pids.as("token_ids"),
+      ptypes.as("type_ids"))
+  }
+
+  /** [[encodePair]] plus the positional attention mask. */
+  def encodePairWithMask(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, tok: BpeTokenizer): DataFrame = {
+    val pt = requirePair(tok)
+    val enc = df.select(col(idCol),
+      coreIdsColumn(col(aCol), tok).as("_graft_ea"),
+      coreIdsColumn(col(bCol), tok).as("_graft_eb"))
+    val (ids, types) = WordPiece.pairAssembled(col("_graft_ea"),
+      col("_graft_eb"), tok.truncation, pt)
+    val mid = enc.select(col(idCol), ids.as("_graft_ids"),
+      types.as("_graft_types"))
+    val (pids, ptypes) = padPair(col("_graft_ids"),
+      col("_graft_types"), tok)
+    mid.select(col(idCol), pids.as("token_ids"),
+      ptypes.as("type_ids"),
+      TokenizerTruncation.attentionMask(col("_graft_ids"),
+        tok.padding).as("attention_mask"))
+  }
+
+  /** The encode-view text the kernels scan: NFC when the file
+    * demands it, then the `add_prefix_space` prepend — offsets index
+    * THIS string.
+    */
+  private[operators] def encodeView(text: Column, tok: BpeTokenizer)
+      : Column = {
+    val t1 =
+      if (!tok.needsNfc) text
+      else TextFunctions.normalizeUnicode(text, "NFC")
+    if (!tok.addPrefixSpace) t1
+    else when(t1.startsWith(" "), t1).otherwise(concat(lit(" "), t1))
+  }
+
+  /** The encode-with-OFFSETS column: `(id, start, end)` structs,
+    * spans in code points into the ENCODE-VIEW text (post-NFC,
+    * post-`add_prefix_space` — see
+    * [[graft.expressions.BpeEncodeOffsets]] for the exact convention:
+    * untrimmed byte coverage, multi-byte splits covered whole, a
+    * documented divergence from the reference's trim_offsets).
+    * Template specials carry the published (0, 0) span; truncation
+    * and Fixed padding apply exactly as to [[encodeColumn]] (pads as
+    * `(pad_id, 0, 0)`) — the [[WordPiece.encodeOffsetsColumn]]
+    * contract for the third lineage. Zero shuffles.
+    */
+  def encodeOffsetsColumn(text: Column, tok: BpeTokenizer): Column = {
+    def fixed(ids: Seq[Long]): Column = array(ids.map(id =>
+      struct(lit(id).as("id"), lit(0).as("start"),
+        lit(0).as("end"))): _*)
+    val core0 = graft.expressions.GraftFunctions.bpeEncodeOffsets(
+      encodeView(text, tok),
+      tok.merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+      tok.tokenPattern, tok.vocab)
+    val core = tok.truncation match {
+      case Some(t) => TokenizerTruncation.truncateSingle(core0, t,
+        tok.prefixIds.size + tok.suffixIds.size)
+      case None => core0
+    }
+    val full =
+      if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty) core
+      else concat(fixed(tok.prefixIds), core, fixed(tok.suffixIds))
+    tok.padding match {
+      case Some(p) =>
+        val padRow = struct(lit(p.padId).as("id"),
+          lit(0).as("start"), lit(0).as("end"))
+        val fill = array_repeat(padRow, lit(p.length) - size(full))
+        when(size(full) >= p.length, full).otherwise(
+          if (p.direction == "left") concat(fill, full)
+          else concat(full, fill))
+      case None => full
+    }
+  }
+
+  /** Distributed encode with offsets: `(idCol, tokens)` — the
+    * `(id, start, end)` struct array, via an intermediate projection
+    * (the [[WordPiece.encodeWithOffsets]] shape). Zero shuffles.
+    */
+  def encodeWithOffsets(df: DataFrame, idCol: String,
+      textCol: String, tok: BpeTokenizer): DataFrame =
+    df.select(col(idCol),
+      encodeOffsetsColumn(col(textCol), tok).as("tokens"))
+
+  /** Every fixed id any of the tokenizer's templates can emit —
+    * the decode-time skip set.
+    */
+  private def templateIds(tok: BpeTokenizer): Seq[Long] =
+    (tok.prefixIds ++ tok.suffixIds ++ tok.pair.toSeq.flatMap(pt =>
+      (pt.pre ++ pt.mid ++ pt.post).map(_._1))).distinct
+
+  /** The decode column for assembled sequences: template ids and
+    * the pad id (when a padding block is set) dropped, remaining
+    * content ids unmapped to their original UTF-8 bytes through the
+    * compiled [[graft.expressions.IdsToText]] kernel (special-token
+    * markers outside the byte alphabet render literally). With no
+    * merges applied mid-character, decode ∘ encode is the byte-exact
+    * identity on the encode-view text — the x92/x93 property this
+    * lineage keeps under templates. Zero shuffles.
+    */
+  def decodeColumn(ids: Column, tok: BpeTokenizer,
+      skipTemplateIds: Boolean = true): Column = {
+    val skip: Seq[Long] =
+      (if (skipTemplateIds) templateIds(tok) else Seq.empty[Long]) ++
+        tok.padding.map(_.padId).toSeq
+    val content =
+      if (skip.isEmpty) ids
+      else filter(ids, i => !i.isInCollection(skip))
+    graft.expressions.GraftFunctions.idsToText(content, tok.vocab)
   }
 
   /** Export a BYTE-level merge table as a Hugging Face single-file

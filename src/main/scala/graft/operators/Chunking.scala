@@ -131,17 +131,60 @@ object Chunking {
   def tokenWindowSpans(df: DataFrame, idCol: String, textCol: String,
       tok: graft.operators.WordPiece.WordPieceTokenizer,
       width: Int, stride: Int): DataFrame = {
-    require(width > 0 && stride > 0, "width and stride must be positive")
     require(tok.prefixIds.isEmpty && tok.suffixIds.isEmpty &&
       tok.padding.isEmpty,
       "tokenWindowSpans needs a template-free, padding-free " +
         "tokenizer — template and pad ids carry no source span; " +
         "strip the post-processor/padding blocks to chunk")
-    val base = df.select(col(idCol),
+    windowSpansFrom(df, idCol,
       graft.expressions.GraftFunctions.wordPieceEncodeOffsets(
-        col(textCol), tok).as("__toks"),
+        col(textCol), tok),
       graft.expressions.GraftFunctions.bertNormalize(col(textCol),
-        tok).as("__norm"))
+        tok), width, stride)
+  }
+
+  /** [[tokenWindowSpans]] for the BYTE-LEVEL lineage — provenance
+    * chunking under a GPT-2/RoBERTa-family tokenizer (the common
+    * production RAG/embedding case): spans index the tokenizer's
+    * ENCODE-VIEW text (post-NFC, post-`add_prefix_space` — the
+    * [[Bpe.encodeOffsetsColumn]] convention), the view travels with
+    * each chunk's substring, and the offsets come from the SAME
+    * [[graft.expressions.BpeWordMerge]] fold as the id kernel. Same
+    * window arithmetic home as the WordPiece form — the two lineages
+    * cannot drift on chunk shape. Template/padding blocks refused
+    * (their ids carry no source span); a truncation block is NOT
+    * applied — chunking consumes the untruncated stream, both
+    * lineages alike.
+    */
+  def tokenWindowSpansBpe(df: DataFrame, idCol: String,
+      textCol: String, tok: graft.operators.Bpe.BpeTokenizer,
+      width: Int, stride: Int): DataFrame = {
+    require(tok.prefixIds.isEmpty && tok.suffixIds.isEmpty &&
+      tok.padding.isEmpty,
+      "tokenWindowSpansBpe needs a template-free, padding-free " +
+        "tokenizer — template and pad ids carry no source span; " +
+        "strip the post-processor/padding blocks to chunk")
+    val view = graft.operators.Bpe.encodeView(col(textCol), tok)
+    windowSpansFrom(df, idCol,
+      graft.expressions.GraftFunctions.bpeEncodeOffsets(view,
+        tok.merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
+        tok.tokenPattern, tok.vocab),
+      view, width, stride)
+  }
+
+  /** The ONE window-arithmetic home both span-chunkers share: given
+    * an `(id, start, end)` offsets column and the text VIEW its
+    * spans index, emit the `(chunk_idx, chunk_tokens, chunk_ids,
+    * char_start, char_end, chunk_text)` rows. Pure map —
+    * sequence, posexplode, slice, substr — zero shuffles.
+    */
+  private def windowSpansFrom(df: DataFrame, idCol: String,
+      toks: org.apache.spark.sql.Column,
+      view: org.apache.spark.sql.Column,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val base = df.select(col(idCol), toks.as("__toks"),
+        view.as("__norm"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
       .withColumn("__idx",

@@ -122,6 +122,69 @@ object WordPiece {
     }
   }
 
+  /** Parse a full TemplateProcessing node — the SINGLE template's
+    * fixed prefix/suffix ids (around exactly one A) plus the PAIR
+    * template via [[parsePairTemplate]] — the one parser every
+    * template-carrying lineage shares (WordPiece here, the
+    * sentencepiece lineage's structurally-identical inline parse, and
+    * [[Bpe.loadTokenizerJsonAssembled]] for the byte-level lineage),
+    * so the A-only state machine and its refusals cannot drift
+    * between loaders. `idOf` resolves a special-token name through
+    * the processor's own `special_tokens` table then the caller's
+    * vocab.
+    */
+  private[operators] def parseTemplateProcessing(
+      post: com.fasterxml.jackson.databind.JsonNode,
+      vocabIdOf: String => Option[Long], path: String)
+      : (Seq[Long], Seq[Long], Option[PairTemplate]) = {
+    val single = post.get("single")
+    require(single != null && single.isArray,
+      s"$path TemplateProcessing without a single template")
+    val specialIds: Map[String, Long] = {
+      val m = Map.newBuilder[String, Long]
+      val st = post.get("special_tokens")
+      if (st != null && st.isObject) {
+        val it = st.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val ids = e.getValue.get("ids")
+          require(ids != null && ids.isArray && ids.size() == 1,
+            s"$path template special '${e.getKey}' maps to " +
+              "more than one id — not reproducible")
+          m += (e.getKey -> ids.get(0).asLong())
+        }
+      }
+      m.result()
+    }
+    def idOf(name: String): Long =
+      specialIds.getOrElse(name, vocabIdOf(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path template names special '$name' with no id")))
+    val pre0 = Seq.newBuilder[Long]
+    val post0 = Seq.newBuilder[Long]
+    var seenA = false
+    val it = single.elements()
+    while (it.hasNext) {
+      val item = it.next()
+      if (item.get("SpecialToken") != null) {
+        val id = idOf(item.get("SpecialToken").get("id").asText())
+        if (seenA) post0 += id else pre0 += id
+      } else if (item.get("Sequence") != null) {
+        val sid = item.get("Sequence").get("id").asText()
+        require(sid == "A" && !seenA,
+          s"$path SINGLE template references '$sid' — the " +
+            "single form takes exactly one A sequence (the " +
+            "pair form is the separate `pair` template)")
+        seenA = true
+      } else throw new IllegalArgumentException(
+        s"$path template item is neither SpecialToken nor " +
+          "Sequence")
+    }
+    require(seenA, s"$path template never references sequence A")
+    (pre0.result(), post0.result(),
+      parsePairTemplate(post, idOf, path))
+  }
+
   def loadTokenizerJson(spark: SparkSession, path: String)
       : WordPieceTokenizer = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -238,52 +301,7 @@ object WordPiece {
             Some(PairTemplate(Seq((cls, 0L)), Seq((sep, 0L)),
               Seq((sep, 1L)), typeA = 0L, typeB = 1L)))
         case Some("TemplateProcessing") =>
-          val single = post.get("single")
-          require(single != null && single.isArray,
-            s"$path TemplateProcessing without a single template")
-          val specialIds: Map[String, Long] = {
-            val m = Map.newBuilder[String, Long]
-            val st = post.get("special_tokens")
-            if (st != null && st.isObject) {
-              val it = st.fields()
-              while (it.hasNext) {
-                val e = it.next()
-                val ids = e.getValue.get("ids")
-                require(ids != null && ids.isArray && ids.size() == 1,
-                  s"$path template special '${e.getKey}' maps to " +
-                    "more than one id — not reproducible")
-                m += (e.getKey -> ids.get(0).asLong())
-              }
-            }
-            m.result()
-          }
-          def idOf(name: String): Long =
-            specialIds.getOrElse(name, vocabMap.getOrElse(name,
-              throw new IllegalArgumentException(
-                s"$path template names special '$name' with no id")))
-          val pre0 = Seq.newBuilder[Long]
-          val post0 = Seq.newBuilder[Long]
-          var seenA = false
-          val it = single.elements()
-          while (it.hasNext) {
-            val item = it.next()
-            if (item.get("SpecialToken") != null) {
-              val id = idOf(item.get("SpecialToken").get("id").asText())
-              if (seenA) post0 += id else pre0 += id
-            } else if (item.get("Sequence") != null) {
-              val sid = item.get("Sequence").get("id").asText()
-              require(sid == "A" && !seenA,
-                s"$path SINGLE template references '$sid' — the " +
-                  "single form takes exactly one A sequence (the " +
-                  "pair form is the separate `pair` template)")
-              seenA = true
-            } else throw new IllegalArgumentException(
-              s"$path template item is neither SpecialToken nor " +
-                "Sequence")
-          }
-          require(seenA, s"$path template never references sequence A")
-          (pre0.result(), post0.result(),
-            parsePairTemplate(post, idOf, path))
+          parseTemplateProcessing(post, vocabMap.get, path)
         case other => throw new IllegalArgumentException(
           s"$path post-processor type '${other.getOrElse("?")}' is " +
             "not reproducible — only absent, BertProcessing, or " +
@@ -334,61 +352,8 @@ object WordPiece {
         tok.pair.isEmpty)
       root.putNull("post_processor")
     else {
-      val idToTok = tok.vocab.map(_.swap).toMap
-      val post = mapper.createObjectNode()
-      post.put("type", "TemplateProcessing")
-      val specials = mapper.createObjectNode()
-      def specialItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
-          id: Long, typeId: Long): Unit = {
-        val name = idToTok.getOrElse(id, s"<special:$id>")
-        val it = mapper.createObjectNode()
-        val st = mapper.createObjectNode()
-        st.put("id", name); st.put("type_id", typeId)
-        it.set[com.fasterxml.jackson.databind.JsonNode](
-          "SpecialToken", st)
-        arr.add(it)
-        if (!specials.has(name)) {
-          val entry = mapper.createObjectNode()
-          entry.put("id", name)
-          val ids = mapper.createArrayNode(); ids.add(id)
-          entry.set[com.fasterxml.jackson.databind.JsonNode]("ids",
-            ids)
-          val toks = mapper.createArrayNode(); toks.add(name)
-          entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
-            toks)
-          specials.set[com.fasterxml.jackson.databind.JsonNode](name,
-            entry)
-        }
-      }
-      def seqItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
-          name: String, typeId: Long): Unit = {
-        val it = mapper.createObjectNode()
-        val ref = mapper.createObjectNode()
-        ref.put("id", name); ref.put("type_id", typeId)
-        it.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
-          ref)
-        arr.add(it)
-      }
-      val single = mapper.createArrayNode()
-      tok.prefixIds.foreach(specialItem(single, _, 0L))
-      seqItem(single, "A", 0L)
-      tok.suffixIds.foreach(specialItem(single, _, 0L))
-      post.set[com.fasterxml.jackson.databind.JsonNode]("single",
-        single)
-      tok.pair.foreach { pt =>
-        val pairArr = mapper.createArrayNode()
-        pt.pre.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
-        seqItem(pairArr, "A", pt.typeA)
-        pt.mid.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
-        seqItem(pairArr, "B", pt.typeB)
-        pt.post.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
-        post.set[com.fasterxml.jackson.databind.JsonNode]("pair",
-          pairArr)
-      }
-      post.set[com.fasterxml.jackson.databind.JsonNode](
-        "special_tokens", specials)
-      root.set[com.fasterxml.jackson.databind.JsonNode](
-        "post_processor", post)
+      emitTemplateProcessing(mapper, root, tok.prefixIds,
+        tok.suffixIds, tok.pair, tok.vocab.map(_.swap).toMap)
     }
     val model = mapper.createObjectNode()
     model.put("type", "WordPiece")
@@ -408,6 +373,74 @@ object WordPiece {
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(root))
     finally out.close()
+  }
+
+  /** Emit a single+pair TemplateProcessing post-processor node from
+    * loaded template state — the ONE emitter every template-carrying
+    * save shares (WordPiece, Unigram's structurally-identical
+    * emitter, [[Bpe.saveTokenizerJsonAssembled]]), the
+    * [[parseTemplateProcessing]] inverse: load(save(tok)) carries
+    * identical template ids (spec-asserted per lineage).
+    */
+  private[operators] def emitTemplateProcessing(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      root: com.fasterxml.jackson.databind.node.ObjectNode,
+      prefixIds: Seq[Long], suffixIds: Seq[Long],
+      pair: Option[PairTemplate], idToTok: Map[Long, String]): Unit = {
+    val post = mapper.createObjectNode()
+    post.put("type", "TemplateProcessing")
+    val specials = mapper.createObjectNode()
+    def specialItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+        id: Long, typeId: Long): Unit = {
+      val name = idToTok.getOrElse(id, s"<special:$id>")
+      val it = mapper.createObjectNode()
+      val st = mapper.createObjectNode()
+      st.put("id", name); st.put("type_id", typeId)
+      it.set[com.fasterxml.jackson.databind.JsonNode](
+        "SpecialToken", st)
+      arr.add(it)
+      if (!specials.has(name)) {
+        val entry = mapper.createObjectNode()
+        entry.put("id", name)
+        val ids = mapper.createArrayNode(); ids.add(id)
+        entry.set[com.fasterxml.jackson.databind.JsonNode]("ids",
+          ids)
+        val toks = mapper.createArrayNode(); toks.add(name)
+        entry.set[com.fasterxml.jackson.databind.JsonNode]("tokens",
+          toks)
+        specials.set[com.fasterxml.jackson.databind.JsonNode](name,
+          entry)
+      }
+    }
+    def seqItem(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+        name: String, typeId: Long): Unit = {
+      val it = mapper.createObjectNode()
+      val ref = mapper.createObjectNode()
+      ref.put("id", name); ref.put("type_id", typeId)
+      it.set[com.fasterxml.jackson.databind.JsonNode]("Sequence",
+        ref)
+      arr.add(it)
+    }
+    val single = mapper.createArrayNode()
+    prefixIds.foreach(specialItem(single, _, 0L))
+    seqItem(single, "A", 0L)
+    suffixIds.foreach(specialItem(single, _, 0L))
+    post.set[com.fasterxml.jackson.databind.JsonNode]("single",
+      single)
+    pair.foreach { pt =>
+      val pairArr = mapper.createArrayNode()
+      pt.pre.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+      seqItem(pairArr, "A", pt.typeA)
+      pt.mid.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+      seqItem(pairArr, "B", pt.typeB)
+      pt.post.foreach { case (id, ty) => specialItem(pairArr, id, ty) }
+      post.set[com.fasterxml.jackson.databind.JsonNode]("pair",
+        pairArr)
+    }
+    post.set[com.fasterxml.jackson.databind.JsonNode](
+      "special_tokens", specials)
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "post_processor", post)
   }
 
   /** The encode column: the compiled kernel, truncated to the

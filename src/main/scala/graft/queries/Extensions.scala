@@ -1289,6 +1289,185 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x133: byte-level BPE PAIR encode + truncation + padding + mask,
+    * oracle-checked — the x128/x131 statement for the THIRD lineage,
+    * under its own published pair form (`RobertaProcessing`:
+    * `<s> A </s> </s> B </s>`, token_type_ids ALL ZERO). The fixture
+    * vocab is the byte-IDENTITY layout ([[graft.operators.Bpe
+    * .vocabBytes]] with no merges: byte symbol b at id b, specials
+    * 256–258), so an alphanumeric ASCII half of k characters encodes
+    * to exactly its k byte values and the whole surface is DuckDB
+    * arithmetic: kept lengths follow the longest-first closed form
+    * (budget 20 = 24 − the 4 Roberta template ids), the kept CONTENT
+    * decodes to `substr(a,1,fa) || substr(b,1,fb)` (template + pad
+    * ids dropped — Roberta's all-zero types cannot slice A from B,
+    * so the concatenation is the content book and the FIRST `</s>`
+    * POSITION `2 + fa` pins the split), pad count / first-pad /
+    * type-id sum / positional mask are arithmetic over (fa, fb).
+    * All three template-carrying lineages now certify the ONE
+    * assembly home ([[graft.operators.WordPiece.pairAssembled]])
+    * end to end.
+    */
+  def x133BpePairTruncPad(s: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "truncation": {"direction": "Right", "max_length": 24,
+        |   "strategy": "LongestFirst", "stride": 0},
+        | "padding": {"strategy": {"Fixed": 24}, "direction": "Right",
+        |   "pad_to_multiple_of": null, "pad_id": 258,
+        |   "pad_type_id": 0, "pad_token": "<pad>"},
+        | "normalizer": null,
+        | "pre_tokenizer": {"type": "ByteLevel",
+        |   "add_prefix_space": false, "trim_offsets": true,
+        |   "use_regex": true},
+        | "post_processor": {"type": "RobertaProcessing",
+        |   "sep": ["</s>", 257], "cls": ["<s>", 256],
+        |   "trim_offsets": true, "add_prefix_space": true},
+        | "model": {"type": "BPE", "dropout": null,
+        |   "unk_token": null}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val model = root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val vocab = mapper.createObjectNode()
+    graft.operators.Bpe.vocabBytes(Nil, Seq("<s>", "</s>", "<pad>"))
+      .foreach { case (t, id) => vocab.put(t, id) }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges",
+      mapper.createArrayNode())
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_bpe_pair_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.Bpe.loadTokenizerJsonAssembled(s, path)
+    // planted ASCII-alphanumeric halves with doc_id-varied caps so
+    // the fits / truncates / pads regimes ALL occur (the x128 plant,
+    // case KEPT — bytes are case-exact)
+    val letters = regexp_replace(col("text"), "[^A-Za-z0-9]", "")
+    val half = (length(letters) / 2).cast("int")
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        letters.substr(lit(1),
+          least(half, (lit(2) + col("doc_id") % 23).cast("int")))
+          .as("a"),
+        letters.substr(half + 1,
+          (lit(1) + col("doc_id") % 17).cast("int")).as("b"))
+    val enc = graft.operators.Bpe.encodePairWithMask(planted,
+      "doc_id", "a", "b", tok)
+    enc.select(col("doc_id"),
+        md5(graft.operators.Bpe.decodeColumn(col("token_ids"), tok))
+          .as("content_md5"),
+        array_position(col("token_ids"), 257L).as("first_sep"),
+        size(col("token_ids")).cast("long").as("n_ids"),
+        size(filter(col("token_ids"), i => i === 258L)).cast("long")
+          .as("n_pad"),
+        array_position(col("token_ids"), 258L).as("first_pad"),
+        aggregate(col("type_ids"), lit(0L), (acc, t) => acc + t)
+          .as("type_sum"),
+        aggregate(col("attention_mask"), lit(0L), (acc, m) => acc + m)
+          .as("mask_sum"),
+        array_position(col("attention_mask"), 0L)
+          .as("mask_first_zero"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x134: byte-level BPE token OFFSETS, oracle-checked — the
+    * x129/x130 technique for the THIRD lineage:
+    * [[graft.operators.Bpe.encodeWithOffsets]] emits
+    * `(id, start, end)` code-point spans into the encode-view text
+    * through the SAME [[graft.expressions.BpeWordMerge]] fold as the
+    * id kernel (segmentation cannot drift). Under the byte-IDENTITY
+    * fixture vocab (no merges, byte symbol b at id b) over
+    * `[A-Za-z0-9 ]`-cleaned text, EVERY character — spaces included,
+    * the ByteLevel convention that makes decode full-fidelity — is
+    * exactly one token whose id is its ASCII byte and whose span is
+    * `(i−1, i)`, so DuckDB restates the ENTIRE id:start:end stream
+    * from `generate_series` with `ascii()` and no tokenizer at all.
+    * Merged-token spans, multi-byte/astral whole-character coverage,
+    * the `add_prefix_space` view shift and the truncation/template/
+    * padding books on this surface are pinned by BpeSpec hand
+    * fixtures (the x129 split).
+    */
+  /** The x134/x135 fixture: the byte-IDENTITY template-free
+    * byte-level tokenizer (no merges, byte symbol b at id b,
+    * `add_prefix_space` off) — every character of ASCII text is one
+    * token at its own byte value, the positional-arithmetic device.
+    */
+  private def bpeByteIdentityTok(s: SparkSession, dir: String)
+      : graft.operators.Bpe.BpeTokenizer = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      """{"version": "1.0", "truncation": null, "padding": null,
+        | "normalizer": null,
+        | "pre_tokenizer": {"type": "ByteLevel",
+        |   "add_prefix_space": false, "trim_offsets": true,
+        |   "use_regex": true},
+        | "post_processor": null,
+        | "model": {"type": "BPE", "dropout": null,
+        |   "unk_token": null}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val model = root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val vocab = mapper.createObjectNode()
+    graft.operators.Bpe.vocabBytes(Nil, Nil)
+      .foreach { case (t, id) => vocab.put(t, id) }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges",
+      mapper.createArrayNode())
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_bpe_off_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    graft.operators.Bpe.loadTokenizerJsonAssembled(s, path)
+  }
+
+  def x134BpeOffsets(s: SparkSession, dir: String): DataFrame = {
+    val tok = bpeByteIdentityTok(s, dir)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
+    val withToks = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.Bpe.encodeOffsetsColumn(cleaned, tok)
+          .as("toks"))
+    withToks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(",", transform(col("toks"), t => concat_ws(":",
+          t.getField("id").cast("string"),
+          t.getField("start").cast("string"),
+          t.getField("end").cast("string"))))).as("offsets_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x135: provenance chunking under the BYTE-LEVEL lineage,
+    * oracle-checked — [[graft.operators.Chunking.tokenWindowSpansBpe]]
+    * (the x132 contract for GPT-2-family tokenizers, the common
+    * production RAG/embedding case) over the x134 byte-identity
+    * fixture: window 16 / stride 8 chunks whose spans, token counts,
+    * id streams and delimited SUBSTRINGS are pure positional
+    * arithmetic — token k IS the (k+1)-th character (spaces
+    * included, the ByteLevel full-fidelity convention), so chunk cs
+    * covers characters [cs, cs+len) and its text is
+    * `substr(cleaned, cs+1, len)`. Both span-chunkers share ONE
+    * window-arithmetic home; this entry certifies it under the
+    * second lineage end to end, including the re-extraction
+    * property (span → substr → byte-equal text).
+    */
+  def x135BpeChunkSpans(s: SparkSession, dir: String): DataFrame = {
+    val tok = bpeByteIdentityTok(s, dir)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
+    val chunks = graft.operators.Chunking.tokenWindowSpansBpe(
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), cleaned.as("t")),
+      "doc_id", "t", tok, width = 16, stride = 8)
+    chunks.select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_tokens"),
+        col("char_start"), col("char_end"),
+        md5(concat_ws(",", transform(col("chunk_ids"),
+          x => x.cast("string")))).as("ids_md5"),
+        md5(col("chunk_text")).as("text_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** x126: Unigram TRAINING, oracle-checked end to end — the
     * [[graft.operators.Unigram.train]] EM + pruning recipe
     * (distributed pre-token histogram + seed-substring counting,

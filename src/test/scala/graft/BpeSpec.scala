@@ -1078,4 +1078,394 @@ class BpeSpec extends SparkSpec {
       "zero words must give null, not a division error")
     assert(b.getLong(b.fieldIndex("compression_milli")) == 1000L)
   }
+
+  // ---- the assembled tokenizer.json surface (round 18) --------------
+
+  /** A full-pipeline byte-level tokenizer.json: byte-identity vocab
+    * (symbol of byte b at id b, so ids of ASCII text are its byte
+    * values — the closed-form device x133 oracles with), specials
+    * `<s>`/`</s>`/`<pad>` at 256/257/258, and caller-chosen
+    * post_processor / truncation / padding / pre-tokenizer JSON
+    * fragments.
+    */
+  private def writeAssembledJson(post: String,
+      truncation: String = "null", padding: String = "null",
+      pre: String =
+        """{"type": "ByteLevel", "add_prefix_space": false,
+          | "trim_offsets": true, "use_regex": true}""".stripMargin,
+      merges: Seq[(Int, String, String, String, Long)] = Nil)
+      : String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      s"""{"version": "1.0",
+         | "truncation": $truncation,
+         | "padding": $padding,
+         | "normalizer": null,
+         | "pre_tokenizer": $pre,
+         | "post_processor": $post,
+         | "model": {"type": "BPE", "dropout": null,
+         |   "unk_token": null}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val model = root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val v = mapper.createObjectNode()
+    Bpe.vocabBytes(merges, Seq("<s>", "</s>", "<pad>"))
+      .foreach { case (t, id) => v.put(t, id) }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", v)
+    val ms = mapper.createArrayNode()
+    merges.sortBy(_._1).foreach { m =>
+      val pair = mapper.createArrayNode()
+      pair.add(m._2); pair.add(m._3); ms.add(pair)
+    }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges", ms)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokasm")
+    val p = dir.resolve("tokenizer.json")
+    java.nio.file.Files.write(p, mapper.writeValueAsBytes(root))
+    p.toString
+  }
+
+  private val robertaPost =
+    """{"type": "RobertaProcessing", "sep": ["</s>", 257],
+      | "cls": ["<s>", 256], "trim_offsets": true,
+      | "add_prefix_space": true}""".stripMargin
+
+  test("loadTokenizerJsonAssembled: RobertaProcessing loads to the " +
+      "published fixed template (all-zero type ids); single and pair " +
+      "encodes assemble through the shared home with truncation, " +
+      "Fixed padding and the positional mask — exact arrays on hand " +
+      "fixtures; decode drops template + pad ids") {
+    import spark.implicits._
+    val path = writeAssembledJson(robertaPost,
+      truncation = """{"direction": "Right", "max_length": 12,
+        | "strategy": "LongestFirst", "stride": 0}""".stripMargin,
+      padding = """{"strategy": {"Fixed": 12}, "direction": "Right",
+        | "pad_to_multiple_of": null, "pad_id": 258,
+        | "pad_type_id": 0, "pad_token": "<pad>"}""".stripMargin)
+    val tok = Bpe.loadTokenizerJsonAssembled(spark, path)
+    assert(tok.prefixIds == Seq(256L) && tok.suffixIds == Seq(257L))
+    val pt = tok.pair.get
+    assert(pt.pre == Seq((256L, 0L)) &&
+      pt.mid == Seq((257L, 0L), (257L, 0L)) &&
+      pt.post == Seq((257L, 0L)) && pt.typeA == 0L && pt.typeB == 0L,
+      "RobertaProcessing pair form is <s> A </s> </s> B </s>, types 0")
+    assert(tok.truncation.get.maxLength == 12 &&
+      tok.padding.get.padId == 258L)
+
+    // single: <s> a b c </s> + 7 pads; mask = 5 ones then 7 zeros
+    val df1 = Seq((1L, "abc")).toDF("id", "text")
+    val got1 = Bpe.encodeWithMask(df1, "id", "text", tok).collect()(0)
+    assert(got1.getSeq[Long](1) ==
+      Seq(256L, 97L, 98L, 99L, 257L) ++ Seq.fill(7)(258L))
+    assert(got1.getSeq[Long](2) == Seq.fill(5)(1L) ++ Seq.fill(7)(0L))
+
+    // pair: la=8, lb=3, budget 12-4=8 -> fa=min(8,max(4,5))=5, fb=3
+    val df2 = Seq((1L, "abcdefgh", "xyz")).toDF("id", "a", "b")
+    val got2 = Bpe.encodePairWithMask(df2, "id", "a", "b", tok)
+      .collect()(0)
+    assert(got2.getSeq[Long](1) ==
+      Seq(256L, 97L, 98L, 99L, 100L, 101L, 257L, 257L, 120L, 121L,
+        122L, 257L),
+      "longest-first keeps 5 of A, all 3 of B; no pads at length 12")
+    assert(got2.getSeq[Long](2) == Seq.fill(12)(0L),
+      "RoBERTa type ids are all zero, content and template alike")
+    assert(got2.getSeq[Long](3) == Seq.fill(12)(1L))
+
+    // decode: template + pad ids dropped, bytes unmapped
+    val dec = df1.select(Bpe.decodeColumn(
+      Bpe.encodeColumn(col("text"), tok), tok).as("t")).collect()(0)
+    assert(dec.getString(0) == "abc")
+  }
+
+  test("assembled surface refusals + collision-proof mask: pair " +
+      "encode without a pair template, only_second on single encode, " +
+      "use_regex=false (both loaders), add_prefix_space=true (tuple " +
+      "loader only), a Split sibling inside a Sequence pre-tokenizer, " +
+      "and a pad id colliding with a content id never zeroes real " +
+      "tokens") {
+    import spark.implicits._
+    // no pair template -> pair encode refuses
+    val noPair = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null"))
+    val df = Seq((1L, "ab", "cd")).toDF("id", "a", "b")
+    val e1 = intercept[IllegalArgumentException](
+      Bpe.encodePair(df, "id", "a", "b", noPair))
+    assert(e1.getMessage.contains("no PAIR template"))
+
+    // only_second loads but refuses on the single surface at plan time
+    val onlySecond = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson(robertaPost,
+        truncation = """{"direction": "Right", "max_length": 12,
+          | "strategy": "OnlySecond", "stride": 0}""".stripMargin))
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.encodeColumn(col("text"), onlySecond))
+    assert(e2.getMessage.contains("only_second"))
+
+    // use_regex=false refuses in BOTH loaders
+    val noRegex = writeAssembledJson("null",
+      pre = """{"type": "ByteLevel", "add_prefix_space": false,
+        | "trim_offsets": true, "use_regex": false}""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      Bpe.loadTokenizerJsonAssembled(spark, noRegex))
+      .getMessage.contains("use_regex"))
+    assert(intercept[IllegalArgumentException](
+      Bpe.loadTokenizerJsonPipeline(spark, noRegex))
+      .getMessage.contains("use_regex"))
+
+    // add_prefix_space=true: refused by the tuple loader, HONORED by
+    // the assembled one — "ab" and " ab" encode identically
+    val aps = writeAssembledJson("null",
+      pre = """{"type": "ByteLevel", "add_prefix_space": true,
+        | "trim_offsets": true, "use_regex": true}""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      Bpe.loadTokenizerJsonPipeline(spark, aps))
+      .getMessage.contains("add_prefix_space"))
+    val apsTok = Bpe.loadTokenizerJsonAssembled(spark, aps)
+    val both = Seq((1L, "ab"), (2L, " ab")).toDF("id", "text")
+    val ids = Bpe.encodeIds(both, "id", "text", apsTok).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ids(1L) == Seq(32L, 97L, 98L) && ids(1L) == ids(2L),
+      "prefix space: Ġ(32) then bytes, identical with or without a " +
+        "leading space")
+
+    // a Split sibling inside a Sequence pre-tokenizer is a DIFFERENT
+    // segmentation — refused (not silently encoded with our regex)
+    val split = writeAssembledJson("null",
+      pre = """{"type": "Sequence", "pretokenizers": [
+        | {"type": "Split", "pattern": {"Regex": "x"},
+        |  "behavior": "Isolated", "invert": false},
+        | {"type": "ByteLevel", "add_prefix_space": false,
+        |  "use_regex": false}]}""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      Bpe.loadTokenizerJsonAssembled(spark, split))
+      .getMessage.contains("not ByteLevel"))
+
+    // pad id == 'a' (97): the mask is POSITIONAL — real 97s stay 1
+    val collide = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson(robertaPost,
+        padding = """{"strategy": {"Fixed": 8}, "direction": "Right",
+          | "pad_to_multiple_of": null, "pad_id": 97,
+          | "pad_type_id": 0}""".stripMargin))
+    val got = Bpe.encodeWithMask(Seq((1L, "aaa")).toDF("id", "text"),
+      "id", "text", collide).collect()(0)
+    assert(got.getSeq[Long](1) ==
+      Seq(256L, 97L, 97L, 97L, 257L, 97L, 97L, 97L))
+    assert(got.getSeq[Long](2) == Seq.fill(5)(1L) ++ Seq.fill(3)(0L),
+      "content 'a' tokens share the pad id yet stay masked IN")
+  }
+
+  test("assembled surface: the published GPT-2 ByteLevel regex is " +
+      "the split (merges cannot cross pre-token boundaries; " +
+      "contraction suffixes are their own pre-tokens); core ids " +
+      "match the tuple path under the same pattern; save -> load is " +
+      "the identity incl. Roberta-as-TemplateProcessing") {
+    import spark.implicits._
+    val df = Seq((1L, "don't")).toDF("id", "text")
+    // merge (n, ') straddles the don|'t boundary -> must NOT apply
+    val straddle = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        merges = Seq((1, "n", "'", "n'", 0L))))
+    assert(Bpe.encodeIds(df, "id", "text", straddle).collect()(0)
+      .getSeq[Long](1) == Seq(100L, 111L, 110L, 39L, 116L),
+      "raw bytes of d o n ' t — the straddling merge never fires")
+    // merge (', t) is INSIDE the 't pre-token -> applies
+    val inside = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        merges = Seq((1, "'", "t", "'t", 0L))))
+    assert(Bpe.encodeIds(df, "id", "text", inside).collect()(0)
+      .getSeq[Long](1) == Seq(100L, 111L, 110L, 256L),
+      "'t merges to the first post-alphabet id")
+
+    // parity with the tuple path under the same pattern
+    val corpus = Seq((1L, "the cat the cat sat"), (2L, "don't stop"))
+      .toDF("id", "text")
+    val plain = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null"))
+    val viaAssembled = Bpe.encodeIds(corpus, "id", "text", plain)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaTuple = Bpe.encodeIdsBytes(corpus, "id", "text",
+        plain.merges, plain.vocab,
+        graft.operators.Dedup.VerifyBroadcastMaxBytes,
+        graft.functions.TextFunctions.bpeByteLevelGpt2Pattern)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](r.fieldIndex("token_ids"))).toMap
+    assert(viaAssembled == viaTuple)
+
+    // offsets ride the SAME merge fold: id stream of the offsets
+    // surface equals encodeColumn's ids on a real trained table
+    val corpus2 = Seq((1L, "the cat the cat sat there"),
+      (2L, "a cat sat")).toDF("id", "text")
+    val trained = Bpe.trainBytes(corpus2, "text", numMerges = 8,
+      tokenPattern =
+        graft.functions.TextFunctions.bpeByteLevelGpt2Pattern)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val trainedTok = Bpe.loadTokenizerJsonAssembled(spark, {
+      val root = mapper.readTree(
+        """{"version": "1.0", "truncation": null, "padding": null,
+          | "normalizer": null,
+          | "pre_tokenizer": {"type": "ByteLevel",
+          |   "add_prefix_space": false, "use_regex": true},
+          | "post_processor": null,
+          | "model": {"type": "BPE"}}""".stripMargin)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val model = root.get("model")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val v = mapper.createObjectNode()
+      Bpe.vocabBytes(trained).foreach { case (t, id) => v.put(t, id) }
+      model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", v)
+      val ms = mapper.createArrayNode()
+      trained.sortBy(_._1).foreach { m =>
+        val p = mapper.createArrayNode(); p.add(m._2); p.add(m._3)
+        ms.add(p)
+      }
+      model.set[com.fasterxml.jackson.databind.JsonNode]("merges", ms)
+      val d = java.nio.file.Files.createTempDirectory("graft_tokoff")
+        .resolve("tokenizer.json")
+      java.nio.file.Files.write(d, mapper.writeValueAsBytes(root))
+      d.toString
+    })
+    val viaOff = corpus2.select(col("id"), transform(
+        Bpe.encodeOffsetsColumn(col("text"), trainedTok),
+        t => t.getField("id")).as("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaIds = Bpe.encodeIds(corpus2, "id", "text", trainedTok)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaOff == viaIds,
+      "offsets and id kernels share one merge fold — streams equal")
+
+    // save -> load identity (Roberta re-emits as TemplateProcessing
+    // carrying the same ids)
+    val tok = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson(robertaPost,
+        truncation = """{"direction": "Left", "max_length": 9,
+          | "strategy": "OnlyFirst", "stride": 0}""".stripMargin,
+        padding = """{"strategy": {"Fixed": 9}, "direction": "Left",
+          | "pad_to_multiple_of": null, "pad_id": 258,
+          | "pad_type_id": 0, "pad_token": "<pad>"}""".stripMargin))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_tokasm_save")
+      .resolve("tokenizer.json").toString
+    Bpe.saveTokenizerJsonAssembled(spark, tok, out)
+    val re = Bpe.loadTokenizerJsonAssembled(spark, out)
+    assert(re == tok, "save→load must be the identity")
+    // and with a merge table (template-free): merges survive the trip
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_tokasm_save2")
+      .resolve("tokenizer.json").toString
+    Bpe.saveTokenizerJsonAssembled(spark, inside, out2)
+    assert(Bpe.loadTokenizerJsonAssembled(spark, out2) == inside)
+  }
+
+  test("encodeOffsetsColumn hand fixtures: merged-token spans, " +
+      "leading-space coverage, multi-byte and astral characters " +
+      "covered whole (split tokens share the character's span), " +
+      "offsets stay aligned AFTER a multi-byte character, the " +
+      "add_prefix_space view shift, and truncation + template + " +
+      "padding books on the offsets surface") {
+    import spark.implicits._
+    def offs(tok: Bpe.BpeTokenizer, text: String)
+        : Seq[(Long, Int, Int)] =
+      Seq((1L, text)).toDF("id", "text")
+        .select(Bpe.encodeOffsetsColumn(col("text"), tok).as("t"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+
+    // merge (a,b): "xab yab" -> x|ab, Ġ|y|ab with byte-exact spans
+    val merged = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        merges = Seq((1, "a", "b", "ab", 0L))))
+    assert(offs(merged, "xab yab") == Seq((120L, 0, 1), (256L, 1, 3),
+      (32L, 3, 4), (121L, 4, 5), (256L, 5, 7)))
+
+    // é = 2 bytes, ONE code point: both byte tokens cover the char;
+    // a following word's offsets are NOT shifted by the extra byte
+    val plain = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null"))
+    assert(offs(plain, "é a") == Seq((195L, 0, 1), (169L, 0, 1),
+      (32L, 1, 2), (97L, 2, 3)))
+    // astral (4 bytes, 2 UTF-16 units, ONE code point): four tokens,
+    // one span
+    assert(offs(plain, "😀") ==
+      Seq((240L, 0, 1), (159L, 0, 1), (152L, 0, 1), (128L, 0, 1)))
+    // a merge joining the two é bytes: one token, the char's span
+    val eMerged = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        merges = Seq((1, "Ã", "©", "Ã©", 0L))))
+    assert(offs(eMerged, "é") == Seq((256L, 0, 1)))
+
+    // add_prefix_space: spans index the PREFIXED view
+    val aps = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        pre = """{"type": "ByteLevel", "add_prefix_space": true,
+          | "trim_offsets": true, "use_regex": true}""".stripMargin))
+    assert(offs(aps, "ab") == Seq((32L, 0, 1), (97L, 1, 2),
+      (98L, 2, 3)))
+
+    // truncation + Roberta template + Fixed padding: specials and
+    // pads at the published (0,0); content truncated to budget 10
+    val full = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson(robertaPost,
+        truncation = """{"direction": "Right", "max_length": 7,
+          | "strategy": "LongestFirst", "stride": 0}""".stripMargin,
+        padding = """{"strategy": {"Fixed": 7}, "direction": "Right",
+          | "pad_to_multiple_of": null, "pad_id": 258,
+          | "pad_type_id": 0}""".stripMargin))
+    // budget 7 - 2 single-template ids = 5; "abcdefg" keeps 5
+    assert(offs(full, "abcdefg") == Seq((256L, 0, 0), (97L, 0, 1),
+      (98L, 1, 2), (99L, 2, 3), (100L, 3, 4), (101L, 4, 5),
+      (257L, 0, 0)))
+    assert(offs(full, "ab") == Seq((256L, 0, 0), (97L, 0, 1),
+      (98L, 1, 2), (257L, 0, 0), (258L, 0, 0), (258L, 0, 0),
+      (258L, 0, 0)))
+  }
+
+  test("tokenWindowSpansBpe: provenance chunks under the byte-level " +
+      "lineage — merged tokens keep whole-span chunks, every chunk's " +
+      "span re-extracts exactly its text from the encode view, a " +
+      "templated tokenizer refuses, and the plan is a pure " +
+      "projection") {
+    import spark.implicits._
+    // merge (a,b): "xab yab zq" tokens x|ab|Ġ|y|ab|Ġ|z|q with spans
+    // (0,1)(1,3)(3,4)(4,5)(5,7)(7,8)(8,9)(9,10); width 3 / stride 2
+    val tok = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        merges = Seq((1, "a", "b", "ab", 0L))))
+    val rows = graft.operators.Chunking.tokenWindowSpansBpe(
+      Seq(("d", "xab yab zq")).toDF("id", "t"),
+      "id", "t", tok, width = 3, stride = 2)
+      .orderBy(col("chunk_idx")).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getSeq[Long](3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.toSeq == Seq(
+      (0, 3L, Seq(120L, 256L, 32L), 0L, 4L, "xab "),
+      (1, 3L, Seq(32L, 121L, 256L), 3L, 7L, " yab"),
+      (2, 3L, Seq(256L, 32L, 122L), 5L, 9L, "ab z"),
+      (3, 2L, Seq(122L, 113L), 8L, 10L, "zq")))
+    // re-extraction property on a messier line (punctuation, digits,
+    // contractions — the published regex's own split points)
+    val doc = Seq(("d", "The quick, brown fox! don't jump 42 times."))
+      .toDF("id", "t")
+    val again = graft.operators.Chunking.tokenWindowSpansBpe(
+      doc, "id", "t", tok, width = 4, stride = 3)
+    val mismatch = again.join(doc, "id")
+      .filter(col("chunk_text") =!=
+        col("t").substr(col("char_start").cast("int") + 1,
+          (col("char_end") - col("char_start")).cast("int")))
+      .count()
+    assert(mismatch == 0L, "a chunk span failed to re-extract its text")
+    // templated tokenizer refuses loudly
+    val tokT = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson(robertaPost))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Chunking.tokenWindowSpansBpe(
+        Seq(("d", "x")).toDF("id", "t"), "id", "t", tokT, 3, 2)
+    }
+    assert(e.getMessage.contains("template-free"))
+    // zero shuffles: chunking is a pure map
+    val plan = graft.operators.Chunking.tokenWindowSpansBpe(
+      Seq(("d", "the cat")).toDF("id", "t"), "id", "t", tok, 3, 2)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.Exchange => x
+    }.isEmpty, "tokenWindowSpansBpe introduced a shuffle")
+  }
 }
