@@ -201,6 +201,8 @@ object SparkEntry {
     "x133_bpe_pair_truncation" -> Extensions.x133BpePairTruncPad,
     "x134_bpe_offsets" -> Extensions.x134BpeOffsets,
     "x135_bpe_chunk_spans" -> Extensions.x135BpeChunkSpans,
+    "x136_llama3_shape" -> Extensions.x136Llama3Shape,
+    "x137_batch_longest_pad" -> Extensions.x137BatchLongestPad,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -2052,6 +2054,57 @@ object SparkEntry {
         |    CAST(a.chunk_tokens AS INTEGER))) AS text_md5
         |FROM agg a JOIN n ON n.doc_id = a.doc_id
         |ORDER BY a.doc_id, a.chunk_idx""".stripMargin,
+    // x136: the Llama-3 shape restated WITHOUT a tokenizer — the
+    // x134 statement (every character one token at its ASCII byte,
+    // spans (i−1, i)) with the template's BOS `256:0:0` prepended;
+    // the Split regex's alternatives jointly cover [A-Za-z0-9 ]
+    // text, so the honored pattern changes nothing the oracle can
+    // see (the discriminating fixtures live in BpeSpec) — what this
+    // certifies is the loaded pipeline: Split honored without
+    // dropping a character (the cover guard), ignore_merges and the
+    // Sequence post-processor parsed, the template assembled
+    "x136_llama3_shape" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '[^A-Za-z0-9 ]', ' ', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, i,
+        |    ascii(substr(t, CAST(i AS INTEGER), 1)) AS id
+        |  FROM n, LATERAL (SELECT
+        |    unnest(generate_series(1, length(t))) AS i) g)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(g.cnt, 0) + 1 AS BIGINT) AS n_tokens,
+        |  md5(CASE WHEN g.s IS NULL THEN '256:0:0'
+        |       ELSE '256:0:0,' || g.s END) AS offsets_md5
+        |FROM n LEFT JOIN (
+        |  SELECT doc_id, count(*) AS cnt,
+        |    string_agg(id || ':' || (i - 1) || ':' || i, ','
+        |      ORDER BY i) AS s
+        |  FROM u GROUP BY doc_id) g ON n.doc_id = g.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // x137: batch-longest padding restated WITHOUT a tokenizer —
+    // each planted sequence is la = length(a) tokens (byte-identity
+    // vocab), the pad width is the corpus max as a scalar subquery,
+    // and every book is arithmetic over (la, gmax)
+    "x137_batch_longest_pad" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    substr(l, 1, CAST(1 + doc_id % 29 AS INTEGER)) AS a
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(text, '[^A-Za-z0-9]', '', 'g') AS l
+        |        FROM documents WHERE text IS NOT NULL)),
+        |m AS (SELECT max(length(a)) AS gmax FROM s)
+        |SELECT doc_id,
+        |  md5(a) AS content_md5,
+        |  CAST(gmax AS BIGINT) AS n_ids,
+        |  CAST(gmax - length(a) AS BIGINT) AS n_pad,
+        |  CAST(CASE WHEN length(a) < gmax THEN length(a) + 1
+        |       ELSE 0 END AS BIGINT) AS first_pad,
+        |  CAST(length(a) AS BIGINT) AS mask_sum,
+        |  CAST(CASE WHEN length(a) < gmax THEN length(a) + 1
+        |       ELSE 0 END AS BIGINT) AS mask_first_zero
+        |FROM s, m ORDER BY doc_id""".stripMargin,
     // x126: the x123 identity certifying the TRAINED Unigram
     // artifact — the trainer's byte alphabet + required singles make
     // the same trainer-free statement hold for a fitted vocabulary

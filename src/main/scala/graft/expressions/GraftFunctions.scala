@@ -62,8 +62,16 @@ object GraftFunctions {
     c(BpeEncodeTokens(e(text), merges, pattern, byteLevel))
   def bpeEncodeOffsets(text: Column,
       merges: Seq[(Int, String, String)], pattern: String,
-      vocab: Seq[(String, Long)]): Column =
-    c(BpeEncodeOffsets(e(text), merges, pattern, vocab))
+      vocab: Seq[(String, Long)], ignoreMerges: Boolean = false,
+      requireCover: Boolean = false): Column =
+    c(BpeEncodeOffsets(e(text), merges, pattern, vocab,
+      ignoreMerges = ignoreMerges, requireCover = requireCover))
+  def bpeEncodeFull(text: Column,
+      merges: Seq[(Int, String, String)], pattern: String,
+      ignoreMergesVocab: Seq[String], requireCover: Boolean): Column =
+    c(BpeEncodeTokens(e(text), merges, pattern, byteLevel = true,
+      ignoreMergesVocab = ignoreMergesVocab,
+      requireCover = requireCover))
   def unigramEncode(text: Column,
       tok: graft.operators.Unigram.UnigramTokenizer): Column =
     c(UnigramEncodeIds(e(text), tok.pieces.toSeq, tok.unkId,

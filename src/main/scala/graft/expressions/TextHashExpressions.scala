@@ -657,10 +657,24 @@ private[expressions] object BpeWordMerge {
   */
 case class BpeEncodeTokens(child: Expression,
     merges: Seq[(Int, String, String)], pattern: String,
-    byteLevel: Boolean, cacheSize: Int = 10000)
+    byteLevel: Boolean, cacheSize: Int = 10000,
+    ignoreMergesVocab: Seq[String] = Nil,
+    requireCover: Boolean = false)
     extends UnaryExpression with UnaryKernelCodegen {
 
   require(cacheSize >= 0, s"cacheSize must be >= 0: $cacheSize")
+  require(ignoreMergesVocab.isEmpty || byteLevel,
+    "ignore_merges is defined for the byte-level form only")
+
+  // the published `ignore_merges` semantics (Llama-3/Qwen2): a
+  // pre-token whose MAPPED form is a vocabulary entry is emitted
+  // whole, never merged
+  @transient private lazy val wholeWords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](
+      math.max(ignoreMergesVocab.size * 2, 16))
+    ignoreMergesVocab.foreach(s.add)
+    s
+  }
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -700,14 +714,21 @@ case class BpeEncodeTokens(child: Expression,
       out.result()
     }
 
-  private def encodeWord(w: String): Array[String] =
+  private def encodeWord(w: String): Array[String] = {
+    if (!ignoreMergesVocab.isEmpty && byteLevel) {
+      val mapped = ByteUnicode.remap(w)
+      if (wholeWords.contains(mapped)) return Array(mapped)
+    }
     BpeWordMerge.merge(baseSyms(w), rank)._1
+  }
 
   override def kernel(t: Any): Any = {
     val text = t.asInstanceOf[UTF8String].toString
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val m = wordRe.matcher(text)
+    var covered = 0
     while (m.find()) {
+      covered += m.end() - m.start()
       val w = m.group()
       var toks: Array[String] = null
       var slot = -1
@@ -725,6 +746,16 @@ case class BpeEncodeTokens(child: Expression,
         out += UTF8String.fromString(toks(i)); i += 1
       }
     }
+    // the honored-Split guard: a pattern whose alternatives leave
+    // gaps would silently DROP the uncovered characters from the id
+    // stream — with a file-supplied pattern that is a data-loss bug,
+    // so it fails loudly per row instead (the published whole-cover
+    // patterns never trip this)
+    if (requireCover && covered != text.length)
+      throw new IllegalArgumentException(
+        s"pre-tokenizer pattern covered only $covered of " +
+          s"${text.length} chars — the file's Split regex leaves " +
+          "gaps; encoding would silently drop text; refusing")
     new GenericArrayData(out.toArray[Any])
   }
 
@@ -753,7 +784,8 @@ case class BpeEncodeTokens(child: Expression,
   */
 case class BpeEncodeOffsets(child: Expression,
     merges: Seq[(Int, String, String)], pattern: String,
-    vocab: Seq[(String, Long)], cacheSize: Int = 10000)
+    vocab: Seq[(String, Long)], cacheSize: Int = 10000,
+    ignoreMerges: Boolean = false, requireCover: Boolean = false)
     extends UnaryExpression with UnaryKernelCodegen {
 
   require(cacheSize >= 0, s"cacheSize must be >= 0: $cacheSize")
@@ -800,6 +832,14 @@ case class BpeEncodeOffsets(child: Expression,
   private def encodeWordSpans(w: String): Array[(Long, Int, Int)] = {
     // per base BYTE: the code-point span of the character carrying it
     val nCp = w.codePointCount(0, w.length)
+    if (ignoreMerges) {
+      // the published ignore_merges semantics: a whole-vocab
+      // pre-token emits as ONE token spanning the whole word
+      val mapped0 = ByteUnicode.remap(w)
+      val whole = idOf.get(mapped0)
+      if (whole != null)
+        return Array((whole.longValue(), 0, nCp))
+    }
     val byteCpStart = Array.newBuilder[Int]
     var ci = 0; var cc = 0
     while (ci < w.length) {
@@ -836,8 +876,9 @@ case class BpeEncodeOffsets(child: Expression,
     val m = wordRe.matcher(text)
     // incremental UTF-16 → code-point offset conversion (matches are
     // scanned left to right, so one forward pass suffices)
-    var lastChar = 0; var lastCp = 0
+    var lastChar = 0; var lastCp = 0; var covered = 0
     while (m.find()) {
+      covered += m.end() - m.start()
       val wCp = lastCp + Character.codePointCount(text, lastChar,
         m.start())
       val w = m.group()
@@ -862,6 +903,12 @@ case class BpeEncodeOffsets(child: Expression,
       lastCp = wCp + Character.codePointCount(text, m.start(), m.end())
       lastChar = m.end()
     }
+    // the honored-Split guard — see [[BpeEncodeTokens]]
+    if (requireCover && covered != text.length)
+      throw new IllegalArgumentException(
+        s"pre-tokenizer pattern covered only $covered of " +
+          s"${text.length} chars — the file's Split regex leaves " +
+          "gaps; encoding would silently drop text; refusing")
     new GenericArrayData(out.toArray[Any])
   }
 

@@ -944,10 +944,20 @@ object Bpe {
         "entry point's callers encode the raw text and would " +
         "silently drop the prepended space; load through " +
         "loadTokenizerJsonAssembled, which honors it")
+    require(p.split.isEmpty,
+      s"$path carries a Split pre-tokenizer (the Llama-3/Qwen2 " +
+        "custom-regex shape) — this entry point's callers pick " +
+        "their own pattern and would silently mis-segment; load " +
+        "through loadTokenizerJsonAssembled, which honors it")
     require(p.useRegex,
       s"$path pre-tokenizer sets use_regex=false — the whole text " +
         "as one merge unit is a different segmentation from every " +
         "pattern this loader's callers pass; refusing to mis-encode")
+    require(!p.ignoreMerges,
+      s"$path sets ignore_merges=true — whole-word vocab hits skip " +
+        "merging, an encode semantics this entry point's callers " +
+        "do not run; load through loadTokenizerJsonAssembled, " +
+        "which honors it")
     val post = p.tree.get("post_processor")
     require(isIdNeutralPost(post),
       s"$path post-processor type '${Option(post.get("type"))
@@ -967,7 +977,8 @@ object Bpe {
       tree: com.fasterxml.jackson.databind.JsonNode,
       merges: Seq[(Int, String, String, String, Long)],
       vocab: Seq[(String, Long)], needsNfc: Boolean,
-      addPrefixSpace: Boolean, useRegex: Boolean)
+      addPrefixSpace: Boolean, useRegex: Boolean,
+      split: Option[String], ignoreMerges: Boolean)
 
   /** Post-processor shapes that change NO ids: absent, `ByteLevel`
     * (offset trimming only), or a Sequence composed purely of those.
@@ -1013,41 +1024,85 @@ object Bpe {
         s"$path sets $f='${v.asText()}' — WordPiece-style semantics " +
           "this engine does not implement")
     }
-    // the OTHER BPE options that change encode semantics: accepting
-    // them silently would break the 'rejected loudly, never mis-
-    // encoded' contract (ignore_merges: Llama-3/Qwen2-style whole-word
-    // vocab hits skip merging; byte_fallback: sentencepiece-style
-    // <0xNN> fallback, a different alphabet; fuse_unk/unk_token:
-    // byte-level BPE has no unknowns by construction)
-    for (f <- Seq("ignore_merges", "byte_fallback", "fuse_unk")) {
+    // BPE options that change encode semantics: byte_fallback
+    // (sentencepiece-style <0xNN> fallback, a different alphabet) and
+    // fuse_unk (byte-level BPE has no unknowns) stay refused here;
+    // ignore_merges (Llama-3/Qwen2-style whole-word vocab hits skip
+    // merging) is PARSED and surfaced — the assembled loader honors
+    // it, the tuple loaders refuse it
+    for (f <- Seq("byte_fallback", "fuse_unk")) {
       val v = model.get(f)
       require(v == null || v.isNull || !v.asBoolean(false),
         s"$path sets $f=true — encode semantics this engine does " +
           "not implement; refusing to mis-encode")
     }
+    val ignoreMerges = {
+      val v = model.get("ignore_merges")
+      v != null && !v.isNull && v.asBoolean(false)
+    }
     require(model.get("unk_token") == null ||
       model.get("unk_token").isNull,
       s"$path carries an unk_token — byte-level BPE has no unknowns; " +
         "this is not a byte-level artifact")
-    // pre-tokenizer: ByteLevel, possibly nested in a Sequence — and
-    // EVERY Sequence member must be ByteLevel (a Split/Whitespace
-    // sibling is a different segmentation — Llama-3/Qwen2-style
-    // custom-regex splits — that encoding with any ByteLevel pattern
-    // would silently diverge from)
-    def isByteLevel(node: com.fasterxml.jackson.databind.JsonNode)
-        : Boolean = {
-      if (node == null || node.isNull) false
-      else Option(node.get("type")).map(_.asText()) match {
-        case Some("ByteLevel") => true
+    // pre-tokenizer: ByteLevel, possibly nested in a Sequence whose
+    // OTHER members may only be `Split` nodes (the Llama-3/Qwen2
+    // shape: a custom regex Split, then ByteLevel with
+    // use_regex=false — SURFACED here, honored by the assembled
+    // loader, refused by the tuple loaders). Anything else
+    // (Whitespace, Punctuation, …) is a segmentation this engine
+    // does not reproduce.
+    def flag(n: com.fasterxml.jackson.databind.JsonNode,
+        name: String, dflt: Boolean): Boolean = {
+      val v = n.get(name)
+      if (v == null || v.isNull) dflt else v.asBoolean(dflt)
+    }
+    var sawByteLevel = false
+    var allKnown = true
+    var addPrefixSpace = false
+    var useRegex = true
+    val splits = Seq.newBuilder[String]
+    def walkPre(node: com.fasterxml.jackson.databind.JsonNode)
+        : Unit = {
+      if (node == null || node.isNull) { allKnown = false; return }
+      Option(node.get("type")).map(_.asText()) match {
+        case Some("ByteLevel") =>
+          sawByteLevel = true
+          // strictest reading across members: any member setting
+          // add_prefix_space or clearing use_regex counts
+          addPrefixSpace ||= flag(node, "add_prefix_space",
+            dflt = false)
+          useRegex &&= flag(node, "use_regex", dflt = true)
+        case Some("Split") =>
+          val behavior = Option(node.get("behavior"))
+            .filterNot(_.isNull).map(_.asText()).getOrElse("Isolated")
+          require(behavior == "Isolated",
+            s"$path Split pre-tokenizer behavior '$behavior' — only " +
+              "Isolated (matches become the pieces) is reproducible " +
+              "with a find-all scan; refusing to mis-encode")
+          require(!flag(node, "invert", dflt = false),
+            s"$path Split pre-tokenizer sets invert=true — the " +
+              "complemented segmentation this engine does not " +
+              "implement")
+          val pat = node.get("pattern")
+          require(pat != null && pat.isObject,
+            s"$path Split pre-tokenizer without a pattern object")
+          if (pat.get("Regex") != null && !pat.get("Regex").isNull)
+            splits += pat.get("Regex").asText()
+          else if (pat.get("String") != null &&
+              !pat.get("String").isNull)
+            splits += java.util.regex.Pattern.quote(
+              pat.get("String").asText())
+          else throw new IllegalArgumentException(
+            s"$path Split pattern is neither Regex nor String")
         case Some("Sequence") =>
           val ps = node.get("pretokenizers")
-          ps != null && ps.isArray && ps.size() > 0 && {
+          if (ps == null || !ps.isArray || ps.size() == 0)
+            allKnown = false
+          else {
             val it = ps.elements()
-            var ok = true
-            while (it.hasNext && ok) ok = isByteLevel(it.next())
-            ok
+            while (it.hasNext) walkPre(it.next())
           }
-        case _ => false
+        case _ => allKnown = false
       }
     }
     // an ABSENT pre-tokenizer is a rejection too: Llama-2-style
@@ -1055,39 +1110,24 @@ object Bpe {
     // vocab symbols are not the byte alphabet — nothing confirms
     // byte-level, so loading would silently mis-encode
     val pre = tree.get("pre_tokenizer")
-    require(pre != null && !pre.isNull && isByteLevel(pre),
+    if (pre != null && !pre.isNull) walkPre(pre)
+    require(pre != null && !pre.isNull && sawByteLevel && allKnown,
       s"$path pre-tokenizer is ${if (pre == null || pre.isNull)
         "absent" else "not ByteLevel"} — its vocab symbols are " +
         "not (or cannot be confirmed to be) the byte alphabet this " +
         "engine encodes with")
-    // the ByteLevel node's own options (the FIRST ByteLevel found —
-    // a Sequence of several is all-ByteLevel by the check above, and
-    // carrying contradictory options across members is not a shape
-    // the public serializer emits; the strictest reading wins: any
-    // member setting add_prefix_space or clearing use_regex counts)
-    def blOptions(node: com.fasterxml.jackson.databind.JsonNode)
-        : (Boolean, Boolean) = {
-      def flag(n: com.fasterxml.jackson.databind.JsonNode,
-          name: String, dflt: Boolean): Boolean = {
-        val v = n.get(name)
-        if (v == null || v.isNull) dflt else v.asBoolean(dflt)
-      }
-      Option(node.get("type")).map(_.asText()) match {
-        case Some("ByteLevel") =>
-          (flag(node, "add_prefix_space", dflt = false),
-            flag(node, "use_regex", dflt = true))
-        case Some("Sequence") =>
-          var aps = false; var ur = true
-          val it = node.get("pretokenizers").elements()
-          while (it.hasNext) {
-            val (a, u) = blOptions(it.next())
-            aps ||= a; ur &&= u
-          }
-          (aps, ur)
-        case _ => (false, true)
-      }
-    }
-    val (addPrefixSpace, useRegex) = blOptions(pre)
+    val splitList = splits.result()
+    require(splitList.size <= 1,
+      s"$path carries ${splitList.size} Split pre-tokenizers — " +
+        "more than one is a composed segmentation this engine does " +
+        "not reproduce")
+    val split = splitList.headOption
+    // a Split AND a regexing ByteLevel would double-split; published
+    // files pair Split with use_regex=false
+    require(split.isEmpty || !useRegex,
+      s"$path carries BOTH a Split pre-tokenizer and a ByteLevel " +
+        "with use_regex=true — a double segmentation this engine " +
+        "does not reproduce")
     // the OTHER two pipeline stages that change the id stream. A
     // normalizer rewrites the TEXT before pre-tokenization — this
     // engine encodes raw bytes, so accepting one silently would
@@ -1188,7 +1228,7 @@ object Bpe {
       b.result()
     }
     ParsedBpeJson(tree, merges, vocab, needsNfc, addPrefixSpace,
-      useRegex)
+      useRegex, split, ignoreMerges)
   }
 
   /** [[encodeIdsBytes]] honoring a [[loadTokenizerJsonPipeline]]
@@ -1243,7 +1283,8 @@ object Bpe {
       pair: Option[WordPiece.PairTemplate] = None,
       truncation: Option[TokenizerTruncation.Truncation] = None,
       padding: Option[TokenizerTruncation.Padding] = None,
-      tokenPattern: String = TextFunctions.bpeByteLevelGpt2Pattern)
+      tokenPattern: String = TextFunctions.bpeByteLevelGpt2Pattern,
+      ignoreMerges: Boolean = false, splitPre: Boolean = false)
 
   /** Load a single-file byte-level `tokenizer.json` with the FULL
     * pipeline honored: the blocks the tuple loaders refuse —
@@ -1263,10 +1304,30 @@ object Bpe {
   def loadTokenizerJsonAssembled(spark: SparkSession, path: String)
       : BpeTokenizer = {
     val p = parseTokenizerTree(spark, path)
-    require(p.useRegex,
-      s"$path pre-tokenizer sets use_regex=false — the whole text " +
-        "as one merge unit is a segmentation this engine does not " +
-        "implement; refusing to mis-encode")
+    // the segmentation: a file-supplied Split regex (the
+    // Llama-3/Qwen2 shape — honored VERBATIM under Java regex
+    // semantics, with a per-row full-cover guard in the kernels:
+    // a pattern leaving gaps fails loudly instead of silently
+    // dropping text), else the ByteLevel use_regex=true GPT-2 split
+    val pattern = p.split match {
+      case Some(r) =>
+        // fail at LOAD on a syntactically-invalid pattern, not at
+        // the first encode task
+        try java.util.regex.Pattern.compile(r)
+        catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            throw new IllegalArgumentException(
+              s"$path Split regex does not compile under Java " +
+                s"regex semantics: ${e.getMessage}")
+        }
+        r
+      case None =>
+        require(p.useRegex,
+          s"$path pre-tokenizer sets use_regex=false with no Split " +
+            "— the whole text as one merge unit is a segmentation " +
+            "this engine does not implement; refusing to mis-encode")
+        TextFunctions.bpeByteLevelGpt2Pattern
+    }
     val vocabMap = p.vocab.toMap
     (0 until 256).foreach { b =>
       val sym = graft.expressions.ByteUnicode.byteToChar(b).toString
@@ -1275,38 +1336,68 @@ object Bpe {
           "complete byte-level alphabet; content tokens could fail " +
           "to resolve to ids")
     }
-    val post = p.tree.get("post_processor")
-    val (prefixIds, suffixIds, pairTemplate)
-        : (Seq[Long], Seq[Long], Option[WordPiece.PairTemplate]) =
-      if (isIdNeutralPost(post)) (Seq.empty, Seq.empty, None)
-      else Option(post.get("type")).map(_.asText()) match {
+    // post-processor: id-neutral shapes pass template-free; ONE
+    // template-carrying member (RobertaProcessing or
+    // TemplateProcessing) is honored, including inside a Sequence of
+    // otherwise-id-neutral members (the Llama-3 shape:
+    // Sequence[ByteLevel, TemplateProcessing]); two templates or an
+    // unknown member refuse loudly
+    def parseTemplated(node: com.fasterxml.jackson.databind.JsonNode)
+        : Option[(Seq[Long], Seq[Long],
+          Option[WordPiece.PairTemplate])] =
+      if (node == null || node.isNull) None
+      else Option(node.get("type")).map(_.asText()) match {
+        case Some("ByteLevel") => None
         case Some("RobertaProcessing") =>
           // the published fixed form: single `<s> A </s>`, pair
           // `<s> A </s> </s> B </s>`, token_type_ids ALL ZERO
           // (RoBERTa does not use segment embeddings)
           def pairId(name: String): Long = {
-            val v = post.get(name)
+            val v = node.get(name)
             require(v != null && v.isArray && v.size() == 2,
               s"$path RobertaProcessing.$name is not a [token, id] " +
                 "pair")
             v.get(1).asLong()
           }
           val (cls, sep) = (pairId("cls"), pairId("sep"))
-          (Seq(cls), Seq(sep),
+          Some((Seq(cls), Seq(sep),
             Some(WordPiece.PairTemplate(Seq((cls, 0L)),
               Seq((sep, 0L), (sep, 0L)), Seq((sep, 0L)),
-              typeA = 0L, typeB = 0L)))
+              typeA = 0L, typeB = 0L))))
         case Some("TemplateProcessing") =>
-          WordPiece.parseTemplateProcessing(post, vocabMap.get, path)
+          Some(WordPiece.parseTemplateProcessing(node, vocabMap.get,
+            path))
+        case Some("Sequence") =>
+          val ps = node.get("processors")
+          require(ps != null && ps.isArray,
+            s"$path post-processor Sequence without processors")
+          var found: Option[(Seq[Long], Seq[Long],
+            Option[WordPiece.PairTemplate])] = None
+          val it = ps.elements()
+          while (it.hasNext) {
+            parseTemplated(it.next()).foreach { t =>
+              require(found.isEmpty,
+                s"$path post-processor Sequence carries more than " +
+                  "one template — a composed id injection this " +
+                  "engine does not reproduce")
+              found = Some(t)
+            }
+          }
+          found
         case other => throw new IllegalArgumentException(
           s"$path post-processor type '${other.getOrElse("?")}' is " +
             "not reproducible — only absent/ByteLevel (id-neutral), " +
             "RobertaProcessing, or TemplateProcessing is supported")
       }
+    val (prefixIds, suffixIds, pairTemplate)
+        : (Seq[Long], Seq[Long], Option[WordPiece.PairTemplate]) =
+      parseTemplated(p.tree.get("post_processor"))
+        .getOrElse((Seq.empty, Seq.empty, None))
     BpeTokenizer(p.merges, p.vocab, p.needsNfc, p.addPrefixSpace,
       prefixIds, suffixIds, pairTemplate,
       TokenizerTruncation.parseTruncation(p.tree, path),
-      TokenizerTruncation.parsePadding(p.tree, path, vocabMap.get))
+      TokenizerTruncation.parsePadding(p.tree, path, vocabMap.get),
+      pattern, p.ignoreMerges, splitPre = p.split.isDefined)
   }
 
   /** Export a loaded [[BpeTokenizer]] back to the single-file
@@ -1332,11 +1423,36 @@ object Bpe {
       root.set[com.fasterxml.jackson.databind.JsonNode]("normalizer",
         n)
     }
-    val pre = mapper.createObjectNode()
-    pre.put("type", "ByteLevel")
-    pre.put("add_prefix_space", tok.addPrefixSpace)
-    pre.put("trim_offsets", true)
-    pre.put("use_regex", true)
+    def byteLevelPre(useRegex: Boolean) = {
+      val n = mapper.createObjectNode()
+      n.put("type", "ByteLevel")
+      n.put("add_prefix_space", tok.addPrefixSpace)
+      n.put("trim_offsets", true)
+      n.put("use_regex", useRegex)
+      n
+    }
+    val pre: com.fasterxml.jackson.databind.JsonNode =
+      if (!tok.splitPre) byteLevelPre(useRegex = true)
+      else {
+        // the Llama-3/Qwen2 shape this tokenizer was loaded from:
+        // the file's own Split regex, then a non-regexing ByteLevel
+        val seq = mapper.createObjectNode()
+        seq.put("type", "Sequence")
+        val arr = mapper.createArrayNode()
+        val split = mapper.createObjectNode()
+        split.put("type", "Split")
+        val pat = mapper.createObjectNode()
+        pat.put("Regex", tok.tokenPattern)
+        split.set[com.fasterxml.jackson.databind.JsonNode]("pattern",
+          pat)
+        split.put("behavior", "Isolated")
+        split.put("invert", false)
+        arr.add(split)
+        arr.add(byteLevelPre(useRegex = false))
+        seq.set[com.fasterxml.jackson.databind.JsonNode](
+          "pretokenizers", arr)
+        seq
+      }
     root.set[com.fasterxml.jackson.databind.JsonNode]("pre_tokenizer",
       pre)
     if (tok.prefixIds.isEmpty && tok.suffixIds.isEmpty &&
@@ -1352,7 +1468,7 @@ object Bpe {
     model.putNull("end_of_word_suffix")
     model.put("fuse_unk", false)
     model.put("byte_fallback", false)
-    model.put("ignore_merges", false)
+    model.put("ignore_merges", tok.ignoreMerges)
     val vNode = mapper.createObjectNode()
     tok.vocab.foreach { case (t, id) => vNode.put(t, id) }
     model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vNode)
@@ -1385,10 +1501,13 @@ object Bpe {
   private def coreIdsColumn(text: Column, tok: BpeTokenizer)
       : Column =
     graft.expressions.GraftFunctions.tokenIds(
-      graft.expressions.GraftFunctions.bpeEncode(
+      graft.expressions.GraftFunctions.bpeEncodeFull(
         encodeView(text, tok),
         tok.merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
-        tok.tokenPattern, byteLevel = true),
+        tok.tokenPattern,
+        ignoreMergesVocab =
+          if (tok.ignoreMerges) tok.vocab.map(_._1) else Nil,
+        requireCover = tok.splitPre),
       tok.vocab, unkId = -1L)
 
   /** Truncated content + template, UNPADDED — the pre-padding view
@@ -1532,7 +1651,8 @@ object Bpe {
     val core0 = graft.expressions.GraftFunctions.bpeEncodeOffsets(
       encodeView(text, tok),
       tok.merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
-      tok.tokenPattern, tok.vocab)
+      tok.tokenPattern, tok.vocab,
+      ignoreMerges = tok.ignoreMerges, requireCover = tok.splitPre)
     val core = tok.truncation match {
       case Some(t) => TokenizerTruncation.truncateSingle(core0, t,
         tok.prefixIds.size + tok.suffixIds.size)

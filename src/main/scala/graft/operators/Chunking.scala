@@ -168,7 +168,9 @@ object Chunking {
     windowSpansFrom(df, idCol,
       graft.expressions.GraftFunctions.bpeEncodeOffsets(view,
         tok.merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
-        tok.tokenPattern, tok.vocab),
+        tok.tokenPattern, tok.vocab,
+        ignoreMerges = tok.ignoreMerges,
+        requireCover = tok.splitPre),
       view, width, stride)
   }
 

@@ -334,4 +334,60 @@ object TokenizerTruncation {
       if (p.direction == "left") concat(fill, arr)
       else concat(arr, fill))
   }
+
+  /** `BatchLongest` padding as what it actually IS: a property of the
+    * BATCH, not of the row — so the loaders refuse it per-row (no
+    * per-row encode can know the longest sequence), and THIS operator
+    * supplies it honestly as a two-pass DataFrame operation: one
+    * global max-length aggregate (partial map-side, a 1-row
+    * exchange), broadcast back, then a pure projection padding every
+    * `idsCol` to that length and attaching the POSITIONAL
+    * `attention_mask` (from the pre-padding length, never pad-id
+    * matching — the [[attentionMask]] rule). `typeIdsCol`, when
+    * given, pads with `padTypeId` to the same length. Rows whose
+    * array is null refuse loudly (a null sequence has no length to
+    * pad to — encode upstream, don't guess). Empty input yields
+    * empty output. Scale shape: the only exchange is the 1-row max —
+    * no window, no sort, no per-row driver work.
+    */
+  def padBatchLongest(df: org.apache.spark.sql.DataFrame,
+      idsCol: String, padId: Long, direction: String = "right",
+      typeIdsCol: Option[String] = None, padTypeId: Long = 0L)
+      : org.apache.spark.sql.DataFrame = {
+    require(direction == "right" || direction == "left",
+      s"direction must be right or left: $direction")
+    val guarded = when(col(idsCol).isNull, raise_error(lit(
+      s"padBatchLongest: $idsCol is null — a null sequence has no " +
+        "length to pad to")).cast(df.schema(idsCol).dataType))
+      .otherwise(col(idsCol))
+    val maxDf = df.agg(
+      coalesce(max(size(col(idsCol))), lit(0)).as("__graft_maxlen"))
+    def padTo(arr: Column, padVal: Long): Column = {
+      val fill = array_repeat(lit(padVal),
+        col("__graft_maxlen") - size(arr))
+      when(size(arr) >= col("__graft_maxlen"), arr).otherwise(
+        if (direction == "left") concat(fill, arr)
+        else concat(arr, fill))
+    }
+    val mask = {
+      val ones = array_repeat(lit(1L), size(col(idsCol)))
+      val zeros = array_repeat(lit(0L),
+        col("__graft_maxlen") - size(col(idsCol)))
+      when(size(col(idsCol)) >= col("__graft_maxlen"), ones)
+        .otherwise(
+          if (direction == "left") concat(zeros, ones)
+          else concat(ones, zeros))
+    }
+    val joined = df
+      .withColumn(idsCol, guarded)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(maxDf))
+    val withIds = joined
+      .withColumn("attention_mask", mask)
+      .withColumn(idsCol, padTo(col(idsCol), padId))
+    val withTypes = typeIdsCol match {
+      case Some(tc) => withIds.withColumn(tc, padTo(col(tc), padTypeId))
+      case None => withIds
+    }
+    withTypes.drop("__graft_maxlen")
+  }
 }

@@ -1468,6 +1468,119 @@ object Extensions {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** x136: the VERBATIM Llama-3 tokenizer.json SHAPE end to end,
+    * oracle-checked — the published Split pre-tokenizer regex
+    * (case-insensitive contractions, digit TRIPLES, the shape
+    * `Sequence[Split, ByteLevel(use_regex=false)]`) honored verbatim
+    * under Java regex semantics with the full-cover kernel guard,
+    * `ignore_merges = true` honored, and a
+    * `Sequence[ByteLevel, TemplateProcessing]` post-processor
+    * carrying a BOS prefix — every piece of the real Llama-3 file
+    * this engine loads. Under the byte-identity vocab over
+    * `[A-Za-z0-9 ]` text the Split regex still covers every
+    * character one-token-each (its letter/digit/whitespace
+    * alternatives jointly cover — the guard would refuse otherwise),
+    * so the ENTIRE offsets stream is the x134 arithmetic with the
+    * template's `256:0:0` prepended. The segmentation-discriminating
+    * fixtures (merges that fire only under the right split,
+    * whole-word short-circuits) are pinned in BpeSpec — this entry
+    * certifies the loaded pipeline relationally at corpus scale.
+    */
+  def x136Llama3Shape(s: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val llamaRegex =
+      "(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\\r\\n\\p{L}\\p{N}]?\\p{L}+|" +
+        "\\p{N}{1,3}| ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*|\\s*[\\r\\n]+|" +
+        "\\s+(?!\\S)|\\s+"
+    val root = mapper.readTree(
+      s"""{"version": "1.0", "truncation": null, "padding": null,
+         | "normalizer": null,
+         | "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+         |   {"type": "Split",
+         |    "pattern": {"Regex":
+         |      ${mapper.writeValueAsString(llamaRegex)}},
+         |    "behavior": "Isolated", "invert": false},
+         |   {"type": "ByteLevel", "add_prefix_space": false,
+         |    "trim_offsets": true, "use_regex": false}]},
+         | "post_processor": {"type": "Sequence", "processors": [
+         |   {"type": "ByteLevel", "trim_offsets": true},
+         |   {"type": "TemplateProcessing",
+         |    "single": [
+         |      {"SpecialToken": {"id": "<|begin_of_text|>",
+         |        "type_id": 0}},
+         |      {"Sequence": {"id": "A", "type_id": 0}}],
+         |    "special_tokens": {
+         |      "<|begin_of_text|>": {"id": "<|begin_of_text|>",
+         |        "ids": [256], "tokens": ["<|begin_of_text|>"]}}}]},
+         | "model": {"type": "BPE", "dropout": null,
+         |   "unk_token": null, "ignore_merges": true}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val model = root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val vocab = mapper.createObjectNode()
+    graft.operators.Bpe.vocabBytes(Nil, Seq("<|begin_of_text|>"))
+      .foreach { case (t, id) => vocab.put(t, id) }
+    model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    model.set[com.fasterxml.jackson.databind.JsonNode]("merges",
+      mapper.createArrayNode())
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_bpe_llama_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.Bpe.loadTokenizerJsonAssembled(s, path)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9 ]", " ")
+    val withToks = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.Bpe.encodeOffsetsColumn(cleaned, tok)
+          .as("toks"))
+    withToks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(",", transform(col("toks"), t => concat_ws(":",
+          t.getField("id").cast("string"),
+          t.getField("start").cast("string"),
+          t.getField("end").cast("string"))))).as("offsets_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x137: BATCH-LONGEST padding as a DataFrame-level operator,
+    * oracle-checked — the padding strategy the per-row loaders
+    * REFUSE (no per-row encode can know the batch's longest
+    * sequence) supplied honestly by
+    * [[graft.operators.TokenizerTruncation.padBatchLongest]]: one
+    * global max-length aggregate broadcast back over a pure
+    * projection. Under the byte-identity fixture every planted
+    * sequence's length is `length(substr(...))`, the global pad
+    * length is a scalar-subquery `max()` in DuckDB, and every book —
+    * padded width, pad count, first-pad position, positional mask
+    * sum/placement, kept-content decode — is arithmetic over
+    * (own length, global max).
+    */
+  def x137BatchLongestPad(s: SparkSession, dir: String): DataFrame = {
+    val tok = bpeByteIdentityTok(s, dir)
+    val letters = regexp_replace(col("text"), "[^A-Za-z0-9]", "")
+    val planted = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        letters.substr(lit(1),
+          (lit(1) + col("doc_id") % 29).cast("int")).as("a"))
+    val enc = graft.operators.Bpe.encodeIds(planted, "doc_id", "a",
+      tok)
+    val padded = graft.operators.TokenizerTruncation.padBatchLongest(
+      enc, "token_ids", padId = 0L)
+    padded.select(col("doc_id"),
+        md5(graft.expressions.GraftFunctions.idsToText(
+          filter(col("token_ids"), i => i =!= 0L), tok.vocab))
+          .as("content_md5"),
+        size(col("token_ids")).cast("long").as("n_ids"),
+        size(filter(col("token_ids"), i => i === 0L)).cast("long")
+          .as("n_pad"),
+        array_position(col("token_ids"), 0L).as("first_pad"),
+        aggregate(col("attention_mask"), lit(0L), (acc, m) => acc + m)
+          .as("mask_sum"),
+        array_position(col("attention_mask"), 0L)
+          .as("mask_first_zero"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x126: Unigram TRAINING, oracle-checked end to end — the
     * [[graft.operators.Unigram.train]] EM + pruning recipe
     * (distributed pre-token histogram + seed-substring counting,

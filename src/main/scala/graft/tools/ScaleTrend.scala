@@ -235,7 +235,15 @@ object ScaleTrend {
       // shape is the scan)
       "x128_wordpiece_truncation", "x129_wordpiece_offsets",
       "x130_unigram_offsets", "x131_unigram_pair_truncation",
-      "x132_chunk_spans")
+      "x132_chunk_spans",
+      // round 18 (late): the byte-level lineage's assembled surface —
+      // pair trunc/pad books, offsets kernel, provenance chunks (all
+      // pure map-side; x135 is output-row-dominated like x132)
+      "x133_bpe_pair_truncation", "x134_bpe_offsets",
+      "x135_bpe_chunk_spans", "x136_llama3_shape",
+      // round 18 (late): batch-longest padding — ONE 1-row max
+      // exchange + broadcast + pure projection
+      "x137_batch_longest_pad")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

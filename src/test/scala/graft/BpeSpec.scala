@@ -1227,16 +1227,26 @@ class BpeSpec extends SparkSpec {
       "prefix space: Ġ(32) then bytes, identical with or without a " +
         "leading space")
 
-    // a Split sibling inside a Sequence pre-tokenizer is a DIFFERENT
-    // segmentation — refused (not silently encoded with our regex)
+    // a Split sibling (the Llama-3/Qwen2 shape) is HONORED by the
+    // assembled loader and refused by the tuple one; an unknown
+    // member (Whitespace) still refuses everywhere
     val split = writeAssembledJson("null",
       pre = """{"type": "Sequence", "pretokenizers": [
-        | {"type": "Split", "pattern": {"Regex": "x"},
+        | {"type": "Split", "pattern": {"Regex": "[a-z]+|[^a-z]+"},
         |  "behavior": "Isolated", "invert": false},
         | {"type": "ByteLevel", "add_prefix_space": false,
         |  "use_regex": false}]}""".stripMargin)
+    assert(Bpe.loadTokenizerJsonAssembled(spark, split).splitPre)
     assert(intercept[IllegalArgumentException](
-      Bpe.loadTokenizerJsonAssembled(spark, split))
+      Bpe.loadTokenizerJsonPipeline(spark, split))
+      .getMessage.contains("Split"))
+    val unknown = writeAssembledJson("null",
+      pre = """{"type": "Sequence", "pretokenizers": [
+        | {"type": "Whitespace"},
+        | {"type": "ByteLevel", "add_prefix_space": false,
+        |  "use_regex": false}]}""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      Bpe.loadTokenizerJsonAssembled(spark, unknown))
       .getMessage.contains("not ByteLevel"))
 
     // pad id == 'a' (97): the mask is POSITIONAL — real 97s stay 1
@@ -1416,6 +1426,207 @@ class BpeSpec extends SparkSpec {
     assert(offs(full, "ab") == Seq((256L, 0, 0), (97L, 0, 1),
       (98L, 1, 2), (257L, 0, 0), (258L, 0, 0), (258L, 0, 0),
       (258L, 0, 0)))
+  }
+
+  /** The VERBATIM published Llama-3 pre-tokenization regex. */
+  private val llama3Regex =
+    "(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\\r\\n\\p{L}\\p{N}]?\\p{L}+|" +
+      "\\p{N}{1,3}| ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*|\\s*[\\r\\n]+|" +
+      "\\s+(?!\\S)|\\s+"
+
+  private def llama3Pre(regex: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    s"""{"type": "Sequence", "pretokenizers": [
+       | {"type": "Split",
+       |  "pattern": {"Regex": ${mapper.writeValueAsString(regex)}},
+       |  "behavior": "Isolated", "invert": false},
+       | {"type": "ByteLevel", "add_prefix_space": false,
+       |  "trim_offsets": true, "use_regex": false}]}""".stripMargin
+  }
+
+  test("the Llama-3/Qwen2 shape loads and encodes: the file's Split " +
+      "regex drives segmentation (case-insensitive contractions, " +
+      "digit triples — pinned by merges that fire only under the " +
+      "right split), ignore_merges emits whole-vocab pre-tokens " +
+      "unmerged on BOTH kernels, a gap-leaving Split regex fails " +
+      "LOUDLY, a Sequence post-processor carries its one template, " +
+      "and save -> load is the identity") {
+    import spark.implicits._
+    def df1(t: String) = Seq((1L, t)).toDF("id", "text")
+    def ids(tok: Bpe.BpeTokenizer, t: String): Seq[Long] =
+      Bpe.encodeIds(df1(t), "id", "text", tok).collect()(0)
+        .getSeq[Long](1)
+
+    // merge (', T): llama's case-INSENSITIVE contraction puts 'T in
+    // one pre-token -> merges; the GPT-2 default (lowercase-only
+    // contractions) splits ' from T -> must not merge
+    def withMerges(pre: String, im: Boolean,
+        ms: Seq[(Int, String, String, String, Long)],
+        added: Seq[(String, Long)] = Nil) = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(
+        s"""{"version": "1.0", "truncation": null, "padding": null,
+           | "normalizer": null,
+           | "pre_tokenizer": $pre,
+           | "post_processor": null,
+           | "model": {"type": "BPE", "ignore_merges": $im}}"""
+          .stripMargin)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val model = root.get("model")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val v = mapper.createObjectNode()
+      Bpe.vocabBytes(ms).foreach { case (t, id) => v.put(t, id) }
+      added.foreach { case (t, id) => v.put(t, id) }
+      model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", v)
+      val arr = mapper.createArrayNode()
+      ms.sortBy(_._1).foreach { m =>
+        val p = mapper.createArrayNode(); p.add(m._2); p.add(m._3)
+        arr.add(p)
+      }
+      model.set[com.fasterxml.jackson.databind.JsonNode]("merges",
+        arr)
+      val d = java.nio.file.Files.createTempDirectory("graft_llama")
+        .resolve("tokenizer.json")
+      java.nio.file.Files.write(d, mapper.writeValueAsBytes(root))
+      Bpe.loadTokenizerJsonAssembled(spark, d.toString)
+    }
+    val contr = withMerges(llama3Pre(llama3Regex), im = false,
+      ms = Seq((1, "'", "T", "'T", 0L)))
+    assert(ids(contr, "DON'T") == Seq(68L, 79L, 78L, 256L),
+      "llama regex: 'T is one pre-token, the merge fires")
+    val contrGpt = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        merges = Seq((1, "'", "T", "'T", 0L))))
+    assert(ids(contrGpt, "DON'T") == Seq(68L, 79L, 78L, 39L, 84L),
+      "GPT-2 regex: lowercase-only contractions; ' and T split")
+    // merge (3, 4): llama's \p{N}{1,3} puts a boundary at 123|45 ->
+    // must NOT merge; the GPT-2 digit-run regex would
+    val digits = withMerges(llama3Pre(llama3Regex), im = false,
+      ms = Seq((1, "3", "4", "34", 0L)))
+    assert(ids(digits, "12345") == Seq(49L, 50L, 51L, 52L, 53L),
+      "llama regex: digit triples — the 3|4 boundary blocks the merge")
+    val digitsGpt = Bpe.loadTokenizerJsonAssembled(spark,
+      writeAssembledJson("null",
+        merges = Seq((1, "3", "4", "34", 0L))))
+    assert(ids(digitsGpt, "12345") == Seq(49L, 50L, 256L, 53L))
+
+    // ignore_merges: a whole-vocab pre-token never merges — on the
+    // id kernel AND the offsets kernel (one token, whole span)
+    val ig = withMerges(llama3Pre(llama3Regex), im = true,
+      ms = Seq((1, "a", "b", "ab", 0L)),
+      added = Seq(("abc", 300L)))
+    assert(ids(ig, "abc") == Seq(300L),
+      "whole-word vocab hit emits unmerged")
+    assert(ids(ig, "abd") == Seq(256L, 100L),
+      "non-vocab word still merges (ab + d)")
+    val igOffs = df1("abc").select(
+      Bpe.encodeOffsetsColumn(col("text"), ig).as("t"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(igOffs == Seq((300L, 0, 3)))
+
+    // a gap-leaving Split regex fails LOUDLY at encode (both kernels)
+    val gappy = withMerges(llama3Pre("[a-z]+"), im = false, ms = Nil)
+    val e1 = intercept[Exception](ids(gappy, "ab cd"))
+    assert(e1.getMessage != null &&
+      (e1.getMessage.contains("covered only") ||
+        e1.getMessage.contains("leaves")) ||
+      e1.getCause != null, s"unexpected: $e1")
+    val e2 = intercept[Exception](df1("ab cd").select(
+      Bpe.encodeOffsetsColumn(col("text"), gappy).as("t")).collect())
+    assert(e2 != null)
+
+    // Sequence post-processor: [ByteLevel, TemplateProcessing] — the
+    // Llama-3 shape — carries its one template
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val seqPost = Bpe.loadTokenizerJsonAssembled(spark, {
+      val root = mapper.readTree(
+        s"""{"version": "1.0", "truncation": null, "padding": null,
+           | "normalizer": null,
+           | "pre_tokenizer": ${llama3Pre(llama3Regex)},
+           | "post_processor": {"type": "Sequence", "processors": [
+           |   {"type": "ByteLevel", "trim_offsets": true},
+           |   {"type": "TemplateProcessing",
+           |    "single": [
+           |      {"SpecialToken": {"id": "<bos>", "type_id": 0}},
+           |      {"Sequence": {"id": "A", "type_id": 0}}],
+           |    "special_tokens": {
+           |      "<bos>": {"id": "<bos>", "ids": [300],
+           |        "tokens": ["<bos>"]}}}]},
+           | "model": {"type": "BPE", "ignore_merges": true}}"""
+          .stripMargin)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val model = root.get("model")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val v = mapper.createObjectNode()
+      Bpe.vocabBytes(Nil).foreach { case (t, id) => v.put(t, id) }
+      v.put("<bos>", 300L)
+      model.set[com.fasterxml.jackson.databind.JsonNode]("vocab", v)
+      model.set[com.fasterxml.jackson.databind.JsonNode]("merges",
+        mapper.createArrayNode())
+      val d = java.nio.file.Files.createTempDirectory("graft_llpost")
+        .resolve("tokenizer.json")
+      java.nio.file.Files.write(d, mapper.writeValueAsBytes(root))
+      d.toString
+    })
+    assert(seqPost.prefixIds == Seq(300L) &&
+      seqPost.suffixIds.isEmpty && seqPost.ignoreMerges)
+    assert(ids(seqPost, "ab") == Seq(300L, 97L, 98L))
+
+    // save -> load identity preserves the Split regex, ignore_merges
+    // and the template
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_llama_save")
+      .resolve("tokenizer.json").toString
+    Bpe.saveTokenizerJsonAssembled(spark, seqPost, out)
+    assert(Bpe.loadTokenizerJsonAssembled(spark, out) == seqPost)
+  }
+
+  test("padBatchLongest: the BATCH-property padding the per-row " +
+      "loaders refuse, as an explicit two-pass operator — exact " +
+      "arrays right and left, type ids padded to the same width, " +
+      "the mask positional from the pre-padding length, a null " +
+      "sequence refuses loudly, empty input yields empty output") {
+    import spark.implicits._
+    import graft.operators.TokenizerTruncation
+    val df = Seq(
+      (1L, Seq(7L, 8L), Seq(0L, 1L)),
+      (2L, Seq.empty[Long], Seq.empty[Long]),
+      (3L, Seq(5L, 5L, 5L, 5L), Seq(1L, 1L, 1L, 1L)))
+      .toDF("id", "ids", "types")
+    val right = TokenizerTruncation.padBatchLongest(df, "ids",
+        padId = 99L, typeIdsCol = Some("types"), padTypeId = 9L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getSeq[Long](2), r.getSeq[Long](3))).sortBy(_._1)
+    assert(right.toSeq == Seq(
+      (1L, Seq(7L, 8L, 99L, 99L), Seq(0L, 1L, 9L, 9L),
+        Seq(1L, 1L, 0L, 0L)),
+      (2L, Seq(99L, 99L, 99L, 99L), Seq(9L, 9L, 9L, 9L),
+        Seq(0L, 0L, 0L, 0L)),
+      (3L, Seq(5L, 5L, 5L, 5L), Seq(1L, 1L, 1L, 1L),
+        Seq(1L, 1L, 1L, 1L))))
+    val left = TokenizerTruncation.padBatchLongest(df, "ids",
+        padId = 99L, direction = "left")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1).toMap
+    assert(left(1L) == Seq(99L, 99L, 7L, 8L))
+    // pad id COLLIDING with a content id stays masked IN (positional)
+    val collide = TokenizerTruncation.padBatchLongest(df, "ids",
+        padId = 5L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](r.fieldIndex(
+        "attention_mask")))).toMap
+    assert(collide(3L) == Seq(1L, 1L, 1L, 1L),
+      "row 3 is all content 5s; a value-matched mask would zero it")
+    // null sequence refuses loudly
+    val withNull = Seq((1L, Seq(1L)), (2L, null))
+      .toDF("id", "ids")
+    val e = intercept[Exception](TokenizerTruncation
+      .padBatchLongest(withNull, "ids", padId = 0L).collect())
+    assert(e.getMessage.contains("null") ||
+      (e.getCause != null && e.getCause.getMessage.contains("null")))
+    // empty input yields empty output (the max agg's null coalesces)
+    assert(TokenizerTruncation.padBatchLongest(
+      df.filter(col("id") < 0), "ids", padId = 0L).count() == 0L)
   }
 
   test("tokenWindowSpansBpe: provenance chunks under the byte-level " +

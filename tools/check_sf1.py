@@ -57,6 +57,9 @@ QUERIES = [
     "x128_wordpiece_truncation", "x129_wordpiece_offsets",
     "x130_unigram_offsets", "x131_unigram_pair_truncation",
     "x132_chunk_spans",
+    "x133_bpe_pair_truncation", "x134_bpe_offsets",
+    "x135_bpe_chunk_spans", "x136_llama3_shape",
+    "x137_batch_longest_pad",
 ]
 
 
