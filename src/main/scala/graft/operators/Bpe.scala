@@ -1227,6 +1227,32 @@ object Bpe {
       }
       b.result()
     }
+    // the `decoder` block — previously IGNORED silently: the
+    // byte-level decode this engine implements (concatenate, unmap
+    // the printable-byte alphabet to UTF-8) IS the published
+    // `ByteLevel` decoder, so absent/ByteLevel (possibly a Sequence
+    // of only those) passes; anything else would decode differently
+    // and refuses loudly.
+    def isByteLevelDecoder(
+        node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      Option(node.get("type")).map(_.asText()) match {
+        case Some("ByteLevel") => true
+        case Some("Sequence") =>
+          val ds = node.get("decoders")
+          ds != null && ds.isArray && ds.size() > 0 && {
+            val it = ds.elements()
+            var ok = true
+            while (it.hasNext && ok) ok = isByteLevelDecoder(it.next())
+            ok
+          }
+        case _ => false
+      }
+    val dec = tree.get("decoder")
+    require(dec == null || dec.isNull || isByteLevelDecoder(dec),
+      s"$path decoder type '${Option(dec.get("type"))
+        .map(_.asText()).getOrElse("?")}' is not the ByteLevel " +
+        "byte-unmap decode this engine implements; refusing to " +
+        "silently decode differently")
     ParsedBpeJson(tree, merges, vocab, needsNfc, addPrefixSpace,
       useRegex, split, ignoreMerges)
   }

@@ -306,6 +306,68 @@ object Unigram {
     val padding = TokenizerTruncation.parsePadding(tree, path,
       t => pieceIdOf.get(t).map(_.toLong))
 
+    // the `decoder` block — previously IGNORED silently: verified
+    // structurally here. The engine's decode ([[graft.expressions
+    // .UnigramDecode]]: byte-fallback fuse, marker→space, prepend
+    // strip) IS the published chain both lineage shapes serialize —
+    // `Metaspace` (T5) and the Llama `Sequence[Replace, ByteFallback,
+    // Fuse, Strip]` — so both are ACCEPTED when their parameters
+    // match this tokenizer's own marker; anything else would decode
+    // differently and refuses loudly. (Replace-then-ByteFallback vs
+    // fuse-then-replace order is immaterial: `<0xNN>` pieces never
+    // contain the marker.)
+    {
+      val marker = graft.expressions.UnigramDecode.spaceMarker(norms,
+        metaspace)
+      def checkMember(n: com.fasterxml.jackson.databind.JsonNode)
+          : Unit = Option(n.get("type")).map(_.asText()) match {
+        case Some("Replace") =>
+          val pat = n.get("pattern")
+          val from =
+            if (pat != null && pat.isObject &&
+                pat.get("String") != null) pat.get("String").asText()
+            else "?"
+          val to = Option(n.get("content")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse("?")
+          require(from == marker && to == " ",
+            s"$path decoder Replace rewrites '$from'→'$to' but this " +
+              s"tokenizer's space marker is '$marker'→' ' — the " +
+              "file contradicts itself; refusing to guess")
+        case Some("ByteFallback") | Some("Fuse") => ()
+        case Some("Strip") =>
+          val content = Option(n.get("content")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse(" ")
+          require(content == " ",
+            s"$path decoder Strip removes '$content' — only the " +
+              "prepended space strip is the engine's decode")
+        case other => throw new IllegalArgumentException(
+          s"$path decoder member type '${other.getOrElse("?")}' is " +
+            "not the Metaspace/Replace-ByteFallback-Fuse-Strip " +
+            "decode this engine implements; refusing to silently " +
+            "decode differently")
+      }
+      val d = tree.get("decoder")
+      if (d != null && !d.isNull)
+        Option(d.get("type")).map(_.asText()) match {
+          case Some("Metaspace") =>
+            val repl = Option(d.get("replacement"))
+              .filterNot(_.isNull).map(_.asText()).getOrElse("▁")
+            require(repl == marker,
+              s"$path decoder Metaspace replacement '$repl' differs " +
+                s"from this tokenizer's marker '$marker' — the file " +
+                "contradicts itself; refusing to guess")
+          case Some("Sequence") =>
+            val ds = d.get("decoders")
+            require(ds != null && ds.isArray,
+              s"$path decoder Sequence without decoders")
+            val it = ds.elements()
+            while (it.hasNext) checkMember(it.next())
+          case other => throw new IllegalArgumentException(
+            s"$path decoder type '${other.getOrElse("?")}' is not " +
+              "the Metaspace / Replace-chain decode this engine " +
+              "implements; refusing to silently decode differently")
+        }
+    }
     UnigramTokenizer(pieces, unkId, byteFallback, norms, needsNfc,
       prefixIds, suffixIds, metaspace, truncation, padding,
       pairTemplate)

@@ -56,7 +56,8 @@ object WordPiece {
       prefixIds: Seq[Long], suffixIds: Seq[Long],
       pair: Option[PairTemplate] = None,
       truncation: Option[TokenizerTruncation.Truncation] = None,
-      padding: Option[TokenizerTruncation.Padding] = None)
+      padding: Option[TokenizerTruncation.Padding] = None,
+      decoderCleanup: Option[Boolean] = None)
 
   /** Parse a TemplateProcessing PAIR template — fixed (id, type_id)
     * tokens before A, between A and B, and after B, plus the content
@@ -308,11 +309,44 @@ object WordPiece {
             "TemplateProcessing is supported")
       }
 
+    // the `decoder` block — previously IGNORED silently (the last
+    // loader-contract gap): verified structurally here. Absent →
+    // None (the engine's space-join convention applies). A WordPiece
+    // decoder must carry THIS tokenizer's continuation prefix (a
+    // different prefix would re-attach the wrong tokens); its
+    // `cleanup` flag is recorded — [[decodeColumn]] refuses
+    // cleanup=true unless the caller explicitly accepts the
+    // space-join form, because the published cleanup post-pass is a
+    // convention this engine does not reproduce and silently
+    // skipping it would diverge from the source tokenizer's decode
+    // on punctuation. Any other decoder type refuses loudly.
+    val decoderCleanup: Option[Boolean] = {
+      val d = tree.get("decoder")
+      if (d == null || d.isNull) None
+      else {
+        val kind = Option(d.get("type")).map(_.asText()).getOrElse("?")
+        require(kind == "WordPiece",
+          s"$path decoder type '$kind' is not the WordPiece " +
+            "space-join convention this engine decodes with; " +
+            "refusing to silently decode differently")
+        val pfx = Option(d.get("prefix")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("##")
+        require(pfx == contPrefix,
+          s"$path decoder prefix '$pfx' differs from the model's " +
+            s"continuing_subword_prefix '$contPrefix' — the file " +
+            "contradicts itself; refusing to guess")
+        // the published default when the flag is absent is cleanup
+        // ON — resolving absent to false would silently diverge
+        Some(Option(d.get("cleanup")).filterNot(_.isNull)
+          .map(_.asBoolean(true)).getOrElse(true))
+      }
+    }
     WordPieceTokenizer(vocab, unkId, contPrefix, maxChars, cleanText,
       handleCjk, stripAccents, lowercase, prefixIds, suffixIds,
       pairTemplate,
       TokenizerTruncation.parseTruncation(tree, path),
-      TokenizerTruncation.parsePadding(tree, path, vocabMap.get))
+      TokenizerTruncation.parsePadding(tree, path, vocabMap.get),
+      decoderCleanup)
   }
 
   /** Export a loaded WordPiece tokenizer back to the single-file
@@ -354,6 +388,16 @@ object WordPiece {
     else {
       emitTemplateProcessing(mapper, root, tok.prefixIds,
         tok.suffixIds, tok.pair, tok.vocab.map(_.swap).toMap)
+    }
+    tok.decoderCleanup match {
+      case None => root.putNull("decoder")
+      case Some(cu) =>
+        val d = mapper.createObjectNode()
+        d.put("type", "WordPiece")
+        d.put("prefix", tok.contPrefix)
+        d.put("cleanup", cu)
+        root.set[com.fasterxml.jackson.databind.JsonNode]("decoder",
+          d)
     }
     val model = mapper.createObjectNode()
     model.put("type", "WordPiece")
@@ -515,11 +559,29 @@ object WordPiece {
     * is lossy across the Bert normalizer (case/accents/whitespace
     * discarded by the ENCODE); on pre-normalized in-coverage text
     * decode ∘ encode is the identity — the x124 oracle's statement.
+    *
+    * A tokenizer whose file carries a `cleanup = true` decoder block
+    * REFUSES here by default: the published cleanup post-pass (the
+    * punctuation re-attachment chain) is a convention this engine
+    * does not reproduce, and silently skipping it would make decode
+    * diverge from the source tokenizer on punctuation — the exact
+    * silent-divergence class the loader contract exists to refuse.
+    * Pass `acceptSpaceJoin = true` to take the pre-cleanup
+    * space-join form KNOWINGLY (identical wherever the text carries
+    * no cleanup-affected punctuation).
     */
   def decodeColumn(ids: Column, tok: WordPieceTokenizer,
-      skipTemplateIds: Boolean = true): Column =
+      skipTemplateIds: Boolean = true,
+      acceptSpaceJoin: Boolean = false): Column = {
+    require(!tok.decoderCleanup.contains(true) || acceptSpaceJoin,
+      "this tokenizer's decoder block sets cleanup=true — a " +
+        "punctuation re-attachment post-pass this engine does not " +
+        "reproduce; decode would silently diverge from the source " +
+        "tokenizer. Pass acceptSpaceJoin=true to take the " +
+        "pre-cleanup space-join form knowingly")
     graft.expressions.GraftFunctions.wordPieceDecode(ids, tok,
       if (skipTemplateIds) templateIds(tok) else Seq.empty)
+  }
 
   /** Assemble the pair (token_ids, type_ids) from two ALREADY
     * MATERIALIZED content encodes — the one home for the template /

@@ -1582,6 +1582,46 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadTokenizerJsonAssembled(spark, out) == seqPost)
   }
 
+  test("decoder block verified, never silently ignored: ByteLevel " +
+      "(incl. Sequence-of-ByteLevel) accepts — it IS the engine's " +
+      "byte-unmap decode — and any other decoder type refuses in " +
+      "BOTH loaders") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def withDecoder(dec: String): String = {
+      val base = writeAssembledJson("null")
+      val tree = mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(base)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      tree.set[com.fasterxml.jackson.databind.JsonNode]("decoder",
+        mapper.readTree(dec))
+      val d = java.nio.file.Files.createTempDirectory("graft_bpedec")
+        .resolve("tokenizer.json")
+      java.nio.file.Files.write(d, mapper.writeValueAsBytes(tree))
+      d.toString
+    }
+    // accepted: the engine's own decode convention
+    Bpe.loadTokenizerJsonAssembled(spark, withDecoder(
+      """{"type": "ByteLevel", "add_prefix_space": true,
+        | "trim_offsets": true, "use_regex": true}""".stripMargin))
+    Bpe.loadTokenizerJsonAssembled(spark, withDecoder(
+      """{"type": "Sequence", "decoders": [
+        | {"type": "ByteLevel"}]}""".stripMargin))
+    // refused: any decode that is not the byte unmap
+    for (bad <- Seq("""{"type": "WordPiece"}""",
+        """{"type": "Metaspace"}""",
+        """{"type": "Sequence", "decoders": [
+          | {"type": "ByteLevel"}, {"type": "Fuse"}]}"""
+          .stripMargin)) {
+      val p = withDecoder(bad)
+      assert(intercept[IllegalArgumentException](
+        Bpe.loadTokenizerJsonAssembled(spark, p))
+        .getMessage.contains("decoder type"))
+      assert(intercept[IllegalArgumentException](
+        Bpe.loadTokenizerJsonPipeline(spark, p))
+        .getMessage.contains("decoder type"))
+    }
+  }
+
   test("padBatchLongest: the BATCH-property padding the per-row " +
       "loaders refuse, as an explicit two-pass operator — exact " +
       "arrays right and left, type ids padded to the same width, " +

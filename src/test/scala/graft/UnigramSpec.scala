@@ -35,11 +35,13 @@ class UnigramSpec extends SparkSpec {
 
   private def tokJson(vocab: String = baseVocab, unkId: String = "0",
       byteFallback: Boolean = false, normalizer: String = llamaNorms,
-      preTokenizer: String = "null", postProcessor: String = "null") =
+      preTokenizer: String = "null", postProcessor: String = "null",
+      decoder: String = "null") =
     s"""{"version": "1.0",
        | "normalizer": $normalizer,
        | "pre_tokenizer": $preTokenizer,
        | "post_processor": $postProcessor,
+       | "decoder": $decoder,
        | "model": {"type": "Unigram", "unk_id": $unkId,
        |   "byte_fallback": ${if (byteFallback) "true" else "false"},
        |   "vocab": $vocab}}""".stripMargin
@@ -806,4 +808,47 @@ class UnigramSpec extends SparkSpec {
     assert(r.getSeq[Long](2) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
   }
 
+
+  test("decoder block verified, never silently ignored: the Llama " +
+      "Replace-ByteFallback-Fuse-Strip Sequence and the T5 Metaspace " +
+      "decoder ACCEPT when their marker matches this tokenizer's, " +
+      "mismatched markers and foreign decoder types refuse at load") {
+    // the published Llama decoder chain IS the engine's decode
+    val llama = Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      decoder = """{"type": "Sequence", "decoders": [
+        | {"type": "Replace", "pattern": {"String": "▁"},
+        |  "content": " "},
+        | {"type": "ByteFallback"}, {"type": "Fuse"},
+        | {"type": "Strip", "content": " ", "start": 1,
+        |  "stop": 0}]}""".stripMargin)))
+    assert(encode(llama, "a b").nonEmpty)
+    // the T5 Metaspace decoder with the matching replacement
+    Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+      decoder =
+        """{"type": "Metaspace", "replacement": "▁"}""")))
+    // a mismatched Replace marker contradicts the tokenizer
+    val e1 = intercept[IllegalArgumentException](
+      Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+        decoder = """{"type": "Sequence", "decoders": [
+          | {"type": "Replace", "pattern": {"String": "@"},
+          |  "content": " "}]}""".stripMargin))))
+    assert(e1.getMessage.contains("marker"))
+    // a mismatched Metaspace replacement
+    val e2 = intercept[IllegalArgumentException](
+      Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+        decoder = """{"type": "Metaspace", "replacement": "@"}"""))))
+    assert(e2.getMessage.contains("marker") ||
+      e2.getMessage.contains("replacement"))
+    // a foreign decoder type refuses
+    val e3 = intercept[IllegalArgumentException](
+      Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+        decoder = """{"type": "WordPiece"}"""))))
+    assert(e3.getMessage.contains("decoder type"))
+    // a foreign Sequence member refuses
+    val e4 = intercept[IllegalArgumentException](
+      Unigram.loadTokenizerJson(spark, writeJson(tokJson(
+        decoder = """{"type": "Sequence", "decoders": [
+          | {"type": "CTC"}]}""".stripMargin))))
+    assert(e4.getMessage.contains("member"))
+  }
 }

@@ -33,11 +33,13 @@ class WordPieceSpec extends SparkSpec {
           | "lowercase": true}""".stripMargin,
       preTokenizer: String = """{"type": "BertPreTokenizer"}""",
       postProcessor: String = "null",
-      maxChars: String = "100") =
+      maxChars: String = "100",
+      decoder: String = "null") =
     s"""{"version": "1.0",
        | "normalizer": $normalizer,
        | "pre_tokenizer": $preTokenizer,
        | "post_processor": $postProcessor,
+       | "decoder": $decoder,
        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
        |   "continuing_subword_prefix": "##",
        |   "max_input_chars_per_word": $maxChars,
@@ -715,5 +717,54 @@ class WordPieceSpec extends SparkSpec {
       Seq(0L, 0L, 0L, 0L, 1L, 1L, 0L, 0L, 0L))
     assert(r.getSeq[Long](3) ==
       Seq(1L, 1L, 1L, 1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("decoder block verified, never silently ignored: the " +
+      "WordPiece space-join convention loads (prefix must match the " +
+      "model's), cleanup=true refuses decode unless the space-join " +
+      "form is accepted explicitly, mismatched prefixes and foreign " +
+      "decoder types refuse at load, absent cleanup defaults ON, " +
+      "and save -> load carries the block") {
+    import spark.implicits._
+    // cleanup=false: decode works unchanged
+    val clean = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+      decoder = """{"type": "WordPiece", "prefix": "##",
+        | "cleanup": false}""".stripMargin)))
+    assert(clean.decoderCleanup == Some(false))
+    val dec = Seq(("d", Seq(3L, 4L))).toDF("id", "ids")
+      .select(WordPiece.decodeColumn(col("ids"), clean).as("t"))
+      .collect()(0).getString(0)
+    assert(dec == "the cat")
+    // cleanup=true: decode REFUSES by default, accepted explicitly
+    val cu = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+      decoder = """{"type": "WordPiece", "prefix": "##",
+        | "cleanup": true}""".stripMargin)))
+    assert(cu.decoderCleanup == Some(true))
+    val e = intercept[IllegalArgumentException](
+      WordPiece.decodeColumn(col("ids"), cu))
+    assert(e.getMessage.contains("cleanup"))
+    val ok = Seq(("d", Seq(3L, 4L))).toDF("id", "ids")
+      .select(WordPiece.decodeColumn(col("ids"), cu,
+        acceptSpaceJoin = true).as("t")).collect()(0).getString(0)
+    assert(ok == "the cat")
+    // absent cleanup flag defaults ON (the published default)
+    val dflt = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+      decoder = """{"type": "WordPiece", "prefix": "##"}""")))
+    assert(dflt.decoderCleanup == Some(true))
+    // mismatched prefix / foreign type refuse at LOAD
+    val e2 = intercept[IllegalArgumentException](
+      WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+        decoder = """{"type": "WordPiece", "prefix": "@@"}"""))))
+    assert(e2.getMessage.contains("prefix"))
+    val e3 = intercept[IllegalArgumentException](
+      WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
+        decoder = """{"type": "ByteLevel"}"""))))
+    assert(e3.getMessage.contains("decoder type"))
+    // save -> load identity carries the block
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_wp_dec")
+      .resolve("tokenizer.json").toString
+    WordPiece.saveTokenizerJson(spark, cu, out)
+    assert(WordPiece.loadTokenizerJson(spark, out) == cu)
   }
 }
