@@ -203,6 +203,7 @@ object SparkEntry {
     "x135_bpe_chunk_spans" -> Extensions.x135BpeChunkSpans,
     "x136_llama3_shape" -> Extensions.x136Llama3Shape,
     "x137_batch_longest_pad" -> Extensions.x137BatchLongestPad,
+    "x138_wordpiece_cleanup" -> Extensions.x138WordPieceCleanup,
   )
 
   // the planted-hot-key join aggregated to 10 buckets — all integer
@@ -2105,6 +2106,36 @@ object SparkEntry {
         |  CAST(CASE WHEN length(a) < gmax THEN length(a) + 1
         |       ELSE 0 END AS BIGINT) AS mask_first_zero
         |FROM s, m ORDER BY doc_id""".stripMargin,
+    // x138: the cleanup decode restated WITHOUT a tokenizer — the
+    // pre-cleanup join is alnum runs + isolated punctuation marks
+    // space-joined (per-char replaces + whitespace collapse), then
+    // the SAME eleven cleanup replaces in the SAME order
+    "x138_wordpiece_cleanup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(text, '[^A-Za-z0-9.,?!'' ]', ' ',
+        |      'g')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(t,
+        |        '.', ' . '), ',', ' , '), '?', ' ? '), '!', ' ! '),
+        |        '''', ' '' '),
+        |      ' +', ' ', 'g')) AS j
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(j,
+        |      ' .', '.'), ' ?', '?'), ' !', '!'), ' ,', ','),
+        |      ' '' ', ''''), ' n''t', 'n''t'), ' ''m', '''m'),
+        |      ' do not', ' don''t'), ' ''s', '''s'),
+        |      ' ''ve', '''ve'), ' ''re', '''re') AS d
+        |  FROM r)
+        |SELECT doc_id, md5(d) AS cleanup_md5,
+        |  CAST(length(d) AS BIGINT) AS n_chars
+        |FROM f ORDER BY doc_id""".stripMargin,
     // x126: the x123 identity certifying the TRAINED Unigram
     // artifact — the trainer's byte alphabet + required singles make
     // the same trainer-free statement hold for a fitted vocabulary

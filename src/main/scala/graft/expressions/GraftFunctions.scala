@@ -100,8 +100,10 @@ object GraftFunctions {
       tok.norms, tok.metaspace))
   def wordPieceDecode(ids: Column,
       tok: graft.operators.WordPiece.WordPieceTokenizer,
-      skipIds: Seq[Long] = Seq.empty): Column =
-    c(WordPieceDecodeIds(e(ids), tok.vocab, tok.contPrefix, skipIds))
+      skipIds: Seq[Long] = Seq.empty,
+      cleanup: Boolean = false): Column =
+    c(WordPieceDecodeIds(e(ids), tok.vocab, tok.contPrefix, skipIds,
+      cleanup))
   def allSubstrings(text: Column, maxLen: Int): Column =
     c(AllSubstrings(e(text), maxLen))
   def unigramEStep(word: Column, pieces: Seq[String],

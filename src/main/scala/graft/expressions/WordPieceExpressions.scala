@@ -264,7 +264,8 @@ case class BertPreTokens(child: Expression, cleanText: Boolean,
   */
 case class WordPieceDecodeIds(child: Expression,
     vocab: Seq[(String, Long)], contPrefix: String,
-    skipIds: Seq[Long]) extends UnaryKernelCodegen {
+    skipIds: Seq[Long], cleanup: Boolean = false)
+    extends UnaryKernelCodegen {
 
   require(vocab.nonEmpty, "wordpiece vocab must be non-empty")
 
@@ -306,11 +307,44 @@ case class WordPieceDecodeIds(child: Expression,
       }
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromString(
+      if (cleanup) WordPieceDecodeIds.cleanupChain(sb.toString)
+      else sb.toString)
   }
 
   override protected def withNewChildInternal(
       newChild: Expression): WordPieceDecodeIds = copy(child = newChild)
+}
+
+object WordPieceDecodeIds {
+  /** The `cleanup = true` post-pass of the reference WordPiece
+    * decoder — the punctuation/contraction re-attachment chain,
+    * replicated VERBATIM as sequential literal replaces in exactly
+    * this order (each replace scans the previous one's output,
+    * left-to-right, the `String.replace` semantics SQL `replace`
+    * shares — what lets x138 restate the whole chain relationally):
+    *
+    *   " ."→"."   " ?"→"?"   " !"→"!"   " ,"→","   " ' "→"'"
+    *   " n't"→"n't"   " 'm"→"'m"   " do not"→" don't"
+    *   " 's"→"'s"   " 've"→"'ve"   " 're"→"'re"
+    *
+    * including the reference's famous `" do not"→" don't"`
+    * contraction quirk — reproduced, not corrected, because the
+    * contract is bit-parity with what the source tokenizer's decode
+    * emits, not prettier English.
+    */
+  def cleanupChain(s: String): String = s
+    .replace(" .", ".")
+    .replace(" ?", "?")
+    .replace(" !", "!")
+    .replace(" ,", ",")
+    .replace(" ' ", "'")
+    .replace(" n't", "n't")
+    .replace(" 'm", "'m")
+    .replace(" do not", " don't")
+    .replace(" 's", "'s")
+    .replace(" 've", "'ve")
+    .replace(" 're", "'re")
 }
 /** WordPiece ENCODE WITH OFFSETS — the [[WordPieceEncodeIds]] greedy
   * matcher emitting `(id, start, end)` per token, spans in CODE

@@ -561,27 +561,22 @@ object WordPiece {
     * decode ∘ encode is the identity — the x124 oracle's statement.
     *
     * A tokenizer whose file carries a `cleanup = true` decoder block
-    * REFUSES here by default: the published cleanup post-pass (the
-    * punctuation re-attachment chain) is a convention this engine
-    * does not reproduce, and silently skipping it would make decode
-    * diverge from the source tokenizer on punctuation — the exact
-    * silent-divergence class the loader contract exists to refuse.
-    * Pass `acceptSpaceJoin = true` to take the pre-cleanup
-    * space-join form KNOWINGLY (identical wherever the text carries
-    * no cleanup-affected punctuation).
+    * decodes through the reference decoder's cleanup chain
+    * ([[graft.expressions.WordPieceDecodeIds.cleanupChain]] — the
+    * punctuation/contraction re-attachment replaces, applied in the
+    * published order, quirks included), so decode matches the source
+    * tokenizer on punctuation too — oracle-checked by x138, which
+    * restates the ENTIRE chain as SQL `replace` calls. Pass
+    * `acceptSpaceJoin = true` to take the PRE-cleanup space-join
+    * form knowingly (the raw join, useful when downstream tooling
+    * does its own detokenization).
     */
   def decodeColumn(ids: Column, tok: WordPieceTokenizer,
       skipTemplateIds: Boolean = true,
-      acceptSpaceJoin: Boolean = false): Column = {
-    require(!tok.decoderCleanup.contains(true) || acceptSpaceJoin,
-      "this tokenizer's decoder block sets cleanup=true — a " +
-        "punctuation re-attachment post-pass this engine does not " +
-        "reproduce; decode would silently diverge from the source " +
-        "tokenizer. Pass acceptSpaceJoin=true to take the " +
-        "pre-cleanup space-join form knowingly")
+      acceptSpaceJoin: Boolean = false): Column =
     graft.expressions.GraftFunctions.wordPieceDecode(ids, tok,
-      if (skipTemplateIds) templateIds(tok) else Seq.empty)
-  }
+      if (skipTemplateIds) templateIds(tok) else Seq.empty,
+      cleanup = tok.decoderCleanup.contains(true) && !acceptSpaceJoin)
 
   /** Assemble the pair (token_ids, type_ids) from two ALREADY
     * MATERIALIZED content encodes — the one home for the template /

@@ -1581,6 +1581,62 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** x138: the WordPiece `cleanup = true` DECODE chain end to end,
+    * oracle-checked — the decoder block's punctuation/contraction
+    * re-attachment post-pass honored and restated RELATIONALLY:
+    * under a single-character fixture vocab (letters/digits bare +
+    * `##`, punctuation `.,?!'` bare — Bert isolation makes each
+    * punctuation char its own pre-token), decode(encode(clean)) is
+    * the space-join of alnum runs and punctuation marks, and DuckDB
+    * rebuilds exactly that join with per-char replaces + whitespace
+    * collapse, then applies the SAME eleven cleanup replaces in the
+    * SAME order (`String.replace` and SQL `replace` share
+    * sequential left-to-right literal semantics — what makes the
+    * whole chain statable). One wrong replace, a reordered step, or
+    * an unhonored decoder block breaks the hash.
+    */
+  def x138WordPieceCleanup(s: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vocab = mapper.createObjectNode()
+    var nextId = 0L
+    def put(t: String): Unit = { vocab.put(t, nextId); nextId += 1 }
+    put("[UNK]")
+    ('a' to 'z').foreach(c => put(c.toString))
+    ('a' to 'z').foreach(c => put("##" + c))
+    ('0' to '9').foreach(c => put(c.toString))
+    ('0' to '9').foreach(c => put("##" + c))
+    Seq(".", ",", "?", "!", "'").foreach(put)
+    val root = mapper.readTree(
+      """{"version": "1.0",
+        | "normalizer": {"type": "BertNormalizer", "clean_text": true,
+        |   "handle_chinese_chars": true, "strip_accents": null,
+        |   "lowercase": true},
+        | "pre_tokenizer": {"type": "BertPreTokenizer"},
+        | "post_processor": null,
+        | "decoder": {"type": "WordPiece", "prefix": "##",
+        |   "cleanup": true},
+        | "model": {"type": "WordPiece", "unk_token": "[UNK]",
+        |   "continuing_subword_prefix": "##",
+        |   "max_input_chars_per_word": 100000}}""".stripMargin)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .set[com.fasterxml.jackson.databind.JsonNode]("vocab", vocab)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_wordpiece_cleanup_${fixtureKey(dir, 1)}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mapper.writeValueAsBytes(root))
+    val tok = graft.operators.WordPiece.loadTokenizerJson(s, path)
+    val cleaned = regexp_replace(col("text"), "[^A-Za-z0-9.,?!' ]",
+      " ")
+    val decoded = graft.operators.WordPiece.decodeColumn(
+      graft.operators.WordPiece.encodeColumn(cleaned, tok), tok)
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(decoded).as("cleanup_md5"),
+        length(decoded).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x126: Unigram TRAINING, oracle-checked end to end — the
     * [[graft.operators.Unigram.train]] EM + pruning recipe
     * (distributed pre-token histogram + seed-substring counting,

@@ -242,8 +242,9 @@ object ScaleTrend {
       "x133_bpe_pair_truncation", "x134_bpe_offsets",
       "x135_bpe_chunk_spans", "x136_llama3_shape",
       // round 18 (late): batch-longest padding — ONE 1-row max
-      // exchange + broadcast + pure projection
-      "x137_batch_longest_pad")
+      // exchange + broadcast + pure projection — and the cleanup
+      // decode chain (pure map-side)
+      "x137_batch_longest_pad", "x138_wordpiece_cleanup")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",

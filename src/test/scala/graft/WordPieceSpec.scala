@@ -735,18 +735,32 @@ class WordPieceSpec extends SparkSpec {
       .select(WordPiece.decodeColumn(col("ids"), clean).as("t"))
       .collect()(0).getString(0)
     assert(dec == "the cat")
-    // cleanup=true: decode REFUSES by default, accepted explicitly
+    // cleanup=true: decode applies the reference chain — punctuation
+    // re-attaches ("the , cat" → "the, cat"); acceptSpaceJoin gives
+    // the raw pre-cleanup join
     val cu = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
       decoder = """{"type": "WordPiece", "prefix": "##",
         | "cleanup": true}""".stripMargin)))
     assert(cu.decoderCleanup == Some(true))
-    val e = intercept[IllegalArgumentException](
-      WordPiece.decodeColumn(col("ids"), cu))
-    assert(e.getMessage.contains("cleanup"))
-    val ok = Seq(("d", Seq(3L, 4L))).toDF("id", "ids")
+    val cleaned = Seq(("d", Seq(3L, 11L, 4L))).toDF("id", "ids")
+      .select(WordPiece.decodeColumn(col("ids"), cu).as("t"))
+      .collect()(0).getString(0)
+    assert(cleaned == "the, cat")
+    val raw = Seq(("d", Seq(3L, 11L, 4L))).toDF("id", "ids")
       .select(WordPiece.decodeColumn(col("ids"), cu,
         acceptSpaceJoin = true).as("t")).collect()(0).getString(0)
-    assert(ok == "the cat")
+    assert(raw == "the , cat")
+    // the chain itself, pinned verbatim (order + the published
+    // " do not"→" don't" quirk, reproduced not corrected)
+    import graft.expressions.WordPieceDecodeIds.cleanupChain
+    assert(cleanupChain("the , cat .") == "the, cat.")
+    assert(cleanupChain("he 's here !") == "he's here!")
+    assert(cleanupChain("don ' t stop") == "don't stop")
+    assert(cleanupChain("we 've , they 're , i 'm") ==
+      "we've, they're, i'm")
+    assert(cleanupChain("is n't it ?") == "isn't it?")
+    assert(cleanupChain("i do not know") == "i don't know",
+      "the reference quirk is reproduced, not corrected")
     // absent cleanup flag defaults ON (the published default)
     val dflt = WordPiece.loadTokenizerJson(spark, writeJson(tokJson(
       decoder = """{"type": "WordPiece", "prefix": "##"}""")))

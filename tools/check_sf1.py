@@ -59,7 +59,7 @@ QUERIES = [
     "x132_chunk_spans",
     "x133_bpe_pair_truncation", "x134_bpe_offsets",
     "x135_bpe_chunk_spans", "x136_llama3_shape",
-    "x137_batch_longest_pad",
+    "x137_batch_longest_pad", "x138_wordpiece_cleanup",
 ]
 
 
