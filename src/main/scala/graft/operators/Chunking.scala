@@ -46,21 +46,56 @@ object Chunking {
       .withColumn("__n", size(col("__tk")))
       .filter(col("__n") > 0)
 
+  /** Evaluate `exprs` ONCE per row and hand the results to `body` as
+    * bound lambda variables — the let-binding idiom every window
+    * builder here needs twice over. A Generate used to carry the full
+    * token array (and text view) into EVERY exploded window row —
+    * O(n²/stride) bytes materialized per document — and the pushed-down
+    * non-empty filter re-evaluated the (expensive) tokenize kernel up
+    * to 3× per row on top of the projection's own evaluation. Binding
+    * through a one-element array + `transform` makes the evaluation
+    * count structural (exactly once, not CSE-dependent), and building
+    * the finished per-window rows INSIDE the lambda lets the explode
+    * emit only chunk-sized structs: linear bytes, kernel run once, and
+    * empty docs yield an empty array (non-outer Generate drops them —
+    * no filter needed, so nothing expensive gets pushed down).
+    */
+  private def bound1(exprs: Seq[(String, org.apache.spark.sql.Column)])(
+      body: (String => org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(transform(
+      array(struct(exprs.map { case (n, c) => c.as(n) }: _*)),
+      x => body(n => x.getField(n))), 1)
+
+  /** Per-row array of window structs over a bound token array `tk`
+    * (element type T): window i covers `[i·stride, i·stride + width)`;
+    * `mk` builds the output struct from the window slice. Empty token
+    * arrays yield an empty (typed) array.
+    */
+  private def windowsOf(tk: org.apache.spark.sql.Column, width: Int,
+      stride: Int)(mk: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(
+      when(size(tk) > 0,
+        sequence(lit(0L), ((size(tk) - 1).cast("long") / stride)
+          .cast("long"))).otherwise(array().cast("array<bigint>")),
+      i => bound1(Seq(("w",
+        slice(tk, (i.cast("int") * stride) + 1, lit(width)))))(f =>
+        mk(f("w"))))
+
   def tokenWindows(df: DataFrame, idCol: String, textCol: String,
       width: Int, stride: Int): DataFrame = {
     require(width > 0 && stride > 0, "width and stride must be positive")
-    val starts = tokenized(df, idCol, textCol)
-      // last window index: greatest start i with i·stride < n
-      .withColumn("__idx",
-        sequence(lit(0), expr(s"(__n - 1) div $stride")))
-    starts
-      .select(col(idCol), col("__tk"),
-        posexplode(col("__idx")).as(Seq("chunk_idx", "__i")))
-      .withColumn("__w", slice(col("__tk"),
-        col("__i") * stride + 1, lit(width)))
+    val chunks = bound1(Seq(
+      ("t", TextFunctions.tokens(col(textCol)))))(f =>
+      windowsOf(f("t"), width, stride)(w =>
+        struct(size(w).as("chunk_tokens"),
+          array_join(w, " ").as("chunk_text"))))
+    df.select(col(idCol),
+        posexplode(chunks).as(Seq("chunk_idx", "__c")))
       .select(col(idCol), col("chunk_idx"),
-        size(col("__w")).as("chunk_tokens"),
-        array_join(col("__w"), " ").as("chunk_text"))
+        col("__c.chunk_tokens").as("chunk_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
   }
 
   /** [[tokenWindows]] budgeted by the REAL tokenizer — the RAG/embedding
@@ -91,20 +126,20 @@ object Chunking {
         merges.sortBy(_._1).map(m => (m._1, m._2, m._3)),
         tokenPattern, byteLevel = true),
       vocab, unkId = -1L)
-    df.select(col(idCol), ids.as("__ids"))
-      .withColumn("__n", size(col("__ids")))
-      .filter(col("__n") > 0)
-      .withColumn("__idx",
-        sequence(lit(0), expr(s"(__n - 1) div $stride")))
-      .select(col(idCol), col("__ids"),
-        posexplode(col("__idx")).as(Seq("chunk_idx", "__i")))
-      .withColumn("chunk_ids", slice(col("__ids"),
-        col("__i") * stride + 1, lit(width)))
+    // encode once per row, window inside the lambda, explode finished
+    // chunk structs only (see [[bound1]] — linear bytes, no re-encode)
+    val chunks = bound1(Seq(("t", ids)))(f =>
+      windowsOf(f("t"), width, stride)(w =>
+        struct(size(w).cast("long").as("chunk_tokens"),
+          w.as("chunk_ids"),
+          graft.expressions.GraftFunctions.idsToText(w, vocab)
+            .as("chunk_text"))))
+    df.select(col(idCol),
+        posexplode(chunks).as(Seq("chunk_idx", "__c")))
       .select(col(idCol), col("chunk_idx"),
-        size(col("chunk_ids")).cast("long").as("chunk_tokens"),
-        col("chunk_ids"),
-        graft.expressions.GraftFunctions.idsToText(col("chunk_ids"),
-          vocab).as("chunk_text"))
+        col("__c.chunk_tokens").as("chunk_tokens"),
+        col("__c.chunk_ids").as("chunk_ids"),
+        col("__c.chunk_text").as("chunk_text"))
   }
 
   /** [[tokenWindowsBpe]]'s PROVENANCE-PRESERVING sibling: windows
@@ -185,25 +220,28 @@ object Chunking {
       view: org.apache.spark.sql.Column,
       width: Int, stride: Int): DataFrame = {
     require(width > 0 && stride > 0, "width and stride must be positive")
-    val base = df.select(col(idCol), toks.as("__toks"),
-        view.as("__norm"))
-      .withColumn("__n", size(col("__toks")))
-      .filter(col("__n") > 0)
-      .withColumn("__idx",
-        sequence(lit(0), expr(s"(__n - 1) div $stride")))
-    val w = base
-      .select(col(idCol), col("__toks"), col("__norm"),
-        posexplode(col("__idx")).as(Seq("chunk_idx", "__i")))
-      .withColumn("__w", slice(col("__toks"),
-        col("__i") * stride + 1, lit(width)))
-    val start = element_at(col("__w"), 1).getField("start")
-    val end = element_at(col("__w"), -1).getField("end")
-    w.select(col(idCol), col("chunk_idx"),
-      size(col("__w")).cast("long").as("chunk_tokens"),
-      transform(col("__w"), t => t.getField("id")).as("chunk_ids"),
-      start.cast("long").as("char_start"),
-      end.cast("long").as("char_end"),
-      col("__norm").substr(start + 1, end - start).as("chunk_text"))
+    // offsets kernel + normalized view evaluated ONCE per row ([[bound1]]),
+    // all window structs built in-lambda, only finished chunks exploded —
+    // the Generate no longer carries the O(n) token array and text view
+    // into each of the n/stride window rows
+    val chunks = bound1(Seq(("t", toks), ("v", view)))(f =>
+      windowsOf(f("t"), width, stride) { w =>
+        val start = element_at(w, 1).getField("start")
+        val end = element_at(w, -1).getField("end")
+        struct(size(w).cast("long").as("chunk_tokens"),
+          transform(w, t => t.getField("id")).as("chunk_ids"),
+          start.cast("long").as("char_start"),
+          end.cast("long").as("char_end"),
+          f("v").substr(start + 1, end - start).as("chunk_text"))
+      })
+    df.select(col(idCol),
+        posexplode(chunks).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.chunk_tokens").as("chunk_tokens"),
+        col("__c.chunk_ids").as("chunk_ids"),
+        col("__c.char_start").as("char_start"),
+        col("__c.char_end").as("char_end"),
+        col("__c.chunk_text").as("chunk_text"))
   }
 
   /** Corpus-wide segment dedup: cut each document into NON-overlapping

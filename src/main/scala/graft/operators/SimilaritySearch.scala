@@ -382,6 +382,65 @@ object SimilaritySearch {
     cents
   }
 
+  /** Lloyd over ALL PQ subspaces JOINTLY — one aggregation job per
+    * iteration instead of one per (subspace × iteration): every
+    * subspace's assign rides the same map pass (per row, `numSubspaces`
+    * structs of (s, cell, sv) explode out of one compiled projection)
+    * and one groupBy (s, cell, pos) reduces to
+    * numSubspaces·nCentroids·sub mean rows. Per (s, cell, pos) group
+    * the averaged multiset is EXACTLY the per-subspace form's — same
+    * rows, same slices, same per-partition accumulation order — so the
+    * codebooks are value-identical to training each subspace alone
+    * (spec-asserted); only the pass count changes. At corpus scale this
+    * is `numSubspaces`× fewer training scans; at bench scale it is
+    * `numSubspaces`× fewer jobs.
+    *
+    * `initFull`: the id-order init rows as FULL vectors (sliced here
+    * per subspace — one TakeOrdered job serves every codebook).
+    * `sampleEmpty`: the caller's one-probe verdict on the hash sample
+    * (identical across subspaces — it filters on the id column only).
+    */
+  private[graft] def trainSubspaceCodebooks(c: DataFrame,
+      numSubspaces: Int, sub: Int, nCentroids: Int, iters: Int,
+      trainFraction: Double, initFull: Seq[Seq[Float]],
+      sampleEmpty: Boolean): IndexedSeq[Seq[Seq[Float]]] = {
+    val train =
+      if (trainFraction >= 1.0 || sampleEmpty) c
+      else Sampling.hashSample(c, "neighbor_id",
+        math.max(1, math.round(trainFraction * 1000000).toInt), 1000000)
+    var books: IndexedSeq[Seq[Seq[Float]]] =
+      (0 until numSubspaces).map { s =>
+        initFull.take(nCentroids).map(_.slice(s * sub, s * sub + sub)) }
+    if (books.exists(_.isEmpty)) return books
+    for (_ <- 0 until iters) {
+      val perSub = (0 until numSubspaces).map { s =>
+        val sv = slice(col("cv"), s * sub + 1, sub)
+        struct(lit(s).as("s"), nearestCell(sv, books(s)).as("cell"),
+          sv.as("sv"))
+      }
+      val means = train
+        .select(explode(array(perSub: _*)).as("a"))
+        .select(col("a.s").as("s"), col("a.cell").as("cell"),
+          posexplode(col("a.sv")))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val bySubCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, cell) =>
+          bySubCell.get((s, cell)) match {
+            case Some(rows) =>
+              val v = new Array[Float](rows.map(_.getInt(2)).max + 1)
+              rows.foreach(r => v(r.getInt(2)) = r.getDouble(3).toFloat)
+              v.toSeq
+            case None => old // a cell that lost all members keeps its centroid
+          }
+        }
+      }
+    }
+    books
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 2, excludeSelf: Boolean = true,
@@ -669,15 +728,13 @@ object SimilaritySearch {
       else Some(Sampling.hashSample(c, "neighbor_id",
         math.max(1, math.round(trainFraction * 1000000).toInt), 1000000)
         .isEmpty)
+    // ALL subspaces train in one aggregation job per Lloyd iteration
+    // ([[trainSubspaceCodebooks]] — numSubspaces× fewer training scans;
+    // codebooks value-identical to the per-subspace form, spec-asserted)
     val codebooks: IndexedSeq[Seq[Seq[Float]]] =
-      (0 until numSubspaces).map { s =>
-        trainCentroids(
-          c.select(col("neighbor_id"),
-            slice(col("cv"), s * sub + 1, sub).as("sv")),
-          "neighbor_id", "sv", nCentroids, kmeansIters, trainFraction,
-          initFrom = Some(initFull.map(_.slice(s * sub, s * sub + sub))),
-          sampleEmptyHint = sampleEmpty)
-      }
+      trainSubspaceCodebooks(c, numSubspaces, sub, nCentroids,
+        kmeansIters, trainFraction, initFull,
+        sampleEmpty.getOrElse(false))
     if (codebooks.exists(_.isEmpty)) return None
 
     // encode: one compiled argmin per subspace, all in ONE map pass

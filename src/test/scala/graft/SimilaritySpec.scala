@@ -312,6 +312,30 @@ class SimilaritySpec extends SparkSpec {
     assert(again == pqN)
   }
 
+  test("trainSubspaceCodebooks: the joint one-job-per-iteration Lloyd " +
+      "equals per-subspace training exactly, full and sampled") {
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val numSubspaces = 8; val sub = 8; val nCentroids = 16; val iters = 2
+    val initFull = c.orderBy(col("neighbor_id")).limit(nCentroids)
+      .select(col("cv")).collect().map(_.getSeq[Float](0)).toSeq
+    for (frac <- Seq(1.0, 0.5)) {
+      val joint = SimilaritySearch.trainSubspaceCodebooks(c,
+        numSubspaces, sub, nCentroids, iters, frac, initFull,
+        sampleEmpty = false)
+      val perSubspace = (0 until numSubspaces).map { s =>
+        SimilaritySearch.trainCentroids(
+          c.select(col("neighbor_id"),
+            slice(col("cv"), s * sub + 1, sub).as("sv")),
+          "neighbor_id", "sv", nCentroids, iters, frac,
+          initFrom = Some(initFull.map(_.slice(s * sub, s * sub + sub))),
+          sampleEmptyHint = Some(false))
+      }
+      assert(joint == perSubspace,
+        s"joint and per-subspace codebooks diverged at frac=$frac")
+    }
+  }
+
   // ---- SemDeDup (x55): k-means cells + within-cell bounded pairs ----
 
   /** base-50 corpus + 50 planted near-twins (cos ≈ 0.9999), as in the
