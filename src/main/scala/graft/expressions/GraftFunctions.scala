@@ -19,6 +19,24 @@ object GraftFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
+  /** Let-binding for Column expressions: evaluate each named expression
+    * in `exprs` exactly ONCE per row and build `body` from the bound
+    * results (a one-element array + `transform` — the results arrive as
+    * lambda variables, so the evaluation count is structural, not
+    * CSE-dependent). Shields expensive kernels from Catalyst's
+    * collapse/pushdown re-evaluation: a non-empty filter pushed below a
+    * projection, or a collapsed Project/Generate, would otherwise
+    * inline the kernel once per reference (measured 3-4 evaluations per
+    * row on the chunking and bigram paths).
+    */
+  def bindOnce(exprs: Seq[(String, Column)])(
+      body: (String => Column) => Column): Column = {
+    import org.apache.spark.sql.functions.{array, element_at, struct, transform}
+    element_at(transform(
+      array(struct(exprs.map { case (n, col) => col.as(n) }: _*)),
+      x => body(n => x.getField(n))), 1)
+  }
+
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def matProject(a: Column, mean: Seq[Double],
       components: Seq[Seq[Double]]): Column =

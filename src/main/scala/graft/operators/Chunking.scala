@@ -63,9 +63,7 @@ object Chunking {
   private def bound1(exprs: Seq[(String, org.apache.spark.sql.Column)])(
       body: (String => org.apache.spark.sql.Column) =>
         org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    element_at(transform(
-      array(struct(exprs.map { case (n, c) => c.as(n) }: _*)),
-      x => body(n => x.getField(n))), 1)
+    graft.expressions.GraftFunctions.bindOnce(exprs)(body)
 
   /** Per-row array of window structs over a bound token array `tk`
     * (element type T): window i covers `[i·stride, i·stride + width)`;

@@ -56,18 +56,38 @@ object Selection {
     * occurrence, exactly like the paper's bag model.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, numBuckets: Int = 1024): DataFrame =
-    dsirScore(raw, idCol, textCol,
-      dsirTerms(raw, target, textCol, numBuckets), numBuckets)
+      textCol: String, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 2 && numBuckets <= 65536,
+      s"numBuckets must be in [2, 65536], got $numBuckets")
+    // ONE tokenize+bigram+md5 pass over the raw pool serves BOTH the
+    // raw-side fit and the scoring pass (they used to be two full
+    // scans); only the narrow (id, bucket) rows are cached. The target
+    // fit is its own (target-sized) pass, as before.
+    val rb = graft.core.CacheScope.cached(
+      bigramBuckets(raw, textCol, numBuckets, col(idCol))
+        .select(col(idCol), col("__bucket")))
+    val terms = dsirTermsFromRawModel(
+      rb.groupBy(col("__bucket")).agg(count(lit(1)).as("__c")),
+      target, textCol, numBuckets, raw.sparkSession)
+    rb.join(broadcast(terms), col("__bucket") === terms("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("term_q")).as("score_q"))
+  }
 
   private def bigramBuckets(df: DataFrame, textCol: String, b: Int,
       extra: Column*): DataFrame = {
-    val tk = TextFunctions.tokens(col(textCol)).as("__tk")
-    df.select((extra :+ tk): _*)
-      .filter(size(col("__tk")) >= 2)
-      .select((extra :+ explode(expr(
-        "transform(slice(__tk, 1, size(__tk) - 1)," +
-          " (x, i) -> concat(x, ' ', __tk[i + 1]))")).as("__bg")): _*)
+    // tokens bound ONCE per row (bindOnce): the old non-empty filter +
+    // collapsed generator re-evaluated the tokenize kernel up to 4x per
+    // row; the when-guard inside the binding keeps the same "< 2 tokens
+    // emit nothing" semantics with zero pushable predicate
+    val bg = graft.expressions.GraftFunctions.bindOnce(Seq(
+      ("t", TextFunctions.tokens(col(textCol)))))( f =>
+      when(size(f("t")) >= 2,
+        transform(slice(f("t"), lit(1), size(f("t")) - 1),
+          (x, i) => concat(x, lit(" "), element_at(f("t"), i + 2))))
+        .otherwise(array().cast("array<string>")))
+    df.select((extra :+ explode(bg).as("__bg")): _*)
       .withColumn("__bucket", expr(
         s"(CAST(conv(substring(md5(__bg), 1, 4), 16, 10) AS BIGINT)" +
           s" * $b) div 65536"))
@@ -86,21 +106,33 @@ object Selection {
       numBuckets: Int = 1024): DataFrame = {
     require(numBuckets >= 2 && numBuckets <= 65536,
       s"numBuckets must be in [2, 65536], got $numBuckets")
-    val b = numBuckets
-    def model(df: DataFrame): DataFrame =
-      bigramBuckets(df, textCol, b).groupBy(col("__bucket"))
-        .agg(count(lit(1)).as("__c"))
+    dsirTermsFromRawModel(
+      bigramBuckets(raw, textCol, numBuckets).groupBy(col("__bucket"))
+        .agg(count(lit(1)).as("__c")),
+      target, textCol, numBuckets, raw.sparkSession)
+  }
+
+  /** [[dsirTerms]] body over a PRE-AGGREGATED raw bucket model
+    * (`mr0`: (__bucket, __c)) — lets [[dsirWeights]] derive the raw fit
+    * from the same cached bucket rows its scorer consumes instead of
+    * re-scanning the raw pool.
+    */
+  private def dsirTermsFromRawModel(mr0: DataFrame, target: DataFrame,
+      textCol: String, b: Int,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     // full bucket table (buckets absent from a corpus still carry
     // their smoothed term), both counts, both totals — numBuckets
-    // rows end to end, bounded by the require above, hence the
+    // rows end to end, bounded by the caller's require, hence the
     // explicit broadcasts; models cached so each corpus is scanned
     // once for its fit (≤ numBuckets cached rows)
-    val mt = graft.core.CacheScope.cached(model(target))
-    val mr = graft.core.CacheScope.cached(model(raw))
+    val mt = graft.core.CacheScope.cached(
+      bigramBuckets(target, textCol, b).groupBy(col("__bucket"))
+        .agg(count(lit(1)).as("__c")))
+    val mr = graft.core.CacheScope.cached(mr0)
     def q(c: Column, n: Column): Column =
       floor(log((c + 1).cast("double") / (n + b).cast("double"))
         * lit(1e10)).cast("long")
-    raw.sparkSession.range(0, b).select(col("id").as("bucket"))
+    spark.range(0, b).select(col("id").as("bucket"))
       .join(mt.withColumnRenamed("__c", "__ct"),
         col("bucket") === col("__bucket"), "left").drop("__bucket")
       .join(mr.withColumnRenamed("__c", "__cr"),

@@ -2396,12 +2396,16 @@ object Extensions {
     * out with the explode, like every *-gram query here.
     */
   def x44BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    // tokens bound once per row (bindOnce) — the filter+generator shape
+    // used to re-evaluate the tokenize kernel up to 4x per row
+    val bg = graft.expressions.GraftFunctions.bindOnce(Seq(
+      ("t", TextFunctions.tokens(col("text")))))( f =>
+      when(size(f("t")) >= 2,
+        transform(slice(f("t"), lit(1), size(f("t")) - 1),
+          (x, i) => concat(x, lit(" "), element_at(f("t"), i + 2))))
+        .otherwise(array().cast("array<string>")))
     val bi = docs(s, dir)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(tk, 1, size(tk) - 1)," +
-          " (x, i) -> concat(x, ' ', tk[i + 1]))")).as("bg"))
+      .select(col("doc_id"), explode(bg).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val biC = graft.core.CacheScope.cached(bi)
     val c2 = biC.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
