@@ -69,6 +69,20 @@ object Graft {
     else df
   }
 
+  /** Run `body` with a Spark job description (guide: label your jobs),
+    * restoring the caller's label after — operators label their
+    * internal phases (index-build writes, Lloyd iterations) so per-job
+    * profiling and the UI attribute time to the right phase without
+    * clobbering an enclosing label.
+    */
+  def labeled[A](spark: SparkSession, desc: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body
+    finally sc.setJobDescription(prev)
+  }
+
   /** Plan-estimated size in bytes — for a cached-and-materialized plan
     * this is the measured in-memory size, otherwise the optimizer's
     * estimate. Used to gate explicit `broadcast()` hints on BYTES rather

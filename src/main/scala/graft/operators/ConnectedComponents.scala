@@ -371,10 +371,18 @@ object ConnectedComponents {
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .filter(col("a") =!= col("b"))
         .distinct())
-    var visited = truncated(
+    var frontier = truncated(
       seeds.select(col(seedCol).as("id")).distinct()
         .withColumn("dist", lit(0)), reliable)
-    var frontier = visited
+    // `visited` is a plain UNION of the per-hop materialized frontiers —
+    // each hop's rows are stored exactly once (its own truncated frame)
+    // and the union is lazy plan glue over those leaves, so no hop pays
+    // a second visited-sized materialization (the previous form
+    // re-checkpointed the whole union every hop: O(V) extra bytes
+    // written per hop and one extra job). The union plan stays linear
+    // in hop count (≤ maxHops leaves), far below Catalyst's recursion
+    // budget, and every leaf is already lineage-truncated.
+    var visited = frontier
     var hop = 0
     var frontierN = frontier.count()
     while (frontierN > 0 && hop < maxHops) {
@@ -386,18 +394,11 @@ object ConnectedComponents {
         .withColumn("dist", lit(hop))
       val next = truncated(discovered, reliable)
       frontierN = next.count()
-      val grown = truncated(visited.unionByName(next), reliable)
-      // superseded rounds' blocks: releaseTruncated is idempotent, so
-      // the hop-1 case (frontier eq visited) releases once harmlessly
-      releaseTruncated(frontier, reliable)
-      releaseTruncated(visited, reliable)
-      visited = grown
+      visited = visited.unionByName(next)
       frontier = next
     }
-    // the final frontier's rows are already in `visited` (its own
-    // materialization) — drop the duplicate blocks; when the loop never
-    // ran, frontier IS the result, so keep it
-    if (!(frontier eq visited)) releaseTruncated(frontier, reliable)
+    // per-hop frames back the returned union — reclaimed by the context
+    // cleaner once the result is dereferenced, as before
     edges.unpersist()
     visited
   }

