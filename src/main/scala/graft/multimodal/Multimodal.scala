@@ -449,11 +449,17 @@ object Multimodal {
       it.flatMap { row =>
         val bytes = payloadBytes(row, payloadIdx)
         readAviFrames(bytes, everyNth)
-          .orElse(readSampledFrames(bytes, everyNth, frameMs)) match {
-          case Some(frames) =>
-            frames.iterator.map { case (f, ms, img) =>
+          // MJPEG chunks ship verbatim (already standalone JPEGs);
+          // reader-claimed containers (GIF frames composite on prior
+          // frames) still re-encode their decoded rasters to PNG
+          .map(_.iterator.map { case (f, ms, jpeg) =>
+            Row.fromSeq(row.toSeq ++ Seq(f, ms, jpeg))
+          })
+          .orElse(readSampledFrames(bytes, everyNth, frameMs)
+            .map(_.iterator.map { case (f, ms, img) =>
               Row.fromSeq(row.toSeq ++ Seq(f, ms, encodePng(img)))
-            }
+            })) match {
+          case Some(frames) => frames
           case None =>
             val nFrames = (bytes.length + frameBytes - 1) / frameBytes
             (0 until nFrames by everyNth).iterator.map { f =>
@@ -1039,8 +1045,18 @@ object Multimodal {
     * honored during the container walk ([[aviSampledChunks]]), not
     * after, so non-sampled frames are never copied.
     */
+  /** Sampled MJPEG frames as (frame_idx, frame_ms, jpeg bytes). Every
+    * sampled chunk is FULLY decoded for validation (a corrupt or
+    * non-JPEG chunk routes the whole payload to the slicing fallback,
+    * as before), but the emitted frame payload is the chunk's own JPEG
+    * bytes VERBATIM — each chunk is already a standalone decodable
+    * image, so re-encoding the decoded raster to PNG only burned one
+    * deflate per frame (measured: the dominant per-frame cost of the
+    * video path) without changing downstream pixels: decoding the
+    * emitted JPEG yields exactly the raster the PNG round-trip carried.
+    */
   private def readAviFrames(bytes: Array[Byte], everyNth: Int)
-      : Option[IndexedSeq[(Int, Int, java.awt.image.BufferedImage)]] = {
+      : Option[IndexedSeq[(Int, Int, Array[Byte])]] = {
     // without this, the FIRST decode path to run in an executor JVM
     // would route every per-frame ImageInputStream through ImageIO's
     // DISK cache (a temp file created and deleted per frame — syscall
@@ -1050,8 +1066,7 @@ object Multimodal {
       if (chunks.isEmpty) None
       else try {
         val stepMs = (usPerFrame / 1000L).toInt
-        val out = IndexedSeq.newBuilder[(Int, Int,
-          java.awt.image.BufferedImage)]
+        val out = IndexedSeq.newBuilder[(Int, Int, Array[Byte])]
         var j = 0
         var bad = false
         while (j < chunks.length && !bad) {
@@ -1059,7 +1074,7 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(jpeg))
           if (img == null) bad = true // non-JPEG codec → fallback path
-          else out += ((i, i * stepMs, img))
+          else out += ((i, i * stepMs, jpeg))
           j += 1
         }
         if (bad) None else Some(out.result())
