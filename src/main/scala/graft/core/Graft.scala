@@ -34,6 +34,16 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // typed/imperative aggregates (collect_list prefix assembly, the
+      // bounded top-k aggregators) run in ObjectHashAggregate, which
+      // falls back to SORT-BASED aggregation after this many distinct
+      // keys per task — the stock 128 reintroduces exactly the per-key
+      // sort those operators exist to avoid. 4096 keeps the hash path
+      // for realistic per-task group counts while bounding buffered
+      // state (each entry here is one doc's prefix list / one bounded
+      // top-k buffer — KBs, so ≲ tens of MB per task before fallback).
+      .config(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       // engine-level recursion budget for recursive CTEs (q40/q41
       // shapes): the default limit of 100 caps q40's yearly spine at a

@@ -78,6 +78,36 @@ object Dedup {
   private[operators] def prefixLenCol(n: org.apache.spark.sql.Column, t: Double) =
     n - ceil(n * t - 1e-9) + 1
 
+  /** Rank each document's postings rarest-first under the global
+    * (df, s) order and keep only the prefix — the first
+    * n − ⌈t·n⌉ + 1 rows per doc — as (…extra, id, n, s, rn), with ONE
+    * hash aggregation instead of a per-doc `row_number` window. The
+    * window form paid a full exchange-and-sort of EVERY posting keyed
+    * by id; here partial (map-side) aggregation assembles each doc's
+    * complete (df, s) list before the exchange — a doc's postings come
+    * out of one exploded row, so they are already partition-local
+    * whenever the df join broadcasts — and the exchange then carries
+    * one assembled row per document instead of one row per posting.
+    * Sorting happens per-doc inside the aggregate's result expression
+    * (`sort_array`, O(n log n) over an in-memory array), never as a
+    * distributed sort. `posexplode` of the sliced array restores rn
+    * (1-based) identical to the window's `row_number`: shingle sets
+    * are distinct per doc, so the (df, s) order is total and the two
+    * forms agree row for row.
+    *
+    * `post` must carry (id, n, s, df); `extra` names columns constant
+    * per id (e.g. the incremental forms' `isNew`) to carry through.
+    */
+  private[operators] def prefixRanked(post: DataFrame, threshold: Double,
+      extra: Seq[String] = Nil): DataFrame = {
+    post
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= prefixLenCol(col("n"), threshold))
+      .select((Seq(col("id"), col("n"), col("s"), col("rn")) ++
+        extra.map(col)): _*)
+  }
+
   /** Estimated BYTES under which a verification-join side is broadcast;
     * above it (corpus scale) the join falls back to a shuffle join on
     * the candidate ids. A byte gate, not a row gate: the broadcast side
@@ -207,12 +237,12 @@ object Dedup {
     val dfreq = CacheScope.cached(
       post.groupBy(col("s")).agg(count(lit(1)).as("df")))
     val dfHint = sizedBroadcastHint(dfreq)
-    val prefix = post
-      .join(dfHint(dfreq), "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= prefixLenCol(col("n"), threshold))
-      .select(col("id"), col("n"), col("s"), col("rn"))
+    // cached: the candidate self-join below reads the prefix TWICE, and
+    // an uncached plan re-runs the whole shingle→df→rank pipeline per
+    // side (measured in the x3 before-plan: the full prefix subtree
+    // appeared twice)
+    val prefix = CacheScope.cached(
+      prefixRanked(post.join(dfHint(dfreq), "s"), threshold))
     // positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
     // shingle at ranks (i, j) of the two docs' orderings bounds the
     // overlap at 1 + min(n1−i, n2−j), which must reach the J ≥ t
@@ -303,12 +333,8 @@ object Dedup {
     val dfreq = CacheScope.cached(
       post.groupBy(col("s")).agg(count(lit(1)).as("df")))
     val dfHint = sizedBroadcastHint(dfreq)
-    val prefix = post
-      .join(dfHint(dfreq), "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= prefixLenCol(col("n"), threshold))
-      .select(col("id"), col("n"), col("s"), col("rn"), col("isNew"))
+    val prefix = prefixRanked(post.join(dfHint(dfreq), "s"), threshold,
+      extra = Seq("isNew"))
     verifyJaccard(incrementalPrefixCands(prefix, threshold), sets,
       threshold)
   }

@@ -179,13 +179,9 @@ final class DedupIndex private (
     val dfHint = Dedup.sizedBroadcastHint(dfreqC)
     // delta shingles ranked under the SAME global order the corpus
     // prefix table was built with; unseen shingles coalesce to df 0
-    val dPrefix = dPost
+    val dPrefix = Dedup.prefixRanked(dPost
       .join(dfHint(dfreqC), Seq("s"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= Dedup.prefixLenCol(col("n"), queryThreshold))
-      .select(col("id"), col("n"), col("s"), col("rn"))
+      .withColumn("df", coalesce(col("df"), lit(0L))), queryThreshold)
     // stored corpus prefixes re-truncated to the query threshold
     // (higher threshold -> shorter prefix, a subset of stored rows)
     val cPrefix = prefix
@@ -242,13 +238,9 @@ final class DedupIndex private (
         explode(col("sh")).as("s"))
       val dfreqC = CacheScope.cached(dfreq)
       val dfHint = Dedup.sizedBroadcastHint(dfreqC)
-      val dPrefix = dPost
+      val dPrefix = Dedup.prefixRanked(dPost
         .join(dfHint(dfreqC), Seq("s"), "left")
-        .withColumn("df", coalesce(col("df"), lit(0L)))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-        .filter(col("rn") <= Dedup.prefixLenCol(col("n"), threshold))
-        .select(col("id"), col("n"), col("s"), col("rn"))
+        .withColumn("df", coalesce(col("df"), lit(0L))), threshold)
       mgr.collection(DedupIndex.PrefixName).write(dPrefix, SaveMode.Append)
       val dSig = dSets.withColumn("minhash_sig",
         GraftFunctions.minHashSignature(col("sh"), numHashes))
@@ -386,12 +378,8 @@ object DedupIndex {
       mgr.collection(DfreqName).write(dfreq, SaveMode.Overwrite)
     }
     val dfHint = Dedup.sizedBroadcastHint(dfreq)
-    val prefix = post
-      .join(dfHint(dfreq), "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= Dedup.prefixLenCol(col("n"), threshold))
-      .select(col("id"), col("n"), col("s"), col("rn"))
+    val prefix = Dedup.prefixRanked(post.join(dfHint(dfreq), "s"),
+      threshold)
     // the prefix and banded tables derive from already-materialized
     // caches (sets, dfreq) through INDEPENDENT plans — overlap the two
     // writes (guide §2.6: concurrent jobs back-fill each other's task
