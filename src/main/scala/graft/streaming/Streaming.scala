@@ -879,13 +879,23 @@ object Streaming {
     // honored at the next batch
     val liveTomb = liveIds(docs.sparkSession, s"${index.path}/tombstones")
       .select(col("id").as("dup_of"))
+    // the cap smallest ids per bucket through the same bounded-state
+    // buffer the batch twin uses ([[graft.operators.Dedup
+    // .cappedBucketPairs]]'s TopKRows, score = −id ⇒ ascending id):
+    // at most `bucketCap` rows per (bucket, partition) cross the
+    // exchange, where the previous row_number window SORTED the whole
+    // stored banded table at stream construction — a corpus-sized sort
+    // paid once per stream start on a 100 TB index. Identical kept
+    // members (ids are unique within a band, so the (id) order is
+    // total); same long-castable-id contract as every capped LSH path.
+    val keepCap = udaf(new graft.functions.Aggregators.TopKRows(bucketCap))
     val cappedCorpus = graft.core.CacheScope.cached(
       index.bandedRaw
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
-        .filter(col("__rn") <= bucketCap)
-        .select(col("band"), col("bucket"), col("id").as("dup_of")))
+        .groupBy(col("band"), col("bucket"))
+        .agg(keepCap(-col("id").cast("double"), col("id").cast("long"),
+          lit(0L)).as("__top"))
+        .select(col("band"), col("bucket"),
+          explode(col("__top.key1")).as("dup_of")))
     val corpusSets = graft.core.CacheScope.cached(
       index.setsRaw.select(col("id").as("dup_of"),
         col("sh").as("__csh"), col("n").as("__cn")))

@@ -170,6 +170,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("indexDedupStream over-cap bucket: the bounded member buffer " +
+      "keeps exactly the bucketCap SMALLEST corpus ids per bucket — " +
+      "an arrival screens against those and only those") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // five byte-identical corpus docs: they share EVERY (band, bucket),
+    // so any cap < 5 overflows every bucket and the kept members must
+    // be the cap smallest ids — the same members the previous
+    // row_number-window form kept (orderBy id, rn <= cap)
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val corpus = Seq(10L, 11L, 12L, 13L, 14L)
+      .map(id => (id, text)).toDF("doc_id", "text")
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_sidx_cap").toString
+    val idx = graft.operators.DedupIndex.build(corpus, "doc_id", "text",
+      k = 3, threshold = 0.6, path = idxPath)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = graft.streaming.Streaming.indexDedupStream(
+      input.toDF.toDF("doc_id", "text", "ts"), idx,
+      "doc_id", "text", threshold = 0.6, tsCol = "ts", bucketCap = 2)
+    val q = stream.writeStream.format("memory").queryName("idx_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((100L, text, ts(120))))
+      q.processAllAvailable()
+      input.addData(Seq((999999L, "watermark pusher", ts(10000))))
+      q.processAllAvailable()
+      val got = spark.table("idx_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((100L, 10L, 1.0), (100L, 11L, 1.0)),
+        s"over-cap screen must keep the 2 smallest corpus ids, got $got")
+    } finally q.stop()
+  }
+
   test("indexDedupStream honors tombstones: a deleted corpus doc " +
       "never surfaces as dup_of; survivors still screen") {
     import spark.implicits._
