@@ -240,9 +240,17 @@ object Dedup {
     // cached: the candidate self-join below reads the prefix TWICE, and
     // an uncached plan re-runs the whole shingle→df→rank pipeline per
     // side (measured in the x3 before-plan: the full prefix subtree
-    // appeared twice)
+    // appeared twice). The cached rows carry xxhash64(s), not the
+    // string: the self-join only tests EQUALITY of the prefix shingle,
+    // a hash collision can only ADD a candidate pair that the exact
+    // verification then rejects (equal strings always collide, so no
+    // true pair is lost), and hashing after the rank is computed keeps
+    // the (df, s) prefix order byte-identical — so the columnar cache
+    // encodes 8-byte longs instead of multi-word shingle strings, and
+    // the join compares longs
     val prefix = CacheScope.cached(
-      prefixRanked(post.join(dfHint(dfreq), "s"), threshold))
+      prefixRanked(post.join(dfHint(dfreq), "s"), threshold)
+        .withColumn("s", xxhash64(col("s"))))
     // positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
     // shingle at ranks (i, j) of the two docs' orderings bounds the
     // overlap at 1 + min(n1−i, n2−j), which must reach the J ≥ t
@@ -353,6 +361,11 @@ object Dedup {
     */
   private[operators] def incrementalPrefixCands(prefix: DataFrame,
       threshold: Double): DataFrame = {
+    // NOT hashed like the self-join form's prefix: the probe side here
+    // is the corpus prefix but the build side is the (small) delta
+    // prefix, so the string join key is not the cost center — and the
+    // x62 A/B measured the extra projection as a net loss on the
+    // index-served path
     val prefixC = CacheScope.cached(prefix)
     val deltaPrefix = prefixC.filter(col("isNew"))
     val maxOverlap = least(col("a.n") - col("a.rn"),
